@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{Core, TextPipeline, TimeSeries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory (SURVEY §2) as runnable DataFrame
+  * builders; `oracleSql` holds the DuckDB-equivalent SQL for each
+  * SQL-expressible entry (hash-compared by the driver). Entries without
+  * an oracle (minhash/simhash/kalman/lsh — engine-specific hashes or
+  * recursive state) get the weaker rows-only check.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Core.defs("q_tpch_pricing")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Core.defs ++ TimeSeries.defs ++ TextPipeline.defs
+
+  def oracleSql: Map[String, String] =
+    Core.oracles ++ TimeSeries.oracles ++ TextPipeline.oracles
 }

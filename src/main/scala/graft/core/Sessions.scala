@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's canonical configuration.
+  *
+  * Conventions (see SURVEY.md §1.2, §4):
+  *  - session timezone UTC (oracle parity),
+  *  - parquet TIMESTAMP(NANOS) columns surface as epoch-ns LongType
+  *    (`spark.sql.legacy.parquet.nanosAsLong`) — the engine's native time
+  *    representation is epoch nanoseconds, like the reference's `datetime`
+  *    (reference: machbase/neo-server `mods/server/http_write.go:56`,
+  *    default `timeformat=ns`),
+  *  - AQE on (runtime shuffle coalescing + skew-join handling at scale).
+  */
+object Sessions {
+  /** Apply graft defaults to a builder; caller picks master/parallelism. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests/benchmarks. */
+  def local(cores: Int = 4, shufflePartitions: Int = 0): SparkSession = {
+    val sp = if (shufflePartitions > 0) shufflePartitions else cores
+    val s = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", sp.toString)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

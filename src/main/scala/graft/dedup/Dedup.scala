@@ -1,0 +1,110 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design:
+  *  - exact dedup = hash-groupBy (one shuffle on the content hash);
+  *  - Jaccard near-dup uses *blocking* (a cheap equality key) so the
+  *    quadratic self-join only happens inside blocks;
+  *  - MinHash+LSH replaces blocking with banded signature buckets: one
+  *    pass to build deterministic signatures (higher-order functions, all
+  *    codegen'd — no ML-pipeline fitting step), explode to (band,
+  *    bucket-hash), groupBy-join candidates, then verify with exact
+  *    Jaccard. At 100 TB the candidate set, not the corpus, is quadratic.
+  *  - SimHash gives a 64-bit near-dup key (hamming-ball lookups).
+  */
+object Dedup {
+  /** Exact duplicate removal: keep the lowest id per identical content. */
+  def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(contentCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** Distinct word-bigram shingle set of a text column. */
+  def bigramShingles(text: Column): Column = {
+    val sp = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), size(sp) - 1),
+      i => concat(element_at(sp, i), lit(" "), element_at(sp, i + 1))))
+  }
+
+  /** Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Block-local near-dup pairs by bigram-shingle Jaccard ≥ threshold.
+    * `blockCol` is the equality blocking key (e.g. source, length bucket). */
+  def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val b = docs
+      .filter(size(split(col(textCol), " ")) >= 2)
+      .select(col(idCol), col(blockCol), bigramShingles(col(textCol)).as("bg"))
+    val a = b.select(col(idCol).as("doc_a"), col(blockCol).as("blk"), col("bg").as("bg_a"))
+    val c = b.select(col(idCol).as("doc_b"), col(blockCol).as("blk"), col("bg").as("bg_b"))
+    a.join(c, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", jaccard(col("bg_a"), col("bg_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Deterministic MinHash signature: k universal-hash permutations over
+    * xxhash64 of each shingle — h_j(S) = min_{s∈S} (a_j·x(s)+b_j mod p).
+    * Pure expression tree; partial-aggregatable and codegen'd. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val p = 2147483647L // 2^31-1, Mersenne prime
+    val cols = (0 until numHashes).map { j =>
+      val a = 1103515245L * (j + 1) % p
+      val b = 12345L + 7919L * j
+      array_min(transform(shingles, s => pmod(abs(xxhash64(s)) % p * a + b, lit(p))))
+    }
+    array(cols: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: sign → band → bucket join → verify.
+    * Candidates whose *exact* shingle Jaccard ≥ verifyThreshold survive. */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int, bands: Int,
+                      verifyThreshold: Double,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = docs
+      .filter(size(split(col(textCol), " ")) >= 2)
+      .select(col(idCol), bigramShingles(col(textCol)).as("bg"))
+      .withColumn("sig", minhashSignature(col("bg"), numHashes))
+    // (band, hash(band-slice)) buckets
+    val banded = sigs.select(
+      col(idCol), col("bg"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col(idCol).as("doc_a"), col("band"), col("bucket"), col("bg").as("bg_a"))
+    val r = banded.select(col(idCol).as("doc_b"), col("band"), col("bucket"), col("bg").as("bg_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "bg_a", "bg_b").distinct()
+      .withColumn("jaccard", jaccard(col("bg_a"), col("bg_b")))
+      .filter(col("jaccard") >= verifyThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over word tokens: per bit, sum ±1 weighted by token
+    * hash bit; sign → bit. Single expression, no shuffle. */
+  def simhash(docs: DataFrame, text: Column, idCol: String = "doc_id"): DataFrame = {
+    val tokens = split(text, " ")
+    val bitCols = (0 until 64).map { i =>
+      val votes = aggregate(tokens, lit(0L),
+        (acc, tok) => acc + when(shiftright(xxhash64(tok), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    docs.withColumn("simhash", bitCols.reduce(_ bitwiseOR _))
+  }
+
+  /** Hamming distance between two simhash values (near-dup test). */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.time.TimeFns
+
+/** The Lake API query shapes (reference: mods/server/http_lake.go —
+  * calc_mode 1692-1705, DATE_TRUNC bucketing 1707-1716, last/current
+  * 842-1149, pivot 1262+, raw/stat modes 301-538) as DataFrame templates.
+  *
+  * Scale design: last-per-tag is a single hash agg with `max_by` (no
+  * window sort over raw data); bucketed calc is hash agg on
+  * (tag, bucket); pivot takes explicit category values so the plan stays
+  * one pass.
+  */
+object Lake {
+  /** calc_mode ∈ MIN|MAX|AVG|SUM|SUMSQ|COUNT over DATE_TRUNC buckets. */
+  def calc(df: DataFrame, tag: Column, tsNs: Column, value: Column,
+           mode: String, unit: String, n: Int = 1): DataFrame = {
+    val agg: Column = mode.toUpperCase match {
+      case "MIN" => min(value)
+      case "MAX" => max(value)
+      case "AVG" => avg(value)
+      case "SUM" => sum(value)
+      case "SUMSQ" => sum(value * value)
+      case "COUNT" => count(value)
+      case m => throw new IllegalArgumentException(s"calc_mode $m")
+    }
+    df.groupBy(tag.as("name"), TimeFns.dateTruncNs(tsNs, unit, n).as("time_ns"))
+      .agg(agg.as("value"))
+      .orderBy("name", "time_ns")
+  }
+
+  /** Rollup row shape (name, bucket, min, max, sum, sumsq, cnt) — the
+    * engine-maintained pre-aggregate we answer AVG/MIN/MAX/SUM/SUMSQ/COUNT
+    * from without rescanning raw data (reference V$ROLLUP,
+    * spi/show.go:1209-1222). Maintained incrementally by streaming at
+    * scale; here a batch builder. */
+  def rollup(df: DataFrame, tag: Column, tsNs: Column, value: Column,
+             unit: String, n: Int = 1): DataFrame =
+    df.groupBy(tag.as("name"), TimeFns.dateTruncNs(tsNs, unit, n).as("time_ns"))
+      .agg(min(value).as("min_value"), max(value).as("max_value"),
+        sum(value).as("sum_value"), sum(value * value).as("sumsq_value"),
+        count(value).as("cnt"))
+
+  /** Last (most recent) row per tag — the stat-table RECENT_ROW_TIME /
+    * "current value" endpoint. `max_by` keeps it a hash agg. */
+  def lastPerTag(df: DataFrame, tag: Column, tsNs: Column, value: Column): DataFrame =
+    df.groupBy(tag.as("name"))
+      .agg(max(tsNs).as("last_time_ns"), max_by(value, tsNs).as("last_value"))
+      .orderBy("name")
+
+  /** Per-tag stats — the V$T_STAT virtual table (reference
+    * spi/show.go:1353-1366). */
+  def tagStat(df: DataFrame, tag: Column, tsNs: Column, value: Column): DataFrame =
+    df.groupBy(tag.as("name")).agg(
+      count(lit(1)).as("row_count"),
+      min(tsNs).as("min_time"), max(tsNs).as("max_time"),
+      min(value).as("min_value"), min_by(tsNs, value).as("min_value_time"),
+      max(value).as("max_value"), max_by(tsNs, value).as("max_value_time"),
+      max(tsNs).as("recent_row_time"))
+      .orderBy("name")
+
+  /** Pivot tags to columns per time bucket (reference GetPivotData).
+    * Explicit tag list keeps this single-pass at scale. */
+  def pivot(df: DataFrame, tag: Column, tsNs: Column, value: Column,
+            unit: String, n: Int, tags: Seq[String]): DataFrame =
+    df.withColumn("time_ns", TimeFns.dateTruncNs(tsNs, unit, n))
+      .groupBy("time_ns")
+      .pivot(tag.cast("string"), tags)
+      .agg(avg(value))
+      .orderBy("time_ns")
+
+  /** As-of join: for each left row, the most recent right row with
+    * right.time ≤ left.time on the same key. Implemented as a tagged
+    * union + one (key, time) sort with last-value carry-forward — a
+    * single shuffle, no per-row range probing; the same plan a
+    * sort-merge as-of join would produce. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTimeNs: String, rightTimeNs: String,
+               rightVals: Seq[String]): DataFrame = {
+    val l = left.withColumn("__t", col(leftTimeNs)).withColumn("__side", lit(1))
+    val lAligned = rightVals.foldLeft(l)((d, c) => d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType)))
+    val r = right.select(
+      Seq(col(key), col(rightTimeNs).as("__t"), lit(0).as("__side")) ++
+        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+    val rAligned = left.columns.filterNot(c => c == key)
+      .foldLeft(r)((d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col).toSeq: _*))
+    // Right rows sort before left rows at equal times (side 0 < 1) so an
+    // exactly-simultaneous right row is visible to the left row.
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++ rightVals.map(c => col(s"__r_$c").as(s"right_$c")): _*)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Order-dependent sequential transforms (reference: mods/tql/fm_monad.go
+  * MAP_DIFF family 1806-1906, MAP_AVG 1993-2021, MAP_MOVAVG 2023-2073,
+  * MAP_LOWPASS 2081-2107, MAP_KALMAN 1908-1991, MAP_DISTANCE 2109-2143).
+  *
+  * Scale design: everything expressible as a window function uses one
+  * (single shuffle on the series key, sort within partition, codegen'd).
+  * Recursive filters (lowpass, Kalman) are not window-expressible; they
+  * run as `repartition(key).sortWithinPartitions(key, time)` +
+  * `mapPartitions` — one pass, one shuffle, arbitrarily many series per
+  * partition, state reset on key change. A series never needs to fit in
+  * memory (iterator streaming), only its partition's sort spill does.
+  */
+object SeqOps {
+  private def w(key: Seq[Column], time: Column): WindowSpec =
+    Window.partitionBy(key: _*).orderBy(time)
+
+  /** First difference vs previous record; first row in a series → null. */
+  def mapDiff(v: Column, key: Seq[Column], time: Column): Column =
+    v - lag(v, 1).over(w(key, time))
+
+  def mapAbsDiff(v: Column, key: Seq[Column], time: Column): Column =
+    abs(mapDiff(v, key, time))
+
+  /** Negative differences clamp to 0 (counter-reset semantics). */
+  def mapNonNegDiff(v: Column, key: Seq[Column], time: Column): Column = {
+    val d = mapDiff(v, key, time)
+    when(d < 0d, 0d).otherwise(d)
+  }
+
+  /** Cumulative running mean. Computed as sum/count (not `avg`) so that a
+    * decimal-typed input yields an exact, order-independent accumulation
+    * before the final double division. */
+  def mapAvg(v: Column, key: Seq[Column], time: Column): Column = {
+    val frame = w(key, time).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sum(v).over(frame).cast(DoubleType) / count(v).over(frame)
+  }
+
+  /** Trailing moving average over `n` rows. Until the window is full the
+    * reference emits null unless noWait (reference fm_monad.go:2023-2073). */
+  def movAvg(v: Column, key: Seq[Column], time: Column, n: Int, noWait: Boolean = false): Column = {
+    val frame = w(key, time).rowsBetween(-(n - 1).toLong, Window.currentRow)
+    val m = sum(v).over(frame).cast(DoubleType) / count(v).over(frame)
+    if (noWait) m
+    else when(count(v).over(frame) >= n.toLong, m).otherwise(lit(null).cast(DoubleType))
+  }
+
+  /** Cumulative haversine distance along a (lat,lon) track, meters. */
+  def mapDistance(lat: Column, lon: Column, key: Seq[Column], time: Column): Column = {
+    val ws = w(key, time)
+    val leg = graft.functions.ScalarFns.haversineM(
+      lag(lat, 1).over(ws), lag(lon, 1).over(ws), lat, lon)
+    sum(coalesce(leg, lit(0d))).over(ws.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  }
+
+  /** Generic per-series ordered scan: repartition on the series key, sort
+    * (key, time) within partitions, stream rows through `step` with state
+    * reset at key boundaries. Output appends one double column. */
+  def perSeriesScan(df: DataFrame, keyCol: String, timeCol: String, outCol: String)(
+      newState: () => (Row => Double)): DataFrame = {
+    val outSchema = df.schema.add(outCol, DoubleType)
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    df.repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(timeCol))
+      .mapPartitions { it =>
+        var curKey: Any = null
+        var step: Row => Double = null
+        it.map { row =>
+          val k = row.get(keyIdx)
+          if (step == null || k != curKey) { curKey = k; step = newState() }
+          Row.fromSeq(row.toSeq :+ step(row))
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Exponential smoothing y ← (1-α)y + αx (reference fm_monad.go:2081).
+    * First sample passes through unchanged. */
+  def lowpass(df: DataFrame, keyCol: String, timeCol: String, valCol: String,
+              alpha: Double, outCol: String = "lowpass"): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valCol)
+    perSeriesScan(df, keyCol, timeCol, outCol) { () =>
+      var y = Double.NaN
+      row => {
+        val x = row.getDouble(vIdx)
+        y = if (y.isNaN) x else (1d - alpha) * y + alpha * x
+        y
+      }
+    }
+  }
+
+  /** 1-D Kalman filter, SimpleModel semantics: initial/process/observation
+    * variances (reference fm_monad.go:1908-1991, rosshemsley/kalman). */
+  def kalman(df: DataFrame, keyCol: String, timeCol: String, valCol: String,
+             initVar: Double, procVar: Double, obsVar: Double,
+             outCol: String = "kalman"): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valCol)
+    perSeriesScan(df, keyCol, timeCol, outCol) { () =>
+      var x = Double.NaN
+      var p = initVar
+      row => {
+        val z = row.getDouble(vIdx)
+        if (x.isNaN) { x = z }
+        else {
+          p += procVar
+          val k = p / (p + obsVar)
+          x += k * (z - x)
+          p *= (1d - k)
+        }
+        x
+      }
+    }
+  }
+
+  /** FILTER_CHANGED: keep a record only when the tracked value differs
+    * from the previous record's (reference fm_monad.go:121-238). The first
+    * record of each series is always kept. */
+  def filterChanged(df: DataFrame, v: Column, key: Seq[Column], time: Column): DataFrame = {
+    val prev = lag(v, 1).over(w(key, time))
+    df.withColumn("__chg", prev.isNull || prev =!= v)
+      .filter(col("__chg")).drop("__chg")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Whole-stream distribution operators (reference: mods/tql/fm_stat.go
+  * HISTOGRAM 36-292, BOXPLOT 294-577).
+  *
+  * Scale design: HISTOGRAM is a single hash agg on the bin id (map-side
+  * combined, output cardinality = bin count, tiny); empty bins come from a
+  * `spark.range` spine join. BOXPLOT uses SQL `percentile` (exact; swap
+  * `percentile_approx` at 100 TB) — one shuffle per category.
+  */
+object StatOps {
+  /** Fixed-step histogram over [min, max): bins of width `step`, all bins
+    * emitted (zero-count synthesized). Output (low, high, cnt). */
+  def histogram(spark: SparkSession, df: DataFrame, v: Column,
+                minV: Double, maxV: Double, step: Double): DataFrame = {
+    val nBins = math.ceil((maxV - minV) / step).toLong
+    val binned = df
+      .filter(v >= minV && v < maxV)
+      .select(floor((v - minV) / step).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    spark.range(nBins).withColumnRenamed("id", "bin")
+      .join(binned, Seq("bin"), "left")
+      .select(
+        (col("bin") * step + minV).as("low"),
+        ((col("bin") + 1) * step + minV).as("high"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("low")
+  }
+
+  /** Histogram with per-category counts pivoted to columns (reference
+    * `category()` option). `categories` must be explicit — at scale a
+    * dynamic pivot would need a driver-side distinct first. */
+  def histogramByCategory(spark: SparkSession, df: DataFrame, v: Column, cat: Column,
+                          minV: Double, maxV: Double, step: Double,
+                          categories: Seq[String]): DataFrame = {
+    val nBins = math.ceil((maxV - minV) / step).toLong
+    val binned = df
+      .filter(v >= minV && v < maxV)
+      .select(floor((v - minV) / step).cast("long").as("bin"), cat.as("cat"))
+      .groupBy("bin").pivot("cat", categories).agg(count(lit(1)))
+    val filled = categories.foldLeft(
+      spark.range(nBins).withColumnRenamed("id", "bin").join(binned, Seq("bin"), "left")) {
+      (d, c) => d.withColumn(c, coalesce(col(c), lit(0L)))
+    }
+    filled.select(
+      (col("bin") * step + minV).as("low") +: categories.map(col): _*)
+      .orderBy("low")
+  }
+
+  /** Quartiles + IQR whiskers per category (reference BOXPLOT):
+    * (category, q1, median, q3, iqr, lower_whisker, upper_whisker,
+    * n_outliers). Whiskers are the extreme observed values inside
+    * [q1-1.5·iqr, q3+1.5·iqr]. */
+  def boxplot(df: DataFrame, v: Column, cat: Column): DataFrame = {
+    val q = df.groupBy(cat.as("category")).agg(
+      percentile(v, lit(0.25)).as("q1"),
+      percentile(v, lit(0.5)).as("median"),
+      percentile(v, lit(0.75)).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+    val joined = df.select(cat.as("category"), v.as("__v")).join(q, Seq("category"))
+    joined.groupBy("category")
+      .agg(
+        first("q1").as("q1"), first("median").as("median"),
+        first("q3").as("q3"), first("iqr").as("iqr"),
+        min(when(col("__v") >= col("q1") - col("iqr") * 1.5, col("__v"))).as("lower_whisker"),
+        max(when(col("__v") <= col("q3") + col("iqr") * 1.5, col("__v"))).as("upper_whisker"),
+        sum(when(col("__v") < col("q1") - col("iqr") * 1.5, 1L)
+          .when(col("__v") > col("q3") + col("iqr") * 1.5, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy("category")
+  }
+}

@@ -1,0 +1,367 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{MomentAgg, StatFns}
+import graft.operators.{RowOps, StatOps}
+import Q._
+
+/** Core relational + GROUP-aggregator query battery (SURVEY §2.2/§2.4/§2.5).
+  * Each entry has a DuckDB oracle in [[Core.oracles]].
+  */
+object Core {
+  val defs: Map[String, QueryFn] = Map(
+    // ---- flagship: TPC-H Q1-style pricing summary (GROUP sum/avg/count) --
+    "q_tpch_pricing" -> ((s, dir) => {
+      // money sums accumulate in exact decimal (order-independent across
+      // partitions) then surface as rounded doubles — see Q.dec2.
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r2(sum("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("sum_disc_price"),
+          fround(avg(col("l_quantity")), 4).as("avg_qty"),
+          fround(sum(col("l_discount").cast("decimal(4,2)")).cast("double") / count(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- FILTER -------------------------------------------------------
+    "q_filter" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "error" && col("value") > 400d)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- TAKE(offset, n) — circuit-break ≙ limit pushdown -------------
+    "q_take" -> ((s, dir) => {
+      RowOps.take(t(s, dir, "events"), Seq(col("event_id")), 100, 50)
+        .select("event_id", "event_type", "value")
+    }),
+
+    // ---- DROP(offset, n) ----------------------------------------------
+    "q_drop" -> ((s, dir) => {
+      RowOps.drop(t(s, dir, "events").select("event_id", "event_type", "value"),
+        Seq(col("event_id")), 5, 9990)
+        .orderBy("event_id")
+    }),
+
+    // ---- MAPVALUE / PUSHVALUE / SET — computed columns ----------------
+    "q_mapvalue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          r2(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"),
+          when(col("l_quantity") >= 25, "bulk").otherwise("small").as("qty_class"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- TRANSPOSE (wide→long unpivot) --------------------------------
+    "q_transpose" -> ((s, dir) => {
+      RowOps.transpose(
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 30)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"),
+        fixed = Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber", "name")
+    }),
+
+    // ---- GROUP: count/sum/min/max/avg ---------------------------------
+    "q_group_basic" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.groupBy("event_type").agg(
+        count(lit(1)).as("cnt"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"),
+        fround(decAvg(col("value")), 4).as("avg_value"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+        .orderBy("event_type")
+    }),
+
+    // ---- GROUP: variance/stddev/stderr/rss/rms ------------------------
+    // All derived from exact decimal power sums (Σv, Σv²) so the results
+    // are bit-deterministic across partitionings and engines; the library
+    // forms (StatFns.*) are the general double-typed equivalents.
+    "q_group_stats" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val sumsq = sum(dec2(col("value")) * dec2(col("value"))).cast("double")
+      val sumd = sum(dec2(col("value"))).cast("double")
+      val n = count(col("value"))
+      val variance = (sumsq - sumd * sumd / n) / (n - 1)
+      e.groupBy("event_type").agg(
+        r4(variance).as("variance"),
+        r4(sqrt(variance)).as("stddev"),
+        r4(sqrt(variance) / sqrt(n)).as("stderr"),
+        r2(sqrt(sumsq)).as("rss"),
+        r4(sqrt(sumsq / n)).as("rms"))
+        .orderBy("event_type")
+    }),
+
+    // ---- GROUP: quantile / median (interpolated) ----------------------
+    "q_group_quantile" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.groupBy("event_type").agg(
+        r4(StatFns.quantileInterpolated(col("value"), 0.25)).as("q1"),
+        r4(StatFns.median(col("value"))).as("median"),
+        r4(StatFns.quantileInterpolated(col("value"), 0.75)).as("q3"),
+        r4(StatFns.quantileInterpolated(col("value"), 0.9)).as("p90"))
+        .orderBy("event_type")
+    }),
+
+    // ---- GROUP: correlation / covariance / regression slope -----------
+    "q_group_corr" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        r6(corr("l_quantity", "l_extendedprice")).as("correlation"),
+        r2(covar_samp("l_quantity", "l_extendedprice")).as("covariance"),
+        r4(StatFns.lrs(col("l_quantity"), col("l_extendedprice"))).as("lrs"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- GROUP: entropy / cdf (custom stat surface) -------------------
+    "q_group_entropy_cdf" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.groupBy("event_type").agg(
+        r2(StatFns.entropy(col("value") / lit(1000d))).as("entropy"),
+        r6(StatFns.cdf(col("value"), 100d)).as("cdf_100"))
+        .orderBy("event_type")
+    }),
+
+    // ---- GROUP: k-th central moment (custom Aggregator, single pass) --
+    "q_group_moment" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.groupBy("event_type").agg(
+        r2(MomentAgg.moment(col("value"), 2)).as("moment2"),
+        r2(MomentAgg.moment(col("value"), 3) / lit(1000d)).as("moment3_k"))
+        .orderBy("event_type")
+    }),
+
+    // ---- GROUP: deterministic mode (argmax of value histogram) --------
+    "q_group_mode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "events")
+        .select(col("event_type"), floor(col("value") / 10d).cast("long").as("bucket"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy(col("cnt").desc, col("bucket").asc)
+      e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("event_type", "bucket", "cnt").orderBy("event_type")
+    }),
+
+    // ---- weighted mean / weighted variance ----------------------------
+    "q_group_weighted" -> ((s, dir) => {
+      // Exact-decimal weighted sums; library forms in StatFns.weighted*.
+      val x = col("l_extendedprice").cast("decimal(12,2)")
+      val wq = col("l_quantity").cast("decimal(4,0)")
+      val sxw = sum(x * wq).cast("double")
+      val sxxw = sum(x * x * wq).cast("double")
+      val sw = sum(wq).cast("double")
+      val wm = sxw / sw
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        r4(wm).as("wmean"),
+        r2((sxxw - sw * wm * wm) / (sw - 1d) / 1000d).as("wvar_k"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- join: broadcast dim joins (customer⋈orders⋈nation⋈region) ----
+    "q_join_revenue" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ---- join: semi/anti ----------------------------------------------
+    "q_join_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000d)
+      val withBig = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_big_order").as("status"))
+      val noBig = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_big_order").as("status"))
+      withBig.unionByName(noBig).orderBy("c_custkey")
+    }),
+
+    // ---- HISTOGRAM (fixed bins incl. empty) ---------------------------
+    "q_histogram" -> ((s, dir) => {
+      StatOps.histogram(s, t(s, dir, "events"), col("value"), 0d, 500d, 25d)
+    }),
+
+    // ---- BOXPLOT per category -----------------------------------------
+    "q_boxplot" -> ((s, dir) => {
+      StatOps.boxplot(t(s, dir, "events"), col("value"), col("event_type"))
+        .select(col("category"),
+          r4(col("q1")).as("q1"), r4(col("median")).as("median"),
+          r4(col("q3")).as("q3"), r4(col("iqr")).as("iqr"),
+          col("lower_whisker"), col("upper_whisker"), col("n_outliers"))
+    }),
+
+    // ---- exact deduplication (hash-groupBy, keep first by id) ---------
+    "q_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(min("event_id").as("first_event_id"), count(lit(1)).as("n_dups"))
+        .orderBy("user_id", "event_type")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+              (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+         floor((avg(l_quantity))*10000.0 + 0.5)/10000.0 AS avg_qty,
+         floor((CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(l_discount))*10000.0 + 0.5)/10000.0 AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+    "q_filter" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type='error' AND value>400 ORDER BY event_id""",
+    "q_take" ->
+      """SELECT event_id, event_type, value FROM events
+         ORDER BY event_id OFFSET 100 LIMIT 50""",
+    "q_drop" ->
+      """SELECT event_id, event_type, value FROM (
+           SELECT event_id, event_type, value,
+                  row_number() OVER (ORDER BY event_id) AS rn FROM events)
+         WHERE rn <= 5 OR rn > 9995 ORDER BY event_id""",
+    "q_mapvalue" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(l_extendedprice*(1-l_discount)*(1+l_tax),2) AS charge,
+         CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS qty_class
+         FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""",
+    "q_transpose" ->
+      """SELECT l_orderkey, l_linenumber, name, value FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS name, l_quantity AS value
+             FROM lineitem WHERE l_orderkey < 30
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             FROM lineitem WHERE l_orderkey < 30
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+             FROM lineitem WHERE l_orderkey < 30)
+         ORDER BY l_orderkey, l_linenumber, name""",
+    "q_group_basic" ->
+      """SELECT event_type, count(*) AS cnt,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value))*10000.0 + 0.5)/10000.0 AS avg_value,
+         min(value) AS min_value,
+         max(value) AS max_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_group_stats" ->
+      """WITH g AS (
+           SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sumsq,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sumd,
+             count(value) AS n
+           FROM events GROUP BY 1)
+         SELECT event_type,
+         round((sumsq - sumd*sumd/n)/(n-1),4) AS variance,
+         round(sqrt((sumsq - sumd*sumd/n)/(n-1)),4) AS stddev,
+         round(sqrt((sumsq - sumd*sumd/n)/(n-1))/sqrt(n),4) AS stderr,
+         round(sqrt(sumsq),2) AS rss,
+         round(sqrt(sumsq/n),4) AS rms
+         FROM g ORDER BY 1""",
+    "q_group_quantile" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.25),4) AS q1,
+         round(quantile_cont(value, 0.5),4) AS median,
+         round(quantile_cont(value, 0.75),4) AS q3,
+         round(quantile_cont(value, 0.9),4) AS p90
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_group_corr" ->
+      """SELECT l_returnflag,
+         round(corr(l_quantity, l_extendedprice),6) AS correlation,
+         round(covar_samp(l_quantity, l_extendedprice),2) AS covariance,
+         round(regr_slope(l_extendedprice, l_quantity),4) AS lrs
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_group_entropy_cdf" ->
+      """SELECT event_type,
+         round(-sum(CASE WHEN value/1000 > 0 THEN (value/1000)*ln(value/1000) ELSE 0 END),2) AS entropy,
+         round(avg(CASE WHEN value <= 100 THEN 1.0 ELSE 0.0 END),6) AS cdf_100
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_group_moment" ->
+      """SELECT event_type,
+         round(avg(d2),2) AS moment2, round(avg(d3)/1000,2) AS moment3_k
+         FROM (SELECT event_type,
+                 pow(value - avg(value) OVER (PARTITION BY event_type), 2) AS d2,
+                 pow(value - avg(value) OVER (PARTITION BY event_type), 3) AS d3
+               FROM events)
+         GROUP BY 1 ORDER BY 1""",
+    "q_group_mode" ->
+      """SELECT event_type, bucket, cnt FROM (
+           SELECT event_type, bucket, cnt,
+             row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, bucket ASC) AS rn
+           FROM (SELECT event_type, CAST(floor(value/10) AS BIGINT) AS bucket, count(*) AS cnt
+                 FROM events GROUP BY 1,2))
+         WHERE rn = 1 ORDER BY event_type""",
+    "q_group_weighted" ->
+      """WITH g AS (
+           SELECT l_returnflag,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sxw,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sxxw,
+             CAST(sum(CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sw
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag,
+           round(sxw/sw,4) AS wmean,
+           round((sxxw - sw*(sxw/sw)*(sxw/sw))/(sw - 1)/1000,2) AS wvar_k
+         FROM g ORDER BY 1""",
+    "q_join_revenue" ->
+      """SELECT r_name, n_name,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "q_join_semi_anti" ->
+      """SELECT c_custkey, 'has_big_order' AS status FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+         UNION ALL
+         SELECT c_custkey, 'no_big_order' FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+         ORDER BY c_custkey""",
+    "q_histogram" ->
+      """SELECT CAST(bin*25.0 AS DOUBLE) AS low, CAST((bin+1)*25.0 AS DOUBLE) AS high,
+         coalesce(cnt, 0) AS cnt
+         FROM (SELECT CAST(range AS BIGINT) AS bin FROM range(20)) bins
+         LEFT JOIN (SELECT CAST(floor((value-0)/25) AS BIGINT) AS vbin, count(*) AS cnt
+                    FROM events WHERE value >= 0 AND value < 500 GROUP BY 1) h
+           ON bins.bin = h.vbin
+         ORDER BY low""",
+    "q_boxplot" ->
+      """WITH q AS (
+           SELECT event_type AS category,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.5) AS median,
+             quantile_cont(value, 0.75) AS q3,
+             quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+           FROM events GROUP BY 1)
+         SELECT q.category, round(q.q1,4) AS q1, round(q.median,4) AS median,
+           round(q.q3,4) AS q3, round(q.iqr,4) AS iqr,
+           min(CASE WHEN e.value >= q.q1 - 1.5*q.iqr THEN e.value END) AS lower_whisker,
+           max(CASE WHEN e.value <= q.q3 + 1.5*q.iqr THEN e.value END) AS upper_whisker,
+           CAST(sum(CASE WHEN e.value < q.q1 - 1.5*q.iqr OR e.value > q.q3 + 1.5*q.iqr
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM events e JOIN q ON e.event_type = q.category
+         GROUP BY q.category, q.q1, q.median, q.q3, q.iqr
+         ORDER BY q.category""",
+    "q_dedup_exact" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event_id,
+         count(*) AS n_dups
+         FROM events GROUP BY 1,2 ORDER BY 1,2""")
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import Q._
+
+/** LLM-training-data pipeline battery: dedup, similarity search, text
+  * analysis, multimodal plumbing — over `documents` / `embeddings`.
+  */
+object TextPipeline {
+  val defs: Map[String, QueryFn] = Map(
+    // ---- token counting (whitespace + regex tokenizer) ----------------
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+          TextOps.regexTokenCount(col("text")).as("re_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ws_tokens").as("total_ws_tokens"),
+          sum("re_tokens").as("total_re_tokens"),
+          fround(avg(col("ws_tokens")), 4).as("avg_ws_tokens"))
+        .orderBy("lang")
+    }),
+
+    // ---- per-document quality scoring ---------------------------------
+    "q_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextOps.wsTokenCount(col("text")).as("n_words"),
+          fround(TextOps.avgWordLen(col("text")), 4).as("avg_word_len"),
+          fround(TextOps.stopwordRatio(col("text")), 4).as("stop_ratio"),
+          fround(TextOps.alphaRatio(col("text")), 4).as("alpha_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- language-ID by marker-word counts ----------------------------
+    "q_text_langid" -> ((s, dir) => {
+      TextOps.langid(t(s, dir, "documents").filter(col("doc_id") < 100), col("text"))
+        .select(col("doc_id"), col("en_hits"), col("de_hits"), col("es_hits"),
+          col("fr_hits"), col("predicted_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- content fingerprint (md5) + winnowing in library -------------
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          substring(md5(col("text")), 1, 16).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- near-dup detection: bigram-shingle Jaccard, source-blocked ---
+    "q_dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), blockCol = "source", threshold = 0.3)
+        .select(col("doc_a"), col("doc_b"), fround(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- MinHash + LSH near-dup (no SQL oracle — rows-only) -----------
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), numHashes = 32, bands = 8,
+        verifyThreshold = 0.3)
+        .select(col("doc_a"), col("doc_b"), fround(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- SimHash signatures (no SQL oracle — rows-only) ---------------
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhash(t(s, dir, "documents").filter(col("doc_id") < 200), col("text"))
+        .select(col("doc_id"), col("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- ANN: brute-force cosine top-k --------------------------------
+    "q_embedding_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+        .select(col("qid"), col("rnk"), col("eid"), r6(col("cos_sim")).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // ---- embedding near-dup: top-3 cosine pairs per label block -------
+    "q_embedding_pairs" -> ((s, dir) => {
+      Ann.topPairsPerBlock(t(s, dir, "embeddings"), "label", 3)
+        .select(col("label"), col("rnk"), col("vec_a"), col("vec_b"),
+          r6(col("cos_sim")).as("cos_sim"))
+        .orderBy("label", "rnk")
+    }),
+
+    // ---- ANN: LSH-bucketed (scale path; rows-only) --------------------
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10, planes = 8)
+        .select(col("qid"), col("rnk"), col("eid"), r6(col("cos_sim")).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // ---- multimodal: opaque binary column + typed metadata ------------
+    "q_multimodal_meta" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          ascii(col("text")).as("first_code"),
+          pmod(octet_length(col("text")) * 31 + ascii(col("text")), lit(256)).as("fake_feat"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS total_ws_tokens,
+         sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS total_re_tokens,
+         floor((avg(len(string_split(text, ' '))))*10000.0 + 0.5)/10000.0 AS avg_ws_tokens
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_text_quality" ->
+      """SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         floor((CAST(strlen(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')))*10000.0 + 0.5)/10000.0 AS avg_word_len,
+         floor((CAST(len(list_filter(string_split(text, ' '),
+             w -> w IN ('the','a','of','and','to','in'))) AS DOUBLE)
+               / len(string_split(text, ' ')))*10000.0 + 0.5)/10000.0 AS stop_ratio,
+         floor((CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+               / strlen(text))*10000.0 + 0.5)/10000.0 AS alpha_ratio
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q_text_langid" ->
+      """SELECT doc_id,
+         len(list_filter(string_split(text,' '), w -> w IN ('the','a','of'))) AS en_hits,
+         len(list_filter(string_split(text,' '), w -> w IN ('der','und','die'))) AS de_hits,
+         len(list_filter(string_split(text,' '), w -> w IN ('el','la','los'))) AS es_hits,
+         len(list_filter(string_split(text,' '), w -> w IN ('le','les','une'))) AS fr_hits,
+         CASE
+           WHEN len(list_filter(string_split(text,' '), w -> w IN ('der','und','die'))) >
+                len(list_filter(string_split(text,' '), w -> w IN ('the','a','of'))) THEN 'de'
+           WHEN len(list_filter(string_split(text,' '), w -> w IN ('el','la','los'))) >
+                len(list_filter(string_split(text,' '), w -> w IN ('the','a','of'))) THEN 'es'
+           WHEN len(list_filter(string_split(text,' '), w -> w IN ('le','les','une'))) >
+                len(list_filter(string_split(text,' '), w -> w IN ('the','a','of'))) THEN 'fr'
+           ELSE 'en' END AS predicted_lang
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id, substring(md5(text), 1, 16) AS fingerprint
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q_dedup_jaccard" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS sp FROM documents),
+         b AS (SELECT doc_id, source,
+                 list_distinct(list_transform(generate_series(1, len(sp)-1),
+                   i -> sp[i] || ' ' || sp[i+1])) AS bg
+               FROM w WHERE len(sp) >= 2),
+         p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.bg, c.bg)) AS DOUBLE) /
+                 (len(a.bg) + len(c.bg) - len(list_intersect(a.bg, c.bg))) AS j
+               FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id)
+         SELECT doc_a, doc_b, floor((j)*10000.0 + 0.5)/10000.0 AS jaccard FROM p
+         WHERE j >= 0.3 ORDER BY doc_a, doc_b""",
+    "q_embedding_topk" ->
+      """WITH q AS (SELECT vec_id AS qid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id < 5),
+         e AS (SELECT vec_id AS eid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+           FROM embeddings),
+         p AS (SELECT qid, eid,
+             (SELECT sum(x*y) FROM (SELECT unnest(qe) AS x, unnest(ee) AS y)) /
+             (sqrt((SELECT sum(x*x) FROM (SELECT unnest(qe) AS x))) *
+              sqrt((SELECT sum(y*y) FROM (SELECT unnest(ee) AS y)))) AS cs
+           FROM q JOIN e ON qid <> eid)
+         SELECT qid, rnk, eid, round(cs,6) AS cos_sim FROM (
+           SELECT qid, eid, cs,
+             row_number() OVER (PARTITION BY qid ORDER BY cs DESC, eid) AS rnk
+           FROM p)
+         WHERE rnk <= 10 ORDER BY qid, rnk""",
+    "q_embedding_pairs" ->
+      """WITH e AS (SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+           FROM embeddings),
+         p AS (SELECT a.label, a.vec_id AS vec_a, c.vec_id AS vec_b,
+             (SELECT sum(x*y) FROM (SELECT unnest(a.ee) AS x, unnest(c.ee) AS y)) /
+             (sqrt((SELECT sum(x*x) FROM (SELECT unnest(a.ee) AS x))) *
+              sqrt((SELECT sum(y*y) FROM (SELECT unnest(c.ee) AS y)))) AS cs
+           FROM e a JOIN e c ON a.label = c.label AND a.vec_id < c.vec_id)
+         SELECT label, rnk, vec_a, vec_b, round(cs,6) AS cos_sim FROM (
+           SELECT label, vec_a, vec_b, cs,
+             row_number() OVER (PARTITION BY label ORDER BY cs DESC, vec_a, vec_b) AS rnk
+           FROM p)
+         WHERE rnk <= 3 ORDER BY label, rnk""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, strlen(text) AS n_bytes, ascii(text) AS first_code,
+         (strlen(text) * 31 + ascii(text)) % 256 AS fake_feat
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""")
+}

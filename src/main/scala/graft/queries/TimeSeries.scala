@@ -1,0 +1,393 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{GapFill, Lake, SeqOps}
+import graft.time.TimeFns
+import Q._
+
+/** Time-series query battery over the `events` table (SURVEY §2.1/§2.3/
+  * §2.4 timewindow/§3.3 lake).
+  *
+  * events.ts is epoch-ns internally; every oracle-visible time column is
+  * epoch-µs (DuckDB truncates parquet ns to µs on read), and the
+  * gap-fill/bucket queries run their arithmetic in the µs domain so the
+  * interpolation math is bit-identical on both engines. Sums/averages of
+  * the 2-decimal `value` column go through exact decimal accumulation
+  * (order-independent) before rounding — see [[Q.dec2]].
+  */
+object TimeSeries {
+  // 2024-01-05 00:00:00 UTC, the gap-fill demo day (µs domain).
+  private val DayFromUs = 1704412800L * 1000000L
+  private val DayUntilUs = DayFromUs + 86400L * 1000000L
+  private val MinUs = 60L * 1000000L
+
+  private def decAvg4(valueCol: String): (String, org.apache.spark.sql.Column) =
+    "avg_value" -> fround(sum(dec2(col(valueCol))).cast("double") / count(col(valueCol)), 4)
+
+  val defs: Map[String, QueryFn] = Map(
+    // ---- SQL_SELECT(from(), between(), limit()) shape -----------------
+    "q_sql_select" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("user_id") === 42 &&
+          tsNs(e).between(DayFromUs * 1000L, (DayFromUs + 10L * 86400L * 1000000L) * 1000L - 1))
+        .select(tsUs(e).as("t_us"), col("event_type"), col("value"))
+        .orderBy("t_us").limit(200)
+    }),
+
+    // ---- GROUP(timewindow) — empty buckets synthesized, null fill -----
+    "q_timewindow_null" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.select(tsUs(e0).as("t_us"), col("value"))
+      GapFill.timewindow(s, e, col("t_us"), DayFromUs, DayUntilUs, MinUs,
+        Seq("cnt" -> count(col("value")), decAvg4("value")), GapFill.FillNull)
+        .select(col("bucket_ns").as("t_us"), col("cnt"), col("avg_value"))
+        .orderBy("t_us")
+    }),
+
+    // ---- timewindow + nullValue(const) --------------------------------
+    "q_timewindow_const" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.select(tsUs(e0).as("t_us"), col("value"))
+      GapFill.timewindow(s, e, col("t_us"), DayFromUs, DayUntilUs, MinUs,
+        Seq(decAvg4("value")), GapFill.FillConst(-1d))
+        .select(col("bucket_ns").as("t_us"), col("avg_value"))
+        .orderBy("t_us")
+    }),
+
+    // ---- timewindow + predict(piecewiseconstant) — LOCF ---------------
+    "q_timewindow_locf" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.select(tsUs(e0).as("t_us"), col("value"))
+      GapFill.timewindow(s, e, col("t_us"), DayFromUs, DayUntilUs, MinUs,
+        Seq(decAvg4("value")), GapFill.FillPrevious)
+        .select(col("bucket_ns").as("t_us"), col("avg_value"))
+        .orderBy("t_us")
+    }),
+
+    // ---- timewindow + predict(piecewiselinear) ------------------------
+    "q_timewindow_linear" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.select(tsUs(e0).as("t_us"), col("value"))
+      GapFill.timewindow(s, e, col("t_us"), DayFromUs, DayUntilUs, MinUs,
+        Seq(decAvg4("value")), GapFill.FillLinear)
+        .select(col("bucket_ns").as("t_us"), fround(col("avg_value"), 4).as("avg_value"))
+        .orderBy("t_us")
+    }),
+
+    // ---- MAP_DIFF / MAP_ABSDIFF / MAP_NONEGDIFF -----------------------
+    "q_map_diff" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.filter(col("user_id") < 20)
+        .select(col("user_id"), tsUs(e0).as("t_us"), col("value"))
+      val k = Seq(col("user_id"))
+      e.select(col("user_id"), col("t_us"), col("value"),
+        SeqOps.mapDiff(col("value"), k, col("t_us")).as("diff"),
+        SeqOps.mapAbsDiff(col("value"), k, col("t_us")).as("absdiff"),
+        SeqOps.mapNonNegDiff(col("value"), k, col("t_us")).as("nonegdiff"))
+        .orderBy("user_id", "t_us")
+    }),
+
+    // ---- MAP_AVG (running) + MAP_MOVAVG (warm-up + noWait) ------------
+    "q_map_movavg" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.filter(col("user_id") < 20)
+        .select(col("user_id"), tsUs(e0).as("t_us"), dec2(col("value")).as("value"))
+      val k = Seq(col("user_id"))
+      e.select(col("user_id"), col("t_us"),
+        fround(SeqOps.mapAvg(col("value"), k, col("t_us")), 4).as("running_avg"),
+        fround(SeqOps.movAvg(col("value"), k, col("t_us"), 5), 4).as("movavg5"),
+        fround(SeqOps.movAvg(col("value"), k, col("t_us"), 5, noWait = true), 4).as("movavg5_nowait"))
+        .orderBy("user_id", "t_us")
+    }),
+
+    // ---- FILTER_CHANGED -----------------------------------------------
+    "q_filter_changed" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.filter(col("user_id") < 50)
+        .select(col("user_id"), tsUs(e0).as("t_us"), col("event_type"))
+      SeqOps.filterChanged(e, col("event_type"), Seq(col("user_id")), col("t_us"))
+        .orderBy("user_id", "t_us")
+    }),
+
+    // ---- MAP_DISTANCE (cumulative haversine, km) ----------------------
+    "q_map_distance" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.filter(col("user_id") < 10)
+        .select(col("user_id"), tsUs(e0).as("t_us"),
+          ((col("value") - 250d) / 10d).as("lat"),
+          (pmod(col("event_id"), lit(360)).cast("double") - 180d).as("lon"))
+      e.select(col("user_id"), col("t_us"),
+        round(SeqOps.mapDistance(col("lat"), col("lon"), Seq(col("user_id")), col("t_us")) / 1000d, 0)
+          .as("dist_km"))
+        .orderBy("user_id", "t_us")
+    }),
+
+    // ---- MAP_LOWPASS (recursive state via per-series scan) ------------
+    "q_map_lowpass" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.filter(col("user_id") < 20)
+        .select(col("user_id"), tsUs(e0).as("t_us"), col("value"))
+      SeqOps.lowpass(e, "user_id", "t_us", "value", 0.3)
+        .select(col("user_id"), col("t_us"), r4(col("lowpass")).as("lowpass"))
+        .orderBy("user_id", "t_us")
+    }),
+
+    // ---- MAP_KALMAN (no SQL oracle — rows-only check) -----------------
+    "q_map_kalman" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.filter(col("user_id") < 20)
+        .select(col("user_id"), tsUs(e0).as("t_us"), col("value"))
+      SeqOps.kalman(e, "user_id", "t_us", "value", 1d, 0.01, 4d)
+        .select(col("user_id"), col("t_us"), r4(col("kalman")).as("kalman"))
+        .orderBy("user_id", "t_us")
+    }),
+
+    // ---- last value per tag (lake current/last endpoint) --------------
+    "q_last_per_tag" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.select(col("user_id"), tsUs(e0).as("t_us"), col("value"))
+      Lake.lastPerTag(e, col("user_id"), col("t_us"), col("value"))
+        .select(col("name"), col("last_time_ns").as("last_time_us"), col("last_value"))
+        .orderBy("name")
+    }),
+
+    // ---- V$T_STAT per-tag stats (deterministic extreme times) ---------
+    "q_tag_stat" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.select(col("user_id"), tsUs(e0).as("t_us"), col("value"))
+      val wU = Window.partitionBy("user_id")
+      e.withColumn("mv", min("value").over(wU))
+        .withColumn("xv", max("value").over(wU))
+        .groupBy(col("user_id").as("name"))
+        .agg(
+          count(lit(1)).as("row_count"),
+          min("t_us").as("min_time"), max("t_us").as("max_time"),
+          min("value").as("min_value"),
+          min(when(col("value") === col("mv"), col("t_us"))).as("min_value_time"),
+          max("value").as("max_value"),
+          min(when(col("value") === col("xv"), col("t_us"))).as("max_value_time"))
+        .orderBy("name")
+    }),
+
+    // ---- as-of join (latest purchase at-or-before each signup) --------
+    "q_asof_join" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val base = e0.select(col("event_id"), col("user_id"), tsUs(e0).as("t_us"),
+        col("event_type"), col("value"))
+      val signups = base.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "t_us")
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us"), col("value"), col("t_us").as("p_t_us"))
+      Lake.asofJoin(signups, purchases, "user_id", "t_us", "t_us", Seq("value", "p_t_us"))
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("right_value").as("last_purchase_value"),
+          col("right_p_t_us").as("last_purchase_t_us"))
+        .orderBy("event_id")
+    }),
+
+    // ---- pivot tags→columns per day bucket (lake pivot) ---------------
+    "q_pivot" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      e0.select((tsUs(e0) - pmod(tsUs(e0), lit(86400000000L))).as("day_us"),
+        col("event_type"), col("value"))
+        .groupBy("day_us")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(fround(sum(dec2(col("value"))).cast("double") / count(col("value")), 4))
+        .orderBy("day_us")
+    }),
+
+    // ---- lake calc_mode=SUM over DATE_TRUNC('HOUR') -------------------
+    "q_lake_calc" -> ((s, dir) => {
+      val e0 = t(s, dir, "events").filter(col("user_id") < 10)
+      Lake.calc(e0, col("user_id"), tsNs(e0), dec2(col("value")), "SUM", "HOUR")
+        .select(col("name"), TimeFns.nsToUs(col("time_ns")).as("t_us"),
+          col("value").cast("double").as("value"))
+        .orderBy("name", "t_us")
+    }),
+
+    // ---- rollup table build (1-hour pre-aggregate) --------------------
+    "q_rollup_build" -> ((s, dir) => {
+      val e0 = t(s, dir, "events").filter(col("user_id") < 10)
+      Lake.rollup(e0, col("user_id"), tsNs(e0), dec2(col("value")), "HOUR")
+        .select(col("name"), TimeFns.nsToUs(col("time_ns")).as("t_us"),
+          col("min_value").cast("double").as("min_value"),
+          col("max_value").cast("double").as("max_value"),
+          col("sum_value").cast("double").as("sum_value"),
+          col("sumsq_value").cast("double").as("sumsq_value"), col("cnt"))
+        .orderBy("name", "t_us")
+    }),
+
+    // ---- answering AVG(day) from the hourly rollup (pre-agg routing) --
+    "q_rollup_avg" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      Lake.rollup(e0, col("user_id"), tsNs(e0), dec2(col("value")), "HOUR")
+        .groupBy(col("name"),
+          (col("time_ns") - pmod(col("time_ns"), lit(TimeFns.NsPerDay))).as("day_ns"))
+        .agg((sum("sum_value").cast("double") / sum("cnt")).as("avg_raw"))
+        .select(col("name"), TimeFns.nsToUs(col("day_ns")).as("day_us"),
+          fround(col("avg_raw"), 4).as("avg_value"))
+        .orderBy("name", "day_us")
+    }))
+
+  private val spineMinute =
+    s"(SELECT $DayFromUs + CAST(range AS BIGINT)*60000000 AS t_us FROM range(1440))"
+
+  // shared µs-bucket aggregate subquery for the gap-fill oracles
+  private val minuteAgg =
+    s"""SELECT epoch_us(ts) - epoch_us(ts) % 60000000 AS b_us,
+        count(value) AS cnt,
+        floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value))*10000.0 + 0.5)/10000.0 AS avg_value
+        FROM events WHERE epoch_us(ts) >= $DayFromUs AND epoch_us(ts) < $DayUntilUs
+        GROUP BY 1"""
+
+  val oracles: Map[String, String] = Map(
+    "q_sql_select" ->
+      s"""SELECT epoch_us(ts) AS t_us, event_type, value FROM events
+          WHERE user_id = 42 AND epoch_us(ts) BETWEEN $DayFromUs AND ${DayFromUs + 10L * 86400000000L - 1}
+          ORDER BY t_us LIMIT 200""",
+    "q_timewindow_null" ->
+      s"""SELECT s.t_us, a.cnt, a.avg_value
+          FROM $spineMinute s LEFT JOIN ($minuteAgg) a ON s.t_us = a.b_us
+          ORDER BY s.t_us""",
+    "q_timewindow_const" ->
+      s"""SELECT s.t_us, coalesce(a.avg_value, -1.0) AS avg_value
+          FROM $spineMinute s LEFT JOIN ($minuteAgg) a ON s.t_us = a.b_us
+          ORDER BY s.t_us""",
+    "q_timewindow_locf" ->
+      s"""WITH j AS (
+            SELECT s.t_us, a.avg_value
+            FROM $spineMinute s LEFT JOIN ($minuteAgg) a ON s.t_us = a.b_us)
+          SELECT t_us, coalesce(
+            last_value(avg_value IGNORE NULLS) OVER (ORDER BY t_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            first_value(avg_value IGNORE NULLS) OVER (ORDER BY t_us ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          ) AS avg_value
+          FROM j ORDER BY t_us""",
+    "q_timewindow_linear" ->
+      s"""WITH j AS (
+            SELECT s.t_us, a.avg_value
+            FROM $spineMinute s LEFT JOIN ($minuteAgg) a ON s.t_us = a.b_us),
+          f AS (
+            SELECT t_us, avg_value,
+              last_value(avg_value IGNORE NULLS) OVER (ORDER BY t_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+              last_value(CASE WHEN avg_value IS NOT NULL THEN t_us END IGNORE NULLS) OVER (ORDER BY t_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+              first_value(avg_value IGNORE NULLS) OVER (ORDER BY t_us ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+              first_value(CASE WHEN avg_value IS NOT NULL THEN t_us END IGNORE NULLS) OVER (ORDER BY t_us ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+            FROM j)
+          SELECT t_us, floor((CASE
+              WHEN avg_value IS NOT NULL THEN avg_value
+              WHEN pv IS NULL THEN nv
+              WHEN nv IS NULL THEN pv
+              ELSE pv + (nv - pv) * (t_us - pt) / (nt - pt) END) * 10000.0 + 0.5) / 10000.0 AS avg_value
+          FROM f ORDER BY t_us""",
+    "q_map_diff" ->
+      """SELECT user_id, epoch_us(ts) AS t_us, value,
+         value - lag(value) OVER w AS diff,
+         abs(value - lag(value) OVER w) AS absdiff,
+         CASE WHEN value - lag(value) OVER w < 0 THEN 0.0
+              ELSE value - lag(value) OVER w END AS nonegdiff
+         FROM events WHERE user_id < 20
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ORDER BY user_id, t_us""",
+    "q_map_movavg" ->
+      """SELECT user_id, epoch_us(ts) AS t_us,
+         floor((CAST(sum(CAST(value AS DECIMAL(18,2))) OVER wall AS DOUBLE)
+               / count(value) OVER wall) * 10000.0 + 0.5) / 10000.0 AS running_avg,
+         floor((CASE WHEN count(value) OVER w5 >= 5
+               THEN CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w5 AS DOUBLE) / count(value) OVER w5
+               END) * 10000.0 + 0.5) / 10000.0 AS movavg5,
+         floor((CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w5 AS DOUBLE)
+               / count(value) OVER w5) * 10000.0 + 0.5) / 10000.0 AS movavg5_nowait
+         FROM events WHERE user_id < 20
+         WINDOW
+           wall AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w5 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, t_us""",
+    "q_filter_changed" ->
+      """SELECT user_id, t_us, event_type FROM (
+           SELECT user_id, epoch_us(ts) AS t_us, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events WHERE user_id < 50)
+         WHERE prev IS NULL OR prev <> event_type
+         ORDER BY user_id, t_us""",
+    "q_map_distance" ->
+      """WITH pts AS (
+           SELECT user_id, epoch_us(ts) AS t_us,
+             (value - 250)/10 AS lat,
+             CAST(event_id % 360 AS DOUBLE) - 180 AS lon
+           FROM events WHERE user_id < 10),
+         legs AS (
+           SELECT user_id, t_us,
+             2 * 6378137.0 * asin(sqrt(
+               sin(radians(lat - lag(lat) OVER w)/2) * sin(radians(lat - lag(lat) OVER w)/2)
+               + cos(radians(lag(lat) OVER w)) * cos(radians(lat))
+                 * sin(radians(lon - lag(lon) OVER w)/2) * sin(radians(lon - lag(lon) OVER w)/2)
+             )) AS leg
+           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_us))
+         SELECT user_id, t_us,
+           round(sum(coalesce(leg, 0)) OVER (PARTITION BY user_id ORDER BY t_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000, 0) AS dist_km
+         FROM legs ORDER BY user_id, t_us""",
+    "q_map_lowpass" ->
+      """WITH RECURSIVE base AS (
+           SELECT user_id, epoch_us(ts) AS t_us, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events WHERE user_id < 20),
+         rec AS (
+           SELECT user_id, t_us, rn, value AS y FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.user_id, b.t_us, b.rn, (1 - 0.3) * r.y + 0.3 * b.value
+           FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+         SELECT user_id, t_us, round(y, 4) AS lowpass FROM rec
+         ORDER BY user_id, t_us""",
+    "q_last_per_tag" ->
+      """SELECT user_id AS name, max(epoch_us(ts)) AS last_time_us,
+         arg_max(value, epoch_us(ts)) AS last_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_tag_stat" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS t_us, value,
+             min(value) OVER (PARTITION BY user_id) AS mv,
+             max(value) OVER (PARTITION BY user_id) AS xv
+           FROM events)
+         SELECT user_id AS name, count(*) AS row_count,
+           min(t_us) AS min_time, max(t_us) AS max_time,
+           min(value) AS min_value,
+           min(CASE WHEN value = mv THEN t_us END) AS min_value_time,
+           max(value) AS max_value,
+           min(CASE WHEN value = xv THEN t_us END) AS max_value_time
+         FROM e GROUP BY 1 ORDER BY 1""",
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t_us,
+         r.value AS last_purchase_value, epoch_us(r.ts) AS last_purchase_t_us
+         FROM (SELECT * FROM events WHERE event_type = 'signup') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND r.ts <= l.ts
+         ORDER BY l.event_id""",
+    "q_pivot" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+         floor((CAST(sum(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) / count(CASE WHEN event_type='click' THEN value END))*10000.0 + 0.5)/10000.0 AS click,
+         floor((CAST(sum(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) / count(CASE WHEN event_type='error' THEN value END))*10000.0 + 0.5)/10000.0 AS error,
+         floor((CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) / count(CASE WHEN event_type='purchase' THEN value END))*10000.0 + 0.5)/10000.0 AS purchase,
+         floor((CAST(sum(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) / count(CASE WHEN event_type='signup' THEN value END))*10000.0 + 0.5)/10000.0 AS signup,
+         floor((CAST(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) / count(CASE WHEN event_type='view' THEN value END))*10000.0 + 0.5)/10000.0 AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_lake_calc" ->
+      """SELECT user_id AS name,
+         epoch_us(ts) - epoch_us(ts) % 3600000000 AS t_us,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+         FROM events WHERE user_id < 10 GROUP BY 1,2 ORDER BY 1,2""",
+    "q_rollup_build" ->
+      """SELECT user_id AS name,
+         epoch_us(ts) - epoch_us(ts) % 3600000000 AS t_us,
+         CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+         CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_value,
+         count(value) AS cnt
+         FROM events WHERE user_id < 10 GROUP BY 1,2 ORDER BY 1,2""",
+    "q_rollup_avg" ->
+      """SELECT user_id AS name,
+         epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+         floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value))*10000.0 + 0.5)/10000.0 AS avg_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""")
+}

@@ -1,0 +1,93 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Scale design: queries are broadcast (small side), the corpus streams —
+  * brute force is one broadcast-nested-loop with a codegen'd dot product
+  * (higher-order functions, no UDF) and a per-query top-k via window.
+  * The LSH variant buckets the corpus by random-hyperplane sign bits so
+  * each query only scans matching buckets (multi-probe = exact bucket +
+  * all 1-bit-flip neighbors, trading recall for a corpus-fraction scan).
+  * The signatures are deterministic: hyperplane components are derived
+  * from xxhash64(dim, plane) — reproducible across runs and engines.
+  */
+object Ann {
+  /** Cast a float array column to double (stable dot-product math). */
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qe"))
+    val e = corpus.select(col(idCol).as("eid"), toDouble(col(vecCol)).as("ee"))
+    val scored = e.join(broadcast(q), col("qid") =!= col("eid"))
+      .withColumn("cos_sim", cosine(col("qe"), col("ee")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("eid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "eid", "cos_sim")
+  }
+
+  /** Top near-dup pairs inside each block (e.g. cluster/label/coarse
+    * quantizer cell) — the blocked path of embedding near-dup detection. */
+  def topPairsPerBlock(corpus: DataFrame, blockCol: String, k: Int,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol), col(blockCol), toDouble(col(vecCol)).as("ee"))
+    val a = e.select(col(idCol).as("vec_a"), col(blockCol), col("ee").as("ea"))
+    val b = e.select(col(idCol).as("vec_b"), col(blockCol), col("ee").as("eb"))
+    val pairs = a.join(b, Seq(blockCol)).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", cosine(col("ea"), col("eb")))
+    val w = Window.partitionBy(blockCol).orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(blockCol, "rnk", "vec_a", "vec_b", "cos_sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 → uniform in [-0.5, 0.5). */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 1000000d) - 0.5d
+
+  /** Sign-bit LSH bucket id of a vector under `planes` hyperplanes. */
+  def lshBucket(vec: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, i) => x * planeComponent(p, i)), lit(0d), (acc, x) => acc + x)
+      when(proj > 0d, shiftleft(lit(1), p)).otherwise(0)
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** LSH-bucketed ANN top-k with 1-bit multi-probe. Approximate: recall
+    * traded for scanning ~ (planes+1)/2^planes of the corpus per query. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol).as("eid"), toDouble(col(vecCol)).as("ee"))
+      .withColumn("bucket", lshBucket(col("ee"), planes))
+    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qe"))
+      .withColumn("qbucket", lshBucket(col("qe"), planes))
+      // multi-probe: exact bucket + every 1-bit flip
+      .withColumn("bucket", explode(array(
+        col("qbucket") +: (0 until planes).map(p => col("qbucket").bitwiseXOR(1 << p)): _*)))
+      .drop("qbucket")
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("eid"))
+      .withColumn("cos_sim", cosine(col("qe"), col("ee")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("eid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "eid", "cos_sim")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting. All pure Column compositions (codegen'd; no UDFs) so
+  * they survive 100 TB scans inside whole-stage codegen.
+  */
+object TextOps {
+  /** Whitespace token count (split on single spaces, reference corpus is
+    * single-space separated). */
+  def wsTokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish regex tokenizer count: words | single digits | punctuation. */
+  val TokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenPattern), lit(0)))
+
+  /** Mean word length: non-space bytes / word count. */
+  def avgWordLen(text: Column): Column =
+    octet_length(regexp_replace(text, " ", "")).cast("double") / wsTokenCount(text)
+
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Fraction of words that are stopwords — a quality-score component. */
+  def stopwordRatio(text: Column): Column =
+    size(filter(split(text, " "), w => w.isin(Stopwords.map(lit): _*).cast("boolean")))
+      .cast("double") / wsTokenCount(text)
+
+  /** Fraction of bytes that are ASCII letters. */
+  def alphaRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("double") / octet_length(text)
+
+  /** Composite quality score in [0,1] — long-enough, wordy, not
+    * punctuation-soup. Weights are heuristic (documented, deterministic). */
+  def qualityScore(text: Column): Column = {
+    val lengthOk = least(octet_length(text).cast("double") / 200d, lit(1d))
+    val alpha = alphaRatio(text)
+    val stop = least(stopwordRatio(text) * 5d, lit(1d))
+    (lengthOk + alpha + stop) / 3d
+  }
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "les", "une"))
+
+  /** Marker-word language-ID: counts per language, argmax with 'en' as the
+    * tie-break default. N-gram char models plug in behind the same shape. */
+  def langid(df: DataFrame, text: Column): DataFrame = {
+    def hits(words: Seq[String]): Column =
+      size(filter(split(text, " "), w => w.isin(words.map(lit): _*).cast("boolean")))
+    val withHits = markers.foldLeft(df) { case (d, (lang, ws)) =>
+      d.withColumn(s"${lang}_hits", hits(ws))
+    }
+    withHits.withColumn("predicted_lang",
+      when(col("de_hits") > col("en_hits"), "de")
+        .when(col("es_hits") > col("en_hits"), "es")
+        .when(col("fr_hits") > col("en_hits"), "fr")
+        .otherwise("en"))
+  }
+
+  /** Content fingerprint: md5 prefix (exact-duplicate detection). */
+  def contentFingerprint(text: Column): Column = substring(md5(text), 1, 16)
+
+  /** Winnowing-style rolling fingerprint: min 64-bit hash over word
+    * k-shingles — robust to small edits, used for near-dup bucketing. */
+  def winnowFingerprint(text: Column, k: Int = 4): Column = {
+    val sp = split(text, " ")
+    val shingles = transform(
+      sequence(lit(1), greatest(size(sp) - (k - 1), lit(1))),
+      i => concat_ws(" ", (0 until k).map(o => element_at(sp, i + o)): _*))
+    array_min(transform(shingles, s => xxhash64(s)))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.time
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Epoch-nanosecond time kernel.
+  *
+  * The reference stores `datetime` at nanosecond precision and all its APIs
+  * default to `timeformat=ns`; time-bucketing is integer arithmetic
+  * `time - time % period` (reference: mods/tql/fm_monad.go:665,
+  * mods/server/http_lake.go:1707-1716). Spark's TimestampType is
+  * microseconds, so the engine keeps a LongType epoch-ns discipline and
+  * converts only at the presentation edge. Every helper here is a pure
+  * Column expression — fully codegen'd, no UDFs.
+  */
+object TimeFns {
+  val NsPerUs: Long = 1000L
+  val NsPerMs: Long = 1000L * 1000
+  val NsPerSec: Long = 1000L * 1000 * 1000
+  val NsPerMin: Long = 60L * NsPerSec
+  val NsPerHour: Long = 3600L * NsPerSec
+  val NsPerDay: Long = 86400L * NsPerSec
+
+  /** Parse a Go-style duration literal ("1s", "500ms", "2h45m") to ns. */
+  def parseDurationNs(s: String): Long = {
+    val re = "([0-9]+(?:\\.[0-9]+)?)(ns|us|µs|ms|s|m|h|d)".r
+    val matches = re.findAllMatchIn(s.trim).toList
+    require(matches.nonEmpty, s"unparseable duration: $s")
+    matches.map { m =>
+      val v = m.group(1).toDouble
+      val unit = m.group(2) match {
+        case "ns" => 1L
+        case "us" | "µs" => NsPerUs
+        case "ms" => NsPerMs
+        case "s" => NsPerSec
+        case "m" => NsPerMin
+        case "h" => NsPerHour
+        case "d" => NsPerDay
+      }
+      (v * unit).toLong
+    }.sum
+  }
+
+  /** roundTime: floor an epoch-ns column to a period — the reference's
+    * `time / period * period` integer formula. */
+  def roundTimeNs(tsNs: Column, periodNs: Long): Column =
+    (tsNs - pmod(tsNs, lit(periodNs))).cast("long")
+
+  /** DATE_TRUNC('SEC'|'MIN'|'HOUR'|'DAY', t, n) equivalent on epoch-ns
+    * (reference: mods/server/http_lake.go:1692-1716). */
+  def dateTruncNs(tsNs: Column, unit: String, n: Int = 1): Column = {
+    val per = unit.toUpperCase match {
+      case "SEC" | "SECOND" => NsPerSec
+      case "MIN" | "MINUTE" => NsPerMin
+      case "HOUR" => NsPerHour
+      case "DAY" => NsPerDay
+      case u => throw new IllegalArgumentException(s"unit $u")
+    }
+    roundTimeNs(tsNs, per * n)
+  }
+
+  /** epoch-ns → TimestampType (µs truncation at the presentation edge). */
+  def nsToTimestamp(tsNs: Column): Column = timestamp_micros((tsNs / 1000L).cast("long"))
+
+  /** TimestampType → epoch-ns (lossless from µs). */
+  def timestampToNs(ts: Column): Column = unix_micros(ts) * 1000L
+
+  /** epoch-ns → epoch-µs, exact integer floor division. Goes through
+    * decimal because a 2024-era epoch-ns (≈1.7e18) exceeds 2^53: any
+    * double-division path silently corrupts the last microsecond digit. */
+  def nsToUs(tsNs: Column): Column =
+    floor(tsNs.cast("decimal(25,0)") / lit(1000)).cast("long")
+
+  /** Translate the reference's SQL-style timeformat (sqlTimeformat,
+    * "YYYY-MM-DD HH24:MI:SS") into a Spark datetime pattern.
+    * Named formats from the reference's util timeformatter. */
+  def translateTimeformat(fmt: String): String = fmt match {
+    case "DEFAULT" => "yyyy-MM-dd HH:mm:ss.SSS"
+    case "RFC3339" => "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    case "RFC3339NANO" => "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSS'Z'"
+    case other =>
+      // SQL-style tokens, longest first so HH24 wins over HH.
+      val tokens = Seq(
+        "YYYY" -> "yyyy", "YY" -> "yy",
+        "HH24" -> "HH", "HH12" -> "hh", "HH" -> "HH",
+        "MI" -> "mm", "SSS" -> "SSS", "SS" -> "ss",
+        "MM" -> "MM", "DD" -> "dd", "AM" -> "a", "PM" -> "a",
+        "nnnnnnnnn" -> "SSSSSSSSS", "mmm" -> "SSS")
+      tokens.foldLeft(other) { case (acc, (from, to)) => acc.replace(from, to) }
+  }
+
+  /** Format an epoch-ns column with a reference-style timeformat + tz. */
+  def formatNs(tsNs: Column, fmt: String): Column = fmt match {
+    case "ns" => tsNs
+    case "us" => nsToUs(tsNs)
+    case "ms" => floor(tsNs / 1000000L).cast("long")
+    case "s" => floor(tsNs / 1000000000L).cast("long")
+    case pattern => date_format(nsToTimestamp(tsNs), translateTimeformat(pattern))
+  }
+}
