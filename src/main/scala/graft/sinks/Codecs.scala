@@ -1,0 +1,152 @@
+package graft.sinks
+
+import java.io.{StringWriter, Writer}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Row-sink encoders (reference: mods/codec — CSV/JSON/NDJSON/MARKDOWN/BOX
+  * encoders under mods/codec/internal, option plumbing
+  * mods/codec/opts/generate.gen.go).
+  *
+  * These are presentation-edge codecs: they stream `df.toLocalIterator`
+  * through a Writer, so only one partition's rows are ever resident on the
+  * driver. For sharded bulk export use `df.write.csv/json` instead — these
+  * implement the reference's *wire formats* (e.g. the `/db/query` JSON
+  * envelope `{data:{columns,types,rows}}`).
+  */
+object Codecs {
+  case class Options(
+      delimiter: String = ",",
+      heading: Boolean = false,
+      rownum: Boolean = false,
+      nullAs: String = "NULL",
+      precision: Int = -1)
+
+  private def fmt(v: Any, o: Options): String = v match {
+    case null => o.nullAs
+    case d: Double if o.precision >= 0 => s"%.${o.precision}f".format(d)
+    case f: Float if o.precision >= 0 => s"%.${o.precision}f".format(f)
+    case x => x.toString
+  }
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def jsonValue(v: Any, o: Options): String = v match {
+    case null => "null"
+    case s: String => "\"" + jsonEscape(s) + "\""
+    case b: Boolean => b.toString
+    case n: java.lang.Number => n.toString
+    case other => "\"" + jsonEscape(other.toString) + "\""
+  }
+
+  /** CSV sink (reference mods/codec/internal/csv). */
+  def csv(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
+    val cols = df.columns
+    if (o.heading) {
+      val head: Seq[String] = if (o.rownum) "ROWNUM" +: cols.toSeq else cols.toSeq
+      w.write(head.mkString(o.delimiter)); w.write("\n")
+    }
+    var i = 0L
+    df.toLocalIterator().forEachRemaining { row =>
+      i += 1
+      val vals = row.toSeq.map(fmt(_, o))
+      val line = if (o.rownum) (i.toString +: vals) else vals
+      w.write(line.mkString(o.delimiter)); w.write("\n")
+    }
+  }
+
+  /** The `/db/query` JSON envelope: {"data":{"columns":[...],"types":[...],
+    * "rows":[[...],...]},"success":true,"reason":"success"}. */
+  def jsonEnvelope(df: DataFrame, w: Writer, o: Options = Options(),
+                   rowsFlatten: Boolean = false): Unit = {
+    val cols = df.columns
+    val types = df.schema.fields.map(f => typeName(f.dataType))
+    w.write("""{"data":{"columns":[""")
+    w.write(cols.map(c => "\"" + jsonEscape(c) + "\"").mkString(","))
+    w.write("""],"types":[""")
+    w.write(types.map(t => "\"" + t + "\"").mkString(","))
+    w.write("""],"rows":[""")
+    var first = true
+    df.toLocalIterator().forEachRemaining { row =>
+      if (!first) w.write(",")
+      first = false
+      val cells = row.toSeq.map(jsonValue(_, o))
+      if (rowsFlatten) w.write(cells.mkString(","))
+      else w.write(cells.mkString("[", ",", "]"))
+    }
+    w.write("""]},"success":true,"reason":"success"}""")
+  }
+
+  /** NDJSON sink: one object per row. */
+  def ndjson(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
+    val cols = df.columns
+    df.toLocalIterator().forEachRemaining { row =>
+      val obj = cols.zip(row.toSeq).map { case (c, v) =>
+        "\"" + jsonEscape(c) + "\":" + jsonValue(v, o)
+      }
+      w.write(obj.mkString("{", ",", "}")); w.write("\n")
+    }
+  }
+
+  /** MARKDOWN table sink. */
+  def markdown(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
+    val cols = df.columns
+    w.write(cols.mkString("|", "|", "|")); w.write("\n")
+    w.write(cols.map(_ => ":-----:").mkString("|", "|", "|")); w.write("\n")
+    df.toLocalIterator().forEachRemaining { row =>
+      w.write(row.toSeq.map(fmt(_, o)).mkString("|", "|", "|")); w.write("\n")
+    }
+  }
+
+  /** BOX (ASCII table) sink — buffers rows for column widths; use only on
+    * presentation-sized results, like the reference does. */
+  def box(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
+    val cols = df.columns
+    val rows = df.collect().map(_.toSeq.map(fmt(_, o)))
+    val widths = cols.indices.map { i =>
+      (cols(i).length +: rows.map(_(i).length)).max
+    }
+    def sep(): Unit = {
+      w.write(widths.map("-" * _).mkString("+-", "-+-", "-+")); w.write("\n")
+    }
+    def line(vals: Seq[String]): Unit = {
+      w.write(vals.zip(widths).map { case (v, wd) => v.padTo(wd, ' ') }
+        .mkString("| ", " | ", " |")); w.write("\n")
+    }
+    sep(); line(cols.toSeq); sep()
+    rows.foreach(r => line(r)); sep()
+  }
+
+  def render(df: DataFrame, format: String, o: Options = Options()): String = {
+    val sw = new StringWriter()
+    format.toUpperCase match {
+      case "CSV" => csv(df, sw, o)
+      case "JSON" => jsonEnvelope(df, sw, o)
+      case "NDJSON" => ndjson(df, sw, o)
+      case "MARKDOWN" => markdown(df, sw, o)
+      case "BOX" => box(df, sw, o)
+      case "DISCARD" => df.foreach(_ => ()) // materialize, emit nothing
+      case f => throw new IllegalArgumentException(s"unknown sink format $f")
+    }
+    sw.toString
+  }
+
+  private def typeName(t: DataType): String = t match {
+    case StringType => "string"
+    case DoubleType | FloatType => "double"
+    case LongType | IntegerType | ShortType => "int64"
+    case TimestampType | TimestampNTZType => "datetime"
+    case BooleanType => "bool"
+    case BinaryType => "bytes"
+    case _: DecimalType => "double"
+    case other => other.simpleString
+  }
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.time.TimeFns
+
+/** FAKE() synthetic sources (reference: mods/tql/fm_fake.go — oscillator
+  * 438-494, linspace 324-349, meshgrid 350-396, sphere 397-437, arrange
+  * 281-323, simplex/random 265-280,521-538).
+  *
+  * Every generator is `spark.range(n)` + column expressions — fully
+  * distributed and codegen'd, no driver-side materialization, so a
+  * 10-billion-point oscillator is as cheap per-row as a 100-point one.
+  */
+object Fake {
+  /** One sinusoid component: amplitude × sin(2π·hz·t). */
+  case class Freq(hz: Double, amplitude: Double, phase: Double = 0d)
+
+  /** oscillator(freq(...)..., range(fromNs, durNs, periodNs)): rows
+    * (time_ns, value) where value = Σ amp·sin(2π·hz·t_sec + phase). */
+  def oscillator(spark: SparkSession, freqs: Seq[Freq],
+                 fromNs: Long, durNs: Long, periodNs: Long): DataFrame = {
+    val n = durNs / periodNs
+    val tSec = (col("time_ns") - fromNs).cast("double") / 1e9 + lit(fromNs.toDouble / 1e9)
+    val value = freqs.map { f =>
+      lit(f.amplitude) * sin(lit(2d * math.Pi * f.hz) * tSec + lit(f.phase))
+    }.reduce(_ + _)
+    spark.range(n)
+      .select((col("id") * periodNs + fromNs).as("time_ns"))
+      .withColumn("value", value)
+  }
+
+  /** linspace(a, b, n): n evenly spaced values in [a, b] inclusive. */
+  def linspace(spark: SparkSession, a: Double, b: Double, n: Int): DataFrame = {
+    require(n >= 1)
+    val step = if (n == 1) 0d else (b - a) / (n - 1)
+    spark.range(n.toLong).select((lit(a) + col("id") * step).as("x"))
+  }
+
+  /** arrange(a, b, step): half-open arithmetic progression like the
+    * reference (excludes values past b). */
+  def arrange(spark: SparkSession, a: Double, b: Double, step: Double): DataFrame = {
+    require(step != 0d)
+    val n = math.max(0L, math.ceil((b - a) / step - 1e-12).toLong)
+    spark.range(n).select((lit(a) + col("id") * step).as("x"))
+  }
+
+  /** meshgrid(linspace, linspace): cartesian grid rows (x, y). */
+  def meshgrid(spark: SparkSession, xa: Double, xb: Double, xn: Int,
+               ya: Double, yb: Double, yn: Int): DataFrame = {
+    val xs = linspace(spark, xa, xb, xn)
+    val ys = linspace(spark, ya, yb, yn).withColumnRenamed("x", "y")
+    xs.crossJoin(ys)
+  }
+
+  /** sphere(latN, lonN): unit-sphere surface points (x, y, z) on a
+    * lat/lon grid (reference fm_fake.go:397-437; 4_4 golden fixture). */
+  def sphere(spark: SparkSession, latN: Int, lonN: Int): DataFrame = {
+    val lat = linspace(spark, 0d, math.Pi, math.max(latN, 1)).withColumnRenamed("x", "theta")
+    val lon = linspace(spark, 0d, 2d * math.Pi, math.max(lonN, 1)).withColumnRenamed("x", "phi")
+    lat.crossJoin(lon).select(
+      (sin(col("theta")) * cos(col("phi"))).as("x"),
+      (sin(col("theta")) * sin(col("phi"))).as("y"),
+      cos(col("theta")).as("z"))
+  }
+
+  /** json/csv literal payloads (reference fm_fake.go:175-264). */
+  def fromCsvLiteral(spark: SparkSession, payload: String,
+                     header: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val ds = spark.createDataset(payload.split("\n").toIndexedSeq.filter(_.nonEmpty))
+    spark.read.option("header", header.toString).csv(ds)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming surface (reference SURVEY §2.9):
+  *
+  *  - **watch** — the reference polls V$T_STAT / _ARRIVAL_TIME to tail a
+  *    table (spi/watch.go). Structured Streaming's file source IS that
+  *    semantics: new files under the table path stream as new rows.
+  *  - **append** — the reference batches appends by max-rows/bytes/delay
+  *    (spi/append_worker.go:300-315). Micro-batch triggers map 1:1:
+  *    maxDelay → ProcessingTime trigger; maxRows/bytes → source options
+  *    (maxFilesPerTrigger / maxBytesPerTrigger).
+  *  - **dup-check** — TAG_DUPLICATE_CHECK_DURATION (testsuite.go:110) →
+  *    `dropDuplicatesWithinWatermark` on (name, time).
+  */
+object Watch {
+  /** Tail a parquet table directory as a stream (the watch endpoint). */
+  def tail(spark: SparkSession, path: String, schema: StructType,
+           maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Append-worker-shaped sink: micro-batched parquet append with a
+    * max-delay flush interval. */
+  def appendWriter(df: DataFrame, outPath: String, checkpoint: String,
+                   maxDelayMs: Long): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(maxDelayMs))
+
+  /** TAG_DUPLICATE_CHECK_DURATION semantics: suppress rows whose
+    * (name, time) repeats within the duration. */
+  def dedupWithin(df: DataFrame, nameCol: String, tsCol: String,
+                  duration: String): DataFrame =
+    df.withWatermark(tsCol, duration)
+      .dropDuplicatesWithinWatermark(nameCol, tsCol)
+
+  /** Tumbling event-time aggregate with watermark — the streaming form of
+    * GROUP(timewindow()); feeds the rollup tables incrementally. */
+  def rollupStream(df: DataFrame, nameCol: String, tsCol: String, valueCol: String,
+                   windowLen: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(nameCol).as("name"), window(col(tsCol), windowLen).as("w"))
+      .agg(min(valueCol).as("min_value"), max(valueCol).as("max_value"),
+        sum(valueCol).as("sum_value"),
+        sum(col(valueCol) * col(valueCol)).as("sumsq_value"),
+        count(valueCol).as("cnt"))
+      .select(col("name"), col("w.start").as("time"), col("min_value"),
+        col("max_value"), col("sum_value"), col("sumsq_value"), col("cnt"))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Ann
+
+class DedupAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps lowest id per content") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "txt")
+    val got = Dedup.exact(df, Seq("txt"), "id").orderBy("id")
+      .select("id", "n_dups").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard of identical docs is 1, disjoint is 0") {
+    val df = Seq(
+      (1L, "blk", "a b c d e f"),
+      (2L, "blk", "a b c d e f"),
+      (3L, "blk", "q r s t u v")).toDF("doc_id", "source", "text")
+    val got = Dedup.jaccardPairs(df, "source", 0.0)
+      .orderBy("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.length == 3)
+    assert(got(0) == ((1L, 2L, 1.0)))
+    assert(got(1)._3 == 0.0 && got(2)._3 == 0.0)
+  }
+
+  test("minhash LSH finds the true near-duplicate pair") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tonight")
+    val other = "completely different content with no overlap whatsoever in any shingle at all"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(df, numHashes = 32, bands = 8, verifyThreshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash hamming distance: near-dups close, unrelated far") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val sh = Dedup.simhash(df, $"text").select("doc_id", "simhash").as[(Long, Long)]
+      .collect().toMap
+    val dNear = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val dFar = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(dNear < dFar, s"near=$dNear far=$dFar")
+  }
+
+  test("brute-force topK ranks an identical vector first") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0)
+    val top = Ann.bruteForceTopK(q, emb, k = 5)
+    val rows = top.orderBy("rnk").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Double]("cos_sim")).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("LSH topK self-bucket recall: query's own bucket contains it") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+    val brute = Ann.bruteForceTopK(q, emb, k = 3).select("qid", "eid").as[(Long, Long)].collect().toSet
+    val lsh = Ann.lshTopK(q, emb, k = 3, planes = 6).select("qid", "eid").as[(Long, Long)].collect().toSet
+    // approximate: require non-trivial overlap with exact top-3
+    assert(lsh.nonEmpty && (brute intersect lsh).nonEmpty)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GapFill
+
+class GapFillSpec extends SparkSpec {
+  import spark.implicits._
+
+  // buckets of size 10 over [0, 60): data only in buckets 0, 30, 50
+  private def df = Seq((1L, 10.0), (3L, 20.0), (31L, 40.0), (55L, 10.0))
+    .toDF("t", "v")
+
+  private def run(fill: GapFill.Fill) =
+    GapFill.timewindow(spark, df, $"t", 0L, 60L, 10L,
+      Seq("avg_v" -> avg($"v")), fill)
+      .select("bucket_ns", "avg_v").as[(Long, Option[Double])].collect().toSeq
+
+  test("missing buckets are synthesized (null fill)") {
+    val got = run(GapFill.FillNull)
+    assert(got.map(_._1) == Seq(0L, 10L, 20L, 30L, 40L, 50L))
+    assert(got(0)._2.contains(15.0))
+    assert(got(1)._2.isEmpty && got(2)._2.isEmpty && got(4)._2.isEmpty)
+    assert(got(3)._2.contains(40.0) && got(5)._2.contains(10.0))
+  }
+
+  test("constant fill substitutes nullValue") {
+    val got = run(GapFill.FillConst(-1d))
+    assert(got.map(_._2.get) == Seq(15.0, -1.0, -1.0, 40.0, -1.0, 10.0))
+  }
+
+  test("piecewiseconstant carries last observation forward") {
+    val got = run(GapFill.FillPrevious)
+    assert(got.map(_._2.get) == Seq(15.0, 15.0, 15.0, 40.0, 40.0, 10.0))
+  }
+
+  test("piecewiselinear interpolates and clamps at the edges") {
+    val got = run(GapFill.FillLinear)
+    // buckets 10,20 interpolate between 15@0 and 40@30; bucket 40 between 40@30 and 10@50
+    assert(got.map(_._2.get) == Seq(15.0, 15.0 + 25.0 / 3, 15.0 + 50.0 / 3, 40.0, 25.0, 10.0))
+  }
+
+  test("records outside [from, until) are dropped") {
+    val wide = Seq((-5L, 100.0), (65L, 100.0), (5L, 1.0)).toDF("t", "v")
+    val got = GapFill.timewindow(spark, wide, $"t", 0L, 60L, 10L,
+      Seq("c" -> count($"v")), GapFill.FillConst(0))
+      .select(col("c").cast("long")).as[Long].collect() // FillConst widens counts to double
+    assert(got.sum == 1L)
+  }
+}

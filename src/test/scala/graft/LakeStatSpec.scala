@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Lake, StatOps}
+import graft.functions.{MomentAgg, StatFns}
+
+class LakeStatSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin picks latest right row at-or-before, null when none") {
+    val left = Seq(("k", 5L, "l1"), ("k", 15L, "l2"), ("k", 1L, "l0"))
+      .toDF("key", "t", "tag")
+    val right = Seq(("k", 2L, 10.0), ("k", 10L, 20.0), ("k", 15L, 30.0))
+      .toDF("key", "rt", "rv")
+    val got = Lake.asofJoin(left, right, "key", "t", "rt", Seq("rv"))
+      .orderBy("t").select("tag", "right_rv").collect()
+    assert(got(0).isNullAt(1))                   // t=1: no right ≤ 1
+    assert(got(1).getDouble(1) == 10.0)          // t=5 → rt=2
+    assert(got(2).getDouble(1) == 30.0)          // t=15 → rt=15 (inclusive)
+  }
+
+  test("lastPerTag and tagStat agree with brute force") {
+    val e = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id", graft.time.TimeFns.nsToUs(col("ts")).as("t"), $"value")
+    val last = Lake.lastPerTag(e, $"user_id", $"t", $"value")
+    val brute = e.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("t").desc)))
+      .filter($"rn" === 1).select($"user_id".as("name"), $"value".as("bv"))
+    val joined = last.join(brute, "name")
+      .filter($"last_value" =!= $"bv").count()
+    assert(joined == 0)
+  }
+
+  test("histogram bins include empty bins and clamp the range") {
+    val df = Seq(1.0, 2.0, 2.5, 9.9, -5.0, 10.0).toDF("v")
+    val h = StatOps.histogram(spark, df, $"v", 0d, 10d, 2.5)
+      .select("low", "cnt").as[(Double, Long)].collect().toSeq
+    assert(h == Seq((0.0, 2L), (2.5, 1L), (5.0, 0L), (7.5, 1L))) // 2.5 lands in bin 1 (half-open bins)
+  }
+
+  test("moment aggregator matches two-pass central moment") {
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 10.0)
+    val df = xs.toDF("v")
+    val got = df.agg(MomentAgg.moment($"v", 3)).as[Double].head()
+    val mu = xs.sum / xs.size
+    val want = xs.map(x => math.pow(x - mu, 3)).sum / xs.size
+    assert(math.abs(got - want) < 1e-9)
+  }
+
+  test("entropy/cdf/rss/rms compose correctly") {
+    val df = Seq(0.5, 0.25, 0.25).toDF("v") // a proper distribution
+    val e = df.agg(StatFns.entropy($"v")).as[Double].head()
+    val want = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert(math.abs(e - want) < 1e-12)
+    assert(df.agg(StatFns.cdf($"v", 0.25)).as[Double].head() == 2.0 / 3.0)
+    assert(math.abs(df.agg(StatFns.rms($"v")).as[Double].head() -
+      math.sqrt((0.25 + 0.0625 + 0.0625) / 3)) < 1e-12)
+  }
+}

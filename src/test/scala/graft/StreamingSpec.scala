@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Watch
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("watch tail streams newly appended rows (reference watch semantics)") {
+    val dir = Files.createTempDirectory("graft_watch").toString
+    val out = Files.createTempDirectory("graft_watch_out").toString
+    val ck = Files.createTempDirectory("graft_ck").toString
+    // initial file
+    Seq(("t1", 1L, 1.0)).toDF("name", "time", "value")
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def runOnce(): Unit = {
+      val q = Watch.appendWriter(Watch.tail(spark, dir, schema), out, ck, 1000L)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 1L)
+    // append more rows → the next incremental pass (same checkpoint) picks
+    // up ONLY the new file — exactly the reference's tail semantics
+    Seq(("t2", 2L, 2.0), ("t3", 3L, 3.0)).toDF("name", "time", "value")
+      .write.mode("append").parquet(dir)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3L)
+  }
+
+  test("rollupStream aggregates tumbling event-time windows") {
+    val dir = Files.createTempDirectory("graft_roll").toString
+    val ck = Files.createTempDirectory("graft_ck2").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    Seq(("a", ts(1), 1.0), ("a", ts(2), 3.0), ("a", ts(61), 5.0))
+      .toDF("name", "time", "value").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val agg = Watch.rollupStream(Watch.tail(spark, dir, schema),
+      "name", "time", "value", "1 minute", "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("roll_out")
+      .outputMode("append")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // append-mode emits only windows below the watermark; the first window
+    // (2 rows, sum 4.0) must be final once the 61s event advanced time.
+    val rows = spark.sql("SELECT sum_value, cnt FROM roll_out").collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(r => r.getDouble(0) == 4.0 && r.getLong(1) == 2L))
+  }
+}
