@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.tql.Tql
+import Q._
+
+/** TQL front-end battery: scripts compiled to DataFrame plans and
+  * hash-checked against DuckDB like every other operator (SURVEY §7
+  * step 10; reference mods/tql).
+  */
+object TqlQueries {
+  val defs: Map[String, QueryFn] = Map(
+    // SQL source → GROUP → (CSV sink shape); compiled, not interpreted
+    "q_tql_group" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("tql_events")
+      Tql.compile(s,
+        """SQL('SELECT event_type, value FROM tql_events')
+          |GROUP(by(value(0), 'event_type'), count(value(1), 'cnt'),
+          |      min(value(1), 'min_value'), max(value(1), 'max_value'))
+          |CSV()
+          |""".stripMargin).output
+    }),
+
+    // row pipeline: filter + computed column + ordered take
+    "q_tql_pipeline" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("tql_events")
+      Tql.compile(s,
+        """SQL('SELECT event_id, value FROM tql_events ORDER BY event_id')
+          |FILTER(value(1) > 200)
+          |MAPVALUE(2, value(1) * 2 > 500 ? 'very_high' : 'high', 'level')
+          |TAKE(50)
+          |CSV()
+          |""".stripMargin).output
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_tql_group" ->
+      """SELECT event_type, count(value) AS cnt, min(value) AS min_value,
+         max(value) AS max_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_tql_pipeline" ->
+      """SELECT event_id, value,
+         CASE WHEN value * 2 > 500 THEN 'very_high' ELSE 'high' END AS level
+         FROM events WHERE value > 200
+         ORDER BY event_id LIMIT 50""")
+}

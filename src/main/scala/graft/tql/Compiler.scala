@@ -1,0 +1,422 @@
+package graft.tql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Fake
+
+/** TQL → DataFrame compiler (reference: mods/tql — task compile
+  * task.go:202-312, execution model §3.2 of SURVEY.md).
+  *
+  * The reference runs one goroutine per statement with per-record
+  * channels; here each statement is a DataFrame transformation, so the
+  * whole script becomes ONE Catalyst plan — predicate pushdown, column
+  * pruning and limit pushdown happen across statement boundaries for
+  * free, which the reference cannot do (its optimizer note: SURVEY §4).
+  *
+  * Record model (reference task_record.go): key + value tuple. The key is
+  * the hidden `_key` column; `value(i)` addresses the i-th value column.
+  * Sinks emit the value columns.
+  */
+object Compiler {
+  case class Pipe(df: DataFrame, keyCol: String, values: Seq[String])
+
+  case class Sink(format: String, options: graft.sinks.Codecs.Options)
+
+  case class Compiled(pipe: Pipe, sink: Sink) {
+    /** The sink-facing DataFrame (values only, like the reference). */
+    def output: DataFrame = pipe.df.select(pipe.values.map(col): _*)
+  }
+
+  /** Row-order key for sequential semantics (TAKE/DROP/rownum keys).
+    * The reference keys SQL-source records by arrival rownum. */
+  private def withRownum(df: DataFrame): DataFrame =
+    df.withColumn("_key",
+      row_number().over(Window.orderBy(monotonically_increasing_id())).cast("long"))
+
+  def compile(spark: SparkSession, script: String): Compiled = {
+    val stmts = Parser.parseScript(script)
+    require(stmts.nonEmpty, "empty script")
+    val src = stmts.head
+    val sinkStmt = stmts.last
+    require(stmts.size >= 2, "script needs at least a source and a sink")
+    val maps = stmts.slice(1, stmts.size - 1)
+    val pipe0 = compileSource(spark, src)
+    val piped = maps.foldLeft(pipe0)((p, st) => compileMap(p, st))
+    Compiled(piped, compileSink(sinkStmt))
+  }
+
+  /** Compile + render through the sink codec (the `/db/tql` behavior). */
+  def run(spark: SparkSession, script: String): String = {
+    val c = compile(spark, script)
+    graft.sinks.Codecs.render(c.output, c.sink.format, c.sink.options)
+  }
+
+  // ---------------- sources ----------------
+  private def compileSource(spark: SparkSession, st: Statement): Pipe = {
+    import Expr._
+    st.call match {
+      case Call("SQL", List(Str(sql))) =>
+        val df = withRownum(spark.sql(sql))
+        Pipe(df, "_key", df.columns.filterNot(_ == "_key").toSeq)
+      case Call("SQL_SELECT", args) =>
+        compileSqlSelect(spark, args)
+      case Call("FAKE", List(gen: Call)) =>
+        compileFake(spark, gen)
+      case Call("CSV", Call("file", List(Str(path))) :: rest) =>
+        val header = rest.exists { case Call("header", _) => true; case _ => false }
+        val df = withRownum(spark.read.option("header", header.toString).csv(path))
+        Pipe(df, "_key", df.columns.filterNot(_ == "_key").toSeq)
+      case other => throw new IllegalArgumentException(s"unsupported source: ${st.text}")
+    }
+  }
+
+  /** SQL_SELECT('time','value', from('table','tag'), between(a, b)) —
+    * the tag-table SQL generator (reference fm_dbsrc.go:93-227). */
+  private def compileSqlSelect(spark: SparkSession, args: List[Expr]): Pipe = {
+    import Expr._
+    val cols = args.collect { case Str(c) => c }
+    var table = ""
+    var tag = ""
+    var between: Option[(Long, Long)] = None
+    var limit: Option[Int] = None
+    args.foreach {
+      case Call("from", Str(t) :: Str(tg) :: _) => table = t; tag = tg
+      case Call("between", List(a, b)) =>
+        between = Some((evalTimeLit(a), evalTimeLit(b)))
+      case Call("limit", List(Num(n))) => limit = Some(n.toInt)
+      case _ =>
+    }
+    require(table.nonEmpty, "SQL_SELECT requires from(table, tag)")
+    var df = spark.table(table).filter(col("name") === tag)
+    between.foreach { case (a, b) => df = df.filter(col("time").between(a, b)) }
+    df = df.orderBy("time").select(cols.map(col): _*)
+    limit.foreach(n => df = df.limit(n))
+    val keyed = withRownum(df)
+    Pipe(keyed, "_key", cols)
+  }
+
+  private def evalTimeLit(e: Expr): Long = e match {
+    case Expr.Num(v) => v.toLong
+    case Expr.Call("time", List(Expr.Num(v))) => v.toLong
+    case other => throw new IllegalArgumentException(s"unsupported time literal $other")
+  }
+
+  private def compileFake(spark: SparkSession, gen: Expr.Call): Pipe = {
+    import Expr._
+    gen match {
+      case Call("linspace", List(Num(a), Num(b), Num(n))) =>
+        val df = withRownum(Fake.linspace(spark, a, b, n.toInt))
+        Pipe(df, "_key", Seq("x"))
+      case Call("arrange", List(Num(a), Num(b), Num(s))) =>
+        val df = withRownum(Fake.arrange(spark, a, b, s))
+        Pipe(df, "_key", Seq("x"))
+      case Call("meshgrid", List(Call("linspace", List(Num(xa), Num(xb), Num(xn))),
+                                 Call("linspace", List(Num(ya), Num(yb), Num(yn))))) =>
+        val df = withRownum(Fake.meshgrid(spark, xa, xb, xn.toInt, ya, yb, yn.toInt))
+        Pipe(df, "_key", Seq("x", "y"))
+      case Call("oscillator", args) =>
+        val freqs = args.collect { case Call("freq", List(Num(hz), Num(amp))) => Fake.Freq(hz, amp) }
+        val rng = args.collectFirst {
+          case Call("range", List(Call("time", List(Num(from))), Str(dur), Str(period))) =>
+            (from.toLong, graft.time.TimeFns.parseDurationNs(dur), graft.time.TimeFns.parseDurationNs(period))
+        }.getOrElse(throw new IllegalArgumentException("oscillator needs range(time(t),'dur','period')"))
+        require(freqs.nonEmpty, "oscillator needs freq(hz, amp)")
+        val df = withRownum(Fake.oscillator(spark, freqs, rng._1, rng._2, rng._3))
+        Pipe(df, "_key", Seq("time_ns", "value"))
+      case Call("sphere", List(Num(la), Num(lo))) =>
+        val df = withRownum(Fake.sphere(spark, la.toInt, lo.toInt))
+        Pipe(df, "_key", Seq("x", "y", "z"))
+      case other => throw new IllegalArgumentException(s"unsupported FAKE generator: $other")
+    }
+  }
+
+  // ---------------- maps ----------------
+  private def compileMap(p: Pipe, st: Statement): Pipe = {
+    import Expr._
+    st.call match {
+      case Call("FILTER", List(cond)) =>
+        p.copy(df = p.df.filter(toColumn(cond, p)))
+
+      case Call("TAKE", args) =>
+        val (off, n) = args match {
+          case List(Num(n)) => (0, n.toInt)
+          case List(Num(o), Num(n)) => (o.toInt, n.toInt)
+          case _ => throw new IllegalArgumentException("TAKE(n) or TAKE(offset, n)")
+        }
+        p.copy(df = p.df.orderBy(col(p.keyCol)).offset(off).limit(n))
+
+      case Call("DROP", args) =>
+        val (off, n) = args match {
+          case List(Num(n)) => (0, n.toInt)
+          case List(Num(o), Num(n)) => (o.toInt, n.toInt)
+          case _ => throw new IllegalArgumentException("DROP(n) or DROP(offset, n)")
+        }
+        val w = Window.orderBy(col(p.keyCol))
+        p.copy(df = p.df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= off || col("__rn") > off + n).drop("__rn"))
+
+      case Call("MAPVALUE", Num(idx) :: expr :: rest) =>
+        val name = rest.collectFirst { case Str(s) => s }
+          .getOrElse(if (idx.toInt < p.values.size) p.values(idx.toInt) else s"value_${idx.toInt}")
+        val c = toColumn(expr, p)
+        val i = idx.toInt
+        if (i < p.values.size) {
+          // replace in place (possibly renaming)
+          val old = p.values(i)
+          val df = p.df.withColumn(s"__new_$i", c).drop(old)
+            .withColumnRenamed(s"__new_$i", name)
+          p.copy(df = df, values = p.values.updated(i, name))
+        } else {
+          // grow the tuple (reference allows appending at next index)
+          p.copy(df = p.df.withColumn(name, c), values = p.values :+ name)
+        }
+
+      case Call("PUSHVALUE", Num(idx) :: expr :: rest) =>
+        val name = rest.collectFirst { case Str(s) => s }.getOrElse(s"value_${p.values.size}")
+        val df = p.df.withColumn(name, toColumn(expr, p))
+        val i = math.min(idx.toInt, p.values.size)
+        p.copy(df = df, values = (p.values.take(i) :+ name) ++ p.values.drop(i))
+
+      case Call("POPVALUE", idxs) =>
+        val drop = idxs.collect { case Num(i) => i.toInt }.toSet
+        val keep = p.values.zipWithIndex.filterNot { case (_, i) => drop(i) }.map(_._1)
+        p.copy(df = p.df.drop(p.values.zipWithIndex.filter { case (_, i) => drop(i) }.map(_._1): _*),
+          values = keep)
+
+      case Call("SET", _) => // SET name = expr is lexed as SET(name = expr)?
+        throw new IllegalArgumentException("SET requires `SET name = expr` form (unsupported yet)")
+
+      case Call("PUSHKEY", List(expr)) =>
+        // demote current key into values, new key from expr
+        val df = p.df.withColumn("__newkey", toColumn(expr, p))
+          .withColumnRenamed(p.keyCol, "key")
+          .withColumnRenamed("__newkey", "_key")
+        p.copy(df = df, keyCol = "_key", values = "key" +: p.values)
+
+      case Call("POPKEY", args) =>
+        val nth = args.collectFirst { case Num(n) => n.toInt }.getOrElse(0)
+        val newKey = p.values(nth)
+        val df = p.df.drop(p.keyCol)
+        p.copy(df = df, keyCol = newKey, values = p.values.filterNot(_ == newKey))
+
+      case Call("FLATTEN", Nil) =>
+        // explode every array-typed value column (reference explodes the tuple)
+        val arrayCols = p.values.filter(v =>
+          p.df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        arrayCols match {
+          case Seq(one) =>
+            p.copy(df = p.df.withColumn(one, explode(col(one))))
+          case _ => throw new IllegalArgumentException("FLATTEN expects one array value column")
+        }
+
+      case Call("GROUP", args) =>
+        compileGroup(p, args)
+
+      case other => throw new IllegalArgumentException(s"unsupported map: ${st.text}")
+    }
+  }
+
+  private val aggNames = Set("count", "sum", "min", "max", "avg", "mean", "first", "last",
+    "stddev", "variance", "median", "rss", "rms", "list")
+
+  private def compileGroup(p: Pipe, args: List[Expr]): Pipe = {
+    import Expr._
+    var byExpr: Option[(Column, String)] = None
+    val aggs = Vector.newBuilder[(Column, String)]
+    args.foreach {
+      case Call("by", e :: rest) =>
+        val name = rest.collectFirst { case Str(s) => s }.getOrElse("GROUP")
+        byExpr = Some((toColumn(e, p), name))
+      case Call("lazy", _) => // emission-order hint; hash agg + orderBy covers it
+      case Call(fn, e :: rest) if aggNames(fn) =>
+        val name = rest.collectFirst { case Str(s) => s }.getOrElse(fn)
+        val c = toColumn(e, p)
+        val agg = fn match {
+          case "count" => count(c)
+          case "sum" => sum(c)
+          case "min" => min(c)
+          case "max" => max(c)
+          case "avg" | "mean" => avg(c)
+          case "first" => first(c, ignoreNulls = false)
+          case "last" => last(c, ignoreNulls = false)
+          case "stddev" => stddev_samp(c)
+          case "variance" => var_samp(c)
+          case "median" => percentile(c, lit(0.5))
+          case "rss" => sqrt(sum(c * c))
+          case "rms" => sqrt(avg(c * c))
+          case "list" => collect_list(c)
+        }
+        aggs += ((agg, name))
+      case other => throw new IllegalArgumentException(s"unsupported GROUP arg: $other")
+    }
+    val (byCol, byName) = byExpr.getOrElse(throw new IllegalArgumentException("GROUP needs by()"))
+    val aggList = aggs.result()
+    require(aggList.nonEmpty, "GROUP needs at least one aggregator")
+    val df = p.df.groupBy(byCol.as(byName))
+      .agg(aggList.head._1.as(aggList.head._2),
+        aggList.tail.map { case (c, n) => c.as(n) }: _*)
+      .orderBy(byName) // reference emits key-sorted (lazy mode sorts, fm_monad.go:470)
+    // the group key is result column 0 (reference synthesizes result
+    // columns from by()+aggregators, fm_monad.go:405-425)
+    Pipe(df, byName, byName +: aggList.map(_._2))
+  }
+
+  // ---------------- sinks ----------------
+  private def compileSink(st: Statement): Sink = {
+    import Expr._
+    val fmt = st.call.name
+    val known = Set("CSV", "JSON", "NDJSON", "MARKDOWN", "BOX", "DISCARD", "TEXT")
+    require(known(fmt), s"unsupported sink: ${st.text}")
+    var opts = graft.sinks.Codecs.Options()
+    st.call.args.foreach {
+      case Call("header", _) | Call("heading", _) => opts = opts.copy(heading = true)
+      case Call("rownum", _) => opts = opts.copy(rownum = true)
+      case Call("delimiter", List(Str(d))) => opts = opts.copy(delimiter = d)
+      case Call("precision", List(Num(p))) => opts = opts.copy(precision = p.toInt)
+      case Call("substituteNull", List(Str(s))) => opts = opts.copy(nullAs = s)
+      case _ =>
+    }
+    Sink(if (fmt == "TEXT") "CSV" else fmt, opts)
+  }
+
+  // ---------------- expressions → Column ----------------
+  def toColumn(e: Expr, p: Pipe): Column = {
+    import Expr._
+    e match {
+      case Num(v) => if (v == math.rint(v) && math.abs(v) < 1e15) lit(v.toLong) else lit(v)
+      case Str(v) => lit(v)
+      case Bool(v) => lit(v)
+      case Null => lit(null)
+      case Ident(name) => col(name)
+      case Var(name) => col(s"$$$name")
+      case Unary("-", x) => -toColumn(x, p)
+      case Unary("!", x) => !toColumn(x, p)
+      case Unary(op, _) => throw new IllegalArgumentException(s"unary $op")
+      case Bin(op, l, r) =>
+        val (a, b) = (toColumn(l, p), toColumn(r, p))
+        op match {
+          case "+" => a + b
+          case "-" => a - b
+          case "*" => a * b
+          case "/" => a / b
+          case "%" => pmod(a, b)
+          case "**" => pow(a, b)
+          case "==" => a === b
+          case "!=" => a =!= b
+          case ">" => a > b
+          case ">=" => a >= b
+          case "<" => a < b
+          case "<=" => a <= b
+          case "&&" => a && b
+          case "||" => a || b
+          case "??" => coalesce(a, b)
+          case "=~" => a.rlike(r match { case Str(s) => s; case _ => "" })
+          case "!~" => !a.rlike(r match { case Str(s) => s; case _ => "" })
+          case other => throw new IllegalArgumentException(s"operator $other")
+        }
+      case Ternary(c, t, f) => when(toColumn(c, p), toColumn(t, p)).otherwise(toColumn(f, p))
+      case In(v, set) => toColumn(v, p).isin(set.map(x => toColumn(x, p)): _*)
+      case Index(arr, idx) => element_at(toColumn(arr, p), toColumn(idx, p) + 1)
+      case Call(name, args) => callToColumn(name, args, p)
+    }
+  }
+
+  private def callToColumn(name: String, args: List[Expr], p: Pipe): Column = {
+    import Expr._
+    def a(i: Int): Column = toColumn(args(i), p)
+    name match {
+      case "value" => args match {
+        case List(Num(i)) => col(p.values(i.toInt))
+        case Nil => col(p.values.head)
+        case _ => throw new IllegalArgumentException("value(n)")
+      }
+      case "key" => col(p.keyCol)
+      // math (reference fx_definitions.go:79-105)
+      case "abs" => abs(a(0))
+      case "acos" => acos(a(0))
+      case "asin" => asin(a(0))
+      case "atan" => atan(a(0))
+      case "ceil" => ceil(a(0))
+      case "cos" => cos(a(0))
+      case "cosh" => cosh(a(0))
+      case "exp" => exp(a(0))
+      case "exp2" => pow(lit(2d), a(0))
+      case "floor" => floor(a(0))
+      case "log" => log(a(0))
+      case "log10" => log10(a(0))
+      case "log2" => log2(a(0))
+      case "mod" => pmod(a(0), a(1))
+      case "pow" => pow(a(0), a(1))
+      case "pow10" => pow(lit(10d), a(0))
+      case "round" => args.size match {
+        case 1 => round(a(0))
+        case _ => round(a(0), args(1).asInstanceOf[Num].v.toInt)
+      }
+      case "sin" => sin(a(0))
+      case "sinh" => sinh(a(0))
+      case "sqrt" => sqrt(a(0))
+      case "tan" => tan(a(0))
+      case "tanh" => tanh(a(0))
+      case "trunc" => expr(s"trunc(${a(0)})") // rarely used
+      // min/max as scalar pair (reference fm_monad.go:848-878)
+      case "min" => least(a(0), a(1))
+      case "max" => greatest(a(0), a(1))
+      // strings (reference fm_fake.go:540-637)
+      case "strTrimSpace" => trim(a(0))
+      case "strToUpper" => upper(a(0))
+      case "strToLower" => lower(a(0))
+      case "strReplaceAll" => args match {
+        case List(x, Str(from), Str(to)) => regexp_replace(toColumn(x, p), java.util.regex.Pattern.quote(from), to)
+        case _ => throw new IllegalArgumentException("strReplaceAll(s, from, to)")
+      }
+      case "strHasPrefix" => a(0).startsWith(a(1))
+      case "strHasSuffix" => a(0).endsWith(a(1))
+      case "strIndex" => instr(a(0), args(1).asInstanceOf[Str].v) - 1 // Go: 0-based, -1 missing
+      case "strSub" => args.size match {
+        case 2 => a(0).substr(a(1) + 1, lit(Int.MaxValue))
+        case _ => a(0).substr(a(1) + 1, a(2))
+      }
+      case "strSprintf" => format_string(args.head.asInstanceOf[Str].v, args.tail.map(x => toColumn(x, p)): _*)
+      case "glob" => args match {
+        case List(Str(pat), x) => toColumn(x, p).rlike(graft.functions.ScalarFns.globToRegex(pat))
+        case _ => throw new IllegalArgumentException("glob(pattern, text)")
+      }
+      case "regexp" => args match {
+        case List(Str(pat), x) => toColumn(x, p).rlike(pat)
+        case _ => throw new IllegalArgumentException("regexp(pattern, text)")
+      }
+      // conversion / misc
+      case "parseFloat" => a(0).cast("double")
+      case "parseBool" => a(0).cast("boolean")
+      case "len" => length(a(0))
+      case "element" => element_at(a(0), a(1) + 1)
+      case "list" => array(args.map(x => toColumn(x, p)): _*)
+      case "nullValue" => coalesce(a(0), a(1))
+      case "coalesce" => coalesce(args.map(x => toColumn(x, p)): _*)
+      // time (epoch-ns discipline)
+      case "time" => a(0).cast("long")
+      case "roundTime" => args match {
+        case List(x, Str(dur)) =>
+          graft.time.TimeFns.roundTimeNs(toColumn(x, p), graft.time.TimeFns.parseDurationNs(dur))
+        case _ => throw new IllegalArgumentException("roundTime(t, 'dur')")
+      }
+      case "timeAdd" => args match {
+        case List(x, Str(dur)) => toColumn(x, p) + lit(graft.time.TimeFns.parseDurationNs(dur))
+        case _ => throw new IllegalArgumentException("timeAdd(t, 'dur')")
+      }
+      case other => throw new IllegalArgumentException(s"unknown function $other")
+    }
+  }
+}
+
+/** Public entry points for the TQL surface. */
+object Tql {
+  /** Compile a script against a session (tables must be registered). */
+  def compile(spark: SparkSession, script: String): Compiler.Compiled =
+    Compiler.compile(spark, script)
+
+  /** Compile and render through the sink codec — `/db/tql` semantics. */
+  def run(spark: SparkSession, script: String): String =
+    Compiler.run(spark, script)
+}

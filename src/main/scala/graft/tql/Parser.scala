@@ -1,0 +1,219 @@
+package graft.tql
+
+import scala.collection.mutable.ListBuffer
+
+/** Lexer + Pratt parser for TQL expressions, and the line-based statement
+  * splitter (reference: mods/tql/script_parser.go:40-139 — newline
+  * statements, `//` comments, `#pragma`, multi-line calls balanced by
+  * parens; expression grammar expression/parse.go with binding powers
+  * from expression/operator_table.go).
+  */
+object Parser {
+  // ---------------- tokens ----------------
+  sealed trait Tok
+  case class TNum(v: Double) extends Tok
+  case class TStr(v: String) extends Tok
+  case class TIdent(s: String) extends Tok
+  case class TOp(s: String) extends Tok
+  case object TEof extends Tok
+
+  private val multiOps = List("**", "==", "!=", ">=", "<=", "=~", "!~", "&&", "||", "??", "<<", ">>")
+
+  def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '/' && i + 1 < n && s(i + 1) == '/') {
+        while (i < n && s(i) != '\n') i += 1
+      } else if (c.isDigit || (c == '.' && i + 1 < n && s(i + 1).isDigit)) {
+        val start = i
+        while (i < n && (s(i).isDigit || s(i) == '.' || s(i) == 'e' || s(i) == 'E' ||
+          ((s(i) == '+' || s(i) == '-') && (s(i - 1) == 'e' || s(i - 1) == 'E')))) i += 1
+        out += TNum(s.substring(start, i).toDouble)
+      } else if (c == '\'' || c == '"') {
+        val quote = c
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && s(i) != quote) {
+          if (s(i) == '\\' && i + 1 < n) {
+            s(i + 1) match {
+              case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+              case 'r' => sb.append('\r'); case other => sb.append(other)
+            }
+            i += 2
+          } else { sb.append(s(i)); i += 1 }
+        }
+        require(i < n, s"unterminated string in: $s")
+        i += 1
+        out += TStr(sb.toString)
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+        out += TIdent(s.substring(start, i))
+      } else if (c == '$') {
+        out += TOp("$"); i += 1
+      } else {
+        multiOps.find(op => s.startsWith(op, i)) match {
+          case Some(op) => out += TOp(op); i += op.length
+          case None => out += TOp(c.toString); i += 1
+        }
+      }
+    }
+    out += TEof
+    out.result()
+  }
+
+  // ---------------- Pratt parser ----------------
+  /** Binding powers per the reference's operator table. */
+  private def lbp(op: String): Int = op match {
+    case "?" => 10
+    case "??" => 15
+    case "||" => 20
+    case "&&" => 25
+    case "in" => 30
+    case "==" | "!=" | ">" | ">=" | "<" | "<=" | "=~" | "!~" => 35
+    case "+" | "-" => 45
+    case "*" | "/" | "%" => 50
+    case "**" => 60
+    case "(" | "[" => 80
+    case _ => 0
+  }
+
+  final class P(toks: Vector[Tok]) {
+    private var pos = 0
+    def peek: Tok = toks(pos)
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def expectOp(op: String): Unit = next() match {
+      case TOp(`op`) =>
+      case other => throw new IllegalArgumentException(s"expected '$op', got $other")
+    }
+
+    def parseExpr(rbp: Int = 0): Expr = {
+      var left = nud(next())
+      var continue = true
+      while (continue) {
+        peek match {
+          case TOp(op) if lbp(op) > rbp => next(); left = led(op, left)
+          case TIdent("in") if lbp("in") > rbp => next(); left = parseIn(left)
+          case _ => continue = false
+        }
+      }
+      left
+    }
+
+    private def nud(t: Tok): Expr = t match {
+      case TNum(v) => Expr.Num(v)
+      case TStr(v) => Expr.Str(v)
+      case TIdent("true") => Expr.Bool(true)
+      case TIdent("false") => Expr.Bool(false)
+      case TIdent("null") | TIdent("NULL") => Expr.Null
+      case TIdent(name) =>
+        peek match {
+          case TOp("(") => next(); Expr.Call(name, parseArgs())
+          case _ => Expr.Ident(name)
+        }
+      case TOp("$") => next() match {
+        case TIdent(n) => Expr.Var(n)
+        case TOp("{") => // ${name}
+          val e = next() match {
+            case TIdent(n) => Expr.Var(n)
+            case o => throw new IllegalArgumentException(s"bad var $o")
+          }
+          expectOp("}"); e
+        case o => throw new IllegalArgumentException(s"bad var $o")
+      }
+      case TOp("(") => val e = parseExpr(0); expectOp(")"); e
+      case TOp("-") => Expr.Unary("-", parseExpr(70))
+      case TOp("+") => parseExpr(70)
+      case TOp("!") => Expr.Unary("!", parseExpr(70))
+      case TOp("~") => Expr.Unary("~", parseExpr(70))
+      case other => throw new IllegalArgumentException(s"unexpected token $other")
+    }
+
+    private def led(op: String, left: Expr): Expr = op match {
+      case "(" => left match {
+        case Expr.Ident(n) => Expr.Call(n, parseArgs())
+        case _ => throw new IllegalArgumentException("call on non-identifier")
+      }
+      case "[" =>
+        val idx = parseExpr(0); expectOp("]"); Expr.Index(left, idx)
+      case "?" =>
+        val t = parseExpr(0); expectOp(":"); val f = parseExpr(9)
+        Expr.Ternary(left, t, f)
+      case "**" => Expr.Bin("**", left, parseExpr(lbp("**") - 1)) // right-assoc
+      case _ => Expr.Bin(op, left, parseExpr(lbp(op)))
+    }
+
+    private def parseIn(left: Expr): Expr = {
+      expectOp("(")
+      Expr.In(left, parseArgs())
+    }
+
+    private def parseArgs(): List[Expr] = {
+      val args = ListBuffer.empty[Expr]
+      peek match {
+        case TOp(")") => next(); return args.toList
+        case _ =>
+      }
+      var continue = true
+      while (continue) {
+        args += parseExpr(0)
+        next() match {
+          case TOp(",") =>
+          case TOp(")") => continue = false
+          case other => throw new IllegalArgumentException(s"expected ',' or ')', got $other")
+        }
+      }
+      args.toList
+    }
+  }
+
+  def parseExpression(s: String): Expr = new P(lex(s)).parseExpr(0)
+
+  // ---------------- statement splitting ----------------
+  /** Split a script into statements: a statement ends at a newline with
+    * balanced parens; `//` comments and `#pragma` lines are stripped. */
+  def splitStatements(script: String): List[String] = {
+    val out = ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr: Char = 0
+    for (line0 <- script.split("\n", -1)) {
+      val line = if (line0.trim.startsWith("#")) "" else line0
+      var i = 0
+      while (i < line.length) {
+        val c = line(i)
+        if (inStr != 0) {
+          if (c == '\\') { cur.append(c); if (i + 1 < line.length) { cur.append(line(i + 1)); i += 1 } }
+          else { if (c == inStr) inStr = 0; cur.append(c) }
+        } else c match {
+          case '/' if i + 1 < line.length && line(i + 1) == '/' => i = line.length - 1
+          case '\'' | '"' => inStr = c; cur.append(c)
+          case '(' => depth += 1; cur.append(c)
+          case ')' => depth -= 1; cur.append(c)
+          case _ => cur.append(c)
+        }
+        i += 1
+      }
+      if (depth == 0 && cur.toString.trim.nonEmpty) {
+        out += cur.toString.trim
+        cur.clear()
+      } else if (depth > 0) cur.append('\n')
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.toList
+  }
+
+  def parseScript(script: String): List[Statement] =
+    splitStatements(script).map { text =>
+      parseExpression(text) match {
+        case c: Expr.Call => Statement(c, text)
+        case Expr.Ident(n) => Statement(Expr.Call(n, Nil), text)
+        case other => throw new IllegalArgumentException(
+          s"statement must be a function call: $text ($other)")
+      }
+    }
+}
