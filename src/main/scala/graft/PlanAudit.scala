@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints physical plans of representative queries and greps them for the
+  * properties that matter at 100 TB: parquet filter pushdown, pruned read
+  * schemas, broadcast joins for dims, and shuffle counts.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = graft.core.Sessions.local(4)
+    val interesting = Seq(
+      "q_sql_select",      // filter+projection pushdown to scan
+      "q_tpch_pricing",    // agg pushdown shape / partial agg
+      "q_join_revenue",    // broadcast of dims
+      "q_timewindow_locf", // spine join
+      "q_last_per_tag",    // max_by hash agg (no window over raw)
+      "q_embedding_topk",  // broadcast NL join
+      "q_dedup_jaccard",   // blocked self-join
+      "q_tql_pipeline")    // TQL compile → single plan with pushdown
+    interesting.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString()
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(formatted).toList
+      val readSchema = "ReadSchema: [^\\n]+".r.findAllIn(formatted).toList
+      val nShuffles = "Exchange".r.findAllMatchIn(plan).length
+      val nBroadcast = "BroadcastExchange".r.findAllMatchIn(plan).length
+      val wsc = "WholeStageCodegen".r.findAllMatchIn(plan).length
+      println(s"=== $name ===")
+      println(s"  shuffles=$nShuffles broadcasts=$nBroadcast codegenSpans=$wsc")
+      pushed.take(3).foreach(p => println(s"  $p"))
+      readSchema.take(3).foreach(r => println(s"  $r"))
+      if (args.contains("-v")) println(formatted)
+    }
+    spark.stop()
+  }
+}

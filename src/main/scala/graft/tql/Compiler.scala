@@ -41,9 +41,25 @@ object Compiler {
     val sinkStmt = stmts.last
     require(stmts.size >= 2, "script needs at least a source and a sink")
     val maps = stmts.slice(1, stmts.size - 1)
-    val pipe0 = compileSource(spark, src)
+    // The rownum key forces a global ordering window (a single-partition
+    // exchange). Only pay for it when a downstream statement actually
+    // consumes record order or the key.
+    val needKey = maps.exists(st => statementNeedsKey(st.call)) ||
+      Set("rownum").exists(o => sinkStmt.text.contains("rownum("))
+    val pipe0 = compileSource(spark, src, needKey)
     val piped = maps.foldLeft(pipe0)((p, st) => compileMap(p, st))
     Compiled(piped, compileSink(sinkStmt))
+  }
+
+  private def statementNeedsKey(e: Expr): Boolean = e match {
+    case Expr.Call(n, args) =>
+      Set("TAKE", "DROP", "PUSHKEY", "POPKEY", "key")(n) || args.exists(statementNeedsKey)
+    case Expr.Bin(_, l, r) => statementNeedsKey(l) || statementNeedsKey(r)
+    case Expr.Unary(_, x) => statementNeedsKey(x)
+    case Expr.Ternary(c, t, f) => Seq(c, t, f).exists(statementNeedsKey)
+    case Expr.In(v, set) => (v :: set).exists(statementNeedsKey)
+    case Expr.Index(a, i) => statementNeedsKey(a) || statementNeedsKey(i)
+    case _ => false
   }
 
   /** Compile + render through the sink codec (the `/db/tql` behavior). */
@@ -53,27 +69,28 @@ object Compiler {
   }
 
   // ---------------- sources ----------------
-  private def compileSource(spark: SparkSession, st: Statement): Pipe = {
+  private def compileSource(spark: SparkSession, st: Statement, needKey: Boolean): Pipe = {
     import Expr._
+    def keyed(df: org.apache.spark.sql.DataFrame): Pipe = {
+      val d = if (needKey) withRownum(df) else df
+      Pipe(d, "_key", df.columns.toSeq)
+    }
     st.call match {
-      case Call("SQL", List(Str(sql))) =>
-        val df = withRownum(spark.sql(sql))
-        Pipe(df, "_key", df.columns.filterNot(_ == "_key").toSeq)
+      case Call("SQL", List(Str(sql))) => keyed(spark.sql(sql))
       case Call("SQL_SELECT", args) =>
-        compileSqlSelect(spark, args)
+        compileSqlSelect(spark, args, needKey)
       case Call("FAKE", List(gen: Call)) =>
-        compileFake(spark, gen)
+        compileFake(spark, gen, needKey)
       case Call("CSV", Call("file", List(Str(path))) :: rest) =>
         val header = rest.exists { case Call("header", _) => true; case _ => false }
-        val df = withRownum(spark.read.option("header", header.toString).csv(path))
-        Pipe(df, "_key", df.columns.filterNot(_ == "_key").toSeq)
+        keyed(spark.read.option("header", header.toString).csv(path))
       case other => throw new IllegalArgumentException(s"unsupported source: ${st.text}")
     }
   }
 
   /** SQL_SELECT('time','value', from('table','tag'), between(a, b)) —
     * the tag-table SQL generator (reference fm_dbsrc.go:93-227). */
-  private def compileSqlSelect(spark: SparkSession, args: List[Expr]): Pipe = {
+  private def compileSqlSelect(spark: SparkSession, args: List[Expr], needKey: Boolean): Pipe = {
     import Expr._
     val cols = args.collect { case Str(c) => c }
     var table = ""
@@ -92,8 +109,7 @@ object Compiler {
     between.foreach { case (a, b) => df = df.filter(col("time").between(a, b)) }
     df = df.orderBy("time").select(cols.map(col): _*)
     limit.foreach(n => df = df.limit(n))
-    val keyed = withRownum(df)
-    Pipe(keyed, "_key", cols)
+    Pipe(if (needKey) withRownum(df) else df, "_key", cols)
   }
 
   private def evalTimeLit(e: Expr): Long = e match {
@@ -102,19 +118,18 @@ object Compiler {
     case other => throw new IllegalArgumentException(s"unsupported time literal $other")
   }
 
-  private def compileFake(spark: SparkSession, gen: Expr.Call): Pipe = {
+  private def compileFake(spark: SparkSession, gen: Expr.Call, needKey: Boolean): Pipe = {
     import Expr._
+    def keyed(df: org.apache.spark.sql.DataFrame, values: Seq[String]): Pipe =
+      Pipe(if (needKey) withRownum(df) else df, "_key", values)
     gen match {
       case Call("linspace", List(Num(a), Num(b), Num(n))) =>
-        val df = withRownum(Fake.linspace(spark, a, b, n.toInt))
-        Pipe(df, "_key", Seq("x"))
+        keyed(Fake.linspace(spark, a, b, n.toInt), Seq("x"))
       case Call("arrange", List(Num(a), Num(b), Num(s))) =>
-        val df = withRownum(Fake.arrange(spark, a, b, s))
-        Pipe(df, "_key", Seq("x"))
+        keyed(Fake.arrange(spark, a, b, s), Seq("x"))
       case Call("meshgrid", List(Call("linspace", List(Num(xa), Num(xb), Num(xn))),
                                  Call("linspace", List(Num(ya), Num(yb), Num(yn))))) =>
-        val df = withRownum(Fake.meshgrid(spark, xa, xb, xn.toInt, ya, yb, yn.toInt))
-        Pipe(df, "_key", Seq("x", "y"))
+        keyed(Fake.meshgrid(spark, xa, xb, xn.toInt, ya, yb, yn.toInt), Seq("x", "y"))
       case Call("oscillator", args) =>
         val freqs = args.collect { case Call("freq", List(Num(hz), Num(amp))) => Fake.Freq(hz, amp) }
         val rng = args.collectFirst {
@@ -122,11 +137,9 @@ object Compiler {
             (from.toLong, graft.time.TimeFns.parseDurationNs(dur), graft.time.TimeFns.parseDurationNs(period))
         }.getOrElse(throw new IllegalArgumentException("oscillator needs range(time(t),'dur','period')"))
         require(freqs.nonEmpty, "oscillator needs freq(hz, amp)")
-        val df = withRownum(Fake.oscillator(spark, freqs, rng._1, rng._2, rng._3))
-        Pipe(df, "_key", Seq("time_ns", "value"))
+        keyed(Fake.oscillator(spark, freqs, rng._1, rng._2, rng._3), Seq("time_ns", "value"))
       case Call("sphere", List(Num(la), Num(lo))) =>
-        val df = withRownum(Fake.sphere(spark, la.toInt, lo.toInt))
-        Pipe(df, "_key", Seq("x", "y", "z"))
+        keyed(Fake.sphere(spark, la.toInt, lo.toInt), Seq("x", "y", "z"))
       case other => throw new IllegalArgumentException(s"unsupported FAKE generator: $other")
     }
   }
