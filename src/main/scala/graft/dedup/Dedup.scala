@@ -45,15 +45,17 @@ object Dedup {
     * collisions shift Jaccard by ≤1/|union| with probability ≈ |S|²/2^64. */
   def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
     val b = docs
       .filter(size(split(col(textCol), " ")) >= 2)
       .select(col(idCol), col(blockCol),
-        array_distinct(transform(bigramShingles(col(textCol)), s => xxhash64(s))).as("bg"))
+        graft.functions.ArrayExprs.bigramHashes(spark, col(textCol)).as("bg"))
     val a = b.select(col(idCol).as("doc_a"), col(blockCol).as("blk"), col("bg").as("bg_a"))
     val c = b.select(col(idCol).as("doc_b"), col(blockCol).as("blk"), col("bg").as("bg_b"))
     a.join(c, Seq("blk"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", jaccard(col("bg_a"), col("bg_b")))
+      .withColumn("jaccard",
+        graft.functions.ArrayExprs.jaccardSorted(spark, col("bg_a"), col("bg_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -80,24 +82,32 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    val spark = docs.sparkSession
     val sigs = docs
       .filter(size(split(col(textCol), " ")) >= 2)
       .select(col(idCol),
-        array_distinct(transform(bigramShingles(col(textCol)), s => xxhash64(s))).as("bg"))
-      .withColumn("sig", minhashSignature(col("bg"), numHashes))
-    // (band, hash(band-slice)) buckets
+        graft.functions.ArrayExprs.bigramHashes(spark, col(textCol)).as("bg"))
+      .withColumn("sig", graft.functions.ArrayExprs.minhashSig(spark, col("bg"), numHashes))
+    // (band, hash(band-slice)) buckets — ids only; the heavy shingle
+    // arrays stay out of the explode/join/distinct and are re-joined just
+    // for the final verification of the (small) candidate set.
     val banded = sigs.select(
-      col(idCol), col("bg"),
+      col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col(idCol).as("doc_a"), col("band"), col("bucket"), col("bg").as("bg_a"))
-    val r = banded.select(col(idCol).as("doc_b"), col("band"), col("bucket"), col("bg").as("bg_b"))
-    l.join(r, Seq("band", "bucket"))
+    val l = banded.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("doc_b"), col("band"), col("bucket"))
+    val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "bg_a", "bg_b").distinct()
-      .withColumn("jaccard", jaccard(col("bg_a"), col("bg_b")))
+      .select("doc_a", "doc_b").distinct()
+    val bgs = sigs.select(col(idCol), col("bg"))
+    candidates
+      .join(bgs.select(col(idCol).as("doc_a"), col("bg").as("bg_a")), Seq("doc_a"))
+      .join(bgs.select(col(idCol).as("doc_b"), col("bg").as("bg_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        graft.functions.ArrayExprs.jaccardSorted(spark, col("bg_a"), col("bg_b")))
       .filter(col("jaccard") >= verifyThreshold)
       .select("doc_a", "doc_b", "jaccard")
   }

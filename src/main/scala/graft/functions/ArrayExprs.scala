@@ -1,0 +1,181 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the hot array kernels of the dedup /
+  * similarity pipeline. The composable `transform`/`aggregate` forms are
+  * correct but interpreted per element with closure dispatch; these
+  * replace them with single tight JVM loops over the underlying arrays —
+  * the preference order from the project brief: custom Expression over
+  * UDF over anything else.
+  *
+  * All are registered as session functions (`ArrayExprs.register`) and
+  * invoked via `call_function`, so plans display them by name.
+  */
+object ArrayExprs {
+  private val P = 2147483647L // 2^31-1 Mersenne prime for affine permutations
+
+  /** MinHash signature of a hashed-shingle array: k affine permutations
+    * of each element, min per permutation. One pass over the input. */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData].toLongArray()
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      val as = new Array[Long](numHashes)
+      val bs = new Array[Long](numHashes)
+      var j = 0
+      while (j < numHashes) {
+        as(j) = 1103515245L * (j + 1) % P
+        bs(j) = 12345L + 7919L * j
+        j += 1
+      }
+      var i = 0
+      while (i < arr.length) {
+        val base = java.lang.Math.floorMod(arr(i), P)
+        j = 0
+        while (j < numHashes) {
+          val h = java.lang.Math.floorMod(base * as(j) + bs(j), P)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  }
+
+  /** Sorted-distinct 64-bit hashes of the word-bigram shingles of a text
+    * column, in one pass: split, FNV-1a over "wordA wordB", sort, dedupe.
+    * Replaces a 5-deep interpreted HOF chain (split → transform → concat
+    * → hash → distinct → sort). Output feeds JaccardSorted/MinHashSig. */
+  case class BigramHashes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "bigram_hashes"
+    private def fnv1a(acc0: Long, s: String): Long = {
+      var acc = acc0
+      var i = 0
+      while (i < s.length) {
+        acc = (acc ^ s.charAt(i)) * 0x100000001b3L
+        i += 1
+      }
+      acc
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val words = input.toString.split(' ')
+      if (words.length < 2) return new GenericArrayData(Array.empty[Long])
+      val hs = new Array[Long](words.length - 1)
+      var i = 0
+      while (i < words.length - 1) {
+        val h1 = fnv1a(0xcbf29ce484222325L, words(i))
+        hs(i) = fnv1a((h1 ^ ' ') * 0x100000001b3L, words(i + 1))
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      // in-place dedupe of the sorted array
+      var w = 0
+      i = 0
+      while (i < hs.length) {
+        if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+    }
+    override protected def withNewChildInternal(c: Expression): BigramHashes = copy(child = c)
+  }
+
+  /** Jaccard similarity of two SORTED distinct long arrays via merge
+    * intersection — O(n+m), no per-call hash set. */
+  case class JaccardSorted(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaccard_sorted"
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData].toLongArray()
+      val b = r.asInstanceOf[ArrayData].toLongArray()
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      val union = a.length + b.length - inter
+      if (union == 0) 0d else inter.toDouble / union
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+      copy(left = l, right = r)
+  }
+
+  /** Cosine similarity of two double arrays in one pass. Accumulation
+    * order matches the composed zip_with/aggregate form (index-ascending
+    * per accumulator) so oracle-checked results are bit-identical. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim"
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData].toDoubleArray()
+      val b = r.asInstanceOf[ArrayData].toDoubleArray()
+      val n = math.min(a.length, b.length)
+      var dot = 0d; var na = 0d; var nb = 0d
+      var i = 0
+      while (i < n) {
+        dot += a(i) * b(i)
+        na += a(i) * a(i)
+        nb += b(i) * b(i)
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+  }
+
+  @volatile private var registered = Set.empty[SparkSession]
+
+  /** Idempotently register the expressions on a session. */
+  def register(spark: SparkSession): Unit = {
+    if (registered.contains(spark)) return
+    synchronized {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("minhash_sig", exprs => exprs match {
+        case Seq(arr, Literal(k: Int, IntegerType)) => MinHashSig(arr, k)
+        case _ => throw new IllegalArgumentException("minhash_sig(array<long>, k)")
+      }, "built-in")
+      reg.createOrReplaceTempFunction("bigram_hashes",
+        exprs => BigramHashes(exprs.head), "built-in")
+      reg.createOrReplaceTempFunction("jaccard_sorted",
+        exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("cosine_sim",
+        exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+      registered += spark
+    }
+  }
+
+  def bigramHashes(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("bigram_hashes", text)
+  }
+  def minhashSig(spark: SparkSession, arr: Column, k: Int): Column = {
+    register(spark)
+    call_function("minhash_sig", arr, org.apache.spark.sql.functions.lit(k))
+  }
+  def jaccardSorted(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("jaccard_sorted", a, b)
+  }
+  def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function("cosine_sim", a, b)
+  }
+}
