@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.udf
+
+/** Akima sub-spline interpolation (public formulation: H. Akima 1970,
+  * "A New Method of Interpolation and Smooth Curve Fitting Based on
+  * Local Procedures", JACM 17(4); same method gonum/interp implements —
+  * reference uses it for predict("akimaspline"), fm_monad.go:1074-1156).
+  */
+object Akima {
+  /** Evaluate the Akima spline through (xs, ys) at x; clamps outside the
+    * domain; falls back to linear for <3 knots. */
+  def eval(xs: Array[Double], ys: Array[Double], x: Double): Double = {
+    val n = xs.length
+    if (n == 0) return Double.NaN
+    if (n == 1) return ys(0)
+    if (x <= xs(0)) return ys(0)
+    if (x >= xs(n - 1)) return ys(n - 1)
+    if (n == 2) {
+      val t = (x - xs(0)) / (xs(1) - xs(0))
+      return ys(0) + t * (ys(1) - ys(0))
+    }
+    // segment slopes, extended by Akima's boundary extrapolation
+    val m = new Array[Double](n + 3) // m(i+2) = slope of segment i
+    var i = 0
+    while (i < n - 1) { m(i + 2) = (ys(i + 1) - ys(i)) / (xs(i + 1) - xs(i)); i += 1 }
+    m(1) = 2 * m(2) - m(3)
+    m(0) = 2 * m(1) - m(2)
+    m(n + 1) = 2 * m(n) - m(n - 1)
+    m(n + 2) = 2 * m(n + 1) - m(n)
+    // knot derivatives via Akima weights
+    val t = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val w1 = math.abs(m(i + 3) - m(i + 2))
+      val w2 = math.abs(m(i + 1) - m(i))
+      t(i) =
+        if (w1 + w2 == 0) (m(i + 1) + m(i + 2)) / 2
+        else (w1 * m(i + 1) + w2 * m(i + 2)) / (w1 + w2)
+      i += 1
+    }
+    // locate segment (binary search)
+    var lo = 0
+    var hi = n - 1
+    while (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid) <= x) lo = mid else hi = mid
+    }
+    val h = xs(lo + 1) - xs(lo)
+    val s = (x - xs(lo)) / h
+    val slope = m(lo + 2)
+    val p0 = ys(lo)
+    val p1 = ys(lo + 1)
+    // cubic Hermite on the segment with Akima derivatives
+    val h00 = (1 + 2 * s) * (1 - s) * (1 - s)
+    val h10 = s * (1 - s) * (1 - s)
+    val h01 = s * s * (3 - 2 * s)
+    val h11 = s * s * (s - 1)
+    h00 * p0 + h10 * h * t(lo) + h01 * p1 + h11 * h * t(lo + 1)
+  }
+
+  /** UDF form: (x, array<struct<x,y>>) → interpolated value. Knot list
+    * arrives bucket-sorted from the window collect (nulls pre-filtered by
+    * collect_list). */
+  private val udfImpl = udf { (x: Long, knots: Seq[Row]) =>
+    val xs = knots.map(_.getLong(0).toDouble).toArray
+    val ys = knots.map(_.getDouble(1)).toArray
+    eval(xs, ys, x.toDouble)
+  }
+
+  def evalUdf(x: Column, knots: Column): Column = udfImpl(x, knots)
+}

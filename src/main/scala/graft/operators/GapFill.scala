@@ -28,6 +28,10 @@ object GapFill {
     * surrounding observed buckets; clamps to endpoints outside the
     * observed domain (gonum interp.PiecewiseLinear semantics). */
   case object FillLinear extends Fill
+  /** predict("akimaspline"): Akima sub-spline through the observed
+    * buckets (gonum interp.AkimaSpline semantics); clamps outside the
+    * domain. Needs ≥3 knots, else falls back to linear. */
+  case object FillAkima extends Fill
 
   /** Aggregate `aggs` per `period`-sized bucket of `tsNs` over [from,until),
     * emitting every bucket in the range (missing ones synthesized).
@@ -69,6 +73,19 @@ object GapFill {
           d.withColumn(n, coalesce(
             last(col(n), ignoreNulls = true).over(wPrev),
             first(col(n), ignoreNulls = true).over(wNext)))
+        }.orderBy("bucket_ns")
+      case FillAkima =>
+        // knots (observed buckets) are bounded by the bucket count, so a
+        // window-collected knot list per row is presentation-scale safe;
+        // the spline itself is a deterministic scalar kernel.
+        val ord = Window.orderBy("bucket_ns")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        aggs.foldLeft(joined) { case (d, (n, _)) =>
+          val knots = collect_list(when(col(n).isNotNull,
+            struct(col("bucket_ns").as("x"), col(n).cast("double").as("y")))).over(ord)
+          d.withColumn(n,
+            when(col(n).isNotNull, col(n))
+              .otherwise(Akima.evalUdf(col("bucket_ns"), knots)))
         }.orderBy("bucket_ns")
       case FillLinear =>
         val ord = Window.orderBy("bucket_ns")

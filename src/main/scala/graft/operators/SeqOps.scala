@@ -125,4 +125,33 @@ object SeqOps {
     df.withColumn("__chg", prev.isNull || prev =!= v)
       .filter(col("__chg")).drop("__chg")
   }
+
+  /** FILTER_CHANGED(retain(time, duration)): a change is only emitted
+    * after the new value has remained unchanged for `durationNs`
+    * (reference fm_monad.go:141-186 — the record is held back and
+    * released once the value proves stable; changes that revert sooner
+    * are suppressed). Emitted rows are the change points whose run lasted
+    * at least the retain duration (runs still open at stream end are
+    * emitted too, matching the reference's EOF flush). */
+  def filterChangedRetain(df: DataFrame, v: Column, key: Seq[Column], time: Column,
+                          durationNs: Long): DataFrame = {
+    val ws = w(key, time)
+    val prev = lag(v, 1).over(ws)
+    val changes = df
+      .withColumn("__chg", prev.isNull || prev =!= v)
+      .filter(col("__chg"))
+    // a change at t survives iff the next change happens ≥ duration later
+    // (or never — the reference flushes the pending record at EOF)
+    val nextChg = lead(time, 1).over(w(key, time))
+    changes
+      .withColumn("__stable", nextChg.isNull || nextChg - time >= durationNs)
+      .filter(col("__stable"))
+      .drop("__chg", "__stable")
+  }
+
+  /** THROTTLE(tps): pacing only matters on the streaming path — batch
+    * execution is a no-op, mirroring the reference's semantics of merely
+    * delaying record delivery (fm_monad.go:240-271). For streams use
+    * trigger intervals / maxFilesPerTrigger (see graft.streaming.Watch). */
+  def throttle(df: DataFrame, tps: Double): DataFrame = df
 }
