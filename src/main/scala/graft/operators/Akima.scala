@@ -61,14 +61,78 @@ object Akima {
     h00 * p0 + h10 * h * t(lo) + h01 * p1 + h11 * h * t(lo + 1)
   }
 
-  /** UDF form: (x, array<struct<x,y>>) → interpolated value. Knot list
-    * arrives bucket-sorted from the window collect (nulls pre-filtered by
-    * collect_list). */
-  private val udfImpl = udf { (x: Long, knots: Seq[Row]) =>
-    val xs = knots.map(_.getLong(0).toDouble).toArray
-    val ys = knots.map(_.getDouble(1)).toArray
-    eval(xs, ys, x.toDouble)
+  /** Fritsch–Butland monotone cubic Hermite (F. Fritsch & J. Butland
+    * 1984, "A Method for Constructing Local Monotone Piecewise Cubic
+    * Interpolants", SIAM J. Sci. Stat. Comput. 5(2) — the reference's
+    * predict("fritschbutland"), gonum interp.FritschButland). Preserves
+    * monotonicity of the data; clamps outside the domain. */
+  def evalFritschButland(xs: Array[Double], ys: Array[Double], x: Double): Double = {
+    val n = xs.length
+    if (n == 0) return Double.NaN
+    if (n == 1) return ys(0)
+    if (x <= xs(0)) return ys(0)
+    if (x >= xs(n - 1)) return ys(n - 1)
+    val h = Array.tabulate(n - 1)(i => xs(i + 1) - xs(i))
+    val m = Array.tabulate(n - 1)(i => (ys(i + 1) - ys(i)) / h(i))
+    val d = new Array[Double](n)
+    d(0) = m(0)
+    d(n - 1) = m(n - 2)
+    var i = 1
+    while (i < n - 1) {
+      d(i) =
+        if (m(i - 1) * m(i) <= 0) 0d
+        else {
+          // Fritsch–Butland weighted harmonic mean of adjacent slopes:
+          // d = (w1+w2) / (w1/m_{i-1} + w2/m_i), w1=2h_i+h_{i-1}, w2=h_i+2h_{i-1}
+          val w1 = 2 * h(i) + h(i - 1)
+          val w2 = h(i) + 2 * h(i - 1)
+          (w1 + w2) / (w1 / m(i - 1) + w2 / m(i))
+        }
+      i += 1
+    }
+    var lo = 0
+    var hi = n - 1
+    while (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid) <= x) lo = mid else hi = mid
+    }
+    val s = (x - xs(lo)) / h(lo)
+    val h00 = (1 + 2 * s) * (1 - s) * (1 - s)
+    val h10 = s * (1 - s) * (1 - s)
+    val h01 = s * s * (3 - 2 * s)
+    val h11 = s * s * (s - 1)
+    h00 * ys(lo) + h10 * h(lo) * d(lo) + h01 * ys(lo + 1) + h11 * h(lo) * d(lo + 1)
   }
 
-  def evalUdf(x: Column, knots: Column): Column = udfImpl(x, knots)
+  /** Ordinary least squares over all knots, evaluated at x (the
+    * reference's predict("linearregression") — gonum stat.LinearRegression
+    * fit over observed points, applied to gaps AND extrapolated edges). */
+  def evalLinReg(xs: Array[Double], ys: Array[Double], x: Double): Double = {
+    val n = xs.length
+    if (n == 0) return Double.NaN
+    if (n == 1) return ys(0)
+    var sx = 0d; var sy = 0d; var sxx = 0d; var sxy = 0d
+    var i = 0
+    while (i < n) { sx += xs(i); sy += ys(i); sxx += xs(i) * xs(i); sxy += xs(i) * ys(i); i += 1 }
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val alpha = sy / n - beta * sx / n
+    alpha + beta * x
+  }
+
+  /** UDF forms: (x, array<struct<x,y>>) → interpolated value. Knot lists
+    * arrive bucket-sorted from the window collect (nulls pre-filtered by
+    * collect_list). */
+  private def mkUdf(k: (Array[Double], Array[Double], Double) => Double) =
+    udf { (x: Long, knots: Seq[Row]) =>
+      val xs = knots.map(_.getLong(0).toDouble).toArray
+      val ys = knots.map(_.getDouble(1)).toArray
+      k(xs, ys, x.toDouble)
+    }
+  private val akimaUdf = mkUdf(eval)
+  private val fbUdf = mkUdf(evalFritschButland)
+  private val linregUdf = mkUdf(evalLinReg)
+
+  def evalUdf(x: Column, knots: Column): Column = akimaUdf(x, knots)
+  def fritschButlandUdf(x: Column, knots: Column): Column = fbUdf(x, knots)
+  def linRegUdf(x: Column, knots: Column): Column = linregUdf(x, knots)
 }

@@ -32,6 +32,11 @@ object GapFill {
     * buckets (gonum interp.AkimaSpline semantics); clamps outside the
     * domain. Needs ≥3 knots, else falls back to linear. */
   case object FillAkima extends Fill
+  /** predict("fritschbutland"): monotone cubic Hermite. */
+  case object FillFritschButland extends Fill
+  /** predict("linearregression"): OLS fit over observed buckets,
+    * evaluated at every bucket (gaps AND edges extrapolate). */
+  case object FillLinReg extends Fill
 
   /** Aggregate `aggs` per `period`-sized bucket of `tsNs` over [from,until),
     * emitting every bucket in the range (missing ones synthesized).
@@ -74,18 +79,24 @@ object GapFill {
             last(col(n), ignoreNulls = true).over(wPrev),
             first(col(n), ignoreNulls = true).over(wNext)))
         }.orderBy("bucket_ns")
-      case FillAkima =>
+      case FillAkima | FillFritschButland | FillLinReg =>
         // knots (observed buckets) are bounded by the bucket count, so a
         // window-collected knot list per row is presentation-scale safe;
         // the spline itself is a deterministic scalar kernel.
         val ord = Window.orderBy("bucket_ns")
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val kernel: (Column, Column) => Column = fill match {
+          case FillFritschButland => Akima.fritschButlandUdf
+          case FillLinReg => Akima.linRegUdf
+          case _ => Akima.evalUdf
+        }
         aggs.foldLeft(joined) { case (d, (n, _)) =>
           val knots = collect_list(when(col(n).isNotNull,
             struct(col("bucket_ns").as("x"), col(n).cast("double").as("y")))).over(ord)
+          // only synthesized buckets are filled; observed values stay
           d.withColumn(n,
             when(col(n).isNotNull, col(n))
-              .otherwise(Akima.evalUdf(col("bucket_ns"), knots)))
+              .otherwise(kernel(col("bucket_ns"), knots)))
         }.orderBy("bucket_ns")
       case FillLinear =>
         val ord = Window.orderBy("bucket_ns")

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{GapFill, SeqOps, StatOps}
+import graft.text.TextOps
+import Q._
+
+/** Second-wave battery: retain semantics, categorical histogram, classic
+  * TPC-H shapes, spline fills and winnowing fingerprints.
+  */
+object Extra {
+  private val DayFromUs = 1704412800L * 1000000L
+  private val DayUntilUs = DayFromUs + 86400L * 1000000L
+
+  val defs: Map[String, QueryFn] = Map(
+    // ---- FILTER_CHANGED(retain(dur)) ----------------------------------
+    "q_filter_changed_retain" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.filter(col("user_id") < 50)
+        .select(col("user_id"), tsUs(e0).as("t_us"), col("event_type"))
+      SeqOps.filterChangedRetain(e, col("event_type"), Seq(col("user_id")),
+        col("t_us"), 600000000L) // 10 min in µs
+        .orderBy("user_id", "t_us")
+    }),
+
+    // ---- HISTOGRAM(category()) ----------------------------------------
+    "q_histogram_category" -> ((s, dir) => {
+      StatOps.histogramByCategory(s, t(s, dir, "events"), col("value"),
+        col("event_type"), 0d, 500d, 50d,
+        Seq("click", "error", "purchase", "signup", "view"))
+    }),
+
+    // ---- TPC-H Q6 shape: pushed-down range filters + decimal revenue --
+    "q_tpch_revenue_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date").between("1996-01-01", "1996-12-31") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_discount").cast("decimal(4,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- top-N by aggregate (window rank over grouped revenue) --------
+    "q_top_customers" -> ((s, dir) => {
+      val rev = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("revenue").desc, col("o_custkey").asc)
+      rev.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select("rnk", "o_custkey", "revenue", "n_orders")
+        .orderBy("rnk")
+    }),
+
+    // ---- gap-fill with Akima spline (rows-only; kernel spec-tested) ---
+    "q_gapfill_akima" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.select(tsUs(e0).as("t_us"), col("value"))
+      GapFill.timewindow(s, e, col("t_us"), DayFromUs, DayUntilUs, 300000000L,
+        Seq("avg_value" -> fround(sum(dec2(col("value"))).cast("double") / count(col("value")), 4)),
+        GapFill.FillAkima)
+        .select(col("bucket_ns").as("t_us"), fround(col("avg_value"), 4).as("avg_value"))
+        .orderBy("t_us")
+    }),
+
+    // ---- winnowing fingerprint (rows-only; engine-specific hash) ------
+    "q_winnow_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextOps.winnowFingerprint(col("text"), 4).as("winnow"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_filter_changed_retain" ->
+      """WITH chg AS (
+           SELECT user_id, epoch_us(ts) AS t_us, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events WHERE user_id < 50),
+         c2 AS (SELECT user_id, t_us, event_type FROM chg
+                WHERE prev IS NULL OR prev <> event_type),
+         c3 AS (SELECT user_id, t_us, event_type,
+                  lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us) AS nxt
+                FROM c2)
+         SELECT user_id, t_us, event_type FROM c3
+         WHERE nxt IS NULL OR nxt - t_us >= 600000000
+         ORDER BY user_id, t_us""",
+    "q_histogram_category" ->
+      """SELECT CAST(bin*50.0 AS DOUBLE) AS low,
+         coalesce(click, 0) AS click, coalesce(error, 0) AS error,
+         coalesce(purchase, 0) AS purchase, coalesce(signup, 0) AS signup,
+         coalesce(view, 0) AS view
+         FROM (SELECT CAST(range AS BIGINT) AS bin FROM range(10)) bins
+         LEFT JOIN (
+           SELECT CAST(floor((value-0)/50) AS BIGINT) AS vbin,
+             count(CASE WHEN event_type='click' THEN 1 END) AS click,
+             count(CASE WHEN event_type='error' THEN 1 END) AS error,
+             count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+             count(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+             count(CASE WHEN event_type='view' THEN 1 END) AS view
+           FROM events WHERE value >= 0 AND value < 500 GROUP BY 1) h
+           ON bins.bin = h.vbin
+         ORDER BY low""",
+    "q_tpch_revenue_filter" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q_top_customers" ->
+      """SELECT rnk, o_custkey, revenue, n_orders FROM (
+           SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_orders,
+             row_number() OVER (ORDER BY CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) DESC, o_custkey ASC) AS rnk
+           FROM orders GROUP BY o_custkey)
+         WHERE rnk <= 10 ORDER BY rnk""")
+}

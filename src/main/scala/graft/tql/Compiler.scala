@@ -53,7 +53,9 @@ object Compiler {
 
   private def statementNeedsKey(e: Expr): Boolean = e match {
     case Expr.Call(n, args) =>
-      Set("TAKE", "DROP", "PUSHKEY", "POPKEY", "key")(n) || args.exists(statementNeedsKey)
+      Set("TAKE", "DROP", "PUSHKEY", "POPKEY", "key",
+        "MAP_DIFF", "MAP_ABSDIFF", "MAP_NONEGDIFF", "MAP_AVG", "MAP_MOVAVG",
+        "MAP_LOWPASS", "FILTER_CHANGED")(n) || args.exists(statementNeedsKey)
     case Expr.Bin(_, l, r) => statementNeedsKey(l) || statementNeedsKey(r)
     case Expr.Unary(_, x) => statementNeedsKey(x)
     case Expr.Ternary(c, t, f) => Seq(c, t, f).exists(statementNeedsKey)
@@ -197,8 +199,9 @@ object Compiler {
         p.copy(df = p.df.drop(p.values.zipWithIndex.filter { case (_, i) => drop(i) }.map(_._1): _*),
           values = keep)
 
-      case Call("SET", _) => // SET name = expr is lexed as SET(name = expr)?
-        throw new IllegalArgumentException("SET requires `SET name = expr` form (unsupported yet)")
+      case Call("SET", List(Str(name), expr)) =>
+        // record variable, referenced later as $name
+        p.copy(df = p.df.withColumn(s"$$$name", toColumn(expr, p)))
 
       case Call("PUSHKEY", List(expr)) =>
         // demote current key into values, new key from expr
@@ -226,7 +229,56 @@ object Compiler {
       case Call("GROUP", args) =>
         compileGroup(p, args)
 
+      // ---- sequential MAP_* statements: record-order semantics over the
+      // rownum key, mirroring the reference's single-stream state
+      // (fm_monad.go MAP_DIFF 1806+, MAP_AVG 1993+, MAP_MOVAVG 2023+,
+      // MAP_LOWPASS 2081+). Whole-stream = one logical series.
+      case Call("MAP_DIFF", Num(idx) :: v :: rest) =>
+        seqMapValue(p, idx.toInt, rest,
+          graft.operators.SeqOps.mapDiff(toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
+      case Call("MAP_ABSDIFF", Num(idx) :: v :: rest) =>
+        seqMapValue(p, idx.toInt, rest,
+          graft.operators.SeqOps.mapAbsDiff(toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
+      case Call("MAP_NONEGDIFF", Num(idx) :: v :: rest) =>
+        seqMapValue(p, idx.toInt, rest,
+          graft.operators.SeqOps.mapNonNegDiff(toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
+      case Call("MAP_AVG", Num(idx) :: v :: rest) =>
+        seqMapValue(p, idx.toInt, rest,
+          graft.operators.SeqOps.mapAvg(toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
+      case Call("MAP_MOVAVG", Num(idx) :: v :: Num(win) :: rest) =>
+        val noWait = rest.exists { case Call("noWait", _) => true; case _ => false }
+        seqMapValue(p, idx.toInt, rest,
+          graft.operators.SeqOps.movAvg(toColumn(v, p), Seq(lit(1)), col(p.keyCol),
+            win.toInt, noWait))
+
+      case Call("FILTER_CHANGED", v :: rest) =>
+        val retain = rest.collectFirst {
+          case Call("retain", List(_, Str(dur))) => graft.time.TimeFns.parseDurationNs(dur)
+        }
+        retain match {
+          case Some(durNs) =>
+            p.copy(df = graft.operators.SeqOps.filterChangedRetain(
+              p.df, toColumn(v, p), Seq(lit(1)), col(p.keyCol), durNs))
+          case None =>
+            p.copy(df = graft.operators.SeqOps.filterChanged(
+              p.df, toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
+        }
+
       case other => throw new IllegalArgumentException(s"unsupported map: ${st.text}")
+    }
+  }
+
+  /** MAP_* helper: write a sequential result into value slot `idx`. */
+  private def seqMapValue(p: Pipe, idx: Int, rest: List[Expr], c: Column): Pipe = {
+    val name = rest.collectFirst { case Expr.Str(s) => s }
+      .getOrElse(if (idx < p.values.size) p.values(idx) else s"value_$idx")
+    if (idx < p.values.size) {
+      val old = p.values(idx)
+      val df = p.df.withColumn(s"__seq_$idx", c).drop(old)
+        .withColumnRenamed(s"__seq_$idx", name)
+      p.copy(df = df, values = p.values.updated(idx, name))
+    } else {
+      p.copy(df = p.df.withColumn(name, c), values = p.values :+ name)
     }
   }
 
@@ -244,7 +296,10 @@ object Compiler {
       case Call("lazy", _) => // emission-order hint; hash agg + orderBy covers it
       case Call(fn, e :: rest) if aggNames(fn) =>
         val name = rest.collectFirst { case Str(s) => s }.getOrElse(fn)
-        val c = toColumn(e, p)
+        // where(pred): per-aggregator filter (reference fm_monad.go:559-563)
+        val whereP = rest.collectFirst { case Call("where", List(pred)) => toColumn(pred, p) }
+        val raw = toColumn(e, p)
+        val c = whereP.map(w => when(w, raw)).getOrElse(raw)
         val agg = fn match {
           case "count" => count(c)
           case "sum" => sum(c)

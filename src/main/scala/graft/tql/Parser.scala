@@ -207,13 +207,19 @@ object Parser {
     out.toList
   }
 
+  private val SetStmt = "(?s)^SET\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
+
   def parseScript(script: String): List[Statement] =
-    splitStatements(script).map { text =>
-      parseExpression(text) match {
-        case c: Expr.Call => Statement(c, text)
-        case Expr.Ident(n) => Statement(Expr.Call(n, Nil), text)
-        case other => throw new IllegalArgumentException(
-          s"statement must be a function call: $text ($other)")
-      }
+    splitStatements(script).map {
+      case text @ SetStmt(name, rhs) =>
+        // `SET name = expr` (reference task_node.go:137-147)
+        Statement(Expr.Call("SET", List(Expr.Str(name), parseExpression(rhs))), text)
+      case text =>
+        parseExpression(text) match {
+          case c: Expr.Call => Statement(c, text)
+          case Expr.Ident(n) => Statement(Expr.Call(n, Nil), text)
+          case other => throw new IllegalArgumentException(
+            s"statement must be a function call: $text ($other)")
+        }
     }
 }
