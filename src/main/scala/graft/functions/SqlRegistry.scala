@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Registers the reference's scalar-function names in Spark SQL so the
+  * `/db/query` front door accepts TQL-style expressions (reference
+  * registry: fx_definitions.go:77-334). Names that map 1:1 onto Spark
+  * built-ins are NOT re-registered (callers use the native name — see
+  * ScalarFns.aliases); only the missing ones are added.
+  */
+object SqlRegistry {
+  @volatile private var done = Set.empty[SparkSession]
+
+  def registerAll(spark: SparkSession): Unit = {
+    if (done.contains(spark)) return
+    synchronized {
+      // native Expressions (codegen-adjacent, plan-visible)
+      ArrayExprs.register(spark)
+      // thin Scala UDFs for the long-tail scalar names Spark lacks
+      spark.udf.register("glob", (pattern: String, text: String) =>
+        text != null && pattern != null &&
+          java.util.regex.Pattern.matches(ScalarFns.globToRegex(pattern), text))
+      spark.udf.register("simplex", (seed: Long, x: Double) => Noise.simplex1(seed, x))
+      spark.udf.register("simplex2", (seed: Long, x: Double, y: Double) =>
+        Noise.simplex2(seed, x, y))
+      spark.udf.register("roundTime", (t: Long, dur: String) => {
+        val p = graft.time.TimeFns.parseDurationNs(dur)
+        t - java.lang.Math.floorMod(t, p)
+      })
+      spark.udf.register("timeAdd", (t: Long, dur: String) =>
+        t + graft.time.TimeFns.parseDurationNs(dur))
+      spark.udf.register("parseTimeNs", (s: String, fmt: String) => {
+        val pattern = graft.time.TimeFns.translateTimeformat(fmt)
+        val f = java.time.format.DateTimeFormatter.ofPattern(pattern)
+          .withZone(java.time.ZoneOffset.UTC)
+        val inst = java.time.Instant.from(f.parse(s))
+        inst.getEpochSecond * 1000000000L + inst.getNano
+      })
+      spark.udf.register("isIPv4", (s: String) =>
+        s != null && s.matches("^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$"))
+      spark.udf.register("isIPv6", (s: String) =>
+        s != null && s.contains(":") && (try {
+          java.net.InetAddress.getByName(s).isInstanceOf[java.net.Inet6Address]
+        } catch { case _: Exception => false }))
+      done += spark
+    }
+  }
+}

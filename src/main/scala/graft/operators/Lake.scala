@@ -72,6 +72,49 @@ object Lake {
       .agg(avg(value))
       .orderBy("time_ns")
 
+  /** SQL_SELECT between() bound resolution (reference fm_dbsrc.go:835-944):
+    * bounds are absolute ns, `now±dur`, or `last±dur` where `last` is the
+    * tag's max time (resolved via V$T_STAT there; here a broadcast 1-row
+    * aggregate — no driver round-trip, stays one Catalyst plan). */
+  sealed trait TimeBound
+  case class AbsNs(ns: Long) extends TimeBound
+  case class NowRel(offsetNs: Long) extends TimeBound
+  case class LastRel(offsetNs: Long) extends TimeBound
+
+  object TimeBound {
+    /** Parse "now", "now-1h", "last", "last-30s", or a ns literal. */
+    def parse(s: String): TimeBound = {
+      val t = s.trim
+      if (t.startsWith("now")) NowRel(rel(t.drop(3)))
+      else if (t.startsWith("last")) LastRel(rel(t.drop(4)))
+      else AbsNs(t.toLong)
+    }
+    private def rel(r: String): Long = r.trim match {
+      case "" => 0L
+      case x if x.startsWith("-") => -graft.time.TimeFns.parseDurationNs(x.drop(1))
+      case x if x.startsWith("+") => graft.time.TimeFns.parseDurationNs(x.drop(1))
+      case x => throw new IllegalArgumentException(s"bad relative time: $r")
+    }
+  }
+
+  /** Filter a (tag-filtered) frame to [fromB, toB] resolving now/last.
+    * `nowNs` is injected for determinism (the reference reads the clock). */
+  def betweenFilter(df: DataFrame, timeCol: String,
+                    fromB: TimeBound, toB: TimeBound, nowNs: Long): DataFrame = {
+    val needsLast = Seq(fromB, toB).exists(_.isInstanceOf[LastRel])
+    val base =
+      if (!needsLast) df
+      else df.crossJoin(org.apache.spark.sql.functions.broadcast(
+        df.agg(max(col(timeCol)).as("__last_ts"))))
+    def bound(b: TimeBound): Column = b match {
+      case AbsNs(ns) => lit(ns)
+      case NowRel(off) => lit(nowNs + off)
+      case LastRel(off) => col("__last_ts") + off
+    }
+    base.filter(col(timeCol) >= bound(fromB) && col(timeCol) <= bound(toB))
+      .drop("__last_ts")
+  }
+
   /** As-of join: for each left row, the most recent right row with
     * right.time ≤ left.time on the same key. Implemented as a tagged
     * union + one (key, time) sort with last-value carry-forward — a

@@ -34,7 +34,12 @@ object Compiler {
     df.withColumn("_key",
       row_number().over(Window.orderBy(monotonically_increasing_id())).cast("long"))
 
-  def compile(spark: SparkSession, script: String): Compiled = {
+  def compile(spark: SparkSession, script: String): Compiled =
+    compile(spark, script, System.currentTimeMillis() * 1000000L)
+
+  /** `nowNs` pins the clock that `between('now-…', …)` resolves against —
+    * injected for determinism (the reference reads the wall clock). */
+  def compile(spark: SparkSession, script: String, nowNs: Long): Compiled = {
     val stmts = Parser.parseScript(script)
     require(stmts.nonEmpty, "empty script")
     val src = stmts.head
@@ -46,7 +51,7 @@ object Compiler {
     // consumes record order or the key.
     val needKey = maps.exists(st => statementNeedsKey(st.call)) ||
       Set("rownum").exists(o => sinkStmt.text.contains("rownum("))
-    val pipe0 = compileSource(spark, src, needKey)
+    val pipe0 = compileSource(spark, src, needKey, nowNs)
     val piped = maps.foldLeft(pipe0)((p, st) => compileMap(p, st))
     Compiled(piped, compileSink(sinkStmt))
   }
@@ -71,7 +76,8 @@ object Compiler {
   }
 
   // ---------------- sources ----------------
-  private def compileSource(spark: SparkSession, st: Statement, needKey: Boolean): Pipe = {
+  private def compileSource(spark: SparkSession, st: Statement, needKey: Boolean,
+                            nowNs: Long): Pipe = {
     import Expr._
     def keyed(df: org.apache.spark.sql.DataFrame): Pipe = {
       val d = if (needKey) withRownum(df) else df
@@ -80,7 +86,7 @@ object Compiler {
     st.call match {
       case Call("SQL", List(Str(sql))) => keyed(spark.sql(sql))
       case Call("SQL_SELECT", args) =>
-        compileSqlSelect(spark, args, needKey)
+        compileSqlSelect(spark, args, needKey, nowNs)
       case Call("FAKE", List(gen: Call)) =>
         compileFake(spark, gen, needKey)
       case Call("CSV", Call("file", List(Str(path))) :: rest) =>
@@ -92,32 +98,38 @@ object Compiler {
 
   /** SQL_SELECT('time','value', from('table','tag'), between(a, b)) —
     * the tag-table SQL generator (reference fm_dbsrc.go:93-227). */
-  private def compileSqlSelect(spark: SparkSession, args: List[Expr], needKey: Boolean): Pipe = {
+  private def compileSqlSelect(spark: SparkSession, args: List[Expr], needKey: Boolean,
+                               nowNs: Long): Pipe = {
     import Expr._
+    import graft.operators.Lake
     val cols = args.collect { case Str(c) => c }
     var table = ""
     var tag = ""
-    var between: Option[(Long, Long)] = None
+    var between: Option[(Lake.TimeBound, Lake.TimeBound)] = None
     var limit: Option[Int] = None
     args.foreach {
       case Call("from", Str(t) :: Str(tg) :: _) => table = t; tag = tg
       case Call("between", List(a, b)) =>
-        between = Some((evalTimeLit(a), evalTimeLit(b)))
+        between = Some((evalTimeBound(a), evalTimeBound(b)))
       case Call("limit", List(Num(n))) => limit = Some(n.toInt)
       case _ =>
     }
     require(table.nonEmpty, "SQL_SELECT requires from(table, tag)")
     var df = spark.table(table).filter(col("name") === tag)
-    between.foreach { case (a, b) => df = df.filter(col("time").between(a, b)) }
+    between.foreach { case (a, b) =>
+      df = Lake.betweenFilter(df, "time", a, b, nowNs)
+    }
     df = df.orderBy("time").select(cols.map(col): _*)
     limit.foreach(n => df = df.limit(n))
     Pipe(if (needKey) withRownum(df) else df, "_key", cols)
   }
 
-  private def evalTimeLit(e: Expr): Long = e match {
-    case Expr.Num(v) => v.toLong
-    case Expr.Call("time", List(Expr.Num(v))) => v.toLong
-    case other => throw new IllegalArgumentException(s"unsupported time literal $other")
+  /** between() bound: ns literal, time(ns), or 'now±dur' / 'last±dur'. */
+  private def evalTimeBound(e: Expr): graft.operators.Lake.TimeBound = e match {
+    case Expr.Num(v) => graft.operators.Lake.AbsNs(v.toLong)
+    case Expr.Call("time", List(Expr.Num(v))) => graft.operators.Lake.AbsNs(v.toLong)
+    case Expr.Str(s) => graft.operators.Lake.TimeBound.parse(s)
+    case other => throw new IllegalArgumentException(s"unsupported time bound $other")
   }
 
   private def compileFake(spark: SparkSession, gen: Expr.Call, needKey: Boolean): Pipe = {
@@ -483,6 +495,10 @@ object Tql {
   /** Compile a script against a session (tables must be registered). */
   def compile(spark: SparkSession, script: String): Compiler.Compiled =
     Compiler.compile(spark, script)
+
+  /** Compile with a pinned clock for between('now…') determinism. */
+  def compile(spark: SparkSession, script: String, nowNs: Long): Compiler.Compiled =
+    Compiler.compile(spark, script, nowNs)
 
   /** Compile and render through the sink codec — `/db/tql` semantics. */
   def run(spark: SparkSession, script: String): String =
