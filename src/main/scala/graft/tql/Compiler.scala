@@ -276,6 +276,23 @@ object Compiler {
               p.df, toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
         }
 
+      case Call("TRANSPOSE", args) =>
+        // TRANSPOSE(fixed(i…)): unpivot all non-fixed value columns
+        val fixedIdx = args.collect { case Call("fixed", idxs) =>
+          idxs.collect { case Num(i) => i.toInt } }.flatten.toSet
+        val fixedCols = p.values.zipWithIndex.filter { case (_, i) => fixedIdx(i) }.map(_._1)
+        val df = graft.operators.RowOps.transpose(
+          p.df.select(p.values.map(col): _*), fixedCols)
+        p.copy(df = df, values = fixedCols ++ Seq("name", "value"))
+
+      case Call("HISTOGRAM", v :: rest) =>
+        val (minV, maxV, step) = rest.collectFirst {
+          case Call("bins", List(Num(a), Num(b), Num(s0))) => (a, b, s0)
+        }.getOrElse(throw new IllegalArgumentException("HISTOGRAM needs bins(min,max,step)"))
+        val df = graft.operators.StatOps.histogram(
+          p.df.sparkSession, p.df, toColumn(v, p), minV, maxV, step)
+        Pipe(df, "low", Seq("low", "high", "cnt"))
+
       case other => throw new IllegalArgumentException(s"unsupported map: ${st.text}")
     }
   }

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import graft.tql.Tql
+
+class Tql3Spec extends SparkSpec {
+
+  test("TRANSPOSE statement unpivots non-fixed values") {
+    val out = Tql.run(spark,
+      """FAKE(linspace(1, 2, 2))
+        |MAPVALUE(1, value(0) * 10, 'tens')
+        |MAPVALUE(2, value(0) * 100, 'hundreds')
+        |TRANSPOSE(fixed(0))
+        |CSV(header())
+        |""".stripMargin)
+    assert(out ==
+      "x,name,value\n1.0,tens,10.0\n1.0,hundreds,100.0\n2.0,tens,20.0\n2.0,hundreds,200.0\n")
+  }
+
+  test("HISTOGRAM statement bins values with empty bins") {
+    val out = Tql.run(spark,
+      """FAKE(linspace(0, 9, 10))
+        |HISTOGRAM(value(0), bins(0, 10, 2.5))
+        |CSV(header())
+        |""".stripMargin)
+    assert(out ==
+      "low,high,cnt\n0.0,2.5,3\n2.5,5.0,2\n5.0,7.5,3\n7.5,10.0,2\n")
+  }
+
+  test("CSV file source with typed pipeline end-to-end") {
+    val f = Files.createTempFile("graft_tql", ".csv")
+    Files.writeString(f, "alpha,1,10.5\nbeta,2,20.25\ngamma,3,30.125\n")
+    val out = Tql.run(spark,
+      s"""CSV(file('${f.toString}'))
+         |FILTER(parseFloat(value(2)) > 15)
+         |MAPVALUE(1, parseFloat(value(1)) * 100, 'scaled')
+         |CSV()
+         |""".stripMargin)
+    assert(out == "beta,200.0,20.25\ngamma,300.0,30.125\n")
+  }
+
+  test("JSON sink through TQL emits the envelope") {
+    val out = Tql.run(spark,
+      """FAKE(linspace(1, 2, 2))
+        |JSON()
+        |""".stripMargin)
+    assert(out.startsWith("""{"data":{"columns":["x"]"""))
+    assert(out.contains(""""rows":[[1.0],[2.0]]"""))
+  }
+}
