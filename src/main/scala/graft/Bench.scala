@@ -18,6 +18,7 @@ object Bench {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus.toString)
     ).getOrCreate()
+    graft.core.Sessions.installRules(spark)
     spark.sparkContext.setLogLevel("WARN")
     // JVM/session warm-up so the first measured query isn't charged for
     // codegen compiler + executor spin-up.

@@ -23,6 +23,15 @@ object Sessions {
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", "false")
 
+  /** Install graft's optimizer rules on an existing session. Safe by
+    * default: rollup routing is a no-op until a rollup is registered. */
+  def installRules(s: SparkSession): SparkSession = {
+    val route = new graft.plans.RollupRouting.Route(s)
+    if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.RollupRouting.Route]))
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ route
+    s
+  }
+
   /** Local session for tests/benchmarks. */
   def local(cores: Int = 4, shufflePartitions: Int = 0): SparkSession = {
     val sp = if (shufflePartitions > 0) shufflePartitions else cores
@@ -33,6 +42,6 @@ object Sessions {
         .config("spark.sql.shuffle.partitions", sp.toString)
     ).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    installRules(s)
   }
 }

@@ -1,0 +1,213 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Pre-aggregation routing: rewrite time-bucket aggregates over a raw tag
+  * table onto its engine-maintained rollup table when the requested
+  * bucket is a multiple of the rollup period — the optimization the
+  * reference performs in its API layer via ROLLUP hints + DATE_TRUNC
+  * (machbase/neo-server mods/server/http_lake.go:1692-1716, V$ROLLUP
+  * spi/show.go:1209-1222), expressed as a Catalyst `Rule[LogicalPlan]`
+  * so EVERY query shape benefits, not just one endpoint.
+  *
+  * A rollup table (built by `Lake.rollup` / maintained by
+  * `Watch.rollupStream`) has schema
+  * `(name, time_ns, min_value, max_value, sum_value, sumsq_value, cnt)`
+  * at some period R. An aggregate
+  *   `GROUP BY name, ts - ts % P` with P a multiple of R, aggregating
+  *   min/max/sum/count/avg over the raw value column,
+  * is answered from the rollup by merging partials:
+  *   min→min(min_value), max→max(max_value), sum→sum(sum_value),
+  *   count→sum(cnt), avg→sum(sum_value)/sum(cnt), sumsq→sum(sumsq_value).
+  *
+  * Conservative by design: the rewrite fires only when the child is the
+  * bare registered relation (optionally under Project) and every
+  * aggregate/grouping matches a supported shape; otherwise the plan is
+  * untouched.
+  */
+object RollupRouting {
+  /** Registered rollup: raw parquet path → rollup info. */
+  case class Spec(rollupPath: String, periodNs: Long,
+                  nameCol: String, timeCol: String, valueCol: String)
+
+  private val catalog = TrieMap.empty[String, Spec]
+
+  /** Register a rollup for a raw table path. Paths are compared by
+    * Hadoop-qualified root path string suffix. */
+  def register(rawPath: String, spec: Spec): Unit = catalog.put(normalize(rawPath), spec)
+  def clear(): Unit = catalog.clear()
+
+  private def normalize(p: String): String = p.stripSuffix("/")
+
+  private def specFor(rel: LogicalRelation): Option[Spec] = rel.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.headOption.flatMap { root =>
+        val s = root.toString
+        catalog.collectFirst {
+          case (path, spec) if s == path || s.endsWith(path) => spec
+        }
+      }
+    case _ => None
+  }
+
+  /** The bucket shape our kernel emits: (t - pmod(t, P)) [cast long]. */
+  private object BucketExpr {
+    def unapply(e: Expression): Option[(Attribute, Long)] = strip(e) match {
+      case Subtract(t1: Attribute, Pmod(t2: Attribute, Literal(p: Long, _), _), _)
+        if t1.semanticEquals(t2) => Some((t1, p))
+      case _ => None
+    }
+    private def strip(e: Expression): Expression = e match {
+      case Cast(c, _, _, _) => strip(c)
+      case a: Alias => strip(a.child)
+      case other => other
+    }
+  }
+
+  class Route(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      if (catalog.isEmpty) return plan
+      plan.transformUp {
+        case agg @ Aggregate(groupings, aggExprs, child, _) =>
+          tryRewrite(groupings, aggExprs, child).getOrElse(agg)
+      }
+    }
+
+    /** Peel Project/SubqueryAlias down to a registered relation, keeping
+      * the alias definitions the optimizer pulled out of the groupings
+      * (PullOutGroupingExpressions) so we can resolve grouping attrs. */
+    private def baseRelation(p: LogicalPlan,
+                             aliases: Map[ExprId, Expression] = Map.empty)
+        : Option[(LogicalRelation, Spec, Map[ExprId, Expression])] = p match {
+      case rel: LogicalRelation => specFor(rel).map(s => (rel, s, aliases))
+      case Project(projList, child) =>
+        val newAliases = aliases ++ projList.collect {
+          case a @ Alias(e, _) => a.exprId -> e
+        }
+        if (projList.forall(e => e.isInstanceOf[Attribute] || e.isInstanceOf[Alias]))
+          baseRelation(child, newAliases)
+        else None
+      case SubqueryAlias(_, child) => baseRelation(child, aliases)
+      case _ => None
+    }
+
+    private def tryRewrite(groupings: Seq[Expression],
+                           aggExprs: Seq[NamedExpression],
+                           child: LogicalPlan): Option[LogicalPlan] = {
+      val (rel, spec, aliases) = baseRelation(child) match {
+        case Some(x) => x
+        case None => return None
+      }
+      def isCol(a: Attribute, name: String): Boolean = a.name == name
+      // resolve an expression through the pulled-out aliases
+      def deref(e: Expression): Expression = e match {
+        case a: Attribute => aliases.getOrElse(a.exprId, a)
+        case other => other
+      }
+
+      // groupings: the name column and/or ONE aligned time bucket
+      var bucket: Option[(Attribute, Long)] = None // (grouping attr or null, period)
+      var nameGroupAttr: Option[Attribute] = None
+      val groupingsOk = groupings.forall { g =>
+        (g, deref(g)) match {
+          case (a: Attribute, na: Attribute) if isCol(na, spec.nameCol) =>
+            nameGroupAttr = Some(a); true
+          case (a: Attribute, BucketExpr(t, p))
+            if isCol(t, spec.timeCol) && p % spec.periodNs == 0 && bucket.isEmpty =>
+            bucket = Some((a, p)); true
+          case (BucketExpr(t, p), _)
+            if isCol(t, spec.timeCol) && p % spec.periodNs == 0 && bucket.isEmpty =>
+            bucket = Some((null, p)); true
+          case _ => false
+        }
+      }
+      if (!groupingsOk || bucket.isEmpty) return None
+      val period = bucket.get._2
+
+      // rollup relation + column handles
+      val rPlan = spark.read.parquet(spec.rollupPath).queryExecution.analyzed
+      val h = Seq("name", "time_ns", "min_value", "max_value", "sum_value",
+        "sumsq_value", "cnt").map(n => n -> rPlan.output.find(_.name == n)).toMap
+      if (h.values.exists(_.isEmpty)) return None
+      val rName = h("name").get; val rTime = h("time_ns").get
+      val rMin = h("min_value").get; val rMax = h("max_value").get
+      val rSum = h("sum_value").get; val rSumSq = h("sumsq_value").get
+      val rCnt = h("cnt").get
+
+      val newBucket = Cast(
+        Subtract(rTime, Pmod(rTime, Literal(period))),
+        org.apache.spark.sql.types.LongType)
+
+      // the project under the new Aggregate: re-bind the original grouping
+      // attr ids onto rollup-derived expressions + pass rollup attrs for
+      // the merged aggregates
+      val projOut = Seq.newBuilder[NamedExpression]
+      nameGroupAttr.foreach(a => projOut += Alias(rName, a.name)(exprId = a.exprId))
+      bucket.get._1 match {
+        case null =>
+        case a => projOut += Alias(newBucket, a.name)(exprId = a.exprId)
+      }
+      projOut ++= rPlan.output
+      val newChild = Project(projOut.result(), rPlan)
+
+      def mergeAgg(fn: AggregateFunction): Option[Expression] = fn match {
+        case Min(v: Attribute) if isCol(v, spec.valueCol) => Some(aggE(Min(rMin)))
+        case Max(v: Attribute) if isCol(v, spec.valueCol) => Some(aggE(Max(rMax)))
+        case Sum(v: Attribute, _) if isCol(v, spec.valueCol) => Some(aggE(Sum(rSum)))
+        case Count(Seq(v: Attribute)) if isCol(v, spec.valueCol) => Some(aggE(Sum(rCnt)))
+        case Count(Seq(Literal(_, _))) => Some(aggE(Sum(rCnt)))
+        case Average(v: Attribute, _) if isCol(v, spec.valueCol) =>
+          Some(Divide(aggE(Sum(rSum)), Cast(aggE(Sum(rCnt)), rSum.dataType)))
+        case Sum(Multiply(a: Attribute, b: Attribute, _), _)
+          if isCol(a, spec.valueCol) && isCol(b, spec.valueCol) =>
+          Some(aggE(Sum(rSumSq)))
+        case _ => None
+      }
+
+      val groupingAttrIds: Set[ExprId] =
+        (nameGroupAttr.toSeq ++ Option(bucket.get._1).toSeq).map(_.exprId).toSet
+      val rawAttrIds = rel.output.map(_.exprId).toSet
+
+      var ok = true
+      val newAggs = aggExprs.map { ne =>
+        val rewritten = ne.transformUp {
+          case ae: AggregateExpression if ae.filter.isEmpty && !ae.isDistinct =>
+            mergeAgg(ae.aggregateFunction).getOrElse { ok = false; ae }
+          case ae: AggregateExpression => ok = false; ae
+        }
+        // after rewrite, no references to the raw relation may remain
+        // except via the re-bound grouping attrs
+        if (rewritten.references.exists(a =>
+            rawAttrIds(a.exprId) && !groupingAttrIds(a.exprId))) ok = false
+        rewritten.asInstanceOf[NamedExpression]
+      }
+      if (!ok) return None
+
+      val newGroupings = groupings.map {
+        case a: Attribute => a // re-bound via the project aliases
+        case BucketExpr(_, p2) => Cast(
+          Subtract(rTime, Pmod(rTime, Literal(p2))),
+          org.apache.spark.sql.types.LongType)
+        case other => other
+      }
+      Some(Aggregate(newGroupings, newAggs, newChild))
+    }
+
+    private def aggE(fn: AggregateFunction): AggregateExpression =
+      AggregateExpression(fn, Complete, isDistinct = false)
+  }
+
+  /** SparkSessionExtensions hook: register with
+    * `.withExtensions(new GraftExtensions)` or the
+    * `spark.sql.extensions` conf. */
+  class GraftExtensions extends (SparkSessionExtensions => Unit) {
+    override def apply(e: SparkSessionExtensions): Unit =
+      e.injectOptimizerRule(s => new Route(s))
+  }
+}
