@@ -126,6 +126,19 @@ object SeqOps {
       .filter(col("__chg")).drop("__chg")
   }
 
+  /** FILTER_CHANGED(useFirstWithLast(true)): emit both the first AND the
+    * last record of every run of equal values (reference
+    * fm_monad.go:121-238 — closing record emission). */
+  def filterChangedFirstLast(df: DataFrame, v: Column, key: Seq[Column], time: Column): DataFrame = {
+    val ws = w(key, time)
+    val prev = lag(v, 1).over(ws)
+    val next = lead(v, 1).over(ws)
+    df.withColumn("__keep",
+      prev.isNull || prev =!= v ||   // run opener
+        next.isNull || next =!= v)   // run closer
+      .filter(col("__keep")).drop("__keep")
+  }
+
   /** FILTER_CHANGED(retain(time, duration)): a change is only emitted
     * after the new value has remained unchanged for `durationNs`
     * (reference fm_monad.go:141-186 — the record is held back and

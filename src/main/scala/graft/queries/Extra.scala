@@ -71,6 +71,15 @@ object Extra {
       t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"), TextOps.winnowFingerprint(col("text"), 4).as("winnow"))
         .orderBy("doc_id")
+    }),
+
+    // ---- IVF ANN (coarse k-means quantizer + nprobe; rows-only) -------
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = graft.similarity.Ivf.train(emb, k = 8, iters = 3)
+      graft.similarity.Ivf.topK(emb.filter(col("vec_id") < 5), emb, index, k = 10, nprobe = 3)
+        .select(col("qid"), col("rnk"), col("eid"), r6(col("cos_sim")).as("cos_sim"))
+        .orderBy("qid", "rnk")
     }))
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,89 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+  * corpus into cells; a query scans only its `nprobe` nearest cells.
+  * The standard scale path for billion-vector search (IVF-Flat).
+  *
+  * Determinism: centroids initialize from the k lowest-id vectors and run
+  * a fixed number of Lloyd iterations — same input, same index. Training
+  * aggregates per-cell sums distributed (one hash agg per iteration);
+  * only the k centroids ever reach the driver.
+  */
+object Ivf {
+  case class Index(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  private def toDoubleArr(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Squared L2 distance to a centroid literal. */
+  private def distSq(vec: Column, centroid: Array[Double]): Column = {
+    val c = array(centroid.map(lit): _*)
+    aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)), lit(0d), (acc, x) => acc + x)
+  }
+
+  /** Nearest-centroid cell id for a vector column. */
+  def cellOf(vec: Column, index: Index): Column = {
+    val dists = index.centroids.zipWithIndex.map { case (c, i) =>
+      struct(distSq(vec, c).as("d"), lit(i).as("i"))
+    }
+    array_min(array(dists: _*)).getField("i")
+  }
+
+  /** Train the coarse quantizer: k-means with deterministic init (k
+    * lowest ids) and `iters` Lloyd steps. */
+  def train(corpus: DataFrame, k: Int, iters: Int = 5,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
+    val e = corpus.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+    var centroids = e.orderBy("id").limit(k).select("v")
+      .collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val idx = Index(centroids)
+      // per-cell mean via distributed agg: sum each dim + count
+      val assigned = e.withColumn("cell", cellOf(col("v"), idx))
+      val dims = centroids(0).length
+      val agg = assigned.groupBy("cell").agg(
+        count(lit(1)).as("n"),
+        (0 until dims).map(d => sum(element_at(col("v"), d + 1)).as(s"s$d")): _*)
+      val rows = agg.collect()
+      val next = centroids.clone()
+      rows.foreach { r =>
+        val cell = r.getInt(r.fieldIndex("cell"))
+        val n = r.getLong(r.fieldIndex("n")).toDouble
+        next(cell) = Array.tabulate(dims)(d => r.getDouble(r.fieldIndex(s"s$d")) / n)
+      }
+      centroids = next
+      it += 1
+    }
+    Index(centroids)
+  }
+
+  /** Top-k cosine search probing the `nprobe` nearest cells per query. */
+  def topK(queries: DataFrame, corpus: DataFrame, index: Index, k: Int, nprobe: Int,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol).as("eid"), toDoubleArr(col(vecCol)).as("ee"))
+      .withColumn("cell", cellOf(col("ee"), index))
+    // query → its nprobe nearest cells (exploded probe list)
+    val qCells = {
+      val dists = index.centroids.zipWithIndex.map { case (c, i) =>
+        struct(distSq(col("qe"), c).as("d"), lit(i).as("i"))
+      }
+      slice(array_sort(array(dists: _*)), 1, nprobe)
+    }
+    val q = queries.select(col(idCol).as("qid"), toDoubleArr(col(vecCol)).as("qe"))
+      .withColumn("cell", explode(qCells.getField("i")))
+    val scored = e.join(broadcast(q), Seq("cell"))
+      .filter(col("qid") =!= col("eid"))
+      .withColumn("cos_sim",
+        graft.functions.ArrayExprs.cosineSim(corpus.sparkSession, col("qe"), col("ee")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("eid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "eid", "cos_sim")
+  }
+}
