@@ -316,6 +316,13 @@ object Compiler {
 
   private def compileGroup(p: Pipe, args: List[Expr]): Pipe = {
     import Expr._
+    // GROUP(timewindow(from, until, period), aggs…) — tumbling buckets
+    // over value(0) as time, empty buckets synthesized + gap-filled
+    // (reference fm_monad.go:640-697)
+    args.collectFirst { case Call("timewindow", twArgs) => twArgs } match {
+      case Some(twArgs) => return compileTimewindow(p, twArgs, args)
+      case None =>
+    }
     var byExpr: Option[(Column, String)] = None
     val aggs = Vector.newBuilder[(Column, String)]
     args.foreach {
@@ -357,6 +364,59 @@ object Compiler {
     // the group key is result column 0 (reference synthesizes result
     // columns from by()+aggregators, fm_monad.go:405-425)
     Pipe(df, byName, byName +: aggList.map(_._2))
+  }
+
+  private def compileTimewindow(p: Pipe, twArgs: List[Expr], args: List[Expr]): Pipe = {
+    import Expr._
+    import graft.operators.GapFill
+    def ns(e: Expr): Long = e match {
+      case Num(v) => v.toLong
+      case Call("time", List(Num(v))) => v.toLong
+      case Str(s) => graft.time.TimeFns.parseDurationNs(s)
+      case other => throw new IllegalArgumentException(s"bad timewindow arg $other")
+    }
+    val (fromNs, untilNs, periodNs) = twArgs match {
+      case List(f, u, per) => (ns(f), ns(u), ns(per))
+      case _ => throw new IllegalArgumentException("timewindow(from, until, period)")
+    }
+    val fill: GapFill.Fill = args.collectFirst {
+      case Call("nullValue", List(Num(v))) => GapFill.FillConst(v)
+      case Call("predict", List(Str(kind))) => kind.toLowerCase match {
+        case "piecewiseconstant" => GapFill.FillPrevious
+        case "piecewiselinear" => GapFill.FillLinear
+        case "akimaspline" => GapFill.FillAkima
+        case "fritschbutland" => GapFill.FillFritschButland
+        case "linearregression" => GapFill.FillLinReg
+        case k => throw new IllegalArgumentException(s"unknown predict($k)")
+      }
+    }.getOrElse(GapFill.FillNull)
+    val aggs = args.collect {
+      case Call(fn, e :: rest) if aggNames(fn) =>
+        val name = rest.collectFirst { case Str(s) => s }.getOrElse(fn)
+        val c = toColumn(e, p)
+        name -> (fn match {
+          case "count" => count(c)
+          case "sum" => sum(c)
+          case "min" => min(c)
+          case "max" => max(c)
+          case "avg" | "mean" => avg(c)
+          case "first" => first(c)
+          case "last" => last(c)
+          case "stddev" => stddev_samp(c)
+          case "variance" => var_samp(c)
+          case "median" => percentile(c, lit(0.5))
+          case "rss" => sqrt(sum(c * c))
+          case "rms" => sqrt(avg(c * c))
+          case "list" => collect_list(c)
+        })
+    }
+    require(aggs.nonEmpty, "GROUP(timewindow) needs at least one aggregator")
+    // the record's time is value(0), per the reference's record layout
+    val timeCol = col(p.values.head)
+    val out = GapFill.timewindow(p.df.sparkSession, p.df, timeCol,
+      fromNs, untilNs, periodNs, aggs, fill)
+      .withColumnRenamed("bucket_ns", "time")
+    Pipe(out, "time", "time" +: aggs.map(_._1))
   }
 
   // ---------------- sinks ----------------

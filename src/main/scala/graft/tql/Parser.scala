@@ -126,7 +126,10 @@ object Parser {
         case o => throw new IllegalArgumentException(s"bad var $o")
       }
       case TOp("(") => val e = parseExpr(0); expectOp(")"); e
-      case TOp("-") => Expr.Unary("-", parseExpr(70))
+      case TOp("-") => parseExpr(70) match {
+        case Expr.Num(v) => Expr.Num(-v) // fold negative literals
+        case other => Expr.Unary("-", other)
+      }
       case TOp("+") => parseExpr(70)
       case TOp("!") => Expr.Unary("!", parseExpr(70))
       case TOp("~") => Expr.Unary("~", parseExpr(70))

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import graft.tql.Tql
 
 class Tql3Spec extends SparkSpec {
+  import spark.implicits._
 
   test("TRANSPOSE statement unpivots non-fixed values") {
     val out = Tql.run(spark,
@@ -37,6 +38,24 @@ class Tql3Spec extends SparkSpec {
          |CSV()
          |""".stripMargin)
     assert(out == "beta,200.0,20.25\ngamma,300.0,30.125\n")
+  }
+
+  test("GROUP(timewindow) synthesizes buckets with fills") {
+    Seq((5L, 10.0), (15L, 20.0), (45L, 50.0))
+      .toDF("t", "v").createOrReplaceTempView("tw_src")
+    val out = Tql.run(spark,
+      """SQL('SELECT t, v FROM tw_src')
+        |GROUP(timewindow(0, 60, 10), avg(value(1), 'avg_v'), nullValue(-1))
+        |CSV(header())
+        |""".stripMargin)
+    assert(out ==
+      "time,avg_v\n0,10.0\n10,20.0\n20,-1.0\n30,-1.0\n40,50.0\n50,-1.0\n")
+    val locf = Tql.run(spark,
+      """SQL('SELECT t, v FROM tw_src')
+        |GROUP(timewindow(0, 60, 10), avg(value(1), 'avg_v'), predict('piecewiseconstant'))
+        |CSV()
+        |""".stripMargin)
+    assert(locf == "0,10.0\n10,20.0\n20,20.0\n30,20.0\n40,50.0\n50,50.0\n")
   }
 
   test("JSON sink through TQL emits the envelope") {
