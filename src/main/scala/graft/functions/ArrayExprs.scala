@@ -94,49 +94,93 @@ object ArrayExprs {
   }
 
   /** Jaccard similarity of two SORTED distinct long arrays via merge
-    * intersection — O(n+m), no per-call hash set. */
+    * intersection — O(n+m), no per-call hash set. Full whole-stage
+    * codegen (`doGenCode`): the loop runs inline over the UnsafeArrayData
+    * without materializing JVM arrays. */
   case class JaccardSorted(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "jaccard_sorted"
     override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData].toLongArray()
-      val b = r.asInstanceOf[ArrayData].toLongArray()
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val (n, m) = (a.numElements(), b.numElements())
       var i = 0; var j = 0; var inter = 0
-      while (i < a.length && j < b.length) {
-        val x = a(i); val y = b(j)
+      while (i < n && j < m) {
+        val x = a.getLong(i); val y = b.getLong(j)
         if (x == y) { inter += 1; i += 1; j += 1 }
         else if (x < y) i += 1
         else j += 1
       }
-      val union = a.length + b.length - inter
+      val union = n + m - inter
       if (union == 0) 0d else inter.toDouble / union
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+        int $n = $a.numElements(); int $m = $b.numElements();
+        int $i = 0; int $j = 0; int $inter = 0;
+        while ($i < $n && $j < $m) {
+          long $x = $a.getLong($i); long $y = $b.getLong($j);
+          if ($x == $y) { $inter++; $i++; $j++; }
+          else if ($x < $y) $i++;
+          else $j++;
+        }
+        int $union = $n + $m - $inter;
+        ${ev.value} = ($union == 0) ? 0.0d : ((double) $inter) / $union;
+        """
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
       copy(left = l, right = r)
   }
 
   /** Cosine similarity of two double arrays in one pass. Accumulation
     * order matches the composed zip_with/aggregate form (index-ascending
-    * per accumulator) so oracle-checked results are bit-identical. */
+    * per accumulator) so oracle-checked results are bit-identical.
+    * Generates inline whole-stage code (`doGenCode`). */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_sim"
     override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData].toDoubleArray()
-      val b = r.asInstanceOf[ArrayData].toDoubleArray()
-      val n = math.min(a.length, b.length)
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
       var dot = 0d; var na = 0d; var nb = 0d
       var i = 0
       while (i < n) {
-        dot += a(i) * b(i)
-        na += a(i) * a(i)
-        nb += b(i) * b(i)
+        val x = a.getDouble(i); val y = b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
         i += 1
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb"); val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0d; double $na = 0.0d; double $nb = 0.0d;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = $a.getDouble($i); double $y = $b.getDouble($i);
+          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        """
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
       copy(left = l, right = r)
   }
