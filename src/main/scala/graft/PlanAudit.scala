@@ -18,7 +18,8 @@ object PlanAudit {
       "q_last_per_tag",    // max_by hash agg (no window over raw)
       "q_embedding_topk",  // broadcast NL join
       "q_dedup_jaccard",   // blocked self-join
-      "q_tql_pipeline")    // TQL compile → single plan with pushdown
+      "q_tql_pipeline",    // TQL compile → single plan with pushdown
+      "q_rollup_routed")   // optimizer rule answers from the rollup table
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val plan = df.queryExecution.executedPlan.toString()

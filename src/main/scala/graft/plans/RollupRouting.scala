@@ -140,6 +140,14 @@ object RollupRouting {
       val rSum = h("sum_value").get; val rSumSq = h("sumsq_value").get
       val rCnt = h("cnt").get
 
+      // type guards: re-binding grouping/aggregate attrs must not change
+      // output types (a rollup built with different column types bails)
+      val rawName = rel.output.find(_.name == spec.nameCol)
+      val rawValue = rel.output.find(_.name == spec.valueCol)
+      if (rawName.exists(_.dataType != rName.dataType)) return None
+      if (rawValue.exists(v => v.dataType != rMin.dataType ||
+          v.dataType != rSum.dataType)) return None
+
       val newBucket = Cast(
         Subtract(rTime, Pmod(rTime, Literal(period))),
         org.apache.spark.sql.types.LongType)

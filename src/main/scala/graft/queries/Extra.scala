@@ -73,6 +73,31 @@ object Extra {
         .orderBy("doc_id")
     }),
 
+    // ---- Catalyst rollup routing, end-to-end through the oracle gate --
+    // Registers an hourly rollup of events, then aggregates the RAW table
+    // by day: the optimizer rule transparently answers from the rollup
+    // (plans.RollupRouting; plan rewrite proven in RollupRoutingSpec).
+    // min/max/count are exact; sum rounds at the 2-decimal grid of the
+    // source values, where partial-sum reassociation cannot flip rounding.
+    "q_rollup_routed" -> ((s, dir) => {
+      val rawPath = s"$dir/events.parquet"
+      val raw = s.read.parquet(rawPath)
+      val rollDir = java.nio.file.Files.createTempDirectory("graft_route").toString + "/r"
+      graft.operators.Lake.rollup(raw, col("user_id"), tsNs(raw),
+        col("value"), "HOUR")
+        .write.mode("overwrite").parquet(rollDir)
+      graft.plans.RollupRouting.register(rawPath, graft.plans.RollupRouting.Spec(
+        rollDir, graft.time.TimeFns.NsPerHour, "user_id", "ts", "value"))
+      s.read.parquet(rawPath)
+        .groupBy(col("user_id"),
+          graft.time.TimeFns.roundTimeNs(col("ts"), graft.time.TimeFns.NsPerDay).as("day_ns"))
+        .agg(min("value").as("min_value"), max("value").as("max_value"),
+          r2(sum(col("value"))).as("sum_value"), count(col("value")).as("cnt"))
+        .select(col("user_id"), graft.time.TimeFns.nsToUs(col("day_ns")).as("day_us"),
+          col("min_value"), col("max_value"), col("sum_value"), col("cnt"))
+        .orderBy("user_id", "day_us")
+    }),
+
     // ---- IVF ANN (coarse k-means quantizer + nprobe; rows-only) -------
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -119,6 +144,11 @@ object Extra {
          FROM lineitem
          WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q_rollup_routed" ->
+      """SELECT user_id, epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+         min(value) AS min_value, max(value) AS max_value,
+         round(sum(value), 2) AS sum_value, count(value) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_top_customers" ->
       """SELECT rnk, o_custkey, revenue, n_orders FROM (
            SELECT o_custkey,
