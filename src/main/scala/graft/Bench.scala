@@ -73,6 +73,13 @@ object Bench {
       s""""tag_data_rows_per_sec":${(wideRows / wideSec).toLong},""" +
       s""""tag_data_rows_per_sec_core":${(wideRows / wideSec / cpus).toLong}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest":$ingest,"sf":"$sfDir"}""")
+    // clean up ingest scratch
+    Seq(simpleDir, wideDir).foreach { d =>
+      try {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(d)).deleteRecursively()
+      } catch { case _: Throwable => }
+    }
     spark.stop()
   }
 }

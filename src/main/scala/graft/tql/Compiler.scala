@@ -28,6 +28,10 @@ object Compiler {
     def output: DataFrame = pipe.df.select(pipe.values.map(col): _*)
   }
 
+  private val currentParams = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
+  }
+
   /** Row-order key for sequential semantics (TAKE/DROP/rownum keys).
     * The reference keys SQL-source records by arrival rownum. */
   private def withRownum(df: DataFrame): DataFrame =
@@ -35,11 +39,17 @@ object Compiler {
       row_number().over(Window.orderBy(monotonically_increasing_id())).cast("long"))
 
   def compile(spark: SparkSession, script: String): Compiled =
-    compile(spark, script, System.currentTimeMillis() * 1000000L)
+    compile(spark, script, System.currentTimeMillis() * 1000000L, Map.empty)
+
+  def compile(spark: SparkSession, script: String, nowNs: Long): Compiled =
+    compile(spark, script, nowNs, Map.empty)
 
   /** `nowNs` pins the clock that `between('now-…', …)` resolves against —
-    * injected for determinism (the reference reads the wall clock). */
-  def compile(spark: SparkSession, script: String, nowNs: Long): Compiled = {
+    * injected for determinism (the reference reads the wall clock);
+    * `params` binds `param('key')` references (the reference's request
+    * query-string params, fm_context.go:22-186). */
+  def compile(spark: SparkSession, script: String, nowNs: Long,
+              params: Map[String, String]): Compiled = {
     val stmts = Parser.parseScript(script)
     require(stmts.nonEmpty, "empty script")
     val src = stmts.head
@@ -51,9 +61,12 @@ object Compiler {
     // consumes record order or the key.
     val needKey = maps.exists(st => statementNeedsKey(st.call)) ||
       Set("rownum").exists(o => sinkStmt.text.contains("rownum("))
-    val pipe0 = compileSource(spark, src, needKey, nowNs)
-    val piped = maps.foldLeft(pipe0)((p, st) => compileMap(p, st))
-    Compiled(piped, compileSink(sinkStmt))
+    currentParams.set(params)
+    try {
+      val pipe0 = compileSource(spark, src, needKey, nowNs)
+      val piped = maps.foldLeft(pipe0)((p, st) => compileMap(p, st))
+      Compiled(piped, compileSink(sinkStmt))
+    } finally currentParams.remove()
   }
 
   private def statementNeedsKey(e: Expr): Boolean = e match {
@@ -214,6 +227,12 @@ object Compiler {
       case Call("SET", List(Str(name), expr)) =>
         // record variable, referenced later as $name
         p.copy(df = p.df.withColumn(s"$$$name", toColumn(expr, p)))
+
+      case Call("MAPKEY", List(expr)) =>
+        // replace the key without demoting the old one (fm_monad.go:1515+)
+        val df = p.df.withColumn("__newkey", toColumn(expr, p))
+          .drop(p.keyCol).withColumnRenamed("__newkey", "_key")
+        p.copy(df = df, keyCol = "_key")
 
       case Call("PUSHKEY", List(expr)) =>
         // demote current key into values, new key from expr
@@ -489,6 +508,11 @@ object Compiler {
         case _ => throw new IllegalArgumentException("value(n)")
       }
       case "key" => col(p.keyCol)
+      case "param" => args match {
+        case List(Str(k)) => lit(currentParams.get.getOrElse(k,
+          throw new IllegalArgumentException(s"missing param '$k'")))
+        case _ => throw new IllegalArgumentException("param('name')")
+      }
       // math (reference fx_definitions.go:79-105)
       case "abs" => abs(a(0))
       case "acos" => acos(a(0))
@@ -576,6 +600,11 @@ object Tql {
   /** Compile with a pinned clock for between('now…') determinism. */
   def compile(spark: SparkSession, script: String, nowNs: Long): Compiler.Compiled =
     Compiler.compile(spark, script, nowNs)
+
+  /** Compile with request params bound to `param('name')` references. */
+  def compile(spark: SparkSession, script: String,
+              params: Map[String, String]): Compiler.Compiled =
+    Compiler.compile(spark, script, System.currentTimeMillis() * 1000000L, params)
 
   /** Compile and render through the sink codec — `/db/tql` semantics. */
   def run(spark: SparkSession, script: String): String =

@@ -58,6 +58,17 @@ class Tql3Spec extends SparkSpec {
     assert(locf == "0,10.0\n10,20.0\n20,20.0\n30,20.0\n40,50.0\n50,50.0\n")
   }
 
+  test("param() binds request parameters into the pipeline") {
+    val c = graft.tql.Tql.compile(spark,
+      """FAKE(linspace(1, 5, 5))
+        |FILTER(value(0) >= parseFloat(param('threshold')))
+        |MAPVALUE(1, param('label'), 'tag')
+        |CSV()
+        |""".stripMargin, Map("threshold" -> "3", "label" -> "prod"))
+    val out = graft.sinks.Codecs.render(c.output, "CSV")
+    assert(out == "3.0,prod\n4.0,prod\n5.0,prod\n")
+  }
+
   test("JSON sink through TQL emits the envelope") {
     val out = Tql.run(spark,
       """FAKE(linspace(1, 2, 2))
