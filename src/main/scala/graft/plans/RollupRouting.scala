@@ -79,28 +79,37 @@ object RollupRouting {
       }
     }
 
-    /** Peel Project/SubqueryAlias down to a registered relation, keeping
-      * the alias definitions the optimizer pulled out of the groupings
-      * (PullOutGroupingExpressions) so we can resolve grouping attrs. */
+    /** Peel Project/Filter/SubqueryAlias down to a registered relation,
+      * keeping the alias definitions the optimizer pulled out of the
+      * groupings (PullOutGroupingExpressions) and any Filter conjuncts
+      * (validated later for rollup-safety). */
     private def baseRelation(p: LogicalPlan,
-                             aliases: Map[ExprId, Expression] = Map.empty)
-        : Option[(LogicalRelation, Spec, Map[ExprId, Expression])] = p match {
-      case rel: LogicalRelation => specFor(rel).map(s => (rel, s, aliases))
+                             aliases: Map[ExprId, Expression] = Map.empty,
+                             filters: Seq[Expression] = Nil)
+        : Option[(LogicalRelation, Spec, Map[ExprId, Expression], Seq[Expression])] = p match {
+      case rel: LogicalRelation => specFor(rel).map(s => (rel, s, aliases, filters))
       case Project(projList, child) =>
         val newAliases = aliases ++ projList.collect {
           case a @ Alias(e, _) => a.exprId -> e
         }
         if (projList.forall(e => e.isInstanceOf[Attribute] || e.isInstanceOf[Alias]))
-          baseRelation(child, newAliases)
+          baseRelation(child, newAliases, filters)
         else None
-      case SubqueryAlias(_, child) => baseRelation(child, aliases)
+      case Filter(cond, child) =>
+        baseRelation(child, aliases, filters ++ splitConj(cond))
+      case SubqueryAlias(_, child) => baseRelation(child, aliases, filters)
       case _ => None
+    }
+
+    private def splitConj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => splitConj(l) ++ splitConj(r)
+      case other => Seq(other)
     }
 
     private def tryRewrite(groupings: Seq[Expression],
                            aggExprs: Seq[NamedExpression],
                            child: LogicalPlan): Option[LogicalPlan] = {
-      val (rel, spec, aliases) = baseRelation(child) match {
+      val (rel, spec, aliases, filters) = baseRelation(child) match {
         case Some(x) => x
         case None => return None
       }
@@ -130,6 +139,38 @@ object RollupRouting {
       if (!groupingsOk || bucket.isEmpty) return None
       val period = bucket.get._2
 
+      // Filters are routable iff every conjunct is (a) a name predicate,
+      // (b) a time-range bound aligned to the rollup period — then
+      // "raw ts in range" ⟺ "bucket start in range" — or (c) an
+      // IsNotNull on the routed columns (vacuous on the rollup).
+      sealed trait FPred
+      case class TimeLo(ns: Long, inclusive: Boolean) extends FPred
+      case class TimeHi(ns: Long, inclusive: Boolean) extends FPred
+      case class NamePred(rebuild: Expression => Expression) extends FPred
+      val fpreds = filters.map { f =>
+        f match {
+          case IsNotNull(a: Attribute)
+            if isCol(a, spec.timeCol) || isCol(a, spec.nameCol) || isCol(a, spec.valueCol) =>
+            Some(NamePred(_ => Literal.TrueLiteral))
+          case GreaterThanOrEqual(t: Attribute, Literal(v: Long, _))
+            if isCol(t, spec.timeCol) && v % spec.periodNs == 0 => Some(TimeLo(v, true))
+          case GreaterThan(t: Attribute, Literal(v: Long, _))
+            if isCol(t, spec.timeCol) && (v + 1) % spec.periodNs == 0 => Some(TimeLo(v + 1, true))
+          case LessThan(t: Attribute, Literal(v: Long, _))
+            if isCol(t, spec.timeCol) && v % spec.periodNs == 0 => Some(TimeHi(v, false))
+          case LessThanOrEqual(t: Attribute, Literal(v: Long, _))
+            if isCol(t, spec.timeCol) && (v + 1) % spec.periodNs == 0 => Some(TimeHi(v + 1, false))
+          case EqualTo(a: Attribute, l: Literal) if isCol(a, spec.nameCol) =>
+            Some(NamePred(rn => EqualTo(rn, l)))
+          case EqualTo(l: Literal, a: Attribute) if isCol(a, spec.nameCol) =>
+            Some(NamePred(rn => EqualTo(rn, l)))
+          case In(a: Attribute, vs) if isCol(a, spec.nameCol) && vs.forall(_.isInstanceOf[Literal]) =>
+            Some(NamePred(rn => In(rn, vs)))
+          case _ => None
+        }
+      }
+      if (fpreds.exists(_.isEmpty)) return None
+
       // rollup relation + column handles
       val rPlan = spark.read.parquet(spec.rollupPath).queryExecution.analyzed
       val h = Seq("name", "time_ns", "min_value", "max_value", "sum_value",
@@ -152,6 +193,19 @@ object RollupRouting {
         Subtract(rTime, Pmod(rTime, Literal(period))),
         org.apache.spark.sql.types.LongType)
 
+      // rollup-side filter from the validated conjuncts
+      val rollupConds: Seq[Expression] = fpreds.flatten.flatMap {
+        case TimeLo(v, _) => Some(GreaterThanOrEqual(rTime, Literal(v)))
+        case TimeHi(v, _) => Some(LessThan(rTime, Literal(v)))
+        case NamePred(rebuild) => rebuild(rName) match {
+          case Literal.TrueLiteral => None
+          case e => Some(e)
+        }
+      }
+      val rSource: LogicalPlan =
+        if (rollupConds.isEmpty) rPlan
+        else Filter(rollupConds.reduce(And), rPlan)
+
       // the project under the new Aggregate: re-bind the original grouping
       // attr ids onto rollup-derived expressions + pass rollup attrs for
       // the merged aggregates
@@ -162,7 +216,7 @@ object RollupRouting {
         case a => projOut += Alias(newBucket, a.name)(exprId = a.exprId)
       }
       projOut ++= rPlan.output
-      val newChild = Project(projOut.result(), rPlan)
+      val newChild = Project(projOut.result(), rSource)
 
       def mergeAgg(fn: AggregateFunction): Option[Expression] = fn match {
         case Min(v: Attribute) if isCol(v, spec.valueCol) => Some(aggE(Min(rMin)))

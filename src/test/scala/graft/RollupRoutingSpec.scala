@@ -58,6 +58,42 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("aligned time-range filters route; misaligned ones do not") {
+    val rawPath = Files.createTempDirectory("graft_raw3").toString + "/t"
+    val rollupPath = Files.createTempDirectory("graft_roll3").toString + "/r"
+    val base = 1704067200000000000L
+    val rows = for {
+      tag <- Seq("a", "b"); h <- 0 until 6; i <- 0 until 4
+    } yield (tag, base + h * TimeFns.NsPerHour + i * TimeFns.NsPerMin, (h + i).toDouble)
+    rows.toDF("name", "time", "value").write.parquet(rawPath)
+    Lake.rollup(spark.read.parquet(rawPath), col("name"), col("time"), col("value"), "HOUR")
+      .write.parquet(rollupPath)
+
+    def windowed(lo: Long, hi: Long) = spark.read.parquet(rawPath)
+      .filter(col("name") === "a" && col("time") >= lo && col("time") < hi)
+      .groupBy(TimeFns.roundTimeNs(col("time"), 2 * TimeFns.NsPerHour).as("bucket"))
+      .agg(sum("value").as("s"), count("value").as("c"))
+      .orderBy("bucket")
+
+    val alignedDirect = windowed(base + TimeFns.NsPerHour, base + 5 * TimeFns.NsPerHour).collect().map(_.toSeq)
+    RollupRouting.register(rawPath, RollupRouting.Spec(
+      rollupPath, TimeFns.NsPerHour, "name", "time", "value"))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.Route(spark))
+    try {
+      // hour-aligned window → routed
+      val routed = windowed(base + TimeFns.NsPerHour, base + 5 * TimeFns.NsPerHour)
+      val scans = scanPaths(routed)
+      assert(scans.exists(_.contains("graft_roll3")), s"not routed: $scans")
+      assert(routed.collect().map(_.toSeq).toSeq == alignedDirect.toSeq)
+      // misaligned (30-min offset) window → stays on raw
+      val mis = windowed(base + 30 * TimeFns.NsPerMin, base + 5 * TimeFns.NsPerHour)
+      assert(scanPaths(mis).exists(_.contains("graft_raw3")), "misaligned must not route")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("non-divisible bucket periods are NOT rewritten") {
     val rawPath = Files.createTempDirectory("graft_raw2").toString + "/t"
     val rollupPath = Files.createTempDirectory("graft_roll2").toString + "/r"
