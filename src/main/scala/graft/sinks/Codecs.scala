@@ -22,10 +22,23 @@ object Codecs {
       nullAs: String = "NULL",
       precision: Int = -1)
 
+  /** Shortest round-trip decimal like Go's FormatFloat(v,'f',-1,64) — the
+    * reference's CSV float format ("1", "1.5", not "1.0"). */
+  private def goFloat(d: Double): String = {
+    if (d.isNaN || d.isInfinite) return d.toString
+    val s = java.lang.Double.toString(d)
+    if (s.contains("E") || s.contains("e"))
+      new java.math.BigDecimal(s).stripTrailingZeros().toPlainString
+    else if (s.endsWith(".0")) s.dropRight(2)
+    else s
+  }
+
   private def fmt(v: Any, o: Options): String = v match {
     case null => o.nullAs
     case d: Double if o.precision >= 0 => s"%.${o.precision}f".format(d)
-    case f: Float if o.precision >= 0 => s"%.${o.precision}f".format(f)
+    case f: Float if o.precision >= 0 => s"%.${o.precision}f".format(f.toDouble)
+    case d: Double => goFloat(d)
+    case f: Float => goFloat(f.toDouble)
     case x => x.toString
   }
 

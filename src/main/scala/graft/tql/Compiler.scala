@@ -25,8 +25,11 @@ object Compiler {
 
   case class Compiled(pipe: Pipe, sink: Sink) {
     /** The sink-facing DataFrame (values only, like the reference). */
-    def output: DataFrame = pipe.df.select(pipe.values.map(col): _*)
+    def output: DataFrame = pipe.df.select(pipe.values.map(Compiler.vcol): _*)
   }
+
+  /** Column ref tolerant of names with dots/spaces (user-given aliases). */
+  private[tql] def vcol(name: String): Column = col(s"`$name`")
 
   private val currentParams = new ThreadLocal[Map[String, String]] {
     override def initialValue(): Map[String, String] = Map.empty
@@ -71,7 +74,7 @@ object Compiler {
 
   private def statementNeedsKey(e: Expr): Boolean = e match {
     case Expr.Call(n, args) =>
-      Set("TAKE", "DROP", "PUSHKEY", "POPKEY", "key",
+      Set("TAKE", "DROP", "PUSHKEY", "POPKEY", "key", "first", "last", "TRANSPOSE",
         "MAP_DIFF", "MAP_ABSDIFF", "MAP_NONEGDIFF", "MAP_AVG", "MAP_MOVAVG",
         "MAP_LOWPASS", "FILTER_CHANGED")(n) || args.exists(statementNeedsKey)
     case Expr.Bin(_, l, r) => statementNeedsKey(l) || statementNeedsKey(r)
@@ -104,7 +107,24 @@ object Compiler {
         compileFake(spark, gen, needKey)
       case Call("CSV", Call("file", List(Str(path))) :: rest) =>
         val header = rest.exists { case Call("header", _) => true; case _ => false }
-        keyed(spark.read.option("header", header.toString).csv(path))
+        val fields = rest.collect {
+          case Call("field", List(Num(i), Call(tpe, _), Str(nm))) => (i.toInt, tpe, nm)
+          case Call("col", List(Num(i), Call(tpe, _), Str(nm))) => (i.toInt, tpe, nm)
+        }
+        if (fields.isEmpty) keyed(spark.read.option("header", header.toString).csv(path))
+        else {
+          def sparkType(t: String) = t match {
+            case "doubleType" => org.apache.spark.sql.types.DoubleType
+            case "stringType" => org.apache.spark.sql.types.StringType
+            case "timeType" => org.apache.spark.sql.types.LongType
+            case "boolType" => org.apache.spark.sql.types.BooleanType
+            case other => throw new IllegalArgumentException(s"unknown col type $other")
+          }
+          val schema = org.apache.spark.sql.types.StructType(
+            fields.sortBy(_._1).map { case (_, t, nm) =>
+              org.apache.spark.sql.types.StructField(nm, sparkType(t)) })
+          keyed(spark.read.option("header", header.toString).schema(schema).csv(path))
+        }
       case other => throw new IllegalArgumentException(s"unsupported source: ${st.text}")
     }
   }
@@ -145,6 +165,13 @@ object Compiler {
     case other => throw new IllegalArgumentException(s"unsupported time bound $other")
   }
 
+  /** Fold a compile-time string expression (literals + strTrimSpace). */
+  private def constString(e: Expr): String = e match {
+    case Expr.Str(v) => v
+    case Expr.Call("strTrimSpace", List(x)) => constString(x).trim
+    case other => throw new IllegalArgumentException(s"expected string literal, got $other")
+  }
+
   private def compileFake(spark: SparkSession, gen: Expr.Call, needKey: Boolean): Pipe = {
     import Expr._
     def keyed(df: org.apache.spark.sql.DataFrame, values: Seq[String]): Pipe =
@@ -167,6 +194,51 @@ object Compiler {
         keyed(Fake.oscillator(spark, freqs, rng._1, rng._2, rng._3), Seq("time_ns", "value"))
       case Call("sphere", List(Num(la), Num(lo))) =>
         keyed(Fake.sphere(spark, la.toInt, lo.toInt), Seq("x", "y", "z"))
+      case Call("json", List(Call("__obj", rows))) =>
+        // FAKE(json({ [..],[..] })) — literal rows (reference fm_fake.go:175)
+        val parsed: Seq[Seq[Any]] = rows.map {
+          case Call("__arr", cells) => cells.map {
+            case Num(v) => v: Any
+            case Str(v) => v: Any
+            case Bool(v) => v: Any
+            case Null => null
+            case other => throw new IllegalArgumentException(s"bad json cell $other")
+          }
+          case other => throw new IllegalArgumentException(s"bad json row $other")
+        }
+        require(parsed.nonEmpty, "json() needs rows")
+        val nCols = parsed.head.size
+        val names = (0 until nCols).map(i => s"column$i")
+        val schema = org.apache.spark.sql.types.StructType(
+          (0 until nCols).map { i =>
+            val t = parsed.head(i) match {
+              case _: java.lang.Double | _: Double => org.apache.spark.sql.types.DoubleType
+              case _: java.lang.Boolean | _: Boolean => org.apache.spark.sql.types.BooleanType
+              case _ => org.apache.spark.sql.types.StringType
+            }
+            org.apache.spark.sql.types.StructField(names(i), t)
+          })
+        val rowsJ = parsed.map(cs => org.apache.spark.sql.Row.fromSeq(cs))
+        val df = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rowsJ).asJava), schema)
+        keyed(df, names)
+      case Call("csv", List(arg)) =>
+        // FAKE(csv(`literal`)) — rows as-is, all strings, no header logic
+        val text = constString(arg)
+        val lines = text.split("\n").toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+        require(lines.nonEmpty, "csv() literal is empty")
+        val nCols = lines.head.split(",", -1).length
+        val names = (0 until nCols).map(i => s"column$i")
+        val schema = org.apache.spark.sql.types.StructType(
+          names.map(n => org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.StringType)))
+        val rowsC = lines.map(l => org.apache.spark.sql.Row.fromSeq(
+          l.split(",", -1).toSeq.map(_.trim: Any)))
+        val df = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rowsC).asJava), schema)
+        keyed(df, names)
       case other => throw new IllegalArgumentException(s"unsupported FAKE generator: $other")
     }
   }
@@ -296,13 +368,53 @@ object Compiler {
         }
 
       case Call("TRANSPOSE", args) =>
-        // TRANSPOSE(fixed(i…)): unpivot all non-fixed value columns
+        // TRANSPOSE(fixed(i…)) keeps listed columns fixed and unpivots the
+        // rest; TRANSPOSE(i…) unpivots the listed columns. header(true)
+        // consumes the FIRST RECORD as column labels and adds a "header"
+        // column carrying the melted labels (reference
+        // fm_monad.go:2415-2594; golden transpose_hdr/transpose_nohdr).
+        val withHeader = args.exists {
+          case Call("header", Nil) => true
+          case Call("header", List(Bool(b))) => b
+          case _ => false
+        }
         val fixedIdx = args.collect { case Call("fixed", idxs) =>
           idxs.collect { case Num(i) => i.toInt } }.flatten.toSet
-        val fixedCols = p.values.zipWithIndex.filter { case (_, i) => fixedIdx(i) }.map(_._1)
-        val df = graft.operators.RowOps.transpose(
-          p.df.select(p.values.map(col): _*), fixedCols)
-        p.copy(df = df, values = fixedCols ++ Seq("name", "value"))
+        val bareIdx = args.collect { case Num(i) => i.toInt }.toSet
+        val fixedCols =
+          if (fixedIdx.nonEmpty) p.values.zipWithIndex.filter { case (_, i) => fixedIdx(i) }.map(_._1)
+          else p.values.zipWithIndex.filterNot { case (_, i) => bareIdx(i) }.map(_._1)
+        val meltCols = p.values.filterNot(fixedCols.contains)
+        if (!withHeader) {
+          val df0 = graft.operators.RowOps.transpose(
+            p.df.select(p.values.map(vcol): _*), fixedCols).drop("name")
+          // positional renames column0..columnK, reference style
+          val outNames = (0 until fixedCols.size + 1).map(i => s"column$i")
+          val df = df0.select(df0.columns.zip(outNames).map {
+            case (c, n) => vcol(c).as(n) }: _*)
+          p.copy(df = df, values = outNames)
+        } else {
+          // consume the first record (by key order) as labels
+          val headRow = p.df.orderBy(col(p.keyCol)).limit(1)
+            .select(p.values.map(vcol): _*).collect()(0)
+          val label = p.values.zipWithIndex.map { case (c, i) =>
+            c -> String.valueOf(headRow.get(i)) }.toMap
+          val rest = p.df.join(headRow match { case _ =>
+            p.df.orderBy(col(p.keyCol)).limit(1).select(col(p.keyCol))
+          }, Seq(p.keyCol), "left_anti")
+          val df0 = graft.operators.RowOps.transpose(
+            rest.select(p.values.map(vcol): _*), fixedCols)
+          // melted labels via the header row
+          val nameMapped = meltCols.foldLeft(df0.withColumn("header", col("name"))) {
+            (d, c) => d.withColumn("header",
+              when(col("header") === c, label(c)).otherwise(col("header")))
+          }.drop("name")
+          val valueName = s"column${fixedCols.size + 1}"
+          val outFixed = fixedCols.map(c => vcol(c).as(label(c)))
+          val df = nameMapped.select(
+            outFixed ++ Seq(col("header"), col("value").as(valueName)): _*)
+          p.copy(df = df, values = fixedCols.map(label) ++ Seq("header", valueName))
+        }
 
       case Call("HISTOGRAM", v :: rest) =>
         val (minV, maxV, step) = rest.collectFirst {
@@ -331,7 +443,51 @@ object Compiler {
   }
 
   private val aggNames = Set("count", "sum", "min", "max", "avg", "mean", "first", "last",
-    "stddev", "variance", "median", "rss", "rms", "list")
+    "stddev", "variance", "stderr", "entropy", "median", "medianInterpolated",
+    "quantile", "quantileInterpolated", "rss", "rms", "list")
+
+  /** gonum stat.Quantile Empirical: smallest v_i with (i+1)/n >= p. */
+  private def quantileEmpirical(c: Column, p: Double): Column = {
+    val sorted = array_sort(collect_list(c))
+    element_at(sorted, greatest(ceil(lit(p) * size(sorted)), lit(1L)).cast("int"))
+  }
+
+  /** gonum stat.Quantile LinInterp: CDF(v_i)=(i+1)/n piecewise-linear. */
+  private def quantileLinInterp(c: Column, q: Double): Column = {
+    val sorted = array_sort(collect_list(c))
+    val n = size(sorted)
+    val pos = greatest(lit(q) * n - 1.0d, lit(0d))
+    val k = floor(pos).cast("int")
+    val f = pos - k
+    val lo = element_at(sorted, k + 1)
+    val hi = element_at(sorted, least(k + 2, n))
+    lo + (hi - lo) * f
+  }
+
+  /** Aggregator builder shared by GROUP and GROUP(timewindow). Numeric
+    * aggregators coerce to double like the reference's float64 buffers
+    * (fm_monad.go:784-809); first/last follow record order (key). */
+  private def buildAgg(fn: String, raw: Column, p: Pipe): Column = {
+    val c = raw.cast("double")
+    fn match {
+      case "count" => count(raw)
+      case "sum" => sum(c)
+      case "min" => min(c)
+      case "max" => max(c)
+      case "avg" | "mean" => avg(c)
+      case "first" => min_by(raw, col(p.keyCol))
+      case "last" => max_by(raw, col(p.keyCol))
+      case "stddev" => stddev_samp(c)
+      case "variance" => var_samp(c)
+      case "stderr" => stddev_samp(c) / sqrt(count(c))
+      case "entropy" => graft.functions.StatFns.entropy(c)
+      case "median" => quantileEmpirical(c, 0.5)
+      case "medianInterpolated" => quantileLinInterp(c, 0.5)
+      case "rss" => sqrt(sum(c * c))
+      case "rms" => sqrt(avg(c * c))
+      case "list" => collect_list(raw)
+    }
+  }
 
   private def compileGroup(p: Pipe, args: List[Expr]): Pipe = {
     import Expr._
@@ -355,22 +511,7 @@ object Compiler {
         val whereP = rest.collectFirst { case Call("where", List(pred)) => toColumn(pred, p) }
         val raw = toColumn(e, p)
         val c = whereP.map(w => when(w, raw)).getOrElse(raw)
-        val agg = fn match {
-          case "count" => count(c)
-          case "sum" => sum(c)
-          case "min" => min(c)
-          case "max" => max(c)
-          case "avg" | "mean" => avg(c)
-          case "first" => first(c, ignoreNulls = false)
-          case "last" => last(c, ignoreNulls = false)
-          case "stddev" => stddev_samp(c)
-          case "variance" => var_samp(c)
-          case "median" => percentile(c, lit(0.5))
-          case "rss" => sqrt(sum(c * c))
-          case "rms" => sqrt(avg(c * c))
-          case "list" => collect_list(c)
-        }
-        aggs += ((agg, name))
+        aggs += ((buildAgg(fn, c, p), name))
       case other => throw new IllegalArgumentException(s"unsupported GROUP arg: $other")
     }
     val (byCol, byName) = byExpr.getOrElse(throw new IllegalArgumentException("GROUP needs by()"))
@@ -379,7 +520,7 @@ object Compiler {
     val df = p.df.groupBy(byCol.as(byName))
       .agg(aggList.head._1.as(aggList.head._2),
         aggList.tail.map { case (c, n) => c.as(n) }: _*)
-      .orderBy(byName) // reference emits key-sorted (lazy mode sorts, fm_monad.go:470)
+      .orderBy(vcol(byName)) // reference emits key-sorted (lazy mode sorts, fm_monad.go:470)
     // the group key is result column 0 (reference synthesizes result
     // columns from by()+aggregators, fm_monad.go:405-425)
     Pipe(df, byName, byName +: aggList.map(_._2))
@@ -413,21 +554,7 @@ object Compiler {
       case Call(fn, e :: rest) if aggNames(fn) =>
         val name = rest.collectFirst { case Str(s) => s }.getOrElse(fn)
         val c = toColumn(e, p)
-        name -> (fn match {
-          case "count" => count(c)
-          case "sum" => sum(c)
-          case "min" => min(c)
-          case "max" => max(c)
-          case "avg" | "mean" => avg(c)
-          case "first" => first(c)
-          case "last" => last(c)
-          case "stddev" => stddev_samp(c)
-          case "variance" => var_samp(c)
-          case "median" => percentile(c, lit(0.5))
-          case "rss" => sqrt(sum(c * c))
-          case "rms" => sqrt(avg(c * c))
-          case "list" => collect_list(c)
-        })
+        name -> buildAgg(fn, c, p)
     }
     require(aggs.nonEmpty, "GROUP(timewindow) needs at least one aggregator")
     // the record's time is value(0), per the reference's record layout
@@ -464,6 +591,8 @@ object Compiler {
       case Str(v) => lit(v)
       case Bool(v) => lit(v)
       case Null => lit(null)
+      case Ident("PI") => lit(math.Pi)
+      case Ident("E") => lit(math.E)
       case Ident(name) => col(name)
       case Var(name) => col(s"$$$name")
       case Unary("-", x) => -toColumn(x, p)
@@ -503,8 +632,8 @@ object Compiler {
     def a(i: Int): Column = toColumn(args(i), p)
     name match {
       case "value" => args match {
-        case List(Num(i)) => col(p.values(i.toInt))
-        case Nil => col(p.values.head)
+        case List(Num(i)) => vcol(p.values(i.toInt))
+        case Nil => vcol(p.values.head)
         case _ => throw new IllegalArgumentException("value(n)")
       }
       case "key" => col(p.keyCol)
@@ -577,6 +706,17 @@ object Compiler {
       case "coalesce" => coalesce(args.map(x => toColumn(x, p)): _*)
       // time (epoch-ns discipline)
       case "time" => a(0).cast("long")
+      case "parseTime" => args match {
+        case x :: Str(fmt) :: _ => fmt match {
+          case "s" => toColumn(x, p).cast("long")
+          case "ms" => toColumn(x, p).cast("long")
+          case "us" => toColumn(x, p).cast("long")
+          case "ns" => toColumn(x, p).cast("long")
+          case pattern => to_timestamp(toColumn(x, p),
+            graft.time.TimeFns.translateTimeformat(pattern)).cast("long")
+        }
+        case _ => throw new IllegalArgumentException("parseTime(v, fmt[, tz])")
+      }
       case "roundTime" => args match {
         case List(x, Str(dur)) =>
           graft.time.TimeFns.roundTimeNs(toColumn(x, p), graft.time.TimeFns.parseDurationNs(dur))

@@ -33,6 +33,12 @@ object Parser {
         while (i < n && (s(i).isDigit || s(i) == '.' || s(i) == 'e' || s(i) == 'E' ||
           ((s(i) == '+' || s(i) == '-') && (s(i - 1) == 'e' || s(i - 1) == 'E')))) i += 1
         out += TNum(s.substring(start, i).toDouble)
+      } else if (c == '`') {
+        // backtick raw string (no escapes), reference multi-line literals
+        val end = s.indexOf('`', i + 1)
+        require(end >= 0, s"unterminated backtick string")
+        out += TStr(s.substring(i + 1, end))
+        i = end + 1
       } else if (c == '\'' || c == '"') {
         val quote = c
         val sb = new StringBuilder
@@ -126,6 +132,8 @@ object Parser {
         case o => throw new IllegalArgumentException(s"bad var $o")
       }
       case TOp("(") => val e = parseExpr(0); expectOp(")"); e
+      case TOp("{") => Expr.Call("__obj", parseUntil("}"))
+      case TOp("[") => Expr.Call("__arr", parseUntil("]"))
       case TOp("-") => parseExpr(70) match {
         case Expr.Num(v) => Expr.Num(-v) // fold negative literals
         case other => Expr.Unary("-", other)
@@ -153,6 +161,26 @@ object Parser {
     private def parseIn(left: Expr): Expr = {
       expectOp("(")
       Expr.In(left, parseArgs())
+    }
+
+    /** Comma-separated expressions closed by `close` (for {…} / […]). */
+    private def parseUntil(close: String): List[Expr] = {
+      val items = ListBuffer.empty[Expr]
+      peek match {
+        case TOp(`close`) => next(); return items.toList
+        case _ =>
+      }
+      var continue = true
+      while (continue) {
+        items += parseExpr(0)
+        next() match {
+          case TOp(",") =>
+          case TOp(`close`) => continue = false
+          case other => throw new IllegalArgumentException(
+            s"expected ',' or '$close', got $other")
+        }
+      }
+      items.toList
     }
 
     private def parseArgs(): List[Expr] = {

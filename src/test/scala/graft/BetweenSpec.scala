@@ -20,7 +20,7 @@ class BetweenSpec extends SparkSpec {
         |CSV()
         |""".stripMargin)
     // t1 last=4000ns; window [3000, 4000]
-    assert(out == "3000,3.0\n4000,4.0\n")
+    assert(out == "3000,3\n4000,4\n")
   }
 
   test("between('now-dur', 'now') resolves against the injected clock") {
@@ -39,6 +39,6 @@ class BetweenSpec extends SparkSpec {
       """SQL_SELECT('time', 'value', from('tag_tbl', 't1'), between(1000, 2000), limit(5))
         |CSV()
         |""".stripMargin)
-    assert(out == "1000,1.0\n2000,2.0\n")
+    assert(out == "1000,1\n2000,2\n")
   }
 }

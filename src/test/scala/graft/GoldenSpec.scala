@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.tql.Tql
+
+/** Runs the reference's own TQL golden fixtures (read at test time from
+  * the read-only checkout — nothing copied) through our compiler and
+  * compares byte-for-byte with the expected CSV the reference ships
+  * (mods/tql/test/TestLoader_*.tql/.csv pairs, driven there by
+  * mods/tql/task_test.go runTest).
+  */
+class GoldenSpec extends SparkSpec {
+  private val fixtures = "/root/reference/mods/tql/test"
+
+  private def read(name: String): String =
+    new String(Files.readAllBytes(Paths.get(s"$fixtures/$name")), "UTF-8")
+
+  private def normalize(s: String): String = s.stripLineEnd + "\n"
+
+  private def runGolden(tql: String, csv: String,
+                        rewrite: String => String = identity): Unit = {
+    val script = rewrite(read(tql))
+    val expected = normalize(read(csv))
+    val got = normalize(Tql.run(spark, script))
+    assert(got == expected, s"\n--- got ---\n$got--- want ---\n$expected")
+  }
+
+  test("TestLoader: FAKE(linspace) → CSV") {
+    runGolden("TestLoader.tql", "TestLoader.csv")
+  }
+
+  test("TestLoader_Pi: MAPVALUE trig over linspace with precision(4)") {
+    runGolden("TestLoader_Pi.tql", "TestLoader_Pi.csv")
+  }
+
+  test("TestLoader_group: json literal rows → GROUP sum/avg/mean") {
+    runGolden("TestLoader_group.tql", "TestLoader_group.csv")
+  }
+
+  test("TestLoader_groupbykey: 15 aggregators incl. median conventions") {
+    runGolden("TestLoader_groupbykey.tql", "TestLoader_groupbykey.csv")
+  }
+
+  test("TestLoader_iris: typed CSV file + GROUP min/max/median/avg") {
+    runGolden("TestLoader_iris.tql", "TestLoader_iris.csv",
+      _.replace("\"/iris.data\"", s"'$fixtures/iris.data'"))
+  }
+
+  test("transpose_nohdr: csv literal + TRANSPOSE(i..) + parseTime") {
+    runGolden("transpose_nohdr.tql", "transpose_nohdr.csv")
+  }
+
+  test("transpose_hdr: TRANSPOSE(header(true), i..) labels from first record") {
+    runGolden("transpose_hdr.tql", "transpose_hdr.csv")
+  }
+
+  test("TestLoader_iris_setosa: untyped CSV + string filter + stats") {
+    runGolden("TestLoader_iris_setosa.tql", "TestLoader_iris_setosa.csv",
+      _.replace("\"/iris.data\"", s"'$fixtures/iris.data'"))
+  }
+}

@@ -11,7 +11,7 @@ class Tql2Spec extends SparkSpec {
         |MAPVALUE(1, $doubled + 1, 'd1')
         |CSV()
         |""".stripMargin)
-    assert(out == "1.0,3.0\n2.0,5.0\n3.0,7.0\n4.0,9.0\n")
+    assert(out == "1,3\n2,5\n3,7\n4,9\n")
   }
 
   test("GROUP where() filters per aggregator") {
@@ -23,7 +23,7 @@ class Tql2Spec extends SparkSpec {
         |      sum(value(0), where(value(0) > 4), 'big_sum'))
         |CSV(header())
         |""".stripMargin)
-    assert(out == "parity,all_sum,big_sum\n0.0,20.0,14.0\n1.0,25.0,21.0\n")
+    assert(out == "parity,all_sum,big_sum\n0,20,14\n1,25,21\n")
   }
 
   test("MAP_DIFF over record order") {
@@ -33,7 +33,7 @@ class Tql2Spec extends SparkSpec {
         |MAP_DIFF(1, value(0), 'diff')
         |CSV()
         |""".stripMargin)
-    assert(out == "1.0,NULL\n4.0,3.0\n9.0,5.0\n16.0,7.0\n")
+    assert(out == "1,NULL\n4,3\n9,5\n16,7\n")
   }
 
   test("MAP_MOVAVG with warm-up and noWait") {
@@ -42,13 +42,13 @@ class Tql2Spec extends SparkSpec {
         |MAP_MOVAVG(1, value(0), 3, 'ma')
         |CSV()
         |""".stripMargin)
-    assert(out == "1.0,NULL\n2.0,NULL\n3.0,2.0\n4.0,3.0\n5.0,4.0\n")
+    assert(out == "1,NULL\n2,NULL\n3,2\n4,3\n5,4\n")
     val out2 = Tql.run(spark,
       """FAKE(linspace(1, 5, 5))
         |MAP_MOVAVG(1, value(0), 3, noWait(), 'ma')
         |CSV()
         |""".stripMargin)
-    assert(out2 == "1.0,1.0\n2.0,1.5\n3.0,2.0\n4.0,3.0\n5.0,4.0\n")
+    assert(out2 == "1,1\n2,1.5\n3,2\n4,3\n5,4\n")
   }
 
   test("FILTER_CHANGED with and without retain") {
@@ -58,6 +58,6 @@ class Tql2Spec extends SparkSpec {
         |FILTER_CHANGED(value(1))
         |CSV()
         |""".stripMargin)
-    assert(out == "1.0,lo\n4.0,hi\n")
+    assert(out == "1,lo\n4,hi\n")
   }
 }

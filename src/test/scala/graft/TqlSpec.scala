@@ -38,7 +38,7 @@ class TqlSpec extends SparkSpec {
         |FILTER(value(0) >= 10)
         |CSV()
         |""".stripMargin)
-    assert(out == "10.0\n12.0\n14.0\n16.0\n18.0\n20.0\n")
+    assert(out == "10\n12\n14\n16\n18\n20\n")
   }
 
   test("TAKE / DROP respect record order") {
@@ -47,13 +47,13 @@ class TqlSpec extends SparkSpec {
         |TAKE(1, 2)
         |CSV()
         |""".stripMargin)
-    assert(out == "2.0\n3.0\n")
+    assert(out == "2\n3\n")
     val out2 = Tql.run(spark,
       """FAKE(linspace(1, 5, 5))
         |DROP(3)
         |CSV()
         |""".stripMargin)
-    assert(out2 == "4.0\n5.0\n")
+    assert(out2 == "4\n5\n")
   }
 
   test("GROUP(by, avg/count) emits key-sorted groups") {
@@ -63,7 +63,7 @@ class TqlSpec extends SparkSpec {
         |GROUP(by(value(1), 'parity'), avg(value(0)), count(value(0)))
         |CSV(header())
         |""".stripMargin)
-    assert(out == "parity,avg,count\n0.0,4.0,5\n1.0,5.0,5\n")
+    assert(out == "parity,avg,count\n0,4,5\n1,5,5\n")
   }
 
   test("oscillator source through TQL with sink options") {
@@ -75,7 +75,7 @@ class TqlSpec extends SparkSpec {
     val lines = out.split("\n")
     assert(lines.head == "time_ns,value")
     assert(lines.length == 5)
-    assert(lines(1) == "0,0.0") // sin(0) = 0
+    assert(lines(1) == "0,0") // sin(0) = 0
   }
 
   test("SQL source with rownum key and PUSHKEY/POPKEY") {
@@ -94,6 +94,6 @@ class TqlSpec extends SparkSpec {
         |MAPVALUE(1, value(0) > 1.5 ? strToUpper('big') : 'small', 'size')
         |CSV()
         |""".stripMargin)
-    assert(out == "1.0,small\n2.0,BIG\n3.0,BIG\n")
+    assert(out == "1,small\n2,BIG\n3,BIG\n")
   }
 }
