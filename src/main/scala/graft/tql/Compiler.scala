@@ -125,6 +125,28 @@ object Compiler {
               org.apache.spark.sql.types.StructField(nm, sparkType(t)) })
           keyed(spark.read.option("header", header.toString).schema(schema).csv(path))
         }
+      case Call("STRING", args) =>
+        // STRING(payload() ?? `literal`, separator('\n'), trimspace(true))
+        // — one record per separated chunk (reference fm_bytes.go:26-236).
+        val sep = args.collectFirst { case Call("separator", List(Str(x))) => x }.getOrElse("\n")
+        val trimsp = args.exists {
+          case Call("trimspace", Nil) => true
+          case Call("trimspace", List(Bool(b))) => b
+          case _ => false
+        }
+        def constText(e: Expr): Option[String] = e match {
+          case Str(v) => Some(v)
+          case Bin("??", l, r) => constText(l).orElse(constText(r))
+          case Call("payload", _) => currentParams.get.get("payload")
+          case Call("strTrimSpace", List(x)) => constText(x).map(_.trim)
+          case _ => None
+        }
+        val text = args.headOption.flatMap(constText).getOrElse(
+          throw new IllegalArgumentException("STRING needs a payload or literal"))
+        val chunks = text.split(java.util.regex.Pattern.quote(sep), -1).toIndexedSeq
+          .map(c => if (trimsp) c.trim else c)
+        import spark.implicits._
+        keyed(spark.createDataset(chunks).toDF("string"))
       case other => throw new IllegalArgumentException(s"unsupported source: ${st.text}")
     }
   }
@@ -267,6 +289,13 @@ object Compiler {
         val w = Window.orderBy(col(p.keyCol))
         p.copy(df = p.df.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= off || col("__rn") > off + n).drop("__rn"))
+
+      case Call("MAPVALUE", Num(idx) :: expr :: rest) if idx < 0 =>
+        // MAPVALUE(-1, expr) prepends — equiv. PUSHVALUE(0, expr)
+        // (reference fm_monad.go:1612+ negative-index growth)
+        val name = rest.collectFirst { case Str(s) => s }.getOrElse(s"value_${p.values.size}")
+        val df = p.df.withColumn(name, toColumn(expr, p))
+        p.copy(df = df, values = name +: p.values)
 
       case Call("MAPVALUE", Num(idx) :: expr :: rest) =>
         val name = rest.collectFirst { case Str(s) => s }
@@ -601,7 +630,12 @@ object Compiler {
       case Bin(op, l, r) =>
         val (a, b) = (toColumn(l, p), toColumn(r, p))
         op match {
-          case "+" => a + b
+          case "+" =>
+            // TQL '+' concatenates when either operand is a string literal
+            (l, r) match {
+              case (Str(_), _) | (_, Str(_)) => concat(a.cast("string"), b.cast("string"))
+              case _ => a + b
+            }
           case "-" => a - b
           case "*" => a * b
           case "/" => a / b

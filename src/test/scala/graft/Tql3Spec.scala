@@ -71,6 +71,24 @@ class Tql3Spec extends SparkSpec {
     assert(out == "3,prod\n4,prod\n5,prod\n")
   }
 
+  test("STRING source with payload ?? literal, MAPVALUE(-1) prepend, key()") {
+    val out = graft.sinks.Codecs.render(graft.tql.Tql.compile(spark,
+      """STRING(payload() ?? ` 123
+        |       456
+        |    `, separator('\n'), trimspace(true))
+        |FILTER( len(value(0)) > 0 )
+        |MAPVALUE(-1, 'text_' + key())
+        |CSV()
+        |""".stripMargin).output, "CSV")
+    assert(out == "text_1,123\ntext_2,456\n")
+    // payload param overrides the literal
+    val out2 = graft.sinks.Codecs.render(graft.tql.Tql.compile(spark,
+      """STRING(payload() ?? `zzz`, separator('\n'))
+        |CSV()
+        |""".stripMargin, Map("payload" -> "a\nb")).output, "CSV")
+    assert(out2 == "a\nb\n")
+  }
+
   test("JSON sink through TQL emits the envelope") {
     val out = Tql.run(spark,
       """FAKE(linspace(1, 2, 2))
