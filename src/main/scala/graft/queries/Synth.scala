@@ -73,8 +73,8 @@ object Synth {
            floor((sum(x * y)) * 1000000.0 + 0.5) / 1000000.0 AS sxy
          FROM xs CROSS JOIN ys GROUP BY ys.y ORDER BY y""",
     "q_fake_sphere" ->
-      """WITH lat AS (SELECT 0.0 + CAST(range AS BIGINT) * (pi() / 7) AS theta FROM range(8)),
-         lon AS (SELECT 0.0 + CAST(range AS BIGINT) * (2*pi() / 7) AS phi FROM range(8))
+      """WITH lat AS (SELECT CAST(range AS BIGINT) * (pi() / 8) AS theta FROM range(8)),
+         lon AS (SELECT CAST(range AS BIGINT) * (2*pi() / 8) AS phi FROM range(8))
          SELECT floor((sin(theta) * cos(phi)) * 1000000.0 + 0.5) / 1000000.0 AS x,
            floor((sin(theta) * sin(phi)) * 1000000.0 + 0.5) / 1000000.0 AS y,
            floor((cos(theta)) * 1000000.0 + 0.5) / 1000000.0 AS z

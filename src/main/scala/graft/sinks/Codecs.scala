@@ -33,12 +33,16 @@ object Codecs {
     else s
   }
 
+  /** Exact ±0.0 prints unsigned (sphere golden); tiny negative values
+    * keep their sign after rounding ("-0.0000" in the Pi golden). */
+  private def normZero(d: Double): Double = if (d == 0.0d) 0.0d else d
+
   private def fmt(v: Any, o: Options): String = v match {
     case null => o.nullAs
-    case d: Double if o.precision >= 0 => s"%.${o.precision}f".format(d)
-    case f: Float if o.precision >= 0 => s"%.${o.precision}f".format(f.toDouble)
-    case d: Double => goFloat(d)
-    case f: Float => goFloat(f.toDouble)
+    case d: Double if o.precision >= 0 => s"%.${o.precision}f".format(normZero(d))
+    case f: Float if o.precision >= 0 => s"%.${o.precision}f".format(normZero(f.toDouble))
+    case d: Double => goFloat(normZero(d))
+    case f: Float => goFloat(normZero(f.toDouble))
     case x => x.toString
   }
 

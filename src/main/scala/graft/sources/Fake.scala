@@ -54,11 +54,15 @@ object Fake {
   }
 
   /** sphere(latN, lonN): unit-sphere surface points (x, y, z) on a
-    * lat/lon grid (reference fm_fake.go:397-437; 4_4 golden fixture). */
+    * lat/lon grid — the reference's parametrization (sphere_4_4 golden):
+    * θ = i·π/latN for i<latN (exclusive), φ = j·2π/lonN for j<lonN,
+    * iterated lon-major (θ is the inner loop). */
   def sphere(spark: SparkSession, latN: Int, lonN: Int): DataFrame = {
-    val lat = linspace(spark, 0d, math.Pi, math.max(latN, 1)).withColumnRenamed("x", "theta")
-    val lon = linspace(spark, 0d, 2d * math.Pi, math.max(lonN, 1)).withColumnRenamed("x", "phi")
-    lat.crossJoin(lon).select(
+    val n = math.max(latN, 1)
+    val m = math.max(lonN, 1)
+    val lat = spark.range(n.toLong).select((col("id") * (math.Pi / n)).as("theta"))
+    val lon = spark.range(m.toLong).select((col("id") * (2d * math.Pi / m)).as("phi"))
+    lon.crossJoin(lat).select(
       (sin(col("theta")) * cos(col("phi"))).as("x"),
       (sin(col("theta")) * sin(col("phi"))).as("y"),
       cos(col("theta")).as("z"))

@@ -336,11 +336,13 @@ object Compiler {
         p.copy(df = df, keyCol = "_key")
 
       case Call("PUSHKEY", List(expr)) =>
-        // demote current key into values, new key from expr
+        // demote current key into values (the rownum key surfaces as
+        // "ROWNUM", reference result-column naming), new key from expr
+        val demoted = if (p.keyCol == "_key") "ROWNUM" else p.keyCol
         val df = p.df.withColumn("__newkey", toColumn(expr, p))
-          .withColumnRenamed(p.keyCol, "key")
+          .withColumnRenamed(p.keyCol, demoted)
           .withColumnRenamed("__newkey", "_key")
-        p.copy(df = df, keyCol = "_key", values = "key" +: p.values)
+        p.copy(df = df, keyCol = "_key", values = demoted +: p.values)
 
       case Call("POPKEY", args) =>
         val nth = args.collectFirst { case Num(n) => n.toInt }.getOrElse(0)

@@ -54,6 +54,16 @@ class GoldenSpec extends SparkSpec {
     runGolden("transpose_hdr.tql", "transpose_hdr.csv")
   }
 
+  test("FAKE(sphere(4,4)) matches the sphere_4_4 golden") {
+    val expected = normalize(read("sphere_4_4.csv"))
+    val got = normalize(Tql.run(spark,
+      """FAKE( sphere(4, 4) )
+        |PUSHKEY('test')
+        |CSV( header(true), precision(6) )
+        |""".stripMargin))
+    assert(got == expected, s"\n--- got ---\n$got--- want ---\n$expected")
+  }
+
   test("TestLoader_iris_setosa: untyped CSV + string filter + stats") {
     runGolden("TestLoader_iris_setosa.tql", "TestLoader_iris_setosa.csv",
       _.replace("\"/iris.data\"", s"'$fixtures/iris.data'"))
