@@ -63,24 +63,85 @@ object FftOp {
     }
   }
 
-  /** Amplitude spectrum of one series sampled at tsSec (seconds).
-    * Returns (hz, amp) pairs for bins 1..n/2. */
-  private[graft] def spectrum(ts: Array[Double], vs: Array[Double],
-                                  minHz: Double, maxHz: Double): Array[(Double, Double)] = {
+  /** Arbitrary-length DFT via Bluestein's chirp-z algorithm (public
+    * formulation, L. Bluestein 1970): X_k = c_k · (a ⊛ b)_k with
+    * a_j = x_j·e^{-iπj²/n}, b_j = e^{+iπj²/n}, convolved through a
+    * power-of-two FFT. Needed because the reference's spectra are
+    * computed at the exact sample count (gonum fourier), not padded. */
+  private[graft] def dft(xRe: Array[Double], xIm: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = xRe.length
+    if ((n & (n - 1)) == 0) { // power of two: direct radix-2
+      val re = xRe.clone(); val im = xIm.clone()
+      fft(re, im)
+      return (re, im)
+    }
+    var m = 1
+    while (m < 2 * n - 1) m <<= 1
+    // chirp c_j = e^{-iπ j²/n}; j² taken mod 2n to keep the angle exact
+    val cRe = new Array[Double](n)
+    val cIm = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      val q = (j.toLong * j) % (2L * n)
+      val ang = -math.Pi * q / n
+      cRe(j) = math.cos(ang); cIm(j) = math.sin(ang)
+      j += 1
+    }
+    val aRe = new Array[Double](m); val aIm = new Array[Double](m)
+    val bRe = new Array[Double](m); val bIm = new Array[Double](m)
+    j = 0
+    while (j < n) {
+      // a = x·c ; b = conj(chirp) arranged circularly for indices ±j
+      aRe(j) = xRe(j) * cRe(j) - xIm(j) * cIm(j)
+      aIm(j) = xRe(j) * cIm(j) + xIm(j) * cRe(j)
+      bRe(j) = cRe(j); bIm(j) = -cIm(j)
+      if (j != 0) { bRe(m - j) = cRe(j); bIm(m - j) = -cIm(j) }
+      j += 1
+    }
+    fft(aRe, aIm); fft(bRe, bIm)
+    var i = 0
+    while (i < m) {
+      val r = aRe(i) * bRe(i) - aIm(i) * bIm(i)
+      val im2 = aRe(i) * bIm(i) + aIm(i) * bRe(i)
+      aRe(i) = r; aIm(i) = im2
+      i += 1
+    }
+    // inverse FFT via conjugation
+    i = 0
+    while (i < m) { aIm(i) = -aIm(i); i += 1 }
+    fft(aRe, aIm)
+    i = 0
+    while (i < m) { aRe(i) /= m; aIm(i) = -aIm(i) / m; i += 1 }
+    val outRe = new Array[Double](n)
+    val outIm = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      outRe(k) = aRe(k) * cRe(k) - aIm(k) * cIm(k)
+      outIm(k) = aRe(k) * cIm(k) + aIm(k) * cRe(k)
+      k += 1
+    }
+    (outRe, outIm)
+  }
+
+  /** Amplitude spectrum of one series with the reference's conventions
+    * (mods/nums/fft/fft.go): exact-N DFT; period = n / (duration_ns/1e9);
+    * hz_i = (i/n)·period; amplitude = 2·|X_i|/n; bin 0 skipped;
+    * [minHz, maxHz] inclusive; ≥16 samples. Duration is measured in
+    * int64 ns (exact) — float subtraction of epoch seconds would lose
+    * the last µs digits to cancellation. */
+  private[graft] def spectrum(tsNs: Array[Long], vs: Array[Double],
+                              minHz: Double, maxHz: Double): Array[(Double, Double)] = {
     val n = vs.length
     if (n < 16) return Array.empty
-    val dt = (ts(n - 1) - ts(0)) / (n - 1)
-    if (dt <= 0) return Array.empty
-    var m = 1
-    while (m < n) m <<= 1
-    val re = new Array[Double](m)
-    val im = new Array[Double](m)
-    System.arraycopy(vs, 0, re, 0, n)
-    fft(re, im)
+    val durNs = tsNs(n - 1) - tsNs(0)
+    if (durNs <= 0) return Array.empty
+    val durSec = durNs.toDouble / 1e9
+    val period = n.toDouble / durSec
+    val (re, im) = dft(vs, new Array[Double](n))
     val out = Array.newBuilder[(Double, Double)]
     var k = 1
     while (k <= n / 2) {
-      val hz = k.toDouble / (m * dt)
+      val hz = k.toDouble / n * period
       if (hz >= minHz && hz <= maxHz) {
         val amp = 2d * math.hypot(re(k), im(k)) / n
         out += ((hz, amp))
@@ -95,7 +156,7 @@ object FftOp {
              minHz: Double = 0d, maxHz: Double = Double.MaxValue): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val fftUdf = udf { (ts: Seq[Double], vs: Seq[Double]) =>
+    val fftUdf = udf { (ts: Seq[Long], vs: Seq[Double]) =>
       spectrum(ts.toArray, vs.toArray, minHz, maxHz)
         .map { case (h, a) => (h, a) }
     }
@@ -103,7 +164,7 @@ object FftOp {
       .agg(sort_array(collect_list(struct(col(timeNsCol).as("t"), col(valueCol).as("v")))).as("pts"))
       .select(col("key"),
         explode(fftUdf(
-          expr("transform(pts, p -> cast(p.t as double) / 1e9)"),
+          expr("transform(pts, p -> cast(p.t as bigint))"),
           expr("transform(pts, p -> p.v)"))).as("bin"))
       .select(col("key"), col("bin._1").as("hz"), col("bin._2").as("amp"))
   }

@@ -17,11 +17,14 @@ object Fake {
   case class Freq(hz: Double, amplitude: Double, phase: Double = 0d)
 
   /** oscillator(freq(...)..., range(fromNs, durNs, periodNs)): rows
-    * (time_ns, value) where value = Σ amp·sin(2π·hz·t_sec + phase). */
+    * (time_ns, value) where value = Σ amp·sin(2π·hz·t + phase) with
+    * t = double(time_ns)/1e9 — the reference's exact float sequence
+    * (fm_fake.go:487/502: float64(x)/float64(time.Second)), so spectra
+    * computed from these samples match its goldens bit-for-bit. */
   def oscillator(spark: SparkSession, freqs: Seq[Freq],
                  fromNs: Long, durNs: Long, periodNs: Long): DataFrame = {
     val n = durNs / periodNs
-    val tSec = (col("time_ns") - fromNs).cast("double") / 1e9 + lit(fromNs.toDouble / 1e9)
+    val tSec = col("time_ns").cast("double") / 1e9
     val value = freqs.map { f =>
       lit(f.amplitude) * sin(lit(2d * math.Pi * f.hz) * tSec + lit(f.phase))
     }.reduce(_ + _)

@@ -74,7 +74,8 @@ object Compiler {
 
   private def statementNeedsKey(e: Expr): Boolean = e match {
     case Expr.Call(n, args) =>
-      Set("TAKE", "DROP", "PUSHKEY", "POPKEY", "key", "first", "last", "TRANSPOSE",
+      Set("TAKE", "DROP", "PUSHKEY", "POPKEY", "MAPKEY", "GROUPBYKEY", "FFT",
+        "key", "first", "last", "TRANSPOSE",
         "MAP_DIFF", "MAP_ABSDIFF", "MAP_NONEGDIFF", "MAP_AVG", "MAP_MOVAVG",
         "MAP_LOWPASS", "FILTER_CHANGED")(n) || args.exists(statementNeedsKey)
     case Expr.Bin(_, l, r) => statementNeedsKey(l) || statementNeedsKey(r)
@@ -187,6 +188,19 @@ object Compiler {
     case other => throw new IllegalArgumentException(s"unsupported time bound $other")
   }
 
+  /** Fold a compile-time epoch-ns expression (exact long arithmetic so
+    * ns literals like 1685714509*1000000000 don't round through double). */
+  private def evalConstNs(e: Expr): Long = e match {
+    case Expr.Num(v) => v.toLong
+    case Expr.Call("time", List(x)) => evalConstNs(x)
+    case Expr.Call("timeAdd", List(x, Expr.Str(dur))) =>
+      evalConstNs(x) + graft.time.TimeFns.parseDurationNs(dur)
+    case Expr.Bin("*", a, b) => evalConstNs(a) * evalConstNs(b)
+    case Expr.Bin("+", a, b) => evalConstNs(a) + evalConstNs(b)
+    case Expr.Bin("-", a, b) => evalConstNs(a) - evalConstNs(b)
+    case other => throw new IllegalArgumentException(s"not a constant time: $other")
+  }
+
   /** Fold a compile-time string expression (literals + strTrimSpace). */
   private def constString(e: Expr): String = e match {
     case Expr.Str(v) => v
@@ -209,9 +223,9 @@ object Compiler {
       case Call("oscillator", args) =>
         val freqs = args.collect { case Call("freq", List(Num(hz), Num(amp))) => Fake.Freq(hz, amp) }
         val rng = args.collectFirst {
-          case Call("range", List(Call("time", List(Num(from))), Str(dur), Str(period))) =>
-            (from.toLong, graft.time.TimeFns.parseDurationNs(dur), graft.time.TimeFns.parseDurationNs(period))
-        }.getOrElse(throw new IllegalArgumentException("oscillator needs range(time(t),'dur','period')"))
+          case Call("range", List(startE, Str(dur), Str(period))) =>
+            (evalConstNs(startE), graft.time.TimeFns.parseDurationNs(dur), graft.time.TimeFns.parseDurationNs(period))
+        }.getOrElse(throw new IllegalArgumentException("oscillator needs range(t,'dur','period')"))
         require(freqs.nonEmpty, "oscillator needs freq(hz, amp)")
         keyed(Fake.oscillator(spark, freqs, rng._1, rng._2, rng._3), Seq("time_ns", "value"))
       case Call("sphere", List(Num(la), Num(lo))) =>
@@ -397,6 +411,18 @@ object Compiler {
             p.copy(df = graft.operators.SeqOps.filterChanged(
               p.df, toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
         }
+
+      case Call("GROUPBYKEY", _) =>
+        // records are already key-addressable; downstream whole-key
+        // operators (FFT) consume the keyed frame directly
+        p
+
+      case Call("FFT", args) =>
+        val minHz = args.collectFirst { case Call("minHz", List(Num(v))) => v }.getOrElse(0d)
+        val maxHz = args.collectFirst { case Call("maxHz", List(Num(v))) => v }.getOrElse(Double.MaxValue)
+        val df = graft.operators.FftOp.perKey(
+          p.df, p.keyCol, p.values(0), p.values(1), minHz, maxHz)
+        Pipe(df, "key", Seq("hz", "amp"))
 
       case Call("TRANSPOSE", args) =>
         // TRANSPOSE(fixed(i…)) keeps listed columns fixed and unpivots the

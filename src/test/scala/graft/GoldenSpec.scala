@@ -64,6 +64,28 @@ class GoldenSpec extends SparkSpec {
     assert(got == expected, s"\n--- got ---\n$got--- want ---\n$expected")
   }
 
+  test("MAP_MOVAVG warm-up golden (movavg_result.csv)") {
+    val expected = normalize(read("movavg_result.csv"))
+    val got = normalize(Tql.run(spark,
+      """FAKE( linspace(0, 100, 100) )
+        |MAP_MOVAVG(1, value(0), 10)
+        |CSV( precision(4) )
+        |""".stripMargin))
+    assert(got == expected, s"\n--- got ---\n${got.take(300)}--- want ---\n${expected.take(300)}")
+  }
+
+  test("FFT amplitude spectrum golden (fft2d.csv, 10Hz+50Hz)") {
+    val expected = normalize(read("fft2d.csv"))
+    val got = normalize(Tql.run(spark,
+      """FAKE( oscillator( range(timeAdd(1685714509*1000000000,'1s'), '1s', '100us'), freq(10, 1.0), freq(50, 2.0)))
+        |MAPKEY('samples')
+        |GROUPBYKEY(lazy(false))
+        |FFT(minHz(0), maxHz(60))
+        |CSV(precision(6))
+        |""".stripMargin))
+    assert(got == expected, s"\n--- got ---\n${got.take(400)}--- want ---\n${expected.take(400)}")
+  }
+
   test("TestLoader_iris_setosa: untyped CSV + string filter + stats") {
     runGolden("TestLoader_iris_setosa.tql", "TestLoader_iris_setosa.csv",
       _.replace("\"/iris.data\"", s"'$fixtures/iris.data'"))
