@@ -17,7 +17,7 @@ object Synth {
       Fake.oscillator(s,
         Seq(Fake.Freq(1.5, 1.0), Fake.Freq(2.0, 0.5)),
         fromNs = 0L, durNs = 4L * 1000000000L, periodNs = 1000000000L / 64)
-        .select(col("time_ns"), fround(col("value"), 6).as("value"))
+        .select(col("time").as("time_ns"), fround(col("value"), 6).as("value"))
         .orderBy("time_ns")
     }),
 
@@ -50,7 +50,7 @@ object Synth {
         Seq(Fake.Freq(1.0, 1.0), Fake.Freq(2.0, 2.0), Fake.Freq(3.0, 3.0)),
         fromNs = 0L, durNs = 4L * 1000000000L, periodNs = 1000000000L / 64)
         .withColumn("key", lit("osc"))
-      FftOp.perKey(osc, "key", "time_ns", "value", 0.1, 10.0)
+      FftOp.perKey(osc, "key", "time", "value", 0.1, 10.0)
         .select(col("key"), fround(col("hz"), 6).as("hz"), fround(col("amp"), 6).as("amp"))
         .orderBy("hz")
     }))

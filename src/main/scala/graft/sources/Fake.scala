@@ -24,12 +24,12 @@ object Fake {
   def oscillator(spark: SparkSession, freqs: Seq[Freq],
                  fromNs: Long, durNs: Long, periodNs: Long): DataFrame = {
     val n = durNs / periodNs
-    val tSec = col("time_ns").cast("double") / 1e9
+    val tSec = col("time").cast("double") / 1e9
     val value = freqs.map { f =>
       lit(f.amplitude) * sin(lit(2d * math.Pi * f.hz) * tSec + lit(f.phase))
     }.reduce(_ + _)
     spark.range(n)
-      .select((col("id") * periodNs + fromNs).as("time_ns"))
+      .select((col("id") * periodNs + fromNs).as("time"))
       .withColumn("value", value)
   }
 

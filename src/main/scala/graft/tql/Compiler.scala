@@ -227,7 +227,7 @@ object Compiler {
             (evalConstNs(startE), graft.time.TimeFns.parseDurationNs(dur), graft.time.TimeFns.parseDurationNs(period))
         }.getOrElse(throw new IllegalArgumentException("oscillator needs range(t,'dur','period')"))
         require(freqs.nonEmpty, "oscillator needs freq(hz, amp)")
-        keyed(Fake.oscillator(spark, freqs, rng._1, rng._2, rng._3), Seq("time_ns", "value"))
+        keyed(Fake.oscillator(spark, freqs, rng._1, rng._2, rng._3), Seq("time", "value"))
       case Call("sphere", List(Num(la), Num(lo))) =>
         keyed(Fake.sphere(spark, la.toInt, lo.toInt), Seq("x", "y", "z"))
       case Call("json", List(Call("__obj", rows))) =>
@@ -365,10 +365,13 @@ object Compiler {
         p.copy(df = df, keyCol = newKey, values = p.values.filterNot(_ == newKey))
 
       case Call("FLATTEN", Nil) =>
-        // explode every array-typed value column (reference explodes the tuple)
+        // explode every array-typed value column (reference explodes the
+        // tuple); relational operators (FFT) already emit flat rows, so a
+        // FLATTEN over a frame with no array columns is the identity
         val arrayCols = p.values.filter(v =>
           p.df.schema(v).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
         arrayCols match {
+          case Seq() => p
           case Seq(one) =>
             p.copy(df = p.df.withColumn(one, explode(col(one))))
           case _ => throw new IllegalArgumentException("FLATTEN expects one array value column")

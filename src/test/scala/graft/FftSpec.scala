@@ -12,7 +12,7 @@ class FftSpec extends SparkSpec {
       Seq(Fake.Freq(1.0, 1.0), Fake.Freq(2.0, 2.0), Fake.Freq(3.0, 3.0)),
       fromNs = 0L, durNs = 4L * 1000000000L, periodNs = 1000000000L / 64)
       .withColumn("key", lit("osc"))
-    val spec = FftOp.perKey(osc, "key", "time_ns", "value", 0.1, 10.0)
+    val spec = FftOp.perKey(osc, "key", "time", "value", 0.1, 10.0)
       .orderBy(col("amp").desc).select("hz", "amp")
       .collect().map(r => (r.getDouble(0), r.getDouble(1)))
     val top3 = spec.take(3).sortBy(_._1)
@@ -28,7 +28,7 @@ class FftSpec extends SparkSpec {
   test("series shorter than 16 samples yields no spectrum (reference rule)") {
     val short = Fake.oscillator(spark, Seq(Fake.Freq(1.0, 1.0)),
       0L, 10L * 62500000L, 62500000L).withColumn("key", lit("s"))
-    assert(FftOp.perKey(short, "key", "time_ns", "value").count() == 0)
+    assert(FftOp.perKey(short, "key", "time", "value").count() == 0)
   }
 
   test("radix-2 fft matches a direct DFT") {

@@ -86,6 +86,33 @@ class GoldenSpec extends SparkSpec {
     assert(got == expected, s"\n--- got ---\n${got.take(400)}--- want ---\n${expected.take(400)}")
   }
 
+  test("oscillator 1Hz+2Hz+3Hz samples golden") {
+    val expected = normalize(read("oscillator_1Hz_2Hz_3Hz.csv"))
+    val got = normalize(Tql.run(spark,
+      """FAKE(
+        |  oscillator(
+        |    range(timeAdd(1685714509*1000000000,'1s'), '1s', '1ms'),
+        |    freq(1, 1.0), freq(2, 2.0), freq(3, 3.0)))
+        |PUSHKEY('test')
+        |CSV( header(true), precision(6) )
+        |""".stripMargin))
+    assert(got == expected, s"\n--- got ---\n${got.take(300)}--- want ---\n${expected.take(300)}")
+  }
+
+  test("windowed FFT golden (fft3d.csv, two 500ms buckets)") {
+    val expected = normalize(read("fft3d.csv"))
+    val got = normalize(Tql.run(spark,
+      """FAKE( oscillator( range(timeAdd(1685714509*1000000000,'1s'), '1s', '100us'), freq(10, 1.0), freq(50, 2.0)))
+        |MAPKEY( roundTime(value(0), '500ms') )
+        |GROUPBYKEY()
+        |FFT(maxHz(60))
+        |FLATTEN()
+        |PUSHKEY('fft3d')
+        |CSV(precision(6))
+        |""".stripMargin))
+    assert(got == expected, s"\n--- got ---\n${got.take(400)}--- want ---\n${expected.take(400)}")
+  }
+
   test("TestLoader_iris_setosa: untyped CSV + string filter + stats") {
     runGolden("TestLoader_iris_setosa.tql", "TestLoader_iris_setosa.csv",
       _.replace("\"/iris.data\"", s"'$fixtures/iris.data'"))

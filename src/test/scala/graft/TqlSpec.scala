@@ -73,7 +73,7 @@ class TqlSpec extends SparkSpec {
         |CSV(header())
         |""".stripMargin)
     val lines = out.split("\n")
-    assert(lines.head == "time_ns,value")
+    assert(lines.head == "time,value")
     assert(lines.length == 5)
     assert(lines(1) == "0,0") // sin(0) = 0
   }
