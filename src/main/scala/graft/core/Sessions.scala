@@ -21,6 +21,9 @@ object Sessions {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // full JVM charset set for CSV sources (EUC-JP etc., like the
+    // reference's charset() option)
+    .config("spark.sql.legacy.javaCharsets", "true")
     .config("spark.ui.enabled", "false")
 
   /** Install graft's optimizer rules on an existing session. Safe by

@@ -108,11 +108,14 @@ object Compiler {
         compileFake(spark, gen, needKey)
       case Call("CSV", Call("file", List(Str(path))) :: rest) =>
         val header = rest.exists { case Call("header", _) => true; case _ => false }
+        val charset = rest.collectFirst { case Call("charset", List(Str(c))) => c }
         val fields = rest.collect {
           case Call("field", List(Num(i), Call(tpe, _), Str(nm))) => (i.toInt, tpe, nm)
           case Call("col", List(Num(i), Call(tpe, _), Str(nm))) => (i.toInt, tpe, nm)
         }
-        if (fields.isEmpty) keyed(spark.read.option("header", header.toString).csv(path))
+        val reader0 = spark.read.option("header", header.toString)
+        val reader = charset.fold(reader0)(c => reader0.option("encoding", c))
+        if (fields.isEmpty) keyed(reader.csv(path))
         else {
           def sparkType(t: String) = t match {
             case "doubleType" => org.apache.spark.sql.types.DoubleType
@@ -124,7 +127,7 @@ object Compiler {
           val schema = org.apache.spark.sql.types.StructType(
             fields.sortBy(_._1).map { case (_, t, nm) =>
               org.apache.spark.sql.types.StructField(nm, sparkType(t)) })
-          keyed(spark.read.option("header", header.toString).schema(schema).csv(path))
+          keyed(reader.schema(schema).csv(path))
         }
       case Call("STRING", args) =>
         // STRING(payload() ?? `literal`, separator('\n'), trimspace(true))

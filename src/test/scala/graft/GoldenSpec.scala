@@ -113,6 +113,15 @@ class GoldenSpec extends SparkSpec {
     assert(got == expected, s"\n--- got ---\n${got.take(400)}--- want ---\n${expected.take(400)}")
   }
 
+  test("CSV charset('EUC-JP') decodes the euc-jp fixture") {
+    // expectation from the reference's CSV_charset_jp test case
+    val got = Tql.run(spark,
+      s"""CSV(file('$fixtures/euc-jp.csv'), charset('EUC-JP'))
+         |CSV()
+         |""".stripMargin)
+    assert(got == "\u5229\u7528\u3055\u308c\u3066\u304d\u305f\u6587\u5b57\u30b3\u30fc,1701913182,3.141592\n", got)
+  }
+
   test("TestLoader_iris_setosa: untyped CSV + string filter + stats") {
     runGolden("TestLoader_iris_setosa.tql", "TestLoader_iris_setosa.csv",
       _.replace("\"/iris.data\"", s"'$fixtures/iris.data'"))
