@@ -204,11 +204,99 @@ object Compiler {
     case other => throw new IllegalArgumentException(s"not a constant time: $other")
   }
 
-  /** Fold a compile-time string expression (literals + strTrimSpace). */
-  private def constString(e: Expr): String = e match {
+  /** Fold a compile-time string expression (literals + strTrimSpace +
+    * strSprintf with constant args, Go verb subset). */
+  private def constString(e: Expr): String = constStringOpt(e).getOrElse(
+    throw new IllegalArgumentException(s"expected string literal, got $e"))
+
+  private def constStringOpt(e: Expr): Option[String] = e match {
+    case Expr.Str(v) => Some(v)
+    case Expr.Call("strTrimSpace", List(x)) => constStringOpt(x).map(_.trim)
+    case Expr.Call("strSprintf", Expr.Str(fmt) :: args) =>
+      val vals = args.map {
+        case Expr.Num(v) => v: Any
+        case Expr.Str(v) => v: Any
+        case Expr.Bool(b) => b: Any
+        case _ => return None
+      }
+      Some(goSprintf(fmt, vals))
+    case _ => None
+  }
+
+  /** Minimal Go-style Sprintf: %.f %q %s %d %g %f with width ignored. */
+  private def goSprintf(fmt: String, args: Seq[Any]): String = {
+    val out = new StringBuilder
+    var ai = 0
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        var j = i + 1
+        while (j < fmt.length && !"dfgqsv%".contains(fmt.charAt(j))) j += 1
+        val spec = fmt.substring(i, j + 1)
+        fmt.charAt(j) match {
+          case '%' => out.append('%')
+          case 'q' => out.append('"').append(String.valueOf(args(ai))).append('"'); ai += 1
+          case 's' | 'v' => out.append(String.valueOf(args(ai))); ai += 1
+          case 'd' => out.append(args(ai) match {
+              case d: Double => d.toLong.toString
+              case o => o.toString
+            }); ai += 1
+          case 'f' | 'g' =>
+            val d = args(ai) match { case x: Double => x; case o => o.toString.toDouble }
+            ai += 1
+            val prec = "\\.([0-9]*)".r.findFirstMatchIn(spec).map(_.group(1))
+            prec match {
+              case Some("") => out.append(d.toLong.toString) // %.f
+              case Some(p) => out.append(s"%.${p}f".format(d))
+              case None => out.append(if (d == d.toLong) d.toLong.toString else d.toString)
+            }
+        }
+        i = j + 1
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Parse '[[..],[..]]' JSON rows into literal cells (numbers/strings). */
+  private def parseJsonRows(text: String): Seq[Seq[Any]] = {
+    // reuse the TQL expression parser: JSON arrays are valid [..] literals
+    Parser.parseExpression(text.replace("[", "[").replace("]", "]")) match {
+      case Expr.Call("__arr", rows) if rows.forall(_.isInstanceOf[Expr.Call]) &&
+          rows.collect { case Expr.Call("__arr", _) => 1 }.size == rows.size =>
+        rows.map { case Expr.Call("__arr", cells) => cells.map(cellValue) }
+      case Expr.Call("__arr", cells) => Seq(cells.map(cellValue))
+      case other => throw new IllegalArgumentException(s"bad json rows: $text")
+    }
+  }
+
+  private def cellValue(e: Expr): Any = e match {
+    case Expr.Num(v) => v
     case Expr.Str(v) => v
-    case Expr.Call("strTrimSpace", List(x)) => constString(x).trim
-    case other => throw new IllegalArgumentException(s"expected string literal, got $other")
+    case Expr.Bool(b) => b
+    case Expr.Null => null
+    case other => throw new IllegalArgumentException(s"bad json cell $other")
+  }
+
+  private def buildLiteralDf(spark: SparkSession, parsed: Seq[Seq[Any]],
+                             needKey: Boolean): Pipe = {
+    require(parsed.nonEmpty, "json() needs rows")
+    val nCols = parsed.head.size
+    val names = (0 until nCols).map(i => s"column$i")
+    val schema = org.apache.spark.sql.types.StructType(
+      (0 until nCols).map { i =>
+        val t = parsed.head(i) match {
+          case _: java.lang.Double | _: Double => org.apache.spark.sql.types.DoubleType
+          case _: java.lang.Boolean | _: Boolean => org.apache.spark.sql.types.BooleanType
+          case _ => org.apache.spark.sql.types.StringType
+        }
+        org.apache.spark.sql.types.StructField(names(i), t)
+      })
+    val rowsJ = parsed.map(cs => org.apache.spark.sql.Row.fromSeq(cs))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rowsJ).asJava), schema)
+    Pipe(if (needKey) withRownum(df) else df, "_key", names)
   }
 
   private def compileFake(spark: SparkSession, gen: Expr.Call, needKey: Boolean): Pipe = {
@@ -233,35 +321,20 @@ object Compiler {
         keyed(Fake.oscillator(spark, freqs, rng._1, rng._2, rng._3), Seq("time", "value"))
       case Call("sphere", List(Num(la), Num(lo))) =>
         keyed(Fake.sphere(spark, la.toInt, lo.toInt), Seq("x", "y", "z"))
+      case Call("json", List(textE)) if constStringOpt(textE).isDefined =>
+        // FAKE(json('[1, "a"]')) — single-row (or rows of arrays) JSON text
+        val text = constStringOpt(textE).get.trim
+        val rowsText = if (text.startsWith("[[")) text else s"[$text]"
+        val parsed = parseJsonRows(rowsText)
+        buildLiteralDf(spark, parsed, needKey)
+
       case Call("json", List(Call("__obj", rows))) =>
         // FAKE(json({ [..],[..] })) — literal rows (reference fm_fake.go:175)
         val parsed: Seq[Seq[Any]] = rows.map {
-          case Call("__arr", cells) => cells.map {
-            case Num(v) => v: Any
-            case Str(v) => v: Any
-            case Bool(v) => v: Any
-            case Null => null
-            case other => throw new IllegalArgumentException(s"bad json cell $other")
-          }
+          case Call("__arr", cells) => cells.map(cellValue)
           case other => throw new IllegalArgumentException(s"bad json row $other")
         }
-        require(parsed.nonEmpty, "json() needs rows")
-        val nCols = parsed.head.size
-        val names = (0 until nCols).map(i => s"column$i")
-        val schema = org.apache.spark.sql.types.StructType(
-          (0 until nCols).map { i =>
-            val t = parsed.head(i) match {
-              case _: java.lang.Double | _: Double => org.apache.spark.sql.types.DoubleType
-              case _: java.lang.Boolean | _: Boolean => org.apache.spark.sql.types.BooleanType
-              case _ => org.apache.spark.sql.types.StringType
-            }
-            org.apache.spark.sql.types.StructField(names(i), t)
-          })
-        val rowsJ = parsed.map(cs => org.apache.spark.sql.Row.fromSeq(cs))
-        val df = spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            scala.jdk.CollectionConverters.SeqHasAsJava(rowsJ).asJava), schema)
-        keyed(df, names)
+        buildLiteralDf(spark, parsed, needKey)
       case Call("csv", List(arg)) =>
         // FAKE(csv(`literal`)) — rows as-is, all strings, no header logic
         val text = constString(arg)
@@ -636,7 +709,10 @@ object Compiler {
     require(known(fmt), s"unsupported sink: ${st.text}")
     var opts = graft.sinks.Codecs.Options()
     st.call.args.foreach {
+      case Call("header", List(Bool(b))) => opts = opts.copy(heading = b)
+      case Call("heading", List(Bool(b))) => opts = opts.copy(heading = b)
       case Call("header", _) | Call("heading", _) => opts = opts.copy(heading = true)
+      case Call("rownum", List(Bool(b))) => opts = opts.copy(rownum = b)
       case Call("rownum", _) => opts = opts.copy(rownum = true)
       case Call("delimiter", List(Str(d))) => opts = opts.copy(delimiter = d)
       case Call("precision", List(Num(p))) => opts = opts.copy(precision = p.toInt)

@@ -122,6 +122,15 @@ class GoldenSpec extends SparkSpec {
     assert(got == "\u5229\u7528\u3055\u308c\u3066\u304d\u305f\u6587\u5b57\u30b3\u30fc,1701913182,3.141592\n", got)
   }
 
+  test("strSprintf constant folding into FAKE(json(...)) (reference case)") {
+    // expectation from the reference's strSprintf test case
+    val got = Tql.run(spark,
+      """FAKE(json(strSprintf('[%.f, %q]', 123, "hello")))
+        |CSV( heading(false) )
+        |""".stripMargin)
+    assert(got == "123,hello\n", got)
+  }
+
   test("TestLoader_iris_setosa: untyped CSV + string filter + stats") {
     runGolden("TestLoader_iris_setosa.tql", "TestLoader_iris_setosa.csv",
       _.replace("\"/iris.data\"", s"'$fixtures/iris.data'"))
