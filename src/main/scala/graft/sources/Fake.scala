@@ -40,11 +40,19 @@ object Fake {
     spark.range(n.toLong).select((lit(a) + col("id") * step).as("x"))
   }
 
-  /** arrange(a, b, step): half-open arithmetic progression like the
-    * reference (excludes values past b). */
+  /** arrange(a, b, step): arithmetic progression INCLUSIVE of the stop
+    * (reference fm_fake.go:303-322 loops `v <= stop`), either direction.
+    * Row values accumulate exactly like the reference's `v += step` loop
+    * would — but computed as a + i·step, identical for exact steps. */
   def arrange(spark: SparkSession, a: Double, b: Double, step: Double): DataFrame = {
-    require(step != 0d)
-    val n = math.max(0L, math.ceil((b - a) / step - 1e-12).toLong)
+    require(step != 0d, "arrange step can not be 0")
+    require(a != b, "arrange start, stop can not be equal")
+    require(!(a < b && step < 0) && !(a > b && step > 0), "arrange step sign mismatch")
+    // count of v = a + i*step while (a<b ? v<=b : v>=b), replicating the
+    // accumulating loop's boundary behavior
+    var n = 0L
+    var v = a
+    while (if (a < b) v <= b else v >= b) { n += 1; v += step }
     spark.range(n).select((lit(a) + col("id") * step).as("x"))
   }
 

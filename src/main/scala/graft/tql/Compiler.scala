@@ -129,6 +129,45 @@ object Compiler {
               org.apache.spark.sql.types.StructField(nm, sparkType(t)) })
           keyed(reader.schema(schema).csv(path))
         }
+      case Call("CSV", first :: rest) if constStringOpt(first).isDefined =>
+        // CSV("a,b\nc,d") / CSV(payload(), field(...)) — literal or
+        // request-payload rows; empty lines skipped (reference CSV_CSV)
+        val text = constStringOpt(first).get
+        val lines = text.split("\n", -1).toIndexedSeq.filter(_.nonEmpty)
+        require(lines.nonEmpty, "CSV literal is empty")
+        val nCols = lines.map(_.split(",", -1).length).max
+        val names = (0 until nCols).map(i => s"column$i")
+        val schema0 = org.apache.spark.sql.types.StructType(
+          names.map(n => org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.StringType)))
+        val rowsC = lines.map { l =>
+          val cells = l.split(",", -1).toSeq.padTo(nCols, "")
+          org.apache.spark.sql.Row.fromSeq(cells)
+        }
+        val df0 = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rowsC).asJava), schema0)
+        val fields = rest.collect {
+          case Call("field", List(Num(i), Call(tpe, _), Str(nm))) => (i.toInt, tpe, nm)
+          case Call("col", List(Num(i), Call(tpe, _), Str(nm))) => (i.toInt, tpe, nm)
+        }
+        if (fields.isEmpty) keyed(df0)
+        else {
+          def castTo(c: Column, t: String): Column = t match {
+            case "doubleType" => c.cast("double")
+            case "stringType" => c
+            case "boolType" => c.cast("boolean")
+            // datetimeType(unit): epoch numbers pass through as long —
+            // the sink's matching timeformat(unit) emits them unchanged
+            case "datetimeType" | "timeType" => c.cast("long")
+            case other => throw new IllegalArgumentException(s"unknown field type $other")
+          }
+          val cols = fields.sortBy(_._1).map { case (i, t, nm) =>
+            castTo(col(s"column$i"), t).as(nm) }
+          val df = df0.select(cols: _*)
+          keyed(df)
+        }
+
       case Call("STRING", args) =>
         // STRING(payload() ?? `literal`, separator('\n'), trimspace(true))
         // — one record per separated chunk (reference fm_bytes.go:26-236).
@@ -211,6 +250,8 @@ object Compiler {
 
   private def constStringOpt(e: Expr): Option[String] = e match {
     case Expr.Str(v) => Some(v)
+    case Expr.Call("payload", _) => currentParams.get.get("payload")
+    case Expr.Bin("??", l, r) => constStringOpt(l).orElse(constStringOpt(r))
     case Expr.Call("strTrimSpace", List(x)) => constStringOpt(x).map(_.trim)
     case Expr.Call("strSprintf", Expr.Str(fmt) :: args) =>
       val vals = args.map {
@@ -519,7 +560,8 @@ object Compiler {
         val bareIdx = args.collect { case Num(i) => i.toInt }.toSet
         val fixedCols =
           if (fixedIdx.nonEmpty) p.values.zipWithIndex.filter { case (_, i) => fixedIdx(i) }.map(_._1)
-          else p.values.zipWithIndex.filterNot { case (_, i) => bareIdx(i) }.map(_._1)
+          else if (bareIdx.nonEmpty) p.values.zipWithIndex.filterNot { case (_, i) => bareIdx(i) }.map(_._1)
+          else Seq.empty // no selection → melt every value column
         val meltCols = p.values.filterNot(fixedCols.contains)
         if (!withHeader) {
           val df0 = graft.operators.RowOps.transpose(
@@ -561,6 +603,22 @@ object Compiler {
         Pipe(df, "low", Seq("low", "high", "cnt"))
 
       case other => throw new IllegalArgumentException(s"unsupported map: ${st.text}")
+    }
+  }
+
+  /** Go strings.Replace semantics: first n occurrences (n<0 = all). */
+  private lazy val replaceNUdf = udf { (s: String, from: String, to: String, n: Int) =>
+    if (s == null) null
+    else if (n < 0) s.replace(from, to)
+    else {
+      val sb = new StringBuilder
+      var i = 0; var done = 0
+      while (i < s.length) {
+        if (done < n && s.startsWith(from, i) && from.nonEmpty) {
+          sb.append(to); i += from.length; done += 1
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
     }
   }
 
@@ -823,6 +881,15 @@ object Compiler {
       case "strReplaceAll" => args match {
         case List(x, Str(from), Str(to)) => regexp_replace(toColumn(x, p), java.util.regex.Pattern.quote(from), to)
         case _ => throw new IllegalArgumentException("strReplaceAll(s, from, to)")
+      }
+      case "strTrimPrefix" =>
+        when(a(0).startsWith(a(1)), a(0).substr(length(a(1)) + 1, length(a(0)))).otherwise(a(0))
+      case "strTrimSuffix" =>
+        when(a(0).endsWith(a(1)), a(0).substr(lit(1), length(a(0)) - length(a(1)))).otherwise(a(0))
+      case "strReplace" => args match {
+        case List(x, Str(from), Str(to), Num(n)) =>
+          replaceNUdf(toColumn(x, p), lit(from), lit(to), lit(n.toInt))
+        case _ => throw new IllegalArgumentException("strReplace(s, old, new, n)")
       }
       case "strHasPrefix" => a(0).startsWith(a(1))
       case "strHasSuffix" => a(0).endsWith(a(1))

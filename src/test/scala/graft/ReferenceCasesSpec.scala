@@ -1,0 +1,138 @@
+package graft
+
+import graft.tql.Tql
+
+/** Inline test cases mirrored from the reference's TQL suite
+  * (mods/tql/tql_test.go — behavior observed, scripts re-expressed):
+  * each expectation is the reference's own ExpectCSV.
+  */
+class ReferenceCasesSpec extends SparkSpec {
+  private def run(script: String): String = Tql.run(spark, script)
+
+  test("MAP_pushkey_manual: rownum key demotes ahead of values") {
+    assert(run("FAKE( linspace(1, 2, 2) )\nPUSHKEY(\"k\")\nCSV()\n") == "1,1\n2,2\n")
+  }
+
+  test("MAP_popkey_manual: first value becomes the key and leaves the tuple") {
+    val out = run(
+      """FAKE( json({
+        |  ["TAG0", 1, 10],
+        |  ["TAG1", 2, 20]
+        |}))
+        |POPKEY()
+        |CSV()
+        |""".stripMargin)
+    assert(out == "1,10\n2,20\n")
+  }
+
+  test("MAP_transpose_header_manual: melt-all with first record as labels") {
+    val out = run(
+      "FAKE(csv(\"CITY,DATE,TEMPERATURE,HUMIDITY\nTokyo,2023/12/07,23,30\"))\n" +
+        "TRANSPOSE(header(true))\nCSV()\n")
+    assert(out == "CITY,Tokyo\nDATE,2023/12/07\nTEMPERATURE,23\nHUMIDITY,30\n")
+  }
+
+  test("MAP_take_offset_count_manual") {
+    val out = run(
+      """FAKE( json({
+        |  ["TAG0", 1, 10], ["TAG0", 2, 11], ["TAG0", 3, 12],
+        |  ["TAG0", 4, 13], ["TAG0", 5, 14], ["TAG0", 6, 15]
+        |}))
+        |TAKE(3, 2)
+        |CSV()
+        |""".stripMargin)
+    assert(out == "TAG0,4,13\nTAG0,5,14\n")
+  }
+
+  test("MAP_drop_offset_count_manual") {
+    val out = run(
+      """FAKE( json({
+        |  ["TAG0", 1, 10], ["TAG0", 2, 11], ["TAG0", 3, 12],
+        |  ["TAG0", 4, 13], ["TAG0", 5, 14], ["TAG0", 6, 15]
+        |}))
+        |DROP(2, 3)
+        |CSV()
+        |""".stripMargin)
+    assert(out == "TAG0,1,10\nTAG0,2,11\nTAG0,6,15\n")
+  }
+
+  test("FAKE_json_manual: booleans survive, MAPVALUE scales in place") {
+    val out = run(
+      """FAKE( json({
+        |  ["A", 1, true], ["B", 2, false], ["C", 3, true]
+        |}))
+        |MAPVALUE(1, value(1)*10)
+        |CSV()
+        |""".stripMargin)
+    assert(out == "A,10,true\nB,20,false\nC,30,true\n")
+  }
+
+  test("FAKE_csv_manual: strTrimSpace + parseFloat + parseBool") {
+    val out = run(
+      "FAKE( csv( strTrimSpace(`\n" +
+        "  A,1,true\n  B,2,false\n  C,3,true\n`)))\n" +
+        "MAPVALUE(0, strTrimSpace(value(0)))\n" +
+        "MAPVALUE(1, parseFloat(value(1))*10)\n" +
+        "MAPVALUE(2, parseBool(value(2)))\n" +
+        "CSV()\n")
+    assert(out == "A,10,true\nB,20,false\nC,30,true\n")
+  }
+
+  test("UTIL_string_trim_replace") {
+    val out = run(
+      """FAKE( json({ ["prefix-hello-suffix"] }))
+        |MAPVALUE(0, strTrimPrefix(value(0), "prefix-"))
+        |MAPVALUE(0, strTrimSuffix(value(0), "-suffix"))
+        |MAPVALUE(0, strReplace(value(0), "l", "L", 1))
+        |CSV()
+        |""".stripMargin)
+    assert(out == "heLlo\n")
+  }
+
+  test("UTIL_string_predicates") {
+    val out = run(
+      """FAKE( json({ ["prefix-hello-suffix"], ["hello"] }))
+        |PUSHVALUE(1, strHasPrefix(value(0), "prefix-"))
+        |PUSHVALUE(2, strHasSuffix(value(0), "-suffix"))
+        |CSV()
+        |""".stripMargin)
+    assert(out == "prefix-hello-suffix,true,true\nhello,false,false\n")
+  }
+
+  test("UTIL_string_replace_all") {
+    assert(run("FAKE( json({ [\"a-b-c\"] }))\nMAPVALUE(0, strReplaceAll(value(0), \"-\", \"_\"))\nCSV()\n")
+      == "a_b_c\n")
+  }
+
+  test("MAP_AVG over inclusive arrange") {
+    assert(run("FAKE( arrange(10, 30, 10) )\nMAP_AVG(1, value(0))\nCSV( precision(0) )\n")
+      == "10,10\n20,15\n30,20\n")
+  }
+
+  test("CSV_CSV literal source with empty fields and lines") {
+    assert(run("CSV(\"1,line1\n2,line2\n3,\n4,line4\")\nCSV( heading(true) )\n")
+      == "column0,column1\n1,line1\n2,line2\n3,\n4,line4\n")
+    assert(run("CSV(\"line1\nline2\n\nline4\")\nCSV( heading(true) )\n")
+      == "column0\nline1\nline2\nline4\n")
+  }
+
+  test("CSV_payload_CSV with typed fields and epoch timeformat") {
+    val c = graft.tql.Tql.compile(spark,
+      """CSV(payload(),
+        |  field(0, stringType(), "name"),
+        |  field(1, datetimeType("s"), "time"),
+        |  field(2, doubleType(), "value"),
+        |  field(3, stringType(), "active")
+        |)
+        |CSV(timeformat("s"), heading(true))
+        |""".stripMargin,
+      Map("payload" -> "temp.name,1691662156,123.456789,true\n"))
+    val out = graft.sinks.Codecs.render(c.output, c.sink.format, c.sink.options)
+    assert(out == "name,time,value,active\ntemp.name,1691662156,123.456789,true\n")
+  }
+
+  test("FAKE_meshgrid_manual: x-major cartesian order") {
+    assert(run("FAKE( meshgrid(linspace(1, 2, 2), linspace(10, 20, 2)) )\nCSV()\n") ==
+      "1,10\n1,20\n2,10\n2,20\n")
+  }
+}
