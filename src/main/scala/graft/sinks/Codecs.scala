@@ -20,7 +20,10 @@ object Codecs {
       heading: Boolean = false,
       rownum: Boolean = false,
       nullAs: String = "NULL",
-      precision: Int = -1)
+      precision: Int = -1,
+      /** datetime pattern (Java DateTimeFormatter) or epoch mode s/ms/us/ns */
+      timeformat: Option[String] = None,
+      tz: String = "UTC")
 
   /** Shortest round-trip decimal like Go's FormatFloat(v,'f',-1,64) — the
     * reference's CSV float format ("1", "1.5", not "1.0"). */
@@ -37,8 +40,23 @@ object Codecs {
     * keep their sign after rounding ("-0.0000" in the Pi golden). */
   private def normZero(d: Double): Double = if (d == 0.0d) 0.0d else d
 
+  private def fmtTime(inst: java.time.Instant, o: Options): String =
+    o.timeformat match {
+      case Some("s") => inst.getEpochSecond.toString
+      case Some("ms") => inst.toEpochMilli.toString
+      case Some("us") => (inst.getEpochSecond * 1000000L + inst.getNano / 1000).toString
+      case Some("ns") => (inst.getEpochSecond * 1000000000L + inst.getNano).toString
+      case Some(pattern) =>
+        java.time.format.DateTimeFormatter.ofPattern(pattern)
+          .withZone(java.time.ZoneId.of(o.tz)).format(inst)
+      case None => inst.toString
+    }
+
   private def fmt(v: Any, o: Options): String = v match {
     case null => o.nullAs
+    case t: java.sql.Timestamp => fmtTime(t.toInstant, o)
+    case t: java.time.Instant => fmtTime(t, o)
+    case t: java.time.LocalDateTime => fmtTime(t.toInstant(java.time.ZoneOffset.UTC), o)
     case d: Double if o.precision >= 0 => s"%.${o.precision}f".format(normZero(d))
     case f: Float if o.precision >= 0 => s"%.${o.precision}f".format(normZero(f.toDouble))
     case d: Double => goFloat(normZero(d))

@@ -59,6 +59,16 @@ object TimeFns {
     roundTimeNs(tsNs, per * n)
   }
 
+  /** ANSI-style timeformat ("yyyy-mm-dd hh:nn:ss.ffffff") → Spark/Java
+    * pattern (reference ansiTimeformat). */
+  def translateAnsiTimeformat(fmt: String): String = {
+    // mm (month) must translate before nn→mm introduces minute 'mm's
+    val tokens = Seq(
+      "yyyy" -> "yyyy", "ffffff" -> "SSSSSS", "fff" -> "SSS",
+      "mm" -> "MM", "hh" -> "HH", "nn" -> "mm", "ss" -> "ss", "dd" -> "dd")
+    tokens.foldLeft(fmt) { case (acc, (from, to)) => acc.replace(from, to) }
+  }
+
   /** epoch-ns → TimestampType (µs truncation at the presentation edge). */
   def nsToTimestamp(tsNs: Column): Column = timestamp_micros((tsNs / 1000L).cast("long"))
 
@@ -85,7 +95,7 @@ object TimeFns {
         "HH24" -> "HH", "HH12" -> "hh", "HH" -> "HH",
         "MI" -> "mm", "SSS" -> "SSS", "SS" -> "ss",
         "MM" -> "MM", "DD" -> "dd", "AM" -> "a", "PM" -> "a",
-        "nnnnnnnnn" -> "SSSSSSSSS", "mmm" -> "SSS")
+        "nnnnnnnnn" -> "SSSSSSSSS", "nnnnnn" -> "SSSSSS", "mmm" -> "SSS")
       tokens.foldLeft(other) { case (acc, (from, to)) => acc.replace(from, to) }
   }
 

@@ -773,6 +773,17 @@ object Compiler {
       case Call("rownum", List(Bool(b))) => opts = opts.copy(rownum = b)
       case Call("rownum", _) => opts = opts.copy(rownum = true)
       case Call("delimiter", List(Str(d))) => opts = opts.copy(delimiter = d)
+      case Call("timeformat", List(Str(f))) =>
+        opts = opts.copy(timeformat = Some(f match {
+          case "s" | "ms" | "us" | "ns" => f
+          case pattern => graft.time.TimeFns.translateTimeformat(pattern)
+        }))
+      case Call("sqlTimeformat", List(Str(f))) =>
+        opts = opts.copy(timeformat = Some(graft.time.TimeFns.translateTimeformat(f)))
+      case Call("ansiTimeformat", List(Str(f))) =>
+        opts = opts.copy(timeformat = Some(graft.time.TimeFns.translateAnsiTimeformat(f)))
+      case Call("tz", List(Str(z))) =>
+        opts = opts.copy(tz = z match { case "Local" => "UTC"; case other => other })
       case Call("precision", List(Num(p))) => opts = opts.copy(precision = p.toInt)
       case Call("substituteNull", List(Str(s))) => opts = opts.copy(nullAs = s)
       case _ =>
@@ -916,7 +927,10 @@ object Compiler {
       case "nullValue" => coalesce(a(0), a(1))
       case "coalesce" => coalesce(args.map(x => toColumn(x, p)): _*)
       // time (epoch-ns discipline)
-      case "time" => a(0).cast("long")
+      case "time" =>
+        // time(ns) → a datetime value (µs-precision timestamp; the sink's
+        // timeformat/tz options format it like the reference's datetime)
+        timestamp_micros(floor(a(0).cast("long").cast("decimal(25,0)") / lit(1000)).cast("long"))
       case "parseTime" => args match {
         case x :: Str(fmt) :: _ => fmt match {
           case "s" => toColumn(x, p).cast("long")

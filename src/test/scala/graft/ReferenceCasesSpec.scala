@@ -131,6 +131,30 @@ class ReferenceCasesSpec extends SparkSpec {
     assert(out == "name,time,value,active\ntemp.name,1691662156,123.456789,true\n")
   }
 
+  test("UTIL_sqlTimeformat_csv with tz('Asia/Seoul')") {
+    val out = run(
+      """FAKE( json({
+        |  [1701345032123456789, 10],
+        |  [1701345043219876543, 11]
+        |}))
+        |MAPVALUE(0, time(value(0)))
+        |CSV(sqlTimeformat("YYYY-MM-DD HH24:MI:SS.nnnnnn"), tz("Asia/Seoul"))
+        |""".stripMargin)
+    assert(out == "2023-11-30 20:50:32.123456,10\n2023-11-30 20:50:43.219876,11\n")
+  }
+
+  test("UTIL_ansiTimeformat_csv in UTC") {
+    val out = run(
+      """FAKE( json({
+        |  [1701345032123456789, 10],
+        |  [1701345043219876543, 11]
+        |}))
+        |MAPVALUE(0, time(value(0)))
+        |CSV(ansiTimeformat("yyyy-mm-dd hh:nn:ss.ffffff"), tz("UTC"))
+        |""".stripMargin)
+    assert(out == "2023-11-30 11:50:32.123456,10\n2023-11-30 11:50:43.219876,11\n")
+  }
+
   test("FAKE_meshgrid_manual: x-major cartesian order") {
     assert(run("FAKE( meshgrid(linspace(1, 2, 2), linspace(10, 20, 2)) )\nCSV()\n") ==
       "1,10\n1,20\n2,10\n2,20\n")
