@@ -135,7 +135,7 @@ object Codecs {
   def markdown(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
     val cols = df.columns
     w.write(cols.mkString("|", "|", "|")); w.write("\n")
-    w.write(cols.map(_ => ":-----:").mkString("|", "|", "|")); w.write("\n")
+    w.write(cols.map(_ => ":-----").mkString("|", "|", "|")); w.write("\n")
     df.toLocalIterator().forEachRemaining { row =>
       w.write(row.toSeq.map(fmt(_, o)).mkString("|", "|", "|")); w.write("\n")
     }

@@ -133,10 +133,21 @@ object Compiler {
         // CSV("a,b\nc,d") / CSV(payload(), field(...)) — literal or
         // request-payload rows; empty lines skipped (reference CSV_CSV)
         val text = constStringOpt(first).get
-        val lines = text.split("\n", -1).toIndexedSeq.filter(_.nonEmpty)
-        require(lines.nonEmpty, "CSV literal is empty")
+        val headerOpt = rest.exists {
+          case Call("header", Nil) | Call("heading", Nil) => true
+          case Call("header", List(Bool(b))) => b
+          case Call("heading", List(Bool(b))) => b
+          case _ => false
+        }
+        val allLines = text.split("\n", -1).toIndexedSeq.filter(_.nonEmpty)
+        require(allLines.nonEmpty, "CSV literal is empty")
+        val (headerNames, lines) =
+          if (headerOpt) (Some(allLines.head.split(",", -1).toSeq), allLines.tail)
+          else (None, allLines)
+        require(lines.nonEmpty, "CSV literal has no data rows")
         val nCols = lines.map(_.split(",", -1).length).max
-        val names = (0 until nCols).map(i => s"column$i")
+        val names = headerNames.map(_.padTo(nCols, "")).getOrElse(
+          (0 until nCols).map(i => s"column$i"))
         val schema0 = org.apache.spark.sql.types.StructType(
           names.map(n => org.apache.spark.sql.types.StructField(n,
             org.apache.spark.sql.types.StringType)))

@@ -25,7 +25,7 @@ class CodecsSpec extends SparkSpec {
   }
 
   test("MARKDOWN and BOX render tables") {
-    assert(Codecs.render(df, "MARKDOWN").startsWith("|id|s|v|\n|:-----:|:-----:|:-----:|"))
+    assert(Codecs.render(df, "MARKDOWN").startsWith("|id|s|v|\n|:-----|:-----|:-----|"))
     val box = Codecs.render(df, "BOX")
     assert(box.contains("| 1  | a | 1.5 |") && box.startsWith("+-"))
   }

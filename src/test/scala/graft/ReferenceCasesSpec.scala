@@ -155,6 +155,23 @@ class ReferenceCasesSpec extends SparkSpec {
     assert(out == "2023-11-30 11:50:32.123456,10\n2023-11-30 11:50:43.219876,11\n")
   }
 
+  test("CSV_MARKDOWN: payload with header consumed as column names") {
+    val payload = Seq(
+      "NAME,TIME,VALUE",
+      "wave.sin,1676432361,0.000000",
+      "wave.cos,1676432361,1.000000",
+      "wave.sin,1676432362,0.406736").mkString("\n")
+    val c = graft.tql.Tql.compile(spark,
+      "CSV(payload(), header(true))\nMARKDOWN()\n", Map("payload" -> payload))
+    val out = graft.sinks.Codecs.render(c.output, c.sink.format, c.sink.options)
+    assert(out == Seq(
+      "|NAME|TIME|VALUE|",
+      "|:-----|:-----|:-----|",
+      "|wave.sin|1676432361|0.000000|",
+      "|wave.cos|1676432361|1.000000|",
+      "|wave.sin|1676432362|0.406736|").mkString("", "\n", "\n"))
+  }
+
   test("FAKE_meshgrid_manual: x-major cartesian order") {
     assert(run("FAKE( meshgrid(linspace(1, 2, 2), linspace(10, 20, 2)) )\nCSV()\n") ==
       "1,10\n1,20\n2,10\n2,20\n")
