@@ -23,7 +23,11 @@ object Codecs {
       precision: Int = -1,
       /** datetime pattern (Java DateTimeFormatter) or epoch mode s/ms/us/ns */
       timeformat: Option[String] = None,
-      tz: String = "UTC")
+      tz: String = "UTC",
+      /** JSON envelope: flatten rows into one array (reference rowsFlatten) */
+      rowsFlatten: Boolean = false,
+      /** trim trailing fraction zeros (the reference's .999-style formats) */
+      trimFractionZeros: Boolean = false)
 
   /** Shortest round-trip decimal like Go's FormatFloat(v,'f',-1,64) — the
     * reference's CSV float format ("1", "1.5", not "1.0"). */
@@ -47,10 +51,16 @@ object Codecs {
       case Some("us") => (inst.getEpochSecond * 1000000L + inst.getNano / 1000).toString
       case Some("ns") => (inst.getEpochSecond * 1000000000L + inst.getNano).toString
       case Some(pattern) =>
-        java.time.format.DateTimeFormatter.ofPattern(pattern)
+        val out = java.time.format.DateTimeFormatter.ofPattern(pattern)
           .withZone(java.time.ZoneId.of(o.tz)).format(inst)
+        if (o.trimFractionZeros && out.contains("."))
+          out.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        else out
       case None => inst.toString
     }
+
+  private def instantEpochNs(inst: java.time.Instant): Long =
+    inst.getEpochSecond * 1000000000L + inst.getNano
 
   private def fmt(v: Any, o: Options): String = v match {
     case null => o.nullAs
@@ -78,6 +88,18 @@ object Codecs {
     case null => "null"
     case s: String => "\"" + jsonEscape(s) + "\""
     case b: Boolean => b.toString
+    // datetimes serialize as epoch ns numbers unless a timeformat pattern
+    // asks for text (reference JSON default timeformat=ns)
+    case t: java.sql.Timestamp =>
+      if (o.timeformat.forall(f => f == "ns")) instantEpochNs(t.toInstant).toString
+      else "\"" + jsonEscape(fmtTime(t.toInstant, o)) + "\""
+    case t: java.time.LocalDateTime =>
+      val inst = t.toInstant(java.time.ZoneOffset.UTC)
+      if (o.timeformat.forall(f => f == "ns")) instantEpochNs(inst).toString
+      else "\"" + jsonEscape(fmtTime(inst, o)) + "\""
+    case d: java.lang.Double if o.precision >= 0 =>
+      goFloat(java.math.BigDecimal.valueOf(d).setScale(o.precision,
+        java.math.RoundingMode.HALF_UP).doubleValue())
     case n: java.lang.Number => n.toString
     case other => "\"" + jsonEscape(other.toString) + "\""
   }
@@ -100,21 +122,25 @@ object Codecs {
 
   /** The `/db/query` JSON envelope: {"data":{"columns":[...],"types":[...],
     * "rows":[[...],...]},"success":true,"reason":"success"}. */
-  def jsonEnvelope(df: DataFrame, w: Writer, o: Options = Options(),
-                   rowsFlatten: Boolean = false): Unit = {
-    val cols = df.columns
-    val types = df.schema.fields.map(f => typeName(f.dataType))
+  def jsonEnvelope(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
+    val cols0 = df.columns.toSeq
+    val types0 = df.schema.fields.map(f => typeName(f.dataType)).toSeq
+    val cols = if (o.rownum) "ROWNUM" +: cols0 else cols0
+    val types = if (o.rownum) "int64" +: types0 else types0
     w.write("""{"data":{"columns":[""")
     w.write(cols.map(c => "\"" + jsonEscape(c) + "\"").mkString(","))
     w.write("""],"types":[""")
     w.write(types.map(t => "\"" + t + "\"").mkString(","))
     w.write("""],"rows":[""")
     var first = true
+    var i = 0L
     df.toLocalIterator().forEachRemaining { row =>
       if (!first) w.write(",")
       first = false
-      val cells = row.toSeq.map(jsonValue(_, o))
-      if (rowsFlatten) w.write(cells.mkString(","))
+      i += 1
+      val base = row.toSeq.map(jsonValue(_, o))
+      val cells = if (o.rownum) i.toString +: base else base
+      if (o.rowsFlatten) w.write(cells.mkString(","))
       else w.write(cells.mkString("[", ",", "]"))
     }
     w.write("""]},"success":true,"reason":"success"}""")

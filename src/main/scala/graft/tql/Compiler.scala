@@ -104,6 +104,11 @@ object Compiler {
       case Call("SQL", List(Str(sql))) => keyed(spark.sql(sql))
       case Call("SQL_SELECT", args) =>
         compileSqlSelect(spark, args, needKey, nowNs)
+      case Call("QUERY", args) =>
+        // v1 generator: QUERY(valueCols..., from(table, tag[, timeCol]),
+        // between(...)) — emits (timeCol, cols...) with the time column
+        // surfaced as a datetime (reference fm_dbsrc.go:56-92)
+        compileQueryV1(spark, args, needKey, nowNs)
       case Call("FAKE", List(gen: Call)) =>
         compileFake(spark, gen, needKey)
       case Call("CSV", Call("file", List(Str(path))) :: rest) =>
@@ -231,6 +236,34 @@ object Compiler {
     df = df.orderBy("time").select(cols.map(col): _*)
     limit.foreach(n => df = df.limit(n))
     Pipe(if (needKey) withRownum(df) else df, "_key", cols)
+  }
+
+  private def compileQueryV1(spark: SparkSession, args: List[Expr], needKey: Boolean,
+                             nowNs: Long): Pipe = {
+    import Expr._
+    import graft.operators.Lake
+    val cols = args.collect { case Str(c) => c }
+    var table = ""; var tag = ""; var timeCol = "time"
+    var between: Option[(Lake.TimeBound, Lake.TimeBound)] = None
+    args.foreach {
+      case Call("from", fargs) => fargs match {
+        case Str(t) :: Str(tg) :: rest =>
+          table = t; tag = tg
+          rest.headOption.foreach { case Str(tc) => timeCol = tc; case _ => }
+        case _ =>
+      }
+      case Call("between", List(a, b)) =>
+        between = Some((evalTimeBound(a), evalTimeBound(b)))
+      case _ =>
+    }
+    require(table.nonEmpty, "QUERY requires from(table, tag)")
+    var df = spark.table(table).filter(col("name") === tag)
+    between.foreach { case (a, b) => df = Lake.betweenFilter(df, timeCol, a, b, nowNs) }
+    // time column surfaces as a datetime value (µs timestamp)
+    df = df.orderBy(timeCol).select(
+      timestamp_micros(floor(col(timeCol).cast("decimal(25,0)") / lit(1000)).cast("long")).as(timeCol) +:
+        cols.map(vcol): _*)
+    Pipe(if (needKey) withRownum(df) else df, "_key", timeCol +: cols)
   }
 
   /** between() bound: ns literal, time(ns), or 'now±dur' / 'last±dur'. */
@@ -783,12 +816,17 @@ object Compiler {
       case Call("header", _) | Call("heading", _) => opts = opts.copy(heading = true)
       case Call("rownum", List(Bool(b))) => opts = opts.copy(rownum = b)
       case Call("rownum", _) => opts = opts.copy(rownum = true)
+      case Call("rowsFlatten", List(Bool(b))) => opts = opts.copy(rowsFlatten = b)
+      case Call("rowsFlatten", _) => opts = opts.copy(rowsFlatten = true)
       case Call("delimiter", List(Str(d))) => opts = opts.copy(delimiter = d)
       case Call("timeformat", List(Str(f))) =>
-        opts = opts.copy(timeformat = Some(f match {
-          case "s" | "ms" | "us" | "ns" => f
-          case pattern => graft.time.TimeFns.translateTimeformat(pattern)
-        }))
+        f.toLowerCase match {
+          case "s" | "ms" | "us" | "ns" => opts = opts.copy(timeformat = Some(f.toLowerCase))
+          case "default" => opts = opts.copy(
+            timeformat = Some("yyyy-MM-dd HH:mm:ss.SSS"), trimFractionZeros = true)
+          case _ => opts = opts.copy(
+            timeformat = Some(graft.time.TimeFns.translateTimeformat(f)))
+        }
       case Call("sqlTimeformat", List(Str(f))) =>
         opts = opts.copy(timeformat = Some(graft.time.TimeFns.translateTimeformat(f)))
       case Call("ansiTimeformat", List(Str(f))) =>

@@ -7,7 +7,12 @@ import graft.tql.Tql
   * each expectation is the reference's own ExpectCSV.
   */
 class ReferenceCasesSpec extends SparkSpec {
+  import spark.implicits._
   private def run(script: String): String = Tql.run(spark, script)
+
+  private def mkTagSimple(): Unit =
+    Seq(("tag1", 1692686707380411000L, 0.1), ("tag1", 1692686708380411000L, 0.2))
+      .toDF("name", "TIME", "VALUE").createOrReplaceTempView("tag_simple")
 
   test("MAP_pushkey_manual: rownum key demotes ahead of values") {
     assert(run("FAKE( linspace(1, 2, 2) )\nPUSHKEY(\"k\")\nCSV()\n") == "1,1\n2,2\n")
@@ -170,6 +175,54 @@ class ReferenceCasesSpec extends SparkSpec {
       "|wave.sin|1676432361|0.000000|",
       "|wave.cos|1676432361|1.000000|",
       "|wave.sin|1676432362|0.406736|").mkString("", "\n", "\n"))
+  }
+
+  test("SQL_select-from-table-rownum_BOX") {
+    mkTagSimple()
+    val out = run(
+      """SQL("select TIME, VALUE from tag_simple where name = 'tag1'")
+        |PUSHKEY('test')
+        |BOX( precision(3), header(true) )
+        |""".stripMargin)
+    assert(out == Seq(
+      "+--------+---------------------+-------+",
+      "| ROWNUM | TIME                | VALUE |",
+      "+--------+---------------------+-------+",
+      "| 1      | 1692686707380411000 | 0.100 |",
+      "| 2      | 1692686708380411000 | 0.200 |",
+      "+--------+---------------------+-------+").mkString("", "\n", "\n"))
+  }
+
+  test("QUERY_JSON-rows-flatten (and rownum variant)") {
+    mkTagSimple()
+    val out = run(
+      """QUERY('VALUE', from('tag_simple', 'tag1', "TIME"), between(1692686707000000000, 1692686709000000000))
+        |JSON( precision(3), rowsFlatten(true) )
+        |""".stripMargin)
+    assert(out.contains("\"columns\":[\"TIME\",\"VALUE\"]"), out)
+    assert(out.contains("\"types\":[\"datetime\",\"double\"]"), out)
+    assert(out.contains("\"rows\":[1692686707380411000,0.1,1692686708380411000,0.2]"), out)
+
+    val out2 = run(
+      """QUERY('VALUE', from('tag_simple', 'tag1', "TIME"), between(1692686707000000000, 1692686709000000000))
+        |JSON( precision(3), rowsFlatten(true), rownum(true) )
+        |""".stripMargin)
+    assert(out2.contains("\"columns\":[\"ROWNUM\",\"TIME\",\"VALUE\"]"), out2)
+    assert(out2.contains("\"types\":[\"int64\",\"datetime\",\"double\"]"), out2)
+    assert(out2.contains("\"rows\":[1,1692686707380411000,0.1,2,1692686708380411000,0.2]"), out2)
+  }
+
+  test("SQL_NDJSON with timeformat('default')") {
+    mkTagSimple()
+    val c = graft.tql.Tql.compile(spark,
+      """SQL("select TIME, VALUE from tag_simple where name = 'tag1'")
+        |MAPVALUE(0, time(value(0)))
+        |NDJSON( timeformat('default'), tz('UTC') )
+        |""".stripMargin)
+    val out = graft.sinks.Codecs.render(c.output, c.sink.format, c.sink.options)
+    assert(out ==
+      "{\"TIME\":\"2023-08-22 06:45:07.38\",\"VALUE\":0.1}\n" +
+      "{\"TIME\":\"2023-08-22 06:45:08.38\",\"VALUE\":0.2}\n")
   }
 
   test("FAKE_meshgrid_manual: x-major cartesian order") {
