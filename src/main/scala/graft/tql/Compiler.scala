@@ -34,6 +34,9 @@ object Compiler {
   private val currentParams = new ThreadLocal[Map[String, String]] {
     override def initialValue(): Map[String, String] = Map.empty
   }
+  private val currentNowNs = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = 0L
+  }
 
   /** Row-order key for sequential semantics (TAKE/DROP/rownum keys).
     * The reference keys SQL-source records by arrival rownum. */
@@ -65,11 +68,12 @@ object Compiler {
     val needKey = maps.exists(st => statementNeedsKey(st.call)) ||
       Set("rownum").exists(o => sinkStmt.text.contains("rownum("))
     currentParams.set(params)
+    currentNowNs.set(nowNs)
     try {
       val pipe0 = compileSource(spark, src, needKey, nowNs)
       val piped = maps.foldLeft(pipe0)((p, st) => compileMap(p, st))
       Compiled(piped, compileSink(sinkStmt))
-    } finally currentParams.remove()
+    } finally { currentParams.remove(); currentNowNs.remove() }
   }
 
   private def statementNeedsKey(e: Expr): Boolean = e match {
@@ -278,6 +282,7 @@ object Compiler {
     * ns literals like 1685714509*1000000000 don't round through double). */
   private def evalConstNs(e: Expr): Long = e match {
     case Expr.Num(v) => v.toLong
+    case Expr.Call("time", List(Expr.Str("now"))) => currentNowNs.get.longValue()
     case Expr.Call("time", List(x)) => evalConstNs(x)
     case Expr.Call("timeAdd", List(x, Expr.Str(dur))) =>
       evalConstNs(x) + graft.time.TimeFns.parseDurationNs(dur)
@@ -977,9 +982,14 @@ object Compiler {
       case "coalesce" => coalesce(args.map(x => toColumn(x, p)): _*)
       // time (epoch-ns discipline)
       case "time" =>
-        // time(ns) → a datetime value (µs-precision timestamp; the sink's
-        // timeformat/tz options format it like the reference's datetime)
-        timestamp_micros(floor(a(0).cast("long").cast("decimal(25,0)") / lit(1000)).cast("long"))
+        // time(ns) / time('now') → a datetime value (µs-precision
+        // timestamp; the sink's timeformat/tz options format it like the
+        // reference's datetime). 'now' resolves to the injected clock.
+        val nsExpr = args match {
+          case List(Str("now")) => lit(currentNowNs.get.longValue())
+          case _ => a(0).cast("long")
+        }
+        timestamp_micros(floor(nsExpr.cast("decimal(25,0)") / lit(1000)).cast("long"))
       case "parseTime" => args match {
         case x :: Str(fmt) :: _ => fmt match {
           case "s" => toColumn(x, p).cast("long")

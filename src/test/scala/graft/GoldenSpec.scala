@@ -131,6 +131,15 @@ class GoldenSpec extends SparkSpec {
     assert(got == "123,hello\n", got)
   }
 
+  test("TestLoader_qq: STRING payload pipeline with pinned clock") {
+    // the reference harness pins now = 1692329338315327000 for this case
+    val expected = normalize(read("TestLoader_qq.csv"))
+    val c = graft.tql.Tql.compile(spark, read("TestLoader_qq.tql"),
+      nowNs = 1692329338315327000L)
+    val got = normalize(graft.sinks.Codecs.render(c.output, c.sink.format, c.sink.options))
+    assert(got == expected, s"\n--- got ---\n$got--- want ---\n$expected")
+  }
+
   test("TestLoader_iris_setosa: untyped CSV + string filter + stats") {
     runGolden("TestLoader_iris_setosa.tql", "TestLoader_iris_setosa.csv",
       _.replace("\"/iris.data\"", s"'$fixtures/iris.data'"))
