@@ -1,78 +1,141 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
-/** Seeded simplex noise (public-domain formulation: Stefan Gustavson,
-  * "Simplex noise demystified", 2005 — the same family the reference's
-  * FAKE(simplex(seed,…)) generator uses, fm_fake.go:265-280).
-  * Deterministic: the permutation table is seeded with an LCG shuffle.
+/** Seeded OpenSimplex noise (Kurt Spencer's public-domain algorithm,
+  * "OpenSimplex noise", 2014 — the same algorithm behind the reference's
+  * FAKE simplex generator, reference mods/nums/opensimplex). 2-D
+  * evaluation; the 1-D form samples the diagonal Eval2(x, x) like the
+  * reference's 1-argument dispatch.
   */
 object Noise {
-  private val permCache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Int]]()
+  private val Stretch2D = -0.211324865405187 // (1/sqrt(2+1)-1)/2
+  private val Squish2D = 0.366025403784439 // (sqrt(2+1)-1)/2
+  private val Norm2D = 47d
+  private val Grad2: Array[Byte] = Array(
+    5, 2, 2, 5, -5, 2, -2, 5, 5, -2, 2, -5, -5, -2, -2, -5)
 
-  private def permTable(seed: Long): Array[Int] =
-    permCache.computeIfAbsent(seed, buildPerm)
+  private val permCache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Short]]()
 
-  private def buildPerm(seed: Long): Array[Int] = {
-    val p = Array.tabulate(256)(identity)
-    // splitmix64 scramble so adjacent seeds give unrelated tables
-    var s = seed
-    s = (s ^ (s >>> 30)) * 0xBF58476D1CE4E5B9L
-    s = (s ^ (s >>> 27)) * 0x94D049BB133111EBL
-    s = s ^ (s >>> 31)
-    var i = 255
-    while (i > 0) {
-      s = (s * 6364136223846793005L + 1442695040888963407L)
-      val j = ((s >>> 33) % (i + 1)).toInt
-      val t = p(i); p(i) = p(j); p(j) = t
-      i -= 1
-    }
-    val out = new Array[Int](512)
-    i = 0
-    while (i < 512) { out(i) = p(i & 255); i += 1 }
-    out
-  }
-
-  private val grad2 = Array(
-    (1d, 1d), (-1d, 1d), (1d, -1d), (-1d, -1d),
-    (1d, 0d), (-1d, 0d), (0d, 1d), (0d, -1d))
-
-  /** 2-D simplex noise in [-1, 1]. */
-  def simplex2(seed: Long, xin: Double, yin: Double): Double = {
-    val perm = permTable(seed)
-    val F2 = 0.5 * (math.sqrt(3.0) - 1.0)
-    val G2 = (3.0 - math.sqrt(3.0)) / 6.0
-    val s = (xin + yin) * F2
-    val i = math.floor(xin + s).toInt
-    val j = math.floor(yin + s).toInt
-    val t = (i + j) * G2
-    val x0 = xin - (i - t)
-    val y0 = yin - (j - t)
-    val (i1, j1) = if (x0 > y0) (1, 0) else (0, 1)
-    val x1 = x0 - i1 + G2
-    val y1 = y0 - j1 + G2
-    val x2 = x0 - 1.0 + 2.0 * G2
-    val y2 = y0 - 1.0 + 2.0 * G2
-    val ii = i & 255
-    val jj = j & 255
-    def corner(x: Double, y: Double, gi: Int): Double = {
-      val tt = 0.5 - x * x - y * y
-      if (tt < 0) 0d
-      else {
-        val g = grad2(gi % 8)
-        val t2 = tt * tt
-        t2 * t2 * (g._1 * x + g._2 * y)
+  /** Fisher–Yates driven by the LCG the Java reference uses (three warmup
+    * steps, then one step per swap with (seed+31) mod (i+1)). */
+  private def permTable(seed0: Long): Array[Short] =
+    permCache.computeIfAbsent(seed0, { seed1 =>
+      val perm = new Array[Short](256)
+      val source = Array.tabulate[Short](256)(_.toShort)
+      var seed = seed1
+      def step(): Unit = { seed = seed * 6364136223846793005L + 1442695040888963407L }
+      step(); step(); step()
+      var i = 255
+      while (i >= 0) {
+        step()
+        var r = ((seed + 31) % (i + 1)).toInt
+        if (r < 0) r += i + 1
+        perm(i) = source(r)
+        source(r) = source(i)
+        i -= 1
       }
-    }
-    val n0 = corner(x0, y0, perm(ii + perm(jj)))
-    val n1 = corner(x1, y1, perm(ii + i1 + perm(jj + j1)))
-    val n2 = corner(x2, y2, perm(ii + 1 + perm(jj + 1)))
-    70.0 * (n0 + n1 + n2)
+      perm
+    })
+
+  private def extrapolate(perm: Array[Short], xsb: Int, ysb: Int,
+                          dx: Double, dy: Double): Double = {
+    val index = perm(((perm(xsb & 0xFF) + ysb) & 0xFF)) & 0x0E
+    Grad2(index) * dx + Grad2(index + 1) * dy
   }
 
-  /** 1-D simplex (2-D sampled along y=0). */
-  def simplex1(seed: Long, x: Double): Double = simplex2(seed, x, 0d)
+  /** 2-D OpenSimplex in ≈[-0.87, 0.87] (raw / 47, like the reference's
+    * un-normalized Eval). */
+  def simplex2(seed: Long, x: Double, y: Double): Double = {
+    val perm = permTable(seed)
+    val stretchOffset = (x + y) * Stretch2D
+    val xs = x + stretchOffset
+    val ys = y + stretchOffset
+    var xsb = math.floor(xs).toInt
+    var ysb = math.floor(ys).toInt
+    val squishOffset = (xsb + ysb).toDouble * Squish2D
+    val xb = xsb + squishOffset
+    val yb = ysb + squishOffset
+    val xins = xs - xsb
+    val yins = ys - ysb
+    val inSum = xins + yins
+    var dx0 = x - xb
+    var dy0 = y - yb
+    var value = 0d
+
+    // contribution (1,0)
+    val dx1 = dx0 - 1 - Squish2D
+    val dy1 = dy0 - 0 - Squish2D
+    var attn1 = 2 - dx1 * dx1 - dy1 * dy1
+    if (attn1 > 0) {
+      attn1 *= attn1
+      value += attn1 * attn1 * extrapolate(perm, xsb + 1, ysb, dx1, dy1)
+    }
+    // contribution (0,1)
+    val dx2 = dx0 - 0 - Squish2D
+    val dy2 = dy0 - 1 - Squish2D
+    var attn2 = 2 - dx2 * dx2 - dy2 * dy2
+    if (attn2 > 0) {
+      attn2 *= attn2
+      value += attn2 * attn2 * extrapolate(perm, xsb, ysb + 1, dx2, dy2)
+    }
+
+    var dxExt = 0d; var dyExt = 0d
+    var xsvExt = 0; var ysvExt = 0
+    if (inSum <= 1) { // inside the (0,0) simplex
+      val zins = 1 - inSum
+      if (zins > xins || zins > yins) {
+        if (xins > yins) {
+          xsvExt = xsb + 1; ysvExt = ysb - 1
+          dxExt = dx0 - 1; dyExt = dy0 + 1
+        } else {
+          xsvExt = xsb - 1; ysvExt = ysb + 1
+          dxExt = dx0 + 1; dyExt = dy0 - 1
+        }
+      } else {
+        xsvExt = xsb + 1; ysvExt = ysb + 1
+        dxExt = dx0 - 1 - 2 * Squish2D
+        dyExt = dy0 - 1 - 2 * Squish2D
+      }
+    } else { // inside the (1,1) simplex
+      val zins = 2 - inSum
+      if (zins < xins || zins < yins) {
+        if (xins > yins) {
+          xsvExt = xsb + 2; ysvExt = ysb
+          dxExt = dx0 - 2 - 2 * Squish2D
+          dyExt = dy0 + 0 - 2 * Squish2D
+        } else {
+          xsvExt = xsb; ysvExt = ysb + 2
+          dxExt = dx0 + 0 - 2 * Squish2D
+          dyExt = dy0 - 2 - 2 * Squish2D
+        }
+      } else {
+        dxExt = dx0; dyExt = dy0
+        xsvExt = xsb; ysvExt = ysb
+      }
+      xsb += 1; ysb += 1
+      dx0 = dx0 - 1 - 2 * Squish2D
+      dy0 = dy0 - 1 - 2 * Squish2D
+    }
+
+    // contribution (0,0) or (1,1)
+    var attn0 = 2 - dx0 * dx0 - dy0 * dy0
+    if (attn0 > 0) {
+      attn0 *= attn0
+      value += attn0 * attn0 * extrapolate(perm, xsb, ysb, dx0, dy0)
+    }
+    // extra vertex
+    var attnExt = 2 - dxExt * dxExt - dyExt * dyExt
+    if (attnExt > 0) {
+      attnExt *= attnExt
+      value += attnExt * attnExt * extrapolate(perm, xsvExt, ysvExt, dxExt, dyExt)
+    }
+    value / Norm2D
+  }
+
+  /** 1-D form: the diagonal of the 2-D field (reference Eval dispatch). */
+  def simplex1(seed: Long, x: Double): Double = simplex2(seed, x, x)
 
   private val simplex1Udf = udf((seed: Long, x: Double) => simplex1(seed, x))
   private val simplex2Udf = udf((seed: Long, x: Double, y: Double) => simplex2(seed, x, y))

@@ -562,6 +562,24 @@ object Compiler {
       case Call("MAP_AVG", Num(idx) :: v :: rest) =>
         seqMapValue(p, idx.toInt, rest,
           graft.operators.SeqOps.mapAvg(toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
+      case Call("MAP_LOWPASS", Num(idx) :: v :: Num(alpha) :: rest) =>
+        // recursive y=(1-a)y+ax over record order via the per-series scan
+        val tmp = p.df.withColumn("__lp_in", toColumn(v, p).cast("double"))
+          .withColumn("__series", lit(1))
+        val scanned = graft.operators.SeqOps.lowpass(
+          tmp, "__series", p.keyCol, "__lp_in", alpha, "__lp_out")
+          .drop("__lp_in", "__series")
+        val name = rest.collectFirst { case Str(nm) => nm }
+          .getOrElse(if (idx.toInt < p.values.size) p.values(idx.toInt) else s"value_${idx.toInt}")
+        val i = idx.toInt
+        if (i < p.values.size) {
+          val old = p.values(i)
+          p.copy(df = scanned.drop(old).withColumnRenamed("__lp_out", name),
+            values = p.values.updated(i, name))
+        } else {
+          p.copy(df = scanned.withColumnRenamed("__lp_out", name), values = p.values :+ name)
+        }
+
       case Call("MAP_MOVAVG", Num(idx) :: v :: Num(win) :: rest) =>
         val noWait = rest.exists { case Call("noWait", _) => true; case _ => false }
         seqMapValue(p, idx.toInt, rest,
@@ -964,6 +982,11 @@ object Compiler {
         case _ => a(0).substr(a(1) + 1, a(2))
       }
       case "strSprintf" => format_string(args.head.asInstanceOf[Str].v, args.tail.map(x => toColumn(x, p)): _*)
+      case "simplex" => args.size match {
+        case 2 => graft.functions.Noise.simplex1(a(0).cast("long"), a(1).cast("double"))
+        case 3 => graft.functions.Noise.simplex2(a(0).cast("long"), a(1).cast("double"), a(2).cast("double"))
+        case _ => throw new IllegalArgumentException("simplex(seed, x[, y])")
+      }
       case "glob" => args match {
         case List(Str(pat), x) => toColumn(x, p).rlike(graft.functions.ScalarFns.globToRegex(pat))
         case _ => throw new IllegalArgumentException("glob(pattern, text)")

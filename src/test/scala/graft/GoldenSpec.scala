@@ -140,6 +140,20 @@ class GoldenSpec extends SparkSpec {
     assert(got == expected, s"\n--- got ---\n$got--- want ---\n$expected")
   }
 
+  test("TestLoader_simplex: seeded OpenSimplex field over a meshgrid") {
+    runGolden("TestLoader_simplex.tql", "TestLoader_simplex.csv")
+  }
+
+  test("MAP_LOWPASS over a simplex-jittered ramp (inline case)") {
+    val out = Tql.run(spark,
+      """FAKE(arrange(1, 10, 1))
+        |MAPVALUE(1, value(0) + simplex(1, value(0))*3)
+        |MAP_LOWPASS(2, value(1), 0.3)
+        |CSV(precision(2))
+        |""".stripMargin)
+    assert(out.startsWith("1.00,1.48,1.48\n2.00,0.40,1.15\n3.00,3.84,1.96\n4.00,2.89,2.24\n"), out)
+  }
+
   test("TestLoader_iris_setosa: untyped CSV + string filter + stats") {
     runGolden("TestLoader_iris_setosa.tql", "TestLoader_iris_setosa.csv",
       _.replace("\"/iris.data\"", s"'$fixtures/iris.data'"))
