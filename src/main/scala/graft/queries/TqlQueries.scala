@@ -21,6 +21,20 @@ object TqlQueries {
           |""".stripMargin).output
     }),
 
+    // GROUP(timewindow) gap-fill compiled from TQL source text
+    "q_tql_timewindow" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      e0.select(graft.time.TimeFns.nsToUs(tsNs(e0)).as("t_us"), col("value"))
+        .createOrReplaceTempView("tql_events_us")
+      Tql.compile(s,
+        """SQL('SELECT t_us, value FROM tql_events_us')
+          |GROUP(timewindow(1704412800000000, 1704499200000000, 300000000),
+          |      count(value(1), 'cnt'), min(value(1), 'min_value'),
+          |      max(value(1), 'max_value'), nullValue(-1))
+          |CSV()
+          |""".stripMargin).output
+    }),
+
     // row pipeline: filter + computed column + ordered take
     "q_tql_pipeline" -> ((s, dir) => {
       t(s, dir, "events").createOrReplaceTempView("tql_events")
@@ -38,6 +52,19 @@ object TqlQueries {
       """SELECT event_type, count(value) AS cnt, min(value) AS min_value,
          max(value) AS max_value
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_tql_timewindow" ->
+      """SELECT s.time, CAST(coalesce(a.cnt, -1) AS DOUBLE) AS cnt,
+         coalesce(a.min_value, -1.0) AS min_value,
+         coalesce(a.max_value, -1.0) AS max_value
+         FROM (SELECT 1704412800000000 + CAST(range AS BIGINT)*300000000 AS time
+               FROM range(288)) s
+         LEFT JOIN (
+           SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS b_us,
+             count(value) AS cnt, min(value) AS min_value, max(value) AS max_value
+           FROM events
+           WHERE epoch_us(ts) >= 1704412800000000 AND epoch_us(ts) < 1704499200000000
+           GROUP BY 1) a ON s.time = a.b_us
+         ORDER BY s.time""",
     "q_tql_pipeline" ->
       """SELECT event_id, value,
          CASE WHEN value * 2 > 500 THEN 'very_high' ELSE 'high' END AS level
