@@ -55,6 +55,17 @@ def main():
             print(f"FAIL {name}: columns differ spark={spark_cols} oracle={ocols_sorted}")
             n_fail += 1
             continue
+        # Mirror the driver's hash sensitivity to numeric *kind*: a DuckDB
+        # HUGEINT (sum of BIGINT) lands in pandas as float64 and hashes as
+        # "3549.0" against Spark's int64 "3549" — value-equal but hash-FAIL.
+        sdt = con.sql(f"SELECT {', '.join(spark_cols)} FROM spark_rel").df().dtypes
+        odt = con.sql(f"SELECT {', '.join(ocols_sorted)} FROM ({sql})").df().dtypes
+        kind_bad = [(c, str(sdt[c]), str(odt[c])) for c in spark_cols
+                    if sdt[c].kind != odt[c].kind]
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind differs (spark vs oracle): {kind_bad}")
+            n_fail += 1
+            continue
         if len(spark_rows) != len(oracle_rows):
             print(f"FAIL {name}: rowcount spark={len(spark_rows)} oracle={len(oracle_rows)}")
             n_fail += 1

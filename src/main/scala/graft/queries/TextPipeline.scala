@@ -112,8 +112,8 @@ object TextPipeline {
   val oracles: Map[String, String] = Map(
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,
-         sum(len(string_split(text, ' '))) AS total_ws_tokens,
-         sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS total_re_tokens,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+         CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_re_tokens,
          floor((avg(len(string_split(text, ' '))))*10000.0 + 0.5)/10000.0 AS avg_ws_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
     "q_text_quality" ->
