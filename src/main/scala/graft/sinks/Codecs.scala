@@ -27,7 +27,13 @@ object Codecs {
       /** JSON envelope: flatten rows into one array (reference rowsFlatten) */
       rowsFlatten: Boolean = false,
       /** trim trailing fraction zeros (the reference's .999-style formats) */
-      trimFractionZeros: Boolean = false)
+      trimFractionZeros: Boolean = false,
+      /** JSON envelope columns/types override — SCRIPT nodes inherit the
+        * reference's column metadata (input-node names, or `$.result`),
+        * which may deliberately disagree with row arity
+        * (fm_script_test.go:74-135 asserts exactly that). */
+      colsOverride: Option[Seq[String]] = None,
+      typesOverride: Option[Seq[String]] = None)
 
   /** Shortest round-trip decimal like Go's FormatFloat(v,'f',-1,64) — the
     * reference's CSV float format ("1", "1.5", not "1.0"). */
@@ -123,10 +129,16 @@ object Codecs {
   /** The `/db/query` JSON envelope: {"data":{"columns":[...],"types":[...],
     * "rows":[[...],...]},"success":true,"reason":"success"}. */
   def jsonEnvelope(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
-    val cols0 = df.columns.toSeq
-    val types0 = df.schema.fields.map(f => typeName(f.dataType)).toSeq
+    val cols0 = o.colsOverride.getOrElse(df.columns.toSeq)
+    val types0 = o.typesOverride.getOrElse(
+      df.schema.fields.map(f => typeName(f.dataType)).toSeq)
     val cols = if (o.rownum) "ROWNUM" +: cols0 else cols0
     val types = if (o.rownum) "int64" +: types0 else types0
+    // "any"-typed cells hold canonical JSON text — emit raw, like the
+    // reference marshalling the yielded Go value directly
+    val anyIdx: Set[Int] = types0.zipWithIndex.collect {
+      case ("any", i) => i
+    }.toSet
     w.write("""{"data":{"columns":[""")
     w.write(cols.map(c => "\"" + jsonEscape(c) + "\"").mkString(","))
     w.write("""],"types":[""")
@@ -138,7 +150,11 @@ object Codecs {
       if (!first) w.write(",")
       first = false
       i += 1
-      val base = row.toSeq.map(jsonValue(_, o))
+      val base = row.toSeq.zipWithIndex.map {
+        case (s: String, j) if anyIdx(j) &&
+          (s.startsWith("{") || s.startsWith("[")) => s
+        case (v, _) => jsonValue(v, o)
+      }
       val cells = if (o.rownum) i.toString +: base else base
       if (o.rowsFlatten) w.write(cells.mkString(","))
       else w.write(cells.mkString("[", ",", "]"))
@@ -200,7 +216,7 @@ object Codecs {
     sw.toString
   }
 
-  private def typeName(t: DataType): String = t match {
+  private[graft] def typeName(t: DataType): String = t match {
     case StringType => "string"
     case DoubleType | FloatType => "double"
     case LongType | IntegerType | ShortType => "int64"

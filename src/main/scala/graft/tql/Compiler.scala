@@ -19,7 +19,10 @@ import graft.sources.Fake
   * Sinks emit the value columns.
   */
 object Compiler {
-  case class Pipe(df: DataFrame, keyCol: String, values: Seq[String])
+  case class Pipe(df: DataFrame, keyCol: String, values: Seq[String],
+                  /** JSON-envelope column metadata override (SCRIPT nodes:
+                    * `$.result` or reference input-node semantics) */
+                  envelope: Option[(Seq[String], Seq[String])] = None)
 
   case class Sink(format: String, options: graft.sinks.Codecs.Options)
 
@@ -31,9 +34,11 @@ object Compiler {
   /** Column ref tolerant of names with dots/spaces (user-given aliases). */
   private[tql] def vcol(name: String): Column = col(s"`$name`")
 
-  private val currentParams = new ThreadLocal[Map[String, String]] {
-    override def initialValue(): Map[String, String] = Map.empty
+  private val currentParams = new ThreadLocal[Map[String, Seq[String]]] {
+    override def initialValue(): Map[String, Seq[String]] = Map.empty
   }
+  private[tql] def paramFirst(k: String): Option[String] =
+    currentParams.get.get(k).flatMap(_.headOption)
   private val currentNowNs = new ThreadLocal[java.lang.Long] {
     override def initialValue(): java.lang.Long = 0L
   }
@@ -55,7 +60,13 @@ object Compiler {
     * `params` binds `param('key')` references (the reference's request
     * query-string params, fm_context.go:22-186). */
   def compile(spark: SparkSession, script: String, nowNs: Long,
-              params: Map[String, String]): Compiled = {
+              params: Map[String, String]): Compiled =
+    compileMulti(spark, script, nowNs, params.map { case (k, v) => k -> Seq(v) })
+
+  /** Multi-valued request params (`p1=1&p1=2`), like the reference's
+    * url.Values — `$.params.p1` in SCRIPT sees the full list. */
+  def compileMulti(spark: SparkSession, script: String, nowNs: Long,
+                   params: Map[String, Seq[String]]): Compiled = {
     val stmts = Parser.parseScript(script)
     require(stmts.nonEmpty, "empty script")
     val src = stmts.head
@@ -79,7 +90,7 @@ object Compiler {
   private def statementNeedsKey(e: Expr): Boolean = e match {
     case Expr.Call(n, args) =>
       Set("TAKE", "DROP", "PUSHKEY", "POPKEY", "MAPKEY", "GROUPBYKEY", "FFT",
-        "key", "first", "last", "TRANSPOSE",
+        "key", "first", "last", "TRANSPOSE", "SCRIPT",
         "MAP_DIFF", "MAP_ABSDIFF", "MAP_NONEGDIFF", "MAP_AVG", "MAP_MOVAVG",
         "MAP_LOWPASS", "FILTER_CHANGED")(n) || args.exists(statementNeedsKey)
     case Expr.Bin(_, l, r) => statementNeedsKey(l) || statementNeedsKey(r)
@@ -90,11 +101,19 @@ object Compiler {
     case _ => false
   }
 
-  /** Compile + render through the sink codec (the `/db/tql` behavior). */
-  def run(spark: SparkSession, script: String): String = {
-    val c = compile(spark, script)
-    graft.sinks.Codecs.render(c.output, c.sink.format, c.sink.options)
+  /** Render a compiled pipeline, applying any SCRIPT envelope override. */
+  def renderCompiled(c: Compiled): String = {
+    val o = c.pipe.envelope match {
+      case Some((cols, types)) =>
+        c.sink.options.copy(colsOverride = Some(cols), typesOverride = Some(types))
+      case None => c.sink.options
+    }
+    graft.sinks.Codecs.render(c.output, c.sink.format, o)
   }
+
+  /** Compile + render through the sink codec (the `/db/tql` behavior). */
+  def run(spark: SparkSession, script: String): String =
+    renderCompiled(compile(spark, script))
 
   // ---------------- sources ----------------
   private def compileSource(spark: SparkSession, st: Statement, needKey: Boolean,
@@ -105,6 +124,7 @@ object Compiler {
       Pipe(d, "_key", df.columns.toSeq)
     }
     st.call match {
+      case Call("SCRIPT", args) => compileScriptSource(spark, args)
       case Call("SQL", List(Str(sql))) => keyed(spark.sql(sql))
       case Call("SQL_SELECT", args) =>
         compileSqlSelect(spark, args, needKey, nowNs)
@@ -200,7 +220,7 @@ object Compiler {
         def constText(e: Expr): Option[String] = e match {
           case Str(v) => Some(v)
           case Bin("??", l, r) => constText(l).orElse(constText(r))
-          case Call("payload", _) => currentParams.get.get("payload")
+          case Call("payload", _) => paramFirst("payload")
           case Call("strTrimSpace", List(x)) => constText(x).map(_.trim)
           case _ => None
         }
@@ -209,7 +229,7 @@ object Compiler {
         val chunks = text.split(java.util.regex.Pattern.quote(sep), -1).toIndexedSeq
           .map(c => if (trimsp) c.trim else c)
         import spark.implicits._
-        keyed(spark.createDataset(chunks).toDF("string"))
+        keyed(spark.createDataset(chunks).toDF("STRING")) // label fm_bytes.go:176
       case other => throw new IllegalArgumentException(s"unsupported source: ${st.text}")
     }
   }
@@ -299,7 +319,7 @@ object Compiler {
 
   private def constStringOpt(e: Expr): Option[String] = e match {
     case Expr.Str(v) => Some(v)
-    case Expr.Call("payload", _) => currentParams.get.get("payload")
+    case Expr.Call("payload", _) => paramFirst("payload")
     case Expr.Bin("??", l, r) => constStringOpt(l).orElse(constStringOpt(r))
     case Expr.Call("strTrimSpace", List(x)) => constStringOpt(x).map(_.trim)
     case Expr.Call("strSprintf", Expr.Str(fmt) :: args) =>
@@ -449,6 +469,8 @@ object Compiler {
   private def compileMap(p: Pipe, st: Statement): Pipe = {
     import Expr._
     st.call match {
+      case Call("SCRIPT", args) => compileScriptMap(p, args)
+
       case Call("FILTER", List(cond)) =>
         p.copy(df = p.df.filter(toColumn(cond, p)))
 
@@ -507,6 +529,10 @@ object Compiler {
 
       case Call("SET", List(Str(name), expr)) =>
         // record variable, referenced later as $name
+        p.copy(df = p.df.withColumn(s"$$$name", toColumn(expr, p)))
+
+      case Call("SET", List(Ident(name), expr)) =>
+        // call form `SET(name, expr)` (fm_script_test.go:423-435)
         p.copy(df = p.df.withColumn(s"$$$name", toColumn(expr, p)))
 
       case Call("MAPKEY", List(expr)) =>
@@ -826,6 +852,117 @@ object Compiler {
     Pipe(out, "time", "time" +: aggs.map(_._1))
   }
 
+  // ---------------- SCRIPT ----------------
+  /** SCRIPT("js"?, main | init, main | init, main, deinit) block split —
+    * reference fm_script.go:34-78. */
+  private def scriptBlocks(args: List[Expr]): (String, String, String) = {
+    val code0 = args.collect { case Expr.Str(s) => s }
+    require(code0.size == args.size, "SCRIPT: arguments must be code blocks")
+    val code = if (code0.nonEmpty && code0.head.trim == "js") code0.tail else code0
+    code match {
+      case List(m) => ("", m, "")
+      case List(i, m) => (i, m, "")
+      case List(i, m, d) => (i, m, d)
+      case _ => throw new IllegalArgumentException(
+        "script: wrong syntax, 'SCRIPT( init_script, main_script, deinit_script )'")
+    }
+  }
+
+  /** SCRIPT as source: one main-block pass with `$.payload` bound
+    * (fm_script.go:184-190). */
+  private def compileScriptSource(spark: SparkSession, args: List[Expr]): Pipe = {
+    val (i, m, d) = scriptBlocks(args)
+    val res = graft.script.ScriptOps.run(Iterator.empty, isSource = true,
+      i, m, d, currentNowNs.get, currentParams.get, paramFirst("payload"))
+    buildScriptPipe(spark, res, upstreamEnv = None)
+  }
+
+  /** SCRIPT as map: records visit the main block in key order. A SCRIPT
+    * block may carry arbitrary cross-record state (the accumulate-then-
+    * finalize pattern), which serializes the stream by definition — the
+    * reference has the identical property (one goja event loop per node,
+    * fm_script.go:123-180). Upstream rows stream through toLocalIterator;
+    * the yielded result becomes a LocalRelation, which matches TQL's
+    * presentation-sized result contract. For distributed per-partition
+    * scripting over big data use `graft.script.ScriptOps.mapScript`. */
+  private def compileScriptMap(p: Pipe, args: List[Expr]): Pipe = {
+    import scala.jdk.CollectionConverters._
+    val (i, m, d) = scriptBlocks(args)
+    val spark = p.df.sparkSession
+    val schema = p.df.schema
+    val hasKey = p.df.columns.contains(p.keyCol)
+    val valIdx = p.values.map(schema.fieldIndex)
+    val varCols = p.df.columns.filter(_.startsWith("$")).toSeq
+    val varIdx = varCols.map(schema.fieldIndex)
+    val keyIdx = if (hasKey) schema.fieldIndex(p.keyCol) else -1
+    val ordered = if (hasKey) p.df.orderBy(vcol(p.keyCol)) else p.df
+    var ordinal = 0L
+    val records = ordered.toLocalIterator().asScala.map { row =>
+      ordinal += 1
+      val key: Any =
+        if (keyIdx >= 0) graft.script.ScriptOps.toJs(row.get(keyIdx))
+        else java.lang.Long.valueOf(ordinal)
+      val values = valIdx.map(ix => graft.script.ScriptOps.toJs(row.get(ix)))
+      val vars = varCols.zip(varIdx).map { case (c, ix) =>
+        c.stripPrefix("$") -> graft.script.ScriptOps.toJs(row.get(ix))
+      }.toMap
+      (key, values, vars)
+    }
+    val res = graft.script.ScriptOps.run(records, isSource = false,
+      i, m, d, currentNowNs.get, currentParams.get, None)
+    // envelope: $.result wins; else the reference keeps the INPUT node's
+    // column metadata even when yield arity differs (fm_script_test.go:74+)
+    val upstreamEnv = (p.values,
+      p.values.map(n => graft.sinks.Codecs.typeName(schema(n).dataType)))
+    buildScriptPipe(spark, res, Some(upstreamEnv))
+  }
+
+  /** Yielded records → LocalRelation DataFrame with `_key`, value columns
+    * (declared names > input names > columnN), and `$var` snapshots. */
+  private def buildScriptPipe(spark: SparkSession,
+                              res: graft.script.ScriptOps.ScriptResult,
+                              upstreamEnv: Option[(Seq[String], Seq[String])]): Pipe = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import graft.script.ScriptOps
+    import scala.jdk.CollectionConverters._
+    val rows = res.rows
+    val arity =
+      if (rows.isEmpty) upstreamEnv.map(_._1.size).getOrElse(0)
+      else rows.iterator.map(_._2.size).max
+    val envelope = res.envelope.orElse(upstreamEnv)
+    val baseNames = res.envelope.map(_._1).orElse(upstreamEnv.map(_._1)).getOrElse(Seq.empty)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val names = (0 until arity).map { ix =>
+      var n = if (ix < baseNames.size) baseNames(ix) else s"column$ix"
+      while (!seen.add(n)) n = n + "_"
+      n
+    }
+    val colTypes = (0 until arity).map(ix =>
+      ScriptOps.inferType(rows.map(r => if (ix < r._2.size) r._2(ix) else null)))
+    val keyType = ScriptOps.inferType(rows.map(_._1))
+    val varNames = {
+      val s = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach(r => r._3.keysIterator.foreach(s.add))
+      s.toSeq
+    }
+    val varTypes = varNames.map(n =>
+      ScriptOps.inferType(rows.map(_._3.getOrElse(n, null))))
+    val schema = StructType(
+      StructField("_key", keyType) +:
+      (names.zip(colTypes).map { case (n, t) => StructField(n, t) } ++
+       varNames.zip(varTypes).map { case (n, t) => StructField(s"$$$n", t) }))
+    val data: java.util.List[Row] = rows.map { case (k, vs, vars) =>
+      Row.fromSeq(
+        ScriptOps.fromJs(k, keyType) +:
+        ((0 until arity).map(ix =>
+          ScriptOps.fromJs(if (ix < vs.size) vs(ix) else null, colTypes(ix))) ++
+         varNames.zip(varTypes).map { case (n, t) =>
+           ScriptOps.fromJs(vars.getOrElse(n, null), t) }))
+    }.asJava
+    Pipe(spark.createDataFrame(data, schema), "_key", names, envelope)
+  }
+
   // ---------------- sinks ----------------
   private def compileSink(st: Statement): Sink = {
     import Expr._
@@ -923,8 +1060,8 @@ object Compiler {
       }
       case "key" => col(p.keyCol)
       case "param" => args match {
-        case List(Str(k)) => lit(currentParams.get.getOrElse(k,
-          throw new IllegalArgumentException(s"missing param '$k'")))
+        // missing param -> null (GetRequestParam returns nil; `?? dflt` works)
+        case List(Str(k)) => paramFirst(k).map(lit).getOrElse(lit(null).cast("string"))
         case _ => throw new IllegalArgumentException("param('name')")
       }
       // math (reference fx_definitions.go:79-105)
@@ -1056,4 +1193,13 @@ object Tql {
   /** Compile and render through the sink codec — `/db/tql` semantics. */
   def run(spark: SparkSession, script: String): String =
     Compiler.run(spark, script)
+
+  /** Render with a pinned clock. */
+  def run(spark: SparkSession, script: String, nowNs: Long): String =
+    Compiler.renderCompiled(Compiler.compile(spark, script, nowNs))
+
+  /** Render with a pinned clock and multi-valued request params. */
+  def run(spark: SparkSession, script: String, nowNs: Long,
+          params: Map[String, Seq[String]]): String =
+    Compiler.renderCompiled(Compiler.compileMulti(spark, script, nowNs, params))
 }

@@ -239,12 +239,23 @@ object Parser {
   }
 
   private val SetStmt = "(?s)^SET\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
+  /** Statements whose args may be raw `{ … }` code/template blocks
+    * (reference script_parser.go treats {} payloads as uninterpreted
+    * text for SCRIPT and TEXT). */
+  private val RawHead = "(?s)^\\s*(SCRIPT|TEXT)\\s*\\((.*)\\)\\s*$".r
 
   def parseScript(script: String): List[Statement] =
     splitStatements(script).map {
       case text @ SetStmt(name, rhs) =>
         // `SET name = expr` (reference task_node.go:137-147)
         Statement(Expr.Call("SET", List(Expr.Str(name), parseExpression(rhs))), text)
+      case text @ RawHead(name, body) =>
+        val args = splitRawArgs(body).map { raw =>
+          val t = raw.trim
+          if (t.startsWith("{") && t.endsWith("}")) Expr.Str(t.substring(1, t.length - 1))
+          else parseExpression(t)
+        }
+        Statement(Expr.Call(name, args), text)
       case text =>
         parseExpression(text) match {
           case c: Expr.Call => Statement(c, text)
@@ -253,4 +264,32 @@ object Parser {
             s"statement must be a function call: $text ($other)")
         }
     }
+
+  /** Split `a, b, c` at top-level commas, tracking (), [], {} nesting and
+    * ' " ` strings (with backslash escapes) so JS code blocks survive. */
+  private[tql] def splitRawArgs(s: String): List[String] = {
+    val out = ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (inStr != 0) {
+        cur.append(c)
+        if (c == '\\' && i + 1 < s.length && inStr != '`') {
+          cur.append(s(i + 1)); i += 1
+        } else if (c == inStr) inStr = 0
+      } else c match {
+        case '\'' | '"' | '`' => inStr = c; cur.append(c)
+        case '(' | '[' | '{' => depth += 1; cur.append(c)
+        case ')' | ']' | '}' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.toString.trim.nonEmpty || out.nonEmpty) out += cur.toString
+    out.toList
+  }
 }
