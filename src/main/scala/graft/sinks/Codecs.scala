@@ -33,7 +33,11 @@ object Codecs {
         * which may deliberately disagree with row arity
         * (fm_script_test.go:74-135 asserts exactly that). */
       colsOverride: Option[Seq[String]] = None,
-      typesOverride: Option[Seq[String]] = None)
+      typesOverride: Option[Seq[String]] = None,
+      /** TEXT/HTML sink Go-template (reference templ.go: executed once per
+        * record) and the request params its param()/paramDefault() see */
+      template: Option[String] = None,
+      templateParams: Map[String, Seq[String]] = Map.empty)
 
   /** Shortest round-trip decimal like Go's FormatFloat(v,'f',-1,64) — the
     * reference's CSV float format ("1", "1.5", not "1.0"). */
@@ -162,6 +166,40 @@ object Codecs {
     w.write("""]},"success":true,"reason":"success"}""")
   }
 
+  /** TEXT sink: Go-template per record, or raw space-joined values when no
+    * template is set (reference templ.go:172-210). */
+  def text(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
+    val colNames = o.colsOverride.getOrElse(df.columns.toSeq)
+    o.template match {
+      case None =>
+        df.toLocalIterator().forEachRemaining { row =>
+          w.write(row.toSeq.map(v => GoTemplate.fmtVal(v)).mkString(" "))
+          w.write("\n")
+        }
+      case Some(src) =>
+        val tmpl = GoTemplate.parse(src)
+        val it = df.toLocalIterator()
+        var num = 0L
+        var pending: Option[Seq[Any]] = None
+        def emit(values: Seq[Any], isLast: Boolean): Unit = {
+          num += 1
+          w.write(tmpl.render(GoTemplate.Record(num, num == 1, isLast, values,
+            colNames), o.templateParams))
+        }
+        while (it.hasNext) {
+          pending.foreach(v => emit(v, isLast = false))
+          pending = Some(it.next().toSeq)
+        }
+        pending match {
+          case Some(v) => emit(v, isLast = true)
+          case None =>
+            // no rows: still execute once with an empty record (templ.go:153)
+            w.write(tmpl.render(GoTemplate.Record(0, true, true, Seq.empty,
+              colNames), o.templateParams))
+        }
+    }
+  }
+
   /** NDJSON sink: one object per row. */
   def ndjson(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
     val cols = df.columns
@@ -210,6 +248,7 @@ object Codecs {
       case "NDJSON" => ndjson(df, sw, o)
       case "MARKDOWN" => markdown(df, sw, o)
       case "BOX" => box(df, sw, o)
+      case "TEXT" | "HTML" => text(df, sw, o)
       case "DISCARD" => df.foreach(_ => ()) // materialize, emit nothing
       case f => throw new IllegalArgumentException(s"unknown sink format $f")
     }

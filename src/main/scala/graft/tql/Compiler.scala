@@ -967,9 +967,17 @@ object Compiler {
   private def compileSink(st: Statement): Sink = {
     import Expr._
     val fmt = st.call.name
-    val known = Set("CSV", "JSON", "NDJSON", "MARKDOWN", "BOX", "DISCARD", "TEXT")
+    val known = Set("CSV", "JSON", "NDJSON", "MARKDOWN", "BOX", "DISCARD",
+      "TEXT", "HTML")
     require(known(fmt), s"unsupported sink: ${st.text}")
     var opts = graft.sinks.Codecs.Options()
+    if (fmt == "TEXT" || fmt == "HTML") {
+      // TEXT(template…) — string args are template content (fm_encoder.go:68)
+      val tpl = st.call.args.collect { case Str(s) => s }
+      if (tpl.nonEmpty)
+        opts = opts.copy(template = Some(tpl.mkString),
+          templateParams = currentParams.get)
+    }
     st.call.args.foreach {
       case Call("header", List(Bool(b))) => opts = opts.copy(heading = b)
       case Call("heading", List(Bool(b))) => opts = opts.copy(heading = b)
@@ -997,7 +1005,7 @@ object Compiler {
       case Call("substituteNull", List(Str(s))) => opts = opts.copy(nullAs = s)
       case _ =>
     }
-    Sink(if (fmt == "TEXT") "CSV" else fmt, opts)
+    Sink(fmt, opts)
   }
 
   // ---------------- expressions → Column ----------------

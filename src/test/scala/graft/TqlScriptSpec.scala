@@ -263,6 +263,66 @@ class TqlScriptSpec extends SparkSpec {
     assert(out.isEmpty || out.trim.isEmpty)
   }
 
+  test("js-array-template: TEXT sink with .Value n (fm_script_test.go:532-546)") {
+    val out = Tql.run(spark,
+      """SCRIPT({
+        |  $.yield(1, 2, 3);
+        |  $.yield(4, 5, 6);
+        |})
+        |TEXT('{{- .Value 0 }},{{ .Value 1 }},{{ .Value 2 }}{{"\n"}}')
+        |""".stripMargin)
+    assert(out == "1,2,3\n4,5,6\n")
+  }
+
+  test("js-obj-template: with .V over inferred column names (fm_script_test.go:547-563)") {
+    val out = Tql.run(spark,
+      """SCRIPT({
+        |  $.yield("John", 30);
+        |  $.yield("Jane", 25);
+        |})
+        |TEXT({
+        |  {{- with .V -}}
+        |    {{ .column0 }}:{{ .column1 }}{{"\n"}}
+        |  {{- end -}}
+        |})
+        |""".stripMargin)
+    assert(out == "John:30\nJane:25\n")
+  }
+
+  test("js-obj-template: with .V over $.result names (fm_script_test.go:564-584)") {
+    val out = Tql.run(spark,
+      """SCRIPT({
+        |  $.result = {
+        |    columns: ["name", "age"],
+        |    types: ["string", "int64"]
+        |  };
+        |  $.yield("John", 30);
+        |  $.yield("Jane", 25);
+        |})
+        |TEXT({
+        |  {{- with .V -}}
+        |    {{ .name }}:{{ .age }}{{"\n"}}
+        |  {{- end -}}
+        |})
+        |""".stripMargin)
+    assert(out == "John:30\nJane:25\n")
+  }
+
+  test("js-obj-template: object value member access (fm_script_test.go:585-601)") {
+    val out = Tql.run(spark,
+      """SCRIPT({
+        |  $.yield({name: "John", age: 30});
+        |  $.yield({name: "Jane", age: 25});
+        |})
+        |TEXT({
+        |  {{- with .Value 0 -}}
+        |    {{ .name }}:{{ .age }}{{"\n"}}
+        |  {{- end -}}
+        |})
+        |""".stripMargin)
+    assert(out == "John:30\nJane:25\n")
+  }
+
   test("distributed mapScript: per-partition execution with declared schema") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions._
