@@ -99,6 +99,23 @@ object TextPipeline {
         .orderBy("qid", "rnk")
     }),
 
+    // ---- distributed SCRIPT: per-partition JS over documents ----------
+    "q_script_map" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val df = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_words", LongType),
+        StructField("density", DoubleType)))
+      graft.script.ScriptOps.mapScript(df, schema, "",
+        """var words = $.values[1].split(' ');
+          |var n = words.length;
+          |$.yield($.values[0], n, Math.floor(1000.0 * n / ($.values[1].length + 1)) / 1000);
+          |""".stripMargin, "", 0L)
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: opaque binary column + typed metadata ------------
     "q_multimodal_meta" -> ((s, dir) => {
       t(s, dir, "documents").filter(col("doc_id") < 100)
@@ -188,6 +205,12 @@ object TextPipeline {
              row_number() OVER (PARTITION BY label ORDER BY cs DESC, vec_a, vec_b) AS rnk
            FROM p)
          WHERE rnk <= 3 ORDER BY label, rnk""",
+    "q_script_map" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         floor(1000.0 * len(string_split(text, ' ')) / (strlen(text) + 1)) / 1000
+           AS density
+         FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
     "q_multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes, ascii(text) AS first_code,
          (strlen(text) * 31 + ascii(text)) % 256 AS fake_feat

@@ -36,6 +36,26 @@ object TqlQueries {
     }),
 
     // row pipeline: filter + computed column + ordered take
+    // SCRIPT("js") map node: stateful filter/transform + deinit summary row
+    "q_script_tql" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("script_events")
+      Tql.compile(s,
+        """SQL('SELECT event_id, value FROM script_events ORDER BY event_id')
+          |SCRIPT("js", {
+          |  count = 0;
+          |}, {
+          |  var v = $.values[1];
+          |  if (v > 300) {
+          |    count++;
+          |    $.yield($.values[0], v * 2, Math.floor(v / 100));
+          |  }
+          |}, {
+          |  $.yield(-1, count, -1);
+          |})
+          |CSV()
+          |""".stripMargin).output.toDF("event_id", "value2", "bucket")
+    }),
+
     "q_tql_pipeline" -> ((s, dir) => {
       t(s, dir, "events").createOrReplaceTempView("tql_events")
       Tql.compile(s,
@@ -48,6 +68,15 @@ object TqlQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_script_tql" ->
+      """SELECT event_id, value2, bucket FROM (
+           SELECT 0 AS grp, event_id, value*2 AS value2,
+             CAST(floor(value/100) AS BIGINT) AS bucket
+           FROM events WHERE value > 300
+           UNION ALL
+           SELECT 1, -1,
+             CAST((SELECT count(*) FROM events WHERE value > 300) AS DOUBLE), -1
+         ) ORDER BY grp, event_id""",
     "q_tql_group" ->
       """SELECT event_type, count(value) AS cnt, min(value) AS min_value,
          max(value) AS max_value
