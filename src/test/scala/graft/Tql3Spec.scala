@@ -89,6 +89,36 @@ class Tql3Spec extends SparkSpec {
     assert(out2 == "a\nb\n")
   }
 
+  test("BYTES source: binary chunks with separator, label BYTES") {
+    val c = graft.tql.Tql.compile(spark,
+      """BYTES('ab;cd;ef', separator(';'))
+        |CSV()
+        |""".stripMargin)
+    assert(c.pipe.values == Seq("BYTES"))
+    assert(c.output.schema.fields.head.dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(c.output.collect().map(r =>
+      new String(r.getAs[Array[Byte]](0), "UTF-8")).toSeq == Seq("ab", "cd", "ef"))
+  }
+
+  test("STRING source reads file() content") {
+    val f = java.nio.file.Files.createTempFile("graft_str", ".txt")
+    java.nio.file.Files.writeString(f, "l1\nl2\nl3")
+    val out = Tql.run(spark,
+      s"""STRING(file('$f'), separator('\\n'))
+         |CSV()
+         |""".stripMargin)
+    assert(out == "l1\nl2\nl3\n")
+  }
+
+  test("ARGS source binds the args request param") {
+    val out = graft.tql.Tql.run(spark,
+      """ARGS()
+        |CSV()
+        |""".stripMargin, 0L, Map("args" -> Seq("10", "abc")))
+    assert(out == "10,abc\n")
+  }
+
   test("JSON sink through TQL emits the envelope") {
     val out = Tql.run(spark,
       """FAKE(linspace(1, 2, 2))
