@@ -77,8 +77,8 @@ object Codecs {
     case t: java.sql.Timestamp => fmtTime(t.toInstant, o)
     case t: java.time.Instant => fmtTime(t, o)
     case t: java.time.LocalDateTime => fmtTime(t.toInstant(java.time.ZoneOffset.UTC), o)
-    case d: Double if o.precision >= 0 => s"%.${o.precision}f".format(normZero(d))
-    case f: Float if o.precision >= 0 => s"%.${o.precision}f".format(normZero(f.toDouble))
+    case d: Double if o.precision >= 0 => fixedExact(normZero(d), o.precision)
+    case f: Float if o.precision >= 0 => fixedExact(normZero(f.toDouble), o.precision)
     case d: Double => goFloat(normZero(d))
     case f: Float => goFloat(normZero(f.toDouble))
     case x => x.toString
@@ -107,11 +107,44 @@ object Codecs {
       val inst = t.toInstant(java.time.ZoneOffset.UTC)
       if (o.timeformat.forall(f => f == "ns")) instantEpochNs(inst).toString
       else "\"" + jsonEscape(fmtTime(inst, o)) + "\""
-    case d: java.lang.Double if o.precision >= 0 =>
-      goFloat(java.math.BigDecimal.valueOf(d).setScale(o.precision,
-        java.math.RoundingMode.HALF_UP).doubleValue())
+    case d: java.lang.Double => jsonFloat(d, o.precision)
+    case f: java.lang.Float => jsonFloat(f.toDouble, o.precision)
     case n: java.lang.Number => n.toString
     case other => "\"" + jsonEscape(other.toString) + "\""
+  }
+
+  /** JSON float rendering (reference mods/codec/internal/float.go:8-38):
+    * fixed-width 'f' with trailing zeros KEPT when precision(p) is set
+    * ("0.6628509149282410" at precision 16); default = 'f' with 6
+    * decimals, trailing zeros and dot trimmed ("1", "0.916937"); NaN/±Inf
+    * as quoted tokens. This deliberately differs from the CSV encoder's
+    * shortest-round-trip format. */
+  private def jsonFloat(d: Double, precision: Int): String = {
+    if (d.isNaN) return "\"NaN\""
+    if (d == Double.NegativeInfinity) return "\"-Inf\""
+    if (d == Double.PositiveInfinity) return "\"+Inf\""
+    if (d == 0.0d)
+      return if (precision >= 0) fixedExact(0d, precision) else "0"
+    if (precision >= 0) fixedExact(d, precision)
+    else {
+      var s = fixedExact(d, 6)
+      while (s.endsWith("0")) s = s.dropRight(1)
+      if (s.endsWith(".")) s = s.dropRight(1)
+      s
+    }
+  }
+
+  /** Go strconv.FormatFloat(v,'f',p,64) parity: round the EXACT binary
+    * value half-to-even at p decimals. Java's `%.pf` instead pads the
+    * shortest representation with zeros, which differs in the last digit
+    * (seen in the FAKE_oscillator precision(16) golden). */
+  private def fixedExact(d: Double, p: Int): String = {
+    val bd = new java.math.BigDecimal(d)
+      .setScale(p, java.math.RoundingMode.HALF_EVEN)
+    val s = bd.toPlainString
+    // Go keeps the sign when a tiny negative rounds to zero ("-0.0000",
+    // Pi golden); BigDecimal normalizes it away
+    if (d < 0 && bd.signum() == 0) "-" + s else s
   }
 
   /** CSV sink (reference mods/codec/internal/csv). */
@@ -157,6 +190,11 @@ object Codecs {
       val base = row.toSeq.zipWithIndex.map {
         case (s: String, j) if anyIdx(j) &&
           (s.startsWith("{") || s.startsWith("[")) => s
+        // rowsFlatten marshals through plain gojson.Marshal — shortest
+        // form, precision IGNORED (json_encode.go:262-278); only the
+        // nested-rows path applies AppendPrecisionFloat64
+        case (d: java.lang.Double, _) if o.rowsFlatten => goFloat(normZero(d))
+        case (f: java.lang.Float, _) if o.rowsFlatten => goFloat(normZero(f.toDouble))
         case (v, _) => jsonValue(v, o)
       }
       val cells = if (o.rownum) i.toString +: base else base

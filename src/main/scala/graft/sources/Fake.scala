@@ -23,13 +23,22 @@ object Fake {
     * computed from these samples match its goldens bit-for-bit. */
   def oscillator(spark: SparkSession, freqs: Seq[Freq],
                  fromNs: Long, durNs: Long, periodNs: Long): DataFrame = {
-    val n = durNs / periodNs
+    require(periodNs > 0, "f(oscillator) period should be positive")
+    // negative duration runs BACKWARD from the anchor: [t+dur, t)
+    // (fm_fake.go:460-466); row count = ceil(span/period) per the
+    // `for x = from; x < to; x += step` loop
+    val (lo, hi) = if (durNs < 0) (fromNs + durNs, fromNs) else (fromNs, fromNs + durNs)
+    val n = math.max(0L, (hi - lo + periodNs - 1) / periodNs)
     val tSec = col("time").cast("double") / 1e9
+    // GoMath.sin, not Spark's sin: the JVM's fdlibm sine differs from Go's
+    // Cephes sine by 1 ulp on epoch-second-scale arguments, visible in
+    // precision(16) goldens
+    val goSin = udf((x: Double) => graft.functions.GoMath.sin(x))
     val value = freqs.map { f =>
-      lit(f.amplitude) * sin(lit(2d * math.Pi * f.hz) * tSec + lit(f.phase))
+      lit(f.amplitude) * goSin(lit(2d * math.Pi * f.hz) * tSec + lit(f.phase))
     }.reduce(_ + _)
     spark.range(n)
-      .select((col("id") * periodNs + fromNs).as("time"))
+      .select((col("id") * periodNs + lo).as("time"))
       .withColumn("value", value)
   }
 

@@ -23,8 +23,12 @@ object TimeFns {
 
   /** Parse a Go-style duration literal ("1s", "500ms", "2h45m") to ns. */
   def parseDurationNs(s: String): Long = {
+    val t = s.trim
+    // Go time.ParseDuration accepts a leading sign ("-1s" — the
+    // backward oscillator range, tql_test.go FAKE_oscillator_2)
+    if (t.startsWith("-")) return -parseDurationNs(t.substring(1))
     val re = "([0-9]+(?:\\.[0-9]+)?)(ns|us|µs|ms|s|m|h|d)".r
-    val matches = re.findAllMatchIn(s.trim).toList
+    val matches = re.findAllMatchIn(t).toList
     require(matches.nonEmpty, s"unparseable duration: $s")
     matches.map { m =>
       val v = m.group(1).toDouble

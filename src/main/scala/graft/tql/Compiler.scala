@@ -327,6 +327,14 @@ object Compiler {
   private def evalConstNs(e: Expr): Long = e match {
     case Expr.Num(v) => v.toLong
     case Expr.Call("time", List(Expr.Str("now"))) => currentNowNs.get.longValue()
+    case Expr.Call("time", List(Expr.Str(s))) if s.trim.startsWith("now") =>
+      // time('now-1s') / time('now + 2h') — clock-relative literal
+      val rest = s.trim.substring(3).replace(" ", "")
+      val now = currentNowNs.get.longValue()
+      if (rest.isEmpty) now
+      else if (rest.startsWith("-")) now - graft.time.TimeFns.parseDurationNs(rest.substring(1))
+      else if (rest.startsWith("+")) now + graft.time.TimeFns.parseDurationNs(rest.substring(1))
+      else throw new IllegalArgumentException(s"bad time literal: $s")
     case Expr.Call("time", List(x)) => evalConstNs(x)
     case Expr.Call("timeAdd", List(x, Expr.Str(dur))) =>
       evalConstNs(x) + graft.time.TimeFns.parseDurationNs(dur)

@@ -229,4 +229,30 @@ class ReferenceCasesSpec extends SparkSpec {
     assert(run("FAKE( meshgrid(linspace(1, 2, 2), linspace(10, 20, 2)) )\nCSV()\n") ==
       "1,10\n1,20\n2,10\n2,20\n")
   }
+
+  // tql_test.go:1939-1951 FAKE_oscillator_1 — JSON(precision(16)) is
+  // fixed-width 'f' with trailing zeros kept ("0.6628509149282410");
+  // clock pinned so time('now-1s') reproduces their row times exactly.
+  private val OscNow = 1692329338315327000L
+  private val OscRows = "[[1692329337315327000,0.9169371548618853]," +
+    "[1692329337515327000,-0.0961529923781393]," +
+    "[1692329337715327000,-0.9763628786653529]," +
+    "[1692329337915327000,-0.5072715014883364]," +
+    "[1692329338115327000,0.6628509149282410]]"
+
+  test("FAKE_oscillator_1: forward range from time('now-1s')") {
+    val out = Tql.run(spark,
+      """FAKE( oscillator(freq(1.0, 1.0), range(time('now-1s'), '1s', '200ms')) )
+        |JSON(precision(16))
+        |""".stripMargin, OscNow)
+    assert(out.contains(s""""rows":$OscRows"""), out)
+  }
+
+  test("FAKE_oscillator_2: negative duration runs backward from time('now')") {
+    val out = Tql.run(spark,
+      """FAKE( oscillator(freq(1.0, 1.0), range(time('now'), '-1s', '200ms')) )
+        |JSON(precision(16))
+        |""".stripMargin, OscNow)
+    assert(out.contains(s""""rows":$OscRows"""), out)
+  }
 }

@@ -125,6 +125,7 @@ class Tql3Spec extends SparkSpec {
         |JSON()
         |""".stripMargin)
     assert(out.startsWith("""{"data":{"columns":["x"]"""))
-    assert(out.contains(""""rows":[[1.0],[2.0]]"""))
+    // default JSON float = 'f' 6-decimals, zeros trimmed (float.go:23-36)
+    assert(out.contains(""""rows":[[1],[2]]"""))
   }
 }
