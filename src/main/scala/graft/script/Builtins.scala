@@ -253,9 +253,14 @@ object Builtins {
     catch { case _: Exception =>
       try java.time.OffsetDateTime.parse(t).toInstant.toEpochMilli.toDouble
       catch { case _: Exception =>
-        try java.time.LocalDate.parse(t).atStartOfDay(java.time.ZoneOffset.UTC)
-          .toInstant.toEpochMilli.toDouble
-        catch { case _: Exception => Double.NaN }
+        // zone-less datetime: UTC (the session's pinned zone)
+        try java.time.LocalDateTime.parse(t).toInstant(java.time.ZoneOffset.UTC)
+          .toEpochMilli.toDouble
+        catch { case _: Exception =>
+          try java.time.LocalDate.parse(t).atStartOfDay(java.time.ZoneOffset.UTC)
+            .toInstant.toEpochMilli.toDouble
+          catch { case _: Exception => Double.NaN }
+        }
       }
     }
   }

@@ -354,6 +354,11 @@ final class Interpreter(val host: Interp.Host) {
           case _ => ArrayBuffer[Any](args: _*)
         }
         case Ident("Map", _) => mutable.LinkedHashMap[String, Any]()
+        case Ident("Uint8Array", _) => args match {
+          case List(a: ArrayBuffer[_]) => a.map(x => toNum(x).toByte).toArray
+          case List(n) if isNumber(n) => new Array[Byte](toNum(n).toInt)
+          case _ => Array.empty[Byte]
+        }
         case other => eval(other, env) match {
           case c: Callable => callFunction(c, JsUndefined, args)
           case v => throwErr("TypeError", s"${display(v)} is not a constructor")

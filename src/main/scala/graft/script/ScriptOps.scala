@@ -235,23 +235,29 @@ object ScriptOps {
     * Mixed int/double → double; structured values → JSON string; any other
     * mix → string. */
   def inferType(values: Seq[Any]): DataType = {
-    var sawLong, sawDouble, sawString, sawBool, sawStruct, sawOther = false
+    var sawLong, sawDouble, sawString, sawBool, sawStruct = false
+    var sawDate, sawBinary, sawOther = false
     values.foreach {
       case null | JsUndefined =>
       case _: java.lang.Long => sawLong = true
       case _: java.lang.Double => sawDouble = true
       case _: String => sawString = true
       case _: java.lang.Boolean => sawBool = true
+      case _: JsDate => sawDate = true
+      case _: Array[Byte] => sawBinary = true
       case _: ArrayBuffer[_] | _: mutable.LinkedHashMap[_, _] => sawStruct = true
       case _ => sawOther = true
     }
-    if (sawStruct || sawOther) StringType
-    else if (sawString && !sawLong && !sawDouble && !sawBool) StringType
-    else if (sawBool && !sawLong && !sawDouble && !sawString) BooleanType
-    else if ((sawLong || sawDouble) && !sawString && !sawBool)
-      if (sawDouble) DoubleType else LongType
-    else if (!sawLong && !sawDouble && !sawString && !sawBool) StringType
-    else StringType
+    val kinds = Seq(sawLong || sawDouble, sawString, sawBool, sawDate,
+      sawBinary, sawStruct || sawOther).count(identity)
+    if (kinds != 1) StringType
+    else if (sawStruct || sawOther) StringType
+    else if (sawDate) TimestampType
+    else if (sawBinary) BinaryType
+    else if (sawString) StringType
+    else if (sawBool) BooleanType
+    else if (sawDouble) DoubleType
+    else LongType
   }
 
   /** JS value → Spark value under a target type. Structured values
@@ -274,6 +280,11 @@ object ScriptOps {
       case TimestampType => v match {
         case d: JsDate => new java.sql.Timestamp(d.ms.toLong)
         case other => new java.sql.Timestamp(toNum(other).toLong)
+      }
+      case BinaryType => v match {
+        case b: Array[Byte] => b
+        case a: ArrayBuffer[_] => a.map(x => toNum(x).toByte).toArray
+        case other => display(other).getBytes("UTF-8")
       }
       case _ => display(v)
     }

@@ -1,0 +1,107 @@
+package graft.server
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** In-session machbase-style tag tables for the SQL surface tests
+  * (reference fixture tables `tag_data` / `tag_simple`, schema
+  * spi/benchmark_test.md:5-26). Columns carry a `machtype` metadata key so
+  * the wire-format encoders can print the reference's type names
+  * (int16/uint16/uint32/uint64/json/ipv4/ipv6/binary) that Spark's type
+  * system doesn't distinguish.
+  *
+  * This is the interactive DML surface (one `SQL('insert …', ?…)` sink
+  * statement per record, presentation-sized); the bulk ingest path stays
+  * `sinks.TableSinks` writing parquet.
+  */
+object TagTables {
+  private def f(name: String, dt: DataType, mach: String): StructField =
+    StructField(name, dt, nullable = true,
+      new MetadataBuilder().putString("machtype", mach).build())
+
+  val tagDataSchema: StructType = StructType(Seq(
+    f("NAME", StringType, "string"),
+    f("TIME", TimestampType, "datetime"),
+    f("VALUE", DoubleType, "double"),
+    f("SHORT_VALUE", ShortType, "int16"),
+    f("USHORT_VALUE", IntegerType, "uint16"),
+    f("INT_VALUE", IntegerType, "int32"),
+    f("UINT_VALUE", LongType, "uint32"),
+    f("LONG_VALUE", LongType, "int64"),
+    f("ULONG_VALUE", LongType, "uint64"),
+    f("STR_VALUE", StringType, "string"),
+    f("JSON_VALUE", StringType, "json"),
+    f("IPV4_VALUE", StringType, "ipv4"),
+    f("IPV6_VALUE", StringType, "ipv6"),
+    f("BIN_VALUE", BinaryType, "binary")))
+
+  val tagSimpleSchema: StructType = StructType(Seq(
+    f("NAME", StringType, "string"),
+    f("TIME", TimestampType, "datetime"),
+    f("VALUE", DoubleType, "double")))
+
+  private val rows = TrieMap.empty[String, ArrayBuffer[Row]]
+
+  private def schemaFor(table: String): StructType = table.toLowerCase match {
+    case "tag_simple" => tagSimpleSchema
+    case _ => tagDataSchema
+  }
+
+  /** Register the table as a temp view if this session hasn't yet. */
+  def ensure(spark: SparkSession, table: String): Unit = {
+    val t = table.toLowerCase
+    if (!spark.catalog.tableExists(t)) {
+      rows.putIfAbsent(t, ArrayBuffer.empty[Row])
+      refresh(spark, t)
+    }
+  }
+
+  private def refresh(spark: SparkSession, t: String): Unit = {
+    val data = rows.getOrElse(t, ArrayBuffer.empty[Row])
+    spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(data.toSeq).asJava),
+      schemaFor(t)).createOrReplaceTempView(t)
+  }
+
+  /** Column-name-addressed insert; absent columns null. Values must
+    * already be JVM types matching the schema (see coerce). */
+  def insert(spark: SparkSession, table: String, columns: Seq[String],
+             values: Seq[Any]): Unit = {
+    val t = table.toLowerCase
+    ensure(spark, t)
+    val schema = schemaFor(t)
+    val byName = columns.map(_.toUpperCase).zip(values).toMap
+    val row = Row.fromSeq(schema.fields.map { fld =>
+      byName.get(fld.name.toUpperCase).map(coerce(_, fld.dataType)).orNull
+    }.toSeq)
+    rows.getOrElseUpdate(t, ArrayBuffer.empty[Row]) += row
+    refresh(spark, t)
+  }
+
+  def dropAll(spark: SparkSession): Unit = {
+    rows.keys.foreach(t => spark.catalog.dropTempView(t))
+    rows.clear()
+  }
+
+  private[server] def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (d: graft.script.Interp.JsDate, TimestampType) =>
+      new java.sql.Timestamp(d.ms.toLong)
+    case (t: java.sql.Timestamp, TimestampType) => t
+    case (n: java.lang.Number, TimestampType) =>
+      // epoch-ns convention for numeric datetimes
+      new java.sql.Timestamp(n.longValue() / 1000000L)
+    case (n: java.lang.Number, DoubleType) => java.lang.Double.valueOf(n.doubleValue())
+    case (n: java.lang.Number, LongType) => java.lang.Long.valueOf(n.longValue())
+    case (n: java.lang.Number, IntegerType) => java.lang.Integer.valueOf(n.intValue())
+    case (n: java.lang.Number, ShortType) => java.lang.Short.valueOf(n.shortValue())
+    case (s: String, StringType) => s
+    case (b: Array[Byte], BinaryType) => b
+    case (a: ArrayBuffer[_], BinaryType) =>
+      a.map(x => graft.script.Interp.toNum(x).toByte).toArray
+    case (other, StringType) => graft.script.Interp.display(other)
+    case (other, _) => other
+  }
+}

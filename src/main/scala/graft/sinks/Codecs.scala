@@ -72,8 +72,13 @@ object Codecs {
   private def instantEpochNs(inst: java.time.Instant): Long =
     inst.getEpochSecond * 1000000000L + inst.getNano
 
+  /** machbase binary wire format: 0x-prefixed lowercase hex. */
+  private def binHex(b: Array[Byte]): String =
+    "0x" + b.map(x => f"$x%02x").mkString
+
   private def fmt(v: Any, o: Options): String = v match {
     case null => o.nullAs
+    case b: Array[Byte] => binHex(b)
     case t: java.sql.Timestamp => fmtTime(t.toInstant, o)
     case t: java.time.Instant => fmtTime(t, o)
     case t: java.time.LocalDateTime => fmtTime(t.toInstant(java.time.ZoneOffset.UTC), o)
@@ -96,6 +101,7 @@ object Codecs {
 
   private def jsonValue(v: Any, o: Options): String = v match {
     case null => "null"
+    case b: Array[Byte] => "\"" + binHex(b) + "\""
     case s: String => "\"" + jsonEscape(s) + "\""
     case b: Boolean => b.toString
     // datetimes serialize as epoch ns numbers unless a timeformat pattern
@@ -157,18 +163,25 @@ object Codecs {
     var i = 0L
     df.toLocalIterator().forEachRemaining { row =>
       i += 1
-      val vals = row.toSeq.map(fmt(_, o))
+      val vals = row.toSeq.map(v => csvQuote(fmt(v, o), o.delimiter))
       val line = if (o.rownum) (i.toString +: vals) else vals
       w.write(line.mkString(o.delimiter)); w.write("\n")
     }
   }
+
+  /** RFC-4180 quoting like Go encoding/csv: wrap when the field contains
+    * the delimiter, a quote, or a newline; double inner quotes. */
+  private def csvQuote(s: String, delim: String): String =
+    if (s.contains(delim) || s.contains("\"") || s.contains("\n") || s.contains("\r"))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
 
   /** The `/db/query` JSON envelope: {"data":{"columns":[...],"types":[...],
     * "rows":[[...],...]},"success":true,"reason":"success"}. */
   def jsonEnvelope(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
     val cols0 = o.colsOverride.getOrElse(df.columns.toSeq)
     val types0 = o.typesOverride.getOrElse(
-      df.schema.fields.map(f => typeName(f.dataType)).toSeq)
+      df.schema.fields.map(fieldTypeName).toSeq)
     val cols = if (o.rownum) "ROWNUM" +: cols0 else cols0
     val types = if (o.rownum) "int64" +: types0 else types0
     // "any"-typed cells hold canonical JSON text — emit raw, like the
@@ -249,13 +262,15 @@ object Codecs {
     }
   }
 
-  /** MARKDOWN table sink. */
+  /** MARKDOWN table sink. Floats print %f-style (6 fixed decimals) unlike
+    * CSV's shortest form — md_encode.go:226-231. */
   def markdown(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
     val cols = df.columns
+    val mdOpts = o.copy(precision = if (o.precision >= 0) o.precision else 6)
     w.write(cols.mkString("|", "|", "|")); w.write("\n")
     w.write(cols.map(_ => ":-----").mkString("|", "|", "|")); w.write("\n")
     df.toLocalIterator().forEachRemaining { row =>
-      w.write(row.toSeq.map(fmt(_, o)).mkString("|", "|", "|")); w.write("\n")
+      w.write(row.toSeq.map(fmt(_, mdOpts)).mkString("|", "|", "|")); w.write("\n")
     }
   }
 
@@ -292,6 +307,13 @@ object Codecs {
     }
     sw.toString
   }
+
+  /** Column type name for the envelope — a `machtype` metadata key (set
+    * by server.TagTables) wins over the Spark type mapping, since Spark
+    * can't distinguish uint16/json/ipv4/… from their storage types. */
+  private[graft] def fieldTypeName(f: StructField): String =
+    if (f.metadata.contains("machtype")) f.metadata.getString("machtype")
+    else typeName(f.dataType)
 
   private[graft] def typeName(t: DataType): String = t match {
     case StringType => "string"

@@ -24,7 +24,10 @@ object Compiler {
                     * `$.result` or reference input-node semantics) */
                   envelope: Option[(Seq[String], Seq[String])] = None)
 
-  case class Sink(format: String, options: graft.sinks.Codecs.Options)
+  case class Sink(format: String, options: graft.sinks.Codecs.Options,
+                  /** SQL sink statement: (sql text, per-record bind exprs)
+                    * — fm_dbsrc.go's SQL('insert …', value(0), …) */
+                  sqlExec: Option[(String, List[Expr])] = None)
 
   case class Compiled(pipe: Pipe, sink: Sink) {
     /** The sink-facing DataFrame (values only, like the reference). */
@@ -87,6 +90,12 @@ object Compiler {
     } finally { currentParams.remove(); currentNowNs.remove() }
   }
 
+  /** Auto-register the machbase fixture tables when a query names them —
+    * the reference's test DB ships tag_data/tag_simple pre-created. */
+  private def ensureTagTables(spark: SparkSession, sql: String): Unit =
+    "(?i)\\b(tag_data|tag_simple)\\b".r.findAllIn(sql).toSet[String]
+      .foreach(t => graft.server.TagTables.ensure(spark, t))
+
   private def statementNeedsKey(e: Expr): Boolean = e match {
     case Expr.Call(n, args) =>
       Set("TAKE", "DROP", "PUSHKEY", "POPKEY", "MAPKEY", "GROUPBYKEY", "FFT",
@@ -103,12 +112,52 @@ object Compiler {
 
   /** Render a compiled pipeline, applying any SCRIPT envelope override. */
   def renderCompiled(c: Compiled): String = {
+    if (c.sink.format == "SQLEXEC") return runSqlSink(c)
     val o = c.pipe.envelope match {
       case Some((cols, types)) =>
         c.sink.options.copy(colsOverride = Some(cols), typesOverride = Some(types))
       case None => c.sink.options
     }
     graft.sinks.Codecs.render(c.output, c.sink.format, o)
+  }
+
+  private val InsertRe =
+    "(?is)^\\s*insert\\s+into\\s+([A-Za-z0-9_]+)\\s*\\(([^)]*)\\)\\s*values\\s*\\(.*$".r
+
+  /** Execute an SQL sink statement per record (insert with ? binds), or
+    * once (exec/DDL), and render the DML message envelope. */
+  private def runSqlSink(c: Compiled): String = {
+    val (sql, bindExprs) = c.sink.sqlExec.get
+    val spark = c.pipe.df.sparkSession
+    def envelope(msg: String): String =
+      s"""{"data":{"message":"$msg"},"success":true,"reason":"success"}"""
+    sql.trim.toLowerCase match {
+      case s if s.startsWith("insert") =>
+        val (table, columns) = sql match {
+          case InsertRe(t, cols) => (t, cols.split(",").map(_.trim).toSeq)
+          case _ => throw new IllegalArgumentException(s"unsupported insert: $sql")
+        }
+        var n = 0L
+        c.output.toLocalIterator().forEachRemaining { row =>
+          val binds = bindExprs.map {
+            case Expr.Call("value", List(Expr.Num(i))) => row.get(i.toInt)
+            case Expr.Call("value", Nil) => row.get(0)
+            case Expr.Str(v) => v
+            case Expr.Num(v) => if (v == math.rint(v)) Long.box(v.toLong) else Double.box(v)
+            case Expr.Bool(b) => Boolean.box(b)
+            case other => throw new IllegalArgumentException(s"unsupported bind: $other")
+          }
+          graft.server.TagTables.insert(spark, table, columns, binds)
+          n += 1
+        }
+        envelope(if (n == 1) "a row inserted." else s"$n rows inserted.")
+      case s if s.startsWith("exec") =>
+        c.output.count() // drive the pipeline once, like the reference
+        envelope("executed.")
+      case _ =>
+        graft.server.QueryDoor.execute(spark, sql)
+        envelope("executed.")
+    }
   }
 
   /** Compile + render through the sink codec (the `/db/tql` behavior). */
@@ -125,7 +174,22 @@ object Compiler {
     }
     st.call match {
       case Call("SCRIPT", args) => compileScriptSource(spark, args)
-      case Call("SQL", List(Str(sql))) => keyed(spark.sql(sql))
+      case Call("SQL", List(Str(sql))) =>
+        ensureTagTables(spark, sql)
+        keyed(spark.sql(sql))
+      case Call("SQL", Str(sql) :: binds) if binds.nonEmpty =>
+        // '?' placeholder binding with constant args (fm_dbsrc.go SQL src)
+        val bound = binds.foldLeft(sql) { (acc, b) =>
+          val litStr = b match {
+            case Str(v) => "'" + v.replace("'", "''") + "'"
+            case Num(v) => if (v == math.rint(v)) v.toLong.toString else v.toString
+            case Bool(v) => v.toString
+            case other => throw new IllegalArgumentException(s"unsupported SQL bind: $other")
+          }
+          acc.replaceFirst("\\?", java.util.regex.Matcher.quoteReplacement(litStr))
+        }
+        ensureTagTables(spark, bound)
+        keyed(spark.sql(bound))
       case Call("SQL_SELECT", args) =>
         compileSqlSelect(spark, args, needKey, nowNs)
       case Call("QUERY", args) =>
@@ -357,6 +421,8 @@ object Compiler {
       Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8"))
     case Expr.Bin("??", l, r) => constStringOpt(l).orElse(constStringOpt(r))
+    case Expr.Bin("+", l, r) => // constant concatenation ('a' + 'b')
+      for (a <- constStringOpt(l); b <- constStringOpt(r)) yield a + b
     case Expr.Call("strTrimSpace", List(x)) => constStringOpt(x).map(_.trim)
     case Expr.Call("strSprintf", Expr.Str(fmt) :: args) =>
       val vals = args.map {
@@ -467,6 +533,11 @@ object Compiler {
         keyed(Fake.oscillator(spark, freqs, rng._1, rng._2, rng._3), Seq("time", "value"))
       case Call("sphere", List(Num(la), Num(lo))) =>
         keyed(Fake.sphere(spark, la.toInt, lo.toInt), Seq("x", "y", "z"))
+      case Call("once", List(Num(n))) =>
+        // FAKE(once(v)): a single record carrying v (fm_fake.go doOnce) —
+        // drives one execution of a statement sink (SQL_FLUSH case)
+        keyed(spark.range(1).select(
+          (if (n == math.rint(n)) lit(n.toLong) else lit(n)).as("x")), Seq("x"))
       case Call("json", List(textE)) if constStringOpt(textE).isDefined =>
         // FAKE(json('[1, "a"]')) — single-row (or rows of arrays) JSON text
         val text = constStringOpt(textE).get.trim
@@ -1003,6 +1074,14 @@ object Compiler {
   private def compileSink(st: Statement): Sink = {
     import Expr._
     val fmt = st.call.name
+    if (fmt == "SQL" || fmt == "INSERT" || fmt == "APPEND") {
+      // statement sink: SQL('insert|exec|ddl …', binds…) executed per
+      // record (fm_dbsrc.go SQL sink). Renders the DML message envelope.
+      val sql = st.call.args.headOption.flatMap(constStringOpt).getOrElse(
+        throw new IllegalArgumentException(s"SQL sink needs a statement: ${st.text}"))
+      return Sink("SQLEXEC", graft.sinks.Codecs.Options(),
+        Some((sql, st.call.args.drop(1))))
+    }
     val known = Set("CSV", "JSON", "NDJSON", "MARKDOWN", "BOX", "DISCARD",
       "TEXT", "HTML")
     require(known(fmt), s"unsupported sink: ${st.text}")

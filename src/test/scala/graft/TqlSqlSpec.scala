@@ -1,0 +1,101 @@
+package graft
+
+import graft.tql.Tql
+
+/** The reference's TestTqlSql battery (fm_dbsrc_test.go:46-145) —
+  * SCRIPT-yielded wide row → SQL insert sink with ? binds into the
+  * tag_data fixture table → SELECT rendered through each wire format with
+  * machbase type names and binary/json/ip formatting. Expectations are the
+  * reference's own ExpectCSV/ExpectText/ExpectFunc literals (their test
+  * runs with tz Local; ours pins UTC, and the zone-less JS date parses as
+  * UTC, so the rendered wall-clock text is identical).
+  */
+class TqlSqlSpec extends SparkSpec {
+
+  private def insertWideRow(): String = Tql.run(spark,
+    """SCRIPT({
+      |  const dt = new Date('2026-07-10T17:10:20');
+      |  $.yield(
+      |    'sql_test', dt, 3.142,
+      |    -123, 123,
+      |    -1234, 1234,
+      |    -12345, 12345,
+      |    'STR', '{"json":true}',
+      |    '192.168.0.1', '2001:db8::1',
+      |    new Uint8Array([1,2,3])
+      |)})
+      |SQL('insert into tag_data (name,time,value, ' +
+      |  'short_value,ushort_value,int_value,uint_value, ' +
+      |  'long_value,ulong_value,str_value,json_value,ipv4_value,ipv6_value,bin_value) ' +
+      |  'values(?,?,?,?,?,?,?,?,?,?,?,?,?,?)',
+      |    value(0), value(1), value(2),
+      |    value(3), value(4), value(5), value(6),
+      |    value(7), value(8), value(9), value(10), value(11), value(12), value(13)
+      |)
+      |""".stripMargin)
+
+  test("SQL_sink: insert with binds reports the DML message") {
+    graft.server.TagTables.dropAll(spark)
+    val out = insertWideRow()
+    assert(out.contains(""""message":"a row inserted.""""), out)
+    assert(out.contains(""""success":true"""), out)
+  }
+
+  test("SQL_FLUSH: exec table_flush reports executed") {
+    val out = Tql.run(spark,
+      """FAKE(once(1))
+        |SQL('exec table_flush(tag_data)')
+        |""".stripMargin)
+    assert(out.contains(""""message":"executed.""""), out)
+  }
+
+  private def freshRow(): Unit = {
+    graft.server.TagTables.dropAll(spark)
+    insertWideRow()
+  }
+
+  test("SQL_csv: full wide row through CSV with type formatting") {
+    freshRow()
+    val out = Tql.run(spark,
+      """SQL('select * from tag_data where name = ?', 'sql_test')
+        |CSV(header(true), timeformat('default'), tz('Local'))
+        |""".stripMargin)
+    assert(out ==
+      "NAME,TIME,VALUE,SHORT_VALUE,USHORT_VALUE,INT_VALUE,UINT_VALUE,LONG_VALUE,ULONG_VALUE,STR_VALUE,JSON_VALUE,IPV4_VALUE,IPV6_VALUE,BIN_VALUE\n" +
+      "sql_test,2026-07-10 17:10:20,3.142,-123,123,-1234,1234,-12345,12345,STR,\"{\"\"json\"\":true}\",192.168.0.1,2001:db8::1,0x010203\n")
+  }
+
+  test("SQL_markdown: %f floats and raw cells") {
+    freshRow()
+    val out = Tql.run(spark,
+      """SQL('select * from tag_data where name = ?', 'sql_test')
+        |MARKDOWN(timeformat('default'), tz('Local'))
+        |""".stripMargin)
+    assert(out.contains(
+      "|sql_test|2026-07-10 17:10:20|3.142000|-123|123|-1234|1234|-12345|12345|STR|{\"json\":true}|192.168.0.1|2001:db8::1|0x010203|"), out)
+  }
+
+  test("SQL_json: machbase type names in the envelope") {
+    freshRow()
+    val out = Tql.run(spark,
+      """SQL('select * from tag_data where name = ?', 'sql_test')
+        |JSON(timeformat('default'), tz('Local'))
+        |""".stripMargin)
+    assert(out.contains(
+      """"columns":["NAME","TIME","VALUE","SHORT_VALUE","USHORT_VALUE","INT_VALUE","UINT_VALUE","LONG_VALUE","ULONG_VALUE","STR_VALUE","JSON_VALUE","IPV4_VALUE","IPV6_VALUE","BIN_VALUE"]"""), out)
+    assert(out.contains(
+      """"types":["string","datetime","double","int16","uint16","int32","uint32","int64","uint64","string","json","ipv4","ipv6","binary"]"""), out)
+    assert(out.contains(
+      """["sql_test","2026-07-10 17:10:20",3.142,-123,123,-1234,1234,-12345,12345,"STR","{\"json\":true}","192.168.0.1","2001:db8::1","0x010203"]"""), out)
+  }
+
+  test("SQL_ndjson: one object with formatted values") {
+    freshRow()
+    val out = Tql.run(spark,
+      """SQL('select * from tag_data where name = ?', 'sql_test')
+        |NDJSON( timeformat('default'), tz('Local') )
+        |""".stripMargin)
+    assert(out ==
+      """{"NAME":"sql_test","TIME":"2026-07-10 17:10:20","VALUE":3.142,"SHORT_VALUE":-123,"USHORT_VALUE":123,"INT_VALUE":-1234,"UINT_VALUE":1234,"LONG_VALUE":-12345,"ULONG_VALUE":12345,"STR_VALUE":"STR","JSON_VALUE":"{\"json\":true}","IPV4_VALUE":"192.168.0.1","IPV6_VALUE":"2001:db8::1","BIN_VALUE":"0x010203"}""" + "\n")
+  }
+}
