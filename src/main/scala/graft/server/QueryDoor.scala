@@ -53,25 +53,69 @@ object QueryDoor {
     * spi/show.go). */
   def showCommand(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
-    val words = sql.trim.split("\\s+").map(_.toUpperCase)
+    val all = sql.contains("--all")
+    val words = sql.trim.replace("--all", "").trim.split("\\s+").map(_.toUpperCase)
     words.take(2).toList match {
       case List("SHOW", "TABLES") =>
-        spark.catalog.listTables().select(
-          col("name").as("TABLE_NAME"),
-          col("tableType").as("TABLE_TYPE"),
-          col("isTemporary").as("IS_TEMPORARY"))
-          .orderBy("TABLE_NAME")
+        // machbase catalog shape (fm_dbsrc_test.go:262-295): the fixture
+        // tables first, then (--all) their shadow tables, then any other
+        // session views as Volatile
+        TagTables.tableTypes.keys.foreach(t => TagTables.ensure(spark, t))
+        val mach = TagTables.tableTypes.toSeq.sortBy(_._1)
+        val base = mach.zipWithIndex.map { case ((t, typ), i) =>
+          ("MACHBASEDB", "SYS", t.toUpperCase, 18 + i, typ, "")
+        }
+        val shadows = if (!all) Nil else mach.filter(_._2 == "Tag").sortBy(_._1)
+          .zipWithIndex.flatMap { case ((t, _), i) =>
+            Seq(
+              ("MACHBASEDB", "SYS", s"_${t.toUpperCase}_DATA_0", 100 + 2 * i, "KeyValue", "Data"),
+              ("MACHBASEDB", "SYS", s"_${t.toUpperCase}_META", 101 + 2 * i, "Lookup", "Meta"))
+          }
+        val machNames = TagTables.tableTypes.keySet
+        val others = spark.catalog.listTables().collect().toSeq
+          .filterNot(t => machNames(t.name.toLowerCase)).sortBy(_.name)
+          .zipWithIndex.map { case (t, i) =>
+            ("MACHBASEDB", "SYS", t.name, 200 + i, "Volatile", "")
+          }
+        (base ++ shadows ++ others).toDF(
+          "DATABASE_NAME", "USER_NAME", "TABLE_NAME", "TABLE_ID", "TABLE_TYPE", "TABLE_FLAG")
       case List("SHOW", "TAGS") =>
         // SHOW TAGS <table>: distinct series names — the _T_META dictionary
         val table = sql.trim.split("\\s+")(2)
         spark.table(table).select(col("name")).distinct().orderBy("name")
-      case List("DESC", _) | List("DESCRIBE", _) =>
-        val table = sql.trim.split("\\s+")(1)
-        spark.table(table).schema.fields.zipWithIndex.map { case (f, i) =>
-          (i, f.name, f.dataType.simpleString, f.nullable)
-        }.toSeq.toDF("ID", "NAME", "TYPE", "NULLABLE")
+      case List("SHOW", "TABLE") =>
+        machDesc(spark, words(2).toLowerCase, all, arrivalTime = true)
+      case List("DESC", t) => describe(spark, t.toLowerCase, all)
+      case List("DESCRIBE", t) => describe(spark, t.toLowerCase, all)
       case _ => throw new IllegalArgumentException(s"unsupported SHOW command: $sql")
     }
+  }
+
+  private def describe(spark: SparkSession, table: String, all: Boolean): DataFrame = {
+    import spark.implicits._
+    if (TagTables.descriptors.contains(table))
+      machDesc(spark, table, all, arrivalTime = false)
+    else
+      spark.table(table).schema.fields.zipWithIndex.map { case (f, i) =>
+        (i, f.name, f.dataType.simpleString, f.nullable)
+      }.toSeq.toDF("ID", "NAME", "TYPE", "NULLABLE")
+  }
+
+  /** machbase COLUMN/TYPE/LENGTH/FLAG/INDEX listing. `--all` exposes the
+    * hidden columns: _ARRIVAL_TIME (log tables, leading) and _RID
+    * (trailing) — fm_dbsrc_test.go:305-410. */
+  private def machDesc(spark: SparkSession, table: String, all: Boolean,
+                       arrivalTime: Boolean): DataFrame = {
+    import spark.implicits._
+    val desc = TagTables.descriptors.getOrElse(table,
+      throw new IllegalArgumentException(s"unknown table: $table"))
+    val isLog = TagTables.tableTypes.get(table).contains("Log")
+    val pre =
+      if (all && isLog && arrivalTime) Seq(TagTables.ColDesc("_ARRIVAL_TIME", "datetime", 31, ""))
+      else Nil
+    val post = if (all) Seq(TagTables.ColDesc("_RID", "long", 20, "")) else Nil
+    (pre ++ desc ++ post).map(c => (c.name, c.typ, c.len, c.flag, ""))
+      .toDF("COLUMN", "TYPE", "LENGTH", "FLAG", "INDEX")
   }
 
   /** Full front-door round trip: SQL in → encoded payload out

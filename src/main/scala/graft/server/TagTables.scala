@@ -42,10 +42,74 @@ object TagTables {
     f("TIME", TimestampType, "datetime"),
     f("VALUE", DoubleType, "double")))
 
+  val logDataSchema: StructType = StructType(Seq(
+    f("TIME", TimestampType, "datetime"),
+    f("SHORT_VALUE", ShortType, "int16"),
+    f("USHORT_VALUE", IntegerType, "uint16"),
+    f("INT_VALUE", IntegerType, "int32"),
+    f("UINT_VALUE", LongType, "uint32"),
+    f("LONG_VALUE", LongType, "int64"),
+    f("ULONG_VALUE", LongType, "uint64"),
+    f("DOUBLE_VALUE", DoubleType, "double"),
+    f("FLOAT_VALUE", FloatType, "float"),
+    f("STR_VALUE", StringType, "string"),
+    f("JSON_VALUE", StringType, "json"),
+    f("IPV4_VALUE", StringType, "ipv4"),
+    f("IPV6_VALUE", StringType, "ipv6"),
+    f("TEXT_VALUE", StringType, "text"),
+    f("BIN_VALUE", BinaryType, "binary")))
+
+  /** SHOW TABLE/DESC display row (machbase column catalog shape). */
+  case class ColDesc(name: String, typ: String, len: Int, flag: String)
+
+  /** Column descriptors exactly as the reference's catalog prints them
+    * (fm_dbsrc_test.go:305-410). */
+  val descriptors: Map[String, Seq[ColDesc]] = Map(
+    "tag_data" -> Seq(
+      ColDesc("NAME", "varchar", 100, "tag name"),
+      ColDesc("TIME", "datetime", 31, "base time"),
+      ColDesc("VALUE", "double", 17, "summarized"),
+      ColDesc("SHORT_VALUE", "short", 6, ""),
+      ColDesc("USHORT_VALUE", "ushort", 5, ""),
+      ColDesc("INT_VALUE", "integer", 11, ""),
+      ColDesc("UINT_VALUE", "uinteger", 10, ""),
+      ColDesc("LONG_VALUE", "long", 20, ""),
+      ColDesc("ULONG_VALUE", "ulong", 20, ""),
+      ColDesc("STR_VALUE", "varchar", 400, ""),
+      ColDesc("JSON_VALUE", "json", 32767, ""),
+      ColDesc("IPV4_VALUE", "ipv4", 15, ""),
+      ColDesc("IPV6_VALUE", "ipv6", 45, ""),
+      ColDesc("BIN_VALUE", "binary", 32767, "")),
+    "tag_simple" -> Seq(
+      ColDesc("NAME", "varchar", 100, "tag name"),
+      ColDesc("TIME", "datetime", 31, "base time"),
+      ColDesc("VALUE", "double", 17, "summarized")),
+    "log_data" -> Seq(
+      ColDesc("TIME", "datetime", 31, ""),
+      ColDesc("SHORT_VALUE", "short", 6, ""),
+      ColDesc("USHORT_VALUE", "ushort", 5, ""),
+      ColDesc("INT_VALUE", "integer", 11, ""),
+      ColDesc("UINT_VALUE", "uinteger", 10, ""),
+      ColDesc("LONG_VALUE", "long", 20, ""),
+      ColDesc("ULONG_VALUE", "ulong", 20, ""),
+      ColDesc("DOUBLE_VALUE", "double", 17, ""),
+      ColDesc("FLOAT_VALUE", "float", 17, ""),
+      ColDesc("STR_VALUE", "varchar", 400, ""),
+      ColDesc("JSON_VALUE", "json", 32767, ""),
+      ColDesc("IPV4_VALUE", "ipv4", 15, ""),
+      ColDesc("IPV6_VALUE", "ipv6", 45, ""),
+      ColDesc("TEXT_VALUE", "text", 67108864, ""),
+      ColDesc("BIN_VALUE", "binary", 67108864, "")))
+
+  /** machbase table class per fixture table. */
+  val tableTypes: Map[String, String] =
+    Map("log_data" -> "Log", "tag_data" -> "Tag", "tag_simple" -> "Tag")
+
   private val rows = TrieMap.empty[String, ArrayBuffer[Row]]
 
   private def schemaFor(table: String): StructType = table.toLowerCase match {
     case "tag_simple" => tagSimpleSchema
+    case "log_data" => logDataSchema
     case _ => tagDataSchema
   }
 

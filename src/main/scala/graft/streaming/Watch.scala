@@ -44,6 +44,50 @@ object Watch {
     df.withWatermark(tsCol, duration)
       .dropDuplicatesWithinWatermark(nameCol, tsCol)
 
+  /** SSE-style tail: start the watch stream and surface each micro-batch
+    * as a blocking iterator of row batches — the shape `GET /db/watch/:t`
+    * serves as server-sent events (reference http_query.go:109-210, one
+    * SSE `data:` event per new-row batch). The HTTP layer drains the
+    * iterator; `TailHandle.stop()` ends the stream. Batches are bounded by
+    * maxFilesPerTrigger, so a burst of appends cannot flood driver memory.
+    */
+  final class TailHandle(query: StreamingQuery,
+                         queue: java.util.concurrent.BlockingQueue[Seq[org.apache.spark.sql.Row]]) {
+    /** Blocking iterator over arriving batches (empty batches skipped). */
+    val events: Iterator[Seq[org.apache.spark.sql.Row]] = new Iterator[Seq[org.apache.spark.sql.Row]] {
+      private var nextBatch: Seq[org.apache.spark.sql.Row] = null
+      def hasNext: Boolean = {
+        while (nextBatch == null && query.isActive)
+          nextBatch = queue.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (nextBatch == null) nextBatch = queue.poll() // drain after stop
+        nextBatch != null
+      }
+      def next(): Seq[org.apache.spark.sql.Row] = {
+        if (!hasNext) throw new NoSuchElementException
+        val b = nextBatch; nextBatch = null; b
+      }
+    }
+    def stop(): Unit = query.stop()
+    def awaitTermination(ms: Long): Boolean = query.awaitTermination(ms)
+  }
+
+  /** Start tailing `path` and return a handle whose iterator yields each
+    * new-row batch (the SSE bridge). */
+  def tailEvents(spark: SparkSession, path: String, schema: StructType,
+                 checkpoint: String,
+                 maxFilesPerTrigger: Int = 16): TailHandle = {
+    val queue = new java.util.concurrent.LinkedBlockingQueue[Seq[org.apache.spark.sql.Row]](1024)
+    val q = tail(spark, path, schema, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect().toSeq // bounded by maxFilesPerTrigger
+        if (rows.nonEmpty) queue.put(rows)
+      }
+      .start()
+    new TailHandle(q, queue)
+  }
+
   /** Tumbling event-time aggregate with watermark — the streaming form of
     * GROUP(timewindow()); feeds the rollup tables incrementally. */
   def rollupStream(df: DataFrame, nameCol: String, tsCol: String, valueCol: String,

@@ -176,7 +176,9 @@ object Compiler {
       case Call("SCRIPT", args) => compileScriptSource(spark, args)
       case Call("SQL", List(Str(sql))) =>
         ensureTagTables(spark, sql)
-        keyed(spark.sql(sql))
+        // route through the query door so SHOW/DESC/EXPLAIN get the
+        // machbase catalog shapes (SELECT passes straight to spark.sql)
+        keyed(graft.server.QueryDoor.execute(spark, sql))
       case Call("SQL", Str(sql) :: binds) if binds.nonEmpty =>
         // '?' placeholder binding with constant args (fm_dbsrc.go SQL src)
         val bound = binds.foldLeft(sql) { (acc, b) =>
@@ -533,6 +535,9 @@ object Compiler {
         keyed(Fake.oscillator(spark, freqs, rng._1, rng._2, rng._3), Seq("time", "value"))
       case Call("sphere", List(Num(la), Num(lo))) =>
         keyed(Fake.sphere(spark, la.toInt, lo.toInt), Seq("x", "y", "z"))
+      case Call("linspace50", List(Num(a), Num(b))) =>
+        // linspace with the reference's default sample count (fm_fake.go:328)
+        keyed(Fake.linspace(spark, a, b, 50), Seq("x"))
       case Call("once", List(Num(n))) =>
         // FAKE(once(v)): a single record carrying v (fm_fake.go doOnce) —
         // drives one execution of a statement sink (SQL_FLUSH case)

@@ -31,6 +31,25 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3L)
   }
 
+  test("tailEvents yields appended batches through the SSE iterator") {
+    val dir = Files.createTempDirectory("graft_sse").toString
+    val ck = Files.createTempDirectory("graft_sse_ck").toString
+    Seq(("t1", 1L, 1.0)).toDF("name", "time", "value")
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val handle = Watch.tailEvents(spark, dir, schema, ck)
+    try {
+      // initial content arrives as the first event
+      val first = handle.events.next()
+      assert(first.map(_.getString(0)).toSet == Set("t1"))
+      // live append → next event carries only the new rows
+      Seq(("t2", 2L, 2.0), ("t3", 3L, 3.0)).toDF("name", "time", "value")
+        .write.mode("append").parquet(dir)
+      val second = handle.events.next()
+      assert(second.map(_.getString(0)).toSet == Set("t2", "t3"))
+    } finally handle.stop()
+  }
+
   test("rollupStream aggregates tumbling event-time windows") {
     val dir = Files.createTempDirectory("graft_roll").toString
     val ck = Files.createTempDirectory("graft_ck2").toString

@@ -89,6 +89,71 @@ class TqlSqlSpec extends SparkSpec {
       """["sql_test","2026-07-10 17:10:20",3.142,-123,123,-1234,1234,-12345,12345,"STR","{\"json\":true}","192.168.0.1","2001:db8::1","0x010203"]"""), out)
   }
 
+  test("SQL_show_tables[-all]: machbase catalog shape (fm_dbsrc_test.go:262-295)") {
+    graft.server.TagTables.dropAll(spark)
+    val out = Tql.run(spark, "SQL('show tables')\nCSV(header(true))\n")
+    val lines = out.stripLineEnd.split("\n")
+    assert(lines(0) == "DATABASE_NAME,USER_NAME,TABLE_NAME,TABLE_ID,TABLE_TYPE,TABLE_FLAG")
+    assert(lines(1).matches("MACHBASEDB,SYS,LOG_DATA,[0-9]+,Log,"), lines(1))
+    assert(lines(2).matches("MACHBASEDB,SYS,TAG_DATA,[0-9]+,Tag,"), lines(2))
+    assert(lines(3).matches("MACHBASEDB,SYS,TAG_SIMPLE,[0-9]+,Tag,"), lines(3))
+
+    val all = Tql.run(spark, "SQL('show tables --all')\nCSV(header(true))\n")
+      .stripLineEnd.split("\n")
+    assert(all(4).matches("MACHBASEDB,SYS,_TAG_DATA_DATA_0,[0-9]+,KeyValue,Data"), all(4))
+    assert(all(5).matches("MACHBASEDB,SYS,_TAG_DATA_META,[0-9]+,Lookup,Meta"), all(5))
+    assert(all(6).matches("MACHBASEDB,SYS,_TAG_SIMPLE_DATA_0,[0-9]+,KeyValue,Data"), all(6))
+    assert(all(7).matches("MACHBASEDB,SYS,_TAG_SIMPLE_META,[0-9]+,Lookup,Meta"), all(7))
+  }
+
+  test("SQL_show_table_log_data[-all]: column catalog (fm_dbsrc_test.go:305-360)") {
+    val out = Tql.run(spark, "SQL('show table log_data')\nCSV(header(true))\n")
+    assert(out ==
+      """COLUMN,TYPE,LENGTH,FLAG,INDEX
+        |TIME,datetime,31,,
+        |SHORT_VALUE,short,6,,
+        |USHORT_VALUE,ushort,5,,
+        |INT_VALUE,integer,11,,
+        |UINT_VALUE,uinteger,10,,
+        |LONG_VALUE,long,20,,
+        |ULONG_VALUE,ulong,20,,
+        |DOUBLE_VALUE,double,17,,
+        |FLOAT_VALUE,float,17,,
+        |STR_VALUE,varchar,400,,
+        |JSON_VALUE,json,32767,,
+        |IPV4_VALUE,ipv4,15,,
+        |IPV6_VALUE,ipv6,45,,
+        |TEXT_VALUE,text,67108864,,
+        |BIN_VALUE,binary,67108864,,
+        |""".stripMargin)
+    val all = Tql.run(spark, "SQL('show table log_data --all')\nCSV(header(true))\n")
+    assert(all.startsWith("COLUMN,TYPE,LENGTH,FLAG,INDEX\n_ARRIVAL_TIME,datetime,31,,\nTIME,datetime,31,,"), all)
+    assert(all.stripLineEnd.endsWith("_RID,long,20,,"), all)
+  }
+
+  test("SQL_desc_tag_data[-all]: tag flags (fm_dbsrc_test.go:361-410)") {
+    val out = Tql.run(spark, "SQL('desc tag_data')\nCSV(header(true))\n")
+    assert(out ==
+      """COLUMN,TYPE,LENGTH,FLAG,INDEX
+        |NAME,varchar,100,tag name,
+        |TIME,datetime,31,base time,
+        |VALUE,double,17,summarized,
+        |SHORT_VALUE,short,6,,
+        |USHORT_VALUE,ushort,5,,
+        |INT_VALUE,integer,11,,
+        |UINT_VALUE,uinteger,10,,
+        |LONG_VALUE,long,20,,
+        |ULONG_VALUE,ulong,20,,
+        |STR_VALUE,varchar,400,,
+        |JSON_VALUE,json,32767,,
+        |IPV4_VALUE,ipv4,15,,
+        |IPV6_VALUE,ipv6,45,,
+        |BIN_VALUE,binary,32767,,
+        |""".stripMargin)
+    val all = Tql.run(spark, "SQL('describe tag_data --all')\nCSV(header(true))\n")
+    assert(all.stripLineEnd.endsWith("BIN_VALUE,binary,32767,,\n_RID,long,20,,"), all)
+  }
+
   test("SQL_ndjson: one object with formatted values") {
     freshRow()
     val out = Tql.run(spark,
