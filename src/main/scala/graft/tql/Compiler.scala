@@ -81,13 +81,17 @@ object Compiler {
     // consumes record order or the key.
     val needKey = maps.exists(st => statementNeedsKey(st.call)) ||
       Set("rownum").exists(o => sinkStmt.text.contains("rownum("))
+    // save/restore: WHEN(do(…)) sub-routines re-enter compileMulti with
+    // their own params — the outer pipeline's context must survive
+    val prevParams = currentParams.get
+    val prevNow = currentNowNs.get
     currentParams.set(params)
     currentNowNs.set(nowNs)
     try {
       val pipe0 = compileSource(spark, src, needKey, nowNs)
       val piped = maps.foldLeft(pipe0)((p, st) => compileMap(p, st))
       Compiled(piped, compileSink(sinkStmt))
-    } finally { currentParams.remove(); currentNowNs.remove() }
+    } finally { currentParams.set(prevParams); currentNowNs.set(prevNow) }
   }
 
   /** Auto-register the machbase fixture tables when a query names them —
@@ -535,6 +539,19 @@ object Compiler {
         keyed(Fake.oscillator(spark, freqs, rng._1, rng._2, rng._3), Seq("time", "value"))
       case Call("sphere", List(Num(la), Num(lo))) =>
         keyed(Fake.sphere(spark, la.toInt, lo.toInt), Seq("x", "y", "z"))
+      case Call("args", Nil) =>
+        // FAKE(args()): sub-routine args as one record (task_test.go:1605)
+        val vals = currentParams.get.getOrElse("args", Seq.empty)
+        if (vals.isEmpty)
+          keyed(spark.range(0).select(col("id").cast("string").as("column0")),
+            Seq("column0"))
+        else
+          keyed(spark.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row.fromSeq(vals)),
+            org.apache.spark.sql.types.StructType(vals.indices.map(i =>
+              org.apache.spark.sql.types.StructField(s"column$i",
+                org.apache.spark.sql.types.StringType)))),
+            vals.indices.map(i => s"column$i"))
       case Call("linspace50", List(Num(a), Num(b))) =>
         // linspace with the reference's default sample count (fm_fake.go:328)
         keyed(Fake.linspace(spark, a, b, 50), Seq("x"))
@@ -582,6 +599,10 @@ object Compiler {
     import Expr._
     st.call match {
       case Call("SCRIPT", args) => compileScriptMap(p, args)
+
+      case Call("WHEN", List(cond, action)) =>
+        runWhen(p, cond, action)
+        p // WHEN is a pass-through with side effects (fm_monad.go:2171)
 
       case Call("FILTER", List(cond)) =>
         p.copy(df = p.df.filter(toColumn(cond, p)))
@@ -964,6 +985,42 @@ object Compiler {
     Pipe(out, "time", "time" +: aggs.map(_._1))
   }
 
+  // ---------------- WHEN ----------------
+  /** WHEN side effects run per matching record at the driver, in key
+    * order — the interactive contract (the reference fires them inline in
+    * its single-goroutine stream). The distributed analogue for bulk jobs
+    * is `sinks.TableSinks.when_` (executor-side foreach). */
+  private def runWhen(p: Pipe, cond: Expr, action: Expr): Unit = {
+    import Expr._
+    val spark = p.df.sparkSession
+    def matching(argEs: List[Expr]): Seq[Seq[Any]] = {
+      val df = p.df.filter(toColumn(cond, p))
+      val ordered =
+        if (df.columns.contains(p.keyCol)) df.orderBy(vcol(p.keyCol)) else df
+      ordered.select(argEs.map(toColumn(_, p)): _*).collect()
+        .toSeq.map(_.toSeq)
+    }
+    def fmtV(v: Any): String = graft.sinks.GoTemplate.fmtVal(v)
+    action match {
+      case Call("doLog", argEs) =>
+        matching(argEs).foreach(row =>
+          TqlLog.log("INFO", row.map(fmtV).mkString(" ")))
+      case Call("do", argEs :+ Call("__block", List(Str(sub)))) =>
+        // sub-routine: compile the block once per matching record with its
+        // args bound (ARGS()/FAKE(args())/args(i) read them)
+        matching(argEs).foreach { row =>
+          val c = compileMulti(spark, sub, currentNowNs.get,
+            currentParams.get + ("args" -> row.map(fmtV)))
+          if (c.sink.format != "DISCARD")
+            TqlLog.log("WARN",
+              s"do: ${c.sink.format}() sink does not work in a sub-routine")
+        }
+      case Call("doHttp", _) =>
+        TqlLog.log("WARN", "doHttp is not available in this build (no egress)")
+      case other => throw new IllegalArgumentException(s"unsupported WHEN action: $other")
+    }
+  }
+
   // ---------------- SCRIPT ----------------
   /** SCRIPT("js"?, main | init, main | init, main, deinit) block split —
     * reference fm_script.go:34-78. */
@@ -986,6 +1043,7 @@ object Compiler {
     val (i, m, d) = scriptBlocks(args)
     val res = graft.script.ScriptOps.run(Iterator.empty, isSource = true,
       i, m, d, currentNowNs.get, currentParams.get, paramFirst("payload"))
+    res.logs.foreach { case (lvl, msg) => TqlLog.log(lvl, msg) }
     buildScriptPipe(spark, res, upstreamEnv = None)
   }
 
@@ -1022,6 +1080,7 @@ object Compiler {
     }
     val res = graft.script.ScriptOps.run(records, isSource = false,
       i, m, d, currentNowNs.get, currentParams.get, None)
+    res.logs.foreach { case (lvl, msg) => TqlLog.log(lvl, msg) }
     // envelope: $.result wins; else the reference keeps the INPUT node's
     // column metadata even when yield arity differs (fm_script_test.go:74+)
     val upstreamEnv = (p.values,
@@ -1191,6 +1250,14 @@ object Compiler {
         // missing param -> null (GetRequestParam returns nil; `?? dflt` works)
         case List(Str(k)) => paramFirst(k).map(lit).getOrElse(lit(null).cast("string"))
         case _ => throw new IllegalArgumentException("param('name')")
+      }
+      // sub-routine argument access (fm_context.go fmArgsParam)
+      case "args" => args match {
+        case List(Num(i)) =>
+          lit(currentParams.get.getOrElse("args", Seq.empty)
+            .lift(i.toInt).orNull)
+        case Nil => lit(currentParams.get.getOrElse("args", Seq.empty).mkString(","))
+        case _ => throw new IllegalArgumentException("args([n])")
       }
       // math (reference fx_definitions.go:79-105)
       case "abs" => abs(a(0))

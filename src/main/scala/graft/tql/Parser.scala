@@ -243,6 +243,8 @@ object Parser {
     * (reference script_parser.go treats {} payloads as uninterpreted
     * text for SCRIPT and TEXT). */
   private val RawHead = "(?s)^\\s*(SCRIPT|TEXT)\\s*\\((.*)\\)\\s*$".r
+  private val WhenHead = "(?s)^\\s*WHEN\\s*\\((.*)\\)\\s*$".r
+  private val ActionHead = "(?s)^(doLog|doHttp|do)\\s*\\((.*)\\)\\s*$".r
 
   def parseScript(script: String): List[Statement] =
     splitStatements(script).map {
@@ -256,6 +258,23 @@ object Parser {
           else parseExpression(t)
         }
         Statement(Expr.Call(name, args), text)
+      case text @ WhenHead(body) =>
+        // WHEN(cond, doLog(…) | doHttp(…) | do(args…, { sub-TQL }))
+        // (reference fm_monad.go:2171-2413); the do-block is raw TQL text
+        val parts = splitRawArgs(body)
+        require(parts.size == 2, s"WHEN(cond, action): $text")
+        val action = parts(1).trim match {
+          case ActionHead(name, inner) =>
+            val args = splitRawArgs(inner).map { raw =>
+              val t = raw.trim
+              if (t.startsWith("{") && t.endsWith("}"))
+                Expr.Call("__block", List(Expr.Str(t.substring(1, t.length - 1))))
+              else parseExpression(t)
+            }
+            Expr.Call(name, args)
+          case other => parseExpression(other)
+        }
+        Statement(Expr.Call("WHEN", List(parseExpression(parts(0)), action)), text)
       case text =>
         parseExpression(text) match {
           case c: Expr.Call => Statement(c, text)
