@@ -43,8 +43,22 @@ object QueryDoor {
         plan.split("\n").toSeq.toDF("plan")
       case Show => showCommand(spark, sql)
       case DdlDml =>
-        spark.sql(sql)
-        Seq("executed.").toDF("message")
+        val s = sql.trim
+        val lower = s.toLowerCase
+        val DeleteRe =
+          "(?is)^\\s*delete\\s+from\\s+(\\w+)(?:\\s+where\\s+name\\s*=\\s*'([^']*)')?\\s*$".r
+        s match {
+          case _ if lower.startsWith("exec ") || lower.startsWith("exec(") =>
+            // EXEC table_flush(…) etc — engine procedures are no-ops here
+            Seq("executed.").toDF("MESSAGE")
+          case DeleteRe(table, name)
+            if TagTables.descriptors.contains(table.toLowerCase) =>
+            val n = TagTables.delete(spark, table, Option(name))
+            Seq(if (n == 1) "a row deleted." else s"$n rows deleted.").toDF("MESSAGE")
+          case _ =>
+            spark.sql(s)
+            Seq("executed.").toDF("MESSAGE")
+        }
     }
   }
 
@@ -80,9 +94,28 @@ object QueryDoor {
         (base ++ shadows ++ others).toDF(
           "DATABASE_NAME", "USER_NAME", "TABLE_NAME", "TABLE_ID", "TABLE_TYPE", "TABLE_FLAG")
       case List("SHOW", "TAGS") =>
-        // SHOW TAGS <table>: distinct series names — the _T_META dictionary
+        // SHOW TAGS <table>: the V$T_STAT per-tag statistics shape
+        // (tql_test.go:319-330; value stats are NULL until the engine
+        // flushes — matched verbatim)
         val table = sql.trim.split("\\s+")(2)
-        spark.table(table).select(col("name")).distinct().orderBy("name")
+        val t = spark.table(table)
+        val nameC = if (t.columns.contains("NAME")) "NAME" else "name"
+        val timeC = if (t.columns.contains("TIME")) "TIME" else "time"
+        val timeNs = col(timeC).cast("timestamp").cast("decimal(38,9)")
+          .*(lit(1000000000L)).cast("long")
+        t.groupBy(col(nameC).as("NAME"))
+          .agg(count(lit(1)).as("ROW_COUNT"),
+            min(timeNs).as("MIN_TIME"), max(timeNs).as("MAX_TIME"),
+            max(timeNs).as("RECENT_ROW_TIME"))
+          .withColumn("ID", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("NAME")).cast("long"))
+          .select(col("ID"), col("NAME"), col("ROW_COUNT"),
+            col("MIN_TIME"), col("MAX_TIME"), col("RECENT_ROW_TIME"),
+            lit(null).cast("double").as("MIN_VALUE"),
+            lit(null).cast("long").as("MIN_VALUE_TIME"),
+            lit(null).cast("double").as("MAX_VALUE"),
+            lit(null).cast("long").as("MAX_VALUE_TIME"))
+          .orderBy("ID")
       case List("SHOW", "TABLE") =>
         machDesc(spark, words(2).toLowerCase, all, arrivalTime = true)
       case List("DESC", t) => describe(spark, t.toLowerCase, all)

@@ -144,6 +144,25 @@ object TagTables {
     refresh(spark, t)
   }
 
+  /** Column order for APPEND (the table's full schema). */
+  def columnsOf(table: String): Seq[String] =
+    schemaFor(table.toLowerCase).fieldNames.toSeq
+
+  /** DELETE FROM t [WHERE name = 'x'] → number of rows removed. */
+  def delete(spark: SparkSession, table: String, name: Option[String]): Long = {
+    val t = table.toLowerCase
+    ensure(spark, t)
+    val data = rows.getOrElseUpdate(t, ArrayBuffer.empty[Row])
+    val nameIdx = schemaFor(t).fieldIndex("NAME")
+    val before = data.size
+    name match {
+      case Some(v) => data.filterInPlace(r => r.get(nameIdx) != v)
+      case None => data.clear()
+    }
+    refresh(spark, t)
+    (before - data.size).toLong
+  }
+
   def dropAll(spark: SparkSession): Unit = {
     rows.keys.foreach(t => spark.catalog.dropTempView(t))
     rows.clear()
@@ -155,8 +174,12 @@ object TagTables {
       new java.sql.Timestamp(d.ms.toLong)
     case (t: java.sql.Timestamp, TimestampType) => t
     case (n: java.lang.Number, TimestampType) =>
-      // epoch-ns convention for numeric datetimes
-      new java.sql.Timestamp(n.longValue() / 1000000L)
+      // epoch-ns convention for numeric datetimes; keep sub-ms precision
+      // (Spark stores µs — enough for the ns-granular goldens)
+      val ns = n.longValue()
+      val ts = new java.sql.Timestamp(Math.floorDiv(ns, 1000000L))
+      ts.setNanos(Math.floorMod(ns, 1000000000L).toInt)
+      ts
     case (n: java.lang.Number, DoubleType) => java.lang.Double.valueOf(n.doubleValue())
     case (n: java.lang.Number, LongType) => java.lang.Long.valueOf(n.longValue())
     case (n: java.lang.Number, IntegerType) => java.lang.Integer.valueOf(n.intValue())

@@ -27,7 +27,13 @@ object Compiler {
   case class Sink(format: String, options: graft.sinks.Codecs.Options,
                   /** SQL sink statement: (sql text, per-record bind exprs)
                     * — fm_dbsrc.go's SQL('insert …', value(0), …) */
-                  sqlExec: Option[(String, List[Expr])] = None)
+                  sqlExec: Option[(String, List[Expr])] = None,
+                  /** INSERT(cols…, table(t)[, tag(n)]) / APPEND(table(t))
+                    * statement sinks (fm_dbsink.go:38-253) */
+                  tableIns: Option[TableInsert] = None)
+
+  case class TableInsert(append: Boolean, table: String, tag: Option[String],
+                         columns: Seq[String])
 
   case class Compiled(pipe: Pipe, sink: Sink) {
     /** The sink-facing DataFrame (values only, like the reference). */
@@ -117,12 +123,34 @@ object Compiler {
   /** Render a compiled pipeline, applying any SCRIPT envelope override. */
   def renderCompiled(c: Compiled): String = {
     if (c.sink.format == "SQLEXEC") return runSqlSink(c)
+    if (c.sink.format == "TABLEINS") return runTableSink(c)
     val o = c.pipe.envelope match {
       case Some((cols, types)) =>
         c.sink.options.copy(colsOverride = Some(cols), typesOverride = Some(types))
       case None => c.sink.options
     }
     graft.sinks.Codecs.render(c.output, c.sink.format, o)
+  }
+
+  /** INSERT/APPEND statement sinks (fm_dbsink.go): per-record insert into
+    * the named tag table; APPEND takes the table's full column order. */
+  private def runTableSink(c: Compiled): String = {
+    val spec = c.sink.tableIns.get
+    val spark = c.pipe.df.sparkSession
+    graft.server.TagTables.ensure(spark, spec.table)
+    val columns =
+      if (spec.append) graft.server.TagTables.columnsOf(spec.table)
+      else (if (spec.tag.isDefined) Seq("NAME") else Nil) ++ spec.columns
+    var n = 0L
+    c.output.toLocalIterator().forEachRemaining { row =>
+      val values = spec.tag.map(t => (t: Any)).toSeq ++ row.toSeq
+      graft.server.TagTables.insert(spark, spec.table, columns, values)
+      n += 1
+    }
+    val msg =
+      if (spec.append) s"append $n rows (success $n, fail 0)"
+      else if (n == 1) "a row inserted." else s"$n rows inserted."
+    s"""{"data":{"message":"$msg"},"success":true,"reason":"success"}"""
   }
 
   private val InsertRe =
@@ -1138,13 +1166,23 @@ object Compiler {
   private def compileSink(st: Statement): Sink = {
     import Expr._
     val fmt = st.call.name
-    if (fmt == "SQL" || fmt == "INSERT" || fmt == "APPEND") {
+    if (fmt == "SQL") {
       // statement sink: SQL('insert|exec|ddl …', binds…) executed per
       // record (fm_dbsrc.go SQL sink). Renders the DML message envelope.
       val sql = st.call.args.headOption.flatMap(constStringOpt).getOrElse(
         throw new IllegalArgumentException(s"SQL sink needs a statement: ${st.text}"))
       return Sink("SQLEXEC", graft.sinks.Codecs.Options(),
         Some((sql, st.call.args.drop(1))))
+    }
+    if (fmt == "INSERT" || fmt == "APPEND") {
+      // INSERT('c1','c2',…, table('t') [, tag('name')]) / APPEND(table('t'))
+      val table = st.call.args.collectFirst {
+        case Call("table", List(Str(t))) => t
+      }.getOrElse(throw new IllegalArgumentException(s"$fmt needs table(): ${st.text}"))
+      val tag = st.call.args.collectFirst { case Call("tag", List(Str(t))) => t }
+      val cols = st.call.args.collect { case Str(c) => c }
+      return Sink("TABLEINS", graft.sinks.Codecs.Options(),
+        tableIns = Some(TableInsert(fmt == "APPEND", table, tag, cols)))
     }
     val known = Set("CSV", "JSON", "NDJSON", "MARKDOWN", "BOX", "DISCARD",
       "TEXT", "HTML")
@@ -1362,8 +1400,19 @@ object Compiler {
         case _ => throw new IllegalArgumentException("roundTime(t, 'dur')")
       }
       case "timeAdd" => args match {
-        case List(x, Str(dur)) => toColumn(x, p) + lit(graft.time.TimeFns.parseDurationNs(dur))
-        case _ => throw new IllegalArgumentException("timeAdd(t, 'dur')")
+        // base: 'now' resolves the pinned clock; delta: duration string or
+        // ns expression (FAKE_INSERT uses timeAdd('now', value(0)*2e9))
+        case List(x, d) =>
+          val base = x match {
+            case Str("now") => lit(currentNowNs.get.longValue())
+            case other => toColumn(other, p)
+          }
+          val delta = d match {
+            case Str(dur) => lit(graft.time.TimeFns.parseDurationNs(dur))
+            case other => toColumn(other, p).cast("long")
+          }
+          base + delta
+        case _ => throw new IllegalArgumentException("timeAdd(t, 'dur'|ns)")
       }
       case other => throw new IllegalArgumentException(s"unknown function $other")
     }

@@ -89,6 +89,57 @@ class TqlSqlSpec extends SparkSpec {
       """["sql_test","2026-07-10 17:10:20",3.142,-123,123,-1234,1234,-12345,12345,"STR","{\"json\":true}","192.168.0.1","2001:db8::1","0x010203"]"""), out)
   }
 
+  test("SQL_insert-tag1 + show-tags: typed CSV insert then V$T_STAT shape (tql_test.go:288-330)") {
+    graft.server.TagTables.dropAll(spark)
+    val out = Tql.run(spark,
+      """CSV("tag1,1692686707380411000,0.100\ntag1,1692686708380411000,0.200\n",
+        |  header(false),
+        |  field(0, stringType(), "name"),
+        |  field(1, datetimeType("ns"), "time"),
+        |  field(2, doubleType(), "value")
+        |)
+        |INSERT('name', 'time', 'value', table('tag_simple'))
+        |""".stripMargin)
+    assert(out.contains(""""data":{"message":"2 rows inserted."}"""), out)
+
+    val flush = Tql.run(spark,
+      "SQL(\"EXEC table_flush(tag_simple)\")\nMARKDOWN()\n")
+    assert(flush == "|MESSAGE|\n|:-----|\n|executed.|\n", flush)
+
+    val tags = Tql.run(spark,
+      "SQL(\"show tags tag_simple\")\nCSV(header(true))\n")
+    assert(tags ==
+      "ID,NAME,ROW_COUNT,MIN_TIME,MAX_TIME,RECENT_ROW_TIME,MIN_VALUE,MIN_VALUE_TIME,MAX_VALUE,MAX_VALUE_TIME\n" +
+      "1,tag1,2,1692686707380411000,1692686708380411000,1692686708380411000,NULL,NULL,NULL,NULL\n", tags)
+  }
+
+  test("FAKE_INSERT with tag() + delete cleanup (tql_test.go:523-549)") {
+    graft.server.TagTables.dropAll(spark)
+    val out = Tql.run(spark,
+      """FAKE( linspace(0, 1, 3) )
+        |PUSHVALUE(0, timeAdd('now', value(0)*2000000000))
+        |INSERT('TIME', 'VALUE', table('tag_simple'), tag('signal.3'))
+        |""".stripMargin, 1700000000000000000L)
+    assert(out.contains(""""data":{"message":"3 rows inserted."}"""), out)
+    val del = Tql.run(spark,
+      "SQL(\"delete from tag_simple where name = 'signal.3'\")\nMARKDOWN()\n")
+    assert(del == "|MESSAGE|\n|:-----|\n|3 rows deleted.|\n", del)
+  }
+
+  test("FAKE_APPEND: full-schema append (tql_test.go:550-579)") {
+    graft.server.TagTables.dropAll(spark)
+    val out = Tql.run(spark,
+      """FAKE( linspace(0, 1, 3) )
+        |PUSHVALUE(0, timeAdd('now', value(0)*2000000000))
+        |PUSHVALUE(0, 'signal.append')
+        |APPEND( table('tag_simple') )
+        |""".stripMargin, 1700000000000000000L)
+    assert(out.contains(""""data":{"message":"append 3 rows (success 3, fail 0)"}"""), out)
+    val del = Tql.run(spark,
+      "SQL(\"delete from tag_simple where name = 'signal.append'\")\nMARKDOWN()\n")
+    assert(del == "|MESSAGE|\n|:-----|\n|3 rows deleted.|\n", del)
+  }
+
   test("SQL_show_tables[-all]: machbase catalog shape (fm_dbsrc_test.go:262-295)") {
     graft.server.TagTables.dropAll(spark)
     val out = Tql.run(spark, "SQL('show tables')\nCSV(header(true))\n")
