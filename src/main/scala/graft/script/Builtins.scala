@@ -222,6 +222,12 @@ object Builtins {
       java.net.URLDecoder.decode(display(args.head), "UTF-8")
     })
 
+    // ---- Error constructors (also the instanceof markers) ----
+    Seq("Error", "TypeError", "RangeError", "SyntaxError").foreach { nm =>
+      g.declare(nm, Native(nm, 1, (_, args) =>
+        errObj(nm, args.headOption.map(display).getOrElse(""))))
+    }
+
     // ---- require ----
     g.declare("require", native("require") { (_, args) =>
       val name = display(args.headOption.getOrElse(JsUndefined))

@@ -538,7 +538,15 @@ final class Interpreter(val host: Interp.Host) {
     case "<<" => java.lang.Long.valueOf((jsToInt32(l) << (jsToInt32(r) & 31)).toLong)
     case ">>" => java.lang.Long.valueOf((jsToInt32(l) >> (jsToInt32(r) & 31)).toLong)
     case ">>>" => java.lang.Long.valueOf(((jsToInt32(l) >>> (jsToInt32(r) & 31)).toLong) & 0xFFFFFFFFL)
-    case "instanceof" => java.lang.Boolean.FALSE
+    case "instanceof" => (l, r) match {
+      // `x instanceof Error` — the $.db() fixtures branch on it
+      case (m: mutable.LinkedHashMap[_, _], c: Native)
+        if c.name.endsWith("Error") =>
+        java.lang.Boolean.valueOf(m.asInstanceOf[JsObj].get("name").exists {
+          case s: String => s.endsWith("Error"); case _ => false
+        })
+      case _ => java.lang.Boolean.FALSE
+    }
     case "in" => r match {
       case m: mutable.LinkedHashMap[_, _] =>
         java.lang.Boolean.valueOf(m.asInstanceOf[JsObj].contains(display(l)))

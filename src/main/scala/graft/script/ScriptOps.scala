@@ -32,7 +32,9 @@ final class ScriptNode(
     params: Map[String, Seq[String]],
     payload: Option[String],
     isSource: Boolean,
-    logSink: (String, String) => Unit) {
+    logSink: (String, String) => Unit,
+    /** `$.db().exec(sql)` bridge — present only in driver-side (TQL) mode */
+    dbExec: Option[String => Any] = None) {
 
   private val host = new Interp.Host {
     def nowNs: Long = clockNs
@@ -101,8 +103,14 @@ final class ScriptNode(
         inflightVars.getOrElse(display(args.head), JsUndefined))
       o
     })
-    dollar("db") = Native("db", -1, (_, _) =>
-      throwErr("Error", "$.db() is not available in this build"))
+    dollar("db") = Native("db", -1, (_, _) => dbExec match {
+      case None => throwErr("Error", "$.db() is not available in this context")
+      case Some(exec) =>
+        val o = newObj()
+        o("exec") = Native("exec", -1, (_, args) =>
+          exec(args.map(display).mkString(" ")))
+        o
+    })
     dollar("request") = Native("request", -1, (_, _) =>
       throwErr("Error", "$.request() is not available in this build"))
     interp.global.declare("$", dollar)
@@ -189,10 +197,11 @@ object ScriptOps {
           initCode: String, mainCode: String, deinitCode: String,
           nowNs: Long,
           params: Map[String, Seq[String]],
-          payload: Option[String]): ScriptResult = {
+          payload: Option[String],
+          dbExec: Option[String => Any] = None): ScriptResult = {
     val logs = ArrayBuffer.empty[(String, String)]
     val node = new ScriptNode(initCode, mainCode, deinitCode, nowNs, params,
-      payload, isSource, (lvl, msg) => logs += ((lvl, msg)))
+      payload, isSource, (lvl, msg) => logs += ((lvl, msg)), dbExec)
     if (isSource) node.runOnce()
     else records.foreach { case (k, vs, vars) => node.feed(k, vs, vars) }
     node.finish()

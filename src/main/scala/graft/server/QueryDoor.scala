@@ -52,9 +52,12 @@ object QueryDoor {
             // EXEC table_flush(…) etc — engine procedures are no-ops here
             Seq("executed.").toDF("MESSAGE")
           case DeleteRe(table, name)
-            if TagTables.descriptors.contains(table.toLowerCase) =>
+            if TagTables.descriptorFor(table).isDefined =>
             val n = TagTables.delete(spark, table, Option(name))
             Seq(if (n == 1) "a row deleted." else s"$n rows deleted.").toDF("MESSAGE")
+          case _ if lower.startsWith("create tag table") =>
+            TagTables.createTagTable(spark, s)
+            Seq("executed.").toDF("MESSAGE")
           case _ =>
             spark.sql(s)
             Seq("executed.").toDF("MESSAGE")
@@ -126,7 +129,7 @@ object QueryDoor {
 
   private def describe(spark: SparkSession, table: String, all: Boolean): DataFrame = {
     import spark.implicits._
-    if (TagTables.descriptors.contains(table))
+    if (TagTables.descriptorFor(table).isDefined)
       machDesc(spark, table, all, arrivalTime = false)
     else
       spark.table(table).schema.fields.zipWithIndex.map { case (f, i) =>
@@ -140,7 +143,7 @@ object QueryDoor {
   private def machDesc(spark: SparkSession, table: String, all: Boolean,
                        arrivalTime: Boolean): DataFrame = {
     import spark.implicits._
-    val desc = TagTables.descriptors.getOrElse(table,
+    val desc = TagTables.descriptorFor(table).getOrElse(
       throw new IllegalArgumentException(s"unknown table: $table"))
     val isLog = TagTables.tableTypes.get(table).contains("Log")
     val pre =

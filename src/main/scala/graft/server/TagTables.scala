@@ -106,11 +106,98 @@ object TagTables {
     Map("log_data" -> "Log", "tag_data" -> "Tag", "tag_simple" -> "Tag")
 
   private val rows = TrieMap.empty[String, ArrayBuffer[Row]]
+  /** user-created tag tables (`create tag table …` DDL) */
+  private val dynamicSchemas = TrieMap.empty[String, StructType]
+  private val dynamicDescs = TrieMap.empty[String, Seq[ColDesc]]
+
+  def descriptorFor(table: String): Option[Seq[ColDesc]] =
+    descriptors.get(table.toLowerCase).orElse(dynamicDescs.get(table.toLowerCase))
 
   private def schemaFor(table: String): StructType = table.toLowerCase match {
     case "tag_simple" => tagSimpleSchema
     case "log_data" => logDataSchema
+    case t if dynamicSchemas.contains(t) => dynamicSchemas(t)
     case _ => tagDataSchema
+  }
+
+  /** `CREATE TAG TABLE t (name varchar(40) primary key, time datetime
+    * basetime, value binary, …)` — the DDL the reference's test fixtures
+    * issue through `$.db().exec` (tql_test.go:756-775). */
+  def createTagTable(spark: SparkSession, sql: String): Unit = {
+    val re = "(?is)create\\s+tag\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?(\\w+)\\s*\\((.*)\\)\\s*$".r
+    sql.trim match {
+      case re(name, body) =>
+        val cols = body.split(",").map(_.trim).filter(_.nonEmpty).map { defn =>
+          val parts = defn.split("\\s+")
+          val colName = parts(0).toUpperCase
+          val typeTok = parts(1).toLowerCase
+          val lenRe = "(\\w+)\\((\\d+)\\)".r
+          val (typ, len) = typeTok match {
+            case lenRe(t, l) => (t, l.toInt)
+            case t => (t, defaultLen(t))
+          }
+          (colName, typ, len, flagOf(defn))
+        }
+        val schema = StructType(cols.map { case (n, t, _, _) =>
+          f(n, sparkTypeOf(t), machTypeOf(t))
+        }.toSeq)
+        val t = name.toLowerCase
+        dynamicSchemas.put(t, schema)
+        dynamicDescs.put(t, cols.map { case (n, typ, len, flag) =>
+          ColDesc(n, typ, len, flag)
+        }.toSeq)
+        rows.put(t, ArrayBuffer.empty[Row])
+        refresh(spark, t)
+      case _ => throw new IllegalArgumentException(s"unsupported DDL: $sql")
+    }
+  }
+
+  private def flagOf(defn: String): String = {
+    val d = defn.toLowerCase
+    if (d.contains("primary key")) "tag name"
+    else if (d.contains("basetime")) "base time"
+    else if (d.contains("summarized")) "summarized"
+    else ""
+  }
+
+  private def sparkTypeOf(t: String): DataType = t match {
+    case "varchar" | "json" | "ipv4" | "ipv6" | "text" => StringType
+    case "datetime" => TimestampType
+    case "double" => DoubleType
+    case "float" => FloatType
+    case "short" => ShortType
+    case "ushort" | "integer" => IntegerType
+    case "uinteger" | "long" | "ulong" => LongType
+    case "binary" => BinaryType
+    case other => throw new IllegalArgumentException(s"unknown column type $other")
+  }
+
+  private def machTypeOf(t: String): String = t match {
+    case "varchar" | "text" => "string"
+    case "short" => "int16"
+    case "ushort" => "uint16"
+    case "integer" => "int32"
+    case "uinteger" => "uint32"
+    case "long" => "int64"
+    case "ulong" => "uint64"
+    case other => other // datetime/double/float/json/ipv4/ipv6/binary
+  }
+
+  private def defaultLen(t: String): Int = t match {
+    case "datetime" => 31
+    case "short" => 6
+    case "ushort" => 5
+    case "integer" => 11
+    case "uinteger" => 10
+    case "long" | "ulong" => 20
+    case "double" | "float" => 17
+    case "varchar" => 400
+    case "json" => 32767
+    case "ipv4" => 15
+    case "ipv6" => 45
+    case "text" => 67108864
+    case "binary" => 32767
+    case _ => 0
   }
 
   /** Register the table as a temp view if this session hasn't yet. */
@@ -186,6 +273,10 @@ object TagTables {
     case (n: java.lang.Number, ShortType) => java.lang.Short.valueOf(n.shortValue())
     case (s: String, StringType) => s
     case (b: Array[Byte], BinaryType) => b
+    case (s: String, BinaryType) if s.startsWith("0x") || s.startsWith("0X") =>
+      // hex-literal binary ('0x0102…', tql_test.go insert-binary)
+      s.drop(2).grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    case (s: String, BinaryType) => s.getBytes("UTF-8")
     case (a: ArrayBuffer[_], BinaryType) =>
       a.map(x => graft.script.Interp.toNum(x).toByte).toArray
     case (other, StringType) => graft.script.Interp.display(other)

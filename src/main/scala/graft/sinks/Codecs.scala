@@ -37,7 +37,10 @@ object Codecs {
       /** TEXT/HTML sink Go-template (reference templ.go: executed once per
         * record) and the request params its param()/paramDefault() see */
       template: Option[String] = None,
-      templateParams: Map[String, Seq[String]] = Map.empty)
+      templateParams: Map[String, Seq[String]] = Map.empty,
+      /** binary column rendering: hex (0x…), preview (first 5 bytes + ..),
+        * base64 — the reference's binaryformat() option */
+      binaryFormat: String = "hex")
 
   /** Shortest round-trip decimal like Go's FormatFloat(v,'f',-1,64) — the
     * reference's CSV float format ("1", "1.5", not "1.0"). */
@@ -78,7 +81,12 @@ object Codecs {
 
   private def fmt(v: Any, o: Options): String = v match {
     case null => o.nullAs
-    case b: Array[Byte] => binHex(b)
+    case b: Array[Byte] => o.binaryFormat match {
+      case "base64" => java.util.Base64.getEncoder.encodeToString(b)
+      case "preview" =>
+        if (b.length <= 5) binHex(b) else binHex(b.take(5)) + ".."
+      case _ => binHex(b)
+    }
     case t: java.sql.Timestamp => fmtTime(t.toInstant, o)
     case t: java.time.Instant => fmtTime(t, o)
     case t: java.time.LocalDateTime => fmtTime(t.toInstant(java.time.ZoneOffset.UTC), o)
@@ -299,7 +307,10 @@ object Codecs {
       case "CSV" => csv(df, sw, o)
       case "JSON" => jsonEnvelope(df, sw, o)
       case "NDJSON" => ndjson(df, sw, o)
-      case "MARKDOWN" => markdown(df, sw, o)
+      case "MARKDOWN" =>
+        // MARKDOWN(template) renders through the template engine
+        // (tql_test.go CSV_payload_MAPVALUE_MARKDOWN_TEMPLATE)
+        if (o.template.isDefined) text(df, sw, o) else markdown(df, sw, o)
       case "BOX" => box(df, sw, o)
       case "TEXT" | "HTML" => text(df, sw, o)
       case "DISCARD" => df.foreach(_ => ()) // materialize, emit nothing

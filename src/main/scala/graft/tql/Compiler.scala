@@ -1050,6 +1050,19 @@ object Compiler {
   }
 
   // ---------------- SCRIPT ----------------
+  /** `$.db().exec(sql)` in driver-side SCRIPT: route through the query
+    * door; failures come back as JS Error objects (the create-tqlbin
+    * fixture checks `ret instanceof Error` — tql_test.go:756-775). */
+  private def scriptDbExec(spark: SparkSession)(sql: String): Any =
+    try {
+      graft.server.QueryDoor.execute(spark, sql).collect()
+      graft.script.Interp.JsUndefined
+    } catch {
+      case e: Exception =>
+        graft.script.Interp.errObj("Error",
+          Option(e.getMessage).getOrElse(e.toString))
+    }
+
   /** SCRIPT("js"?, main | init, main | init, main, deinit) block split —
     * reference fm_script.go:34-78. */
   private def scriptBlocks(args: List[Expr]): (String, String, String) = {
@@ -1070,7 +1083,8 @@ object Compiler {
   private def compileScriptSource(spark: SparkSession, args: List[Expr]): Pipe = {
     val (i, m, d) = scriptBlocks(args)
     val res = graft.script.ScriptOps.run(Iterator.empty, isSource = true,
-      i, m, d, currentNowNs.get, currentParams.get, paramFirst("payload"))
+      i, m, d, currentNowNs.get, currentParams.get, paramFirst("payload"),
+      Some(scriptDbExec(spark)))
     res.logs.foreach { case (lvl, msg) => TqlLog.log(lvl, msg) }
     buildScriptPipe(spark, res, upstreamEnv = None)
   }
@@ -1107,7 +1121,8 @@ object Compiler {
       (key, values, vars)
     }
     val res = graft.script.ScriptOps.run(records, isSource = false,
-      i, m, d, currentNowNs.get, currentParams.get, None)
+      i, m, d, currentNowNs.get, currentParams.get, None,
+      Some(scriptDbExec(spark)))
     res.logs.foreach { case (lvl, msg) => TqlLog.log(lvl, msg) }
     // envelope: $.result wins; else the reference keeps the INPUT node's
     // column metadata even when yield arity differs (fm_script_test.go:74+)
@@ -1188,8 +1203,9 @@ object Compiler {
       "TEXT", "HTML")
     require(known(fmt), s"unsupported sink: ${st.text}")
     var opts = graft.sinks.Codecs.Options()
-    if (fmt == "TEXT" || fmt == "HTML") {
-      // TEXT(template…) — string args are template content (fm_encoder.go:68)
+    if (fmt == "TEXT" || fmt == "HTML" || fmt == "MARKDOWN") {
+      // TEXT/HTML/MARKDOWN(template…) — string args are template content
+      // (fm_encoder.go:68; markdown TEMPLATE case tql_test.go:1056)
       val tpl = st.call.args.collect { case Str(s) => s }
       if (tpl.nonEmpty)
         opts = opts.copy(template = Some(tpl.mkString),
@@ -1220,6 +1236,7 @@ object Compiler {
         opts = opts.copy(tz = z match { case "Local" => "UTC"; case other => other })
       case Call("precision", List(Num(p))) => opts = opts.copy(precision = p.toInt)
       case Call("substituteNull", List(Str(s))) => opts = opts.copy(nullAs = s)
+      case Call("binaryformat", List(Str(b))) => opts = opts.copy(binaryFormat = b)
       case _ =>
     }
     Sink(fmt, opts)
@@ -1267,7 +1284,32 @@ object Compiler {
           case "!~" => !a.rlike(r match { case Str(s) => s; case _ => "" })
           case other => throw new IllegalArgumentException(s"operator $other")
         }
-      case Ternary(c, t, f) => when(toColumn(c, p), toColumn(t, p)).otherwise(toColumn(f, p))
+      case Ternary(c, t, f) =>
+        // TQL is dynamically typed: a ternary may yield different types per
+        // branch (`x != "VALUE" ? parseFloat(x)*10 : x`). Spark's CaseWhen
+        // coercion would cast the string branch to double and (ANSI) throw
+        // on non-numeric rows — harmonize mixed numeric/string branches to
+        // go-formatted strings instead.
+        val (cc, tc, fc) = (toColumn(c, p), toColumn(t, p), toColumn(f, p))
+        val branchTypes =
+          try Some(p.df.select(tc.as("t"), fc.as("f")).schema.fields.map(_.dataType))
+          catch { case _: Exception => None }
+        branchTypes match {
+          case Some(Array(tt, ft)) if tt != ft &&
+            (tt == org.apache.spark.sql.types.StringType ||
+             ft == org.apache.spark.sql.types.StringType) =>
+            def goStr(col0: Column, dt: org.apache.spark.sql.types.DataType): Column =
+              dt match {
+                case org.apache.spark.sql.types.DoubleType |
+                     org.apache.spark.sql.types.FloatType =>
+                  when(col0 === floor(col0) && abs(col0) < 1e15,
+                    col0.cast("long").cast("string"))
+                    .otherwise(col0.cast("string"))
+                case _ => col0.cast("string")
+              }
+            when(cc, goStr(tc, tt)).otherwise(goStr(fc, ft))
+          case _ => when(cc, tc).otherwise(fc)
+        }
       case In(v, set) => toColumn(v, p).isin(set.map(x => toColumn(x, p)): _*)
       case Index(arr, idx) => element_at(toColumn(arr, p), toColumn(idx, p) + 1)
       case Call(name, args) => callToColumn(name, args, p)

@@ -242,7 +242,7 @@ object Parser {
   /** Statements whose args may be raw `{ … }` code/template blocks
     * (reference script_parser.go treats {} payloads as uninterpreted
     * text for SCRIPT and TEXT). */
-  private val RawHead = "(?s)^\\s*(SCRIPT|TEXT)\\s*\\((.*)\\)\\s*$".r
+  private val RawHead = "(?s)^\\s*(SCRIPT|TEXT|MARKDOWN|HTML)\\s*\\((.*)\\)\\s*$".r
   private val WhenHead = "(?s)^\\s*WHEN\\s*\\((.*)\\)\\s*$".r
   private val ActionHead = "(?s)^(doLog|doHttp|do)\\s*\\((.*)\\)\\s*$".r
 

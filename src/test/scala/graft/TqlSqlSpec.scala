@@ -205,6 +205,68 @@ class TqlSqlSpec extends SparkSpec {
     assert(all.stripLineEnd.endsWith("BIN_VALUE,binary,32767,,\n_RID,long,20,,"), all)
   }
 
+  test("binary round trip: create-tqlbin via $.db(), insert hex, select hex/preview/base64 (tql_test.go:756-880)") {
+    val created = Tql.run(spark,
+      """SCRIPT("js", {
+        |  var ret = $.db().exec("create tag table tqlbin (name varchar(40) primary key, time datetime basetime, value binary)");
+        |  if (ret instanceof Error) {
+        |    $.yield(ret.message);
+        |  } else {
+        |    $.yield("create-tqlbin done");
+        |  }
+        |})
+        |CSV()
+        |""".stripMargin)
+    assert(created == "create-tqlbin done\n", created)
+
+    val ins = Tql.run(spark,
+      """SCRIPT({
+        |  $.yield('bin1', 1692686707380411000, '0x0102030405060708090a');
+        |})
+        |INSERT('name', 'time', 'value', table('tqlbin'))
+        |""".stripMargin)
+    assert(ins.contains("a row inserted."), ins)
+
+    val hex = Tql.run(spark,
+      "SQL(\"select NAME, VALUE from tqlbin where name = 'bin1'\")\nCSV(header(true))\n")
+    assert(hex == "NAME,VALUE\nbin1,0x0102030405060708090a\n", hex)
+
+    val preview = Tql.run(spark,
+      "SQL(\"select NAME, VALUE from tqlbin where name = 'bin1'\")\nCSV(header(true), binaryformat('preview'))\n")
+    assert(preview == "NAME,VALUE\nbin1,0x0102030405..\n", preview)
+
+    val b64 = Tql.run(spark,
+      "SQL(\"select NAME, VALUE from tqlbin where name = 'bin1'\")\nCSV(header(true), binaryformat('base64'))\n")
+    assert(b64 == "NAME,VALUE\nbin1,AQIDBAUGBwgJCg==\n", b64)
+  }
+
+  test("CSV_payload_MAPVALUE_MARKDOWN_TEMPLATE (tql_test.go:1056-1085)") {
+    val payload = Seq(
+      "NAME,TIME,VALUE,BOOL",
+      "wave.sin,1676432361,0.000000,true",
+      "wave.cos,1676432361,1.0000000,false",
+      "wave.sin,1676432362,0.406736,true",
+      "wave.cos,1676432362,0.913546,false",
+      "wave.sin,1676432363,0.743144,true").mkString("\n") + "\n"
+    val out = Tql.run(spark,
+      """CSV(payload(), header(false))
+        |MAPVALUE(2, value(2) != "VALUE" ? parseFloat(value(2))*10 : value(2))
+        |MARKDOWN({
+        |{{ if .IsFirst }}## demo
+        |{{ end }}{{ .Value 0 }},{{ .Value 2 }}
+        |{{ if .IsLast }}--------
+        |{{ end }}
+        |})
+        |""".stripMargin, 0L, Map("payload" -> Seq(payload)))
+    assert(out.contains("## demo"), out)
+    assert(out.contains("NAME,VALUE"), out)
+    assert(out.contains("wave.sin,0"), out)
+    assert(out.contains("wave.cos,10"), out)
+    assert(out.contains("wave.sin,4.067"), out)
+    assert(out.contains("wave.cos,9.135"), out)
+    assert(out.contains("--------"), out)
+  }
+
   test("SQL_ndjson: one object with formatted values") {
     freshRow()
     val out = Tql.run(spark,
