@@ -242,7 +242,11 @@ object Compiler {
         }
         val reader0 = spark.read.option("header", header.toString)
         val reader = charset.fold(reader0)(c => reader0.option("encoding", c))
-        if (fields.isEmpty) keyed(reader.csv(path))
+        if (fields.isEmpty) {
+          // untyped file: reference names columns column0..N
+          val raw = reader.csv(path)
+          keyed(raw.toDF(raw.columns.indices.map(i => s"column$i"): _*))
+        }
         else {
           def sparkType(t: String) = t match {
             case "doubleType" => org.apache.spark.sql.types.DoubleType

@@ -323,6 +323,81 @@ class TqlScriptSpec extends SparkSpec {
     assert(out == "John:30\nJane:25\n")
   }
 
+  test("script_src: yieldKey loop as source (tql_test.go:1990-2002)") {
+    val out = Tql.run(spark,
+      """SCRIPT({
+        |  for (i = 0; i < 10; i++) {
+        |    $.yieldKey("test", i, i*10)
+        |  }
+        |})
+        |CSV()
+        |""".stripMargin)
+    assert(out == (0 until 10).map(i => s"$i,${i * 10}").mkString("", "\n", "\n"))
+  }
+
+  test("script_src_map: SCRIPT chained into SCRIPT (tql_test.go:2004-2019)") {
+    val out = Tql.run(spark,
+      """SCRIPT({
+        |  a = 10*2+1
+        |  // comment
+        |
+        |  $.yield(a)
+        |})
+        |SCRIPT({
+        |  a = $.values[0];
+        |  $.yield(a+1, 2, 3, 4)
+        |})
+        |CSV()
+        |""".stripMargin)
+    assert(out == "22,2,3,4\n")
+  }
+
+  test("script_2: $.key after MAPKEY + absent params (tql_test.go:2021-2041)") {
+    val out = Tql.run(spark,
+      """FAKE( linspace(1,2,2))
+        |MAPKEY("hello")
+        |SCRIPT("js", {
+        |  c = 0;
+        |  if ($.params.temp !== undefined) {
+        |    c = $.params.temp;
+        |  }
+        |  $.yield($.key, $.values[0], c)
+        |})
+        |MAPVALUE(0, value(0), "key")
+        |MAPVALUE(1, value(1), "value")
+        |MAPVALUE(2, value(2), "parameter")
+        |CSV(header(true))
+        |""".stripMargin)
+    assert(out == "key,value,parameter\nhello,1,0\nhello,2,0\n", out)
+  }
+
+  test("CSV_file and CSV_file_gz: untyped file with DROP/TAKE (tql_test.go:1231-1258)") {
+    val iris = "/root/reference/mods/tql/test/iris.data"
+    // gzip a copy for the gz variant
+    val gz = java.nio.file.Files.createTempFile("iris", ".data.gz")
+    val os = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(gz))
+    os.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(iris)))
+    os.close()
+    Seq(iris, gz.toString).foreach { path =>
+      val out = Tql.run(spark,
+        s"""CSV(file('$path'))
+           |DROP(10)
+           |TAKE(2)
+           |CSV()
+           |""".stripMargin)
+      assert(out == "5.4,3.7,1.5,0.2,Iris-setosa\n4.8,3.4,1.6,0.2,Iris-setosa\n", s"$path: $out")
+    }
+    // untyped files name their columns column0..N (JSON envelope case)
+    val env = Tql.run(spark,
+      s"""CSV(file('$iris'))
+         |DROP(10)
+         |TAKE(2)
+         |JSON()
+         |""".stripMargin)
+    assert(env.contains(""""columns":["column0","column1","column2","column3","column4"]"""), env)
+    assert(env.contains("""["5.4","3.7","1.5","0.2","Iris-setosa"]"""), env)
+  }
+
   test("distributed mapScript: per-partition execution with declared schema") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions._
