@@ -22,18 +22,49 @@ object TableSinks {
   def append(df: DataFrame, tablePath: String): Unit =
     df.write.mode("append").parquet(tablePath)
 
-  /** APPEND with tag-table layout: partitioned by series name bucket so
-    * per-tag scans prune files at 100 TB (name-bucket + time-ordered
-    * within files). `buckets` keeps partition count bounded regardless
-    * of tag cardinality. */
+  /** APPEND with tag-table layout: partitioned by UTC day and series
+    * name bucket, so BOTH time-range and per-tag scans prune whole
+    * directories at 100 TB (the two predicates every tag query carries —
+    * `name = 'x' AND time BETWEEN a AND b`). `buckets` keeps partition
+    * count bounded regardless of tag cardinality; rows are time-ordered
+    * within files for rowgroup min/max skipping. `timeCol` is epoch-ns. */
   def appendTagTable(df: DataFrame, tablePath: String, nameCol: String,
-                     timeCol: String, buckets: Int = 64): Unit =
-    df.withColumn("__name_bucket", pmod(xxhash64(col(nameCol)), lit(buckets)))
-      .repartition(col("__name_bucket"))
+                     timeCol: String, buckets: Int = 64,
+                     partitionByDay: Boolean = true): Unit = {
+    val bucketed = df
+      .withColumn("__name_bucket", pmod(xxhash64(col(nameCol)), lit(buckets)))
+    val (laid, partCols) =
+      if (partitionByDay)
+        (bucketed.withColumn("__day",
+          to_date(timestamp_micros((col(timeCol) / 1000L).cast("long")))),
+         Seq("__day", "__name_bucket"))
+      else (bucketed, Seq("__name_bucket"))
+    laid.repartition(partCols.map(col): _*)
       .sortWithinPartitions(col(nameCol), col(timeCol))
       .write.mode("append")
-      .partitionBy("__name_bucket")
+      .partitionBy(partCols: _*)
       .parquet(tablePath)
+  }
+
+  /** Read a tag table laid out by [[appendTagTable]] with the pruning
+    * predicates applied — partition filters on `__day`/`__name_bucket`
+    * reach the file listing, so only matching directories are read. */
+  def scanTagTable(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                   name: String, fromNs: Long, untilNs: Long,
+                   nameCol: String = "name", timeCol: String = "time",
+                   buckets: Int = 64): DataFrame = {
+    val fromDay = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochMilli(fromNs / 1000000L), java.time.ZoneOffset.UTC)
+    val untilDay = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochMilli(untilNs / 1000000L), java.time.ZoneOffset.UTC)
+    spark.read.parquet(tablePath)
+      .filter(col("__name_bucket") ===
+        pmod(xxhash64(lit(name)), lit(buckets)))
+      .filter(col("__day").between(
+        java.sql.Date.valueOf(fromDay), java.sql.Date.valueOf(untilDay)))
+      .filter(col(nameCol) === name &&
+        col(timeCol) >= fromNs && col(timeCol) < untilNs)
+  }
 
   /** WHEN(cond, action): per-matching-record side effect (reference
     * fm_monad.go:2171-2413 — doLog/doHttp/do-subroutine). The action runs
