@@ -22,6 +22,45 @@ object Dedup {
     df.groupBy(contentCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Connected components over an undirected similarity-pair edge list —
+    * near-dup CLUSTERING (the step after pair detection in a training
+    * pipeline: each cluster keeps one canonical document). Iterative
+    * min-label propagation: every vertex takes the minimum label in its
+    * closed neighborhood until fixpoint. Each round is one shuffle
+    * (join + groupBy); diameter-bounded convergence, checked with a
+    * cheap changed-count — the hash-join/AQE machinery handles skew. For
+    * graphs with giant components at extreme scale, swap the propagation
+    * step for the large-star/small-star rounds (Kiveris et al. 2014) —
+    * same join-shape, fewer rounds. */
+  def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
+                          dstCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .persist()
+    labels.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("v", "dst2").withColumnRenamed("label", "nlabel"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("v")).agg(min("nlabel").as("nmin"))
+      val next = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("v"), col("label").as("cluster"))
+  }
+
   /** Distinct word-bigram shingle set of a text column. */
   def bigramShingles(text: Column): Column = {
     val sp = split(text, " ")

@@ -60,6 +60,15 @@ object TextPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- near-dup clustering: connected components over pair edges ----
+    "q_dedup_cluster" -> ((s, dir) => {
+      val edges = Dedup.jaccardPairs(t(s, dir, "documents"),
+        blockCol = "source", threshold = 0.1)
+      Dedup.connectedComponents(edges)
+        .select(col("v").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // ---- MinHash + LSH near-dup (no SQL oracle — rows-only) -----------
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), numHashes = 32, bands = 8,
@@ -174,6 +183,27 @@ object TextPipeline {
                FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id)
          SELECT doc_a, doc_b, floor((j)*10000.0 + 0.5)/10000.0 AS jaccard FROM p
          WHERE j >= 0.3 ORDER BY doc_a, doc_b""",
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, source, string_split(text,' ') AS sp FROM documents),
+         b AS (SELECT doc_id, source,
+                 list_distinct(list_transform(generate_series(1, len(sp)-1),
+                   i -> sp[i] || ' ' || sp[i+1])) AS bg
+               FROM w WHERE len(sp) >= 2),
+         p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+               FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+               WHERE CAST(len(list_intersect(a.bg, c.bg)) AS DOUBLE) /
+                 (len(a.bg) + len(c.bg) - len(list_intersect(a.bg, c.bg))) >= 0.1),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         verts AS (SELECT DISTINCT src AS v FROM e),
+         reach(v, r) AS (
+           SELECT v, v FROM verts
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.v
+         )
+         SELECT v AS doc_id, min(r) AS cluster FROM reach
+         GROUP BY v ORDER BY doc_id""",
     "q_embedding_topk" ->
       """WITH q AS (SELECT vec_id AS qid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe

@@ -66,4 +66,18 @@ class DedupAnnSpec extends SparkSpec {
     // approximate: require non-trivial overlap with exact top-3
     assert(lsh.nonEmpty && (brute intersect lsh).nonEmpty)
   }
+
+  test("connectedComponents clusters similarity edges (chains, triangles, singles)") {
+    // components: {1,2,3,4} via a chain, {10,11,12} via a triangle, {20,21}
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)).toDF("doc_a", "doc_b")
+    val got = graft.dedup.Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L), got)
+  }
 }
