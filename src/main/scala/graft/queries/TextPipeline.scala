@@ -125,6 +125,21 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- embedding clustering: nearest-centroid assignment ------------
+    "q_embedding_cluster" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+        .select(transform(col("embedding"), x => x.cast("double")).as("c"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val idx = graft.similarity.Ivf.Index(cents)
+      emb.select(col("vec_id"),
+          graft.similarity.Ivf.cellOf(
+            transform(col("embedding"), x => x.cast("double")), idx).as("cell"))
+        .groupBy(col("cell").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
+        .orderBy("cluster")
+    }),
+
     // ---- multimodal: opaque binary column + typed metadata ------------
     "q_multimodal_meta" -> ((s, dir) => {
       t(s, dir, "documents").filter(col("doc_id") < 100)
@@ -241,6 +256,20 @@ object TextPipeline {
          floor(1000.0 * len(string_split(text, ' ')) / (strlen(text) + 1)) / 1000
            AS density
          FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "q_embedding_cluster" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+         d AS (SELECT e.vec_id, c.cid,
+                 (SELECT sum((x-y)*(x-y))
+                  FROM (SELECT unnest(e.v) AS x, unnest(c.cv) AS y)) AS dist
+               FROM e CROSS JOIN c),
+         a AS (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d)
+         SELECT cid AS cluster, count(*) AS n, min(vec_id) AS min_vec
+         FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
     "q_multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes, ascii(text) AS first_code,
          (strlen(text) * 31 + ascii(text)) % 256 AS fake_feat

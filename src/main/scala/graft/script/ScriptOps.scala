@@ -34,7 +34,9 @@ final class ScriptNode(
     isSource: Boolean,
     logSink: (String, String) => Unit,
     /** `$.db().exec(sql)` bridge — present only in driver-side (TQL) mode */
-    dbExec: Option[String => Any] = None) {
+    dbExec: Option[String => Any] = None,
+    /** `$.db().query(sql)` bridge: (column names, row values) */
+    dbQuery: Option[String => (Seq[String], Seq[Seq[Any]])] = None) {
 
   private val host = new Interp.Host {
     def nowNs: Long = clockNs
@@ -109,6 +111,29 @@ final class ScriptNode(
         val o = newObj()
         o("exec") = Native("exec", -1, (_, args) =>
           exec(args.map(display).mkString(" ")))
+        // db.query(sql).yield() / .forEach(cb) / .columns()
+        // (fm_script.go's db bridge; its upstream tests are t.Skip'd, so
+        // semantics follow the documented surface)
+        o("query") = Native("query", -1, (_, args) => dbQuery match {
+          case None => throwErr("Error", "$.db().query() is not available here")
+          case Some(q) =>
+            val (cols, rows) = q(args.map(display).mkString(" "))
+            val res = newObj()
+            res("columns") = Native("columns", 0, (_, _) =>
+              ArrayBuffer[Any](cols: _*))
+            res("yield") = Native("yield", 0, (_, _) => {
+              rows.foreach(r => yieldRec(java.lang.Long.valueOf(yieldCount), r))
+              JsUndefined
+            })
+            res("forEach") = Native("forEach", 1, (_, fargs) => {
+              val cb = fargs.head.asInstanceOf[Callable]
+              rows.foreach(r =>
+                interp.callFunction(cb, JsUndefined,
+                  List(ArrayBuffer[Any](r: _*))))
+              JsUndefined
+            })
+            res
+        })
         o
     })
     dollar("request") = Native("request", -1, (_, _) =>
@@ -198,10 +223,11 @@ object ScriptOps {
           nowNs: Long,
           params: Map[String, Seq[String]],
           payload: Option[String],
-          dbExec: Option[String => Any] = None): ScriptResult = {
+          dbExec: Option[String => Any] = None,
+          dbQuery: Option[String => (Seq[String], Seq[Seq[Any]])] = None): ScriptResult = {
     val logs = ArrayBuffer.empty[(String, String)]
     val node = new ScriptNode(initCode, mainCode, deinitCode, nowNs, params,
-      payload, isSource, (lvl, msg) => logs += ((lvl, msg)), dbExec)
+      payload, isSource, (lvl, msg) => logs += ((lvl, msg)), dbExec, dbQuery)
     if (isSource) node.runOnce()
     else records.foreach { case (k, vs, vars) => node.feed(k, vs, vars) }
     node.finish()

@@ -1054,6 +1054,14 @@ object Compiler {
   }
 
   // ---------------- SCRIPT ----------------
+  /** `$.db().query(sql)` in driver-side SCRIPT: columns + rows via the
+    * query door; values converted to JS types. */
+  private def scriptDbQuery(spark: SparkSession)(sql: String): (Seq[String], Seq[Seq[Any]]) = {
+    val df = graft.server.QueryDoor.execute(spark, sql)
+    (df.columns.toSeq,
+      df.collect().toSeq.map(_.toSeq.map(graft.script.ScriptOps.toJs)))
+  }
+
   /** `$.db().exec(sql)` in driver-side SCRIPT: route through the query
     * door; failures come back as JS Error objects (the create-tqlbin
     * fixture checks `ret instanceof Error` — tql_test.go:756-775). */
@@ -1088,7 +1096,7 @@ object Compiler {
     val (i, m, d) = scriptBlocks(args)
     val res = graft.script.ScriptOps.run(Iterator.empty, isSource = true,
       i, m, d, currentNowNs.get, currentParams.get, paramFirst("payload"),
-      Some(scriptDbExec(spark)))
+      Some(scriptDbExec(spark)), Some(scriptDbQuery(spark)))
     res.logs.foreach { case (lvl, msg) => TqlLog.log(lvl, msg) }
     buildScriptPipe(spark, res, upstreamEnv = None)
   }
@@ -1126,7 +1134,7 @@ object Compiler {
     }
     val res = graft.script.ScriptOps.run(records, isSource = false,
       i, m, d, currentNowNs.get, currentParams.get, None,
-      Some(scriptDbExec(spark)))
+      Some(scriptDbExec(spark)), Some(scriptDbQuery(spark)))
     res.logs.foreach { case (lvl, msg) => TqlLog.log(lvl, msg) }
     // envelope: $.result wins; else the reference keeps the INPUT node's
     // column metadata even when yield arity differs (fm_script_test.go:74+)

@@ -240,6 +240,20 @@ class TqlSqlSpec extends SparkSpec {
     assert(b64 == "NAME,VALUE\nbin1,AQIDBAUGBwgJCg==\n", b64)
   }
 
+  test("$.db().query(): yield() and forEach() over tag rows") {
+    graft.server.TagTables.dropAll(spark)
+    insertWideRow()
+    val out = Tql.run(spark,
+      """SCRIPT({
+        |  rows = $.db().query("select NAME, VALUE from tag_data where name = 'sql_test'");
+        |  rows.yield();
+        |  rows.forEach((r) => { $.yield(r[0] + "-again", r[1] * 2); });
+        |})
+        |CSV()
+        |""".stripMargin)
+    assert(out == "sql_test,3.142\nsql_test-again,6.284\n", out)
+  }
+
   test("CSV_payload_MAPVALUE_MARKDOWN_TEMPLATE (tql_test.go:1056-1085)") {
     val payload = Seq(
       "NAME,TIME,VALUE,BOOL",
