@@ -34,30 +34,50 @@ object Dedup {
     * same join-shape, fewer rounds. */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
                           dstCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    // materialize the (possibly expensive) edge producer ONCE — every
+    // propagation round reads it twice otherwise
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist()
+    sym.count()
+    // localCheckpoint (not persist): each round's plan embeds two copies
+    // of the previous round's — without lineage truncation the logical
+    // plan grows 2^rounds and the DRIVER dies in the optimizer long
+    // before any data pressure
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
-      .persist()
-    labels.count()
+      .localCheckpoint()
+    def propagate(l: DataFrame): DataFrame = {
+      val nbrMin = sym
+        .join(l.select(col("v").as("dst2"), col("label").as("nlabel")),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("v")).agg(min("nlabel").as("nmin"))
+      l.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    }
+    // pointer-jumping: label(v) ← label(label(v)) — labels are always
+    // vertex ids, so the mapping composes with itself and distances halve
+    // geometrically (O(log diameter) rounds on chains)
+    def jump(l: DataFrame): DataFrame =
+      l.select(col("v"), col("label").as("mid"))
+        .join(l.select(col("v").as("mid"), col("label")), Seq("mid"))
+        .select("v", "label")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("v", "dst2").withColumnRenamed("label", "nlabel"),
-          col("dst") === col("dst2"))
-        .groupBy(col("src").as("v")).agg(min("nlabel").as("nmin"))
-      val next = labels.join(nbrMin, Seq("v"), "left")
-        .select(col("v"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("v"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      // propagate twice then jump, one materialization per round; carry
+      // the previous label so convergence is a filter, not another join
+      val stepped = jump(propagate(propagate(labels)))
+      val next = labels.select(col("v"), col("label").as("old"))
+        .join(stepped, Seq("v"))
+        .localCheckpoint()
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("v", "label")
       converged = changed == 0
       i += 1
     }
+    sym.unpersist()
     labels.select(col("v"), col("label").as("cluster"))
   }
 
