@@ -93,11 +93,17 @@ object Compiler {
     val prevNow = currentNowNs.get
     currentParams.set(params)
     currentNowNs.set(nowNs)
+    // #pragma log-level=<lvl> gates the task log (TestPragma)
+    "(?im)^\\s*#pragma\\s+log-level\\s*=\\s*(\\w+)".r.findFirstMatchIn(script)
+      .foreach(m => TqlLog.setLevel(m.group(1)))
     try {
       val pipe0 = compileSource(spark, src, needKey, nowNs)
       val piped = maps.foldLeft(pipe0)((p, st) => compileMap(p, st))
       Compiled(piped, compileSink(sinkStmt))
-    } finally { currentParams.set(prevParams); currentNowNs.set(prevNow) }
+    } finally {
+      currentParams.set(prevParams); currentNowNs.set(prevNow)
+      TqlLog.resetLevel()
+    }
   }
 
   /** Auto-register the machbase fixture tables when a query names them —

@@ -10,8 +10,19 @@ object TqlLog {
   private val buf = new ThreadLocal[Option[ArrayBuffer[String]]] {
     override def initialValue(): Option[ArrayBuffer[String]] = None
   }
+  private val levels = Seq("DEBUG", "INFO", "WARN", "ERROR")
+  private val threshold = new ThreadLocal[Int] {
+    override def initialValue(): Int = 0 // DEBUG
+  }
+
+  /** `#pragma log-level=warn` (task_test.go TestPragma): lines below the
+    * threshold are dropped. */
+  def setLevel(level: String): Unit =
+    threshold.set(math.max(0, levels.indexOf(level.toUpperCase)))
+  def resetLevel(): Unit = threshold.remove()
 
   def log(level: String, msg: String): Unit = {
+    if (levels.indexOf(level.toUpperCase) < threshold.get) return
     val line = s"[$level] $msg"
     buf.get.foreach(_ += line)
     Console.err.println(line)

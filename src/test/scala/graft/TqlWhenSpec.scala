@@ -81,6 +81,20 @@ class TqlWhenSpec extends SparkSpec {
     assert(logs2.contains("[INFO] MSG test 1 hi"), logs2)
   }
 
+  test("pragma log-level=warn suppresses INFO console output (tql_test.go:2744-2767)") {
+    val (out, logs) = TqlLog.capture {
+      Tql.run(spark,
+        """#pragma log-level=warn
+          |FAKE( linspace(1, 5, 5))
+          |SCRIPT("js", { console.log("-", $.values[0]); $.yield($.values[0]) })
+          |JSON()
+          |""".stripMargin)
+    }
+    assert(out.contains(""""success":true"""), out)
+    assert(out.contains(""""rows":[[1],[2],[3],[4],[5]]"""), out)
+    assert(logs.isEmpty, logs)
+  }
+
   test("SCRIPT console output is captured in the task log (fm_script_test.go:18-33)") {
     val (_, logs) = TqlLog.capture {
       Tql.run(spark,
