@@ -593,6 +593,29 @@ object Compiler {
       case Call("linspace50", List(Num(a), Num(b))) =>
         // linspace with the reference's default sample count (fm_fake.go:328)
         keyed(Fake.linspace(spark, a, b, 50), Seq("x"))
+      case Call("statz", Num(_) :: keyEs) =>
+        // FAKE(statz(interval, 'key'…)): server-metrics timeseries — one
+        // row per sample time, one column per key (tql_test.go:1865-1881)
+        val keys = keyEs.collect { case Str(k) => k }
+        require(keys.nonEmpty, "statz needs at least one metric key")
+        val perKey = keys.map(k => k -> graft.server.Metrics.timeseries(k).toMap)
+        val times = perKey.flatMap(_._2.keys).distinct.sorted
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("time",
+            org.apache.spark.sql.types.TimestampType) +:
+          keys.map(k => org.apache.spark.sql.types.StructField(k,
+            org.apache.spark.sql.types.DoubleType)))
+        val data: java.util.List[org.apache.spark.sql.Row] =
+          scala.jdk.CollectionConverters.SeqHasAsJava(times.map { t =>
+            val ts = new java.sql.Timestamp(Math.floorDiv(t, 1000000L))
+            ts.setNanos(Math.floorMod(t, 1000000000L).toInt)
+            org.apache.spark.sql.Row.fromSeq(
+              (ts: Any) +: perKey.map { case (_, m) =>
+                m.get(t).map(Double.box).orNull
+              })
+          }).asJava
+        keyed(spark.createDataFrame(data, schema), "time" +: keys)
+
       case Call("once", List(Num(n))) =>
         // FAKE(once(v)): a single record carrying v (fm_fake.go doOnce) —
         // drives one execution of a statement sink (SQL_FLUSH case)
@@ -1289,8 +1312,18 @@ object Compiler {
           case "/" => a / b
           case "%" => pmod(a, b)
           case "**" => pow(a, b)
-          case "==" => a === b
-          case "!=" => a =!= b
+          // NULL comparisons have IS [NOT] NULL semantics in TQL
+          // (FILTER(value(1) != NULL), tql_test.go FAKE_statz)
+          case "==" => (l, r) match {
+            case (Null, _) => b.isNull
+            case (_, Null) => a.isNull
+            case _ => a === b
+          }
+          case "!=" => (l, r) match {
+            case (Null, _) => b.isNotNull
+            case (_, Null) => a.isNotNull
+            case _ => a =!= b
+          }
           case ">" => a > b
           case ">=" => a >= b
           case "<" => a < b

@@ -281,6 +281,21 @@ class TqlSqlSpec extends SparkSpec {
     assert(out.contains("--------"), out)
   }
 
+  test("FAKE_statz: metrics timeseries with NULL-aware FILTER (tql_test.go:1829-1888)") {
+    graft.server.Metrics.clear()
+    graft.server.Metrics.send("cpu:usage", 1d, 1718093662000000000L)
+    graft.server.Metrics.send("cpu:usage", 2d, 1718093663000000000L)
+    val out = Tql.run(spark,
+      """FAKE( statz(0, 'cpu:usage') )
+        |FILTER( value(1) != NULL )
+        |CSV(timeformat('15:04:05'), heading(true), precision(0))
+        |""".stripMargin)
+    val lines = out.split("\n")
+    assert(lines(0) == "time,cpu:usage", out)
+    assert(lines(1).matches("[0-9]{2}:[0-9]{2}:[0-9]{2},1"), out)
+    assert(lines(2).matches("[0-9]{2}:[0-9]{2}:[0-9]{2},2"), out)
+  }
+
   test("SQL_ndjson: one object with formatted values") {
     freshRow()
     val out = Tql.run(spark,
