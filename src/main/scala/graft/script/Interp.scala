@@ -657,6 +657,15 @@ final class Interpreter(val host: Interp.Host) {
     case JsUndefined | null =>
       throwErr("TypeError", s"Cannot read property '$name' of ${display(obj)}")
     case c: Callable => name match {
+      // constructor statics (Number.isInteger, Number.MAX_SAFE_INTEGER, …)
+      // live on a companion "<Name>Statics" object
+      case _ if global.lookup(c.name + "Statics").exists {
+        case m: mutable.LinkedHashMap[_, _] =>
+          m.asInstanceOf[JsObj].contains(name)
+        case _ => false
+      } =>
+        global.lookup(c.name + "Statics").get
+          .asInstanceOf[JsObj](name)
       case "call" => Native("call", 1, (_, args) =>
         callFunction(c, args.headOption.getOrElse(JsUndefined), args.drop(1)))
       case "apply" => Native("apply", 2, (_, args) => {

@@ -313,7 +313,12 @@ object ScriptOps {
         case other => display(other)
       }
       case TimestampType => v match {
-        case d: JsDate => new java.sql.Timestamp(d.ms.toLong)
+        case d: JsDate =>
+          // keep sub-ms precision (Spark stores µs)
+          val totalNs = math.rint(d.ms * 1e6).toLong
+          val ts = new java.sql.Timestamp(Math.floorDiv(totalNs, 1000000L))
+          ts.setNanos(Math.floorMod(totalNs, 1000000000L).toInt)
+          ts
         case other => new java.sql.Timestamp(toNum(other).toLong)
       }
       case BinaryType => v match {
@@ -346,6 +351,13 @@ object ScriptOps {
         private var idx = 0L
         private var eof = false
         private def pump(): Unit = {
+          // free already-emitted records whenever the buffer is drained —
+          // BEFORE feeding, so a 1:1 script holds O(1) rows, not the
+          // whole partition's output
+          if (emitted > 0 && emitted == node.out.size) {
+            node.out.clear()
+            emitted = 0
+          }
           while (emitted >= node.out.size && !eof) {
             if (it.hasNext) {
               val row = it.next()
@@ -356,11 +368,6 @@ object ScriptOps {
               node.finish()
               eof = true
             }
-          }
-          // free already-emitted records once the buffer fully drains
-          if (emitted > 0 && emitted == node.out.size) {
-            node.out.clear()
-            emitted = 0
           }
         }
         def hasNext: Boolean = { pump(); emitted < node.out.size }

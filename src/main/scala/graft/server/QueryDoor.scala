@@ -104,8 +104,13 @@ object QueryDoor {
         val t = spark.table(table)
         val nameC = if (t.columns.contains("NAME")) "NAME" else "name"
         val timeC = if (t.columns.contains("TIME")) "TIME" else "time"
-        val timeNs = col(timeC).cast("timestamp").cast("decimal(38,9)")
-          .*(lit(1000000000L)).cast("long")
+        val timeNs = t.schema(timeC).dataType match {
+          // epoch-ns long columns (the engine's tag layout) pass through;
+          // timestamps convert exactly via decimal seconds
+          case org.apache.spark.sql.types.LongType => col(timeC)
+          case _ => col(timeC).cast("decimal(38,9)")
+            .*(lit(1000000000L)).cast("long")
+        }
         t.groupBy(col(nameC).as("NAME"))
           .agg(count(lit(1)).as("ROW_COUNT"),
             min(timeNs).as("MIN_TIME"), max(timeNs).as("MAX_TIME"),

@@ -240,14 +240,37 @@ object TagTables {
     val t = table.toLowerCase
     ensure(spark, t)
     val data = rows.getOrElseUpdate(t, ArrayBuffer.empty[Row])
-    val nameIdx = schemaFor(t).fieldIndex("NAME")
     val before = data.size
     name match {
-      case Some(v) => data.filterInPlace(r => r.get(nameIdx) != v)
+      case Some(v) =>
+        // name filter only applies to tables that HAVE a name column
+        // (log tables don't — a filtered delete there matches nothing)
+        val nameIdx = schemaFor(t).fieldNames.indexOf("NAME")
+        if (nameIdx >= 0) data.filterInPlace(r => r.get(nameIdx) != v)
       case None => data.clear()
     }
     refresh(spark, t)
     (before - data.size).toLong
+  }
+
+  /** Bulk insert: one view refresh for the whole batch (the statement
+    * sinks loop per record — per-row refresh would be O(n^2)). */
+  def insertAll(spark: SparkSession, table: String, columns: Seq[String],
+                valueRows: Iterator[Seq[Any]]): Long = {
+    val t = table.toLowerCase
+    ensure(spark, t)
+    val schema = schemaFor(t)
+    val buf = rows.getOrElseUpdate(t, ArrayBuffer.empty[Row])
+    var n = 0L
+    valueRows.foreach { values =>
+      val byName = columns.map(_.toUpperCase).zip(values).toMap
+      buf += Row.fromSeq(schema.fields.map { fld =>
+        byName.get(fld.name.toUpperCase).map(coerce(_, fld.dataType)).orNull
+      }.toSeq)
+      n += 1
+    }
+    refresh(spark, t)
+    n
   }
 
   def dropAll(spark: SparkSession): Unit = {
@@ -268,6 +291,7 @@ object TagTables {
       ts.setNanos(Math.floorMod(ns, 1000000000L).toInt)
       ts
     case (n: java.lang.Number, DoubleType) => java.lang.Double.valueOf(n.doubleValue())
+    case (n: java.lang.Number, FloatType) => java.lang.Float.valueOf(n.floatValue())
     case (n: java.lang.Number, LongType) => java.lang.Long.valueOf(n.longValue())
     case (n: java.lang.Number, IntegerType) => java.lang.Integer.valueOf(n.intValue())
     case (n: java.lang.Number, ShortType) => java.lang.Short.valueOf(n.shortValue())

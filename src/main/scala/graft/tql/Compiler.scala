@@ -91,6 +91,7 @@ object Compiler {
     // their own params — the outer pipeline's context must survive
     val prevParams = currentParams.get
     val prevNow = currentNowNs.get
+    val prevLogLevel = TqlLog.levelIndex
     currentParams.set(params)
     currentNowNs.set(nowNs)
     // #pragma log-level=<lvl> gates the task log (TestPragma)
@@ -102,8 +103,31 @@ object Compiler {
       Compiled(piped, compileSink(sinkStmt))
     } finally {
       currentParams.set(prevParams); currentNowNs.set(prevNow)
-      TqlLog.resetLevel()
+      // restore, don't reset: WHEN sub-routines must not clobber the
+      // outer script's pragma
+      TqlLog.setLevelIndex(prevLogLevel)
     }
+  }
+
+  /** Substitute top-level '?' placeholders (outside quoted literals). */
+  private[tql] def bindPlaceholders(sql: String, lits: Seq[String]): String = {
+    val out = new StringBuilder
+    var inStr = false
+    var li = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (inStr) {
+        out.append(c)
+        if (c == '\'') inStr = false
+      } else c match {
+        case '\'' => inStr = true; out.append(c)
+        case '?' if li < lits.length => out.append(lits(li)); li += 1
+        case _ => out.append(c)
+      }
+      i += 1
+    }
+    out.toString
   }
 
   /** Auto-register the machbase fixture tables when a query names them —
@@ -147,12 +171,10 @@ object Compiler {
     val columns =
       if (spec.append) graft.server.TagTables.columnsOf(spec.table)
       else (if (spec.tag.isDefined) Seq("NAME") else Nil) ++ spec.columns
-    var n = 0L
-    c.output.toLocalIterator().forEachRemaining { row =>
-      val values = spec.tag.map(t => (t: Any)).toSeq ++ row.toSeq
-      graft.server.TagTables.insert(spark, spec.table, columns, values)
-      n += 1
-    }
+    import scala.jdk.CollectionConverters._
+    val n = graft.server.TagTables.insertAll(spark, spec.table, columns,
+      c.output.toLocalIterator().asScala.map(row =>
+        spec.tag.map(t => (t: Any)).toSeq ++ row.toSeq))
     val msg =
       if (spec.append) s"append $n rows (success $n, fail 0)"
       else if (n == 1) "a row inserted." else s"$n rows inserted."
@@ -175,19 +197,18 @@ object Compiler {
           case InsertRe(t, cols) => (t, cols.split(",").map(_.trim).toSeq)
           case _ => throw new IllegalArgumentException(s"unsupported insert: $sql")
         }
-        var n = 0L
-        c.output.toLocalIterator().forEachRemaining { row =>
-          val binds = bindExprs.map {
+        import scala.jdk.CollectionConverters._
+        val valueRows = c.output.toLocalIterator().asScala.map { row =>
+          bindExprs.map {
             case Expr.Call("value", List(Expr.Num(i))) => row.get(i.toInt)
             case Expr.Call("value", Nil) => row.get(0)
             case Expr.Str(v) => v
             case Expr.Num(v) => if (v == math.rint(v)) Long.box(v.toLong) else Double.box(v)
             case Expr.Bool(b) => Boolean.box(b)
             case other => throw new IllegalArgumentException(s"unsupported bind: $other")
-          }
-          graft.server.TagTables.insert(spark, table, columns, binds)
-          n += 1
+          }: Seq[Any]
         }
+        val n = graft.server.TagTables.insertAll(spark, table, columns, valueRows)
         envelope(if (n == 1) "a row inserted." else s"$n rows inserted.")
       case s if s.startsWith("exec") =>
         c.output.count() // drive the pipeline once, like the reference
@@ -218,16 +239,15 @@ object Compiler {
         // machbase catalog shapes (SELECT passes straight to spark.sql)
         keyed(graft.server.QueryDoor.execute(spark, sql))
       case Call("SQL", Str(sql) :: binds) if binds.nonEmpty =>
-        // '?' placeholder binding with constant args (fm_dbsrc.go SQL src)
-        val bound = binds.foldLeft(sql) { (acc, b) =>
-          val litStr = b match {
-            case Str(v) => "'" + v.replace("'", "''") + "'"
-            case Num(v) => if (v == math.rint(v)) v.toLong.toString else v.toString
-            case Bool(v) => v.toString
-            case other => throw new IllegalArgumentException(s"unsupported SQL bind: $other")
-          }
-          acc.replaceFirst("\\?", java.util.regex.Matcher.quoteReplacement(litStr))
+        // '?' placeholder binding with constant args (fm_dbsrc.go SQL
+        // src); placeholders inside quoted literals don't count
+        val lits = binds.map {
+          case Str(v) => "'" + v.replace("'", "''") + "'"
+          case Num(v) => if (v == math.rint(v)) v.toLong.toString else v.toString
+          case Bool(v) => v.toString
+          case other => throw new IllegalArgumentException(s"unsupported SQL bind: $other")
         }
+        val bound = bindPlaceholders(sql, lits)
         ensureTagTables(spark, bound)
         keyed(spark.sql(bound))
       case Call("SQL_SELECT", args) =>

@@ -19,7 +19,8 @@ object TqlLog {
     * threshold are dropped. */
   def setLevel(level: String): Unit =
     threshold.set(math.max(0, levels.indexOf(level.toUpperCase)))
-  def resetLevel(): Unit = threshold.remove()
+  def levelIndex: Int = threshold.get
+  def setLevelIndex(i: Int): Unit = threshold.set(i)
 
   def log(level: String, msg: String): Unit = {
     if (levels.indexOf(level.toUpperCase) < threshold.get) return

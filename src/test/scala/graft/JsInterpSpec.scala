@@ -281,6 +281,17 @@ class JsInterpSpec extends AnyFunSuite {
     assert(math.abs(hz - 10.0) < 1.6, s"peak at $hz Hz")
   }
 
+  test("Number statics are reachable on Number itself") {
+    assert(evalJs("Number.isInteger(4)") == true)
+    assert(evalJs("Number.isInteger(4.5)") == false)
+    assert(evalJs("Number.MAX_SAFE_INTEGER") == 9007199254740991L)
+    assert(evalJs("Number('2.5')") == 2.5) // still callable
+  }
+
+  test("NUL string escape is a real NUL") {
+    assert(evalJs(""" 'a\0b'.charCodeAt(1) """) == 0L)
+  }
+
   test("console.log capture") {
     val logs = ArrayBuffer.empty[(String, String)]
     val res = ScriptOps.run(Iterator.empty, isSource = true,

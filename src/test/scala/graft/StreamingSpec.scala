@@ -39,14 +39,14 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(dir).schema
     val handle = Watch.tailEvents(spark, dir, schema, ck)
     try {
-      // initial content arrives as the first event
-      val first = handle.events.next()
-      assert(first.map(_.getString(0)).toSet == Set("t1"))
-      // live append → next event carries only the new rows
+      // batching depends on trigger timing under load — drain events until
+      // all appended rows arrived; each row must arrive exactly once
+      val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+      seen ++= handle.events.next().map(_.getString(0))
       Seq(("t2", 2L, 2.0), ("t3", 3L, 3.0)).toDF("name", "time", "value")
         .write.mode("append").parquet(dir)
-      val second = handle.events.next()
-      assert(second.map(_.getString(0)).toSet == Set("t2", "t3"))
+      while (seen.size < 3) seen ++= handle.events.next().map(_.getString(0))
+      assert(seen.sorted == Seq("t1", "t2", "t3"), seen)
     } finally handle.stop()
   }
 
