@@ -69,6 +69,20 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- end-to-end curation: drop near-dups (keep cluster canonical),
+    // ---- quality-filter, count per language -- the training-data shape
+    "q_pipeline_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs, blockCol = "source", threshold = 0.1))
+      docs.join(clusters.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+        .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+        .filter(TextOps.wsTokenCount(col("text")) >= 30)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
     // ---- MinHash + LSH near-dup (no SQL oracle — rows-only) -----------
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), numHashes = 32, bands = 8,
@@ -198,6 +212,31 @@ object TextPipeline {
                FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id)
          SELECT doc_a, doc_b, floor((j)*10000.0 + 0.5)/10000.0 AS jaccard FROM p
          WHERE j >= 0.3 ORDER BY doc_a, doc_b""",
+    "q_pipeline_curate" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, source, string_split(text,' ') AS sp FROM documents),
+         b AS (SELECT doc_id, source,
+                 list_distinct(list_transform(generate_series(1, len(sp)-1),
+                   i -> sp[i] || ' ' || sp[i+1])) AS bg
+               FROM w WHERE len(sp) >= 2),
+         p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+               FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+               WHERE CAST(len(list_intersect(a.bg, c.bg)) AS DOUBLE) /
+                 (len(a.bg) + len(c.bg) - len(list_intersect(a.bg, c.bg))) >= 0.1),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         verts AS (SELECT DISTINCT src AS v FROM e),
+         reach(v, r) AS (
+           SELECT v, v FROM verts
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.v
+         ),
+         clusters AS (SELECT v, min(r) AS cluster FROM reach GROUP BY v)
+         SELECT lang, count(*) AS n_docs
+         FROM documents d LEFT JOIN clusters c ON d.doc_id = c.v
+         WHERE (c.cluster IS NULL OR c.cluster = d.doc_id)
+           AND len(string_split(d.text, ' ')) >= 30
+         GROUP BY 1 ORDER BY 1""",
     "q_dedup_cluster" ->
       """WITH RECURSIVE
          w AS (SELECT doc_id, source, string_split(text,' ') AS sp FROM documents),
