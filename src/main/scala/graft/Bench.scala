@@ -59,8 +59,10 @@ object Bench {
       try {
         val plan = lastDf.queryExecution.executedPlan.toString()
           .split("== Initial Plan ==")(0) // AQE echoes the pre-adaptive plan below
-        shuffles += "Exchange".r.findAllMatchIn(plan).length
-        broadcasts += "BroadcastExchange".r.findAllMatchIn(plan).length
+        val nEx = "Exchange".r.findAllMatchIn(plan).length
+        val nBc = "BroadcastExchange".r.findAllMatchIn(plan).length
+        shuffles += nEx - nBc // "Exchange" also matches inside "BroadcastExchange"
+        broadcasts += nBc
         codegenSpans += "\\*\\(\\d+\\)".r.findAllMatchIn(plan)
           .map(_.matched).toSet.size
       } catch { case _: Throwable => }

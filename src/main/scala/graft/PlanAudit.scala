@@ -29,8 +29,9 @@ object PlanAudit {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(formatted).toList
       val readSchema = "ReadSchema: [^\\n]+".r.findAllIn(formatted).toList
-      val nShuffles = "Exchange".r.findAllMatchIn(plan).length
       val nBroadcast = "BroadcastExchange".r.findAllMatchIn(plan).length
+      // "Exchange" also matches inside every "BroadcastExchange" — subtract
+      val nShuffles = "Exchange".r.findAllMatchIn(plan).length - nBroadcast
       val wsc = "\\*\\(\\d+\\)".r.findAllMatchIn(plan).map(_.matched).toSet.size
       println(s"=== $name ===")
       println(s"  shuffles=$nShuffles broadcasts=$nBroadcast codegenSpans=$wsc")

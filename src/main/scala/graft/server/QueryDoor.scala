@@ -46,14 +46,19 @@ object QueryDoor {
         val s = sql.trim
         val lower = s.toLowerCase
         val DeleteRe =
-          "(?is)^\\s*delete\\s+from\\s+(\\w+)(?:\\s+where\\s+name\\s*=\\s*'([^']*)')?\\s*$".r
+          "(?is)^\\s*delete\\s+from\\s+(\\w+)(?:\\s+where\\s+(.*?))?\\s*$".r
+        val NameEqRe = "(?is)^name\\s*=\\s*'([^']*)'$".r
         s match {
           case _ if lower.startsWith("exec ") || lower.startsWith("exec(") =>
             // EXEC table_flush(…) etc — engine procedures are no-ops here
             Seq("executed.").toDF("MESSAGE")
-          case DeleteRe(table, name)
+          case DeleteRe(table, where)
             if TagTables.descriptorFor(table).isDefined =>
-            val n = TagTables.delete(spark, table, Option(name))
+            val n = Option(where) match {
+              case None => TagTables.delete(spark, table, None)
+              case Some(NameEqRe(nm)) => TagTables.delete(spark, table, Some(nm))
+              case Some(pred) => TagTables.deleteWhere(spark, table, pred)
+            }
             Seq(if (n == 1) "a row deleted." else s"$n rows deleted.").toDF("MESSAGE")
           case _ if lower.startsWith("create tag table") =>
             TagTables.createTagTable(spark, s)

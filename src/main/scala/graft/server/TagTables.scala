@@ -253,6 +253,44 @@ object TagTables {
     (before - data.size).toLong
   }
 
+  /** DELETE … WHERE <arbitrary predicate>: evaluate the predicate with
+    * Spark over the buffered rows (the reference allows e.g.
+    * `time < to_date(...)` — fm_dbsink.go DELETE passthrough) and keep
+    * the non-matching rows. Fixture tables are session-local and small,
+    * so a driver-side replace is the right cost model here. */
+  def deleteWhere(spark: SparkSession, table: String, whereSql: String): Long = {
+    val t = table.toLowerCase
+    ensure(spark, t)
+    val data = rows.getOrElseUpdate(t, ArrayBuffer.empty[Row])
+    val before = data.size
+    val schema = schemaFor(t)
+    val idxSchema = StructType(schema.fields :+
+      StructField("__idx", LongType, nullable = false))
+    val idxRows = data.toSeq.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i.toLong) }
+    val df = spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(idxRows).asJava), idxSchema)
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, unix_micros, col}
+    // DELETE removes rows where the predicate is TRUE; NULL keeps the row
+    def keepIdxOf(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.filter(!coalesce(expr(whereSql).cast("boolean"), lit(false)))
+        .select("__idx").collect().map(_.getLong(0)).toSet
+    // machbase compares datetime columns as epoch-ns numbers (`time <
+    // 1700…e18`); evaluate on an epoch-ns view first, fall back to raw
+    // timestamps for date-literal predicates.
+    val nsView = schema.fields.foldLeft(df) { (d, fld) =>
+      if (fld.dataType == TimestampType)
+        d.withColumn(fld.name, unix_micros(col(fld.name)) * 1000L)
+      else d
+    }
+    val keepIdx = scala.util.Try(keepIdxOf(nsView)).getOrElse(keepIdxOf(df))
+    val kept = data.zipWithIndex.collect { case (r, i) if keepIdx(i.toLong) => r }
+    data.clear()
+    data ++= kept
+    refresh(spark, t)
+    (before - data.size).toLong
+  }
+
   /** Bulk insert: one view refresh for the whole batch (the statement
     * sinks loop per record — per-row refresh would be O(n^2)). */
   def insertAll(spark: SparkSession, table: String, columns: Seq[String],

@@ -53,11 +53,13 @@ object Ivf {
     try {
       var head = e.orderBy("id").limit(k).select("v")
         .collect().map(_.getSeq[Double](0).toArray)
-      if (head.length < k) {
+      if (head.length < k && sampleInv > 1) {
         // sample too small for k seeds — train on everything
         e.unpersist()
         return train(corpus, k, iters, idCol, vecCol, sampleInv = 1)
       }
+      // corpus itself smaller than k: degrade to head.length centroids
+      require(head.nonEmpty, s"Ivf.train: empty corpus, cannot seed $k centroids")
       var centroids = head
       var it = 0
       while (it < iters) {

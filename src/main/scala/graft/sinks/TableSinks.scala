@@ -36,7 +36,7 @@ object TableSinks {
     val (laid, partCols) =
       if (partitionByDay)
         (bucketed.withColumn("__day",
-          to_date(timestamp_micros((col(timeCol) / 1000L).cast("long")))),
+          to_date(timestamp_micros(graft.time.TimeFns.nsToUs(col(timeCol))))),
          Seq("__day", "__name_bucket"))
       else (bucketed, Seq("__name_bucket"))
     laid.repartition(partCols.map(col): _*)

@@ -27,6 +27,12 @@ class IvfChartSpec extends SparkSpec {
       .select("count").as[Long].collect().forall(_ == 5))
   }
 
+  test("IVF: corpus smaller than k degrades to fewer centroids (no recursion)") {
+    val tiny = spark.read.parquet(s"$sf/embeddings.parquet").limit(3)
+    val idx = Ivf.train(tiny, k = 8, iters = 2)
+    assert(idx.centroids.length >= 1 && idx.centroids.length <= 3)
+  }
+
   test("chart spec emits ECharts option JSON") {
     val df = Seq((1, 10.0, 100.0), (2, 20.0, 200.0)).toDF("x", "a", "b")
     val spec = ChartSpec.chart(df, "line", "demo")

@@ -126,6 +126,23 @@ class TqlSqlSpec extends SparkSpec {
     assert(del == "|MESSAGE|\n|:-----|\n|3 rows deleted.|\n", del)
   }
 
+  test("DELETE with arbitrary WHERE predicate (time-based, machbase form)") {
+    graft.server.TagTables.dropAll(spark)
+    val out = Tql.run(spark,
+      """FAKE( linspace(0, 1, 3) )
+        |PUSHVALUE(0, timeAdd('now', value(0)*2000000000))
+        |INSERT('TIME', 'VALUE', table('tag_simple'), tag('signal.t'))
+        |""".stripMargin, 1700000000000000000L)
+    assert(out.contains(""""data":{"message":"3 rows inserted."}"""), out)
+    // delete the first two samples by time bound (now, now+1s); third stays
+    val del = Tql.run(spark,
+      "SQL(\"delete from tag_simple where time < 1700000002000000000\")\nMARKDOWN()\n")
+    assert(del == "|MESSAGE|\n|:-----|\n|2 rows deleted.|\n", del)
+    val left = Tql.run(spark,
+      "SQL(\"select name, time from tag_simple\")\nCSV(timeformat('ns'))\n")
+    assert(left == "signal.t,1700000002000000000\n", left)
+  }
+
   test("FAKE_APPEND: full-schema append (tql_test.go:550-579)") {
     graft.server.TagTables.dropAll(spark)
     val out = Tql.run(spark,
