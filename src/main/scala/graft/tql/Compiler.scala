@@ -30,7 +30,10 @@ object Compiler {
                   sqlExec: Option[(String, List[Expr])] = None,
                   /** INSERT(cols…, table(t)[, tag(n)]) / APPEND(table(t))
                     * statement sinks (fm_dbsink.go:38-253) */
-                  tableIns: Option[TableInsert] = None)
+                  tableIns: Option[TableInsert] = None,
+                  /** CHART/GEOMAP spec sinks — sink options kept as raw
+                    * AST calls, applied at render time */
+                  chartArgs: Option[List[Expr]] = None)
 
   case class TableInsert(append: Boolean, table: String, tag: Option[String],
                          columns: Seq[String])
@@ -154,6 +157,7 @@ object Compiler {
   def renderCompiled(c: Compiled): String = {
     if (c.sink.format == "SQLEXEC") return runSqlSink(c)
     if (c.sink.format == "TABLEINS") return runTableSink(c)
+    if (c.sink.chartArgs.isDefined) return ChartRender.run(c)
     val o = c.pipe.envelope match {
       case Some((cols, types)) =>
         c.sink.options.copy(colsOverride = Some(cols), typesOverride = Some(types))
@@ -1249,6 +1253,11 @@ object Compiler {
         throw new IllegalArgumentException(s"SQL sink needs a statement: ${st.text}"))
       return Sink("SQLEXEC", graft.sinks.Codecs.Options(),
         Some((sql, st.call.args.drop(1))))
+    }
+    if (fmt == "CHART" || fmt == "GEOMAP" || fmt.startsWith("CHART_")) {
+      // presentation spec sinks (mods/codec/internal/chart, geomap);
+      // options applied when rendering
+      return Sink(fmt, graft.sinks.Codecs.Options(), chartArgs = Some(st.call.args))
     }
     if (fmt == "INSERT" || fmt == "APPEND") {
       // INSERT('c1','c2',…, table('t') [, tag('name')]) / APPEND(table('t'))

@@ -33,6 +33,53 @@ class IvfChartSpec extends SparkSpec {
     assert(idx.centroids.length >= 1 && idx.centroids.length <= 3)
   }
 
+  test("TQL CHART() sink: JSON envelope + column-data js asset (http_query_test.go:1003-1011)") {
+    val out = graft.tql.Tql.run(spark,
+      """FAKE( linspace(0, 360, 5) )
+        |MAPVALUE(1, sin((value(0)/180)*PI))
+        |CHART( chartID('TesTCharTiD'), theme('dark'), size('500px', '400px'),
+        |       chartOption('{"xAxis":{"data":column(0)},"series":[{"type":"line","data":column(1)}]}') )
+        |""".stripMargin)
+    assert(out.contains("\"chartID\":\"TesTCharTiD\""), out)
+    assert(out.contains("\"jsAssets\""), out)
+    assert(out.contains("\"jsCodeAssets\""), out)
+    assert(out.contains("/web/echarts/themes/dark.js"), out)
+    val js = graft.tql.ChartRender.lastAssets.files
+      .get("/web/api/tql-assets/TesTCharTiD.js")
+    assert(js.isDefined)
+    assert(js.get.contains("const _column_0=[0,90,180,270,360];"), js.get)
+    assert(js.get.contains("echarts.init(document.getElementById(_chartID), \"dark\")"), js.get)
+  }
+
+  test("TQL CHART_LINE compat sink builds option from columns") {
+    val out = graft.tql.Tql.run(spark,
+      """FAKE( linspace(0, 2, 3) )
+        |MAPVALUE(1, value(0) * 10)
+        |CHART_LINE( chartId('CompatId01'), xAxis(0, 'x'), yAxis(1, 'y'),
+        |            seriesLabels('tens') )
+        |""".stripMargin)
+    assert(out.contains("\"chartID\":\"CompatId01\""), out)
+    val js = graft.tql.ChartRender.lastAssets.files
+      .get("/web/api/tql-assets/CompatId01.js").getOrElse("")
+    assert(js.contains("\"series\":["), js)
+    assert(js.contains("\"data\":[[0,0],[1,10],[2,20]]"), js)
+    assert(js.contains("\"name\":\"tens\""), js)
+  }
+
+  test("TQL GEOMAP sink renders layer js from map rows") {
+    val out = graft.tql.Tql.run(spark,
+      """FAKE( linspace(0, 1, 2) )
+        |MAPVALUE(0, '{"type":"marker","coordinates":[' + (37.5 + value(0)) + ',127.0]}')
+        |GEOMAP( geomapID('GeoTesT01') )
+        |""".stripMargin)
+    assert(out.contains("\"geomapID\":\"GeoTesT01\""), out)
+    val js = graft.tql.ChartRender.lastAssets.files
+      .get("/web/api/tql-assets/GeoTesT01.js").getOrElse("")
+    assert(js.contains("L.marker([37.5,127],{}).addTo(map)"), js)
+    assert(js.contains("L.marker([38.5,127],{}).addTo(map)"), js)
+    assert(js.contains("opt.initBounds = [[37.5,127],[38.5,127]];"), js)
+  }
+
   test("chart spec emits ECharts option JSON") {
     val df = Seq((1, 10.0, 100.0), (2, 20.0, 200.0)).toDF("x", "a", "b")
     val spec = ChartSpec.chart(df, "line", "demo")
