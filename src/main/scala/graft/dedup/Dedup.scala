@@ -33,13 +33,56 @@ object Dedup {
     * step for the large-star/small-star rounds (Kiveris et al. 2014) —
     * same join-shape, fewer rounds. */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
-                          dstCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+                          dstCol: String = "doc_b", maxIter: Int = 20,
+                          /** ≤ this many (symmetric) edges → driver
+                            * union-find instead of iterative rounds */
+                          driverMaxEdges: Long = 2000000L): DataFrame = {
     // materialize the (possibly expensive) edge producer ONCE — every
     // propagation round reads it twice otherwise
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .persist()
-    sym.count()
+    val nEdges = sym.count()
+    // Similarity graphs shrink drastically after thresholding: when the
+    // edge set fits on the driver, path-compressed union-find beats any
+    // number of distributed rounds (each round costs 2 joins + an agg of
+    // scheduling latency). The distributed path below remains the
+    // 100 TB-scale route for billions of edges.
+    if (nEdges <= driverMaxEdges) {
+      val spark = edges.sparkSession
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      val verts = new java.util.TreeSet[java.lang.Long]()
+      sym.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          verts.add(a); verts.add(b)
+          val (ra, rb) = (find(a), find(b))
+          // min-root union keeps the reference label = min vertex id,
+          // matching the propagation fixpoint exactly
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+      sym.unpersist()
+      import scala.jdk.CollectionConverters._
+      val rows = verts.asScala.toSeq.map(v =>
+        org.apache.spark.sql.Row(v.longValue, find(v)))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     // localCheckpoint (not persist): each round's plan embeds two copies
     // of the previous round's — without lineage truncation the logical
     // plan grows 2^rounds and the DRIVER dies in the optimizer long
@@ -113,8 +156,11 @@ object Dedup {
     val c = b.select(col(idCol).as("doc_b"), col(blockCol).as("blk"), col("bg").as("bg_b"))
     a.join(c, Seq("blk"))
       .filter(col("doc_a") < col("doc_b"))
+      // threshold-aware kernel: size-ratio + remaining-elements early
+      // exits fire on the near-misses that dominate a blocked self-join;
+      // values emitted for passing pairs are exact (see JaccardSortedMin)
       .withColumn("jaccard",
-        graft.functions.ArrayExprs.jaccardSorted(spark, col("bg_a"), col("bg_b")))
+        graft.functions.ArrayExprs.jaccardSortedMin(spark, col("bg_a"), col("bg_b"), threshold))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -166,7 +212,7 @@ object Dedup {
       .join(bgs.select(col(idCol).as("doc_a"), col("bg").as("bg_a")), Seq("doc_a"))
       .join(bgs.select(col(idCol).as("doc_b"), col("bg").as("bg_b")), Seq("doc_b"))
       .withColumn("jaccard",
-        graft.functions.ArrayExprs.jaccardSorted(spark, col("bg_a"), col("bg_b")))
+        graft.functions.ArrayExprs.jaccardSortedMin(spark, col("bg_a"), col("bg_b"), verifyThreshold))
       .filter(col("jaccard") >= verifyThreshold)
       .select("doc_a", "doc_b", "jaccard")
   }

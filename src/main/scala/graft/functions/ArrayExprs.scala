@@ -141,6 +141,83 @@ object ArrayExprs {
       copy(left = l, right = r)
   }
 
+  /** Threshold-aware Jaccard for near-dup filtering: same merge
+    * intersection as [[JaccardSorted]] but with two early exits that are
+    * safe under a `>= threshold` filter —
+    *  1. size-ratio bound: J(A,B) ≤ min(n,m)/max(n,m), so pairs whose
+    *     lengths differ too much return 0 before touching the arrays;
+    *  2. remaining-elements bound: on each mismatch, if even matching ALL
+    *     remaining elements can't reach the threshold, bail out.
+    * The result for a pair with true Jaccard ≥ threshold is EXACT (neither
+    * exit can fire on it); sub-threshold pairs may return a smaller bound,
+    * which the downstream `>= threshold` filter drops either way. Folding
+    * the bound into the expression beats a separate size-ratio Filter:
+    * no extra predicate evaluation on passing pairs, and the loop itself
+    * quits early on the near-misses that dominate blocked self-joins. */
+  case class JaccardSortedMin(first: Expression, second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaccard_sorted_min"
+    private lazy val threshold: Double = third.eval() match {
+      case d: Double => d
+      case other => other.toString.toDouble
+    }
+    override def nullSafeEval(l: Any, r: Any, t: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val (n, m) = (a.numElements(), b.numElements())
+      val thr = threshold
+      val lo = math.min(n, m); val hi = math.max(n, m)
+      if (lo < thr * hi) return 0d
+      var i = 0; var j = 0; var inter = 0
+      while (i < n && j < m) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else {
+          if (x < y) i += 1 else j += 1
+          val interMax = inter + math.min(n - i, m - j)
+          if (interMax < thr * (n + m - interMax)) return 0d
+        }
+      }
+      val union = n + m - inter
+      if (union == 0) 0d else inter.toDouble / union
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, _) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val inter = ctx.freshName("inter"); val union = ctx.freshName("union")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        val imax = ctx.freshName("imax"); val done = ctx.freshName("done")
+        val thr = threshold
+        s"""
+        int $n = $a.numElements(); int $m = $b.numElements();
+        boolean $done = false;
+        ${ev.value} = 0.0d;
+        if (java.lang.Math.min($n, $m) < $thr * java.lang.Math.max($n, $m)) $done = true;
+        int $i = 0; int $j = 0; int $inter = 0;
+        while (!$done && $i < $n && $j < $m) {
+          long $x = $a.getLong($i); long $y = $b.getLong($j);
+          if ($x == $y) { $inter++; $i++; $j++; }
+          else {
+            if ($x < $y) $i++; else $j++;
+            int $imax = $inter + java.lang.Math.min($n - $i, $m - $j);
+            if ($imax < $thr * ($n + $m - $imax)) $done = true;
+          }
+        }
+        if (!$done) {
+          int $union = $n + $m - $inter;
+          ${ev.value} = ($union == 0) ? 0.0d : ((double) $inter) / $union;
+        }
+        """
+      })
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): JaccardSortedMin =
+      copy(first = f, second = s, third = t)
+  }
+
   /** Cosine similarity of two double arrays in one pass. Accumulation
     * order matches the composed zip_with/aggregate form (index-ascending
     * per accumulator) so oracle-checked results are bit-identical.
@@ -200,6 +277,8 @@ object ArrayExprs {
         exprs => BigramHashes(exprs.head), "built-in")
       reg.createOrReplaceTempFunction("jaccard_sorted",
         exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("jaccard_sorted_min",
+        exprs => JaccardSortedMin(exprs(0), exprs(1), exprs(2)), "built-in")
       reg.createOrReplaceTempFunction("cosine_sim",
         exprs => CosineSim(exprs(0), exprs(1)), "built-in")
       registered += spark
@@ -217,6 +296,11 @@ object ArrayExprs {
   def jaccardSorted(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("jaccard_sorted", a, b)
+  }
+  def jaccardSortedMin(spark: SparkSession, a: Column, b: Column, threshold: Double): Column = {
+    register(spark)
+    call_function("jaccard_sorted_min", a, b,
+      org.apache.spark.sql.functions.lit(threshold))
   }
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)

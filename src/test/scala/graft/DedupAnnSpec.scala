@@ -27,6 +27,42 @@ class DedupAnnSpec extends SparkSpec {
     assert(got(1)._3 == 0.0 && got(2)._3 == 0.0)
   }
 
+  test("jaccard_sorted_min agrees with jaccard_sorted at every threshold") {
+    // random sorted-distinct long arrays; the threshold-aware kernel must
+    // emit the EXACT jaccard for every pair at-or-above threshold and
+    // never let a sub-threshold pair through (early exits return bounds
+    // below the threshold by construction)
+    val rnd = new scala.util.Random(42)
+    val arrs = (0 until 40).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(30))).map(_ => rnd.nextInt(40).toLong)
+        .distinct.sorted.toArray)
+    }
+    val df = arrs.toDF("id", "arr")
+    val a = df.select(col("id").as("ia"), col("arr").as("aa"))
+    val b = df.select(col("id").as("ib"), col("arr").as("ab"))
+    val joined = a.crossJoin(b).filter(col("ia") < col("ib"))
+    for (thr <- Seq(0.0, 0.2, 0.5, 0.9)) {
+      val both = joined.select(
+        graft.functions.ArrayExprs.jaccardSorted(spark, col("aa"), col("ab")).as("exact"),
+        graft.functions.ArrayExprs.jaccardSortedMin(spark, col("aa"), col("ab"), thr).as("fast"))
+        .as[(Double, Double)].collect()
+      both.foreach { case (exact, fast) =>
+        if (exact >= thr) assert(fast == exact, s"thr=$thr")
+        else assert(fast < thr, s"thr=$thr exact=$exact fast=$fast")
+      }
+    }
+    // interpreted path (no codegen): same contract
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val ga = new GenericArrayData(Array(1L, 2L, 3L, 4L))
+    val gb = new GenericArrayData(Array(3L, 4L, 5L, 6L))
+    val e = graft.functions.ArrayExprs.JaccardSortedMin(
+      Literal.create(ga, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)),
+      Literal.create(gb, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)),
+      Literal(0.2))
+    assert(e.eval(null) == 2.0 / 6.0)
+  }
+
   test("minhash LSH finds the true near-duplicate pair") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val nearDup = base.replace("today", "tonight")
