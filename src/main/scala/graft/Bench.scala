@@ -109,7 +109,20 @@ object Bench {
     val wide1Sec = (1 to 2).map(_ =>
       writeRun(wideRows(nWide1).coalesce(1), "wide1")).min
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds keep the FINAL line compact: the driver keeps only
+    // the last ~2000 chars of stdout, so the parseable metric line (plus
+    // sbt's trailing "[success] …" line) must fit inside that tail. Full
+    // precision + planAudit go to bench_full.json and an earlier line,
+    // which the tail may truncate harmlessly.
+    def d3(v: Double): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).underlying.stripTrailingZeros.toPlainString
+    // keys lose their uniform "q_" prefix in the compact line only (full
+    // names stay in bench_full.json) — 70+ queries × 2 chars matters here
+    val qs = results.map { case (k, v) =>
+      s"\"" + k.stripPrefix("q_") + "\":" + d3(v) }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val ingest =
@@ -119,7 +132,15 @@ object Bench {
       s""""tag_data_rows_per_sec_core":${(nWide1 / wide1Sec).toLong}}"""
     val audit =
       s"""{"shuffles":$shuffles,"broadcasts":$broadcasts,"codegenSpans":$codegenSpans}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest":$ingest,"planAudit":$audit,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"ingest":$ingest,"planAudit":$audit,"sf":"$sfDir"}"""
+    try Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    // NOT printing fullLine to stdout: a partial copy of it surviving in
+    // the tail buffer could confuse a brace-matching extractor. The compact
+    // line below is the single parseable line in the tail.
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"ingest":$ingest,"sf":"$sfName"}""")
     try {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(scratch)).deleteRecursively()
