@@ -14,6 +14,10 @@ object Extra {
   private val DayUntilUs = DayFromUs + 86400L * 1000000L
   private val rollupCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val logCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** deterministic ingest lag used by q_log_tail's arrival stamps. */
+  private val ArrivalSkewNs = 5000000000L
 
   val defs: Map[String, QueryFn] = Map(
     // ---- FILTER_CHANGED(retain(dur)) ----------------------------------
@@ -133,6 +137,33 @@ object Extra {
         .orderBy("user_id", "h6_us")
     }),
 
+    // ---- log-table layout: arrival-window tail over day partitions ----
+    // Ingest path: events get an `_ARRIVAL_TIME` stamp (here a
+    // deterministic 5 s ingest skew so the oracle can reproduce it) and
+    // land in the appendLogTable day layout once per JVM; the measured
+    // query is the arrival-window scan — day-partition pruning + rowgroup
+    // skipping — which is what a 100 TB log tail actually exercises.
+    "q_log_tail" -> ((s, dir) => {
+      val rawPath = s"$dir/events.parquet"
+      val logDir = logCache.getOrElseUpdate(rawPath, {
+        val raw = t(s, dir, "events")
+        val d = java.nio.file.Files.createTempDirectory("graft_log").toString + "/l"
+        // stamp from the µs-truncated ts: DuckDB reads parquet ns
+        // timestamps at µs, so the oracle can only reproduce µs-grid
+        // arrival values
+        graft.sinks.TableSinks.appendLogTable(
+          raw.withColumn("_arrival_time",
+            graft.time.TimeFns.nsToUs(tsNs(raw)) * 1000L + lit(ArrivalSkewNs)), d)
+        d
+      })
+      val fromNs = DayFromUs * 1000L
+      val untilNs = fromNs + 3L * 86400L * 1000000000L
+      graft.sinks.TableSinks.scanLogTable(s, logDir, fromNs, untilNs)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), fround(decAvg(col("value")), 4).as("avg_value"))
+        .orderBy("event_type")
+    }),
+
     // ---- IVF ANN (coarse k-means quantizer + nprobe; rows-only) -------
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -191,6 +222,13 @@ object Extra {
          FROM events
          WHERE epoch_us(ts) >= 1704412800000000 AND epoch_us(ts) < 1704499200000000
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_log_tail" ->
+      s"""SELECT event_type, count(*) AS cnt,
+         floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value))*10000.0 + 0.5)/10000.0 AS avg_value
+         FROM events
+         WHERE epoch_us(ts)*1000 + 5000000000 >= ${DayFromUs * 1000L}
+           AND epoch_us(ts)*1000 + 5000000000 < ${DayFromUs * 1000L + 3L * 86400L * 1000000000L}
+         GROUP BY 1 ORDER BY 1""",
     "q_top_customers" ->
       """SELECT rnk, o_custkey, revenue, n_orders FROM (
            SELECT o_custkey,

@@ -34,7 +34,9 @@ object QueryDoor {
   def execute(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
     detect(sql) match {
-      case Select => spark.sql(sql)
+      case Select =>
+        Catalog.recordStatement(sql, "FETCH", 0L)
+        spark.sql(rewriteSelect(spark, sql))
       case Explain =>
         val inner = sql.trim.replaceFirst("(?i)^EXPLAIN(\\s+FULL)?", "")
         val plan = spark.sql(inner).queryExecution.explainString(
@@ -48,9 +50,20 @@ object QueryDoor {
         val DeleteRe =
           "(?is)^\\s*delete\\s+from\\s+(\\w+)(?:\\s+where\\s+(.*?))?\\s*$".r
         val NameEqRe = "(?is)^name\\s*=\\s*'([^']*)'$".r
+        Catalog.recordStatement(s, "EXECUTED", 0L)
+        val FlushRe = "(?is)^\\s*exec\\s+table_flush\\s*\\(\\s*'?(\\w+)'?\\s*\\)\\s*$".r
+        val DropRe = "(?is)^\\s*drop\\s+(?:tag\\s+|log\\s+)?table\\s+(\\w+)(?:\\s+cascade)?\\s*$".r
         s match {
+          case FlushRe(table) =>
+            // table_flush makes buffered appends visible to the stat
+            // views (SHOW TAGS value statistics are flush-gated)
+            TagTables.markFlushed(table)
+            Seq("executed.").toDF("MESSAGE")
           case _ if lower.startsWith("exec ") || lower.startsWith("exec(") =>
-            // EXEC table_flush(…) etc — engine procedures are no-ops here
+            // other engine procedures are no-ops here
+            Seq("executed.").toDF("MESSAGE")
+          case DropRe(table) if TagTables.descriptorFor(table).isDefined =>
+            TagTables.dropTable(spark, table)
             Seq("executed.").toDF("MESSAGE")
           case DeleteRe(table, where)
             if TagTables.descriptorFor(table).isDefined =>
@@ -60,9 +73,20 @@ object QueryDoor {
               case Some(pred) => TagTables.deleteWhere(spark, table, pred)
             }
             Seq(if (n == 1) "a row deleted." else s"$n rows deleted.").toDF("MESSAGE")
-          case _ if lower.startsWith("create tag table") =>
+          case _ if lower.startsWith("create tag table") ||
+            lower.startsWith("create log table") =>
             TagTables.createTagTable(spark, s)
             Seq("executed.").toDF("MESSAGE")
+          case InsertRe(table, cols, vals)
+            if TagTables.descriptorFor(table).isDefined =>
+            // literal INSERT INTO <machbase table> — the conn.Exec path
+            // (spi/testsuite/logtable.go:31, show_test.go:302-304)
+            val columns = Option(cols)
+              .map(_.split(",").map(_.trim).toSeq)
+              .getOrElse(TagTables.columnsOf(table)
+                .filterNot(_ == "_ARRIVAL_TIME"))
+            TagTables.insert(spark, table, columns, parseLiterals(vals))
+            Seq("a row inserted.").toDF("MESSAGE")
           case _ =>
             spark.sql(s)
             Seq("executed.").toDF("MESSAGE")
@@ -70,43 +94,149 @@ object QueryDoor {
     }
   }
 
-  /** SHOW TABLES / SHOW TAGS / DESC <table> — the reference's SHOW
-    * surface mapped to the Spark catalog (fm_dbsrc.go:485-693,
-    * spi/show.go). */
+  private val InsertRe =
+    ("(?is)^\\s*insert\\s+into\\s+(\\w+)\\s*(?:\\(([^)]*)\\)\\s*)?" +
+      "values\\s*\\((.*)\\)\\s*$").r
+
+  /** split a VALUES(…) literal list on commas outside quotes and coerce
+    * each token (quoted string, number, NULL). */
+  private[server] def parseLiterals(body: String): Seq[Any] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val cur = new StringBuilder
+    var inStr = false
+    var i = 0
+    def flush(): Unit = {
+      val tok = cur.toString.trim
+      cur.clear()
+      out += (
+        if (tok.equalsIgnoreCase("null")) null
+        else if (tok.startsWith("'") && tok.endsWith("'") && tok.length >= 2)
+          tok.substring(1, tok.length - 1).replace("''", "'")
+        else if (tok.matches("[+-]?\\d+")) java.lang.Long.valueOf(tok)
+        else java.lang.Double.valueOf(tok))
+    }
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        cur.append(c)
+        // '' is an escaped quote inside a machbase string literal
+        if (c == '\'' && (i + 1 >= body.length || body.charAt(i + 1) != '\'')) inStr = false
+        else if (c == '\'') { cur.append('\''); i += 1 }
+      } else if (c == '\'') { cur.append(c); inStr = true }
+      else if (c == ',') flush()
+      else cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty || out.isEmpty) flush()
+    out.toSeq
+  }
+
+  /** SELECT-path rewrites: `M$…`/`V$…` system tables become their
+    * registered views ($ is not a Spark identifier char), and SQL that
+    * names a log table's hidden `_ARRIVAL_TIME` is pointed at the
+    * arrival view that exposes it. */
+  private def rewriteSelect(spark: SparkSession, sql: String): String = {
+    var out = Catalog.rewriteSysNames(spark, sql)
+    if (out.toLowerCase.contains("_arrival_time")) {
+      TagTables.allVisibleTables.collect { case (t, "Log", _) => t }
+        .foreach { t =>
+          TagTables.ensure(spark, t)
+          out = out.replaceAll("(?i)\\b" + t + "\\b",
+            TagTables.arrivalViewName(t))
+        }
+    }
+    out
+  }
+
+  /** SHOW … — the reference's full SHOW surface mapped to the session
+    * catalog (command routing fm_dbsrc.go:485-693, shapes spi/show.go).
+    * Subcommands with hyphens (meta-tables, virtual-tables, table-usage)
+    * also accept the space-separated spelling. */
   def showCommand(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
-    val all = sql.contains("--all")
-    val words = sql.trim.replace("--all", "").trim.split("\\s+").map(_.toUpperCase)
+    val all = sql.contains("--all") || sql.matches("(?is).*\\s-a(\\s.*|$)")
+    val words = sql.trim.replace("--all", "").replaceAll("(?i)\\s-a(?=\\s|$)", "")
+      .trim.split("\\s+").map(_.toUpperCase)
     words.take(2).toList match {
+      case List("SHOW", "INFO") => Catalog.showInfo(spark)
+      case List("SHOW", "LICENSE") => Catalog.showLicense(spark)
+      case List("SHOW", "PORTS") =>
+        Catalog.showPorts(spark, words.drop(2).headOption.getOrElse(""))
+      case List("SHOW", "USERS") => Catalog.showUsers(spark)
+      case List("SHOW", "META-TABLES") => Catalog.showMetaTables(spark)
+      case List("SHOW", "META") if words.lift(2).contains("TABLES") =>
+        Catalog.showMetaTables(spark)
+      case List("SHOW", "VIRTUAL-TABLES") => Catalog.showVirtualTables(spark)
+      case List("SHOW", "VIRTUAL") if words.lift(2).contains("TABLES") =>
+        Catalog.showVirtualTables(spark)
+      case List("SHOW", "SESSIONS") => Catalog.showSessions(spark)
+      case List("SHOW", "STATEMENTS") => Catalog.showStatements(spark)
+      case List("SHOW", "INDEXES") => Catalog.showIndexes(spark)
+      case List("SHOW", "INDEX") => Catalog.showIndex(spark, words(2))
+      case List("SHOW", "STORAGE") => Catalog.showStorage(spark)
+      case List("SHOW", "TABLE-USAGE") => Catalog.showTableUsage(spark)
+      case List("SHOW", "TABLE") if words.lift(2).contains("USAGE") =>
+        Catalog.showTableUsage(spark)
+      case List("SHOW", "LSM") => Catalog.showLsm(spark)
+      case List("SHOW", "INDEXGAP") => Catalog.showIndexGap(spark)
+      case List("SHOW", "TAGINDEXGAP") => Catalog.showTagIndexGap(spark)
+      case List("SHOW", "ROLLUPGAP") => Catalog.showRollupGap(spark)
       case List("SHOW", "TABLES") =>
-        // machbase catalog shape (fm_dbsrc_test.go:262-295): the fixture
-        // tables first, then (--all) their shadow tables, then any other
-        // session views as Volatile
-        TagTables.tableTypes.keys.foreach(t => TagTables.ensure(spark, t))
-        val mach = TagTables.tableTypes.toSeq.sortBy(_._1)
-        val base = mach.zipWithIndex.map { case ((t, typ), i) =>
-          ("MACHBASEDB", "SYS", t.toUpperCase, 18 + i, typ, "")
+        // machbase catalog shape (fm_dbsrc_test.go:262-295 for the
+        // fixture tables; show_test.go:315-333 for a dynamic tag table
+        // with rollup): base tables, then (--all) their shadow tables —
+        // _DATA_0/_META (+_ROLLUP_SEC/MIN/HOUR when `with rollup`) — in
+        // name order, then other session views as Volatile
+        val mach = TagTables.allVisibleTables
+        mach.foreach { case (t, _, _) => TagTables.ensure(spark, t) }
+        val base = mach.map { case (t, typ, _) =>
+          ("MACHBASEDB", "SYS", t.toUpperCase, TagTables.tableIdOf(t), typ, "")
         }
-        val shadows = if (!all) Nil else mach.filter(_._2 == "Tag").sortBy(_._1)
-          .zipWithIndex.flatMap { case ((t, _), i) =>
-            Seq(
-              ("MACHBASEDB", "SYS", s"_${t.toUpperCase}_DATA_0", 100 + 2 * i, "KeyValue", "Data"),
-              ("MACHBASEDB", "SYS", s"_${t.toUpperCase}_META", 101 + 2 * i, "Lookup", "Meta"))
+        val shadows = if (!all) Nil else
+          mach.filter(_._2 == "Tag").sortBy(_._1).zipWithIndex.flatMap {
+            case ((t, _, hasRollup), i) =>
+              val tu = t.toUpperCase
+              // dynamic tables mimic a fresh engine's shadow IDs 1..5
+              // (show_test.go:327-332); fixtures keep their 100+ block
+              val isDyn = TagTables.dynamicTagTables.contains(t)
+              val idBase = if (isDyn) 1L else 100L + 2 * i
+              val core = Seq(
+                ("MACHBASEDB", "SYS", s"_${tu}_DATA_0", idBase, "KeyValue", "Data"),
+                ("MACHBASEDB", "SYS", s"_${tu}_META", idBase + 1, "Lookup", "Meta"))
+              val rollups = if (!hasRollup) Nil else Seq(
+                ("MACHBASEDB", "SYS", s"_${tu}_ROLLUP_SEC", idBase + 2, "KeyValue", "Rollup"),
+                ("MACHBASEDB", "SYS", s"_${tu}_ROLLUP_MIN", idBase + 3, "KeyValue", "Rollup"),
+                ("MACHBASEDB", "SYS", s"_${tu}_ROLLUP_HOUR", idBase + 4, "KeyValue", "Rollup"))
+              core ++ rollups
           }
-        val machNames = TagTables.tableTypes.keySet
+        val machNames = mach.map(_._1).toSet
         val others = spark.catalog.listTables().collect().toSeq
-          .filterNot(t => machNames(t.name.toLowerCase)).sortBy(_.name)
+          .filterNot(t => machNames(t.name.toLowerCase))
+          .filterNot(_.name.toLowerCase.endsWith("__arrival"))
+          .filterNot(_.name.toLowerCase.startsWith("sys_"))
+          .sortBy(_.name)
           .zipWithIndex.map { case (t, i) =>
-            ("MACHBASEDB", "SYS", t.name, 200 + i, "Volatile", "")
+            ("MACHBASEDB", "SYS", t.name, 200L + i, "Volatile", "")
           }
-        (base ++ shadows ++ others).toDF(
+        // ASCII name order: letters sort before '_', so every base table
+        // precedes the shadow block exactly like ListTablesWalk's output
+        (base ++ shadows).sortBy(_._3).++(others).toDF(
           "DATABASE_NAME", "USER_NAME", "TABLE_NAME", "TABLE_ID", "TABLE_TYPE", "TABLE_FLAG")
       case List("SHOW", "TAGS") =>
-        // SHOW TAGS <table>: the V$T_STAT per-tag statistics shape
-        // (tql_test.go:319-330; value stats are NULL until the engine
-        // flushes — matched verbatim)
-        val table = sql.trim.split("\\s+")(2)
-        val t = spark.table(table)
+        // SHOW TAGS <table> [tag …]: the V$T_STAT per-tag statistics
+        // shape (tql_test.go:319-330; show_test.go:454-463). Value stats
+        // stay NULL until `EXEC table_flush` — the engine only folds
+        // appends into the stat table on flush; both states are pinned
+        // by reference tests.
+        val rest = sql.trim.split("\\s+").drop(2)
+        val table = rest(0)
+        val tagFilter = rest.drop(1).toSeq
+        val flushed = TagTables.isFlushed(table)
+        val t0 = spark.table(table)
+        val t = if (tagFilter.isEmpty) t0 else {
+          val nc = if (t0.columns.contains("NAME")) "NAME" else "name"
+          t0.filter(col(nc).isin(tagFilter: _*))
+        }
         val nameC = if (t.columns.contains("NAME")) "NAME" else "name"
         val timeC = if (t.columns.contains("TIME")) "TIME" else "time"
         val timeNs = t.schema(timeC).dataType match {
@@ -116,18 +246,30 @@ object QueryDoor {
           case _ => col(timeC).cast("decimal(38,9)")
             .*(lit(1000000000L)).cast("long")
         }
-        t.groupBy(col(nameC).as("NAME"))
-          .agg(count(lit(1)).as("ROW_COUNT"),
-            min(timeNs).as("MIN_TIME"), max(timeNs).as("MAX_TIME"),
-            max(timeNs).as("RECENT_ROW_TIME"))
-          .withColumn("ID", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy("NAME")).cast("long"))
-          .select(col("ID"), col("NAME"), col("ROW_COUNT"),
-            col("MIN_TIME"), col("MAX_TIME"), col("RECENT_ROW_TIME"),
+        val hasValue = t.columns.exists(_.equalsIgnoreCase("VALUE"))
+        val valueC = if (t.columns.contains("VALUE")) "VALUE" else "value"
+        val stats =
+          if (flushed && hasValue) Seq(
+            min(col(valueC)).cast("double").as("MIN_VALUE"),
+            min_by(timeNs, col(valueC)).as("MIN_VALUE_TIME"),
+            max(col(valueC)).cast("double").as("MAX_VALUE"),
+            max_by(timeNs, col(valueC)).as("MAX_VALUE_TIME"))
+          else Seq(
             lit(null).cast("double").as("MIN_VALUE"),
             lit(null).cast("long").as("MIN_VALUE_TIME"),
             lit(null).cast("double").as("MAX_VALUE"),
             lit(null).cast("long").as("MAX_VALUE_TIME"))
+        val aggs = Seq(
+          min(timeNs).as("MIN_TIME"), max(timeNs).as("MAX_TIME"),
+          max(timeNs).as("RECENT_ROW_TIME")) ++ stats
+        t.groupBy(col(nameC).as("NAME"))
+          .agg(count(lit(1)).as("ROW_COUNT"), aggs: _*)
+          .withColumn("ID", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("NAME")).cast("long"))
+          .select(col("ID"), col("NAME"), col("ROW_COUNT"),
+            col("MIN_TIME"), col("MAX_TIME"), col("RECENT_ROW_TIME"),
+            col("MIN_VALUE"), col("MIN_VALUE_TIME"),
+            col("MAX_VALUE"), col("MAX_VALUE_TIME"))
           .orderBy("ID")
       case List("SHOW", "TABLE") =>
         machDesc(spark, words(2).toLowerCase, all, arrivalTime = true)

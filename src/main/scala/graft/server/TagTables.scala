@@ -109,9 +109,116 @@ object TagTables {
   /** user-created tag tables (`create tag table …` DDL) */
   private val dynamicSchemas = TrieMap.empty[String, StructType]
   private val dynamicDescs = TrieMap.empty[String, Seq[ColDesc]]
+  /** dynamic table bookkeeping for the catalog surface (SHOW …):
+    * creation order fixes table IDs, `with rollup` fixes shadow tables. */
+  private val dynamicOrder = ArrayBuffer.empty[String]
+  private val dynamicTypes = TrieMap.empty[String, String] // Tag | Log
+  private val rollupEnabled = TrieMap.empty[String, Boolean]
+  /** row count + wall time of the last `EXEC table_flush(t)`. The engine
+    * folds flushed data into V$*_STAT on a periodic task, NOT
+    * synchronously: tql_test.go:319-330 pins NULL value stats right
+    * after a flush, while show_test.go:454-463 (which runs a dozen other
+    * statements in between) sees them populated. statVisibleDelayMs
+    * models that fold latency. */
+  private val flushMark = TrieMap.empty[String, (Int, Long)]
+  @volatile var statVisibleDelayMs: Long = 5000L
+
+  /** injectable arrival clock (epoch ns) for log-table `_ARRIVAL_TIME`
+    * stamping — tests pin it like the reference pins its clock. */
+  @volatile var arrivalClock: () => Long = () => System.currentTimeMillis() * 1000000L
 
   def descriptorFor(table: String): Option[Seq[ColDesc]] =
     descriptors.get(table.toLowerCase).orElse(dynamicDescs.get(table.toLowerCase))
+      .orElse(metaDescriptors.get(table.toUpperCase))
+
+  /** SHOW TABLE M$SYS_TABLES — the engine meta tables are themselves
+    * describable (show_test.go:358-371). */
+  val metaDescriptors: Map[String, Seq[ColDesc]] = Map(
+    "M$SYS_TABLES" -> Seq(
+      ColDesc("NAME", "varchar", 100, ""),
+      ColDesc("TYPE", "integer", 11, ""),
+      ColDesc("DATABASE_ID", "long", 20, ""),
+      ColDesc("ID", "long", 20, ""),
+      ColDesc("USER_ID", "integer", 11, ""),
+      ColDesc("COLCOUNT", "integer", 11, ""),
+      ColDesc("FLAG", "integer", 11, "")))
+
+  // ---- catalog accessors (server.Catalog) ----------------------------
+  def typeOf(table: String): String = {
+    val t = table.toLowerCase
+    tableTypes.getOrElse(t, dynamicTypes.getOrElse(t, "Tag"))
+  }
+
+  def isLogTable(table: String): Boolean = typeOf(table) == "Log"
+
+  /** all machbase-visible tables: (name, type, hasRollup) — fixtures
+    * first (static IDs), then dynamic in creation order. */
+  def allVisibleTables: Seq[(String, String, Boolean)] =
+    tableTypes.toSeq.sortBy(_._1).map { case (t, typ) => (t, typ, false) } ++
+      dynamicOrder.toSeq.map(t =>
+        (t, dynamicTypes.getOrElse(t, "Tag"), rollupEnabled.getOrElse(t, false)))
+
+  def allTagTables: Seq[String] =
+    allVisibleTables.collect { case (t, "Tag", _) => t }
+
+  def dynamicTagTables: Seq[String] =
+    dynamicOrder.toSeq.filter(t => dynamicTypes.getOrElse(t, "Tag") == "Tag")
+
+  def hasRollup(table: String): Boolean =
+    rollupEnabled.getOrElse(table.toLowerCase, false)
+
+  /** fixture tables keep the reference server's observed IDs (18+);
+    * dynamic tables mimic a fresh engine: first user table is 11
+    * (show_test.go:318 pins RS_DATA=11). */
+  def tableIdOf(table: String): Long = {
+    val t = table.toLowerCase
+    val fixtures = tableTypes.keys.toSeq.sorted
+    val fi = fixtures.indexOf(t)
+    if (fi >= 0) 18L + fi
+    else {
+      val di = dynamicOrder.indexOf(t)
+      if (di >= 0) 11L + di else 0L
+    }
+  }
+
+  def rowCount(table: String): Long =
+    rows.get(table.toLowerCase).map(_.size.toLong).getOrElse(0L)
+
+  def unflushedCount(table: String): Long = {
+    val t = table.toLowerCase
+    rowCount(t) - flushMark.get(t).map(_._1).getOrElse(0)
+  }
+
+  /** EXEC table_flush(t): pushes buffered appends toward the stat views;
+    * the fold into visible value statistics lags statVisibleDelayMs. */
+  def markFlushed(table: String): Unit = {
+    val t = table.toLowerCase
+    flushMark.put(t,
+      (rows.get(t).map(_.size).getOrElse(0), System.currentTimeMillis()))
+  }
+
+  def isFlushed(table: String): Boolean =
+    flushMark.get(table.toLowerCase).exists { case (n, ts) =>
+      n > 0 && System.currentTimeMillis() - ts >= statVisibleDelayMs
+    }
+
+  /** test seam: forget all dynamic tables and flush marks (a fresh
+    * engine), keeping the fixture tables. */
+  def resetDynamicForTest(spark: SparkSession): Unit = {
+    dynamicOrder.toSeq.foreach(t => dropTable(spark, t))
+    flushMark.clear()
+  }
+
+  /** DROP [TAG|LOG] TABLE t [CASCADE] — dynamic tables only. */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    val t = table.toLowerCase
+    dynamicSchemas.remove(t); dynamicDescs.remove(t)
+    dynamicTypes.remove(t); rollupEnabled.remove(t); flushMark.remove(t)
+    val i = dynamicOrder.indexOf(t)
+    if (i >= 0) dynamicOrder.remove(i)
+    rows.remove(t)
+    try spark.catalog.dropTempView(t) catch { case _: Throwable => }
+  }
 
   private def schemaFor(table: String): StructType = table.toLowerCase match {
     case "tag_simple" => tagSimpleSchema
@@ -124,9 +231,10 @@ object TagTables {
     * basetime, value binary, …)` — the DDL the reference's test fixtures
     * issue through `$.db().exec` (tql_test.go:756-775). */
   def createTagTable(spark: SparkSession, sql: String): Unit = {
-    val re = "(?is)create\\s+tag\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?(\\w+)\\s*\\((.*)\\)\\s*$".r
+    val re = ("(?is)create\\s+(tag|log)\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?" +
+      "(\\w+)\\s*\\((.*)\\)\\s*(with\\s+.*)?$").r
     sql.trim match {
-      case re(name, body) =>
+      case re(kind, name, body, options) =>
         val cols = body.split(",").map(_.trim).filter(_.nonEmpty).map { defn =>
           val parts = defn.split("\\s+")
           val colName = parts(0).toUpperCase
@@ -146,6 +254,10 @@ object TagTables {
         dynamicDescs.put(t, cols.map { case (n, typ, len, flag) =>
           ColDesc(n, typ, len, flag)
         }.toSeq)
+        dynamicTypes.put(t, if (kind.equalsIgnoreCase("log")) "Log" else "Tag")
+        rollupEnabled.put(t,
+          Option(options).exists(_.toLowerCase.contains("rollup")))
+        if (!dynamicOrder.contains(t)) dynamicOrder += t
         rows.put(t, ArrayBuffer.empty[Row])
         refresh(spark, t)
       case _ => throw new IllegalArgumentException(s"unsupported DDL: $sql")
@@ -200,6 +312,21 @@ object TagTables {
     case _ => 0
   }
 
+  /** Log tables store a hidden leading `_ARRIVAL_TIME` (ingest stamp) the
+    * way the engine does (spi/testsuite/logtable.go:77: the appender's
+    * first column). The default view hides it; `<t>__arrival` exposes it
+    * for SQL that names it explicitly (QueryDoor rewrites those). */
+  def storageSchemaFor(table: String): StructType = {
+    val t = table.toLowerCase
+    val base = schemaFor(t)
+    if (isLogTable(t))
+      StructType(f("_ARRIVAL_TIME", TimestampType, "datetime") +: base.fields)
+    else base
+  }
+
+  /** view name carrying the hidden arrival column of a log table. */
+  def arrivalViewName(table: String): String = table.toLowerCase + "__arrival"
+
   /** Register the table as a temp view if this session hasn't yet. */
   def ensure(spark: SparkSession, table: String): Unit = {
     val t = table.toLowerCase
@@ -211,9 +338,18 @@ object TagTables {
 
   private def refresh(spark: SparkSession, t: String): Unit = {
     val data = rows.getOrElse(t, ArrayBuffer.empty[Row])
-    spark.createDataFrame(new java.util.ArrayList[Row](
+    val full = spark.createDataFrame(new java.util.ArrayList[Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(data.toSeq).asJava),
-      schemaFor(t)).createOrReplaceTempView(t)
+      storageSchemaFor(t))
+    if (isLogTable(t)) {
+      // machbase log tables iterate newest-first by default (reverse
+      // arrival order); the hidden column stays selectable via the
+      // arrival view
+      import org.apache.spark.sql.functions.col
+      full.createOrReplaceTempView(arrivalViewName(t))
+      full.orderBy(col("_ARRIVAL_TIME").desc)
+        .drop("_ARRIVAL_TIME").createOrReplaceTempView(t)
+    } else full.createOrReplaceTempView(t)
   }
 
   /** Column-name-addressed insert; absent columns null. Values must
@@ -222,18 +358,65 @@ object TagTables {
              values: Seq[Any]): Unit = {
     val t = table.toLowerCase
     ensure(spark, t)
-    val schema = schemaFor(t)
-    val byName = columns.map(_.toUpperCase).zip(values).toMap
-    val row = Row.fromSeq(schema.fields.map { fld =>
-      byName.get(fld.name.toUpperCase).map(coerce(_, fld.dataType)).orNull
-    }.toSeq)
-    rows.getOrElseUpdate(t, ArrayBuffer.empty[Row]) += row
+    rows.getOrElseUpdate(t, ArrayBuffer.empty[Row]) +=
+      buildRow(t, columns, values)
     refresh(spark, t)
   }
 
-  /** Column order for APPEND (the table's full schema). */
+  /** materialize one storage row; log tables get `_ARRIVAL_TIME` stamped
+    * from the arrival clock unless the caller (appender) provided it. */
+  private def buildRow(t: String, columns: Seq[String], values: Seq[Any]): Row = {
+    val schema = storageSchemaFor(t)
+    val byName = columns.map(_.toUpperCase).zip(values).toMap
+    Row.fromSeq(schema.fields.map { fld =>
+      val v = byName.get(fld.name.toUpperCase)
+      if (fld.name == "_ARRIVAL_TIME" && (v.isEmpty || v.contains(null)))
+        coerce(java.lang.Long.valueOf(arrivalClock()), TimestampType)
+      else v.map(coerce(_, fld.dataType)).orNull
+    }.toSeq)
+  }
+
+  /** Column order for APPEND (the table's full schema; log tables lead
+    * with `_ARRIVAL_TIME` like the engine appender —
+    * spi/testsuite/logtable.go:77-96). */
   def columnsOf(table: String): Seq[String] =
-    schemaFor(table.toLowerCase).fieldNames.toSeq
+    storageSchemaFor(table.toLowerCase).fieldNames.toSeq
+
+  /** appender catalog shape: (NAME, column type, byte length, data type)
+    * — the api.Column triple the reference's appender tests pin. */
+  def appenderColumns(table: String): Seq[(String, String, Int, String)] = {
+    val t = table.toLowerCase
+    val desc = descriptorFor(t).getOrElse(Seq.empty)
+    val pre =
+      if (isLogTable(t)) Seq(("_ARRIVAL_TIME", "datetime", 8, "datetime"))
+      else Nil
+    pre ++ desc.map { c =>
+      val byteLen = c.typ match {
+        case "datetime" => 8
+        case "short" => 2
+        case "ushort" => 2
+        case "integer" => 4
+        case "uinteger" => 4
+        case "long" | "ulong" => 8
+        case "double" => 8
+        case "float" => 4
+        case "ipv4" => 5
+        case "ipv6" => 17
+        case _ => c.len // varchar/json/text/binary carry declared length
+      }
+      val dataType = c.typ match {
+        case "varchar" | "text" => "string"
+        case "short" => "int16"
+        case "ushort" => "uint16"
+        case "integer" => "int32"
+        case "uinteger" => "uint32"
+        case "long" => "int64"
+        case "ulong" => "uint64"
+        case other => other
+      }
+      (c.name, c.typ, byteLen, dataType)
+    }
+  }
 
   /** DELETE FROM t [WHERE name = 'x'] → number of rows removed. */
   def delete(spark: SparkSession, table: String, name: Option[String]): Long = {
@@ -245,7 +428,7 @@ object TagTables {
       case Some(v) =>
         // name filter only applies to tables that HAVE a name column
         // (log tables don't — a filtered delete there matches nothing)
-        val nameIdx = schemaFor(t).fieldNames.indexOf("NAME")
+        val nameIdx = storageSchemaFor(t).fieldNames.indexOf("NAME")
         if (nameIdx >= 0) data.filterInPlace(r => r.get(nameIdx) != v)
       case None => data.clear()
     }
@@ -263,7 +446,7 @@ object TagTables {
     ensure(spark, t)
     val data = rows.getOrElseUpdate(t, ArrayBuffer.empty[Row])
     val before = data.size
-    val schema = schemaFor(t)
+    val schema = storageSchemaFor(t)
     val idxSchema = StructType(schema.fields :+
       StructField("__idx", LongType, nullable = false))
     val idxRows = data.toSeq.zipWithIndex.map { case (r, i) =>
@@ -297,14 +480,10 @@ object TagTables {
                 valueRows: Iterator[Seq[Any]]): Long = {
     val t = table.toLowerCase
     ensure(spark, t)
-    val schema = schemaFor(t)
     val buf = rows.getOrElseUpdate(t, ArrayBuffer.empty[Row])
     var n = 0L
     valueRows.foreach { values =>
-      val byName = columns.map(_.toUpperCase).zip(values).toMap
-      buf += Row.fromSeq(schema.fields.map { fld =>
-        byName.get(fld.name.toUpperCase).map(coerce(_, fld.dataType)).orNull
-      }.toSeq)
+      buf += buildRow(t, columns, values)
       n += 1
     }
     refresh(spark, t)
@@ -334,6 +513,13 @@ object TagTables {
     case (n: java.lang.Number, IntegerType) => java.lang.Integer.valueOf(n.intValue())
     case (n: java.lang.Number, ShortType) => java.lang.Short.valueOf(n.shortValue())
     case (s: String, StringType) => s
+    case (s: String, TimestampType) =>
+      // machbase datetime literal 'yyyy-MM-dd HH:mm:ss[.fff]' (local tz)
+      try java.sql.Timestamp.valueOf(s)
+      catch { case _: IllegalArgumentException =>
+        java.sql.Timestamp.from(java.time.Instant.parse(s)) }
+    case (n: java.lang.Number, _: DecimalType) =>
+      new java.math.BigDecimal(n.toString)
     case (b: Array[Byte], BinaryType) => b
     case (s: String, BinaryType) if s.startsWith("0x") || s.startsWith("0X") =>
       // hex-literal binary ('0x0102…', tql_test.go insert-binary)

@@ -66,6 +66,45 @@ object TableSinks {
         col(timeCol) >= fromNs && col(timeCol) < untilNs)
   }
 
+  /** APPEND with log-table layout (reference log tables: append-only,
+    * hidden `_ARRIVAL_TIME` ingest stamp — spi/testsuite/logtable.go).
+    * Partitioned by UTC day of ARRIVAL: log queries are arrival-window
+    * tails ("what came in between a and b"), so day pruning cuts the
+    * 100 TB scan to the touched days; files are arrival-sorted within a
+    * partition for parquet rowgroup min/max skipping inside the day.
+    * No name bucket — log tables have no tag key. `arrivalCol` is
+    * epoch-ns; rows lacking one get stamped at write time. */
+  def appendLogTable(df: DataFrame, tablePath: String,
+                     arrivalCol: String = "_arrival_time"): Unit = {
+    val stamped =
+      if (df.columns.contains(arrivalCol)) df
+      else df.withColumn(arrivalCol, unix_micros(current_timestamp()) * 1000L)
+    stamped
+      .withColumn("__day", to_date(timestamp_micros(
+        graft.time.TimeFns.nsToUs(col(arrivalCol)))))
+      .repartition(col("__day"))
+      .sortWithinPartitions(col(arrivalCol))
+      .write.mode("append")
+      .partitionBy("__day")
+      .parquet(tablePath)
+  }
+
+  /** Arrival-window scan of a log table laid out by [[appendLogTable]]:
+    * the `__day` range reaches the file listing (PartitionFilters), the
+    * ns bounds reach the rowgroups (PushedFilters). */
+  def scanLogTable(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                   fromNs: Long, untilNs: Long,
+                   arrivalCol: String = "_arrival_time"): DataFrame = {
+    val fromDay = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochMilli(fromNs / 1000000L), java.time.ZoneOffset.UTC)
+    val untilDay = java.time.LocalDate.ofInstant(
+      java.time.Instant.ofEpochMilli(untilNs / 1000000L), java.time.ZoneOffset.UTC)
+    spark.read.parquet(tablePath)
+      .filter(col("__day").between(
+        java.sql.Date.valueOf(fromDay), java.sql.Date.valueOf(untilDay)))
+      .filter(col(arrivalCol) >= fromNs && col(arrivalCol) < untilNs)
+  }
+
   /** WHEN(cond, action): per-matching-record side effect (reference
     * fm_monad.go:2171-2413 — doLog/doHttp/do-subroutine). The action runs
     * on executors via foreachPartition; the DataFrame passes through
