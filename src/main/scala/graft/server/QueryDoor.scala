@@ -98,23 +98,12 @@ object QueryDoor {
     ("(?is)^\\s*insert\\s+into\\s+(\\w+)\\s*(?:\\(([^)]*)\\)\\s*)?" +
       "values\\s*\\((.*)\\)\\s*$").r
 
-  /** split a VALUES(…) literal list on commas outside quotes and coerce
-    * each token (quoted string, number, NULL). */
-  private[server] def parseLiterals(body: String): Seq[Any] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+  /** split a VALUES(…) list on commas outside quotes; raw tokens. */
+  private[graft] def splitValues(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inStr = false
     var i = 0
-    def flush(): Unit = {
-      val tok = cur.toString.trim
-      cur.clear()
-      out += (
-        if (tok.equalsIgnoreCase("null")) null
-        else if (tok.startsWith("'") && tok.endsWith("'") && tok.length >= 2)
-          tok.substring(1, tok.length - 1).replace("''", "'")
-        else if (tok.matches("[+-]?\\d+")) java.lang.Long.valueOf(tok)
-        else java.lang.Double.valueOf(tok))
-    }
     while (i < body.length) {
       val c = body.charAt(i)
       if (inStr) {
@@ -123,13 +112,24 @@ object QueryDoor {
         if (c == '\'' && (i + 1 >= body.length || body.charAt(i + 1) != '\'')) inStr = false
         else if (c == '\'') { cur.append('\''); i += 1 }
       } else if (c == '\'') { cur.append(c); inStr = true }
-      else if (c == ',') flush()
+      else if (c == ',') { out += cur.toString.trim; cur.clear() }
       else cur.append(c)
       i += 1
     }
-    if (cur.nonEmpty || out.isEmpty) flush()
+    if (cur.nonEmpty || out.isEmpty) out += cur.toString.trim
     out.toSeq
   }
+
+  /** one VALUES token → JVM value (quoted string, integer, double, NULL). */
+  private[graft] def literalValue(tok: String): Any =
+    if (tok.equalsIgnoreCase("null")) null
+    else if (tok.startsWith("'") && tok.endsWith("'") && tok.length >= 2)
+      tok.substring(1, tok.length - 1).replace("''", "'")
+    else if (tok.matches("[+-]?\\d+")) java.lang.Long.valueOf(tok)
+    else java.lang.Double.valueOf(tok)
+
+  private[server] def parseLiterals(body: String): Seq[Any] =
+    splitValues(body).map(literalValue)
 
   /** SELECT-path rewrites: `M$…`/`V$…` system tables become their
     * registered views ($ is not a Spark identifier char), and SQL that
@@ -229,9 +229,15 @@ object QueryDoor {
         // appends into the stat table on flush; both states are pinned
         // by reference tests.
         val rest = sql.trim.split("\\s+").drop(2)
+        if (rest.isEmpty)
+          throw new IllegalArgumentException(
+            "f(SQL) show tags expects at least 1 argument, got 0")
         val table = rest(0)
+        if (TagTables.typeOf(table) != "Tag")
+          throw new IllegalArgumentException(
+            s"table '${table.toUpperCase}' is not a tag table")
         val tagFilter = rest.drop(1).toSeq
-        val flushed = TagTables.isFlushed(table)
+        val flushed = TagTables.isFlushed(table) && TagTables.valueSummarized(table)
         val t0 = spark.table(table)
         val t = if (tagFilter.isEmpty) t0 else {
           val nc = if (t0.columns.contains("NAME")) "NAME" else "name"
@@ -275,6 +281,10 @@ object QueryDoor {
         machDesc(spark, words(2).toLowerCase, all, arrivalTime = true)
       case List("DESC", t) => describe(spark, t.toLowerCase, all)
       case List("DESCRIBE", t) => describe(spark, t.toLowerCase, all)
+      case List("SHOW", cmd) =>
+        // reference error text, fm_dbsrc.go:687
+        throw new IllegalArgumentException(
+          s"""f(SQL) unsupported show command "${cmd.toLowerCase}"""")
       case _ => throw new IllegalArgumentException(s"unsupported SHOW command: $sql")
     }
   }

@@ -83,7 +83,10 @@ object TagTables {
     "tag_simple" -> Seq(
       ColDesc("NAME", "varchar", 100, "tag name"),
       ColDesc("TIME", "datetime", 31, "base time"),
-      ColDesc("VALUE", "double", 17, "summarized")),
+      // NOT summarized: the testsuite fixture (testsuite.go:117-121)
+      // declares plain `value double` — which is why SHOW TAGS value
+      // stats stay NULL for tag_simple but appear for tag_data
+      ColDesc("VALUE", "double", 17, "")),
     "log_data" -> Seq(
       ColDesc("TIME", "datetime", 31, ""),
       ColDesc("SHORT_VALUE", "short", 6, ""),
@@ -114,14 +117,13 @@ object TagTables {
   private val dynamicOrder = ArrayBuffer.empty[String]
   private val dynamicTypes = TrieMap.empty[String, String] // Tag | Log
   private val rollupEnabled = TrieMap.empty[String, Boolean]
-  /** row count + wall time of the last `EXEC table_flush(t)`. The engine
-    * folds flushed data into V$*_STAT on a periodic task, NOT
-    * synchronously: tql_test.go:319-330 pins NULL value stats right
-    * after a flush, while show_test.go:454-463 (which runs a dozen other
-    * statements in between) sees them populated. statVisibleDelayMs
-    * models that fold latency. */
-  private val flushMark = TrieMap.empty[String, (Int, Long)]
-  @volatile var statVisibleDelayMs: Long = 5000L
+  /** row count at the last `EXEC table_flush(t)`. V$*_STAT value
+    * statistics need BOTH a flush and a `summarized` value column:
+    * tag_simple (plain `value double`, testsuite.go:117-121) shows NULL
+    * stats even after flush (tql_test.go:319-330) while tag_data /
+    * RS_DATA (`summarized`) show min/max after flush
+    * (fm_dbsrc_test.go:569-592, show_test.go:454-463). */
+  private val flushMark = TrieMap.empty[String, Int]
 
   /** injectable arrival clock (epoch ns) for log-table `_ARRIVAL_TIME`
     * stamping — tests pin it like the reference pins its clock. */
@@ -186,21 +188,22 @@ object TagTables {
 
   def unflushedCount(table: String): Long = {
     val t = table.toLowerCase
-    rowCount(t) - flushMark.get(t).map(_._1).getOrElse(0)
+    rowCount(t) - flushMark.getOrElse(t, 0)
   }
 
-  /** EXEC table_flush(t): pushes buffered appends toward the stat views;
-    * the fold into visible value statistics lags statVisibleDelayMs. */
+  /** EXEC table_flush(t): folds buffered appends into the stat views. */
   def markFlushed(table: String): Unit = {
     val t = table.toLowerCase
-    flushMark.put(t,
-      (rows.get(t).map(_.size).getOrElse(0), System.currentTimeMillis()))
+    flushMark.put(t, rows.get(t).map(_.size).getOrElse(0))
   }
 
   def isFlushed(table: String): Boolean =
-    flushMark.get(table.toLowerCase).exists { case (n, ts) =>
-      n > 0 && System.currentTimeMillis() - ts >= statVisibleDelayMs
-    }
+    flushMark.getOrElse(table.toLowerCase, 0) > 0
+
+  /** value statistics exist only for a `summarized` value column. */
+  def valueSummarized(table: String): Boolean =
+    descriptorFor(table).exists(_.exists(c =>
+      c.name.equalsIgnoreCase("VALUE") && c.flag == "summarized"))
 
   /** test seam: forget all dynamic tables and flush marks (a fresh
     * engine), keeping the fixture tables. */

@@ -69,7 +69,9 @@ object Codecs {
         if (o.trimFractionZeros && out.contains("."))
           out.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
         else out
-      case None => inst.toString
+      // default timeformat is "ns" — epoch-ns integers (the reference's
+      // util.NewTimeFormatter default, mods/util/types.go:85-94)
+      case None => (inst.getEpochSecond * 1000000000L + inst.getNano).toString
     }
 
   private def instantEpochNs(inst: java.time.Instant): Long =

@@ -186,7 +186,7 @@ object Compiler {
   }
 
   private val InsertRe =
-    "(?is)^\\s*insert\\s+into\\s+([A-Za-z0-9_]+)\\s*\\(([^)]*)\\)\\s*values\\s*\\(.*$".r
+    "(?is)^\\s*insert\\s+into\\s+([A-Za-z0-9_]+)\\s*\\(([^)]*)\\)\\s*values\\s*\\((.*)\\)\\s*$".r
 
   /** Execute an SQL sink statement per record (insert with ? binds), or
     * once (exec/DDL), and render the DML message envelope. */
@@ -197,19 +197,32 @@ object Compiler {
       s"""{"data":{"message":"$msg"},"success":true,"reason":"success"}"""
     sql.trim.toLowerCase match {
       case s if s.startsWith("insert") =>
-        val (table, columns) = sql match {
-          case InsertRe(t, cols) => (t, cols.split(",").map(_.trim).toSeq)
+        val (table, columns, valuesBody) = sql match {
+          case InsertRe(t, cols, vals) =>
+            (t, cols.split(",").map(_.trim).toSeq, vals)
           case _ => throw new IllegalArgumentException(s"unsupported insert: $sql")
+        }
+        // the VALUES list mixes `?` binds with SQL literals — machbase's
+        // `now` keyword included (fm_dbsrc_test.go:539-548:
+        // `values(?,now,?)`); binds fill the ?s left-to-right
+        val tokens = graft.server.QueryDoor.splitValues(valuesBody)
+        val nowNs = currentNowNs.get()
+        def bindValue(e: Expr, row: org.apache.spark.sql.Row): Any = e match {
+          case Expr.Call("value", List(Expr.Num(i))) => row.get(i.toInt)
+          case Expr.Call("value", Nil) => row.get(0)
+          case Expr.Str(v) => v
+          case Expr.Num(v) => if (v == math.rint(v)) Long.box(v.toLong) else Double.box(v)
+          case Expr.Bool(b) => Boolean.box(b)
+          case other => throw new IllegalArgumentException(s"unsupported bind: $other")
         }
         import scala.jdk.CollectionConverters._
         val valueRows = c.output.toLocalIterator().asScala.map { row =>
-          bindExprs.map {
-            case Expr.Call("value", List(Expr.Num(i))) => row.get(i.toInt)
-            case Expr.Call("value", Nil) => row.get(0)
-            case Expr.Str(v) => v
-            case Expr.Num(v) => if (v == math.rint(v)) Long.box(v.toLong) else Double.box(v)
-            case Expr.Bool(b) => Boolean.box(b)
-            case other => throw new IllegalArgumentException(s"unsupported bind: $other")
+          var bi = 0
+          tokens.map {
+            case "?" =>
+              val v = bindValue(bindExprs(bi), row); bi += 1; v
+            case t if t.equalsIgnoreCase("now") => Long.box(nowNs)
+            case t => graft.server.QueryDoor.literalValue(t)
           }: Seq[Any]
         }
         val n = graft.server.TagTables.insertAll(spark, table, columns, valueRows)

@@ -105,8 +105,6 @@ class ShowCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fresh-engine state: the reference runs this against its own empty
     // test server; dynamic tables left by other suites would shift IDs
     TagTables.resetDynamicForTest(spark)
-    val savedDelay = TagTables.statVisibleDelayMs
-    TagTables.statVisibleDelayMs = 0L // show_test reads stats long after the flush
     QueryDoor.execute(spark, "CREATE TAG TABLE RS_DATA(NAME VARCHAR(80) PRIMARY KEY, TIME DATETIME basetime, VALUE DOUBLE summarized) with rollup tag_partition_count = 1")
     try {
       QueryDoor.execute(spark, "INSERT INTO RS_DATA VALUES('test1', '2024-01-01 00:00:00', 1.0)")
@@ -150,8 +148,11 @@ class ShowCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq("COLCOUNT", "integer", 11, "", ""),
         Seq("FLAG", "integer", 11, "", "")))
 
-      // ShowIndexes: the three auto-created _META indexes, ids 6/7/9
-      assert(show("show indexes") == Seq(
+      // ShowIndexes: the three auto-created _META indexes of the dynamic
+      // table carry a fresh engine's ids 6/7/9 (the fixture tables'
+      // indexes — pinned by fm_dbsrc_test — coexist in this session)
+      assert(show("show indexes")
+        .filter(_(3) == "_RS_DATA_META") == Seq(
         Seq(6L, "MACHBASEDB", "SYS", "_RS_DATA_META", "_ID",
           "__PK_IDX__RS_DATA_META_1", "REDBLACK", "UNCOMPRESSED", 0L, 100000L, "EQUAL"),
         Seq(7L, "MACHBASEDB", "SYS", "_RS_DATA_META", "NAME",
@@ -198,7 +199,6 @@ class ShowCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(show("show tags rs_data test1") == Seq(
         Seq(1L, "test1", 2L, t1, t2, t2, 1.0d, t1, 2.0d, t2)))
     } finally {
-      TagTables.statVisibleDelayMs = savedDelay
       QueryDoor.execute(spark, "DROP TAG TABLE RS_DATA CASCADE")
     }
     assert(!show("show tables").exists(_(2) == "RS_DATA"))
