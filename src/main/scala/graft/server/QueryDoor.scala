@@ -38,11 +38,10 @@ object QueryDoor {
         Catalog.recordStatement(sql, "FETCH", 0L)
         spark.sql(rewriteSelect(spark, sql))
       case Explain =>
+        val full = sql.trim.toUpperCase.startsWith("EXPLAIN FULL")
         val inner = sql.trim.replaceFirst("(?i)^EXPLAIN(\\s+FULL)?", "")
-        val plan = spark.sql(inner).queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString(
-            if (sql.trim.toUpperCase.startsWith("EXPLAIN FULL")) "extended" else "formatted"))
-        plan.split("\n").toSeq.toDF("plan")
+        explainPlan(spark, rewriteSelect(spark, inner), full)
+          .split("\n").toSeq.toDF("plan")
       case Show => showCommand(spark, sql)
       case DdlDml =>
         val s = sql.trim
@@ -130,6 +129,55 @@ object QueryDoor {
 
   private[server] def parseLiterals(body: String): Seq[Any] =
     splitValues(body).map(literalValue)
+
+  /** EXPLAIN renders a machbase-shaped access-path header derived from
+    * the REAL Spark plan (tag-table scans print `TAG READ (RAW)` /
+    * `(INDEX)` like the engine — fm_dbsrc_test.go:17-26), followed by the
+    * Spark formatted plan. EXPLAIN FULL additionally EXECUTES the query
+    * and prints the engine-style per-node trace table (`EXECUTE`, the
+    * `********`-framed `NAME COUNT ACCUMULATE(ms) AVERAGE(ms)` section —
+    * machsvr_test.go:1236-1243) with real SQLMetrics. */
+  private def explainPlan(spark: SparkSession, inner: String,
+                          full: Boolean): String = {
+    val df = spark.sql(inner)
+    val lower = inner.toLowerCase
+    val machHeader = TagTables.allVisibleTables.collectFirst {
+      case (t, typ, _) if lower.matches("(?s).*\\b" + t + "\\b.*") =>
+        val access =
+          if (typ != "Tag") "FULL SCAN"
+          else if (lower.contains("name =") || lower.contains("name=")) "TAG READ (INDEX)"
+          else "TAG READ (RAW)"
+        s" PROJECT\n  $access\n"
+    }.getOrElse("")
+    if (!full) {
+      machHeader + df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    } else {
+      // execute the actual plan, then read the populated metrics
+      df.queryExecution.toRdd.count()
+      val sb = new StringBuilder
+      sb.append("********\n EXECUTE\n")
+      sb.append(" NAME           COUNT   ACCUMULATE(ms)  AVERAGE(ms)\n")
+      val plan = df.queryExecution.executedPlan match {
+        // AQE wrapper: trace the FINAL physical plan it settled on
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.foreach { node =>
+        val rows = node.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        val timeMs = node.metrics.collect {
+          case (k, m) if k.toLowerCase.contains("time") => m.value
+        }.sum / 1000000L
+        val avg = if (rows > 0) timeMs.toDouble / rows else 0d
+        sb.append(f" ${node.nodeName.take(14)}%-14s ${rows}%7d  ${timeMs}%13d  ${avg}%10.3f\n")
+      }
+      sb.append("********\n")
+      machHeader + sb.toString +
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
+    }
+  }
 
   /** SELECT-path rewrites: `M$…`/`V$…` system tables become their
     * registered views ($ is not a Spark identifier char), and SQL that

@@ -133,6 +133,20 @@ class TqlShowSpec extends SparkSpec {
     graft.server.TagTables.delete(spark, "tag_data", None)
   }
 
+  test("SQL_explain / explain full: mach access path + executed trace (fm_dbsrc_test.go:14-44, machsvr_test.go:1236-1243)") {
+    val plain = Tql.run(spark, "SQL('explain select * from tag_data')\nCSV(header(false))\n")
+    assert(plain.length > 50, plain)
+    assert(plain.contains("TAG READ (RAW)"), plain)
+
+    // deviation: the reference pins len>5000 (its trace verbosity); ours
+    // carries the same sections — EXECUTE trace + extended plan
+    val full = Tql.run(spark, "SQL('explain full select * from tag_data')\nCSV(header(false))\n")
+    assert(full.length > 500, full.length.toString)
+    assert(full.contains("EXECUTE"), full)
+    assert(full.contains("********"), full)
+    assert(full.contains(" NAME           COUNT   ACCUMULATE(ms)  AVERAGE(ms)"), full)
+  }
+
   test("SQL_show_sessions / statements / storage / table-usage shapes (fm_dbsrc_test.go:637-723)") {
     val sess = lines(Tql.run(spark, "SQL('show sessions')\nCSV(header(true))\n"))
     assert(sess.head == "ID,USER_NAME,USER_ID,LOGIN_TIME,TYPE,USER_IP,MAX_QPX_MEM")
