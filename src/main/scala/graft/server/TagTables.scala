@@ -243,10 +243,17 @@ object TagTables {
           val colName = parts(0).toUpperCase
           val typeTok = parts(1).toLowerCase
           val lenRe = "(\\w+)\\((\\d+)\\)".r
-          val (typ, len) = typeTok match {
-            case lenRe(t, l) => (t, l.toInt)
-            case t => (t, defaultLen(t))
+          val (typ0, len0) = typeTok match {
+            case lenRe(t, l) => (t, Some(l.toInt))
+            case t => (t, None)
           }
+          // machbase type aliases (int/uint — http_test.go:1460-1467 DDL)
+          val typ = typ0 match {
+            case "int" => "integer"
+            case "uint" => "uinteger"
+            case t => t
+          }
+          val len = len0.getOrElse(defaultLen(typ))
           (colName, typ, len, flagOf(defn))
         }
         val schema = StructType(cols.map { case (n, t, _, _) =>

@@ -1,0 +1,135 @@
+package graft.server
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** The `POST /db/write/:table` ingest door (reference:
+  * mods/server/http_write.go:27-250): JSON envelope, NDJSON, or CSV
+  * payloads — optionally gzip'd — decoded against the target table's
+  * schema and inserted/appended. `timeformat` interprets numeric time
+  * values (epoch s/ms/us/ns); binary columns arrive base64 (both the
+  * JSON `[]byte` marshaling and the CSV convention).
+  *
+  * This is the presentation-sized interactive path; bulk ingest stays on
+  * `sinks.TableSinks` / `sources.LineProtocol.parseDf` (partitioned
+  * writes). */
+object WriteDoor {
+
+  def write(spark: SparkSession, table: String, payload: Array[Byte],
+            contentType: String, params: Map[String, String] = Map.empty): Long = {
+    val body = decompress(payload, params.get("compress"))
+    val timeformat = params.getOrElse("timeformat", "ns")
+    val schema = TagTables.storageSchemaFor(table)
+    def fieldType(name: String): Option[DataType] =
+      schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+
+    val (columns, rows): (Seq[String], Iterator[Seq[Any]]) =
+      contentType.toLowerCase.takeWhile(_ != ';').trim match {
+        case "application/json" =>
+          val root = asMap(graft.script.Builtins.jsonParse(body))
+          val data = asMap(root.getOrElse("data", root))
+          val cols = asSeq(data("columns")).map(String.valueOf(_))
+          val rws = asSeq(data("rows")).iterator.map(r => asSeq(r))
+          (cols, rws)
+        case "application/x-ndjson" | "application/jsonl" =>
+          val objs = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+            .map(l => asMap(graft.script.Builtins.jsonParse(l))).toSeq
+          val cols = objs.headOption.map(_.keys.toSeq).getOrElse(Nil)
+          (cols, objs.iterator.map(o => cols.map(c => o.getOrElse(c, null))))
+        case "text/csv" =>
+          val lines = body.split("\n").iterator.map(_.stripSuffix("\r"))
+            .filter(_.nonEmpty).map(csvSplit).toSeq
+          params.getOrElse("header", "") match {
+            case "columns" =>
+              (lines.head.map(_.trim), lines.tail.iterator.map(identity))
+            case "skip" =>
+              (TagTables.columnsOf(table), lines.tail.iterator.map(identity))
+            case _ =>
+              (TagTables.columnsOf(table), lines.iterator.map(identity))
+          }
+        case other =>
+          throw new IllegalArgumentException(s"unsupported content type: $other")
+      }
+
+    val isCsv = contentType.toLowerCase.startsWith("text/csv")
+    val coerced = rows.map { row =>
+      columns.zip(row).map { case (c, v) =>
+        convert(v, fieldType(c), timeformat, csvEmptyIsNull = isCsv) }
+    }
+    // method=insert|append converge on the same columnar buffer here
+    TagTables.insertAll(spark, table, columns, coerced)
+  }
+
+  private def decompress(payload: Array[Byte], compress: Option[String]): String =
+    if (compress.contains("gzip") ||
+      (payload.length >= 2 && (payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B)) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    } else new String(payload, "UTF-8")
+
+  private def asMap(v: Any): mutable.LinkedHashMap[String, Any] = v match {
+    case m: mutable.LinkedHashMap[_, _] =>
+      m.asInstanceOf[mutable.LinkedHashMap[String, Any]]
+    case other => throw new IllegalArgumentException(s"expected JSON object, got $other")
+  }
+
+  private def asSeq(v: Any): Seq[Any] = v match {
+    case a: mutable.ArrayBuffer[_] => a.toSeq
+    case s: Seq[_] => s
+    case other => throw new IllegalArgumentException(s"expected JSON array, got $other")
+  }
+
+  /** wire value → JVM value for the target column (TagTables.coerce
+    * finishes the job; here we resolve the wire conventions). */
+  private def convert(v: Any, target: Option[DataType], timeformat: String,
+                      csvEmptyIsNull: Boolean = false): Any =
+    (v, target) match {
+      case (null, _) => null
+      case ("", _) if csvEmptyIsNull => null // empty CSV cell is NULL
+      case ("", Some(dt)) if dt != StringType => null
+      case (s: String, Some(BinaryType)) =>
+        java.util.Base64.getDecoder.decode(s) // CSV/JSON binary convention
+      case (n: java.lang.Number, Some(TimestampType)) =>
+        java.lang.Long.valueOf(epochToNs(n.longValue(), timeformat))
+      case (s: String, Some(TimestampType)) if s.matches("[+-]?\\d+") =>
+        java.lang.Long.valueOf(epochToNs(s.toLong, timeformat))
+      case (s: String, Some(dt)) if dt != StringType && dt != BinaryType =>
+        // CSV numerics arrive as text
+        if (s.matches("[+-]?\\d+")) java.lang.Long.valueOf(s)
+        else java.lang.Double.valueOf(s)
+      case (other, _) => other
+    }
+
+  private def epochToNs(v: Long, timeformat: String): Long = timeformat match {
+    case "s" => v * 1000000000L
+    case "ms" => v * 1000000L
+    case "us" => v * 1000L
+    case _ => v
+  }
+
+  /** minimal RFC-4180 split (quoted fields, "" escapes). */
+  private[server] def csvSplit(line: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') {
+          cur.append('"'); i += 1
+        } else if (c == '"') inQ = false
+        else cur.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq
+  }
+}
