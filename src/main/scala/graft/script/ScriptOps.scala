@@ -33,10 +33,11 @@ final class ScriptNode(
     payload: Option[String],
     isSource: Boolean,
     logSink: (String, String) => Unit,
-    /** `$.db().exec(sql)` bridge — present only in driver-side (TQL) mode */
-    dbExec: Option[String => Any] = None,
-    /** `$.db().query(sql)` bridge: (column names, row values) */
-    dbQuery: Option[String => (Seq[String], Seq[Seq[Any]])] = None) {
+    /** `$.db([{bridge:'x'}]).exec(sql, binds…)` — driver-side (TQL) mode
+      * only; the Option[String] is the bridge name */
+    dbExec: Option[(Option[String], String, Seq[Any]) => Any] = None,
+    /** `$.db([{bridge}]).query(sql, binds…)`: (column names, row values) */
+    dbQuery: Option[(Option[String], String, Seq[Any]) => (Seq[String], Seq[Seq[Any]])] = None) {
 
   private val host = new Interp.Host {
     def nowNs: Long = clockNs
@@ -105,19 +106,24 @@ final class ScriptNode(
         inflightVars.getOrElse(display(args.head), JsUndefined))
       o
     })
-    dollar("db") = Native("db", -1, (_, _) => dbExec match {
+    dollar("db") = Native("db", -1, (_, dbArgs) => dbExec match {
       case None => throwErr("Error", "$.db() is not available in this context")
       case Some(exec) =>
+        // `$.db({bridge: 'sqlite'})` routes to the named bridge
+        // (tql_test.go:2520-2570)
+        val bridgeOpt = dbArgs.headOption.collect {
+          case o: Interp.JsObj => o.get("bridge").map(display)
+        }.flatten
         val o = newObj()
         o("exec") = Native("exec", -1, (_, args) =>
-          exec(args.map(display).mkString(" ")))
-        // db.query(sql).yield() / .forEach(cb) / .columns()
+          exec(bridgeOpt, display(args.head), args.tail))
+        // db.query(sql, binds…).yield() / .forEach(cb) / .columns()
         // (fm_script.go's db bridge; its upstream tests are t.Skip'd, so
         // semantics follow the documented surface)
         o("query") = Native("query", -1, (_, args) => dbQuery match {
           case None => throwErr("Error", "$.db().query() is not available here")
           case Some(q) =>
-            val (cols, rows) = q(args.map(display).mkString(" "))
+            val (cols, rows) = q(bridgeOpt, display(args.head), args.tail)
             val res = newObj()
             res("columns") = Native("columns", 0, (_, _) =>
               ArrayBuffer[Any](cols: _*))
@@ -223,8 +229,8 @@ object ScriptOps {
           nowNs: Long,
           params: Map[String, Seq[String]],
           payload: Option[String],
-          dbExec: Option[String => Any] = None,
-          dbQuery: Option[String => (Seq[String], Seq[Seq[Any]])] = None): ScriptResult = {
+          dbExec: Option[(Option[String], String, Seq[Any]) => Any] = None,
+          dbQuery: Option[(Option[String], String, Seq[Any]) => (Seq[String], Seq[Seq[Any]])] = None): ScriptResult = {
     val logs = ArrayBuffer.empty[(String, String)]
     val node = new ScriptNode(initCode, mainCode, deinitCode, nowNs, params,
       payload, isSource, (lvl, msg) => logs += ((lvl, msg)), dbExec, dbQuery)

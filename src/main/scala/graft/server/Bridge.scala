@@ -1,0 +1,267 @@
+package graft.server
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** SQL bridges (reference: mods/bridge — `SQL(bridge('sqlite'), …)`,
+  * `INSERT(bridge(), …)`, `$.db({bridge: 'x'})`). The reference embeds
+  * sqlite/postgres/mysql drivers; here a bridge is an in-session named
+  * database whose tables live as buffered rows and whose SELECTs run
+  * through Spark SQL over temp views — same surface, Spark execution.
+  *
+  * Dialect notes mirrored from the sqlite bridge tests
+  * (tql_test.go:2258-2572):
+  *  - CREATE TABLE accepts sqlite type affinities (INTEGER/TEXT/REAL/
+  *    BLOB) and ignores table constraints; replies "Created successfully."
+  *  - unknown tables raise `no such table: x`; `DELETE <t>` (missing
+  *    FROM) raises sqlite's `near "<t>": syntax error`
+  *  - computed SELECT columns report type "string" (sqlite has no
+  *    decltype for expressions — the reference pins this driver quirk)
+  *    and keep their literal select-list text as the column name
+  *    (`count(*)`, not Spark's `count(1)`).
+  */
+object Bridge {
+  case class ExecResult(message: String, rowsAffected: Long, verb: String)
+
+  private val registry = TrieMap.empty[String, Db]
+  def apply(name: String): Db =
+    registry.getOrElseUpdate(name.toLowerCase, new Db(name.toLowerCase))
+  def resetForTest(): Unit = registry.clear()
+
+  final class Db(val name: String) {
+    /** lowercase table name → (schema with machtype metadata, rows) */
+    private[Bridge] val tables =
+      TrieMap.empty[String, (StructType, ArrayBuffer[Row])]
+
+    private def table(t: String): (StructType, ArrayBuffer[Row]) =
+      tables.getOrElse(t.toLowerCase,
+        throw new IllegalArgumentException(s"no such table: $t"))
+
+    // ---- statement execution ----------------------------------------
+    def exec(spark: SparkSession, sql: String, binds: Seq[Any]): ExecResult = {
+      val s = bindSql(sql, binds).trim
+      val lower = s.toLowerCase
+      if (lower.startsWith("create table")) create(s)
+      else if (lower.startsWith("insert")) insert(spark, s)
+      else if (lower.startsWith("update")) update(spark, s)
+      else if (lower.startsWith("delete")) delete(spark, s)
+      else if (lower.startsWith("select")) {
+        val n = query(spark, sql, binds).count()
+        ExecResult(s"$n rows selected.", n, "selected")
+      } else throw new IllegalArgumentException(s"unsupported statement: $s")
+    }
+
+    private val CreateRe = "(?is)create\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?(\\w+)\\s*\\((.*)\\)\\s*$".r
+    private def create(s: String): ExecResult = s match {
+      case CreateRe(t, body) =>
+        val constraint = Set("unique", "primary", "foreign", "check", "constraint")
+        val fields = QueryDoor.splitValues(body) // top-level comma split
+          .map(_.trim).filter(_.nonEmpty)
+          .filterNot(d => constraint(d.split("[\\s(]+")(0).toLowerCase))
+          .map { d =>
+            val parts = d.split("\\s+")
+            val (dt, mach) = affinity(parts.lift(1).getOrElse("text"))
+            StructField(parts(0), dt, nullable = true,
+              new MetadataBuilder().putString("machtype", mach).build())
+          }
+        tables.put(t.toLowerCase, (StructType(fields), ArrayBuffer.empty[Row]))
+        ExecResult("Created successfully.", 0L, "created")
+      case _ => throw new IllegalArgumentException(s"syntax error in: $s")
+    }
+
+    private def affinity(typeTok: String): (DataType, String) = {
+      val t = typeTok.toLowerCase.takeWhile(_ != '(')
+      if (t.contains("int")) (LongType, "int64")
+      else if (t == "real" || t == "double" || t == "float" || t == "numeric")
+        (DoubleType, "double")
+      else if (t == "blob") (BinaryType, "binary")
+      else (StringType, "string") // TEXT/CHAR/CLOB/VARCHAR affinity
+    }
+
+    private val InsertRe =
+      "(?is)^insert\\s+into\\s+(\\w+)\\s*(?:\\(([^)]*)\\)\\s*)?values\\s*\\((.*)\\)\\s*$".r
+    private def insert(spark: SparkSession, s: String): ExecResult = s match {
+      case InsertRe(t, cols, vals) =>
+        val (schema, rows) = table(t)
+        val columns = Option(cols)
+          .map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(schema.fieldNames.toSeq)
+        val values = QueryDoor.splitValues(vals).map(QueryDoor.literalValue)
+        val byName = columns.map(_.toLowerCase).zip(values).toMap
+        rows += Row.fromSeq(schema.fields.map { f =>
+          byName.get(f.name.toLowerCase).map(coerceValue(_, f.dataType)).orNull
+        }.toSeq)
+        refresh(spark, t)
+        ExecResult("a row inserted.", 1L, "inserted")
+      case _ => throw new IllegalArgumentException(s"syntax error in: $s")
+    }
+
+    private val UpdateRe =
+      "(?is)^update\\s+(\\w+)\\s+set\\s+(.*?)(?:\\s+where\\s+(.*?))?\\s*$".r
+    private def update(spark: SparkSession, s: String): ExecResult = s match {
+      case UpdateRe(t, setList, where) =>
+        val (schema, rows) = table(t)
+        val sets = QueryDoor.splitValues(setList).map { a =>
+          val Array(k, v) = a.split("=", 2)
+          (schema.fieldIndex(schema.fieldNames.find(_.equalsIgnoreCase(k.trim))
+            .getOrElse(throw new IllegalArgumentException(s"no such column: ${k.trim}"))),
+            QueryDoor.literalValue(v.trim))
+        }
+        val hit = matchingIdx(spark, schema, rows, Option(where))
+        hit.foreach { i =>
+          val vals = rows(i).toSeq.toArray
+          sets.foreach { case (fi, v) =>
+            vals(fi) = coerceValue(v, schema.fields(fi).dataType) }
+          rows(i) = Row.fromSeq(vals.toSeq)
+        }
+        refresh(spark, t)
+        val n = hit.size
+        ExecResult(if (n == 1) "a row updated." else s"$n rows updated.", n.toLong, "updated")
+      case _ => throw new IllegalArgumentException(s"syntax error in: $s")
+    }
+
+    private val DeleteRe =
+      "(?is)^delete\\s+from\\s+(\\w+)(?:\\s+where\\s+(.*?))?\\s*$".r
+    private val BadDeleteRe = "(?is)^delete\\s+(\\w+).*$".r
+    private def delete(spark: SparkSession, s: String): ExecResult = s match {
+      case DeleteRe(t, where) =>
+        val (schema, rows) = table(t)
+        val hit = matchingIdx(spark, schema, rows, Option(where)).toSet
+        val kept = rows.zipWithIndex.collect { case (r, i) if !hit(i) => r }
+        rows.clear(); rows ++= kept
+        refresh(spark, t)
+        val n = hit.size
+        ExecResult(if (n == 1) "a row deleted." else s"$n rows deleted.", n.toLong, "deleted")
+      case BadDeleteRe(t) =>
+        // sqlite's exact parser message for `DELETE <table> …`
+        throw new IllegalArgumentException(s"""near "$t": syntax error""")
+      case _ => throw new IllegalArgumentException(s"syntax error in: $s")
+    }
+
+    /** evaluate a WHERE predicate over buffered rows via Spark. */
+    private def matchingIdx(spark: SparkSession, schema: StructType,
+                            rows: ArrayBuffer[Row], where: Option[String]): Seq[Int] =
+      where match {
+        case None => rows.indices.toSeq
+        case Some(pred) =>
+          import org.apache.spark.sql.functions.{coalesce, expr, lit}
+          val idxSchema = StructType(schema.fields :+ StructField("__idx", IntegerType))
+          val idxRows = rows.toSeq.zipWithIndex.map { case (r, i) =>
+            Row.fromSeq(r.toSeq :+ i) }
+          val df = spark.createDataFrame(new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(idxRows).asJava), idxSchema)
+          df.filter(coalesce(expr(pred).cast("boolean"), lit(false)))
+            .select("__idx").collect().map(_.getInt(0)).toSeq
+      }
+
+    // ---- queries ----------------------------------------------------
+    def viewName(t: String): String = s"bridge_${name}_${t.toLowerCase}"
+
+    private def refresh(spark: SparkSession, t: String): Unit = {
+      val (schema, rows) = table(t)
+      spark.createDataFrame(new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava), schema)
+        .createOrReplaceTempView(viewName(t))
+    }
+
+    def query(spark: SparkSession, sql: String, binds: Seq[Any]): DataFrame = {
+      var s = bindSql(sql, binds)
+      tables.keys.foreach { t =>
+        refresh(spark, t)
+        s = s.replaceAll("(?i)\\b" + t + "\\b", viewName(t))
+      }
+      // any FROM/JOIN target that is not a registered view → sqlite error
+      "(?i)\\b(?:from|join)\\s+([A-Za-z_]\\w*)".r.findAllMatchIn(s).foreach { m =>
+        val t = m.group(1)
+        if (!t.startsWith("bridge_") && !spark.catalog.tableExists(t) &&
+          !Set("select", "values").contains(t.toLowerCase))
+          throw new IllegalArgumentException(s"no such table: $t")
+      }
+      val df = spark.sql(s)
+      // restore select-list text for computed columns (count(*) etc.) and
+      // tag machtypes: table columns keep their decltype, expressions are
+      // "string" (sqlite driver quirk the reference pins)
+      val items = selectItems(sql)
+      val declared: Map[String, String] = tables.values.flatMap {
+        case (schema, _) => schema.fields.map(f =>
+          f.name.toLowerCase -> f.metadata.getString("machtype"))
+      }.toMap
+      val renamed = df.columns.zipWithIndex.map { case (c, i) =>
+        val wanted =
+          if (items.lift(i).exists(t => t.contains("(") && !t.contains(" as ")))
+            items(i)
+          else c
+        val mach = declared.getOrElse(wanted.toLowerCase, "string")
+        (c, wanted, mach)
+      }
+      renamed.foldLeft(df) { case (d, (c, wanted, mach)) =>
+        d.withColumn(wanted, d(s"`$c`").as(wanted,
+          new MetadataBuilder().putString("machtype", mach).build()))
+      }.select(renamed.map { case (_, wanted, _) =>
+        df.sparkSession.implicits.symbolToColumn(Symbol(wanted))
+        org.apache.spark.sql.functions.col(s"`$wanted`")
+      }: _*)
+    }
+
+    /** top-level select-list item texts (between SELECT and its FROM). */
+    private def selectItems(sql: String): Seq[String] = {
+      val s = sql.trim
+      val low = s.toLowerCase
+      if (!low.startsWith("select")) return Nil
+      var depth = 0
+      var i = "select".length
+      val start = i
+      var end = s.length
+      var found = false
+      while (i < s.length && !found) {
+        val c = s.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && low.startsWith("from", i) &&
+          (i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+          (i + 4 >= s.length || !s.charAt(i + 4).isLetterOrDigit)) {
+          end = i; found = true
+        }
+        i += 1
+      }
+      QueryDoor.splitValues(s.substring(start, end)).map(_.trim)
+    }
+
+    private def coerceValue(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (s: String, LongType) if s.matches("[+-]?\\d+") => java.lang.Long.valueOf(s)
+      case (s: String, DoubleType) => java.lang.Double.valueOf(s)
+      case (s: String, LongType) => java.lang.Long.valueOf(s.toDouble.toLong)
+      case (other, t) => TagTables.coerce(other, t)
+    }
+  }
+
+  /** substitute `?` placeholders (outside string literals) with SQL
+    * literals — the bridge drivers bind, we inline exactly once. */
+  def bindSql(sql: String, binds: Seq[Any]): String = {
+    if (binds.isEmpty) return sql
+    val out = new StringBuilder
+    var inStr = false
+    var b = 0
+    sql.foreach { c =>
+      if (inStr) { out.append(c); if (c == '\'') inStr = false }
+      else if (c == '\'') { out.append(c); inStr = true }
+      else if (c == '?' && b < binds.length) {
+        out.append(literal(binds(b))); b += 1
+      } else out.append(c)
+    }
+    out.toString
+  }
+
+  private def literal(v: Any): String = v match {
+    case null => "NULL"
+    case s: String if s.matches("[+-]?\\d+(\\.\\d+)?") => s // numeric param strings bind as numbers
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Array[Byte] => "X'" + b.map(x => f"$x%02X").mkString + "'"
+    case d: java.lang.Double =>
+      if (d == math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
+    case other => String.valueOf(other)
+  }
+}

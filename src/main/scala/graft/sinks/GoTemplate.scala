@@ -23,6 +23,8 @@ object GoTemplate {
   private case class Action(pipe: Pipeline) extends Node
   private case class Block(kind: String, pipe: Pipeline, body: List[Node],
                            elseBody: List[Node]) extends Node
+  /** `{{ template "name" [pipeline] }}` invocation of a define block. */
+  private case class TemplateCall(name: String, pipe: Option[Pipeline]) extends Node
 
   private case class Pipeline(cmds: List[Cmd])
   private case class Cmd(terms: List[Term])
@@ -65,6 +67,7 @@ object GoTemplate {
 
     // recursive-descent over the flat part list for block structure
     var pos = 0
+    val defs = scala.collection.mutable.Map.empty[String, List[Node]]
     def parseNodes(stopAt: Set[String]): (List[Node], Option[String]) = {
       val out = ListBuffer.empty[Node]
       while (pos < parts.length) {
@@ -89,6 +92,22 @@ object GoTemplate {
               }
               pos += 1 // consume end
               out += Block(kw, pipe, body, elseBody)
+            case "define" =>
+              // {{ define "name" }} … {{ end }} — named sub-template
+              val name = "\"([^\"]+)\"".r.findFirstMatchIn(content)
+                .map(_.group(1)).getOrElse(throw TemplateError("define needs a name"))
+              val (body, stop) = parseNodes(Set("end"))
+              if (!stop.contains("end")) throw TemplateError("missing end for define")
+              pos += 1 // consume end
+              defs(name) = body
+            case "template" =>
+              // {{ template "name" [pipeline] }}
+              val m = "\"([^\"]+)\"\\s*(.*)".r.findFirstMatchIn(
+                content.split("\\s+", 2).lift(1).getOrElse(""))
+                .getOrElse(throw TemplateError("template needs a name"))
+              val pipe = Option(m.group(2)).map(_.trim).filter(_.nonEmpty)
+                .map(parsePipeline)
+              out += TemplateCall(m.group(1), pipe)
             case "end" | "else" =>
               throw TemplateError(s"unexpected $kw")
             case _ =>
@@ -100,7 +119,7 @@ object GoTemplate {
     }
     val (nodes, stop) = parseNodes(Set.empty)
     if (stop.nonEmpty) throw TemplateError(s"unexpected ${stop.get}")
-    new Template(nodes)
+    new Template(nodes, defs.toMap)
   }
 
   private def parsePipeline(src: String): Pipeline =
@@ -182,7 +201,8 @@ object GoTemplate {
   }
 
   // ---------------- execute ----------------
-  final class Template(nodes: List[Node]) {
+  final class Template(nodes: List[Node],
+                       defs: Map[String, List[Node]] = Map.empty) {
 
     def render(rec: Record, params: Map[String, Seq[String]]): String = {
       val sb = new StringBuilder
@@ -215,6 +235,11 @@ object GoTemplate {
           }
           if (items.isEmpty) renderNodes(elseBody, dot, root, params, sb)
           else items.foreach(item => renderNodes(body, item, root, params, sb))
+        case TemplateCall(name, pipe) =>
+          val body = defs.getOrElse(name,
+            throw TemplateError(s"undefined template $name"))
+          val dot2 = pipe.map(evalPipe(_, dot, root, params)).getOrElse(dot)
+          renderNodes(body, dot2, root, params, sb)
         case b: Block => throw TemplateError(s"unsupported block ${b.kind}")
       }
 

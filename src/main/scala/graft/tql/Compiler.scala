@@ -33,7 +33,9 @@ object Compiler {
                   tableIns: Option[TableInsert] = None,
                   /** CHART/GEOMAP spec sinks — sink options kept as raw
                     * AST calls, applied at render time */
-                  chartArgs: Option[List[Expr]] = None)
+                  chartArgs: Option[List[Expr]] = None,
+                  /** `bridge('name')` routing for SQL/INSERT sinks */
+                  bridge: Option[String] = None)
 
   case class TableInsert(append: Boolean, table: String, tag: Option[String],
                          columns: Seq[String])
@@ -45,6 +47,10 @@ object Compiler {
 
   /** Column ref tolerant of names with dots/spaces (user-given aliases). */
   private[tql] def vcol(name: String): Column = col(s"`$name`")
+
+  /** serving root for sink `file()` templates (the reference resolves
+    * them against its tql filesystem root). */
+  @volatile var templateRoot: String = "."
 
   private val currentParams = new ThreadLocal[Map[String, Seq[String]]] {
     override def initialValue(): Map[String, Seq[String]] = Map.empty
@@ -171,6 +177,23 @@ object Compiler {
   private def runTableSink(c: Compiled): String = {
     val spec = c.sink.tableIns.get
     val spark = c.pipe.df.sparkSession
+    c.sink.bridge.foreach { bridgeName =>
+      // INSERT(bridge('x'), cols…, table(t)): one INSERT statement per
+      // record. The reference's bridge path overwrites rowsAffected per
+      // statement instead of summing (fm_dbsink.go:137-142), so the DML
+      // message reports only the LAST statement — mimicked verbatim
+      // (tql_test.go:2291-2301 expects "1 row inserted." after 2 rows).
+      val db = graft.server.Bridge(bridgeName)
+      import scala.jdk.CollectionConverters._
+      var last = 0L
+      c.output.toLocalIterator().asScala.foreach { row =>
+        val sqlText = s"INSERT INTO ${spec.table}(${spec.columns.mkString(",")}) " +
+          s"VALUES(${spec.columns.map(_ => "?").mkString(",")})"
+        last = db.exec(spark, sqlText, row.toSeq).rowsAffected
+      }
+      val unit = if (last <= 1) "row" else "rows"
+      return s"""{"data":{"message":"$last $unit inserted."},"success":true,"reason":"success"}"""
+    }
     graft.server.TagTables.ensure(spark, spec.table)
     val columns =
       if (spec.append) graft.server.TagTables.columnsOf(spec.table)
@@ -188,6 +211,16 @@ object Compiler {
   private val InsertRe =
     "(?is)^\\s*insert\\s+into\\s+([A-Za-z0-9_]+)\\s*\\(([^)]*)\\)\\s*values\\s*\\((.*)\\)\\s*$".r
 
+  /** a constant bind expression (param()/literals — no row context). */
+  private def constBindValue(e: Expr): Any = e match {
+    case Expr.Str(v) => v
+    case Expr.Num(v) => if (v == math.rint(v)) Long.box(v.toLong) else Double.box(v)
+    case Expr.Bool(b) => Boolean.box(b)
+    case Expr.Call("param", List(Expr.Str(n))) =>
+      currentParams.get.get(n).flatMap(_.headOption).orNull
+    case other => throw new IllegalArgumentException(s"unsupported SQL bind: $other")
+  }
+
   /** Execute an SQL sink statement per record (insert with ? binds), or
     * once (exec/DDL), and render the DML message envelope. */
   private def runSqlSink(c: Compiled): String = {
@@ -195,6 +228,29 @@ object Compiler {
     val spark = c.pipe.df.sparkSession
     def envelope(msg: String): String =
       s"""{"data":{"message":"$msg"},"success":true,"reason":"success"}"""
+    c.sink.bridge.foreach { bridgeName =>
+      // bridged SQL sink: execute per record with value(i) binds bound
+      // from the row; counts accumulate into one DML message
+      val db = graft.server.Bridge(bridgeName)
+      import scala.jdk.CollectionConverters._
+      var total = 0L
+      var verb = "inserted"
+      c.output.toLocalIterator().asScala.foreach { row =>
+        val binds = bindExprs.map {
+          case Expr.Call("value", List(Expr.Num(i))) => row.get(i.toInt)
+          case Expr.Call("value", Nil) => row.get(0)
+          case other => constBindValue(other)
+        }
+        val res = db.exec(spark, sql, binds)
+        total += res.rowsAffected
+        verb = res.verb
+      }
+      val msg =
+        if (verb == "created") "Created successfully."
+        else if (total == 1) s"a row $verb."
+        else s"$total rows $verb."
+      return envelope(msg)
+    }
     sql.trim.toLowerCase match {
       case s if s.startsWith("insert") =>
         val (table, columns, valuesBody) = sql match {
@@ -250,6 +306,18 @@ object Compiler {
     }
     st.call match {
       case Call("SCRIPT", args) => compileScriptSource(spark, args)
+      case Call("SQL", Call("bridge", List(Str(bridgeName))) :: Str(sql) :: binds) =>
+        // bridged database source (tql_test.go:2258-2572): SELECT yields
+        // rows, anything else executes and yields the result message
+        val db = graft.server.Bridge(bridgeName)
+        val bindVals = binds.map(constBindValue)
+        if (sql.trim.toLowerCase.startsWith("select"))
+          keyed(db.query(spark, sql, bindVals))
+        else {
+          val res = db.exec(spark, sql, bindVals)
+          import spark.implicits._
+          keyed(Seq(res.message).toDF("MESSAGE"))
+        }
       case Call("SQL", List(Str(sql))) =>
         ensureTagTables(spark, sql)
         // route through the query door so SHOW/DESC/EXPLAIN get the
@@ -1120,20 +1188,32 @@ object Compiler {
   }
 
   // ---------------- SCRIPT ----------------
-  /** `$.db().query(sql)` in driver-side SCRIPT: columns + rows via the
-    * query door; values converted to JS types. */
-  private def scriptDbQuery(spark: SparkSession)(sql: String): (Seq[String], Seq[Seq[Any]]) = {
-    val df = graft.server.QueryDoor.execute(spark, sql)
+  /** `$.db([{bridge}]).query(sql, binds…)` in driver-side SCRIPT: columns
+    * + rows via the query door (or the named bridge); values converted to
+    * JS types. */
+  private def scriptDbQuery(spark: SparkSession)(
+      bridgeName: Option[String], sql: String,
+      binds: Seq[Any]): (Seq[String], Seq[Seq[Any]]) = {
+    val df = bridgeName match {
+      case Some(b) => graft.server.Bridge(b).query(spark, sql, binds)
+      case None => graft.server.QueryDoor.execute(spark,
+        graft.server.Bridge.bindSql(sql, binds))
+    }
     (df.columns.toSeq,
       df.collect().toSeq.map(_.toSeq.map(graft.script.ScriptOps.toJs)))
   }
 
-  /** `$.db().exec(sql)` in driver-side SCRIPT: route through the query
-    * door; failures come back as JS Error objects (the create-tqlbin
-    * fixture checks `ret instanceof Error` — tql_test.go:756-775). */
-  private def scriptDbExec(spark: SparkSession)(sql: String): Any =
+  /** `$.db([{bridge}]).exec(sql, binds…)` in driver-side SCRIPT; failures
+    * come back as JS Error objects (the create-tqlbin fixture checks
+    * `ret instanceof Error` — tql_test.go:756-775). */
+  private def scriptDbExec(spark: SparkSession)(
+      bridgeName: Option[String], sql: String, binds: Seq[Any]): Any =
     try {
-      graft.server.QueryDoor.execute(spark, sql).collect()
+      bridgeName match {
+        case Some(b) => graft.server.Bridge(b).exec(spark, sql, binds)
+        case None => graft.server.QueryDoor.execute(spark,
+          graft.server.Bridge.bindSql(sql, binds)).collect()
+      }
       graft.script.Interp.JsUndefined
     } catch {
       case e: Exception =>
@@ -1260,12 +1340,17 @@ object Compiler {
     import Expr._
     val fmt = st.call.name
     if (fmt == "SQL") {
-      // statement sink: SQL('insert|exec|ddl …', binds…) executed per
-      // record (fm_dbsrc.go SQL sink). Renders the DML message envelope.
-      val sql = st.call.args.headOption.flatMap(constStringOpt).getOrElse(
+      // statement sink: SQL([bridge('x'),] 'insert|exec|ddl …', binds…)
+      // executed per record (fm_dbsrc.go SQL sink). Renders the DML
+      // message envelope.
+      val bridgeName = st.call.args.collectFirst {
+        case Call("bridge", List(Str(b))) => b }
+      val rest = st.call.args.filterNot {
+        case Call("bridge", _) => true; case _ => false }
+      val sql = rest.headOption.flatMap(constStringOpt).getOrElse(
         throw new IllegalArgumentException(s"SQL sink needs a statement: ${st.text}"))
       return Sink("SQLEXEC", graft.sinks.Codecs.Options(),
-        Some((sql, st.call.args.drop(1))))
+        Some((sql, rest.drop(1))), bridge = bridgeName)
     }
     if (fmt == "CHART" || fmt == "GEOMAP" || fmt.startsWith("CHART_")) {
       // presentation spec sinks (mods/codec/internal/chart, geomap);
@@ -1279,8 +1364,11 @@ object Compiler {
       }.getOrElse(throw new IllegalArgumentException(s"$fmt needs table(): ${st.text}"))
       val tag = st.call.args.collectFirst { case Call("tag", List(Str(t))) => t }
       val cols = st.call.args.collect { case Str(c) => c }
+      val bridgeName = st.call.args.collectFirst {
+        case Call("bridge", List(Str(b))) => b }
       return Sink("TABLEINS", graft.sinks.Codecs.Options(),
-        tableIns = Some(TableInsert(fmt == "APPEND", table, tag, cols)))
+        tableIns = Some(TableInsert(fmt == "APPEND", table, tag, cols)),
+        bridge = bridgeName)
     }
     val known = Set("CSV", "JSON", "NDJSON", "MARKDOWN", "BOX", "DISCARD",
       "TEXT", "HTML")
@@ -1288,8 +1376,15 @@ object Compiler {
     var opts = graft.sinks.Codecs.Options()
     if (fmt == "TEXT" || fmt == "HTML" || fmt == "MARKDOWN") {
       // TEXT/HTML/MARKDOWN(template…) — string args are template content
-      // (fm_encoder.go:68; markdown TEMPLATE case tql_test.go:1056)
-      val tpl = st.call.args.collect { case Str(s) => s }
+      // (fm_encoder.go:68; markdown TEMPLATE case tql_test.go:1056);
+      // file('/x.html') args load from the serving root (templates may
+      // span files via define/template — tql_test.go:2352-2366)
+      val tpl = st.call.args.collect {
+        case Str(s) => s
+        case Call("file", List(Str(path))) =>
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(templateRoot, path)), "UTF-8")
+      }
       if (tpl.nonEmpty)
         opts = opts.copy(template = Some(tpl.mkString),
           templateParams = currentParams.get)
