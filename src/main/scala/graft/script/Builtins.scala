@@ -785,6 +785,48 @@ object Builtins {
       m("gc") = Native("gc", 0, (_, _) => JsUndefined)
       m("now") = Native("now", 0, (_, _) => JsDate((interp.host.nowNs / 1000000L).toDouble))
       Some(m)
+    case "mathx/spatial" | "@jsh/mathx/spatial" =>
+      // jsh/lib/mathx/spatial/spatial.go: haversine + parseGeoJSON
+      val m = newObj()
+      m("haversine") = Native("haversine", -1, (_, args) => {
+        def coord(v: Any): (Double, Double) = v match {
+          case a: ArrayBuffer[_] if a.size >= 2 => (toNum(a(0)), toNum(a(1)))
+          case _ => throwErr("Error", "haversine invalid coordinates")
+        }
+        val (c1, c2, radius) = args match {
+          case Seq(o: mutable.LinkedHashMap[_, _]) =>
+            val om = o.asInstanceOf[mutable.LinkedHashMap[String, Any]]
+            val cs = om.get("coordinates") match {
+              case Some(a: ArrayBuffer[_]) if a.size >= 2 => a
+              case _ => throwErr("Error", "haversine invalid coordinates")
+            }
+            (coord(cs(0)), coord(cs(1)),
+              om.get("radius").map(toNum).getOrElse(0d))
+          case Seq(a, b) => (coord(a), coord(b), 0d)
+          case _ => throwErr("Error", "haversine invalid arguments")
+        }
+        val r = if (radius > 0) radius else 6371000.0
+        def rad(d: Double) = d * math.Pi / 180.0
+        val dPhi = rad(c2._1 - c1._1); val dLam = rad(c2._2 - c1._2)
+        val a = math.sin(dPhi / 2) * math.sin(dPhi / 2) +
+          math.cos(rad(c1._1)) * math.cos(rad(c2._1)) *
+            math.sin(dLam / 2) * math.sin(dLam / 2)
+        java.lang.Double.valueOf(
+          r * 2 * math.atan2(math.sqrt(a), math.sqrt(1 - a)))
+      })
+      val geoTypes = Set("FeatureCollection", "Feature", "Point", "MultiPoint",
+        "LineString", "MultiLineString", "Polygon", "MultiPolygon",
+        "GeometryCollection")
+      m("parseGeoJSON") = Native("parseGeoJSON", 1, (_, args) => args.head match {
+        case o: mutable.LinkedHashMap[_, _] =>
+          val om = o.asInstanceOf[mutable.LinkedHashMap[String, Any]]
+          val typ = om.get("type").map(display).getOrElse("")
+          if (typ.isEmpty) Interp.errObj("Error", "GeoJSONError missing a GeoJSON type")
+          else if (geoTypes(typ)) om // validated; value round-trips as-is
+          else Interp.errObj("Error", "GeoJSONError unsupported GeoJSON type")
+        case _ => Interp.errObj("Error", "GeoJSONError missing a GeoJSON type")
+      })
+      Some(m)
     case "mathx" | "@jsh/mathx" =>
       val m = newObj()
       // m.fft(times, values) → [[hz, amp], …] (mods/nums/fft.go via FftOp)
