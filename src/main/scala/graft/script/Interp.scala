@@ -43,6 +43,10 @@ object Interp {
   final class BreakSig extends RuntimeException(null, null, false, false)
   final class ContinueSig extends RuntimeException(null, null, false, false)
 
+  /** deadline interrupt — deliberately NOT a JsThrown, so script-level
+    * try/catch cannot swallow it (goja interrupt semantics). */
+  final case class ScriptInterrupt(msg: String) extends RuntimeException(msg)
+
   def errObj(name: String, message: String): mutable.LinkedHashMap[String, Any] = {
     val m = mutable.LinkedHashMap[String, Any]()
     m("name") = name
@@ -205,6 +209,21 @@ import Interp._
 /** One interpreter instance = one isolated global scope (per SCRIPT node,
   * or per partition in the distributed `mapScript` path). */
 final class Interpreter(val host: Interp.Host) {
+  /** wall-clock interrupt deadline (System.nanoTime scale) — runaway
+    * scripts are cut off like goja's ctx interrupt (the reference runs
+    * each SCRIPT under the task context, tql_test.go:2182-2256). NOT
+    * catchable by JS try/catch. */
+  @volatile var deadlineNanoTime: Long = Long.MaxValue
+  /** label for the interrupt message ("SCRIPT main", "finalize", …). */
+  @volatile var interruptLabel: String = "SCRIPT main"
+  private var interruptCounter = 0
+  @inline private def checkInterrupt(): Unit = {
+    interruptCounter += 1
+    if ((interruptCounter & 0x3FF) == 0 &&
+      deadlineNanoTime != Long.MaxValue &&
+      System.nanoTime() > deadlineNanoTime)
+      throw Interp.ScriptInterrupt(s"interrupt at $interruptLabel")
+  }
   val global = new Env(null)
   private var rngState: Long = host.nowNs ^ 0x5DEECE66DL
   Builtins.install(this)
@@ -235,6 +254,7 @@ final class Interpreter(val host: Interp.Host) {
       val loopEnv = new Env(env)
       init.foreach(execStmt(_, loopEnv))
       while (cond.forall(c => truthy(eval(c, loopEnv)))) {
+        checkInterrupt()
         try execStmt(body, loopEnv)
         catch {
           case _: ContinueSig =>
@@ -261,6 +281,7 @@ final class Interpreter(val host: Interp.Host) {
       var continue = true
       val it = items
       while (continue && it.hasNext) {
+        checkInterrupt()
         loopEnv.vars(varName) = it.next()
         try execStmt(body, loopEnv)
         catch {
@@ -271,6 +292,7 @@ final class Interpreter(val host: Interp.Host) {
     case While(c, body, _) =>
       var continue = true
       while (continue && truthy(eval(c, env))) {
+        checkInterrupt()
         try execStmt(body, env)
         catch {
           case _: ContinueSig =>
@@ -280,6 +302,7 @@ final class Interpreter(val host: Interp.Host) {
     case DoWhile(body, c, _) =>
       var continue = true
       while (continue) {
+        checkInterrupt()
         try execStmt(body, env)
         catch {
           case _: ContinueSig =>

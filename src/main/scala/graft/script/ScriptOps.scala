@@ -172,11 +172,15 @@ final class ScriptNode(
     interp.exec(mainProg, interp.global)
   }
 
+  /** arm the runaway-script interrupt (absolute System.nanoTime). */
+  def setDeadline(nanoTime: Long): Unit = interp.deadlineNanoTime = nanoTime
+
   /** EOF: the deinit block if present, ELSE the user's finalize() —
     * mutually exclusive, exactly like fm_script.go:220-236. */
   def finish(): Unit = if (!finished) {
     finished = true
     ensureInit()
+    interp.interruptLabel = "finalize"
     if (deinitCode.trim.nonEmpty) interp.run(deinitCode)
     else interp.global.lookup("finalize") match {
       case Some(c: Callable) => interp.callFunction(c, JsUndefined, Nil)
@@ -230,13 +234,29 @@ object ScriptOps {
           params: Map[String, Seq[String]],
           payload: Option[String],
           dbExec: Option[(Option[String], String, Seq[Any]) => Any] = None,
-          dbQuery: Option[(Option[String], String, Seq[Any]) => (Seq[String], Seq[Seq[Any]])] = None): ScriptResult = {
+          dbQuery: Option[(Option[String], String, Seq[Any]) => (Seq[String], Seq[Seq[Any]])] = None,
+          deadlineNanoTime: Long = Long.MaxValue): ScriptResult = {
     val logs = ArrayBuffer.empty[(String, String)]
     val node = new ScriptNode(initCode, mainCode, deinitCode, nowNs, params,
       payload, isSource, (lvl, msg) => logs += ((lvl, msg)), dbExec, dbQuery)
-    if (isSource) node.runOnce()
-    else records.foreach { case (k, vs, vars) => node.feed(k, vs, vars) }
-    node.finish()
+    node.setDeadline(deadlineNanoTime)
+    // interrupt semantics (tql_test.go:2182-2256): a deadline hit during
+    // init/main discards the payload entirely; during finalize the rows
+    // yielded so far survive. Both log the interrupt as an ERROR.
+    try {
+      if (isSource) node.runOnce()
+      else records.foreach { case (k, vs, vars) => node.feed(k, vs, vars) }
+    } catch {
+      case e: Interp.ScriptInterrupt =>
+        logs += (("ERROR", e.msg))
+        node.out.clear()
+        return ScriptResult(Seq.empty, node.resultColumns, logs.toSeq)
+    }
+    try node.finish()
+    catch {
+      case e: Interp.ScriptInterrupt =>
+        logs += (("ERROR", s"SCRIPT finalize, ${e.msg}"))
+    }
     val env = node.resultColumns.orElse {
       if (isSource)
         node.out.headOption.map { case (_, vs, _) =>

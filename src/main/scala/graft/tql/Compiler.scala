@@ -52,6 +52,20 @@ object Compiler {
     * them against its tql filesystem root). */
   @volatile var templateRoot: String = "."
 
+  /** task deadline (System.nanoTime) for runaway-SCRIPT interruption —
+    * the reference runs each task under a context with timeout. */
+  private[tql] val currentDeadline = new ThreadLocal[java.lang.Long] {
+    override def initialValue(): java.lang.Long = java.lang.Long.MAX_VALUE
+  }
+
+  /** run with a task timeout (the CtxTimeout seam tql_test.go:2191). */
+  def runWithTimeout(spark: SparkSession, script: String,
+                     timeoutMs: Long): String = {
+    currentDeadline.set(System.nanoTime() + timeoutMs * 1000000L)
+    try run(spark, script)
+    finally currentDeadline.set(java.lang.Long.MAX_VALUE)
+  }
+
   private val currentParams = new ThreadLocal[Map[String, Seq[String]]] {
     override def initialValue(): Map[String, Seq[String]] = Map.empty
   }
@@ -1242,7 +1256,8 @@ object Compiler {
     val (i, m, d) = scriptBlocks(args)
     val res = graft.script.ScriptOps.run(Iterator.empty, isSource = true,
       i, m, d, currentNowNs.get, currentParams.get, paramFirst("payload"),
-      Some(scriptDbExec(spark)), Some(scriptDbQuery(spark)))
+      Some(scriptDbExec(spark)), Some(scriptDbQuery(spark)),
+      deadlineNanoTime = currentDeadline.get)
     res.logs.foreach { case (lvl, msg) => TqlLog.log(lvl, msg) }
     buildScriptPipe(spark, res, upstreamEnv = None)
   }
@@ -1280,7 +1295,8 @@ object Compiler {
     }
     val res = graft.script.ScriptOps.run(records, isSource = false,
       i, m, d, currentNowNs.get, currentParams.get, None,
-      Some(scriptDbExec(spark)), Some(scriptDbQuery(spark)))
+      Some(scriptDbExec(spark)), Some(scriptDbQuery(spark)),
+      deadlineNanoTime = currentDeadline.get)
     res.logs.foreach { case (lvl, msg) => TqlLog.log(lvl, msg) }
     // envelope: $.result wins; else the reference keeps the INPUT node's
     // column metadata even when yield arity differs (fm_script_test.go:74+)
