@@ -495,12 +495,26 @@ object Compiler {
     var table = ""
     var tag = ""
     var between: Option[(Lake.TimeBound, Lake.TimeBound)] = None
-    var limit: Option[Int] = None
+    var periodNs: Option[Long] = None
+    var limitN: Option[Int] = None
+    var offsetN = 0
     args.foreach {
       case Call("from", Str(t) :: Str(tg) :: _) => table = t; tag = tg
       case Call("between", List(a, b)) =>
         between = Some((evalTimeBound(a), evalTimeBound(b)))
-      case Call("limit", List(Num(n))) => limit = Some(n.toInt)
+      case Call("between", List(a, b, p)) =>
+        // between(a, b, period): the generator emits a time-bucket
+        // GROUP BY — `round(time/period)*period` (fm_dbsrc.go:180-227),
+        // column strings become aggregate expressions over the bucket
+        between = Some((evalTimeBound(a), evalTimeBound(b)))
+        periodNs = Some(p match {
+          case Str(d) => graft.time.TimeFns.parseDurationNs(d)
+          case Num(n) => n.toLong
+          case other => throw new IllegalArgumentException(s"bad period: $other")
+        })
+      case Call("limit", List(Num(n))) => limitN = Some(n.toInt)
+      case Call("limit", List(Num(o), Num(n))) =>
+        offsetN = o.toInt; limitN = Some(n.toInt)
       case _ =>
     }
     require(table.nonEmpty, "SQL_SELECT requires from(table, tag)")
@@ -508,9 +522,29 @@ object Compiler {
     between.foreach { case (a, b) =>
       df = Lake.betweenFilter(df, "time", a, b, nowNs)
     }
-    df = df.orderBy("time").select(cols.map(col): _*)
-    limit.foreach(n => df = df.limit(n))
-    Pipe(if (needKey) withRownum(df) else df, "_key", cols)
+    df = periodNs match {
+      case Some(p) =>
+        // machbase round() is arithmetic (half-up) on the division
+        val half = p / 2
+        val timeNs = df.schema("time").dataType match {
+          case org.apache.spark.sql.types.LongType => col("time")
+          case _ => col("time").cast("decimal(38,9)")
+            .*(lit(1000000000L)).cast("long")
+        }
+        val bucket = (floor((timeNs + half).cast("double") / p.toDouble)
+          .cast("long") * p).as("time")
+        val aggCols = cols.filterNot(_ == "time").map { c =>
+          if (c.contains("(")) expr(c)
+          else first(col(c)).as(c) // non-aggregated column: any member
+        }
+        require(aggCols.nonEmpty, "SQL_SELECT(period) needs a value column")
+        df.groupBy(bucket).agg(aggCols.head, aggCols.tail: _*)
+          .orderBy("time")
+      case None => df.orderBy("time").select(cols.map(c => expr(c)): _*)
+    }
+    limitN.foreach(n => df = df.offset(offsetN).limit(n))
+    val outCols = df.columns.toSeq
+    Pipe(if (needKey) withRownum(df) else df, "_key", outCols)
   }
 
   private def compileQueryV1(spark: SparkSession, args: List[Expr], needKey: Boolean,

@@ -213,6 +213,13 @@ class ShowCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stmts.nonEmpty)
   }
 
+  test("select preserves the query's column-name casing (machsvr_test.go:1292-1325)") {
+    TagTables.ensure(spark, "log_data")
+    val cols = QueryDoor.execute(spark,
+      "select TiMe,Short_Value from log_data limit 10").columns.toSeq
+    assert(cols == Seq("TiMe", "Short_Value"))
+  }
+
   test("log table: appender columns lead with _ARRIVAL_TIME (logtable.go:77-96)") {
     assert(TagTables.appenderColumns("log_data") == Seq(
       ("_ARRIVAL_TIME", "datetime", 8, "datetime"),
