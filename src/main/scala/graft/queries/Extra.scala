@@ -166,6 +166,26 @@ object Extra {
         .orderBy("event_type")
     }),
 
+    // ---- line-protocol ingest, distributed decode ---------------------
+    // Telegraf-shaped lines are synthesized FROM events (deterministic),
+    // decoded executor-side via LineProtocol.parseDf (mapPartitions), and
+    // aggregated — the oracle reproduces the same numbers straight from
+    // events, proving the decode round-trip at the gate.
+    "q_ilp_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events").filter(col("user_id") < 20)
+      val lines = e.select(format_string("metrics,host=h%d %s=%s %d",
+        pmod(col("user_id"), lit(4)),
+        col("event_type"),
+        col("value").cast("string"),
+        graft.time.TimeFns.nsToUs(tsNs(e)) * 1000L).as("line")).as[String]
+      graft.sources.LineProtocol.parseDf(lines)
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("cnt"),
+          r2(sum(dec2(col("value"))).cast("double")).as("sum_value"))
+        .orderBy("name")
+    }),
+
     // ---- IVF ANN (coarse k-means quantizer + nprobe; rows-only) -------
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -228,6 +248,10 @@ object Extra {
          FROM events
          WHERE epoch_us(ts) >= 1704412800000000 AND epoch_us(ts) < 1704499200000000
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_ilp_ingest" ->
+      """SELECT 'metrics.' || event_type AS name, count(*) AS cnt,
+         round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+         FROM events WHERE user_id < 20 GROUP BY 1 ORDER BY 1""",
     "q_log_tail" ->
       s"""SELECT event_type, count(*) AS cnt,
          floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value))*10000.0 + 0.5)/10000.0 AS avg_value
