@@ -59,4 +59,14 @@ class SeqOpsSpec extends SparkSpec {
       .orderBy("t").select("t").as[Long].collect()
     assert(got.toSeq == Seq(1L, 3L, 5L))
   }
+
+  test("filterChanged(useFirstWithLast) also emits each run's closing row (fm_monad.go:121-238)") {
+    val df = Seq(("a", 1L, "x"), ("a", 2L, "x"), ("a", 3L, "x"),
+      ("a", 4L, "y"), ("a", 5L, "x"), ("a", 6L, "x"))
+      .toDF("name", "t", "s")
+    val got = SeqOps.filterChangedFirstLast(df, $"s", Seq($"name"), $"t")
+      .orderBy("t").select("t").as[Long].collect()
+    // runs: x[1..3], y[4], x[5..6] → openers 1,4,5 + closers 3,4,6
+    assert(got.toSeq == Seq(1L, 3L, 4L, 5L, 6L))
+  }
 }
