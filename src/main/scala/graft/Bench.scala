@@ -43,7 +43,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    var shuffles, broadcasts, codegenSpans = 0
+    var shuffles, broadcasts, codegenSpans, globalWindows = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       var lastDf: DataFrame = null
       val runs = (1 to 2).map { _ =>
@@ -65,9 +65,24 @@ object Bench {
         broadcasts += nBc
         codegenSpans += "\\*\\(\\d+\\)".r.findAllMatchIn(plan)
           .map(_.matched).toSet.size
+        // single-partition window exchanges — the 100-TB anti-pattern.
+        // MUST stay 0 (VERDICT r3); counted on the AQE-final plan tree.
+        val tree = lastDf.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        globalWindows += tree.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+        }.size
       } catch { case _: Throwable => }
       name -> (if (runs.exists(_ < 0)) -1d else runs.min)
     }
+    if (globalWindows > 0)
+      System.err.println(s"[bench] WARNING: $globalWindows global-window exchanges in plans")
 
     // ---- ingest benchmark (BASELINE append-path comparison) ----------
     def simpleRows(n: Long): DataFrame = spark.range(n).select(
@@ -131,7 +146,7 @@ object Bench {
       s""""tag_data_rows_per_sec":${(nWide / wideSec).toLong},""" +
       s""""tag_data_rows_per_sec_core":${(nWide1 / wide1Sec).toLong}}"""
     val audit =
-      s"""{"shuffles":$shuffles,"broadcasts":$broadcasts,"codegenSpans":$codegenSpans}"""
+      s"""{"shuffles":$shuffles,"broadcasts":$broadcasts,"codegenSpans":$codegenSpans,"globalWindows":$globalWindows}"""
     val sfName = new java.io.File(sfDir).getName
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"ingest":$ingest,"planAudit":$audit,"sf":"$sfDir"}"""
     try Files.write(java.nio.file.Paths.get("bench_full.json"),

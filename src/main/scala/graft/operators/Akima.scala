@@ -1,9 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.udf
-
 /** Akima sub-spline interpolation (public formulation: H. Akima 1970,
   * "A New Method of Interpolation and Smooth Curve Fitting Based on
   * Local Procedures", JACM 17(4); same method gonum/interp implements —
@@ -104,6 +100,41 @@ object Akima {
     h00 * ys(lo) + h10 * h(lo) * d(lo) + h01 * ys(lo + 1) + h11 * h(lo) * d(lo + 1)
   }
 
+  /** predict("piecewiseconstant") — LOCF over the knots; the leading
+    * gap backfills from the first observation (gonum PiecewiseConstant
+    * predicts the first knot before it). */
+  def evalLocf(xs: Array[Double], ys: Array[Double], x: Double): Double = {
+    val n = xs.length
+    if (n == 0) return Double.NaN
+    if (x <= xs(0)) return ys(0)
+    if (x >= xs(n - 1)) return ys(n - 1)
+    var lo = 0
+    var hi = n - 1
+    while (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid) <= x) lo = mid else hi = mid
+    }
+    ys(lo)
+  }
+
+  /** predict("piecewiselinear") — linear interpolation between the
+    * surrounding knots, clamped to the endpoints outside the domain.
+    * The arithmetic keeps the `pv + (nv-pv)*(x-pt)/(nt-pt)` association
+    * so results are bit-identical to the SQL-window formulation. */
+  def evalLinear(xs: Array[Double], ys: Array[Double], x: Double): Double = {
+    val n = xs.length
+    if (n == 0) return Double.NaN
+    if (x <= xs(0)) return ys(0)
+    if (x >= xs(n - 1)) return ys(n - 1)
+    var lo = 0
+    var hi = n - 1
+    while (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid) <= x) lo = mid else hi = mid
+    }
+    ys(lo) + (ys(lo + 1) - ys(lo)) * (x - xs(lo)) / (xs(lo + 1) - xs(lo))
+  }
+
   /** Ordinary least squares over all knots, evaluated at x (the
     * reference's predict("linearregression") — gonum stat.LinearRegression
     * fit over observed points, applied to gaps AND extrapolated edges). */
@@ -119,20 +150,4 @@ object Akima {
     alpha + beta * x
   }
 
-  /** UDF forms: (x, array<struct<x,y>>) → interpolated value. Knot lists
-    * arrive bucket-sorted from the window collect (nulls pre-filtered by
-    * collect_list). */
-  private def mkUdf(k: (Array[Double], Array[Double], Double) => Double) =
-    udf { (x: Long, knots: Seq[Row]) =>
-      val xs = knots.map(_.getLong(0).toDouble).toArray
-      val ys = knots.map(_.getDouble(1)).toArray
-      k(xs, ys, x.toDouble)
-    }
-  private val akimaUdf = mkUdf(eval)
-  private val fbUdf = mkUdf(evalFritschButland)
-  private val linregUdf = mkUdf(evalLinReg)
-
-  def evalUdf(x: Column, knots: Column): Column = akimaUdf(x, knots)
-  def fritschButlandUdf(x: Column, knots: Column): Column = fbUdf(x, knots)
-  def linRegUdf(x: Column, knots: Column): Column = linregUdf(x, knots)
 }

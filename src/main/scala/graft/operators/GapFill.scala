@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.time.TimeFns
 
@@ -67,52 +66,35 @@ object GapFill {
         aggs.foldLeft(joined) { case (d, (n, _)) =>
           d.withColumn(n, coalesce(col(n), lit(v)))
         }.orderBy("bucket_ns")
-      case FillPrevious =>
-        val wPrev = Window.orderBy("bucket_ns")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wNext = Window.orderBy("bucket_ns")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        aggs.foldLeft(joined) { case (d, (n, _)) =>
-          // LOCF; leading gap backfills from the first observation
-          // (gonum PiecewiseConstant predicts the first knot before it).
-          d.withColumn(n, coalesce(
-            last(col(n), ignoreNulls = true).over(wPrev),
-            first(col(n), ignoreNulls = true).over(wNext)))
-        }.orderBy("bucket_ns")
-      case FillAkima | FillFritschButland | FillLinReg =>
-        // knots (observed buckets) are bounded by the bucket count, so a
-        // window-collected knot list per row is presentation-scale safe;
-        // the spline itself is a deterministic scalar kernel.
-        val ord = Window.orderBy("bucket_ns")
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val kernel: (Column, Column) => Column = fill match {
-          case FillFritschButland => Akima.fritschButlandUdf
-          case FillLinReg => Akima.linRegUdf
-          case _ => Akima.evalUdf
+      case _ =>
+        // Every predictor interpolates over the OBSERVED knots — which
+        // are bounded by the bucket count (a query parameter), not the
+        // data size. So fit once on the driver and evaluate the scalar
+        // kernel per spine row: no global window (the old design moved
+        // the whole spine through one partition AND duplicated the knot
+        // list per row), and the fill stays fully distributed.
+        val kernel: (Array[Double], Array[Double], Double) => Double = fill match {
+          case FillPrevious => Akima.evalLocf
+          case FillLinear => Akima.evalLinear
+          case FillFritschButland => Akima.evalFritschButland
+          case FillLinReg => Akima.evalLinReg
+          case _ => Akima.eval
         }
-        aggs.foldLeft(joined) { case (d, (n, _)) =>
-          val knots = collect_list(when(col(n).isNotNull,
-            struct(col("bucket_ns").as("x"), col(n).cast("double").as("y")))).over(ord)
-          // only synthesized buckets are filled; observed values stay
-          d.withColumn(n,
-            when(col(n).isNotNull, col(n))
-              .otherwise(kernel(col("bucket_ns"), knots)))
-        }.orderBy("bucket_ns")
-      case FillLinear =>
-        val ord = Window.orderBy("bucket_ns")
-        val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        aggs.foldLeft(joined) { case (d, (n, _)) =>
-          val pv = last(col(n), ignoreNulls = true).over(wPrev)
-          val pt = last(when(col(n).isNotNull, col("bucket_ns")), ignoreNulls = true).over(wPrev)
-          val nv = first(col(n), ignoreNulls = true).over(wNext)
-          val nt = first(when(col(n).isNotNull, col("bucket_ns")), ignoreNulls = true).over(wNext)
-          val interp = pv + (nv - pv) * (col("bucket_ns") - pt) / (nt - pt)
-          d.withColumn(n,
-            when(col(n).isNotNull, col(n))
-              .when(pv.isNull, nv)           // leading gap → clamp to first
-              .when(nv.isNull, pv)           // trailing gap → clamp to last
-              .otherwise(interp))
+        // one knot-collect job for all agg columns
+        val obs = joined
+          .filter(aggs.map(a => col(a._1).isNotNull).reduce(_ || _))
+          .select(col("bucket_ns") +: aggs.map(a => col(a._1).cast("double")): _*)
+          .collect().sortBy(_.getLong(0))
+        aggs.zipWithIndex.foldLeft(joined) { case (d, ((n, _), i)) =>
+          val knots = obs.filter(!_.isNullAt(i + 1))
+          if (knots.isEmpty) d // nothing observed: keep nulls
+          else {
+            val xs = knots.map(_.getLong(0).toDouble)
+            val ys = knots.map(_.getDouble(i + 1))
+            val f = udf((x: Long) => kernel(xs, ys, x.toDouble))
+            // only synthesized buckets are filled; observed values stay
+            d.withColumn(n, when(col(n).isNotNull, col(n)).otherwise(f(col("bucket_ns"))))
+          }
         }.orderBy("bucket_ns")
     }
   }

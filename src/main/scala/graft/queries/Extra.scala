@@ -50,15 +50,18 @@ object Extra {
           count(lit(1)).as("n_rows"))
     }),
 
-    // ---- top-N by aggregate (window rank over grouped revenue) --------
+    // ---- top-N by aggregate: TakeOrderedAndProject, rank derived after.
+    // A global row_number() window would move every grouped customer
+    // through one partition; orderBy().limit(10) keeps the top-N merge
+    // distributed, and the rank is attached over 10 rows.
     "q_top_customers" -> ((s, dir) => {
       val rev = t(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("revenue"),
           count(lit(1)).as("n_orders"))
-      val w = Window.orderBy(col("revenue").desc, col("o_custkey").asc)
-      rev.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 10)
+      val top = rev.orderBy(col("revenue").desc, col("o_custkey").asc).limit(10)
+      graft.operators.RowOps.zipRownum(top, "rnk")
+        .withColumn("rnk", col("rnk").cast("int"))
         .select("rnk", "o_custkey", "revenue", "n_orders")
         .orderBy("rnk")
     }),

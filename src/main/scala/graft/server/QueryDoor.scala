@@ -316,10 +316,10 @@ object QueryDoor {
         val aggs = Seq(
           min(timeNs).as("MIN_TIME"), max(timeNs).as("MAX_TIME"),
           max(timeNs).as("RECENT_ROW_TIME")) ++ stats
-        t.groupBy(col(nameC).as("NAME"))
-          .agg(count(lit(1)).as("ROW_COUNT"), aggs: _*)
-          .withColumn("ID", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy("NAME")).cast("long"))
+        graft.operators.RowOps.zipRownum(
+          t.groupBy(col(nameC).as("NAME"))
+            .agg(count(lit(1)).as("ROW_COUNT"), aggs: _*),
+          "ID", Seq(col("NAME")))
           .select(col("ID"), col("NAME"), col("ROW_COUNT"),
             col("MIN_TIME"), col("MAX_TIME"), col("RECENT_ROW_TIME"),
             col("MIN_VALUE"), col("MIN_VALUE_TIME"),

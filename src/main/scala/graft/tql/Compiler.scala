@@ -76,10 +76,11 @@ object Compiler {
   }
 
   /** Row-order key for sequential semantics (TAKE/DROP/rownum keys).
-    * The reference keys SQL-source records by arrival rownum. */
-  private def withRownum(df: DataFrame): DataFrame =
-    df.withColumn("_key",
-      row_number().over(Window.orderBy(monotonically_increasing_id())).cast("long"))
+    * The reference keys SQL-source records by arrival rownum. Derived
+    * scale-safely (per-partition offsets, no single-partition window) —
+    * see [[graft.operators.RowOps.zipRownum]]. */
+  private def withRownum(df: DataFrame, order: Seq[Column] = Nil): DataFrame =
+    graft.operators.RowOps.zipRownum(df, "_key", order)
 
   def compile(spark: SparkSession, script: String): Compiled =
     compile(spark, script, System.currentTimeMillis() * 1000000L, Map.empty)
@@ -539,12 +540,20 @@ object Compiler {
         }
         require(aggCols.nonEmpty, "SQL_SELECT(period) needs a value column")
         df.groupBy(bucket).agg(aggCols.head, aggCols.tail: _*)
-          .orderBy("time")
-      case None => df.orderBy("time").select(cols.map(c => expr(c)): _*)
+      case None => df.select(cols.map(c => expr(c)): _*)
     }
-    limitN.foreach(n => df = df.offset(offsetN).limit(n))
     val outCols = df.columns.toSeq
-    Pipe(if (needKey) withRownum(df) else df, "_key", outCols)
+    // keyed + unlimited: the range sort inside zipRownum IS the time
+    // ordering, so don't pay a second global sort on top of it
+    val out =
+      if (needKey && limitN.isEmpty && outCols.contains("time"))
+        withRownum(df, Seq(col("time")))
+      else {
+        var ordered = df.orderBy("time")
+        limitN.foreach(n => ordered = ordered.offset(offsetN).limit(n))
+        if (needKey) withRownum(ordered) else ordered
+      }
+    Pipe(out, "_key", outCols)
   }
 
   private def compileQueryV1(spark: SparkSession, args: List[Expr], needKey: Boolean,
@@ -569,10 +578,11 @@ object Compiler {
     var df = spark.table(table).filter(col("name") === tag)
     between.foreach { case (a, b) => df = Lake.betweenFilter(df, timeCol, a, b, nowNs) }
     // time column surfaces as a datetime value (µs timestamp)
-    df = df.orderBy(timeCol).select(
+    df = df.select(
       timestamp_micros(floor(col(timeCol).cast("decimal(25,0)") / lit(1000)).cast("long")).as(timeCol) +:
         cols.map(vcol): _*)
-    Pipe(if (needKey) withRownum(df) else df, "_key", timeCol +: cols)
+    val out = if (needKey) withRownum(df, Seq(col(timeCol))) else df.orderBy(timeCol)
+    Pipe(out, "_key", timeCol +: cols)
   }
 
   /** between() bound: ns literal, time(ns), or 'now±dur' / 'last±dur'. */
@@ -835,9 +845,7 @@ object Compiler {
           case List(Num(o), Num(n)) => (o.toInt, n.toInt)
           case _ => throw new IllegalArgumentException("DROP(n) or DROP(offset, n)")
         }
-        val w = Window.orderBy(col(p.keyCol))
-        p.copy(df = p.df.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= off || col("__rn") > off + n).drop("__rn"))
+        p.copy(df = graft.operators.RowOps.drop(p.df, Seq(col(p.keyCol)), off, n))
 
       case Call("MAPVALUE", Num(idx) :: expr :: rest) if idx < 0 =>
         // MAPVALUE(-1, expr) prepends — equiv. PUSHVALUE(0, expr)
