@@ -631,6 +631,10 @@ final class Interpreter(val host: Interp.Host) {
   def callFunction(c: Callable, thisV: Any, args: List[Any]): Any = c match {
     case Native(_, _, f) => f(thisV, args)
     case Closure(fn, closedEnv) =>
+      // runaway RECURSION must be interruptible too, not just loops —
+      // goja's interrupt fires on any statement (tql_test.go interrupt
+      // battery drives both shapes)
+      checkInterrupt()
       val fenv = new Env(closedEnv)
       if (!fn.isArrow) fenv.declare("this", thisV)
       fn.params.zipWithIndex.foreach { case (p, i) =>

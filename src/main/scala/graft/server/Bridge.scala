@@ -170,7 +170,8 @@ object Bridge {
       var s = bindSql(sql, binds)
       tables.keys.foreach { t =>
         refresh(spark, t)
-        s = s.replaceAll("(?i)\\b" + t + "\\b", viewName(t))
+        // quote-aware: a table name inside a string literal stays put
+        s = QueryDoor.replaceIdent(s, t, viewName(t))
       }
       // any FROM/JOIN target that is not a registered view → sqlite error
       "(?i)\\b(?:from|join)\\s+([A-Za-z_]\\w*)".r.findAllMatchIn(s).foreach { m =>
@@ -190,7 +191,8 @@ object Bridge {
       }.toMap
       val renamed = df.columns.zipWithIndex.map { case (c, i) =>
         val wanted =
-          if (items.lift(i).exists(t => t.contains("(") && !t.contains(" as ")))
+          if (items.lift(i).exists(t => t.contains("(") &&
+              !t.toLowerCase.contains(" as ")))
             items(i)
           else c
         val mach = declared.getOrElse(wanted.toLowerCase, "string")

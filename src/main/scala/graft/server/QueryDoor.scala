@@ -97,11 +97,14 @@ object QueryDoor {
     ("(?is)^\\s*insert\\s+into\\s+(\\w+)\\s*(?:\\(([^)]*)\\)\\s*)?" +
       "values\\s*\\((.*)\\)\\s*$").r
 
-  /** split a VALUES(…) list on commas outside quotes; raw tokens. */
+  /** split a VALUES(…) / select-list / column-def list on top-level
+    * commas only: quote-aware AND paren-aware, so `NUMERIC(10,2)` or
+    * `round(value,2)` stays one token. */
   private[graft] def splitValues(body: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inStr = false
+    var depth = 0
     var i = 0
     while (i < body.length) {
       val c = body.charAt(i)
@@ -111,12 +114,46 @@ object QueryDoor {
         if (c == '\'' && (i + 1 >= body.length || body.charAt(i + 1) != '\'')) inStr = false
         else if (c == '\'') { cur.append('\''); i += 1 }
       } else if (c == '\'') { cur.append(c); inStr = true }
-      else if (c == ',') { out += cur.toString.trim; cur.clear() }
+      else if (c == '(') { depth += 1; cur.append(c) }
+      else if (c == ')') { depth -= 1; cur.append(c) }
+      else if (c == ',' && depth == 0) { out += cur.toString.trim; cur.clear() }
       else cur.append(c)
       i += 1
     }
     if (cur.nonEmpty || out.isEmpty) out += cur.toString.trim
     out.toSeq
+  }
+
+  /** Replace whole-word occurrences of identifier `from` with `to`,
+    * skipping single-quoted string literals (`''` escapes) — a blanket
+    * regex would also rewrite matches inside literals. */
+  private[graft] def replaceIdent(sql: String, from: String, to: String): String = {
+    val out = new StringBuilder
+    val n = sql.length
+    var i = 0
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_' || c == '$'
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        out.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = sql.charAt(i)
+          out.append(ch)
+          if (ch == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+            else done = true
+          }
+          i += 1
+        }
+      } else if (isIdent(c)) {
+        val start = i
+        while (i < n && isIdent(sql.charAt(i))) i += 1
+        val word = sql.substring(start, i)
+        out.append(if (word.equalsIgnoreCase(from)) to else word)
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   /** one VALUES token → JVM value (quoted string, integer, double, NULL). */
@@ -189,8 +226,7 @@ object QueryDoor {
       TagTables.allVisibleTables.collect { case (t, "Log", _) => t }
         .foreach { t =>
           TagTables.ensure(spark, t)
-          out = out.replaceAll("(?i)\\b" + t + "\\b",
-            TagTables.arrivalViewName(t))
+          out = replaceIdent(out, t, TagTables.arrivalViewName(t))
         }
     }
     out

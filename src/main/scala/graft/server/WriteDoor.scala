@@ -35,7 +35,11 @@ object WriteDoor {
         case "application/x-ndjson" | "application/jsonl" =>
           val objs = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
             .map(l => asMap(graft.script.Builtins.jsonParse(l))).toSeq
-          val cols = objs.headOption.map(_.keys.toSeq).getOrElse(Nil)
+          // union of keys across ALL objects (first-seen order): a field
+          // appearing only in later lines must not be silently dropped
+          val cols = objs.foldLeft(Vector.empty[String]) { (acc, o) =>
+            acc ++ o.keys.filterNot(acc.contains)
+          }
           (cols, objs.iterator.map(o => cols.map(c => o.getOrElse(c, null))))
         case "text/csv" =>
           val lines = body.split("\n").iterator.map(_.stripSuffix("\r"))

@@ -138,11 +138,15 @@ object LineProtocol {
     * plus any string-typed extra columns matched by UPPERCASED tag key. */
   def toTagRows(p: Point, extraStringCols: Seq[String]): Seq[Seq[Any]] = {
     val upperTags = p.tags.map { case (k, v) => k.toUpperCase -> v }
-    val extras = extraStringCols.filter(upperTags.contains)
+    // every extra column gets a positional slot (absent tag → null) — a
+    // prefix-packed row would slide later tags into the wrong column
+    // when an earlier one is missing (reference builds the INSERT column
+    // list per point, spi/do.go WriteLineProtocol)
+    val extras = extraStringCols.map(c => upperTags.get(c).orNull)
     p.fields.flatMap {
       case (k, v: java.lang.Number) =>
         Some(Seq[Any](s"${p.measurement}.$k", java.lang.Long.valueOf(p.tsNs),
-          java.lang.Double.valueOf(v.doubleValue())) ++ extras.map(upperTags))
+          java.lang.Double.valueOf(v.doubleValue())) ++ extras)
       case _ => None // strings/booleans are not insertable values
     }
   }
@@ -159,11 +163,8 @@ object LineProtocol {
     }
     val base = desc.take(3).map(_.name)
     val cols = base ++ extraStringCols
-    val rows = parse(payload, precision).flatMap { p =>
-      val r = toTagRows(p, extraStringCols)
-      // rows may fill only a prefix of cols when a tag is absent
-      r.map(row => row ++ Seq.fill(cols.length - row.length)(null))
-    }
+    val rows = parse(payload, precision)
+      .flatMap(p => toTagRows(p, extraStringCols))
     TagTables.insertAll(spark, table, cols, rows.iterator)
   }
 

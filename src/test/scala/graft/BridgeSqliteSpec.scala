@@ -173,4 +173,33 @@ class BridgeSqliteSpec extends SparkSpec {
     assert(js.contains(""""types":["int64","string","int64","string"]"""), js)
     assert(js.contains("""[300,"charlie",30,"street-300"]"""), js)
   }
+  test("rewrites skip string literals; paren-aware lists; any-case AS alias") {
+    Bridge.resetForTest()
+    // NUMERIC(10,2) must stay ONE column def (top-level comma split)
+    run("""SQL(bridge('sqlite'), "create table paren_t (id INTEGER NOT NULL PRIMARY KEY, price NUMERIC(10,2), tag TEXT)")
+        |DISCARD()
+        |""".stripMargin)
+    run("""CSV("1,12.5,paren_t\n")
+        |INSERT(bridge('sqlite'), "id", "price", "tag", table("paren_t"))
+        |""".stripMargin)
+    // the literal 'paren_t' below equals the table name: the view rewrite
+    // must NOT touch it (it is data, not an identifier)
+    val lit = run(
+      """SQL(bridge('sqlite'), "select id from paren_t where tag = 'paren_t'")
+        |CSV(heading(true))
+        |""".stripMargin)
+    assert(lit == "id\n1\n", lit)
+    // multi-arg select item keeps its full text as the column name
+    val multi = run(
+      """SQL(bridge('sqlite'), "select round(price,2) from paren_t")
+        |CSV(heading(true))
+        |""".stripMargin)
+    assert(multi.startsWith("round(price,2)\n"), multi)
+    // mixed-case AS alias is detected (not treated as an unaliased expr)
+    val alias = run(
+      """SQL(bridge('sqlite'), "select count(*) As CNT from paren_t")
+        |CSV(heading(true))
+        |""".stripMargin)
+    assert(alias == "CNT\n1\n", alias)
+  }
 }

@@ -88,4 +88,16 @@ class LineProtocolSpec extends SparkSpec {
     // ready for the tag-table layout: (name, time, value) shape
     assert(df.columns.take(3).toSeq == Seq("name", "time", "value"))
   }
+  test("a missing earlier tag must not shift later tags into its column (spi/do.go per-point columns)") {
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create tag table lp3 (NAME varchar(200) primary key, TIME datetime basetime, VALUE double summarized, HOST varchar(80), REGION varchar(80))")
+    try {
+      LineProtocol.writeTo(spark, "lp3",
+        "cpu,region=west usage=1.5 1670975120000000000".getBytes("UTF-8"))
+      val row = spark.table("lp3").collect().head
+      assert(row.isNullAt(3), row.toString)     // HOST absent -> its slot null
+      assert(row.getString(4) == "west")        // REGION lands in REGION
+    } finally QueryDoor.execute(spark, "drop table lp3")
+  }
 }

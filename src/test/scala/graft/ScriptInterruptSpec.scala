@@ -53,4 +53,17 @@ class ScriptInterruptSpec extends SparkSpec {
     assert(!out.contains("caught"), out)
     assert(logs.exists(_.contains("interrupt")), logs)
   }
+  test("runaway recursion (no loops) is interruptible at call entry") {
+    // exponential fib: bounded stack depth, unbounded call count — a
+    // loop-header-only interrupt check would never fire (goja interrupts
+    // any statement; we check on every function call)
+    val (out, logs) = TqlLog.capture {
+      Compiler.runWithTimeout(spark,
+        "FAKE( once(1) )\n" +
+          "SCRIPT(\"js\", {\n  function fib(n){ return n < 2 ? 1 : fib(n-1) + fib(n-2) }\n  fib(80)\n  $.yield(123)\n})\nCSV()\n",
+        TimeoutMs)
+    }
+    assert(out.trim.isEmpty, out)
+    assert(logs.exists(l => l.contains("interrupt at SCRIPT main")), logs)
+  }
 }

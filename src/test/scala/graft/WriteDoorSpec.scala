@@ -101,4 +101,20 @@ class WriteDoorSpec extends SparkSpec {
       assert(selectCsv("csv_gzip").contains(s"csv_gzip,$tick,1.12,NULL,101,102,0x0102"))
     } finally QueryDoor.execute(spark, "drop table test_w")
   }
+  test("ndjson: fields appearing only in later lines are kept (not dropped)") {
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create tag table test_nd (name varchar(200) primary key, time datetime basetime, value double summarized, ival int)")
+    try {
+      val nd =
+        s"""{"name":"nd_a","time":$tick,"value":1.5}
+           |{"name":"nd_b","time":${tick + 1},"value":2.5,"ival":7}""".stripMargin
+      WriteDoor.write(spark, "test_nd", nd.getBytes("UTF-8"),
+        "application/x-ndjson", Map("timeformat" -> "s"))
+      val rows = spark.table("test_nd").orderBy("name").collect()
+      assert(rows.length == 2)
+      assert(rows(0).isNullAt(3))        // first line has no ival
+      assert(rows(1).getInt(3) == 7, rows(1).toString) // later-line field kept
+    } finally QueryDoor.execute(spark, "drop table test_nd")
+  }
 }
