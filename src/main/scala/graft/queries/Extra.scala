@@ -66,7 +66,7 @@ object Extra {
         .orderBy("rnk")
     }),
 
-    // ---- gap-fill with Akima spline (rows-only; kernel spec-tested) ---
+    // ---- gap-fill with Akima spline (oracled: full spline in SQL) -----
     "q_gapfill_akima" -> ((s, dir) => {
       val e0 = t(s, dir, "events")
       val e = e0.select(tsUs(e0).as("t_us"), col("value"))
@@ -262,6 +262,73 @@ object Extra {
          WHERE epoch_us(ts)*1000 + 5000000000 >= ${DayFromUs * 1000L}
            AND epoch_us(ts)*1000 + 5000000000 < ${DayFromUs * 1000L + 3L * 86400L * 1000000000L}
          GROUP BY 1 ORDER BY 1""",
+    // The whole Akima 1970 sub-spline, re-derived in SQL: segment slopes
+    // via lead(), boundary slopes by Akima's 2m-m extrapolation, knot
+    // derivatives from the |Δslope| weights, cubic Hermite on the gap's
+    // segment. Every expression keeps the kernel's association order
+    // (operators/Akima.scala:eval) so doubles match bit-for-bit.
+    "q_gapfill_akima" ->
+      """WITH spine AS (
+           SELECT 1704412800000000 + CAST(range AS BIGINT)*300000000 AS t_us FROM range(288)),
+         agg AS (
+           SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS b_us,
+             floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value))*10000.0 + 0.5)/10000.0 AS y
+           FROM events
+           WHERE epoch_us(ts) >= 1704412800000000 AND epoch_us(ts) < 1704499200000000
+           GROUP BY 1),
+         kn AS (SELECT CAST(b_us AS DOUBLE) AS x, y,
+                  row_number() OVER (ORDER BY b_us) - 1 AS i FROM agg),
+         nn AS (SELECT count(*) AS n FROM kn),
+         sl AS (SELECT i, x, y,
+                  (lead(y) OVER (ORDER BY i) - y) / (lead(x) OVER (ORDER BY i) - x) AS s
+                FROM kn),
+         virt AS (SELECT
+           (SELECT s FROM sl WHERE i = 0) AS sa,
+           (SELECT s FROM sl WHERE i = 1) AS sb,
+           (SELECT s FROM sl WHERE i = (SELECT n FROM nn) - 2) AS sy,
+           (SELECT s FROM sl WHERE i = (SELECT n FROM nn) - 3) AS sx),
+         ext AS (
+           SELECT i, x, y,
+             CASE WHEN i = 0 THEN 2*(2*sa - sb) - sa
+                  WHEN i = 1 THEN 2*sa - sb
+                  ELSE lag(s, 2) OVER (ORDER BY i) END AS sm2,
+             CASE WHEN i = 0 THEN 2*sa - sb
+                  ELSE lag(s, 1) OVER (ORDER BY i) END AS sm1,
+             CASE WHEN i = (SELECT n FROM nn) - 1 THEN 2*sy - sx
+                  ELSE s END AS sp0,
+             CASE WHEN i = (SELECT n FROM nn) - 2 THEN 2*sy - sx
+                  WHEN i = (SELECT n FROM nn) - 1 THEN 2*(2*sy - sx) - sy
+                  ELSE lead(s, 1) OVER (ORDER BY i) END AS sp1
+           FROM sl, virt),
+         td AS (
+           SELECT i, x, y,
+             CASE WHEN abs(sp1 - sp0) + abs(sm1 - sm2) = 0 THEN (sm1 + sp0)/2
+                  ELSE (abs(sp1 - sp0)*sm1 + abs(sm1 - sm2)*sp0)
+                       / (abs(sp1 - sp0) + abs(sm1 - sm2)) END AS t
+           FROM ext),
+         j AS (
+           SELECT sp.t_us, a.y AS obs,
+             last_value(CASE WHEN a.y IS NOT NULL THEN sp.t_us END IGNORE NULLS)
+               OVER (ORDER BY sp.t_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(CASE WHEN a.y IS NOT NULL THEN sp.t_us END IGNORE NULLS)
+               OVER (ORDER BY sp.t_us ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+           FROM spine sp LEFT JOIN agg a ON sp.t_us = a.b_us),
+         ev AS (
+           SELECT j.t_us, j.obs, j.pt, j.nt,
+             k0.x AS x0, k0.y AS y0, k0.t AS t0,
+             k1.x AS x1, k1.y AS y1, k1.t AS t1,
+             k1.x - k0.x AS h,
+             (CAST(j.t_us AS DOUBLE) - k0.x) / (k1.x - k0.x) AS sf
+           FROM j LEFT JOIN td k0 ON CAST(j.pt AS DOUBLE) = k0.x
+                  LEFT JOIN td k1 ON CAST(j.nt AS DOUBLE) = k1.x)
+         SELECT t_us, floor((CASE
+             WHEN obs IS NOT NULL THEN obs
+             WHEN pt IS NULL THEN y1
+             WHEN nt IS NULL THEN y0
+             ELSE (1 + 2*sf)*(1 - sf)*(1 - sf)*y0 + sf*(1 - sf)*(1 - sf)*h*t0
+                  + sf*sf*(3 - 2*sf)*y1 + sf*sf*(sf - 1)*h*t1
+             END)*10000.0 + 0.5)/10000.0 AS avg_value
+         FROM ev ORDER BY t_us""",
     "q_top_customers" ->
       """SELECT rnk, o_custkey, revenue, n_orders FROM (
            SELECT o_custkey,

@@ -339,6 +339,24 @@ object TimeSeries {
            FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
          SELECT user_id, t_us, round(y, 4) AS lowpass FROM rec
          ORDER BY user_id, t_us""",
+    // Kalman 1-D SimpleModel recurrence as a recursive CTE (same pattern
+    // that oracles q_map_lowpass): state = (x, p); p's update is
+    // value-independent, x mirrors fm_monad.go:1908-1991 exactly —
+    // init 1.0, process 0.01, observation 4.0.
+    "q_map_kalman" ->
+      """WITH RECURSIVE base AS (
+           SELECT user_id, epoch_us(ts) AS t_us, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events WHERE user_id < 20),
+         rec AS (
+           SELECT user_id, t_us, rn, value AS x, CAST(1.0 AS DOUBLE) AS p FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.user_id, b.t_us, b.rn,
+             r.x + ((r.p + 0.01) / ((r.p + 0.01) + 4.0)) * (b.value - r.x),
+             (r.p + 0.01) * (1 - (r.p + 0.01) / ((r.p + 0.01) + 4.0))
+           FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+         SELECT user_id, t_us, round(x, 4) AS kalman FROM rec
+         ORDER BY user_id, t_us""",
     "q_last_per_tag" ->
       """SELECT user_id AS name, max(epoch_us(ts)) AS last_time_us,
          arg_max(value, epoch_us(ts)) AS last_value
