@@ -28,6 +28,9 @@ object Bridge {
   private val registry = TrieMap.empty[String, Db]
   def apply(name: String): Db =
     registry.getOrElseUpdate(name.toLowerCase, new Db(name.toLowerCase))
+  /** Whether a bridge of this name has been defined (used by subscriber
+    * entries, which must fail on an undefined bridge name). */
+  def exists(name: String): Boolean = registry.contains(name.toLowerCase)
   def resetForTest(): Unit = registry.clear()
 
   final class Db(val name: String) {

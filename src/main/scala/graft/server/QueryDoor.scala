@@ -253,6 +253,8 @@ object QueryDoor {
       case List("SHOW", "VIRTUAL-TABLES") => Catalog.showVirtualTables(spark)
       case List("SHOW", "VIRTUAL") if words.lift(2).contains("TABLES") =>
         Catalog.showVirtualTables(spark)
+      case List("SHOW", "TIMERS") =>
+        graft.scheduler.Timers.defaultService(spark).showTimers(spark)
       case List("SHOW", "SESSIONS") => Catalog.showSessions(spark)
       case List("SHOW", "STATEMENTS") => Catalog.showStatements(spark)
       case List("SHOW", "INDEXES") => Catalog.showIndexes(spark)
