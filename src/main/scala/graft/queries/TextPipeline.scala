@@ -162,6 +162,40 @@ object TextPipeline {
           ascii(col("text")).as("first_code"),
           pmod(octet_length(col("text")) * 31 + ascii(col("text")), lit(256)).as("fake_feat"))
         .orderBy("doc_id")
+    }),
+
+    // ---- multimodal: REAL BMP/WAV decode over synthesized payloads ----
+    // Deterministic binaries built from each document's character codes,
+    // then decoded by the actual pure-JVM codecs (header walk, padded
+    // scanlines, RIFF chunk scan) — the oracle recomputes the same stats
+    // from the source characters, so a decoder bug breaks the hash.
+    "q_multimodal_decode" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select("doc_id", "text")
+      val synthSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("bmp", BinaryType),
+        StructField("wav", BinaryType)))
+      val media = docs.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val codes = r.getString(1).map(_.toInt & 0xFF).toArray
+          Row(id,
+            Multimodal.synthBmp(codes, 1 + (id % 4).toInt, 1 + (id % 3).toInt),
+            Multimodal.synthWav(codes, 8000 + (id % 3).toInt * 4000,
+              32 + (id % 16).toInt))
+        }
+      }(Encoders.row(synthSchema))
+      val bmp = Multimodal.decodeMedia(media, "doc_id", "bmp")
+        .select(col("doc_id"), col("width").as("bmp_w"),
+          col("height").as("bmp_h"), fround(col("pixel_mean"), 4).as("bmp_mean"))
+      val wav = Multimodal.decodeMedia(media, "doc_id", "wav")
+        .select(col("doc_id"), col("sample_rate").as("wav_hz"),
+          col("n_samples").as("wav_n"), fround(col("rms"), 4).as("wav_rms"))
+      bmp.join(wav, "doc_id").orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -312,5 +346,25 @@ object TextPipeline {
     "q_multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes, ascii(text) AS first_code,
          (strlen(text) * 31 + ascii(text)) % 256 AS fake_feat
-         FROM documents WHERE doc_id < 100 ORDER BY doc_id""")
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q_multimodal_decode" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS L,
+             CAST(1 + doc_id % 4 AS INT) AS w, CAST(1 + doc_id % 3 AS INT) AS h,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS hz,
+             CAST(32 + doc_id % 16 AS INT) AS n
+           FROM documents WHERE doc_id < 100),
+         c AS (
+           SELECT doc_id, w, h, hz, n,
+             list_transform(generate_series(1, w*h*3), i ->
+               ascii(substr(text, CAST((i-1) % L AS INT) + 1, 1)) % 256) AS pix,
+             list_transform(generate_series(1, n), i ->
+               (ascii(substr(text, CAST((i-1) % L AS INT) + 1, 1)) % 256 - 128) * 128) AS smp
+           FROM d)
+         SELECT doc_id, w AS bmp_w, h AS bmp_h,
+           floor(list_aggregate(pix, 'avg')*10000.0 + 0.5)/10000.0 AS bmp_mean,
+           hz AS wav_hz, n AS wav_n,
+           floor(sqrt(list_aggregate(list_transform(smp,
+             x -> CAST(x AS DOUBLE)*x), 'avg'))*10000.0 + 0.5)/10000.0 AS wav_rms
+         FROM c ORDER BY doc_id""")
 }

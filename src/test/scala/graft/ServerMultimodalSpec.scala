@@ -45,6 +45,66 @@ class ServerMultimodalSpec extends SparkSpec {
     assert(got(1) == ((2L, "audio/wav", 12L)))
   }
 
+  test("BMP decoder: real header walk, padded scanlines, top-down flag") {
+    val codes = (0 until 18).map(i => 10 + i * 7).toArray
+    val bmp = Multimodal.synthBmp(codes, 3, 2) // rowSize 12, 3 pad bytes/row
+    val info = Multimodal.decodeBmp(bmp).get
+    assert(info.width == 3 && info.height == 2 && info.bpp == 24)
+    // mean over exactly the first 18 cycled codes — pad bytes excluded
+    val want = codes.map(_ & 0xFF).sum.toDouble / 18
+    assert(math.abs(info.pixelMean - want) < 1e-12, s"${info.pixelMean} vs $want")
+
+    // negative height = top-down; same pixel bytes, same mean
+    val buf = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -2)
+    val td = Multimodal.decodeBmp(bmp).get
+    assert(td.height == 2 && math.abs(td.pixelMean - want) < 1e-12)
+
+    assert(Multimodal.decodeBmp("BMxx".getBytes).isEmpty) // truncated
+    assert(Multimodal.decodeBmp(Array.fill[Byte](60)(1)).isEmpty) // no magic
+  }
+
+  test("WAV decoder: RIFF chunk walk with extra word-aligned chunks") {
+    val codes = Array(200, 50, 128, 255)
+    val wav = Multimodal.synthWav(codes, 12000, 8)
+    val info = Multimodal.decodeWav(wav).get
+    assert(info.channels == 1 && info.sampleRate == 12000 &&
+      info.bits == 16 && info.nSamples == 8)
+    val samples = codes ++ codes
+    val want = math.sqrt(samples.map(c => {
+      val s = ((c & 0xFF) - 128) * 128; s.toDouble * s
+    }).sum / 8)
+    assert(math.abs(info.rms - want) < 1e-9)
+    assert(info.peak == samples.map(c => math.abs(((c & 0xFF) - 128) * 128)).max)
+
+    // insert an odd-length LIST chunk between fmt and data: the walker
+    // must skip it via word alignment and still find the data chunk
+    val head = wav.take(36) // RIFF..fmt chunk end
+    val tail = wav.drop(36) // data chunk
+    val list = "LIST".getBytes("ISO-8859-1") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](7, 8, 9, 0) // len 3 + 1 align pad
+    val patched = head ++ list ++ tail
+    val pb = java.nio.ByteBuffer.wrap(patched).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    pb.putInt(4, patched.length - 8)
+    val info2 = Multimodal.decodeWav(patched).get
+    assert(info2.nSamples == 8 && math.abs(info2.rms - want) < 1e-9)
+
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty) // no chunks
+  }
+
+  test("decodeMedia routes real decoders by magic and falls back cleanly") {
+    val codes = Array(1, 2, 3, 4, 5, 6)
+    val rows = Seq(
+      (1L, Multimodal.synthBmp(codes, 2, 1)),
+      (2L, Multimodal.synthWav(codes, 8000, 4)),
+      (3L, Array[Byte](9, 9, 9)))
+    val df = rows.toDF("id", "payload")
+    val got = Multimodal.decodeMedia(df, "id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "image/bmp", 2L -> "audio/wav",
+      3L -> "application/octet-stream"))
+  }
+
   test("decodeFeatures produces deterministic fixed-dim vectors in batches") {
     val df = (0L until 10L).map(i => (i, Array.fill((i + 1).toInt * 10)(i.toByte)))
       .toDF("id", "payload")
