@@ -25,15 +25,163 @@ import org.apache.spark.sql.types._
 object Bridge {
   case class ExecResult(message: String, rowsAffected: Long, verb: String)
 
-  private val registry = TrieMap.empty[String, Db]
-  def apply(name: String): Db =
+  /** Common bridge surface used by the TQL compiler's SQL/INSERT
+    * routing and `$.db({bridge})`: per-statement exec + SELECT query.
+    * The in-session [[Db]] emulates the sqlite dialect; [[JdbcDb]] is a
+    * real passthrough whose SELECTs become Spark JDBC scans. */
+  sealed trait SqlBridge {
+    def name: String
+    def typ: String
+    def exec(spark: SparkSession, sql: String, binds: Seq[Any]): ExecResult
+    def query(spark: SparkSession, sql: String, binds: Seq[Any]): DataFrame
+    /** Dialect parameter marker for generated statements (the reference
+      * connectors expose ParameterMarker: `?`, `$n`, `@pn`). */
+    def parameterMarker(idx: Int): String = "?"
+  }
+
+  private val registry = TrieMap.empty[String, SqlBridge]
+  def apply(name: String): SqlBridge =
     registry.getOrElseUpdate(name.toLowerCase, new Db(name.toLowerCase))
   /** Whether a bridge of this name has been defined (used by subscriber
     * entries, which must fail on an undefined bridge name). */
   def exists(name: String): Boolean = registry.contains(name.toLowerCase)
   def resetForTest(): Unit = registry.clear()
 
-  final class Db(val name: String) {
+  // ---- bridge definitions (reference mods/bridge/connector) -----------
+
+  /** Dialect registry: bridge type → JDBC url construction + parameter
+    * marker, mirroring the reference's per-connector registry
+    * (connector.go). Only the generic `jdbc` type is exercisable in
+    * this container (Derby in /opt/spark/jars); the url builders for
+    * postgres/mysql/mssql translate the reference's connect-path
+    * syntax and are spec-pinned as pure functions. */
+  final case class Dialect(typ: String, marker: Int => String,
+                           urlOf: String => String)
+
+  val dialects: Map[String, Dialect] = Map(
+    "postgres" -> Dialect("postgres", i => "$" + (i + 1), path => {
+      // path: "host=H port=P dbname=D user=U password=W ..." (libpq form)
+      val kv = pathFields(path)
+      val host = kv.getOrElse("host", "127.0.0.1")
+      val port = kv.getOrElse("port", "5432")
+      val db = kv.getOrElse("dbname", kv.getOrElse("database", ""))
+      val params = kv.view.filterKeys(k => !Set("host", "port", "dbname", "database")(k))
+        .map { case (k, v) => s"$k=$v" }.mkString("&")
+      s"jdbc:postgresql://$host:$port/$db" + (if (params.isEmpty) "" else s"?$params")
+    }),
+    "mysql" -> Dialect("mysql", _ => "?", path => {
+      // path: Go DSN "user:pass@tcp(host:port)/dbname"
+      val DsnRe = "(?:([^:@]*)(?::([^@]*))?@)?(?:tcp\\()?([^():/]+)(?::(\\d+))?\\)?/(.*)".r
+      path match {
+        case DsnRe(user, pass, host, port, db) =>
+          val p = Option(port).getOrElse("3306")
+          val auth = Option(user).filter(_.nonEmpty)
+            .map(u => s"?user=$u" + Option(pass).filter(_.nonEmpty).map(pw => s"&password=$pw").getOrElse(""))
+            .getOrElse("")
+          s"jdbc:mysql://$host:$p/$db$auth"
+        case _ => s"jdbc:mysql://$path"
+      }
+    }),
+    "mssql" -> Dialect("mssql", i => s"@p${i + 1}", path => {
+      // path: "server=H database=D user id=U password=W" (http_facility form)
+      val kv = pathFields(path)
+      val host = kv.getOrElse("server", "127.0.0.1")
+      val db = kv.get("database").map(d => s";databaseName=$d").getOrElse("")
+      val auth = kv.get("user id").orElse(kv.get("user"))
+        .map(u => s";user=$u").getOrElse("") +
+        kv.get("password").map(p => s";password=$p").getOrElse("")
+      s"jdbc:sqlserver://$host$db$auth"
+    }),
+    // generic passthrough: the path IS the JDBC url (Derby-testable)
+    "jdbc" -> Dialect("jdbc", _ => "?", identity))
+
+  private def pathFields(path: String): Map[String, String] =
+    // key=value fields; mssql keys may contain a space ("user id")
+    "(?i)([a-z][a-z ]*?)\\s*=\\s*(\\S+)".r.findAllMatchIn(path)
+      .map(m => m.group(1).trim.toLowerCase -> m.group(2)).toMap
+
+  /** Define a typed bridge (management `bridge add -t type name path`).
+    * `sqlite` keeps the in-session store; SQL types become JDBC
+    * passthroughs. Re-defining replaces. */
+  def define(name: String, typ: String, path: String): Either[String, SqlBridge] = {
+    val key = name.toLowerCase
+    typ.toLowerCase match {
+      case "sqlite" =>
+        val db = new Db(key); registry(key) = db; defs(key) = (typ, path); Right(db)
+      case t if dialects.contains(t) =>
+        val db = new JdbcDb(key, dialects(t), path)
+        registry(key) = db; defs(key) = (t, path); Right(db)
+      case other => Left(s"undefined bridge type: $other")
+    }
+  }
+  private val defs = TrieMap.empty[String, (String, String)]
+  /** (name, type, connect path) rows for the bridge listing. */
+  def list: Seq[(String, String, String)] =
+    defs.toSeq.map { case (n, (t, p)) => (n, t, p) }.sortBy(_._1)
+
+  /** JDBC passthrough bridge: statements run over a driver-side JDBC
+    * connection; SELECTs become `spark.read.jdbc` scans so the data
+    * plane is distributed (set `partitionColumn/numPartitions/
+    * lowerBound/upperBound` in `options` for a parallel scan at scale —
+    * without them a JDBC read is a single partition, which is fine for
+    * dimension-sized side tables but not for facts). */
+  final class JdbcDb(val name: String, dialect: Dialect, path: String,
+                     options: Map[String, String] = Map.empty) extends SqlBridge {
+    def typ: String = dialect.typ
+    val url: String = dialect.urlOf(path)
+    override def parameterMarker(idx: Int): String = dialect.marker(idx)
+
+    /** Dialect markers back to JDBC's positional `?` (`$n`/`@pn` are
+      * generated by our sinks; user SQL may carry them too). */
+    private[graft] def toJdbcMarkers(sql: String): String =
+      if (dialect.typ == "postgres") sql.replaceAll("\\$\\d+", "?")
+      else if (dialect.typ == "mssql") sql.replaceAll("@p\\d+", "?")
+      else sql
+
+    def exec(spark: SparkSession, sql: String, binds: Seq[Any]): ExecResult = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.prepareStatement(toJdbcMarkers(sql))
+        try {
+          binds.zipWithIndex.foreach { case (v, i) => st.setObject(i + 1, v) }
+          val isQuery = sql.trim.toLowerCase.startsWith("select")
+          if (isQuery) {
+            val rs = st.executeQuery()
+            var n = 0L
+            while (rs.next()) n += 1
+            ExecResult(s"$n rows selected.", n, "selected")
+          } else {
+            val n = st.executeUpdate().toLong
+            val verb = sql.trim.split("\\s+").head.toLowerCase match {
+              case "insert" => "inserted"
+              case "update" => "updated"
+              case "delete" => "deleted"
+              case _ => "executed"
+            }
+            val msg = verb match {
+              case "executed" => "Created successfully."
+              case v => if (n == 1) s"a row $v." else s"$n rows $v."
+            }
+            ExecResult(msg, n, verb)
+          }
+        } finally st.close()
+      } finally conn.close()
+    }
+
+    def query(spark: SparkSession, sql: String, binds: Seq[Any]): DataFrame = {
+      // literal-bound SQL pushed down whole: the remote engine runs the
+      // query, Spark scans the result (partitioned when options say so)
+      val bound = bindSql(toJdbcMarkers(sql), binds)
+      spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", bound)
+        .options(options)
+        .load()
+    }
+  }
+
+  final class Db(val name: String) extends SqlBridge {
+    def typ: String = "sqlite"
     /** lowercase table name → (schema with machtype metadata, rows) */
     private[Bridge] val tables =
       TrieMap.empty[String, (StructType, ArrayBuffer[Row])]

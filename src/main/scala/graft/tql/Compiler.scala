@@ -203,7 +203,7 @@ object Compiler {
       var last = 0L
       c.output.toLocalIterator().asScala.foreach { row =>
         val sqlText = s"INSERT INTO ${spec.table}(${spec.columns.mkString(",")}) " +
-          s"VALUES(${spec.columns.map(_ => "?").mkString(",")})"
+          s"VALUES(${spec.columns.zipWithIndex.map { case (_, i) => db.parameterMarker(i) }.mkString(",")})"
         last = db.exec(spark, sqlText, row.toSeq).rowsAffected
       }
       val unit = if (last <= 1) "row" else "rows"
