@@ -77,10 +77,12 @@ object Extra {
         .orderBy("t_us")
     }),
 
-    // ---- winnowing fingerprint (rows-only; engine-specific hash) ------
+    // ---- winnowing fingerprint (md5-min form so the rolling-min over
+    // k-shingles is oracle-checked; production default is xxhash64) ----
     "q_winnow_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"), TextOps.winnowFingerprint(col("text"), 4).as("winnow"))
+        .select(col("doc_id"),
+          TextOps.winnowFingerprintMd5(col("text"), 4).as("winnow"))
         .orderBy("doc_id")
     }),
 
@@ -203,6 +205,17 @@ object Extra {
     }))
 
   val oracles: Map[String, String] = Map(
+    // winnowing: same k=4 word shingles, same null-skipping concat for
+    // tails shorter than k, lexicographic min over md5 hex
+    "q_winnow_fingerprint" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS sp
+                    FROM documents WHERE doc_id < 200)
+         SELECT doc_id,
+           list_aggregate(list_transform(
+             generate_series(1, greatest(len(sp) - 3, 1)),
+             i -> md5(concat_ws(' ', sp[i], sp[i+1], sp[i+2], sp[i+3]))),
+             'min') AS winnow
+         FROM w ORDER BY doc_id""",
     "q_filter_changed_retain" ->
       """WITH chg AS (
            SELECT user_id, epoch_us(ts) AS t_us, event_type,

@@ -73,9 +73,36 @@ object QueryDoor {
             }
             Seq(if (n == 1) "a row deleted." else s"$n rows deleted.").toDF("MESSAGE")
           case _ if lower.startsWith("create tag table") ||
-            lower.startsWith("create log table") =>
+            lower.startsWith("create log table") ||
+            lower.startsWith("create volatile table") ||
+            lower.startsWith("create lookup table") =>
             TagTables.createTagTable(spark, s)
             Seq("executed.").toDF("MESSAGE")
+          case InsertOnDupRe(table, cols, vals, sets)
+            if TagTables.isKeyedClass(table) =>
+            // volatile/lookup upsert: INSERT … ON DUPLICATE KEY UPDATE
+            // [SET a=1, …] — bare form updates the inserted columns
+            val columns = Option(cols)
+              .map(_.split(",").map(_.trim).toSeq)
+              .getOrElse(TagTables.columnsOf(table))
+            val setList = Option(sets).map(splitValues(_).map { a =>
+              val Array(k, v) = a.split("=", 2)
+              k.trim -> parseLiterals(v.trim).head
+            })
+            val updated = TagTables.upsert(spark, table, columns,
+              parseLiterals(vals), setList)
+            Seq(if (updated) "a row updated." else "a row inserted.")
+              .toDF("MESSAGE")
+          case UpdateRe(table, sets, whereCol, whereVal)
+            if TagTables.isKeyedClass(table) =>
+            val setList = splitValues(sets).map { a =>
+              val Array(k, v) = a.split("=", 2)
+              k.trim -> parseLiterals(v.trim).head
+            }
+            val n = TagTables.updateByKey(spark, table, setList,
+              whereCol, parseLiterals(whereVal).head)
+            Seq(if (n == 1) "a row updated." else s"$n rows updated.")
+              .toDF("MESSAGE")
           case InsertRe(table, cols, vals)
             if TagTables.descriptorFor(table).isDefined =>
             // literal INSERT INTO <machbase table> — the conn.Exec path
@@ -96,6 +123,13 @@ object QueryDoor {
   private val InsertRe =
     ("(?is)^\\s*insert\\s+into\\s+(\\w+)\\s*(?:\\(([^)]*)\\)\\s*)?" +
       "values\\s*\\((.*)\\)\\s*$").r
+  private val InsertOnDupRe =
+    ("(?is)^\\s*insert\\s+into\\s+(\\w+)\\s*(?:\\(([^)]*)\\)\\s*)?" +
+      "values\\s*\\((.*?)\\)\\s*on\\s+duplicate\\s+key\\s+update" +
+      "(?:\\s+set\\s+(.*?))?\\s*$").r
+  private val UpdateRe =
+    ("(?is)^\\s*update\\s+(\\w+)\\s+set\\s+(.*?)\\s+where\\s+" +
+      "(\\w+)\\s*=\\s*('[^']*'|\\S+)\\s*$").r
 
   /** split a VALUES(…) / select-list / column-def list on top-level
     * commas only: quote-aware AND paren-aware, so `NUMERIC(10,2)` or

@@ -234,10 +234,11 @@ object TagTables {
     * basetime, value binary, …)` — the DDL the reference's test fixtures
     * issue through `$.db().exec` (tql_test.go:756-775). */
   def createTagTable(spark: SparkSession, sql: String): Unit = {
-    val re = ("(?is)create\\s+(tag|log)\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?" +
+    val re = ("(?is)create\\s+(tag|log|volatile|lookup)\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?" +
       "(\\w+)\\s*\\((.*)\\)\\s*(with\\s+.*)?$").r
     sql.trim match {
       case re(kind, name, body, options) =>
+        val kindLower = kind.toLowerCase
         val cols = body.split(",").map(_.trim).filter(_.nonEmpty).map { defn =>
           val parts = defn.split("\\s+")
           val colName = parts(0).toUpperCase
@@ -254,7 +255,7 @@ object TagTables {
             case t => t
           }
           val len = len0.getOrElse(defaultLen(typ))
-          (colName, typ, len, flagOf(defn))
+          (colName, typ, len, flagOf(defn, kindLower))
         }
         val schema = StructType(cols.map { case (n, t, _, _) =>
           f(n, sparkTypeOf(t), machTypeOf(t))
@@ -264,7 +265,12 @@ object TagTables {
         dynamicDescs.put(t, cols.map { case (n, typ, len, flag) =>
           ColDesc(n, typ, len, flag)
         }.toSeq)
-        dynamicTypes.put(t, if (kind.equalsIgnoreCase("log")) "Log" else "Tag")
+        dynamicTypes.put(t, kindLower match {
+          case "log" => "Log"
+          case "volatile" => "Volatile"
+          case "lookup" => "Lookup"
+          case _ => "Tag"
+        })
         rollupEnabled.put(t,
           Option(options).exists(_.toLowerCase.contains("rollup")))
         if (!dynamicOrder.contains(t)) dynamicOrder += t
@@ -274,12 +280,94 @@ object TagTables {
     }
   }
 
-  private def flagOf(defn: String): String = {
+  private def flagOf(defn: String, kind: String = "tag"): String = {
     val d = defn.toLowerCase
-    if (d.contains("primary key")) "tag name"
+    if (d.contains("primary key"))
+      (if (kind == "volatile" || kind == "lookup") "primary key" else "tag name")
     else if (d.contains("basetime")) "base time"
     else if (d.contains("summarized")) "summarized"
     else ""
+  }
+
+  // ---- volatile / lookup table classes (spi/do.go:197-207) -------------
+  // Memory-resident side tables with a PRIMARY KEY: plain INSERT rejects
+  // a duplicate key; `INSERT … ON DUPLICATE KEY UPDATE [SET …]` upserts;
+  // UPDATE/DELETE address rows by the key. They are enrichment dims —
+  // at scale the join side is broadcast (they are bounded by definition;
+  // Spark's AQE broadcasts them automatically from size stats).
+
+  /** Whether this table class enforces an upsert primary key. */
+  def isKeyedClass(table: String): Boolean = {
+    val t = typeOf(table)
+    t == "Volatile" || t == "Lookup"
+  }
+
+  def primaryKeyOf(table: String): Option[String] =
+    descriptorFor(table).flatMap(_.find(_.flag == "primary key")).map(_.name)
+
+  private def pkIndex(t: String): Int = {
+    val pk = primaryKeyOf(t).getOrElse(
+      throw new IllegalArgumentException(s"table '$t' has no primary key"))
+    storageSchemaFor(t).fieldIndex(pk)
+  }
+
+  /** Upsert one row: replace the row whose primary key matches (columns
+    * from `setCols` when given — the `… UPDATE SET a=1` form — else all
+    * inserted columns), append otherwise. Returns true when it updated. */
+  def upsert(spark: SparkSession, table: String, columns: Seq[String],
+             values: Seq[Any], setCols: Option[Seq[(String, Any)]] = None): Boolean = {
+    val t = table.toLowerCase
+    ensure(spark, t)
+    val buf = rows.getOrElseUpdate(t, ArrayBuffer.empty[Row])
+    val fresh = buildRow(t, columns, values)
+    val ki = pkIndex(t)
+    val at = buf.indexWhere(_.get(ki) == fresh.get(ki))
+    if (at < 0) { buf += fresh; refresh(spark, t); false }
+    else {
+      val schema = storageSchemaFor(t)
+      val updates: Seq[(String, Any)] = setCols.getOrElse(
+        columns.filterNot(_.equalsIgnoreCase(primaryKeyOf(t).get))
+          .map(c => c -> values(columns.indexOf(c))))
+      val old = buf(at)
+      buf(at) = Row.fromSeq(schema.fields.indices.map { i =>
+        updates.find(_._1.equalsIgnoreCase(schema.fields(i).name)) match {
+          case Some((_, v)) => coerce(v, schema.fields(i).dataType)
+          case None => old.get(i)
+        }
+      })
+      refresh(spark, t)
+      true
+    }
+  }
+
+  /** UPDATE <t> SET … WHERE <pk> = v for keyed classes. The engine only
+    * allows addressing by the primary key. Returns rows updated (0/1). */
+  def updateByKey(spark: SparkSession, table: String,
+                  sets: Seq[(String, Any)], whereCol: String, key: Any): Long = {
+    val t = table.toLowerCase
+    val pk = primaryKeyOf(t).getOrElse(
+      throw new IllegalArgumentException(s"table '$t' has no primary key"))
+    if (!whereCol.equalsIgnoreCase(pk))
+      throw new IllegalArgumentException(
+        "UPDATE query must have the primary key in its WHERE clause")
+    ensure(spark, t)
+    val buf = rows.getOrElseUpdate(t, ArrayBuffer.empty[Row])
+    val schema = storageSchemaFor(t)
+    val ki = schema.fieldIndex(pk)
+    val kv = coerce(key, schema.fields(ki).dataType)
+    val at = buf.indexWhere(_.get(ki) == kv)
+    if (at < 0) 0L
+    else {
+      val old = buf(at)
+      buf(at) = Row.fromSeq(schema.fields.indices.map { i =>
+        sets.find(_._1.equalsIgnoreCase(schema.fields(i).name)) match {
+          case Some((_, v)) => coerce(v, schema.fields(i).dataType)
+          case None => old.get(i)
+        }
+      })
+      refresh(spark, t)
+      1L
+    }
   }
 
   private def sparkTypeOf(t: String): DataType = t match {
@@ -368,8 +456,16 @@ object TagTables {
              values: Seq[Any]): Unit = {
     val t = table.toLowerCase
     ensure(spark, t)
-    rows.getOrElseUpdate(t, ArrayBuffer.empty[Row]) +=
-      buildRow(t, columns, values)
+    val fresh = buildRow(t, columns, values)
+    val buf = rows.getOrElseUpdate(t, ArrayBuffer.empty[Row])
+    if (isKeyedClass(t)) {
+      // keyed classes reject a duplicate primary key on plain INSERT
+      val ki = pkIndex(t)
+      if (buf.exists(_.get(ki) == fresh.get(ki)))
+        throw new IllegalArgumentException(
+          s"duplicated primary key value on table '$t'")
+    }
+    buf += fresh
     refresh(spark, t)
   }
 

@@ -66,13 +66,23 @@ object TextOps {
   /** Content fingerprint: md5 prefix (exact-duplicate detection). */
   def contentFingerprint(text: Column): Column = substring(md5(text), 1, 16)
 
-  /** Winnowing-style rolling fingerprint: min 64-bit hash over word
-    * k-shingles — robust to small edits, used for near-dup bucketing. */
-  def winnowFingerprint(text: Column, k: Int = 4): Column = {
+  /** Winnowing-style rolling fingerprint: min hash over word k-shingles
+    * — robust to small edits, used for near-dup bucketing. The hash is
+    * pluggable: the default xxhash64 is the production kernel (codegen'd
+    * 64-bit, no string churn); [[winnowFingerprintMd5]] swaps in md5 so
+    * an external engine can recompute the identical fingerprint. */
+  def winnowFingerprint(text: Column, k: Int = 4,
+                        hash: Column => Column = xxhash64(_)): Column = {
     val sp = split(text, " ")
     val shingles = transform(
       sequence(lit(1), greatest(size(sp) - (k - 1), lit(1))),
       i => concat_ws(" ", (0 until k).map(o => element_at(sp, i + o)): _*))
-    array_min(transform(shingles, s => xxhash64(s)))
+    array_min(transform(shingles, s => hash(s)))
   }
+
+  /** Portable winnowing fingerprint: lexicographic min of md5 hex over
+    * the same k-shingles (md5 is identical across engines, so this form
+    * is oracle-checkable end to end). */
+  def winnowFingerprintMd5(text: Column, k: Int = 4): Column =
+    winnowFingerprint(text, k, s => md5(s))
 }
