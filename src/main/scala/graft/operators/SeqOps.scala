@@ -164,7 +164,9 @@ object SeqOps {
 
   /** THROTTLE(tps): pacing only matters on the streaming path — batch
     * execution is a no-op, mirroring the reference's semantics of merely
-    * delaying record delivery (fm_monad.go:240-271). For streams use
-    * trigger intervals / maxFilesPerTrigger (see graft.streaming.Watch). */
+    * delaying record delivery (fm_monad.go:240-271). The streaming
+    * per-record pacing kernel is `graft.streaming.Subscribers.paced`
+    * (wrap a micro-batch partition iterator); coarse control is trigger
+    * intervals / maxFilesPerTrigger (see graft.streaming.Watch). */
   def throttle(df: DataFrame, tps: Double): DataFrame = df
 }
