@@ -218,16 +218,29 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: per bit, sum ±1 weighted by token
-    * hash bit; sign → bit. Single expression, no shuffle. */
-  def simhash(docs: DataFrame, text: Column, idCol: String = "doc_id"): DataFrame = {
+    * hash bit; sign → bit. Single expression, no shuffle. The token-hash
+    * bit test is pluggable: xxhash64 (codegen'd, default) for
+    * production, [[simhashMd5]] for an engine-portable signature. */
+  def simhash(docs: DataFrame, text: Column, idCol: String = "doc_id",
+              bitOf: (Column, Int) => Column =
+                (tok, i) => shiftright(xxhash64(tok), i).bitwiseAND(1L)): DataFrame = {
     val tokens = split(text, " ")
     val bitCols = (0 until 64).map { i =>
       val votes = aggregate(tokens, lit(0L),
-        (acc, tok) => acc + when(shiftright(xxhash64(tok), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        (acc, tok) => acc + when(bitOf(tok, i) === 1L, 1L).otherwise(-1L))
       when(votes > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }
     docs.withColumn("simhash", bitCols.reduce(_ bitwiseOR _))
   }
+
+  /** Portable SimHash: the 64-bit token value is the first 16 hex chars
+    * of md5 (big-endian), so bit i lives in hex digit `16 - i/4` at
+    * in-digit position `i%4` — the identical digit arithmetic runs in
+    * external engines, making the signature oracle-checkable. */
+  def simhashMd5(docs: DataFrame, text: Column, idCol: String = "doc_id"): DataFrame =
+    simhash(docs, text, idCol, (tok, i) =>
+      shiftright(conv(substring(md5(tok), 16 - i / 4, 1), 16, 10).cast("long"), i % 4)
+        .bitwiseAND(1L))
 
   /** Hamming distance between two simhash values (near-dup test). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

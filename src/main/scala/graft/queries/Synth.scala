@@ -44,7 +44,10 @@ object Synth {
         .orderBy("z", "x", "y")
     }),
 
-    // ---- FFT of a 1Hz+2Hz+3Hz oscillator (rows-only; spec-verified) ---
+    // ---- FFT of a 1Hz+2Hz+3Hz oscillator (DuckDB oracle recomputes the
+    // spectrum as a naive O(n²) DFT — same bins, same 2|X|/n amplitude;
+    // both sides round at 1e-6 where the FFT-vs-DFT float drift ~1e-13
+    // cannot flip the grid) -------------------------------------------
     "q_fft" -> ((s, _) => {
       val osc = Fake.oscillator(s,
         Seq(Fake.Freq(1.0, 1.0), Fake.Freq(2.0, 2.0), Fake.Freq(3.0, 3.0)),
@@ -56,6 +59,26 @@ object Synth {
     }))
 
   val oracles: Map[String, String] = Map(
+    // naive O(n²) DFT over the same 256 oscillator samples: bins 1..39
+    // cover [0.1, 10] Hz; hz/amp follow FftOp's exact float association
+    // (k/n·period with period = n/durSec; 2|X|/n), rounded at 1e-6
+    "q_fft" ->
+      """WITH s AS (
+           SELECT CAST(range AS BIGINT) AS i,
+             (1.0 * sin((2*pi()*1.0) * (CAST(CAST(range AS BIGINT) * 15625000 AS DOUBLE)/1e9))
+            + 2.0 * sin((2*pi()*2.0) * (CAST(CAST(range AS BIGINT) * 15625000 AS DOUBLE)/1e9))
+            + 3.0 * sin((2*pi()*3.0) * (CAST(CAST(range AS BIGINT) * 15625000 AS DOUBLE)/1e9))) AS v
+           FROM range(256)),
+         kk AS (SELECT CAST(range AS BIGINT) + 1 AS k FROM range(39)),
+         dft AS (
+           SELECT kk.k,
+             SUM(s.v * cos(-2*pi() * kk.k * s.i / 256.0)) AS re,
+             SUM(s.v * sin(-2*pi() * kk.k * s.i / 256.0)) AS im
+           FROM kk CROSS JOIN s GROUP BY kk.k)
+         SELECT 'osc' AS key,
+           floor(((CAST(k AS DOUBLE)/256.0) * (256.0/(3984375000.0/1e9)))*1000000.0 + 0.5)/1000000.0 AS hz,
+           floor((2.0*sqrt(re*re + im*im)/256.0)*1000000.0 + 0.5)/1000000.0 AS amp
+         FROM dft ORDER BY hz""",
     "q_fake_oscillator" ->
       """SELECT CAST(range AS BIGINT) * 15625000 AS time_ns,
          floor((1.0 * sin((2*pi()*1.5) * (CAST(CAST(range AS BIGINT) * 15625000 AS DOUBLE)/1e9 + 0.0))

@@ -91,9 +91,10 @@ object TextPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // ---- SimHash signatures (no SQL oracle — rows-only) ---------------
+    // ---- SimHash signatures (md5-bit form so the ±1 vote aggregation
+    // is oracle-checked; production default stays xxhash64) ------------
     "q_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhash(t(s, dir, "documents").filter(col("doc_id") < 200), col("text"))
+      Dedup.simhashMd5(t(s, dir, "documents").filter(col("doc_id") < 200), col("text"))
         .select(col("doc_id"), col("simhash"))
         .orderBy("doc_id")
     }),
@@ -234,6 +235,26 @@ object TextPipeline {
     "q_fingerprint" ->
       """SELECT doc_id, substring(md5(text), 1, 16) AS fingerprint
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    // SimHash recomputed bit-by-bit: token hash bit i = bit (i%4) of hex
+    // digit 16-i/4 of md5 (the 64-bit value's big-endian hex), ±1 votes
+    // summed per bit over ALL tokens (duplicates count), sign → bit
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents WHERE doc_id < 200),
+         h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+         votes AS (
+           SELECT doc_id, CAST(r.range AS INT) AS i,
+             SUM(CASE WHEN ((strpos('0123456789abcdef',
+                     substr(m, 16 - CAST(r.range AS INT) // 4, 1)) - 1)
+                   >> (CAST(r.range AS INT) % 4)) & 1 = 1
+               THEN 1 ELSE -1 END) AS v
+           FROM h CROSS JOIN range(64) r GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CASE WHEN i = 63
+             THEN -9223372036854775808 ELSE (1::BIGINT << i) END)
+             ELSE 0 END) AS BIGINT) AS simhash
+         FROM votes GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_jaccard" ->
       """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS sp FROM documents),
          b AS (SELECT doc_id, source,
