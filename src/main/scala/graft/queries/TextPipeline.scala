@@ -83,7 +83,9 @@ object TextPipeline {
         .orderBy("lang")
     }),
 
-    // ---- MinHash + LSH near-dup (no SQL oracle — rows-only) -----------
+    // ---- MinHash + LSH near-dup (oracle rebuilds the whole pipeline:
+    // FNV-1a bigram hashes, 32 affine permutations mod 2^31-1, 8-band
+    // buckets, exact-Jaccard verify — every stage hash-checked) --------
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLshPairs(t(s, dir, "documents"), numHashes = 32, bands = 8,
         verifyThreshold = 0.3)
@@ -235,6 +237,55 @@ object TextPipeline {
     "q_fingerprint" ->
       """SELECT doc_id, substring(md5(text), 1, 16) AS fingerprint
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    // The full MinHash+LSH pipeline in SQL. FNV-1a 64 runs as a
+    // list_reduce over char codes in HUGEINT (xor needs a signed round
+    // trip; the multiply wraps mod 2^64); base = floorMod(hash, 2^31-1);
+    // permutation j is (base·a_j + b_j) mod p with the kernel's exact
+    // constants; docs sharing any 4-row band slice become candidates;
+    // survivors carry exact bigram-set Jaccard ≥ 0.3 (ArrayExprs
+    // BigramHashes/MinHashSig/JaccardSorted, Dedup.minhashLshPairs).
+    "q_dedup_minhash" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         bgx AS (
+           SELECT doc_id, unnest(generate_series(1, len(sp)-1)) AS i, sp FROM w),
+         bgs AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] AS g FROM bgx),
+         bgh AS (
+           SELECT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(generate_series(1, strlen(g)),
+                 j -> CAST(ascii(substr(g, CAST(j AS INT), 1)) AS HUGEINT))),
+               (acc, c) -> (CASE WHEN xor(CASE WHEN acc >= 9223372036854775808 THEN CAST(acc - 18446744073709551616 AS BIGINT) ELSE CAST(acc AS BIGINT) END, CAST(c AS BIGINT)) < 0
+                 THEN CAST(xor(CASE WHEN acc >= 9223372036854775808 THEN CAST(acc - 18446744073709551616 AS BIGINT) ELSE CAST(acc AS BIGINT) END, CAST(c AS BIGINT)) AS HUGEINT) + 18446744073709551616
+                 ELSE CAST(xor(CASE WHEN acc >= 9223372036854775808 THEN CAST(acc - 18446744073709551616 AS BIGINT) ELSE CAST(acc AS BIGINT) END, CAST(c AS BIGINT)) AS HUGEINT) END)
+                 * 1099511628211 % 18446744073709551616) AS hu
+           FROM bgs),
+         bg AS (SELECT DISTINCT doc_id, hu FROM bgh),
+         base AS (
+           SELECT doc_id,
+             CAST(((CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END)
+               % 2147483647 + 2147483647) % 2147483647 AS BIGINT) AS b
+           FROM bg),
+         sig AS (
+           SELECT doc_id, CAST(r.range AS BIGINT) AS j,
+             MIN((b * ((1103515245 * (CAST(r.range AS BIGINT) + 1)) % 2147483647)
+               + (12345 + 7919 * CAST(r.range AS BIGINT))) % 2147483647) AS h
+           FROM base CROSS JOIN range(32) r GROUP BY 1, 2),
+         bands AS (
+           SELECT doc_id, j // 4 AS band, string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS sliced
+           FROM sig GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.sliced = b.sliced
+           WHERE a.doc_id < b.doc_id),
+         sets AS (SELECT doc_id, list(hu) AS s FROM bg GROUP BY doc_id),
+         vr AS (
+           SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+           FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a JOIN sets sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, floor(jac*10000.0 + 0.5)/10000.0 AS jaccard
+         FROM vr WHERE jac >= 0.3 ORDER BY doc_a, doc_b""",
     // SimHash recomputed bit-by-bit: token hash bit i = bit (i%4) of hex
     // digit 16-i/4 of md5 (the 64-bit value's big-endian hex), ±1 votes
     // summed per bit over ALL tokens (duplicates count), sign → bit
