@@ -73,6 +73,7 @@ class SubscriberDispatchSpec extends SparkSpec {
     assert(reasons.map(_.reason) ==
       Seq("success, 1 record(s) inserted", "success, 2 record(s) inserted"))
     assert(spark.table("sub_sink").count() == 3)
+    TagTables.resetDynamicForTest(spark)
   }
 
   test("tql destination runs per message with TOPIC/payload params") {
@@ -102,6 +103,7 @@ class SubscriberDispatchSpec extends SparkSpec {
     assert(reasons.forall(_.success), reasons)
     val names = spark.table("sub_tql").collect().map(_.getString(0)).sorted
     assert(names.toSeq == Seq("t/x.a", "t/x.b", "t/y.c"))
+    TagTables.resetDynamicForTest(spark)
   }
 
   test("tql load failure fails then stops the entry (sched_subs doTql)") {

@@ -241,6 +241,7 @@ class TimerSpec extends SparkSpec {
     assert(badSvc.getEntry("boom").get.status == State.Stop)
     assert(badSvc.getEntry("boom").get.error.isDefined)
     assert(badSvc.crons.size == 0) // descheduled after the failure
+    graft.server.TagTables.dropAll(spark)
   }
 
   // ---- SHOW TIMERS -------------------------------------------------------
