@@ -236,11 +236,15 @@ object Dedup {
   /** Portable SimHash: the 64-bit token value is the first 16 hex chars
     * of md5 (big-endian), so bit i lives in hex digit `16 - i/4` at
     * in-digit position `i%4` — the identical digit arithmetic runs in
-    * external engines, making the signature oracle-checkable. */
-  def simhashMd5(docs: DataFrame, text: Column, idCol: String = "doc_id"): DataFrame =
-    simhash(docs, text, idCol, (tok, i) =>
-      shiftright(conv(substring(md5(tok), 16 - i / 4, 1), 16, 10).cast("long"), i % 4)
-        .bitwiseAND(1L))
+    * external engines, making the signature oracle-checkable. Native
+    * expression (ArrayExprs.SimhashMd5): one MD5 per token, direct
+    * digest-byte bit tests — a naive one-aggregate-per-bit formulation
+    * recomputed md5 64× per token and ran 3× slower at sf0.1. */
+  def simhashMd5(docs: DataFrame, text: Column, idCol: String = "doc_id"): DataFrame = {
+    graft.functions.ArrayExprs.register(docs.sparkSession)
+    docs.withColumn("simhash",
+      org.apache.spark.sql.functions.call_function("simhash_md5", text))
+  }
 
   /** Hamming distance between two simhash values (near-dup test). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

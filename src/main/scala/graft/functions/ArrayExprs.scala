@@ -262,6 +262,38 @@ object ArrayExprs {
       copy(left = l, right = r)
   }
 
+  /** Portable SimHash of a text column in one pass: per word token, one
+    * MD5; the token's 64-bit value is the first 8 digest bytes
+    * big-endian (== first 16 hex chars), each bit votes ±1, sign packs
+    * the output bit. Matches the md5 hex-digit arithmetic an external
+    * engine can replay (graft.dedup.Dedup.simhashMd5's oracle). */
+  case class SimhashMd5(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash_md5"
+    override def nullSafeEval(input: Any): Any = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](64)
+      for (tok <- input.toString.split(' ')) {
+        val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val v = java.nio.ByteBuffer.wrap(d).getLong // first 8 bytes, BE
+        var i = 0
+        while (i < 64) {
+          votes(i) += (if (((v >>> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) {
+        if (votes(i) > 0) out |= 1L << i
+        i += 1
+      }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): SimhashMd5 = copy(child = c)
+  }
+
   @volatile private var registered = Set.empty[SparkSession]
 
   /** Idempotently register the expressions on a session. */
@@ -281,6 +313,8 @@ object ArrayExprs {
         exprs => JaccardSortedMin(exprs(0), exprs(1), exprs(2)), "built-in")
       reg.createOrReplaceTempFunction("cosine_sim",
         exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("simhash_md5",
+        exprs => SimhashMd5(exprs.head), "built-in")
       registered += spark
     }
   }

@@ -44,8 +44,9 @@ object Bridge {
     registry.getOrElseUpdate(name.toLowerCase, new Db(name.toLowerCase))
   /** Whether a bridge of this name has been defined (used by subscriber
     * entries, which must fail on an undefined bridge name). */
-  def exists(name: String): Boolean = registry.contains(name.toLowerCase)
-  def resetForTest(): Unit = registry.clear()
+  def exists(name: String): Boolean =
+    registry.contains(name.toLowerCase) || defs.contains(name.toLowerCase)
+  def resetForTest(): Unit = { registry.clear(); defs.clear() }
 
   // ---- bridge definitions (reference mods/bridge/connector) -----------
 
@@ -118,6 +119,80 @@ object Bridge {
   /** (name, type, connect path) rows for the bridge listing. */
   def list: Seq[(String, String, String)] =
     defs.toSeq.map { case (n, (t, p)) => (n, t, p) }.sortBy(_._1)
+
+  // ---- management ops (reference mods/bridge/management.go) ------------
+
+  final case class Result(success: Boolean, reason: String)
+
+  /** model.ParseBridgeType aliases (bridgedef.go:18-34). */
+  private val typeAliases = Map(
+    "sqlite" -> "sqlite", "sqlite3" -> "sqlite",
+    "postgres" -> "postgres", "postgresql" -> "postgres",
+    "mysql" -> "mysql", "mssql" -> "mssql",
+    "mqtt" -> "mqtt", "nats" -> "nats",
+    "jdbc" -> "jdbc") // extension: generic passthrough (Derby-testable)
+
+  /** AddBridge with the management API's validation reasons. Broker
+    * types (mqtt/nats) register as definitions only — their runtime is
+    * the subscriber dispatch path. */
+  def addBridge(name: String, typ: String, path: String): Result = {
+    if (name.length > 40)
+      return Result(success = false,
+        "name is too long, should be shorter than 40 characters")
+    typeAliases.get(typ) match {
+      case None => Result(success = false, s"unsupported bridge type: $typ")
+      case Some(_) if path.isEmpty =>
+        Result(success = false, "path is empty, it should be specified")
+      case Some(t) if t == "mqtt" || t == "nats" =>
+        defs(name.toLowerCase) = (t, path)
+        Result(success = true, "success")
+      case Some(t) =>
+        define(name, t, path) match {
+          case Left(e) => Result(success = false, e)
+          case Right(_) => Result(success = true, "success")
+        }
+    }
+  }
+
+  def delBridge(name: String): Result = {
+    defs.remove(name.toLowerCase)
+    registry.remove(name.toLowerCase)
+    Result(success = true, "success")
+  }
+
+  /** TestBridge: ping the backing store — in-session stores always
+    * answer; JDBC bridges open a connection; broker bridges cannot be
+    * reached in this container. */
+  def testBridge(name: String): Result = {
+    val key = name.toLowerCase
+    registry.get(key) match {
+      case Some(db: JdbcDb) =>
+        try {
+          java.sql.DriverManager.getConnection(db.url).close()
+          Result(success = true, "success")
+        } catch {
+          case e: Exception =>
+            Result(success = false, Option(e.getMessage).getOrElse(e.toString))
+        }
+      case Some(_) => Result(success = true, "success")
+      case None => defs.get(key) match {
+        case Some((t, _)) =>
+          Result(success = false, s"bridge '$name' ($t) connection unavailable")
+        case None => Result(success = false, s"undefined bridge name '$name'")
+      }
+    }
+  }
+
+  /** SHOW BRIDGES result set (the shell's bridge listing). */
+  def showBridges(spark: SparkSession): DataFrame = {
+    val rows = list.map { case (n, t, p) => Row(n, t, p) }
+    val schema = StructType(Seq(
+      StructField("NAME", StringType),
+      StructField("TYPE", StringType),
+      StructField("CONNECTION", StringType)))
+    spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
 
   /** JDBC passthrough bridge: statements run over a driver-side JDBC
     * connection; SELECTs become `spark.read.jdbc` scans so the data

@@ -289,6 +289,7 @@ object QueryDoor {
         Catalog.showVirtualTables(spark)
       case List("SHOW", "TIMERS") =>
         graft.scheduler.Timers.defaultService(spark).showTimers(spark)
+      case List("SHOW", "BRIDGES") => Bridge.showBridges(spark)
       case List("SHOW", "SESSIONS") => Catalog.showSessions(spark)
       case List("SHOW", "STATEMENTS") => Catalog.showStatements(spark)
       case List("SHOW", "INDEXES") => Catalog.showIndexes(spark)

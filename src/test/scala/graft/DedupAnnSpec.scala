@@ -85,6 +85,29 @@ class DedupAnnSpec extends SparkSpec {
     assert(dNear < dFar, s"near=$dNear far=$dFar")
   }
 
+  test("simhashMd5 single-pass form matches a JVM recomputation") {
+    val df = Seq((1L, "alpha beta gamma delta"),
+      (2L, "one two one two one")).toDF("doc_id", "text")
+    val got = Dedup.simhashMd5(df, $"text").select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    // reference model: votes over md5-derived bits, duplicates counted
+    def jvmSimhash(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](64)
+      for (tok <- text.split(" ")) {
+        val hex = md.digest(tok.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+        val v = java.lang.Long.parseUnsignedLong(hex, 16)
+        for (i <- 0 until 64)
+          votes(i) += (if (((v >>> i) & 1L) == 1L) 1 else -1)
+      }
+      (0 until 64).map(i => if (votes(i) > 0) 1L << i else 0L)
+        .foldLeft(0L)(_ | _)
+    }
+    assert(got(1L) == jvmSimhash("alpha beta gamma delta"))
+    assert(got(2L) == jvmSimhash("one two one two one"))
+  }
+
   test("brute-force topK ranks an identical vector first") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter($"vec_id" === 0)

@@ -92,4 +92,36 @@ class JdbcBridgeSpec extends SparkSpec {
     assert(Bridge.list.exists { case (n, t, _) => n == "dwh" && t == "jdbc" })
     Bridge.resetForTest()
   }
+
+  test("bridge management: add/del/test with the reference reasons") {
+    Bridge.resetForTest()
+    assert(Bridge.addBridge("x" * 41, "sqlite", "p").reason
+      == "name is too long, should be shorter than 40 characters")
+    assert(Bridge.addBridge("b1", "oracle", "p").reason
+      == "unsupported bridge type: oracle")
+    assert(Bridge.addBridge("b1", "sqlite", "").reason
+      == "path is empty, it should be specified")
+    assert(Bridge.addBridge("b1", "sqlite3", "file:mem.db").success) // alias
+    assert(Bridge.addBridge("mq", "mqtt", "tcp://127.0.0.1:1883").success)
+    assert(Bridge.exists("mq")) // broker defs satisfy subscriber lookups
+
+    // in-session store answers the test ping; brokers are unreachable
+    assert(Bridge.testBridge("b1").success)
+    assert(Bridge.testBridge("mq").reason
+      == "bridge 'mq' (mqtt) connection unavailable")
+    assert(Bridge.testBridge("ghost").reason == "undefined bridge name 'ghost'")
+
+    // derby round-trips the JDBC test ping
+    Bridge.addBridge("dwh2", "jdbc", "jdbc:derby:memory:graftdb3;create=true")
+    assert(Bridge.testBridge("dwh2").success)
+
+    val shown = graft.server.QueryDoor.execute(spark, "show bridges").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(shown.toSeq.contains(("mq", "mqtt", "tcp://127.0.0.1:1883")))
+    assert(shown.map(_._1).toSeq == shown.map(_._1).toSeq.sorted)
+
+    assert(Bridge.delBridge("mq").success)
+    assert(!Bridge.exists("mq"))
+    Bridge.resetForTest()
+  }
 }
