@@ -50,6 +50,39 @@ object StatOps {
       .orderBy("low")
   }
 
+  /** Streaming merge-closest-bins histogram for `bins(n)` without a
+    * predeclared range (reference HISTOGRAM "unpredicted bins" →
+    * mods/nums/histogram.go:27-92): insert each value as its own bin in
+    * sorted position, then while over capacity merge the two adjacent
+    * bins with the smallest gap into their weighted mean. Sequential by
+    * construction (a bounded n-bin sketch, like the reference's single
+    * event loop); the caller feeds record-ordered values. */
+  final class StreamingHistogram(maxBins: Int) {
+    private var values = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    def add(v: Double): Unit = {
+      val at = values.indexWhere(_._1 > v)
+      if (at < 0) values += ((v, 1L)) else values.insert(at, (v, 1L))
+      val cap = if (maxBins <= 0) 100 else maxBins
+      while (values.length > cap) {
+        // find the closest adjacent pair (first pair wins ties — the
+        // reference initializes with j==1 and uses strict <)
+        var d = 0d; var i = 0
+        var j = 1
+        while (j < values.length) {
+          val dv = values(j)._1 - values(j - 1)._1
+          if (dv < d || j == 1) { d = dv; i = j }
+          j += 1
+        }
+        val count = values(i)._2 + values(i - 1)._2
+        val merged = ((values(i)._1 * values(i)._2 +
+          values(i - 1)._1 * values(i - 1)._2) / count, count)
+        values.remove(i - 1)
+        values(i - 1) = merged
+      }
+    }
+    def bins: Seq[(Double, Long)] = values.toSeq
+  }
+
   /** Quartiles + IQR whiskers per category (reference BOXPLOT):
     * (category, q1, median, q3, iqr, lower_whisker, upper_whisker,
     * n_outliers). Whiskers are the extreme observed values inside

@@ -161,9 +161,12 @@ object Compiler {
       .foreach(t => graft.server.TagTables.ensure(spark, t))
 
   private def statementNeedsKey(e: Expr): Boolean = e match {
+    // HISTOGRAM(v, bins(n)) is the streaming sketch — record order matters
+    case Expr.Call("HISTOGRAM", args)
+      if args.exists { case Expr.Call("bins", List(_: Expr.Num)) => true; case _ => false } => true
     case Expr.Call(n, args) =>
       Set("TAKE", "DROP", "PUSHKEY", "POPKEY", "MAPKEY", "GROUPBYKEY", "FFT",
-        "key", "first", "last", "TRANSPOSE", "SCRIPT",
+        "key", "first", "last", "TRANSPOSE", "SCRIPT", "TIMEWINDOW",
         "MAP_DIFF", "MAP_ABSDIFF", "MAP_NONEGDIFF", "MAP_AVG", "MAP_MOVAVG",
         "MAP_LOWPASS", "FILTER_CHANGED")(n) || args.exists(statementNeedsKey)
     case Expr.Bin(_, l, r) => statementNeedsKey(l) || statementNeedsKey(r)
@@ -607,6 +610,11 @@ object Compiler {
       else if (rest.startsWith("+")) now + graft.time.TimeFns.parseDurationNs(rest.substring(1))
       else throw new IllegalArgumentException(s"bad time literal: $s")
     case Expr.Call("time", List(x)) => evalConstNs(x)
+    case Expr.Str(s) if s.trim == "now" || s.trim.startsWith("now-") ||
+      s.trim.startsWith("now+") || s.trim.startsWith("now ") =>
+      // bare 'now'/'now±dur' string where a time is expected
+      // (oscillator range('now', …) — fm_fake.go)
+      evalConstNs(Expr.Call("time", List(e)))
     case Expr.Call("timeAdd", List(x, Expr.Str(dur))) =>
       evalConstNs(x) + graft.time.TimeFns.parseDurationNs(dur)
     case Expr.Bin("*", a, b) => evalConstNs(a) * evalConstNs(b)
@@ -837,6 +845,9 @@ object Compiler {
           case List(Num(o), Num(n)) => (o.toInt, n.toInt)
           case _ => throw new IllegalArgumentException("TAKE(n) or TAKE(offset, n)")
         }
+        // fm_monad.go:50 — an explicit two-arg limit must be positive
+        if (args.size == 2 && n <= 0) throw new IllegalArgumentException(
+          "f(TAKE) arg(1) limit should be larger than 0")
         p.copy(df = p.df.orderBy(col(p.keyCol)).offset(off).limit(n))
 
       case Call("DROP", args) =>
@@ -845,6 +856,8 @@ object Compiler {
           case List(Num(o), Num(n)) => (o.toInt, n.toInt)
           case _ => throw new IllegalArgumentException("DROP(n) or DROP(offset, n)")
         }
+        if (args.size == 2 && n <= 0) throw new IllegalArgumentException(
+          "f(DROP) arg(1) limit should be larger than 0")
         p.copy(df = graft.operators.RowOps.drop(p.df, Seq(col(p.keyCol)), off, n))
 
       case Call("MAPVALUE", Num(idx) :: expr :: rest) if idx < 0 =>
@@ -1042,13 +1055,78 @@ object Compiler {
           p.copy(df = df, values = fixedCols.map(label) ++ Seq("header", valueName))
         }
 
+      case Call("TIMEWINDOW", fromE :: untilE :: periodE :: colSpecs) =>
+        // standalone TIMEWINDOW (fm_time.go:426-533, deprecated alias of
+        // GROUP(timewindow)): ABSOLUTE period-aligned windows
+        // w = floor(ts/period)·period kept when from <= w < until;
+        // positional column specs name the record's columns, 'time'
+        // marks the time column, others are aggregators (optional
+        // ':predictor' suffix selects the gap filler).
+        import graft.operators.GapFill
+        val fromNs = evalConstNs(fromE)
+        val untilNs = evalConstNs(untilE)
+        val periodNs = periodE match {
+          case Call("period", List(Str(d))) => graft.time.TimeFns.parseDurationNs(d)
+          case Call("period", List(n)) => evalConstNs(n)
+          case Str(d) => graft.time.TimeFns.parseDurationNs(d)
+          case n => evalConstNs(n)
+        }
+        if (untilNs - fromNs <= periodNs) throw new IllegalArgumentException(
+          "f(TIMEWINDOW) arg(0) from ~ until should be larger than period")
+        val specs = colSpecs.collect { case Str(s) => s }
+        val timeIdx = specs.indexWhere(_.equalsIgnoreCase("time"))
+        require(timeIdx >= 0, "TIMEWINDOW requires a 'time' column spec")
+        val firstW = Math.floorDiv(fromNs + periodNs - 1, periodNs) * periodNs
+        val lastWExcl = (Math.floorDiv(untilNs - 1, periodNs) + 1) * periodNs
+        var fill: GapFill.Fill = GapFill.FillNull
+        val aggs = specs.zipWithIndex.filterNot(_._2 == timeIdx).map { case (spec, i) =>
+          val (fn, predict) = spec.indexOf(':') match {
+            case -1 => (spec, "")
+            case at => (spec.take(at), spec.drop(at + 1))
+          }
+          predict.toLowerCase match {
+            case "" =>
+            case "piecewiseconstant" => fill = GapFill.FillPrevious
+            case "piecewiselinear" => fill = GapFill.FillLinear
+            case "akimaspline" => fill = GapFill.FillAkima
+            case "fritschbutland" => fill = GapFill.FillFritschButland
+            case "linearregression" => fill = GapFill.FillLinReg
+            case k => throw new IllegalArgumentException(s"unknown predictor($k)")
+          }
+          p.values(i) -> buildAgg(fn, col(p.values(i)), p)
+        }
+        require(aggs.nonEmpty, "TIMEWINDOW needs at least one aggregator column")
+        val timeName = p.values(timeIdx)
+        val out = GapFill.timewindow(p.df.sparkSession, p.df,
+            col(timeName).cast("long"), firstW, lastWExcl, periodNs, aggs, fill)
+          .withColumnRenamed("bucket_ns", timeName)
+        val ordered = p.values.indices.map(i => p.values(i))
+        Pipe(out.select(ordered.map(col): _*), timeName, ordered)
+
       case Call("HISTOGRAM", v :: rest) =>
-        val (minV, maxV, step) = rest.collectFirst {
+        rest.collectFirst {
           case Call("bins", List(Num(a), Num(b), Num(s0))) => (a, b, s0)
-        }.getOrElse(throw new IllegalArgumentException("HISTOGRAM needs bins(min,max,step)"))
-        val df = graft.operators.StatOps.histogram(
-          p.df.sparkSession, p.df, toColumn(v, p), minV, maxV, step)
-        Pipe(df, "low", Seq("low", "high", "cnt"))
+        } match {
+          case Some((minV, maxV, step)) =>
+            val df = graft.operators.StatOps.histogram(
+              p.df.sparkSession, p.df, toColumn(v, p), minV, maxV, step)
+            Pipe(df, "low", Seq("low", "high", "cnt"))
+          case None =>
+            // bins(n): unpredicted bins — the reference's streaming
+            // merge-closest sketch, fed in record order (bounded state)
+            val maxBins = rest.collectFirst {
+              case Call("bins", List(Num(n))) => n.toInt
+            }.getOrElse(throw new IllegalArgumentException(
+              "HISTOGRAM needs bins(min,max,step) or bins(n)"))
+            val spark = p.df.sparkSession
+            import spark.implicits._
+            val hist = new graft.operators.StatOps.StreamingHistogram(maxBins)
+            val vals = p.df.orderBy(col(p.keyCol))
+              .select(toColumn(v, p).cast("double"))
+            import scala.jdk.CollectionConverters._
+            vals.toLocalIterator().asScala.foreach(r => hist.add(r.getDouble(0)))
+            Pipe(hist.bins.toDF("value", "count"), "value", Seq("value", "count"))
+        }
 
       case other => throw new IllegalArgumentException(s"unsupported map: ${st.text}")
     }
