@@ -44,7 +44,7 @@ object Codecs {
 
   /** Shortest round-trip decimal like Go's FormatFloat(v,'f',-1,64) — the
     * reference's CSV float format ("1", "1.5", not "1.0"). */
-  private def goFloat(d: Double): String = {
+  private[graft] def goFloat(d: Double): String = {
     if (d.isNaN || d.isInfinite) return d.toString
     val s = java.lang.Double.toString(d)
     if (s.contains("E") || s.contains("e"))
@@ -96,6 +96,9 @@ object Codecs {
     case f: Float if o.precision >= 0 => fixedExact(normZero(f.toDouble), o.precision)
     case d: Double => goFloat(normZero(d))
     case f: Float => goFloat(normZero(f.toDouble))
+    // list-valued cells print their Go type token — the reference's CSV
+    // encoder falls through fmt to the []any type (TestBoxplot chart)
+    case _: scala.collection.Seq[_] => "[]interface {}"
     case x => x.toString
   }
 
@@ -198,6 +201,7 @@ object Codecs {
     // reference marshalling the yielded Go value directly
     val anyIdx: Set[Int] = types0.zipWithIndex.collect {
       case ("any", i) => i
+      case ("dict", i) => i // BOXPLOT dict cells carry canonical JSON
     }.toSet
     w.write("""{"data":{"columns":[""")
     w.write(cols.map(c => "\"" + jsonEscape(c) + "\"").mkString(","))

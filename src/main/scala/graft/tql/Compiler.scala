@@ -1103,6 +1103,9 @@ object Compiler {
         val ordered = p.values.indices.map(i => p.values(i))
         Pipe(out.select(ordered.map(col): _*), timeName, ordered)
 
+      case Call("BOXPLOT", bpArgs) =>
+        compileBoxplot(p, bpArgs)
+
       case Call("HISTOGRAM", v :: rest) =>
         rest.collectFirst {
           case Call("bins", List(Num(a), Num(b), Num(s0))) => (a, b, s0)
@@ -1206,6 +1209,95 @@ object Compiler {
       case "rss" => sqrt(sum(c * c))
       case "rms" => sqrt(avg(c * c))
       case "list" => collect_list(raw)
+    }
+  }
+
+  /** BOXPLOT(value, category(), order(), boxplotInterp(q1,q2,q3),
+    * boxplotOutput('standard'|'dict'|'chart')) — fm_stat.go:294-533.
+    * Per-category quartiles with gonum Empirical/LinInterp selection,
+    * 1.5·IQR whiskers, outliers; three output wire shapes. The grouping
+    * and value collection run in Spark (one shuffle); the box math runs
+    * on the driver over per-category arrays — output cardinality is the
+    * category count. At 100 TB swap the exact quantiles for
+    * percentile_approx per category; the wire shapes are unchanged.
+    * Deviation: the standard format's OUTLIER row carries NULL cells
+    * (Spark columns are typed double; the reference smuggles []any
+    * through them and its CSV prints "[]interface {}") — outliers
+    * travel properly in the dict/chart formats. */
+  private def compileBoxplot(p: Pipe, args: List[Expr]): Pipe = {
+    import Expr._
+    import org.apache.spark.sql.types._
+    import graft.operators.StatOps
+    val spark = p.df.sparkSession
+    val valueE = args.collectFirst {
+      case e if !e.isInstanceOf[Call] => e
+      case c @ Call(n, _) if !Set("category", "order", "boxplotInterp", "boxplotOutput")(n) => c
+    }.getOrElse(throw new IllegalArgumentException("BOXPLOT needs a value expression"))
+    val catE = args.collectFirst { case Call("category", List(e)) => e }
+    val orders = args.collectFirst { case Call("order", os) =>
+      os.collect { case Str(s) => s }
+    }.getOrElse(Nil)
+    val (iq1, iq2, iq3) = args.collectFirst {
+      case Call("boxplotInterp", List(Bool(a), Bool(b), Bool(c))) => (a, b, c)
+    }.getOrElse((false, false, false))
+    val format = args.collectFirst {
+      case Call("boxplotOutput", List(Str(f))) => f.toLowerCase
+    }.getOrElse("standard")
+
+    val catCol = catE.map(e => toColumn(e, p).cast("string")).getOrElse(lit(""))
+    val grouped = p.df.groupBy(catCol.as("__cat"))
+      .agg(collect_list(toColumn(valueE, p).cast("double")).as("__vs"))
+      .collect()
+    val byCat = grouped.map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    val catNames = StatOps.sortCategoryNames(byCat.keys.toSeq, orders)
+    val stats = catNames.map(c => StatOps.boxStats(byCat(c), iq1, iq2, iq3))
+    def colName(c: String, i: Int) = if (c.isEmpty) s"boxplot_$i" else c
+
+    format match {
+      case "dict" =>
+        def n(d: Double) = graft.sinks.Codecs.goFloat(d)
+        val cells: Seq[Any] = stats.map { s =>
+          s"""{"iqr":${n(s.iqr)},"lower":${n(s.lower)},"max":${n(s.max)},""" +
+            s""""min":${n(s.min)},"outlier":[${s.outliers.map(n).mkString(",")}],""" +
+            s""""q1":${n(s.q1)},"q2":${n(s.q2)},"q3":${n(s.q3)},"upper":${n(s.upper)}}"""
+        }
+        val schema = StructType(catNames.zipWithIndex.map { case (c, i) =>
+          StructField(colName(c, i), StringType, nullable = true,
+            new MetadataBuilder().putString("machtype", "dict").build())
+        })
+        val df = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            Seq(org.apache.spark.sql.Row.fromSeq(cells))).asJava), schema)
+        Pipe(df, schema.fieldNames.head, schema.fieldNames.toSeq)
+      case "chart" =>
+        val schema = StructType(Seq(
+          StructField("CATEGORY", StringType),
+          StructField("BOXPLOT", ArrayType(DoubleType)),
+          StructField("OUTLIER", ArrayType(StructType(Seq(
+            StructField("category", StringType), StructField("value", DoubleType)))))))
+        val rows = catNames.zip(stats).map { case (c, s) =>
+          org.apache.spark.sql.Row(c,
+            Seq(s.lower, s.q1, s.q2, s.q3, s.upper),
+            s.outliers.map(o => org.apache.spark.sql.Row(c, o)))
+        }
+        val df = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+        Pipe(df, "CATEGORY", Seq("CATEGORY", "BOXPLOT", "OUTLIER"))
+      case _ =>
+        val schema = StructType(StructField("CATEGORY", StringType) +:
+          catNames.zipWithIndex.map { case (c, i) =>
+            StructField(colName(c, i), DoubleType)
+          })
+        def row(label: String, f: StatOps.BoxStats => Any) =
+          org.apache.spark.sql.Row.fromSeq(label +: stats.map(f))
+        val rows = Seq(
+          row("MIN", _.min), row("LOWER", _.lower), row("Q1", _.q1),
+          row("Q2", _.q2), row("Q3", _.q3), row("UPPER", _.upper),
+          row("MAX", _.max), row("IQR", _.iqr),
+          org.apache.spark.sql.Row.fromSeq("OUTLIER" +: stats.map(_ => null)))
+        val df = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+        Pipe(df, "CATEGORY", schema.fieldNames.toSeq)
     }
   }
 

@@ -41,6 +41,67 @@ class ReferenceCases2Spec extends SparkSpec {
       "value,count\n23,1\n44,6\n59,12\n80,26\n99,20\n113,18\n129,5\n141,2\n153,7\n170,3\n", out)
   }
 
+  private val boxplotSrc =
+    """FAKE(json({
+      |    ["A", 850, 740, 900, 1070, 930, 850, 950, 980, 980, 880, 1000, 980, 930, 650, 760, 810, 1000, 1000, 960, 960],
+      |    ["B", 960, 940, 960, 940, 880, 800, 850, 880, 900, 840, 830, 790, 810, 880, 880, 830, 800, 790, 760, 800],
+      |    ["C", 880, 880, 880, 860, 720, 720, 620, 860, 970, 950, 880, 910, 850, 870, 840, 840, 850, 840, 840, 840],
+      |    ["D", 890, 810, 810, 820, 800, 770, 760, 740, 750, 760, 910, 920, 890, 860, 880, 720, 840, 850, 850, 780],
+      |    ["E", 890, 840, 780, 810, 760, 810, 790, 810, 820, 850, 870, 870, 810, 740, 810, 940, 950, 800, 810, 870]
+      |}))
+      |TRANSPOSE(fixed(0))
+      |""".stripMargin
+
+  test("BOXPLOT standard format with order() and interp (task_test.go:350-379)") {
+    val out = run(boxplotSrc +
+      """BOXPLOT(value(1), category(value(0)), order("A", "D","C","B","E"), boxplotInterp(true, false, true))
+        |FILTER(value(0) != "OUTLIER")
+        |CSV( header(true), precision(0) )
+        |""".stripMargin)
+    assert(out ==
+      """CATEGORY,A,D,C,B,E
+        |MIN,650,720,620,760,740
+        |LOWER,655,610,780,680,695
+        |Q1,850,760,840,800,800
+        |Q2,930,810,850,840,810
+        |Q3,980,860,880,880,870
+        |UPPER,1175,1010,940,1000,975
+        |MAX,1070,920,970,960,950
+        |IQR,130,100,40,80,70
+        |""".stripMargin, out)
+  }
+
+  test("BOXPLOT dict format (task_test.go:380-441)") {
+    val out = run(boxplotSrc +
+      """BOXPLOT(value(1), category(value(0)), order("A", "D","C","B","E"), boxplotInterp(true, false, true), boxplotOutput("dict"))
+        |JSON()
+        |""".stripMargin)
+    assert(out.contains(""""columns":["A","D","C","B","E"]"""), out)
+    assert(out.contains(""""types":["dict","dict","dict","dict","dict"]"""), out)
+    // A: iqr 130, lower 655, outlier [650]
+    assert(out.contains(""""iqr":130"""), out)
+    assert(out.contains(""""lower":655"""), out)
+    assert(out.contains(""""outlier":[650]"""), out)
+    // C: outliers [620,720,720,950,970]
+    assert(out.contains(""""outlier":[620,720,720,950,970]"""), out)
+    assert(out.contains(""""upper":1175"""), out)
+  }
+
+  test("BOXPLOT chart format renders list cells as Go type tokens (task_test.go:443-458)") {
+    val out = run(boxplotSrc +
+      """BOXPLOT(value(1), category(value(0)), order("A", "D","C","B","E"), boxplotInterp(true, false, true), boxplotOutput("chart"))
+        |CSV(header(true))
+        |""".stripMargin)
+    assert(out ==
+      """CATEGORY,BOXPLOT,OUTLIER
+        |A,[]interface {},[]interface {}
+        |D,[]interface {},[]interface {}
+        |C,[]interface {},[]interface {}
+        |B,[]interface {},[]interface {}
+        |E,[]interface {},[]interface {}
+        |""".stripMargin, out)
+  }
+
   test("TIMEWINDOW 1s grid over 1ms oscillator, first agg (task_test.go:2460)") {
     val tick = 1692329338315327000L
     val out = Tql.run(spark,
