@@ -12,42 +12,69 @@ import org.apache.spark.sql.functions._
   * `percentile_approx` at 100 TB) — one shuffle per category.
   */
 object StatOps {
-  /** Fixed-step histogram over [min, max): bins of width `step`, all bins
-    * emitted (zero-count synthesized). Output (low, high, cnt). */
+  /** Fixed-step histogram with the engine's exact bin model
+    * (fm_stat.go HistogramStepBins.NewBuckets): regular bins
+    * [min+(i-1)·step, min+i·step) for i in 1..⌊(max-min)/step⌋, plus
+    * -Inf/+Inf edge bins that catch out-of-range values — emitted only
+    * when non-empty. All bins (incl. empty regular ones) synthesized
+    * from a `spark.range` spine. Output (low, high, count). */
   def histogram(spark: SparkSession, df: DataFrame, v: Column,
                 minV: Double, maxV: Double, step: Double): DataFrame = {
-    val nBins = math.ceil((maxV - minV) / step).toLong
-    val binned = df
-      .filter(v >= minV && v < maxV)
-      .select(floor((v - minV) / step).cast("long").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("cnt"))
-    spark.range(nBins).withColumnRenamed("id", "bin")
+    val bucketsCount = ((maxV - minV) / step).toInt + 2
+    // Go int() truncates toward zero (not floor): values less than one
+    // step below min land in the FIRST REGULAR bin — reference quirk
+    // (task_test.go:265-280 pins it)
+    val idx = least(greatest(((v - minV) / step).cast("long") + 1L,
+      lit(0L)), lit(bucketsCount - 1L))
+    val binned = df.select(idx.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("count"))
+    spark.range(bucketsCount).withColumnRenamed("id", "bin")
       .join(binned, Seq("bin"), "left")
+      .withColumn("count", coalesce(col("count"), lit(0L)))
+      .filter(!((col("bin") === 0 || col("bin") === bucketsCount - 1L) &&
+        col("count") === 0L))
       .select(
-        (col("bin") * step + minV).as("low"),
-        ((col("bin") + 1) * step + minV).as("high"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"))
-      .orderBy("low")
+        when(col("bin") === 0, Double.NegativeInfinity)
+          .otherwise((col("bin") - 1) * step + minV).as("low"),
+        when(col("bin") === bucketsCount - 1L, Double.PositiveInfinity)
+          .otherwise(col("bin") * step + minV).as("high"),
+        col("count"), col("bin"))
+      .orderBy("bin").drop("bin")
   }
 
   /** Histogram with per-category counts pivoted to columns (reference
-    * `category()` option). `categories` must be explicit — at scale a
-    * dynamic pivot would need a driver-side distinct first. */
+    * `category()` option — same bin model and edge-bin skip as
+    * [[histogram]], columns low/high/<category>…). `categories` must be
+    * explicit — at scale a dynamic pivot would need a driver-side
+    * distinct first. */
   def histogramByCategory(spark: SparkSession, df: DataFrame, v: Column, cat: Column,
                           minV: Double, maxV: Double, step: Double,
                           categories: Seq[String]): DataFrame = {
-    val nBins = math.ceil((maxV - minV) / step).toLong
+    val bucketsCount = ((maxV - minV) / step).toInt + 2
+    // Go int() truncates toward zero (not floor): values less than one
+    // step below min land in the FIRST REGULAR bin — reference quirk
+    // (task_test.go:265-280 pins it)
+    val idx = least(greatest(((v - minV) / step).cast("long") + 1L,
+      lit(0L)), lit(bucketsCount - 1L))
     val binned = df
-      .filter(v >= minV && v < maxV)
-      .select(floor((v - minV) / step).cast("long").as("bin"), cat.as("cat"))
+      .select(idx.as("bin"), cat.as("cat"))
       .groupBy("bin").pivot("cat", categories).agg(count(lit(1)))
     val filled = categories.foldLeft(
-      spark.range(nBins).withColumnRenamed("id", "bin").join(binned, Seq("bin"), "left")) {
+      spark.range(bucketsCount).withColumnRenamed("id", "bin")
+        .join(binned, Seq("bin"), "left")) {
       (d, c) => d.withColumn(c, coalesce(col(c), lit(0L)))
     }
-    filled.select(
-      (col("bin") * step + minV).as("low") +: categories.map(col): _*)
-      .orderBy("low")
+    val totals = categories.map(col).reduce(_ + _)
+    filled
+      .filter(!((col("bin") === 0 || col("bin") === bucketsCount - 1L) &&
+        totals === 0L))
+      .select(Seq(
+        when(col("bin") === 0, Double.NegativeInfinity)
+          .otherwise((col("bin") - 1) * step + minV).as("low"),
+        when(col("bin") === bucketsCount - 1L, Double.PositiveInfinity)
+          .otherwise(col("bin") * step + minV).as("high")) ++
+        categories.map(col) :+ col("bin"): _*)
+      .orderBy("bin").drop("bin")
   }
 
   /** Streaming merge-closest-bins histogram for `bins(n)` without a

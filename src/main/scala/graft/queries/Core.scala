@@ -337,7 +337,7 @@ object Core {
          ORDER BY c_custkey""",
     "q_histogram" ->
       """SELECT CAST(bin*25.0 AS DOUBLE) AS low, CAST((bin+1)*25.0 AS DOUBLE) AS high,
-         coalesce(cnt, 0) AS cnt
+         coalesce(cnt, 0) AS count
          FROM (SELECT CAST(range AS BIGINT) AS bin FROM range(20)) bins
          LEFT JOIN (SELECT CAST(floor((value-0)/25) AS BIGINT) AS vbin, count(*) AS cnt
                     FROM events WHERE value >= 0 AND value < 500 GROUP BY 1) h

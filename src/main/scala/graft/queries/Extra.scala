@@ -230,7 +230,7 @@ object Extra {
          WHERE nxt IS NULL OR nxt - t_us >= 600000000
          ORDER BY user_id, t_us""",
     "q_histogram_category" ->
-      """SELECT CAST(bin*50.0 AS DOUBLE) AS low,
+      """SELECT CAST(bin*50.0 AS DOUBLE) AS low, CAST((bin+1)*50.0 AS DOUBLE) AS high,
          coalesce(click, 0) AS click, coalesce(error, 0) AS error,
          coalesce(purchase, 0) AS purchase, coalesce(signup, 0) AS signup,
          coalesce(view, 0) AS view

@@ -92,6 +92,7 @@ object Codecs {
     case t: java.sql.Timestamp => fmtTime(t.toInstant, o)
     case t: java.time.Instant => fmtTime(t, o)
     case t: java.time.LocalDateTime => fmtTime(t.toInstant(java.time.ZoneOffset.UTC), o)
+    case d: Double if d.isInfinite => if (d > 0) "+Inf" else "-Inf"
     case d: Double if o.precision >= 0 => fixedExact(normZero(d), o.precision)
     case f: Float if o.precision >= 0 => fixedExact(normZero(f.toDouble), o.precision)
     case d: Double => goFloat(normZero(d))

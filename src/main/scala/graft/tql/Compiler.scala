@@ -1113,7 +1113,7 @@ object Compiler {
           case Some((minV, maxV, step)) =>
             val df = graft.operators.StatOps.histogram(
               p.df.sparkSession, p.df, toColumn(v, p), minV, maxV, step)
-            Pipe(df, "low", Seq("low", "high", "cnt"))
+            Pipe(df, "low", Seq("low", "high", "count"))
           case None =>
             // bins(n): unpredicted bins — the reference's streaming
             // merge-closest sketch, fed in record order (bounded state)

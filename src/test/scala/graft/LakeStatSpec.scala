@@ -32,11 +32,19 @@ class LakeStatSpec extends SparkSpec {
     assert(joined == 0)
   }
 
-  test("histogram bins include empty bins and clamp the range") {
+  test("histogram bins include empty bins; out-of-range lands in ±Inf edges") {
     val df = Seq(1.0, 2.0, 2.5, 9.9, -5.0, 10.0).toDF("v")
     val h = StatOps.histogram(spark, df, $"v", 0d, 10d, 2.5)
-      .select("low", "cnt").as[(Double, Long)].collect().toSeq
-    assert(h == Seq((0.0, 2L), (2.5, 1L), (5.0, 0L), (7.5, 1L))) // 2.5 lands in bin 1 (half-open bins)
+      .select("low", "count").as[(Double, Long)].collect().toSeq
+    // -5 → -Inf edge, 10.0 → +Inf edge (low = 10.0); 2.5 lands in bin 1
+    assert(h == Seq((Double.NegativeInfinity, 1L), (0.0, 2L), (2.5, 1L),
+      (5.0, 0L), (7.5, 1L), (10.0, 1L)))
+
+    // edges are skipped when empty (fm_stat.go:100-115)
+    val inRange = Seq(1.0, 6.0).toDF("v")
+    val h2 = StatOps.histogram(spark, inRange, $"v", 0d, 10d, 2.5)
+      .select("low", "count").as[(Double, Long)].collect().toSeq
+    assert(h2 == Seq((0.0, 1L), (2.5, 0L), (5.0, 1L), (7.5, 0L)))
   }
 
   test("moment aggregator matches two-pass central moment") {

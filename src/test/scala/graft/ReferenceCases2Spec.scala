@@ -30,6 +30,29 @@ class ReferenceCases2Spec extends SparkSpec {
     assert(e2.getMessage == "f(DROP) arg(1) limit should be larger than 0")
   }
 
+  test("HISTOGRAM fixed bins incl. empty (task_test.go:242-263)") {
+    val out = run(
+      """FAKE( arrange(1, 100, 1) )
+        |MAPVALUE(0, (simplex(12, value(0)) + 1) * 100)
+        |HISTOGRAM(value(0), bins(0, 200, 20))
+        |CSV( precision(0) )
+        |""".stripMargin)
+    assert(out ==
+      "0,20,0\n20,40,2\n40,60,12\n60,80,19\n80,100,25\n100,120,22\n" +
+        "120,140,8\n140,160,8\n160,180,4\n180,200,0\n", out)
+  }
+
+  test("HISTOGRAM out-of-range values land in ±Inf edge bins (task_test.go:265-280)") {
+    val out = run(
+      """FAKE( arrange(1, 100, 1) )
+        |MAPVALUE(0, (simplex(12, value(0)) + 1) * 100)
+        |HISTOGRAM(value(0), bins(80, 120, 13))
+        |CSV( precision(0), header(true) )
+        |""".stripMargin)
+    assert(out ==
+      "low,high,count\n-Inf,80,19\n80,93,28\n93,106,19\n106,119,14\n119,+Inf,20\n", out)
+  }
+
   test("HISTOGRAM bins(10): unpredicted streaming bins (task_test.go:326-348)") {
     val out = run(
       """FAKE( arrange(1, 100, 1) )

@@ -27,7 +27,7 @@ class Tql3Spec extends SparkSpec {
         |CSV(header())
         |""".stripMargin)
     assert(out ==
-      "low,high,cnt\n0,2.5,3\n2.5,5,2\n5,7.5,3\n7.5,10,2\n")
+      "low,high,count\n0,2.5,3\n2.5,5,2\n5,7.5,3\n7.5,10,2\n")
   }
 
   test("CSV file source with typed pipeline end-to-end") {
