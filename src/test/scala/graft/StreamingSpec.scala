@@ -50,6 +50,31 @@ class StreamingSpec extends SparkSpec {
     } finally handle.stop()
   }
 
+  test("dedupWithin drops re-sent (name, time) rows inside the window (TAG_DUPLICATE_CHECK_DURATION)") {
+    val dir = Files.createTempDirectory("graft_dup").toString
+    val out = Files.createTempDirectory("graft_dup_out").toString
+    val ck = Files.createTempDirectory("graft_dup_ck").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    // duplicates within one batch AND across files
+    Seq(("t1", ts(0), 1.0), ("t1", ts(0), 1.0), ("t2", ts(1), 2.0))
+      .toDF("name", "time", "value")
+      .write.mode("append").parquet(dir)
+    Seq(("t1", ts(0), 9.9), ("t2", ts(2), 2.5)) // t1@0 re-sent, t2@2 new
+      .toDF("name", "time", "value")
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = Watch.dedupWithin(
+      Watch.tail(spark, dir, schema), "name", "time", "10 minutes")
+    val q = Watch.appendWriter(stream, out, ck, 1000L)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(out)
+      .select("name", "time").as[(String, java.sql.Timestamp)]
+      .collect().toSet
+    assert(got == Set(("t1", ts(0)), ("t2", ts(1)), ("t2", ts(2))), got)
+  }
+
   test("rollupStream aggregates tumbling event-time windows") {
     val dir = Files.createTempDirectory("graft_roll").toString
     val ck = Files.createTempDirectory("graft_ck2").toString
