@@ -35,7 +35,11 @@ object Compiler {
                     * AST calls, applied at render time */
                   chartArgs: Option[List[Expr]] = None,
                   /** `bridge('name')` routing for SQL/INSERT sinks */
-                  bridge: Option[String] = None)
+                  bridge: Option[String] = None,
+                  /** `cache(key, ttl[, preemptiveRatio])` — serve the
+                    * rendered sink text from the result cache
+                    * (mods/tql/tqlcache.go) */
+                  cacheSpec: Option[(String, Long, Double)] = None)
 
   case class TableInsert(append: Boolean, table: String, tag: Option[String],
                          columns: Seq[String])
@@ -177,6 +181,9 @@ object Compiler {
     case _ => false
   }
 
+  /** Shared TQL result cache (tqlcache.go — one cache per server). */
+  private[graft] val resultCache = new graft.sinks.ResultCache()
+
   /** Render a compiled pipeline, applying any SCRIPT envelope override. */
   def renderCompiled(c: Compiled): String = {
     if (c.sink.format == "SQLEXEC") return runSqlSink(c)
@@ -187,7 +194,15 @@ object Compiler {
         c.sink.options.copy(colsOverride = Some(cols), typesOverride = Some(types))
       case None => c.sink.options
     }
-    graft.sinks.Codecs.render(c.output, c.sink.format, o)
+    def compute() = graft.sinks.Codecs.render(c.output, c.sink.format, o)
+    c.sink.cacheSpec match {
+      case Some((key, ttlNs, ratio)) =>
+        // cache(key, ttl): a hit skips the pipeline execution entirely —
+        // the cached sink text is the contract (tqlcache_test.go pins a
+        // random()-bearing script returning the identical bytes)
+        resultCache.getOrCompute(key, ttlNs, ratio)(compute())
+      case None => compute()
+    }
   }
 
   /** INSERT/APPEND statement sinks (fm_dbsink.go): per-record insert into
@@ -636,6 +651,7 @@ object Compiler {
       Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8"))
     case Expr.Bin("??", l, r) => constStringOpt(l).orElse(constStringOpt(r))
+    case Expr.Call("param", List(Expr.Str(n))) => paramFirst(n)
     case Expr.Bin("+", l, r) => // constant concatenation ('a' + 'b')
       for (a <- constStringOpt(l); b <- constStringOpt(r)) yield a + b
     case Expr.Call("strTrimSpace", List(x)) => constStringOpt(x).map(_.trim)
@@ -726,10 +742,25 @@ object Compiler {
     Pipe(if (needKey) withRownum(df) else df, "_key", names)
   }
 
-  private def compileFake(spark: SparkSession, gen: Expr.Call, needKey: Boolean): Pipe = {
+  /** Compile-time numeric folding for generator args —
+    * FAKE(linspace(parseFloat(param("begin")), …)) (tqlcache_test.go). */
+  private def constNumOpt(e: Expr): Option[Double] = e match {
+    case Expr.Num(v) => Some(v)
+    case Expr.Unary("-", x) => constNumOpt(x).map(v => -v)
+    case Expr.Call("parseFloat", List(x)) =>
+      constStringOpt(x).flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+    case Expr.Call("param", List(Expr.Str(n))) =>
+      paramFirst(n).flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+    case _ => None
+  }
+
+  private def compileFake(spark: SparkSession, gen0: Expr.Call, needKey: Boolean): Pipe = {
     import Expr._
     def keyed(df: org.apache.spark.sql.DataFrame, values: Seq[String]): Pipe =
       Pipe(if (needKey) withRownum(df) else df, "_key", values)
+    // fold non-literal numeric args (param()/parseFloat) to literals
+    val gen = Call(gen0.name, gen0.args.map(a =>
+      if (a.isInstanceOf[Num]) a else constNumOpt(a).map(Num).getOrElse(a)))
     gen match {
       case Call("linspace", List(Num(a), Num(b), Num(n))) =>
         keyed(Fake.linspace(spark, a, b, n.toInt), Seq("x"))
@@ -1645,7 +1676,12 @@ object Compiler {
       case Call("binaryformat", List(Str(b))) => opts = opts.copy(binaryFormat = b)
       case _ =>
     }
-    Sink(fmt, opts)
+    val cacheSpec = st.call.args.collectFirst {
+      case Call("cache", keyE :: Str(ttl) :: rest) =>
+        val ratio = rest.collectFirst { case Num(r) => r }.getOrElse(1.0)
+        (constString(keyE), graft.time.TimeFns.parseDurationNs(ttl), ratio)
+    }
+    Sink(fmt, opts, cacheSpec = cacheSpec)
   }
 
   // ---------------- expressions → Column ----------------
@@ -1872,6 +1908,10 @@ object Compiler {
           base + delta
         case _ => throw new IllegalArgumentException("timeAdd(t, 'dur'|ns)")
       }
+      case "random" =>
+        // nondeterministic uniform [0,1) (fm_fake.go random) — results
+        // stabilize only behind a cache() sink (tqlcache_test.go)
+        rand()
       case other => throw new IllegalArgumentException(s"unknown function $other")
     }
   }

@@ -64,6 +64,27 @@ class ReferenceCases2Spec extends SparkSpec {
       "value,count\n23,1\n44,6\n59,12\n80,26\n99,20\n113,18\n129,5\n141,2\n153,7\n170,3\n", out)
   }
 
+  test("CSV(cache(key, ttl)): second run returns identical bytes despite random() (tqlcache_test.go)") {
+    val script =
+      """FAKE( linspace(
+        |        parseFloat(param("begin")),
+        |        parseFloat(param("end")),
+        |        parseFloat(param("count"))) )
+        |MAPVALUE(0, value(0)*random()*10)
+        |CSV(
+        |    cache(param("begin") + "-" + param("end") + "-" +  param("count"), "5s")
+        |)""".stripMargin
+    val params = Map("begin" -> Seq("1"), "end" -> Seq("10"), "count" -> Seq("10"))
+    val first = Tql.run(spark, script, 0L, params)
+    assert(first.nonEmpty && first.split("\n").length == 10)
+    val second = Tql.run(spark, script, 0L, params)
+    assert(second == first) // cache hit: random() never re-evaluated
+    // a different key computes fresh
+    val other = Tql.run(spark, script, 0L,
+      Map("begin" -> Seq("1"), "end" -> Seq("10"), "count" -> Seq("5")))
+    assert(other != first && other.split("\n").length == 5)
+  }
+
   private val boxplotSrc =
     """FAKE(json({
       |    ["A", 850, 740, 900, 1070, 930, 850, 950, 980, 980, 880, 1000, 980, 930, 650, 760, 810, 1000, 1000, 960, 960],
