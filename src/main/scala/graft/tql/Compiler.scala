@@ -1276,12 +1276,34 @@ object Compiler {
     }.getOrElse("standard")
 
     val catCol = catE.map(e => toColumn(e, p).cast("string")).getOrElse(lit(""))
-    val grouped = p.df.groupBy(catCol.as("__cat"))
-      .agg(collect_list(toColumn(valueE, p).cast("double")).as("__vs"))
-      .collect()
-    val byCat = grouped.map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
-    val catNames = StatOps.sortCategoryNames(byCat.keys.toSeq, orders)
-    val stats = catNames.map(c => StatOps.boxStats(byCat(c), iq1, iq2, iq3))
+    // Distributed two-phase plan: (1) per-category quartile agg — the
+    // sort happens inside an executor-side aggregate, one shuffle, and
+    // only #categories × 8 scalars reach the driver; (2) outliers are
+    // re-filtered against the (broadcast-sized) bounds so the only
+    // collected list is the outliers themselves, not the raw values.
+    val vCol = toColumn(valueE, p).cast("double")
+    val base = p.df.select(catCol.as("__cat"), vCol.as("__v"))
+    def q(pq: Double, interp: Boolean) =
+      if (interp) quantileLinInterp(col("__v"), pq) else quantileEmpirical(col("__v"), pq)
+    val agg = base.groupBy("__cat").agg(
+      min("__v").as("mn"), max("__v").as("mx"),
+      q(0.25, iq1).as("q1"), q(0.5, iq2).as("q2"), q(0.75, iq3).as("q3"))
+    val bounds = agg.withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo", col("q1") - lit(1.5) * col("iqr"))
+      .withColumn("hi", col("q3") + lit(1.5) * col("iqr"))
+    val outs = base.join(broadcast(bounds.select("__cat", "lo", "hi")), Seq("__cat"))
+      .filter(col("__v") < col("lo") || col("__v") > col("hi"))
+      .groupBy("__cat").agg(sort_array(collect_list(col("__v"))).as("outliers"))
+    val rowsByCat = bounds.join(outs, Seq("__cat"), "left").collect().map { r =>
+      r.getString(0) -> StatOps.BoxStats(
+        r.getDouble(1), r.getAs[Double]("lo"), r.getAs[Double]("q1"),
+        r.getAs[Double]("q2"), r.getAs[Double]("q3"), r.getAs[Double]("hi"),
+        r.getDouble(2), r.getAs[Double]("iqr"),
+        Option(r.getAs[scala.collection.Seq[Double]]("outliers"))
+          .map(_.toSeq).getOrElse(Seq.empty))
+    }.toMap
+    val catNames = StatOps.sortCategoryNames(rowsByCat.keys.toSeq, orders)
+    val stats = catNames.map(rowsByCat)
     def colName(c: String, i: Int) = if (c.isEmpty) s"boxplot_$i" else c
 
     format match {
