@@ -284,9 +284,13 @@ object Codecs {
     val mdOpts = o.copy(precision = if (o.precision >= 0) o.precision else 6)
     w.write(cols.mkString("|", "|", "|")); w.write("\n")
     w.write(cols.map(_ => ":-----").mkString("|", "|", "|")); w.write("\n")
+    var any = false
     df.toLocalIterator().forEachRemaining { row =>
+      any = true
       w.write(row.toSeq.map(fmt(_, mdOpts)).mkString("|", "|", "|")); w.write("\n")
     }
+    // empty result marker (markdown encoder, task_test.go:1083-1093)
+    if (!any) w.write("\n> *No record*\n")
   }
 
   /** BOX (ASCII table) sink — buffers rows for column widths; use only on

@@ -44,9 +44,11 @@ object Fake {
 
   /** linspace(a, b, n): n evenly spaced values in [a, b] inclusive. */
   def linspace(spark: SparkSession, a: Double, b: Double, n: Int): DataFrame = {
-    require(n >= 1)
-    val step = if (n == 1) 0d else (b - a) / (n - 1)
-    spark.range(n.toLong).select((lit(a) + col("id") * step).as("x"))
+    // n <= 0 yields an empty frame, not an error (task_test.go:1083-1093
+    // renders it as the "No record" markdown)
+    val rows = math.max(n, 0)
+    val step = if (rows <= 1) 0d else (b - a) / (rows - 1)
+    spark.range(rows.toLong).select((lit(a) + col("id") * step).as("x"))
   }
 
   /** arrange(a, b, step): arithmetic progression INCLUSIVE of the stop

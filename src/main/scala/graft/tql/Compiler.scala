@@ -747,6 +747,15 @@ object Compiler {
   private def constNumOpt(e: Expr): Option[Double] = e match {
     case Expr.Num(v) => Some(v)
     case Expr.Unary("-", x) => constNumOpt(x).map(v => -v)
+    case Expr.Bin(op, l, r) =>
+      for {
+        a <- constNumOpt(l); b <- constNumOpt(r)
+        v <- op match {
+          case "+" => Some(a + b); case "-" => Some(a - b)
+          case "*" => Some(a * b); case "/" => Some(a / b)
+          case _ => None
+        }
+      } yield v
     case Expr.Call("parseFloat", List(x)) =>
       constStringOpt(x).flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
     case Expr.Call("param", List(Expr.Str(n))) =>
@@ -942,18 +951,30 @@ object Compiler {
 
       case Call("PUSHKEY", List(expr)) =>
         // demote current key into values (the rownum key surfaces as
-        // "ROWNUM", reference result-column naming), new key from expr
-        val demoted = if (p.keyCol == "_key") "ROWNUM" else p.keyCol
+        // "ROWNUM", reference result-column naming), new key from expr.
+        // Chained PUSHKEYs need distinct demoted names (TestMath pushes
+        // twice before popping both back).
+        val base = if (p.keyCol == "_key") "ROWNUM" else p.keyCol
+        val demoted =
+          if (!p.values.contains(base)) base
+          else {
+            var i = 1
+            while (p.values.contains(s"${base}_$i")) i += 1
+            s"${base}_$i"
+          }
         val df = p.df.withColumn("__newkey", toColumn(expr, p))
           .withColumnRenamed(p.keyCol, demoted)
           .withColumnRenamed("__newkey", "_key")
         p.copy(df = df, keyCol = "_key", values = demoted +: p.values)
 
       case Call("POPKEY", args) =>
+        // pop value[nth] back into the key — removed BY INDEX, since
+        // chained pushes can briefly hold same-named value columns
         val nth = args.collectFirst { case Num(n) => n.toInt }.getOrElse(0)
         val newKey = p.values(nth)
         val df = p.df.drop(p.keyCol)
-        p.copy(df = df, keyCol = newKey, values = p.values.filterNot(_ == newKey))
+        p.copy(df = df, keyCol = newKey,
+          values = p.values.patch(nth, Nil, 1))
 
       case Call("FLATTEN", Nil) =>
         // explode every array-typed value column (reference explodes the

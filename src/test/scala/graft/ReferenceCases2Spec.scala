@@ -64,6 +64,22 @@ class ReferenceCases2Spec extends SparkSpec {
       "value,count\n23,1\n44,6\n59,12\n80,26\n99,20\n113,18\n129,5\n141,2\n153,7\n170,3\n", out)
   }
 
+  test("PUSHKEY/POPKEY sin/cos chains (task_test.go TestMath)") {
+    assert(run("FAKE( linspace(0, 3.141592/2, 3))\nPUSHKEY(sin(value(0)))\nPUSHKEY(0)\nPOPKEY(1)\nPOPKEY(1)\nPUSHKEY('test')\nCSV(precision(6))\n")
+      == "0.000000,0.000000\n0.785398,0.707107\n1.570796,1.000000\n")
+    assert(run("FAKE( linspace(0, 3.141592/2, 3))\nPUSHKEY(cos(value(0)))\nPUSHKEY(0)\nPOPKEY(1)\nPOPKEY(1)\nPUSHKEY('test')\nCSV(precision(6))\n")
+      == "0.000000,1.000000\n0.785398,0.707107\n1.570796,0.000000\n")
+  }
+
+  test("MARKDOWN: pushed key renders as ROWNUM; empty frame says No record (task_test.go:1056-1093)") {
+    assert(run("FAKE( linspace(0, 1, 2))\nPUSHKEY('signal.md')\nMARKDOWN()\n")
+      == "|ROWNUM|x|\n|:-----|:-----|\n|1|0.000000|\n|2|1.000000|\n")
+    assert(run("FAKE( linspace(0, 1, 2))\nMARKDOWN()\n")
+      == "|x|\n|:-----|\n|0.000000|\n|1.000000|\n")
+    assert(run("FAKE( linspace(0, 1, -1))\nMARKDOWN()\n")
+      == "|x|\n|:-----|\n\n> *No record*\n")
+  }
+
   test("CSV(cache(key, ttl)): second run returns identical bytes despite random() (tqlcache_test.go)") {
     val script =
       """FAKE( linspace(
