@@ -130,6 +130,12 @@ object Codecs {
     case d: java.lang.Double => jsonFloat(d, o.precision)
     case f: java.lang.Float => jsonFloat(f.toDouble, o.precision)
     case n: java.lang.Number => n.toString
+    // dict()/list values: JSON objects and arrays (fm_monad dict)
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, v) => "\"" + jsonEscape(k.toString) + "\":" + jsonValue(v, o) }
+        .mkString("{", ",", "}")
+    case s: scala.collection.Seq[_] =>
+      s.map(jsonValue(_, o)).mkString("[", ",", "]")
     case other => "\"" + jsonEscape(other.toString) + "\""
   }
 

@@ -915,8 +915,18 @@ object Compiler {
         if (i < p.values.size) {
           // replace in place (possibly renaming)
           val old = p.values(i)
-          val df = p.df.withColumn(s"__new_$i", c).drop(old)
+          val oldType = p.df.schema(old).dataType
+          var df = p.df.withColumn(s"__new_$i", c).drop(old)
             .withColumnRenamed(s"__new_$i", name)
+          // a dict() value keeps the column's DECLARED type in the wire
+          // envelope (the reference's column metadata is static while
+          // values are dynamic — TestDict pins types:["double"])
+          if (df.schema(name).dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+            !oldType.isInstanceOf[org.apache.spark.sql.types.MapType]) {
+            val meta = new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("machtype", graft.sinks.Codecs.typeName(oldType)).build()
+            df = df.withColumn(name, df(name).as(name, meta))
+          }
           p.copy(df = df, values = p.values.updated(i, name))
         } else {
           // grow the tuple (reference allows appending at next index)
@@ -1955,6 +1965,19 @@ object Compiler {
         // nondeterministic uniform [0,1) (fm_fake.go random) — results
         // stabilize only behind a cache() sink (tqlcache_test.go)
         rand()
+      case "dict" =>
+        // dict('k', v, …) → map value the JSON envelope renders as an
+        // object; an odd argument list names a key with no value
+        // (TestDict pins the message)
+        if (args.size % 2 != 0) {
+          val last = args.last match {
+            case Str(s) => s
+            case other => other.toString
+          }
+          throw new IllegalArgumentException(
+            s"""dict() name "$last" doesn't match with any value""")
+        }
+        map(args.map(toColumn(_, p)): _*)
       case other => throw new IllegalArgumentException(s"unknown function $other")
     }
   }

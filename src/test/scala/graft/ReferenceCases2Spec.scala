@@ -64,6 +64,24 @@ class ReferenceCases2Spec extends SparkSpec {
       "value,count\n23,1\n44,6\n59,12\n80,26\n99,20\n113,18\n129,5\n141,2\n153,7\n170,3\n", out)
   }
 
+  test("dict() renders JSON objects, keeps the declared column type (TestDict)") {
+    val out = run(
+      """FAKE( arrange(0, 1, 1) )
+        |MAPVALUE(0, dict("key", value(0)) )
+        |JSON(precision(0))
+        |""".stripMargin)
+    assert(out.contains(""""columns":["x"]"""), out)
+    assert(out.contains(""""types":["double"]"""), out)
+    assert(out.contains(""""rows":[[{"key":0}],[{"key":1}]]"""), out)
+
+    val err = intercept[IllegalArgumentException](run(
+      """FAKE( arrange(0, 1, 1) )
+        |MAPVALUE(0, dict("key", value(0), "value") )
+        |JSON(precision(0))
+        |""".stripMargin))
+    assert(err.getMessage == "dict() name \"value\" doesn't match with any value")
+  }
+
   test("PUSHKEY/POPKEY sin/cos chains (task_test.go TestMath)") {
     assert(run("FAKE( linspace(0, 3.141592/2, 3))\nPUSHKEY(sin(value(0)))\nPUSHKEY(0)\nPOPKEY(1)\nPOPKEY(1)\nPUSHKEY('test')\nCSV(precision(6))\n")
       == "0.000000,0.000000\n0.785398,0.707107\n1.570796,1.000000\n")
