@@ -434,22 +434,30 @@ object Compiler {
           new java.util.ArrayList[org.apache.spark.sql.Row](
             scala.jdk.CollectionConverters.SeqHasAsJava(rowsC).asJava), schema0)
         val fields = rest.collect {
-          case Call("field", List(Num(i), Call(tpe, _), Str(nm))) => (i.toInt, tpe, nm)
-          case Call("col", List(Num(i), Call(tpe, _), Str(nm))) => (i.toInt, tpe, nm)
+          case Call("field", List(Num(i), Call(tpe, targs), Str(nm))) => (i.toInt, tpe, targs, nm)
+          case Call("col", List(Num(i), Call(tpe, targs), Str(nm))) => (i.toInt, tpe, targs, nm)
         }
         if (fields.isEmpty) keyed(df0)
         else {
-          def castTo(c: Column, t: String): Column = t match {
+          def castTo(c: Column, t: String, targs: List[Expr]): Column = t match {
             case "doubleType" => c.cast("double")
             case "stringType" => c
             case "boolType" => c.cast("boolean")
-            // datetimeType(unit): epoch numbers pass through as long —
-            // the sink's matching timeformat(unit) emits them unchanged
-            case "datetimeType" | "timeType" => c.cast("long")
+            // datetimeType(unit): epoch numbers become real timestamps
+            // (sink timeformat() modes then apply; TestTimeWindowMs).
+            // ns keeps the raw long — the TQL ns convention, and a
+            // timestamp would truncate sub-µs digits.
+            case "datetimeType" | "timeType" =>
+              targs.collectFirst { case Str(u) => u }.getOrElse("ns") match {
+                case "s" => timestamp_seconds(c.cast("long"))
+                case "ms" => timestamp_millis(c.cast("long"))
+                case "us" => timestamp_micros(c.cast("long"))
+                case _ => c.cast("long")
+              }
             case other => throw new IllegalArgumentException(s"unknown field type $other")
           }
-          val cols = fields.sortBy(_._1).map { case (i, t, nm) =>
-            castTo(col(s"column$i"), t).as(nm) }
+          val cols = fields.sortBy(_._1).map { case (i, t, targs, nm) =>
+            castTo(col(s"column$i"), t, targs).as(nm) }
           val df = df0.select(cols: _*)
           keyed(df)
         }
@@ -1159,8 +1167,18 @@ object Compiler {
         }
         require(aggs.nonEmpty, "TIMEWINDOW needs at least one aggregator column")
         val timeName = p.values(timeIdx)
+        // time can arrive as epoch-ns long or as a timestamp (CSV
+        // datetimeType sources) — normalize to ns for the bucketing
+        val tsNs = p.df.schema(timeName).dataType match {
+          case _: org.apache.spark.sql.types.TimestampType =>
+            unix_micros(col(timeName)) * 1000L
+          case _ => col(timeName).cast("long")
+        }
         val out = GapFill.timewindow(p.df.sparkSession, p.df,
-            col(timeName).cast("long"), firstW, lastWExcl, periodNs, aggs, fill)
+            tsNs, firstW, lastWExcl, periodNs, aggs, fill)
+          // buckets surface as timestamps so the sink's timeformat()
+          // modes apply (ms golden renders epoch-ms)
+          .withColumn("bucket_ns", timestamp_micros(expr("bucket_ns div 1000")))
           .withColumnRenamed("bucket_ns", timeName)
         val ordered = p.values.indices.map(i => p.values(i))
         Pipe(out.select(ordered.map(col): _*), timeName, ordered)

@@ -180,6 +180,34 @@ class ReferenceCases2Spec extends SparkSpec {
         |""".stripMargin, out)
   }
 
+  test("TIMEWINDOW 5s avg over ms payload with NULL-filled windows (task_test.go:2413-2458)") {
+    val payload = Seq(
+      "1700256261001,1", "1700256262010,2", "1700256263100,3", "1700256264010,4",
+      "1700256265002,5", "1700256266020,6", "1700256267200,7", "1700256268020,8",
+      "1700256269002,9", "1700256276300,10").mkString("\n")
+    val out = Tql.run(spark,
+      """CSV(payload(),
+        |    field(0, datetimeType("ms"), "time"),
+        |    field(1, doubleType(), "value"))
+        |TIMEWINDOW(
+        |    time(1700256250 * 1000000000),
+        |    time(1700256285 * 1000000000),
+        |    period('5s'),
+        |    'time', 'avg')
+        |CSV(timeformat("ms"), heading(true))
+        |""".stripMargin, 0L, Map("payload" -> Seq(payload)))
+    assert(out ==
+      """time,value
+        |1700256250000,NULL
+        |1700256255000,NULL
+        |1700256260000,2.5
+        |1700256265000,7
+        |1700256270000,NULL
+        |1700256275000,10
+        |1700256280000,NULL
+        |""".stripMargin, out)
+  }
+
   test("TIMEWINDOW 1s grid over 1ms oscillator, first agg (task_test.go:2460)") {
     val tick = 1692329338315327000L
     val out = Tql.run(spark,
