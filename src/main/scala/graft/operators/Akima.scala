@@ -100,9 +100,11 @@ object Akima {
     h00 * ys(lo) + h10 * h(lo) * d(lo) + h01 * ys(lo + 1) + h11 * h(lo) * d(lo + 1)
   }
 
-  /** predict("piecewiseconstant") — LOCF over the knots; the leading
-    * gap backfills from the first observation (gonum PiecewiseConstant
-    * predicts the first knot before it). */
+  /** predict("piecewiseconstant") — RIGHT-continuous step function:
+    * a gap takes the NEXT observation's value (the numerics library's
+    * PiecewiseConstant predicts with the right knot — the reference
+    * timewindow battery pins 270→next, not 270→previous); beyond the
+    * last knot it holds the last value. */
   def evalLocf(xs: Array[Double], ys: Array[Double], x: Double): Double = {
     val n = xs.length
     if (n == 0) return Double.NaN
@@ -114,7 +116,7 @@ object Akima {
       val mid = (lo + hi) >>> 1
       if (xs(mid) <= x) lo = mid else hi = mid
     }
-    ys(lo)
+    ys(hi)
   }
 
   /** predict("piecewiselinear") — linear interpolation between the
@@ -142,12 +144,23 @@ object Akima {
     val n = xs.length
     if (n == 0) return Double.NaN
     if (n == 1) return ys(0)
-    var sx = 0d; var sy = 0d; var sxx = 0d; var sxy = 0d
+    // centered OLS: epoch-ns x values are ~1e18, so the naive
+    // n·Σx² − (Σx)² form cancels catastrophically (the variance term is
+    // ~1e20 against magnitudes of ~1e37). Deviations from the mean keep
+    // full precision, matching the numerics library's compensated fit.
+    var mx = 0d; var my = 0d
     var i = 0
-    while (i < n) { sx += xs(i); sy += ys(i); sxx += xs(i) * xs(i); sxy += xs(i) * ys(i); i += 1 }
-    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    val alpha = sy / n - beta * sx / n
-    alpha + beta * x
+    while (i < n) { mx += xs(i); my += ys(i); i += 1 }
+    mx /= n; my /= n
+    var sxx = 0d; var sxy = 0d
+    i = 0
+    while (i < n) {
+      val dx = xs(i) - mx
+      sxx += dx * dx; sxy += dx * (ys(i) - my)
+      i += 1
+    }
+    val beta = sxy / sxx
+    my + beta * (x - mx)
   }
 
 }

@@ -254,13 +254,16 @@ object TimeSeries {
       s"""SELECT s.t_us, coalesce(a.avg_value, -1.0) AS avg_value
           FROM $spineMinute s LEFT JOIN ($minuteAgg) a ON s.t_us = a.b_us
           ORDER BY s.t_us""",
+    // piecewiseconstant is RIGHT-continuous (gaps take the NEXT
+    // observation; the tail holds the last) — the reference timewindow
+    // battery pins this orientation
     "q_timewindow_locf" ->
       s"""WITH j AS (
             SELECT s.t_us, a.avg_value
             FROM $spineMinute s LEFT JOIN ($minuteAgg) a ON s.t_us = a.b_us)
           SELECT t_us, coalesce(
-            last_value(avg_value IGNORE NULLS) OVER (ORDER BY t_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-            first_value(avg_value IGNORE NULLS) OVER (ORDER BY t_us ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            first_value(avg_value IGNORE NULLS) OVER (ORDER BY t_us ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+            last_value(avg_value IGNORE NULLS) OVER (ORDER BY t_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           ) AS avg_value
           FROM j ORDER BY t_us""",
     "q_timewindow_linear" ->

@@ -1148,7 +1148,9 @@ object Compiler {
         require(timeIdx >= 0, "TIMEWINDOW requires a 'time' column spec")
         val firstW = Math.floorDiv(fromNs + periodNs - 1, periodNs) * periodNs
         val lastWExcl = (Math.floorDiv(untilNs - 1, periodNs) + 1) * periodNs
-        var fill: GapFill.Fill = GapFill.FillNull
+        var fill: GapFill.Fill = colSpecs.collectFirst {
+          case Call("nullValue", List(Num(v))) => GapFill.FillConst(v)
+        }.getOrElse(GapFill.FillNull)
         val aggs = specs.zipWithIndex.filterNot(_._2 == timeIdx).map { case (spec, i) =>
           val (fn, predict) = spec.indexOf(':') match {
             case -1 => (spec, "")
@@ -1285,7 +1287,7 @@ object Compiler {
       case "stderr" => stddev_samp(c) / sqrt(count(c))
       case "entropy" => graft.functions.StatFns.entropy(c)
       case "median" => quantileEmpirical(c, 0.5)
-      case "medianInterpolated" => quantileLinInterp(c, 0.5)
+      case "medianInterpolated" | "median-interpolated" => quantileLinInterp(c, 0.5)
       case "rss" => sqrt(sum(c * c))
       case "rms" => sqrt(avg(c * c))
       case "list" => collect_list(raw)

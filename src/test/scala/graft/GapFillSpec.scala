@@ -28,9 +28,12 @@ class GapFillSpec extends SparkSpec {
     assert(got.map(_._2.get) == Seq(15.0, -1.0, -1.0, 40.0, -1.0, 10.0))
   }
 
-  test("piecewiseconstant carries last observation forward") {
+  test("piecewiseconstant steps right-continuously (gaps take the NEXT observation)") {
     val got = run(GapFill.FillPrevious)
-    assert(got.map(_._2.get) == Seq(15.0, 15.0, 15.0, 40.0, 40.0, 10.0))
+    // knots at 0→15, 30→40, 50→10: gaps 10/20 take the NEXT knot (40),
+    // gap 40 takes 10 — the reference's PiecewiseConstant predicts with
+    // the right knot (timewindow battery 270→next); the tail holds last
+    assert(got.map(_._2.get) == Seq(15.0, 40.0, 40.0, 40.0, 10.0, 10.0))
   }
 
   test("piecewiselinear interpolates and clamps at the edges") {

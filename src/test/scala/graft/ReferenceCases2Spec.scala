@@ -208,6 +208,46 @@ class ReferenceCases2Spec extends SparkSpec {
         |""".stripMargin, out)
   }
 
+  test("TIMEWINDOW aggregator battery with nullValue and predictors (task_test.go:2185-2411)") {
+    val payload = Seq(
+      "1700256261,1", "1700256262,2", "1700256263,3", "1700256264,4",
+      "1700256265,5", "1700256266,6", "1700256267,7", "1700256268,8",
+      "1700256269,9", "1700256276,10").mkString("\n")
+    def tw(agg: String): String = Tql.run(spark,
+      s"""CSV(payload(),
+         |    field(0, datetimeType("s"), "time"),
+         |    field(1, doubleType(), "value"))
+         |TIMEWINDOW(
+         |    time(1700256250 * 1000000000),
+         |    time(1700256285 * 1000000000),
+         |    period('5s'),
+         |    nullValue(0),
+         |    'time', '$agg')
+         |CSV(timeformat("s"), heading(true), precision(2))
+         |""".stripMargin, 0L, Map("payload" -> Seq(payload)))
+    def expectVals(vs: String*): String =
+      "time,value\n" + Seq("1700256250", "1700256255", "1700256260",
+        "1700256265", "1700256270", "1700256275", "1700256280")
+        .zip(vs).map { case (t, v) => s"$t,$v" }.mkString("", "\n", "\n")
+    assert(tw("avg") == expectVals("0.00", "0.00", "2.50", "7.00", "0.00", "10.00", "0.00"))
+    assert(tw("mean") == expectVals("0.00", "0.00", "2.50", "7.00", "0.00", "10.00", "0.00"))
+    assert(tw("median") == expectVals("0.00", "0.00", "2.00", "7.00", "0.00", "10.00", "0.00"))
+    assert(tw("median-interpolated") == expectVals("0.00", "0.00", "2.00", "6.50", "0.00", "10.00", "0.00"))
+    assert(tw("stddev") == expectVals("0.00", "0.00", "1.29", "1.58", "0.00", "0.00", "0.00"))
+    assert(tw("stderr") == expectVals("0.00", "0.00", "0.65", "0.71", "0.00", "0.00", "0.00"))
+    assert(tw("entropy") == expectVals("0.00", "0.00", "-10.23", "-68.83", "0.00", "-23.03", "0.00"))
+    assert(tw("sum") == expectVals("0.00", "0.00", "10.00", "35.00", "0.00", "10.00", "0.00"))
+    assert(tw("first") == expectVals("0.00", "0.00", "1.00", "5.00", "0.00", "10.00", "0.00"))
+    assert(tw("min") == expectVals("0.00", "0.00", "1.00", "5.00", "0.00", "10.00", "0.00"))
+    assert(tw("last") == expectVals("0.00", "0.00", "4.00", "9.00", "0.00", "10.00", "0.00"))
+    assert(tw("max") == expectVals("0.00", "0.00", "4.00", "9.00", "0.00", "10.00", "0.00"))
+    assert(tw("rss") == expectVals("0.00", "0.00", "5.48", "15.97", "0.00", "10.00", "0.00"))
+    assert(tw("rms") == expectVals("0.00", "0.00", "2.74", "7.14", "0.00", "10.00", "0.00"))
+    assert(tw("rss:LinearRegression") == expectVals("7.60", "8.46", "5.48", "15.97", "11.06", "10.00", "12.79"))
+    assert(tw("rss:PiecewiseConstant") == expectVals("5.48", "5.48", "5.48", "15.97", "10.00", "10.00", "10.00"))
+    assert(tw("rss:PiecewiseLinear") == expectVals("5.48", "5.48", "5.48", "15.97", "12.98", "10.00", "10.00"))
+  }
+
   test("TIMEWINDOW 1s grid over 1ms oscillator, first agg (task_test.go:2460)") {
     val tick = 1692329338315327000L
     val out = Tql.run(spark,

@@ -52,12 +52,14 @@ class Tql3Spec extends SparkSpec {
         |""".stripMargin)
     assert(out ==
       "time,avg_v\n0,10\n10,20\n20,-1\n30,-1\n40,50\n50,-1\n")
-    val locf = Tql.run(spark,
+    val pwc = Tql.run(spark,
       """SQL('SELECT t, v FROM tw_src')
         |GROUP(timewindow(0, 60, 10), avg(value(1), 'avg_v'), predict('piecewiseconstant'))
         |CSV()
         |""".stripMargin)
-    assert(locf == "0,10\n10,20\n20,20\n30,20\n40,50\n50,50\n")
+    // right-continuous step: gaps 20/30 take the NEXT knot (50); the
+    // trailing gap holds the last observation
+    assert(pwc == "0,10\n10,20\n20,50\n30,50\n40,50\n50,50\n")
   }
 
   test("param() binds request parameters into the pipeline") {
