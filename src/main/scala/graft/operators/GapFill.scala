@@ -37,6 +37,82 @@ object GapFill {
     * evaluated at every bucket (gaps AND edges extrapolate). */
   case object FillLinReg extends Fill
 
+  /** One aggregator's fill policy in the CAUSAL timewindow (GROUP's
+    * per-aggregator nullValue()/predict() options). */
+  final case class CausalFill(predict: Option[String], nullValue: Option[Double])
+
+  /** GROUP(by(time, timewindow(…)), aggs…) semantics — the CAUSAL
+    * variant (fm_monad GroupFillerPredict): fills are computed as
+    * windows close, fitted ONLY on already-emitted windows (latest 100
+    * knots). Because a gap always trails every knot seen so far, the
+    * predictors reduce to forward extrapolation: linearregression
+    * extrapolates the centered OLS line; the spline/step predictors
+    * clamp to the last observed value. A predictor needs >= 2 knots,
+    * else the per-agg nullValue (or NULL) is served. This differs from
+    * the standalone TIMEWINDOW, whose fillers run at EOF over the whole
+    * series.
+    *
+    * The aggregation itself is distributed (same bucketed hash agg +
+    * spine); the causal walk runs on the driver over the bucket spine —
+    * bounded by the bucket COUNT, a query parameter, not data size. */
+  def timewindowCausal(
+      spark: SparkSession,
+      df: DataFrame,
+      tsNs: Column,
+      fromNs: Long,
+      untilNs: Long,
+      periodNs: Long,
+      aggs: Seq[(String, Column, CausalFill)],
+      timeName: String = "bucket_ns"): DataFrame = {
+    // unique internal names — aliases may repeat in the user's output
+    // (TestGroupByTimeWindow has two PREDICT columns); real names are
+    // restored on the result schema below
+    val joined = timewindow(spark, df, tsNs, fromNs, untilNs, periodNs,
+      // float64 buffers like the reference filler — counts widen too
+      aggs.zipWithIndex.map { case ((_, c, _), i) => s"__a$i" -> c.cast("double") },
+      FillNull)
+    val rows = joined.orderBy("bucket_ns").collect()
+    val n = aggs.size
+    // per-agg knot buffers (latest 100, like the reference's filler)
+    val xs = Array.fill(n)(scala.collection.mutable.ArrayDeque.empty[Double])
+    val ys = Array.fill(n)(scala.collection.mutable.ArrayDeque.empty[Double])
+    val out = rows.map { r =>
+      val t = r.getLong(0)
+      val cells: Seq[Any] = aggs.zipWithIndex.map { case ((_, _, fill), i) =>
+        val v = if (r.isNullAt(i + 1)) null else r.get(i + 1)
+        v match {
+          case null =>
+            fill.predict match {
+              case Some(kind) if xs(i).size >= 2 =>
+                if (kind == "linearregression")
+                  Double.box(Akima.evalLinReg(xs(i).toArray, ys(i).toArray, t.toDouble))
+                else Double.box(ys(i).last) // forward clamp (spline/step)
+              case _ => fill.nullValue.map(Double.box).orNull
+            }
+          case d: java.lang.Double =>
+            xs(i).append(t.toDouble); ys(i).append(d.doubleValue())
+            if (xs(i).size > 100) { xs(i).removeHead(); ys(i).removeHead() }
+            d
+          case other => other
+        }
+      }
+      // windows surface as timestamps so sink timeformat() modes apply
+      val ts = new java.sql.Timestamp(Math.floorDiv(t, 1000000L))
+      ts.setNanos(Math.floorMod(t, 1000000000L).toInt)
+      org.apache.spark.sql.Row.fromSeq(ts +: cells)
+    }
+    // the (possibly repeating) user aliases go straight on the schema —
+    // duplicate names are legal in a result frame, just not resolvable
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(timeName,
+        org.apache.spark.sql.types.TimestampType) +:
+        aggs.zipWithIndex.map { case ((name, _, _), i) =>
+          joined.schema(i + 1).copy(name = name)
+        })
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(out.toSeq).asJava), schema)
+  }
+
   /** Aggregate `aggs` per `period`-sized bucket of `tsNs` over [from,until),
     * emitting every bucket in the range (missing ones synthesized).
     * Output: `bucket_ns` + one column per (alias → agg builder). */

@@ -46,7 +46,12 @@ object Compiler {
 
   case class Compiled(pipe: Pipe, sink: Sink) {
     /** The sink-facing DataFrame (values only, like the reference). */
-    def output: DataFrame = pipe.df.select(pipe.values.map(Compiler.vcol): _*)
+    def output: DataFrame =
+      // already in output shape → no re-select; duplicate user aliases
+      // (two 'PREDICT' columns, TestGroupByTimeWindow) are legal in a
+      // result frame but not name-resolvable
+      if (pipe.values == pipe.df.columns.toSeq) pipe.df
+      else pipe.df.select(pipe.values.map(Compiler.vcol): _*)
   }
 
   /** Column ref tolerant of names with dots/spaces (user-given aliases). */
@@ -1412,6 +1417,46 @@ object Compiler {
     // (reference fm_monad.go:640-697)
     args.collectFirst { case Call("timewindow", twArgs) => twArgs } match {
       case Some(twArgs) => return compileTimewindow(p, twArgs, args)
+      case None =>
+    }
+    // GROUP(by(time, timewindow(from, until, period) [, name]), aggs…) —
+    // the CAUSAL per-aggregator-fill form (fm_monad GroupFillerPredict;
+    // TestGroupByTimeWindow): each aggregator carries its own
+    // nullValue()/predict(), fills fitted only on already-seen windows.
+    args.collectFirst {
+      case Call("by", timeE :: Call("timewindow", twArgs) :: byRest) =>
+        (timeE, twArgs, byRest)
+    } match {
+      case Some((timeE, twArgs, byRest)) =>
+        import graft.operators.GapFill
+        def ns(e: Expr): Long = evalConstNs(e)
+        val (fromNs, untilNs, periodNs) = twArgs match {
+          case List(f, u, Call("period", List(Str(d)))) =>
+            (ns(f), ns(u), graft.time.TimeFns.parseDurationNs(d))
+          case List(f, u, per) => (ns(f), ns(u), ns(per))
+          case _ => throw new IllegalArgumentException("timewindow(from, until, period)")
+        }
+        val byName = byRest.collectFirst { case Str(s) => s }.getOrElse("GROUP")
+        val aggs = args.collect {
+          case Call(fn, e :: rest) if aggNames(fn) =>
+            val name = rest.collectFirst { case Str(s) => s }.getOrElse(fn.toUpperCase)
+            val fill = GapFill.CausalFill(
+              rest.collectFirst { case Call("predict", List(Str(k))) => k.toLowerCase },
+              rest.collectFirst { case Call("nullValue", List(Num(v))) => v })
+            (name, buildAgg(fn, toColumn(e, p), p), fill)
+        }
+        require(aggs.nonEmpty, "GROUP(timewindow) needs at least one aggregator")
+        val tsCol = p.df.schema(p.values.head).dataType match {
+          case _: org.apache.spark.sql.types.TimestampType =>
+            unix_micros(toColumn(timeE, p)) * 1000L
+          case _ => toColumn(timeE, p).cast("long")
+        }
+        // first window >= from, last window < until — ABSOLUTE alignment
+        val firstW = Math.floorDiv(fromNs + periodNs - 1, periodNs) * periodNs
+        val lastWExcl = (Math.floorDiv(untilNs - 1, periodNs) + 1) * periodNs
+        val out = GapFill.timewindowCausal(p.df.sparkSession, p.df, tsCol,
+          firstW, lastWExcl, periodNs, aggs, byName)
+        return Pipe(out, byName, byName +: aggs.map(_._1))
       case None =>
     }
     var byExpr: Option[(Column, String)] = None

@@ -208,6 +208,73 @@ class ReferenceCases2Spec extends SparkSpec {
         |""".stripMargin, out)
   }
 
+  test("GROUP(by(time, timewindow)) causal per-agg fills (task_test.go:2083-2180)") {
+    val payload = Seq(
+      "1700256261,1", "1700256262,2", "1700256263,3", "1700256264,4",
+      "1700256266,5", "1700256267,6", "1700256268,7", "1700256269,8",
+      "1700256276,9").mkString("\n")
+    def g(from: Long, until: Long, period: String, aggLines: String): String =
+      Tql.run(spark,
+        s"""CSV(payload(), field(0, datetimeType("s"), "time"), field(1, doubleType(), "value"))
+           |GROUP( by( value(0), timewindow(
+           |           time($from * 1000000000),
+           |           time($until * 1000000000),
+           |           period("$period"))),
+           |$aggLines
+           | )
+           |CSV(timeformat("s"), heading(true), precision(2))
+           |""".stripMargin, 0L, Map("payload" -> Seq(payload)))
+
+    val out1 = g(1700256255L, 1700256282L, "2s",
+      """      avg(value(1)),
+        |      last(value(1), nullValue(0)),
+        |      last(value(1), predict("linearregression"), "PREDICT"),
+        |      last(value(1), predict("akimaspline"), nullValue(100), "PREDICT")""".stripMargin)
+    assert(out1 ==
+      """GROUP,AVG,LAST,PREDICT,PREDICT
+        |1700256256,NULL,0.00,NULL,100.00
+        |1700256258,NULL,0.00,NULL,100.00
+        |1700256260,1.00,1.00,1.00,1.00
+        |1700256262,2.50,3.00,3.00,3.00
+        |1700256264,4.00,4.00,4.00,4.00
+        |1700256266,5.50,6.00,6.00,6.00
+        |1700256268,7.50,8.00,8.00,8.00
+        |1700256270,NULL,0.00,9.50,8.00
+        |1700256272,NULL,0.00,11.20,8.00
+        |1700256274,NULL,0.00,12.90,8.00
+        |1700256276,9.00,9.00,9.00,9.00
+        |1700256278,NULL,0.00,11.17,9.00
+        |1700256280,NULL,0.00,12.17,9.00
+        |""".stripMargin, out1)
+
+    val out2 = g(1700256255L, 1700256282L, "4s",
+      """      avg(value(1)),
+        |      sum(value(1)),
+        |      last(value(1))""".stripMargin)
+    assert(out2 ==
+      """GROUP,AVG,SUM,LAST
+        |1700256256,NULL,NULL,NULL
+        |1700256260,2.00,6.00,3.00
+        |1700256264,5.00,15.00,6.00
+        |1700256268,7.50,15.00,8.00
+        |1700256272,NULL,NULL,NULL
+        |1700256276,9.00,9.00,9.00
+        |1700256280,NULL,NULL,NULL
+        |""".stripMargin, out2)
+
+    // src data wider than the window: clipped to [from, until)
+    val out3 = g(1700256262L, 1700256276L, "4s",
+      """      avg(value(1)),
+        |      sum(value(1)),
+        |      last(value(1))""".stripMargin)
+    assert(out3 ==
+      """GROUP,AVG,SUM,LAST
+        |1700256264,5.00,15.00,6.00
+        |1700256268,7.50,15.00,8.00
+        |1700256272,NULL,NULL,NULL
+        |""".stripMargin, out3)
+  }
+
   test("TIMEWINDOW aggregator battery with nullValue and predictors (task_test.go:2185-2411)") {
     val payload = Seq(
       "1700256261,1", "1700256262,2", "1700256263,3", "1700256264,4",
