@@ -77,9 +77,10 @@ object TqlQueries {
            SELECT 1, -1,
              CAST((SELECT count(*) FROM events WHERE value > 300) AS DOUBLE), -1
          ) ORDER BY grp, event_id""",
+    // TQL count() buffers float64 like every reference aggregator
     "q_tql_group" ->
-      """SELECT event_type, count(value) AS cnt, min(value) AS min_value,
-         max(value) AS max_value
+      """SELECT event_type, CAST(count(value) AS DOUBLE) AS cnt,
+         min(value) AS min_value, max(value) AS max_value
          FROM events GROUP BY 1 ORDER BY 1""",
     "q_tql_timewindow" ->
       """SELECT s.time, CAST(coalesce(a.cnt, -1) AS DOUBLE) AS cnt,

@@ -1280,7 +1280,9 @@ object Compiler {
   private def buildAgg(fn: String, raw: Column, p: Pipe): Column = {
     val c = raw.cast("double")
     fn match {
-      case "count" => count(raw)
+      // the reference aggregators buffer float64 — counts render "4.00"
+      // under precision(2) (TestGroup)
+      case "count" => count(raw).cast("double")
       case "sum" => sum(c)
       case "min" => min(c)
       case "max" => max(c)
@@ -1462,22 +1464,34 @@ object Compiler {
     var byExpr: Option[(Column, String)] = None
     val aggs = Vector.newBuilder[(Column, String)]
     args.foreach {
+      case Call("by", e :: _) if (e match {
+        // literal NULL, or a SET variable holding NULL (TestGroup)
+        case Expr.Null => true
+        case Expr.Var(n) if p.df.columns.contains(s"$$$n") =>
+          p.df.schema(s"$$$n").dataType == org.apache.spark.sql.types.NullType
+        case _ => false
+      }) =>
+        throw new IllegalArgumentException("GROUP() has by() with NULL")
       case Call("by", e :: rest) =>
         val name = rest.collectFirst { case Str(s) => s }.getOrElse("GROUP")
         byExpr = Some((toColumn(e, p), name))
       case Call("lazy", _) => // emission-order hint; hash agg + orderBy covers it
       case Call(fn, e :: rest) if aggNames(fn) =>
-        val name = rest.collectFirst { case Str(s) => s }.getOrElse(fn)
+        // default result-column names are UPPERCASE (TestGroup header
+        // GROUP,FIRST,LAST,AVG,SUM,COUNT)
+        val name = rest.collectFirst { case Str(s) => s }.getOrElse(fn.toUpperCase)
         // where(pred): per-aggregator filter (reference fm_monad.go:559-563)
         val whereP = rest.collectFirst { case Call("where", List(pred)) => toColumn(pred, p) }
         val raw = toColumn(e, p)
         val c = whereP.map(w => when(w, raw)).getOrElse(raw)
         aggs += ((buildAgg(fn, c, p), name))
+      case Expr.Bool(_) =>
+        throw new IllegalArgumentException("GROUP() unknown type 'bool' in arguments")
       case other => throw new IllegalArgumentException(s"unsupported GROUP arg: $other")
     }
-    val (byCol, byName) = byExpr.getOrElse(throw new IllegalArgumentException("GROUP needs by()"))
     val aggList = aggs.result()
-    require(aggList.nonEmpty, "GROUP needs at least one aggregator")
+    if (aggList.isEmpty) throw new IllegalArgumentException("GROUP() has no aggregator")
+    val (byCol, byName) = byExpr.getOrElse(throw new IllegalArgumentException("GROUP needs by()"))
     val df = p.df.groupBy(byCol.as(byName))
       .agg(aggList.head._1.as(aggList.head._2),
         aggList.tail.map { case (c, n) => c.as(n) }: _*)

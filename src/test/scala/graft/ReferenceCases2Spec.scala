@@ -208,6 +208,33 @@ class ReferenceCases2Spec extends SparkSpec {
         |""".stripMargin, out)
   }
 
+  test("GROUP basic battery: uppercase defaults, float64 counts, errors (task_test.go:1637-1692)") {
+    val p3 = Map("payload" -> Seq("A,1\nB,3\nC,6"))
+    def src = """CSV(payload(), field(0, stringType(), "name"), field(1, doubleType(), "value"))"""
+    val e1 = intercept[IllegalArgumentException](
+      Tql.run(spark, s"$src\nGROUP( )\nCSV()\n", 0L, p3))
+    assert(e1.getMessage == "GROUP() has no aggregator")
+    val e2 = intercept[IllegalArgumentException](
+      Tql.run(spark, s"$src\nSET(ErrKey, NULL)\nGROUP( by($$ErrKey, \"NAME\"), avg(value(1)))\nCSV()\n", 0L, p3))
+    assert(e2.getMessage == "GROUP() has by() with NULL")
+    val e3 = intercept[IllegalArgumentException](
+      Tql.run(spark, s"$src\nGROUP( by(value(0), \"NAME\"), avg(value(1)), true)\nCSV()\n", 0L, p3))
+    assert(e3.getMessage == "GROUP() unknown type 'bool' in arguments")
+
+    val p9 = Map("payload" -> Seq("A,1\nA,2\nB,3\nB,4\nB,5\nC,6\nC,7\nC,8\nC,9"))
+    val out = Tql.run(spark,
+      s"""$src
+         |GROUP(by(value(0)), first(value(1)), last(value(1)), avg(value(1)), sum(value(1)), count(value(1)) )
+         |CSV(heading(true), precision(2))
+         |""".stripMargin, 0L, p9)
+    assert(out ==
+      """GROUP,FIRST,LAST,AVG,SUM,COUNT
+        |A,1.00,2.00,1.50,3.00,2.00
+        |B,3.00,5.00,4.00,12.00,3.00
+        |C,6.00,9.00,7.50,30.00,4.00
+        |""".stripMargin, out)
+  }
+
   test("GROUP(by(time, timewindow)) causal per-agg fills (task_test.go:2083-2180)") {
     val payload = Seq(
       "1700256261,1", "1700256262,2", "1700256263,3", "1700256264,4",

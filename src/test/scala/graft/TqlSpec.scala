@@ -63,7 +63,8 @@ class TqlSpec extends SparkSpec {
         |GROUP(by(value(1), 'parity'), avg(value(0)), count(value(0)))
         |CSV(header())
         |""".stripMargin)
-    assert(out == "parity,avg,count\n0,4,5\n1,5,5\n")
+    // default aggregator names are UPPERCASE (reference TestGroup header)
+    assert(out == "parity,AVG,COUNT\n0,4,5\n1,5,5\n")
   }
 
   test("oscillator source through TQL with sink options") {
