@@ -1412,6 +1412,51 @@ object Compiler {
     }
   }
 
+  /** buildAgg plus the option-bearing forms: quantile(v, p[, weight()])
+    * and weight()-carrying mean/avg/variance/stddev/stderr (reference
+    * weighted aggregators, fm_monad.go; TestGroup weighted battery). */
+  private def buildAggFull(fn: String, c0: Column, rest: List[Expr], p: Pipe): Column = {
+    import graft.functions.StatFns
+    val c = c0.cast("double")
+    val weightE = rest.collectFirst {
+      case Expr.Call("weight", List(we)) => toColumn(we, p).cast("double")
+    }
+    val pq = rest.collectFirst { case Expr.Num(v) => v }
+    (fn, weightE) match {
+      case ("quantile", None) =>
+        quantileEmpirical(c, pq.getOrElse(
+          throw new IllegalArgumentException("quantile(v, p)")))
+      case ("quantile", Some(w)) =>
+        weightedQuantile(c, w, pq.getOrElse(
+          throw new IllegalArgumentException("quantile(v, p)")))
+      case ("quantileInterpolated", None) =>
+        quantileLinInterp(c, pq.getOrElse(
+          throw new IllegalArgumentException("quantileInterpolated(v, p)")))
+      case ("mean" | "avg", Some(w)) => StatFns.weightedMean(c, w)
+      case ("variance", Some(w)) => StatFns.weightedVariance(c, w)
+      case ("stddev", Some(w)) => sqrt(StatFns.weightedVariance(c, w))
+      case ("stderr", Some(w)) =>
+        sqrt(StatFns.weightedVariance(c, w)) / sqrt(count(c))
+      case _ => buildAgg(fn, c0, p)
+    }
+  }
+
+  /** Weighted empirical quantile: smallest v_i (value-sorted) whose
+    * cumulative weight reaches p·Σw — gonum stat.Quantile with weights. */
+  private def weightedQuantile(v: Column, w: Column, p: Double): Column = {
+    val pairs = sort_array(collect_list(struct(v.as("v"), w.as("w"))))
+    val total = aggregate(pairs, lit(0d), (acc, pr) => acc + pr.getField("w"))
+    val scan = aggregate(pairs,
+      struct(lit(0d).as("cum"), lit(null).cast("double").as("ans")),
+      (acc, pr) => {
+        val cum2 = acc.getField("cum") + pr.getField("w")
+        struct(cum2.as("cum"),
+          when(acc.getField("ans").isNull && cum2 >= lit(p) * total,
+            pr.getField("v")).otherwise(acc.getField("ans")).as("ans"))
+      })
+    scan.getField("ans")
+  }
+
   private def compileGroup(p: Pipe, args: List[Expr]): Pipe = {
     import Expr._
     // GROUP(timewindow(from, until, period), aggs…) — tumbling buckets
@@ -1478,13 +1523,16 @@ object Compiler {
       case Call("lazy", _) => // emission-order hint; hash agg + orderBy covers it
       case Call(fn, e :: rest) if aggNames(fn) =>
         // default result-column names are UPPERCASE (TestGroup header
-        // GROUP,FIRST,LAST,AVG,SUM,COUNT)
-        val name = rest.collectFirst { case Str(s) => s }.getOrElse(fn.toUpperCase)
+        // GROUP,FIRST,LAST,AVG,SUM,COUNT); median/quantile share the
+        // QUANTILE default
+        val name = rest.collectFirst { case Str(s) => s }.getOrElse(
+          if (fn == "median" || fn == "medianInterpolated" ||
+            fn.startsWith("quantile")) "QUANTILE" else fn.toUpperCase)
         // where(pred): per-aggregator filter (reference fm_monad.go:559-563)
         val whereP = rest.collectFirst { case Call("where", List(pred)) => toColumn(pred, p) }
         val raw = toColumn(e, p)
         val c = whereP.map(w => when(w, raw)).getOrElse(raw)
-        aggs += ((buildAgg(fn, c, p), name))
+        aggs += ((buildAggFull(fn, c, rest, p), name))
       case Expr.Bool(_) =>
         throw new IllegalArgumentException("GROUP() unknown type 'bool' in arguments")
       case other => throw new IllegalArgumentException(s"unsupported GROUP arg: $other")

@@ -235,6 +235,28 @@ class ReferenceCases2Spec extends SparkSpec {
         |""".stripMargin, out)
   }
 
+  test("GROUP stat battery: rss/rms, median-as-QUANTILE, weighted forms (task_test.go:1696-1800)") {
+    val p9 = Map("payload" -> Seq("A,1\nA,2\nB,3\nB,4\nB,5\nC,6\nC,7\nC,8\nC,9"))
+    def src = """CSV(payload(), field(0, stringType(), "name"), field(1, doubleType(), "value"))"""
+    def g(aggLine: String): String = Tql.run(spark,
+      s"$src\nGROUP(by(value(0)), $aggLine )\nCSV(heading(true), precision(2))\n", 0L, p9)
+
+    assert(g("min(value(1)), max(value(1)), rss(value(1)), rms(value(1))") ==
+      "GROUP,MIN,MAX,RSS,RMS\nA,1.00,2.00,2.24,1.58\nB,3.00,5.00,7.07,4.08\nC,6.00,9.00,15.17,7.58\n")
+    assert(g("mean(value(1)), median(value(1)), stddev(value(1)), stderr(value(1)), entropy(value(1))") ==
+      "GROUP,MEAN,QUANTILE,STDDEV,STDERR,ENTROPY\nA,1.50,1.00,0.71,0.50,-1.39\nB,4.00,4.00,1.00,0.58,-16.89\nC,7.50,7.00,1.29,0.65,-60.78\n")
+    assert(g("mean(value(1)), mean(value(1), weight(value(1))), variance(value(1))") ==
+      "GROUP,MEAN,MEAN,VARIANCE\nA,1.50,1.67,0.50\nB,4.00,4.17,1.00\nC,7.50,7.67,1.67\n")
+    assert(g("stddev(value(1)), stddev(value(1), weight(value(1)))") ==
+      "GROUP,STDDEV,STDDEV\nA,0.71,0.58\nB,1.00,0.83\nC,1.29,1.12\n")
+    assert(g("stderr(value(1)), stderr(value(1), weight(value(1)))") ==
+      "GROUP,STDERR,STDERR\nA,0.50,0.41\nB,0.58,0.48\nC,0.65,0.56\n")
+    assert(g("""quantile(value(1), 0.99, "P99"), quantile(value(1), 0.5, "P50"), median(value(1), "MEDIAN")""") ==
+      "GROUP,P99,P50,MEDIAN\nA,2.00,1.00,1.00\nB,5.00,4.00,4.00\nC,9.00,7.00,7.00\n")
+    assert(g("""quantile(value(1), 0.99, weight(value(1)), "P99"), quantile(value(1), 0.5, "P50"), median(value(1), "MEDIAN")""") ==
+      "GROUP,P99,P50,MEDIAN\nA,2.00,1.00,1.00\nB,5.00,4.00,4.00\nC,9.00,7.00,7.00\n")
+  }
+
   test("GROUP(by(time, timewindow)) causal per-agg fills (task_test.go:2083-2180)") {
     val payload = Seq(
       "1700256261,1", "1700256262,2", "1700256263,3", "1700256264,4",
