@@ -180,10 +180,18 @@ object Codecs {
       val head: Seq[String] = if (o.rownum) "ROWNUM" +: cols.toSeq else cols.toSeq
       w.write(head.mkString(o.delimiter)); w.write("\n")
     }
+    // per-column null replacement (GROUP's per-aggregator nullValue —
+    // string fills render raw while data cells keep float formatting)
+    val nullAs: Array[String] = df.schema.fields.map(f =>
+      if (f.metadata.contains("nullas")) f.metadata.getString("nullas")
+      else o.nullAs)
     var i = 0L
     df.toLocalIterator().forEachRemaining { row =>
       i += 1
-      val vals = row.toSeq.map(v => csvQuote(fmt(v, o), o.delimiter))
+      val vals = row.toSeq.zipWithIndex.map { case (v, j) =>
+        val cell = if (v == null) nullAs(j) else fmt(v, o)
+        csvQuote(cell, o.delimiter)
+      }
       val line = if (o.rownum) (i.toString +: vals) else vals
       w.write(line.mkString(o.delimiter)); w.write("\n")
     }

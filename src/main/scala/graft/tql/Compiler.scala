@@ -446,6 +446,7 @@ object Compiler {
         else {
           def castTo(c: Column, t: String, targs: List[Expr]): Column = t match {
             case "doubleType" => c.cast("double")
+            case "floatType" => c.cast("float")
             case "stringType" => c
             case "boolType" => c.cast("boolean")
             // datetimeType(unit): epoch numbers become real timestamps
@@ -461,8 +462,15 @@ object Compiler {
               }
             case other => throw new IllegalArgumentException(s"unknown field type $other")
           }
-          val cols = fields.sortBy(_._1).map { case (i, t, targs, nm) =>
-            castTo(col(s"column$i"), t, targs).as(nm) }
+          // undeclared columns stay in place as strings (TestGroupWhere
+          // declares fields 0 and 2, references value(1) untyped)
+          val byIdx = fields.map(f => f._1 -> f).toMap
+          val cols = df0.columns.indices.map { i =>
+            byIdx.get(i) match {
+              case Some((_, t, targs, nm)) => castTo(col(s"column$i"), t, targs).as(nm)
+              case None => col(s"column$i")
+            }
+          }
           val df = df0.select(cols: _*)
           keyed(df)
         }
@@ -1254,7 +1262,7 @@ object Compiler {
 
   private val aggNames = Set("count", "sum", "min", "max", "avg", "mean", "first", "last",
     "stddev", "variance", "stderr", "entropy", "median", "medianInterpolated",
-    "quantile", "quantileInterpolated", "rss", "rms", "list")
+    "quantile", "quantileInterpolated", "rss", "rms", "list", "mode")
 
   /** gonum stat.Quantile Empirical: smallest v_i with (i+1)/n >= p. */
   private def quantileEmpirical(c: Column, p: Double): Column = {
@@ -1287,8 +1295,10 @@ object Compiler {
       case "min" => min(c)
       case "max" => max(c)
       case "avg" | "mean" => avg(c)
-      case "first" => min_by(raw, col(p.keyCol))
-      case "last" => max_by(raw, col(p.keyCol))
+      // ordering masked where the value is null so where()-filtered and
+      // null records don't win the first/last slot (TestGroupWhere)
+      case "first" => min_by(raw, when(raw.isNotNull, col(p.keyCol)))
+      case "last" => max_by(raw, when(raw.isNotNull, col(p.keyCol)))
       case "stddev" => stddev_samp(c)
       case "variance" => var_samp(c)
       case "stderr" => stddev_samp(c) / sqrt(count(c))
@@ -1432,6 +1442,8 @@ object Compiler {
       case ("quantileInterpolated", None) =>
         quantileLinInterp(c, pq.getOrElse(
           throw new IllegalArgumentException("quantileInterpolated(v, p)")))
+      case ("mode", None) => mode(c)
+      case ("mode", Some(w)) => weightedMode(c, w)
       case ("mean" | "avg", Some(w)) => StatFns.weightedMean(c, w)
       case ("variance", Some(w)) => StatFns.weightedVariance(c, w)
       case ("stddev", Some(w)) => sqrt(StatFns.weightedVariance(c, w))
@@ -1455,6 +1467,30 @@ object Compiler {
             pr.getField("v")).otherwise(acc.getField("ans")).as("ans"))
       })
     scan.getField("ans")
+  }
+
+  /** Weighted mode: the value whose weights sum highest. Sorted pairs
+    * collapse into runs inside one aggregate-HOF scan (ties keep the
+    * smallest value). */
+  private def weightedMode(v: Column, w: Column): Column = {
+    val pairs = sort_array(collect_list(struct(v.as("v"), w.as("w"))))
+    val zero = struct(
+      lit(null).cast("double").as("curV"), lit(0d).as("cur"),
+      lit(null).cast("double").as("bestV"), lit(Double.MinValue).as("best"))
+    val scanned = aggregate(pairs, zero,
+      (acc, pr) => {
+        val sameRun = acc.getField("curV") === pr.getField("v")
+        val cur2 = when(sameRun, acc.getField("cur") + pr.getField("w"))
+          .otherwise(pr.getField("w"))
+        val closeBetter = acc.getField("curV").isNotNull && !sameRun &&
+          acc.getField("cur") > acc.getField("best")
+        struct(pr.getField("v").as("curV"), cur2.as("cur"),
+          when(closeBetter, acc.getField("curV")).otherwise(acc.getField("bestV")).as("bestV"),
+          when(closeBetter, acc.getField("cur")).otherwise(acc.getField("best")).as("best"))
+      },
+      acc => when(acc.getField("cur") > acc.getField("best"),
+        acc.getField("curV")).otherwise(acc.getField("bestV")))
+    scanned
   }
 
   private def compileGroup(p: Pipe, args: List[Expr]): Pipe = {
@@ -1508,6 +1544,7 @@ object Compiler {
     }
     var byExpr: Option[(Column, String)] = None
     val aggs = Vector.newBuilder[(Column, String)]
+    val stringFills = scala.collection.mutable.Map.empty[String, String]
     args.foreach {
       case Call("by", e :: _) if (e match {
         // literal NULL, or a SET variable holding NULL (TestGroup)
@@ -1532,7 +1569,16 @@ object Compiler {
         val whereP = rest.collectFirst { case Call("where", List(pred)) => toColumn(pred, p) }
         val raw = toColumn(e, p)
         val c = whereP.map(w => when(w, raw)).getOrElse(raw)
-        aggs += ((buildAggFull(fn, c, rest, p), name))
+        val built0 = buildAggFull(fn, c, rest, p)
+        // per-aggregator nullValue(): numeric fills coalesce; string
+        // fills ride column metadata so the sink renders them raw while
+        // data cells keep float formatting (TestGroupWhere "1" vs 2.00)
+        val built = rest.collectFirst { case Call("nullValue", List(nv)) => nv } match {
+          case Some(Num(v)) => coalesce(built0, lit(v))
+          case Some(Str(sfill)) => stringFills += (name -> sfill); built0
+          case _ => built0
+        }
+        aggs += ((built, name))
       case Expr.Bool(_) =>
         throw new IllegalArgumentException("GROUP() unknown type 'bool' in arguments")
       case other => throw new IllegalArgumentException(s"unsupported GROUP arg: $other")
@@ -1540,10 +1586,17 @@ object Compiler {
     val aggList = aggs.result()
     if (aggList.isEmpty) throw new IllegalArgumentException("GROUP() has no aggregator")
     val (byCol, byName) = byExpr.getOrElse(throw new IllegalArgumentException("GROUP needs by()"))
-    val df = p.df.groupBy(byCol.as(byName))
+    val df0 = p.df.groupBy(byCol.as(byName))
       .agg(aggList.head._1.as(aggList.head._2),
         aggList.tail.map { case (c, n) => c.as(n) }: _*)
       .orderBy(vcol(byName)) // reference emits key-sorted (lazy mode sorts, fm_monad.go:470)
+    // string nullValue() fills travel as column metadata (sink-side raw
+    // null rendering, TestGroupWhere)
+    val df = stringFills.foldLeft(df0) { case (d, (n, fillStr)) =>
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("nullas", fillStr).build()
+      d.withColumn(n, d(n).as(n, meta))
+    }
     // the group key is result column 0 (reference synthesizes result
     // columns from by()+aggregators, fm_monad.go:405-425)
     Pipe(df, byName, byName +: aggList.map(_._2))
@@ -2070,7 +2123,22 @@ object Compiler {
       }
       case "roundTime" => args match {
         case List(x, Str(dur)) =>
-          graft.time.TimeFns.roundTimeNs(toColumn(x, p), graft.time.TimeFns.parseDurationNs(dur))
+          val periodNs = graft.time.TimeFns.parseDurationNs(dur)
+          val xc = toColumn(x, p)
+          // timestamp inputs round as timestamps (sink timeformat modes
+          // then apply — TestGroupWhere renders epoch-s)
+          val tsNs = unix_micros(xc) * 1000L
+          val rounded = graft.time.TimeFns.roundTimeNs(tsNs, periodNs)
+          // integer µs (division through double is exact below 2^53 µs)
+          val asTs = timestamp_micros((rounded.cast("long") / lit(1000L)).cast("long"))
+          // dispatch on the input type at plan build time
+          try {
+            if (p.df.select(xc).schema.head.dataType
+              .isInstanceOf[org.apache.spark.sql.types.TimestampType]) asTs
+            else graft.time.TimeFns.roundTimeNs(xc, periodNs)
+          } catch {
+            case _: Exception => graft.time.TimeFns.roundTimeNs(xc, periodNs)
+          }
         case _ => throw new IllegalArgumentException("roundTime(t, 'dur')")
       }
       case "timeAdd" => args match {

@@ -257,6 +257,55 @@ class ReferenceCases2Spec extends SparkSpec {
       "GROUP,P99,P50,MEDIAN\nA,2.00,1.00,1.00\nB,5.00,4.00,4.00\nC,9.00,7.00,7.00\n")
   }
 
+  test("GROUP where() filters with roundTime key and string nullValue (task_test.go:1996-2081)") {
+    val payload = Seq(
+      "1700256261,dry,1", "1700256262,dry,2", "1700256262,wet,2",
+      "1700256263,dry,3", "1700256264,dry,4", "1700256264,wet,4",
+      "1700256265,wet,5", "1700256265,dry,5", "1700256266,dry,6",
+      "1700256267,dry,7", "1700256268,dry,8", "1700256269,dry,9",
+      "1700256276,dry,10").mkString("\n")
+    val pm = Map("payload" -> Seq(payload))
+    def g(timeType: String, valType: String, wetTail: String): String = Tql.run(spark,
+      s"""CSV(payload(), field(0, $timeType("s"), "time"), field(2, $valType(), "value"))
+         |GROUP(
+         |  by( roundTime(value(0), "2s")),
+         |  avg(value(2), where(value(1) == "dry"), "DRY"),
+         |  last(value(2), where(value(1) == "wet"), $wetTail"WET") )
+         |CSV(timeformat("s"), heading(true), precision(2))
+         |""".stripMargin, 0L, pm)
+    val plain =
+      """GROUP,DRY,WET
+        |1700256260,1.00,NULL
+        |1700256262,2.50,2.00
+        |1700256264,4.50,5.00
+        |1700256266,6.50,NULL
+        |1700256268,8.50,NULL
+        |1700256276,10.00,NULL
+        |""".stripMargin
+    assert(g("datetimeType", "doubleType", "") == plain)
+    assert(g("timeType", "floatType", "") == plain)
+    assert(g("datetimeType", "doubleType", "nullValue(\"1\"), ") ==
+      """GROUP,DRY,WET
+        |1700256260,1.00,1
+        |1700256262,2.50,2.00
+        |1700256264,4.50,5.00
+        |1700256266,6.50,1
+        |1700256268,8.50,1
+        |1700256276,10.00,1
+        |""".stripMargin)
+  }
+
+  test("GROUP mode and weighted mode (task_test.go:1800-1827)") {
+    val p = Map("payload" -> Seq("A,1.1\nA,1.1\nB,2.1\nB,2.2\nB,2.1\nC,3.1\nC,3.2\nC,3.3\nC,3.3"))
+    val out = Tql.run(spark,
+      """CSV(payload(), field(0, stringType(), "name"), field(1, doubleType(), "value"))
+        |GROUP(by(value(0)), mode(value(1)), mode(value(1), weight(value(1))) )
+        |CSV(heading(true), precision(2))
+        |""".stripMargin, 0L, p)
+    assert(out ==
+      "GROUP,MODE,MODE\nA,1.10,1.10\nB,2.10,2.10\nC,3.30,3.30\n", out)
+  }
+
   test("GROUP(by(time, timewindow)) causal per-agg fills (task_test.go:2083-2180)") {
     val payload = Seq(
       "1700256261,1", "1700256262,2", "1700256263,3", "1700256264,4",
