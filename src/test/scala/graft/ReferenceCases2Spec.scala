@@ -64,6 +64,22 @@ class ReferenceCases2Spec extends SparkSpec {
       "value,count\n23,1\n44,6\n59,12\n80,26\n99,20\n113,18\n129,5\n141,2\n153,7\n170,3\n", out)
   }
 
+  test("arrange/linspace CSV goldens (task_test.go TestArrange/TestLinspace)") {
+    assert(run("FAKE( arrange(0, 2, 1) )\nCSV( heading(true), precision(1) )\n")
+      == "x\n0.0\n1.0\n2.0\n")
+    assert(run("FAKE( arrange(2, 0, -1) )\nCSV( heading(true), precision(1) )\n")
+      == "x\n2.0\n1.0\n0.0\n")
+    assert(run("FAKE( linspace(0, 2, 3))\nCSV( heading(true), precision(1) )\n")
+      == "x\n0.0\n1.0\n2.0\n")
+  }
+
+  test("CSV to JSON envelope: columnN naming, machbase types (TestCsvToJson)") {
+    val out = run("CSV(\"A,123\\nB,456\\nC,789\")\nJSON()\n")
+    assert(out.contains(""""columns":["column0","column1"]"""), out)
+    assert(out.contains(""""types":["string","string"]"""), out)
+    assert(out.contains(""""rows":[["A","123"],["B","456"],["C","789"]]"""), out)
+  }
+
   test("dict() renders JSON objects, keeps the declared column type (TestDict)") {
     val out = run(
       """FAKE( arrange(0, 1, 1) )
