@@ -174,7 +174,11 @@ object Compiler {
     case Expr.Call("HISTOGRAM", args)
       if args.exists { case Expr.Call("bins", List(_: Expr.Num)) => true; case _ => false } => true
     case Expr.Call(n, args) =>
-      Set("TAKE", "DROP", "PUSHKEY", "POPKEY", "MAPKEY", "GROUPBYKEY", "FFT",
+      // TAKE/DROP are deliberately NOT here: they consume arrival ORDER,
+      // not the key VALUE, so when they are the only order consumers the
+      // pipeline compiles to plain ordered offset/limit and skips the
+      // zipRownum pass entirely (the keyless branches in compileMap).
+      Set("PUSHKEY", "POPKEY", "MAPKEY", "GROUPBYKEY", "FFT",
         "key", "first", "last", "TRANSPOSE", "SCRIPT", "TIMEWINDOW",
         "MAP_DIFF", "MAP_ABSDIFF", "MAP_NONEGDIFF", "MAP_AVG", "MAP_MOVAVG",
         "MAP_LOWPASS", "FILTER_CHANGED")(n) || args.exists(statementNeedsKey)
@@ -909,7 +913,14 @@ object Compiler {
         // fm_monad.go:50 — an explicit two-arg limit must be positive
         if (args.size == 2 && n <= 0) throw new IllegalArgumentException(
           "f(TAKE) arg(1) limit should be larger than 0")
-        p.copy(df = p.df.orderBy(col(p.keyCol)).offset(off).limit(n))
+        // Keyless pipeline (TAKE/DROP were the only order consumers):
+        // plain ordered offset/limit — Spark's CollectLimit drains
+        // partitions in order, preserving the source's arrival order,
+        // and early-terminates upstream (the reference's circuit-break).
+        if (p.df.columns.contains(p.keyCol))
+          p.copy(df = p.df.orderBy(col(p.keyCol)).offset(off).limit(n))
+        else
+          p.copy(df = p.df.offset(off).limit(n))
 
       case Call("DROP", args) =>
         val (off, n) = args match {
@@ -919,7 +930,16 @@ object Compiler {
         }
         if (args.size == 2 && n <= 0) throw new IllegalArgumentException(
           "f(DROP) arg(1) limit should be larger than 0")
-        p.copy(df = graft.operators.RowOps.drop(p.df, Seq(col(p.keyCol)), off, n))
+        if (p.df.columns.contains(p.keyCol))
+          p.copy(df = graft.operators.RowOps.drop(p.df, Seq(col(p.keyCol)), off, n))
+        else if (off == 0)
+          // DROP(n) keyless: skip the first n in arrival order = offset
+          p.copy(df = p.df.offset(n))
+        else
+          // keyless mid-range drop still needs a rownum, but not a sort:
+          // zipRownum over the natural order (codegen partition-offset
+          // path when the plan is shuffle-free)
+          p.copy(df = graft.operators.RowOps.drop(p.df, Nil, off, n))
 
       case Call("MAPVALUE", Num(idx) :: expr :: rest) if idx < 0 =>
         // MAPVALUE(-1, expr) prepends — equiv. PUSHVALUE(0, expr)
