@@ -8,12 +8,13 @@ import org.apache.spark.sql.types._
   * pipelines: opaque `BinaryType` payloads + typed metadata, with
   * decode/feature steps as batched per-partition transforms.
   *
-  * Two decoders are REAL pure-JVM codecs: uncompressed 24-bpp BMP
-  * (header walk + padded scanline traversal) and PCM16 WAV (RIFF chunk
-  * walk). Compressed formats (JPEG/PNG/MP3) would need codec libraries
-  * that are not in this container, so their kernel stays a clearly
-  * marked deterministic fake; the plumbing (schema, batching, partition
-  * shape) is identical for both, so a JNI or Arrow decoder slots in.
+  * Decoders are REAL: uncompressed 24-bpp BMP (header walk + padded
+  * scanline traversal) and PCM16 WAV (RIFF chunk walk) are pure-JVM
+  * byte walks; JPEG/PNG/GIF route through the JDK's own
+  * `javax.imageio.ImageIO` (present in every JRE, no extra library).
+  * Only genuinely codec-less formats (MP3, video containers) fall back
+  * to a byte-window feature fake — the plumbing (schema, batching,
+  * partition shape) is identical, so a JNI or Arrow decoder slots in.
   */
 object Multimodal {
   /** Typed metadata carried alongside every binary payload. */
@@ -38,14 +39,52 @@ object Multimodal {
   def featureSchema(idField: StructField, dim: Int): StructType =
     StructType(Seq(idField, StructField("feature", ArrayType(FloatType, containsNull = false))))
 
-  /** Decode one payload into a feature vector of `dim` floats.
-    *
-    * ??? STUB ???  — a real implementation calls the image/audio codec
-    * here (JPEG decode → resize → channel means, or PCM frames → FFT
-    * band energies). This deterministic fake hashes byte windows so the
-    * pipeline (batching, schema, shuffles) is fully exercisable.
-    */
-  private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+  /** Decode one payload into a feature vector of `dim` floats: images
+    * (BMP via the byte-walk, JPEG/PNG/GIF via ImageIO) yield a
+    * normalized luminance histogram; PCM16 WAV yields a normalized
+    * amplitude histogram; anything else (MP3, video containers — no JVM
+    * codec) falls back to [[byteFeatures]]. */
+  private def decodeFeatureVec(payload: Array[Byte], dim: Int): Array[Float] = {
+    if (payload == null || payload.isEmpty) return new Array[Float](dim)
+    decodeImage(payload) match {
+      case Some(img) => return img.lumaHistogram(dim)
+      case None =>
+    }
+    decodeWav(payload) match {
+      case Some(_) => return wavAmplitudeHistogram(payload, dim)
+      case None =>
+    }
+    byteFeatures(payload, dim)
+  }
+
+  /** Amplitude histogram of a PCM16 data chunk, normalized to sum 1. */
+  private def wavAmplitudeHistogram(payload: Array[Byte], dim: Int): Array[Float] = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(at: Int) = new String(payload, at, 4, "ISO-8859-1")
+    val out = new Array[Float](dim)
+    var pos = 12
+    var n = 0
+    while (pos + 8 <= payload.length) {
+      val len = buf.getInt(pos + 4)
+      if (len < 0 || pos + 8 + len > payload.length) return out
+      if (tag(pos) == "data") {
+        var i = 0
+        while (i < len / 2) {
+          val s = buf.getShort(pos + 8 + 2 * i).toInt // [-32768, 32767]
+          out(((s + 32768) * dim) >>> 16) += 1f
+          n += 1; i += 1
+        }
+      }
+      pos += 8 + len + (len & 1)
+    }
+    if (n > 0) { var j = 0; while (j < dim) { out(j) /= n; j += 1 } }
+    out
+  }
+
+  /** Codec-less fallback (MP3/video): deterministic byte-window sums so
+    * the pipeline (batching, schema, shuffles) stays exercisable. */
+  private def byteFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (payload == null || payload.isEmpty) return out
     var i = 0
@@ -74,7 +113,7 @@ object Multimodal {
         batch.iterator.map { row =>
           val id = row.getLong(idIdx)
           val payload = row.getAs[Array[Byte]](binIdx)
-          Row(id, decodeStub(payload, dim).toSeq)
+          Row(id, decodeFeatureVec(payload, dim).toSeq)
         }
       }
     }(Encoders.row(outSchema))
@@ -161,6 +200,106 @@ object Multimodal {
       if (n == 0) 0.0 else math.sqrt(sumSq / n), peak))
   }
 
+  /** Decoded raster image: dimensions + flat RGB channel bytes. */
+  final case class ImgInfo(mediaType: String, width: Int, height: Int,
+                           rgb: Array[Int]) {
+    /** Mean over every channel byte — same statistic as BMP pixelMean. */
+    def pixelMean: Double = {
+      var sum = 0L; var i = 0
+      while (i < rgb.length) { sum += rgb(i); i += 1 }
+      if (rgb.isEmpty) 0.0 else sum.toDouble / rgb.length
+    }
+    /** Per-pixel luminance histogram, normalized to sum 1. */
+    def lumaHistogram(dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      val n = rgb.length / 3
+      var p = 0
+      while (p < n) {
+        // integer Rec.601 luma, bounded [0, 255]
+        val y = (299 * rgb(3 * p) + 587 * rgb(3 * p + 1) + 114 * rgb(3 * p + 2)) / 1000
+        out(y * dim / 256) += 1f
+        p += 1
+      }
+      if (n > 0) { var j = 0; while (j < dim) { out(j) /= n; j += 1 } }
+      out
+    }
+  }
+
+  // ImageIO must not touch a display; set once before any decode.
+  System.setProperty("java.awt.headless", "true")
+
+  private def sniffImageType(p: Array[Byte]): Option[String] =
+    if (p == null || p.length < 8) None
+    else if ((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8 && (p(2) & 0xFF) == 0xFF)
+      Some("image/jpeg")
+    else if ((p(0) & 0xFF) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      Some("image/png")
+    else if (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
+      Some("image/gif")
+    else None
+
+  /** JPEG/PNG/GIF decode via the JDK's `javax.imageio` (headless, no
+    * third-party codec). Returns the full RGB raster so the caller
+    * computes whatever statistic it needs; None when the payload is not
+    * one of the ImageIO formats or is corrupt. */
+  def decodeImage(payload: Array[Byte]): Option[ImgInfo] = {
+    val mt = sniffImageType(payload) match {
+      case Some(t) => t
+      case None => return decodeBmp24(payload)
+    }
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val rgb = new Array[Int](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val argb = img.getRGB(x, y)
+          val o = 3 * (y * w + x)
+          rgb(o) = (argb >> 16) & 0xFF
+          rgb(o + 1) = (argb >> 8) & 0xFF
+          rgb(o + 2) = argb & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      Some(ImgInfo(mt, w, h, rgb))
+    } catch { case _: Exception => None }
+  }
+
+  /** BMP through the same ImgInfo shape (byte-walk decoder, BGR→RGB). */
+  private def decodeBmp24(payload: Array[Byte]): Option[ImgInfo] = {
+    if (payload == null || payload.length < 2 ||
+      payload(0) != 'B' || payload(1) != 'M') return None
+    decodeBmp(payload).map { b =>
+      // reuse the validated header walk; re-read pixels as RGB triples
+      val buf = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataOffset = buf.getInt(10)
+      val topDown = buf.getInt(22) < 0
+      val rowSize = (b.width * 3 + 3) / 4 * 4
+      val rgb = new Array[Int](b.width * b.height * 3)
+      var row = 0
+      while (row < b.height) {
+        val srcRow = if (topDown) row else b.height - 1 - row
+        var x = 0
+        while (x < b.width) {
+          val i = dataOffset + srcRow * rowSize + x * 3
+          val o = 3 * (row * b.width + x)
+          rgb(o) = payload(i + 2) & 0xFF     // BMP stores BGR
+          rgb(o + 1) = payload(i + 1) & 0xFF
+          rgb(o + 2) = payload(i) & 0xFF
+          x += 1
+        }
+        row += 1
+      }
+      ImgInfo("image/bmp", b.width, b.height, rgb)
+    }
+  }
+
   /** Per-payload media stats via the REAL decoders: sniff the magic,
     * decode, emit one typed row per input. Unknown/undecodable payloads
     * keep media_type "application/octet-stream" with null stats. Same
@@ -183,9 +322,10 @@ object Multimodal {
         batch.iterator.map { row =>
           val id = row.getLong(idIdx)
           val payload = row.getAs[Array[Byte]](binIdx)
-          decodeBmp(payload) match {
-            case Some(b) =>
-              Row(id, "image/bmp", b.width, b.height, b.pixelMean, null, null, null)
+          decodeImage(payload) match {
+            case Some(img) => // BMP byte-walk or ImageIO (JPEG/PNG/GIF)
+              Row(id, img.mediaType, img.width, img.height, img.pixelMean,
+                null, null, null)
             case None => decodeWav(payload) match {
               case Some(w) =>
                 Row(id, "audio/wav", null, null, null, w.sampleRate, w.nSamples, w.rms)
@@ -245,6 +385,42 @@ object Multimodal {
     }
     buf.array()
   }
+
+  /** RGB image whose channel bytes cycle through `codes` in scan order
+    * (row-major, r-g-b within each pixel) — so the channel mean equals
+    * mean(codes[0 until w*h*3 cyclic]), recomputable by the oracle. */
+  private def synthImage(codes: Array[Int], width: Int, height: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var k = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = codes(k % codes.length) & 0xFF
+        val g = codes((k + 1) % codes.length) & 0xFF
+        val b = codes((k + 2) % codes.length) & 0xFF
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        k += 3; x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodeVia(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Real PNG bytes (lossless: decode returns the exact codes). */
+  def synthPng(codes: Array[Int], width: Int, height: Int): Array[Byte] =
+    encodeVia(synthImage(codes, width, height), "png")
+
+  /** Real JPEG bytes (lossy: dimensions survive exactly, pixels don't). */
+  def synthJpeg(codes: Array[Int], width: Int, height: Int): Array[Byte] =
+    encodeVia(synthImage(codes, width, height), "jpg")
 
   /** Frame-sampling plumbing for video-like payloads: split a binary blob
     * into fixed-size frame windows (offsets are real; decode is the stub). */

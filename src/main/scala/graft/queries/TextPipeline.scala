@@ -199,6 +199,39 @@ object TextPipeline {
         .select(col("doc_id"), col("sample_rate").as("wav_hz"),
           col("n_samples").as("wav_n"), fround(col("rms"), 4).as("wav_rms"))
       bmp.join(wav, "doc_id").orderBy("doc_id")
+    }),
+
+    / ---- multimodal: JPEG/PNG decode through JDK ImageIO --------------
+    // PNG is lossless, so the decoded channel mean is recomputed exactly
+    // by the oracle from the source characters; JPEG is lossy, so its
+    // oracle-checked surface is the exactly-preserved dimensions (pixel
+    // statistics for JPEG are asserted in ServerMultimodalSpec instead).
+    "q_multimodal_imageio" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select("doc_id", "text")
+      val synthSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("png", BinaryType),
+        StructField("jpg", BinaryType)))
+      val media = docs.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val codes = r.getString(1).map(_.toInt & 0xFF).toArray
+          Row(id,
+            Multimodal.synthPng(codes, 1 + (id % 5).toInt, 1 + (id % 4).toInt),
+            Multimodal.synthJpeg(codes, 2 + (id % 6).toInt, 2 + (id % 5).toInt))
+        }
+      }(Encoders.row(synthSchema))
+      val png = Multimodal.decodeMedia(media, "doc_id", "png")
+        .select(col("doc_id"), col("width").as("png_w"),
+          col("height").as("png_h"), fround(col("pixel_mean"), 4).as("png_mean"))
+      val jpg = Multimodal.decodeMedia(media, "doc_id", "jpg")
+        .select(col("doc_id"), col("media_type").as("jpg_type"),
+          col("width").as("jpg_w"), col("height").as("jpg_h"))
+      png.join(jpg, "doc_id").orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -438,5 +471,20 @@ object TextPipeline {
            hz AS wav_hz, n AS wav_n,
            floor(sqrt(list_aggregate(list_transform(smp,
              x -> CAST(x AS DOUBLE)*x), 'avg'))*10000.0 + 0.5)/10000.0 AS wav_rms
+         FROM c ORDER BY doc_id""",
+    "q_multimodal_imageio" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS L,
+             CAST(1 + doc_id % 5 AS INT) AS pw, CAST(1 + doc_id % 4 AS INT) AS ph,
+             CAST(2 + doc_id % 6 AS INT) AS jw, CAST(2 + doc_id % 5 AS INT) AS jh
+           FROM documents WHERE doc_id < 100),
+         c AS (
+           SELECT doc_id, pw, ph, jw, jh,
+             list_transform(generate_series(1, pw*ph*3), i ->
+               ascii(substr(text, CAST((i-1) % L AS INT) + 1, 1)) % 256) AS pix
+           FROM d)
+         SELECT doc_id, pw AS png_w, ph AS png_h,
+           floor(list_aggregate(pix, 'avg')*10000.0 + 0.5)/10000.0 AS png_mean,
+           'image/jpeg' AS jpg_type, jw AS jpg_w, jh AS jpg_h
          FROM c ORDER BY doc_id""")
 }
