@@ -201,7 +201,7 @@ object TextPipeline {
       bmp.join(wav, "doc_id").orderBy("doc_id")
     }),
 
-    / ---- multimodal: JPEG/PNG decode through JDK ImageIO --------------
+    // ---- multimodal: JPEG/PNG decode through JDK ImageIO --------------
     // PNG is lossless, so the decoded channel mean is recomputed exactly
     // by the oracle from the source characters; JPEG is lossy, so its
     // oracle-checked surface is the exactly-preserved dimensions (pixel
