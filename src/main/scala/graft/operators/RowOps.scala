@@ -19,6 +19,27 @@ object RowOps {
   def take(df: DataFrame, order: Seq[Column], offset: Int, n: Int): DataFrame =
     df.orderBy(order: _*).offset(offset).limit(n)
 
+  /** Keyless TAKE(offset, n) in ARRIVAL order. A bare `offset().limit()`
+    * is only deterministic when the limit is the terminal collected
+    * operator; under a sink projection Spark plans GlobalLimitExec over a
+    * single-partition shuffle whose remote block fetch order is
+    * randomized, so on a real cluster it may not return the
+    * first-by-arrival rows. Instead: only the first offset+n rows of each
+    * partition can satisfy the slice, so prefix-take per partition (the
+    * iterator early-terminates upstream — the reference's circuit-break,
+    * task.go:481-494), then number rows in (partition, position) order via
+    * zipWithIndex — one lineage, fully distributed, no global sort and no
+    * single-partition shuffle. */
+  def takeArrival(df: DataFrame, offset: Int, n: Int): DataFrame = {
+    val need = offset + n
+    val schema = df.schema
+    val sliced = df.rdd.mapPartitions(_.take(need))
+      .zipWithIndex()
+      .filter { case (_, i) => i >= offset && i < need }
+      .map(_._1)
+    df.sparkSession.createDataFrame(sliced, schema)
+  }
+
   /** DROP(offset, n): skip rows [offset, offset+n) in `order`. Derives a
     * dense rownum via [[zipRownum]] (distributed range sort + partition
     * offsets) instead of a global `row_number()` window, which would move

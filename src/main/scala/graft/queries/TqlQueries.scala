@@ -35,6 +35,26 @@ object TqlQueries {
           |""".stripMargin).output
     }),
 
+    // causal GROUP(by(time, timewindow)) with the TIME column as the
+    // SECOND value — pins the ns-normalization dispatching on the time
+    // expression's own type, not values.head (round-5 wrong-answer bug)
+    "q_tql_timewindow_causal" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      e0.select(col("value"), timestamp_micros(tsUs(e0)).as("ts"))
+        .createOrReplaceTempView("tql_events_ts2")
+      Tql.compile(s,
+        """SQL('SELECT value, ts FROM tql_events_ts2')
+          |GROUP(by(value(1), timewindow(1704412800000000000, 1704499200000000000, 60000000000), 'time'),
+          |      count(value(0), 'cnt', nullValue(-1)),
+          |      min(value(0), 'min_value', nullValue(-1)),
+          |      max(value(0), 'max_value', nullValue(-1)))
+          |CSV()
+          |""".stripMargin).output
+        .select(unix_micros(col("time")).as("t_us"), col("cnt"),
+          col("min_value"), col("max_value"))
+        .orderBy("t_us")
+    }),
+
     // row pipeline: filter + computed column + ordered take
     // SCRIPT("js") map node: stateful filter/transform + deinit summary row
     "q_script_tql" -> ((s, dir) => {
@@ -90,6 +110,19 @@ object TqlQueries {
                FROM range(288)) s
          LEFT JOIN (
            SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS b_us,
+             count(value) AS cnt, min(value) AS min_value, max(value) AS max_value
+           FROM events
+           WHERE epoch_us(ts) >= 1704412800000000 AND epoch_us(ts) < 1704499200000000
+           GROUP BY 1) a ON s.time = a.b_us
+         ORDER BY s.time""",
+    "q_tql_timewindow_causal" ->
+      """SELECT s.time AS t_us, CAST(coalesce(a.cnt, -1) AS DOUBLE) AS cnt,
+         coalesce(a.min_value, -1.0) AS min_value,
+         coalesce(a.max_value, -1.0) AS max_value
+         FROM (SELECT 1704412800000000 + CAST(range AS BIGINT)*60000000 AS time
+               FROM range(1440)) s
+         LEFT JOIN (
+           SELECT epoch_us(ts) - epoch_us(ts) % 60000000 AS b_us,
              count(value) AS cnt, min(value) AS min_value, max(value) AS max_value
            FROM events
            WHERE epoch_us(ts) >= 1704412800000000 AND epoch_us(ts) < 1704499200000000

@@ -84,6 +84,20 @@ object Compiler {
     override def initialValue(): java.lang.Long = 0L
   }
 
+  /** Namespace for `cache(key, …)`: the reference keys its result cache by
+    * `sourcePath:sourceHash:key` (mods/tql/tqlcache.go:142) so two scripts
+    * sharing a user key never serve each other's bytes and an edited
+    * script can't serve stale output. Scripts here are compiled from text
+    * (no file path), so the namespace is the source hash alone. */
+  private val currentScriptHash = new ThreadLocal[String] {
+    override def initialValue(): String = ""
+  }
+  private def scriptHash(script: String): String =
+    java.lang.Long.toHexString(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        script.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        script.length, 42).toLong & 0xffffffffL) + f"${script.length}%x"
+
   /** Row-order key for sequential semantics (TAKE/DROP/rownum keys).
     * The reference keys SQL-source records by arrival rownum. Derived
     * scale-safely (per-partition offsets, no single-partition window) —
@@ -124,9 +138,11 @@ object Compiler {
     // their own params — the outer pipeline's context must survive
     val prevParams = currentParams.get
     val prevNow = currentNowNs.get
+    val prevHash = currentScriptHash.get
     val prevLogLevel = TqlLog.levelIndex
     currentParams.set(params)
     currentNowNs.set(nowNs)
+    currentScriptHash.set(scriptHash(script))
     // #pragma log-level=<lvl> gates the task log (TestPragma)
     "(?im)^\\s*#pragma\\s+log-level\\s*=\\s*(\\w+)".r.findFirstMatchIn(script)
       .foreach(m => TqlLog.setLevel(m.group(1)))
@@ -136,6 +152,7 @@ object Compiler {
       Compiled(piped, compileSink(sinkStmt))
     } finally {
       currentParams.set(prevParams); currentNowNs.set(prevNow)
+      currentScriptHash.set(prevHash)
       // restore, don't reset: WHEN sub-routines must not clobber the
       // outer script's pragma
       TqlLog.setLevelIndex(prevLogLevel)
@@ -914,13 +931,15 @@ object Compiler {
         if (args.size == 2 && n <= 0) throw new IllegalArgumentException(
           "f(TAKE) arg(1) limit should be larger than 0")
         // Keyless pipeline (TAKE/DROP were the only order consumers):
-        // plain ordered offset/limit — Spark's CollectLimit drains
-        // partitions in order, preserving the source's arrival order,
-        // and early-terminates upstream (the reference's circuit-break).
+        // per-partition prefix-take + deterministic concat — early-
+        // terminates upstream like the reference's circuit-break and is
+        // arrival-order-deterministic even when a sink projection sits
+        // above (where a bare offset/limit would plan a GlobalLimit under
+        // a fetch-order-randomized single-partition shuffle).
         if (p.df.columns.contains(p.keyCol))
           p.copy(df = p.df.orderBy(col(p.keyCol)).offset(off).limit(n))
         else
-          p.copy(df = p.df.offset(off).limit(n))
+          p.copy(df = graft.operators.RowOps.takeArrival(p.df, off, n))
 
       case Call("DROP", args) =>
         val (off, n) = args match {
@@ -932,13 +951,12 @@ object Compiler {
           "f(DROP) arg(1) limit should be larger than 0")
         if (p.df.columns.contains(p.keyCol))
           p.copy(df = graft.operators.RowOps.drop(p.df, Seq(col(p.keyCol)), off, n))
-        else if (off == 0)
-          // DROP(n) keyless: skip the first n in arrival order = offset
-          p.copy(df = p.df.offset(n))
         else
-          // keyless mid-range drop still needs a rownum, but not a sort:
-          // zipRownum over the natural order (codegen partition-offset
-          // path when the plan is shuffle-free)
+          // keyless drop needs a rownum, but not a sort: zipRownum over
+          // the natural order (codegen partition-offset path when the
+          // plan is shuffle-free) — a bare `offset(n)` would funnel the
+          // full remainder through one shuffle partition AND lose
+          // arrival-order determinism on a cluster
           p.copy(df = graft.operators.RowOps.drop(p.df, Nil, off, n))
 
       case Call("MAPVALUE", Num(idx) :: expr :: rest) if idx < 0 =>
@@ -1549,7 +1567,10 @@ object Compiler {
             (name, buildAgg(fn, toColumn(e, p), p), fill)
         }
         require(aggs.nonEmpty, "GROUP(timewindow) needs at least one aggregator")
-        val tsCol = p.df.schema(p.values.head).dataType match {
+        // ns-normalize on the TIME EXPRESSION's own type — not values.head,
+        // which may be a different (non-time) column when time isn't first
+        val timeType = p.df.select(toColumn(timeE, p)).schema.head.dataType
+        val tsCol = timeType match {
           case _: org.apache.spark.sql.types.TimestampType =>
             unix_micros(toColumn(timeE, p)) * 1000L
           case _ => toColumn(timeE, p).cast("long")
@@ -1932,7 +1953,9 @@ object Compiler {
     val cacheSpec = st.call.args.collectFirst {
       case Call("cache", keyE :: Str(ttl) :: rest) =>
         val ratio = rest.collectFirst { case Num(r) => r }.getOrElse(1.0)
-        (constString(keyE), graft.time.TimeFns.parseDurationNs(ttl), ratio)
+        // namespace by script source (tqlcache.go:142 uses path:hash:key)
+        (currentScriptHash.get + ":" + constString(keyE),
+          graft.time.TimeFns.parseDurationNs(ttl), ratio)
     }
     Sink(fmt, opts, cacheSpec = cacheSpec)
   }

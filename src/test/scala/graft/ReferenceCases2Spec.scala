@@ -135,6 +135,18 @@ class ReferenceCases2Spec extends SparkSpec {
     assert(other != first && other.split("\n").length == 5)
   }
 
+  test("cache() keys are namespaced per script source (tqlcache.go:142)") {
+    // two different scripts sharing the user key 'shared' must never serve
+    // each other's bytes — the reference prefixes sourcePath:sourceHash
+    val a = Tql.run(spark, "FAKE( linspace(0, 1, 2))\nCSV( cache('shared', '30s') )\n")
+    val b = Tql.run(spark, "FAKE( linspace(0, 9, 3))\nCSV( cache('shared', '30s') )\n")
+    assert(a == "0\n1\n")
+    assert(b == "0\n4.5\n9\n") // contaminated cache would echo a's bytes
+    // an edited script is a different source hash → fresh compute, and the
+    // original still hits its own entry
+    assert(Tql.run(spark, "FAKE( linspace(0, 1, 2))\nCSV( cache('shared', '30s') )\n") == a)
+  }
+
   private val boxplotSrc =
     """FAKE(json({
       |    ["A", 850, 740, 900, 1070, 930, 850, 950, 980, 980, 880, 1000, 980, 930, 650, 760, 810, 1000, 1000, 960, 960],
