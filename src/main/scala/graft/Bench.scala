@@ -84,6 +84,23 @@ object Bench {
     if (globalWindows > 0)
       System.err.println(s"[bench] WARNING: $globalWindows global-window exchanges in plans")
 
+    // round-over-round drift check: queries that moved >1.5× vs the
+    // previous bench_full.json are flagged so environment noise is
+    // distinguishable from real regressions at a glance (r4/r5 both
+    // burned attention bisecting what turned out to be host noise)
+    try {
+      val prevPath = java.nio.file.Paths.get("bench_full.json")
+      if (Files.exists(prevPath)) {
+        val prev = Files.readString(prevPath)
+        val pair = "\"(q_\\w+)\":(-?\\d+(?:\\.\\d+)?(?:E-?\\d+)?)".r
+        val prevQ = pair.findAllMatchIn(prev)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        for ((name, sec) <- results; p <- prevQ.get(name)
+             if p > 0.05 && sec > 0.05 && (sec / p > 1.5 || p / sec > 1.5))
+          System.err.println(f"[bench] WARNING: $name moved ${sec / p}%.2fx vs previous run ($p%.3f -> $sec%.3f s)")
+      }
+    } catch { case _: Throwable => }
+
     // ---- ingest benchmark (BASELINE append-path comparison) ----------
     def simpleRows(n: Long): DataFrame = spark.range(n).select(
       concat(lit("tag-"), pmod(col("id"), lit(500)).cast("string")).as("name"),
