@@ -200,13 +200,15 @@ object Multimodal {
       if (n == 0) 0.0 else math.sqrt(sumSq / n), peak))
   }
 
-  /** Decoded raster image: dimensions + flat RGB channel bytes. */
+  /** Decoded raster image: dimensions + flat RGB channel bytes, packed
+    * (3 bytes/pixel — the raster's own footprint, no Int widening; a
+    * 256-row decode batch of large images must not amplify memory). */
   final case class ImgInfo(mediaType: String, width: Int, height: Int,
-                           rgb: Array[Int]) {
+                           rgb: Array[Byte]) {
     /** Mean over every channel byte — same statistic as BMP pixelMean. */
     def pixelMean: Double = {
       var sum = 0L; var i = 0
-      while (i < rgb.length) { sum += rgb(i); i += 1 }
+      while (i < rgb.length) { sum += rgb(i) & 0xFF; i += 1 }
       if (rgb.isEmpty) 0.0 else sum.toDouble / rgb.length
     }
     /** Per-pixel luminance histogram, normalized to sum 1. */
@@ -216,7 +218,8 @@ object Multimodal {
       var p = 0
       while (p < n) {
         // integer Rec.601 luma, bounded [0, 255]
-        val y = (299 * rgb(3 * p) + 587 * rgb(3 * p + 1) + 114 * rgb(3 * p + 2)) / 1000
+        val y = (299 * (rgb(3 * p) & 0xFF) + 587 * (rgb(3 * p + 1) & 0xFF) +
+          114 * (rgb(3 * p + 2) & 0xFF)) / 1000
         out(y * dim / 256) += 1f
         p += 1
       }
@@ -252,16 +255,18 @@ object Multimodal {
         new java.io.ByteArrayInputStream(payload))
       if (img == null) return None
       val (w, h) = (img.getWidth, img.getHeight)
-      val rgb = new Array[Int](w * h * 3)
-      var y = 0
+      val rgb = new Array[Byte](w * h * 3)
+      val rowBuf = new Array[Int](w) // one row at a time: bulk read, no
+      var y = 0                      // full-image Int raster
       while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
         var x = 0
         while (x < w) {
-          val argb = img.getRGB(x, y)
+          val argb = rowBuf(x)
           val o = 3 * (y * w + x)
-          rgb(o) = (argb >> 16) & 0xFF
-          rgb(o + 1) = (argb >> 8) & 0xFF
-          rgb(o + 2) = argb & 0xFF
+          rgb(o) = ((argb >> 16) & 0xFF).toByte
+          rgb(o + 1) = ((argb >> 8) & 0xFF).toByte
+          rgb(o + 2) = (argb & 0xFF).toByte
           x += 1
         }
         y += 1
@@ -281,7 +286,7 @@ object Multimodal {
       val dataOffset = buf.getInt(10)
       val topDown = buf.getInt(22) < 0
       val rowSize = (b.width * 3 + 3) / 4 * 4
-      val rgb = new Array[Int](b.width * b.height * 3)
+      val rgb = new Array[Byte](b.width * b.height * 3)
       var row = 0
       while (row < b.height) {
         val srcRow = if (topDown) row else b.height - 1 - row
@@ -289,9 +294,9 @@ object Multimodal {
         while (x < b.width) {
           val i = dataOffset + srcRow * rowSize + x * 3
           val o = 3 * (row * b.width + x)
-          rgb(o) = payload(i + 2) & 0xFF     // BMP stores BGR
-          rgb(o + 1) = payload(i + 1) & 0xFF
-          rgb(o + 2) = payload(i) & 0xFF
+          rgb(o) = payload(i + 2)     // BMP stores BGR
+          rgb(o + 1) = payload(i + 1)
+          rgb(o + 2) = payload(i)
           x += 1
         }
         row += 1
@@ -342,7 +347,8 @@ object Multimodal {
 
   /** Build a real bottom-up 24-bpp BMP whose pixel bytes cycle through
     * `codes` in scanline order (padding zeroed). */
-  def synthBmp(codes: Array[Int], width: Int, height: Int): Array[Byte] = {
+  def synthBmp(codes0: Array[Int], width: Int, height: Int): Array[Byte] = {
+    val codes = if (codes0.isEmpty) Array(63) else codes0 // no %0 on empty text
     val rowSize = (width * 3 + 3) / 4 * 4
     val dataSize = rowSize * height
     val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
@@ -368,7 +374,8 @@ object Multimodal {
 
   /** Build a real mono PCM16 WAV with `n` samples cycling through
     * `codes` as (code - 128) * 128. */
-  def synthWav(codes: Array[Int], sampleRate: Int, n: Int): Array[Byte] = {
+  def synthWav(codes0: Array[Int], sampleRate: Int, n: Int): Array[Byte] = {
+    val codes = if (codes0.isEmpty) Array(63) else codes0 // no %0 on empty text
     val dataLen = n * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -392,14 +399,17 @@ object Multimodal {
   private def synthImage(codes: Array[Int], width: Int, height: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // empty source text must not divide by zero — substitute one fixed
+    // byte ('?') so the synthetic image is still well-defined
+    val cs = if (codes.isEmpty) Array(63) else codes
     var k = 0
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        val r = codes(k % codes.length) & 0xFF
-        val g = codes((k + 1) % codes.length) & 0xFF
-        val b = codes((k + 2) % codes.length) & 0xFF
+        val r = cs(k % cs.length) & 0xFF
+        val g = cs((k + 1) % cs.length) & 0xFF
+        val b = cs((k + 2) % cs.length) & 0xFF
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         k += 3; x += 1
       }

@@ -210,7 +210,12 @@ object TextPipeline {
       import graft.multimodal.Multimodal
       import org.apache.spark.sql.{Encoders, Row}
       import org.apache.spark.sql.types._
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      // printable-ASCII texts only: UTF-16 code units == code points
+      // there (the oracle indexes code points), and non-empty is
+      // guaranteed (synthImage substitutes '?' defensively otherwise)
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 100 && col("text").isNotNull &&
+          col("text").rlike("^[ -~]+$"))
         .select("doc_id", "text")
       val synthSchema = StructType(Seq(
         StructField("doc_id", LongType),
@@ -477,7 +482,8 @@ object TextPipeline {
            SELECT doc_id, text, length(text) AS L,
              CAST(1 + doc_id % 5 AS INT) AS pw, CAST(1 + doc_id % 4 AS INT) AS ph,
              CAST(2 + doc_id % 6 AS INT) AS jw, CAST(2 + doc_id % 5 AS INT) AS jh
-           FROM documents WHERE doc_id < 100),
+           FROM documents
+           WHERE doc_id < 100 AND regexp_matches(text, '^[ -~]+$')),
          c AS (
            SELECT doc_id, pw, ph, jw, jh,
              list_transform(generate_series(1, pw*ph*3), i ->

@@ -92,6 +92,30 @@ class ServerMultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty) // no chunks
   }
 
+  test("ImageIO decode: PNG round-trips exactly, JPEG channel mean within lossy tolerance") {
+    val codes = (0 until 60).map(i => (i * 37 + 11) % 256).toArray
+    val (w, h) = (5, 4)
+    val exactMean = (0 until w * h * 3).map(i => codes(i % codes.length)).sum.toDouble / (w * h * 3)
+
+    // PNG is lossless: decoded bytes are EXACTLY the cycled codes
+    val png = Multimodal.decodeImage(Multimodal.synthPng(codes, w, h)).get
+    assert(png.mediaType == "image/png" && png.width == w && png.height == h)
+    assert((0 until w * h * 3).forall(i => (png.rgb(i) & 0xFF) == codes(i % codes.length)))
+    assert(math.abs(png.pixelMean - exactMean) < 1e-12)
+
+    // JPEG is lossy: dimensions exact, channel mean within DCT error.
+    // 4.0 bounds the mean shift for this fixture (observed ~1); a decode
+    // bug (channel swap, raster offset) lands far outside it.
+    val jpg = Multimodal.decodeImage(Multimodal.synthJpeg(codes, w, h)).get
+    assert(jpg.mediaType == "image/jpeg" && jpg.width == w && jpg.height == h)
+    assert(math.abs(jpg.pixelMean - exactMean) < 4.0,
+      s"jpeg mean ${jpg.pixelMean} vs source $exactMean")
+
+    // empty codes: substituted fixed byte, no division by zero
+    val empty = Multimodal.decodeImage(Multimodal.synthPng(Array.empty, 2, 2)).get
+    assert(empty.pixelMean == 63.0)
+  }
+
   test("decodeMedia routes real decoders by magic and falls back cleanly") {
     val codes = Array(1, 2, 3, 4, 5, 6)
     val rows = Seq(
