@@ -42,6 +42,26 @@ object SqlRegistry {
         s != null && s.contains(":") && (try {
           java.net.InetAddress.getByName(s).isInstanceOf[java.net.Inet6Address]
         } catch { case _: Exception => false }))
+      // geo constructors (fx_definitions.go:111-119, nums/geography.go):
+      // SQL surface takes [lat,lon] pairs and emits the same layer/feature
+      // JSON text the TQL expressions build (GEOMAP parses it back)
+      def pt(ll: Seq[Double], lonLat: Boolean): String =
+        if (lonLat) s"[${ll(1)},${ll(0)}]" else s"[${ll(0)},${ll(1)}]"
+      def feature(t: String, coords: String): String =
+        s"""{"type":"Feature","geometry":{"type":"$t","coordinates":$coords},"properties":{}}"""
+      def layer(t: String, coord: String, props: String = "{}"): String =
+        s"""{"type":"$t","coordinates":$coord,"properties":$props}"""
+      spark.udf.register("latlon", (lat: Double, lon: Double) => Array(lat, lon))
+      spark.udf.register("geoPoint", (ll: Seq[Double]) =>
+        feature("Point", pt(ll, lonLat = true)))
+      spark.udf.register("geoLineString", (a: Seq[Double], b: Seq[Double]) =>
+        feature("LineString", s"[${pt(a, lonLat = true)},${pt(b, lonLat = true)}]"))
+      spark.udf.register("geoPointMarker", (ll: Seq[Double]) =>
+        layer("marker", pt(ll, lonLat = false)))
+      spark.udf.register("geoCircle", (ll: Seq[Double], r: Double) =>
+        layer("circle", pt(ll, lonLat = false), s"""{"radius":${graft.sinks.GoJs.goNum(r)}}"""))
+      spark.udf.register("geoCircleMarker", (ll: Seq[Double], r: Double) =>
+        layer("circleMarker", pt(ll, lonLat = false), s"""{"radius":${graft.sinks.GoJs.goNum(r)}}"""))
       done += spark
     }
   }

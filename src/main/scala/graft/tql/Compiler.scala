@@ -2216,9 +2216,150 @@ object Compiler {
             s"""dict() name "$last" doesn't match with any value""")
         }
         map(args.map(toColumn(_, p)): _*)
+      // ---- geo spatial (fx_definitions.go:111-119; nums/geography.go) --
+      // Constructors produce layer/feature objects as JSON text; the
+      // GEOMAP sink parses them back into leaflet layers (marker/circle
+      // types carry [lat,lon], GeoJSON features [lon,lat] — geography.go
+      // Coordinates vs MarshalGeoJSON).
+      case "latlon" => args match {
+        case List(x, y) => array(toColumn(x, p).cast("double"), toColumn(y, p).cast("double"))
+        case _ => throw new IllegalArgumentException("latlon(lat, lon)")
+      }
+      case "geoPoint" => args match {
+        case ll :: rest =>
+          geoFeatureJson("Point", geoPointJson(ll, p, lonLat = true),
+            geoPropsJson(rest, Nil, p))
+        case _ => throw new IllegalArgumentException("geoPoint(latlon[, opt])")
+      }
+      case "geoMultiPoint" | "geoPolygon" =>
+        // NewMultiLatLonFunc: latlon args are points, string/dict is opt
+        val (pts, opt) = args.partition(geoIsPointArg)
+        geoFeatureJson(if (name == "geoMultiPoint") "MultiPoint" else "Polygon",
+          geoRingJson(pts, p), geoPropsJson(opt, Nil, p))
+      case "geoLineString" => args match {
+        case from :: to :: rest =>
+          geoFeatureJson("LineString", geoRingJson(List(from, to), p),
+            geoPropsJson(rest, Nil, p))
+        case _ => throw new IllegalArgumentException("geoLineString(from, to[, opt])")
+      }
+      case "geoCircle" => args match {
+        case ll :: r :: rest =>
+          // radius lands in properties unless the opt already carries one
+          // (NewGeoCircle, geography.go:201-219)
+          geoLayerJson("circle", geoPointJson(ll, p, lonLat = false),
+            geoPropsJson(rest, Seq("radius" -> geoJsonValue(r, p)), p))
+        case _ => throw new IllegalArgumentException("geoCircle(latlon, radius[, opt])")
+      }
+      case "geoPointMarker" => args match {
+        case ll :: rest =>
+          geoLayerJson("marker", geoPointJson(ll, p, lonLat = false),
+            geoPropsJson(rest, Nil, p))
+        case _ => throw new IllegalArgumentException("geoPointMarker(latlon[, opt])")
+      }
+      case "geoCircleMarker" => args match {
+        case ll :: r :: rest =>
+          geoLayerJson("circleMarker", geoPointJson(ll, p, lonLat = false),
+            geoPropsJson(rest, Seq("radius" -> geoJsonValue(r, p)), p))
+        case _ => throw new IllegalArgumentException("geoCircleMarker(latlon, radius[, opt])")
+      }
       case other => throw new IllegalArgumentException(s"unknown function $other")
     }
   }
+
+  // ---- geo constructor JSON builders --------------------------------
+
+  /** latlon() literal or array-typed expression → (lat, lon) columns. */
+  private def geoLatLon(e: Expr, p: Pipe): (Column, Column) = e match {
+    case Expr.Call("latlon", List(a, b)) =>
+      (toColumn(a, p).cast("double"), toColumn(b, p).cast("double"))
+    case other =>
+      val c = toColumn(other, p)
+      (element_at(c, 1).cast("double"), element_at(c, 2).cast("double"))
+  }
+
+  private def geoIsPointArg(e: Expr): Boolean = e match {
+    case Expr.Call("latlon", _) => true
+    case Expr.Str(_) | Expr.Call("dict", _) => false
+    case _ => false // string/dict opts only beyond latlon (NewMultiLatLonFunc)
+  }
+
+  /** `[a,b]` JSON pair — leaflet layers take [lat,lon], GeoJSON [lon,lat]. */
+  private def geoPointJson(e: Expr, p: Pipe, lonLat: Boolean): Column = {
+    val (lat, lon) = geoLatLon(e, p)
+    val (x, y) = if (lonLat) (lon, lat) else (lat, lon)
+    concat(lit("["), x.cast("string"), lit(","), y.cast("string"), lit("]"))
+  }
+
+  private def geoRingJson(pts: List[Expr], p: Pipe): Column =
+    concat((lit("[") +: pts.zipWithIndex.flatMap { case (pt, i) =>
+      (if (i == 0) Nil else Seq(lit(","))) :+ geoPointJson(pt, p, lonLat = true)
+    } :+ lit("]")): _*)
+
+  /** One property value as JSON text: literals render at compile time,
+    * row expressions by their resolved type (strings quoted+escaped). */
+  private def geoJsonValue(e: Expr, p: Pipe): Column = e match {
+    case Expr.Str(s) => lit(graft.sinks.GoJs.jsonQuote(s))
+    case Expr.Num(v) => lit(graft.sinks.GoJs.goNum(v))
+    case Expr.Bool(b) => lit(b.toString)
+    case Expr.Null => lit("null")
+    case Expr.Call("dict", kvs) => geoDictJson(kvs, p)
+    case other =>
+      val c = toColumn(other, p)
+      val isStr = try p.df.select(c).schema.head.dataType ==
+        org.apache.spark.sql.types.StringType catch { case _: Exception => true }
+      if (isStr)
+        concat(lit("\""),
+          regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""),
+          lit("\""))
+      else c.cast("string")
+  }
+
+  private def geoDictJson(kvs: List[Expr], p: Pipe): Column = {
+    val parts = kvs.grouped(2).toList.collect { case List(Expr.Str(k), v) =>
+      (k, geoJsonValue(v, p))
+    }
+    geoObjJson(parts)
+  }
+
+  private def geoObjJson(pairs: Seq[(String, Column)]): Column =
+    if (pairs.isEmpty) lit("{}")
+    else concat((lit("{") +: pairs.zipWithIndex.flatMap { case ((k, v), i) =>
+      Seq(lit((if (i == 0) "" else ",") + graft.sinks.GoJs.jsonQuote(k) + ":"), v)
+    } :+ lit("}")): _*)
+
+  /** Properties from the trailing opt arg: a constant JSON(-ish) string
+    * (brace-wrapped when bare, parse errors → empty — NewGeoPropertiesParse)
+    * or a dict(); `extra` pairs (circle radius) apply unless overridden. */
+  private def geoPropsJson(optArgs: List[Expr], extra: Seq[(String, Column)],
+                           p: Pipe): Column = {
+    val fromOpt: Seq[(String, Column)] = optArgs.headOption match {
+      case Some(Expr.Str(s)) =>
+        val wrapped = if (s.trim.startsWith("{")) s.trim else "{" + s + "}"
+        try graft.script.Builtins.jsonParse(wrapped) match {
+          case m: collection.Map[_, _] =>
+            m.asInstanceOf[collection.Map[String, Any]].toSeq.map { case (k, v) =>
+              k -> lit(graft.sinks.GoJs.jsonMarshal(v))
+            }
+          case _ => Nil
+        } catch { case _: Exception => Nil }
+      case Some(Expr.Call("dict", kvs)) =>
+        kvs.grouped(2).toList.collect { case List(Expr.Str(k), v) =>
+          (k, geoJsonValue(v, p))
+        }
+      case _ => Nil
+    }
+    geoObjJson(extra.filterNot { case (k, _) => fromOpt.exists(_._1 == k) } ++ fromOpt)
+  }
+
+  /** leaflet layer object: marker/circleMarker/circle ([lat,lon]). */
+  private def geoLayerJson(kind: String, coord: Column, props: Column): Column =
+    concat(lit(s"""{"type":"$kind","coordinates":"""), coord,
+      lit(""","properties":"""), props, lit("}"))
+
+  /** GeoJSON Feature (MarshalGeoJSON shape, [lon,lat]). */
+  private def geoFeatureJson(geomType: String, coords: Column, props: Column): Column =
+    concat(lit(s"""{"type":"Feature","geometry":{"type":"$geomType","coordinates":"""),
+      coords, lit("""},"properties":"""), props, lit("}"))
 }
 
 /** Public entry points for the TQL surface. */
