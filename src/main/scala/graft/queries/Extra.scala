@@ -202,9 +202,42 @@ object Extra {
       graft.similarity.Ivf.topK(emb.filter(col("vec_id") < 5), emb, index, k = 10, nprobe = 3)
         .select(col("qid"), col("rnk"), col("eid"), r6(col("cos_sim")).as("cos_sim"))
         .orderBy("qid", "rnk")
+    }),
+
+    // ---- IVF ANN, exhaustive probe: nprobe = k cells means every cell
+    // is scanned, so the result must EQUAL brute-force top-k — the IVF
+    // machinery (quantizer, cell routing, probe join, ranking) gets a
+    // hash-matched oracle while the approximate mode stays recall-spec'd
+    "q_ann_ivf_full" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = ivfCache.getOrElseUpdate(s"$dir/embeddings.parquet",
+        graft.similarity.Ivf.train(emb, k = 8, iters = 3))
+      graft.similarity.Ivf.topK(emb.filter(col("vec_id") < 5), emb, index,
+          k = 10, nprobe = index.k)
+        .select(col("qid"), col("rnk"), col("eid"), r6(col("cos_sim")).as("cos_sim"))
+        .orderBy("qid", "rnk")
     }))
 
   val oracles: Map[String, String] = Map(
+    // exhaustive-probe IVF == brute-force cosine top-k (same oracle
+    // recipe as q_embedding_topk)
+    "q_ann_ivf_full" ->
+      """WITH q AS (SELECT vec_id AS qid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id < 5),
+         e AS (SELECT vec_id AS eid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+           FROM embeddings),
+         p AS (SELECT qid, eid,
+             (SELECT sum(x*y) FROM (SELECT unnest(qe) AS x, unnest(ee) AS y)) /
+             (sqrt((SELECT sum(x*x) FROM (SELECT unnest(qe) AS x))) *
+              sqrt((SELECT sum(y*y) FROM (SELECT unnest(ee) AS y)))) AS cs
+           FROM q JOIN e ON qid <> eid)
+         SELECT qid, rnk, eid, round(cs,6) AS cos_sim FROM (
+           SELECT qid, eid, cs,
+             row_number() OVER (PARTITION BY qid ORDER BY cs DESC, eid) AS rnk
+           FROM p)
+         WHERE rnk <= 10 ORDER BY qid, rnk""",
     // winnowing: same k=4 word shingles, same null-skipping concat for
     // tails shorter than k, lexicographic min over md5 hex
     "q_winnow_fingerprint" ->
