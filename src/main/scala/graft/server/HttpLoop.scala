@@ -1,0 +1,273 @@
+package graft.server
+
+import org.apache.spark.sql.SparkSession
+
+/** Loopback-only HTTP plumbing for the TQL `HTTP()` source and `doHttp`
+  * sink (reference `mods/util/httpdsl/exec.go`, `mods/tql/fm_monad.go`
+  * HttpDoer, `fm_encoder.go:169-183` fmHttp).
+  *
+  * This container has zero egress, so the request executor REFUSES any
+  * host that does not resolve to a loopback address — the request DSL,
+  * raw-request builder, and response plumbing are all real, and an
+  * in-JVM server double exposes the `/db` front doors so the surface is
+  * testable end-to-end. On a deployed cluster this loopback check is the
+  * seam where a real egress policy would plug in.
+  */
+object HttpLoop {
+  import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+  @volatile private var server: HttpServer = null
+  @volatile private var session: SparkSession = null
+
+  /** Extra spec-installed handlers:
+    * path → (method, query, headers, body) → (status, contentType, payload). */
+  private val handlers =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (String, String, Map[String, String], Array[Byte]) => (Int, String, Array[Byte])]()
+
+  def handle(path: String)(
+      fn: (String, String, Map[String, String], Array[Byte]) => (Int, String, Array[Byte])): Unit = {
+    handlers.put(path, fn)
+    if (server != null) install(server, path)
+  }
+
+  private def install(srv: HttpServer, path: String): Unit =
+    try srv.createContext(path, (ex: HttpExchange) => respond(ex) {
+      val fn = handlers.get(path)
+      val body = ex.getRequestBody.readAllBytes()
+      val hdrs = {
+        val b = Map.newBuilder[String, String]
+        ex.getRequestHeaders.forEach((k, vs) =>
+          if (!vs.isEmpty) b += k.toLowerCase -> vs.get(0))
+        b.result()
+      }
+      fn(ex.getRequestMethod, Option(ex.getRequestURI.getRawQuery).getOrElse(""), hdrs, body)
+    }) catch { case _: IllegalArgumentException => () /* already bound */ }
+
+  /** Start (once) the in-JVM server on 127.0.0.1:ephemeral; returns port. */
+  def ensureServer(spark: SparkSession): Int = synchronized {
+    session = spark
+    if (server != null) return port
+    val srv = HttpServer.create(new java.net.InetSocketAddress(
+      java.net.InetAddress.getLoopbackAddress, 0), 0)
+    srv.createContext("/db/query", (ex: HttpExchange) => respond(ex) {
+      val params = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      params.get("q") match {
+        case None => (400, "text/plain", "missing query parameter q".getBytes("UTF-8"))
+        case Some(q) =>
+          val format = params.getOrElse("format", "json").toUpperCase
+          val out = QueryDoor.query(session, q, format)
+          val ctype = format match {
+            case "CSV" => "text/csv; charset=utf-8"
+            case "JSON" => "application/json"
+            case _ => "text/plain; charset=utf-8"
+          }
+          (200, ctype, out.getBytes("UTF-8"))
+      }
+    })
+    srv.createContext("/db/tql", (ex: HttpExchange) => respond(ex) {
+      val script = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      (200, "application/json", graft.tql.Tql.run(session, script).getBytes("UTF-8"))
+    })
+    val it = handlers.keySet().iterator()
+    while (it.hasNext) install(srv, it.next())
+    srv.start()
+    server = srv
+    port
+  }
+
+  def port: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange)(
+      fn: => (Int, String, Array[Byte])): Unit = {
+    val (code, ctype, payload) = try fn catch {
+      case e: Exception =>
+        (500, "text/plain", String.valueOf(e.getMessage).getBytes("UTF-8"))
+    }
+    try {
+      ex.getResponseHeaders.set("Content-Type", ctype)
+      ex.sendResponseHeaders(code, if (payload.isEmpty) -1 else payload.length)
+      if (payload.nonEmpty) ex.getResponseBody.write(payload)
+    } finally ex.close()
+  }
+
+  def parseQuery(raw: String): Map[String, String] =
+    raw.split("&").iterator.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      val dec = (s: String) => java.net.URLDecoder.decode(s, "UTF-8")
+      if (i < 0) dec(kv) -> "" else dec(kv.take(i)) -> dec(kv.drop(i + 1))
+    }.toMap
+
+  /** Raw-socket HTTP exchange (exec.go executeRawRequest), LOOPBACK ONLY:
+    * writes the raw request bytes, reads to EOF (requests carry
+    * `Connection: close`). */
+  def executeRaw(host: String, portNo: Int, raw: Array[Byte]): Array[Byte] = {
+    val addr = try java.net.InetAddress.getByName(host) catch {
+      case _: java.net.UnknownHostException => null
+    }
+    require(addr != null && addr.isLoopbackAddress,
+      s"egress disabled: '$host' is not a loopback address (this build only talks to in-process doubles)")
+    val sock = new java.net.Socket(addr, portNo)
+    try {
+      sock.setSoTimeout(30000)
+      val out = sock.getOutputStream
+      out.write(raw); out.flush()
+      sock.getInputStream.readAllBytes()
+    } finally sock.close()
+  }
+
+  // ---- HTTP DSL (exec.go) ----------------------------------------------
+
+  private case class ParsedReq(method: String, url: java.net.URI,
+                               version: String, headers: Seq[(String, String)],
+                               body: Seq[String])
+
+  /** `HTTP({ GET url \n ?q=… \n &k=v \n Header: v \n\n body… })` — parse,
+    * build the raw request, exchange, return the raw response text. */
+  def executeDsl(content: String): String = {
+    val req = parseDsl(content)
+    val raw = buildRaw(req)
+    require(req.url.getScheme == "http",
+      s"unsupported scheme ${req.url.getScheme} (loopback http only)")
+    val p = if (req.url.getPort > 0) req.url.getPort else 80
+    new String(executeRaw(req.url.getHost, p, raw), "UTF-8")
+  }
+
+  private def parseDsl(content: String): ParsedReq = {
+    val lines = content.replace("\r\n", "\n").split("\n", -1)
+    var idx = 0
+    while (idx < lines.length && lines(idx).trim.isEmpty) idx += 1
+    require(idx < lines.length, "http: empty request")
+    // request line: METHOD URL [HTTP/x[.y]]
+    val first = lines(idx).trim.split("\\s+")
+    require(first.length >= 2, "http: invalid request line")
+    val method = first(0).toUpperCase
+    var rawUrl = first(1)
+    var version = if (first.length > 2) first(2) else ""
+    idx += 1
+    val headers = Vector.newBuilder[(String, String)]
+    var done = false
+    while (idx < lines.length && !done) {
+      val t = lines(idx).trim
+      if (t.isEmpty) { idx += 1; done = true }
+      else if (t.startsWith("?") || t.startsWith("&")) { rawUrl += t; idx += 1 }
+      else if (t.startsWith("HTTP/") && version.isEmpty) { version = t; idx += 1 }
+      else {
+        val i = t.indexOf(':')
+        require(i > 0, s"http: invalid header line '$t'")
+        headers += t.take(i).trim -> t.drop(i + 1).trim
+        idx += 1
+      }
+    }
+    val body = if (idx < lines.length) lines.drop(idx).toSeq else Nil
+    val uri = new java.net.URI(normalizeQuery(rawUrl))
+    require(uri.isAbsolute && uri.getHost != null, "http: absolute URL is required")
+    ParsedReq(method, uri,
+      if (version.isEmpty) "HTTP/1.1" else version, headers.result(), body)
+  }
+
+  /** Re-encode the query like Go's url.Values.Encode (sorted keys,
+    * form-encoded values) so `?q=select *` DSL lines become legal URLs. */
+  private def normalizeQuery(rawUrl: String): String = {
+    val qi = rawUrl.indexOf('?')
+    if (qi < 0) return rawUrl
+    val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+    val params = rawUrl.drop(qi + 1).split("&").iterator
+      .map(_.trim).filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) kv.trim -> "" else kv.take(i).trim -> kv.drop(i + 1).trim
+      }.toSeq.sortBy(_._1)
+    if (params.isEmpty) rawUrl.take(qi)
+    else rawUrl.take(qi) + "?" + params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+  }
+
+  private def buildRaw(req: ParsedReq): Array[Byte] = {
+    val target = {
+      val t = Option(req.url.getRawPath).filter(_.nonEmpty).getOrElse("/") +
+        Option(req.url.getRawQuery).map("?" + _).getOrElse("")
+      t
+    }
+    val body: Array[Byte] =
+      if (req.body.isEmpty) Array.emptyByteArray
+      else req.body.mkString("\n").getBytes("UTF-8")
+    val sb = new StringBuilder
+    sb.append(s"${req.method} $target ${req.version}\r\n")
+    var hasHost = false
+    var hasConn = false
+    req.headers.foreach { case (k, v) =>
+      val kl = k.toLowerCase
+      if (kl == "host") hasHost = true
+      if (kl == "connection") hasConn = true
+      if (!(kl == "content-length" && body.nonEmpty))
+        sb.append(s"$k: $v\r\n")
+    }
+    if (!hasHost) {
+      val hostPort = req.url.getHost +
+        (if (req.url.getPort > 0) s":${req.url.getPort}" else "")
+      sb.append(s"Host: $hostPort\r\n")
+    }
+    if (body.nonEmpty) sb.append(s"Content-Length: ${body.length}\r\n")
+    if (!hasConn) sb.append("Connection: close\r\n")
+    sb.append("\r\n")
+    val head = sb.toString.getBytes("UTF-8")
+    head ++ body
+  }
+
+  // ---- doHttp (fm_monad.go HttpDoer) ------------------------------------
+
+  /** One doHttp exchange per matching WHEN record: header args are
+    * `"Name: value"` strings; a POST body with no Content-Type is
+    * CSV-encoded (text/csv default) like the reference's csv.Writer. */
+  def doHttp(method: String, urlStr: String, content: Option[Seq[Any]],
+             headerArgs: Seq[String],
+             log: (String, String) => Unit): Unit = {
+    val headers = scala.collection.mutable.LinkedHashMap[String, String]()
+    headerArgs.foreach { h =>
+      val i = h.indexOf(':')
+      if (i > 0) headers(h.take(i).trim) = h.drop(i + 1).trim
+    }
+    val m = method.toUpperCase
+    val hasCtype = headers.keys.exists(_.equalsIgnoreCase("content-type"))
+    val body: Array[Byte] =
+      if (m == "POST" && content.isDefined) {
+        if (!hasCtype) {
+          headers("Content-Type") = "text/csv"
+          (csvLine(content.get) + "\n").getBytes("UTF-8")
+        } else content.get.map(fmtGo).mkString("").getBytes("UTF-8")
+      } else Array.emptyByteArray
+    val uri = new java.net.URI(urlStr)
+    require(uri.getScheme == "http" && uri.getHost != null,
+      s"doHttp: absolute http URL required, got $urlStr")
+    val target = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/") +
+      Option(uri.getRawQuery).map("?" + _).getOrElse("")
+    val sb = new StringBuilder
+    sb.append(s"$m $target HTTP/1.1\r\n")
+    val hostPort = uri.getHost + (if (uri.getPort > 0) s":${uri.getPort}" else "")
+    sb.append(s"Host: $hostPort\r\n")
+    if (!headers.keys.exists(_.equalsIgnoreCase("user-agent")))
+      sb.append("User-Agent: graft tql http doer\r\n")
+    headers.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+    if (body.nonEmpty) sb.append(s"Content-Length: ${body.length}\r\n")
+    sb.append("Connection: close\r\n\r\n")
+    val raw = sb.toString.getBytes("UTF-8") ++ body
+    val port = if (uri.getPort > 0) uri.getPort else 80
+    val resp = new String(executeRaw(uri.getHost, port, raw), "UTF-8")
+    val status = resp.linesIterator.nextOption().getOrElse("")
+    val reply = resp.take(500)
+    // the reference logs the status (warn >= 400) and drops the body
+    if ("HTTP/\\S+ ([45]\\d\\d)".r.findFirstIn(status).isDefined)
+      log("WARN", s"http-doer $m $urlStr $status $reply")
+    else log("DEBUG", s"http-doer $m $urlStr $status")
+  }
+
+  /** Go csv.Writer line: %v-formatted fields, quoted when they contain
+    * separators/quotes. */
+  private def csvLine(vals: Seq[Any]): String = vals.map { v =>
+    val s = fmtGo(v)
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+  }.mkString(",")
+
+  private def fmtGo(v: Any): String = graft.sinks.GoTemplate.fmtVal(v)
+}

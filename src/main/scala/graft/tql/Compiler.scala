@@ -496,6 +496,20 @@ object Compiler {
           keyed(df)
         }
 
+      case Call("HTTP", args) =>
+        // HTTP(dsl) source (fm_encoder.go:169-183 fmHttp): execute the
+        // request DSL, yield ONE record whose value is the raw response
+        // text (status line + headers + body). Loopback-only here (zero
+        // egress) — the DSL/raw-request plumbing is the real surface.
+        val content = args.headOption match {
+          case Some(Str(s)) => s
+          case Some(Call("__block", List(Str(s)))) => s
+          case _ => throw new IllegalArgumentException("HTTP(request-dsl)")
+        }
+        val result = graft.server.HttpLoop.executeDsl(content)
+        import spark.implicits._
+        keyed(spark.createDataset(Seq(result)).toDF("HTTP"))
+
       case Call("STRING", args) =>
         // STRING(payload() ?? `literal`, separator('\n'), trimspace(true))
         // — one record per separated chunk (reference fm_bytes.go:26-236).
@@ -1712,8 +1726,29 @@ object Compiler {
             TqlLog.log("WARN",
               s"do: ${c.sink.format}() sink does not work in a sub-routine")
         }
-      case Call("doHttp", _) =>
-        TqlLog.log("WARN", "doHttp is not available in this build (no egress)")
+      case Call("doHttp", methodE :: urlE :: bodyE :: headerEs) =>
+        // one exchange per matching record (fm_monad.go HttpDoer.Do);
+        // loopback-only in this build — non-loopback hosts are refused
+        val headers = headerEs.collect { case Str(s) => s }
+        // doHttp(…, value()) posts the WHOLE record (the reference's
+        // record value is the values array); value(i)/other exprs post
+        // that single cell; nil posts nothing
+        val bodyExprs: List[Expr] = bodyE match {
+          case Null | Ident("nil") => Nil
+          case Call("value", Nil) =>
+            p.values.indices.toList.map(i => Call("value", List(Num(i))))
+          case other => List(other)
+        }
+        val hasBody = bodyExprs.nonEmpty
+        matching(urlE :: bodyExprs).foreach { row =>
+          val url = String.valueOf(row.head)
+          val body = if (hasBody) Some(row.tail) else None
+          try graft.server.HttpLoop.doHttp(constString(methodE), url, body,
+            headers, (lvl, msg) => TqlLog.log(lvl, msg))
+          catch { case e: Exception =>
+            TqlLog.log("WARN", s"http-doer ${e.getMessage}")
+          }
+        }
       case other => throw new IllegalArgumentException(s"unsupported WHEN action: $other")
     }
   }

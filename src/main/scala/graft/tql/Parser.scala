@@ -221,7 +221,9 @@ object Parser {
           if (c == '\\') { cur.append(c); if (i + 1 < line.length) { cur.append(line(i + 1)); i += 1 } }
           else { if (c == inStr) inStr = 0; cur.append(c) }
         } else c match {
-          case '/' if i + 1 < line.length && line(i + 1) == '/' => i = line.length - 1
+          case '/' if i + 1 < line.length && line(i + 1) == '/' &&
+            (i == 0 || line(i - 1) != ':') => // "://" is a URL, not a comment
+            i = line.length - 1
           case '\'' | '"' => inStr = c; cur.append(c)
           case '(' => depth += 1; cur.append(c)
           case ')' => depth -= 1; cur.append(c)
@@ -242,7 +244,7 @@ object Parser {
   /** Statements whose args may be raw `{ … }` code/template blocks
     * (reference script_parser.go treats {} payloads as uninterpreted
     * text for SCRIPT and TEXT). */
-  private val RawHead = "(?s)^\\s*(SCRIPT|TEXT|MARKDOWN|HTML)\\s*\\((.*)\\)\\s*$".r
+  private val RawHead = "(?s)^\\s*(SCRIPT|TEXT|MARKDOWN|HTML|HTTP)\\s*\\((.*)\\)\\s*$".r
   private val WhenHead = "(?s)^\\s*WHEN\\s*\\((.*)\\)\\s*$".r
   private val ActionHead = "(?s)^(doLog|doHttp|do)\\s*\\((.*)\\)\\s*$".r
 

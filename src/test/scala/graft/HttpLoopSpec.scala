@@ -1,0 +1,96 @@
+package graft
+
+import graft.server.HttpLoop
+import graft.tql.Tql
+
+/** TQL HTTP surface against the in-JVM loopback double: the `HTTP()`
+  * request-DSL source (TestRestClient, fm_encoder.go:169-183) and the
+  * `doHttp` WHEN action (task_test.go:1520-1590). The container has zero
+  * egress, so the double stands in for the reference's live server while
+  * the DSL parser, raw request builder, and response plumbing run for
+  * real over a socket.
+  */
+class HttpLoopSpec extends SparkSpec {
+
+  private lazy val port = HttpLoop.ensureServer(spark)
+
+  test("HTTP() source: rest-client-query-csv (tql_test.go:2769-2793)") {
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation")
+    val result = Tql.run(spark,
+      s"""HTTP({
+         |  GET http://127.0.0.1:$port/db/query
+         |  ?q=select n_nationkey, n_name from nation order by n_nationkey limit 2
+         |  &format=csv
+         |})
+         |TEXT()
+         |""".stripMargin)
+    assert(result.startsWith("HTTP/1.1 200 OK"), result.take(200))
+    // the JDK server double title-cases only the first word of header
+    // names ("Content-type"); the reference Go server sends Content-Type
+    assert(result.toLowerCase.contains("content-type: text/csv"), result.take(400))
+    assert(result.contains("0,NATION_0") && result.contains("1,NATION_1"), result)
+  }
+
+  test("doHttp GET: one request per matching record (task_test.go:1520-1546)") {
+    val got = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    HttpLoop.handle("/notify") { (method, query, _, _) =>
+      assert(method == "GET")
+      HttpLoop.parseQuery(query).get("v").foreach(got.add)
+      (200, "text/plain", "ok.".getBytes("UTF-8"))
+    }
+    Tql.run(spark,
+      s"""FAKE( linspace(0, 2, 2) )
+         |PUSHVALUE(0, "msg123")
+         |WHEN( glob("msg*", value(0)), doHttp("GET", strSprintf("http://127.0.0.1:%d/notify?v=%f", $port, value(1)), nil) )
+         |DISCARD()
+         |""".stripMargin)
+    assert(got.size == 2, got)
+    assert(got.get(0) == "0.000000" && got.get(1) == "2.000000", got)
+  }
+
+  test("doHttp POST value(): CSV body, text/csv default (task_test.go:1548-1590)") {
+    val bodies = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val ctypes = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    HttpLoop.handle("/notify-post") { (method, _, headers, body) =>
+      assert(method == "POST")
+      headers.get("content-type").foreach(ctypes.add)
+      bodies.add(new String(body, "UTF-8").trim)
+      (200, "text/plain", "ok.".getBytes("UTF-8"))
+    }
+    Tql.run(spark,
+      s"""FAKE( linspace(0, 2, 2) )
+         |PUSHVALUE(0, "msg123")
+         |WHEN( glob("msg*", value(0)), doHttp("POST", "http://127.0.0.1:$port/notify-post", value()) )
+         |DISCARD()
+         |""".stripMargin)
+    assert(bodies.size == 2, bodies)
+    assert(bodies.get(0) == "msg123,0" && bodies.get(1) == "msg123,2", bodies)
+    assert(ctypes.size == 2 && ctypes.get(0) == "text/csv", ctypes)
+  }
+
+  test("egress is refused for non-loopback hosts") {
+    val e = intercept[Exception] {
+      Tql.run(spark, "HTTP({\n  GET http://example.com/anything\n})\nTEXT()\n")
+    }
+    assert(e.getMessage.contains("egress disabled"), e.getMessage)
+    // doHttp logs the refusal instead of failing the pipeline (the
+    // reference logs request errors and keeps going)
+    val out = Tql.run(spark,
+      """FAKE( linspace(0, 1, 2) )
+        |WHEN( true, doHttp("GET", "http://example.com/x", nil) )
+        |CSV()
+        |""".stripMargin)
+    assert(out == "0\n1\n", out)
+  }
+
+  test("POST /db/tql runs a script end-to-end over the socket") {
+    val resp = HttpLoop.executeDsl(
+      s"""POST http://127.0.0.1:$port/db/tql
+         |Content-Type: text/plain
+         |
+         |FAKE( linspace(0, 2, 3) )
+         |CSV()""".stripMargin)
+    assert(resp.startsWith("HTTP/1.1 200 OK"), resp.take(200))
+    assert(resp.contains("0\n1\n2\n"), resp)
+  }
+}
