@@ -161,17 +161,30 @@ object GapFill {
           .filter(aggs.map(a => col(a._1).isNotNull).reduce(_ || _))
           .select(col("bucket_ns") +: aggs.map(a => col(a._1).cast("double")): _*)
           .collect().sortBy(_.getLong(0))
-        aggs.zipWithIndex.foldLeft(joined) { case (d, ((n, _), i)) =>
+        // single pass for ALL agg columns: one UDF evaluates every fitted
+        // kernel per spine row (array column), one projection patches the
+        // synthesized buckets — not a withColumn chain per aggregator
+        val fitIdx = aggs.indices.filter(i => obs.exists(!_.isNullAt(i + 1)))
+        val fits: Array[(Array[Double], Array[Double])] = fitIdx.map { i =>
           val knots = obs.filter(!_.isNullAt(i + 1))
-          if (knots.isEmpty) d // nothing observed: keep nulls
-          else {
-            val xs = knots.map(_.getLong(0).toDouble)
-            val ys = knots.map(_.getDouble(i + 1))
-            val f = udf((x: Long) => kernel(xs, ys, x.toDouble))
-            // only synthesized buckets are filled; observed values stay
-            d.withColumn(n, when(col(n).isNotNull, col(n)).otherwise(f(col("bucket_ns"))))
-          }
-        }.orderBy("bucket_ns")
+          (knots.map(_.getLong(0).toDouble), knots.map(_.getDouble(i + 1)))
+        }.toArray
+        if (fitIdx.isEmpty) joined.orderBy("bucket_ns") // nothing observed anywhere
+        else {
+          val f = udf((x: Long) =>
+            fits.map { case (xs, ys) => kernel(xs, ys, x.toDouble) })
+          val pos = fitIdx.zipWithIndex.toMap
+          joined.withColumn("__fill", f(col("bucket_ns")))
+            .select(col("bucket_ns") +: aggs.zipWithIndex.map { case ((n, _), i) =>
+              pos.get(i) match {
+                // only synthesized buckets are filled; observed values stay
+                case Some(j) => when(col(n).isNotNull, col(n))
+                  .otherwise(element_at(col("__fill"), j + 1)).as(n)
+                case None => col(n) // nothing observed: keep nulls
+              }
+            }: _*)
+            .orderBy("bucket_ns")
+        }
     }
   }
 }
