@@ -37,12 +37,18 @@ object Watch {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(maxDelayMs))
 
-  /** TAG_DUPLICATE_CHECK_DURATION semantics: suppress rows whose
-    * (name, time) repeats within the duration. */
+  /** TAG_DUPLICATE_CHECK_DURATION semantics: a re-sent (name, time) is
+    * suppressed while its first ARRIVAL is within the duration — an
+    * ingest-time window (testsuite.go:110), not an event-time one. So the
+    * watermark rides on processing time: a historical timestamp re-sent
+    * after the window must be re-admitted (and must not be discarded as
+    * "late", which an event-time watermark would do). */
   def dedupWithin(df: DataFrame, nameCol: String, tsCol: String,
                   duration: String): DataFrame =
-    df.withWatermark(tsCol, duration)
+    df.withColumn("__arrival", current_timestamp())
+      .withWatermark("__arrival", duration)
       .dropDuplicatesWithinWatermark(nameCol, tsCol)
+      .drop("__arrival")
 
   /** SSE-style tail: start the watch stream and surface each micro-batch
     * as a blocking iterator of row batches — the shape `GET /db/watch/:t`

@@ -75,6 +75,40 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("t1", ts(0)), ("t2", ts(1)), ("t2", ts(2))), got)
   }
 
+  test("dedupWithin re-admits a duplicate once the check DURATION has passed") {
+    val dir = Files.createTempDirectory("graft_dup2").toString
+    val out = Files.createTempDirectory("graft_dup2_out").toString
+    val ck = Files.createTempDirectory("graft_dup2_ck").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    def runAvailable(): Unit = {
+      val schema = spark.read.parquet(dir).schema
+      val stream = Watch.dedupWithin(
+        Watch.tail(spark, dir, schema), "name", "time", "2 seconds")
+      val q = Watch.appendWriter(stream, out, ck, 1000L)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    // arrival 1: t1@0 admitted, dedup state opens
+    Seq(("t1", ts(0), 1.0)).toDF("name", "time", "value")
+      .write.mode("append").parquet(dir)
+    runAvailable()
+    // > duration later, another arrival advances the processing-time
+    // watermark past t1's state...
+    Thread.sleep(3000)
+    Seq(("t9", ts(1), 9.0)).toDF("name", "time", "value")
+      .write.mode("append").parquet(dir)
+    runAvailable()
+    // ...so the same historical (name, time) re-sent now is re-admitted
+    // (the check window is a DURATION of arrival time, not forever — and
+    // an old timestamp must not be discarded as "late")
+    Seq(("t1", ts(0), 2.0)).toDF("name", "time", "value")
+      .write.mode("append").parquet(dir)
+    runAvailable()
+    val got = spark.read.parquet(out).filter($"name" === "t1").count()
+    assert(got == 2L, s"expected re-admission after window expiry, got $got rows")
+  }
+
   test("rollupStream aggregates tumbling event-time windows") {
     val dir = Files.createTempDirectory("graft_roll").toString
     val ck = Files.createTempDirectory("graft_ck2").toString
