@@ -2128,6 +2128,14 @@ object Compiler {
       case "sqrt" => sqrt(a(0))
       case "tan" => tan(a(0))
       case "tanh" => tanh(a(0))
+      case "acosh" => acosh(a(0))
+      case "asinh" => asinh(a(0))
+      case "atanh" => atanh(a(0))
+      // Go math.Remainder: IEEE 754 remainder — x − y·rint(x/y); bround
+      // is Spark's half-even rounding (fx_definitions.go:98)
+      case "remainder" =>
+        a(0).cast("double") - a(1).cast("double") *
+          bround(a(0).cast("double") / a(1).cast("double"), 0)
       case "trunc" => expr(s"trunc(${a(0)})") // rarely used
       // min/max as scalar pair (reference fm_monad.go:848-878)
       case "min" => least(a(0), a(1))
@@ -2152,6 +2160,13 @@ object Compiler {
       case "strHasPrefix" => a(0).startsWith(a(1))
       case "strHasSuffix" => a(0).endsWith(a(1))
       case "strIndex" => instr(a(0), args(1).asInstanceOf[Str].v) - 1 // Go: 0-based, -1 missing
+      case "strLastIndex" =>
+        // Go strings.LastIndex (fm_fake.go:636): 0-based, -1 missing —
+        // found at len(s) - (locate-1 in reversed s) - len(sub)
+        val (s, sub) = (a(0), a(1))
+        val rloc = call_function("locate", reverse(sub), reverse(s))
+        when(rloc === 0, lit(-1))
+          .otherwise(length(s) - rloc + 1 - length(sub))
       case "strSub" => args.size match {
         case 2 => a(0).substr(a(1) + 1, lit(Int.MaxValue))
         case _ => a(0).substr(a(1) + 1, a(2))

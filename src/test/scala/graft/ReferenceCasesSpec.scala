@@ -94,6 +94,30 @@ class ReferenceCasesSpec extends SparkSpec {
     assert(out == "heLlo\n")
   }
 
+  test("UTIL_string_lastIndex + inverse-hyperbolic + IEEE remainder") {
+    // strings.LastIndex semantics: 0-based, -1 when missing (fm_fake.go:636)
+    val out = run(
+      """FAKE( json({ ["go gopher"] }))
+        |PUSHVALUE(1, strLastIndex(value(0), "go"))
+        |PUSHVALUE(2, strLastIndex(value(0), "rodent"))
+        |PUSHVALUE(3, strIndex(value(0), "go"))
+        |CSV()
+        |""".stripMargin)
+    assert(out == "go gopher,3,-1,0\n")
+    // math.Acosh/Asinh/Atanh/Remainder wrappers (fx_definitions.go:81-98)
+    val m = run(
+      """FAKE( linspace(2, 2, 1) )
+        |MAPVALUE(0, acosh(value(0)))
+        |PUSHVALUE(1, asinh(1.0))
+        |PUSHVALUE(2, atanh(0.5))
+        |PUSHVALUE(3, remainder(13.0, 5.0))
+        |CSV( precision(6) )
+        |""".stripMargin)
+    // Go: acosh(2)=1.316958, asinh(1)=0.881374, atanh(0.5)=0.549306,
+    // remainder(13,5)=-2 (rounds 2.6 to nearest even neighbor 3)
+    assert(m == "1.316958,0.881374,0.549306,-2.000000\n")
+  }
+
   test("UTIL_string_predicates") {
     val out = run(
       """FAKE( json({ ["prefix-hello-suffix"], ["hello"] }))
