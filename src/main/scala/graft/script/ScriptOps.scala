@@ -142,9 +142,113 @@ final class ScriptNode(
         })
         o
     })
-    dollar("request") = Native("request", -1, (_, _) =>
-      throwErr("Error", "$.request() is not available in this build"))
+    // $.request(url, {method, headers, body}).do(rsp => rsp.text/json/csv/
+    // blob(cb)) — fm_script.go jsFuncRequest:412-582. Loopback-only here
+    // (zero-egress build); request errors surface as Error values on
+    // rsp.error()/body readers, like the reference's GoError returns.
+    dollar("request") = Native("request", -1, (_, rargs) => {
+      if (rargs.isEmpty) throwErr("TypeError", "$.request requires a url")
+      val url = display(rargs.head)
+      var method = "GET"
+      var body = ""
+      val headers = mutable.LinkedHashMap[String, String]()
+      rargs.lift(1).foreach {
+        case o: Interp.JsObj =>
+          o.get("method").foreach(m => method = display(m).toUpperCase)
+          o.get("body").foreach(b => body = display(b))
+          o.get("headers").foreach {
+            case h: Interp.JsObj => h.foreach { case (k, v) => headers(k) = display(v) }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (!Seq("GET", "POST", "PUT", "DELETE").contains(method))
+        throwErr("Error", s"""HTTPError unsupported method "$method"""")
+      val req = newObj()
+      req("do") = Native("do", 1, (_, dargs) => {
+        val cb = dargs.head.asInstanceOf[Callable]
+        var err: String = null
+        var status = 0
+        var statusText = ""
+        var respBody = ""
+        val respHeaders = newObj()
+        try {
+          val (c, st, hdrs, b) =
+            graft.server.HttpLoop.simpleRequest(method, url, body, headers.toSeq)
+          status = c; statusText = st; respBody = b
+          hdrs.foreach { case (k, v) => respHeaders(k) = v }
+        } catch { case e: Exception =>
+          err = Option(e.getMessage).getOrElse(e.toString)
+        }
+        val rsp = newObj()
+        rsp("url") = url
+        rsp("ok") = java.lang.Boolean.valueOf(err == null && status >= 200 && status < 300)
+        if (err == null) {
+          rsp("status") = java.lang.Long.valueOf(status.toLong)
+          rsp("statusText") = statusText
+          rsp("headers") = respHeaders
+        }
+        rsp("error") = Native("error", 0, (_, _) =>
+          if (err == null) JsUndefined else Interp.errObj("Error", s"HTTPError $err"))
+        def bodyFn(typ: String): Any = Native(typ, 1, (_, bargs) => {
+          val bcb = bargs.head.asInstanceOf[Callable]
+          if (err != null) Interp.errObj("Error", s"HTTPError $err")
+          else typ match {
+            case "text" | "blob" =>
+              interp.callFunction(bcb, JsUndefined, List(respBody))
+              JsUndefined
+            case "json" =>
+              (try Right(Builtins.jsonParse(respBody)) catch {
+                case e: Exception => Left(s"HTTPError ${e.getMessage}")
+              }) match {
+                case Right(parsed) =>
+                  interp.callFunction(bcb, JsUndefined, List(parsed))
+                  JsUndefined
+                case Left(msg) => Interp.errObj("Error", msg)
+              }
+            case "csv" =>
+              respBody.split("\r?\n").iterator.filter(_.nonEmpty).foreach { line =>
+                interp.callFunction(bcb, JsUndefined,
+                  List(ArrayBuffer[Any](csvFields(line): _*)))
+              }
+              JsUndefined
+          }
+        })
+        rsp("text") = bodyFn("text")
+        rsp("blob") = bodyFn("blob")
+        rsp("json") = bodyFn("json")
+        rsp("csv") = bodyFn("csv")
+        interp.callFunction(cb, JsUndefined, List(rsp))
+        JsUndefined
+      })
+      req
+    })
     interp.global.declare("$", dollar)
+  }
+
+  /** Minimal RFC-4180 field split with leading-space trim, matching the
+    * reference's csv.Reader settings (TrimLeadingSpace, variable widths). */
+  private def csvFields(line: String): Seq[Any] = {
+    val out = ArrayBuffer.empty[Any]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQ = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += cur.toString.stripLeading(); cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString.stripLeading()
+    out.toSeq
   }
 
   private def ensureInit(): Unit = if (!inited) {

@@ -260,6 +260,48 @@ object HttpLoop {
     else log("DEBUG", s"http-doer $m $urlStr $status")
   }
 
+  /** Parsed exchange for the SCRIPT `$.request` binding (fm_script.go
+    * jsFuncRequest): returns (status, statusText, headers, body). */
+  def simpleRequest(method: String, urlStr: String, body: String,
+                    headers: Seq[(String, String)]): (Int, String, Map[String, String], String) = {
+    val uri = new java.net.URI(urlStr)
+    require(uri.getScheme == "http" && uri.getHost != null,
+      s"absolute http URL required, got $urlStr")
+    val target = Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/") +
+      Option(uri.getRawQuery).map("?" + _).getOrElse("")
+    val payload =
+      if (body.nonEmpty && (method == "POST" || method == "PUT"))
+        body.getBytes("UTF-8")
+      else Array.emptyByteArray
+    val sb = new StringBuilder
+    sb.append(s"$method $target HTTP/1.1\r\n")
+    val hostPort = uri.getHost + (if (uri.getPort > 0) s":${uri.getPort}" else "")
+    sb.append(s"Host: $hostPort\r\n")
+    headers.foreach { case (k, v) => sb.append(s"$k: $v\r\n") }
+    if (payload.nonEmpty) sb.append(s"Content-Length: ${payload.length}\r\n")
+    sb.append("Connection: close\r\n\r\n")
+    val port = if (uri.getPort > 0) uri.getPort else 80
+    val resp = new String(
+      executeRaw(uri.getHost, port, sb.toString.getBytes("UTF-8") ++ payload), "UTF-8")
+    val sep = resp.indexOf("\r\n\r\n")
+    val (head, b) =
+      if (sep >= 0) (resp.take(sep), resp.drop(sep + 4))
+      else {
+        val s2 = resp.indexOf("\n\n")
+        if (s2 >= 0) (resp.take(s2), resp.drop(s2 + 2)) else (resp, "")
+      }
+    val lines = head.split("\r?\n")
+    val statusParts = lines.headOption.getOrElse("").split(" ", 2)
+    val code = try statusParts.lift(1).map(_.split(" ")(0).toInt).getOrElse(0)
+      catch { case _: Exception => 0 }
+    val statusText = statusParts.lift(1).getOrElse("")
+    val hdrs = lines.drop(1).flatMap { l =>
+      val i = l.indexOf(':')
+      if (i > 0) Some(l.take(i).trim -> l.drop(i + 1).trim) else None
+    }.toMap
+    (code, statusText, hdrs, b)
+  }
+
   /** Go csv.Writer line: %v-formatted fields, quoted when they contain
     * separators/quotes. */
   private def csvLine(vals: Seq[Any]): String = vals.map { v =>

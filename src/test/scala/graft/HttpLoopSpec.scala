@@ -83,6 +83,66 @@ class HttpLoopSpec extends SparkSpec {
     assert(out == "0\n1\n", out)
   }
 
+  test("js-request: $.request().do(rsp.text) (fm_script_test.go:366-378)") {
+    import spark.implicits._
+    Seq(("js-req", java.sql.Timestamp.valueOf("2023-10-01 00:00:00"), 1.234))
+      .toDF("name", "time", "value").createOrReplaceTempView("tag_simple")
+    val out = Tql.run(spark,
+      s"""SCRIPT("js", {
+         |  $$.request("http://127.0.0.1:$port/db/query?q="+encodeURIComponent("select name, time, value from tag_simple limit 2"), {method: "GET"})
+         |   .do( (rsp) => {
+         |    rsp.text((body) => {
+         |      obj = JSON.parse(body);
+         |      $$.yield(obj.reason, obj.success);
+         |    })
+         |  })
+         |})
+         |CSV()
+         |""".stripMargin)
+    assert(out == "success,true\n", out)
+  }
+
+  test("js-request-json: rsp.json envelope fields (fm_script_test.go:380-396)") {
+    import spark.implicits._
+    Seq(("js-req", java.sql.Timestamp.valueOf("2023-10-01 00:00:00"), 1.234))
+      .toDF("name", "time", "value").createOrReplaceTempView("tag_simple")
+    val out = Tql.run(spark,
+      s"""SCRIPT("js", {
+         |  $$.request("http://127.0.0.1:$port/db/query?q="+encodeURIComponent("select name, time, value from tag_simple limit 2"), {method: "GET"})
+         |   .do( (rsp) => {
+         |    rsp.json((body) => {
+         |      $$.yield(...body.data.columns);
+         |      $$.yield(...body.data.types);
+         |    })
+         |  })
+         |})
+         |CSV()
+         |""".stripMargin)
+    assert(out == "name,time,value\nstring,datetime,double\n", out)
+  }
+
+  test("js-request csv reader + request error surfaces as Error value") {
+    val out = Tql.run(spark,
+      s"""SCRIPT("js", {
+         |  $$.request("http://127.0.0.1:$port/db/query?q="+encodeURIComponent("select 7 as a, 'x,y' as b")+"&format=csv", {method: "GET"})
+         |   .do( (rsp) => {
+         |    rsp.csv((fields) => { $$.yield(fields[0], fields[1]); })
+         |  })
+         |})
+         |CSV()
+         |""".stripMargin)
+    assert(out == "7,\"x,y\"\n", out)
+    val err = Tql.run(spark,
+      """SCRIPT("js", {
+        |  $.request("http://example.com/x").do( (rsp) => {
+        |    $.yield(rsp.ok, rsp.error() instanceof Error);
+        |  })
+        |})
+        |CSV()
+        |""".stripMargin)
+    assert(err == "false,true\n", err)
+  }
+
   test("POST /db/tql runs a script end-to-end over the socket") {
     val resp = HttpLoop.executeDsl(
       s"""POST http://127.0.0.1:$port/db/tql
