@@ -94,9 +94,13 @@ class StreamingSpec extends SparkSpec {
       .write.mode("append").parquet(dir)
     runAvailable()
     // > duration later, another arrival advances the processing-time
-    // watermark past t1's state...
-    Thread.sleep(3000)
+    // watermark past t1's state; a second arrival then runs the eviction
+    // with that advanced watermark (state cleanup lags one batch)
+    Thread.sleep(4000)
     Seq(("t9", ts(1), 9.0)).toDF("name", "time", "value")
+      .write.mode("append").parquet(dir)
+    runAvailable()
+    Seq(("t8", ts(2), 8.0)).toDF("name", "time", "value")
       .write.mode("append").parquet(dir)
     runAvailable()
     // ...so the same historical (name, time) re-sent now is re-admitted
