@@ -103,6 +103,18 @@ object TimeFns {
       tokens.foldLeft(other) { case (acc, (from, to)) => acc.replace(from, to) }
   }
 
+  /** Go reference-layout ("2006-01-02 15:04:05") → DateTimeFormatter
+    * pattern; the reference's util.Timeformatter accepts both Go layouts
+    * and named/SQL formats. Longest tokens first. */
+  def translateGoTimeformat(layout: String): String = Seq(
+    "2006" -> "yyyy", ".999999999" -> ".SSSSSSSSS", ".999999" -> ".SSSSSS",
+    ".999" -> ".SSS", ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS",
+    ".000" -> ".SSS", "January" -> "MMMM", "Jan" -> "MMM", "Monday" -> "EEEE",
+    "Mon" -> "EEE", "15" -> "HH", "03" -> "hh", "04" -> "mm", "05" -> "ss",
+    "01" -> "MM", "02" -> "dd", "PM" -> "a", "MST" -> "zzz",
+    "Z07:00" -> "XXX", "-07:00" -> "xxx"
+  ).foldLeft(layout) { case (acc, (from, to)) => acc.replace(from, to) }
+
   /** Format an epoch-ns column with a reference-style timeformat + tz. */
   def formatNs(tsNs: Column, fmt: String): Column = fmt match {
     case "ns" => tsNs

@@ -1314,7 +1314,16 @@ object Compiler {
 
   private val aggNames = Set("count", "sum", "min", "max", "avg", "mean", "first", "last",
     "stddev", "variance", "stderr", "entropy", "median", "medianInterpolated",
-    "quantile", "quantileInterpolated", "rss", "rms", "list", "mode")
+    "quantile", "quantileInterpolated", "rss", "rms", "list", "mode",
+    "cdf", "moment", "lrs", "correlation", "covariance")
+
+  /** aggregator trailing args that are options, not value expressions
+    * (newAggregate's switch — fm_monad.go:911-930). */
+  private def isAggOption(e: Expr): Boolean = e match {
+    case Expr.Str(_) => true
+    case Expr.Call("where" | "weight" | "nullValue" | "predict", _) => true
+    case _ => false
+  }
 
   /** gonum stat.Quantile Empirical: smallest v_i with (i+1)/n >= p. */
   private def quantileEmpirical(c: Column, p: Double): Column = {
@@ -1360,6 +1369,8 @@ object Compiler {
       case "rss" => sqrt(sum(c * c))
       case "rms" => sqrt(avg(c * c))
       case "list" => collect_list(raw)
+      case other => throw new IllegalArgumentException(
+        s"aggregator $other needs its argument list here (use GROUP)")
     }
   }
 
@@ -1485,6 +1496,25 @@ object Compiler {
     }
     val pq = rest.collectFirst { case Expr.Num(v) => v }
     (fn, weightE) match {
+      // cdf(v, q): empirical CDF at q (fm_monad.go:935-940, 1324-1329)
+      case ("cdf", _) =>
+        StatFns.cdf(c, pq.getOrElse(
+          throw new IllegalArgumentException("cdf(v, q)")))
+      // moment(v, k): k-th central moment (fm_monad.go:970-975, gonum)
+      case ("moment", _) =>
+        graft.functions.MomentAgg.moment(c, pq.map(_.toInt).getOrElse(
+          throw new IllegalArgumentException("moment(v, k)")))
+      // two-column relation aggregators (GroupColumnRelation,
+      // fm_monad.go:1213-1240): lrs = OLS slope of y on x
+      case ("lrs" | "correlation" | "covariance", _) =>
+        val y = rest.find(e => !isAggOption(e))
+          .map(e => toColumn(e, p).cast("double"))
+          .getOrElse(throw new IllegalArgumentException(s"$fn(x, y)"))
+        fn match {
+          case "lrs" => StatFns.lrs(c, y)
+          case "correlation" => corr(c, y)
+          case _ => covar_samp(c, y)
+        }
       case ("quantile", None) =>
         quantileEmpirical(c, pq.getOrElse(
           throw new IllegalArgumentException("quantile(v, p)")))
@@ -1578,7 +1608,7 @@ object Compiler {
             val fill = GapFill.CausalFill(
               rest.collectFirst { case Call("predict", List(Str(k))) => k.toLowerCase },
               rest.collectFirst { case Call("nullValue", List(Num(v))) => v })
-            (name, buildAgg(fn, toColumn(e, p), p), fill)
+            (name, buildAggFull(fn, toColumn(e, p), rest, p), fill)
         }
         require(aggs.nonEmpty, "GROUP(timewindow) needs at least one aggregator")
         // ns-normalize on the TIME EXPRESSION's own type — not values.head,
@@ -1685,7 +1715,7 @@ object Compiler {
       case Call(fn, e :: rest) if aggNames(fn) =>
         val name = rest.collectFirst { case Str(s) => s }.getOrElse(fn)
         val c = toColumn(e, p)
-        name -> buildAgg(fn, c, p)
+        name -> buildAggFull(fn, c, rest, p)
     }
     require(aggs.nonEmpty, "GROUP(timewindow) needs at least one aggregator")
     // the record's time is value(0), per the reference's record layout
@@ -2234,6 +2264,58 @@ object Compiler {
           }
         case _ => throw new IllegalArgumentException("roundTime(t, 'dur')")
       }
+      // ---- time parts (fm_time.go:53-229) — Go time.Time accessors over
+      // an epoch-ns long or timestamp, with an optional tz() location
+      case "timeYear" | "timeMonth" | "timeDay" | "timeHour" | "timeMinute" |
+           "timeSecond" | "timeNanosecond" | "timeISOYear" | "timeISOWeek" |
+           "timeYearDay" | "timeWeekDay" |
+           "timeUnix" | "timeUnixMilli" | "timeUnixMicro" | "timeUnixNano" =>
+        val nsL = nsLongOf(args.head, p)
+        val tzName = args.collectFirst {
+          case Call("tz", List(Str(z))) => if (z == "Local") "UTC" else z
+        }
+        def local = {
+          val ts = timestamp_micros(graft.time.TimeFns.nsToUs(nsL))
+          tzName.map(z => from_utc_timestamp(ts, z)).getOrElse(ts)
+        }
+        name match {
+          case "timeYear" => year(local)
+          case "timeMonth" => month(local)
+          case "timeDay" => dayofmonth(local)
+          case "timeHour" => hour(local)
+          case "timeMinute" => minute(local)
+          case "timeSecond" => second(local)
+          // ns offset within the second (reference keeps full ns precision)
+          case "timeNanosecond" => pmod(nsL, lit(1000000000L)).cast("int")
+          case "timeISOYear" =>
+            call_function("date_part", lit("YEAROFWEEK"), local).cast("int")
+          case "timeISOWeek" => weekofyear(local)
+          case "timeYearDay" => dayofyear(local)
+          // Go Weekday(): 0=Sunday … 6=Saturday; Spark dayofweek is 1-based
+          case "timeWeekDay" => dayofweek(local) - 1
+          // timeUnix* return float64 epochs (fmTimeUnix0)
+          case "timeUnix" => floor(nsL.cast("decimal(25,0)") / lit(1000000000L)).cast("double")
+          case "timeUnixMilli" => floor(nsL.cast("decimal(25,0)") / lit(1000000L)).cast("double")
+          case "timeUnixMicro" => floor(nsL.cast("decimal(25,0)") / lit(1000L)).cast("double")
+          case _ => nsL.cast("double") // timeUnixNano
+        }
+      case "strTime" => args match {
+        // strTime(t, format [, tz()]): Go-layout/named format rendering
+        // (fm_time.go fmStrTime)
+        case t :: fmtE :: _ =>
+          val raw = constString(fmtE)
+          // Go reference layouts carry the canonical year "2006"
+          val pattern =
+            if (raw.contains("2006")) graft.time.TimeFns.translateGoTimeformat(raw)
+            else graft.time.TimeFns.translateTimeformat(raw)
+          val nsL = nsLongOf(t, p)
+          val tzName = args.collectFirst {
+            case Call("tz", List(Str(z))) => if (z == "Local") "UTC" else z
+          }
+          val ts = timestamp_micros(graft.time.TimeFns.nsToUs(nsL))
+          date_format(tzName.map(z => from_utc_timestamp(ts, z)).getOrElse(ts), pattern)
+        case _ => throw new IllegalArgumentException("strTime(t, format[, tz])")
+      }
       case "timeAdd" => args match {
         // base: 'now' resolves the pinned clock; delta: duration string or
         // ns expression (FAKE_INSERT uses timeAdd('now', value(0)*2e9))
@@ -2314,6 +2396,17 @@ object Compiler {
       }
       case other => throw new IllegalArgumentException(s"unknown function $other")
     }
+  }
+
+  /** Normalize a time expression to an epoch-ns long column (TQL times
+    * are ns longs internally; CSV datetimeType sources surface
+    * timestamps). */
+  private def nsLongOf(e: Expr, p: Pipe): Column = {
+    val c = toColumn(e, p)
+    val isTs = try p.df.select(c).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.TimestampType]
+    catch { case _: Exception => false }
+    if (isTs) unix_micros(c) * 1000L else c.cast("long")
   }
 
   // ---- geo constructor JSON builders --------------------------------

@@ -118,6 +118,76 @@ class ReferenceCasesSpec extends SparkSpec {
     assert(m == "1.316958,0.881374,0.549306,-2.000000\n")
   }
 
+  test("GROUP relation/cdf/moment aggregators through the TQL surface") {
+    // lrs = OLS slope of y on x; correlation/covariance two-column;
+    // cdf(v,q) empirical; moment(v,k) central (fm_monad.go:900-975)
+    val out = run(
+      """FAKE( json({
+        |  ["a", 1, 2], ["a", 2, 4], ["a", 3, 6], ["a", 4, 9]
+        |}))
+        |GROUP(by(value(0)),
+        |      lrs(value(1), value(2), 'slope'),
+        |      correlation(value(1), value(2), 'corr'),
+        |      covariance(value(1), value(2), 'cov'),
+        |      cdf(value(2), 5, 'cdf5'),
+        |      moment(value(2), 2, 'm2'))
+        |CSV( precision(4) )
+        |""".stripMargin)
+    // y = [2,4,6,9] on x = [1,2,3,4]: slope 11.5/5 = 2.3; corr
+    // 11.5/√(5·26.75) = 0.9944; sample cov 11.5/3 = 3.8333; cdf(≤5) =
+    // 0.5; 2nd central moment Σ(y-5.25)²/4 = 6.6875
+    assert(out == "a,2.3000,0.9944,3.8333,0.5000,6.6875\n", out)
+  }
+
+  test("UTIL_time_parts: Go accessors over epoch-ns (fm_time.go:53-229)") {
+    // 2024-03-05 14:30:45.123456789 UTC — a Tuesday, day 65, ISO week 10.
+    // The ns value rides as a JSON string: a 19-digit literal is not
+    // float64-exact (the reference's expression layer has the same limit)
+    val ns = "\"1709649045123456789\""
+    val out = run(
+      s"""FAKE( json({ [$ns] }))
+         |PUSHVALUE(1, timeYear(value(0)))
+         |PUSHVALUE(2, timeMonth(value(0)))
+         |PUSHVALUE(3, timeDay(value(0)))
+         |PUSHVALUE(4, timeHour(value(0)))
+         |PUSHVALUE(5, timeMinute(value(0)))
+         |PUSHVALUE(6, timeSecond(value(0)))
+         |PUSHVALUE(7, timeNanosecond(value(0)))
+         |PUSHVALUE(8, timeISOYear(value(0)))
+         |PUSHVALUE(9, timeISOWeek(value(0)))
+         |PUSHVALUE(10, timeYearDay(value(0)))
+         |PUSHVALUE(11, timeWeekDay(value(0)))
+         |POPVALUE(0)
+         |CSV()
+         |""".stripMargin)
+    assert(out == "2024,3,5,14,30,45,123456789,2024,10,65,2\n", out)
+    val unix = run(
+      s"""FAKE( json({ [$ns] }))
+         |PUSHVALUE(1, timeUnix(value(0)))
+         |PUSHVALUE(2, timeUnixMilli(value(0)))
+         |PUSHVALUE(3, timeUnixMicro(value(0)))
+         |PUSHVALUE(4, timeUnixNano(value(0)))
+         |POPVALUE(0)
+         |CSV( precision(0) )
+         |""".stripMargin)
+    // timeUnixNano returns float64 like the reference (fmTimeUnix0) —
+    // the ns value rounds to the nearest double, …768
+    assert(unix == "1709649045,1709649045123,1709649045123456,1709649045123456768\n",
+      unix)
+    val hourSeoul = run(
+      s"""FAKE( json({ [$ns] }))
+         |MAPVALUE(0, timeHour(value(0), tz("Asia/Seoul")))
+         |CSV()
+         |""".stripMargin)
+    assert(hourSeoul == "23\n", hourSeoul) // UTC 14:30 + 9h
+    val st = run(
+      s"""FAKE( json({ [$ns] }))
+         |MAPVALUE(0, strTime(value(0), "2006-01-02 15:04:05"))
+         |CSV()
+         |""".stripMargin)
+    assert(st == "2024-03-05 14:30:45\n", st)
+  }
+
   test("UTIL_string_predicates") {
     val out = run(
       """FAKE( json({ ["prefix-hello-suffix"], ["hello"] }))
