@@ -51,6 +51,19 @@ object SeqOps {
     else when(count(v).over(frame) >= n.toLong, m).otherwise(lit(null).cast(DoubleType))
   }
 
+  /** MAP_DISTANCE: haversine meters from the previous VALID point —
+    * per-leg, not cumulative. The first record and (0,0)/null points
+    * emit 0 and do not advance the previous point
+    * (reference fm_monad.go:2109-2143, nums/geography.go:39-55). */
+  def legDistance(lat: Column, lon: Column, key: Seq[Column], time: Column): Column = {
+    val prevFrame = w(key, time).rowsBetween(Window.unboundedPreceding, -1)
+    val valid = lat.isNotNull && lon.isNotNull && !(lat === 0d && lon === 0d)
+    val pLat = last(when(valid, lat), ignoreNulls = true).over(prevFrame)
+    val pLon = last(when(valid, lon), ignoreNulls = true).over(prevFrame)
+    when(!valid || pLat.isNull, lit(0d))
+      .otherwise(graft.functions.ScalarFns.haversineM(pLat, pLon, lat, lon))
+  }
+
   /** Cumulative haversine distance along a (lat,lon) track, meters. */
   def mapDistance(lat: Column, lon: Column, key: Seq[Column], time: Column): Column = {
     val ws = w(key, time)

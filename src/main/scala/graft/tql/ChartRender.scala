@@ -111,9 +111,9 @@ object ChartRender {
       case ("lineWidth", List(o)) => w.setLineWidth(num(o).getOrElse(1d))
       case ("gridSize", gs) => w.setGridSize(gs.flatMap(num): _*)
       case ("autoRotate", o) => w.setAutoRotate(o.headOption.flatMap(num).getOrElse(180d))
-      case ("markLineXAxisCoord", List(v, Str(n))) =>
+      case ("markLineXAxisCoord" | "markXAxis", List(v, Str(n))) =>
         w.setMarkLineXAxisCoord(num(v).getOrElse(0d), n)
-      case ("markLineYAxisCoord", List(v, Str(n))) =>
+      case ("markLineYAxisCoord" | "markYAxis", List(v, Str(n))) =>
         w.setMarkLineYAxisCoord(num(v).getOrElse(0d), n)
       case _ => ()
     }

@@ -198,7 +198,8 @@ object Compiler {
       Set("PUSHKEY", "POPKEY", "MAPKEY", "GROUPBYKEY", "FFT",
         "key", "first", "last", "TRANSPOSE", "SCRIPT", "TIMEWINDOW",
         "MAP_DIFF", "MAP_ABSDIFF", "MAP_NONEGDIFF", "MAP_AVG", "MAP_MOVAVG",
-        "MAP_LOWPASS", "FILTER_CHANGED")(n) || args.exists(statementNeedsKey)
+        "MAP_LOWPASS", "MAP_KALMAN", "MAP_DISTANCE",
+        "FILTER_CHANGED")(n) || args.exists(statementNeedsKey)
     case Expr.Bin(_, l, r) => statementNeedsKey(l) || statementNeedsKey(r)
     case Expr.Unary(_, x) => statementNeedsKey(x)
     case Expr.Ternary(c, t, f) => Seq(c, t, f).exists(statementNeedsKey)
@@ -569,12 +570,21 @@ object Compiler {
     val cols = args.collect { case Str(c) => c }
     var table = ""
     var tag = ""
+    var baseTime = "time"
+    var baseName = "name"
     var between: Option[(Lake.TimeBound, Lake.TimeBound)] = None
     var periodNs: Option[Long] = None
     var limitN: Option[Int] = None
     var offsetN = 0
     args.foreach {
-      case Call("from", Str(t) :: Str(tg) :: _) => table = t; tag = tg
+      case Call("from", Str(t) :: Str(tg) :: rest) =>
+        table = t; tag = tg
+        rest match {
+          case Str(bt) :: more =>
+            baseTime = bt
+            more.headOption.foreach { case Str(bn) => baseName = bn; case _ => }
+          case _ =>
+        }
       case Call("between", List(a, b)) =>
         between = Some((evalTimeBound(a), evalTimeBound(b)))
       case Call("between", List(a, b, p)) =>
@@ -593,6 +603,13 @@ object Compiler {
       case _ =>
     }
     require(table.nonEmpty, "SQL_SELECT requires from(table, tag)")
+    dumpArg(args) match {
+      case Some(escape) =>
+        return sqlDumpPipe(spark, needKey, escape, refSqlText(
+          version = 1, cols, table, tag, baseTime, baseName,
+          between, periodNs, offsetN, limitN))
+      case None =>
+    }
     var df = spark.table(table).filter(col("name") === tag)
     between.foreach { case (a, b) =>
       df = Lake.betweenFilter(df, "time", a, b, nowNs)
@@ -635,20 +652,45 @@ object Compiler {
     import Expr._
     import graft.operators.Lake
     val cols = args.collect { case Str(c) => c }
-    var table = ""; var tag = ""; var timeCol = "time"
+    var table = ""; var tag = ""; var timeCol = "time"; var baseName = "name"
     var between: Option[(Lake.TimeBound, Lake.TimeBound)] = None
+    var periodNs: Option[Long] = None
+    var limitN: Option[Int] = None
+    var offsetN = 0
     args.foreach {
       case Call("from", fargs) => fargs match {
         case Str(t) :: Str(tg) :: rest =>
           table = t; tag = tg
-          rest.headOption.foreach { case Str(tc) => timeCol = tc; case _ => }
+          rest match {
+            case Str(tc) :: more =>
+              timeCol = tc
+              more.headOption.foreach { case Str(bn) => baseName = bn; case _ => }
+            case _ =>
+          }
         case _ =>
       }
       case Call("between", List(a, b)) =>
         between = Some((evalTimeBound(a), evalTimeBound(b)))
+      case Call("between", List(a, b, prd)) =>
+        between = Some((evalTimeBound(a), evalTimeBound(b)))
+        periodNs = Some(prd match {
+          case Str(d) => graft.time.TimeFns.parseDurationNs(d)
+          case Num(n) => n.toLong
+          case other => throw new IllegalArgumentException(s"bad period: $other")
+        })
+      case Call("limit", List(Num(n))) => limitN = Some(n.toInt)
+      case Call("limit", List(Num(o), Num(n))) =>
+        offsetN = o.toInt; limitN = Some(n.toInt)
       case _ =>
     }
     require(table.nonEmpty, "QUERY requires from(table, tag)")
+    dumpArg(args) match {
+      case Some(escape) =>
+        return sqlDumpPipe(spark, needKey, escape, refSqlText(
+          version = 2, cols, table, tag, timeCol, baseName,
+          between, periodNs, offsetN, limitN))
+      case None =>
+    }
     var df = spark.table(table).filter(col("name") === tag)
     between.foreach { case (a, b) => df = Lake.betweenFilter(df, timeCol, a, b, nowNs) }
     // time column surfaces as a datetime value (µs timestamp)
@@ -659,13 +701,78 @@ object Compiler {
     Pipe(out, "_key", timeCol +: cols)
   }
 
-  /** between() bound: ns literal, time(ns), or 'now±dur' / 'last±dur'. */
+  /** between() bound: ns literal (constant arithmetic folds — the
+    * reference evaluates `123456789000-2.34*1000000000` in its expression
+    * layer), time(ns), or 'now±dur' / 'last±dur'. */
   private def evalTimeBound(e: Expr): graft.operators.Lake.TimeBound = e match {
     case Expr.Num(v) => graft.operators.Lake.AbsNs(v.toLong)
     case Expr.Call("time", List(Expr.Num(v))) => graft.operators.Lake.AbsNs(v.toLong)
     case Expr.Str(s) => graft.operators.Lake.TimeBound.parse(s)
-    case other => throw new IllegalArgumentException(s"unsupported time bound $other")
+    case other => constNumOpt(other).map(v => graft.operators.Lake.AbsNs(v.toLong))
+      .getOrElse(throw new IllegalArgumentException(s"unsupported time bound $other"))
   }
+
+  /** dump(true[, escape]) detection: Some(escape) when the SQL text
+    * should be emitted instead of executed (fm_dbsrc.go:816-833). */
+  private def dumpArg(args: List[Expr]): Option[Boolean] = args.collectFirst {
+    case Expr.Call("dump", dargs) => dargs match {
+      case Expr.Bool(flag) :: rest =>
+        if (!flag) None
+        else Some(rest.headOption.collect { case Expr.Bool(b) => b }.getOrElse(false))
+      case _ => None
+    }
+  }.flatten
+
+  /** The reference generator's SQL text, byte-for-byte (fm_dbsrc.go
+    * toSql/toSqlGroup:147-227; goldens in task_test.go TestQuerySql /
+    * TestSqlSelect). version 1 = SQL_SELECT (columns as given), else
+    * QUERY (baseTime prepended). Defaults: between('last-1s','last'),
+    * limit(0, 1000000). */
+  private def refSqlText(version: Int, cols: Seq[String], table: String, tag: String,
+                         baseTime: String, baseName: String,
+                         between: Option[(graft.operators.Lake.TimeBound, graft.operators.Lake.TimeBound)],
+                         periodNs: Option[Long], offset: Int, limitN: Option[Int]): String = {
+    import graft.operators.Lake
+    val tU = table.toUpperCase
+    def durStr(off: Long) = if (off == 0) "" else if (off < 0) off.toString else s"+$off"
+    def part(bd: Lake.TimeBound): String = bd match {
+      case Lake.LastRel(off) =>
+        s"(SELECT MAX_TIME${durStr(off)} FROM V$$${tU}_STAT WHERE name = '$tag')"
+      case Lake.NowRel(0L) => "now"
+      case Lake.NowRel(off) => s"(now${durStr(off)})"
+      case Lake.AbsNs(ns) => ns.toString
+    }
+    val (a, b) = between.getOrElse((Lake.LastRel(-1000000000L), Lake.LastRel(0L)))
+    val where = s"$baseName = '$tag' AND $baseTime BETWEEN ${part(a)} AND ${part(b)}"
+    val lim = s"LIMIT $offset, ${limitN.getOrElse(1000000)}"
+    val colsOr = if (cols.nonEmpty) cols else Seq("value")
+    periodNs match {
+      case None =>
+        val sel = if (version == 1) colsOr.mkString(", ")
+                  else (baseTime +: colsOr).mkString(", ")
+        s"SELECT $sel FROM $tU WHERE $where $lim"
+      case Some(prd) =>
+        val bucket = s"from_timestamp(round(to_timestamp($baseTime)/$prd)*$prd) $baseTime"
+        val sel =
+          if (version == 1) colsOr.map(c => if (c == baseTime) bucket else c).mkString(", ")
+          else (bucket +: colsOr).mkString(", ")
+        s"SELECT $sel FROM $tU WHERE $where GROUP BY $baseTime ORDER BY $baseTime $lim"
+    }
+  }
+
+  /** A one-record SQLDUMP pipe carrying the generated SQL. */
+  private def sqlDumpPipe(spark: SparkSession, needKey: Boolean, escape: Boolean,
+                          sqlText: String): Pipe = {
+    val text = if (escape) goQueryEscape(sqlText) else sqlText
+    import spark.implicits._
+    val df = Seq(text).toDF("SQLDUMP")
+    Pipe(if (needKey) withRownum(df) else df, "_key", Seq("SQLDUMP"))
+  }
+
+  /** Go url.QueryEscape over a constant (escape=true dumps). */
+  private[tql] def goQueryEscape(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+      .replace("*", "%2A").replace("%7E", "~")
 
   /** Fold a compile-time epoch-ns expression (exact long arithmetic so
     * ns literals like 1685714509*1000000000 don't round through double). */
@@ -1098,16 +1205,40 @@ object Compiler {
         val scanned = graft.operators.SeqOps.lowpass(
           tmp, "__series", p.keyCol, "__lp_in", alpha, "__lp_out")
           .drop("__lp_in", "__series")
-        val name = rest.collectFirst { case Str(nm) => nm }
-          .getOrElse(if (idx.toInt < p.values.size) p.values(idx.toInt) else s"value_${idx.toInt}")
-        val i = idx.toInt
-        if (i < p.values.size) {
-          val old = p.values(i)
-          p.copy(df = scanned.drop(old).withColumnRenamed("__lp_out", name),
-            values = p.values.updated(i, name))
-        } else {
-          p.copy(df = scanned.withColumnRenamed("__lp_out", name), values = p.values :+ name)
+        scanResult(p, idx.toInt, rest, scanned, "__lp_out")
+
+      case Call("MAP_KALMAN", Num(idx) :: v :: rest) =>
+        // 1-D Kalman over record order; model('simple', iv, pv, ov)
+        // defaults 2.0/0.01/2.0 (fm_monad.go:1908-1991, 1936-1944)
+        val vars = rest.collectFirst {
+          case Call("model", margs) => margs.collect { case Num(x) => x }
+        }.getOrElse(Nil)
+        val tmp = p.df.withColumn("__kf_in", toColumn(v, p).cast("double"))
+          .withColumn("__series", lit(1))
+        val scanned = graft.operators.SeqOps.kalman(
+          tmp, "__series", p.keyCol, "__kf_in",
+          vars.lift(0).getOrElse(2.0), vars.lift(1).getOrElse(0.01),
+          vars.lift(2).getOrElse(2.0), "__kf_out")
+          .drop("__kf_in", "__series")
+        scanResult(p, idx.toInt, rest, scanned, "__kf_out")
+
+      case Call("MAP_DISTANCE", Num(idx) :: pt :: rest) =>
+        // per-leg haversine meters from the previous VALID point; 0 for
+        // the first record and for (0,0)/non-latlon coords, which also
+        // don't advance the previous point (fm_monad.go:2109-2143)
+        val legs = pt match {
+          case Call("latlon", List(la, lo)) =>
+            graft.operators.SeqOps.legDistance(
+              toColumn(la, p).cast("double"), toColumn(lo, p).cast("double"),
+              Seq(lit(1)), col(p.keyCol))
+          case _ => lit(0d)
         }
+        seqMapValue(p, idx.toInt, rest, legs)
+
+      case Call("THROTTLE", _) =>
+        // real-time pacing (fm_monad.go fmThrottle) — a no-op on a batch
+        // frame; the streaming edge paces via Subscribers.paced
+        p
 
       case Call("MAP_MOVAVG", Num(idx) :: v :: Num(win) :: rest) =>
         val noWait = rest.exists { case Call("noWait", _) => true; case _ => false }
@@ -1295,6 +1426,21 @@ object Compiler {
         } else { sb.append(s.charAt(i)); i += 1 }
       }
       sb.toString
+    }
+  }
+
+  /** MAP_* helper for per-series-scan results: the scan appended
+    * `outCol`; land it in value slot `idx` under the declared name. */
+  private def scanResult(p: Pipe, idx: Int, rest: List[Expr],
+                         scanned: DataFrame, outCol: String): Pipe = {
+    val name = rest.collectFirst { case Expr.Str(nm) => nm }
+      .getOrElse(if (idx < p.values.size) p.values(idx) else s"value_$idx")
+    if (idx < p.values.size) {
+      val old = p.values(idx)
+      p.copy(df = scanned.drop(old).withColumnRenamed(outCol, name),
+        values = p.values.updated(idx, name))
+    } else {
+      p.copy(df = scanned.withColumnRenamed(outCol, name), values = p.values :+ name)
     }
   }
 
@@ -2202,6 +2348,11 @@ object Compiler {
         case _ => a(0).substr(a(1) + 1, a(2))
       }
       case "strSprintf" => format_string(args.head.asInstanceOf[Str].v, args.tail.map(x => toColumn(x, p)): _*)
+      // Go url.QueryEscape (fm_context.go:165-168). Spark's url_encode is
+      // Java URLEncoder, which differs on exactly two bytes: '*' is left
+      // bare (Go wants %2A) and '~' is encoded (Go leaves it)
+      case "escapeParam" =>
+        regexp_replace(regexp_replace(url_encode(a(0)), "\\*", "%2A"), "%7E", "~")
       case "simplex" => args.size match {
         case 2 => graft.functions.Noise.simplex1(a(0).cast("long"), a(1).cast("double"))
         case 3 => graft.functions.Noise.simplex2(a(0).cast("long"), a(1).cast("double"), a(2).cast("double"))

@@ -349,4 +349,74 @@ class ReferenceCasesSpec extends SparkSpec {
         |""".stripMargin, OscNow)
     assert(out.contains(s""""rows":$OscRows"""), out)
   }
+
+  // task_test.go TestQuerySql / TestSqlSelect — dump(true) emits the
+  // generator's SQL text instead of executing it; goldens are the
+  // reference's own expected strings (CSV-quoted: the text has commas).
+  private def q(s: String) = "\"" + s + "\"\n"
+
+  test("QUERY_dump: golden SQL text (task_test.go:2678-2802)") {
+    assert(run("QUERY('value', between('last-10s', 'last'), from(\"table\", \"tag\", \"time\"), dump(true))\nCSV()\n") ==
+      q("SELECT time, value FROM TABLE WHERE name = 'tag' AND time BETWEEN (SELECT MAX_TIME-10000000000 FROM V$TABLE_STAT WHERE name = 'tag') AND (SELECT MAX_TIME FROM V$TABLE_STAT WHERE name = 'tag') LIMIT 0, 1000000"))
+    // defaults: between('last-1s','last'), limit(0, 1000000)
+    assert(run("QUERY('value', from('table', 'tag'), dump(true))\nCSV()\n") ==
+      q("SELECT time, value FROM TABLE WHERE name = 'tag' AND time BETWEEN (SELECT MAX_TIME-1000000000 FROM V$TABLE_STAT WHERE name = 'tag') AND (SELECT MAX_TIME FROM V$TABLE_STAT WHERE name = 'tag') LIMIT 0, 1000000"))
+    // expression columns pass through verbatim; offset+limit
+    assert(run("QUERY('(val + val2/2)', from('table', 'tag'), between('last-2.34s', 'last'), limit(10, 2000), dump(true))\nCSV()\n") ==
+      q("SELECT time, (val + val2/2) FROM TABLE WHERE name = 'tag' AND time BETWEEN (SELECT MAX_TIME-2340000000 FROM V$TABLE_STAT WHERE name = 'tag') AND (SELECT MAX_TIME FROM V$TABLE_STAT WHERE name = 'tag') LIMIT 10, 2000"))
+    // now-relative bounds render as now / (now-offset)
+    assert(run("QUERY('val', from('table', 'tag'), between('now -2.34s', 'now'), limit(5, 100), dump(true))\nCSV()\n") ==
+      q("SELECT time, val FROM TABLE WHERE name = 'tag' AND time BETWEEN (now-2340000000) AND now LIMIT 5, 100"))
+    // constant ns arithmetic folds exactly
+    assert(run("QUERY('value', from('table', 'tag'), between(123456789000-2.34*1000000000, 123456789000), dump(true))\nCSV()\n") ==
+      q("SELECT time, value FROM TABLE WHERE name = 'tag' AND time BETWEEN 121116789000 AND 123456789000 LIMIT 0, 1000000"))
+  }
+
+  test("QUERY_dump: period → GROUP BY bucket SQL (task_test.go:2792-2812)") {
+    assert(run("QUERY('STDDEV(val)', from('table', 'tag'), between(123456789000 - 3.45*1000000000, 123456789000, '1ms'), limit(1, 100), dump(true))\nCSV()\n") ==
+      q("SELECT from_timestamp(round(to_timestamp(time)/1000000)*1000000) time, STDDEV(val) FROM TABLE WHERE name = 'tag' AND time BETWEEN 120006789000 AND 123456789000 GROUP BY time ORDER BY time LIMIT 1, 100"))
+    assert(run("QUERY('STDDEV(val)', 'zval', from('table', 'tag'), between('last-2.34s', 'last', '0.5ms'), limit(2, 100), dump(true))\nCSV()\n") ==
+      q("SELECT from_timestamp(round(to_timestamp(time)/500000)*500000) time, STDDEV(val), zval FROM TABLE WHERE name = 'tag' AND time BETWEEN (SELECT MAX_TIME-2340000000 FROM V$TABLE_STAT WHERE name = 'tag') AND (SELECT MAX_TIME FROM V$TABLE_STAT WHERE name = 'tag') GROUP BY time ORDER BY time LIMIT 2, 100"))
+  }
+
+  test("SQL_SELECT_dump: no time prefix (task_test.go TestSqlSelect)") {
+    assert(run("SQL_SELECT('value', between('last-10s', 'last'), from(\"table\", \"tag\", \"time\"), dump(true))\nCSV()\n") ==
+      q("SELECT value FROM TABLE WHERE name = 'tag' AND time BETWEEN (SELECT MAX_TIME-10000000000 FROM V$TABLE_STAT WHERE name = 'tag') AND (SELECT MAX_TIME FROM V$TABLE_STAT WHERE name = 'tag') LIMIT 0, 1000000"))
+  }
+
+  test("MAP_DISTANCE: per-leg meters, invalid points emit 0 and hold prev") {
+    // (0,0) is the reference's "no fix" sentinel (fm_monad.go:2119-2121):
+    // emits 0 and does NOT advance the previous point, so the next leg
+    // measures from the last valid fix. 1 degree of latitude with the
+    // reference's EarthRadius=6378137 (geography.go:15) is 111319 m.
+    val out = run(
+      """FAKE( json({
+        |  [1, 37.0, 127.0], [2, 0, 0], [3, 38.0, 127.0], [4, 38.0, 127.0]
+        |}))
+        |MAP_DISTANCE(3, latlon(value(1), value(2)))
+        |POPVALUE(1, 2)
+        |CSV( precision(0) )
+        |""".stripMargin)
+    assert(out == "1,0\n2,0\n3,111319\n4,0\n", out)
+  }
+
+  test("MAP_KALMAN: converges toward a constant signal; THROTTLE no-ops") {
+    val out = run(
+      """FAKE( json({ [1, 10.0], [2, 10.0], [3, 10.0] }))
+        |MAP_KALMAN(2, value(1), model('simple', 1.0, 0.01, 4.0))
+        |THROTTLE(100)
+        |POPVALUE(1)
+        |CSV( precision(2) )
+        |""".stripMargin)
+    assert(out == "1.00,10.00\n2.00,10.00\n3.00,10.00\n", out)
+  }
+
+  test("escapeParam: Go url.QueryEscape byte-compat (func_test.go:55)") {
+    val out = run(
+      """FAKE( json({ ["a b/c*d~e&f=g"] }))
+        |MAPVALUE(0, escapeParam(value(0)))
+        |CSV()
+        |""".stripMargin)
+    assert(out == "a+b%2Fc%2Ad~e%26f%3Dg\n", out)
+  }
 }
