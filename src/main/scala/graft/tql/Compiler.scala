@@ -691,13 +691,41 @@ object Compiler {
           between, periodNs, offsetN, limitN))
       case None =>
     }
-    var df = spark.table(table).filter(col("name") === tag)
+    var df = spark.table(table).filter(col(baseName) === tag)
     between.foreach { case (a, b) => df = Lake.betweenFilter(df, timeCol, a, b, nowNs) }
-    // time column surfaces as a datetime value (µs timestamp)
-    df = df.select(
-      timestamp_micros(floor(col(timeCol).cast("decimal(25,0)") / lit(1000)).cast("long")).as(timeCol) +:
-        cols.map(vcol): _*)
-    val out = if (needKey) withRownum(df, Seq(col(timeCol))) else df.orderBy(timeCol)
+    df = periodNs match {
+      case Some(prd) =>
+        // the generator's `round(time/period)*period` bucket — machbase
+        // round() is arithmetic half-up (fm_dbsrc.go:188-227); column
+        // strings are aggregate expressions over the bucket
+        val half = prd / 2
+        val timeNs = df.schema(timeCol).dataType match {
+          case org.apache.spark.sql.types.LongType => col(timeCol)
+          case _ => col(timeCol).cast("decimal(38,9)")
+            .*(lit(1000000000L)).cast("long")
+        }
+        val bucket = floor((timeNs + half).cast("double") / prd.toDouble)
+          .cast("long") * prd
+        val aggCols = cols.map { c =>
+          if (c.contains("(")) expr(c).as(c) else first(vcol(c)).as(c)
+        }
+        require(aggCols.nonEmpty, "QUERY(period) needs a value column")
+        df.groupBy(bucket.as("__bucket_ns")).agg(aggCols.head, aggCols.tail: _*)
+          .select(timestamp_micros(floor(col("__bucket_ns").cast("decimal(25,0)") / lit(1000))
+            .cast("long")).as(timeCol) +: cols.map(vcol): _*)
+      case None =>
+        // time column surfaces as a datetime value (µs timestamp)
+        df.select(
+          timestamp_micros(floor(col(timeCol).cast("decimal(25,0)") / lit(1000)).cast("long")).as(timeCol) +:
+            cols.map(vcol): _*)
+    }
+    var ordered = if (needKey) df else df.orderBy(timeCol)
+    limitN.foreach { n =>
+      ordered = (if (needKey) ordered.orderBy(timeCol) else ordered).offset(offsetN).limit(n)
+    }
+    val out = if (needKey) {
+      if (limitN.isEmpty) withRownum(ordered, Seq(col(timeCol))) else withRownum(ordered)
+    } else ordered
     Pipe(out, "_key", timeCol +: cols)
   }
 

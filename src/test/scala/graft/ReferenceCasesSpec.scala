@@ -411,6 +411,23 @@ class ReferenceCasesSpec extends SparkSpec {
     assert(out == "1.00,10.00\n2.00,10.00\n3.00,10.00\n", out)
   }
 
+  test("QUERY_period_execution: bucket aggregation matches the dumped SQL") {
+    // the same round(time/period)*period bucketing the dump SQL declares,
+    // executed: 4 points 0.4s apart → two 1s buckets (half-up rounding)
+    Seq(("t1", 1000000000L, 1.0), ("t1", 1400000000L, 3.0),
+        ("t1", 1800000000L, 5.0), ("t1", 2200000000L, 7.0),
+        ("t2", 1000000000L, 99.0))
+      .toDF("name", "time", "value").createOrReplaceTempView("qp_tag")
+    val out = run(
+      """QUERY('AVG(value)', from('qp_tag', 't1'), between(time(500000000), time(2500000000), '1s'))
+        |MAPVALUE(0, timeUnixNano(value(0)))
+        |CSV( precision(0) )
+        |""".stripMargin)
+    // 1.0s,1.4s → bucket 1s (avg 2); 1.8s,2.2s → bucket 2s (avg 6)
+    assert(out == "1000000000,2\n2000000000,6\n", out)
+    spark.catalog.dropTempView("qp_tag")
+  }
+
   test("escapeParam: Go url.QueryEscape byte-compat (func_test.go:55)") {
     val out = run(
       """FAKE( json({ ["a b/c*d~e&f=g"] }))
