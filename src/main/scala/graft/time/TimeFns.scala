@@ -103,6 +103,41 @@ object TimeFns {
       tokens.foldLeft(other) { case (acc, (from, to)) => acc.replace(from, to) }
   }
 
+  /** tz() name resolution (reference util/time_locations.go:9-42 with
+    * its generated tzdb alias table): Local/UTC, then abbreviation
+    * aliases (first listed zone wins — its tests pin KST→Asia/Seoul,
+    * GMT→Africa/Abidjan, EEST→Africa/Cairo), then IANA region ids and
+    * fixed offsets pass through. This carries the common-abbreviation
+    * subset of the reference's table. */
+  private val tzAliases = Map(
+    "GMT" -> "Africa/Abidjan", "BST" -> "America/La_Paz",
+    "CET" -> "Africa/Algiers", "CEST" -> "Africa/Ceuta",
+    "WET" -> "Africa/Casablanca", "WEST" -> "Africa/Casablanca",
+    "EET" -> "Africa/Cairo", "EEST" -> "Africa/Cairo",
+    "MSK" -> "Europe/Kirov", "KST" -> "Asia/Seoul", "JST" -> "Asia/Tokyo",
+    "CST" -> "America/Bahia_Banderas", "CDT" -> "America/Bahia_Banderas",
+    "EST" -> "America/Atikokan", "EDT" -> "America/Detroit",
+    "MST" -> "America/Boise", "MDT" -> "America/Boise",
+    "PST" -> "America/Dawson", "PDT" -> "America/Ensenada",
+    "AKST" -> "America/Anchorage", "AKDT" -> "America/Anchorage",
+    "IST" -> "Asia/Calcutta", "HKT" -> "Asia/Hong_Kong",
+    "SGT" -> "Asia/Singapore", "AEST" -> "Australia/ACT",
+    "AEDT" -> "Australia/ACT", "ACDT" -> "Australia/Adelaide",
+    "AWST" -> "Antarctica/Casey", "NZST" -> "Antarctica/McMurdo",
+    "NZDT" -> "Antarctica/McMurdo", "EAT" -> "Africa/Addis_Ababa",
+    "WAT" -> "Africa/Bangui", "CAT" -> "Africa/Blantyre",
+    "SAST" -> "Africa/Johannesburg", "AST" -> "America/Anguilla",
+    "ADT" -> "America/Barbados", "NST" -> "America/St_Johns",
+    "NDT" -> "America/St_Johns", "PKT" -> "Asia/Karachi",
+    "ICT" -> "Asia/Bangkok", "WIB" -> "Asia/Jakarta",
+    "WITA" -> "Asia/Makassar", "WIT" -> "Asia/Jayapura")
+
+  def resolveTz(name: String): String = name.toLowerCase match {
+    case "local" => "UTC" // this engine pins the task clock to UTC
+    case "utc" => "UTC"
+    case _ => tzAliases.getOrElse(name, name)
+  }
+
   /** Go reference-layout ("2006-01-02 15:04:05") → DateTimeFormatter
     * pattern; the reference's util.Timeformatter accepts both Go layouts
     * and named/SQL formats. Longest tokens first. */

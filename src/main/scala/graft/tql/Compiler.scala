@@ -1228,6 +1228,8 @@ object Compiler {
           graft.operators.SeqOps.mapAvg(toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
       case Call("MAP_LOWPASS", Num(idx) :: v :: Num(alpha) :: rest) =>
         // recursive y=(1-a)y+ax over record order via the per-series scan
+        require(alpha > 0 && alpha < 1,
+          "MAP_LOWPASS() should have 0 < alpha < 1 ") // fm_monad_test.go:59
         val tmp = p.df.withColumn("__lp_in", toColumn(v, p).cast("double"))
           .withColumn("__series", lit(1))
         val scanned = graft.operators.SeqOps.lowpass(
@@ -2183,7 +2185,7 @@ object Compiler {
       case Call("ansiTimeformat", List(Str(f))) =>
         opts = opts.copy(timeformat = Some(graft.time.TimeFns.translateAnsiTimeformat(f)))
       case Call("tz", List(Str(z))) =>
-        opts = opts.copy(tz = z match { case "Local" => "UTC"; case other => other })
+        opts = opts.copy(tz = graft.time.TimeFns.resolveTz(z))
       case Call("precision", List(Num(p))) => opts = opts.copy(precision = p.toInt)
       case Call("substituteNull", List(Str(s))) => opts = opts.copy(nullAs = s)
       case Call("binaryformat", List(Str(b))) => opts = opts.copy(binaryFormat = b)
@@ -2451,7 +2453,7 @@ object Compiler {
            "timeUnix" | "timeUnixMilli" | "timeUnixMicro" | "timeUnixNano" =>
         val nsL = nsLongOf(args.head, p)
         val tzName = args.collectFirst {
-          case Call("tz", List(Str(z))) => if (z == "Local") "UTC" else z
+          case Call("tz", List(Str(z))) => graft.time.TimeFns.resolveTz(z)
         }
         def local = {
           val ts = timestamp_micros(graft.time.TimeFns.nsToUs(nsL))
@@ -2489,7 +2491,7 @@ object Compiler {
             else graft.time.TimeFns.translateTimeformat(raw)
           val nsL = nsLongOf(t, p)
           val tzName = args.collectFirst {
-            case Call("tz", List(Str(z))) => if (z == "Local") "UTC" else z
+            case Call("tz", List(Str(z))) => graft.time.TimeFns.resolveTz(z)
           }
           val ts = timestamp_micros(graft.time.TimeFns.nsToUs(nsL))
           date_format(tzName.map(z => from_utc_timestamp(ts, z)).getOrElse(ts), pattern)

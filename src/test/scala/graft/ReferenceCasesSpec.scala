@@ -428,6 +428,18 @@ class ReferenceCasesSpec extends SparkSpec {
     spark.catalog.dropTempView("qp_tag")
   }
 
+  test("tz_aliases: KST/EEST/GMT resolve like util/time_locations_test.go") {
+    val ns = "\"1709649045123456789\"" // 2024-03-05 14:30:45 UTC
+    def hourIn(z: String) = run(
+      s"""FAKE( json({ [$ns] }))
+         |MAPVALUE(0, timeHour(value(0), tz("$z")))
+         |CSV()
+         |""".stripMargin)
+    assert(hourIn("KST") == "23\n")  // Asia/Seoul +9
+    assert(hourIn("EEST") == "16\n") // Africa/Cairo, +2 on this date
+    assert(hourIn("GMT") == "14\n")  // Africa/Abidjan +0
+  }
+
   test("escapeParam: Go url.QueryEscape byte-compat (func_test.go:55)") {
     val out = run(
       """FAKE( json({ ["a b/c*d~e&f=g"] }))
