@@ -38,8 +38,18 @@ object QueryDoor {
         Catalog.recordStatement(sql, "FETCH", 0L)
         spark.sql(rewriteSelect(spark, sql))
       case Explain =>
-        val full = sql.trim.toUpperCase.startsWith("EXPLAIN FULL")
-        val inner = sql.trim.replaceFirst("(?i)^EXPLAIN(\\s+FULL)?", "")
+        // option tokens between EXPLAIN and the statement: `--full`,
+        // bare `full`, or a bare `--` delimiter (fm_dbsrc_internal_test
+        // .go splitExplainSQLText — "explain full with cte ..." keeps
+        // `with` as the statement head)
+        val words = sql.trim.split("\\s+").toList.drop(1)
+        val (tokens, stmt) = words.span(w =>
+          w == "--" || w.startsWith("--") || w.equalsIgnoreCase("full"))
+        if (stmt.isEmpty)
+          throw new IllegalArgumentException(
+            "f(SQL) missing statement after explain options")
+        val full = tokens.exists(t => t.stripPrefix("--").equalsIgnoreCase("full"))
+        val inner = stmt.mkString(" ")
         explainPlan(spark, rewriteSelect(spark, inner), full)
           .split("\n").toSeq.toDF("plan")
       case Show => showCommand(spark, sql)

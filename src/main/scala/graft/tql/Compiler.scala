@@ -2123,6 +2123,11 @@ object Compiler {
         case Call("bridge", _) => true; case _ => false }
       val sql = rest.headOption.flatMap(constStringOpt).getOrElse(
         throw new IllegalArgumentException(s"SQL sink needs a statement: ${st.text}"))
+      // fetch verbs are source-side only (fm_dbsink_sql_test.go:9-18)
+      val verb = sql.trim.split("\\s+").headOption.getOrElse("").toUpperCase
+      if (verb == "SELECT")
+        throw new IllegalArgumentException(
+          s"""f(SQL) sink does not allow fetch verb "$verb"""")
       return Sink("SQLEXEC", graft.sinks.Codecs.Options(),
         Some((sql, rest.drop(1))), bridge = bridgeName)
     }

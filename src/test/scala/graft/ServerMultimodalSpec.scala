@@ -27,6 +27,22 @@ class ServerMultimodalSpec extends SparkSpec {
     val plan = QueryDoor.execute(spark, "EXPLAIN SELECT * FROM nation WHERE n_nationkey = 1")
       .as[String].collect().mkString("\n")
     assert(plan.contains("Scan parquet") || plan.contains("FileScan"))
+
+    // explain option tokens (fm_dbsrc_internal_test.go splitExplainSQLText):
+    // --full / bare full / bare -- delimiter; missing statement errors
+    val p2 = QueryDoor.execute(spark, "EXPLAIN --full select * from nation")
+      .as[String].collect().mkString("\n")
+    assert(p2.nonEmpty)
+    val p3 = QueryDoor.execute(spark, "explain full with cte as (select 1 AS x) select * from cte")
+      .as[String].collect().mkString("\n")
+    assert(p3.nonEmpty)
+    val p4 = QueryDoor.execute(spark, "explain -- select * from nation")
+      .as[String].collect().mkString("\n")
+    assert(p4.nonEmpty)
+    val err = intercept[IllegalArgumentException] {
+      QueryDoor.execute(spark, "explain --full")
+    }
+    assert(err.getMessage == "f(SQL) missing statement after explain options")
   }
 
   test("query door renders the JSON envelope wire format") {

@@ -313,6 +313,16 @@ class TqlSqlSpec extends SparkSpec {
     assert(lines(2).matches("[0-9]{2}:[0-9]{2}:[0-9]{2},2"), out)
   }
 
+  test("SQL sink rejects fetch verbs (fm_dbsink_sql_test.go:9-18)") {
+    val err = intercept[IllegalArgumentException] {
+      Tql.run(spark,
+        """FAKE( linspace(1, 1, 1) )
+          |SQL('select * from t')
+          |""".stripMargin)
+    }
+    assert(err.getMessage.contains("""f(SQL) sink does not allow fetch verb "SELECT""""))
+  }
+
   test("SQL_ndjson: one object with formatted values") {
     freshRow()
     val out = Tql.run(spark,
