@@ -34,11 +34,18 @@ object Parser {
           ((s(i) == '+' || s(i) == '-') && (s(i - 1) == 'e' || s(i - 1) == 'E')))) i += 1
         out += TNum(s.substring(start, i).toDouble)
       } else if (c == '`') {
-        // backtick raw string (no escapes), reference multi-line literals
-        val end = s.indexOf('`', i + 1)
-        require(end >= 0, s"unterminated backtick string")
-        out += TStr(s.substring(i + 1, end))
-        i = end + 1
+        heredocBody(s, i) match {
+          case Some((body, end)) =>
+            // `<<TAG … TAG` tagged raw block (parse.go:329-393)
+            out += TStr(body)
+            i = end
+          case None =>
+            // backtick raw string (no escapes), reference multi-line literals
+            val end = s.indexOf('`', i + 1)
+            require(end >= 0, s"unterminated backtick string")
+            out += TStr(s.substring(i + 1, end))
+            i = end + 1
+        }
       } else if (c == '\'' || c == '"') {
         val quote = c
         val sb = new StringBuilder
@@ -205,16 +212,38 @@ object Parser {
   def parseExpression(s: String): Expr = new P(lex(s)).parseExpr(0)
 
   // ---------------- statement splitting ----------------
+  /** `{<<TAG` / `` `<<TAG `` heredoc tag: letter/_ head, word tail
+    * (reference expression/parse.go isTaggedBlockTag:501-515). */
+  private[tql] def heredocTag(rest: String): Option[String] = {
+    val t = rest.trim
+    if (t.nonEmpty && (t.head.isLetter || t.head == '_') &&
+        t.forall(ch => ch.isLetterOrDigit || ch == '_')) Some(t) else None
+  }
+
+  /** The closer is a line of optional whitespace, the tag, optional
+    * whitespace, then `}` or `` ` `` (parse.go:549-575). Returns the
+    * index just past the close char. */
+  private def heredocCloserEnd(line: String, tag: String, close: Char): Option[Int] = {
+    val t = line.trim
+    if (!(t.startsWith(tag) && t.drop(tag.length).trim.startsWith(close.toString)))
+      return None
+    val at = line.indexOf(tag) + tag.length
+    Some(line.indexOf(close, at) + 1)
+  }
+
   /** Split a script into statements: a statement ends at a newline with
-    * balanced parens; `//` comments and `#pragma` lines are stripped. */
+    * balanced parens; `//` comments and `#pragma` lines are stripped;
+    * `{<<TAG … TAG}` / `` `<<TAG … TAG` `` heredoc bodies pass through
+    * verbatim with no comment/paren interpretation (tqlreader_test.go
+    * SCRIPT({<<JS … JS}) cases). */
   def splitStatements(script: String): List[String] = {
     val out = ListBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
     var inStr: Char = 0
-    for (line0 <- script.split("\n", -1)) {
-      val line = if (line0.trim.startsWith("#")) "" else line0
-      var i = 0
+    var heredoc: Option[(String, Char)] = None // (tag, close char)
+    def scanFrom(line: String, i0: Int): Unit = {
+      var i = i0
       while (i < line.length) {
         val c = line(i)
         if (inStr != 0) {
@@ -224,6 +253,12 @@ object Parser {
           case '/' if i + 1 < line.length && line(i + 1) == '/' &&
             (i == 0 || line(i - 1) != ':') => // "://" is a URL, not a comment
             i = line.length - 1
+          case '{' | '`' if line.startsWith("<<", i + 1) &&
+              heredocTag(line.substring(i + 3)).isDefined =>
+            heredoc = Some((heredocTag(line.substring(i + 3)).get,
+              if (c == '{') '}' else '`'))
+            cur.append(line.substring(i)).append('\n')
+            i = line.length - 1
           case '\'' | '"' => inStr = c; cur.append(c)
           case '(' => depth += 1; cur.append(c)
           case ')' => depth -= 1; cur.append(c)
@@ -231,10 +266,27 @@ object Parser {
         }
         i += 1
       }
-      if (depth == 0 && cur.toString.trim.nonEmpty) {
-        out += cur.toString.trim
-        cur.clear()
-      } else if (depth > 0) cur.append('\n')
+    }
+    for (line0 <- script.split("\n", -1)) {
+      heredoc match {
+        case Some((tag, close)) =>
+          heredocCloserEnd(line0, tag, close) match {
+            case Some(after) =>
+              heredoc = None
+              cur.append(line0.substring(0, after))
+              scanFrom(line0, after)
+            case None => cur.append(line0).append('\n')
+          }
+        case None =>
+          val line = if (line0.trim.startsWith("#")) "" else line0
+          scanFrom(line, 0)
+      }
+      if (heredoc.isEmpty) {
+        if (depth == 0 && cur.toString.trim.nonEmpty) {
+          out += cur.toString.trim
+          cur.clear()
+        } else if (depth > 0) cur.append('\n')
+      }
     }
     if (cur.toString.trim.nonEmpty) out += cur.toString.trim
     out.toList
@@ -256,7 +308,9 @@ object Parser {
       case text @ RawHead(name, body) =>
         val args = splitRawArgs(body).map { raw =>
           val t = raw.trim
-          if (t.startsWith("{") && t.endsWith("}")) Expr.Str(t.substring(1, t.length - 1))
+          if (t.startsWith("{<<") && heredocBody(t, 0).isDefined)
+            Expr.Str(heredocBody(t, 0).get._1)
+          else if (t.startsWith("{") && t.endsWith("}")) Expr.Str(t.substring(1, t.length - 1))
           else parseExpression(t)
         }
         Statement(Expr.Call(name, args), text)
@@ -288,6 +342,43 @@ object Parser {
 
   /** Split `a, b, c` at top-level commas, tracking (), [], {} nesting and
     * ' " ` strings (with backslash escapes) so JS code blocks survive. */
+  /** Heredoc body and end position for an opener at `i`: the lines
+    * between the tag line and the closer line, verbatim. */
+  private[tql] def heredocBody(s: String, i: Int): Option[(String, Int)] =
+    heredocSpan(s, i).map { end =>
+      val nl = s.indexOf('\n', i + 3)
+      val chunk = s.substring(nl + 1, end - 1)
+      // strip the closer line's "TAG" tail (plus its preceding newline)
+      val lastNl = chunk.lastIndexOf('\n')
+      (if (lastNl < 0) "" else chunk.substring(0, lastNl), end)
+    }
+
+  /** The end index (exclusive of nothing — just past the close char) of a
+    * heredoc opened at `i` (s(i) is '{' or '`' followed by "<<TAG\n"), or
+    * None if `i` doesn't open one. */
+  private def heredocSpan(s: String, i: Int): Option[Int] = {
+    if (!s.startsWith("<<", i + 1)) return None
+    val nl = s.indexOf('\n', i + 3)
+    if (nl < 0) return None
+    heredocTag(s.substring(i + 3, nl)).flatMap { tag =>
+      val close = if (s(i) == '{') '}' else '`'
+      var from = nl + 1
+      while (from <= s.length) {
+        val lineEnd0 = s.indexOf('\n', from)
+        val lineEnd = if (lineEnd0 < 0) s.length else lineEnd0
+        val line = s.substring(from, lineEnd)
+        val t = line.trim
+        if (t.startsWith(tag) && t.drop(tag.length).trim.startsWith(close.toString)) {
+          val at = line.indexOf(tag) + tag.length
+          return Some(from + line.indexOf(close, at) + 1)
+        }
+        if (lineEnd0 < 0) return None
+        from = lineEnd0 + 1
+      }
+      None
+    }
+  }
+
   private[tql] def splitRawArgs(s: String): List[String] = {
     val out = ListBuffer.empty[String]
     val cur = new StringBuilder
@@ -302,6 +393,11 @@ object Parser {
           cur.append(s(i + 1)); i += 1
         } else if (c == inStr) inStr = 0
       } else c match {
+        case '{' | '`' if heredocSpan(s, i).isDefined =>
+          // heredoc block: verbatim, no comma/nesting interpretation
+          val end = heredocSpan(s, i).get
+          cur.append(s.substring(i, end))
+          i = end - 1
         case '\'' | '"' | '`' => inStr = c; cur.append(c)
         case '(' | '[' | '{' => depth += 1; cur.append(c)
         case ')' | ']' | '}' => depth -= 1; cur.append(c)

@@ -414,4 +414,29 @@ class TqlScriptSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("mapPartitions") || plan.contains("MapPartitions"), plan)
   }
+
+  test("heredoc SCRIPT body: unbalanced brace in a JS string (tqlreader_test.go)") {
+    // {<<JS … JS} protects content the brace/paren counters would trip on
+    val out = Tql.run(spark,
+      """SCRIPT({<<JS
+        |  // this is a function returning '{'
+        |  function a () { return '{' };
+        |  $.yield(a() + ')', 1);
+        |JS})
+        |CSV()
+        |""".stripMargin)
+    assert(out == "{),1\n", out)
+  }
+
+  test("heredoc MARKDOWN body: # and // lines are content, not comments") {
+    val out = Tql.run(spark,
+      """FAKE( linspace(1, 1, 1) )
+        |MARKDOWN({<<EOF
+        |# this is not a comment but a title
+        |// this is not a comment either
+        |EOF})
+        |""".stripMargin)
+    assert(out.contains("# this is not a comment but a title"), out)
+    assert(out.contains("// this is not a comment either"), out)
+  }
 }
