@@ -123,6 +123,21 @@ object TimeSeries {
         .orderBy("user_id", "t_us")
     }),
 
+    // ---- MAP_DISTANCE reference semantics: per-leg, not cumulative ----
+    // (fm_monad.go:2109-2143; lon offset +0.5 keeps every point off the
+    // (0,0) "no fix" sentinel so lag() is an exact oracle)
+    "q_map_distance_leg" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.filter(col("user_id") < 10)
+        .select(col("user_id"), tsUs(e0).as("t_us"),
+          ((col("value") - 250d) / 10d).as("lat"),
+          (pmod(col("event_id"), lit(360)).cast("double") + 0.5d - 180d).as("lon"))
+      e.select(col("user_id"), col("t_us"),
+        fround(SeqOps.legDistance(col("lat"), col("lon"),
+          Seq(col("user_id")), col("t_us")), 1).as("leg_m"))
+        .orderBy("user_id", "t_us")
+    }),
+
     // ---- MAP_LOWPASS (recursive state via per-series scan) ------------
     "q_map_lowpass" -> ((s, dir) => {
       val e0 = t(s, dir, "events")
@@ -313,6 +328,23 @@ object TimeSeries {
            FROM events WHERE user_id < 50)
          WHERE prev IS NULL OR prev <> event_type
          ORDER BY user_id, t_us""",
+    "q_map_distance_leg" ->
+      """WITH pts AS (
+           SELECT user_id, epoch_us(ts) AS t_us,
+             (value - 250)/10 AS lat,
+             CAST(event_id % 360 AS DOUBLE) + 0.5 - 180 AS lon
+           FROM events WHERE user_id < 10),
+         legs AS (
+           SELECT user_id, t_us,
+             2 * 6378137.0 * asin(sqrt(
+               sin(radians(lat - lag(lat) OVER w)/2) * sin(radians(lat - lag(lat) OVER w)/2)
+               + cos(radians(lag(lat) OVER w)) * cos(radians(lat))
+                 * sin(radians(lon - lag(lon) OVER w)/2) * sin(radians(lon - lag(lon) OVER w)/2)
+             )) AS leg
+           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_us))
+         SELECT user_id, t_us,
+           floor(coalesce(leg, 0) * 10 + 0.5) / 10 AS leg_m
+         FROM legs ORDER BY user_id, t_us""",
     "q_map_distance" ->
       """WITH pts AS (
            SELECT user_id, epoch_us(ts) AS t_us,
