@@ -123,6 +123,21 @@ object TimeSeries {
         .orderBy("user_id", "t_us")
     }),
 
+    // ---- time-part accessors (fm_time.go:53-229 surface) --------------
+    // Go Weekday() is 0=Sunday (Spark dayofweek - 1 == DuckDB dow);
+    // weekofyear/YEAROFWEEK are ISO like DuckDB week/isoyear
+    "q_time_parts" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val ts = timestamp_micros(graft.time.TimeFns.nsToUs(tsNs(e0)))
+      e0.filter(col("user_id") < 20)
+        .select(col("event_id"),
+          year(ts).as("y"), month(ts).as("mo"), dayofmonth(ts).as("d"),
+          hour(ts).as("h"), minute(ts).as("mi"), second(ts).as("sec"),
+          dayofyear(ts).as("yd"), weekofyear(ts).as("isow"),
+          (dayofweek(ts) - 1).as("wd"))
+        .orderBy("event_id")
+    }),
+
     // ---- MAP_DISTANCE reference semantics: per-leg, not cumulative ----
     // (fm_monad.go:2109-2143; lon offset +0.5 keeps every point off the
     // (0,0) "no fix" sentinel so lag() is an exact oracle)
@@ -328,6 +343,18 @@ object TimeSeries {
            FROM events WHERE user_id < 50)
          WHERE prev IS NULL OR prev <> event_type
          ORDER BY user_id, t_us""",
+    "q_time_parts" ->
+      """SELECT event_id,
+           CAST(date_part('year', ts) AS INT) AS y,
+           CAST(date_part('month', ts) AS INT) AS mo,
+           CAST(date_part('day', ts) AS INT) AS d,
+           CAST(date_part('hour', ts) AS INT) AS h,
+           CAST(date_part('minute', ts) AS INT) AS mi,
+           CAST(date_part('second', ts) AS INT) AS sec,
+           CAST(date_part('doy', ts) AS INT) AS yd,
+           CAST(date_part('week', ts) AS INT) AS isow,
+           CAST(date_part('dow', ts) AS INT) AS wd
+         FROM events WHERE user_id < 20 ORDER BY event_id""",
     "q_map_distance_leg" ->
       """WITH pts AS (
            SELECT user_id, epoch_us(ts) AS t_us,
