@@ -2198,6 +2198,10 @@ object Compiler {
     }
     val cacheSpec = st.call.args.collectFirst {
       case Call("cache", keyE :: Str(ttl) :: rest) =>
+        // only row encoders cache (fm_encoder.go:21-27)
+        if (!Set("JSON", "CSV", "NDJSON", "TEXT", "HTML", "BOX")(fmt))
+          throw new IllegalArgumentException(
+            s"encoder '${fmt.toLowerCase}' does not support cache")
         val ratio = rest.collectFirst { case Num(r) => r }.getOrElse(1.0)
         // namespace by script source (tqlcache.go:142 uses path:hash:key)
         (currentScriptHash.get + ":" + constString(keyE),
@@ -2294,11 +2298,19 @@ object Compiler {
     import Expr._
     def a(i: Int): Column = toColumn(args(i), p)
     name match {
-      case "value" => args match {
-        case List(Num(i)) => vcol(p.values(i.toInt))
-        case Nil => vcol(p.values.head)
-        case _ => throw new IllegalArgumentException("value(n)")
-      }
+      case "value" =>
+        def at(i: Int): Column = {
+          if (i >= p.values.size) throw new IllegalArgumentException(
+            s"f(value) arg(0) $i is out of range of the value(len:${p.values.size}) in ")
+          vcol(p.values(i))
+        }
+        args match {
+          case List(Num(i)) => at(i.toInt)
+          // numeric-string index works too (fm_context_test.go:47-49)
+          case List(Str(si)) if si.nonEmpty && si.forall(_.isDigit) => at(si.toInt)
+          case Nil => vcol(p.values.head)
+          case _ => throw new IllegalArgumentException("value(n)")
+        }
       case "key" => col(p.keyCol)
       case "param" => args match {
         // missing param -> null (GetRequestParam returns nil; `?? dflt` works)
@@ -2306,13 +2318,20 @@ object Compiler {
         case _ => throw new IllegalArgumentException("param('name')")
       }
       // sub-routine argument access (fm_context.go fmArgsParam)
-      case "args" => args match {
-        case List(Num(i)) =>
-          lit(currentParams.get.getOrElse("args", Seq.empty)
-            .lift(i.toInt).orNull)
-        case Nil => lit(currentParams.get.getOrElse("args", Seq.empty).mkString(","))
-        case _ => throw new IllegalArgumentException("args([n])")
-      }
+      case "args" =>
+        def argAt(i: Int): Column = {
+          val vals = currentParams.get.getOrElse("args", Seq.empty)
+          if (i >= vals.size) throw new IllegalArgumentException(
+            s"f(arg) arg(0) $i is out of range of the arg(len:${vals.size})")
+          lit(vals(i))
+        }
+        args match {
+          case List(Num(i)) => argAt(i.toInt)
+          // numeric-string index (fm_context_test.go:92-94)
+          case List(Str(si)) if si.nonEmpty && si.forall(_.isDigit) => argAt(si.toInt)
+          case Nil => lit(currentParams.get.getOrElse("args", Seq.empty).mkString(","))
+          case _ => throw new IllegalArgumentException("args([n])")
+        }
       // math (reference fx_definitions.go:79-105)
       case "abs" => abs(a(0))
       case "acos" => acos(a(0))

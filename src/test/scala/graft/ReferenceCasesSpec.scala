@@ -440,6 +440,23 @@ class ReferenceCasesSpec extends SparkSpec {
     assert(hourIn("GMT") == "14\n")  // Africa/Abidjan +0
   }
 
+  test("value('0') string index; out-of-range uses the reference message") {
+    // fm_context_test.go:47-55
+    assert(run("FAKE( json({ [7, 8] }))\nMAPVALUE(0, value(\"1\"))\nPOPVALUE(1)\nCSV()\n") == "8\n")
+    val err = intercept[IllegalArgumentException] {
+      run("FAKE( json({ [7, 8] }))\nMAPVALUE(0, value(2))\nCSV()\n")
+    }
+    assert(err.getMessage ==
+      "f(value) arg(0) 2 is out of range of the value(len:2) in ")
+  }
+
+  test("cache() is row-encoder-only (fm_encoder.go:21-27)") {
+    val err = intercept[IllegalArgumentException] {
+      run("FAKE( linspace(1, 1, 1) )\nMARKDOWN( cache('k', '60s') )\n")
+    }
+    assert(err.getMessage == "encoder 'markdown' does not support cache")
+  }
+
   test("escapeParam: Go url.QueryEscape byte-compat (func_test.go:55)") {
     val out = run(
       """FAKE( json({ ["a b/c*d~e&f=g"] }))
