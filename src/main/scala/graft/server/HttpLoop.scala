@@ -181,6 +181,55 @@ object HttpLoop {
     else rawUrl.take(qi) + "?" + params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
   }
 
+  /** `< path` / `< @path` body file directive (httpdsl/exec.go:407-432):
+    * bare path resolves against the serving root, @path is an OS path. */
+  private def fileDirective(line: String): Option[java.nio.file.Path] = {
+    val t = line.trim
+    if (!t.startsWith("< ")) return None
+    val p = t.stripPrefix("<").trim
+    if (p.isEmpty) None
+    else if (p.startsWith("@")) Some(java.nio.file.Paths.get(p.stripPrefix("@").trim))
+    else Some(java.nio.file.Paths.get(graft.tql.Compiler.templateRoot, p))
+  }
+
+  /** Body assembly per Content-Type (httpdsl/exec.go:300-370): multipart
+    * keeps one "\n" after EVERY line (boundary framing) and inlines file
+    * directives; urlencoded joins `&`-continuations without newlines;
+    * anything else is a plain LF join unless it leads with a directive. */
+  private def resolveBody(headers: Seq[(String, String)], lines: Seq[String]): Array[Byte] = {
+    val contentType = headers.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("Content-Type") => v.toLowerCase
+    }.getOrElse("")
+    def fileBytes(p: java.nio.file.Path): Array[Byte] =
+      java.nio.file.Files.readAllBytes(p) ++ "\n".getBytes("UTF-8")
+    if (contentType == "application/x-www-form-urlencoded") {
+      val b = new StringBuilder
+      lines.zipWithIndex.foreach { case (line, i) =>
+        b.append(line)
+        if (i != 0 && !line.startsWith("&")) b.append('\n')
+      }
+      b.toString.getBytes("UTF-8")
+    } else if (contentType.contains("multipart/form-data")) {
+      val out = new java.io.ByteArrayOutputStream()
+      lines.foreach { line =>
+        fileDirective(line) match {
+          case Some(p) => out.write(fileBytes(p))
+          case None => out.write((line + "\n").getBytes("UTF-8"))
+        }
+      }
+      out.toByteArray
+    } else if (fileDirective(lines.head).isDefined) {
+      val out = new java.io.ByteArrayOutputStream()
+      lines.foreach { line =>
+        fileDirective(line) match {
+          case Some(p) => out.write(fileBytes(p))
+          case None => out.write((line + "\n").getBytes("UTF-8"))
+        }
+      }
+      out.toByteArray
+    } else lines.mkString("\n").getBytes("UTF-8")
+  }
+
   private def buildRaw(req: ParsedReq): Array[Byte] = {
     val target = {
       val t = Option(req.url.getRawPath).filter(_.nonEmpty).getOrElse("/") +
@@ -189,7 +238,7 @@ object HttpLoop {
     }
     val body: Array[Byte] =
       if (req.body.isEmpty) Array.emptyByteArray
-      else req.body.mkString("\n").getBytes("UTF-8")
+      else resolveBody(req.headers, req.body)
     val sb = new StringBuilder
     sb.append(s"${req.method} $target ${req.version}\r\n")
     var hasHost = false

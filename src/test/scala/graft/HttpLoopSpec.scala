@@ -153,4 +153,47 @@ class HttpLoopSpec extends SparkSpec {
     assert(resp.startsWith("HTTP/1.1 200 OK"), resp.take(200))
     assert(resp.contains("0\n1\n2\n"), resp)
   }
+
+  test("HTTP() multipart inline body (fm_encoder_test.go:210-268)") {
+    // every body line keeps its newline so the boundary framing survives;
+    // the handler parses the parts back out of the raw bytes
+    val boundary = "----Boundary7MA4YWxkTrZu0gW"
+    @volatile var gotName = ""; @volatile var gotFile = ""
+    HttpLoop.handle("/upload") { (method, _, _, body) =>
+      assert(method == "POST")
+      val parts = new String(body, "UTF-8").split(
+        java.util.regex.Pattern.quote("--" + boundary)).toSeq
+      def fieldOf(p: String) = p.split("\n\n", 2) match {
+        case Array(head, content) => (head, content.stripSuffix("\n"))
+        case _ => ("", "")
+      }
+      parts.foreach { p =>
+        val (head, content) = fieldOf(p.stripPrefix("\n"))
+        if (head.contains("name=\"NAME\"")) gotName = content
+        if (head.contains("name=\"DATA\"")) gotFile = content
+      }
+      (200, "text/plain", "uploaded".getBytes("UTF-8"))
+    }
+    val resp = Tql.run(spark,
+      s"""HTTP({
+         |  POST http://127.0.0.1:$port/upload
+         |  Content-Type: multipart/form-data; boundary=$boundary
+         |
+         |--$boundary
+         |Content-Disposition: form-data; name="NAME"
+         |
+         |camera-1
+         |--$boundary
+         |Content-Disposition: form-data; name="DATA"; filename="image_file.svg"
+         |Content-Type: image/svg
+         |
+         |<svg width="100" height="100"></svg>
+         |--$boundary--
+         |})
+         |TEXT()
+         |""".stripMargin)
+    assert(resp.contains("HTTP/1.1 200 OK") && resp.contains("uploaded"), resp.take(300))
+    assert(gotName == "camera-1", gotName)
+    assert(gotFile.contains("<svg width=\"100\""), gotFile)
+  }
 }
