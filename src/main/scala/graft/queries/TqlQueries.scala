@@ -85,9 +85,43 @@ object TqlQueries {
           |TAKE(50)
           |CSV()
           |""".stripMargin).output
+    }),
+
+    // QUERY with between(a, b, period): the generator's half-up
+    // round(time/period)*period bucket aggregation, executed (the dump()
+    // form of the same SQL is golden-matched in ReferenceCasesSpec)
+    "q_tql_query_period" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      // µs-truncated ns (×1000) — DuckDB reads the same column at µs, so
+      // the oracle's epoch_us(ts)*1000 must see identical ns values
+      e0.filter(col("user_id") < 5)
+        .select(lit("t1").as("name"), (tsUs(e0) * 1000L).as("time"), col("value"))
+        .createOrReplaceTempView("tql_tag_q")
+      Tql.compile(s,
+        """QUERY('MIN(value)', 'MAX(value)', 'COUNT(value)', from('tql_tag_q', 't1'), between(1704412800000000000, 1704499199999999999, '1h'))
+          |CSV()
+          |""".stripMargin).output
+        .select(unix_micros(col("time")).as("t_us"),
+          col("`MIN(value)`").as("mn"), col("`MAX(value)`").as("mx"),
+          col("`COUNT(value)`").cast("long").as("cnt"))
+        .orderBy("t_us")
     }))
 
   val oracles: Map[String, String] = Map(
+    // the bucket mirrors Spark's exact instruction sequence:
+    // floor(double(t_ns + period/2) / double(period)) * period
+    "q_tql_query_period" ->
+      """SELECT CAST(b_ns // 1000 AS BIGINT) AS t_us,
+           min(value) AS mn, max(value) AS mx, count(value) AS cnt
+         FROM (
+           SELECT CAST(floor(CAST(epoch_us(ts)*1000 + 1800000000000 AS DOUBLE)
+                    / 3600000000000.0) AS BIGINT) * 3600000000000 AS b_ns,
+             value
+           FROM events
+           WHERE user_id < 5
+             AND epoch_us(ts)*1000 >= 1704412800000000000
+             AND epoch_us(ts)*1000 <= 1704499199999999999)
+         GROUP BY 1 ORDER BY 1""",
     "q_script_tql" ->
       """SELECT event_id, value2, bucket FROM (
            SELECT 0 AS grp, event_id, value*2 AS value2,
