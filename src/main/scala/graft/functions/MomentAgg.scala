@@ -57,7 +57,52 @@ class MomentAgg(k: Int) extends Aggregator[Double, MomentBuf, Double] {
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
+/** Weighted k-th central moment E_w[(x−μ_w)^k] = ΣC(k,i)(S_i/W)(−μ_w)^{k−i}
+  * over weighted power sums S_i = Σw·x^i, W = Σw (gonum stat.Moment with
+  * weights — the reference's GroupColumnMoment wv path). */
+class WeightedMomentAgg(k: Int) extends Aggregator[(Double, Double), MomentBuf, Double] {
+  require(k >= 1 && k <= 8, "moment order must be in [1,8]")
+
+  def zero: MomentBuf = MomentBuf(0L, Array.fill(k + 1)(0d))
+
+  def reduce(b: MomentBuf, xw: (Double, Double)): MomentBuf = {
+    val (x, w) = xw
+    var p = w
+    var i = 0
+    while (i <= k) { b.sums(i) += p; p *= x; i += 1 }
+    MomentBuf(b.n + 1, b.sums)
+  }
+
+  def merge(a: MomentBuf, b: MomentBuf): MomentBuf = {
+    var i = 0
+    while (i <= k) { a.sums(i) += b.sums(i); i += 1 }
+    MomentBuf(a.n + b.n, a.sums)
+  }
+
+  def finish(b: MomentBuf): Double = {
+    if (b.n == 0) return Double.NaN
+    val sw = b.sums(0)
+    val mu = b.sums(1) / sw
+    var acc = 0d
+    var i = 0
+    while (i <= k) {
+      var c = 1d; var j = 0
+      while (j < i) { c = c * (k - j) / (j + 1); j += 1 }
+      acc += c * (b.sums(i) / sw) * math.pow(-mu, (k - i).toDouble)
+      i += 1
+    }
+    acc
+  }
+
+  def bufferEncoder: Encoder[MomentBuf] = Encoders.product[MomentBuf]
+  def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
 object MomentAgg {
   /** Column form: `moment(col, 3)`. */
   def moment(x: Column, k: Int): Column = udaf(new MomentAgg(k)).apply(x)
+
+  /** Weighted column form: `moment(col, k, weight(w))`. */
+  def weightedMoment(x: Column, w: Column, k: Int): Column =
+    udaf(new WeightedMomentAgg(k)).apply(x, w)
 }

@@ -44,6 +44,33 @@ object StatFns {
   /** Linear-regression slope of y on x (reference `lrs`, fm_monad.go:1213). */
   def lrs(x: Column, y: Column): Column = regr_slope(y, x)
 
+  /** Weighted empirical CDF at q: Σw[v≤q]/Σw (gonum stat.CDF weighted). */
+  def weightedCdf(x: Column, w: Column, q: Double): Column =
+    sum(when(x <= q, w).otherwise(0d)) / sum(w)
+
+  /** Weighted covariance Σw(x−x̄w)(y−ȳw)/(Σw−1), single-pass expansion
+    * (gonum stat.Covariance with weights — fm_monad.go:1233). */
+  def weightedCovariance(x: Column, y: Column, w: Column): Column = {
+    val sw = sum(w)
+    val mx = sum(x * w) / sw
+    val my = sum(y * w) / sw
+    (sum(x * y * w) - sw * mx * my) / (sw - 1d)
+  }
+
+  /** Weighted Pearson correlation (gonum stat.Correlation). */
+  def weightedCorrelation(x: Column, y: Column, w: Column): Column =
+    weightedCovariance(x, y, w) /
+      (sqrt(weightedVariance(x, w)) * sqrt(weightedVariance(y, w)))
+
+  /** Weighted OLS slope of y on x (gonum stat.LinearRegression,
+    * origin=false): Σw(x−x̄w)(y−ȳw) / Σw(x−x̄w)². */
+  def weightedLrs(x: Column, y: Column, w: Column): Column = {
+    val sw = sum(w)
+    val mx = sum(x * w) / sw
+    val my = sum(y * w) / sw
+    (sum(x * y * w) - sw * mx * my) / (sum(x * x * w) - sw * mx * mx)
+  }
+
   /** Exact interpolated quantile (gonum LinInterp ≈ SQL percentile). */
   def quantileInterpolated(x: Column, p: Double): Column = percentile(x, lit(p))
 

@@ -1673,23 +1673,34 @@ object Compiler {
     val pq = rest.collectFirst { case Expr.Num(v) => v }
     (fn, weightE) match {
       // cdf(v, q): empirical CDF at q (fm_monad.go:935-940, 1324-1329)
-      case ("cdf", _) =>
+      case ("cdf", None) =>
         StatFns.cdf(c, pq.getOrElse(
           throw new IllegalArgumentException("cdf(v, q)")))
+      case ("cdf", Some(w)) =>
+        StatFns.weightedCdf(c, w, pq.getOrElse(
+          throw new IllegalArgumentException("cdf(v, q)")))
       // moment(v, k): k-th central moment (fm_monad.go:970-975, gonum)
-      case ("moment", _) =>
+      case ("moment", None) =>
         graft.functions.MomentAgg.moment(c, pq.map(_.toInt).getOrElse(
           throw new IllegalArgumentException("moment(v, k)")))
+      case ("moment", Some(w)) =>
+        graft.functions.MomentAgg.weightedMoment(c, w, pq.map(_.toInt).getOrElse(
+          throw new IllegalArgumentException("moment(v, k)")))
       // two-column relation aggregators (GroupColumnRelation,
-      // fm_monad.go:1213-1240): lrs = OLS slope of y on x
-      case ("lrs" | "correlation" | "covariance", _) =>
+      // fm_monad.go:1213-1240): lrs = OLS slope of y on x; weight()
+      // rides the y-slice (nums.WeightedFloat64Slice) like gonum's
+      // weighted stat.* forms
+      case ("lrs" | "correlation" | "covariance", wOpt) =>
         val y = rest.find(e => !isAggOption(e))
           .map(e => toColumn(e, p).cast("double"))
           .getOrElse(throw new IllegalArgumentException(s"$fn(x, y)"))
-        fn match {
-          case "lrs" => StatFns.lrs(c, y)
-          case "correlation" => corr(c, y)
-          case _ => covar_samp(c, y)
+        (fn, wOpt) match {
+          case ("lrs", None) => StatFns.lrs(c, y)
+          case ("lrs", Some(w)) => StatFns.weightedLrs(c, y, w)
+          case ("correlation", None) => corr(c, y)
+          case ("correlation", Some(w)) => StatFns.weightedCorrelation(c, y, w)
+          case (_, None) => covar_samp(c, y)
+          case (_, Some(w)) => StatFns.weightedCovariance(c, y, w)
         }
       case ("quantile", None) =>
         quantileEmpirical(c, pq.getOrElse(

@@ -139,6 +139,23 @@ class ReferenceCasesSpec extends SparkSpec {
     assert(out == "a,2.3000,0.9944,3.8333,0.5000,6.6875\n", out)
   }
 
+  test("GROUP weighted relation aggregators (GroupColumnRelation + wv)") {
+    // x=[1,2], y=[2,4], w=[1,2] — gonum weighted forms: cov_w =
+    // (Σwxy − SW·mx·my)/(SW−1) = 2/3; corr_w = 1 (y = 2x exactly);
+    // lrs_w slope = 2; E_w[(y−μ_w)²] = 8/9; cdf_w(2.5) = 1/3
+    val out = run(
+      """FAKE( json({ ["a", 1, 2, 1], ["a", 2, 4, 2] }))
+        |GROUP(by(value(0)),
+        |      lrs(value(1), value(2), weight(value(3)), 'slope'),
+        |      correlation(value(1), value(2), weight(value(3)), 'corr'),
+        |      covariance(value(1), value(2), weight(value(3)), 'cov'),
+        |      cdf(value(2), 2.5, weight(value(3)), 'cdf'),
+        |      moment(value(2), 2, weight(value(3)), 'm2'))
+        |CSV( precision(4) )
+        |""".stripMargin)
+    assert(out == "a,2.0000,1.0000,0.6667,0.3333,0.8889\n", out)
+  }
+
   test("UTIL_time_parts: Go accessors over epoch-ns (fm_time.go:53-229)") {
     // 2024-03-05 14:30:45.123456789 UTC — a Tuesday, day 65, ISO week 10.
     // The ns value rides as a JSON string: a 19-digit literal is not
