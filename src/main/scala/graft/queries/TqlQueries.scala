@@ -98,7 +98,7 @@ object TqlQueries {
         .select(lit("t1").as("name"), (tsUs(e0) * 1000L).as("time"), col("value"))
         .createOrReplaceTempView("tql_tag_q")
       Tql.compile(s,
-        """QUERY('MIN(value)', 'MAX(value)', 'COUNT(value)', from('tql_tag_q', 't1'), between(1704412800000000000, 1704499199999999999, '1h'))
+        """QUERY('MIN(value)', 'MAX(value)', 'COUNT(value)', from('tql_tag_q', 't1'), between(1704412800000000000, 1704499200000000000, '1h'))
           |CSV()
           |""".stripMargin).output
         .select(unix_micros(col("time")).as("t_us"),
@@ -120,7 +120,7 @@ object TqlQueries {
            FROM events
            WHERE user_id < 5
              AND epoch_us(ts)*1000 >= 1704412800000000000
-             AND epoch_us(ts)*1000 <= 1704499199999999999)
+             AND epoch_us(ts)*1000 <= 1704499200000000000)
          GROUP BY 1 ORDER BY 1""",
     "q_script_tql" ->
       """SELECT event_id, value2, bucket FROM (
