@@ -20,6 +20,8 @@ object Extra {
   private val ArrivalSkewNs = 5000000000L
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.similarity.Ivf.Index]
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.similarity.Pq.Index]
 
   val defs: Map[String, QueryFn] = Map(
     // ---- FILTER_CHANGED(retain(dur)) ----------------------------------
@@ -214,6 +216,21 @@ object Extra {
         graft.similarity.Ivf.train(emb, k = 8, iters = 3))
       graft.similarity.Ivf.topK(emb.filter(col("vec_id") < 5), emb, index,
           k = 10, nprobe = index.k)
+        .select(col("qid"), col("rnk"), col("eid"), r6(col("cos_sim")).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // ---- PQ ANN (product-quantized codes + ADC scan + exact rerank;
+    // rows-only like the other approximate modes — recall spec'd in
+    // PqSpec). The 100 TB shape: the corpus scan touches m-int codes,
+    // full vectors load only for the k·factor rerank pool -------------
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = pqCache.getOrElseUpdate(s"$dir/embeddings.parquet",
+        graft.similarity.Pq.train(emb, m = 16, ksub = 16, iters = 3))
+      val codes = graft.similarity.Pq.encode(emb, index)
+      graft.similarity.Pq.topKRerank(emb.filter(col("vec_id") < 5), codes, emb,
+          index, k = 10, factor = 4)
         .select(col("qid"), col("rnk"), col("eid"), r6(col("cos_sim")).as("cos_sim"))
         .orderBy("qid", "rnk")
     }))

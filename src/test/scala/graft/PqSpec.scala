@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.{Ann, Pq}
+
+/** Product quantization: codebook determinism, encode shape, ADC recall
+  * against brute-force cosine, and the exact-rerank path. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val index = Pq.train(emb, m = 16, ksub = 16, iters = 3)
+
+  test("training is deterministic and codebooks are well-formed") {
+    val again = Pq.train(emb, m = 16, ksub = 16, iters = 3)
+    assert(index.m == 16 && index.dsub == 4 && index.ksub == 16)
+    assert(index.codebooks.flatten.flatten.toSeq == again.codebooks.flatten.flatten.toSeq)
+  }
+
+  test("encode emits one m-length code per vector, codes in range") {
+    val codes = Pq.encode(emb, index)
+    assert(codes.count() == emb.count())
+    val row = codes.orderBy("eid").first()
+    val code = row.getSeq[Int](1)
+    assert(code.length == 16 && code.forall(c => c >= 0 && c < 16))
+  }
+
+  test("ADC topK recall vs brute force; exact rerank recovers the tail") {
+    val q = emb.filter($"vec_id" < 5)
+    val brute = Ann.bruteForceTopK(q, emb, k = 10)
+      .select("qid", "eid").as[(Long, Long)].collect().toSet
+    val codes = Pq.encode(emb, index)
+    val adc = Pq.topK(q, codes, index, k = 10)
+      .select("qid", "eid").as[(Long, Long)].collect().toSet
+    val adcRecall = (brute intersect adc).size.toDouble / brute.size
+    assert(adcRecall >= 0.4, s"adc recall=$adcRecall")
+    val reranked = Pq.topKRerank(q, codes, emb, index, k = 10, factor = 4)
+      .select("qid", "eid").as[(Long, Long)].collect().toSet
+    val rerankRecall = (brute intersect reranked).size.toDouble / brute.size
+    assert(rerankRecall >= adcRecall, s"rerank=$rerankRecall adc=$adcRecall")
+    assert(rerankRecall >= 0.6, s"rerank recall=$rerankRecall")
+  }
+}
