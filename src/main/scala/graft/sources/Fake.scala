@@ -56,9 +56,16 @@ object Fake {
     * Row values accumulate exactly like the reference's `v += step` loop
     * would — but computed as a + i·step, identical for exact steps. */
   def arrange(spark: SparkSession, a: Double, b: Double, step: Double): DataFrame = {
-    require(step != 0d, "arrange step can not be 0")
-    require(a != b, "arrange start, stop can not be equal")
-    require(!(a < b && step < 0) && !(a > b && step > 0), "arrange step sign mismatch")
+    // diagnostics are the reference's own strings (tql_test.go
+    // FAKE_arrange_* error battery; fm_fake.go fmArrange)
+    if (step == 0d)
+      throw new IllegalArgumentException("FUNCTION \"arrange\" step can not be 0")
+    if (a == b)
+      throw new IllegalArgumentException("FUNCTION \"arrange\" start, stop can not be equal")
+    if (a < b && step < 0)
+      throw new IllegalArgumentException("FUNCTION \"arrange\" step can not be less than 0")
+    if (a > b && step > 0)
+      throw new IllegalArgumentException("FUNCTION \"arrange\" step can not be greater than 0")
     // count of v = a + i*step while (a<b ? v<=b : v>=b), replicating the
     // accumulating loop's boundary behavior
     var n = 0L

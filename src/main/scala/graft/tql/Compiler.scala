@@ -402,6 +402,9 @@ object Compiler {
         // between(...)) — emits (timeCol, cols...) with the time column
         // surfaced as a datetime (reference fm_dbsrc.go:56-92)
         compileQueryV1(spark, args, needKey, nowNs)
+      case Call("FAKE", List(Num(_))) =>
+        // FAKE(123) (tql_test.go FAKE_invalid_generator_type)
+        throw new IllegalArgumentException("f(FAKE) arg(0) should be fakeSource, but float64")
       case Call("FAKE", List(gen: Call)) =>
         compileFake(spark, gen, needKey)
       case Call("CSV", Call("file", List(Str(path))) :: rest) =>
@@ -970,11 +973,20 @@ object Compiler {
                                  Call("linspace", List(Num(ya), Num(yb), Num(yn))))) =>
         keyed(Fake.meshgrid(spark, xa, xb, xn.toInt, ya, yb, yn.toInt), Seq("x", "y"))
       case Call("oscillator", args) =>
+        // argument diagnostics mirror fm_fake.go fmOscillator
+        // (tql_test.go FAKE_oscillator_* error battery)
+        args.collectFirst { case Num(_) => () }.foreach { _ =>
+          throw new IllegalArgumentException("f(oscillator) invalid arg type 'float64'")
+        }
         val freqs = args.collect { case Call("freq", List(Num(hz), Num(amp))) => Fake.Freq(hz, amp) }
-        val rng = args.collectFirst {
+        val ranges = args.collect {
           case Call("range", List(startE, Str(dur), Str(period))) =>
             (evalConstNs(startE), graft.time.TimeFns.parseDurationNs(dur), graft.time.TimeFns.parseDurationNs(period))
-        }.getOrElse(throw new IllegalArgumentException("oscillator needs range(t,'dur','period')"))
+        }
+        if (ranges.length > 1)
+          throw new IllegalArgumentException("f(oscillator) duplicated time range")
+        val rng = ranges.headOption.getOrElse(
+          throw new IllegalArgumentException("f(oscillator) no time range is defined"))
         require(freqs.nonEmpty, "oscillator needs freq(hz, amp)")
         keyed(Fake.oscillator(spark, freqs, rng._1, rng._2, rng._3), Seq("time", "value"))
       case Call("sphere", List(Num(la), Num(lo))) =>

@@ -445,6 +445,29 @@ class ReferenceCasesSpec extends SparkSpec {
     spark.catalog.dropTempView("qp_tag")
   }
 
+  test("FAKE error battery: reference diagnostics (tql_test.go FAKE_*)") {
+    def err(script: String): String =
+      intercept[IllegalArgumentException] { run(script) }.getMessage
+    assert(err("FAKE( 123 )\nCSV()\n") ==
+      "f(FAKE) arg(0) should be fakeSource, but float64")
+    assert(err("FAKE( arrange(10, 30, 0) )\nCSV()\n") ==
+      "FUNCTION \"arrange\" step can not be 0")
+    assert(err("FAKE( arrange(10, 10, 10) )\nCSV()\n") ==
+      "FUNCTION \"arrange\" start, stop can not be equal")
+    assert(err("FAKE( arrange(10, 30, -10) )\nCSV()\n") ==
+      "FUNCTION \"arrange\" step can not be less than 0")
+    assert(err("FAKE( arrange(30, 10, 10) )\nCSV()\n") ==
+      "FUNCTION \"arrange\" step can not be greater than 0")
+    assert(err("FAKE( oscillator() )\nJSON()\n") ==
+      "f(oscillator) no time range is defined")
+    assert(err("FAKE( oscillator(123) )\nJSON()\n") ==
+      "f(oscillator) invalid arg type 'float64'")
+    assert(err("FAKE( oscillator(freq(1.0, 1.0)) )\nJSON()\n") ==
+      "f(oscillator) no time range is defined")
+    assert(err("FAKE( oscillator(freq(1.0, 1.0), range(time('now-1s'), '1s', '200ms'), range(time('now-1s'), '1s', '200ms')) )\nJSON()\n") ==
+      "f(oscillator) duplicated time range")
+  }
+
   test("tz_aliases: KST/EEST/GMT resolve like util/time_locations_test.go") {
     val ns = "\"1709649045123456789\"" // 2024-03-05 14:30:45 UTC
     def hourIn(z: String) = run(
