@@ -152,27 +152,48 @@ object SeqOps {
       .filter(col("__keep")).drop("__keep")
   }
 
-  /** FILTER_CHANGED(retain(time, duration)): a change is only emitted
-    * after the new value has remained unchanged for `durationNs`
-    * (reference fm_monad.go:141-186 — the record is held back and
-    * released once the value proves stable; changes that revert sooner
-    * are suppressed). Emitted rows are the change points whose run lasted
-    * at least the retain duration (runs still open at stream end are
-    * emitted too, matching the reference's EOF flush). */
-  def filterChangedRetain(df: DataFrame, v: Column, key: Seq[Column], time: Column,
-                          durationNs: Long): DataFrame = {
-    val ws = w(key, time)
+  /** FILTER_CHANGED(retain(time, duration)) — the reference's exact
+    * emission rule (fm_monad.go:139-186, tql_test.go FILTER_CHANGED_time):
+    * the stream's very first record always emits; after a value change, a
+    * run emits exactly one more record — the FIRST record whose retain
+    * time is ≥ duration past the run's opening time (the record that
+    * PROVES stability, with its own values). Runs that never produce a
+    * confirming record emit nothing. With `useFirst` (the
+    * useFirstWithLast option) the run's opening record is emitted instead
+    * of the confirming one.
+    *
+    * `order` sequences the stream (arrival rownum on the TQL path);
+    * `rtime` is the retain() time expression in the same unit as
+    * `durationNs`'s interpretation. */
+  def filterChangedRetain(df: DataFrame, v: Column, key: Seq[Column], order: Column,
+                          rtime: Column, durationNs: Long,
+                          useFirst: Boolean = false,
+                          withLast: Boolean = false): DataFrame = {
+    val ws = w(key, order)
     val prev = lag(v, 1).over(ws)
-    val changes = df
-      .withColumn("__chg", prev.isNull || prev =!= v)
-      .filter(col("__chg"))
-    // a change at t survives iff the next change happens ≥ duration later
-    // (or never — the reference flushes the pending record at EOF)
-    val nextChg = lead(time, 1).over(w(key, time))
-    changes
-      .withColumn("__stable", nextChg.isNull || nextChg - time >= durationNs)
-      .filter(col("__stable"))
-      .drop("__chg", "__stable")
+    val runFrame = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d1 = df
+      .withColumn("__rt", rtime.cast("long"))
+      .withColumn("__rn", row_number().over(ws))
+      .withColumn("__chg", when(prev.isNull || prev =!= v, 1).otherwise(0))
+      .withColumn("__run", sum(col("__chg")).over(runFrame))
+    val wr = Window.partitionBy(key :+ col("__run"): _*).orderBy(col("__rn"))
+    val t0 = first(col("__rt"))
+      .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val d2 = d1
+      .withColumn("__cand", col("__rt") - t0 >= durationNs)
+      .withColumn("__runFirst", row_number().over(wr) === 1)
+    val minCand = min(when(col("__cand"), col("__rn")))
+      .over(wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    val maxRn = max(col("__rn"))
+      .over(w(key, order).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    val base =
+      if (useFirst) col("__rn") === 1 || (col("__runFirst") && minCand.isNotNull)
+      else col("__rn") === 1 || (col("__cand") && col("__rn") === minCand)
+    val emit = if (withLast) base || col("__rn") === maxRn else base
+    d2.withColumn("__emit", emit)
+      .filter(col("__emit"))
+      .drop("__rt", "__rn", "__chg", "__run", "__cand", "__runFirst", "__emit")
   }
 
   /** THROTTLE(tps): pacing only matters on the streaming path — batch

@@ -30,7 +30,7 @@ object Extra {
       val e = e0.filter(col("user_id") < 50)
         .select(col("user_id"), tsUs(e0).as("t_us"), col("event_type"))
       SeqOps.filterChangedRetain(e, col("event_type"), Seq(col("user_id")),
-        col("t_us"), 600000000L) // 10 min in µs
+        col("t_us"), col("t_us"), 600000000L) // 10 min in µs
         .orderBy("user_id", "t_us")
     }),
 
@@ -267,17 +267,24 @@ object Extra {
              'min') AS winnow
          FROM w ORDER BY doc_id""",
     "q_filter_changed_retain" ->
-      """WITH chg AS (
-           SELECT user_id, epoch_us(ts) AS t_us, event_type,
-             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      """WITH src AS (
+           SELECT user_id, epoch_us(ts) AS t_us, event_type
            FROM events WHERE user_id < 50),
-         c2 AS (SELECT user_id, t_us, event_type FROM chg
-                WHERE prev IS NULL OR prev <> event_type),
-         c3 AS (SELECT user_id, t_us, event_type,
-                  lead(t_us) OVER (PARTITION BY user_id ORDER BY t_us) AS nxt
-                FROM c2)
-         SELECT user_id, t_us, event_type FROM c3
-         WHERE nxt IS NULL OR nxt - t_us >= 600000000
+         r AS (SELECT *, row_number() OVER w AS rn,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                        OR lag(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS chg
+               FROM src WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+         r2 AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY rn) AS run
+                FROM r),
+         r3 AS (SELECT *, min(t_us) OVER (PARTITION BY user_id, run) AS t0
+                FROM r2),
+         r4 AS (SELECT *, CASE WHEN t_us - t0 >= 600000000 THEN rn END AS cand_rn
+                FROM r3),
+         r5 AS (SELECT *, min(cand_rn) OVER (PARTITION BY user_id, run) AS min_cand
+                FROM r4)
+         SELECT user_id, t_us, event_type FROM r5
+         WHERE rn = 1 OR (cand_rn IS NOT NULL AND rn = min_cand)
          ORDER BY user_id, t_us""",
     "q_histogram_category" ->
       """SELECT CAST(bin*50.0 AS DOUBLE) AS low, CAST((bin+1)*50.0 AS DOUBLE) AS high,

@@ -143,8 +143,10 @@ object Compiler {
     currentParams.set(params)
     currentNowNs.set(nowNs)
     currentScriptHash.set(scriptHash(script))
-    // #pragma log-level=<lvl> gates the task log (TestPragma)
-    "(?im)^\\s*#pragma\\s+log-level\\s*=\\s*(\\w+)".r.findFirstMatchIn(script)
+    // #pragma log-level=<lvl> and the //+ comment form gate the task
+    // log (task_test.go TestPragma / tql_pragma_test.go TestPragma2)
+    "(?im)^\\s*(?:#pragma|//\\+)\\s+.*?log-level\\s*=\\s*(\\w+)".r
+      .findFirstMatchIn(script)
       .foreach(m => TqlLog.setLevel(m.group(1)))
     try {
       val pipe0 = compileSource(spark, src, needKey, nowNs)
@@ -1290,12 +1292,24 @@ object Compiler {
 
       case Call("FILTER_CHANGED", v :: rest) =>
         val retain = rest.collectFirst {
-          case Call("retain", List(_, Str(dur))) => graft.time.TimeFns.parseDurationNs(dur)
+          case Call("retain", List(timeE, Str(dur))) =>
+            (nsLongOf(timeE, p), graft.time.TimeFns.parseDurationNs(dur))
+        }
+        val useFirstLast = rest.collectFirst {
+          case Call("useFirstWithLast", List(Bool(b))) => b
+          case Call("useFirstWithLast", Nil) => false
         }
         retain match {
-          case Some(durNs) =>
+          case Some((rtime, durNs)) =>
+            // retain(time, dur): the stabilization-record rule; the
+            // useFirstWithLast option swaps in the run opener + EOF tail
             p.copy(df = graft.operators.SeqOps.filterChangedRetain(
-              p.df, toColumn(v, p), Seq(lit(1)), col(p.keyCol), durNs))
+              p.df, toColumn(v, p), Seq(lit(1)), col(p.keyCol), rtime, durNs,
+              useFirst = useFirstLast.isDefined,
+              withLast = useFirstLast.getOrElse(false)))
+          case None if useFirstLast.isDefined =>
+            p.copy(df = graft.operators.SeqOps.filterChangedFirstLast(
+              p.df, toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
           case None =>
             p.copy(df = graft.operators.SeqOps.filterChanged(
               p.df, toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
@@ -2462,14 +2476,26 @@ object Compiler {
         }
         timestamp_micros(floor(nsExpr.cast("decimal(25,0)") / lit(1000)).cast("long"))
       case "parseTime" => args match {
-        case x :: Str(fmt) :: _ => fmt match {
-          case "s" => toColumn(x, p).cast("long")
-          case "ms" => toColumn(x, p).cast("long")
-          case "us" => toColumn(x, p).cast("long")
-          case "ns" => toColumn(x, p).cast("long")
-          case pattern => to_timestamp(toColumn(x, p),
-            graft.time.TimeFns.translateTimeformat(pattern)).cast("long")
-        }
+        // parseTime(v, fmt[, tz]) → a datetime value (fm_time.go
+        // fmParseTime; the reference returns time.Time — here the µs
+        // timestamp every sink timeformat understands). Epoch modes are
+        // tz-less; pattern mode parses wall-clock text in the given
+        // location (tz may be a tz() call or a bare string like "Local")
+        case x :: Str(fmt) :: rest =>
+          val c = toColumn(x, p)
+          val tzName = rest.collectFirst {
+            case Call("tz", List(Str(z))) => graft.time.TimeFns.resolveTz(z)
+            case Str(z) => graft.time.TimeFns.resolveTz(z)
+          }
+          fmt match {
+            case "s" => timestamp_micros(c.cast("long") * 1000000L)
+            case "ms" => timestamp_micros(c.cast("long") * 1000L)
+            case "us" => timestamp_micros(c.cast("long"))
+            case "ns" => timestamp_micros(graft.time.TimeFns.nsToUs(c.cast("long")))
+            case pattern =>
+              val ts = to_timestamp(c, graft.time.TimeFns.translateTimeformat(pattern))
+              tzName.filter(_ != "UTC").map(z => to_utc_timestamp(ts, z)).getOrElse(ts)
+          }
         case _ => throw new IllegalArgumentException("parseTime(v, fmt[, tz])")
       }
       case "roundTime" => args match {

@@ -445,6 +445,43 @@ class ReferenceCasesSpec extends SparkSpec {
     spark.catalog.dropTempView("qp_tag")
   }
 
+  test("FILTER_CHANGED_time: retain emits the stabilization record (tql_test.go)") {
+    val out = run(
+      """FAKE(json({
+        |  ["A", 1692329338, 1.0],
+        |  ["A", 1692329339, 2.0],
+        |  ["B", 1692329340, 3.0],
+        |  ["B", 1692329341, 4.0],
+        |  ["B", 1692329342, 5.0],
+        |  ["B", 1692329343, 6.0],
+        |  ["B", 1692329344, 7.0],
+        |  ["B", 1692329345, 8.0],
+        |  ["C", 1692329346, 9.0],
+        |  ["D", 1692329347, 9.1],
+        |  ["D", 1692329348, 9.2],
+        |  ["D", 1692329349, 9.3]
+        |}))
+        |MAPVALUE(1, parseTime(value(1), "s", tz("UTC")))
+        |FILTER_CHANGED(value(0), retain(value(1), "2s"))
+        |CSV(timeformat("s"))
+        |""".stripMargin)
+    assert(out == "A,1692329338,1\nB,1692329342,5\nD,1692329349,9.3\n", out)
+  }
+
+  test("FILTER_CHANGED_bool (tql_test.go)") {
+    val out = run(
+      """FAKE(json({
+        |  ["A", true, 1.0],
+        |  ["A", false, 2.0],
+        |  ["B", false, 3.0],
+        |  ["B", true, 4.0]
+        |}))
+        |FILTER_CHANGED(value(1))
+        |CSV()
+        |""".stripMargin)
+    assert(out == "A,true,1\nA,false,2\nB,true,4\n", out)
+  }
+
   test("FAKE error battery: reference diagnostics (tql_test.go FAKE_*)") {
     def err(script: String): String =
       intercept[IllegalArgumentException] { run(script) }.getMessage

@@ -8,19 +8,20 @@ import graft.sinks.TableSinks
 class RetainSplineSinkSpec extends SparkSpec {
   import spark.implicits._
 
-  test("filterChangedRetain suppresses changes that revert too soon") {
-    // value flips at t=10 but reverts at t=12 (<5 retain) → suppressed;
-    // change at t=20 persists → kept; first record always kept.
+  test("filterChangedRetain emits the record that PROVES stability") {
+    // reference rule (fm_monad.go:139-186): the first record always
+    // emits; each run emits the first record ≥ retain past the run's
+    // opening time; runs with no confirming record emit nothing.
     val df = Seq(
       ("a", 0L, "x"), ("a", 5L, "x"), ("a", 10L, "y"), ("a", 12L, "x"),
       ("a", 15L, "x"), ("a", 20L, "z"), ("a", 30L, "z")
     ).toDF("k", "t", "v")
-    val got = SeqOps.filterChangedRetain(df, $"v", Seq($"k"), $"t", 5L)
+    val got = SeqOps.filterChangedRetain(df, $"v", Seq($"k"), $"t", $"t", 5L)
       .orderBy("t").select("t", "v").as[(Long, String)].collect()
-    // t=0 kept (first, next change at 10 ≥5 later); t=10 'y' suppressed
-    // (reverted after 2); t=12 'x' kept (next change 20-12=8 ≥5);
-    // t=20 'z' kept (no later change)
-    assert(got.toSeq == Seq((0L, "x"), (12L, "x"), (20L, "z")))
+    // t=0 first record; t=5 confirms run-1 x (5-0 ≥ 5); y@10 reverts
+    // unconfirmed; x-run@12 never reaches +5 (15-12=3); z@30 confirms
+    // the z run opened at 20
+    assert(got.toSeq == Seq((0L, "x"), (5L, "x"), (30L, "z")))
   }
 
   test("akima spline passes through knots and interpolates smoothly") {

@@ -95,6 +95,18 @@ class TqlWhenSpec extends SparkSpec {
     assert(logs.isEmpty, logs)
   }
 
+  test("//+ log-level comment pragma form (tql_pragma_test.go TestPragma2)") {
+    val (_, logs) = TqlLog.capture {
+      Tql.run(spark,
+        """//+ log-level=error sql-thread-lock
+          |FAKE( linspace(1, 2, 2))
+          |SCRIPT("js", { console.log("line", $.values[0]); $.yield($.values[0]) })
+          |DISCARD()
+          |""".stripMargin)
+    }
+    assert(logs.isEmpty, logs)
+  }
+
   test("SCRIPT console output is captured in the task log (fm_script_test.go:18-33)") {
     val (_, logs) = TqlLog.capture {
       Tql.run(spark,
