@@ -64,6 +64,22 @@ class GoldenSpec extends SparkSpec {
     assert(got == expected, s"\n--- got ---\n$got--- want ---\n$expected")
   }
 
+  test("MAP_MOVAVG noWait golden (movavg_result_nowait.csv)") {
+    val expected = normalize(read("movavg_result_nowait.csv"))
+    val got = normalize(Tql.run(spark,
+      """FAKE( linspace(0, 100, 100) )
+        |MAP_MOVAVG(1, value(0), 10, noWait(true))
+        |CSV( precision(4) )
+        |""".stripMargin))
+    assert(got == expected, s"\n--- got ---\n$got--- want ---\n$expected")
+  }
+
+  test("MAP_ABSDIFF renders NULL for the seed record (tql_test.go)") {
+    val got = Tql.run(spark,
+      "FAKE( csv(\"1\\n3\\n2\\n7\") )\nMAP_ABSDIFF(0, value(0))\nCSV()\n")
+    assert(got == "NULL\n2\n1\n5\n", got)
+  }
+
   test("MAP_MOVAVG warm-up golden (movavg_result.csv)") {
     val expected = normalize(read("movavg_result.csv"))
     val got = normalize(Tql.run(spark,
