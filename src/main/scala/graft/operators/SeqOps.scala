@@ -25,6 +25,18 @@ object SeqOps {
   def mapDiff(v: Column, key: Seq[Column], time: Column): Column =
     v - lag(v, 1).over(w(key, time))
 
+  /** Time-typed MAP_DIFF family: consecutive records diff to a ns-duration
+    * LONG (the reference's time_diff branch returns int64(time.Duration),
+    * fm_monad.go:1884-1905); abs negates, nonNeg clamps to 0. */
+  def mapDiffTimeNs(ts: Column, key: Seq[Column], time: Column,
+                    abs: Boolean = false, nonNeg: Boolean = false): Column = {
+    val ns = unix_micros(ts) * 1000L
+    val d = ns - lag(ns, 1).over(w(key, time))
+    if (abs) when(d < 0L, -d).otherwise(d)
+    else if (nonNeg) when(d < 0L, lit(0L)).otherwise(d)
+    else d
+  }
+
   def mapAbsDiff(v: Column, key: Seq[Column], time: Column): Column =
     abs(mapDiff(v, key, time))
 
@@ -140,16 +152,22 @@ object SeqOps {
   }
 
   /** FILTER_CHANGED(useFirstWithLast(true)): emit both the first AND the
-    * last record of every run of equal values (reference
-    * fm_monad.go:121-238 — closing record emission). */
+    * last record of every run of equal values. A single-record run is
+    * emitted TWICE — the reference returns it once as the previous run's
+    * closer and once as the new run's opener ([]*Record{lastRecord,
+    * inflight}, fm_monad.go:190-199; task_test.go pins the duplicated
+    * single C record). */
   def filterChangedFirstLast(df: DataFrame, v: Column, key: Seq[Column], time: Column): DataFrame = {
     val ws = w(key, time)
     val prev = lag(v, 1).over(ws)
     val next = lead(v, 1).over(ws)
-    df.withColumn("__keep",
-      prev.isNull || prev =!= v ||   // run opener
-        next.isNull || next =!= v)   // run closer
-      .filter(col("__keep")).drop("__keep")
+    val opener = prev.isNull || prev =!= v
+    val closer = next.isNull || next =!= v
+    val copies = when(opener && closer, 2).when(opener || closer, 1).otherwise(0)
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("__dup", explode(sequence(lit(1), col("__copies"))))
+      .drop("__copies", "__dup")
   }
 
   /** FILTER_CHANGED(retain(time, duration)) — the reference's exact
@@ -185,15 +203,32 @@ object SeqOps {
       .withColumn("__runFirst", row_number().over(wr) === 1)
     val minCand = min(when(col("__cand"), col("__rn")))
       .over(wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    val maxRn = max(col("__rn"))
-      .over(w(key, order).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
     val base =
       if (useFirst) col("__rn") === 1 || (col("__runFirst") && minCand.isNotNull)
       else col("__rn") === 1 || (col("__cand") && col("__rn") === minCand)
-    val emit = if (withLast) base || col("__rn") === maxRn else base
-    d2.withColumn("__emit", emit)
-      .filter(col("__emit"))
-      .drop("__rt", "__rn", "__chg", "__run", "__cand", "__runFirst", "__emit")
+    if (!withLast) {
+      d2.withColumn("__emit", base)
+        .filter(col("__emit"))
+        .drop("__rt", "__rn", "__chg", "__run", "__cand", "__runFirst", "__emit")
+    } else {
+      // withLast: bf.lastRecord is returned at every change boundary and at
+      // EOF (fm_monad.go:163-165, 150-155). lastRecord is set only by
+      // records AFTER a run's opener — except the stream-opening record,
+      // which seeds it — so the closer of each run with ≥2 records emits,
+      // plus the first run's closer unconditionally. A record may be both
+      // opener-emit and closer-emit → emit two copies (task_test.go
+      // retain+useFirstWithLast(true): A@…339 and B@…345 join the EOF tail).
+      val runLen = count(lit(1))
+        .over(wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+      val rowInRun = row_number().over(wr)
+      val closer = (rowInRun === runLen) && (runLen >= 2 || col("__run") === 1)
+      val copies = when(base && closer, 2)
+        .when(base || closer, 1).otherwise(0)
+      d2.withColumn("__copies", copies)
+        .filter(col("__copies") > 0)
+        .withColumn("__dup", explode(sequence(lit(1), col("__copies"))))
+        .drop("__rt", "__rn", "__chg", "__run", "__cand", "__runFirst", "__copies", "__dup")
+    }
   }
 
   /** THROTTLE(tps): pacing only matters on the streaming path — batch

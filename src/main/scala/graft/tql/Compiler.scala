@@ -92,11 +92,15 @@ object Compiler {
   private val currentScriptHash = new ThreadLocal[String] {
     override def initialValue(): String = ""
   }
-  private def scriptHash(script: String): String =
+  private def scriptHash(script: String): String = {
+    // hash the full UTF-8 byte array — char count under-reads multi-byte
+    // scripts and could collide two same-length, same-prefix sources
+    val bytes = script.getBytes("UTF-8")
     java.lang.Long.toHexString(
       org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        script.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        script.length, 42).toLong & 0xffffffffL) + f"${script.length}%x"
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 42).toLong & 0xffffffffL) + f"${bytes.length}%x"
+  }
 
   /** Row-order key for sequential semantics (TAKE/DROP/rownum keys).
     * The reference keys SQL-source records by arrival rownum. Derived
@@ -1229,17 +1233,23 @@ object Compiler {
       // (fm_monad.go MAP_DIFF 1806+, MAP_AVG 1993+, MAP_MOVAVG 2023+,
       // MAP_LOWPASS 2081+). Whole-stream = one logical series.
       case Call("MAP_DIFF", Num(idx) :: v :: rest) =>
+        val (c, isTs) = diffInput(v, p)
         seqMapValue(p, idx.toInt, rest,
-          graft.operators.SeqOps.mapDiff(toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
+          if (isTs) graft.operators.SeqOps.mapDiffTimeNs(c, Seq(lit(1)), col(p.keyCol))
+          else graft.operators.SeqOps.mapDiff(c, Seq(lit(1)), col(p.keyCol)))
       case Call("MAP_ABSDIFF", Num(idx) :: v :: rest) =>
+        val (c, isTs) = diffInput(v, p)
         seqMapValue(p, idx.toInt, rest,
-          graft.operators.SeqOps.mapAbsDiff(toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
+          if (isTs) graft.operators.SeqOps.mapDiffTimeNs(c, Seq(lit(1)), col(p.keyCol), abs = true)
+          else graft.operators.SeqOps.mapAbsDiff(c, Seq(lit(1)), col(p.keyCol)))
       case Call("MAP_NONEGDIFF", Num(idx) :: v :: rest) =>
+        val (c, isTs) = diffInput(v, p)
         seqMapValue(p, idx.toInt, rest,
-          graft.operators.SeqOps.mapNonNegDiff(toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
+          if (isTs) graft.operators.SeqOps.mapDiffTimeNs(c, Seq(lit(1)), col(p.keyCol), nonNeg = true)
+          else graft.operators.SeqOps.mapNonNegDiff(c, Seq(lit(1)), col(p.keyCol)))
       case Call("MAP_AVG", Num(idx) :: v :: rest) =>
         seqMapValue(p, idx.toInt, rest,
-          graft.operators.SeqOps.mapAvg(toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
+          graft.operators.SeqOps.mapAvg(toColumn(v, p).cast("double"), Seq(lit(1)), col(p.keyCol)))
       case Call("MAP_LOWPASS", Num(idx) :: v :: Num(alpha) :: rest) =>
         // recursive y=(1-a)y+ax over record order via the per-series scan
         require(alpha > 0 && alpha < 1,
@@ -1287,7 +1297,7 @@ object Compiler {
       case Call("MAP_MOVAVG", Num(idx) :: v :: Num(win) :: rest) =>
         val noWait = rest.exists { case Call("noWait", _) => true; case _ => false }
         seqMapValue(p, idx.toInt, rest,
-          graft.operators.SeqOps.movAvg(toColumn(v, p), Seq(lit(1)), col(p.keyCol),
+          graft.operators.SeqOps.movAvg(toColumn(v, p).cast("double"), Seq(lit(1)), col(p.keyCol),
             win.toInt, noWait))
 
       case Call("FILTER_CHANGED", v :: rest) =>
@@ -1307,7 +1317,9 @@ object Compiler {
               p.df, toColumn(v, p), Seq(lit(1)), col(p.keyCol), rtime, durNs,
               useFirst = useFirstLast.isDefined,
               withLast = useFirstLast.getOrElse(false)))
-          case None if useFirstLast.isDefined =>
+          case None if useFirstLast.contains(true) =>
+            // useFirstWithLast(false) is identical to plain FILTER_CHANGED
+            // (fm_monad.go withLast branch; tql_test.go pins both spellings)
             p.copy(df = graft.operators.SeqOps.filterChangedFirstLast(
               p.df, toColumn(v, p), Seq(lit(1)), col(p.keyCol)))
           case None =>
@@ -2438,7 +2450,12 @@ object Compiler {
         case 2 => a(0).substr(a(1) + 1, lit(Int.MaxValue))
         case _ => a(0).substr(a(1) + 1, a(2))
       }
-      case "strSprintf" => format_string(args.head.asInstanceOf[Str].v, args.tail.map(x => toColumn(x, p)): _*)
+      case "strSprintf" =>
+        // Go verbs java.util.Formatter rejects: %v (default format) and a
+        // bare-precision %.f (= precision 0); normalize before format_string
+        val jfmt = args.head.asInstanceOf[Str].v
+          .replace("%v", "%s").replaceAll("%(\\d*)\\.([fge])", "%$1.0$2")
+        format_string(jfmt, args.tail.map(x => toColumn(x, p)): _*)
       // Go url.QueryEscape (fm_context.go:165-168). Spark's url_encode is
       // Java URLEncoder, which differs on exactly two bytes: '*' is left
       // bare (Go wants %2A) and '~' is encoded (Go leaves it)
@@ -2655,6 +2672,19 @@ object Compiler {
   /** Normalize a time expression to an epoch-ns long column (TQL times
     * are ns longs internally; CSV datetimeType sources surface
     * timestamps). */
+  /** MAP_DIFF-family input coercion: the reference's diff state machine
+    * routes time.Time to a ns-duration branch and pushes everything else
+    * through util.ToFloat64 — strings included, so an untyped CSV column
+    * diffs numerically (fm_monad.go:1848-1906; tql_test.go:1620-1647).
+    * Resolve the expression's type once against the frame to pick. */
+  private def diffInput(e: Expr, p: Pipe): (Column, Boolean) = {
+    val c = toColumn(e, p)
+    val isTs = try p.df.select(c).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.TimestampType]
+    catch { case _: Exception => false }
+    if (isTs) (c, true) else (c.cast("double"), false)
+  }
+
   private def nsLongOf(e: Expr, p: Pipe): Column = {
     val c = toColumn(e, p)
     val isTs = try p.df.select(c).schema.head.dataType

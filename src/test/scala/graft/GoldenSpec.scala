@@ -80,6 +80,136 @@ class GoldenSpec extends SparkSpec {
     assert(got == "NULL\n2\n1\n5\n", got)
   }
 
+  test("MAP_DIFF coerces string CSV input to float (tql_test.go MAP_DIFF)") {
+    val got = Tql.run(spark,
+      "FAKE( csv(\"1\\n3\\n2\\n7\") )\nMAP_DIFF(0, value(0))\nCSV()\n")
+    assert(got == "NULL\n2\n-1\n5\n", got)
+  }
+
+  test("MAP_NONEGDIFF clamps negative diffs to 0 (tql_test.go MAP_NONEGDIFF)") {
+    val got = Tql.run(spark,
+      "FAKE( csv(\"1\\n3\\n2\\n7\") )\nMAP_NONEGDIFF(0, value(0))\nCSV()\n")
+    assert(got == "NULL\n2\n0\n5\n", got)
+  }
+
+  test("MAP_DIFF on a time column yields ns-duration longs (fm_monad.go time_diff)") {
+    val got = Tql.run(spark,
+      """FAKE(json({[1692329338], [1692329340], [1692329345]}))
+        |MAPVALUE(0, parseTime(value(0), "s", tz("UTC")))
+        |MAP_DIFF(0, value(0))
+        |CSV()
+        |""".stripMargin)
+    assert(got == "NULL\n2000000000\n5000000000\n", got)
+  }
+
+  test("FILTER_CHANGED on a string value (tql_test.go FILTER_CHANGED_string)") {
+    val got = Tql.run(spark,
+      """FAKE(json({["A", 1.0], ["A", 2.0], ["B", 3.0], ["B", 4.0]}))
+        |FILTER_CHANGED(value(0))
+        |CSV()
+        |""".stripMargin)
+    assert(got == "A,1\nB,3\n", got)
+  }
+
+  test("FILTER_CHANGED on a bool value (tql_test.go FILTER_CHANGED_bool)") {
+    val got = Tql.run(spark,
+      """FAKE(json({["A", true, 1.0], ["A", false, 2.0], ["B", false, 3.0], ["B", true, 4.0]}))
+        |FILTER_CHANGED(value(1))
+        |CSV()
+        |""".stripMargin)
+    assert(got == "A,true,1\nA,false,2\nB,true,4\n", got)
+  }
+
+  test("FILTER_CHANGED useFirstWithLast(false) equals plain form (tql_test.go)") {
+    val body = """FILTER_CHANGED(value(0), useFirstWithLast(false))"""
+    val got = Tql.run(spark,
+      s"""FAKE(json({["A", 1.0], ["A", 2.0], ["B", 3.0], ["B", 4.0], ["B", 5.0], ["C", 6.0], ["C", 7.0], ["D", 8.0], ["D", 9.0]}))
+         |$body
+         |CSV()
+         |""".stripMargin)
+    assert(got == "A,1\nB,3\nC,6\nD,8\n", got)
+  }
+
+  test("FILTER_CHANGED useFirstWithLast(true) emits openers and closers (tql_test.go)") {
+    val got = Tql.run(spark,
+      """FAKE(json({["A", 1.0], ["A", 2.0], ["B", 3.0], ["B", 4.0], ["B", 5.0], ["C", 6.0], ["C", 7.0], ["D", 8.0], ["D", 9.0]}))
+        |FILTER_CHANGED(value(0), useFirstWithLast(true))
+        |CSV()
+        |""".stripMargin)
+    assert(got == "A,1\nA,2\nB,3\nB,5\nC,6\nC,7\nD,8\nD,9\n", got)
+  }
+
+  test("FILTER_CHANGED useFirstWithLast(true) duplicates a single-record run (task_test.go)") {
+    val got = Tql.run(spark,
+      """FAKE(json({
+        |  ["A", 1692329338, 1.0], ["A", 1692329339, 2.0],
+        |  ["B", 1692329340, 3.0], ["B", 1692329341, 4.0], ["B", 1692329342, 5.0],
+        |  ["B", 1692329343, 6.0], ["B", 1692329344, 7.0], ["B", 1692329345, 8.0],
+        |  ["C", 1692329346, 9.0],
+        |  ["D", 1692329347, 9.1], ["D", 1692329348, 9.2], ["D", 1692329349, 9.3]
+        |}))
+        |MAPVALUE(1, parseTime(value(1), "s", tz("UTC")))
+        |FILTER_CHANGED(value(0), useFirstWithLast(true))
+        |CSV(timeformat("s"))
+        |""".stripMargin)
+    assert(got == Seq(
+      "A,1692329338,1", "A,1692329339,2", "B,1692329340,3", "B,1692329345,8",
+      "C,1692329346,9", "C,1692329346,9", "D,1692329347,9.1", "D,1692329349,9.3")
+      .mkString("", "\n", "\n"), got)
+  }
+
+  test("FILTER_CHANGED retain + useFirstWithLast(false) emits run openers (task_test.go)") {
+    val got = Tql.run(spark,
+      """FAKE(json({
+        |  ["A", 1692329338, 1.0], ["A", 1692329339, 2.0],
+        |  ["B", 1692329340, 3.0], ["B", 1692329341, 4.0], ["B", 1692329342, 5.0],
+        |  ["B", 1692329343, 6.0], ["B", 1692329344, 7.0], ["B", 1692329345, 8.0],
+        |  ["C", 1692329346, 9.0],
+        |  ["D", 1692329347, 9.1], ["D", 1692329348, 9.2], ["D", 1692329349, 9.3]
+        |}))
+        |MAPVALUE(1, parseTime(value(1), "s", tz("UTC")))
+        |FILTER_CHANGED(value(0), retain(value(1), "2s"), useFirstWithLast(false))
+        |CSV(timeformat("s"))
+        |""".stripMargin)
+    assert(got == "A,1692329338,1\nB,1692329340,3\nD,1692329347,9.1\n", got)
+  }
+
+  test("FILTER_CHANGED retain + useFirstWithLast(true) adds per-run closers (task_test.go)") {
+    val got = Tql.run(spark,
+      """FAKE(json({
+        |  ["A", 1692329338, 1.0], ["A", 1692329339, 2.0],
+        |  ["B", 1692329340, 3.0], ["B", 1692329341, 4.0], ["B", 1692329342, 5.0],
+        |  ["B", 1692329343, 6.0], ["B", 1692329344, 7.0], ["B", 1692329345, 8.0],
+        |  ["C", 1692329346, 9.0],
+        |  ["D", 1692329347, 9.1], ["D", 1692329348, 9.2], ["D", 1692329349, 9.3]
+        |}))
+        |MAPVALUE(1, parseTime(value(1), "s", tz("UTC")))
+        |FILTER_CHANGED(value(0), retain(value(1), "2s"), useFirstWithLast(true))
+        |CSV(timeformat("s"))
+        |""".stripMargin)
+    assert(got == Seq(
+      "A,1692329338,1", "A,1692329339,2", "B,1692329340,3", "B,1692329345,8",
+      "D,1692329347,9.1", "D,1692329349,9.3").mkString("", "\n", "\n"), got)
+  }
+
+  test("FILTER_CHANGED composite strSprintf key (task_test.go)") {
+    val got = Tql.run(spark,
+      """FAKE(json({
+        |  ["A", 1692329338, 1.0], ["A", 1692329341, 2.0], ["A", 1692329344, 2.0],
+        |  ["B", 1692329339, 1.0], ["B", 1692329342, 2.0], ["B", 1692329345, 1.0],
+        |  ["C", 1692329340, 1.0], ["C", 1692329343, 1.0], ["C", 1692329346, 1.0]
+        |}))
+        |MAPVALUE(1, parseTime(value(1), "s", tz("UTC")))
+        |FILTER_CHANGED(strSprintf("%s.%.f", value(0),value(2)), useFirstWithLast(true))
+        |CSV(timeformat("s"))
+        |""".stripMargin)
+    assert(got == Seq(
+      "A,1692329338,1", "A,1692329338,1", "A,1692329341,2", "A,1692329344,2",
+      "B,1692329339,1", "B,1692329339,1", "B,1692329342,2", "B,1692329342,2",
+      "B,1692329345,1", "B,1692329345,1",
+      "C,1692329340,1", "C,1692329346,1").mkString("", "\n", "\n"), got)
+  }
+
   test("MAP_MOVAVG warm-up golden (movavg_result.csv)") {
     val expected = normalize(read("movavg_result.csv"))
     val got = normalize(Tql.run(spark,

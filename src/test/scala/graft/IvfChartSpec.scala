@@ -100,7 +100,8 @@ class IvfChartSpec extends SparkSpec {
       ("a", 4L, "y"), ("a", 5L, "x")).toDF("k", "t", "v")
     val got = SeqOps.filterChangedFirstLast(df, $"v", Seq($"k"), $"t")
       .orderBy("t").select("t").as[Long].collect()
-    // run x[1..3]: keep 1 (open) + 3 (close); y[4]: both; x[5]: both (single)
-    assert(got.toSeq == Seq(1L, 3L, 4L, 5L))
+    // run x[1..3]: keep 1 (open) + 3 (close); single-record runs y[4] and
+    // x[5] are opener AND closer → each emitted twice (reference pair return)
+    assert(got.toSeq == Seq(1L, 3L, 4L, 4L, 5L, 5L))
   }
 }
