@@ -233,12 +233,47 @@ object Extra {
           index, k = 10, factor = 4)
         .select(col("qid"), col("rnk"), col("eid"), r6(col("cos_sim")).as("cos_sim"))
         .orderBy("qid", "rnk")
+    }),
+
+    // ---- PQ ANN, exact mode: a rerank factor spanning the whole corpus
+    // makes the ADC stage a pass-through and the exact-cosine rerank a
+    // brute-force top-k, so the full PQ machinery (codebooks, encode,
+    // ADC scan, candidate pool, rerank) gets a hash-matched oracle while
+    // the approximate mode stays recall-spec'd (mirrors q_ann_ivf_full)
+    "q_ann_pq_full" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = pqCache.getOrElseUpdate(s"$dir/embeddings.parquet",
+        graft.similarity.Pq.train(emb, m = 16, ksub = 16, iters = 3))
+      val codes = graft.similarity.Pq.encode(emb, index)
+      graft.similarity.Pq.topKRerank(emb.filter(col("vec_id") < 5), codes, emb,
+          index, k = 10, factor = 200) // k·factor = 2000 ≥ corpus at every test SF
+        .select(col("qid"), col("rnk"), col("eid"), r6(col("cos_sim")).as("cos_sim"))
+        .orderBy("qid", "rnk")
     }))
 
   val oracles: Map[String, String] = Map(
     // exhaustive-probe IVF == brute-force cosine top-k (same oracle
     // recipe as q_embedding_topk)
     "q_ann_ivf_full" ->
+      """WITH q AS (SELECT vec_id AS qid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id < 5),
+         e AS (SELECT vec_id AS eid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+           FROM embeddings),
+         p AS (SELECT qid, eid,
+             (SELECT sum(x*y) FROM (SELECT unnest(qe) AS x, unnest(ee) AS y)) /
+             (sqrt((SELECT sum(x*x) FROM (SELECT unnest(qe) AS x))) *
+              sqrt((SELECT sum(y*y) FROM (SELECT unnest(ee) AS y)))) AS cs
+           FROM q JOIN e ON qid <> eid)
+         SELECT qid, rnk, eid, round(cs,6) AS cos_sim FROM (
+           SELECT qid, eid, cs,
+             row_number() OVER (PARTITION BY qid ORDER BY cs DESC, eid) AS rnk
+           FROM p)
+         WHERE rnk <= 10 ORDER BY qid, rnk""",
+    // exact-mode PQ (corpus-spanning rerank) == the same brute-force
+    // cosine top-k as the exhaustive-probe IVF oracle
+    "q_ann_pq_full" ->
       """WITH q AS (SELECT vec_id AS qid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
            FROM embeddings WHERE vec_id < 5),

@@ -87,6 +87,23 @@ object TqlQueries {
           |""".stripMargin).output
     }),
 
+    // string-typed source through the MAP_DIFF family: the reference
+    // pushes non-time inputs through util.ToFloat64 (fm_monad.go:1848+),
+    // so a VARCHAR column diffs numerically — oracle-pinned here, not
+    // just golden-pinned (tql_test.go:1620-1647)
+    "q_tql_mapdiff_string" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      e0.filter(col("user_id") < 20)
+        .select(col("event_id"), col("value").cast("string").as("sval"))
+        .createOrReplaceTempView("tql_events_str")
+      Tql.compile(s,
+        """SQL('SELECT event_id, sval FROM tql_events_str ORDER BY event_id')
+          |MAP_ABSDIFF(1, value(1), 'absdiff')
+          |CSV()
+          |""".stripMargin).output
+        .orderBy("event_id")
+    }),
+
     // QUERY with between(a, b, period): the generator's half-up
     // round(time/period)*period bucket aggregation, executed (the dump()
     // form of the same SQL is golden-matched in ReferenceCasesSpec)
@@ -162,6 +179,12 @@ object TqlQueries {
            WHERE epoch_us(ts) >= 1704412800000000 AND epoch_us(ts) < 1704499200000000
            GROUP BY 1) a ON s.time = a.b_us
          ORDER BY s.time""",
+    // the string round-trip is lossless (shortest-repr double format),
+    // so the diff equals the diff of the original doubles
+    "q_tql_mapdiff_string" ->
+      """SELECT event_id, abs(value - lag(value) OVER (ORDER BY event_id)) AS absdiff
+         FROM events WHERE user_id < 20
+         ORDER BY event_id""",
     "q_tql_pipeline" ->
       """SELECT event_id, value,
          CASE WHEN value * 2 > 500 THEN 'very_high' ELSE 'high' END AS level
