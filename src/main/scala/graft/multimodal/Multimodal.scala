@@ -46,8 +46,8 @@ object Multimodal {
     * codec) falls back to [[byteFeatures]]. */
   private def decodeFeatureVec(payload: Array[Byte], dim: Int): Array[Float] = {
     if (payload == null || payload.isEmpty) return new Array[Float](dim)
-    decodeImage(payload) match {
-      case Some(img) => return img.lumaHistogram(dim)
+    decodeImageStats(payload, dim) match { // streaming: no raster retained
+      case Some(st) => return st.lumaHistogram
       case None =>
     }
     decodeWav(payload) match {
@@ -241,10 +241,104 @@ object Multimodal {
       Some("image/gif")
     else None
 
+  /** Streaming image statistics: channel-byte mean and luma-histogram
+    * counts accumulated during the decode walk itself. Besides the
+    * codec's own decode, the only allocation is one width-sized row
+    * buffer — no w·h·3 raster is retained, so a 256-row decode batch of
+    * large images costs O(width) extra memory, not O(pixels). */
+  final case class ImgStats(mediaType: String, width: Int, height: Int,
+                            channelSum: Long, lumaCounts: Array[Long]) {
+    def nChannelBytes: Long = width.toLong * height * 3
+    /** Mean over every channel byte — identical to [[ImgInfo.pixelMean]]. */
+    def pixelMean: Double =
+      if (nChannelBytes == 0) 0.0 else channelSum.toDouble / nChannelBytes
+    /** Normalized per-pixel luminance histogram — identical to
+      * [[ImgInfo.lumaHistogram]] (orientation-independent, so the BMP
+      * file-order walk feeds the same statistic). */
+    def lumaHistogram: Array[Float] = {
+      val dim = lumaCounts.length
+      val n = width.toLong * height
+      val out = new Array[Float](dim)
+      if (n > 0) {
+        var j = 0
+        while (j < dim) { out(j) = (lumaCounts(j).toDouble / n).toFloat; j += 1 }
+      }
+      out
+    }
+  }
+
+  /** Stats-only decode for the batched paths: same magic-sniff routing as
+    * [[decodeImage]], but mean/histogram are computed during the row walk
+    * with no full-raster allocation. */
+  def decodeImageStats(payload: Array[Byte], histDim: Int = 64): Option[ImgStats] = {
+    val mt = sniffImageType(payload) match {
+      case Some(t) => t
+      case None => return decodeBmp24Stats(payload, histDim)
+    }
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      val rowBuf = new Array[Int](w) // one row at a time — the only buffer
+      val counts = new Array[Long](histDim)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < w) {
+          val argb = rowBuf(x)
+          val r = (argb >> 16) & 0xFF
+          val g = (argb >> 8) & 0xFF
+          val b = argb & 0xFF
+          sum += r + g + b
+          // integer Rec.601 luma, bounded [0, 255] — same as ImgInfo
+          counts((299 * r + 587 * g + 114 * b) / 1000 * histDim / 256) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      Some(ImgStats(mt, w, h, sum, counts))
+    } catch { case _: Exception => None }
+  }
+
+  /** BMP stats through the same shape: direct byte walk over the payload
+    * (BGR triples, scanline padding excluded), zero extra allocation. */
+  private def decodeBmp24Stats(payload: Array[Byte], histDim: Int): Option[ImgStats] = {
+    if (payload == null || payload.length < 2 ||
+      payload(0) != 'B' || payload(1) != 'M') return None
+    decodeBmp(payload).map { meta =>
+      val buf = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataOffset = buf.getInt(10)
+      val rowSize = (meta.width * 3 + 3) / 4 * 4
+      val counts = new Array[Long](histDim)
+      var sum = 0L
+      var row = 0
+      while (row < meta.height) { // histogram/mean are orientation-free
+        var i = dataOffset + row * rowSize
+        var x = 0
+        while (x < meta.width) {
+          val b = payload(i) & 0xFF
+          val g = payload(i + 1) & 0xFF
+          val r = payload(i + 2) & 0xFF
+          sum += r + g + b
+          counts((299 * r + 587 * g + 114 * b) / 1000 * histDim / 256) += 1L
+          i += 3; x += 1
+        }
+        row += 1
+      }
+      ImgStats("image/bmp", meta.width, meta.height, sum, counts)
+    }
+  }
+
   /** JPEG/PNG/GIF decode via the JDK's `javax.imageio` (headless, no
     * third-party codec). Returns the full RGB raster so the caller
     * computes whatever statistic it needs; None when the payload is not
-    * one of the ImageIO formats or is corrupt. */
+    * one of the ImageIO formats or is corrupt. The batched stat paths
+    * use [[decodeImageStats]] instead — this full-raster form is for
+    * callers that genuinely need pixels. */
   def decodeImage(payload: Array[Byte]): Option[ImgInfo] = {
     val mt = sniffImageType(payload) match {
       case Some(t) => t
@@ -327,8 +421,8 @@ object Multimodal {
         batch.iterator.map { row =>
           val id = row.getLong(idIdx)
           val payload = row.getAs[Array[Byte]](binIdx)
-          decodeImage(payload) match {
-            case Some(img) => // BMP byte-walk or ImageIO (JPEG/PNG/GIF)
+          decodeImageStats(payload, 1) match { // streaming: stats only,
+            case Some(img) =>                  // no raster in the batch
               Row(id, img.mediaType, img.width, img.height, img.pixelMean,
                 null, null, null)
             case None => decodeWav(payload) match {

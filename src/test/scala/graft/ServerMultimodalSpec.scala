@@ -132,6 +132,25 @@ class ServerMultimodalSpec extends SparkSpec {
     assert(empty.pixelMean == 63.0)
   }
 
+  test("streaming decodeImageStats equals the full-raster statistics") {
+    val codes = (0 until 60).map(i => (i * 37 + 11) % 256).toArray
+    val (w, h) = (5, 4)
+    // PNG (ImageIO row walk) and BMP (direct byte walk) against ImgInfo
+    for (payload <- Seq(Multimodal.synthPng(codes, w, h),
+                        Multimodal.synthBmp(codes, w, h))) {
+      val full = Multimodal.decodeImage(payload).get
+      val st = Multimodal.decodeImageStats(payload, 16).get
+      assert(st.mediaType == full.mediaType)
+      assert(st.width == w && st.height == h)
+      assert(math.abs(st.pixelMean - full.pixelMean) < 1e-12,
+        s"${st.mediaType}: ${st.pixelMean} vs ${full.pixelMean}")
+      assert(st.lumaHistogram.toSeq == full.lumaHistogram(16).toSeq,
+        s"${st.mediaType} histogram diverged")
+    }
+    // non-image payloads still route to None
+    assert(Multimodal.decodeImageStats("not an image".getBytes).isEmpty)
+  }
+
   test("decodeMedia routes real decoders by magic and falls back cleanly") {
     val codes = Array(1, 2, 3, 4, 5, 6)
     val rows = Seq(
