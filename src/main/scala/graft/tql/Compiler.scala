@@ -1879,7 +1879,15 @@ object Compiler {
         val whereP = rest.collectFirst { case Call("where", List(pred)) => toColumn(pred, p) }
         val raw = toColumn(e, p)
         val c = whereP.map(w => when(w, raw)).getOrElse(raw)
-        val built0 = buildAggFull(fn, c, rest, p)
+        // count appends unconditionally — a null value still counts
+        // (GroupColumnCounter.Append, fm_monad.go:1433-1437); only a
+        // where() miss skips the record. Numeric aggregators silently
+        // drop non-coercible values (push discards Append's error),
+        // which cast("double")+null-skip already models.
+        val built0 =
+          if (fn == "count")
+            whereP.map(w => count(when(w, lit(1)))).getOrElse(count(lit(1))).cast("double")
+          else buildAggFull(fn, c, rest, p)
         // per-aggregator nullValue(): numeric fills coalesce; string
         // fills ride column metadata so the sink renders them raw while
         // data cells keep float formatting (TestGroupWhere "1" vs 2.00)
@@ -1895,11 +1903,19 @@ object Compiler {
     }
     val aggList = aggs.result()
     if (aggList.isEmpty) throw new IllegalArgumentException("GROUP() has no aggregator")
-    val (byCol, byName) = byExpr.getOrElse(throw new IllegalArgumentException("GROUP needs by()"))
-    val df0 = p.df.groupBy(byCol.as(byName))
-      .agg(aggList.head._1.as(aggList.head._2),
-        aggList.tail.map { case (c, n) => c.as(n) }: _*)
-      .orderBy(vcol(byName)) // reference emits key-sorted (lazy mode sorts, fm_monad.go:470)
+    // no by(): aggregate-all — one result row of just the aggregator
+    // columns (Group.push __group_by_all, fm_monad.go:529-543;
+    // task_test.go GROUP(correlation/moment/variance) with no by())
+    val df0 = byExpr match {
+      case Some((byCol, byName)) =>
+        p.df.groupBy(byCol.as(byName))
+          .agg(aggList.head._1.as(aggList.head._2),
+            aggList.tail.map { case (c, n) => c.as(n) }: _*)
+          .orderBy(vcol(byName)) // reference emits key-sorted (lazy mode sorts, fm_monad.go:470)
+      case None =>
+        p.df.agg(aggList.head._1.as(aggList.head._2),
+          aggList.tail.map { case (c, n) => c.as(n) }: _*)
+    }
     // string nullValue() fills travel as column metadata (sink-side raw
     // null rendering, TestGroupWhere)
     val df = stringFills.foldLeft(df0) { case (d, (n, fillStr)) =>
@@ -1908,8 +1924,12 @@ object Compiler {
       d.withColumn(n, d(n).as(n, meta))
     }
     // the group key is result column 0 (reference synthesizes result
-    // columns from by()+aggregators, fm_monad.go:405-425)
-    Pipe(df, byName, byName +: aggList.map(_._2))
+    // columns from by()+aggregators, fm_monad.go:405-425); with no by()
+    // the first aggregator column leads
+    byExpr match {
+      case Some((_, byName)) => Pipe(df, byName, byName +: aggList.map(_._2))
+      case None => Pipe(df, aggList.head._2, aggList.map(_._2))
+    }
   }
 
   private def compileTimewindow(p: Pipe, twArgs: List[Expr], args: List[Expr]): Pipe = {
@@ -1939,8 +1959,14 @@ object Compiler {
     val aggs = args.collect {
       case Call(fn, e :: rest) if aggNames(fn) =>
         val name = rest.collectFirst { case Str(s) => s }.getOrElse(fn)
-        val c = toColumn(e, p)
-        name -> buildAggFull(fn, c, rest, p)
+        // same where()/count semantics as plain GROUP: where() gates the
+        // append, count still counts null values
+        val whereP = rest.collectFirst { case Call("where", List(pred)) => toColumn(pred, p) }
+        val raw = toColumn(e, p)
+        val c = whereP.map(w => when(w, raw)).getOrElse(raw)
+        name -> (if (fn == "count")
+          whereP.map(w => count(when(w, lit(1)))).getOrElse(count(lit(1))).cast("double")
+        else buildAggFull(fn, c, rest, p))
     }
     require(aggs.nonEmpty, "GROUP(timewindow) needs at least one aggregator")
     // the record's time is value(0), per the reference's record layout

@@ -323,6 +323,51 @@ class ReferenceCases2Spec extends SparkSpec {
         |""".stripMargin)
   }
 
+  test("GROUP with no by(): aggregate-all single row (task_test.go:1926-1995)") {
+    // weighted correlation
+    val pCorr = Map("payload" -> Seq("8,10,2\n-3,5,1.5\n7,6,3\n8,3,3\n-4,-1,2"))
+    val corr = Tql.run(spark,
+      """CSV(payload(), field(0, doubleType(), "x"), field(1, doubleType(), "y"), field(2, doubleType(), "w"))
+        |GROUP(correlation(value(0), value(1), weight(value(2)), "CORR") )
+        |CSV(heading(true), precision(5))
+        |""".stripMargin, 0L, pCorr)
+    assert(corr == "CORR\n0.59915\n", corr)
+
+    // weighted central moments
+    val pMom = Map("payload" -> Seq("8,10,1\n-3,2,2\n7,2,3\n8,4,4\n-4,1,5"))
+    val mom = Tql.run(spark,
+      """CSV(payload(), field(0, doubleType(), "x"), field(1, doubleType(), "y1"), field(2, doubleType(), "y2"))
+        |GROUP(
+        |  moment(value(0), 2, weight(2.0), "N1"),
+        |  moment(value(2), 2, weight(1.0), "N2"),
+        |  moment(value(2), 1, "N3")
+        |)
+        |CSV(heading(true), precision(2))
+        |""".stripMargin, 0L, pMom)
+    assert(mom == "N1,N2,N3\n30.16,2.00,0.00\n", mom)
+
+    // plain + weighted variance
+    val pVar = Map("payload" -> Seq("8,2\n2,2\n-9,6\n15,7\n4,1"))
+    val vr = Tql.run(spark,
+      """CSV(payload(), field(0, doubleType(), "x"), field(1, doubleType(), "w") )
+        |GROUP(
+        |  variance(value(0), "VARIANCE"),
+        |  variance(value(0), weight(value(1)), "VARIANCE-WEIGHTED")
+        |)
+        |CSV(heading(true), precision(4))
+        |""".stripMargin, 0L, pVar)
+    assert(vr == "VARIANCE,VARIANCE-WEIGHTED\n77.5000,111.7941\n", vr)
+  }
+
+  test("GROUP count() counts null values; numeric aggregators skip them (fm_monad.go:1433, push discards Append errors)") {
+    val out = Tql.run(spark,
+      """FAKE(json({[10.0], [null], [3.0]}))
+        |GROUP(count(value(0), 'CNT'), avg(value(0), 'AVG'))
+        |CSV(heading(true), precision(2))
+        |""".stripMargin)
+    assert(out == "CNT,AVG\n3.00,6.50\n", out)
+  }
+
   test("GROUP mode and weighted mode (task_test.go:1800-1827)") {
     val p = Map("payload" -> Seq("A,1.1\nA,1.1\nB,2.1\nB,2.2\nB,2.1\nC,3.1\nC,3.2\nC,3.3\nC,3.3"))
     val out = Tql.run(spark,
