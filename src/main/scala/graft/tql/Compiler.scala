@@ -2464,18 +2464,36 @@ object Compiler {
       }
       case "strHasPrefix" => a(0).startsWith(a(1))
       case "strHasSuffix" => a(0).endsWith(a(1))
-      case "strIndex" => instr(a(0), args(1).asInstanceOf[Str].v) - 1 // Go: 0-based, -1 missing
+      case "strIndex" =>
+        // Go strings.Index returns a BYTE offset (func_test.go:238-252:
+        // "World"'s 'o' in "HelLo 😀 World" is 12, after the 4-byte emoji)
+        // — octet-length of the character prefix before the match
+        val loc = instr(a(0), args(1).asInstanceOf[Str].v)
+        when(loc === 0, lit(-1))
+          .otherwise(octet_length(a(0).substr(lit(1), loc - 1)))
       case "strLastIndex" =>
-        // Go strings.LastIndex (fm_fake.go:636): 0-based, -1 missing —
-        // found at len(s) - (locate-1 in reversed s) - len(sub)
+        // Go strings.LastIndex (fm_fake.go:636): byte offset, -1 missing —
+        // last occurrence found via the reversed-string locate
         val (s, sub) = (a(0), a(1))
         val rloc = call_function("locate", reverse(sub), reverse(s))
+        val charPos0 = length(s) - rloc + 1 - length(sub) // 0-based chars
         when(rloc === 0, lit(-1))
-          .otherwise(length(s) - rloc + 1 - length(sub))
-      case "strSub" => args.size match {
-        case 2 => a(0).substr(a(1) + 1, lit(Int.MaxValue))
-        case _ => a(0).substr(a(1) + 1, a(2))
-      }
+          .otherwise(octet_length(s.substr(lit(1), charPos0)))
+      case "strSub" =>
+        // rune-based slice with Go-side edge rules (fm_fake.go:592-630):
+        // negative offset counts from the end, |offset| past either end
+        // yields "", negative count means to-end
+        if (args.size == 1) a(0) else {
+          val s = a(0)
+          val len = length(s)
+          val off = a(1).cast("int")
+          val idx = when(off < 0, len + off).otherwise(off)
+          val invalid = when(off < 0, -off >= len).otherwise(off >= len)
+          val cnt = if (args.size > 2) a(2).cast("int") else lit(-1)
+          val res = when(cnt < 0, s.substr(idx + 1, len))
+            .otherwise(s.substr(idx + 1, cnt))
+          when(invalid, lit("")).otherwise(res)
+        }
       case "strSprintf" =>
         // Go verbs java.util.Formatter rejects: %v (default format) and a
         // bare-precision %.f (= precision 0); normalize before format_string
@@ -2503,8 +2521,23 @@ object Compiler {
       // conversion / misc
       case "parseFloat" => a(0).cast("double")
       case "parseBool" => a(0).cast("boolean")
-      case "len" => length(a(0))
-      case "element" => element_at(a(0), a(1) + 1)
+      case "len" =>
+        // reference len() works on strings AND lists, and buffers float64
+        // (func_test.go:598-609: both expectations are 4.0)
+        val t = try p.df.select(a(0)).schema.head.dataType
+          catch { case _: Exception => org.apache.spark.sql.types.StringType }
+        (t match {
+          case _: org.apache.spark.sql.types.ArrayType => size(a(0))
+          case _ => length(a(0))
+        }).cast("double")
+      case "element" =>
+        // variadic form element(v0, v1, …, idx) picks by 0-based index
+        // (func_test.go:610-665); the 2-arg form indexes a list value
+        if (args.size == 2) element_at(a(0), a(1).cast("int") + 1)
+        else {
+          val cols = args.indices.map(a)
+          element_at(array(cols.init: _*), cols.last.cast("int") + 1)
+        }
       case "list" => array(args.map(x => toColumn(x, p)): _*)
       case "nullValue" => coalesce(a(0), a(1))
       case "coalesce" => coalesce(args.map(x => toColumn(x, p)): _*)

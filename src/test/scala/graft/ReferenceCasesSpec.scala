@@ -94,6 +94,51 @@ class ReferenceCasesSpec extends SparkSpec {
     assert(out == "heLlo\n")
   }
 
+  test("strSub rune slicing with negative offsets; byte-offset str(Last)Index (func_test.go:194-272)") {
+    // strSub is rune-based with Go edge rules (fm_fake.go:592-630)
+    val sub = run(
+      """FAKE( json({ ["HelLo 😀 World"] }))
+        |PUSHVALUE(1, strSub(value(0)))
+        |PUSHVALUE(2, strSub("😀HelLo World", 0, 3))
+        |PUSHVALUE(3, strSub(value(0), 6, -2))
+        |PUSHVALUE(4, strSub(value(0), -7))
+        |PUSHVALUE(5, strSub(value(0), -7, 3))
+        |PUSHVALUE(6, strSub(value(0), -1))
+        |PUSHVALUE(7, strSub(value(0), -30))
+        |PUSHVALUE(8, strSub(value(0), 0, 30))
+        |PUSHVALUE(9, strSub(value(0), 30, 30))
+        |CSV()
+        |""".stripMargin)
+    assert(sub == "HelLo 😀 World,HelLo 😀 World,😀He,😀 World,😀 World,😀 W,d,,HelLo 😀 World,\n", sub)
+    // strings.Index/LastIndex return BYTE offsets — the 4-byte emoji
+    // shifts everything after it (func_test.go:238-272)
+    val idx = run(
+      """FAKE( json({ ["HelLo 😀 World"] }))
+        |PUSHVALUE(1, strIndex(value(0), "😀"))
+        |PUSHVALUE(2, strIndex(value(0), "o"))
+        |PUSHVALUE(3, strIndex(value(0), "l"))
+        |PUSHVALUE(4, strLastIndex(value(0), "😀"))
+        |PUSHVALUE(5, strLastIndex(value(0), "o"))
+        |PUSHVALUE(6, strLastIndex(value(0), "H"))
+        |PUSHVALUE(7, strLastIndex(value(0), "l"))
+        |CSV()
+        |""".stripMargin)
+    assert(idx == "HelLo 😀 World,6,4,2,6,12,0,14\n", idx)
+  }
+
+  test("variadic element() and float64 len() (func_test.go:598-665)") {
+    val out = run(
+      """FAKE( json({ ["1234"] }))
+        |PUSHVALUE(1, element(0.0, 1.0, 2.0, 3.0, 4.0, 1.0))
+        |PUSHVALUE(2, element(0.0, 1.0, 2.0, 3.0, 4.0, 4))
+        |PUSHVALUE(3, element("abc", "bcd", "cde", "def", "efg", 4))
+        |PUSHVALUE(4, len(value(0)))
+        |PUSHVALUE(5, len(list(1, 2, 3, 4)))
+        |CSV()
+        |""".stripMargin)
+    assert(out == "1234,1,4,efg,4,4\n", out)
+  }
+
   test("UTIL_string_lastIndex + inverse-hyperbolic + IEEE remainder") {
     // strings.LastIndex semantics: 0-based, -1 when missing (fm_fake.go:636)
     val out = run(
