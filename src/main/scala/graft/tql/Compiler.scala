@@ -1335,9 +1335,20 @@ object Compiler {
       case Call("FFT", args) =>
         val minHz = args.collectFirst { case Call("minHz", List(Num(v))) => v }.getOrElse(0d)
         val maxHz = args.collectFirst { case Call("maxHz", List(Num(v))) => v }.getOrElse(Double.MaxValue)
-        val df = graft.operators.FftOp.perKey(
-          p.df, p.keyCol, p.values(0), p.values(1), minHz, maxHz)
-        Pipe(df, "key", Seq("hz", "amp"))
+        // samples must be (time, value) tuples: wider errors with the
+        // reference diagnostic, narrower drops every record
+        // (tql_test.go FFT_not_enough_samples_0 / _16)
+        if (p.values.size > 2) throw new IllegalArgumentException(
+          s"f(FFT) sample should be a tuple of (time, value), but len=${p.values.size}")
+        if (p.values.size < 2) {
+          val df = p.df.filter(lit(false))
+            .select(col(p.keyCol).as("key"), lit(0d).as("hz"), lit(0d).as("amp"))
+          Pipe(df, "key", Seq("hz", "amp"))
+        } else {
+          val df = graft.operators.FftOp.perKey(
+            p.df, p.keyCol, p.values(0), p.values(1), minHz, maxHz)
+          Pipe(df, "key", Seq("hz", "amp"))
+        }
 
       case Call("TRANSPOSE", args) =>
         // TRANSPOSE(fixed(i…)) keeps listed columns fixed and unpivots the

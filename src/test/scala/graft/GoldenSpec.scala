@@ -220,6 +220,15 @@ class GoldenSpec extends SparkSpec {
     assert(got == expected, s"\n--- got ---\n${got.take(300)}--- want ---\n${expected.take(300)}")
   }
 
+  test("FFT shape guards: 1-wide drops all, 3-wide errors (tql_test.go FFT_not_enough_samples)") {
+    val empty = Tql.run(spark,
+      "FAKE( linspace(0, 10, 100) )\nFFT()\nCSV()\n")
+    assert(empty == "", s"expected empty CSV, got: $empty")
+    val e = intercept[IllegalArgumentException](Tql.run(spark,
+      "FAKE(json({[1, 2, 3]}))\nFFT()\nCSV()\n"))
+    assert(e.getMessage == "f(FFT) sample should be a tuple of (time, value), but len=3", e.getMessage)
+  }
+
   test("FFT amplitude spectrum golden (fft2d.csv, 10Hz+50Hz)") {
     val expected = normalize(read("fft2d.csv"))
     val got = normalize(Tql.run(spark,
