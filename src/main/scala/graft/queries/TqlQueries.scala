@@ -87,6 +87,82 @@ object TqlQueries {
           |""".stripMargin).output
     }),
 
+    // THROTTLE pacing only exists on the streaming edge — on a batch
+    // frame it must be the identity (fm_monad.go fmThrottle)
+    "q_tql_throttle" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("tql_events_th")
+      Tql.compile(s,
+        """SQL('SELECT event_id, value FROM tql_events_th ORDER BY event_id')
+          |THROTTLE(500)
+          |TAKE(100)
+          |CSV()
+          |""".stripMargin).output
+    }),
+
+    // PUSHKEY demotes the arrival-rownum key into the values as ROWNUM
+    // (reference result-column naming; TestMath chains)
+    "q_tql_pushkey" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("tql_events_pk")
+      Tql.compile(s,
+        """SQL('SELECT event_id, value FROM tql_events_pk WHERE user_id < 20 ORDER BY event_id')
+          |PUSHKEY(value(0) % 7)
+          |CSV()
+          |""".stripMargin).output
+        .orderBy("event_id")
+    }),
+
+    // SET variable threaded through FILTER and MAPVALUE
+    "q_tql_set" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("tql_events_set")
+      Tql.compile(s,
+        """SQL('SELECT event_id, value FROM tql_events_set ORDER BY event_id')
+          |SET threshold = 300
+          |FILTER(value(1) > $threshold)
+          |MAPVALUE(2, value(1) - $threshold, 'excess')
+          |CSV()
+          |""".stripMargin).output
+        .orderBy("event_id")
+    }),
+
+    // glob() and regexp() predicates over a string column
+    "q_tql_glob" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("tql_events_g")
+      Tql.compile(s,
+        """SQL('SELECT event_id, event_type FROM tql_events_g ORDER BY event_id')
+          |FILTER(glob('*u*', value(1)))
+          |MAPVALUE(2, regexp('^(view|click)$', value(1)), 'is_vc')
+          |CSV()
+          |""".stripMargin).output
+        .orderBy("event_id")
+    }),
+
+    // GROUP(list) → FLATTEN: collect then explode; final sort pins the
+    // nondeterministic in-list order for the hash compare
+    "q_tql_flatten" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("tql_events_fl")
+      Tql.compile(s,
+        """SQL('SELECT user_id, value FROM tql_events_fl ORDER BY event_id')
+          |GROUP(by(value(0), 'uid'), list(value(1), 'vals'))
+          |FLATTEN()
+          |CSV()
+          |""".stripMargin).output
+        .orderBy("uid", "vals")
+    }),
+
+    // strTime + sqlTimeformat rendering through the gate
+    "q_tql_timefmt" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      e0.filter(col("user_id") < 20)
+        .select(col("event_id"), tsUs(e0).as("t_us"))
+        .createOrReplaceTempView("tql_events_tf")
+      Tql.compile(s,
+        """SQL('SELECT event_id, t_us FROM tql_events_tf ORDER BY event_id')
+          |MAPVALUE(1, strTime(parseTime(value(1), 'us', tz('UTC')), sqlTimeformat('YYYY-MM-DD HH24:MI:SS'), tz('UTC')), 'tstr')
+          |CSV()
+          |""".stripMargin).output
+        .orderBy("event_id")
+    }),
+
     // string-typed source through the MAP_DIFF family: the reference
     // pushes non-time inputs through util.ToFloat64 (fm_monad.go:1848+),
     // so a VARCHAR column diffs numerically — oracle-pinned here, not
@@ -179,6 +255,24 @@ object TqlQueries {
            WHERE epoch_us(ts) >= 1704412800000000 AND epoch_us(ts) < 1704499200000000
            GROUP BY 1) a ON s.time = a.b_us
          ORDER BY s.time""",
+    "q_tql_throttle" ->
+      """SELECT event_id, value FROM events ORDER BY event_id LIMIT 100""",
+    "q_tql_pushkey" ->
+      """SELECT row_number() OVER (ORDER BY event_id) AS "ROWNUM", event_id, value
+         FROM events WHERE user_id < 20 ORDER BY event_id""",
+    "q_tql_set" ->
+      """SELECT event_id, value, value - 300 AS excess
+         FROM events WHERE value > 300 ORDER BY event_id""",
+    "q_tql_glob" ->
+      """SELECT event_id, event_type,
+           regexp_matches(event_type, '^(view|click)$') AS is_vc
+         FROM events WHERE event_type LIKE '%u%' ORDER BY event_id""",
+    "q_tql_flatten" ->
+      """SELECT user_id AS uid, value AS vals FROM events ORDER BY uid, vals""",
+    "q_tql_timefmt" ->
+      """SELECT event_id,
+           strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S') AS tstr
+         FROM events WHERE user_id < 20 ORDER BY event_id""",
     // the string round-trip is lossless (shortest-repr double format),
     // so the diff equals the diff of the original doubles
     "q_tql_mapdiff_string" ->

@@ -2644,11 +2644,20 @@ object Compiler {
         // strTime(t, format [, tz()]): Go-layout/named format rendering
         // (fm_time.go fmStrTime)
         case t :: fmtE :: _ =>
-          val raw = constString(fmtE)
-          // Go reference layouts carry the canonical year "2006"
-          val pattern =
-            if (raw.contains("2006")) graft.time.TimeFns.translateGoTimeformat(raw)
-            else graft.time.TimeFns.translateTimeformat(raw)
+          // format may be wrapped: sqlTimeformat()/ansiTimeformat()
+          // convert their style before rendering (func_test.go TestStrTime
+          // strTime(now, sqlTimeformat("YYYY/MM/DD …"), UTC))
+          val pattern = fmtE match {
+            case Call("sqlTimeformat", List(Str(f))) =>
+              graft.time.TimeFns.translateTimeformat(f)
+            case Call("ansiTimeformat", List(Str(f))) =>
+              graft.time.TimeFns.translateAnsiTimeformat(f)
+            case other =>
+              val raw = constString(other)
+              // Go reference layouts carry the canonical year "2006"
+              if (raw.contains("2006")) graft.time.TimeFns.translateGoTimeformat(raw)
+              else graft.time.TimeFns.translateTimeformat(raw)
+          }
           val nsL = nsLongOf(t, p)
           val tzName = args.collectFirst {
             case Call("tz", List(Str(z))) => graft.time.TimeFns.resolveTz(z)
