@@ -87,6 +87,56 @@ object TqlQueries {
           |""".stripMargin).output
     }),
 
+    // standalone TIMEWINDOW statement (deprecated alias of
+    // GROUP(timewindow)): absolute period-aligned windows over a µs grid
+    "q_tql_timewindow_standalone" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      // raw longs are epoch-ns to TIMEWINDOW (the TQL ns convention);
+      // µs-truncate first so DuckDB sees identical instants
+      e0.select((tsUs(e0) * 1000L).as("tns"), col("value"))
+        .createOrReplaceTempView("tql_events_tws")
+      Tql.compile(s,
+        """SQL('SELECT tns, value FROM tql_events_tws')
+          |TIMEWINDOW(time(1704412800000000000), time(1704499200000000000), period('10m'), 'time', 'max')
+          |CSV()
+          |""".stripMargin).output
+        .select(unix_micros(col("tns")).as("t_us"), col("value"))
+        .orderBy("t_us")
+    }),
+
+    // CSV file source: round-trip through a real on-disk CSV (writes a
+    // deterministic extract, reads it back via CSV(file(...)))
+    "q_tql_csvfile" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val rows = e0.filter(col("user_id") < 10)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+        .collect()
+      val tmp = java.nio.file.Files.createTempFile("graft_gate_csv", ".csv")
+      val body = rows.map(r =>
+        s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}").mkString("\n")
+      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+      Tql.compile(s,
+        s"""CSV(file('$tmp'), field(0, doubleType(), 'event_id'), field(1, stringType(), 'event_type'), field(2, doubleType(), 'value'))
+           |FILTER(value(2) > 100)
+           |CSV()
+           |""".stripMargin).output
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    // param() request binding threaded into FILTER
+    "q_tql_param" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("tql_events_pm")
+      Tql.compile(s,
+        """SQL('SELECT event_id, value FROM tql_events_pm ORDER BY event_id')
+          |FILTER(value(1) > parseFloat(param('min')))
+          |CSV()
+          |""".stripMargin, Map("min" -> "350")).output
+        .orderBy("event_id")
+    }),
+
     // THROTTLE pacing only exists on the streaming edge — on a batch
     // frame it must be the identity (fm_monad.go fmThrottle)
     "q_tql_throttle" -> ((s, dir) => {
@@ -255,6 +305,23 @@ object TqlQueries {
            WHERE epoch_us(ts) >= 1704412800000000 AND epoch_us(ts) < 1704499200000000
            GROUP BY 1) a ON s.time = a.b_us
          ORDER BY s.time""",
+    // 144 ten-minute windows over the day; unfilled windows stay NULL
+    "q_tql_timewindow_standalone" ->
+      """SELECT s.t_us, a.mx AS value
+         FROM (SELECT 1704412800000000 + CAST(range AS BIGINT)*600000000 AS t_us
+               FROM range(144)) s
+         LEFT JOIN (
+           SELECT epoch_us(ts) - epoch_us(ts) % 600000000 AS b_us,
+             max(value) AS mx
+           FROM events
+           WHERE epoch_us(ts) >= 1704412800000000 AND epoch_us(ts) < 1704499200000000
+           GROUP BY 1) a ON s.t_us = a.b_us
+         ORDER BY s.t_us""",
+    "q_tql_csvfile" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE user_id < 10 AND value > 100 ORDER BY event_id""",
+    "q_tql_param" ->
+      """SELECT event_id, value FROM events WHERE value > 350 ORDER BY event_id""",
     "q_tql_throttle" ->
       """SELECT event_id, value FROM events ORDER BY event_id LIMIT 100""",
     "q_tql_pushkey" ->
