@@ -840,6 +840,39 @@ object Compiler {
 
   /** Fold a compile-time string expression (literals + strTrimSpace +
     * strSprintf with constant args, Go verb subset). */
+  /** range(time, duration[, period]) validation with the reference's
+    * arg-indexed diagnostics (fm_time.go fmTimeRange:23-51; TestRangeTime
+    * pins each message). Returns (startNs, durationNs, periodNs). */
+  private def rangeArgs(rargs: List[Expr]): (Long, Long, Long) = {
+    def goType(e: Expr): String = e match {
+      case Expr.Bool(_) => "bool"
+      case Expr.Num(_) => "float64"
+      case Expr.Str(_) => "string"
+      case _ => "string"
+    }
+    def durOf(e: Expr, idx: Int, what: String): Long = e match {
+      case Expr.Str(d) =>
+        try graft.time.TimeFns.parseDurationNs(d)
+        catch { case _: Exception => throw new IllegalArgumentException(
+          s"f(range) arg($idx) should be $what, but ${goType(e)}") }
+      case Expr.Num(n) => n.toLong
+      case other => throw new IllegalArgumentException(
+        s"f(range) arg($idx) should be $what, but ${goType(other)}")
+    }
+    require(rargs.size >= 2, "f(range) invalid number of args")
+    val start = rargs.head match {
+      case b @ Expr.Bool(_) => throw new IllegalArgumentException(
+        s"f(range) arg(0) should be time, but ${goType(b)}")
+      case e => evalConstNs(e)
+    }
+    val dur = durOf(rargs(1), 1, "duration")
+    val per = if (rargs.size > 2) durOf(rargs(2), 2, "period") else 0L
+    if (rargs.size > 2 && math.abs(dur) <= math.abs(per))
+      throw new IllegalArgumentException(
+        "f(range) arg(2) period should be smaller than duration")
+    (start, dur, per)
+  }
+
   private def constString(e: Expr): String = constStringOpt(e).getOrElse(
     throw new IllegalArgumentException(s"expected string literal, got $e"))
 
@@ -986,8 +1019,7 @@ object Compiler {
         }
         val freqs = args.collect { case Call("freq", List(Num(hz), Num(amp))) => Fake.Freq(hz, amp) }
         val ranges = args.collect {
-          case Call("range", List(startE, Str(dur), Str(period))) =>
-            (evalConstNs(startE), graft.time.TimeFns.parseDurationNs(dur), graft.time.TimeFns.parseDurationNs(period))
+          case Call("range", rargs) => rangeArgs(rargs)
         }
         if (ranges.length > 1)
           throw new IllegalArgumentException("f(oscillator) duplicated time range")
@@ -2588,6 +2620,8 @@ object Compiler {
       case "roundTime" => args match {
         case List(x, Str(dur)) =>
           val periodNs = graft.time.TimeFns.parseDurationNs(dur)
+          if (periodNs == 0) throw new IllegalArgumentException(
+            "f(roundTime) arg(1) zero duration is not allowed") // func_test.go:548
           val xc = toColumn(x, p)
           // timestamp inputs round as timestamps (sink timeformat modes
           // then apply — TestGroupWhere renders epoch-s)

@@ -126,6 +126,21 @@ class ReferenceCasesSpec extends SparkSpec {
     assert(idx == "HelLo 😀 World,6,4,2,6,12,0,14\n", idx)
   }
 
+  test("range() and roundTime() arg diagnostics (func_test.go:546-597)") {
+    def err(script: String): String =
+      intercept[IllegalArgumentException](Tql.run(spark, script)).getMessage
+    assert(err("FAKE( oscillator(freq(1.0, 1.0), range(false, '1s', '100ms')) )\nCSV()\n")
+      == "f(range) arg(0) should be time, but bool")
+    assert(err("FAKE( oscillator(freq(1.0, 1.0), range(0, '1x', '100ms')) )\nCSV()\n")
+      == "f(range) arg(1) should be duration, but string")
+    assert(err("FAKE( oscillator(freq(1.0, 1.0), range(0, '1s', '100x')) )\nCSV()\n")
+      == "f(range) arg(2) should be period, but string")
+    assert(err("FAKE( oscillator(freq(1.0, 1.0), range(0, '500ms', '1s')) )\nCSV()\n")
+      == "f(range) arg(2) period should be smaller than duration")
+    assert(err("FAKE( json({[1]}) )\nMAPVALUE(0, roundTime(parseTime(value(0), 's', tz('UTC')), '0s'))\nCSV()\n")
+      == "f(roundTime) arg(1) zero duration is not allowed")
+  }
+
   test("variadic element() and float64 len() (func_test.go:598-665)") {
     val out = run(
       """FAKE( json({ ["1234"] }))
