@@ -126,6 +126,22 @@ object TqlQueries {
         .orderBy("event_id")
     }),
 
+    // STRING(file, separator) source: one record per separated chunk,
+    // aggregated downstream (also oracles the count-all semantics)
+    "q_tql_string_src" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val lines = e0.filter(col("user_id") < 10).orderBy("event_id")
+        .select(col("event_type")).collect().map(_.getString(0))
+      val tmp = java.nio.file.Files.createTempFile("graft_gate_str", ".txt")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      Tql.compile(s,
+        s"""STRING(file('$tmp'), separator('\\n'))
+           |GROUP(by(value(0), 'etype'), count(value(0), 'cnt'))
+           |CSV()
+           |""".stripMargin).output
+        .orderBy("etype")
+    }),
+
     // param() request binding threaded into FILTER
     "q_tql_param" -> ((s, dir) => {
       t(s, dir, "events").createOrReplaceTempView("tql_events_pm")
@@ -322,6 +338,10 @@ object TqlQueries {
          WHERE user_id < 10 AND value > 100 ORDER BY event_id""",
     "q_tql_param" ->
       """SELECT event_id, value FROM events WHERE value > 350 ORDER BY event_id""",
+    // TQL count() buffers float64; counts every separated chunk
+    "q_tql_string_src" ->
+      """SELECT event_type AS etype, CAST(count(*) AS DOUBLE) AS cnt
+         FROM events WHERE user_id < 10 GROUP BY 1 ORDER BY 1""",
     "q_tql_throttle" ->
       """SELECT event_id, value FROM events ORDER BY event_id LIMIT 100""",
     "q_tql_pushkey" ->
