@@ -72,6 +72,8 @@ object ChartRender {
       case Call("size", List(Str(w), Str(h))) => chart.width = w; chart.height = h
       case Call("chartJson", List(Bool(b))) => chart.toJsonOutput = b
       case Call("chartOption", List(Str(o))) => chart.setChartOption(o)
+      // option('…') is the generic spelling (fm_context.go fmOption:171)
+      case Call("option", List(Str(o))) => chart.setChartOption(o)
       case Call("chartJSCode", List(Str(js))) => chart.setChartJSCode(js)
       case Call("chartDispatchAction", List(Str(a))) => chart.setDispatchAction(a)
       case Call("plugins", ps) => chart.setPlugins(ps.flatMap(str): _*)

@@ -523,7 +523,7 @@ object Compiler {
       case Call("STRING", args) =>
         // STRING(payload() ?? `literal`, separator('\n'), trimspace(true))
         // — one record per separated chunk (reference fm_bytes.go:26-236).
-        val sep = args.collectFirst { case Call("separator", List(Str(x))) => x }.getOrElse("\n")
+        val sep = args.collectFirst { case Call("separator" | "sep", List(Str(x))) => x }.getOrElse("\n")
         val trimsp = args.exists {
           case Call("trimspace", Nil) => true
           case Call("trimspace", List(Bool(b))) => b
@@ -539,7 +539,7 @@ object Compiler {
       case Call("BYTES", args) =>
         // BYTES(payload()|'literal'|file(), separator()) — like STRING but
         // binary chunks, label "BYTES" (fm_bytes.go:37-57,174)
-        val sep = args.collectFirst { case Call("separator", List(Str(x))) => x }
+        val sep = args.collectFirst { case Call("separator" | "sep", List(Str(x))) => x }
         val text = args.headOption.flatMap(constStringOpt).getOrElse(
           throw new IllegalArgumentException("BYTES needs a payload, literal or file()"))
         val chunks = sep match {
@@ -2294,6 +2294,10 @@ object Compiler {
       case Call("rownum", _) => opts = opts.copy(rownum = true)
       case Call("rowsFlatten", List(Bool(b))) => opts = opts.copy(rowsFlatten = b)
       case Call("rowsFlatten", _) => opts = opts.copy(rowsFlatten = true)
+      // nullValue/substituteNull: custom token for NULL cells
+      // (task_test.go TestJsonToCsv pins both spellings)
+      case Call("nullValue" | "substituteNull", List(Str(nv))) =>
+        opts = opts.copy(nullAs = nv)
       case Call("delimiter", List(Str(d))) => opts = opts.copy(delimiter = d)
       case Call("timeformat", List(Str(f))) =>
         f.toLowerCase match {

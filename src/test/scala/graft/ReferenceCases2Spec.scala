@@ -368,6 +368,22 @@ class ReferenceCases2Spec extends SparkSpec {
     assert(out == "CNT,AVG\n3.00,6.50\n", out)
   }
 
+  test("CSV sink nullValue/substituteNull token; logProgress() tolerated (task_test.go:753-795)") {
+    val nv = Tql.run(spark,
+      """FAKE(json({ ["A", 123], ["B", null], ["C", 234] }))
+        |CSV( nullValue("<NULL>") )
+        |""".stripMargin)
+    assert(nv == "A,123\nB,<NULL>\nC,234\n", nv)
+    val sn = Tql.run(spark,
+      """FAKE(json({ ["A", 123], ["B", null], ["C", 234] }))
+        |CSV( substituteNull("<NULL>") )
+        |""".stripMargin)
+    assert(sn == "A,123\nB,<NULL>\nC,234\n", sn)
+    val lp = Tql.run(spark,
+      "CSV(\"1,line1\\n2,line2\\n3,\\n4,line4\", logProgress(2))\nCSV( heading(true) )\n")
+    assert(lp == "column0,column1\n1,line1\n2,line2\n3,\n4,line4\n", lp)
+  }
+
   test("GROUP mode and weighted mode (task_test.go:1800-1827)") {
     val p = Map("payload" -> Seq("A,1.1\nA,1.1\nB,2.1\nB,2.2\nB,2.1\nC,3.1\nC,3.2\nC,3.3\nC,3.3"))
     val out = Tql.run(spark,
