@@ -1,0 +1,131 @@
+package graft
+
+import graft.scheduler.Timers
+import graft.streaming.BrokerLoop
+import graft.streaming.Subscribers.Dispatcher
+import graft.server.{QueryDoor, TagTables}
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+/** MQTT/NATS subscriber surface over REAL loopback sockets: in-JVM
+  * brokers speaking the wire protocols (mqtt 3.1.1 control packets,
+  * nats text frames) deliver into the same Dispatcher the reference's
+  * sched_subs.go drives per broker message. */
+class BrokerLoopSpec extends SparkSpec {
+
+  test("mqtt topic filters: + and # wildcards (spec 4.7)") {
+    import BrokerLoop.mqttTopicMatches
+    assert(mqttTopicMatches("sensor/#", "sensor/a/b"))
+    assert(mqttTopicMatches("sensor/#", "sensor"))
+    assert(mqttTopicMatches("sensor/+/temp", "sensor/x/temp"))
+    assert(!mqttTopicMatches("sensor/+/temp", "sensor/x/y/temp"))
+    assert(!mqttTopicMatches("sensor/+", "sensor"))
+    assert(mqttTopicMatches("a/b", "a/b") && !mqttTopicMatches("a/b", "a/c"))
+  }
+
+  test("nats subjects: * and > wildcards") {
+    import BrokerLoop.natsSubjectMatches
+    assert(natsSubjectMatches("metrics.>", "metrics.cpu.core0"))
+    assert(natsSubjectMatches("metrics.*", "metrics.cpu"))
+    assert(!natsSubjectMatches("metrics.*", "metrics.cpu.core0"))
+    assert(!natsSubjectMatches("metrics.>", "metrics"))
+    assert(natsSubjectMatches("a.b", "a.b") && !natsSubjectMatches("a.b", "a.c"))
+  }
+
+  test("non-loopback broker hosts are refused (egress policy)") {
+    val e = intercept[IllegalArgumentException](
+      new BrokerLoop.MqttClient("10.1.2.3", 1883, "x"))
+    assert(e.getMessage.contains("non-loopback broker host refused"))
+    val e2 = intercept[IllegalArgumentException](
+      new BrokerLoop.NatsClient("example.com", 4222))
+    assert(e2.getMessage.contains("non-loopback") ||
+      e2.getMessage.contains("refused") || e2.isInstanceOf[IllegalArgumentException])
+  }
+
+  test("mqtt end-to-end: subscriber dispatches broker messages into a tag table") {
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create tag table mq_sink (name varchar(40) primary key, time datetime basetime, value double summarized)")
+    val svc = new Timers.Service(() => spark, (_: String) => Left("unused"))
+    svc.register(Timers.ScheduleDef("mq_sub", "subscriber", autoStart = false,
+      task = "db/write/mq_sink", bridge = "mqtt-loop", topic = "sensor/#"))
+    val ent = svc.getEntry("mq_sub").get.asInstanceOf[Timers.BaseEntry]
+    val disp = new Dispatcher(spark, (_: String) => Left("unused"), ent,
+      "db/write/mq_sink?timeformat=s")
+
+    val broker = new BrokerLoop.MqttBroker
+    val subCli = new BrokerLoop.MqttClient("127.0.0.1", broker.port, "graft-sub")
+    val done = new CountDownLatch(2)
+    val reasons = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    subCli.subscribe("sensor/#") { (topic, payload) =>
+      val r = disp.dispatchMqtt(topic, payload, msgId = 1, dup = false, retain = false)
+      reasons.add(r.reason); done.countDown()
+    }
+    Thread.sleep(50) // let SUBSCRIBE register before publishing
+
+    val pubCli = new BrokerLoop.MqttClient("127.0.0.1", broker.port, "graft-pub")
+    pubCli.publish("sensor/a",
+      """{"data":{"columns":["name","time","value"],"rows":[["m.1",1705291859,1.5]]}}""".getBytes("UTF-8"))
+    pubCli.publish("sensor/b",
+      """{"data":{"columns":["name","time","value"],"rows":[["m.2",1705291860,2.5],["m.3",1705291861,3.5]]}}""".getBytes("UTF-8"))
+    assert(done.await(20, TimeUnit.SECONDS), "mqtt deliveries timed out")
+    assert(reasons.size == 2 && reasons.toArray.forall(_.toString.startsWith("success")),
+      reasons)
+    assert(spark.table("mq_sink").count() == 3)
+    // off-filter topic is NOT delivered
+    pubCli.publish("other/x", "junk".getBytes("UTF-8"))
+    Thread.sleep(100)
+    assert(spark.table("mq_sink").count() == 3)
+    pubCli.close(); subCli.close(); broker.close()
+    TagTables.resetDynamicForTest(spark)
+  }
+
+  test("nats end-to-end: tql task per MSG with queue-group routing") {
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create tag table nats_sink (name varchar(40) primary key, time datetime basetime, value double summarized)")
+    val script =
+      """CSV(payload(), header(false),
+        |  field(0, stringType(), "name"),
+        |  field(1, datetimeType("s"), "time"),
+        |  field(2, doubleType(), "value"))
+        |INSERT('name', 'time', 'value', table('nats_sink'))
+        |""".stripMargin
+    val loader: Timers.TqlLoader = (_: String) => Right(script)
+    val svc = new Timers.Service(() => spark, loader)
+    svc.register(Timers.ScheduleDef("nats_sub", "subscriber", autoStart = false,
+      task = "ingest.tql", bridge = "nats-loop", topic = "metrics.>"))
+    val ent = svc.getEntry("nats_sub").get.asInstanceOf[Timers.BaseEntry]
+    val disp = new Dispatcher(spark, loader, ent, "ingest.tql")
+
+    val broker = new BrokerLoop.NatsBroker
+    val subCli = new BrokerLoop.NatsClient("127.0.0.1", broker.port)
+    val done = new CountDownLatch(2)
+    subCli.subscribe("metrics.>", sid = "1") { (subject, payload) =>
+      disp.dispatchNats(subject, payload); done.countDown()
+    }
+    Thread.sleep(50)
+
+    val pubCli = new BrokerLoop.NatsClient("127.0.0.1", broker.port)
+    pubCli.publish("metrics.cpu", "n.1,1705291859,0.25".getBytes("UTF-8"))
+    pubCli.publish("metrics.mem", "n.2,1705291860,0.50".getBytes("UTF-8"))
+    assert(done.await(20, TimeUnit.SECONDS), "nats deliveries timed out")
+    assert(spark.table("nats_sink").count() == 2)
+
+    // queue group: two members, each message goes to exactly one
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
+    val qDone = new CountDownLatch(4)
+    val m1 = new BrokerLoop.NatsClient("127.0.0.1", broker.port)
+    val m2 = new BrokerLoop.NatsClient("127.0.0.1", broker.port)
+    m1.subscribe("jobs.*", sid = "q1", queue = "workers") { (_, _) =>
+      hits.incrementAndGet(); qDone.countDown() }
+    m2.subscribe("jobs.*", sid = "q2", queue = "workers") { (_, _) =>
+      hits.incrementAndGet(); qDone.countDown() }
+    Thread.sleep(50)
+    (1 to 4).foreach(i => pubCli.publish(s"jobs.j$i", "x".getBytes("UTF-8")))
+    assert(qDone.await(20, TimeUnit.SECONDS), "queue-group deliveries timed out")
+    Thread.sleep(100) // any duplicate delivery would land here
+    assert(hits.get() == 4, s"queue group delivered ${hits.get()} times for 4 messages")
+    Seq(m1, m2, pubCli, subCli).foreach(_.close()); broker.close()
+    TagTables.resetDynamicForTest(spark)
+  }
+}
