@@ -79,6 +79,54 @@ class BrokerLoopSpec extends SparkSpec {
     TagTables.resetDynamicForTest(spark)
   }
 
+  test("mqtt db/query endpoint replies on db/reply (mqtt_test.go TestMqttQuery)") {
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create tag table example (name varchar(100) primary key, time datetime basetime, value double summarized)")
+    QueryDoor.execute(spark,
+      "insert into example (name, time, value) values ('temp', 1705291859000000000, 3.14)")
+
+    val broker = new BrokerLoop.MqttBroker
+    val door = graft.server.MqttDoor.attach(spark, "127.0.0.1", broker.port)
+    val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val cli = new BrokerLoop.MqttClient("127.0.0.1", broker.port, "graft-q")
+    cli.subscribe("db/reply") { (_, payload) => got.put(new String(payload, "UTF-8")) }
+    Thread.sleep(50)
+
+    // query_simple: JSON envelope with columns/types/rows
+    cli.publish("db/query",
+      """{"q": "select * from example where name = 'temp'" }""".getBytes("UTF-8"))
+    val rsp = got.poll(20, TimeUnit.SECONDS)
+    assert(rsp != null, "no db/reply payload")
+    val env = graft.script.Builtins.jsonParse(rsp).asInstanceOf[scala.collection.Map[String, Any]]
+    assert(env("success") == true, rsp)
+    assert(env("reason") == "success", rsp)
+    val data = env("data").asInstanceOf[scala.collection.Map[String, Any]]
+    assert(data("columns").asInstanceOf[scala.collection.Seq[Any]].toSeq == Seq("NAME", "TIME", "VALUE"), rsp)
+    assert(data("types").asInstanceOf[scala.collection.Seq[Any]].toSeq == Seq("string", "datetime", "double"), rsp)
+    val row0 = data("rows").asInstanceOf[scala.collection.Seq[Any]]
+      .head.asInstanceOf[scala.collection.Seq[Any]]
+    assert(row0.head == "temp" && row0(2) == 3.14, rsp)
+
+    // error envelope: bad SQL reports success=false with a reason
+    cli.publish("db/query", """{"q": "select * from missing_t" }""".getBytes("UTF-8"))
+    val rsp2 = got.poll(20, TimeUnit.SECONDS)
+    val env2 = graft.script.Builtins.jsonParse(rsp2).asInstanceOf[scala.collection.Map[String, Any]]
+    assert(env2("success") == false, rsp2)
+
+    // custom reply topic via the request's "reply" field
+    val got3 = new java.util.concurrent.LinkedBlockingQueue[String]()
+    cli.subscribe("db/reply/me") { (_, payload) => got3.put(new String(payload, "UTF-8")) }
+    Thread.sleep(50)
+    cli.publish("db/query",
+      """{"q": "select count(*) as CNT from example", "reply": "db/reply/me", "format": "csv" }""".getBytes("UTF-8"))
+    val rsp3 = got3.poll(20, TimeUnit.SECONDS)
+    assert(rsp3 != null && rsp3.trim.endsWith("1"), s"csv reply: $rsp3")
+
+    cli.close(); door.close(); broker.close()
+    TagTables.resetDynamicForTest(spark)
+  }
+
   test("nats end-to-end: tql task per MSG with queue-group routing") {
     TagTables.resetDynamicForTest(spark)
     QueryDoor.execute(spark,
