@@ -20,6 +20,29 @@ object MqttDoor {
       val (reply, out) = serve(spark, new String(payload, "UTF-8"))
       cli.publish(reply, out.getBytes("UTF-8"))
     }
+    // write topics (mqtt_write.go): db/write|append/<table>[:fmt[:gzip]];
+    // db/metrics/<table> takes InfluxDB line protocol. QoS-0 publishes
+    // carry no reply; failures only log, like the reference.
+    def ingest(topic: String, prefix: String, payload: Array[Byte]): Unit =
+      try {
+        val wp = graft.streaming.Subscribers.parseWritePath(topic.stripPrefix(prefix))
+          .fold(e => throw new IllegalArgumentException(e), identity)
+        val fmt = if (wp.format.isEmpty) "json" else wp.format
+        val contentType = if (fmt == "csv") "text/csv" else "application/json"
+        val params = if (wp.compress == "gzip") Map("compress" -> "gzip") else Map.empty[String, String]
+        WriteDoor.write(spark, wp.table, payload, contentType, params)
+      } catch { case e: Exception =>
+        graft.tql.TqlLog.log("ERROR", s"mqtt write $topic: ${e.getMessage}")
+      }
+    cli.subscribe("db/write/#")((t, p) => ingest(t, "db/write/", p))
+    cli.subscribe("db/append/#")((t, p) => ingest(t, "db/append/", p))
+    cli.subscribe("db/metrics/#") { (topic, payload) =>
+      try graft.sources.LineProtocol.writeTo(spark,
+        topic.stripPrefix("db/metrics/").toUpperCase, payload)
+      catch { case e: Exception =>
+        graft.tql.TqlLog.log("ERROR", s"mqtt metrics $topic: ${e.getMessage}")
+      }
+    }
     cli
   }
 

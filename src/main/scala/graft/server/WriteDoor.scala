@@ -27,11 +27,18 @@ object WriteDoor {
     val (columns, rows): (Seq[String], Iterator[Seq[Any]]) =
       contentType.toLowerCase.takeWhile(_ != ';').trim match {
         case "application/json" =>
-          val root = asMap(graft.script.Builtins.jsonParse(body))
-          val data = asMap(root.getOrElse("data", root))
-          val cols = asSeq(data("columns")).map(String.valueOf(_))
-          val rws = asSeq(data("rows")).iterator.map(r => asSeq(r))
-          (cols, rws)
+          graft.script.Builtins.jsonParse(body) match {
+            // bare array of rows: positional against the table's columns
+            // (mqtt_test.go mqtt-write-json publishes `[[...],[...]]`)
+            case s: scala.collection.Seq[_] =>
+              (TagTables.columnsOf(table), s.iterator.map(r => asSeq(r)))
+            case parsed =>
+              val root = asMap(parsed)
+              val data = asMap(root.getOrElse("data", root))
+              val cols = asSeq(data("columns")).map(String.valueOf(_))
+              val rws = asSeq(data("rows")).iterator.map(r => asSeq(r))
+              (cols, rws)
+          }
         case "application/x-ndjson" | "application/jsonl" =>
           val objs = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
             .map(l => asMap(graft.script.Builtins.jsonParse(l))).toSeq

@@ -158,7 +158,8 @@ object BrokerLoop {
     private val sock = new Socket(InetAddress.getByName(host), port)
     private val in = sock.getInputStream
     private val out = sock.getOutputStream
-    @volatile private var cb: (String, Array[Byte]) => Unit = null
+    private val cbs = new CopyOnWriteArrayList[(String, (String, Array[Byte]) => Unit)]()
+    private val readerOn = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     // CONNECT: protocol "MQTT" level 4, clean session, keepalive 60
     out.write(mqttPacket(0x10,
@@ -168,27 +169,33 @@ object BrokerLoop {
     require(ack.length == 4 && (ack(0) & 0xFF) == 0x20 && ack(3) == 0,
       "mqtt connect refused")
 
-    /** Subscribe and start the delivery loop; `fn` runs on the reader
-      * thread, one call per PUBLISH. */
+    /** Subscribe; deliveries run on the (single) reader thread — every
+      * matching subscription's callback fires, like a broker delivering
+      * once per matching subscription. */
     def subscribe(filter: String)(fn: (String, Array[Byte]) => Unit): Unit = {
-      cb = fn
+      cbs.add(filter -> fn)
       out.write(mqttPacket(0x82, u16(1) ++ lenPrefixed(filter) :+ 0.toByte))
       out.flush()
-      spawn(s"mqtt-client-read-$clientId") {
-        var live = true
-        while (live) {
-          val h = in.read()
-          if (h < 0) live = false
-          else {
-            val body = in.readNBytes(readVarint(in))
-            if ((h >> 4) == 3) {
-              val tlen = ((body(0) & 0xFF) << 8) | (body(1) & 0xFF)
-              val topic = new String(body, 2, tlen, UTF_8)
-              if (cb != null) cb(topic, body.drop(2 + tlen))
+      if (readerOn.compareAndSet(false, true))
+        spawn(s"mqtt-client-read-$clientId") {
+          var live = true
+          while (live) {
+            val h = in.read()
+            if (h < 0) live = false
+            else {
+              val body = in.readNBytes(readVarint(in))
+              if ((h >> 4) == 3) {
+                val tlen = ((body(0) & 0xFF) << 8) | (body(1) & 0xFF)
+                val topic = new String(body, 2, tlen, UTF_8)
+                val payload = body.drop(2 + tlen)
+                cbs.forEach { case (f, fn) =>
+                  if (mqttTopicMatches(f, topic))
+                    try fn(topic, payload) catch { case _: Exception => () }
+                }
+              }
             }
           }
         }
-      }
     }
 
     def publish(topic: String, payload: Array[Byte]): Unit = {

@@ -127,6 +127,56 @@ class BrokerLoopSpec extends SparkSpec {
     TagTables.resetDynamicForTest(spark)
   }
 
+  test("mqtt write topics: json/csv/gzip bodies and ILP metrics (mqtt_test.go TestMqttWrite)") {
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create tag table test_mqtt (name varchar(100) primary key, time datetime basetime, value double summarized)")
+    val broker = new BrokerLoop.MqttBroker
+    val door = graft.server.MqttDoor.attach(spark, "127.0.0.1", broker.port)
+    Thread.sleep(50)
+    val cli = new BrokerLoop.MqttClient("127.0.0.1", broker.port, "graft-w")
+
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    def countWhere(name: String): Long =
+      spark.table("test_mqtt").filter(org.apache.spark.sql.functions.col("name") === name).count()
+    def await(name: String, n: Long): Unit = {
+      val deadline = System.nanoTime() + 20L * 1000000000L
+      while (countWhere(name) != n && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(countWhere(name) == n, s"$name: ${countWhere(name)} != $n")
+    }
+
+    // bare-array JSON, positional columns
+    cli.publish("db/write/test_mqtt",
+      """[["json1", 1705291859000000000, 1.2345], ["json1", 1705291860000000000, 2.3456]]""".getBytes("UTF-8"))
+    await("json1", 2)
+    // JSON envelope with explicit columns
+    cli.publish("db/write/test_mqtt",
+      """{"data":{"columns":["NAME","TIME","VALUE"],"rows":[["json2",1705291861000000000,1.2345],["json2",1705291862000000000,2.3456]]}}""".getBytes("UTF-8"))
+    await("json2", 2)
+    // CSV via topic suffix
+    cli.publish("db/write/test_mqtt:csv",
+      "csv1,1705291863000000000,1.2345\ncsv1,1705291864000000000,2.3456".getBytes("UTF-8"))
+    await("csv1", 2)
+    // gzip'd JSON and CSV via topic suffixes
+    cli.publish("db/write/test_mqtt:json:gzip",
+      gz("""[["json3", 1705291869000000000, 1.2345], ["json3", 1705291870000000000, 2.3456]]"""))
+    await("json3", 2)
+    cli.publish("db/write/test_mqtt:csv:gzip",
+      gz("csv5,1705291871000000000,1.2345\ncsv5,1705291872000000000,2.3456"))
+    await("csv5", 2)
+    // line protocol on db/metrics/<table>: name = measurement.field
+    cli.publish("db/metrics/test_mqtt",
+      "ilp speed=1.2345 1732742196000000000\nilp speed=2.3456 1732742197000000000\n".getBytes("UTF-8"))
+    await("ilp.speed", 2)
+
+    cli.close(); door.close(); broker.close()
+    TagTables.resetDynamicForTest(spark)
+  }
+
   test("nats end-to-end: tql task per MSG with queue-group routing") {
     TagTables.resetDynamicForTest(spark)
     QueryDoor.execute(spark,
