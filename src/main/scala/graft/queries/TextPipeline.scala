@@ -125,6 +125,16 @@ object TextPipeline {
         .orderBy("qid", "rnk")
     }),
 
+    // ---- LSH, exhaustive probe: every bucket scanned == brute-force
+    // top-k, the exact oracle anchor for the LSH machinery ---------------
+    "q_ann_lsh_full" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 10, planes = 8,
+          probeAll = true)
+        .select(col("qid"), col("rnk"), col("eid"), r6(col("cos_sim")).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+
     // ---- distributed SCRIPT: per-partition JS over documents ----------
     "q_script_map" -> ((s, dir) => {
       import org.apache.spark.sql.types._
@@ -402,6 +412,25 @@ object TextPipeline {
          )
          SELECT v AS doc_id, min(r) AS cluster FROM reach
          GROUP BY v ORDER BY doc_id""",
+    // exhaustive-probe LSH == brute-force cosine top-k (same recipe as
+    // the IVF/PQ exact anchors)
+    "q_ann_lsh_full" ->
+      """WITH q AS (SELECT vec_id AS qid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id < 5),
+         e AS (SELECT vec_id AS eid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+           FROM embeddings),
+         p AS (SELECT qid, eid,
+             (SELECT sum(x*y) FROM (SELECT unnest(qe) AS x, unnest(ee) AS y)) /
+             (sqrt((SELECT sum(x*x) FROM (SELECT unnest(qe) AS x))) *
+              sqrt((SELECT sum(y*y) FROM (SELECT unnest(ee) AS y)))) AS cs
+           FROM q JOIN e ON qid <> eid)
+         SELECT qid, rnk, eid, round(cs,6) AS cos_sim FROM (
+           SELECT qid, eid, cs,
+             row_number() OVER (PARTITION BY qid ORDER BY cs DESC, eid) AS rnk
+           FROM p)
+         WHERE rnk <= 10 ORDER BY qid, rnk""",
     "q_embedding_topk" ->
       """WITH q AS (SELECT vec_id AS qid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe

@@ -75,16 +75,24 @@ object Ann {
   }
 
   /** LSH-bucketed ANN top-k with 1-bit multi-probe. Approximate: recall
-    * traded for scanning ~ (planes+1)/2^planes of the corpus per query. */
+    * traded for scanning ~ (planes+1)/2^planes of the corpus per query.
+    * `probeAll` probes every bucket — exhaustive, equal to brute-force
+    * top-k, so the bucketing/probe/rank machinery gets an exact oracle
+    * anchor (mirrors the IVF nprobe=k and PQ corpus-factor modes). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              probeAll: Boolean = false): DataFrame = {
     val e = corpus.select(col(idCol).as("eid"), toDouble(col(vecCol)).as("ee"))
       .withColumn("bucket", lshBucket(col("ee"), planes))
-    val q = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qe"))
+    val probed = queries.select(col(idCol).as("qid"), toDouble(col(vecCol)).as("qe"))
       .withColumn("qbucket", lshBucket(col("qe"), planes))
-      // multi-probe: exact bucket + every 1-bit flip
-      .withColumn("bucket", explode(array(
-        col("qbucket") +: (0 until planes).map(p => col("qbucket").bitwiseXOR(1 << p)): _*)))
+    val q = (if (probeAll)
+        probed.withColumn("bucket",
+          explode(sequence(lit(0), lit((1 << planes) - 1))))
+      else
+        // multi-probe: exact bucket + every 1-bit flip
+        probed.withColumn("bucket", explode(array(
+          col("qbucket") +: (0 until planes).map(p => col("qbucket").bitwiseXOR(1 << p)): _*))))
       .drop("qbucket")
     val scored = e.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("eid"))
