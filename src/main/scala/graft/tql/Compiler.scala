@@ -417,28 +417,28 @@ object Compiler {
         val header = rest.exists { case Call("header", _) => true; case _ => false }
         val charset = rest.collectFirst { case Call("charset", List(Str(c))) => c }
         val fields = rest.collect {
-          case Call("field", List(Num(i), Call(tpe, _), Str(nm))) => (i.toInt, tpe, nm)
-          case Call("col", List(Num(i), Call(tpe, _), Str(nm))) => (i.toInt, tpe, nm)
+          case Call("field", List(Num(i), Call(tpe, targs), Str(nm))) => (i.toInt, tpe, targs, nm)
+          case Call("col", List(Num(i), Call(tpe, targs), Str(nm))) => (i.toInt, tpe, targs, nm)
         }
         val reader0 = spark.read.option("header", header.toString)
         val reader = charset.fold(reader0)(c => reader0.option("encoding", c))
-        if (fields.isEmpty) {
-          // untyped file: reference names columns column0..N
-          val raw = reader.csv(path)
+        // read as strings, then cast per declared field() — the same
+        // type set and undeclared-columns-stay-strings rule as the
+        // payload/literal branch (previously the file branch knew only
+        // 4 of the 6 field types)
+        val raw = reader.csv(path)
+        if (fields.isEmpty)
           keyed(raw.toDF(raw.columns.indices.map(i => s"column$i"): _*))
-        }
         else {
-          def sparkType(t: String) = t match {
-            case "doubleType" => org.apache.spark.sql.types.DoubleType
-            case "stringType" => org.apache.spark.sql.types.StringType
-            case "timeType" => org.apache.spark.sql.types.LongType
-            case "boolType" => org.apache.spark.sql.types.BooleanType
-            case other => throw new IllegalArgumentException(s"unknown col type $other")
+          val byIdx = fields.map(f => f._1 -> f).toMap
+          val cols = raw.columns.indices.map { i =>
+            byIdx.get(i) match {
+              case Some((_, tpe, targs, nm)) =>
+                csvFieldCast(col(raw.columns(i)), tpe, targs).as(nm)
+              case None => col(raw.columns(i)).as(s"column$i")
+            }
           }
-          val schema = org.apache.spark.sql.types.StructType(
-            fields.sortBy(_._1).map { case (_, t, nm) =>
-              org.apache.spark.sql.types.StructField(nm, sparkType(t)) })
-          keyed(reader.schema(schema).csv(path))
+          keyed(raw.select(cols: _*))
         }
       case Call("CSV", first :: rest) if constStringOpt(first).isDefined =>
         // CSV("a,b\nc,d") / CSV(payload(), field(...)) — literal or
@@ -475,24 +475,8 @@ object Compiler {
         }
         if (fields.isEmpty) keyed(df0)
         else {
-          def castTo(c: Column, t: String, targs: List[Expr]): Column = t match {
-            case "doubleType" => c.cast("double")
-            case "floatType" => c.cast("float")
-            case "stringType" => c
-            case "boolType" => c.cast("boolean")
-            // datetimeType(unit): epoch numbers become real timestamps
-            // (sink timeformat() modes then apply; TestTimeWindowMs).
-            // ns keeps the raw long — the TQL ns convention, and a
-            // timestamp would truncate sub-µs digits.
-            case "datetimeType" | "timeType" =>
-              targs.collectFirst { case Str(u) => u }.getOrElse("ns") match {
-                case "s" => timestamp_seconds(c.cast("long"))
-                case "ms" => timestamp_millis(c.cast("long"))
-                case "us" => timestamp_micros(c.cast("long"))
-                case _ => c.cast("long")
-              }
-            case other => throw new IllegalArgumentException(s"unknown field type $other")
-          }
+          def castTo(c: Column, t: String, targs: List[Expr]): Column =
+            csvFieldCast(c, t, targs)
           // undeclared columns stay in place as strings (TestGroupWhere
           // declares fields 0 and 2, references value(1) untyped)
           val byIdx = fields.map(f => f._1 -> f).toMap
@@ -840,6 +824,26 @@ object Compiler {
 
   /** Fold a compile-time string expression (literals + strTrimSpace +
     * strSprintf with constant args, Go verb subset). */
+  /** CSV field() type cast, shared by the file and payload/literal
+    * branches. datetimeType(unit): epoch numbers become real timestamps
+    * (sink timeformat() modes then apply; TestTimeWindowMs); ns keeps
+    * the raw long — the TQL ns convention, and a timestamp would
+    * truncate sub-µs digits. */
+  private def csvFieldCast(c: Column, t: String, targs: List[Expr]): Column = t match {
+    case "doubleType" => c.cast("double")
+    case "floatType" => c.cast("float")
+    case "stringType" => c
+    case "boolType" => c.cast("boolean")
+    case "datetimeType" | "timeType" =>
+      targs.collectFirst { case Expr.Str(u) => u }.getOrElse("ns") match {
+        case "s" => timestamp_seconds(c.cast("long"))
+        case "ms" => timestamp_millis(c.cast("long"))
+        case "us" => timestamp_micros(c.cast("long"))
+        case _ => c.cast("long")
+      }
+    case other => throw new IllegalArgumentException(s"unknown field type $other")
+  }
+
   /** range(time, duration[, period]) validation with the reference's
     * arg-indexed diagnostics (fm_time.go fmTimeRange:23-51; TestRangeTime
     * pins each message). Returns (startNs, durationNs, periodNs). */

@@ -141,6 +141,17 @@ class ReferenceCasesSpec extends SparkSpec {
       == "f(roundTime) arg(1) zero duration is not allowed")
   }
 
+  test("CSV file source: datetimeType/floatType fields and undeclared columns stay strings") {
+    val tmp = java.nio.file.Files.createTempFile("graft_csvfile", ".csv")
+    java.nio.file.Files.write(tmp,
+      "a,1705291859,1.5,extra1\nb,1705291860,2.5,extra2\n".getBytes("UTF-8"))
+    val out = run(
+      s"""CSV(file('$tmp'), field(0, stringType(), 'name'), field(1, datetimeType('s'), 'time'), field(2, floatType(), 'value'))
+         |CSV(timeformat('s'))
+         |""".stripMargin)
+    assert(out == "a,1705291859,1.5,extra1\nb,1705291860,2.5,extra2\n", out)
+  }
+
   test("variadic element() and float64 len() (func_test.go:598-665)") {
     val out = run(
       """FAKE( json({ ["1234"] }))
