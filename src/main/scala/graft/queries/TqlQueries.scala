@@ -105,7 +105,9 @@ object TqlQueries {
     }),
 
     // CSV file source: round-trip through a real on-disk CSV (writes a
-    // deterministic extract, reads it back via CSV(file(...)))
+    // deterministic extract, reads it back via CSV(file(...))). The
+    // collect here is FIXTURE construction bounded to 1% of users —
+    // the measured operator is the CSV read, not this writer.
     "q_tql_csvfile" -> ((s, dir) => {
       val e0 = t(s, dir, "events")
       val rows = e0.filter(col("user_id") < 10)
@@ -127,7 +129,8 @@ object TqlQueries {
     }),
 
     // STRING(file, separator) source: one record per separated chunk,
-    // aggregated downstream (also oracles the count-all semantics)
+    // aggregated downstream (also oracles the count-all semantics).
+    // The collect is fixture construction bounded to 1% of users.
     "q_tql_string_src" -> ((s, dir) => {
       val e0 = t(s, dir, "events")
       val lines = e0.filter(col("user_id") < 10).orderBy("event_id")
