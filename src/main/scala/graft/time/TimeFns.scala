@@ -21,28 +21,65 @@ object TimeFns {
   val NsPerHour: Long = 3600L * NsPerSec
   val NsPerDay: Long = 86400L * NsPerSec
 
-  /** Parse a Go-style duration literal ("1s", "500ms", "2h45m") to ns. */
+  /** Parse a duration literal ("1s", "500ms", "2h45m", "1d12h") to ns —
+    * the reference's util.ParseDuration (types.go:350-377): an integer
+    * day-prefix extension over Go's time.ParseDuration, with Go's exact
+    * error strings (func_test.go pins `time: unknown unit "x" in
+    * duration "-2x"` and the day branch's incompatible-conv wrapper). */
   def parseDurationNs(s: String): Long = {
     val t = s.trim
-    // Go time.ParseDuration accepts a leading sign ("-1s" — the
-    // backward oscillator range, tql_test.go FAKE_oscillator_2)
-    if (t.startsWith("-")) return -parseDurationNs(t.substring(1))
-    val re = "([0-9]+(?:\\.[0-9]+)?)(ns|us|µs|ms|s|m|h|d)".r
-    val matches = re.findAllMatchIn(t).toList
-    require(matches.nonEmpty, s"unparseable duration: $s")
-    matches.map { m =>
-      val v = m.group(1).toDouble
-      val unit = m.group(2) match {
+    val i = t.indexOf('d')
+    if (i > 0) {
+      // day branch: strict integer prefix; any failure inside collapses
+      // to the incompatible-conv error, not the Go parse error
+      def incompatible = new IllegalArgumentException(
+        s"incompatible conv '$t' (string) to time.Duration")
+      val dayNs =
+        try t.substring(0, i).toLong * NsPerDay
+        catch { case _: NumberFormatException => throw incompatible }
+      val rest = t.substring(i + 1)
+      if (rest.isEmpty) dayNs
+      else {
+        val tail =
+          try goDurationNs(rest, rest)
+          catch { case _: IllegalArgumentException => throw incompatible }
+        if (dayNs >= 0) dayNs + tail else dayNs - tail
+      }
+    } else goDurationNs(t, t)
+  }
+
+  /** Go time.ParseDuration proper; `orig` is quoted in error strings. */
+  private def goDurationNs(s0: String, orig: String): Long = {
+    var s = s0
+    var neg = false
+    if (s.nonEmpty && (s(0) == '-' || s(0) == '+')) { neg = s(0) == '-'; s = s.substring(1) }
+    if (s == "0") return 0L
+    def invalid = new IllegalArgumentException(s"""time: invalid duration "$orig"""")
+    if (s.isEmpty) throw invalid
+    var totalNs = 0L
+    while (s.nonEmpty) {
+      val numEnd = { val e = s.indexWhere(c => !(c.isDigit || c == '.')); if (e < 0) s.length else e }
+      val num = s.substring(0, numEnd)
+      if (num.isEmpty || num == ".") throw invalid
+      s = s.substring(numEnd)
+      val unitEnd = { val e = s.indexWhere(c => c.isDigit || c == '.'); if (e < 0) s.length else e }
+      val unit = s.substring(0, unitEnd)
+      s = s.substring(unitEnd)
+      if (unit.isEmpty)
+        throw new IllegalArgumentException(s"""time: missing unit in duration "$orig"""")
+      val unitNs = unit match {
         case "ns" => 1L
-        case "us" | "µs" => NsPerUs
+        case "us" | "µs" | "μs" => NsPerUs
         case "ms" => NsPerMs
         case "s" => NsPerSec
         case "m" => NsPerMin
         case "h" => NsPerHour
-        case "d" => NsPerDay
+        case _ => throw new IllegalArgumentException(
+          s"""time: unknown unit "$unit" in duration "$orig"""")
       }
-      (v * unit).toLong
-    }.sum
+      totalNs += (num.toDouble * unitNs).toLong
+    }
+    if (neg) -totalNs else totalNs
   }
 
   /** roundTime: floor an epoch-ns column to a period — the reference's
@@ -135,20 +172,126 @@ object TimeFns {
   def resolveTz(name: String): String = name.toLowerCase match {
     case "local" => "UTC" // this engine pins the task clock to UTC
     case "utc" => "UTC"
-    case _ => tzAliases.getOrElse(name, name)
+    // unknown zones fail eagerly with the Go LoadLocation error string
+    // (func_test.go TestParseTime: `unknown time zone wrong/place`)
+    case _ => validateTz(tzAliases.getOrElse(name, name), name)
   }
 
   /** Go reference-layout ("2006-01-02 15:04:05") → DateTimeFormatter
     * pattern; the reference's util.Timeformatter accepts both Go layouts
     * and named/SQL formats. Longest tokens first. */
   def translateGoTimeformat(layout: String): String = Seq(
+    // a quote in a Go layout is literal text; Java needs it doubled
+    "'" -> "''",
     "2006" -> "yyyy", ".999999999" -> ".SSSSSSSSS", ".999999" -> ".SSSSSS",
     ".999" -> ".SSS", ".000000000" -> ".SSSSSSSSS", ".000000" -> ".SSSSSS",
     ".000" -> ".SSS", "January" -> "MMMM", "Jan" -> "MMM", "Monday" -> "EEEE",
-    "Mon" -> "EEE", "15" -> "HH", "03" -> "hh", "04" -> "mm", "05" -> "ss",
-    "01" -> "MM", "02" -> "dd", "PM" -> "a", "MST" -> "zzz",
-    "Z07:00" -> "XXX", "-07:00" -> "xxx"
+    "Mon" -> "EEE",
+    // RFC3339's bare 'T' separator must be quoted for Java patterns
+    "T15" -> "'T'HH",
+    "15" -> "HH", "03" -> "hh", "04" -> "mm", "05" -> "ss",
+    "01" -> "MM", "_2" -> "d", "02" -> "dd", "06" -> "yy", "PM" -> "a",
+    "MST" -> "zzz", "Z07:00" -> "XXX", "-07:00" -> "xxx", "-0700" -> "xx",
+    "Z0700" -> "XX"
   ).foldLeft(layout) { case (acc, (from, to)) => acc.replace(from, to) }
+
+  /** The reference's named-timeformat table (util/time_formats.go:15-48),
+    * resolved case-insensitively like GetTimeformat, each entry expressed
+    * as its Go layout. KITCHEN's bare single-digit hour ("3") has no
+    * direct token in translateGoTimeformat, so entries are stored as Go
+    * layouts and translated with a KITCHEN-safe pre-step. */
+  private val namedGoFormats: Map[String, String] = Map(
+    "-" -> "2006-01-02 15:04:05.999",
+    "DEFAULT" -> "2006-01-02 15:04:05.999",
+    "DEFAULT_MS" -> "2006-01-02 15:04:05.999",
+    "DEFAULT_US" -> "2006-01-02 15:04:05.999999",
+    "DEFAULT_NS" -> "2006-01-02 15:04:05.999999999",
+    "DEFAULT.MS" -> "2006-01-02 15:04:05.000",
+    "DEFAULT.US" -> "2006-01-02 15:04:05.000000",
+    "DEFAULT.NS" -> "2006-01-02 15:04:05.000000000",
+    "NUMERIC" -> "01/02 03:04:05PM '06 -0700",
+    "ANSIC" -> "Mon Jan _2 15:04:05 2006",
+    "UNIX" -> "Mon Jan _2 15:04:05 MST 2006",
+    "RUBY" -> "Mon Jan 02 15:04:05 -0700 2006",
+    "RFC822" -> "02 Jan 06 15:04 MST",
+    "RFC822Z" -> "02 Jan 06 15:04 -0700",
+    "RFC850" -> "Monday, 02-Jan-06 15:04:05 MST",
+    "RFC1123" -> "Mon, 02 Jan 2006 15:04:05 MST",
+    "RFC1123Z" -> "Mon, 02 Jan 2006 15:04:05 -0700",
+    "RFC3339" -> "2006-01-02T15:04:05Z07:00",
+    "RFC3339NANO" -> "2006-01-02T15:04:05.999999999Z07:00",
+    "DATETIME" -> "2006-01-02 15:04:05",
+    "KITCHEN" -> "3:04:05PM",
+    "STAMP" -> "Jan _2 15:04:05",
+    "STAMPMILLI" -> "Jan _2 15:04:05.000",
+    "STAMPMICRO" -> "Jan _2 15:04:05.000000",
+    "STAMPNANO" -> "Jan _2 15:04:05.000000000",
+    "S_NS" -> "05.999999999",
+    "S_US" -> "05.999999",
+    "S_MS" -> "05.999",
+    "S.NS" -> "05.000000000",
+    "S.US" -> "05.000000",
+    "S.MS" -> "05.000")
+
+  /** Resolve a strTime format: named table entry or literal Go layout →
+    * (Java pattern, Go-".999" trim flag). Non-Go text (SQL tokens) falls
+    * through to translateTimeformat untrimmed. */
+  def resolveNamedOrGoFormat(fmt: String): (String, Boolean) = {
+    val goLayout = namedGoFormats.get(fmt.toUpperCase) match {
+      case Some(l) => Some(l)
+      case None => if (fmt.contains("2006")) Some(fmt) else None
+    }
+    goLayout match {
+      case Some(l) =>
+        val trim = l.contains(".9")
+        // KITCHEN's "3" (bare hour): translate before "03" would match
+        val pat = translateGoTimeformat(if (l.startsWith("3:")) "h" + l.substring(1) else l)
+        (pat, trim)
+      case None => (translateTimeformat(fmt), false)
+    }
+  }
+
+  /** Substitute zone tokens with literals for a fixed target zone: Spark's
+    * date_format renders in the session zone, so after from_utc_timestamp
+    * shifts the wall-clock the zone NAME/OFFSET tokens would lie. The tz
+    * argument is a compile-time literal in TQL, so the abbreviation and
+    * offset are resolved here (at `atEpochSec`, so a DST-observing zone
+    * uses the query clock's offset — documented approximation: rows
+    * crossing a DST boundary within one query keep the clock's token). */
+  def zoneSubstitutedPattern(pat: String, zoneId: String, atEpochSec: Long): String = {
+    val zid = java.time.ZoneId.of(zoneId)
+    val inst = java.time.Instant.ofEpochSecond(atEpochSec)
+    val offset = zid.getRules.getOffset(inst)
+    val secs = offset.getTotalSeconds
+    val sign = if (secs < 0) "-" else "+"
+    val hh = f"${math.abs(secs) / 3600}%02d"
+    val mm = f"${(math.abs(secs) % 3600) / 60}%02d"
+    val abbrev = java.util.TimeZone.getTimeZone(zid)
+      .getDisplayName(zid.getRules.isDaylightSavings(inst), java.util.TimeZone.SHORT)
+    def q(s: String) = "'" + s + "'"
+    pat
+      .replace("zzz", q(abbrev))
+      .replace("XXX", q(if (secs == 0) "Z" else s"$sign$hh:$mm"))
+      .replace("xxx", q(s"$sign$hh:$mm"))
+      .replace("XX", q(if (secs == 0) "Z" else s"$sign$hh$mm"))
+      .replace("xx", q(s"$sign$hh$mm"))
+  }
+
+  /** Go-".999" trailing-zero trim on a rendered fraction (the fraction may
+    * sit mid-string — RFC3339NANO's zone suffix follows it). */
+  def trimFractionZeros(rendered: Column): Column =
+    regexp_replace(regexp_replace(rendered,
+      "(\\.\\d*?)0+(?=\\D|$)", "$1"), "\\.(?=\\D|$)", "")
+
+  /** Validate a tz() zone name eagerly with the reference's error string
+    * (func_test.go: `unknown time zone wrong/place`). */
+  def validateTz(resolved: String, original: String): String = {
+    try { java.time.ZoneId.of(resolved); resolved }
+    catch {
+      case _: Exception =>
+        throw new IllegalArgumentException(s"unknown time zone $original")
+    }
+  }
 
   /** Format an epoch-ns column with a reference-style timeformat + tz. */
   def formatNs(tsNs: Column, fmt: String): Column = fmt match {

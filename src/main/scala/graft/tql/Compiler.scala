@@ -795,6 +795,27 @@ object Compiler {
     java.net.URLEncoder.encode(s, "UTF-8")
       .replace("*", "%2A").replace("%7E", "~")
 
+  /** 'now[±dur]' literal → epoch ns off the injected clock, with the
+    * reference's error wrapping (util/types.go:250-271 ToTime inside
+    * fm_time.go's "invalid time expression" wrapper). */
+  private def nowRelativeNs(strVal: String): Long = {
+    val now = currentNowNs.get.longValue()
+    val remain0 = strVal.substring(3).trim
+    if (remain0.isEmpty) return now
+    val (sig, remain) =
+      if (remain0.startsWith("+")) (1L, remain0.substring(1).trim)
+      else if (remain0.startsWith("-")) (-1L, remain0.substring(1).trim)
+      else throw new IllegalArgumentException(
+        s"invalid time expression: incompatible conv '$strVal' (string) to time.Time")
+    val dur =
+      try graft.time.TimeFns.parseDurationNs(remain)
+      catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"invalid time expression: incompatible conv '$strVal', ${e.getMessage}")
+      }
+    now + sig * dur
+  }
+
   /** Fold a compile-time epoch-ns expression (exact long arithmetic so
     * ns literals like 1685714509*1000000000 don't round through double). */
   private def evalConstNs(e: Expr): Long = e match {
@@ -802,12 +823,7 @@ object Compiler {
     case Expr.Call("time", List(Expr.Str("now"))) => currentNowNs.get.longValue()
     case Expr.Call("time", List(Expr.Str(s))) if s.trim.startsWith("now") =>
       // time('now-1s') / time('now + 2h') — clock-relative literal
-      val rest = s.trim.substring(3).replace(" ", "")
-      val now = currentNowNs.get.longValue()
-      if (rest.isEmpty) now
-      else if (rest.startsWith("-")) now - graft.time.TimeFns.parseDurationNs(rest.substring(1))
-      else if (rest.startsWith("+")) now + graft.time.TimeFns.parseDurationNs(rest.substring(1))
-      else throw new IllegalArgumentException(s"bad time literal: $s")
+      nowRelativeNs(s.trim)
     case Expr.Call("time", List(x)) => evalConstNs(x)
     case Expr.Str(s) if s.trim == "now" || s.trim.startsWith("now-") ||
       s.trim.startsWith("now+") || s.trim.startsWith("now ") =>
@@ -2472,13 +2488,41 @@ object Compiler {
       case "log" => log(a(0))
       case "log10" => log10(a(0))
       case "log2" => log2(a(0))
-      case "mod" => pmod(a(0), a(1))
-      case "pow" => pow(a(0), a(1))
-      case "pow10" => pow(lit(10d), a(0))
-      case "round" => args.size match {
-        case 1 => round(a(0))
-        case _ => round(a(0), args(1).asInstanceOf[Num].v.toInt)
-      }
+      // Go math.Mod keeps the dividend's sign (truncated remainder);
+      // Spark's % has the same convention, pmod does not
+      case "mod" => a(0) % a(1)
+      case "pow" =>
+        // arity/type diagnostics mirror fx_definitions' conv layer
+        // (func_test.go TestMathFunctions)
+        if (args.size != 2) throw new IllegalArgumentException(
+          s"f(pow) invalid number of args; expect:2, actual:${args.size}")
+        args.zipWithIndex.foreach {
+          case (Str(_), i) => throw new IllegalArgumentException(
+            s"f(pow) arg($i) should be float64, but string")
+          case _ => ()
+        }
+        pow(a(0), a(1))
+      case "pow10" =>
+        if (args.size != 1) throw new IllegalArgumentException(
+          s"f(pow10) invalid number of args; expect:1, actual:${args.size}")
+        args.head match {
+          case Str(_) => throw new IllegalArgumentException(
+            "f(pow10) arg(0) should be int, but string")
+          case _ => ()
+        }
+        pow(lit(10d), a(0))
+      case "round" =>
+        if (args.isEmpty) throw new IllegalArgumentException(
+          "f(round) invalid number of args; expect:1, actual:0")
+        args.head match {
+          case Str(_) => throw new IllegalArgumentException(
+            "f(round) arg(0) should be float64, but string")
+          case _ => ()
+        }
+        args.size match {
+          case 1 => round(a(0))
+          case _ => round(a(0), args(1).asInstanceOf[Num].v.toInt)
+        }
       case "sin" => sin(a(0))
       case "sinh" => sinh(a(0))
       case "sqrt" => sqrt(a(0))
@@ -2566,39 +2610,117 @@ object Compiler {
         case _ => throw new IllegalArgumentException("glob(pattern, text)")
       }
       case "regexp" => args match {
-        case List(Str(pat), x) => toColumn(x, p).rlike(pat)
+        case List(Str(pat), x) =>
+          // eager literal-pattern check with the Go regexp error shape
+          // (func_test.go: error parsing regexp: missing closing ]: `[0-9$`)
+          try java.util.regex.Pattern.compile(pat)
+          catch {
+            case e: java.util.regex.PatternSyntaxException =>
+              val desc =
+                if (e.getDescription != null &&
+                  e.getDescription.contains("Unclosed character class"))
+                  "missing closing ]: `" + pat.substring(pat.lastIndexOf('[')) + "`"
+                else e.getDescription
+              throw new IllegalArgumentException(s"error parsing regexp: $desc")
+          }
+          toColumn(x, p).rlike(pat)
         case _ => throw new IllegalArgumentException("regexp(pattern, text)")
       }
       // conversion / misc
       case "parseFloat" => a(0).cast("double")
-      case "parseBool" => a(0).cast("boolean")
+      case "parseBool" =>
+        // Go strconv.ParseBool's accept set; rejects fail eagerly with
+        // the reference's rewritten error (fm_fake.go parseBool)
+        args.head match {
+          case Str(s) =>
+            val truthy = Set("1", "t", "T", "TRUE", "true", "True")
+            val falsy = Set("0", "f", "F", "FALSE", "false", "False")
+            if (truthy(s)) lit(true)
+            else if (falsy(s)) lit(false)
+            else throw new IllegalArgumentException(
+              s"""parseBool: parsing "$s": invalid syntax""")
+          case _ => a(0).cast("boolean")
+        }
       case "len" =>
         // reference len() works on strings AND lists, and buffers float64
-        // (func_test.go:598-609: both expectations are 4.0)
-        val t = try p.df.select(a(0)).schema.head.dataType
-          catch { case _: Exception => org.apache.spark.sql.types.StringType }
-        (t match {
-          case _: org.apache.spark.sql.types.ArrayType => size(a(0))
-          case _ => length(a(0))
-        }).cast("double")
+        // (func_test.go:598-609: both expectations are 4.0); a bare
+        // value() is the whole record tuple, so len(value()) is its arity
+        // (TestMapFunc_FILTER `len(value()) > 2`)
+        args.head match {
+          case Call("value", Nil) => lit(p.values.size.toDouble)
+          case _ =>
+            val t = try p.df.select(a(0)).schema.head.dataType
+              catch { case _: Exception => org.apache.spark.sql.types.StringType }
+            (t match {
+              case _: org.apache.spark.sql.types.ArrayType => size(a(0))
+              case _ => length(a(0))
+            }).cast("double")
+        }
       case "element" =>
-        // variadic form element(v0, v1, …, idx) picks by 0-based index
-        // (func_test.go:610-665); the 2-arg form indexes a list value
-        if (args.size == 2) element_at(a(0), a(1).cast("int") + 1)
-        else {
-          val cols = args.indices.map(a)
-          element_at(array(cols.init: _*), cols.last.cast("int") + 1)
+        // nums/array.go Element — variadic values + trailing 0-based
+        // index, time values as float64 epoch-ns; a TQL []any value
+        // (value() with no index, or an array column) spreads
+        def tsToNs(c: Column): Column = {
+          val isTs = try p.df.select(c).schema.head.dataType
+            .isInstanceOf[org.apache.spark.sql.types.TimestampType]
+            catch { case _: Exception => false }
+          if (isTs) (unix_micros(c) * 1000L).cast("double") else c
+        }
+        args match {
+          case List(Call("value", Nil), idx) =>
+            // element(value(), i): the record tuple spread (func_test.go
+            // TestMapFunc_FILTER)
+            element_at(array(p.values.map(v => tsToNs(vcol(v))): _*),
+              toColumn(idx, p).cast("int") + 1)
+          case List(arr, idx) =>
+            val c = toColumn(arr, p)
+            val isArr = try p.df.select(c).schema.head.dataType
+              .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+              catch { case _: Exception => true }
+            if (!isArr) throw new IllegalArgumentException(
+              "f(element) invalud number of args (n:2)") // sic, array.go:34
+            element_at(c, toColumn(idx, p).cast("int") + 1)
+          case _ if args.size < 2 => throw new IllegalArgumentException(
+            s"f(element) invalud number of args (n:${args.size})")
+          case _ =>
+            // literal-index diagnostics (array.go:36-48)
+            args.last match {
+              case Str(_) => throw new IllegalArgumentException(
+                "f(element) index of element should be int, but string")
+              case Bool(_) => throw new IllegalArgumentException(
+                "f(element) index of element should be int, but bool")
+              case Num(n) if n.toInt >= args.size - 1 =>
+                throw new IllegalArgumentException(
+                  s"f(element) out of index ${n.toInt} / ${args.size - 1}")
+              case Num(n) =>
+                // literal index: pick the arg directly — keeps each
+                // value's own type (mixed tuples never build an array)
+                return tsToNs(a(n.toInt))
+              case _ => ()
+            }
+            val cols = args.indices.map(i => tsToNs(a(i)))
+            element_at(array(cols.init: _*), cols.last.cast("int") + 1)
         }
       case "list" => array(args.map(x => toColumn(x, p)): _*)
       case "nullValue" => coalesce(a(0), a(1))
       case "coalesce" => coalesce(args.map(x => toColumn(x, p)): _*)
       // time (epoch-ns discipline)
       case "time" =>
-        // time(ns) / time('now') → a datetime value (µs-precision
+        // time(ns) / time('now'±dur) → a datetime value (µs-precision
         // timestamp; the sink's timeformat/tz options format it like the
         // reference's datetime). 'now' resolves to the injected clock.
-        val nsExpr = args match {
-          case List(Str("now")) => lit(currentNowNs.get.longValue())
+        // Diagnostics mirror fm_time.go fmTime → util.ToTime
+        // (func_test.go TestTime pins each string).
+        if (args.isEmpty) throw new IllegalArgumentException(
+          "f(time) invalid number of args; expect:1, actual:0")
+        val nsExpr = args.head match {
+          case Str(s) if s.trim == "now" => lit(currentNowNs.get.longValue())
+          case Str(s) if s.trim.startsWith("now") =>
+            lit(nowRelativeNs(s.trim)) // 'now-1h' etc, Go error strings
+          case Str(s) => throw new IllegalArgumentException(
+            s"invalid time expression: incompatible conv '$s' (string) to time.Time")
+          case Bool(b) => throw new IllegalArgumentException(
+            s"invalid time expression: incompatible conv '$b' (bool) to time.Time")
           case _ => a(0).cast("long")
         }
         timestamp_micros(floor(nsExpr.cast("decimal(25,0)") / lit(1000)).cast("long"))
@@ -2620,7 +2742,20 @@ object Compiler {
             case "us" => timestamp_micros(c.cast("long"))
             case "ns" => timestamp_micros(graft.time.TimeFns.nsToUs(c.cast("long")))
             case pattern =>
-              val ts = to_timestamp(c, graft.time.TimeFns.translateTimeformat(pattern))
+              // named/Go layouts resolve like strTime; a Go ".999" fraction
+              // is OPTIONAL on input (TestParseTime parses "2023-03-01
+              // 14:01:02" with DEFAULT), so try the fraction variants
+              // longest-first and fall back to the fractionless base
+              val (jp, goStyle) = graft.time.TimeFns.resolveNamedOrGoFormat(pattern)
+              val ts = "\\.S+".r.findFirstMatchIn(jp) match {
+                case Some(m) if goStyle =>
+                  val nmax = m.end - m.start - 1
+                  val variants = (nmax to 1 by -1).map { n =>
+                    jp.substring(0, m.start) + "." + "S" * n + jp.substring(m.end)
+                  } :+ (jp.substring(0, m.start) + jp.substring(m.end))
+                  coalesce(variants.map(v => try_to_timestamp(c, lit(v))): _*)
+                case _ => to_timestamp(c, jp)
+              }
               tzName.filter(_ != "UTC").map(z => to_utc_timestamp(ts, z)).getOrElse(ts)
           }
         case _ => throw new IllegalArgumentException("parseTime(v, fmt[, tz])")
@@ -2684,28 +2819,39 @@ object Compiler {
         }
       case "strTime" => args match {
         // strTime(t, format [, tz()]): Go-layout/named format rendering
-        // (fm_time.go fmStrTime)
+        // (fm_time.go fmStrTime + util/types.go TimeFormatter.Format)
         case t :: fmtE :: _ =>
-          // format may be wrapped: sqlTimeformat()/ansiTimeformat()
-          // convert their style before rendering (func_test.go TestStrTime
-          // strTime(now, sqlTimeformat("YYYY/MM/DD …"), UTC))
-          val pattern = fmtE match {
-            case Call("sqlTimeformat", List(Str(f))) =>
-              graft.time.TimeFns.translateTimeformat(f)
-            case Call("ansiTimeformat", List(Str(f))) =>
-              graft.time.TimeFns.translateAnsiTimeformat(f)
-            case other =>
-              val raw = constString(other)
-              // Go reference layouts carry the canonical year "2006"
-              if (raw.contains("2006")) graft.time.TimeFns.translateGoTimeformat(raw)
-              else graft.time.TimeFns.translateTimeformat(raw)
-          }
           val nsL = nsLongOf(t, p)
-          val tzName = args.collectFirst {
-            case Call("tz", List(Str(z))) => graft.time.TimeFns.resolveTz(z)
+          val rawFmt = fmtE match {
+            case Call("sqlTimeformat", _) | Call("ansiTimeformat", _) => ""
+            case other => constString(other)
           }
-          val ts = timestamp_micros(graft.time.TimeFns.nsToUs(nsL))
-          date_format(tzName.map(z => from_utc_timestamp(ts, z)).getOrElse(ts), pattern)
+          rawFmt match {
+            // epoch modes render the raw epoch number (Format's switch)
+            case "ns" => nsL.cast("string")
+            case "us" => graft.time.TimeFns.nsToUs(nsL).cast("string")
+            case "ms" => floor(nsL.cast("decimal(25,0)") / lit(1000000L)).cast("long").cast("string")
+            case "s" => floor(nsL.cast("decimal(25,0)") / lit(1000000000L)).cast("long").cast("string")
+            case _ =>
+              val (pattern0, trim) = fmtE match {
+                case Call("sqlTimeformat", List(Str(f))) =>
+                  (graft.time.TimeFns.translateTimeformat(f), false)
+                case Call("ansiTimeformat", List(Str(f))) =>
+                  (graft.time.TimeFns.translateAnsiTimeformat(f), false)
+                case _ => graft.time.TimeFns.resolveNamedOrGoFormat(rawFmt)
+              }
+              val tzName = args.collectFirst {
+                case Call("tz", List(Str(z))) => graft.time.TimeFns.resolveTz(z)
+              }.getOrElse("UTC") // fmStrTime defaults tz = time.UTC
+              // zone tokens become literals resolved at the query clock —
+              // Spark renders in the session zone, see zoneSubstitutedPattern
+              val pattern = graft.time.TimeFns.zoneSubstitutedPattern(
+                pattern0, tzName, currentNowNs.get.longValue() / 1000000000L)
+              val ts = timestamp_micros(graft.time.TimeFns.nsToUs(nsL))
+              val local = if (tzName == "UTC") ts else from_utc_timestamp(ts, tzName)
+              val rendered = date_format(local, pattern)
+              if (trim) graft.time.TimeFns.trimFractionZeros(rendered) else rendered
+          }
         case _ => throw new IllegalArgumentException("strTime(t, format[, tz])")
       }
       case "timeAdd" => args match {
@@ -2713,11 +2859,23 @@ object Compiler {
         // ns expression (FAKE_INSERT uses timeAdd('now', value(0)*2e9))
         case List(x, d) =>
           val base = x match {
-            case Str("now") => lit(currentNowNs.get.longValue())
+            case Str(s) if s.trim == "now" => lit(currentNowNs.get.longValue())
+            case Str(s) if s.trim.startsWith("now") => lit(nowRelativeNs(s.trim))
             case other => toColumn(other, p)
           }
           val delta = d match {
-            case Str(dur) => lit(graft.time.TimeFns.parseDurationNs(dur))
+            case Str(dur) =>
+              // fmTimeAdd wraps ToDuration's Go error (func_test.go:
+              // `invalid time expression: time: unknown unit "x" in
+              // duration "-2x"`)
+              val ns =
+                try graft.time.TimeFns.parseDurationNs(dur)
+                catch {
+                  case e: IllegalArgumentException =>
+                    throw new IllegalArgumentException(
+                      s"invalid time expression: ${e.getMessage}")
+                }
+              lit(ns)
             case other => toColumn(other, p).cast("long")
           }
           base + delta
