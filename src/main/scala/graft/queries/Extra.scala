@@ -79,6 +79,19 @@ object Extra {
         .orderBy("t_us")
     }),
 
+    // ---- gap-fill with OLS extrapolation (predict('linearregression'))
+    // — centered OLS over the observed knots, applied to empty buckets
+    // (operators/Akima.scala evalLinReg; GapFill.FillLinReg) ----------
+    "q_gapfill_linreg" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.select(tsUs(e0).as("t_us"), col("value"))
+      GapFill.timewindow(s, e, col("t_us"), DayFromUs, DayUntilUs, 300000000L,
+        Seq("avg_value" -> fround(sum(dec2(col("value"))).cast("double") / count(col("value")), 4)),
+        GapFill.FillLinReg)
+        .select(col("bucket_ns").as("t_us"), fround(col("avg_value"), 4).as("avg_value"))
+        .orderBy("t_us")
+    }),
+
     // ---- winnowing fingerprint (md5-min form so the rolling-min over
     // k-shingles is oracle-checked; production default is xxhash64) ----
     "q_winnow_fingerprint" -> ((s, dir) => {
@@ -367,6 +380,30 @@ object Extra {
          WHERE epoch_us(ts)*1000 + 5000000000 >= ${DayFromUs * 1000L}
            AND epoch_us(ts)*1000 + 5000000000 < ${DayFromUs * 1000L + 3L * 86400L * 1000000000L}
          GROUP BY 1 ORDER BY 1""",
+    // Centered OLS re-derived in SQL: means first, then deviation sums
+    // (the same two-pass form as evalLinReg — the naive n·Σx²−(Σx)²
+    // cancels at epoch-µs magnitudes); fround(4) on both sides absorbs
+    // summation-order ulps.
+    "q_gapfill_linreg" ->
+      s"""WITH spine AS (
+           SELECT ${DayFromUs} + CAST(range AS BIGINT)*300000000 AS t_us FROM range(288)),
+         agg AS (
+           SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS b_us,
+             floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value))*10000.0 + 0.5)/10000.0 AS y
+           FROM events
+           WHERE epoch_us(ts) >= ${DayFromUs} AND epoch_us(ts) < ${DayUntilUs}
+           GROUP BY 1),
+         m AS (SELECT avg(CAST(b_us AS DOUBLE)) AS mx, avg(y) AS my, count(*) AS n FROM agg),
+         s2 AS (SELECT
+             sum((CAST(b_us AS DOUBLE) - mx)*(CAST(b_us AS DOUBLE) - mx)) AS sxx,
+             sum((CAST(b_us AS DOUBLE) - mx)*(y - my)) AS sxy
+           FROM agg, m),
+         fit AS (SELECT mx, my, sxy/sxx AS beta FROM m, s2)
+         SELECT spine.t_us,
+           floor(COALESCE(agg.y, my + beta*(CAST(spine.t_us AS DOUBLE) - mx))*10000.0 + 0.5)/10000.0 AS avg_value
+         FROM spine LEFT JOIN agg ON spine.t_us = agg.b_us, fit
+         ORDER BY t_us""",
+
     // The whole Akima 1970 sub-spline, re-derived in SQL: segment slopes
     // via lead(), boundary slopes by Akima's 2m-m extrapolation, knot
     // derivatives from the |Δslope| weights, cubic Hermite on the gap's

@@ -232,6 +232,46 @@ object TqlQueries {
         .orderBy("event_id")
     }),
 
+    // strTime named-format rendering (util/time_formats.go table):
+    // RFC1123 + RFC3339 via fixed layouts, DEFAULT with Go's ".999"
+    // trailing-zero trim, and the 'ms' epoch output mode — each against
+    // DuckDB strftime / string surgery on the same epoch-µs instants
+    "q_tql_strtime" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      e0.filter(col("user_id") < 20)
+        .select(col("event_id"), tsUs(e0).as("t_us"))
+        .createOrReplaceTempView("tql_events_stf")
+      Tql.compile(s,
+        """SQL('SELECT event_id, t_us FROM tql_events_stf ORDER BY event_id')
+          |SET t = parseTime(value(1), 'us', tz('UTC'))
+          |MAPVALUE(1, strTime($t, 'RFC1123', tz('UTC')), 'rfc1123')
+          |PUSHVALUE(2, strTime($t, 'RFC3339', tz('UTC')), 'rfc3339')
+          |PUSHVALUE(3, strTime($t, 'DEFAULT', tz('UTC')), 'dflt')
+          |PUSHVALUE(4, strTime($t, 'ms'), 'ems')
+          |CSV()
+          |""".stripMargin).output
+        .orderBy("event_id")
+    }),
+
+    // Go-parity math over a real column: round (half away from zero),
+    // mod (sign of the dividend — math.Mod), IEEE remainder (ties to
+    // even via roundbankers), pow10
+    "q_tql_mathfns" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      e0.filter(col("user_id") < 20)
+        .select(col("event_id"), col("value"))
+        .createOrReplaceTempView("tql_events_mf")
+      Tql.compile(s,
+        """SQL('SELECT event_id, value FROM tql_events_mf ORDER BY event_id')
+          |PUSHVALUE(2, round(value(1)), 'rnd')
+          |PUSHVALUE(3, mod(0.0 - value(1), 7.0), 'md')
+          |PUSHVALUE(4, remainder(value(1), 7.0), 'rem')
+          |PUSHVALUE(5, pow10(2) * value(1), 'p10')
+          |CSV()
+          |""".stripMargin).output
+        .orderBy("event_id")
+    }),
+
     // string-typed source through the MAP_DIFF family: the reference
     // pushes non-time inputs through util.ToFloat64 (fm_monad.go:1848+),
     // so a VARCHAR column diffs numerically — oracle-pinned here, not
@@ -362,6 +402,28 @@ object TqlQueries {
     "q_tql_timefmt" ->
       """SELECT event_id,
            strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S') AS tstr
+         FROM events WHERE user_id < 20 ORDER BY event_id""",
+    // DEFAULT's Go ".999" fraction: ms digits, trailing zeros and a bare
+    // dot trimmed — rebuilt with rtrim over the zero-padded ms field
+    "q_tql_strtime" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us
+                    FROM events WHERE user_id < 20),
+         f AS (SELECT event_id, us,
+                 rtrim(lpad(CAST((us%1000000)//1000 AS VARCHAR),3,'0'),'0') AS msf
+               FROM e)
+         SELECT event_id,
+           strftime(make_timestamp(us), '%a, %d %b %Y %H:%M:%S UTC') AS rfc1123,
+           strftime(make_timestamp(us), '%Y-%m-%dT%H:%M:%SZ') AS rfc3339,
+           strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S')
+             || CASE WHEN msf = '' THEN '' ELSE '.' || msf END AS dflt,
+           CAST(us//1000 AS VARCHAR) AS ems
+         FROM f ORDER BY event_id""",
+    "q_tql_mathfns" ->
+      """SELECT event_id, CAST(value AS DOUBLE) AS value,
+           round(CAST(value AS DOUBLE)) AS rnd,
+           (0.0 - CAST(value AS DOUBLE)) % 7.0 AS md,
+           CAST(value AS DOUBLE) - 7.0*roundbankers(CAST(value AS DOUBLE)/7.0, 0) AS rem,
+           100.0 * CAST(value AS DOUBLE) AS p10
          FROM events WHERE user_id < 20 ORDER BY event_id""",
     // the string round-trip is lossless (shortest-repr double format),
     // so the diff equals the diff of the original doubles

@@ -66,8 +66,11 @@ object Codecs {
       case Some(pattern) =>
         val out = java.time.format.DateTimeFormatter.ofPattern(pattern)
           .withZone(java.time.ZoneId.of(o.tz)).format(inst)
+        // Go ".999" trim — the fraction may sit mid-string (RFC3339NANO's
+        // zone suffix follows it), so anchor on the next non-digit
         if (o.trimFractionZeros && out.contains("."))
-          out.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+          out.replaceAll("(\\.\\d*?)0+(?=\\D|$)", "$1")
+            .replaceAll("\\.(?=\\D|$)", "")
         else out
       // default timeformat is "ns" — epoch-ns integers (the reference's
       // util.NewTimeFormatter default, mods/util/types.go:85-94)
@@ -77,9 +80,10 @@ object Codecs {
   private def instantEpochNs(inst: java.time.Instant): Long =
     inst.getEpochSecond * 1000000000L + inst.getNano
 
-  /** machbase binary wire format: 0x-prefixed lowercase hex. */
+  /** machbase binary wire format: 0x-prefixed lowercase hex; an empty
+    * chunk renders as an empty cell (task_test.go TestBytes). */
   private def binHex(b: Array[Byte]): String =
-    "0x" + b.map(x => f"$x%02x").mkString
+    if (b.isEmpty) "" else "0x" + b.map(x => f"$x%02x").mkString
 
   private def fmt(v: Any, o: Options): String = v match {
     case null => o.nullAs

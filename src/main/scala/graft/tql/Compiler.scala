@@ -2318,14 +2318,22 @@ object Compiler {
       // (task_test.go TestJsonToCsv pins both spellings)
       case Call("nullValue" | "substituteNull", List(Str(nv))) =>
         opts = opts.copy(nullAs = nv)
+      // non-string substitutes render with their Go value format
+      // (TestJsonToCsv: nullValue(false) → "false", nullValue(3.14) → "3.14")
+      case Call("nullValue" | "substituteNull", List(Bool(b))) =>
+        opts = opts.copy(nullAs = b.toString)
+      case Call("nullValue" | "substituteNull", List(Num(v))) =>
+        opts = opts.copy(nullAs = graft.sinks.Codecs.goFloat(v))
       case Call("delimiter", List(Str(d))) => opts = opts.copy(delimiter = d)
       case Call("timeformat", List(Str(f))) =>
         f.toLowerCase match {
           case "s" | "ms" | "us" | "ns" => opts = opts.copy(timeformat = Some(f.toLowerCase))
-          case "default" => opts = opts.copy(
-            timeformat = Some("yyyy-MM-dd HH:mm:ss.SSS"), trimFractionZeros = true)
-          case _ => opts = opts.copy(
-            timeformat = Some(graft.time.TimeFns.translateTimeformat(f)))
+          case _ =>
+            // full named table + Go layouts (util/time_formats.go); the
+            // sink's java formatter renders zone tokens itself, and the
+            // ".999" styles trim trailing fraction zeros
+            val (jp, trim) = graft.time.TimeFns.resolveNamedOrGoFormat(f)
+            opts = opts.copy(timeformat = Some(jp), trimFractionZeros = trim)
         }
       case Call("sqlTimeformat", List(Str(f))) =>
         opts = opts.copy(timeformat = Some(graft.time.TimeFns.translateTimeformat(f)))

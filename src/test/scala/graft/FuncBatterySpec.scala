@@ -185,4 +185,33 @@ class FuncBatterySpec extends SparkSpec {
     assert(run(mv("regexp('^test[0-9]{3}$', 'test123')")) == "true\n")
     assert(run(mv("regexp('^test\\\\d{3}$', 'test12345x')")) == "false\n")
   }
+
+  test("CSV nullValue/substituteNull with non-string substitutes (TestJsonToCsv)") {
+    val src = "FAKE(json({ [\"A\", 123], [\"B\", null], [\"C\", 234] }))\n"
+    assert(run(src + "CSV( nullValue(\"<NULL>\") )\n") == "A,123\nB,<NULL>\nC,234\n")
+    assert(run(src + "CSV( substituteNull(\"<NULL>\") )\n") == "A,123\nB,<NULL>\nC,234\n")
+    assert(run(src + "CSV( nullValue(false) )\n") == "A,123\nB,false\nC,234\n")
+    assert(run(src + "CSV( nullValue(3.14) )\n") == "A,123\nB,3.14\nC,234\n")
+  }
+
+  test("STRING/BYTES separator batteries: labels and hex rendering (TestString/TestBytes)") {
+    // PUSHKEY demotes the rownum key under its ROWNUM label
+    assert(run(
+      "STRING(\"line1\\nline2\\n\\nline4\", separator(\"\\n\"))\nPUSHKEY('test')\nCSV( heading(true) )\n")
+      == "ROWNUM,STRING\n1,line1\n2,line2\n3,\n4,line4\n")
+    assert(run(
+      "BYTES(\"line1\\nline2\\n\\nline4\", separator(\"\\n\"))\nCSV( heading(true), binaryformat(\"hex\") )\n")
+      == "BYTES\n0x6c696e6531\n0x6c696e6532\n\n0x6c696e6534\n")
+  }
+
+  test("sink timeformat named formats (util/time_formats.go through CSV options)") {
+    // 2024-01-10 07:31:57.655327 UTC rendered by the SINK's formatter
+    val src = "FAKE( json({ [1] }))\nMAPVALUE(0, parseTime(1704871917655327, 'us'))\n"
+    assert(run(src + "CSV( timeformat('RFC822'), tz('UTC') )\n") == "10 Jan 24 07:31 UTC\n")
+    assert(run(src + "CSV( timeformat('RFC3339NANO'), tz('UTC') )\n")
+      == "2024-01-10T07:31:57.655327Z\n")
+    assert(run(src + "CSV( timeformat('STAMPMICRO'), tz('UTC') )\n")
+      == "Jan 10 07:31:57.655327\n")
+    assert(run(src + "CSV( timeformat('KITCHEN'), tz('Asia/Seoul') )\n") == "4:31:57PM\n")
+  }
 }
