@@ -92,6 +92,20 @@ object Extra {
         .orderBy("t_us")
     }),
 
+    // ---- gap-fill with the Fritsch–Butland monotone cubic
+    // (predict('fritschbutland') — operators/Akima.scala
+    // evalFritschButland: weighted-harmonic-mean tangents, zero at
+    // slope sign changes, clamped outside the knot range) -------------
+    "q_gapfill_fritschbutland" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.select(tsUs(e0).as("t_us"), col("value"))
+      GapFill.timewindow(s, e, col("t_us"), DayFromUs, DayUntilUs, 300000000L,
+        Seq("avg_value" -> fround(sum(dec2(col("value"))).cast("double") / count(col("value")), 4)),
+        GapFill.FillFritschButland)
+        .select(col("bucket_ns").as("t_us"), fround(col("avg_value"), 4).as("avg_value"))
+        .orderBy("t_us")
+    }),
+
     // ---- winnowing fingerprint (md5-min form so the rolling-min over
     // k-shingles is oracle-checked; production default is xxhash64) ----
     "q_winnow_fingerprint" -> ((s, dir) => {
@@ -403,6 +417,58 @@ object Extra {
            floor(COALESCE(agg.y, my + beta*(CAST(spine.t_us AS DOUBLE) - mx))*10000.0 + 0.5)/10000.0 AS avg_value
          FROM spine LEFT JOIN agg ON spine.t_us = agg.b_us, fit
          ORDER BY t_us""",
+
+    // Fritsch–Butland 1984 re-derived in SQL: segment widths/slopes via
+    // lead(), knot tangents as the weighted harmonic mean of adjacent
+    // slopes (zero on sign change, one-sided at the ends), cubic Hermite
+    // between the gap's surrounding knots — association order matches
+    // evalFritschButland term for term.
+    "q_gapfill_fritschbutland" ->
+      """WITH spine AS (
+           SELECT 1704412800000000 + CAST(range AS BIGINT)*300000000 AS t_us FROM range(288)),
+         agg AS (
+           SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS b_us,
+             floor((CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value))*10000.0 + 0.5)/10000.0 AS y
+           FROM events
+           WHERE epoch_us(ts) >= 1704412800000000 AND epoch_us(ts) < 1704499200000000
+           GROUP BY 1),
+         kn AS (SELECT CAST(b_us AS DOUBLE) AS x, y,
+                  row_number() OVER (ORDER BY b_us) - 1 AS i FROM agg),
+         seg AS (SELECT i, x, y,
+                  lead(x) OVER (ORDER BY i) - x AS h,
+                  (lead(y) OVER (ORDER BY i) - y) / (lead(x) OVER (ORDER BY i) - x) AS m
+                FROM kn),
+         td AS (SELECT i, x, y,
+                  CASE WHEN i = 0 THEN m
+                       WHEN m IS NULL THEN lag(m) OVER (ORDER BY i)
+                       WHEN lag(m) OVER (ORDER BY i) * m <= 0 THEN 0
+                       ELSE ((2*h + lag(h) OVER (ORDER BY i)) + (h + 2*lag(h) OVER (ORDER BY i)))
+                            / ((2*h + lag(h) OVER (ORDER BY i)) / lag(m) OVER (ORDER BY i)
+                               + (h + 2*lag(h) OVER (ORDER BY i)) / m)
+                  END AS t
+                FROM seg),
+         j AS (
+           SELECT sp.t_us, a.y AS obs,
+             last_value(CASE WHEN a.y IS NOT NULL THEN sp.t_us END IGNORE NULLS)
+               OVER (ORDER BY sp.t_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(CASE WHEN a.y IS NOT NULL THEN sp.t_us END IGNORE NULLS)
+               OVER (ORDER BY sp.t_us ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+           FROM spine sp LEFT JOIN agg a ON sp.t_us = a.b_us),
+         ev AS (
+           SELECT j.t_us, j.obs, j.pt, j.nt,
+             k0.y AS y0, k0.t AS t0, k1.y AS y1, k1.t AS t1,
+             k1.x - k0.x AS h,
+             (CAST(j.t_us AS DOUBLE) - k0.x) / (k1.x - k0.x) AS sf
+           FROM j LEFT JOIN td k0 ON CAST(j.pt AS DOUBLE) = k0.x
+                  LEFT JOIN td k1 ON CAST(j.nt AS DOUBLE) = k1.x)
+         SELECT t_us, floor((CASE
+             WHEN obs IS NOT NULL THEN obs
+             WHEN pt IS NULL THEN y1
+             WHEN nt IS NULL THEN y0
+             ELSE (1 + 2*sf)*(1 - sf)*(1 - sf)*y0 + sf*(1 - sf)*(1 - sf)*h*t0
+                  + sf*sf*(3 - 2*sf)*y1 + sf*sf*(sf - 1)*h*t1
+             END)*10000.0 + 0.5)/10000.0 AS avg_value
+         FROM ev ORDER BY t_us""",
 
     // The whole Akima 1970 sub-spline, re-derived in SQL: segment slopes
     // via lead(), boundary slopes by Akima's 2m-m extrapolation, knot
