@@ -1181,14 +1181,27 @@ object Compiler {
       case Call("MAPVALUE", Num(idx) :: expr :: rest) if idx < 0 =>
         // MAPVALUE(-1, expr) prepends — equiv. PUSHVALUE(0, expr)
         // (reference fm_monad.go:1612+ negative-index growth)
-        val name = rest.collectFirst { case Str(s) => s }.getOrElse(s"value_${p.values.size}")
-        val df = p.df.withColumn(name, toColumn(expr, p))
+        val name = pushValueName(p, rest)
+        val df = p.df.withColumn(name, pushValueExpr(expr, rest, p))
         p.copy(df = df, values = name +: p.values)
 
       case Call("MAPVALUE", Num(idx) :: expr :: rest) =>
         val name = rest.collectFirst { case Str(s) => s }
-          .getOrElse(if (idx.toInt < p.values.size) p.values(idx.toInt) else s"value_${idx.toInt}")
-        val c = toColumn(expr, p)
+          .getOrElse(if (idx.toInt < p.values.size) p.values(idx.toInt)
+                     else pushValueName(p, rest))
+        val c0 = toColumn(expr, p)
+        // nullValue(alt) substitutes a null RESULT; where(pred) keeps the
+        // ORIGINAL value on replace (fm_monad.go:1745-1804 wherePredicate
+        // only assigns when true) but nulls on growth (push path)
+        val cNv = rest.collectFirst { case Call("nullValue", List(nv)) =>
+          coalesce(c0, toColumn(nv, p)) }.getOrElse(c0)
+        val c =
+          if (idx.toInt < p.values.size)
+            rest.collectFirst { case Call("where", List(pred)) =>
+              when(toColumn(pred, p), cNv).otherwise(p.df(p.values(idx.toInt))) }.getOrElse(cNv)
+          else
+            rest.collectFirst { case Call("where", List(pred)) =>
+              when(toColumn(pred, p), cNv) }.getOrElse(cNv)
         val i = idx.toInt
         if (i < p.values.size) {
           // replace in place (possibly renaming)
@@ -1212,9 +1225,9 @@ object Compiler {
         }
 
       case Call("PUSHVALUE", Num(idx) :: expr :: rest) =>
-        val name = rest.collectFirst { case Str(s) => s }.getOrElse(s"value_${p.values.size}")
-        val df = p.df.withColumn(name, toColumn(expr, p))
-        val i = math.min(idx.toInt, p.values.size)
+        val name = pushValueName(p, rest)
+        val df = p.df.withColumn(name, pushValueExpr(expr, rest, p))
+        val i = math.max(0, math.min(idx.toInt, p.values.size))
         p.copy(df = df, values = (p.values.take(i) :+ name) ++ p.values.drop(i))
 
       case Call("POPVALUE", idxs) =>
@@ -2361,6 +2374,32 @@ object Compiler {
   }
 
   // ---------------- expressions → Column ----------------
+  /** Display name for a pushed/grown value column: first string option,
+    * else the reference's default "column" (fm_monad.go:1613). Suffixed
+    * only when the name is already a live column (Spark needs unique
+    * names; the reference's positional metadata tolerates duplicates). */
+  private def pushValueName(p: Pipe, rest: List[Expr]): String = {
+    val base = rest.collectFirst { case Str(s) => s }.getOrElse("column")
+    if (!p.df.columns.contains(base)) base
+    else {
+      var i = 2
+      while (p.df.columns.contains(s"${base}_$i")) i += 1
+      s"${base}_$i"
+    }
+  }
+
+  /** Pushed-value expression with the PUSHVALUE option semantics:
+    * nullValue(alt) coalesces a null result, where(pred) nulls the
+    * value when the predicate is false (fm_monad.go:1620-1680 sets
+    * newValue = nil on a false wherePredicate, column still added). */
+  private def pushValueExpr(expr: Expr, rest: List[Expr], p: Pipe): Column = {
+    val c0 = toColumn(expr, p)
+    val c1 = rest.collectFirst { case Call("nullValue", List(nv)) =>
+      coalesce(c0, toColumn(nv, p)) }.getOrElse(c0)
+    rest.collectFirst { case Call("where", List(pred)) =>
+      when(toColumn(pred, p), c1) }.getOrElse(c1)
+  }
+
   def toColumn(e: Expr, p: Pipe): Column = {
     import Expr._
     e match {
