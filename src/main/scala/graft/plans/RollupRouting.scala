@@ -56,10 +56,28 @@ object RollupRouting {
     case _ => None
   }
 
+  /** An epoch-ns view of a time column, in any of the encodings the
+    * engine's `Q.tsNs` kernel emits: a raw ns-int64 attribute, or
+    * `unix_micros([cast](µs-timestamp attr)) * 1000` for (N)TZ-typed
+    * parquet. Yields the underlying relation attribute. */
+  private object TsNsExpr {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case a: Attribute if a.dataType == org.apache.spark.sql.types.LongType => Some(a)
+      case Multiply(UnixMicros(inner), Literal(1000L, _), _) => strip(inner)
+      case Multiply(Literal(1000L, _), UnixMicros(inner), _) => strip(inner)
+      case _ => None
+    }
+    private def strip(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case Cast(c, _, _, _) => strip(c)
+      case _ => None
+    }
+  }
+
   /** The bucket shape our kernel emits: (t - pmod(t, P)) [cast long]. */
   private object BucketExpr {
     def unapply(e: Expression): Option[(Attribute, Long)] = strip(e) match {
-      case Subtract(t1: Attribute, Pmod(t2: Attribute, Literal(p: Long, _), _), _)
+      case Subtract(TsNsExpr(t1), Pmod(TsNsExpr(t2), Literal(p: Long, _), _), _)
         if t1.semanticEquals(t2) => Some((t1, p))
       case _ => None
     }
@@ -67,6 +85,20 @@ object RollupRouting {
       case Cast(c, _, _, _) => strip(c)
       case a: Alias => strip(a.child)
       case other => other
+    }
+  }
+
+  /** A time-bound literal comparison in epoch-ns, from either encoding:
+    * `tsNs(t) <op> nsLiteral` or `t <op> timestampLiteral` (timestamp
+    * literals carry epoch-µs internally; exact at the ns grid the
+    * rollup periods live on). */
+  private object TimeBound {
+    def unapply(p: (Expression, Expression)): Option[(Attribute, Long)] = p match {
+      case (TsNsExpr(t), Literal(v: Long, org.apache.spark.sql.types.LongType)) => Some((t, v))
+      case (t: Attribute, Literal(us: Long,
+          org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType)) =>
+        Some((t, us * 1000L))
+      case _ => None
     }
   }
 
@@ -152,14 +184,18 @@ object RollupRouting {
           case IsNotNull(a: Attribute)
             if isCol(a, spec.timeCol) || isCol(a, spec.nameCol) || isCol(a, spec.valueCol) =>
             Some(NamePred(_ => Literal.TrueLiteral))
-          case GreaterThanOrEqual(t: Attribute, Literal(v: Long, _))
-            if isCol(t, spec.timeCol) && v % spec.periodNs == 0 => Some(TimeLo(v, true))
-          case GreaterThan(t: Attribute, Literal(v: Long, _))
-            if isCol(t, spec.timeCol) && (v + 1) % spec.periodNs == 0 => Some(TimeLo(v + 1, true))
-          case LessThan(t: Attribute, Literal(v: Long, _))
-            if isCol(t, spec.timeCol) && v % spec.periodNs == 0 => Some(TimeHi(v, false))
-          case LessThanOrEqual(t: Attribute, Literal(v: Long, _))
-            if isCol(t, spec.timeCol) && (v + 1) % spec.periodNs == 0 => Some(TimeHi(v + 1, false))
+          case GreaterThanOrEqual(lhs, rhs) if TimeBound.unapply((lhs, rhs))
+            .exists { case (t, v) => isCol(t, spec.timeCol) && v % spec.periodNs == 0 } =>
+            TimeBound.unapply((lhs, rhs)).map { case (_, v) => TimeLo(v, true) }
+          case GreaterThan(lhs, rhs) if TimeBound.unapply((lhs, rhs))
+            .exists { case (t, v) => isCol(t, spec.timeCol) && (v + 1) % spec.periodNs == 0 } =>
+            TimeBound.unapply((lhs, rhs)).map { case (_, v) => TimeLo(v + 1, true) }
+          case LessThan(lhs, rhs) if TimeBound.unapply((lhs, rhs))
+            .exists { case (t, v) => isCol(t, spec.timeCol) && v % spec.periodNs == 0 } =>
+            TimeBound.unapply((lhs, rhs)).map { case (_, v) => TimeHi(v, false) }
+          case LessThanOrEqual(lhs, rhs) if TimeBound.unapply((lhs, rhs))
+            .exists { case (t, v) => isCol(t, spec.timeCol) && (v + 1) % spec.periodNs == 0 } =>
+            TimeBound.unapply((lhs, rhs)).map { case (_, v) => TimeHi(v + 1, false) }
           case EqualTo(a: Attribute, l: Literal) if isCol(a, spec.nameCol) =>
             Some(NamePred(rn => EqualTo(rn, l)))
           case EqualTo(l: Literal, a: Attribute) if isCol(a, spec.nameCol) =>

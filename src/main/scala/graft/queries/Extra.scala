@@ -135,9 +135,10 @@ object Extra {
       })
       graft.plans.RollupRouting.register(rawPath, graft.plans.RollupRouting.Spec(
         rollDir, graft.time.TimeFns.NsPerHour, "user_id", "ts", "value"))
-      s.read.parquet(rawPath)
+      val raw2 = s.read.parquet(rawPath)
+      raw2
         .groupBy(col("user_id"),
-          graft.time.TimeFns.roundTimeNs(col("ts"), graft.time.TimeFns.NsPerDay).as("day_ns"))
+          graft.time.TimeFns.roundTimeNs(tsNs(raw2), graft.time.TimeFns.NsPerDay).as("day_ns"))
         .agg(min("value").as("min_value"), max("value").as("max_value"),
           r2(sum(col("value"))).as("sum_value"), count(col("value")).as("cnt"))
         .select(col("user_id"), graft.time.TimeFns.nsToUs(col("day_ns")).as("day_us"),
@@ -162,10 +163,11 @@ object Extra {
         rollDir, graft.time.TimeFns.NsPerHour, "user_id", "ts", "value"))
       val fromNs = DayFromUs * 1000L
       val untilNs = DayUntilUs * 1000L
-      s.read.parquet(rawPath)
-        .filter(col("ts") >= lit(fromNs) && col("ts") < lit(untilNs))
+      val raw2 = s.read.parquet(rawPath)
+      raw2
+        .filter(tsRangeNs(raw2, fromNs, untilNs))
         .groupBy(col("user_id"),
-          graft.time.TimeFns.roundTimeNs(col("ts"), 6 * graft.time.TimeFns.NsPerHour).as("h6_ns"))
+          graft.time.TimeFns.roundTimeNs(tsNs(raw2), 6 * graft.time.TimeFns.NsPerHour).as("h6_ns"))
         .agg(min("value").as("min_value"), max("value").as("max_value"),
           r2(sum(col("value"))).as("sum_value"), count(col("value")).as("cnt"))
         .select(col("user_id"), graft.time.TimeFns.nsToUs(col("h6_ns")).as("h6_us"),

@@ -36,11 +36,40 @@ object Q {
     floor(c * p + 0.5d) / p
   }
 
-  /** events.ts as epoch-ns long, regardless of reader config. */
+  /** events.ts as epoch-ns long, regardless of reader config. The
+    * driver's parquet has carried ns-int64 (→ LongType via nanosAsLong),
+    * µs-adjusted (→ TimestampType) and µs-naive (→ TimestampNTZType)
+    * encodings across rounds; the NTZ cast is exact under the engine's
+    * pinned UTC session zone. */
   def tsNs(df: DataFrame, col: String = "ts"): Column = df.schema(col).dataType match {
     case LongType => df(col)
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      unix_micros(df(col).cast(org.apache.spark.sql.types.TimestampType)) * 1000L
     case _ => unix_micros(df(col)) * 1000L
   }
+
+  /** Pushdown-friendly half-open time-range predicate on an event-time
+    * column: compares the COLUMN against literals of its own type (ns
+    * longs or µs timestamps), so the filter reaches the parquet scan as
+    * a row-group-prunable predicate — `fn(ts) >= lit` would not. Bounds
+    * are epoch-ns and must be µs-aligned for timestamp-typed data. */
+  def tsRangeNs(df: DataFrame, fromNs: Long, untilNs: Long, col: String = "ts"): Column =
+    df.schema(col).dataType match {
+      case LongType => df(col) >= fromNs && df(col) < untilNs
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        val lo = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(fromNs, 1000000000L), Math.floorMod(fromNs, 1000000000L).toInt,
+          java.time.ZoneOffset.UTC)
+        val hi = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(untilNs, 1000000000L), Math.floorMod(untilNs, 1000000000L).toInt,
+          java.time.ZoneOffset.UTC)
+        df(col) >= lit(lo) && df(col) < lit(hi)
+      case _ =>
+        df(col) >= lit(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(fromNs, 1000000000L), Math.floorMod(fromNs, 1000000000L))) &&
+        df(col) < lit(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(untilNs, 1000000000L), Math.floorMod(untilNs, 1000000000L)))
+    }
 
   /** epoch-µs view of events.ts — the DuckDB-parity time unit. */
   def tsUs(df: DataFrame, col: String = "ts"): Column =

@@ -2379,6 +2379,7 @@ object Compiler {
     * only when the name is already a live column (Spark needs unique
     * names; the reference's positional metadata tolerates duplicates). */
   private def pushValueName(p: Pipe, rest: List[Expr]): String = {
+    import Expr._
     val base = rest.collectFirst { case Str(s) => s }.getOrElse("column")
     if (!p.df.columns.contains(base)) base
     else {
@@ -2393,6 +2394,7 @@ object Compiler {
     * value when the predicate is false (fm_monad.go:1620-1680 sets
     * newValue = nil on a false wherePredicate, column still added). */
   private def pushValueExpr(expr: Expr, rest: List[Expr], p: Pipe): Column = {
+    import Expr._
     val c0 = toColumn(expr, p)
     val c1 = rest.collectFirst { case Call("nullValue", List(nv)) =>
       coalesce(c0, toColumn(nv, p)) }.getOrElse(c0)

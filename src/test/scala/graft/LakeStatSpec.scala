@@ -20,8 +20,9 @@ class LakeStatSpec extends SparkSpec {
   }
 
   test("lastPerTag and tagStat agree with brute force") {
-    val e = spark.read.parquet(s"$sf/events.parquet")
-      .select($"user_id", graft.time.TimeFns.nsToUs(col("ts")).as("t"), $"value")
+    val e0 = spark.read.parquet(s"$sf/events.parquet")
+    val e = e0.select($"user_id",
+      graft.queries.Q.tsUs(e0).as("t"), $"value")
     val last = Lake.lastPerTag(e, $"user_id", $"t", $"value")
     val brute = e.withColumn("rn",
       row_number().over(org.apache.spark.sql.expressions.Window

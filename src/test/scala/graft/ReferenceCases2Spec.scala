@@ -531,4 +531,41 @@ class ReferenceCases2Spec extends SparkSpec {
         |1692329348000000000,0.1046702
         |""".stripMargin, out)
   }
+
+  test("PUSHVALUE where() nulls the pushed cell (task_test.go:1343-1355)") {
+    val out = run(
+      """FAKE( linspace(0, 2, 3))
+        |PUSHVALUE(1, value(0)*1.5, 'x1.5')
+        |PUSHVALUE(2, value(1)+10, 'add', where(value(0) != 1.0 ))
+        |CSV(precision(1), heading(true), rownum(false))
+        |""".stripMargin)
+    assert(out ==
+      """x,x1.5,add
+        |0.0,0.0,10.0
+        |1.0,1.5,NULL
+        |2.0,3.0,13.0
+        |""".stripMargin, out)
+  }
+
+  test("MAPVALUE nullValue() fills null inputs (task_test.go:1446-1457)") {
+    val out = run(
+      "FAKE( json({[1],[null],[3]}) )\nMAPVALUE(0, value(0), nullValue(2))\nCSV()\n")
+    assert(out == "1\n2\n3\n", out)
+  }
+
+  test("MAPVALUE where() keeps the original value when false (task_test.go:1459-1471)") {
+    val out = run(
+      """FAKE( json({[1],[null],[3]}) )
+        |MAPVALUE(0, value(0), nullValue(2))
+        |MAPVALUE(0, value(0) * 10, where( value(0) % 2 == 0) )
+        |CSV()
+        |""".stripMargin)
+    assert(out == "1\n20\n3\n", out)
+  }
+
+  test("PUSHVALUE default column name is 'column' (fm_monad.go:1613)") {
+    val out = run(
+      "FAKE( linspace(0, 1, 2))\nPUSHVALUE(1, value(0)+1)\nCSV(precision(1), heading(true), rownum(false))\n")
+    assert(out == "x,column\n0.0,1.0\n1.0,2.0\n", out)
+  }
 }
