@@ -94,6 +94,53 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("NTZ-timestamp raw tables route through the tsNs conversion shape") {
+    // mirrors the gate-query shape since the testdata moved to µs-naive
+    // parquet timestamps: grouping on roundTimeNs(Q.tsNs(df)) and a
+    // Q.tsRangeNs typed-literal filter must still hit the rollup
+    val rawPath = Files.createTempDirectory("graft_rawntz").toString + "/t"
+    val rollupPath = Files.createTempDirectory("graft_rollntz").toString + "/r"
+    val base = 1704067200000000000L
+    val rows = for {
+      tag <- Seq("a", "b"); h <- 0 until 6; i <- 0 until 4
+    } yield (tag,
+      java.time.LocalDateTime.ofEpochSecond(
+        (base + h * TimeFns.NsPerHour + i * TimeFns.NsPerMin) / 1000000000L,
+        0, java.time.ZoneOffset.UTC),
+      (h + i).toDouble)
+    rows.toDF("name", "time", "value").write.parquet(rawPath)
+    val raw = spark.read.parquet(rawPath)
+    assert(raw.schema("time").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType, raw.schema("time").dataType.toString)
+    Lake.rollup(raw, col("name"), graft.queries.Q.tsNs(raw, "time"),
+      col("value"), "HOUR").write.parquet(rollupPath)
+
+    def query = {
+      val df = spark.read.parquet(rawPath)
+      df.filter(graft.queries.Q.tsRangeNs(df,
+          base + TimeFns.NsPerHour, base + 5 * TimeFns.NsPerHour, "time"))
+        .groupBy(col("name"),
+          TimeFns.roundTimeNs(graft.queries.Q.tsNs(df, "time"), 2 * TimeFns.NsPerHour).as("bucket"))
+        .agg(sum("value").as("s"), count("value").as("c"),
+          min("value").as("mn"), max("value").as("mx"))
+        .orderBy("name", "bucket")
+    }
+    val direct = query.collect().map(_.toSeq)
+    RollupRouting.register(rawPath, RollupRouting.Spec(
+      rollupPath, TimeFns.NsPerHour, "name", "time", "value"))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.Route(spark))
+    try {
+      val routed = query
+      val scans = scanPaths(routed)
+      assert(scans.exists(_.contains("graft_rollntz")), s"plan not rewritten: $scans")
+      assert(!scans.exists(_.contains("graft_rawntz")), s"raw table still scanned: $scans")
+      assert(routed.collect().map(_.toSeq).toSeq == direct.toSeq)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("non-divisible bucket periods are NOT rewritten") {
     val rawPath = Files.createTempDirectory("graft_raw2").toString + "/t"
     val rollupPath = Files.createTempDirectory("graft_roll2").toString + "/r"
