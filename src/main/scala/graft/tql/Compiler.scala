@@ -22,7 +22,12 @@ object Compiler {
   case class Pipe(df: DataFrame, keyCol: String, values: Seq[String],
                   /** JSON-envelope column metadata override (SCRIPT nodes:
                     * `$.result` or reference input-node semantics) */
-                  envelope: Option[(Seq[String], Seq[String])] = None)
+                  envelope: Option[(Seq[String], Seq[String])] = None,
+                  /** Display name of the key column when demoted into the
+                    * values by PUSHKEY — the reference names the implicit
+                    * rownum key "ROWNUM" and any PUSHKEY/MAPKEY-made key
+                    * "key" (fm_monad.go:1578,1602 MakeColumnOf("key",…)) */
+                  keyName: String = "ROWNUM")
 
   case class Sink(format: String, options: graft.sinks.Codecs.Options,
                   /** SQL sink statement: (sql text, per-record bind exprs)
@@ -540,7 +545,10 @@ object Compiler {
         // argValues, fm_context.go:113-140)
         val vals = currentParams.get.getOrElse("args", Seq.empty)
         import spark.implicits._
-        if (vals.isEmpty) keyed(spark.emptyDataset[String].toDF("ROWNUM"))
+        // no argValues → still ONE record (an empty values list): the
+        // generator always emits exactly one record (fm_context.go:113,
+        // genRawData; task_test.go TestArgs builds rows onto it)
+        if (vals.isEmpty) keyed(spark.range(1).select())
         else {
           val df = spark.createDataFrame(
             java.util.List.of(org.apache.spark.sql.Row.fromSeq(vals)),
@@ -1248,14 +1256,15 @@ object Compiler {
         // replace the key without demoting the old one (fm_monad.go:1515+)
         val df = p.df.withColumn("__newkey", toColumn(expr, p))
           .drop(p.keyCol).withColumnRenamed("__newkey", "_key")
-        p.copy(df = df, keyCol = "_key")
+        p.copy(df = df, keyCol = "_key", keyName = "key")
 
       case Call("PUSHKEY", List(expr)) =>
         // demote current key into values (the rownum key surfaces as
-        // "ROWNUM", reference result-column naming), new key from expr.
-        // Chained PUSHKEYs need distinct demoted names (TestMath pushes
-        // twice before popping both back).
-        val base = if (p.keyCol == "_key") "ROWNUM" else p.keyCol
+        // "ROWNUM", a previously-pushed key as "key" — fm_monad.go:1578
+        // result-column naming), new key from expr. Chained PUSHKEYs need
+        // distinct demoted names (TestMath pushes twice before popping
+        // both back).
+        val base = if (p.keyCol == "_key") p.keyName else p.keyCol
         val demoted =
           if (!p.values.contains(base)) base
           else {
@@ -1266,7 +1275,8 @@ object Compiler {
         val df = p.df.withColumn("__newkey", toColumn(expr, p))
           .withColumnRenamed(p.keyCol, demoted)
           .withColumnRenamed("__newkey", "_key")
-        p.copy(df = df, keyCol = "_key", values = demoted +: p.values)
+        p.copy(df = df, keyCol = "_key", values = demoted +: p.values,
+          keyName = "key")
 
       case Call("POPKEY", args) =>
         // pop value[nth] back into the key — removed BY INDEX, since
@@ -1275,7 +1285,7 @@ object Compiler {
         val newKey = p.values(nth)
         val df = p.df.drop(p.keyCol)
         p.copy(df = df, keyCol = newKey,
-          values = p.values.patch(nth, Nil, 1))
+          values = p.values.patch(nth, Nil, 1), keyName = newKey)
 
       case Call("FLATTEN", Nil) =>
         // explode every array-typed value column (reference explodes the
@@ -2418,17 +2428,36 @@ object Compiler {
       case Unary(op, _) => throw new IllegalArgumentException(s"unary $op")
       case Bin(op, l, r) =>
         val (a, b) = (toColumn(l, p), toColumn(r, p))
+        // The reference's expression engine evaluates ALL arithmetic in
+        // float64 (expression/evaluation.go:72-94 asserts .(float64); %
+        // is math.Mod, the truncated remainder) — so integer-typed
+        // operands must widen to double, and the result type is double.
+        // Non-numeric operands (timestamps, strings) keep Spark-native
+        // behavior for the engine's typed extensions.
+        lazy val bothNumeric: Boolean = {
+          def isNum(dt: org.apache.spark.sql.types.DataType) = dt match {
+            case _: org.apache.spark.sql.types.NumericType => true
+            case org.apache.spark.sql.types.NullType => true
+            case _ => false
+          }
+          try {
+            val Array(lt, rt) = p.df.select(a.as("l"), b.as("r")).schema.fields.map(_.dataType)
+            isNum(lt) && isNum(rt)
+          } catch { case _: Exception => false }
+        }
+        def arith(f: (Column, Column) => Column, fallback: (Column, Column) => Column): Column =
+          if (bothNumeric) f(a.cast("double"), b.cast("double")) else fallback(a, b)
         op match {
           case "+" =>
             // TQL '+' concatenates when either operand is a string literal
             (l, r) match {
               case (Str(_), _) | (_, Str(_)) => concat(a.cast("string"), b.cast("string"))
-              case _ => a + b
+              case _ => arith(_ + _, _ + _)
             }
-          case "-" => a - b
-          case "*" => a * b
-          case "/" => a / b
-          case "%" => pmod(a, b)
+          case "-" => arith(_ - _, _ - _)
+          case "*" => arith(_ * _, _ * _)
+          case "/" => arith(_ / _, _ / _)
+          case "%" => arith(_ % _, pmod(_, _))
           case "**" => pow(a, b)
           // NULL comparisons have IS [NOT] NULL semantics in TQL
           // (FILTER(value(1) != NULL), tql_test.go FAKE_statz)

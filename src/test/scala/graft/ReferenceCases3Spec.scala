@@ -1,0 +1,116 @@
+package graft
+
+import graft.tql.Tql
+
+/** Round-7 verbatim task_test.go batteries not yet mirrored elsewhere:
+  * SET variable redefinition (TestSetVariables), PUSHKEY/POPKEY stack
+  * traversal (TestPushKey/TestPushAndPopMonad), GROUPBYKEY+FLATTEN
+  * round-trip (TestGroupByKey), MAPKEY with key() (TestMapKey),
+  * POPVALUE column dropping (TestPushPopValue), and ARGS as an
+  * empty-source generator (TestArgs). */
+class ReferenceCases3Spec extends SparkSpec {
+
+  private def run(script: String): String = Tql.run(spark, script)
+
+  test("SET redefinition sees the prior binding (task_test.go:1008-1025)") {
+    val out = run(
+      """FAKE( linspace(0, 1, 3))
+        |SET(x10, value(0) * 10)
+        |SET(x10, $x10 + 1)
+        |MAPVALUE(1, $x10)
+        |CSV(header(true))
+        |""".stripMargin)
+    assert(out == "x,column\n0,1\n0.5,6\n1,11\n", out)
+  }
+
+  test("SET boolean flag with mod() (task_test.go:1026-1040)") {
+    val out = run(
+      """FAKE( arrange(0, 3, 1))
+        |SET(flag, value(0) != 0 && mod(value(0), 2) == 0 )
+        |MAPVALUE(1, !$flag)
+        |CSV(header(true))
+        |""".stripMargin)
+    assert(out == "x,column\n0,true\n1,true\n2,false\n3,true\n", out)
+  }
+
+  test("SET on a STRING source row (task_test.go:1041-1055)") {
+    val out = run(
+      "STRING(\"temp\")\nSET(temp, 11)\nMAPVALUE(0, 1.234)\nMAPVALUE(1, $temp)\nCSV()\n")
+    assert(out == "1.234,11\n", out)
+  }
+
+  test("double PUSHKEY stacks prior keys into values (task_test.go:1160-1174)") {
+    val out = run(
+      "FAKE( linspace(0, 1, 2))\nPUSHKEY('sample')\nPUSHKEY('test')\nCSV(header(true))\n")
+    assert(out == "key,ROWNUM,x\nsample,1,0\nsample,2,1\n", out)
+  }
+
+  test("PUSHKEY then POPKEY round-trips (task_test.go:1176-1193)") {
+    val out = run(
+      "FAKE( linspace(0, 1, 3))\nPUSHKEY('sample')\nPOPKEY()\nCSV(precision(1))\n")
+    assert(out == "0.0\n0.5\n1.0\n", out)
+  }
+
+  test("POPKEY(1) selects the indexed value as key (task_test.go:1195-1211)") {
+    val out = run(
+      """FAKE( linspace(0, 3.141592/2, 5) )
+        |PUSHKEY(sin(value(0)))
+        |PUSHKEY(value(0))
+        |POPKEY(1)
+        |POPKEY(1)
+        |PUSHKEY('test')
+        |CSV(precision(3))
+        |""".stripMargin)
+    assert(out ==
+      "0.000,0.000\n0.393,0.383\n0.785,0.707\n1.178,0.924\n1.571,1.000\n", out)
+  }
+
+  test("GROUPBYKEY + FLATTEN + PUSHKEY re-enumerates (task_test.go:1212-1228)") {
+    val out = run(
+      """FAKE( linspace(0, 2, 3))
+        |PUSHKEY('sample')
+        |GROUPBYKEY()
+        |FLATTEN()
+        |PUSHKEY('test')
+        |CSV(precision(6))
+        |""".stripMargin)
+    assert(out == "sample,1,0.000000\nsample,2,1.000000\nsample,3,2.000000\n", out)
+  }
+
+  test("MAPKEY computed / key() / key()+100 (task_test.go:1230-1274)") {
+    assert(run("FAKE( linspace(0, 2, 3))\nMAPKEY(value(0)*2)\nPUSHKEY('test')\nCSV(precision(0))\n")
+      == "0,0\n2,1\n4,2\n")
+    assert(run("FAKE( linspace(0, 2, 3))\nMAPKEY(key())\nPUSHKEY('test')\nCSV(precision(0))\n")
+      == "1,0\n2,1\n3,2\n")
+    assert(run("FAKE( linspace(0, 2, 3))\nMAPKEY( key() + 100 )\nPUSHKEY('test')\nCSV(precision(1))\n")
+      == "101.0,0.0\n102.0,1.0\n103.0,2.0\n")
+  }
+
+  test("POPVALUE drops the indexed columns (task_test.go:1358-1377)") {
+    val out = run(
+      """FAKE( linspace(0, 2, 3))
+        |PUSHVALUE(1, value(0)*1.5, 'x1.5')
+        |PUSHVALUE(2, value(1)+10, 'add')
+        |PUSHVALUE(3, value(2)+0.5, 'add2')
+        |POPVALUE(0,1,2)
+        |CSV(precision(1), heading(true), rownum(true))
+        |""".stripMargin)
+    assert(out == "ROWNUM,add2\n1,10.5\n2,12.0\n3,13.5\n", out)
+  }
+
+  test("ARGS with no parameters emits one empty record (task_test.go:1620-1636)") {
+    val out = run(
+      """ARGS()
+        |MAPVALUE(0, 'tag-1', 'name')
+        |MAPVALUE(1, 123.4, 'value')
+        |CSV(heading(true))
+        |""".stripMargin)
+    assert(out == "name,value\ntag-1,123.4\n", out)
+  }
+
+  test("MARKDOWN(html(false)) renders the pipe table (task_test.go:2623-2655)") {
+    val out = run(
+      "STRING(`line1\nline2\n\nline4`, separator('\\n'))\nMARKDOWN(html(false))\n")
+    assert(out == "|STRING|\n|:-----|\n|line1|\n|line2|\n||\n|line4|\n", out)
+  }
+}
