@@ -40,7 +40,10 @@ object Codecs {
       templateParams: Map[String, Seq[String]] = Map.empty,
       /** binary column rendering: hex (0x…), preview (first 5 bytes + ..),
         * base64 — the reference's binaryformat() option */
-      binaryFormat: String = "hex")
+      binaryFormat: String = "hex",
+      /** MARKDOWN(html(true)): render the table as goldmark-converted
+        * XHTML in a <div> wrapper — md_encode.go:155-162 htmlRender */
+      htmlRender: Boolean = false)
 
   /** Shortest round-trip decimal like Go's FormatFloat(v,'f',-1,64) — the
     * reference's CSV float format ("1", "1.5", not "1.0"). */
@@ -300,6 +303,7 @@ object Codecs {
   def markdown(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
     val cols = df.columns
     val mdOpts = o.copy(precision = if (o.precision >= 0) o.precision else 6)
+    if (o.htmlRender) { markdownXhtml(df, w, mdOpts); return }
     w.write(cols.mkString("|", "|", "|")); w.write("\n")
     w.write(cols.map(_ => ":-----").mkString("|", "|", "|")); w.write("\n")
     var any = false
@@ -309,6 +313,40 @@ object Codecs {
     }
     // empty result marker (markdown encoder, task_test.go:1083-1093)
     if (!any) w.write("\n> *No record*\n")
+  }
+
+  /** MARKDOWN(html(true)) — the table converted to XHTML in a <div>, the
+    * byte shape goldmark gives the reference's mdconv (left-aligned
+    * `|:-----` columns → align="left"; empty cells have no attribute;
+    * test/markdown_xhtml.txt golden). Empty results render the
+    * "> *No record*" marker as its blockquote conversion. */
+  private def markdownXhtml(df: DataFrame, w: Writer, o: Options): Unit = {
+    def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    val cols = df.columns
+    w.write("<div>\n")
+    var any = false
+    val body = new StringBuilder
+    df.toLocalIterator().forEachRemaining { row =>
+      any = true
+      body.append("<tr>\n")
+      row.toSeq.foreach { v =>
+        val s = fmt(v, o)
+        if (s.isEmpty) body.append("<td></td>\n")
+        else body.append(s"""<td align="left">${esc(s)}</td>\n""")
+      }
+      body.append("</tr>\n")
+    }
+    if (!any) {
+      w.write("<blockquote>\n<p><em>No record</em></p>\n</blockquote>\n")
+    } else {
+      w.write("<table>\n<thead>\n<tr>\n")
+      cols.foreach(c => w.write(s"""<th align="left">${esc(c)}</th>\n"""))
+      w.write("</tr>\n</thead>\n<tbody>\n")
+      w.write(body.toString)
+      w.write("</tbody>\n</table>\n")
+    }
+    w.write("</div>")
   }
 
   /** BOX (ASCII table) sink — buffers rows for column widths; use only on

@@ -134,6 +134,14 @@ object Compiler {
                    params: Map[String, Seq[String]]): Compiled = {
     val stmts = Parser.parseScript(script)
     require(stmts.nonEmpty, "empty script")
+    // SRC → MAP* → SINK applicability errors with the reference's kinds
+    // and positions (script_validate.go; task_test.go TestSrcError).
+    // Statements the introspection walker can't re-parse (tagged
+    // heredoc bodies) skip shape validation — the runtime compiler
+    // still enforces it operationally below.
+    try {
+      ScriptStructure.validate(ScriptStructure.parse(script)).foreach(e => throw e)
+    } catch { case _: ScriptStructure.ParseError => }
     val src = stmts.head
     val sinkStmt = stmts.last
     require(stmts.size >= 2, "script needs at least a source and a sink")
@@ -160,7 +168,15 @@ object Compiler {
     try {
       val pipe0 = compileSource(spark, src, needKey, nowNs)
       val piped = maps.foldLeft(pipe0)((p, st) => compileMap(p, st))
-      Compiled(piped, compileSink(sinkStmt))
+      // sink compile diagnostics carry the statement position, like the
+      // reference's CompileString → ScriptError{Kind:"sink_compile_error"}
+      // wrap (task_test.go TestCompileErrorIsScriptErrorForSink)
+      val sink = try compileSink(sinkStmt) catch {
+        case e: ScriptStructure.ScriptError => throw e
+        case e: IllegalArgumentException =>
+          throw decorateSinkError(script, e)
+      }
+      Compiled(piped, sink)
     } finally {
       currentParams.set(prevParams); currentNowNs.set(prevNow)
       currentScriptHash.set(prevHash)
@@ -169,6 +185,19 @@ object Compiler {
       TqlLog.setLevelIndex(prevLogLevel)
     }
   }
+
+  /** Position-decorate a sink compile diagnostic from the introspection
+    * parse (best-effort: heredoc-bearing scripts fall back to the bare
+    * message, like internal encoder construction in the reference). */
+  private def decorateSinkError(script: String,
+                                e: IllegalArgumentException): IllegalArgumentException =
+    try {
+      ScriptStructure.parse(script).statements.filter(_.isCode).lastOption match {
+        case Some(ps) => ScriptStructure.ScriptError("sink_compile_error",
+          e.getMessage, ps.line, ps.span.start.column, ps.text)
+        case None => e
+      }
+    } catch { case _: Exception => e }
 
   /** Substitute top-level '?' placeholders (outside quoted literals). */
   private[tql] def bindPlaceholders(sql: String, lits: Seq[String]): String = {
@@ -2367,6 +2396,17 @@ object Compiler {
       case Call("precision", List(Num(p))) => opts = opts.copy(precision = p.toInt)
       case Call("substituteNull", List(Str(s))) => opts = opts.copy(nullAs = s)
       case Call("binaryformat", List(Str(b))) => opts = opts.copy(binaryFormat = b)
+      case Call("html", List(Bool(b))) if fmt == "MARKDOWN" =>
+        opts = opts.copy(htmlRender = b)
+      // bare non-string literals are never valid encoder options
+      // (fm_encoder.go newEncoder: "encoder '%s' invalid option %v (%T)")
+      case Bool(b) => throw new IllegalArgumentException(
+        s"encoder '${fmt.toLowerCase}' invalid option $b (bool)")
+      case Num(v) => throw new IllegalArgumentException(
+        s"encoder '${fmt.toLowerCase}' invalid option ${graft.sinks.Codecs.goFloat(v)} (float64)")
+      case Str(s) if fmt != "TEXT" && fmt != "HTML" && fmt != "MARKDOWN" =>
+        throw new IllegalArgumentException(
+          s"encoder '${fmt.toLowerCase}' invalid option $s (string)")
       case _ =>
     }
     val cacheSpec = st.call.args.collectFirst {

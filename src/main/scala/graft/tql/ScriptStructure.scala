@@ -74,10 +74,12 @@ object ScriptStructure {
       s"""$message (line=$line, column=$column, near="$near")"""
   }
 
-  /** script_validate.go ScriptError: kind + positioned message. */
+  /** script_validate.go ScriptError: kind + positioned message. Extends
+    * IllegalArgumentException so compile-surface callers can treat all
+    * TQL compile diagnostics uniformly. */
   final case class ScriptError(kind: String, message: String,
                                line: Int, column: Int, statementText: String)
-    extends Exception {
+    extends IllegalArgumentException {
     override def getMessage: String = {
       var m = message
       if (line > 0 && column > 0) m = s"line $line, column $column: $m"
@@ -163,6 +165,13 @@ object ScriptStructure {
             val end = source.indexOf('\n', i) match { case -1 => source.length; case e => e }
             i = end - 1
           }
+        case '#' if depth == 0 && cur.toString.trim.isEmpty =>
+          // `#pragma …` full-line form (tql_pragma_test.go TestPragma2)
+          val end = source.indexOf('\n', i) match { case -1 => source.length; case e => e }
+          val text = source.substring(i, end)
+          out += ParsedStatement("", Pragma, text, line, isPragma = true,
+            isComment = false, Span(Pos(i, line, col), Pos(end, line, col + (end - i))))
+          i = end - 1; col += end - i
         case '\'' | '"' =>
           if (stmtStart < 0) { stmtStart = i; stmtStartLine = line }
           inStr = c; cur.append(c)

@@ -113,4 +113,67 @@ class ReferenceCases3Spec extends SparkSpec {
       "STRING(`line1\nline2\n\nline4`, separator('\\n'))\nMARKDOWN(html(false))\n")
     assert(out == "|STRING|\n|:-----|\n|line1|\n|line2|\n||\n|line4|\n", out)
   }
+
+  test("MARKDOWN(html(true)) converts the table to XHTML (test/markdown_xhtml.txt)") {
+    val out = run(
+      "STRING(`line1\nline2\n\nline4`, separator('\\n'))\nPUSHKEY('test')\nMARKDOWN(html(true))\n")
+    assert(out ==
+      """<div>
+        |<table>
+        |<thead>
+        |<tr>
+        |<th align="left">ROWNUM</th>
+        |<th align="left">STRING</th>
+        |</tr>
+        |</thead>
+        |<tbody>
+        |<tr>
+        |<td align="left">1</td>
+        |<td align="left">line1</td>
+        |</tr>
+        |<tr>
+        |<td align="left">2</td>
+        |<td align="left">line2</td>
+        |</tr>
+        |<tr>
+        |<td align="left">3</td>
+        |<td></td>
+        |</tr>
+        |<tr>
+        |<td align="left">4</td>
+        |<td align="left">line4</td>
+        |</tr>
+        |</tbody>
+        |</table>
+        |</div>""".stripMargin, out)
+  }
+
+  test("statement-role compile errors carry position (task_test.go TestSrcError)") {
+    val e1 = intercept[graft.tql.ScriptStructure.ScriptError](run(
+      "FAKE( arrange(0, 1, 1) )\nINSERT(table('example'))\nJSON()\n"))
+    assert(e1.getMessage ==
+      "line 2, column 1: \"INSERT()\" is not applicable for MAP [statement: INSERT(table('example'))]")
+    assert(e1.kind == "invalid_map")
+
+    val e2 = intercept[graft.tql.ScriptStructure.ScriptError](run(
+      "MAPVALUE(0, 1)\nSQL('select * from example')\nJSON()\n"))
+    assert(e2.getMessage ==
+      "line 1, column 1: \"MAPVALUE()\" is not applicable for SRC [statement: MAPVALUE(0, 1)]")
+    assert(e2.kind == "invalid_source")
+
+    val e3 = intercept[graft.tql.ScriptStructure.ScriptError](run(
+      "FAKE( arrange(0, 1, 1) )\nSQL('select * from example')\n"))
+    assert(e3.getMessage ==
+      "line 2, column 1: f(SQL) sink does not allow fetch verb \"SELECT\" [statement: SQL('select * from example')]")
+    assert(e3.kind == "sink_compile_error")
+  }
+
+  test("encoder rejects invalid bare options (TestCompileErrorIsScriptErrorForSink)") {
+    val e = intercept[graft.tql.ScriptStructure.ScriptError](run(
+      "STRING(`line1`, separator('\\n'))\nMARKDOWN(true)\n"))
+    assert(e.getMessage ==
+      "line 2, column 1: encoder 'markdown' invalid option true (bool) [statement: MARKDOWN(true)]")
+    assert(e.kind == "sink_compile_error")
+    assert(e.line == 2)
+  }
 }

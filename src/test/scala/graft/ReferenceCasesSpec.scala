@@ -602,7 +602,10 @@ class ReferenceCasesSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException] {
       run("FAKE( linspace(1, 1, 1) )\nMARKDOWN( cache('k', '60s') )\n")
     }
-    assert(err.getMessage == "encoder 'markdown' does not support cache")
+    // the compile surface position-decorates encoder errors (the bare
+    // message is the newEncoder-level form, fm_encoder_test.go:73)
+    assert(err.getMessage ==
+      "line 2, column 1: encoder 'markdown' does not support cache [statement: MARKDOWN( cache('k', '60s') )]")
   }
 
   test("escapeParam: Go url.QueryEscape byte-compat (func_test.go:55)") {
