@@ -166,6 +166,33 @@ object Core {
         .orderBy("l_returnflag")
     }),
 
+    // ---- weighted two-column relation aggregators ---------------------
+    // correlation/covariance/lrs with weight() (fm_monad.go
+    // GroupColumnRelation + gonum stat weighted forms): exact-decimal
+    // power sums then a fixed double-op sequence shared with the oracle,
+    // so partition order can't move the rounded result.
+    "q_group_wcorr" -> ((s, dir) => {
+      val x = col("l_quantity").cast("decimal(4,0)")
+      val y = col("l_extendedprice").cast("decimal(12,2)")
+      val wgt = col("l_tax").cast("decimal(4,2)") + lit(0.01).cast("decimal(4,2)")
+      val sw = sum(wgt).cast("double")
+      val sxw = sum(x * wgt).cast("double")
+      val syw = sum(y * wgt).cast("double")
+      val sxxw = sum(x * x * wgt).cast("double")
+      val syyw = sum(y * y * wgt).cast("double")
+      val sxyw = sum(x * y * wgt).cast("double")
+      val mx = sxw / sw
+      val my = syw / sw
+      val cov = (sxyw - sw * mx * my) / (sw - 1d)
+      val varx = (sxxw - sw * mx * mx) / (sw - 1d)
+      val vary = (syyw - sw * my * my) / (sw - 1d)
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        r6(cov / (sqrt(varx) * sqrt(vary))).as("wcorr"),
+        r2(cov / 1000d).as("wcov_k"),
+        r4((sxyw - sw * mx * my) / (sxxw - sw * mx * mx)).as("wlrs"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- join: broadcast dim joins (customer⋈orders⋈nation⋈region) ----
     "q_join_revenue" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -318,6 +345,22 @@ object Core {
          SELECT l_returnflag,
            round(sxw/sw,4) AS wmean,
            round((sxxw - sw*(sxw/sw)*(sxw/sw))/(sw - 1)/1000,2) AS wvar_k
+         FROM g ORDER BY 1""",
+    "q_group_wcorr" ->
+      """WITH g AS (
+           SELECT l_returnflag,
+             CAST(sum(CAST(l_tax AS DECIMAL(4,2)) + CAST(0.01 AS DECIMAL(4,2))) AS DOUBLE) AS sw,
+             CAST(sum(CAST(l_quantity AS DECIMAL(4,0)) * (CAST(l_tax AS DECIMAL(4,2)) + CAST(0.01 AS DECIMAL(4,2)))) AS DOUBLE) AS sxw,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(l_tax AS DECIMAL(4,2)) + CAST(0.01 AS DECIMAL(4,2)))) AS DOUBLE) AS syw,
+             CAST(sum(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_quantity AS DECIMAL(4,0)) * (CAST(l_tax AS DECIMAL(4,2)) + CAST(0.01 AS DECIMAL(4,2)))) AS DOUBLE) AS sxxw,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(l_tax AS DECIMAL(4,2)) + CAST(0.01 AS DECIMAL(4,2)))) AS DOUBLE) AS syyw,
+             CAST(sum(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(l_tax AS DECIMAL(4,2)) + CAST(0.01 AS DECIMAL(4,2)))) AS DOUBLE) AS sxyw
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag,
+           round(((sxyw - sw*(sxw/sw)*(syw/sw))/(sw - 1))
+             / (sqrt((sxxw - sw*(sxw/sw)*(sxw/sw))/(sw - 1)) * sqrt((syyw - sw*(syw/sw)*(syw/sw))/(sw - 1))),6) AS wcorr,
+           round(((sxyw - sw*(sxw/sw)*(syw/sw))/(sw - 1))/1000,2) AS wcov_k,
+           round((sxyw - sw*(sxw/sw)*(syw/sw))/(sxxw - sw*(sxw/sw)*(sxw/sw)),4) AS wlrs
          FROM g ORDER BY 1""",
     "q_join_revenue" ->
       """SELECT r_name, n_name,

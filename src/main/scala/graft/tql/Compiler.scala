@@ -199,6 +199,58 @@ object Compiler {
       }
     } catch { case _: Exception => e }
 
+  private[tql] def isHttpUrl(path: String): Boolean =
+    path.startsWith("http://") || path.startsWith("https://")
+
+  /** file() content: local filesystem path, or an http(s) GET — the
+    * reference serves both through its server-side filesystem. */
+  private[tql] def contentBytes(path: String): Array[Byte] =
+    if (isHttpUrl(path)) {
+      // same egress policy as every other HTTP edge in this build:
+      // loopback only (HttpLoop.executeRaw); a deployment relaxes the
+      // check, not the fetch path
+      val host = java.net.URI.create(path).getHost
+      val addr = try java.net.InetAddress.getByName(host) catch {
+        case _: java.net.UnknownHostException => null
+      }
+      require(addr != null && addr.isLoopbackAddress,
+        s"egress disabled: '$host' is not a loopback address (this build only talks to in-process doubles)")
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(path)).GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      require(resp.statusCode() / 100 == 2,
+        s"file($path) fetch failed: HTTP ${resp.statusCode()}")
+      resp.body()
+    } else java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+
+  /** One CSV line split with RFC-4180 quoting (encoding/csv semantics:
+    * `"escaped, string"` is one cell, doubled quotes escape). */
+  private[tql] def splitCsvLine(l: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    var inQ = false
+    var quoted = false
+    while (i < l.length) {
+      val c = l.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < l.length && l.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQ = false
+        } else cur.append(c)
+      } else c match {
+        case '"' if cur.isEmpty && !quoted => inQ = true; quoted = true
+        case ',' => out += cur.toString; cur.clear(); quoted = false
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
+
   /** Substitute top-level '?' placeholders (outside quoted literals). */
   private[tql] def bindPlaceholders(sql: String, lits: Seq[String]): String = {
     val out = new StringBuilder
@@ -447,7 +499,10 @@ object Compiler {
         throw new IllegalArgumentException("f(FAKE) arg(0) should be fakeSource, but float64")
       case Call("FAKE", List(gen: Call)) =>
         compileFake(spark, gen, needKey)
-      case Call("CSV", Call("file", List(Str(path))) :: rest) =>
+      case Call("CSV", Call("file", List(Str(path))) :: rest)
+          if !isHttpUrl(path) =>
+        // http(s) file() URLs fall through to the literal branch below,
+        // which fetches the content (task_test.go TestHttpFile)
         val header = rest.exists { case Call("header", _) => true; case _ => false }
         val charset = rest.collectFirst { case Call("charset", List(Str(c))) => c }
         val fields = rest.collect {
@@ -487,17 +542,17 @@ object Compiler {
         val allLines = text.split("\n", -1).toIndexedSeq.filter(_.nonEmpty)
         require(allLines.nonEmpty, "CSV literal is empty")
         val (headerNames, lines) =
-          if (headerOpt) (Some(allLines.head.split(",", -1).toSeq), allLines.tail)
+          if (headerOpt) (Some(splitCsvLine(allLines.head).toSeq), allLines.tail)
           else (None, allLines)
         require(lines.nonEmpty, "CSV literal has no data rows")
-        val nCols = lines.map(_.split(",", -1).length).max
+        val nCols = lines.map(splitCsvLine(_).length).max
         val names = headerNames.map(_.padTo(nCols, "")).getOrElse(
           (0 until nCols).map(i => s"column$i"))
         val schema0 = org.apache.spark.sql.types.StructType(
           names.map(n => org.apache.spark.sql.types.StructField(n,
             org.apache.spark.sql.types.StringType)))
         val rowsC = lines.map { l =>
-          val cells = l.split(",", -1).toSeq.padTo(nCols, "")
+          val cells = splitCsvLine(l).toSeq.padTo(nCols, "")
           org.apache.spark.sql.Row.fromSeq(cells)
         }
         val df0 = spark.createDataFrame(
@@ -937,9 +992,10 @@ object Compiler {
     case Expr.Str(v) => Some(v)
     case Expr.Call("payload", _) => paramFirst("payload")
     case Expr.Call("file", List(Expr.Str(path))) =>
-      // file('path') content source for STRING/BYTES (fm_bytes.go FilePath)
-      Some(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8"))
+      // file('path') content source for STRING/BYTES (fm_bytes.go
+      // FilePath) — http(s) URLs fetch over the wire like the
+      // reference's ssfs HttpFileSystem (task_test.go TestHttpFile)
+      Some(new String(contentBytes(path), "UTF-8"))
     case Expr.Bin("??", l, r) => constStringOpt(l).orElse(constStringOpt(r))
     case Expr.Call("param", List(Expr.Str(n))) => paramFirst(n)
     case Expr.Bin("+", l, r) => // constant concatenation ('a' + 'b')

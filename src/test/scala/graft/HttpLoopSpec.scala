@@ -196,4 +196,25 @@ class HttpLoopSpec extends SparkSpec {
     assert(gotName == "camera-1", gotName)
     assert(gotFile.contains("<svg width=\"100\""), gotFile)
   }
+
+  test("file('http://…') sources fetch content (task_test.go TestHttpFile)") {
+    HttpLoop.handle("/string") { (m, _, _, _) =>
+      assert(m == "GET"); (200, "text/plain", "ok.".getBytes("UTF-8")) }
+    HttpLoop.handle("/bytes") { (m, _, _, _) =>
+      assert(m == "GET"); (200, "text/plain", "ok.".getBytes("UTF-8")) }
+    HttpLoop.handle("/csvfile") { (m, _, _, _) =>
+      assert(m == "GET"); (200, "text/csv",
+        "1,3.141592,true,\"escaped, string\",123456".getBytes("UTF-8")) }
+
+    assert(Tql.run(spark,
+      s"STRING(file(\"http://127.0.0.1:$port/string\"))\nCSV()\n") == "ok.\n")
+    assert(Tql.run(spark,
+      s"BYTES(file(\"http://127.0.0.1:$port/bytes\"))\nCSV(binaryformat(\"hex\"))\n")
+      == "0x6f6b2e\n")
+    // quoted cell survives the round-trip: RFC-4180 parse, re-quoted on
+    // render (the reference's encoding/csv behavior)
+    assert(Tql.run(spark,
+      s"CSV(file(\"http://127.0.0.1:$port/csvfile\"))\nCSV()\n")
+      == "1,3.141592,true,\"escaped, string\",123456\n")
+  }
 }

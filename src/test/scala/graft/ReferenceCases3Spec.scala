@@ -168,6 +168,35 @@ class ReferenceCases3Spec extends SparkSpec {
     assert(e3.kind == "sink_compile_error")
   }
 
+  test("GROUP relation aggregators incl. weight() (fm_monad_test.go:261-291)") {
+    // covariance with a per-row weight: gonum stat.Covariance
+    // ((1,2,w1),(2,4,w2)) = 2/3
+    assert(run(
+      """FAKE( json({[1.0, 2.0, 1], [2.0, 4.0, 2]}) )
+        |GROUP( covariance(value(0), value(1), weight(value(2)), 'cov') )
+        |CSV(precision(4))
+        |""".stripMargin) == "0.6667\n")
+    // perfectly-correlated pair → 1.0
+    assert(run(
+      """FAKE( json({[1.0, 2.0], [2.0, 4.0]}) )
+        |GROUP( correlation(value(0), value(1), 'corr') )
+        |CSV(precision(4))
+        |""".stripMargin) == "1.0000\n")
+    // lrs = OLS slope of y on x: (1,3),(2,5),(3,7) → 2
+    assert(run(
+      """FAKE( json({[1.0, 3.0], [2.0, 5.0], [3.0, 7.0]}) )
+        |GROUP( lrs(value(0), value(1), 'slope') )
+        |CSV(precision(4))
+        |""".stripMargin) == "2.0000\n")
+    // weighted moment: stat.Moment(2, [2,4], w=[1,2]) — mean=10/3,
+    // Σw(v-μ)²/Σw = (16/9 + 2·4/9)/3 = 8/9
+    assert(run(
+      """FAKE( json({[2.0, 1], [4.0, 2]}) )
+        |GROUP( moment(value(0), 2, weight(value(1)), 'm2') )
+        |CSV(precision(4))
+        |""".stripMargin) == "0.8889\n")
+  }
+
   test("encoder rejects invalid bare options (TestCompileErrorIsScriptErrorForSink)") {
     val e = intercept[graft.tql.ScriptStructure.ScriptError](run(
       "STRING(`line1`, separator('\\n'))\nMARKDOWN(true)\n"))
