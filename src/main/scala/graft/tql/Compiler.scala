@@ -2407,8 +2407,10 @@ object Compiler {
       val tpl = st.call.args.collect {
         case Str(s) => s
         case Call("file", List(Str(path))) =>
-          new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(templateRoot, path)), "UTF-8")
+          val p = java.nio.file.Paths.get(templateRoot, path)
+          if (!java.nio.file.Files.exists(p))
+            throw new IllegalArgumentException(s"template file '$path' not found")
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       }
       if (tpl.nonEmpty)
         opts = opts.copy(template = Some(tpl.mkString),

@@ -197,6 +197,13 @@ class ReferenceCases3Spec extends SparkSpec {
         |""".stripMargin) == "0.8889\n")
   }
 
+  test("missing template file uses the reference message (fm_encoder.go:44-52)") {
+    val e = intercept[IllegalArgumentException](run(
+      "FAKE( linspace(0, 1, 2) )\nTEXT(file('/definitely-missing.txt'))\n"))
+    assert(e.getMessage.contains("template file '/definitely-missing.txt' not found"),
+      e.getMessage)
+  }
+
   test("encoder rejects invalid bare options (TestCompileErrorIsScriptErrorForSink)") {
     val e = intercept[graft.tql.ScriptStructure.ScriptError](run(
       "STRING(`line1`, separator('\\n'))\nMARKDOWN(true)\n"))
