@@ -166,10 +166,30 @@ object Bench {
       if (v < 0) "-1"
       else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).underlying.stripTrailingZeros.toPlainString
     // keys lose their uniform "q_" prefix in the compact line only (full
-    // names stay in bench_full.json) — 70+ queries × 2 chars matters here
-    val qs = resultsHealed.map { case (k, v) =>
-      s"\"" + k.stripPrefix("q_") + "\":" + d3(v) }
-      .mkString("{", ",", "}")
+    // names stay in bench_full.json) — 70+ queries × 2 chars matters here.
+    // The line must fit the driver's ~2000-char stdout tail WITH sbt's
+    // trailing "[success]" line, so it self-sizes: 3-decimal seconds,
+    // then 2-decimal, then drop the cheapest queries (most-expensive
+    // first is what regression analysis needs) with a "qdrop" count.
+    def qsLine(scale: Int, entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) =>
+        val s = if (v < 0) "-1" else BigDecimal(v).setScale(scale,
+          BigDecimal.RoundingMode.HALF_UP).underlying.stripTrailingZeros.toPlainString
+        s"\"" + k.stripPrefix("q_") + "\":" + s
+      }.mkString("{", ",", "}")
+    val byCost = resultsHealed.toSeq.sortBy(-_._2)
+    val qsBudget = 1650
+    val qs3 = qsLine(3, byCost)
+    val qs = if (qs3.length <= qsBudget) qs3 else {
+      val qs2 = qsLine(2, byCost)
+      if (qs2.length <= qsBudget) qs2 else {
+        var keep = byCost.length
+        while (keep > 1 && qsLine(2, byCost.take(keep)).length > qsBudget - 12)
+          keep -= 1
+        qsLine(2, byCost.take(keep)).dropRight(1) +
+          s",\"qdrop\":${byCost.length - keep}}"
+      }
+    }
     val qsFull = resultsHealed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (resultsHealed.nonEmpty) resultsHealed.values.sum else 0.0
