@@ -94,7 +94,10 @@ object Bench {
     val healed = scala.collection.mutable.Map[String, Double]()
     try {
       val prevPath = java.nio.file.Paths.get("bench_full.json")
-      if (Files.exists(prevPath)) {
+      // only comparable at the same scale factor — a dev-run record at
+      // another sf would flag everything and trigger 90+ useless retries
+      if (Files.exists(prevPath) &&
+          Files.readString(prevPath).contains(s""""sf":"$sfDir"""")) {
         val prev = Files.readString(prevPath)
         val pair = "\"(q_\\w+)\":(-?\\d+(?:\\.\\d+)?(?:E-?\\d+)?)".r
         val prevQ = pair.findAllMatchIn(prev)

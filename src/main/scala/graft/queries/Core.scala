@@ -172,15 +172,21 @@ object Core {
     // power sums then a fixed double-op sequence shared with the oracle,
     // so partition order can't move the rounded result.
     "q_group_wcorr" -> ((s, dir) => {
-      val x = col("l_quantity").cast("decimal(4,0)")
-      val y = col("l_extendedprice").cast("decimal(12,2)")
-      val wgt = col("l_tax").cast("decimal(4,2)") + lit(0.01).cast("decimal(4,2)")
-      val sw = sum(wgt).cast("double")
-      val sxw = sum(x * wgt).cast("double")
-      val syw = sum(y * wgt).cast("double")
-      val sxxw = sum(x * x * wgt).cast("double")
-      val syyw = sum(y * y * wgt).cast("double")
-      val sxyw = sum(x * y * wgt).cast("double")
+      // Exactness without decimal-chain aggregation cost: the 2-decimal
+      // inputs scale to integers (w·100 ∈ 1..9, y·100, x integral), so
+      // five of six power sums ride plain LONG addition in codegen; only
+      // Σy²w can exceed int64 range and takes the one decimal(38,0) sum.
+      // Unscaling and the relation formulas run in a fixed double-op
+      // sequence shared verbatim with the oracle.
+      val xq = col("l_quantity").cast("decimal(4,0)").cast("long")
+      val w100 = (col("l_tax").cast("decimal(4,2)") * lit(100)).cast("long") + lit(1L)
+      val y100 = (col("l_extendedprice").cast("decimal(12,2)") * lit(100)).cast("long")
+      val sw = sum(w100).cast("double") / lit(100d)
+      val sxw = sum(xq * w100).cast("double") / lit(100d)
+      val syw = sum(y100 * w100).cast("double") / lit(10000d)
+      val sxxw = sum(xq * xq * w100).cast("double") / lit(100d)
+      val syyw = sum((y100 * y100 * w100).cast("decimal(38,0)")).cast("double") / lit(1000000d)
+      val sxyw = sum(xq * y100 * w100).cast("double") / lit(10000d)
       val mx = sxw / sw
       val my = syw / sw
       val cov = (sxyw - sw * mx * my) / (sw - 1d)
@@ -347,15 +353,21 @@ object Core {
            round((sxxw - sw*(sxw/sw)*(sxw/sw))/(sw - 1)/1000,2) AS wvar_k
          FROM g ORDER BY 1""",
     "q_group_wcorr" ->
-      """WITH g AS (
+      """WITH s AS (
            SELECT l_returnflag,
-             CAST(sum(CAST(l_tax AS DECIMAL(4,2)) + CAST(0.01 AS DECIMAL(4,2))) AS DOUBLE) AS sw,
-             CAST(sum(CAST(l_quantity AS DECIMAL(4,0)) * (CAST(l_tax AS DECIMAL(4,2)) + CAST(0.01 AS DECIMAL(4,2)))) AS DOUBLE) AS sxw,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(l_tax AS DECIMAL(4,2)) + CAST(0.01 AS DECIMAL(4,2)))) AS DOUBLE) AS syw,
-             CAST(sum(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_quantity AS DECIMAL(4,0)) * (CAST(l_tax AS DECIMAL(4,2)) + CAST(0.01 AS DECIMAL(4,2)))) AS DOUBLE) AS sxxw,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(l_tax AS DECIMAL(4,2)) + CAST(0.01 AS DECIMAL(4,2)))) AS DOUBLE) AS syyw,
-             CAST(sum(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(l_tax AS DECIMAL(4,2)) + CAST(0.01 AS DECIMAL(4,2)))) AS DOUBLE) AS sxyw
-           FROM lineitem GROUP BY 1)
+             CAST(CAST(l_quantity AS DECIMAL(4,0)) AS BIGINT) AS xq,
+             CAST(CAST(l_tax AS DECIMAL(4,2)) * 100 AS BIGINT) + 1 AS w100,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y100
+           FROM lineitem),
+         g AS (
+           SELECT l_returnflag,
+             CAST(sum(w100) AS DOUBLE)/100 AS sw,
+             CAST(sum(xq*w100) AS DOUBLE)/100 AS sxw,
+             CAST(sum(y100*w100) AS DOUBLE)/10000 AS syw,
+             CAST(sum(xq*xq*w100) AS DOUBLE)/100 AS sxxw,
+             CAST(sum(y100*y100*w100) AS DOUBLE)/1000000 AS syyw,
+             CAST(sum(xq*y100*w100) AS DOUBLE)/10000 AS sxyw
+           FROM s GROUP BY 1)
          SELECT l_returnflag,
            round(((sxyw - sw*(sxw/sw)*(syw/sw))/(sw - 1))
              / (sqrt((sxxw - sw*(sxw/sw)*(sxw/sw))/(sw - 1)) * sqrt((syyw - sw*(syw/sw)*(syw/sw))/(sw - 1))),6) AS wcorr,
