@@ -13,18 +13,22 @@ object Core {
   val defs: Map[String, QueryFn] = Map(
     // ---- flagship: TPC-H Q1-style pricing summary (GROUP sum/avg/count) --
     "q_tpch_pricing" -> ((s, dir) => {
-      // money sums accumulate in exact decimal (order-independent across
-      // partitions) then surface as rounded doubles — see Q.dec2.
+      // Money sums must be exact (order-independent across partitions):
+      // the 2-decimal inputs scale to integers once per row, so every
+      // aggregation is a plain long sum inside whole-stage codegen —
+      // far cheaper than decimal-chain aggregation, same exactness.
+      // Unscaling runs in a double-op sequence mirrored by the oracle.
+      val xq = col("l_quantity").cast("decimal(4,0)").cast("long")
+      val y100 = (col("l_extendedprice").cast("decimal(12,2)") * lit(100)).cast("long")
+      val d100 = (col("l_discount").cast("decimal(4,2)") * lit(100)).cast("long")
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          r2(sum("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(12,2)") *
-            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")))
-            .cast("double").as("sum_disc_price"),
-          fround(avg(col("l_quantity")), 4).as("avg_qty"),
-          fround(sum(col("l_discount").cast("decimal(4,2)")).cast("double") / count(col("l_discount")), 4).as("avg_disc"),
+          r2(sum(xq).cast("double")).as("sum_qty"),
+          (sum(y100).cast("double") / lit(100d)).as("sum_base_price"),
+          (sum(y100 * (lit(100L) - d100)).cast("double") / lit(10000d)).as("sum_disc_price"),
+          fround(sum(xq).cast("double") / count(lit(1)), 4).as("avg_qty"),
+          fround(sum(d100).cast("double") / lit(100d) / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -250,15 +254,20 @@ object Core {
 
   val oracles: Map[String, String] = Map(
     "q_tpch_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity),2) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-              (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-         floor((avg(l_quantity))*10000.0 + 0.5)/10000.0 AS avg_qty,
-         floor((CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(l_discount))*10000.0 + 0.5)/10000.0 AS avg_disc,
-         count(*) AS count_order
-         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+      """WITH s AS (
+           SELECT l_returnflag, l_linestatus,
+             CAST(CAST(l_quantity AS DECIMAL(4,0)) AS BIGINT) AS xq,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y100,
+             CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS d100
+           FROM lineitem)
+         SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(xq) AS DOUBLE),2) AS sum_qty,
+           CAST(sum(y100) AS DOUBLE)/100 AS sum_base_price,
+           CAST(sum(y100*(100-d100)) AS DOUBLE)/10000 AS sum_disc_price,
+           floor((CAST(sum(xq) AS DOUBLE)/count(*))*10000.0 + 0.5)/10000.0 AS avg_qty,
+           floor((CAST(sum(d100) AS DOUBLE)/100/count(*))*10000.0 + 0.5)/10000.0 AS avg_disc,
+           count(*) AS count_order
+         FROM s GROUP BY 1,2 ORDER BY 1,2""",
     "q_filter" ->
       """SELECT event_id, user_id, value FROM events
          WHERE event_type='error' AND value>400 ORDER BY event_id""",
