@@ -157,11 +157,13 @@ object Core {
 
     // ---- weighted mean / weighted variance ----------------------------
     "q_group_weighted" -> ((s, dir) => {
-      // Exact-decimal weighted sums; library forms in StatFns.weighted*.
-      val x = col("l_extendedprice").cast("decimal(12,2)")
-      val wq = col("l_quantity").cast("decimal(4,0)")
-      val sxw = sum(x * wq).cast("double")
-      val sxxw = sum(x * x * wq).cast("double")
+      // Integer-scaled exact weighted sums (library forms in
+      // StatFns.weighted*): Σxw and Σw ride long addition; only Σx²w
+      // can exceed int64 and takes the one decimal(38,0) sum.
+      val y100 = (col("l_extendedprice").cast("decimal(12,2)") * lit(100)).cast("long")
+      val wq = col("l_quantity").cast("decimal(4,0)").cast("long")
+      val sxw = sum(y100 * wq).cast("double") / lit(100d)
+      val sxxw = sum((y100 * y100 * wq).cast("decimal(38,0)")).cast("double") / lit(10000d)
       val sw = sum(wq).cast("double")
       val wm = sxw / sw
       t(s, dir, "lineitem").groupBy("l_returnflag").agg(
@@ -350,13 +352,17 @@ object Core {
                  FROM events GROUP BY 1,2))
          WHERE rn = 1 ORDER BY event_type""",
     "q_group_weighted" ->
-      """WITH g AS (
+      """WITH s AS (
            SELECT l_returnflag,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sxw,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))
-                      * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sxxw,
-             CAST(sum(CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sw
-           FROM lineitem GROUP BY 1)
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y100,
+             CAST(CAST(l_quantity AS DECIMAL(4,0)) AS BIGINT) AS wq
+           FROM lineitem),
+         g AS (
+           SELECT l_returnflag,
+             CAST(sum(y100*wq) AS DOUBLE)/100 AS sxw,
+             CAST(sum(y100*y100*wq) AS DOUBLE)/10000 AS sxxw,
+             CAST(sum(wq) AS DOUBLE) AS sw
+           FROM s GROUP BY 1)
          SELECT l_returnflag,
            round(sxw/sw,4) AS wmean,
            round((sxxw - sw*(sxw/sw)*(sxw/sw))/(sw - 1)/1000,2) AS wvar_k
