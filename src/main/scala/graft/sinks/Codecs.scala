@@ -39,8 +39,19 @@ object Codecs {
       template: Option[String] = None,
       templateParams: Map[String, Seq[String]] = Map.empty,
       /** binary column rendering: hex (0x…), preview (first 5 bytes + ..),
-        * base64 — the reference's binaryformat() option */
+        * base64, bytes ([1 2 3]) — the reference's binaryformat() option */
       binaryFormat: String = "hex",
+      /** numeric substituteNull value — kept typed so the cell renders
+        * through the float formatter (precision applies: csv_encode.go
+        * AddRow feeds nullAlternative through the value switch) */
+      nullAsNum: Option[Double] = None,
+      /** JSON envelope: rows as {col:val} objects (reference rowsArray) */
+      rowsArray: Boolean = false,
+      /** JSON envelope: column-major "cols" arrays (reference transpose);
+        * rowsArray wins when both are set (json_encode.go Open) */
+      transpose: Boolean = false,
+      /** fixed elapse text for byte-stable tests; None = measure */
+      elapse: Option[String] = None,
       /** MARKDOWN(html(true)): render the table as goldmark-converted
         * XHTML in a <div> wrapper — md_encode.go:155-162 htmlRender */
       htmlRender: Boolean = false)
@@ -89,21 +100,28 @@ object Codecs {
     if (b.isEmpty) "" else "0x" + b.map(x => f"$x%02x").mkString
 
   private def fmt(v: Any, o: Options): String = v match {
-    case null => o.nullAs
-    case b: Array[Byte] => o.binaryFormat match {
+    case null => o.nullAsNum match {
+      case Some(n) => goPrecisionFloat(n, o.precision)
+      case None => o.nullAs
+    }
+    case b: Array[Byte] => o.binaryFormat.toLowerCase match {
       case "base64" => java.util.Base64.getEncoder.encodeToString(b)
       case "preview" =>
         if (b.length <= 5) binHex(b) else binHex(b.take(5)) + ".."
+      // Go fmt %v of []byte — space-separated decimal (util/types.go
+      // BinaryFormatter "bytes" mode)
+      case "bytes" => if (b.isEmpty) "" else b.map(x => (x & 0xff).toString).mkString("[", " ", "]")
       case _ => binHex(b)
     }
     case t: java.sql.Timestamp => fmtTime(t.toInstant, o)
     case t: java.time.Instant => fmtTime(t, o)
     case t: java.time.LocalDateTime => fmtTime(t.toInstant(java.time.ZoneOffset.UTC), o)
-    case d: Double if d.isInfinite => if (d > 0) "+Inf" else "-Inf"
-    case d: Double if o.precision >= 0 => fixedExact(normZero(d), o.precision)
-    case f: Float if o.precision >= 0 => fixedExact(normZero(f.toDouble), o.precision)
-    case d: Double => goFloat(normZero(d))
-    case f: Float => goFloat(normZero(f.toDouble))
+    // CSV floats share the JSON float format — FormatPrecisionFloat64
+    // (6-dec trimmed default, NaN/±Inf tokens), NOT shortest round-trip
+    // (csv_encode.go:172-175; csv_encode_test.go
+    // TestCsvEncoderFloatFormattingMatchesJSON pins 20.55-22.2 → -1.65)
+    case d: Double => goPrecisionFloat(d, o.precision)
+    case f: Float => goPrecisionFloat(f.toDouble, o.precision)
     // list-valued cells print their Go type token — the reference's CSV
     // encoder falls through fmt to the []any type (TestBoxplot chart)
     case _: scala.collection.Seq[_] => "[]interface {}"
@@ -122,7 +140,10 @@ object Codecs {
 
   private def jsonValue(v: Any, o: Options): String = v match {
     case null => "null"
-    case b: Array[Byte] => "\"" + binHex(b) + "\""
+    // binaryformat applies in JSON cells too (json_encode.go AddRow
+    // routes []byte through binaryFormatter; json_encode_test.go
+    // TestBinaryFormat pins all five modes)
+    case b: Array[Byte] => "\"" + jsonEscape(fmt(b, o)) + "\""
     case s: String => "\"" + jsonEscape(s) + "\""
     case b: Boolean => b.toString
     // datetimes serialize as epoch ns numbers unless a timeformat pattern
@@ -152,10 +173,18 @@ object Codecs {
     * decimals, trailing zeros and dot trimmed ("1", "0.916937"); NaN/±Inf
     * as quoted tokens. This deliberately differs from the CSV encoder's
     * shortest-round-trip format. */
-  private def jsonFloat(d: Double, precision: Int): String = {
-    if (d.isNaN) return "\"NaN\""
-    if (d == Double.NegativeInfinity) return "\"-Inf\""
-    if (d == Double.PositiveInfinity) return "\"+Inf\""
+  private def jsonFloat(d: Double, precision: Int): String =
+    if (d.isNaN || d.isInfinite) "\"" + goPrecisionFloat(d, precision) + "\""
+    else goPrecisionFloat(d, precision)
+
+  /** FormatPrecisionFloat64 parity (mods/codec/internal/float.go): NaN/
+    * ±Inf tokens, exact ±0 unsigned, fixed `precision` decimals when set,
+    * else 6 decimals with trailing zeros and dot trimmed. Shared by the
+    * CSV and JSON encoders (csv_encode.go:172, json_encode.go nested rows). */
+  private[graft] def goPrecisionFloat(d: Double, precision: Int): String = {
+    if (d.isNaN) return "NaN"
+    if (d == Double.NegativeInfinity) return "-Inf"
+    if (d == Double.PositiveInfinity) return "+Inf"
     if (d == 0.0d)
       return if (precision >= 0) fixedExact(0d, precision) else "0"
     if (precision >= 0) fixedExact(d, precision)
@@ -189,9 +218,13 @@ object Codecs {
     }
     // per-column null replacement (GROUP's per-aggregator nullValue —
     // string fills render raw while data cells keep float formatting)
+    val defaultNull = o.nullAsNum match {
+      case Some(n) => goPrecisionFloat(n, o.precision)
+      case None => o.nullAs
+    }
     val nullAs: Array[String] = df.schema.fields.map(f =>
       if (f.metadata.contains("nullas")) f.metadata.getString("nullas")
-      else o.nullAs)
+      else defaultNull)
     var i = 0L
     df.toLocalIterator().forEachRemaining { row =>
       i += 1
@@ -212,13 +245,19 @@ object Codecs {
     else s
 
   /** The `/db/query` JSON envelope: {"data":{"columns":[...],"types":[...],
-    * "rows":[[...],...]},"success":true,"reason":"success"}. */
+    * "rows":[[...],...]},"success":true,"reason":"success","elapse":"…"}.
+    * rowsArray renders rows as column-keyed objects; transpose renders
+    * column-major "cols" arrays (rowsArray wins when both are set, and
+    * rownum is ignored in transpose — json_encode.go Open/AddRow). */
   def jsonEnvelope(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
+    val t0 = System.nanoTime()
     val cols0 = o.colsOverride.getOrElse(df.columns.toSeq)
     val types0 = o.typesOverride.getOrElse(
       df.schema.fields.map(fieldTypeName).toSeq)
-    val cols = if (o.rownum) "ROWNUM" +: cols0 else cols0
-    val types = if (o.rownum) "int64" +: types0 else types0
+    val transposed = o.transpose && !o.rowsArray
+    val useRownum = o.rownum && !transposed
+    val cols = if (useRownum) "ROWNUM" +: cols0 else cols0
+    val types = if (useRownum) "int64" +: types0 else types0
     // "any"-typed cells hold canonical JSON text — emit raw, like the
     // reference marshalling the yielded Go value directly
     val anyIdx: Set[Int] = types0.zipWithIndex.collect {
@@ -229,28 +268,62 @@ object Codecs {
     w.write(cols.map(c => "\"" + jsonEscape(c) + "\"").mkString(","))
     w.write("""],"types":[""")
     w.write(types.map(t => "\"" + t + "\"").mkString(","))
-    w.write("""],"rows":[""")
+    if (transposed) w.write("""],"cols":[""") else w.write("""],"rows":[""")
+    // gojson.Marshal parity for the rowsArray/transpose/rowsFlatten paths:
+    // floats print shortest-round-trip, precision IGNORED
+    // (json_encode.go marshals the Go value directly)
+    def rawCell(v: Any, j: Int): String = v match {
+      case s: String if j >= 0 && anyIdx(j) &&
+        (s.startsWith("{") || s.startsWith("[")) => s
+      case d: java.lang.Double => goFloat(normZero(d))
+      case f: java.lang.Float => goFloat(normZero(f.toDouble))
+      case other => jsonValue(other, o)
+    }
     var first = true
     var i = 0L
-    df.toLocalIterator().forEachRemaining { row =>
-      if (!first) w.write(",")
-      first = false
-      i += 1
-      val base = row.toSeq.zipWithIndex.map {
-        case (s: String, j) if anyIdx(j) &&
-          (s.startsWith("{") || s.startsWith("[")) => s
-        // rowsFlatten marshals through plain gojson.Marshal — shortest
-        // form, precision IGNORED (json_encode.go:262-278); only the
-        // nested-rows path applies AppendPrecisionFloat64
-        case (d: java.lang.Double, _) if o.rowsFlatten => goFloat(normZero(d))
-        case (f: java.lang.Float, _) if o.rowsFlatten => goFloat(normZero(f.toDouble))
-        case (v, _) => jsonValue(v, o)
+    if (transposed) {
+      val series = Array.fill(cols0.size)(Vector.newBuilder[String])
+      df.toLocalIterator().forEachRemaining { row =>
+        row.toSeq.zipWithIndex.foreach { case (v, j) =>
+          if (j < series.length) series(j) += rawCell(v, j)
+        }
       }
-      val cells = if (o.rownum) i.toString +: base else base
-      if (o.rowsFlatten) w.write(cells.mkString(","))
-      else w.write(cells.mkString("[", ",", "]"))
+      w.write(series.map(_.result().mkString("[", ",", "]")).mkString(","))
+    } else if (o.rowsArray) {
+      df.toLocalIterator().forEachRemaining { row =>
+        if (!first) w.write(",")
+        first = false
+        i += 1
+        // Go marshals a map[string]any — keys sort lexicographically
+        val pairs = cols0.zip(row.toSeq.zipWithIndex) ++
+          (if (o.rownum) Seq("ROWNUM" -> (i.asInstanceOf[Any], -1)) else Nil)
+        w.write(pairs.sortBy(_._1).map { case (c, (v, j)) =>
+          "\"" + jsonEscape(c) + "\":" + rawCell(v, j)
+        }.mkString("{", ",", "}"))
+      }
+    } else {
+      df.toLocalIterator().forEachRemaining { row =>
+        if (!first) w.write(",")
+        first = false
+        i += 1
+        val base = row.toSeq.zipWithIndex.map {
+          case (s: String, j) if anyIdx(j) &&
+            (s.startsWith("{") || s.startsWith("[")) => s
+          // rowsFlatten marshals through plain gojson.Marshal — shortest
+          // form, precision IGNORED (json_encode.go:262-278); only the
+          // nested-rows path applies AppendPrecisionFloat64
+          case (d: java.lang.Double, _) if o.rowsFlatten => goFloat(normZero(d))
+          case (f: java.lang.Float, _) if o.rowsFlatten => goFloat(normZero(f.toDouble))
+          case (v, _) => jsonValue(v, o)
+        }
+        val cells = if (o.rownum) i.toString +: base else base
+        if (o.rowsFlatten) w.write(cells.mkString(","))
+        else w.write(cells.mkString("[", ",", "]"))
+      }
     }
-    w.write("""]},"success":true,"reason":"success"}""")
+    val elapse = o.elapse.getOrElse(
+      graft.time.TimeFns.goDurationString(System.nanoTime() - t0))
+    w.write(s"""]},"success":true,"reason":"success","elapse":"$elapse"}""")
   }
 
   /** TEXT sink: Go-template per record, or raw space-joined values when no

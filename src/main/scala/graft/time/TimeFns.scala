@@ -48,6 +48,39 @@ object TimeFns {
     } else goDurationNs(t, t)
   }
 
+  /** Go time.Duration.String() parity: "0s", "123ns", "1.5µs",
+    * "123.456789ms", "1.5s", "1m2.5s", "1h3m4.5s" — fraction digits
+    * trimmed. Used by the JSON envelope's "elapse" field
+    * (json_encode.go:152 time.Since(tick).String()). */
+  def goDurationString(ns0: Long): String = {
+    if (ns0 == 0L) return "0s"
+    val neg = ns0 < 0
+    val u = math.abs(ns0)
+    def frac(rem: Long, width: Int): String = {
+      if (rem == 0) "" else {
+        var f = rem.toString
+        f = ("0" * (width - f.length)) + f
+        while (f.endsWith("0")) f = f.dropRight(1)
+        "." + f
+      }
+    }
+    val body =
+      if (u < 1000L) s"${u}ns"
+      else if (u < 1000000L) s"${u / 1000L}${frac(u % 1000L, 3)}µs"
+      else if (u < 1000000000L) s"${u / 1000000L}${frac(u % 1000000L, 6)}ms"
+      else {
+        val total = u / 1000000000L
+        val sPart = s"${total % 60}${frac(u % 1000000000L, 9)}s"
+        if (total < 60) sPart
+        else {
+          val m = (total / 60) % 60
+          val h = total / 3600
+          if (h == 0) s"${m}m$sPart" else s"${h}h${m}m$sPart"
+        }
+      }
+    if (neg) "-" + body else body
+  }
+
   /** Go time.ParseDuration proper; `orig` is quoted in error strings. */
   private def goDurationNs(s0: String, orig: String): Long = {
     var s = s0

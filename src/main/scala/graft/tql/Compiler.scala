@@ -2424,6 +2424,10 @@ object Compiler {
       case Call("rownum", _) => opts = opts.copy(rownum = true)
       case Call("rowsFlatten", List(Bool(b))) => opts = opts.copy(rowsFlatten = b)
       case Call("rowsFlatten", _) => opts = opts.copy(rowsFlatten = true)
+      case Call("rowsArray", List(Bool(b))) => opts = opts.copy(rowsArray = b)
+      case Call("rowsArray", _) => opts = opts.copy(rowsArray = true)
+      case Call("transpose", List(Bool(b))) => opts = opts.copy(transpose = b)
+      case Call("transpose", _) => opts = opts.copy(transpose = true)
       // nullValue/substituteNull: custom token for NULL cells
       // (task_test.go TestJsonToCsv pins both spellings)
       case Call("nullValue" | "substituteNull", List(Str(nv))) =>
@@ -2432,8 +2436,12 @@ object Compiler {
       // (TestJsonToCsv: nullValue(false) → "false", nullValue(3.14) → "3.14")
       case Call("nullValue" | "substituteNull", List(Bool(b))) =>
         opts = opts.copy(nullAs = b.toString)
+      // numeric substitutes stay TYPED so precision() applies to the
+      // rendered cell (csv_encode.go AddRow routes nullAlternative
+      // through the float switch; csv_encode_test.go
+      // TestCsvEncoderNullValue pins 1.234567@precision(2) → "1.23")
       case Call("nullValue" | "substituteNull", List(Num(v))) =>
-        opts = opts.copy(nullAs = graft.sinks.Codecs.goFloat(v))
+        opts = opts.copy(nullAsNum = Some(v))
       case Call("delimiter", List(Str(d))) => opts = opts.copy(delimiter = d)
       case Call("timeformat", List(Str(f))) =>
         f.toLowerCase match {

@@ -13,10 +13,29 @@ class CodecsSpec extends SparkSpec {
   }
 
   test("JSON envelope matches the /db/query wire format") {
-    val out = Codecs.render(df, "JSON")
+    val out = Codecs.render(df, "JSON", Codecs.Options(elapse = Some("0s")))
     assert(out ==
       """{"data":{"columns":["id","s","v"],"types":["int64","string","double"],""" +
-      """"rows":[[1,"a",1.5],[2,"b",2.5]]},"success":true,"reason":"success"}""")
+      """"rows":[[1,"a",1.5],[2,"b",2.5]]},"success":true,"reason":"success","elapse":"0s"}""")
+    // a measured elapse is a Go duration string (json_encode.go:152)
+    val measured = Codecs.render(df, "JSON")
+    assert(measured.matches(""".*"elapse":"[0-9][0-9.]*(ns|µs|ms|s)"}"""), measured)
+  }
+
+  test("JSON rowsArray renders column-keyed objects (TestJsonEncodeRowsArray)") {
+    val one = Seq(("car-1", 7L, 12.3400d)).toDF("name", "seq", "value")
+    val out = Codecs.render(one, "JSON",
+      Codecs.Options(rowsArray = true, elapse = Some("0s")))
+    assert(out.contains(""""rows":[{"name":"car-1","seq":7,"value":12.34}]"""), out)
+  }
+
+  test("JSON transpose renders column-major cols; rownum ignored (TestJsonEncodeTranspose)") {
+    val two = Seq(("car-1", 1.0d), ("car-2", 2.5000d)).toDF("name", "value")
+    val out = Codecs.render(two, "JSON",
+      Codecs.Options(transpose = true, rownum = true, elapse = Some("0s")))
+    assert(out ==
+      """{"data":{"columns":["name","value"],"types":["string","double"],""" +
+      """"cols":[["car-1","car-2"],[1,2.5]]},"success":true,"reason":"success","elapse":"0s"}""", out)
   }
 
   test("NDJSON emits one object per row") {

@@ -41,4 +41,16 @@ class TimeFnsSpec extends SparkSpec {
     val s = df.select(TimeFns.formatNs(col("ts"), "YYYY-MM-DD HH24:MI:SS")).as[String].head()
     assert(s == "2024-01-05 00:00:00")
   }
+
+  test("goDurationString matches Go time.Duration.String()") {
+    assert(TimeFns.goDurationString(0L) == "0s")
+    assert(TimeFns.goDurationString(500L) == "500ns")
+    assert(TimeFns.goDurationString(1500L) == "1.5µs")
+    assert(TimeFns.goDurationString(123456789L) == "123.456789ms")
+    assert(TimeFns.goDurationString(1500000000L) == "1.5s")
+    assert(TimeFns.goDurationString(60000000000L) == "1m0s")
+    assert(TimeFns.goDurationString(62500000000L) == "1m2.5s")
+    assert(TimeFns.goDurationString(3784500000000L) == "1h3m4.5s")
+    assert(TimeFns.goDurationString(-1500L) == "-1.5µs")
+  }
 }

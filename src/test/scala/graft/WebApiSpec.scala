@@ -48,15 +48,17 @@ class WebApiSpec extends SparkSpec {
         Seq("test.query", Long.box(tick), Double.box(1.0)))
       QueryDoor.execute(spark, "exec table_flush('example')")
 
-      assert(Codecs.render(WebApi.tags(spark, "example"), "JSON") ==
+      assert(Codecs.render(WebApi.tags(spark, "example"), "JSON",
+        Codecs.Options(elapse = Some("0s"))) ==
         """{"data":{"columns":["ROWNUM","NAME"],"types":["int32","string"],""" +
-        """"rows":[[1,"temp"],[2,"test.query"]]},"success":true,"reason":"success"}""")
+        """"rows":[[1,"temp"],[2,"test.query"]]},"success":true,"reason":"success","elapse":"0s"}""")
 
-      val stat = Codecs.render(WebApi.tagStat(spark, "example", "temp"), "JSON")
+      val stat = Codecs.render(WebApi.tagStat(spark, "example", "temp"), "JSON",
+        Codecs.Options(elapse = Some("0s")))
       assert(stat ==
         """{"data":{"columns":["ROWNUM","NAME","ROW_COUNT","MIN_TIME","MAX_TIME","MIN_VALUE","MIN_VALUE_TIME","MAX_VALUE","MAX_VALUE_TIME","RECENT_ROW_TIME"],""" +
         """"types":["int32","string","int64","datetime","datetime","double","datetime","double","datetime","datetime"],""" +
-        s""""rows":[[1,"temp",1,$tick,$tick,3.14,$tick,3.14,$tick,$tick]]},"success":true,"reason":"success"}""", stat)
+        s""""rows":[[1,"temp",1,$tick,$tick,3.14,$tick,3.14,$tick,$tick]]},"success":true,"reason":"success","elapse":"0s"}""", stat)
     } finally QueryDoor.execute(spark, "drop table example")
   }
 }
