@@ -73,7 +73,9 @@ object QueryDoor {
             Seq("executed.").toDF("MESSAGE")
           case DropRe(table) if TagTables.descriptorFor(table).isDefined =>
             TagTables.dropTable(spark, table)
-            Seq("executed.").toDF("MESSAGE")
+            // engine DDL classifies by the first SQL word
+            // (spi/machsvr/mach_rows.go definedMessage)
+            Seq("Dropped successfully.").toDF("MESSAGE")
           case DeleteRe(table, where)
             if TagTables.descriptorFor(table).isDefined =>
             val n = Option(where) match {
@@ -87,7 +89,7 @@ object QueryDoor {
             lower.startsWith("create volatile table") ||
             lower.startsWith("create lookup table") =>
             TagTables.createTagTable(spark, s)
-            Seq("executed.").toDF("MESSAGE")
+            Seq("Created successfully.").toDF("MESSAGE")
           case InsertOnDupRe(table, cols, vals, sets)
             if TagTables.isKeyedClass(table) =>
             // volatile/lookup upsert: INSERT … ON DUPLICATE KEY UPDATE
@@ -125,7 +127,17 @@ object QueryDoor {
             Seq("a row inserted.").toDF("MESSAGE")
           case _ =>
             spark.sql(s)
-            Seq("executed.").toDF("MESSAGE")
+            // first-word classification (spi/machsvr/mach_rows.go
+            // definedMessage: create/drop/truncate/alter/connect)
+            val msg = lower.trim.split("\\s+").headOption.getOrElse("") match {
+              case "create" => "Created successfully."
+              case "drop" => "Dropped successfully."
+              case "truncate" => "Truncated successfully."
+              case "alter" => "Altered successfully."
+              case "connect" => "Connected successfully."
+              case _ => "executed."
+            }
+            Seq(msg).toDF("MESSAGE")
         }
     }
   }

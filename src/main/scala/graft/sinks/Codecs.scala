@@ -52,6 +52,10 @@ object Codecs {
       transpose: Boolean = false,
       /** fixed elapse text for byte-stable tests; None = measure */
       elapse: Option[String] = None,
+      /** MARKDOWN brief mode: emit only the first N rows plus a
+        * "| ... |" ellipsis row and a Total-records marker (md_encode.go
+        * SetBrief/SetBriefCount; brief(true) = 5). 0 = off. */
+      brief: Long = 0L,
       /** MARKDOWN(html(true)): render the table as goldmark-converted
         * XHTML in a <div> wrapper — md_encode.go:155-162 htmlRender */
       htmlRender: Boolean = false)
@@ -235,6 +239,10 @@ object Codecs {
       val line = if (o.rownum) (i.toString +: vals) else vals
       w.write(line.mkString(o.delimiter)); w.write("\n")
     }
+    // the reference encoder writes one extra newline at Close
+    // (csv_encode.go Close; every tql_test ExpectCSV ends with a "\n"
+    // element), so the wire body ends with a blank line
+    w.write("\n")
   }
 
   /** RFC-4180 quoting like Go encoding/csv: wrap when the field contains
@@ -360,32 +368,56 @@ object Codecs {
     }
   }
 
-  /** NDJSON sink: one object per row. */
+  /** NDJSON sink: one object per row; rownum(true) prepends a ROWNUM
+    * key (tql_test.go CSV_NDJSON golden). */
   def ndjson(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
     val cols = df.columns
+    var i = 0L
     df.toLocalIterator().forEachRemaining { row =>
-      val obj = cols.zip(row.toSeq).map { case (c, v) =>
+      i += 1
+      val base = cols.zip(row.toSeq).map { case (c, v) =>
         "\"" + jsonEscape(c) + "\":" + jsonValue(v, o)
       }
+      val obj = if (o.rownum) ("\"ROWNUM\":" + i) +: base else base
       w.write(obj.mkString("{", ",", "}")); w.write("\n")
     }
+    // trailing blank line at Close, like the reference (ndjson/encode.go)
+    w.write("\n")
   }
 
+  /** Go util.NumberFormat — thousands separators for the brief Total
+    * marker. */
+  private def numberFormat(n: Long): String =
+    java.text.NumberFormat.getIntegerInstance(java.util.Locale.US).format(n)
+
   /** MARKDOWN table sink. Floats print %f-style (6 fixed decimals) unlike
-    * CSV's shortest form — md_encode.go:226-231. */
+    * CSV's shortest form — md_encode.go:226-231. rownum prepends a ROWNUM
+    * column; brief truncates to the first N rows with an ellipsis row and
+    * a Total marker (md_encode.go Close). */
   def markdown(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
-    val cols = df.columns
+    val cols0 = df.columns.toSeq
+    val cols = if (o.rownum) "ROWNUM" +: cols0 else cols0
     val mdOpts = o.copy(precision = if (o.precision >= 0) o.precision else 6)
     if (o.htmlRender) { markdownXhtml(df, w, mdOpts); return }
     w.write(cols.mkString("|", "|", "|")); w.write("\n")
     w.write(cols.map(_ => ":-----").mkString("|", "|", "|")); w.write("\n")
-    var any = false
+    var n = 0L
     df.toLocalIterator().forEachRemaining { row =>
-      any = true
-      w.write(row.toSeq.map(fmt(_, mdOpts)).mkString("|", "|", "|")); w.write("\n")
+      n += 1
+      if (o.brief <= 0 || n <= o.brief) {
+        val cells = row.toSeq.map(fmt(_, mdOpts))
+        val line = if (o.rownum) n.toString +: cells else cells
+        w.write(line.mkString("|", "|", "|")); w.write("\n")
+      }
     }
-    // empty result marker (markdown encoder, task_test.go:1083-1093)
-    if (!any) w.write("\n> *No record*\n")
+    if (o.brief > 0 && n > o.brief) {
+      // Go: strings.Repeat("| ... ", n) + "|"
+      w.write(cols.map(_ => " ... ").mkString("|", "|", "|")); w.write("\n")
+      w.write(s"\n> *Total* ${numberFormat(n)} *records*\n")
+    } else if (n == 0) {
+      // empty result marker (markdown encoder, task_test.go:1083-1093)
+      w.write("\n> *No record*\n")
+    }
   }
 
   /** MARKDOWN(html(true)) — the table converted to XHTML in a <div>, the
@@ -396,21 +428,29 @@ object Codecs {
   private def markdownXhtml(df: DataFrame, w: Writer, o: Options): Unit = {
     def esc(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;").replace("\"", "&quot;")
-    val cols = df.columns
+    val cols0 = df.columns.toSeq
+    val cols = if (o.rownum) "ROWNUM" +: cols0 else cols0
     w.write("<div>\n")
-    var any = false
+    var n = 0L
     val body = new StringBuilder
     df.toLocalIterator().forEachRemaining { row =>
-      any = true
-      body.append("<tr>\n")
-      row.toSeq.foreach { v =>
-        val s = fmt(v, o)
-        if (s.isEmpty) body.append("<td></td>\n")
-        else body.append(s"""<td align="left">${esc(s)}</td>\n""")
+      n += 1
+      if (o.brief <= 0 || n <= o.brief) {
+        body.append("<tr>\n")
+        val cells = row.toSeq.map(fmt(_, o))
+        (if (o.rownum) n.toString +: cells else cells).foreach { s =>
+          if (s.isEmpty) body.append("<td></td>\n")
+          else body.append(s"""<td align="left">${esc(s)}</td>\n""")
+        }
+        body.append("</tr>\n")
       }
+    }
+    if (o.brief > 0 && n > o.brief) {
+      body.append("<tr>\n")
+      cols.foreach(_ => body.append("<td align=\"left\">...</td>\n"))
       body.append("</tr>\n")
     }
-    if (!any) {
+    if (n == 0) {
       w.write("<blockquote>\n<p><em>No record</em></p>\n</blockquote>\n")
     } else {
       w.write("<table>\n<thead>\n<tr>\n")
@@ -418,6 +458,8 @@ object Codecs {
       w.write("</tr>\n</thead>\n<tbody>\n")
       w.write(body.toString)
       w.write("</tbody>\n</table>\n")
+      if (o.brief > 0 && n > o.brief)
+        w.write(s"<blockquote>\n<p><em>Total</em> ${numberFormat(n)} <em>records</em></p>\n</blockquote>\n")
     }
     w.write("</div>")
   }

@@ -439,8 +439,14 @@ object Compiler {
         c.output.count() // drive the pipeline once, like the reference
         envelope("executed.")
       case _ =>
-        graft.server.QueryDoor.execute(spark, sql)
-        envelope("executed.")
+        // surface the door's DDL classification ("Created successfully."
+        // etc. — spi/machsvr/mach_rows.go definedMessage)
+        val res = graft.server.QueryDoor.execute(spark, sql)
+        val msg =
+          if (res.columns.sameElements(Array("MESSAGE")))
+            res.collect().headOption.map(_.getString(0)).getOrElse("executed.")
+          else "executed."
+        envelope(msg)
     }
   }
 
@@ -2424,6 +2430,11 @@ object Compiler {
       case Call("rownum", _) => opts = opts.copy(rownum = true)
       case Call("rowsFlatten", List(Bool(b))) => opts = opts.copy(rowsFlatten = b)
       case Call("rowsFlatten", _) => opts = opts.copy(rowsFlatten = true)
+      // MARKDOWN brief mode: brief(true) = first 5 rows (md_encode.go
+      // SetBrief), briefCount(n) = first n
+      case Call("brief", List(Bool(b))) => opts = opts.copy(brief = if (b) 5L else 0L)
+      case Call("brief", _) => opts = opts.copy(brief = 5L)
+      case Call("briefCount", List(Num(n))) => opts = opts.copy(brief = n.toLong)
       case Call("rowsArray", List(Bool(b))) => opts = opts.copy(rowsArray = b)
       case Call("rowsArray", _) => opts = opts.copy(rowsArray = true)
       case Call("transpose", List(Bool(b))) => opts = opts.copy(transpose = b)

@@ -68,6 +68,25 @@ object Parser {
         out += TIdent(s.substring(start, i))
       } else if (c == '$') {
         out += TOp("$"); i += 1
+        // ${name} interpolation keeps structural braces
+        if (i < n && s(i) == '{') { out += TOp("{"); i += 1 }
+      } else if (c == '{') {
+        // `{ … }` is a raw string block to the expression lexer — pure
+        // brace-depth counting, quotes NOT honored (expression/parse.go
+        // readBlock; SQL({create tag table …}) ships DDL this way)
+        var depth = 1
+        var j = i + 1
+        val sb = new StringBuilder
+        while (j < n && depth > 0) {
+          val ch = s(j)
+          if (ch == '{') depth += 1
+          else if (ch == '}') depth -= 1
+          if (depth > 0) sb.append(ch)
+          j += 1
+        }
+        require(depth == 0, "unterminated { block }")
+        out += TStr(sb.toString)
+        i = j
       } else {
         multiOps.find(op => s.startsWith(op, i)) match {
           case Some(op) => out += TOp(op); i += op.length

@@ -15,7 +15,7 @@ class BetweenSpec extends SparkSpec {
 
   test("between(last-dur, last) resolves against the tag's max time") {
     mkTable()
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SQL_SELECT('time', 'value', from('tag_tbl', 't1'), between('last-1us', 'last'))
         |CSV()
         |""".stripMargin)
@@ -35,7 +35,7 @@ class BetweenSpec extends SparkSpec {
 
   test("absolute ns bounds still work") {
     mkTable()
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SQL_SELECT('time', 'value', from('tag_tbl', 't1'), between(1000, 2000), limit(5))
         |CSV()
         |""".stripMargin)
@@ -49,7 +49,7 @@ class BetweenSpec extends SparkSpec {
       ("t1", 700000000L, 3.0), ("t1", 1200000000L, 5.0), // → bucket 1e9
       ("t1", 2300000000L, 9.0) // → bucket 2e9
     ).toDF("name", "time", "value").createOrReplaceTempView("tag_p")
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SQL_SELECT('time', 'avg(value)', from('tag_p', 't1'), between(0, 3000000000, '1s'))
         |CSV()
         |""".stripMargin)
@@ -57,7 +57,7 @@ class BetweenSpec extends SparkSpec {
     assert(out == "0,1.5\n1000000000,4\n2000000000,9\n", out)
 
     // a plain (non-aggregated) column keeps machbase's any-member pick
-    val first = Tql.run(spark,
+    val first = runTrim(
       """SQL_SELECT('time', 'value', from('tag_p', 't1'), between(0, 3000000000, '1s'), limit(0, 2))
         |CSV()
         |""".stripMargin)

@@ -10,9 +10,9 @@ import graft.tql.{Compiler, Tql}
   * rows, and the `$.db({bridge})` JS surface. */
 class BridgeSqliteSpec extends SparkSpec {
 
-  private def run(script: String): String = Tql.run(spark, script)
+  private def run(script: String): String = runTrim(script)
   private def runP(script: String, params: (String, String)*): String =
-    Tql.run(spark, script, 1704067200000000000L,
+    runTrim(script, 1704067200000000000L,
       params.map { case (k, v) => k -> Seq(v) }.toMap)
 
   test("sqlite bridge battery (tql_test.go:2258-2572)") {

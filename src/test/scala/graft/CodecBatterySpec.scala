@@ -31,7 +31,7 @@ class CodecBatterySpec extends SparkSpec {
     assert(out ==
       "ROWNUM,col1,col2,col3,col4,col5,col6\n" +
       "1,1,3.142,text some,12:29:34AM,98765,16\n" +
-      "2,1,3.142,text some,12:29:34AM,98765,NULL\n")
+      "2,1,3.142,text some,12:29:34AM,98765,NULL\n\n")
   }
 
   test("numeric substituteNull renders through precision (TestCsvEncoderNullValue)") {
@@ -41,7 +41,7 @@ class CodecBatterySpec extends SparkSpec {
     assert(out ==
       "ROWNUM,col1,col2,col3,col4,col5,col6\n" +
       "1,1,3.14,text some,12:29:34AM,98765,16\n" +
-      "2,1,3.14,text some,12:29:34AM,98765,1.23\n")
+      "2,1,3.14,text some,12:29:34AM,98765,1.23\n\n")
   }
 
   test("epoch timeformats ns/us/ms/s (TestCsvTimeformat)") {
@@ -73,13 +73,13 @@ class CodecBatterySpec extends SparkSpec {
       (Array[Byte](1, 2), Array[Byte](3, 4), Array.empty[Byte], null.asInstanceOf[Array[Byte]]))
       .toDF("bin", "ptr_bin", "empty_bin", "nil_bin")
     assert(Codecs.render(df, "CSV", Codecs.Options(heading = true)) ==
-      "bin,ptr_bin,empty_bin,nil_bin\n0x0102,0x0304,,NULL\n")
+      "bin,ptr_bin,empty_bin,nil_bin\n0x0102,0x0304,,NULL\n\n")
     assert(Codecs.render(df, "CSV",
       Codecs.Options(heading = true, binaryFormat = "BASE64")) ==
-      "bin,ptr_bin,empty_bin,nil_bin\nAQI=,AwQ=,,NULL\n")
+      "bin,ptr_bin,empty_bin,nil_bin\nAQI=,AwQ=,,NULL\n\n")
     val one = Seq(Tuple1(Array[Byte](0x0a, 0x0b))).toDF("bin")
     assert(Codecs.render(one, "CSV",
-      Codecs.Options(heading = true, binaryFormat = "raw")) == "bin\n0x0a0b\n")
+      Codecs.Options(heading = true, binaryFormat = "raw")) == "bin\n0x0a0b\n\n")
   }
 
   test("CSV float format matches JSON: 6-dec trim, ±Inf/NaN, -0 (TestCsvEncoderFloatFormattingMatchesJSON)") {
@@ -87,13 +87,13 @@ class CodecBatterySpec extends SparkSpec {
       Double.NaN, Double.NegativeInfinity, Double.PositiveInfinity))
       .toDF("runtime", "trimmed", "negzero", "nan", "ninf", "pinf")
     assert(Codecs.render(df, "CSV", Codecs.Options(heading = true)) ==
-      "runtime,trimmed,negzero,nan,ninf,pinf\n-1.65,12.34,0,NaN,-Inf,+Inf\n")
+      "runtime,trimmed,negzero,nan,ninf,pinf\n-1.65,12.34,0,NaN,-Inf,+Inf\n\n")
   }
 
   test("NaN/Inf survive precision() without error") {
     val df = Seq((Double.NaN, Double.PositiveInfinity, 1.0 / 3)).toDF("a", "b", "c")
     assert(Codecs.render(df, "CSV", Codecs.Options(precision = 3)) ==
-      "NaN,+Inf,0.333\n")
+      "NaN,+Inf,0.333\n\n")
   }
 
   test("KITCHEN in KST renders shifted clock (TestCsvEncoderSetTimeLocation)") {
@@ -101,12 +101,12 @@ class CodecBatterySpec extends SparkSpec {
     val out = Codecs.render(df, "CSV",
       Codecs.Options(heading = true, timeformat = Some(kitchen),
         tz = TimeFns.resolveTz("KST")))
-    assert(out == "ts\n9:29:34AM\n")
+    assert(out == "ts\n9:29:34AM\n\n")
   }
 
   test("delimiter option (TestCsvEncoderSetterPaths)") {
     val df = Seq((1, null.asInstanceOf[String])).toDF("a", "b")
     assert(Codecs.render(df, "CSV",
-      Codecs.Options(heading = true, delimiter = ";")) == "a;b\n1;NULL\n")
+      Codecs.Options(heading = true, delimiter = ";")) == "a;b\n1;NULL\n\n")
   }
 }

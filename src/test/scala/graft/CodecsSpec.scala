@@ -9,7 +9,8 @@ class CodecsSpec extends SparkSpec {
 
   test("CSV sink with heading and rownum") {
     val out = Codecs.render(df, "CSV", Codecs.Options(heading = true, rownum = true))
-    assert(out == "ROWNUM,id,s,v\n1,1,a,1.5\n2,2,b,2.5\n")
+    // the trailing blank line is the encoder-Close newline (csv_encode.go)
+    assert(out == "ROWNUM,id,s,v\n1,1,a,1.5\n2,2,b,2.5\n\n")
   }
 
   test("JSON envelope matches the /db/query wire format") {
@@ -40,7 +41,7 @@ class CodecsSpec extends SparkSpec {
 
   test("NDJSON emits one object per row") {
     val out = Codecs.render(df, "NDJSON")
-    assert(out == "{\"id\":1,\"s\":\"a\",\"v\":1.5}\n{\"id\":2,\"s\":\"b\",\"v\":2.5}\n")
+    assert(out == "{\"id\":1,\"s\":\"a\",\"v\":1.5}\n{\"id\":2,\"s\":\"b\",\"v\":2.5}\n\n")
   }
 
   test("MARKDOWN and BOX render tables") {
@@ -63,6 +64,6 @@ class CodecsSpec extends SparkSpec {
   test("escape: quotes and newlines survive JSON encoding") {
     val tricky = Seq(("a\"b", "c\nd")).toDF("x", "y")
     val out = Codecs.render(tricky, "NDJSON")
-    assert(out == "{\"x\":\"a\\\"b\",\"y\":\"c\\nd\"}\n")
+    assert(out == "{\"x\":\"a\\\"b\",\"y\":\"c\\nd\"}\n\n")
   }
 }

@@ -12,9 +12,9 @@ import graft.tql.Tql
   * Each expectation string is the reference's own.
   */
 class FuncBatterySpec extends SparkSpec {
-  private def run(script: String): String = Tql.run(spark, script)
+  private def run(script: String): String = runTrim(script)
   private def err(script: String): String =
-    intercept[IllegalArgumentException](Tql.run(spark, script)).getMessage
+    intercept[IllegalArgumentException](runTrim(script)).getMessage
 
   // func_test.go:90 — now := time.Unix(0, 1704871917655327000)
   // = 2024-01-10 07:31:57.655327 UTC (a Wednesday)

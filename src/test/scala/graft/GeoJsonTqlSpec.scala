@@ -30,7 +30,7 @@ class GeoJsonTqlSpec extends SparkSpec {
   }
 
   test("js-geojson-point: yielded Feature object (tql_test.go:2578-2609)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT("js", {
         |  var lat = 37.497850;
         |  var lon =  127.027756;
@@ -52,7 +52,7 @@ class GeoJsonTqlSpec extends SparkSpec {
   }
 
   test("js-parse-geojson-point: mathx/spatial.parseGeoJSON (tql_test.go:2611-2650)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT("js", {
         |  var lat = 37.497850;
         |  var lon =  127.027756;
@@ -79,7 +79,7 @@ class GeoJsonTqlSpec extends SparkSpec {
   }
 
   test("js-geojson-polygon: parsed MultiPolygon (tql_test.go:2652-2692)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT("js", {
         |  m = require("mathx/spatial");
         |  obj = m.parseGeoJSON({
@@ -109,7 +109,7 @@ class GeoJsonTqlSpec extends SparkSpec {
   }
 
   test("parseGeoJSON rejects missing/unknown types; haversine sanity") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT("js", {
         |  m = require("mathx/spatial");
         |  var bad = m.parseGeoJSON({geometry: {}});

@@ -17,7 +17,7 @@ class GeoMarkerSpec extends SparkSpec {
   }
 
   test("geoPointMarker in MAPVALUE renders L.marker layers with popup binds") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(json({
         |    [37.497850, 127.027756],
         |    [37.503058, 127.018666]
@@ -33,7 +33,7 @@ class GeoMarkerSpec extends SparkSpec {
   }
 
   test("geoCircleMarker/geoCircle carry radius in properties (geography.go:201-219)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(json({
         |    [37.503058, 127.018666]
         |}))
@@ -44,7 +44,7 @@ class GeoMarkerSpec extends SparkSpec {
     assert(geomapJs(out).contains("L.circleMarker([37.503058,127.018666],{radius:100})"),
       geomapJs(out))
 
-    val out2 = Tql.run(spark,
+    val out2 = runTrim(
       """FAKE(json({
         |    [37.503058, 127.018666]
         |}))
@@ -58,7 +58,7 @@ class GeoMarkerSpec extends SparkSpec {
   }
 
   test("geoPoint/geoLineString are GeoJSON features in [lon,lat] order") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(json({
         |    [37.497850, 127.027756]
         |}))
@@ -71,7 +71,7 @@ class GeoMarkerSpec extends SparkSpec {
     assert(js.contains("[127.027756,37.49785]"), js) // lon first
     assert(js.contains("\"Point\"") || js.contains("type:\"Point\""), js)
 
-    val out2 = Tql.run(spark,
+    val out2 = runTrim(
       """FAKE(json({
         |    [37.497850, 127.027756]
         |}))

@@ -21,7 +21,7 @@ class GoldenSpec extends SparkSpec {
                         rewrite: String => String = identity): Unit = {
     val script = rewrite(read(tql))
     val expected = normalize(read(csv))
-    val got = normalize(Tql.run(spark, script))
+    val got = normalize(runTrim(script))
     assert(got == expected, s"\n--- got ---\n$got--- want ---\n$expected")
   }
 
@@ -56,7 +56,7 @@ class GoldenSpec extends SparkSpec {
 
   test("FAKE(sphere(4,4)) matches the sphere_4_4 golden") {
     val expected = normalize(read("sphere_4_4.csv"))
-    val got = normalize(Tql.run(spark,
+    val got = normalize(runTrim(
       """FAKE( sphere(4, 4) )
         |PUSHKEY('test')
         |CSV( header(true), precision(6) )
@@ -66,7 +66,7 @@ class GoldenSpec extends SparkSpec {
 
   test("MAP_MOVAVG noWait golden (movavg_result_nowait.csv)") {
     val expected = normalize(read("movavg_result_nowait.csv"))
-    val got = normalize(Tql.run(spark,
+    val got = normalize(runTrim(
       """FAKE( linspace(0, 100, 100) )
         |MAP_MOVAVG(1, value(0), 10, noWait(true))
         |CSV( precision(4) )
@@ -75,25 +75,25 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("MAP_ABSDIFF renders NULL for the seed record (tql_test.go)") {
-    val got = Tql.run(spark,
+    val got = runTrim(
       "FAKE( csv(\"1\\n3\\n2\\n7\") )\nMAP_ABSDIFF(0, value(0))\nCSV()\n")
     assert(got == "NULL\n2\n1\n5\n", got)
   }
 
   test("MAP_DIFF coerces string CSV input to float (tql_test.go MAP_DIFF)") {
-    val got = Tql.run(spark,
+    val got = runTrim(
       "FAKE( csv(\"1\\n3\\n2\\n7\") )\nMAP_DIFF(0, value(0))\nCSV()\n")
     assert(got == "NULL\n2\n-1\n5\n", got)
   }
 
   test("MAP_NONEGDIFF clamps negative diffs to 0 (tql_test.go MAP_NONEGDIFF)") {
-    val got = Tql.run(spark,
+    val got = runTrim(
       "FAKE( csv(\"1\\n3\\n2\\n7\") )\nMAP_NONEGDIFF(0, value(0))\nCSV()\n")
     assert(got == "NULL\n2\n0\n5\n", got)
   }
 
   test("MAP_DIFF on a time column yields ns-duration longs (fm_monad.go time_diff)") {
-    val got = Tql.run(spark,
+    val got = runTrim(
       """FAKE(json({[1692329338], [1692329340], [1692329345]}))
         |MAPVALUE(0, parseTime(value(0), "s", tz("UTC")))
         |MAP_DIFF(0, value(0))
@@ -103,7 +103,7 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("FILTER_CHANGED on a string value (tql_test.go FILTER_CHANGED_string)") {
-    val got = Tql.run(spark,
+    val got = runTrim(
       """FAKE(json({["A", 1.0], ["A", 2.0], ["B", 3.0], ["B", 4.0]}))
         |FILTER_CHANGED(value(0))
         |CSV()
@@ -112,7 +112,7 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("FILTER_CHANGED on a bool value (tql_test.go FILTER_CHANGED_bool)") {
-    val got = Tql.run(spark,
+    val got = runTrim(
       """FAKE(json({["A", true, 1.0], ["A", false, 2.0], ["B", false, 3.0], ["B", true, 4.0]}))
         |FILTER_CHANGED(value(1))
         |CSV()
@@ -122,7 +122,7 @@ class GoldenSpec extends SparkSpec {
 
   test("FILTER_CHANGED useFirstWithLast(false) equals plain form (tql_test.go)") {
     val body = """FILTER_CHANGED(value(0), useFirstWithLast(false))"""
-    val got = Tql.run(spark,
+    val got = runTrim(
       s"""FAKE(json({["A", 1.0], ["A", 2.0], ["B", 3.0], ["B", 4.0], ["B", 5.0], ["C", 6.0], ["C", 7.0], ["D", 8.0], ["D", 9.0]}))
          |$body
          |CSV()
@@ -131,7 +131,7 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("FILTER_CHANGED useFirstWithLast(true) emits openers and closers (tql_test.go)") {
-    val got = Tql.run(spark,
+    val got = runTrim(
       """FAKE(json({["A", 1.0], ["A", 2.0], ["B", 3.0], ["B", 4.0], ["B", 5.0], ["C", 6.0], ["C", 7.0], ["D", 8.0], ["D", 9.0]}))
         |FILTER_CHANGED(value(0), useFirstWithLast(true))
         |CSV()
@@ -140,7 +140,7 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("FILTER_CHANGED useFirstWithLast(true) duplicates a single-record run (task_test.go)") {
-    val got = Tql.run(spark,
+    val got = runTrim(
       """FAKE(json({
         |  ["A", 1692329338, 1.0], ["A", 1692329339, 2.0],
         |  ["B", 1692329340, 3.0], ["B", 1692329341, 4.0], ["B", 1692329342, 5.0],
@@ -159,7 +159,7 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("FILTER_CHANGED retain + useFirstWithLast(false) emits run openers (task_test.go)") {
-    val got = Tql.run(spark,
+    val got = runTrim(
       """FAKE(json({
         |  ["A", 1692329338, 1.0], ["A", 1692329339, 2.0],
         |  ["B", 1692329340, 3.0], ["B", 1692329341, 4.0], ["B", 1692329342, 5.0],
@@ -175,7 +175,7 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("FILTER_CHANGED retain + useFirstWithLast(true) adds per-run closers (task_test.go)") {
-    val got = Tql.run(spark,
+    val got = runTrim(
       """FAKE(json({
         |  ["A", 1692329338, 1.0], ["A", 1692329339, 2.0],
         |  ["B", 1692329340, 3.0], ["B", 1692329341, 4.0], ["B", 1692329342, 5.0],
@@ -193,7 +193,7 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("FILTER_CHANGED composite strSprintf key (task_test.go)") {
-    val got = Tql.run(spark,
+    val got = runTrim(
       """FAKE(json({
         |  ["A", 1692329338, 1.0], ["A", 1692329341, 2.0], ["A", 1692329344, 2.0],
         |  ["B", 1692329339, 1.0], ["B", 1692329342, 2.0], ["B", 1692329345, 1.0],
@@ -212,7 +212,7 @@ class GoldenSpec extends SparkSpec {
 
   test("MAP_MOVAVG warm-up golden (movavg_result.csv)") {
     val expected = normalize(read("movavg_result.csv"))
-    val got = normalize(Tql.run(spark,
+    val got = normalize(runTrim(
       """FAKE( linspace(0, 100, 100) )
         |MAP_MOVAVG(1, value(0), 10)
         |CSV( precision(4) )
@@ -221,17 +221,17 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("FFT shape guards: 1-wide drops all, 3-wide errors (tql_test.go FFT_not_enough_samples)") {
-    val empty = Tql.run(spark,
+    val empty = runTrim(
       "FAKE( linspace(0, 10, 100) )\nFFT()\nCSV()\n")
     assert(empty == "", s"expected empty CSV, got: $empty")
-    val e = intercept[IllegalArgumentException](Tql.run(spark,
+    val e = intercept[IllegalArgumentException](runTrim(
       "FAKE(json({[1, 2, 3]}))\nFFT()\nCSV()\n"))
     assert(e.getMessage == "f(FFT) sample should be a tuple of (time, value), but len=3", e.getMessage)
   }
 
   test("FFT amplitude spectrum golden (fft2d.csv, 10Hz+50Hz)") {
     val expected = normalize(read("fft2d.csv"))
-    val got = normalize(Tql.run(spark,
+    val got = normalize(runTrim(
       """FAKE( oscillator( range(timeAdd(1685714509*1000000000,'1s'), '1s', '100us'), freq(10, 1.0), freq(50, 2.0)))
         |MAPKEY('samples')
         |GROUPBYKEY(lazy(false))
@@ -243,7 +243,7 @@ class GoldenSpec extends SparkSpec {
 
   test("oscillator 1Hz+2Hz+3Hz samples golden") {
     val expected = normalize(read("oscillator_1Hz_2Hz_3Hz.csv"))
-    val got = normalize(Tql.run(spark,
+    val got = normalize(runTrim(
       """FAKE(
         |  oscillator(
         |    range(timeAdd(1685714509*1000000000,'1s'), '1s', '1ms'),
@@ -256,7 +256,7 @@ class GoldenSpec extends SparkSpec {
 
   test("windowed FFT golden (fft3d.csv, two 500ms buckets)") {
     val expected = normalize(read("fft3d.csv"))
-    val got = normalize(Tql.run(spark,
+    val got = normalize(runTrim(
       """FAKE( oscillator( range(timeAdd(1685714509*1000000000,'1s'), '1s', '100us'), freq(10, 1.0), freq(50, 2.0)))
         |MAPKEY( roundTime(value(0), '500ms') )
         |GROUPBYKEY()
@@ -270,7 +270,7 @@ class GoldenSpec extends SparkSpec {
 
   test("CSV charset('EUC-JP') decodes the euc-jp fixture") {
     // expectation from the reference's CSV_charset_jp test case
-    val got = Tql.run(spark,
+    val got = runTrim(
       s"""CSV(file('$fixtures/euc-jp.csv'), charset('EUC-JP'))
          |CSV()
          |""".stripMargin)
@@ -279,7 +279,7 @@ class GoldenSpec extends SparkSpec {
 
   test("strSprintf constant folding into FAKE(json(...)) (reference case)") {
     // expectation from the reference's strSprintf test case
-    val got = Tql.run(spark,
+    val got = runTrim(
       """FAKE(json(strSprintf('[%.f, %q]', 123, "hello")))
         |CSV( heading(false) )
         |""".stripMargin)
@@ -291,7 +291,7 @@ class GoldenSpec extends SparkSpec {
     val expected = normalize(read("TestLoader_qq.csv"))
     val c = graft.tql.Tql.compile(spark, read("TestLoader_qq.tql"),
       nowNs = 1692329338315327000L)
-    val got = normalize(graft.sinks.Codecs.render(c.output, c.sink.format, c.sink.options))
+    val got = normalize(trimClose(graft.sinks.Codecs.render(c.output, c.sink.format, c.sink.options)))
     assert(got == expected, s"\n--- got ---\n$got--- want ---\n$expected")
   }
 
@@ -300,7 +300,7 @@ class GoldenSpec extends SparkSpec {
   }
 
   test("MAP_LOWPASS over a simplex-jittered ramp (inline case)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(arrange(1, 10, 1))
         |MAPVALUE(1, value(0) + simplex(1, value(0))*3)
         |MAP_LOWPASS(2, value(1), 0.3)

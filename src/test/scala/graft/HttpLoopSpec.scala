@@ -16,7 +16,7 @@ class HttpLoopSpec extends SparkSpec {
 
   test("HTTP() source: rest-client-query-csv (tql_test.go:2769-2793)") {
     spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation")
-    val result = Tql.run(spark,
+    val result = runTrim(
       s"""HTTP({
          |  GET http://127.0.0.1:$port/db/query
          |  ?q=select n_nationkey, n_name from nation order by n_nationkey limit 2
@@ -38,7 +38,7 @@ class HttpLoopSpec extends SparkSpec {
       HttpLoop.parseQuery(query).get("v").foreach(got.add)
       (200, "text/plain", "ok.".getBytes("UTF-8"))
     }
-    Tql.run(spark,
+    runTrim(
       s"""FAKE( linspace(0, 2, 2) )
          |PUSHVALUE(0, "msg123")
          |WHEN( glob("msg*", value(0)), doHttp("GET", strSprintf("http://127.0.0.1:%d/notify?v=%f", $port, value(1)), nil) )
@@ -57,7 +57,7 @@ class HttpLoopSpec extends SparkSpec {
       bodies.add(new String(body, "UTF-8").trim)
       (200, "text/plain", "ok.".getBytes("UTF-8"))
     }
-    Tql.run(spark,
+    runTrim(
       s"""FAKE( linspace(0, 2, 2) )
          |PUSHVALUE(0, "msg123")
          |WHEN( glob("msg*", value(0)), doHttp("POST", "http://127.0.0.1:$port/notify-post", value()) )
@@ -70,12 +70,12 @@ class HttpLoopSpec extends SparkSpec {
 
   test("egress is refused for non-loopback hosts") {
     val e = intercept[Exception] {
-      Tql.run(spark, "HTTP({\n  GET http://example.com/anything\n})\nTEXT()\n")
+      runTrim("HTTP({\n  GET http://example.com/anything\n})\nTEXT()\n")
     }
     assert(e.getMessage.contains("egress disabled"), e.getMessage)
     // doHttp logs the refusal instead of failing the pipeline (the
     // reference logs request errors and keeps going)
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE( linspace(0, 1, 2) )
         |WHEN( true, doHttp("GET", "http://example.com/x", nil) )
         |CSV()
@@ -87,7 +87,7 @@ class HttpLoopSpec extends SparkSpec {
     import spark.implicits._
     Seq(("js-req", java.sql.Timestamp.valueOf("2023-10-01 00:00:00"), 1.234))
       .toDF("name", "time", "value").createOrReplaceTempView("tag_simple")
-    val out = Tql.run(spark,
+    val out = runTrim(
       s"""SCRIPT("js", {
          |  $$.request("http://127.0.0.1:$port/db/query?q="+encodeURIComponent("select name, time, value from tag_simple limit 2"), {method: "GET"})
          |   .do( (rsp) => {
@@ -106,7 +106,7 @@ class HttpLoopSpec extends SparkSpec {
     import spark.implicits._
     Seq(("js-req", java.sql.Timestamp.valueOf("2023-10-01 00:00:00"), 1.234))
       .toDF("name", "time", "value").createOrReplaceTempView("tag_simple")
-    val out = Tql.run(spark,
+    val out = runTrim(
       s"""SCRIPT("js", {
          |  $$.request("http://127.0.0.1:$port/db/query?q="+encodeURIComponent("select name, time, value from tag_simple limit 2"), {method: "GET"})
          |   .do( (rsp) => {
@@ -122,7 +122,7 @@ class HttpLoopSpec extends SparkSpec {
   }
 
   test("js-request csv reader + request error surfaces as Error value") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       s"""SCRIPT("js", {
          |  $$.request("http://127.0.0.1:$port/db/query?q="+encodeURIComponent("select 7 as a, 'x,y' as b")+"&format=csv", {method: "GET"})
          |   .do( (rsp) => {
@@ -132,7 +132,7 @@ class HttpLoopSpec extends SparkSpec {
          |CSV()
          |""".stripMargin)
     assert(out == "7,\"x,y\"\n", out)
-    val err = Tql.run(spark,
+    val err = runTrim(
       """SCRIPT("js", {
         |  $.request("http://example.com/x").do( (rsp) => {
         |    $.yield(rsp.ok, rsp.error() instanceof Error);
@@ -174,7 +174,7 @@ class HttpLoopSpec extends SparkSpec {
       }
       (200, "text/plain", "uploaded".getBytes("UTF-8"))
     }
-    val resp = Tql.run(spark,
+    val resp = runTrim(
       s"""HTTP({
          |  POST http://127.0.0.1:$port/upload
          |  Content-Type: multipart/form-data; boundary=$boundary
@@ -206,14 +206,14 @@ class HttpLoopSpec extends SparkSpec {
       assert(m == "GET"); (200, "text/csv",
         "1,3.141592,true,\"escaped, string\",123456".getBytes("UTF-8")) }
 
-    assert(Tql.run(spark,
+    assert(runTrim(
       s"STRING(file(\"http://127.0.0.1:$port/string\"))\nCSV()\n") == "ok.\n")
-    assert(Tql.run(spark,
+    assert(runTrim(
       s"BYTES(file(\"http://127.0.0.1:$port/bytes\"))\nCSV(binaryformat(\"hex\"))\n")
       == "0x6f6b2e\n")
     // quoted cell survives the round-trip: RFC-4180 parse, re-quoted on
     // render (the reference's encoding/csv behavior)
-    assert(Tql.run(spark,
+    assert(runTrim(
       s"CSV(file(\"http://127.0.0.1:$port/csvfile\"))\nCSV()\n")
       == "1,3.141592,true,\"escaped, string\",123456\n")
   }

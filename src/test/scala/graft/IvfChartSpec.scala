@@ -34,7 +34,7 @@ class IvfChartSpec extends SparkSpec {
   }
 
   test("TQL CHART() sink: JSON envelope + column-data js asset (http_query_test.go:1003-1011)") {
-    val out = graft.tql.Tql.run(spark,
+    val out = runTrim(
       """FAKE( linspace(0, 360, 5) )
         |MAPVALUE(1, sin((value(0)/180)*PI))
         |CHART( chartID('TesTCharTiD'), theme('dark'), size('500px', '400px'),
@@ -52,7 +52,7 @@ class IvfChartSpec extends SparkSpec {
   }
 
   test("TQL CHART_LINE compat sink builds option from columns") {
-    val out = graft.tql.Tql.run(spark,
+    val out = runTrim(
       """FAKE( linspace(0, 2, 3) )
         |MAPVALUE(1, value(0) * 10)
         |CHART_LINE( chartId('CompatId01'), xAxis(0, 'x'), yAxis(1, 'y'),
@@ -67,7 +67,7 @@ class IvfChartSpec extends SparkSpec {
   }
 
   test("TQL GEOMAP sink renders layer js from map rows") {
-    val out = graft.tql.Tql.run(spark,
+    val out = runTrim(
       """FAKE( linspace(0, 1, 2) )
         |MAPVALUE(0, '{"type":"marker","coordinates":[' + (37.5 + value(0)) + ',127.0]}')
         |GEOMAP( geomapID('GeoTesT01') )

@@ -73,7 +73,7 @@ class JdbcBridgeSpec extends SparkSpec {
       "CREATE TABLE readings (tag VARCHAR(10), v DOUBLE)", Nil)
 
     // sink: per-row INSERT through the bridge
-    val sunk = Tql.run(spark,
+    val sunk = runTrim(
       """FAKE(linspace(1, 3, 3))
         |MAPVALUE(0, value(0), 'v')
         |PUSHVALUE(0, 'a', 'tag')
@@ -82,7 +82,7 @@ class JdbcBridgeSpec extends SparkSpec {
     assert(sunk.contains("3 rows inserted."), sunk)
 
     // source: SELECT back out through spark.read.jdbc
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SQL(bridge('dwh'), 'select tag, v from readings order by v')
         |CSV(header(true))
         |""".stripMargin)

@@ -8,7 +8,7 @@ import graft.tql.Tql
   * TIMEWINDOW under a pinned clock (TestTimeWindowHighDef). */
 class ReferenceCases2Spec extends SparkSpec {
 
-  private def run(script: String): String = Tql.run(spark, script)
+  private def run(script: String): String = runTrim(script)
 
   test("DROP/TAKE offset forms (task_test.go TestDropTake)") {
     assert(run("FAKE( linspace(0, 2, 100))\nDROP(50)\nTAKE(3)\nPUSHKEY('test')\nCSV(precision(6))\n")
@@ -125,12 +125,12 @@ class ReferenceCases2Spec extends SparkSpec {
         |    cache(param("begin") + "-" + param("end") + "-" +  param("count"), "5s")
         |)""".stripMargin
     val params = Map("begin" -> Seq("1"), "end" -> Seq("10"), "count" -> Seq("10"))
-    val first = Tql.run(spark, script, 0L, params)
+    val first = runTrim(script, 0L, params)
     assert(first.nonEmpty && first.split("\n").length == 10)
-    val second = Tql.run(spark, script, 0L, params)
+    val second = runTrim(script, 0L, params)
     assert(second == first) // cache hit: random() never re-evaluated
     // a different key computes fresh
-    val other = Tql.run(spark, script, 0L,
+    val other = runTrim(script, 0L,
       Map("begin" -> Seq("1"), "end" -> Seq("10"), "count" -> Seq("5")))
     assert(other != first && other.split("\n").length == 5)
   }
@@ -138,13 +138,13 @@ class ReferenceCases2Spec extends SparkSpec {
   test("cache() keys are namespaced per script source (tqlcache.go:142)") {
     // two different scripts sharing the user key 'shared' must never serve
     // each other's bytes — the reference prefixes sourcePath:sourceHash
-    val a = Tql.run(spark, "FAKE( linspace(0, 1, 2))\nCSV( cache('shared', '30s') )\n")
-    val b = Tql.run(spark, "FAKE( linspace(0, 9, 3))\nCSV( cache('shared', '30s') )\n")
+    val a = runTrim("FAKE( linspace(0, 1, 2))\nCSV( cache('shared', '30s') )\n")
+    val b = runTrim("FAKE( linspace(0, 9, 3))\nCSV( cache('shared', '30s') )\n")
     assert(a == "0\n1\n")
     assert(b == "0\n4.5\n9\n") // contaminated cache would echo a's bytes
     // an edited script is a different source hash → fresh compute, and the
     // original still hits its own entry
-    assert(Tql.run(spark, "FAKE( linspace(0, 1, 2))\nCSV( cache('shared', '30s') )\n") == a)
+    assert(runTrim("FAKE( linspace(0, 1, 2))\nCSV( cache('shared', '30s') )\n") == a)
   }
 
   private val boxplotSrc =
@@ -213,7 +213,7 @@ class ReferenceCases2Spec extends SparkSpec {
       "1700256261001,1", "1700256262010,2", "1700256263100,3", "1700256264010,4",
       "1700256265002,5", "1700256266020,6", "1700256267200,7", "1700256268020,8",
       "1700256269002,9", "1700256276300,10").mkString("\n")
-    val out = Tql.run(spark,
+    val out = runTrim(
       """CSV(payload(),
         |    field(0, datetimeType("ms"), "time"),
         |    field(1, doubleType(), "value"))
@@ -240,17 +240,17 @@ class ReferenceCases2Spec extends SparkSpec {
     val p3 = Map("payload" -> Seq("A,1\nB,3\nC,6"))
     def src = """CSV(payload(), field(0, stringType(), "name"), field(1, doubleType(), "value"))"""
     val e1 = intercept[IllegalArgumentException](
-      Tql.run(spark, s"$src\nGROUP( )\nCSV()\n", 0L, p3))
+      runTrim(s"$src\nGROUP( )\nCSV()\n", 0L, p3))
     assert(e1.getMessage == "GROUP() has no aggregator")
     val e2 = intercept[IllegalArgumentException](
-      Tql.run(spark, s"$src\nSET(ErrKey, NULL)\nGROUP( by($$ErrKey, \"NAME\"), avg(value(1)))\nCSV()\n", 0L, p3))
+      runTrim(s"$src\nSET(ErrKey, NULL)\nGROUP( by($$ErrKey, \"NAME\"), avg(value(1)))\nCSV()\n", 0L, p3))
     assert(e2.getMessage == "GROUP() has by() with NULL")
     val e3 = intercept[IllegalArgumentException](
-      Tql.run(spark, s"$src\nGROUP( by(value(0), \"NAME\"), avg(value(1)), true)\nCSV()\n", 0L, p3))
+      runTrim(s"$src\nGROUP( by(value(0), \"NAME\"), avg(value(1)), true)\nCSV()\n", 0L, p3))
     assert(e3.getMessage == "GROUP() unknown type 'bool' in arguments")
 
     val p9 = Map("payload" -> Seq("A,1\nA,2\nB,3\nB,4\nB,5\nC,6\nC,7\nC,8\nC,9"))
-    val out = Tql.run(spark,
+    val out = runTrim(
       s"""$src
          |GROUP(by(value(0)), first(value(1)), last(value(1)), avg(value(1)), sum(value(1)), count(value(1)) )
          |CSV(heading(true), precision(2))
@@ -266,7 +266,7 @@ class ReferenceCases2Spec extends SparkSpec {
   test("GROUP stat battery: rss/rms, median-as-QUANTILE, weighted forms (task_test.go:1696-1800)") {
     val p9 = Map("payload" -> Seq("A,1\nA,2\nB,3\nB,4\nB,5\nC,6\nC,7\nC,8\nC,9"))
     def src = """CSV(payload(), field(0, stringType(), "name"), field(1, doubleType(), "value"))"""
-    def g(aggLine: String): String = Tql.run(spark,
+    def g(aggLine: String): String = runTrim(
       s"$src\nGROUP(by(value(0)), $aggLine )\nCSV(heading(true), precision(2))\n", 0L, p9)
 
     assert(g("min(value(1)), max(value(1)), rss(value(1)), rms(value(1))") ==
@@ -293,7 +293,7 @@ class ReferenceCases2Spec extends SparkSpec {
       "1700256267,dry,7", "1700256268,dry,8", "1700256269,dry,9",
       "1700256276,dry,10").mkString("\n")
     val pm = Map("payload" -> Seq(payload))
-    def g(timeType: String, valType: String, wetTail: String): String = Tql.run(spark,
+    def g(timeType: String, valType: String, wetTail: String): String = runTrim(
       s"""CSV(payload(), field(0, $timeType("s"), "time"), field(2, $valType(), "value"))
          |GROUP(
          |  by( roundTime(value(0), "2s")),
@@ -326,7 +326,7 @@ class ReferenceCases2Spec extends SparkSpec {
   test("GROUP with no by(): aggregate-all single row (task_test.go:1926-1995)") {
     // weighted correlation
     val pCorr = Map("payload" -> Seq("8,10,2\n-3,5,1.5\n7,6,3\n8,3,3\n-4,-1,2"))
-    val corr = Tql.run(spark,
+    val corr = runTrim(
       """CSV(payload(), field(0, doubleType(), "x"), field(1, doubleType(), "y"), field(2, doubleType(), "w"))
         |GROUP(correlation(value(0), value(1), weight(value(2)), "CORR") )
         |CSV(heading(true), precision(5))
@@ -335,7 +335,7 @@ class ReferenceCases2Spec extends SparkSpec {
 
     // weighted central moments
     val pMom = Map("payload" -> Seq("8,10,1\n-3,2,2\n7,2,3\n8,4,4\n-4,1,5"))
-    val mom = Tql.run(spark,
+    val mom = runTrim(
       """CSV(payload(), field(0, doubleType(), "x"), field(1, doubleType(), "y1"), field(2, doubleType(), "y2"))
         |GROUP(
         |  moment(value(0), 2, weight(2.0), "N1"),
@@ -348,7 +348,7 @@ class ReferenceCases2Spec extends SparkSpec {
 
     // plain + weighted variance
     val pVar = Map("payload" -> Seq("8,2\n2,2\n-9,6\n15,7\n4,1"))
-    val vr = Tql.run(spark,
+    val vr = runTrim(
       """CSV(payload(), field(0, doubleType(), "x"), field(1, doubleType(), "w") )
         |GROUP(
         |  variance(value(0), "VARIANCE"),
@@ -360,7 +360,7 @@ class ReferenceCases2Spec extends SparkSpec {
   }
 
   test("GROUP count() counts null values; numeric aggregators skip them (fm_monad.go:1433, push discards Append errors)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(json({[10.0], [null], [3.0]}))
         |GROUP(count(value(0), 'CNT'), avg(value(0), 'AVG'))
         |CSV(heading(true), precision(2))
@@ -369,24 +369,24 @@ class ReferenceCases2Spec extends SparkSpec {
   }
 
   test("CSV sink nullValue/substituteNull token; logProgress() tolerated (task_test.go:753-795)") {
-    val nv = Tql.run(spark,
+    val nv = runTrim(
       """FAKE(json({ ["A", 123], ["B", null], ["C", 234] }))
         |CSV( nullValue("<NULL>") )
         |""".stripMargin)
     assert(nv == "A,123\nB,<NULL>\nC,234\n", nv)
-    val sn = Tql.run(spark,
+    val sn = runTrim(
       """FAKE(json({ ["A", 123], ["B", null], ["C", 234] }))
         |CSV( substituteNull("<NULL>") )
         |""".stripMargin)
     assert(sn == "A,123\nB,<NULL>\nC,234\n", sn)
-    val lp = Tql.run(spark,
+    val lp = runTrim(
       "CSV(\"1,line1\\n2,line2\\n3,\\n4,line4\", logProgress(2))\nCSV( heading(true) )\n")
     assert(lp == "column0,column1\n1,line1\n2,line2\n3,\n4,line4\n", lp)
   }
 
   test("GROUP mode and weighted mode (task_test.go:1800-1827)") {
     val p = Map("payload" -> Seq("A,1.1\nA,1.1\nB,2.1\nB,2.2\nB,2.1\nC,3.1\nC,3.2\nC,3.3\nC,3.3"))
-    val out = Tql.run(spark,
+    val out = runTrim(
       """CSV(payload(), field(0, stringType(), "name"), field(1, doubleType(), "value"))
         |GROUP(by(value(0)), mode(value(1)), mode(value(1), weight(value(1))) )
         |CSV(heading(true), precision(2))
@@ -401,7 +401,7 @@ class ReferenceCases2Spec extends SparkSpec {
       "1700256266,5", "1700256267,6", "1700256268,7", "1700256269,8",
       "1700256276,9").mkString("\n")
     def g(from: Long, until: Long, period: String, aggLines: String): String =
-      Tql.run(spark,
+      runTrim(
         s"""CSV(payload(), field(0, datetimeType("s"), "time"), field(1, doubleType(), "value"))
            |GROUP( by( value(0), timewindow(
            |           time($from * 1000000000),
@@ -467,7 +467,7 @@ class ReferenceCases2Spec extends SparkSpec {
       "1700256261,1", "1700256262,2", "1700256263,3", "1700256264,4",
       "1700256265,5", "1700256266,6", "1700256267,7", "1700256268,8",
       "1700256269,9", "1700256276,10").mkString("\n")
-    def tw(agg: String): String = Tql.run(spark,
+    def tw(agg: String): String = runTrim(
       s"""CSV(payload(),
          |    field(0, datetimeType("s"), "time"),
          |    field(1, doubleType(), "value"))
@@ -504,7 +504,7 @@ class ReferenceCases2Spec extends SparkSpec {
 
   test("TIMEWINDOW 1s grid over 1ms oscillator, first agg (task_test.go:2460)") {
     val tick = 1692329338315327000L
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(
         |    oscillator(
         |      freq(15, 1.0), freq(24, 1.5),

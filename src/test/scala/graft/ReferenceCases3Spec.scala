@@ -10,7 +10,7 @@ import graft.tql.Tql
   * empty-source generator (TestArgs). */
 class ReferenceCases3Spec extends SparkSpec {
 
-  private def run(script: String): String = Tql.run(spark, script)
+  private def run(script: String): String = runTrim(script)
 
   test("SET redefinition sees the prior binding (task_test.go:1008-1025)") {
     val out = run(
@@ -211,5 +211,29 @@ class ReferenceCases3Spec extends SparkSpec {
       "line 2, column 1: encoder 'markdown' invalid option true (bool) [statement: MARKDOWN(true)]")
     assert(e.kind == "sink_compile_error")
     assert(e.line == 2)
+  }
+
+  test("MARKDOWN(html+rownum+brief) DDL golden (tql_test.go SQL_create-tag-table)") {
+    graft.server.TagTables.resetDynamicForTest(spark)
+    try {
+      val out = run(
+        """SQL({create tag table if not exists tag_ddl_md(
+          |  name varchar(40) primary key, time datetime basetime, value double summarized )})
+          |MARKDOWN(html(true), rownum(true), heading(true), brief(true))
+          |""".stripMargin)
+      val want = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "/root/reference/mods/tql/test/sql_ddl_executed.txt")), "UTF-8")
+      assert(out.trim == want.trim, out)
+    } finally {
+      run("SQL({drop table tag_ddl_md})\nDISCARD()\n")
+      graft.server.TagTables.resetDynamicForTest(spark)
+    }
+  }
+
+  test("MARKDOWN brief truncates with an ellipsis row and Total marker (md_encode.go Close)") {
+    val out = run(
+      "FAKE( linspace(1, 8, 8) )\nMARKDOWN( briefCount(2) )\n")
+    assert(out ==
+      "|x|\n|:-----|\n|1.000000|\n|2.000000|\n| ... |\n\n> *Total* 8 *records*\n", out)
   }
 }

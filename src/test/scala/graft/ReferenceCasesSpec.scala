@@ -8,7 +8,7 @@ import graft.tql.Tql
   */
 class ReferenceCasesSpec extends SparkSpec {
   import spark.implicits._
-  private def run(script: String): String = Tql.run(spark, script)
+  private def run(script: String): String = runTrim(script)
 
   private def mkTagSimple(): Unit =
     Seq(("tag1", 1692686707380411000L, 0.1), ("tag1", 1692686708380411000L, 0.2))
@@ -128,7 +128,7 @@ class ReferenceCasesSpec extends SparkSpec {
 
   test("range() and roundTime() arg diagnostics (func_test.go:546-597)") {
     def err(script: String): String =
-      intercept[IllegalArgumentException](Tql.run(spark, script)).getMessage
+      intercept[IllegalArgumentException](runTrim(script)).getMessage
     assert(err("FAKE( oscillator(freq(1.0, 1.0), range(false, '1s', '100ms')) )\nCSV()\n")
       == "f(range) arg(0) should be time, but bool")
     assert(err("FAKE( oscillator(freq(1.0, 1.0), range(0, '1x', '100ms')) )\nCSV()\n")
@@ -314,7 +314,7 @@ class ReferenceCasesSpec extends SparkSpec {
         |CSV(timeformat("s"), heading(true))
         |""".stripMargin,
       Map("payload" -> "temp.name,1691662156,123.456789,true\n"))
-    val out = graft.sinks.Codecs.render(c.output, c.sink.format, c.sink.options)
+    val out = trimClose(graft.sinks.Codecs.render(c.output, c.sink.format, c.sink.options))
     assert(out == "name,time,value,active\ntemp.name,1691662156,123.456789,true\n")
   }
 
@@ -350,7 +350,7 @@ class ReferenceCasesSpec extends SparkSpec {
       "wave.sin,1676432362,0.406736").mkString("\n")
     val c = graft.tql.Tql.compile(spark,
       "CSV(payload(), header(true))\nMARKDOWN()\n", Map("payload" -> payload))
-    val out = graft.sinks.Codecs.render(c.output, c.sink.format, c.sink.options)
+    val out = trimClose(graft.sinks.Codecs.render(c.output, c.sink.format, c.sink.options))
     assert(out == Seq(
       "|NAME|TIME|VALUE|",
       "|:-----|:-----|:-----|",
@@ -401,7 +401,7 @@ class ReferenceCasesSpec extends SparkSpec {
         |MAPVALUE(0, time(value(0)))
         |NDJSON( timeformat('default'), tz('UTC') )
         |""".stripMargin)
-    val out = graft.sinks.Codecs.render(c.output, c.sink.format, c.sink.options)
+    val out = trimClose(graft.sinks.Codecs.render(c.output, c.sink.format, c.sink.options))
     assert(out ==
       "{\"TIME\":\"2023-08-22 06:45:07.38\",\"VALUE\":0.1}\n" +
       "{\"TIME\":\"2023-08-22 06:45:08.38\",\"VALUE\":0.2}\n")
@@ -423,7 +423,7 @@ class ReferenceCasesSpec extends SparkSpec {
     "[1692329338115327000,0.6628509149282410]]"
 
   test("FAKE_oscillator_1: forward range from time('now-1s')") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE( oscillator(freq(1.0, 1.0), range(time('now-1s'), '1s', '200ms')) )
         |JSON(precision(16))
         |""".stripMargin, OscNow)
@@ -431,7 +431,7 @@ class ReferenceCasesSpec extends SparkSpec {
   }
 
   test("FAKE_oscillator_2: negative duration runs backward from time('now')") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE( oscillator(freq(1.0, 1.0), range(time('now'), '-1s', '200ms')) )
         |JSON(precision(16))
         |""".stripMargin, OscNow)

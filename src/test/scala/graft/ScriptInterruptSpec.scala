@@ -38,7 +38,7 @@ class ScriptInterruptSpec extends SparkSpec {
           "SCRIPT(\"js\", {\n  function finalize(){\n    while(true) {}\n  }\n},{\n  $.yield($.values[0])\n})\nCSV()\n",
         TimeoutMs)
     }
-    assert(out == "1\n2\n3\n4\n5\n6\n7\n8\n9\n10\n", out)
+    assert(trimClose(out) == "1\n2\n3\n4\n5\n6\n7\n8\n9\n10\n", out)
     assert(logs.exists(l => l.contains("[ERROR]") &&
       l.contains("SCRIPT finalize, interrupt")), logs)
   }

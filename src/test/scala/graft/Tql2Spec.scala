@@ -5,7 +5,7 @@ import graft.tql.Tql
 class Tql2Spec extends SparkSpec {
 
   test("SET statement creates a $var usable downstream") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(linspace(1, 4, 4))
         |SET doubled = value(0) * 2
         |MAPVALUE(1, $doubled + 1, 'd1')
@@ -15,7 +15,7 @@ class Tql2Spec extends SparkSpec {
   }
 
   test("GROUP where() filters per aggregator") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(linspace(0, 9, 10))
         |MAPVALUE(1, value(0) % 2, 'parity')
         |GROUP(by(value(1), 'parity'),
@@ -27,7 +27,7 @@ class Tql2Spec extends SparkSpec {
   }
 
   test("MAP_DIFF over record order") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(linspace(1, 4, 4))
         |MAPVALUE(0, value(0) * value(0))
         |MAP_DIFF(1, value(0), 'diff')
@@ -37,13 +37,13 @@ class Tql2Spec extends SparkSpec {
   }
 
   test("MAP_MOVAVG with warm-up and noWait") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(linspace(1, 5, 5))
         |MAP_MOVAVG(1, value(0), 3, 'ma')
         |CSV()
         |""".stripMargin)
     assert(out == "1,NULL\n2,NULL\n3,2\n4,3\n5,4\n")
-    val out2 = Tql.run(spark,
+    val out2 = runTrim(
       """FAKE(linspace(1, 5, 5))
         |MAP_MOVAVG(1, value(0), 3, noWait(), 'ma')
         |CSV()
@@ -52,7 +52,7 @@ class Tql2Spec extends SparkSpec {
   }
 
   test("FILTER_CHANGED with and without retain") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(linspace(1, 6, 6))
         |MAPVALUE(1, value(0) <= 3 ? 'lo' : 'hi', 'band')
         |FILTER_CHANGED(value(1))

@@ -7,7 +7,7 @@ class Tql3Spec extends SparkSpec {
   import spark.implicits._
 
   test("TRANSPOSE statement unpivots non-fixed values") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(linspace(1, 2, 2))
         |MAPVALUE(1, value(0) * 10, 'tens')
         |MAPVALUE(2, value(0) * 100, 'hundreds')
@@ -21,7 +21,7 @@ class Tql3Spec extends SparkSpec {
   }
 
   test("HISTOGRAM statement bins values with empty bins") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(linspace(0, 9, 10))
         |HISTOGRAM(value(0), bins(0, 10, 2.5))
         |CSV(header())
@@ -33,7 +33,7 @@ class Tql3Spec extends SparkSpec {
   test("CSV file source with typed pipeline end-to-end") {
     val f = Files.createTempFile("graft_tql", ".csv")
     Files.writeString(f, "alpha,1,10.5\nbeta,2,20.25\ngamma,3,30.125\n")
-    val out = Tql.run(spark,
+    val out = runTrim(
       s"""CSV(file('${f.toString}'))
          |FILTER(parseFloat(value(2)) > 15)
          |MAPVALUE(1, parseFloat(value(1)) * 100, 'scaled')
@@ -45,14 +45,14 @@ class Tql3Spec extends SparkSpec {
   test("GROUP(timewindow) synthesizes buckets with fills") {
     Seq((5L, 10.0), (15L, 20.0), (45L, 50.0))
       .toDF("t", "v").createOrReplaceTempView("tw_src")
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SQL('SELECT t, v FROM tw_src')
         |GROUP(timewindow(0, 60, 10), avg(value(1), 'avg_v'), nullValue(-1))
         |CSV(header())
         |""".stripMargin)
     assert(out ==
       "time,avg_v\n0,10\n10,20\n20,-1\n30,-1\n40,50\n50,-1\n")
-    val pwc = Tql.run(spark,
+    val pwc = runTrim(
       """SQL('SELECT t, v FROM tw_src')
         |GROUP(timewindow(0, 60, 10), avg(value(1), 'avg_v'), predict('piecewiseconstant'))
         |CSV()
@@ -69,25 +69,25 @@ class Tql3Spec extends SparkSpec {
         |MAPVALUE(1, param('label'), 'tag')
         |CSV()
         |""".stripMargin, Map("threshold" -> "3", "label" -> "prod"))
-    val out = graft.sinks.Codecs.render(c.output, "CSV")
+    val out = trimClose(graft.sinks.Codecs.render(c.output, "CSV"))
     assert(out == "3,prod\n4,prod\n5,prod\n")
   }
 
   test("STRING source with payload ?? literal, MAPVALUE(-1) prepend, key()") {
-    val out = graft.sinks.Codecs.render(graft.tql.Tql.compile(spark,
+    val out = trimClose(graft.sinks.Codecs.render(graft.tql.Tql.compile(spark,
       """STRING(payload() ?? ` 123
         |       456
         |    `, separator('\n'), trimspace(true))
         |FILTER( len(value(0)) > 0 )
         |MAPVALUE(-1, 'text_' + key())
         |CSV()
-        |""".stripMargin).output, "CSV")
+        |""".stripMargin).output, "CSV"))
     assert(out == "text_1,123\ntext_2,456\n")
     // payload param overrides the literal
-    val out2 = graft.sinks.Codecs.render(graft.tql.Tql.compile(spark,
+    val out2 = trimClose(graft.sinks.Codecs.render(graft.tql.Tql.compile(spark,
       """STRING(payload() ?? `zzz`, separator('\n'))
         |CSV()
-        |""".stripMargin, Map("payload" -> "a\nb")).output, "CSV")
+        |""".stripMargin, Map("payload" -> "a\nb")).output, "CSV"))
     assert(out2 == "a\nb\n")
   }
 
@@ -106,7 +106,7 @@ class Tql3Spec extends SparkSpec {
   test("STRING source reads file() content") {
     val f = java.nio.file.Files.createTempFile("graft_str", ".txt")
     java.nio.file.Files.writeString(f, "l1\nl2\nl3")
-    val out = Tql.run(spark,
+    val out = runTrim(
       s"""STRING(file('$f'), separator('\\n'))
          |CSV()
          |""".stripMargin)
@@ -114,7 +114,7 @@ class Tql3Spec extends SparkSpec {
   }
 
   test("ARGS source binds the args request param") {
-    val out = graft.tql.Tql.run(spark,
+    val out = runTrim(
       """ARGS()
         |CSV()
         |""".stripMargin, 0L, Map("args" -> Seq("10", "abc")))
@@ -122,7 +122,7 @@ class Tql3Spec extends SparkSpec {
   }
 
   test("JSON sink through TQL emits the envelope") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(linspace(1, 2, 2))
         |JSON()
         |""".stripMargin)

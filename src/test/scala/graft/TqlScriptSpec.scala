@@ -14,7 +14,7 @@ class TqlScriptSpec extends SparkSpec {
   private def normalize(s: String): String = s.stripLineEnd + "\n"
 
   test("js-finalize: per-record square + finalize yieldKey (fm_script_test.go:34-48)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE( linspace(1,3,3))
         |SCRIPT("js", {
         |  function finalize(){ $.yieldKey("last", 1.234); }
@@ -27,7 +27,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-timeformat: epoch seconds → ISO (fm_script_test.go:49-60)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """STRING(param("format_time") ?? "808210800", separator('\n'))
         |SCRIPT("js", {
         |  epoch = parseInt($.values[0])
@@ -40,7 +40,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-timeformat-parse: ISO → epoch (fm_script_test.go:61-72)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """STRING(param("timestamp") ?? "1995-08-12T00:00:00.000Z", separator('\n'))
         |SCRIPT("js", {
         |  ts = new Date( Date.parse($.values[0]) );
@@ -53,7 +53,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-yieldArray-string: envelope keeps input-node columns (fm_script_test.go:73-88)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """STRING('1,2,3,4,5', separator('\n'))
         |SCRIPT("js", {
         |  $.yieldArray($.values[0].split(','))
@@ -66,7 +66,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-yieldArray-bool (fm_script_test.go:89-104)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """STRING('true,true,false,true,false', separator('\n'))
         |SCRIPT("js", {
         |  $.yieldArray($.values[0].split(',').map(function(v){ return v === 'true'}))
@@ -77,7 +77,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-yieldArray-number (fm_script_test.go:105-120)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """STRING('1.2,2.3,3.4,5.6', separator('\n'))
         |SCRIPT("js", {
         |  $.yieldArray($.values[0].split(',').map( (v) => { return parseFloat(v) }))
@@ -88,7 +88,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-yieldArray-number-int64 (fm_script_test.go:121-136)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """STRING('1,2,3,4,5', separator('\n'))
         |SCRIPT("js", {
         |  $.yieldArray($.values[0].split(',').map( (v) => { return parseInt(v) }))
@@ -99,7 +99,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-yieldArray-number-mixed: $.result declares columns (fm_script_test.go:137-156)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT("js", {
         |  $.result = {
         |    columns: ["a", "b", "c", "d"],
@@ -116,7 +116,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-yield-object: any-typed object rows, sorted keys (fm_script_test.go:177-193)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT("js", {
         |  $.yield({name:"John", age: 30, flag: true});
         |  $.yield({name:"Jane", age: 25, flag: false});
@@ -130,7 +130,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-payload-csv: $.payload in source mode (fm_script_test.go:235-246)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT("js", {
         |  $.payload.split(",").forEach((v) => {
         |    $.yield(parseInt(v));
@@ -142,7 +142,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-params: multi-valued request params (fm_script_test.go:269-280)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT("js", {
         |  var1 = $.params.p1;
         |  var2 = $.params["p2"];
@@ -154,7 +154,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-set-value: $.inflight().set feeds MAPVALUE($var) (fm_script_test.go:406-422)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE( linspace(1,2,1))
         |SCRIPT("js", {
         |  $.inflight().set("key1", 123);
@@ -169,7 +169,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-get-value: SET vars visible via $.inflight().get (fm_script_test.go:423-435)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE( linspace(1,2,1))
         |SET(key1, 123)
         |SET(key2, "abc")
@@ -184,7 +184,7 @@ class TqlScriptSpec extends SparkSpec {
   test("js-fft: mathx.fft golden vs the shipped fft2d.csv (fm_script_test.go:471-495)") {
     val expected = normalize(new String(Files.readAllBytes(
       Paths.get("/root/reference/mods/tql/test/fft2d.csv")), "UTF-8"))
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE( oscillator( range(timeAdd(1685714509*1000000000,'1s'), '1s', '100us'), freq(10, 1.0), freq(50, 2.0)))
         |SCRIPT("js", {
         |  m = require("mathx");
@@ -207,7 +207,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-fft-not-enough-samples: linspace x-values are not times (fm_script_test.go:496-523)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE( linspace(0, 10, 100) )
         |SCRIPT("js", {
         |  m = require("mathx");
@@ -234,7 +234,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-exception: catch object member errors (fm_script_test.go:611-638)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT("js", {
         |  o = {a: 1, other: ()=>{throw "other error";}};
         |  o.a++;
@@ -256,7 +256,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-console-log + DISCARD (fm_script_test.go:18-33)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT("js", "console.log('Hello, World!'); console.println('Hi Everyone!');")
         |DISCARD()
         |""".stripMargin)
@@ -264,7 +264,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-array-template: TEXT sink with .Value n (fm_script_test.go:532-546)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT({
         |  $.yield(1, 2, 3);
         |  $.yield(4, 5, 6);
@@ -275,7 +275,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-obj-template: with .V over inferred column names (fm_script_test.go:547-563)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT({
         |  $.yield("John", 30);
         |  $.yield("Jane", 25);
@@ -290,7 +290,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-obj-template: with .V over $.result names (fm_script_test.go:564-584)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT({
         |  $.result = {
         |    columns: ["name", "age"],
@@ -309,7 +309,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("js-obj-template: object value member access (fm_script_test.go:585-601)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT({
         |  $.yield({name: "John", age: 30});
         |  $.yield({name: "Jane", age: 25});
@@ -324,7 +324,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("script_src: yieldKey loop as source (tql_test.go:1990-2002)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT({
         |  for (i = 0; i < 10; i++) {
         |    $.yieldKey("test", i, i*10)
@@ -336,7 +336,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("script_src_map: SCRIPT chained into SCRIPT (tql_test.go:2004-2019)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT({
         |  a = 10*2+1
         |  // comment
@@ -353,7 +353,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("script_2: $.key after MAPKEY + absent params (tql_test.go:2021-2041)") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE( linspace(1,2,2))
         |MAPKEY("hello")
         |SCRIPT("js", {
@@ -379,7 +379,7 @@ class TqlScriptSpec extends SparkSpec {
     os.write(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(iris)))
     os.close()
     Seq(iris, gz.toString).foreach { path =>
-      val out = Tql.run(spark,
+      val out = runTrim(
         s"""CSV(file('$path'))
            |DROP(10)
            |TAKE(2)
@@ -388,7 +388,7 @@ class TqlScriptSpec extends SparkSpec {
       assert(out == "5.4,3.7,1.5,0.2,Iris-setosa\n4.8,3.4,1.6,0.2,Iris-setosa\n", s"$path: $out")
     }
     // untyped files name their columns column0..N (JSON envelope case)
-    val env = Tql.run(spark,
+    val env = runTrim(
       s"""CSV(file('$iris'))
          |DROP(10)
          |TAKE(2)
@@ -417,7 +417,7 @@ class TqlScriptSpec extends SparkSpec {
 
   test("heredoc SCRIPT body: unbalanced brace in a JS string (tqlreader_test.go)") {
     // {<<JS … JS} protects content the brace/paren counters would trip on
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT({<<JS
         |  // this is a function returning '{'
         |  function a () { return '{' };
@@ -429,7 +429,7 @@ class TqlScriptSpec extends SparkSpec {
   }
 
   test("heredoc MARKDOWN body: # and // lines are content, not comments") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE( linspace(1, 1, 1) )
         |MARKDOWN({<<EOF
         |# this is not a comment but a title

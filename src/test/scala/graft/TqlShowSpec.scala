@@ -13,7 +13,7 @@ class TqlShowSpec extends SparkSpec {
 
   test("SQL_show_wrong: reference error text (fm_dbsrc_test.go:151-157)") {
     val ex = intercept[IllegalArgumentException] {
-      Tql.run(spark, "SQL('show wrong')\nCSV(header(true))\n")
+      runTrim("SQL('show wrong')\nCSV(header(true))\n")
     }
     assert(ex.getMessage == """f(SQL) unsupported show command "wrong"""")
   }
@@ -22,13 +22,13 @@ class TqlShowSpec extends SparkSpec {
     val saved = Catalog.serverInfoProvider
     try {
       Catalog.serverInfoProvider = () => Seq("purpose" -> "test")
-      val out = Tql.run(spark, "SQL('show info')\nCSV(header(true))\n")
+      val out = runTrim("SQL('show info')\nCSV(header(true))\n")
       assert(out == "NAME,VALUE\npurpose,test\n")
     } finally Catalog.serverInfoProvider = saved
   }
 
   test("SQL_show_license (fm_dbsrc_test.go:171-183)") {
-    val out = lines(Tql.run(spark, "SQL('show license')\nCSV(header(true))\n"))
+    val out = lines(runTrim("SQL('show license')\nCSV(header(true))\n"))
     assert(out.length == 2)
     assert(out(0) == "ID,TYPE,CUSTOMER,PROJECT,COUNTRY_CODE,INSTALL_DATE,ISSUE_DATE,STATUS")
     assert(out(1).matches(
@@ -43,20 +43,20 @@ class TqlShowSpec extends SparkSpec {
         val all = Seq("http" -> "tcp://127.0.0.1:5654", "mqtt" -> "tcp://127.0.0.1:1883")
         if (svc == null || svc.isEmpty) all else all.filter(_._1 == svc.toLowerCase)
       }
-      assert(Tql.run(spark, "SQL('show ports')\nCSV(header(true))\n") ==
+      assert(runTrim("SQL('show ports')\nCSV(header(true))\n") ==
         "PORT,ADDRESS\nhttp,tcp://127.0.0.1:5654\nmqtt,tcp://127.0.0.1:1883\n")
-      assert(Tql.run(spark, "SQL('show ports mqtt')\nCSV(header(true))\n") ==
+      assert(runTrim("SQL('show ports mqtt')\nCSV(header(true))\n") ==
         "PORT,ADDRESS\nmqtt,tcp://127.0.0.1:1883\n")
     } finally Catalog.serverPortsProvider = saved
   }
 
   test("SQL_show_users (fm_dbsrc_test.go:240-259)") {
-    assert(Tql.run(spark, "SQL('show users')\nCSV(header(true))\n") ==
+    assert(runTrim("SQL('show users')\nCSV(header(true))\n") ==
       "USER_ID,NAME\n1,SYS\n")
   }
 
   test("SQL_show_indexes: fixture meta indexes (fm_dbsrc_test.go:422-470)") {
-    val out = lines(Tql.run(spark, "SQL('show indexes')\nCSV(header(true))\n"))
+    val out = lines(runTrim("SQL('show indexes')\nCSV(header(true))\n"))
     assert(out.head ==
       "ID,DATABASE,USER,TABLE,COLUMN,INDEX_NAME,INDEX_TYPE,KEY_COMPRESS,MAX_LEVEL,PART_VALUE_COUNT,BITMAP_ENCODE")
     val required = Map(
@@ -78,15 +78,15 @@ class TqlShowSpec extends SparkSpec {
   }
 
   test("SQL_show_index: _TAG_DATA_META_NAME is id 4 (fm_dbsrc_test.go:473-487)") {
-    assert(Tql.run(spark, "SQL('show index _TAG_DATA_META_NAME')\nCSV(header(true))\n") ==
+    assert(runTrim("SQL('show index _TAG_DATA_META_NAME')\nCSV(header(true))\n") ==
       "ID,DATABASE,USER,TABLE,COLUMN,INDEX_NAME,INDEX_TYPE,KEY_COMPRESS,MAX_LEVEL,PART_VALUE_COUNT,BITMAP_ENCODE\n" +
       "4,MACHBASEDB,SYS,_TAG_DATA_META,NAME,_TAG_DATA_META_NAME,REDBLACK,UNCOMPRESSED,0,100000,EQUAL\n")
   }
 
   test("SQL_show_indexgap / show_lsm: header-only (fm_dbsrc_test.go:491-533)") {
-    assert(Tql.run(spark, "SQL('show indexgap')\nCSV(header(true))\n") ==
+    assert(runTrim("SQL('show indexgap')\nCSV(header(true))\n") ==
       "INDEX_ID,TABLE_NAME,INDEX_NAME,GAP\n")
-    assert(Tql.run(spark, "SQL('show lsm')\nCSV(header(true))\n") ==
+    assert(runTrim("SQL('show lsm')\nCSV(header(true))\n") ==
       "TABLE_NAME,INDEX_NAME,LEVEL,COUNT\n")
   }
 
@@ -96,23 +96,23 @@ class TqlShowSpec extends SparkSpec {
     val nowNs = 1704067200123456000L
 
     // insert with a `now` literal mixed into the binds
-    val ins = Tql.run(spark,
+    val ins = runTrim(
       "SCRIPT({$.yield('show_test', 1.234)})\n" +
         "SQL('insert into tag_data (name,time,value) values(?,now,?)', value(0), value(1))\n",
       nowNs)
     assert(ins.contains(""""message":"a row inserted.""""), ins)
 
-    val flush = Tql.run(spark, "SQL('exec table_flush(tag_data)')\nMARKDOWN()\n")
+    val flush = runTrim("SQL('exec table_flush(tag_data)')\nMARKDOWN()\n")
     assert(flush.contains("executed."), flush)
 
     // show tags without arguments: reference error text
     val exNoArgs = intercept[IllegalArgumentException] {
-      Tql.run(spark, "SQL('show tags')\nCSV(header(true))\n")
+      runTrim("SQL('show tags')\nCSV(header(true))\n")
     }
     assert(exNoArgs.getMessage == "f(SQL) show tags expects at least 1 argument, got 0")
 
     // tag_data has a summarized value column → stats visible after flush
-    val tags = lines(Tql.run(spark, "SQL('show tags tag_data')\nCSV(header(true))\n"))
+    val tags = lines(runTrim("SQL('show tags tag_data')\nCSV(header(true))\n"))
     assert(tags.head ==
       "ID,NAME,ROW_COUNT,MIN_TIME,MAX_TIME,RECENT_ROW_TIME,MIN_VALUE,MIN_VALUE_TIME,MAX_VALUE,MAX_VALUE_TIME")
     assert(tags.tail.exists(_.contains("show_test")), tags.mkString("|"))
@@ -120,27 +120,27 @@ class TqlShowSpec extends SparkSpec {
 
     // show tags on a log table: reference error text
     val exLog = intercept[IllegalArgumentException] {
-      Tql.run(spark, "SQL('show tags log_data')\nCSV(header(true))\n")
+      runTrim("SQL('show tags log_data')\nCSV(header(true))\n")
     }
     assert(exLog.getMessage == "table 'LOG_DATA' is not a tag table")
 
     // gap views keep the machbase headers
-    assert(lines(Tql.run(spark, "SQL('show tagindexgap')\nCSV(header(true))\n")).head ==
+    assert(lines(runTrim("SQL('show tagindexgap')\nCSV(header(true))\n")).head ==
       "TABLE_ID,TABLE_NAME,STATUS,DISK_GAP,MEMORY_GAP")
-    assert(lines(Tql.run(spark, "SQL('show rollupgap')\nCSV(header(true))\n")).head ==
+    assert(lines(runTrim("SQL('show rollupgap')\nCSV(header(true))\n")).head ==
       "USER_NAME,ROLLUP_NAME,SRC_TABLE,ROLLUP_TABLE,SRC_END_RID,ROLLUP_END_RID,GAP,RUN_STATE,LAST_ELAPSED_MSEC,LAST_WAKEUP_TIME,NEXT_WAKEUP_TIME")
 
     graft.server.TagTables.delete(spark, "tag_data", None)
   }
 
   test("SQL_explain / explain full: mach access path + executed trace (fm_dbsrc_test.go:14-44, machsvr_test.go:1236-1243)") {
-    val plain = Tql.run(spark, "SQL('explain select * from tag_data')\nCSV(header(false))\n")
+    val plain = runTrim("SQL('explain select * from tag_data')\nCSV(header(false))\n")
     assert(plain.length > 50, plain)
     assert(plain.contains("TAG READ (RAW)"), plain)
 
     // deviation: the reference pins len>5000 (its trace verbosity); ours
     // carries the same sections — EXECUTE trace + extended plan
-    val full = Tql.run(spark, "SQL('explain full select * from tag_data')\nCSV(header(false))\n")
+    val full = runTrim("SQL('explain full select * from tag_data')\nCSV(header(false))\n")
     assert(full.length > 500, full.length.toString)
     assert(full.contains("EXECUTE"), full)
     assert(full.contains("********"), full)
@@ -148,20 +148,20 @@ class TqlShowSpec extends SparkSpec {
   }
 
   test("SQL_show_sessions / statements / storage / table-usage shapes (fm_dbsrc_test.go:637-723)") {
-    val sess = lines(Tql.run(spark, "SQL('show sessions')\nCSV(header(true))\n"))
+    val sess = lines(runTrim("SQL('show sessions')\nCSV(header(true))\n"))
     assert(sess.head == "ID,USER_NAME,USER_ID,LOGIN_TIME,TYPE,USER_IP,MAX_QPX_MEM")
     assert(sess(1).matches("^[0-9]+,[A-Z]+,[0-9]+,[0-9]+,CLI,127.0.0.1,[0-9]+([.][0-9]+)?[KMG]?B$"), sess(1))
 
-    val stmts = lines(Tql.run(spark, "SQL('show statements')\nCSV(header(true))\n"))
+    val stmts = lines(runTrim("SQL('show statements')\nCSV(header(true))\n"))
     assert(stmts.head == "ID,SESSION_ID,STATE,RECORD_SIZE,QUERY")
     assert(stmts.length >= 2)
     assert(stmts(1).matches("^[0-9]+,[0-9]+,.+,[0-9]+,.+$"), stmts(1))
 
-    val stor = lines(Tql.run(spark, "SQL('show storage')\nCSV(header(true))\n"))
+    val stor = lines(runTrim("SQL('show storage')\nCSV(header(true))\n"))
     assert(stor.head == "DATABASE_NAME,TABLE_NAME,DATA_SIZE,INDEX_SIZE,TOTAL_SIZE")
     assert(stor(1).matches(".*[A-Z_]+,[A-Z0-9_]+,[0-9]+,[0-9]+,[0-9]+$"), stor(1))
 
-    val usage = lines(Tql.run(spark, "SQL('show table-usage')\nCSV(header(true))\n"))
+    val usage = lines(runTrim("SQL('show table-usage')\nCSV(header(true))\n"))
     assert(usage.head == "DATABASE,USER,TABLE,STORAGE_USAGE")
     assert(usage(1).matches("^.+,.+,.+,[0-9]+$"), usage(1))
   }

@@ -32,7 +32,7 @@ class TqlSpec extends SparkSpec {
   }
 
   test("linspace → MAPVALUE → FILTER → CSV end-to-end") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(linspace(0, 10, 11))
         |MAPVALUE(0, value(0) * 2)
         |FILTER(value(0) >= 10)
@@ -42,13 +42,13 @@ class TqlSpec extends SparkSpec {
   }
 
   test("TAKE / DROP respect record order") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(linspace(1, 5, 5))
         |TAKE(1, 2)
         |CSV()
         |""".stripMargin)
     assert(out == "2\n3\n")
-    val out2 = Tql.run(spark,
+    val out2 = runTrim(
       """FAKE(linspace(1, 5, 5))
         |DROP(3)
         |CSV()
@@ -57,7 +57,7 @@ class TqlSpec extends SparkSpec {
   }
 
   test("GROUP(by, avg/count) emits key-sorted groups") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(linspace(0, 9, 10))
         |MAPVALUE(1, value(0) % 2, 'parity')
         |GROUP(by(value(1), 'parity'), avg(value(0)), count(value(0)))
@@ -68,7 +68,7 @@ class TqlSpec extends SparkSpec {
   }
 
   test("oscillator source through TQL with sink options") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(oscillator(freq(1, 1), range(time(0), '1s', '250ms')))
         |MAPVALUE(1, round(value(1) * 1000) / 1000)
         |CSV(header())
@@ -81,7 +81,7 @@ class TqlSpec extends SparkSpec {
 
   test("SQL source with rownum key and PUSHKEY/POPKEY") {
     spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation")
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SQL('select n_name, n_regionkey from nation order by n_name limit 3')
         |FILTER(value(1) >= 0)
         |CSV()
@@ -90,7 +90,7 @@ class TqlSpec extends SparkSpec {
   }
 
   test("ternary and string functions inside the pipeline") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(linspace(1, 3, 3))
         |MAPVALUE(1, value(0) > 1.5 ? strToUpper('big') : 'small', 'size')
         |CSV()

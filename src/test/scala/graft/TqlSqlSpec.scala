@@ -12,7 +12,7 @@ import graft.tql.Tql
   */
 class TqlSqlSpec extends SparkSpec {
 
-  private def insertWideRow(): String = Tql.run(spark,
+  private def insertWideRow(): String = runTrim(
     """SCRIPT({
       |  const dt = new Date('2026-07-10T17:10:20');
       |  $.yield(
@@ -42,7 +42,7 @@ class TqlSqlSpec extends SparkSpec {
   }
 
   test("SQL_FLUSH: exec table_flush reports executed") {
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE(once(1))
         |SQL('exec table_flush(tag_data)')
         |""".stripMargin)
@@ -56,7 +56,7 @@ class TqlSqlSpec extends SparkSpec {
 
   test("SQL_csv: full wide row through CSV with type formatting") {
     freshRow()
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SQL('select * from tag_data where name = ?', 'sql_test')
         |CSV(header(true), timeformat('default'), tz('Local'))
         |""".stripMargin)
@@ -67,7 +67,7 @@ class TqlSqlSpec extends SparkSpec {
 
   test("SQL_markdown: %f floats and raw cells") {
     freshRow()
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SQL('select * from tag_data where name = ?', 'sql_test')
         |MARKDOWN(timeformat('default'), tz('Local'))
         |""".stripMargin)
@@ -77,7 +77,7 @@ class TqlSqlSpec extends SparkSpec {
 
   test("SQL_json: machbase type names in the envelope") {
     freshRow()
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SQL('select * from tag_data where name = ?', 'sql_test')
         |JSON(timeformat('default'), tz('Local'))
         |""".stripMargin)
@@ -91,7 +91,7 @@ class TqlSqlSpec extends SparkSpec {
 
   test("SQL_insert-tag1 + show-tags: typed CSV insert then V$T_STAT shape (tql_test.go:288-330)") {
     graft.server.TagTables.dropAll(spark)
-    val out = Tql.run(spark,
+    val out = runTrim(
       """CSV("tag1,1692686707380411000,0.100\ntag1,1692686708380411000,0.200\n",
         |  header(false),
         |  field(0, stringType(), "name"),
@@ -102,11 +102,11 @@ class TqlSqlSpec extends SparkSpec {
         |""".stripMargin)
     assert(out.contains(""""data":{"message":"2 rows inserted."}"""), out)
 
-    val flush = Tql.run(spark,
+    val flush = runTrim(
       "SQL(\"EXEC table_flush(tag_simple)\")\nMARKDOWN()\n")
     assert(flush == "|MESSAGE|\n|:-----|\n|executed.|\n", flush)
 
-    val tags = Tql.run(spark,
+    val tags = runTrim(
       "SQL(\"show tags tag_simple\")\nCSV(header(true))\n")
     assert(tags ==
       "ID,NAME,ROW_COUNT,MIN_TIME,MAX_TIME,RECENT_ROW_TIME,MIN_VALUE,MIN_VALUE_TIME,MAX_VALUE,MAX_VALUE_TIME\n" +
@@ -115,58 +115,58 @@ class TqlSqlSpec extends SparkSpec {
 
   test("FAKE_INSERT with tag() + delete cleanup (tql_test.go:523-549)") {
     graft.server.TagTables.dropAll(spark)
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE( linspace(0, 1, 3) )
         |PUSHVALUE(0, timeAdd('now', value(0)*2000000000))
         |INSERT('TIME', 'VALUE', table('tag_simple'), tag('signal.3'))
         |""".stripMargin, 1700000000000000000L)
     assert(out.contains(""""data":{"message":"3 rows inserted."}"""), out)
-    val del = Tql.run(spark,
+    val del = runTrim(
       "SQL(\"delete from tag_simple where name = 'signal.3'\")\nMARKDOWN()\n")
     assert(del == "|MESSAGE|\n|:-----|\n|3 rows deleted.|\n", del)
   }
 
   test("DELETE with arbitrary WHERE predicate (time-based, machbase form)") {
     graft.server.TagTables.dropAll(spark)
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE( linspace(0, 1, 3) )
         |PUSHVALUE(0, timeAdd('now', value(0)*2000000000))
         |INSERT('TIME', 'VALUE', table('tag_simple'), tag('signal.t'))
         |""".stripMargin, 1700000000000000000L)
     assert(out.contains(""""data":{"message":"3 rows inserted."}"""), out)
     // delete the first two samples by time bound (now, now+1s); third stays
-    val del = Tql.run(spark,
+    val del = runTrim(
       "SQL(\"delete from tag_simple where time < 1700000002000000000\")\nMARKDOWN()\n")
     assert(del == "|MESSAGE|\n|:-----|\n|2 rows deleted.|\n", del)
-    val left = Tql.run(spark,
+    val left = runTrim(
       "SQL(\"select name, time from tag_simple\")\nCSV(timeformat('ns'))\n")
     assert(left == "signal.t,1700000002000000000\n", left)
   }
 
   test("FAKE_APPEND: full-schema append (tql_test.go:550-579)") {
     graft.server.TagTables.dropAll(spark)
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE( linspace(0, 1, 3) )
         |PUSHVALUE(0, timeAdd('now', value(0)*2000000000))
         |PUSHVALUE(0, 'signal.append')
         |APPEND( table('tag_simple') )
         |""".stripMargin, 1700000000000000000L)
     assert(out.contains(""""data":{"message":"append 3 rows (success 3, fail 0)"}"""), out)
-    val del = Tql.run(spark,
+    val del = runTrim(
       "SQL(\"delete from tag_simple where name = 'signal.append'\")\nMARKDOWN()\n")
     assert(del == "|MESSAGE|\n|:-----|\n|3 rows deleted.|\n", del)
   }
 
   test("SQL_show_tables[-all]: machbase catalog shape (fm_dbsrc_test.go:262-295)") {
     graft.server.TagTables.dropAll(spark)
-    val out = Tql.run(spark, "SQL('show tables')\nCSV(header(true))\n")
+    val out = runTrim("SQL('show tables')\nCSV(header(true))\n")
     val lines = out.stripLineEnd.split("\n")
     assert(lines(0) == "DATABASE_NAME,USER_NAME,TABLE_NAME,TABLE_ID,TABLE_TYPE,TABLE_FLAG")
     assert(lines(1).matches("MACHBASEDB,SYS,LOG_DATA,[0-9]+,Log,"), lines(1))
     assert(lines(2).matches("MACHBASEDB,SYS,TAG_DATA,[0-9]+,Tag,"), lines(2))
     assert(lines(3).matches("MACHBASEDB,SYS,TAG_SIMPLE,[0-9]+,Tag,"), lines(3))
 
-    val all = Tql.run(spark, "SQL('show tables --all')\nCSV(header(true))\n")
+    val all = runTrim("SQL('show tables --all')\nCSV(header(true))\n")
       .stripLineEnd.split("\n")
     assert(all(4).matches("MACHBASEDB,SYS,_TAG_DATA_DATA_0,[0-9]+,KeyValue,Data"), all(4))
     assert(all(5).matches("MACHBASEDB,SYS,_TAG_DATA_META,[0-9]+,Lookup,Meta"), all(5))
@@ -175,7 +175,7 @@ class TqlSqlSpec extends SparkSpec {
   }
 
   test("SQL_show_table_log_data[-all]: column catalog (fm_dbsrc_test.go:305-360)") {
-    val out = Tql.run(spark, "SQL('show table log_data')\nCSV(header(true))\n")
+    val out = runTrim("SQL('show table log_data')\nCSV(header(true))\n")
     assert(out ==
       """COLUMN,TYPE,LENGTH,FLAG,INDEX
         |TIME,datetime,31,,
@@ -194,13 +194,13 @@ class TqlSqlSpec extends SparkSpec {
         |TEXT_VALUE,text,67108864,,
         |BIN_VALUE,binary,67108864,,
         |""".stripMargin)
-    val all = Tql.run(spark, "SQL('show table log_data --all')\nCSV(header(true))\n")
+    val all = runTrim("SQL('show table log_data --all')\nCSV(header(true))\n")
     assert(all.startsWith("COLUMN,TYPE,LENGTH,FLAG,INDEX\n_ARRIVAL_TIME,datetime,31,,\nTIME,datetime,31,,"), all)
     assert(all.stripLineEnd.endsWith("_RID,long,20,,"), all)
   }
 
   test("SQL_desc_tag_data[-all]: tag flags (fm_dbsrc_test.go:361-410)") {
-    val out = Tql.run(spark, "SQL('desc tag_data')\nCSV(header(true))\n")
+    val out = runTrim("SQL('desc tag_data')\nCSV(header(true))\n")
     assert(out ==
       """COLUMN,TYPE,LENGTH,FLAG,INDEX
         |NAME,varchar,100,tag name,
@@ -218,12 +218,12 @@ class TqlSqlSpec extends SparkSpec {
         |IPV6_VALUE,ipv6,45,,
         |BIN_VALUE,binary,32767,,
         |""".stripMargin)
-    val all = Tql.run(spark, "SQL('describe tag_data --all')\nCSV(header(true))\n")
+    val all = runTrim("SQL('describe tag_data --all')\nCSV(header(true))\n")
     assert(all.stripLineEnd.endsWith("BIN_VALUE,binary,32767,,\n_RID,long,20,,"), all)
   }
 
   test("binary round trip: create-tqlbin via $.db(), insert hex, select hex/preview/base64 (tql_test.go:756-880)") {
-    val created = Tql.run(spark,
+    val created = runTrim(
       """SCRIPT("js", {
         |  var ret = $.db().exec("create tag table tqlbin (name varchar(40) primary key, time datetime basetime, value binary)");
         |  if (ret instanceof Error) {
@@ -236,7 +236,7 @@ class TqlSqlSpec extends SparkSpec {
         |""".stripMargin)
     assert(created == "create-tqlbin done\n", created)
 
-    val ins = Tql.run(spark,
+    val ins = runTrim(
       """SCRIPT({
         |  $.yield('bin1', 1692686707380411000, '0x0102030405060708090a');
         |})
@@ -244,15 +244,15 @@ class TqlSqlSpec extends SparkSpec {
         |""".stripMargin)
     assert(ins.contains("a row inserted."), ins)
 
-    val hex = Tql.run(spark,
+    val hex = runTrim(
       "SQL(\"select NAME, VALUE from tqlbin where name = 'bin1'\")\nCSV(header(true))\n")
     assert(hex == "NAME,VALUE\nbin1,0x0102030405060708090a\n", hex)
 
-    val preview = Tql.run(spark,
+    val preview = runTrim(
       "SQL(\"select NAME, VALUE from tqlbin where name = 'bin1'\")\nCSV(header(true), binaryformat('preview'))\n")
     assert(preview == "NAME,VALUE\nbin1,0x0102030405..\n", preview)
 
-    val b64 = Tql.run(spark,
+    val b64 = runTrim(
       "SQL(\"select NAME, VALUE from tqlbin where name = 'bin1'\")\nCSV(header(true), binaryformat('base64'))\n")
     assert(b64 == "NAME,VALUE\nbin1,AQIDBAUGBwgJCg==\n", b64)
   }
@@ -260,7 +260,7 @@ class TqlSqlSpec extends SparkSpec {
   test("$.db().query(): yield() and forEach() over tag rows") {
     graft.server.TagTables.dropAll(spark)
     insertWideRow()
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SCRIPT({
         |  rows = $.db().query("select NAME, VALUE from tag_data where name = 'sql_test'");
         |  rows.yield();
@@ -279,7 +279,7 @@ class TqlSqlSpec extends SparkSpec {
       "wave.sin,1676432362,0.406736,true",
       "wave.cos,1676432362,0.913546,false",
       "wave.sin,1676432363,0.743144,true").mkString("\n") + "\n"
-    val out = Tql.run(spark,
+    val out = runTrim(
       """CSV(payload(), header(false))
         |MAPVALUE(2, value(2) != "VALUE" ? parseFloat(value(2))*10 : value(2))
         |MARKDOWN({
@@ -302,7 +302,7 @@ class TqlSqlSpec extends SparkSpec {
     graft.server.Metrics.clear()
     graft.server.Metrics.send("cpu:usage", 1d, 1718093662000000000L)
     graft.server.Metrics.send("cpu:usage", 2d, 1718093663000000000L)
-    val out = Tql.run(spark,
+    val out = runTrim(
       """FAKE( statz(0, 'cpu:usage') )
         |FILTER( value(1) != NULL )
         |CSV(timeformat('15:04:05'), heading(true), precision(0))
@@ -315,7 +315,7 @@ class TqlSqlSpec extends SparkSpec {
 
   test("SQL sink rejects fetch verbs (fm_dbsink_sql_test.go:9-18)") {
     val err = intercept[IllegalArgumentException] {
-      Tql.run(spark,
+      runTrim(
         """FAKE( linspace(1, 1, 1) )
           |SQL('select * from t')
           |""".stripMargin)
@@ -325,7 +325,7 @@ class TqlSqlSpec extends SparkSpec {
 
   test("SQL_ndjson: one object with formatted values") {
     freshRow()
-    val out = Tql.run(spark,
+    val out = runTrim(
       """SQL('select * from tag_data where name = ?', 'sql_test')
         |NDJSON( timeformat('default'), tz('Local') )
         |""".stripMargin)

@@ -9,7 +9,7 @@ class TqlWhenSpec extends SparkSpec {
 
   test("WHEN doLog fires per matching record (task_test.go:702-727)") {
     val (_, logs) = TqlLog.capture {
-      Tql.run(spark,
+      runTrim(
         """CSV("1,line-1\n2,line-2\n3,line-3")
           |MAPVALUE(0, parseFloat(value(0)))
           |WHEN(
@@ -31,7 +31,7 @@ class TqlWhenSpec extends SparkSpec {
 
   test("WHEN do() sub-routine over json source (task_test.go:728-750)") {
     val (_, logs) = TqlLog.capture {
-      Tql.run(spark,
+      runTrim(
         """FAKE( json({
           |  [ 1, "hello" ],
           |  [ 2, "you" ],
@@ -55,7 +55,7 @@ class TqlWhenSpec extends SparkSpec {
 
   test("WHEN do('name', …) with args(i) and FAKE(args()) (task_test.go:1590-1620)") {
     val (_, logs) = TqlLog.capture {
-      Tql.run(spark,
+      runTrim(
         """FAKE( linspace(0, 1, 2) )
           |WHEN( mod(value(0),2) == 1, do("test", value(0), {
           |  ARGS() // some comment
@@ -68,7 +68,7 @@ class TqlWhenSpec extends SparkSpec {
     assert(logs.contains("[INFO] MSG test 1 hi"), logs)
 
     val (_, logs2) = TqlLog.capture {
-      Tql.run(spark,
+      runTrim(
         """FAKE( linspace(0, 1, 2) )
           |WHEN( mod(value(0),2) == 1, do("test", value(0), {
           |  FAKE( args() )
@@ -83,7 +83,7 @@ class TqlWhenSpec extends SparkSpec {
 
   test("pragma log-level=warn suppresses INFO console output (tql_test.go:2744-2767)") {
     val (out, logs) = TqlLog.capture {
-      Tql.run(spark,
+      runTrim(
         """#pragma log-level=warn
           |FAKE( linspace(1, 5, 5))
           |SCRIPT("js", { console.log("-", $.values[0]); $.yield($.values[0]) })
@@ -97,7 +97,7 @@ class TqlWhenSpec extends SparkSpec {
 
   test("//+ log-level comment pragma form (tql_pragma_test.go TestPragma2)") {
     val (_, logs) = TqlLog.capture {
-      Tql.run(spark,
+      runTrim(
         """//+ log-level=error sql-thread-lock
           |FAKE( linspace(1, 2, 2))
           |SCRIPT("js", { console.log("line", $.values[0]); $.yield($.values[0]) })
@@ -109,7 +109,7 @@ class TqlWhenSpec extends SparkSpec {
 
   test("SCRIPT console output is captured in the task log (fm_script_test.go:18-33)") {
     val (_, logs) = TqlLog.capture {
-      Tql.run(spark,
+      runTrim(
         """SCRIPT("js", "console.log('Hello, World!'); console.println('Hi Everyone!');")
           |DISCARD()
           |""".stripMargin)

@@ -15,7 +15,7 @@ class VolatileLookupSpec extends SparkSpec {
   test("volatile table: upsert lifecycle by primary key") {
     TagTables.resetDynamicForTest(spark)
     assert(exec("create volatile table vstate (id varchar(20) primary key, status varchar(10), hits integer)")
-      == "executed.")
+      == "Created successfully.")
     assert(TagTables.typeOf("vstate") == "Volatile")
     assert(TagTables.primaryKeyOf("vstate").contains("ID"))
 

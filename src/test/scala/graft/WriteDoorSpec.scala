@@ -13,9 +13,9 @@ class WriteDoorSpec extends SparkSpec {
   private val tick = 1705291859L // the reference's testTimeTick (epoch s)
 
   private def selectCsv(where: String): String =
-    Codecs.render(
+    trimClose(Codecs.render(
       QueryDoor.execute(spark, s"select * from test_w where name = '$where'"),
-      "CSV", Codecs.Options(heading = true, timeformat = Some("s")))
+      "CSV", Codecs.Options(heading = true, timeformat = Some("s"))))
 
   private def gzip(s: String): Array[Byte] = {
     val buf = new java.io.ByteArrayOutputStream()
