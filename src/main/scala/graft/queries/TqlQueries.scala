@@ -289,6 +289,26 @@ object TqlQueries {
         .orderBy("event_id")
     }),
 
+    // bitwise operators on the TQL expression surface: float64(int64 OP
+    // int64) per expression/stage.go, >> is a logical (uint64) shift
+    "q_tql_bitwise" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      e0.filter(col("user_id") < 20)
+        .select(col("event_id"))
+        .createOrReplaceTempView("tql_events_bw")
+      Tql.compile(s,
+        """SQL('SELECT event_id FROM tql_events_bw ORDER BY event_id')
+          |PUSHVALUE(1, value(0) & 255, 'band')
+          |PUSHVALUE(2, value(0) | 4096, 'bor')
+          |PUSHVALUE(3, value(0) ^ 1365, 'bxor')
+          |PUSHVALUE(4, value(0) << 3, 'shl')
+          |PUSHVALUE(5, value(0) >> 2, 'shr')
+          |PUSHVALUE(6, ~value(0), 'bnot')
+          |CSV()
+          |""".stripMargin).output
+        .orderBy("event_id")
+    }),
+
     // QUERY with between(a, b, period): the generator's half-up
     // round(time/period)*period bucket aggregation, executed (the dump()
     // form of the same SQL is golden-matched in ReferenceCasesSpec)
@@ -435,5 +455,15 @@ object TqlQueries {
       """SELECT event_id, value,
          CASE WHEN value * 2 > 500 THEN 'very_high' ELSE 'high' END AS level
          FROM events WHERE value > 200
-         ORDER BY event_id LIMIT 50""")
+         ORDER BY event_id LIMIT 50""",
+    "q_tql_bitwise" ->
+      """SELECT event_id,
+           CAST(event_id & 255 AS DOUBLE) AS band,
+           CAST(event_id | 4096 AS DOUBLE) AS bor,
+           CAST(xor(event_id, 1365) AS DOUBLE) AS bxor,
+           CAST(event_id << 3 AS DOUBLE) AS shl,
+           CAST(event_id >> 2 AS DOUBLE) AS shr,
+           CAST(~event_id AS DOUBLE) AS bnot
+         FROM events WHERE user_id < 20
+         ORDER BY event_id""")
 }

@@ -2542,6 +2542,10 @@ object Compiler {
       case Var(name) => col(s"$$$name")
       case Unary("-", x) => -toColumn(x, p)
       case Unary("!", x) => !toColumn(x, p)
+      // float64(^int64(x)) — expression/stage.go bitwiseNotStage
+      case Unary("~", x) =>
+        org.apache.spark.sql.functions.bitwise_not(
+          toColumn(x, p).cast("long")).cast("double")
       case Unary(op, _) => throw new IllegalArgumentException(s"unary $op")
       case Bin(op, l, r) =>
         val (a, b) = (toColumn(l, p), toColumn(r, p))
@@ -2576,6 +2580,19 @@ object Compiler {
           case "/" => arith(_ / _, _ / _)
           case "%" => arith(_ % _, pmod(_, _))
           case "**" => pow(a, b)
+          // bitwise on float64: float64(int64(l) OP int64(r)); shifts
+          // convert through uint64, so >> is a LOGICAL shift and
+          // shift counts >= 64 flush to zero (Go shifts don't wrap —
+          // expression/stage.go:318-330)
+          case "&" => (a.cast("long").bitwiseAND(b.cast("long"))).cast("double")
+          case "|" => (a.cast("long").bitwiseOR(b.cast("long"))).cast("double")
+          case "^" => (a.cast("long").bitwiseXOR(b.cast("long"))).cast("double")
+          case "<<" =>
+            when(b.cast("long") >= 64L, lit(0d)).otherwise(
+              call_function("shiftleft", a.cast("long"), b.cast("int")).cast("double"))
+          case ">>" =>
+            when(b.cast("long") >= 64L, lit(0d)).otherwise(
+              call_function("shiftrightunsigned", a.cast("long"), b.cast("int")).cast("double"))
           // NULL comparisons have IS [NOT] NULL semantics in TQL
           // (FILTER(value(1) != NULL), tql_test.go FAKE_statz)
           case "==" => (l, r) match {

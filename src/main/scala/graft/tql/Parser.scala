@@ -71,22 +71,31 @@ object Parser {
         // ${name} interpolation keeps structural braces
         if (i < n && s(i) == '{') { out += TOp("{"); i += 1 }
       } else if (c == '{') {
-        // `{ … }` is a raw string block to the expression lexer — pure
-        // brace-depth counting, quotes NOT honored (expression/parse.go
-        // readBlock; SQL({create tag table …}) ships DDL this way)
-        var depth = 1
-        var j = i + 1
-        val sb = new StringBuilder
-        while (j < n && depth > 0) {
-          val ch = s(j)
-          if (ch == '{') depth += 1
-          else if (ch == '}') depth -= 1
-          if (depth > 0) sb.append(ch)
-          j += 1
+        heredocBody(s, i) match {
+          case Some((body, end)) =>
+            // {<<TAG … TAG} tagged raw block — body may hold unbalanced
+            // braces (parse.go readTaggedBlock)
+            out += TStr(body)
+            i = end
+          case None =>
+            // `{ … }` is a raw string block to the expression lexer —
+            // pure brace-depth counting, quotes NOT honored
+            // (expression/parse.go readBlock; SQL({create tag table …})
+            // ships DDL this way)
+            var depth = 1
+            var j = i + 1
+            val sb = new StringBuilder
+            while (j < n && depth > 0) {
+              val ch = s(j)
+              if (ch == '{') depth += 1
+              else if (ch == '}') depth -= 1
+              if (depth > 0) sb.append(ch)
+              j += 1
+            }
+            require(depth == 0, "unterminated { block }")
+            out += TStr(sb.toString)
+            i = j
         }
-        require(depth == 0, "unterminated { block }")
-        out += TStr(sb.toString)
-        i = j
       } else {
         multiOps.find(op => s.startsWith(op, i)) match {
           case Some(op) => out += TOp(op); i += op.length
@@ -107,6 +116,10 @@ object Parser {
     case "&&" => 25
     case "in" => 30
     case "==" | "!=" | ">" | ">=" | "<" | "<=" | "=~" | "!~" => 35
+    // bitwise sits between comparators and additive, shifts tighter
+    // than bitwise but looser than +/- (operator_table.go:22-27)
+    case "&" | "|" | "^" => 38
+    case "<<" | ">>" => 40
     case "+" | "-" => 45
     case "*" | "/" | "%" => 50
     case "**" => 60
@@ -178,8 +191,13 @@ object Parser {
       case "[" =>
         val idx = parseExpr(0); expectOp("]"); Expr.Index(left, idx)
       case "?" =>
-        val t = parseExpr(0); expectOp(":"); val f = parseExpr(9)
-        Expr.Ternary(left, t, f)
+        // the else-branch is optional — `true ? 10` yields nil when
+        // false (evaluation_test.go "Ternary with single boolean")
+        val t = parseExpr(0)
+        peek match {
+          case TOp(":") => next(); Expr.Ternary(left, t, parseExpr(9))
+          case _ => Expr.Ternary(left, t, Expr.Null)
+        }
       case "**" => Expr.Bin("**", left, parseExpr(lbp("**") - 1)) // right-assoc
       case _ => Expr.Bin(op, left, parseExpr(lbp(op)))
     }
