@@ -309,6 +309,24 @@ object Catalog {
       case "V$NEO_SESSION" => Some(df(spark,
         StructType(Seq(l("ID"), l("USER_ID"), s("USER_NAME"))), Nil))
       case "V$STMT" => Some(showStatements(spark))
+      case statName if statName.endsWith("_STAT") && statName.startsWith("V$") =>
+        // V$<T>_STAT — per-tag statistics of tag table T, addressable
+        // from plain SQL (http_query_test.go queries
+        // v$EXAMPLE_stat min/max times)
+        val t = statName.stripPrefix("V$").stripSuffix("_STAT").toLowerCase
+        if (TagTables.typeOf(t) == "Tag") {
+          import org.apache.spark.sql.functions.{col, expr}
+          // time columns surface as real timestamps so aggregates over
+          // the view keep the datetime type (the engine types them
+          // datetime; min()/max() drop column metadata otherwise)
+          def ts(c: String) =
+            // `div`, not `/`: double division loses ns precision at 1e18
+            expr(s"timestamp_micros($c div 1000)").as(c)
+          Some(QueryDoor.showCommand(spark, s"show tags $t").select(
+            col("NAME"), col("ROW_COUNT"), ts("MIN_TIME"), ts("MAX_TIME"),
+            col("MIN_VALUE"), ts("MIN_VALUE_TIME"),
+            col("MAX_VALUE"), ts("MAX_VALUE_TIME"), ts("RECENT_ROW_TIME")))
+        } else None
       case _ => None
     }
     data.foreach(_.createOrReplaceTempView(view))

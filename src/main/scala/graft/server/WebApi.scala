@@ -66,6 +66,137 @@ object WebApi {
       names.zipWithIndex.map { case (n, i) => Row(i + 1, n) }.toSeq)
   }
 
+  /** An HTTP front-door reply: status code, Content-Type, body. */
+  case class HttpReply(status: Int, contentType: String, body: String)
+
+  /** `GET/POST /db/query` — request params decoded per the reference's
+    * QueryRequest (svrmsg.go:30-108: q, p JSON bind array, format,
+    * timeformat, tz, rownum, heading, header=skip, precision, transpose,
+    * rowsFlatten, rowsArray, binaryformat, delimiter), bound SQL executed
+    * through the query door, rendered by the matching codec with its
+    * Content-Type. Errors reply the reference's JSON error envelope
+    * (http_query_test.go TestHttpQueryEmptySqlErrors/BindParamInvalid). */
+  def dbQuery(spark: SparkSession,
+              params: Map[String, Seq[String]]): HttpReply = {
+    import graft.sinks.Codecs
+    val t0 = System.nanoTime()
+    def one(k: String): Option[String] =
+      params.get(k).flatMap(_.headOption).filter(_.nonEmpty)
+    def bool(k: String, dflt: Boolean): Boolean =
+      one(k).map(_.equalsIgnoreCase("true")).getOrElse(dflt)
+    def elapse: String =
+      graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    def err(status: Int, reason: String): HttpReply =
+      HttpReply(status, "application/json; charset=utf-8",
+        s"""{"success":false,"reason":${graft.sinks.GoJs.quote(reason)},"elapse":"$elapse"}""")
+
+    val sqlText = one("q").getOrElse("")
+    if (sqlText.trim.isEmpty) return err(400, "sql text is empty")
+    val binds: Seq[Any] =
+      try parseBindParams(one("p").getOrElse(""))
+      catch { case e: IllegalArgumentException => return err(400, e.getMessage) }
+    val bound =
+      try bindSql(sqlText, binds)
+      catch { case e: IllegalArgumentException => return err(400, e.getMessage) }
+
+    val format = one("format").getOrElse("json").toLowerCase
+    var o = Codecs.Options(
+      heading = bool("heading", dflt = true),
+      rownum = bool("rownum", dflt = false),
+      precision = one("precision").flatMap(p => p.toIntOption).getOrElse(-1),
+      transpose = bool("transpose", dflt = false),
+      rowsFlatten = bool("rowsFlatten", dflt = false),
+      rowsArray = bool("rowsArray", dflt = false),
+      binaryFormat = one("binaryformat").getOrElse("hex"),
+      delimiter = one("delimiter").getOrElse(","))
+    if (one("header").contains("skip")) o = o.copy(heading = false)
+    one("tz").foreach(z => o = o.copy(tz = graft.time.TimeFns.resolveTz(z)))
+    one("timeformat").foreach { f =>
+      f.toLowerCase match {
+        case "s" | "ms" | "us" | "ns" => o = o.copy(timeformat = Some(f.toLowerCase))
+        case _ =>
+          val (jp, trim) = graft.time.TimeFns.resolveNamedOrGoFormat(f)
+          o = o.copy(timeformat = Some(jp), trimFractionZeros = trim)
+      }
+    }
+    try {
+      val result = QueryDoor.execute(spark, bound)
+      // mutations reply the bare envelope with the engine message as
+      // `reason` and no data field (http_query_test.go
+      // TestHttpQueryMutation)
+      val firstWord = bound.trim.split("\\s+").headOption
+        .map(_.toLowerCase).getOrElse("")
+      val isQuery = Set("select", "show", "desc", "explain", "with")(firstWord)
+      if (!isQuery && result.columns.sameElements(Array("MESSAGE"))) {
+        val msg = result.collect().headOption.map(_.getString(0)).getOrElse("executed.")
+        return HttpReply(200, "application/json",
+          s"""{"success":true,"reason":${graft.sinks.GoJs.quote(msg)},"elapse":"$elapse"}""")
+      }
+      val (ct, fm) = format match {
+        case "csv" => ("text/csv; charset=utf-8", "CSV")
+        case "box" => ("text/plain", "BOX")
+        case "ndjson" => ("application/x-ndjson", "NDJSON")
+        case "markdown" => ("application/xhtml+xml", "MARKDOWN")
+        case _ => ("application/json", "JSON")
+      }
+      HttpReply(200, ct, Codecs.render(result, fm, o))
+    } catch {
+      case e: Exception =>
+        val m = Option(e.getMessage).filter(_.nonEmpty).getOrElse(e.toString)
+        err(500, m.linesIterator.find(_.nonEmpty).getOrElse(e.toString))
+    }
+  }
+
+  /** `p` bind array: JSON scalars only (svrmsg.go normalizeQueryParamValue
+    * — arrays/objects reject with the Go type token). */
+  private[server] def parseBindParams(raw: String): Seq[Any] = {
+    if (raw.trim.isEmpty) return Nil
+    import graft.tql.{Expr, Parser}
+    def scalar(e: Expr): Any = e match {
+      case Expr.Num(v) => v
+      case Expr.Str(s) => s
+      case Expr.Bool(b) => b
+      case Expr.Null => null
+      case Expr.Unary("-", Expr.Num(v)) => -v
+      case Expr.Call("__arr", _) => throw new IllegalArgumentException(
+        "bind parameter must be scalar, got []interface {}")
+      case _ => throw new IllegalArgumentException(
+        "bind parameter must be scalar, got map[string]interface {}")
+    }
+    Parser.parseExpression(raw) match {
+      case Expr.Call("__arr", items) => items.map(scalar)
+      case _ => throw new IllegalArgumentException(s"invalid p, $raw")
+    }
+  }
+
+  /** Substitute `?` placeholders (outside quoted strings) with SQL
+    * literals from the bind array. */
+  private[server] def bindSql(sql: String, binds: Seq[Any]): String = {
+    if (binds.isEmpty) return sql
+    val sb = new StringBuilder
+    var bi = 0
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (quote != 0) { sb.append(c); if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') { sb.append(c); quote = c }
+      else if (c == '?') {
+        require(bi < binds.size, s"not enough bind parameters")
+        sb.append(binds(bi) match {
+          case null => "NULL"
+          case s: String => "'" + s.replace("'", "''") + "'"
+          case b: Boolean => if (b) "TRUE" else "FALSE"
+          case d: Double if d == math.rint(d) && math.abs(d) < 1e15 => d.toLong.toString
+          case other => other.toString
+        })
+        bi += 1
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** `GET /web/api/tables/:table/tags/:tag/stat` — the reference's
     * per-tag stat row (http_test.go:1748-1797): ROWNUM, NAME, ROW_COUNT,
     * MIN/MAX_TIME, MIN/MAX_VALUE(+times), RECENT_ROW_TIME; time columns

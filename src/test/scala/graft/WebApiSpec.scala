@@ -61,4 +61,80 @@ class WebApiSpec extends SparkSpec {
         s""""rows":[[1,"temp",1,$tick,$tick,3.14,$tick,3.14,$tick,$tick]]},"success":true,"reason":"success","elapse":"0s"}""", stat)
     } finally QueryDoor.execute(spark, "drop table example")
   }
+
+  test("/db/query request decode + codec replies (http_query_test.go TestHttpQuery)") {
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create tag table example (NAME varchar(100) primary key, TIME datetime basetime, VALUE double summarized)")
+    try {
+      TagTables.insert(spark, "example", Seq("NAME", "TIME", "VALUE"),
+        Seq("temp", Long.box(tick), Double.box(3.14)))
+      QueryDoor.execute(spark, "exec table_flush('example')")
+      def q(kv: (String, String)*): WebApi.HttpReply =
+        WebApi.dbQuery(spark, kv.map { case (k, v) => k -> Seq(v) }.toMap)
+
+      // select_aliveness: box reply is text/plain
+      val box = q("q" -> "select 123 as VALUE", "format" -> "box")
+      assert(box.status == 200 && box.contentType == "text/plain", box)
+      assert(box.body.contains("| VALUE |") && box.body.contains("| 123"), box.body)
+
+      // bind params via the JSON `p` array
+      val js = q(
+        "q" -> "select (min(min_time)) as mn, (max(max_time)) as mx from v$example_stat where name = ?",
+        "p" -> """["temp"]""")
+      assert(js.status == 200 && js.contentType == "application/json", js)
+      assert(js.body.contains(s""""rows":[[$tick,$tick]]"""), js.body)
+
+      // csv + header=skip + timeformat=s (TestHttpQuery header_skip case)
+      val csv = q(
+        "q" -> "select (min(min_time)) as mn, (max(max_time)) as mx from v$example_stat where name = ?",
+        "p" -> """["temp"]""", "format" -> "csv", "header" -> "skip",
+        "timeformat" -> "s")
+      assert(csv.contentType == "text/csv; charset=utf-8", csv)
+      assert(csv.body == "1705291859,1705291859\n\n", csv.body)
+
+      // transpose / rowsFlatten / rowsArray JSON shapes
+      val tr = q("q" -> "select NAME, VALUE from example order by NAME",
+        "transpose" -> "true")
+      assert(tr.body.contains(""""cols":[["temp"],[3.14]]"""), tr.body)
+      val fl = q("q" -> "select NAME, VALUE from example order by NAME",
+        "rowsFlatten" -> "true")
+      assert(fl.body.contains(""""rows":["temp",3.14]"""), fl.body)
+      val ra = q("q" -> "select NAME, VALUE from example order by NAME",
+        "rowsArray" -> "true")
+      assert(ra.body.contains(""""rows":[{"NAME":"temp","VALUE":3.14}]"""), ra.body)
+
+      // error envelopes
+      val empty = q("format" -> "box")
+      assert(empty.status == 400 &&
+        empty.contentType == "application/json; charset=utf-8", empty)
+      assert(empty.body.contains(""""reason":"sql text is empty""""), empty.body)
+      val nested = q("q" -> "select * from example where name = ?",
+        "p" -> """[["temp"]]""")
+      assert(nested.status == 400 &&
+        nested.body.contains("bind parameter must be scalar, got []interface {}"),
+        nested.body)
+    } finally QueryDoor.execute(spark, "drop table example")
+  }
+
+  test("/db/query mutation lifecycle replies bare envelopes (TestHttpQueryMutation)") {
+    TagTables.resetDynamicForTest(spark)
+    def q(sql: String): String =
+      WebApi.dbQuery(spark, Map("q" -> Seq(sql))).body.replaceAll(""","elapse":"[^"]*"""", "")
+    val base = tick + 123456789L
+    try {
+      assert(q("CREATE TAG TABLE IF NOT EXISTS http_query_mut (name varchar(40) primary key, time datetime basetime, value double summarized)")
+        == """{"success":true,"reason":"Created successfully."}""")
+      assert(q(s"INSERT INTO http_query_mut VALUES('http-query-mutation', $base, 3.14)")
+        == """{"success":true,"reason":"a row inserted."}""")
+      assert(q(s"INSERT INTO http_query_mut VALUES('http-query-mutation', ${base + 1}, 6.28)")
+        == """{"success":true,"reason":"a row inserted."}""")
+      assert(q(s"INSERT INTO http_query_mut VALUES('http-query-mutation', ${base + 2}, 9.42)")
+        == """{"success":true,"reason":"a row inserted."}""")
+      assert(q("DELETE FROM http_query_mut WHERE name='http-query-mutation'")
+        == """{"success":true,"reason":"3 rows deleted."}""")
+      assert(q("DROP TABLE http_query_mut")
+        == """{"success":true,"reason":"Dropped successfully."}""")
+    } finally TagTables.resetDynamicForTest(spark)
+  }
 }
