@@ -212,9 +212,12 @@ object QueryDoor {
     out.toString
   }
 
-  /** one VALUES token → JVM value (quoted string, integer, double, NULL). */
+  /** one VALUES token → JVM value (quoted string, integer, double, NULL,
+    * the engine's `now` keyword as epoch ns). */
   private[graft] def literalValue(tok: String): Any =
     if (tok.equalsIgnoreCase("null")) null
+    else if (tok.equalsIgnoreCase("now"))
+      Long.box(System.currentTimeMillis() * 1000000L)
     else if (tok.startsWith("'") && tok.endsWith("'") && tok.length >= 2)
       tok.substring(1, tok.length - 1).replace("''", "'")
     else if (tok.matches("[+-]?\\d+")) java.lang.Long.valueOf(tok)

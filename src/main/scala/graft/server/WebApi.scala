@@ -147,6 +147,70 @@ object WebApi {
     }
   }
 
+  /** Sink format → reply Content-Type (each reference codec's
+    * ContentType()). */
+  private[server] def sinkContentType(format: String,
+                                      o: graft.sinks.Codecs.Options): String =
+    format.toUpperCase match {
+      case "CSV" => "text/csv; charset=utf-8"
+      case "JSON" => "application/json"
+      case "NDJSON" => "application/x-ndjson"
+      case "MARKDOWN" =>
+        if (o.htmlRender) "application/xhtml+xml" else "text/markdown"
+      case "HTML" => "application/xhtml+xml"
+      case "CHART" | "CHART_LINE" | "CHART_BAR" | "CHART_SCATTER" => "text/html"
+      case "GEOMAP" => "text/html"
+      case _ => "text/plain" // BOX, TEXT, DISCARD
+    }
+
+  /** `GET/POST /web/api/tql` (+`/web/api/tql-exec`): the `$` query param
+    * carries the script; a POST body is the script when `$` is absent,
+    * otherwise it becomes the task's payload (http_query.go
+    * handleTqlQuery). Replies use the sink codec's Content-Type; errors
+    * reply the JSON envelope with the reference reasons ("script not
+    * found", "unsupported method"). */
+  def tqlQuery(spark: SparkSession, method: String,
+               params: Map[String, Seq[String]] = Map.empty,
+               body: Option[String] = None): HttpReply = {
+    val t0 = System.nanoTime()
+    def elapse: String =
+      graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    def err(status: Int, reason: String): HttpReply =
+      HttpReply(status, "application/json; charset=utf-8",
+        s"""{"success":false,"reason":${graft.sinks.GoJs.quote(reason)},"elapse":"$elapse"}""")
+    val scriptParam = params.get("$").flatMap(_.headOption).filter(_.nonEmpty)
+    val (script, payload) = method.toUpperCase match {
+      case "POST" => scriptParam match {
+        case Some(s) => (Some(s), body)
+        case None => (body, None)
+      }
+      case "GET" =>
+        scriptParam match {
+          case Some(s) => (Some(s), None)
+          case None => return err(400, "script not found")
+        }
+      case _ => return err(405, "unsupported method")
+    }
+    script match {
+      case None => return err(400, "script not found")
+      case Some(src) =>
+        try {
+          val taskParams: Map[String, Seq[String]] =
+            (params - "$" - "$token") ++
+              payload.map(p => "payload" -> Seq(p)).toMap
+          val c = graft.tql.Compiler.compileMulti(spark, src,
+            System.currentTimeMillis() * 1000000L, taskParams)
+          val bodyText = graft.sinks.Codecs.render(
+            c.output, c.sink.format, c.sink.options)
+          HttpReply(200, sinkContentType(c.sink.format, c.sink.options), bodyText)
+        } catch {
+          case e: Exception =>
+            val m = Option(e.getMessage).filter(_.nonEmpty).getOrElse(e.toString)
+            err(400, m.linesIterator.find(_.nonEmpty).getOrElse(e.toString))
+        }
+    }
+  }
+
   /** `p` bind array: JSON scalars only (svrmsg.go normalizeQueryParamValue
     * — arrays/objects reject with the Go type token). */
   private[server] def parseBindParams(raw: String): Seq[Any] = {

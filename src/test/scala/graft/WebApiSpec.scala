@@ -117,6 +117,59 @@ class WebApiSpec extends SparkSpec {
     } finally QueryDoor.execute(spark, "drop table example")
   }
 
+  test("/db/query binary column rides every format (TestQueryBinaryFormat)") {
+    TagTables.resetDynamicForTest(spark)
+    def q(kv: (String, String)*): String =
+      WebApi.dbQuery(spark, kv.map { case (k, v) => k -> Seq(v) }.toMap).body
+    try {
+      val created = q("q" -> "CREATE TAG TABLE IF NOT EXISTS test_bin (name varchar(40) primary key, time datetime basetime, value binary)")
+      assert(created.contains("Created successfully."), created)
+      val inserted = q("q" -> "INSERT INTO test_bin VALUES('name', now, '0x0102A0B0')")
+      assert(inserted.contains("a row inserted."), inserted)
+      def sel(kv: (String, String)*): String =
+        q(Seq("q" -> "SELECT NAME, VALUE FROM test_bin") ++ kv: _*)
+      assert(sel().contains("""["name","0x0102a0b0"]"""), sel())
+      assert(sel("binaryformat" -> "base64").contains("""["name","AQKgsA=="]"""))
+      assert(sel("format" -> "csv").contains("name,0x0102a0b0\n"))
+      assert(sel("format" -> "csv", "binaryformat" -> "base64").contains("name,AQKgsA==\n"))
+      assert(sel("format" -> "ndjson").contains("""{"NAME":"name","VALUE":"0x0102a0b0"}""" + "\n"))
+      assert(sel("format" -> "ndjson", "binaryformat" -> "base64")
+        .contains("""{"NAME":"name","VALUE":"AQKgsA=="}""" + "\n"))
+      assert(sel("format" -> "box").contains("| name | 0x0102a0b0 |\n"), sel("format" -> "box"))
+      assert(sel("format" -> "box", "binaryformat" -> "base64").contains("| name | AQKgsA== |\n"))
+    } finally {
+      q("q" -> "DROP TABLE test_bin")
+      TagTables.resetDynamicForTest(spark)
+    }
+  }
+
+  test("/web/api/tql script param, body script, payload, errors (TestHandleTqlQuery/Exec)") {
+    // GET with the $ param delegates to the tql engine; CSV content type
+    val get = WebApi.tqlQuery(spark, "GET",
+      Map("$" -> Seq("FAKE(linspace(0,1,2))\nCSV()")))
+    assert(get.status == 200 && get.contentType == "text/csv; charset=utf-8", get)
+    assert(get.body == "0\n1\n\n", get.body)
+
+    // POST body IS the script when $ is absent
+    val post = WebApi.tqlQuery(spark, "POST",
+      body = Some("FAKE(linspace(0,1,2))\nCSV()"))
+    assert(post.status == 200 && post.body == "0\n1\n\n", post)
+
+    // POST with $ script: the body becomes payload()
+    val payload = WebApi.tqlQuery(spark, "POST",
+      Map("$" -> Seq("CSV(payload())\nCSV()")), body = Some("a,1\nb,2\n"))
+    assert(payload.status == 200 && payload.body == "a,1\nb,2\n\n", payload)
+
+    // error paths: missing script / bad method / compile error
+    val missing = WebApi.tqlQuery(spark, "GET")
+    assert(missing.status == 400 && missing.body.contains("script not found"), missing)
+    val put = WebApi.tqlQuery(spark, "PUT",
+      Map("$" -> Seq("FAKE(linspace(0,1,2))\nCSV()")))
+    assert(put.status == 405 && put.body.contains("unsupported method"), put)
+    val bad = WebApi.tqlQuery(spark, "GET", Map("$" -> Seq("FAKE(")))
+    assert(bad.status == 400 && bad.body.contains(""""success":false"""), bad)
+  }
+
   test("/db/query mutation lifecycle replies bare envelopes (TestHttpQueryMutation)") {
     TagTables.resetDynamicForTest(spark)
     def q(sql: String): String =
