@@ -211,6 +211,27 @@ object WebApi {
     }
   }
 
+  /** `POST /web/api/splitter/sql` — the console's statement splitter
+    * (http_test.go TestSplitSQL envelope shape). */
+  def splitterSql(body: String): HttpReply = {
+    val t0 = System.nanoTime()
+    val stmts = Splitters.splitSqlStatements(body).map(_.toJson)
+    val elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    HttpReply(200, "application/json",
+      s"""{"success":true,"reason":"success","elapse":"$elapse",""" +
+        s""""data":{"statements":${stmts.mkString("[", ",", "]")}}}""")
+  }
+
+  /** `POST /web/api/splitter/http` (http_test.go TestSplitHTTP). */
+  def splitterHttp(body: String): HttpReply = {
+    val t0 = System.nanoTime()
+    val stmts = Splitters.splitHttpStatements(body).map(_.toJson)
+    val elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    HttpReply(200, "application/json",
+      s"""{"success":true,"reason":"success","elapse":"$elapse",""" +
+        s""""data":{"statements":${stmts.mkString("[", ",", "]")}}}""")
+  }
+
   /** `p` bind array: JSON scalars only (svrmsg.go normalizeQueryParamValue
     * — arrays/objects reject with the Go type token). */
   private[server] def parseBindParams(raw: String): Seq[Any] = {
