@@ -289,6 +289,7 @@ object TqlQueries {
         .orderBy("event_id")
     }),
 
+
     // bitwise operators on the TQL expression surface: float64(int64 OP
     // int64) per expression/stage.go, >> is a logical (uint64) shift
     "q_tql_bitwise" -> ((s, dir) => {

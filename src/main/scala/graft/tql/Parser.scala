@@ -28,6 +28,16 @@ object Parser {
       if (c.isWhitespace) i += 1
       else if (c == '/' && i + 1 < n && s(i + 1) == '/') {
         while (i < n && s(i) != '\n') i += 1
+      } else if (c == '0' && i + 1 < n && s(i + 1) == 'x') {
+        // 0x hex literal → uint64 → float64 (parse.go:80-95; only the
+        // lowercase x form)
+        val start = i + 2
+        var j = start
+        while (j < n && (s(j).isDigit ||
+          ("abcdef".indexOf(s(j).toLower) >= 0))) j += 1
+        require(j > start, s"unable to parse hex value '' to uint64")
+        out += TNum(java.lang.Long.parseUnsignedLong(s.substring(start, j), 16).toDouble)
+        i = j
       } else if (c.isDigit || (c == '.' && i + 1 < n && s(i + 1).isDigit)) {
         val start = i
         while (i < n && (s(i).isDigit || s(i) == '.' || s(i) == 'e' || s(i) == 'E' ||

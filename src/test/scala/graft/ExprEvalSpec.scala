@@ -93,6 +93,12 @@ class ExprEvalSpec extends SparkSpec {
     "'foo' + '02/05/1970' == 'foobar'" -> "false",
     "'foo' + true == 'footrue'" -> "true",
     "true + 'bar' == 'truebar'" -> "true",
+    // hex literals (parse_test.go TestConstantParsing)
+    "0x1" -> "1",
+    "0x10" -> "16",
+    "0xabcdef" -> "11259375",
+    "0xABCDEF" -> "11259375",
+    "0x10 + 1" -> "17",
     // coalesce and membership
     "1 ?? 2" -> "1",
     "1 in (1, 2, 3)" -> "true",
