@@ -20,4 +20,16 @@ object Metrics {
     series.get(name).map(_.toSeq.sortBy(_._1)).getOrElse(Seq.empty)
 
   def clear(): Unit = series.clear()
+
+  /** `/debug/statz` shape: one entry per measure with its interval
+    * series rolled through a MetricSeries gauge (http_test.go TestStatz
+    * pins the JSON-object reply). */
+  def statzJson(intervalNs: Long = 1000000000L): String = {
+    val entries = series.keys.toSeq.sorted.map { name =>
+      val ts = new MetricSeries.TimeSeries(intervalNs, 60, new MetricSeries.Gauge)
+      timeseries(name).foreach { case (t, v) => ts.add(t, v) }
+      s"""${graft.sinks.GoJs.quote(name)}:${ts.render}"""
+    }
+    entries.mkString("{", ",", "}")
+  }
 }

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.server.MetricSeries._
+
+/** Reproduces the reference metric battery
+  * (mods/util/metric/timeseries_test.go): bin rolling, gap nulls, ring
+  * reset, products, JSON render, counter/gauge/meter/timer producers and
+  * the moving-average sliding windows. */
+class MetricSeriesSpec extends AnyFunSuite {
+
+  private val S = 1000000000L
+  private def t(h: Int, m: Int, s: Int, ms: Int = 0): Long =
+    (java.time.LocalDateTime.of(2023, 10, 1, h, m, s, ms * 1000000)
+      .toEpochSecond(java.time.ZoneOffset.UTC)) * S + ms.toLong * 1000000L
+
+  test("meter series: rolls, gaps, ring reset, products (TestTimeseries)") {
+    val products = scala.collection.mutable.ArrayBuffer.empty[Product]
+    val ts = new TimeSeries(S, 3, new Meter, products += _)
+    var now = t(12, 4, 4, 400)
+    ts.add(now, 1.0)
+    now += S; ts.add(now, 2.0)
+    assert(ts.render ==
+      """[{"ts":"2023-10-01 12:04:05","value":{"samples":1,"sum":1,"first":1,"last":1,"min":1,"max":1}},""" +
+      """{"ts":"2023-10-01 12:04:06","value":{"samples":1,"sum":2,"first":2,"last":2,"min":2,"max":2}}]""",
+      ts.render)
+    now += S; ts.add(now, 3.0)
+    now += S; ts.add(now, 4.0)
+    val (times1, vals1) = ts.all()
+    assert(times1 == Seq(t(12, 4, 6), t(12, 4, 7), t(12, 4, 8)))
+    assert(vals1 == Seq(
+      MeterValue(1, 2, 2, 2, 2, 2), MeterValue(1, 3, 3, 3, 3, 3),
+      MeterValue(1, 4, 4, 4, 4, 4)))
+    now += 100000000L; ts.add(now, 5.0)
+    now += 200000000L; ts.add(now, 4.8)
+    val (times2, vals2) = ts.all()
+    assert(times2 == times1)
+    assert(vals2.last == MeterValue(3, 13.8, 4, 4.8, 4, 5))
+    now += 1700000000L; ts.add(now, 6.0)
+    val (times3, vals3) = ts.all()
+    assert(times3 == Seq(t(12, 4, 8), t(12, 4, 9), t(12, 4, 10)))
+    assert(vals3 == Seq(MeterValue(3, 13.8, 4, 4.8, 4, 5), null,
+      MeterValue(1, 6, 6, 6, 6, 6)))
+    now += 5 * S; ts.add(now, 7.0)
+    assert(ts.render ==
+      """[{"ts":"2023-10-01 12:04:15","value":{"samples":1,"sum":7,"first":7,"last":7,"min":7,"max":7}}]""",
+      ts.render)
+    // products fired at each bin close
+    assert(products.map(_.timeNs) ==
+      Seq(t(12, 4, 5), t(12, 4, 6), t(12, 4, 7), t(12, 4, 8), t(12, 4, 10)))
+    assert(products(3).value == MeterValue(3, 13.8, 4, 4.8, 4, 5))
+  }
+
+  test("counter series over sub-second adds (TestTimeSeriesSubSeconds)") {
+    val ts = new TimeSeries(S, 10, new Counter)
+    var now = t(12, 4, 5) - 100000000L
+    def tick(): Long = { now += 100000000L; now }
+    (1 to 100).foreach(i => ts.add(tick(), i.toDouble))
+    val (times, values) = ts.lastN(0)
+    assert(times == (6 to 15).map(s => t(12, 4, s)))
+    assert(values == Seq(
+      CounterValue(10, 55), CounterValue(10, 155), CounterValue(10, 255),
+      CounterValue(10, 355), CounterValue(10, 455), CounterValue(10, 555),
+      CounterValue(10, 655), CounterValue(10, 755), CounterValue(10, 855),
+      CounterValue(10, 955)))
+    assert(ts.interval == S && ts.max == 10)
+    val (lt, lv) = ts.last()
+    assert(lt == t(12, 4, 15) && lv == CounterValue(10, 955))
+    assert(ts.lastN(20)._1.size == 10)
+    val (at, av) = ts.after(t(12, 4, 13))
+    assert(at == Seq(t(12, 4, 13), t(12, 4, 14), t(12, 4, 15)))
+    assert(av == Seq(CounterValue(10, 755), CounterValue(10, 855), CounterValue(10, 955)))
+  }
+
+  test("counter moving averages over sliding bin windows (TestTimeSeriesCounterWithSlidingWindow)") {
+    val ts = new TimeSeries(S, 10,
+      new Counter().withDerivers(MovingAverage("ma3", 3), MovingAverage("ma5", 5)))
+    var now = t(12, 4, 5) - 100000000L
+    def tick(): Long = { now += 100000000L; now }
+    (1 to 100).foreach(i => ts.add(tick(), i.toDouble))
+    val (_, values) = ts.lastN(0)
+    def d(v: MetricValue, k: String): MetricValue = v.derived(k)
+    assert(values(0) == CounterValue(10, 55) &&
+      d(values(0), "ma3") == CounterValue(10, 55) &&
+      d(values(0), "ma5") == CounterValue(10, 55), values(0).derived)
+    assert(d(values(1), "ma3") == CounterValue(20, 105))
+    assert(d(values(2), "ma3") == CounterValue(30, 155))
+    assert(d(values(3), "ma3") == CounterValue(30, 255))
+    assert(d(values(3), "ma5") == CounterValue(40, 205))
+    assert(d(values(4), "ma5") == CounterValue(50, 255))
+    assert(d(values(9), "ma3") == CounterValue(30, 855))
+    assert(d(values(9), "ma5") == CounterValue(50, 755))
+  }
+
+  test("gauge keeps the last value per bin; timer aggregates ns durations (TestTimeSeriesGauge/Timer)") {
+    val g = new TimeSeries(S, 10, new Gauge)
+    var now = t(12, 4, 5) - 100000000L
+    def tick(): Long = { now += 100000000L; now }
+    (1 to 100).foreach(i => g.add(tick(), i.toDouble))
+    val (_, gv) = g.lastN(0)
+    assert(gv.head == GaugeValue(10, 55, 10))
+    assert(gv.last == GaugeValue(10, 955, 100))
+
+    val tm = new TimeSeries(S, 10, new Timer)
+    now = t(12, 4, 5) - 100000000L
+    (1 to 100).foreach(i => tm.add(tick(), (i.toLong * S).toDouble))
+    val (_, tv) = tm.lastN(0)
+    assert(tv.head == TimerValue(10, 55 * S, 1 * S, 10 * S))
+    assert(tv.last == TimerValue(10, 955 * S, 91 * S, 100 * S))
+  }
+
+  test("statz reply is a JSON object keyed by measure (TestStatz shape)") {
+    graft.server.Metrics.clear()
+    graft.server.Metrics.send("sess:query", 1.0, t(12, 4, 5))
+    graft.server.Metrics.send("sess:query", 2.0, t(12, 4, 5, 500))
+    graft.server.Metrics.send("go:goroutine", 42.0, t(12, 4, 5))
+    val json = graft.server.Metrics.statzJson()
+    assert(json.startsWith("""{"go:goroutine":[""") && json.contains(""""sess:query":["""), json)
+    assert(json.contains(""""value":2"""), json) // gauge keeps the bin's last
+    graft.server.Metrics.clear()
+  }
+}
