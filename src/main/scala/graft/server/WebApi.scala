@@ -108,7 +108,10 @@ object WebApi {
       rowsFlatten = bool("rowsFlatten", dflt = false),
       rowsArray = bool("rowsArray", dflt = false),
       binaryFormat = one("binaryformat").getOrElse("hex"),
-      delimiter = one("delimiter").getOrElse(","))
+      delimiter = one("delimiter").getOrElse(","),
+      boxStyle = one("boxStyle").getOrElse("default"),
+      separateColumns = bool("boxSeparateColumns", dflt = true),
+      drawBorder = bool("boxDrawBorder", dflt = true))
     if (one("header").contains("skip")) o = o.copy(heading = false)
     one("tz").foreach(z => o = o.copy(tz = graft.time.TimeFns.resolveTz(z)))
     one("timeformat").foreach { f =>

@@ -56,6 +56,12 @@ object Codecs {
         * "| ... |" ellipsis row and a Total-records marker (md_encode.go
         * SetBrief/SetBriefCount; brief(true) = 5). 0 = off. */
       brief: Long = 0L,
+      /** BOX table glyphs: default/light/double/bold/round */
+      boxStyle: String = "default",
+      /** BOX: vertical separators between columns (default true) */
+      separateColumns: Boolean = true,
+      /** BOX: outer border (default true) */
+      drawBorder: Boolean = true,
       /** MARKDOWN(html(true)): render the table as goldmark-converted
         * XHTML in a <div> wrapper — md_encode.go:155-162 htmlRender */
       htmlRender: Boolean = false)
@@ -464,23 +470,69 @@ object Codecs {
     w.write("</div>")
   }
 
-  /** BOX (ASCII table) sink — buffers rows for column widths; use only on
-    * presentation-sized results, like the reference does. */
+  /** BOX (ASCII table) sink — the reference renders through go-pretty
+    * (box_encode.go): headers UPPERCASE, the ROWNUM column right-aligned,
+    * data cells left-aligned, floats in shortest 'f' form (unlike CSV's
+    * 6-dec trim), styles default/light/double/bold/round, and the
+    * boxSeparateColumns/boxDrawBorder switches. Buffers rows for column
+    * widths; use only on presentation-sized results, like the reference.
+    */
   def box(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
-    val cols = df.columns
-    val rows = df.collect().map(_.toSeq.map(fmt(_, o)))
-    val widths = cols.indices.map { i =>
-      (cols(i).length +: rows.map(_(i).length)).max
+    // (TL, TM, TR, ML, MM, MR, BL, BM, BR, H, V)
+    val g: Array[String] = o.boxStyle.toLowerCase match {
+      case "light" => Array("┌", "┬", "┐", "├", "┼", "┤", "└", "┴", "┘", "─", "│")
+      case "double" => Array("╔", "╦", "╗", "╠", "╬", "╣", "╚", "╩", "╝", "═", "║")
+      case "bold" => Array("┏", "┳", "┓", "┣", "╋", "┫", "┗", "┻", "┛", "━", "┃")
+      case "round" => Array("╭", "┬", "╮", "├", "┼", "┤", "╰", "┴", "╯", "─", "│")
+      case _ => Array("+", "+", "+", "+", "+", "+", "+", "+", "+", "-", "|")
     }
-    def sep(): Unit = {
-      w.write(widths.map("-" * _).mkString("+-", "-+-", "-+")); w.write("\n")
+    def boxCell(v: Any): String = v match {
+      case null => "NULL"
+      case d: Double =>
+        if (o.precision >= 0) fixedExact(d, o.precision) else goFloat(d)
+      case f: Float =>
+        if (o.precision >= 0) fixedExact(f.toDouble, o.precision)
+        else { // shortest float32 repr, like FormatFloat(..., -1, 32)
+          val s = java.lang.Float.toString(f)
+          if (s.endsWith(".0")) s.dropRight(2) else s
+        }
+      case other => fmt(other, o)
     }
-    def line(vals: Seq[String]): Unit = {
-      w.write(vals.zip(widths).map { case (v, wd) => v.padTo(wd, ' ') }
-        .mkString("| ", " | ", " |")); w.write("\n")
+    val cols0 = df.columns.toSeq.map(_.toUpperCase)
+    val cols = if (o.rownum) "ROWNUM" +: cols0 else cols0
+    var i = 0L
+    val rows = df.collect().map { r =>
+      i += 1
+      val base = r.toSeq.map(boxCell)
+      if (o.rownum) (i.toString +: base) else base
     }
-    sep(); line(cols.toSeq); sep()
-    rows.foreach(r => line(r)); sep()
+    val widths = cols.indices.map { c =>
+      (cols(c).length +: rows.map(_(c).length).toSeq).max
+    }
+    val sepCol = if (o.separateColumns) g(10) else " "
+    def rule(l: String, m: String, r: String, outer: Boolean = true): Unit = {
+      // the outer border toggles top/bottom/side rules; the header
+      // separator stays (go-pretty Options.DrawBorder vs SeparateHeader)
+      if (outer && !o.drawBorder) return
+      val body = widths.map(wd => g(9) * (wd + 2))
+        .mkString(if (o.separateColumns) m else g(9))
+      if (o.drawBorder) w.write(l + body + r) else w.write(body)
+      w.write("\n")
+    }
+    def line(vals: Seq[String], rightAlignFirst: Boolean): Unit = {
+      val cells = vals.zip(widths).zipWithIndex.map { case ((v, wd), ci) =>
+        if (rightAlignFirst && ci == 0 && o.rownum)
+          (" " * (wd - v.length)) + v
+        else v.padTo(wd, ' ')
+      }
+      val (lb, rb) = if (o.drawBorder) (g(10) + " ", " " + g(10)) else ("", "")
+      w.write(cells.mkString(lb, s" $sepCol ", rb)); w.write("\n")
+    }
+    rule(g(0), g(1), g(2))
+    line(cols, rightAlignFirst = false)
+    rule(g(3), g(4), g(5), outer = false)
+    rows.foreach(r => line(r, rightAlignFirst = true))
+    rule(g(6), g(7), g(8))
   }
 
   def render(df: DataFrame, format: String, o: Options = Options()): String = {

@@ -2437,6 +2437,10 @@ object Compiler {
       case Call("briefCount", List(Num(n))) => opts = opts.copy(brief = n.toLong)
       case Call("rowsArray", List(Bool(b))) => opts = opts.copy(rowsArray = b)
       case Call("rowsArray", _) => opts = opts.copy(rowsArray = true)
+      case Call("boxStyle", List(Str(st))) => opts = opts.copy(boxStyle = st)
+      case Call("boxSeparateColumns", List(Bool(b))) =>
+        opts = opts.copy(separateColumns = b)
+      case Call("boxDrawBorder", List(Bool(b))) => opts = opts.copy(drawBorder = b)
       case Call("transpose", List(Bool(b))) => opts = opts.copy(transpose = b)
       case Call("transpose", _) => opts = opts.copy(transpose = true)
       // nullValue/substituteNull: custom token for NULL cells

@@ -104,6 +104,50 @@ class CodecBatterySpec extends SparkSpec {
     assert(out == "ts\n9:29:34AM\n\n")
   }
 
+  test("BOX light style, rownum right-aligned, uppercase headers (box_encode_test.go TestBox1)") {
+    val out = Codecs.render(sixColDf(lastNull = true), "BOX",
+      Codecs.Options(heading = true, rownum = true, precision = 3,
+        timeformat = Some(kitchen), boxStyle = "light"))
+    val want = Seq(
+      "┌────────┬──────┬───────┬───────────┬────────────┬───────┬──────┐",
+      "│ ROWNUM │ COL1 │ COL2  │ COL3      │ COL4       │ COL5  │ COL6 │",
+      "├────────┼──────┼───────┼───────────┼────────────┼───────┼──────┤",
+      "│      1 │ 1    │ 3.142 │ text some │ 12:29:34AM │ 98765 │ 16   │",
+      "│      2 │ 1    │ 3.142 │ text some │ 12:29:34AM │ 98765 │ NULL │",
+      "└────────┴──────┴───────┴───────────┴────────────┴───────┴──────┘",
+      "").mkString("\n")
+    assert(out == want, out)
+  }
+
+  test("BOX double style shortest-float cells (TestBoxFloat)") {
+    val df = Seq((0.0d, 1.234000d, 1.234000f, -1.234000d, -1.234000f, math.Pi))
+      .toDF("col1", "col2", "col3", "col4", "col5", "col6")
+    val out = Codecs.render(df, "BOX",
+      Codecs.Options(heading = true, rownum = true, boxStyle = "double"))
+    val want = Seq(
+      "╔════════╦══════╦═══════╦═══════╦════════╦════════╦═══════════════════╗",
+      "║ ROWNUM ║ COL1 ║ COL2  ║ COL3  ║ COL4   ║ COL5   ║ COL6              ║",
+      "╠════════╬══════╬═══════╬═══════╬════════╬════════╬═══════════════════╣",
+      "║      1 ║ 0    ║ 1.234 ║ 1.234 ║ -1.234 ║ -1.234 ║ 3.141592653589793 ║",
+      "╚════════╩══════╩═══════╩═══════╩════════╩════════╩═══════════════════╝",
+      "").mkString("\n")
+    assert(out == want, out)
+  }
+
+  test("BOX default style epoch timeformats (TestNano, s form)") {
+    val df = Seq((3, "text some", ts)).toDF("col1", "col3", "col4")
+    val out = Codecs.render(df, "BOX",
+      Codecs.Options(heading = true, timeformat = Some("s")))
+    val want = Seq(
+      "+------+-----------+------------+",
+      "| COL1 | COL3      | COL4       |",
+      "+------+-----------+------------+",
+      "| 3    | text some | 1691800174 |",
+      "+------+-----------+------------+",
+      "").mkString("\n")
+    assert(out == want, out)
+  }
+
   test("delimiter option (TestCsvEncoderSetterPaths)") {
     val df = Seq((1, null.asInstanceOf[String])).toDF("a", "b")
     assert(Codecs.render(df, "CSV",
