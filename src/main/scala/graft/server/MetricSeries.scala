@@ -44,6 +44,12 @@ object MetricSeries {
     protected def baseJson =
       s"""{"samples":$samples,"sum":$sumNs,"min":$minNs,"max":$maxNs}"""
   }
+  final case class HistogramValue(samples: Long, p: Seq[Double],
+                                  values: Seq[Double]) extends MetricValue {
+    protected def baseJson =
+      s"""{"samples":$samples,"p":${p.map(num).mkString("[", ",", "]")},""" +
+        s""""values":${values.map(num).mkString("[", ",", "]")}}"""
+  }
 
   private def num(d: Double): String = graft.sinks.Codecs.goFloat(d)
 
@@ -100,6 +106,64 @@ object MetricSeries {
     def produce(reset: Boolean): MetricValue = {
       val r = TimerValue(samples, sumNs, minNs, maxNs)
       if (reset) { samples = 0; sumNs = 0; minNs = 0; maxNs = 0 }
+      r
+    }
+  }
+
+  /** Streaming quantile sketch (histogram.go): sorted value bins; when
+    * over maxBins, merge the adjacent pair with the smallest value gap
+    * into their count-weighted mean (the merge order is deterministic —
+    * histogram_test.go TestHistogramJSON pins the exact bins). Quantile
+    * lookup walks cumulative counts. Bounded state — the 100-TB shape is
+    * the same sketch merged per-partition. */
+  final class Histogram(maxBins0: Int, qs0: Double*) extends Producer {
+    private val maxBins = if (maxBins0 <= 0) 100 else maxBins0
+    val qs: Seq[Double] = if (qs0.nonEmpty) qs0.toSeq else Seq(0.5, 0.90, 0.99)
+    private var bins = Vector.empty[(Double, Double)] // (value, count)
+    private var samples = 0L
+
+    def add(v: Double): Unit = {
+      samples += 1
+      val idx = bins.indexWhere(_._1 > v)
+      bins = if (idx < 0) bins :+ (v, 1.0)
+      else (bins.take(idx) :+ ((v, 1.0))) ++ bins.drop(idx)
+      trim()
+    }
+
+    private def trim(): Unit = {
+      while (bins.size > maxBins) {
+        var d = 0.0
+        var i = 0
+        var j = 1
+        while (j < bins.size) {
+          val dv = bins(j)._1 - bins(j - 1)._1
+          if (dv < d || j == 1) { d = dv; i = j }
+          j += 1
+        }
+        val count = bins(i)._2 + bins(i - 1)._2
+        val merged = ((bins(i)._1 * bins(i)._2 + bins(i - 1)._1 * bins(i - 1)._2) / count, count)
+        bins = (bins.take(i - 1) :+ merged) ++ bins.drop(i + 1)
+      }
+    }
+
+    def quantile(q: Double): Double = {
+      var count = q * samples
+      var i = 0
+      while (i < bins.size) {
+        count -= bins(i)._2
+        if (count <= 0) return bins(i)._1
+        i += 1
+      }
+      0.0
+    }
+    def quantiles(ps: Double*): Seq[Double] = ps.map(quantile)
+    /** the marshalled sketch state (TestHistogramJSON) */
+    def binsJson: String = bins.map { case (v, c) =>
+      f"""{"value":$v%f,"count":$c%f}""" }.mkString("[", ",", "]")
+
+    def produce(reset: Boolean): MetricValue = {
+      val r = HistogramValue(samples, qs, quantiles(qs: _*))
+      if (reset) { bins = Vector.empty; samples = 0 }
       r
     }
   }

@@ -109,6 +109,39 @@ class MetricSeriesSpec extends AnyFunSuite {
     assert(tv.last == TimerValue(10, 955 * S, 91 * S, 100 * S))
   }
 
+  test("histogram quantiles exact and merged (TestHistogram/50/Quantiles)") {
+    val h = new Histogram(100)
+    (1 to 100).foreach(i => h.add(i.toDouble))
+    assert(h.quantile(0.50) == 50.0)
+    assert(h.quantile(0.75) == 75.0)
+    assert(h.quantile(0.90) == 90.0)
+    assert(h.quantile(0.99) == 99.0)
+    assert(h.quantile(0.999) == 100.0)
+    assert(h.quantiles(0.75, 0.50, 0.90) == Seq(75.0, 50.0, 90.0))
+
+    val h50 = new Histogram(50)
+    (1 to 100).foreach(i => h50.add(i.toDouble))
+    assert(h50.quantile(0.50) == 49.5)
+    assert(h50.quantile(0.75) == 75.5)
+    assert(h50.quantile(0.90) == 89.5)
+    assert(h50.quantile(0.99) == 99.5)
+    assert(h50.quantile(0.999) == 99.5)
+  }
+
+  test("histogram sketch bins merge deterministically (TestHistogramJSON)") {
+    val h = new Histogram(10, 0.5, 0.7, 0.9)
+    (1 to 100).foreach(i => h.add(i.toDouble))
+    assert(h.binsJson ==
+      """[{"value":4.500000,"count":8.000000},{"value":12.500000,"count":8.000000},""" +
+      """{"value":22.000000,"count":11.000000},{"value":31.000000,"count":7.000000},""" +
+      """{"value":40.000000,"count":11.000000},{"value":52.500000,"count":14.000000},""" +
+      """{"value":64.500000,"count":10.000000},{"value":74.500000,"count":10.000000},""" +
+      """{"value":86.000000,"count":13.000000},{"value":96.500000,"count":8.000000}]""",
+      h.binsJson)
+    val v = h.produce(false).asInstanceOf[HistogramValue]
+    assert(v.samples == 100 && v.p == Seq(0.5, 0.7, 0.9), v)
+  }
+
   test("statz reply is a JSON object keyed by measure (TestStatz shape)") {
     graft.server.Metrics.clear()
     graft.server.Metrics.send("sess:query", 1.0, t(12, 4, 5))
