@@ -44,6 +44,12 @@ object MetricSeries {
     protected def baseJson =
       s"""{"samples":$samples,"sum":$sumNs,"min":$minNs,"max":$maxNs}"""
   }
+  final case class OdometerValue(first: Double, last: Double,
+                                 samples: Long) extends MetricValue {
+    def diff: Double = if (samples == 0) 0 else last - first
+    protected def baseJson =
+      s"""{"first":${num(first)},"last":${num(last)},"samples":$samples}"""
+  }
   final case class HistogramValue(samples: Long, p: Seq[Double],
                                   values: Seq[Double]) extends MetricValue {
     protected def baseJson =
@@ -106,6 +112,25 @@ object MetricSeries {
     def produce(reset: Boolean): MetricValue = {
       val r = TimerValue(samples, sumNs, minNs, maxNs)
       if (reset) { samples = 0; sumNs = 0; minNs = 0; maxNs = 0 }
+      r
+    }
+  }
+
+  /** Monotonic-counter reading (odometer.go): keeps first/last readings
+    * per window; reset carries `last` forward as the next window's
+    * `first`, so Diff() chains across windows without gaps. */
+  final class Odometer extends Producer {
+    private var samples = 0L
+    private var first, last = 0.0
+    private var initialized = false
+    def add(v: Double): Unit = {
+      samples += 1
+      if (!initialized) { first = v; initialized = true }
+      last = v
+    }
+    def produce(reset: Boolean): MetricValue = {
+      val r = OdometerValue(first, last, samples)
+      if (reset) { first = last; samples = 0 }
       r
     }
   }

@@ -142,6 +142,21 @@ class MetricSeriesSpec extends AnyFunSuite {
     assert(v.samples == 100 && v.p == Seq(0.5, 0.7, 0.9), v)
   }
 
+  test("odometer chains first/last across window resets (TestOdometerJSON)") {
+    val om = new Odometer
+    assert(om.produce(true).toJson == """{"first":0,"last":0,"samples":0}""")
+    val om2 = new Odometer
+    om2.add(2.0); om2.add(7.0); om2.add(10.0)
+    val v1 = om2.produce(false).asInstanceOf[OdometerValue]
+    assert(v1.diff == 8.0)
+    assert(v1.toJson == """{"first":2,"last":10,"samples":3}""")
+    om2.produce(true)
+    om2.add(13.0)
+    val v2 = om2.produce(false).asInstanceOf[OdometerValue]
+    assert(v2.diff == 3.0)
+    assert(v2.toJson == """{"first":10,"last":13,"samples":1}""")
+  }
+
   test("statz reply is a JSON object keyed by measure (TestStatz shape)") {
     graft.server.Metrics.clear()
     graft.server.Metrics.send("sess:query", 1.0, t(12, 4, 5))
