@@ -66,8 +66,10 @@ object WebApi {
       names.zipWithIndex.map { case (n, i) => Row(i + 1, n) }.toSeq)
   }
 
-  /** An HTTP front-door reply: status code, Content-Type, body. */
-  case class HttpReply(status: Int, contentType: String, body: String)
+  /** An HTTP front-door reply: status code, Content-Type, body, plus
+    * any extra headers (X-Chart-Type, Location). */
+  case class HttpReply(status: Int, contentType: String, body: String,
+                       headers: Map[String, String] = Map.empty)
 
   /** `GET/POST /db/query` — request params decoded per the reference's
     * QueryRequest (svrmsg.go:30-108: q, p JSON bind array, format,
@@ -197,19 +199,73 @@ object WebApi {
     script match {
       case None => return err(400, "script not found")
       case Some(src) =>
-        try {
-          val taskParams: Map[String, Seq[String]] =
-            (params - "$" - "$token") ++
-              payload.map(p => "payload" -> Seq(p)).toMap
-          val c = graft.tql.Compiler.compileMulti(spark, src,
-            System.currentTimeMillis() * 1000000L, taskParams)
-          val bodyText = graft.sinks.Codecs.render(
-            c.output, c.sink.format, c.sink.options)
-          HttpReply(200, sinkContentType(c.sink.format, c.sink.options), bodyText)
-        } catch {
+        try runScript(spark, src, (params - "$" - "$token") ++
+          payload.map(p => "payload" -> Seq(p)).toMap)
+        catch {
           case e: Exception =>
             val m = Option(e.getMessage).filter(_.nonEmpty).getOrElse(e.toString)
             err(400, m.linesIterator.find(_.nonEmpty).getOrElse(e.toString))
+        }
+    }
+  }
+
+  /** Compile + render a TQL script, with chart sinks going through the
+    * chart renderer; `forceChartJson` models the X-Chart-Output: json
+    * request header. */
+  private def runScript(spark: SparkSession, src: String,
+                        taskParams: Map[String, Seq[String]],
+                        forceChartJson: Boolean = false): HttpReply = {
+    val c0 = graft.tql.Compiler.compileMulti(spark, src,
+      System.currentTimeMillis() * 1000000L, taskParams)
+    val isChart = c0.sink.chartArgs.isDefined
+    val c =
+      if (isChart && forceChartJson)
+        c0.copy(sink = c0.sink.copy(chartArgs = c0.sink.chartArgs.map(
+          _ :+ graft.tql.Expr.Call("chartJson", List(graft.tql.Expr.Bool(true))))))
+      else c0
+    val bodyText = graft.tql.Compiler.renderCompiled(c)
+    val ct =
+      if (isChart) { if (forceChartJson) "application/json" else "text/html" }
+      else if (c.sink.format == "SQLEXEC" || c.sink.format == "TABLEINS")
+        "application/json"
+      else sinkContentType(c.sink.format, c.sink.options)
+    val headers =
+      if (isChart && c.sink.format.startsWith("CHART")) Map("X-Chart-Type" -> "echarts")
+      else Map.empty[String, String]
+    HttpReply(200, ct, bodyText, headers)
+  }
+
+  /** `GET /db/tql/:path` — stored scripts and static files
+    * (http_query.go handleTqlFile): `.tql` paths execute through the
+    * engine (missing → 404 "not found", compile failure → 500
+    * envelope); `/public/...` paths redirect; other paths serve their
+    * bytes. The file provider abstracts the server-side FS. */
+  def tqlFile(spark: SparkSession, fs: String => Option[Array[Byte]],
+              path: String, params: Map[String, Seq[String]] = Map.empty,
+              requestHeaders: Map[String, String] = Map.empty): HttpReply = {
+    val t0 = System.nanoTime()
+    def elapse: String =
+      graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    def err(status: Int, reason: String): HttpReply =
+      HttpReply(status, "application/json; charset=utf-8",
+        s"""{"success":false,"reason":${graft.sinks.GoJs.quote(reason)},"elapse":"$elapse"}""")
+    if (path.startsWith("/public/"))
+      return HttpReply(302, "", "", Map("Location" -> path))
+    if (!path.endsWith(".tql")) {
+      return fs(path) match {
+        case Some(bytes) => HttpReply(200, "text/plain", new String(bytes, "UTF-8"))
+        case None => err(404, s"'$path' not found")
+      }
+    }
+    fs(path) match {
+      case None => err(404, s"'$path' not found")
+      case Some(src) =>
+        try runScript(spark, new String(src, "UTF-8"), params,
+          forceChartJson = requestHeaders.get("X-Chart-Output").contains("json"))
+        catch {
+          case e: Exception =>
+            val m = Option(e.getMessage).filter(_.nonEmpty).getOrElse(e.toString)
+            err(500, m.linesIterator.find(_.nonEmpty).getOrElse(e.toString))
         }
     }
   }

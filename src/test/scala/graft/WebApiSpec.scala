@@ -117,6 +117,41 @@ class WebApiSpec extends SparkSpec {
     } finally QueryDoor.execute(spark, "drop table example")
   }
 
+  test("/db/tql file door: static, redirect, 404, compile error, chart json (TestHandleTqlFile)") {
+    val files = scala.collection.mutable.Map[String, Array[Byte]](
+      "/query_test_static.txt" -> "hello from static file".getBytes("UTF-8"),
+      "/query_test_broken.tql" -> "FAKE(".getBytes("UTF-8"),
+      "/query_test_output.tql" ->
+        "FAKE(linspace(0,360,5))\nMAPVALUE(1, sin((value(0)/180)*PI))\nCHART()".getBytes("UTF-8"),
+      "/query_test_ok.tql" -> "FAKE(linspace(0,1,2))\nCSV()".getBytes("UTF-8"))
+    def door(path: String, hdrs: Map[String, String] = Map.empty) =
+      WebApi.tqlFile(spark, files.get, path, requestHeaders = hdrs)
+
+    val redir = door("/public/redirect-policy.txt")
+    assert(redir.status == 302 && redir.headers("Location") == "/public/redirect-policy.txt")
+
+    val static = door("/query_test_static.txt")
+    assert(static.status == 200 && static.contentType == "text/plain" &&
+      static.body == "hello from static file", static)
+
+    val missing = door("/query_test_missing.tql")
+    assert(missing.status == 404 && missing.body.contains(""""success":false""") &&
+      missing.body.contains("not found"), missing)
+
+    val broken = door("/query_test_broken.tql")
+    assert(broken.status == 500 && broken.body.contains(""""success":false""") &&
+      broken.body.contains("reason"), broken)
+
+    val ok = door("/query_test_ok.tql")
+    assert(ok.status == 200 && ok.contentType == "text/csv; charset=utf-8" &&
+      ok.body == "0\n1\n\n", ok)
+
+    val chart = door("/query_test_output.tql", Map("X-Chart-Output" -> "json"))
+    assert(chart.status == 200 && chart.headers.get("X-Chart-Type").contains("echarts"), chart)
+    assert(chart.body.contains(""""chartID"""") && chart.body.contains(""""jsAssets"""") &&
+      chart.body.contains(""""jsCodeAssets""""), chart.body.take(300))
+  }
+
   test("/db/query binary column rides every format (TestQueryBinaryFormat)") {
     TagTables.resetDynamicForTest(spark)
     def q(kv: (String, String)*): String =
