@@ -1349,6 +1349,15 @@ object Compiler {
           .drop(p.keyCol).withColumnRenamed("__newkey", "_key")
         p.copy(df = df, keyCol = "_key", keyName = "key")
 
+      case Call("MAPKEY", args) =>
+        // a bad arg count is a PER-RECORD error in the reference — the
+        // task logs it and drops each record, so the sink still replies
+        // success with the source columns and zero rows
+        // (http_test.go TestTQL_SyntaxErrors mapkey_wrong_argument)
+        TqlLog.log("ERROR",
+          s"f(MAPKEY) invalid number of args; expect:1, actual:${args.size}")
+        p.copy(df = p.df.limit(0))
+
       case Call("PUSHKEY", List(expr)) =>
         // demote current key into values (the rownum key surfaces as
         // "ROWNUM", a previously-pushed key as "key" — fm_monad.go:1578

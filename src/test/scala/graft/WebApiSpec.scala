@@ -152,6 +152,14 @@ class WebApiSpec extends SparkSpec {
       chart.body.contains(""""jsCodeAssets""""), chart.body.take(300))
   }
 
+  test("runtime arg errors drop records, sink still succeeds (TestTQL_SyntaxErrors)") {
+    val r = WebApi.tqlQuery(spark, "POST", body = Some(
+      "FAKE(linspace(0,1,2))\nMAPKEY(-1,-1) // intended syntax error\nJSON()"))
+    assert(r.status == 200, r)
+    assert(r.body.contains(""""columns":["x"]""") && r.body.contains(""""types":["double"]""") &&
+      r.body.contains(""""rows":[]"""), r.body)
+  }
+
   test("/db/query binary column rides every format (TestQueryBinaryFormat)") {
     TagTables.resetDynamicForTest(spark)
     def q(kv: (String, String)*): String =
