@@ -267,7 +267,11 @@ object Timers {
     }
 
     def delSchedule(name: String): Result = {
-      store.remove(name.toUpperCase)
+      // removing an unknown schedule fails like the reference's
+      // os.Remove of the missing definition file (model.go:142-146)
+      if (store.remove(name.toUpperCase).isEmpty)
+        return Result(success = false,
+          s"remove ${name.toUpperCase}.json: no such file or directory")
       unregister(name)
       ok
     }

@@ -2,6 +2,7 @@ package graft.server
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import graft.sinks.GoJs
 
 /** The `/web/api/tables…` REST shapes (reference mods/server/http_query.go
   * + http_tables handlers; expectations pinned in http_test.go:1621-1797):
@@ -268,6 +269,83 @@ object WebApi {
             err(500, m.linesIterator.find(_.nonEmpty).getOrElse(e.toString))
         }
     }
+  }
+
+  /** Minimal flat-JSON object reader for request bodies ({string, number,
+    * bool} values; throws on malformed input so callers reply the error
+    * envelope). */
+  private[server] def flatJson(body: String): Map[String, String] = {
+    val t = body.trim
+    if (!t.startsWith("{") || !t.endsWith("}"))
+      throw new IllegalArgumentException("unexpected end of JSON input")
+    val re = ("\"((?:[^\"\\\\]|\\\\.)*)\"\\s*:\\s*" +
+      "(\"((?:[^\"\\\\]|\\\\.)*)\"|true|false|null|-?[0-9.eE+]+)").r
+    re.findAllMatchIn(t).map { m =>
+      val key = m.group(1).replace("\\\"", "\"")
+      val raw = m.group(2)
+      val v = if (raw.startsWith("\"")) m.group(3).replace("\\\"", "\"") else raw
+      key -> v
+    }.toMap
+  }
+
+  /** The `/web/api/timers` REST surface (http_facility_test.go
+    * TestTimer): list/add/delete/start/stop with the success envelope;
+    * schedules render with the reference's omit-empty field set. */
+  def timersList(spark: SparkSession): HttpReply = {
+    val t0 = System.nanoTime()
+    val svc = graft.scheduler.Timers.defaultService(spark)
+    val rows = svc.listSchedules().map { r =>
+      val fields = Seq(
+        Some(s""""name":${GoJs.quote(r.name)}"""),
+        Some(s""""type":${GoJs.quote(r.typ)}"""),
+        if (r.autoStart) Some(""""autoStart":true""") else None,
+        Some(s""""state":${GoJs.quote(r.state)}"""),
+        Option(r.task).filter(_.nonEmpty).map(t => s""""task":${GoJs.quote(t)}"""),
+        Option(r.schedule).filter(_.nonEmpty).map(s => s""""schedule":${GoJs.quote(s)}"""),
+        Option(r.bridge).filter(_.nonEmpty).map(b => s""""bridge":${GoJs.quote(b)}"""),
+        Option(r.topic).filter(_.nonEmpty).map(tp => s""""topic":${GoJs.quote(tp)}""")).flatten
+      fields.mkString("{", ",", "}")
+    }
+    val elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    HttpReply(200, "application/json",
+      s"""{"success":true,"reason":"success","elapse":"$elapse",""" +
+        s""""data":${rows.mkString("[", ",", "]")}}""")
+  }
+
+  def timersAdd(spark: SparkSession, body: String): HttpReply = {
+    val t0 = System.nanoTime()
+    def elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    try {
+      val obj = flatJson(body)
+      val svc = graft.scheduler.Timers.defaultService(spark)
+      val r = svc.addSchedule(obj.getOrElse("name", ""), "timer",
+        obj.get("autoStart").contains("true"),
+        obj.getOrElse("schedule", ""), obj.getOrElse("path", ""))
+      val status = if (r.success) 200 else 500
+      HttpReply(status, "application/json",
+        s"""{"success":${r.success},"reason":${GoJs.quote(r.reason)},"elapse":"$elapse"}""")
+    } catch {
+      case e: Exception =>
+        HttpReply(500, "application/json",
+          s"""{"success":false,"reason":${GoJs.quote(e.getMessage)},"elapse":"$elapse"}""")
+    }
+  }
+
+  def timersDelete(spark: SparkSession, name: String): HttpReply = {
+    val t0 = System.nanoTime()
+    val r = graft.scheduler.Timers.defaultService(spark).delSchedule(name)
+    val elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    HttpReply(if (r.success) 200 else 500, "application/json",
+      s"""{"success":${r.success},"reason":${GoJs.quote(r.reason)},"elapse":"$elapse"}""")
+  }
+
+  def timersStartStop(spark: SparkSession, name: String, start: Boolean): HttpReply = {
+    val t0 = System.nanoTime()
+    val svc = graft.scheduler.Timers.defaultService(spark)
+    val r = if (start) svc.startSchedule(name) else svc.stopSchedule(name)
+    val elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    HttpReply(if (r.success) 200 else 500, "application/json",
+      s"""{"success":${r.success},"reason":${GoJs.quote(r.reason)},"elapse":"$elapse"}""")
   }
 
   /** `POST /web/api/splitter/sql` — the console's statement splitter

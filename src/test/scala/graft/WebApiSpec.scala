@@ -160,6 +160,45 @@ class WebApiSpec extends SparkSpec {
       r.body.contains(""""rows":[]"""), r.body)
   }
 
+  test("/web/api/timers REST lifecycle envelopes (http_facility_test.go TestTimer)") {
+    val root = java.nio.file.Files.createTempDirectory("timer_rest_root")
+    java.nio.file.Files.write(root.resolve("csv_map.tql"),
+      "FAKE(linspace(0,1,2))\nCSV()\n".getBytes("UTF-8"))
+    val prevRoot = graft.tql.Compiler.templateRoot
+    graft.tql.Compiler.templateRoot = root.toString
+    graft.scheduler.Timers.resetForTest()
+    try {
+      val empty = WebApi.timersList(spark)
+      assert(empty.status == 200 && empty.body.contains(""""data":[]"""), empty)
+
+      val add = WebApi.timersAdd(spark,
+        """{"name":"timer-rest","autoStart":false,"schedule":"0 30 * * * *","path":"csv_map.tql"}""")
+      assert(add.status == 200 && add.body.contains(""""success":true"""), add)
+
+      val malformed = WebApi.timersAdd(spark, "{")
+      assert(malformed.status == 500 && malformed.body.contains(""""success":false"""), malformed)
+
+      val listed = WebApi.timersList(spark)
+      assert(listed.body.contains(""""name":"TIMER-REST"""") ||
+        listed.body.contains(""""name":"timer-rest""""), listed.body)
+      assert(listed.body.contains(""""schedule":"0 30 * * * *"""") &&
+        listed.body.contains(""""task":"""), listed.body)
+
+      val started = WebApi.timersStartStop(spark, "timer-rest", start = true)
+      assert(started.body.contains(""""success":"""), started)
+      val stopped = WebApi.timersStartStop(spark, "timer-rest", start = false)
+      assert(stopped.body.contains(""""success":"""), stopped)
+
+      val del = WebApi.timersDelete(spark, "timer-rest")
+      assert(del.status == 200 && del.body.contains(""""success":true"""), del)
+      val delMissing = WebApi.timersDelete(spark, "timer-ghost")
+      assert(delMissing.status == 500 && delMissing.body.contains(""""success":false"""), delMissing)
+    } finally {
+      graft.scheduler.Timers.resetForTest()
+      graft.tql.Compiler.templateRoot = prevRoot
+    }
+  }
+
   test("/db/query binary column rides every format (TestQueryBinaryFormat)") {
     TagTables.resetDynamicForTest(spark)
     def q(kv: (String, String)*): String =
