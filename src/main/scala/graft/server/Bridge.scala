@@ -155,7 +155,11 @@ object Bridge {
   }
 
   def delBridge(name: String): Result = {
-    defs.remove(name.toLowerCase)
+    // removing an unknown bridge fails like the reference's os.Remove
+    // of the missing definition file (model/model.go RemoveBridge)
+    if (defs.remove(name.toLowerCase).isEmpty)
+      return Result(success = false,
+        s"remove ${name.toUpperCase}.json: no such file or directory")
     registry.remove(name.toLowerCase)
     Result(success = true, "success")
   }

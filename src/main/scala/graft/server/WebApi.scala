@@ -348,6 +348,65 @@ object WebApi {
       s"""{"success":${r.success},"reason":${GoJs.quote(r.reason)},"elapse":"$elapse"}""")
   }
 
+  /** The `/web/api/bridges` REST surface (http_facility_test.go
+    * TestBridge): list/add/delete/state envelopes; a duplicate name
+    * rejects with the reference reason before the management op runs. */
+  def bridgesList(): HttpReply = {
+    val t0 = System.nanoTime()
+    val rows = Bridge.list.map { case (n, t, p) =>
+      s"""{"name":${GoJs.quote(n)},"type":${GoJs.quote(t)},"path":${GoJs.quote(p)}}"""
+    }
+    val elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    HttpReply(200, "application/json",
+      s"""{"success":true,"reason":"success","elapse":"$elapse",""" +
+        s""""data":${rows.mkString("[", ",", "]")}}""")
+  }
+
+  def bridgesAdd(body: String): HttpReply = {
+    val t0 = System.nanoTime()
+    def elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    def reply(status: Int, success: Boolean, reason: String) =
+      HttpReply(status, "application/json",
+        s"""{"success":$success,"reason":${GoJs.quote(reason)},"elapse":"$elapse"}""")
+    try {
+      val obj = flatJson(body)
+      val name = obj.getOrElse("name", "")
+      if (Bridge.list.exists(_._1.equalsIgnoreCase(name)))
+        return reply(400, success = false, s"'$name' is duplicate bridge name.")
+      val r = Bridge.addBridge(name, obj.getOrElse("type", ""),
+        obj.getOrElse("path", ""))
+      reply(if (r.success) 200 else 400, r.success, r.reason)
+    } catch {
+      case e: Exception => reply(500, success = false, e.getMessage)
+    }
+  }
+
+  def bridgesDelete(name: String): HttpReply = {
+    val t0 = System.nanoTime()
+    val r = Bridge.delBridge(name)
+    val elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    HttpReply(if (r.success) 200 else 500, "application/json",
+      s"""{"success":${r.success},"reason":${GoJs.quote(r.reason)},"elapse":"$elapse"}""")
+  }
+
+  def bridgesState(name: String, body: String): HttpReply = {
+    val t0 = System.nanoTime()
+    def elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    def reply(status: Int, success: Boolean, reason: String) =
+      HttpReply(status, "application/json",
+        s"""{"success":$success,"reason":${GoJs.quote(reason)},"elapse":"$elapse"}""")
+    try {
+      flatJson(body).getOrElse("state", "") match {
+        case "test" =>
+          val r = Bridge.testBridge(name)
+          reply(200, r.success, r.reason)
+        case other => reply(400, success = false, s"invalid state '$other'")
+      }
+    } catch {
+      case e: Exception => reply(500, success = false, e.getMessage)
+    }
+  }
+
   /** `POST /web/api/splitter/sql` — the console's statement splitter
     * (http_test.go TestSplitSQL envelope shape). */
   def splitterSql(body: String): HttpReply = {

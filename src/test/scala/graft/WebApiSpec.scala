@@ -199,6 +199,35 @@ class WebApiSpec extends SparkSpec {
     }
   }
 
+  test("/web/api/bridges REST lifecycle envelopes (http_facility_test.go TestBridge)") {
+    val name = "test-br-rest"
+    try {
+      val add = WebApi.bridgesAdd(
+        s"""{"name":"$name","type":"sqlite","path":"file::memory:?cache=shared"}""")
+      assert(add.status == 200 && add.body.contains(""""success":true"""), add)
+
+      val dup = WebApi.bridgesAdd(
+        s"""{"name":"$name","type":"sqlite","path":"file::memory:?cache=shared"}""")
+      assert(dup.status == 400 &&
+        dup.body.contains(s"'$name' is duplicate bridge name."), dup)
+
+      val listed = WebApi.bridgesList()
+      assert(listed.body.contains(s""""name":"$name"""") &&
+        listed.body.contains(""""type":"sqlite""""), listed.body)
+
+      val state = WebApi.bridgesState(name, """{"state":"test"}""")
+      assert(state.status == 200 && state.body.contains(""""success":true"""), state)
+      val badState = WebApi.bridgesState(name, """{"state":"invalid"}""")
+      assert(badState.status == 400, badState)
+
+      val del = WebApi.bridgesDelete(name)
+      assert(del.status == 200 && del.body.contains(""""success":true"""), del)
+      val delMissing = WebApi.bridgesDelete("non-existing-br")
+      assert(delMissing.status == 500 &&
+        delMissing.body.contains("no such file"), delMissing)
+    } finally graft.server.Bridge.delBridge(name)
+  }
+
   test("/db/query binary column rides every format (TestQueryBinaryFormat)") {
     TagTables.resetDynamicForTest(spark)
     def q(kv: (String, String)*): String =
