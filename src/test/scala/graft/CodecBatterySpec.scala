@@ -148,6 +148,35 @@ class CodecBatterySpec extends SparkSpec {
     assert(out == want, out)
   }
 
+  test("MARKDOWN goldens: plain, xhtml, timeformat, brief (md_test.go fixtures)") {
+    import java.nio.file.{Files, Paths}
+    val dir = "/root/reference/mods/codec/internal/markdown/test"
+    def fixture(n: String): String =
+      new String(Files.readAllBytes(Paths.get(s"$dir/$n")), "UTF-8")
+    // the reference harness compares whitespace-normalized (StringsEq)
+    def norm(s: String): Seq[String] =
+      s.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val base = java.time.Instant.ofEpochSecond(1692670838L, 86467000L)
+    val rows = (0 to 2).map(i =>
+      (Timestamp.from(base.plusSeconds(i)), i.toDouble, i % 2 == 0))
+    val df = rows.toDF("column0", "column1", "column2")
+    val tf = TimeFns.resolveNamedOrGoFormat("2006/01/02 15:04:05.999")
+    def run(o: Codecs.Options): String = Codecs.render(df, "MARKDOWN", o)
+
+    assert(norm(run(Codecs.Options())) == norm(fixture("output_md.txt")))
+    assert(norm(run(Codecs.Options(htmlRender = true))) ==
+      norm(fixture("output_md.html")))
+    assert(norm(run(Codecs.Options(timeformat = Some(tf._1),
+      trimFractionZeros = tf._2))) == norm(fixture("output_timeformat.txt")))
+    assert(norm(run(Codecs.Options(htmlRender = true, timeformat = Some(tf._1),
+      trimFractionZeros = tf._2))) == norm(fixture("output_timeformat.html")))
+    assert(norm(run(Codecs.Options(brief = 1, timeformat = Some(tf._1),
+      trimFractionZeros = tf._2))) == norm(fixture("output_brief.txt")))
+    assert(norm(run(Codecs.Options(htmlRender = true, brief = 1,
+      timeformat = Some(tf._1), trimFractionZeros = tf._2))) ==
+      norm(fixture("output_brief.html")))
+  }
+
   test("delimiter option (TestCsvEncoderSetterPaths)") {
     val df = Seq((1, null.asInstanceOf[String])).toDF("a", "b")
     assert(Codecs.render(df, "CSV",
