@@ -236,6 +236,20 @@ object TimeSeries {
         .orderBy("name", "t_us")
     }),
 
+    // ---- lake REST door calc template (two-stage rollup shape) --------
+    // calc_mode=SUM, interval 5 MIN, direction=1 (desc), LIMIT — the
+    // /lakes/values/calculated plan: 1×unit rollup sub-aggregate
+    // re-aggregated to n×unit buckets (http_lake.go:674-703).
+    "q_lake_door" -> ((s, dir) => {
+      val e0 = t(s, dir, "events").filter(col("user_id") < 10)
+      graft.server.LakeDoor.calcFrame(e0, col("user_id"), tsNs(e0),
+          dec2(col("value")), "SUM", "MIN", 5)
+        .select(col("NAME").as("name"), TimeFns.nsToUs(col("__tn")).as("t_us"),
+          col("VALUE").cast("double").as("value"))
+        .orderBy(col("t_us").desc, col("name").desc)
+        .limit(500)
+    }),
+
     // ---- rollup table build (1-hour pre-aggregate) --------------------
     "q_rollup_build" -> ((s, dir) => {
       val e0 = t(s, dir, "events").filter(col("user_id") < 10)
@@ -456,6 +470,13 @@ object TimeSeries {
          epoch_us(ts) - epoch_us(ts) % 3600000000 AS t_us,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
          FROM events WHERE user_id < 10 GROUP BY 1,2 ORDER BY 1,2""",
+    "q_lake_door" ->
+      """SELECT name, t_us, value FROM (
+         SELECT user_id AS name,
+         epoch_us(ts) - epoch_us(ts) % 300000000 AS t_us,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+         FROM events WHERE user_id < 10 GROUP BY 1,2)
+         ORDER BY t_us DESC, name DESC LIMIT 500""",
     "q_rollup_build" ->
       """SELECT user_id AS name,
          epoch_us(ts) - epoch_us(ts) % 3600000000 AS t_us,
