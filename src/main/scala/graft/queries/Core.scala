@@ -222,14 +222,18 @@ object Core {
     }),
 
     // ---- join: semi/anti ----------------------------------------------
+    // one pass: a left join against the distinct big-order customer keys
+    // classifies every customer — the semi+anti union shape scanned
+    // customer⋈orders twice for the same answer
     "q_join_semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000d)
-      val withBig = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-        .select(col("c_custkey"), lit("has_big_order").as("status"))
-      val noBig = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-        .select(col("c_custkey"), lit("no_big_order").as("status"))
-      withBig.unionByName(noBig).orderBy("c_custkey")
+      val bigKeys = t(s, dir, "orders").filter(col("o_totalprice") > 400000d)
+        .select(col("o_custkey")).distinct()
+      c.join(bigKeys, c("c_custkey") === bigKeys("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          when(col("o_custkey").isNull, "no_big_order")
+            .otherwise("has_big_order").as("status"))
+        .orderBy("c_custkey")
     }),
 
     // ---- HISTOGRAM (fixed bins incl. empty) ---------------------------

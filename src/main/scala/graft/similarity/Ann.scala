@@ -44,6 +44,23 @@ object Ann {
       .select("qid", "rnk", "eid", "cos_sim")
   }
 
+  /** recall@k of an approximate top-k against the exact top-k: one row
+    * per query vector, `(qid, recall_ok)`. This is the oracle-facing form
+    * of the approximate ANN modes — DuckDB cannot rebuild the engine-side
+    * index, but "every query recalls ≥ bound of its true neighbors" is an
+    * exact, hash-checkable statement. Both inputs carry (qid, eid); the
+    * join and counts stay distributed. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, bound: Double): DataFrame = {
+    val hits = approx.select("qid", "eid")
+      .join(exact.select("qid", "eid"), Seq("qid", "eid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"),
+        (coalesce(col("n_hits"), lit(0L)) / col("n_exact") >= bound).as("recall_ok"))
+      .orderBy("qid")
+  }
+
   /** Top near-dup pairs inside each block (e.g. cluster/label/coarse
     * quantizer cell) — the blocked path of embedding near-dup detection. */
   def topPairsPerBlock(corpus: DataFrame, blockCol: String, k: Int,

@@ -2164,31 +2164,53 @@ object Compiler {
   }
 
   // ---------------- WHEN ----------------
-  /** WHEN side effects run per matching record at the driver, in key
-    * order — the interactive contract (the reference fires them inline in
-    * its single-goroutine stream). The distributed analogue for bulk jobs
-    * is `sinks.TableSinks.when_` (executor-side foreach). */
+  /** How many WHEN log lines the driver re-emits before suppressing: a
+    * broad predicate at scale floods the task log otherwise. */
+  private val WhenLogCap = 1000
+
+  /** WHEN(cond, action) side effects (reference fm_monad.go single-
+    * goroutine stream). `doLog`/`doHttp` run executor-side over the
+    * filtered frame — nothing data-sized reaches the driver: doLog ships
+    * a capped (partition, seq)-tagged sample back through [[WhenLogAcc]]
+    * and the driver re-emits it in stream order; doHttp serializes the
+    * ordered exchanges through one executor task (the reference's
+    * contract is ordered, serialized emission — its tests pin request
+    * order). Only the `do()` sub-routine keeps a driver collect: each
+    * matching record compiles and runs a fresh TQL block, a driver
+    * facility by design (and bounded by the same predicate the reference
+    * runs inline). */
   private def runWhen(p: Pipe, cond: Expr, action: Expr): Unit = {
     import Expr._
     val spark = p.df.sparkSession
-    def matching(argEs: List[Expr]): Seq[Seq[Any]] = {
+    def ordered: DataFrame = {
       val df = p.df.filter(toColumn(cond, p))
-      val ordered =
-        if (df.columns.contains(p.keyCol)) df.orderBy(vcol(p.keyCol)) else df
-      ordered.select(argEs.map(toColumn(_, p)): _*).collect()
-        .toSeq.map(_.toSeq)
+      if (df.columns.contains(p.keyCol)) df.orderBy(vcol(p.keyCol)) else df
     }
     def fmtV(v: Any): String = graft.sinks.GoTemplate.fmtVal(v)
     action match {
       case Call("doLog", argEs) =>
-        matching(argEs).foreach(row =>
-          TqlLog.log("INFO", row.map(fmtV).mkString(" ")))
+        val acc = new WhenLogAcc(WhenLogCap)
+        spark.sparkContext.register(acc, "when_doLog")
+        ordered.select(argEs.map(toColumn(_, p)): _*)
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var i = 0L
+            it.foreach { row =>
+              acc.add((pid, i,
+                row.toSeq.map(graft.sinks.GoTemplate.fmtVal).mkString(" ")))
+              i += 1L
+            }
+          }
+        acc.value.foreach(t => TqlLog.log("INFO", t._3))
+        if (acc.suppressed > 0)
+          TqlLog.log("WARN",
+            s"doLog: ${acc.suppressed} further lines suppressed (cap $WhenLogCap)")
       case Call("do", argEs :+ Call("__block", List(Str(sub)))) =>
         // sub-routine: compile the block once per matching record with its
         // args bound (ARGS()/FAKE(args())/args(i) read them)
-        matching(argEs).foreach { row =>
+        ordered.select(argEs.map(toColumn(_, p)): _*).collect().foreach { r =>
           val c = compileMulti(spark, sub, currentNowNs.get,
-            currentParams.get + ("args" -> row.map(fmtV)))
+            currentParams.get + ("args" -> r.toSeq.map(fmtV)))
           if (c.sink.format != "DISCARD")
             TqlLog.log("WARN",
               s"do: ${c.sink.format}() sink does not work in a sub-routine")
@@ -2207,15 +2229,35 @@ object Compiler {
           case other => List(other)
         }
         val hasBody = bodyExprs.nonEmpty
-        matching(urlE :: bodyExprs).foreach { row =>
-          val url = String.valueOf(row.head)
-          val body = if (hasBody) Some(row.tail) else None
-          try graft.server.HttpLoop.doHttp(constString(methodE), url, body,
-            headers, (lvl, msg) => TqlLog.log(lvl, msg))
-          catch { case e: Exception =>
-            TqlLog.log("WARN", s"http-doer ${e.getMessage}")
+        val method = constString(methodE)
+        val acc = new WhenLogAcc(WhenLogCap)
+        spark.sparkContext.register(acc, "when_doHttp")
+        // coalesce(1) concatenates the sorted partitions in order: one
+        // executor task issues every exchange in stream order
+        ordered.select((urlE :: bodyExprs).map(toColumn(_, p)): _*)
+          .coalesce(1)
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var i = 0L
+            def emit(lvl: String, msg: String): Unit = {
+              acc.add((pid, i, lvl + " " + msg)); i += 1L
+            }
+            it.foreach { row =>
+              val url = String.valueOf(row.get(0))
+              val body = if (hasBody) Some(row.toSeq.tail) else None
+              try graft.server.HttpLoop.doHttp(method, url, body, headers, emit)
+              catch { case e: Exception =>
+                emit("WARN", s"http-doer ${e.getMessage}")
+              }
+            }
           }
+        acc.value.foreach { t =>
+          val sep = t._3.indexOf(' ')
+          TqlLog.log(t._3.take(sep), t._3.drop(sep + 1))
         }
+        if (acc.suppressed > 0)
+          TqlLog.log("WARN",
+            s"doHttp: ${acc.suppressed} further lines suppressed (cap $WhenLogCap)")
       case other => throw new IllegalArgumentException(s"unsupported WHEN action: $other")
     }
   }

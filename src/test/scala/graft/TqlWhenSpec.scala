@@ -81,6 +81,53 @@ class TqlWhenSpec extends SparkSpec {
     assert(logs2.contains("[INFO] MSG test 1 hi"), logs2)
   }
 
+  test("WHEN doLog runs off the driver: foreachPartition action, capped sample") {
+    import scala.collection.mutable.ArrayBuffer
+    val events = new java.util.concurrent.CopyOnWriteArrayList[(String, String)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        events.add((funcName, qe.executedPlan.toString))
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // 2500 matching records, cap 1000: the driver re-emits the capped
+      // sample plus one suppression warning — nothing data-sized collects
+      val (_, logs) = TqlLog.capture {
+        runTrim(
+          """FAKE( linspace(1, 2500, 2500) )
+            |WHEN( value(0) > 0, doLog("L", value(0)) )
+            |DISCARD()
+            |""".stripMargin)
+      }
+      val infos = logs.filter(_.startsWith("[INFO] L "))
+      assert(infos.length == 1000, infos.length)
+      // stream order survives the (partition, seq) re-sort
+      assert(infos.take(3) == Seq("[INFO] L 1", "[INFO] L 2", "[INFO] L 3"), infos.take(3))
+      assert(logs.exists(_.contains("1500 further lines suppressed")), logs.lastOption)
+
+      // the WHEN action surfaced as a foreachPartition query execution
+      // whose physical plan has no CollectLimit/CollectTail
+      org.scalatest.concurrent.Eventually.eventually(
+        org.scalatest.concurrent.Eventually.timeout(
+          org.scalatest.time.Span(10, org.scalatest.time.Seconds))) {
+        val snap = ArrayBuffer.empty[(String, String)]
+        events.forEach((e: (String, String)) => { snap += e; () })
+        val whenRuns = snap.filter { case (fn, plan) =>
+          fn == "foreachPartition" && plan.contains("2500")
+        }
+        assert(whenRuns.nonEmpty, snap.map(_._1))
+        whenRuns.foreach { case (_, plan) =>
+          assert(!plan.contains("CollectLimit") && !plan.contains("CollectTail"), plan)
+        }
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("pragma log-level=warn suppresses INFO console output (tql_test.go:2744-2767)") {
     val (out, logs) = TqlLog.capture {
       runTrim(
