@@ -236,7 +236,8 @@ object Timers {
 
     def addSchedule(name: String, typ: String, autoStart: Boolean,
                     schedule: String, task: String,
-                    bridge: String = "", topic: String = ""): Result = {
+                    bridge: String = "", topic: String = "",
+                    qos: Int = 0): Result = {
       if (name.length > 40)
         return Result(success = false, "name is too long, should be shorter than 40 characters")
       typ.toLowerCase match {
@@ -258,7 +259,7 @@ object Timers {
           return Result(success = false, s"schedule type '$other' is undefined")
       }
       val d = ScheduleDef(name.toUpperCase, typ.toLowerCase, autoStart, task,
-        schedule, bridge, topic)
+        schedule, bridge, topic, qos)
       store(d.name) = d
       register(d) match {
         case Left(e) => Result(success = false, e)
@@ -319,7 +320,7 @@ object Timers {
         }
       }
       ScheduleRow(d.name, d.typ.toUpperCase, d.autoStart, state, d.task,
-        d.schedule, d.bridge, d.topic)
+        d.schedule, d.bridge, d.topic, d.qos)
     }
 
     def getSchedule(name: String): Option[ScheduleRow] =
@@ -339,11 +340,28 @@ object Timers {
       sparkSession.createDataFrame(new java.util.ArrayList[Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
     }
+
+    /** SHOW SUBSCRIBERS result set (console listing of the SUBSCRIBER
+      * schedules served by /web/api/subscribers). */
+    def showSubscribers(sparkSession: SparkSession): DataFrame = {
+      val rows = listSchedules().filter(_.typ == "SUBSCRIBER").sortBy(_.name).map { s =>
+        Row(s.name, s.bridge, s.topic, s.task, s.autoStart, s.state)
+      }
+      val schema = StructType(Seq(
+        StructField("NAME", StringType),
+        StructField("BRIDGE", StringType),
+        StructField("TOPIC", StringType),
+        StructField("TQL", StringType),
+        StructField("AUTOSTART", BooleanType),
+        StructField("STATE", StringType)))
+      sparkSession.createDataFrame(new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    }
   }
 
   final case class ScheduleRow(name: String, typ: String, autoStart: Boolean,
                                state: String, task: String, schedule: String,
-                               bridge: String, topic: String)
+                               bridge: String, topic: String, qos: Int = 0)
 
   /** Subscriber entries need a broker bridge; the container has none, so
     * start() resolves the bridge by name and fails with the reference's
@@ -363,6 +381,7 @@ object Timers {
         val e = s"empty topic is not allowed, subscribe to bridge '${d.bridge}'"
         setStateError(Failed, Some(e)); return Left(e)
       }
+      setState(Running)
       Right(())
     }
     override def stop(): Either[String, Unit] = { setState(Stop); Right(()) }

@@ -119,6 +119,8 @@ object Bridge {
   /** (name, type, connect path) rows for the bridge listing. */
   def list: Seq[(String, String, String)] =
     defs.toSeq.map { case (n, (t, p)) => (n, t, p) }.sortBy(_._1)
+  /** Registered type of a bridge, if defined (management GetBridge). */
+  def typeOf(name: String): Option[String] = defs.get(name.toLowerCase).map(_._1)
 
   // ---- management ops (reference mods/bridge/management.go) ------------
 

@@ -314,6 +314,8 @@ object QueryDoor {
         Catalog.showVirtualTables(spark)
       case List("SHOW", "TIMERS") =>
         graft.scheduler.Timers.defaultService(spark).showTimers(spark)
+      case List("SHOW", "SUBSCRIBERS") =>
+        graft.scheduler.Timers.defaultService(spark).showSubscribers(spark)
       case List("SHOW", "BRIDGES") => Bridge.showBridges(spark)
       case List("SHOW", "SESSIONS") => Catalog.showSessions(spark)
       case List("SHOW", "STATEMENTS") => Catalog.showStatements(spark)

@@ -348,6 +348,119 @@ object WebApi {
       s"""{"success":${r.success},"reason":${GoJs.quote(r.reason)},"elapse":"$elapse"}""")
   }
 
+  /** One schedule object with the reference's omit-empty field set
+    * (scheduler management.go:19-29 — QoS renders only when non-zero,
+    * autoStart only when true). */
+  private def scheduleJson(r: graft.scheduler.Timers.ScheduleRow): String = {
+    val fields = Seq(
+      Some(s""""name":${GoJs.quote(r.name)}"""),
+      Some(s""""type":${GoJs.quote(r.typ)}"""),
+      if (r.autoStart) Some(""""autoStart":true""") else None,
+      Some(s""""state":${GoJs.quote(r.state)}"""),
+      Option(r.task).filter(_.nonEmpty).map(t => s""""task":${GoJs.quote(t)}"""),
+      Option(r.schedule).filter(_.nonEmpty).map(s => s""""schedule":${GoJs.quote(s)}"""),
+      Option(r.bridge).filter(_.nonEmpty).map(b => s""""bridge":${GoJs.quote(b)}"""),
+      Option(r.topic).filter(_.nonEmpty).map(tp => s""""topic":${GoJs.quote(tp)}"""),
+      if (r.qos != 0) Some(s""""QoS":${r.qos}""") else None).flatten
+    fields.mkString("{", ",", "}")
+  }
+
+  /** The `/web/api/subscribers` REST surface (routes http.go:320-324,
+    * handlers http.go:811-1073): subscribers share the scheduler
+    * registry with timers — the list filters SUBSCRIBER schedules and
+    * sorts by name; add validates against the bridge registry first. */
+  def subscribersList(spark: SparkSession): HttpReply = {
+    val t0 = System.nanoTime()
+    val svc = graft.scheduler.Timers.defaultService(spark)
+    val rows = svc.listSchedules()
+      .filter(_.typ == "SUBSCRIBER").sortBy(_.name).map(scheduleJson)
+    val elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    HttpReply(200, "application/json",
+      s"""{"success":true,"reason":"success","elapse":"$elapse",""" +
+        s""""data":${rows.mkString("[", ",", "]")}}""")
+  }
+
+  /** `GET /web/api/subscribers/:name` — an unknown name fails with the
+    * definition-file load error (model.go:108-115). */
+  def subscriberGet(spark: SparkSession, name: String): HttpReply = {
+    val t0 = System.nanoTime()
+    val svc = graft.scheduler.Timers.defaultService(spark)
+    def elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    svc.getSchedule(name) match {
+      case None =>
+        HttpReply(500, "application/json",
+          s"""{"success":false,"reason":${GoJs.quote(
+            s"open ${name.toUpperCase}.json: no such file or directory")},"elapse":"$elapse"}""")
+      case Some(r) =>
+        HttpReply(200, "application/json",
+          s"""{"success":true,"reason":"success","data":${scheduleJson(r)},"elapse":"$elapse"}""")
+    }
+  }
+
+  /** `POST /web/api/subscribers` (http.go:875-973): duplicate names and
+    * unknown bridges reject before the schedule registers; only broker
+    * bridge types are subscribable ("unknown birdge type" typo kept). */
+  def subscribersAdd(spark: SparkSession, body: String): HttpReply = {
+    val t0 = System.nanoTime()
+    def elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    def reply(status: Int, success: Boolean, reason: String) =
+      HttpReply(status, "application/json",
+        s"""{"success":$success,"reason":${GoJs.quote(reason)},"elapse":"$elapse"}""")
+    val obj =
+      try flatJson(body)
+      catch { case e: Exception => return reply(400, success = false, e.getMessage) }
+    val svc = graft.scheduler.Timers.defaultService(spark)
+    val name = obj.getOrElse("name", "")
+    if (svc.getSchedule(name).isDefined)
+      return reply(500, success = false, "duplicate name")
+    val bridgeName = obj.getOrElse("bridge", "")
+    Bridge.typeOf(bridgeName) match {
+      case None =>
+        reply(500, success = false,
+          s"open ${bridgeName.toLowerCase}.json: no such file or directory")
+      case Some(t) if t != "mqtt" && t != "nats" =>
+        reply(500, success = false, s"""unknown birdge type "$t"""")
+      case Some(_) =>
+        val r = svc.addSchedule(name, "subscriber",
+          obj.get("autoStart").contains("true"),
+          schedule = "", task = obj.getOrElse("task", ""),
+          bridge = bridgeName, topic = obj.getOrElse("topic", ""),
+          qos = obj.get("QoS").flatMap(_.toIntOption).getOrElse(0))
+        reply(if (r.success) 200 else 500, r.success, r.reason)
+    }
+  }
+
+  def subscribersDelete(spark: SparkSession, name: String): HttpReply = {
+    val t0 = System.nanoTime()
+    val r = graft.scheduler.Timers.defaultService(spark).delSchedule(name)
+    val elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    HttpReply(if (r.success) 200 else 500, "application/json",
+      s"""{"success":${r.success},"reason":${GoJs.quote(r.reason)},"elapse":"$elapse"}""")
+  }
+
+  /** `POST /web/api/subscribers/:name/state` — START/STOP (case
+    * insensitive); anything else is "invalid state" 400 (http.go:1001). */
+  def subscribersState(spark: SparkSession, name: String, body: String): HttpReply = {
+    val t0 = System.nanoTime()
+    def elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    def reply(status: Int, success: Boolean, reason: String) =
+      HttpReply(status, "application/json",
+        s"""{"success":$success,"reason":${GoJs.quote(reason)},"elapse":"$elapse"}""")
+    val obj =
+      try flatJson(body)
+      catch { case e: Exception => return reply(400, success = false, e.getMessage) }
+    val svc = graft.scheduler.Timers.defaultService(spark)
+    obj.getOrElse("state", "").toUpperCase match {
+      case "START" =>
+        val r = svc.startSchedule(name)
+        reply(if (r.success) 200 else 500, r.success, r.reason)
+      case "STOP" =>
+        val r = svc.stopSchedule(name)
+        reply(if (r.success) 200 else 500, r.success, r.reason)
+      case _ => reply(400, success = false, "invalid state")
+    }
+  }
+
   /** The `/web/api/bridges` REST surface (http_facility_test.go
     * TestBridge): list/add/delete/state envelopes; a duplicate name
     * rejects with the reference reason before the management op runs. */

@@ -228,6 +228,92 @@ class WebApiSpec extends SparkSpec {
     } finally graft.server.Bridge.delBridge(name)
   }
 
+  test("/web/api/subscribers REST lifecycle (http_facility_test.go TestSubscriber)") {
+    graft.scheduler.Timers.resetForTest()
+    val bridgeName = "existing-bridge"
+    try {
+      // add the mqtt bridge the subscriber rides on
+      val br = WebApi.bridgesAdd(
+        s"""{"name":"$bridgeName","type":"mqtt","path":"broker=127.0.0.1:1883 id=client-id"}""")
+      assert(br.status == 200 && br.body.contains(""""success":true"""), br)
+
+      // malformed json → 400, success=false
+      val malformed = WebApi.subscribersAdd(spark, "{")
+      assert(malformed.status == 400 &&
+        malformed.body.contains(""""success":false"""), malformed)
+
+      // add subscriber
+      val add = WebApi.subscribersAdd(spark,
+        """{"name":"test-sub","autoStart":false,"bridge":"existing-bridge",""" +
+          """"topic":"test/topic","task":"sub.tql","QoS":0}""")
+      assert(add.status == 200 && add.body.contains(""""success":true"""), add)
+
+      // duplicate name rejects
+      val dup = WebApi.subscribersAdd(spark,
+        """{"name":"test-sub","bridge":"existing-bridge","topic":"t","task":"x.tql"}""")
+      assert(dup.status == 500 && dup.body.contains(""""reason":"duplicate name""""), dup)
+
+      // unknown bridge rejects with the load error
+      val noBridge = WebApi.subscribersAdd(spark,
+        """{"name":"sub2","bridge":"ghost-bridge","topic":"t","task":"x.tql"}""")
+      assert(noBridge.status == 500 && noBridge.body.contains("no such file"), noBridge)
+
+      // non-broker bridge type rejects (reference typo kept)
+      val sqliteBr = WebApi.bridgesAdd(
+        """{"name":"sql-br","type":"sqlite","path":"file::memory:?cache=shared"}""")
+      assert(sqliteBr.status == 200, sqliteBr)
+      val wrongType = WebApi.subscribersAdd(spark,
+        """{"name":"sub3","bridge":"sql-br","topic":"t","task":"x.tql"}""")
+      assert(wrongType.status == 500 &&
+        wrongType.body.contains("unknown birdge type"), wrongType)
+
+      // GET :name — uppercased stored name, bridge preserved
+      val got = WebApi.subscriberGet(spark, "test-sub")
+      assert(got.status == 200 && got.body.contains(""""name":"TEST-SUB"""") &&
+        got.body.contains(""""bridge":"existing-bridge"""") &&
+        got.body.contains(""""type":"SUBSCRIBER""""), got.body)
+      val gotMissing = WebApi.subscriberGet(spark, "ghost-sub")
+      assert(gotMissing.status == 500 &&
+        gotMissing.body.contains("open GHOST-SUB.json: no such file"), gotMissing)
+
+      // list filters SUBSCRIBER schedules only, sorted
+      val listed = WebApi.subscribersList(spark)
+      assert(listed.status == 200 && listed.body.contains(""""name":"TEST-SUB"""") &&
+        listed.body.contains(""""topic":"test/topic""""), listed.body)
+
+      // state START / STOP / invalid / malformed
+      val started = WebApi.subscribersState(spark, "test-sub", """{"state":"start"}""")
+      assert(started.status == 200 && started.body.contains(""""success":true"""), started)
+      val stGot = WebApi.subscriberGet(spark, "test-sub")
+      assert(stGot.body.contains(""""state":"RUNNING""""), stGot.body)
+      val badJson = WebApi.subscribersState(spark, "test-sub", "{")
+      assert(badJson.status == 400 && badJson.body.contains(""""success":false"""), badJson)
+      val stopped = WebApi.subscribersState(spark, "test-sub", """{"state":"stop"}""")
+      assert(stopped.status == 200 && stopped.body.contains(""""success":true"""), stopped)
+      val invalid = WebApi.subscribersState(spark, "test-sub", """{"state":"invalid"}""")
+      assert(invalid.status == 400 &&
+        invalid.body.contains(""""reason":"invalid state""""), invalid)
+
+      // SHOW SUBSCRIBERS console listing
+      val df = graft.server.QueryDoor.execute(spark, "show subscribers")
+      assert(df.columns.toSeq ==
+        Seq("NAME", "BRIDGE", "TOPIC", "TQL", "AUTOSTART", "STATE"))
+      val row = df.collect().head
+      assert(row.getString(0) == "TEST-SUB" && row.getString(1) == bridgeName &&
+        row.getString(2) == "test/topic" && row.getString(3) == "sub.tql")
+
+      // DELETE — then a second delete fails
+      val del = WebApi.subscribersDelete(spark, "test-sub")
+      assert(del.status == 200 && del.body.contains(""""success":true"""), del)
+      val delMissing = WebApi.subscribersDelete(spark, "test-sub")
+      assert(delMissing.status == 500 && delMissing.body.contains("no such file"), delMissing)
+    } finally {
+      graft.scheduler.Timers.resetForTest()
+      graft.server.Bridge.delBridge(bridgeName)
+      graft.server.Bridge.delBridge("sql-br")
+    }
+  }
+
   test("/db/query binary column rides every format (TestQueryBinaryFormat)") {
     TagTables.resetDynamicForTest(spark)
     def q(kv: (String, String)*): String =
