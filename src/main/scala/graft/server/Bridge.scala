@@ -389,7 +389,10 @@ object Bridge {
       }
 
     // ---- queries ----------------------------------------------------
-    def viewName(t: String): String = s"bridge_${name}_${t.toLowerCase}"
+    // non-word chars (e.g. hyphens in bridge names like "br-test") would
+    // make an invalid Spark view identifier
+    def viewName(t: String): String =
+      s"bridge_${name}_${t.toLowerCase}".replaceAll("\\W", "_")
 
     private def refresh(spark: SparkSession, t: String): Unit = {
       val (schema, rows) = table(t)

@@ -124,13 +124,18 @@ object HttpLoop {
 
   /** `HTTP({ GET url \n ?q=… \n &k=v \n Header: v \n\n body… })` — parse,
     * build the raw request, exchange, return the raw response text. */
-  def executeDsl(content: String): String = {
+  def executeDsl(content: String): String = executeDslExchange(content)._2
+
+  /** Like [[executeDsl]] but returns (raw request, raw response) — the
+    * httpdsl.Execute exchange shape the markdown `http` fence renders
+    * (mods/util/mdconv/httpext/exec.go). */
+  def executeDslExchange(content: String): (String, String) = {
     val req = parseDsl(content)
     val raw = buildRaw(req)
     require(req.url.getScheme == "http",
       s"unsupported scheme ${req.url.getScheme} (loopback http only)")
     val p = if (req.url.getPort > 0) req.url.getPort else 80
-    new String(executeRaw(req.url.getHost, p, raw), "UTF-8")
+    (new String(raw, "UTF-8"), new String(executeRaw(req.url.getHost, p, raw), "UTF-8"))
   }
 
   private def parseDsl(content: String): ParsedReq = {
@@ -138,12 +143,30 @@ object HttpLoop {
     var idx = 0
     while (idx < lines.length && lines(idx).trim.isEmpty) idx += 1
     require(idx < lines.length, "http: empty request")
-    // request line: METHOD URL [HTTP/x[.y]]
-    val first = lines(idx).trim.split("\\s+")
+    // request line: METHOD URL [HTTP/x[.y]] — everything after the first
+    // "?" is the query (spaces allowed) up to a trailing version token
+    // (httpdsl exec.go:213-244 parseRequestLine)
+    val reqLine = lines(idx).trim
+    val qIx = reqLine.indexOf('?')
+    var version = ""
+    var params = ""
+    val head = if (qIx < 0) reqLine else {
+      val after = reqLine.substring(qIx + 1)
+      val vm = "^(.*?)(?:\\s+(HTTP/(?:\\d|\\d\\.\\d)))?$".r
+        .findFirstMatchIn(after)
+      vm match {
+        case Some(m) =>
+          params = m.group(1)
+          if (m.group(2) != null) version = m.group(2)
+        case None => params = after
+      }
+      reqLine.take(qIx)
+    }
+    val first = head.split("\\s+")
     require(first.length >= 2, "http: invalid request line")
     val method = first(0).toUpperCase
-    var rawUrl = first(1)
-    var version = if (first.length > 2) first(2) else ""
+    var rawUrl = first(1) + (if (params.nonEmpty) "?" + params else "")
+    if (first.length > 2 && version.isEmpty) version = first(2)
     idx += 1
     val headers = Vector.newBuilder[(String, String)]
     var done = false

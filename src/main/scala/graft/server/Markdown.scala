@@ -1,0 +1,246 @@
+package graft.server
+
+/** Markdown → HTML for the console's `markdown.render` JSON-RPC method.
+  *
+  * Reference behavior reimplemented (not copied):
+  *   - `rpcMarkdownRender` — reference mods/server/http_rpc.go:40-68:
+  *     `{{ file_root|file_path|file_name|file_dir }}` substitution from the
+  *     referer URL (regexes http.go:1097-1100), result wrapped in `<div>`;
+  *   - the goldmark conversion pipeline — mods/util/mdconv/mdconv.go —
+  *     re-expressed as a CommonMark-subset renderer producing goldmark's
+  *     output shape for the constructs the reference's own tests pin
+  *     (test_markdown_list.txt, test_markdown_mermaid.txt): ATX headings,
+  *     tight lists, paragraphs, strong/em/code/link inlines;
+  *   - `mermaid` fences → `<pre class="mermaid">` with Go html.EscapeString
+  *     escaping (go.abhg.dev/goldmark/mermaid client render mode);
+  *   - `http` fences execute the request through the loopback-only DSL and
+  *     render method/path/param/header/status spans —
+  *     mods/util/mdconv/httpext/renderer.go:134-262, transformer.go:40-56.
+  *
+  * Divergence (documented): non-mermaid/http fences render as plain
+  * `<pre><code class="language-X">` without chroma syntax highlighting —
+  * the highlighted table markup is styling-only.
+  */
+object Markdown {
+
+  /** JSON-RPC `markdown.render(markdown, darkMode, referer)`. */
+  def render(markdown: String, darkMode: Boolean, referer: String): String = {
+    var filePath = ""
+    var fileName = ""
+    var fileDir = ""
+    try {
+      val u = new java.net.URI(referer)
+      if (u.getPath != null && u.getPath.nonEmpty) {
+        filePath = u.getPath
+        val slash = filePath.lastIndexOf('/')
+        fileName = if (slash >= 0) filePath.substring(slash + 1) else filePath
+        fileDir = if (slash > 0) filePath.substring(0, slash)
+          else if (slash == 0) "/" else "."
+      }
+    } catch { case _: Exception => () }
+    val fileRoot = "/web/api/tql"
+    val src = markdown
+      .replaceAll("\\{\\{\\s*file_root\\s*\\}\\}", java.util.regex.Matcher.quoteReplacement(fileRoot))
+      .replaceAll("\\{\\{\\s*file_path\\s*\\}\\}", java.util.regex.Matcher.quoteReplacement(filePath))
+      .replaceAll("\\{\\{\\s*file_name\\s*\\}\\}", java.util.regex.Matcher.quoteReplacement(fileName))
+      .replaceAll("\\{\\{\\s*file_dir\\s*\\}\\}", java.util.regex.Matcher.quoteReplacement(fileDir))
+    "<div>" + convert(src) + "</div>"
+  }
+
+  // ---- block parsing ----------------------------------------------------
+
+  def convert(src: String): String = {
+    val lines = src.replace("\r\n", "\n").split("\n", -1)
+    val out = new StringBuilder
+    var i = 0
+    val headingRe = "^(#{1,6})\\s+(.*?)\\s*#*\\s*$".r
+    val bulletRe = "^[-*+]\\s+(.*)$".r
+    val orderedRe = "^\\d{1,9}[.)]\\s+(.*)$".r
+    val fenceRe = "^```\\s*(\\S*)\\s*(.*)$".r
+
+    while (i < lines.length) {
+      val line = lines(i)
+      line.trim match {
+        case "" => i += 1
+        case _ if fenceRe.matches(line.trim) && line.trim.startsWith("```") =>
+          val fenceRe(lang, _) = line.trim
+          i += 1
+          val body = new StringBuilder
+          while (i < lines.length && !lines(i).trim.startsWith("```")) {
+            body.append(lines(i)).append('\n'); i += 1
+          }
+          if (i < lines.length) i += 1 // closing fence
+          out.append(renderFence(lang, body.toString))
+        case t if headingRe.matches(t) =>
+          val headingRe(hashes, text) = t
+          val n = hashes.length
+          out.append(s"<h$n>").append(inline(text)).append(s"</h$n>\n")
+          i += 1
+        case t if bulletRe.matches(t) =>
+          out.append("<ul>\n")
+          while (i < lines.length && bulletRe.matches(lines(i).trim)) {
+            val bulletRe(item) = lines(i).trim
+            out.append("<li>").append(inline(item)).append("</li>\n")
+            i += 1
+          }
+          out.append("</ul>\n")
+        case t if orderedRe.matches(t) =>
+          out.append("<ol>\n")
+          while (i < lines.length && orderedRe.matches(lines(i).trim)) {
+            val orderedRe(item) = lines(i).trim
+            out.append("<li>").append(inline(item)).append("</li>\n")
+            i += 1
+          }
+          out.append("</ol>\n")
+        case _ =>
+          val para = new StringBuilder
+          var first = true
+          while (i < lines.length && lines(i).trim.nonEmpty &&
+            !lines(i).trim.startsWith("```") &&
+            !headingRe.matches(lines(i).trim) &&
+            !bulletRe.matches(lines(i).trim) && !orderedRe.matches(lines(i).trim)) {
+            if (!first) para.append('\n')
+            first = false
+            para.append(lines(i).trim)
+            i += 1
+          }
+          out.append("<p>").append(inline(para.toString)).append("</p>\n")
+      }
+    }
+    out.toString
+  }
+
+  private def renderFence(lang: String, body: String): String = lang match {
+    case "mermaid" =>
+      // mermaid client-render mode: escaped source in a pre, NO trailing \n
+      "<pre class=\"mermaid\">" + goEscape(body) + "</pre>"
+    case "http" => renderHttpFence(body)
+    case "" => "<pre><code>" + goldEscape(body) + "</code></pre>\n"
+    case l =>
+      "<pre><code class=\"language-" + l + "\">" + goldEscape(body) + "</code></pre>\n"
+  }
+
+  // ---- http fence (httpext renderer.go, Contains-level parity) ----------
+
+  private def renderHttpFence(body: String): String = {
+    val (reqHtml, rspHtml) =
+      try {
+        val (reqRaw, rspRaw) = HttpLoop.executeDslExchange(body)
+        (renderHttpMessage(reqRaw, isRequest = true),
+          renderHttpMessage(rspRaw, isRequest = false))
+      } catch {
+        case e: Exception => ("", goEscape(Option(e.getMessage).getOrElse(e.toString)))
+      }
+    val b = new StringBuilder("<div class=\"httpext-pre\">")
+    if (reqHtml.nonEmpty)
+      b.append("<div class=\"httpext-line\">").append(reqHtml)
+        .append("</div><div class=\"httpext-divider\"></div>")
+    b.append("<div class=\"httpext-line\">").append(rspHtml).append("</div></div>")
+    b.toString
+  }
+
+  private def span(cls: String, value: String): String =
+    s"""<span class="$cls">${goEscape(value)}</span>"""
+
+  private def renderHttpMessage(raw: String, isRequest: Boolean): String = {
+    val normalized = raw.replace("\r\n", "\n")
+    val (headerPart, bodyPart) = normalized.indexOf("\n\n") match {
+      case -1 => (normalized, "")
+      case ix => (normalized.substring(0, ix), normalized.substring(ix + 2))
+    }
+    val headers = headerPart.split("\n", -1)
+    val b = new StringBuilder
+    if (headers.nonEmpty) {
+      b.append(if (isRequest) requestLine(headers.head) else responseLine(headers.head))
+      b.append('\n')
+    }
+    headers.drop(1).filter(_.nonEmpty).foreach { line =>
+      val ix = line.indexOf(':')
+      if (ix <= 0) b.append(goEscape(line)).append('\n')
+      else {
+        b.append(span("httpext-header-key", line.take(ix).trim)).append(": ")
+          .append(span("httpext-header-value", line.drop(ix + 1).trim)).append('\n')
+      }
+    }
+    b.append('\n')
+    if (bodyPart.nonEmpty) b.append(span("httpext-body", bodyPart))
+    b.toString
+  }
+
+  private def requestLine(line: String): String = {
+    val parts = line.trim.split("\\s+")
+    if (parts.length < 2) return goEscape(line)
+    val b = new StringBuilder(span("httpext-method", parts(0))).append(' ')
+    val target = parts(1)
+    val q = target.indexOf('?')
+    if (q < 0) b.append(span("httpext-path", target))
+    else {
+      b.append(span("httpext-path", target.take(q))).append('?')
+      target.drop(q + 1).split("&", -1).zipWithIndex.foreach { case (p, ix) =>
+        if (ix > 0) b.append('&')
+        val kv = p.split("=", 2)
+        b.append(span("httpext-param-name", urlDecode(kv(0))))
+        if (kv.length > 1) b.append('=').append(span("httpext-param-value", urlDecode(kv(1))))
+      }
+    }
+    if (parts.length > 2) b.append(' ').append(span("httpext-request-protocol", parts(2)))
+    b.toString
+  }
+
+  private def responseLine(line: String): String = {
+    val parts = line.trim.split("\\s+")
+    if (parts.length < 2) return goEscape(line)
+    val b = new StringBuilder(span("httpext-response-protocol", parts(0)))
+      .append(' ').append(span("httpext-status-code", parts(1)))
+    if (parts.length > 2)
+      b.append(' ').append(span("httpext-status-message", parts.drop(2).mkString(" ")))
+    b.toString
+  }
+
+  private def urlDecode(s: String): String =
+    try java.net.URLDecoder.decode(s, "UTF-8") catch { case _: Exception => s }
+
+  // ---- inline rendering -------------------------------------------------
+
+  /** Code spans resolve first (no inline markup inside), then links,
+    * strong, em — enough for the pinned reference cases. */
+  private[server] def inline(text: String): String = {
+    val codeSplit = "`([^`]+)`".r
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rest = text
+    var done = false
+    while (!done) codeSplit.findFirstMatchIn(rest) match {
+      case Some(m) =>
+        parts += emphasis(rest.substring(0, m.start))
+        parts += "<code>" + goldEscape(m.group(1)) + "</code>"
+        rest = rest.substring(m.end)
+      case None =>
+        parts += emphasis(rest); done = true
+    }
+    parts.mkString
+  }
+
+  private def emphasis(text: String): String = {
+    var s = goldEscape(text)
+    s = "\\[([^\\]]*)\\]\\(([^)\\s]*)\\)".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"""<a href="${m.group(2)}">${m.group(1)}</a>"""))
+    s = "\\*\\*([^*]+)\\*\\*".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(s"<strong>${m.group(1)}</strong>"))
+    s = "(?<![*\\w])\\*([^*]+)\\*(?![*\\w])".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(s"<em>${m.group(1)}</em>"))
+    s = "(?<![_\\w])_([^_]+)_(?![_\\w])".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(s"<em>${m.group(1)}</em>"))
+    s
+  }
+
+  /** goldmark text escaping: `& < >` (plus `"` as &quot; in code blocks). */
+  private def goldEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** Go html.EscapeString: `&#34;`/`&#39;` numeric forms (mermaid fences). */
+  private def goEscape(s: String): String =
+    s.replace("&", "&amp;").replace("'", "&#39;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&#34;")
+}
