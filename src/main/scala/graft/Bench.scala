@@ -92,6 +92,11 @@ object Bench {
     // min of three — BENCH_r06 went on record with 4.7× phantom
     // regressions purely from host contention during runs 1-2.
     val healed = scala.collection.mutable.Map[String, Double]()
+    // retried queries go on the record: name -> (best-of-2, third run) so
+    // the bench JSON itself shows which numbers were noise-suspect and
+    // what the re-probe said (VERDICT r7 asked for this after adjudicating
+    // five phantom regressions by hand).
+    val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     try {
       val prevPath = java.nio.file.Paths.get("bench_full.json")
       // only comparable at the same scale factor — a dev-run record at
@@ -110,6 +115,7 @@ object Bench {
             } catch { case _: Throwable => sec0 }
             val best = math.min(sec0, third)
             System.err.println(f"[bench] retry: $name 3rd run $third%.3f s (was $sec0%.3f, keeping $best%.3f)")
+            retried(name) = (sec0, third)
             if (best < sec0) healed(name) = best
             best
           } else sec0
@@ -204,14 +210,19 @@ object Bench {
     val audit =
       s"""{"shuffles":$shuffles,"broadcasts":$broadcasts,"codegenSpans":$codegenSpans,"globalWindows":$globalWindows}"""
     val sfName = new java.io.File(sfDir).getName
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"ingest":$ingest,"planAudit":$audit,"sf":"$sfDir"}"""
+    def retriesJson(stripPrefix: Boolean): String =
+      retried.map { case (k, (b2, r3)) =>
+        val key = if (stripPrefix) k.stripPrefix("q_") else k
+        s"\"" + key + s"\":[${d3(b2)},${d3(r3)}]"
+      }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"ingest":$ingest,"planAudit":$audit,"retries":${retriesJson(stripPrefix = false)},"sf":"$sfDir"}"""
     try Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
     // NOT printing fullLine to stdout: a partial copy of it surviving in
     // the tail buffer could confuse a brace-matching extractor. The compact
     // line below is the single parseable line in the tail.
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"ingest":$ingest,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"ingest":$ingest,"retries":${retriesJson(stripPrefix = true)},"sf":"$sfName"}""")
     try {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(scratch)).deleteRecursively()

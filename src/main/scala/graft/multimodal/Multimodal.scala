@@ -526,8 +526,91 @@ object Multimodal {
   def synthJpeg(codes: Array[Int], width: Int, height: Int): Array[Byte] =
     encodeVia(synthImage(codes, width, height), "jpg")
 
-  /** Frame-sampling plumbing for video-like payloads: split a binary blob
-    * into fixed-size frame windows (offsets are real; decode is the stub). */
+  /** Real MJPEG elementary stream: concatenated baseline JPEG frames
+    * (what an AVI 'MJPG' track carries per frame, sans container). Frame
+    * k of document id is w=2+((id+k)%4) × h=2+((id+k)%3) — dimensions
+    * survive JPEG exactly, so the oracle recomputes them per frame. */
+  def synthMjpeg(codes: Array[Int], id: Long, nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var k = 0
+    while (k < nFrames) {
+      bos.write(synthJpeg(codes, 2 + ((id + k) % 4).toInt, 2 + ((id + k) % 3).toInt))
+      k += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Split an MJPEG stream into its JPEG frames by marker scan: each
+    * frame spans SOI (FFD8) .. EOI (FFD9). Inside entropy-coded data FF
+    * bytes are stuffed (FF00) and only restart markers FFD0-D7 appear, so
+    * a sequential SOI/EOI walk is exact for baseline JPEG. */
+  def splitMjpegFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    var start = -1
+    while (i < payload.length - 1) {
+      if ((payload(i) & 0xFF) == 0xFF) {
+        val m = payload(i + 1) & 0xFF
+        if (m == 0xD8 && start < 0) { start = i; i += 2 }
+        else if (m == 0xD9 && start >= 0) {
+          frames += java.util.Arrays.copyOfRange(payload, start, i + 2)
+          start = -1; i += 2
+        } else i += 1
+      } else i += 1
+    }
+    frames.toSeq
+  }
+
+  /** Every-nth frame of each MJPEG payload decoded for real through
+    * ImageIO — one partition-local pass, no raster retention (only the
+    * per-frame dimensions and channel mean leave the executor). Replaces
+    * the round-7 fixed-window stub for JPEG streams; [[sampleFrames]]
+    * remains the raw fixed-size-frame path. */
+  def sampleMjpegFrames(df: DataFrame, idCol: String, binCol: String,
+                        everyNth: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("luma_mean", DoubleType)))
+    val idIx = df.schema.fieldIndex(idCol)
+    val binIx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](binIx)
+        if (payload == null) Iterator.empty
+        else splitMjpegFrames(payload).zipWithIndex
+          .filter { case (_, ix) => ix % everyNth == 0 }
+          .flatMap { case (frame, ix) =>
+            val img = try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frame)) catch { case _: Exception => null }
+            if (img == null) None
+            else {
+              var sum = 0.0
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sum += 0.299 * ((rgb >> 16) & 0xFF) +
+                    0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                  x += 1
+                }
+                y += 1
+              }
+              Some(Row(r.get(idIx), ix, img.getWidth, img.getHeight,
+                sum / (img.getWidth.toLong * img.getHeight)))
+            }
+          }.iterator
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame-sampling plumbing for raw fixed-size-frame payloads: split a
+    * binary blob into fixed-size windows (offsets real; no codec). */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String,
                    frameBytes: Int, everyNth: Int): DataFrame =
     df.select(col(idCol), posexplode(split_binary_frames(col(binCol), frameBytes, everyNth)))

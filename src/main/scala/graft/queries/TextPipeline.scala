@@ -251,6 +251,34 @@ object TextPipeline {
         .select(col("doc_id"), col("media_type").as("jpg_type"),
           col("width").as("jpg_w"), col("height").as("jpg_h"))
       png.join(jpg, "doc_id").orderBy("doc_id")
+    }),
+
+    // ---- multimodal: MJPEG frame sampling with REAL per-frame decode --
+    // Each document becomes a concatenated-JPEG stream (3 + id%4 frames,
+    // frame k sized 2+((id+k)%4) × 2+((id+k)%3)); the splitter walks
+    // SOI/EOI markers — not fixed offsets — and every 2nd frame decodes
+    // through ImageIO, so the oracle-checked dimensions prove both the
+    // marker scan and the decode. Replaces the round-7 frame-decode stub.
+    "q_multimodal_frames" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 60 && col("text").isNotNull)
+        .select("doc_id", "text")
+      val synthSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("mjpeg", BinaryType)))
+      val media = docs.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val codes = r.getString(1).map(_.toInt & 0xFF).toArray
+          Row(id, Multimodal.synthMjpeg(codes, id, 3 + (id % 4).toInt))
+        }
+      }(Encoders.row(synthSchema))
+      Multimodal.sampleMjpegFrames(media, "doc_id", "mjpeg", everyNth = 2)
+        .select("doc_id", "frame_idx", "width", "height")
+        .orderBy("doc_id", "frame_idx")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -530,5 +558,15 @@ object TextPipeline {
          SELECT doc_id, pw AS png_w, ph AS png_h,
            floor(list_aggregate(pix, 'avg')*10000.0 + 0.5)/10000.0 AS png_mean,
            'image/jpeg' AS jpg_type, jw AS jpg_w, jh AS jpg_h
-         FROM c ORDER BY doc_id""")
+         FROM c ORDER BY doc_id""",
+    "q_multimodal_frames" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS nf
+           FROM documents WHERE doc_id < 60 AND text IS NOT NULL),
+         f AS (
+           SELECT doc_id, unnest(generate_series(0, nf - 1)) AS k FROM d)
+         SELECT doc_id, CAST(k AS INT) AS frame_idx,
+           CAST(2 + (doc_id + k) % 4 AS INT) AS width,
+           CAST(2 + (doc_id + k) % 3 AS INT) AS height
+         FROM f WHERE k % 2 = 0 ORDER BY doc_id, frame_idx""")
 }

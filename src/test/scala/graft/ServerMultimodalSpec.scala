@@ -185,4 +185,37 @@ class ServerMultimodalSpec extends SparkSpec {
     assert(got.length == 5)
     assert(got.head.getAs[Array[Byte]](1).length == 10)
   }
+
+  test("splitMjpegFrames walks SOI/EOI markers, not fixed offsets") {
+    val codes = "frame-test-payload".map(_.toInt & 0xFF).toArray
+    val stream = Multimodal.synthMjpeg(codes, id = 5L, nFrames = 5)
+    val frames = Multimodal.splitMjpegFrames(stream)
+    assert(frames.length == 5, frames.length)
+    // each split frame is an independently decodable JPEG with the
+    // synthesized per-frame dimensions (w=2+((5+k)%4), h=2+((5+k)%3))
+    frames.zipWithIndex.foreach { case (f, k) =>
+      assert((f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8)
+      assert((f(f.length - 2) & 0xFF) == 0xFF && (f(f.length - 1) & 0xFF) == 0xD9)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img.getWidth == 2 + ((5 + k) % 4), s"frame $k width")
+      assert(img.getHeight == 2 + ((5 + k) % 3), s"frame $k height")
+    }
+  }
+
+  test("sampleMjpegFrames decodes every-nth frame distributedly") {
+    val mk = (id: Long) =>
+      (id, Multimodal.synthMjpeg(s"doc-$id".map(_.toInt & 0xFF).toArray, id, 3 + (id % 4).toInt))
+    val df = Seq(mk(0L), mk(1L), mk(7L)).toDF("doc_id", "mjpeg")
+    val got = Multimodal.sampleMjpegFrames(df, "doc_id", "mjpeg", everyNth = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    // doc 0: 3 frames → idx 0,2; doc 1: 4 frames → 0,2; doc 7: 6 → 0,2,4
+    assert(got.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((0L, 0), (0L, 2), (1L, 0), (1L, 2), (7L, 0), (7L, 2), (7L, 4)))
+    got.foreach { r =>
+      val (id, k) = (r.getLong(0), r.getInt(1))
+      assert(r.getInt(2) == 2 + ((id + k) % 4).toInt, s"doc $id frame $k width")
+      assert(r.getInt(3) == 2 + ((id + k) % 3).toInt, s"doc $id frame $k height")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 255.0)
+    }
+  }
 }
