@@ -279,7 +279,46 @@ object TextPipeline {
       Multimodal.sampleMjpegFrames(media, "doc_id", "mjpeg", everyNth = 2)
         .select("doc_id", "frame_idx", "width", "height")
         .orderBy("doc_id", "frame_idx")
-    }))
+    }),
+
+    // ---- curation: eval-set decontamination ---------------------------
+    // 4-gram overlap between the corpus (doc_id < 450) and a held-out
+    // eval slice (doc_id >= 450): eval grams broadcast, corpus streams.
+    // (Real pipelines use 8-13-gram windows; the synthetic vocabulary
+    // needs 4 to produce collisions worth checking.)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Curation.decontaminate(
+          docs.filter(col("doc_id") < 450),
+          docs.filter(col("doc_id") >= 450),
+          "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    }),
+
+    // ---- curation: deterministic hash sampling ------------------------
+    // md5-prefix cutoff ≈ 10%: the same predicate runs verbatim in the
+    // oracle, so the sample membership is exactly reproducible.
+    "q_hash_sample" -> ((s, dir) =>
+      graft.text.Curation.hashSample(
+          t(s, dir, "documents").select("doc_id", "lang", "source"),
+          "doc_id", thresholdHex4 = "1999")
+        .orderBy("doc_id")),
+
+    // ---- curation: stratified per-language quota ----------------------
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.text.Curation.stratifiedSample(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", quota = 20)
+        .select("lang", "doc_id").orderBy("lang", "doc_id")),
+
+    // ---- curation: sequence packing into ~2000-token bins -------------
+    "q_pack_bins" -> ((s, dir) =>
+      graft.text.Curation.packBins(
+          t(s, dir, "documents").select("lang", "doc_id", "text"),
+          "lang", "doc_id", "text", targetTokens = 2000)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+        .orderBy("lang", "bin")))
 
   val oracles: Map[String, String] = Map(
     "q_token_count" ->
@@ -568,5 +607,33 @@ object TextPipeline {
          SELECT doc_id, CAST(k AS INT) AS frame_idx,
            CAST(2 + (doc_id + k) % 4 AS INT) AS width,
            CAST(2 + (doc_id + k) % 3 AS INT) AS height
-         FROM f WHERE k % 2 = 0 ORDER BY doc_id, frame_idx""")
+         FROM f WHERE k % 2 = 0 ORDER BY doc_id, frame_idx""",
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, list_transform(generate_series(1, len(ws)-3),
+             i -> array_to_string(ws[i:i+3],' ')) AS gs FROM w),
+         ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id >= 450),
+         tr AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g WHERE doc_id < 450)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked_ngrams
+         FROM tr JOIN ev USING(gram) GROUP BY 1 ORDER BY 1""",
+    "q_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,4) < '1999' ORDER BY doc_id""",
+    "q_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang, row_number() OVER (
+             PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         SELECT lang, doc_id FROM r WHERE rk <= 20 ORDER BY lang, doc_id""",
+    "q_pack_bins" ->
+      """WITH w AS (SELECT lang, doc_id,
+             len(string_split(regexp_replace(lower(text),'\s+',' ','g'),' ')) AS tok
+           FROM documents),
+         c AS (SELECT lang, doc_id, tok, sum(tok) OVER (PARTITION BY lang
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS cum
+           FROM w)
+         SELECT lang, CAST(floor(cum/2000.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
+         FROM c GROUP BY 1,2 ORDER BY 1,2""")
 }

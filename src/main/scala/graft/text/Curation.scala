@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: eval-set
+  * decontamination, deterministic hash sampling, stratified per-group
+  * quotas, and sequence packing. All four are deterministic (hash- or
+  * id-ordered, never RNG-seeded) so every result is exactly
+  * reproducible — and exactly oracle-checkable.
+  *
+  * Scale notes (the 100 TB shapes):
+  *   - decontamination joins the corpus n-gram stream against the EVAL
+  *     side, which is small by definition → broadcast hash join; the
+  *     only shuffle is the final per-doc count with map-side partial
+  *     aggregation. The corpus is never collected or self-joined.
+  *   - hash sampling is a pure filter (codegen'd md5 prefix compare):
+  *     no shuffle, fully pushed into the scan stage.
+  *   - stratified quotas use rank-limit windows, which Spark rewrites
+  *     into WindowGroupLimit (top-k per partition before the shuffle) —
+  *     per-group data never concentrates beyond the quota.
+  *   - packing is a per-group running sum — one shuffle on the group
+  *     key; bins are assigned without driver participation.
+  */
+object Curation {
+
+  /** Normalized word stream: lowercase, whitespace runs collapsed. */
+  private def words(text: Column): Column =
+    split(regexp_replace(lower(text), "\\s+", " "), " ")
+
+  /** All word n-grams of `text` joined with single spaces. Spark's
+    * sequence() DESCENDS when stop < start, so short/null texts must
+    * short-circuit to an empty array instead. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train/eval n-gram decontamination (the overlap check run before
+    * training to drop corpus documents that leak eval content): for each
+    * corpus document, the number of distinct word n-grams that also
+    * appear anywhere in the eval set. Only contaminated documents are
+    * returned.
+    *
+    * The eval side reduces to a distinct n-gram relation and is
+    * broadcast; corpus n-grams stream through a map-side hash join.
+    */
+  def decontaminate(corpus: DataFrame, eval_ : DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val evalGrams = eval_
+      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val corpusGrams = corpus
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+    corpusGrams
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_leaked_ngrams"))
+  }
+
+  /** Deterministic hash sample: keep a row iff the md5 of its id lands
+    * under the rate threshold. `thresholdHex4` is the first-4-hex-chars
+    * cutoff (e.g. "1999" ≈ 10%): fixed-width lowercase hex compares in
+    * value order, so the same predicate runs verbatim in any engine.
+    * Pure codegen'd filter — survives pushdown, shuffles nothing. */
+  def hashSample(df: DataFrame, idCol: String, thresholdHex4: String): DataFrame =
+    df.filter(substring(md5(col(idCol).cast("string")), 1, 4) < thresholdHex4)
+
+  /** Stratified quota sample: at most `quota` rows per group, chosen by
+    * md5-of-id rank (deterministic, uniform within each group). The
+    * rank filter compiles to WindowGroupLimit: each map task keeps only
+    * its local top-`quota` before the group shuffle. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       quota: Int): DataFrame =
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(groupCol)
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+
+  /** Sequence packing: concatenate consecutive documents (id order
+    * within each group) into training bins of ~`targetTokens`
+    * whitespace tokens. Bin k of a group holds the docs whose running
+    * token count (exclusive of self) falls in [k·target, (k+1)·target).
+    * One window shuffle per group key; no driver-side loop. */
+  def packBins(df: DataFrame, groupCol: String, idCol: String,
+               textCol: String, targetTokens: Int): DataFrame = {
+    val toks = size(words(col(textCol)))
+    val win = Window.partitionBy(groupCol).orderBy(idCol)
+    df.withColumn("__tok", toks)
+      .withColumn("__cum", sum(col("__tok")).over(win) - col("__tok"))
+      .withColumn("bin", floor(col("__cum") / targetTokens))
+      .drop("__cum")
+      .withColumnRenamed("__tok", "n_tokens")
+  }
+}

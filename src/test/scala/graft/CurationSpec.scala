@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Curation
+
+/** Corpus-curation operators: decontamination, deterministic sampling,
+  * stratified quotas, sequence packing — semantics + plan shape. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate finds a planted eval leak and only that") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // leaks "beta gamma delta epsilon"
+      (2L, "one two three four five six"),
+      (3L, "completely different words here now yes")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "prefix beta gamma delta epsilon suffix")).toDF("doc_id", "text")
+    val got = Curation.decontaminate(corpus, eval_, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L), got)
+  }
+
+  test("decontaminate broadcasts the eval side (no corpus shuffle join)") {
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val eval_ = Seq((2L, "b c d e f")).toDF("doc_id", "text")
+    val plan = Curation.decontaminate(corpus, eval_, "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("wordNgrams: short and null texts produce empty arrays, not descending sequences") {
+    val df = Seq((1L, "one two"), (2L, null.asInstanceOf[String]), (3L, "a b c"))
+      .toDF("id", "text")
+      .select(col("id"), Curation.wordNgrams(col("text"), 3).as("g"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty)
+    assert(got(3L) == Seq("a b c"))
+  }
+
+  test("hashSample is a deterministic subset and a pure filter") {
+    val df = spark.range(1000).toDF("id")
+    val a = Curation.hashSample(df, "id", "1999").as[Long].collect().toSet
+    val b = Curation.hashSample(df, "id", "1999").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty && a.size < 300, a.size) // ~10% of 1000
+    // rate monotonicity: a larger threshold strictly contains a smaller one
+    val wider = Curation.hashSample(df, "id", "3333").as[Long].collect().toSet
+    assert(a.subsetOf(wider) && wider.size > a.size)
+    val plan = Curation.hashSample(df, "id", "1999").queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("stratifiedSample keeps exactly the quota per group via WindowGroupLimit") {
+    val df = spark.range(500)
+      .select(col("id"), (col("id") % 5).cast("string").as("grp"))
+    val got = Curation.stratifiedSample(df, "grp", "id", quota = 7)
+    val counts = got.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet == Set(7L), counts)
+    // rank-limit pushdown: Spark plans a WindowGroupLimit below the shuffle
+    val plan = got.queryExecution.executedPlan.toString()
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("packBins: bins respect the running-token boundary per group") {
+    val df = Seq(
+      ("en", 1L, ("w " * 900).trim), // 900 tokens  cum0=0    bin 0
+      ("en", 2L, ("w " * 900).trim), // 900         cum=900   bin 0
+      ("en", 3L, ("w " * 900).trim), // 900         cum=1800  bin 0 (1800 < 2000)
+      ("en", 4L, ("w " * 900).trim), // 900         cum=2700  bin 1
+      ("de", 5L, ("w " * 100).trim)  // independent group     bin 0
+    ).toDF("lang", "doc_id", "text")
+    val got = Curation.packBins(df, "lang", "doc_id", "text", targetTokens = 2000)
+      .select("lang", "doc_id", "bin").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 0L),
+      ("en", 4L, 1L), ("de", 5L, 0L)), got)
+  }
+}
