@@ -331,6 +331,80 @@ object WebApi {
     }
   }
 
+  /** `GET /web/api/timers/:name` (http_facility.go:19-45) — the single
+    * schedule envelope; unknown names fail with the definition-file load
+    * error like subscribers. */
+  def timerGet(spark: SparkSession, name: String): HttpReply = {
+    val t0 = System.nanoTime()
+    def elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    graft.scheduler.Timers.defaultService(spark).getSchedule(name) match {
+      case None =>
+        HttpReply(500, "application/json",
+          s"""{"success":false,"reason":${GoJs.quote(
+            s"open ${name.toUpperCase}.json: no such file or directory")},"elapse":"$elapse"}""")
+      case Some(r) =>
+        HttpReply(200, "application/json",
+          s"""{"success":true,"reason":"success","data":${scheduleJson(r)},"elapse":"$elapse"}""")
+    }
+  }
+
+  /** `PUT /web/api/timers/:name` (http_facility.go:208-273): get-check
+    * first (unknown name fails), then the schedule/task/autoStart update
+    * re-registers the entry. */
+  def timersUpdate(spark: SparkSession, name: String, body: String): HttpReply = {
+    val t0 = System.nanoTime()
+    def elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    def reply(status: Int, success: Boolean, reason: String) =
+      HttpReply(status, "application/json",
+        s"""{"success":$success,"reason":${GoJs.quote(reason)},"elapse":"$elapse"}""")
+    if (name.isEmpty) return reply(400, success = false, "no name specified")
+    val obj =
+      try flatJson(body)
+      catch { case e: Exception => return reply(400, success = false, e.getMessage) }
+    val svc = graft.scheduler.Timers.defaultService(spark)
+    if (svc.getSchedule(name).isEmpty)
+      return reply(500, success = false,
+        s"open ${name.toUpperCase}.json: no such file or directory")
+    val r = svc.updateSchedule(name, obj.get("autoStart").contains("true"),
+      obj.getOrElse("schedule", ""), obj.getOrElse("path", ""))
+    reply(if (r.success) 200 else 500, r.success, r.reason)
+  }
+
+  /** `GET /web/api/refs/` (http.go:1812-1847) — the console's static
+    * reference-link tree; non-root paths 404 with the reference reason. */
+  def refs(path: String): HttpReply = {
+    val t0 = System.nanoTime()
+    def elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    if (path != "/")
+      return HttpReply(404, "application/json",
+        s"""{"success":false,"reason":${GoJs.quote(s"'$path' not found")},"elapse":"$elapse"}""")
+    def item(typ: String, title: String, addr: String, target: String = ""): String = {
+      val tgt = if (target.nonEmpty) s""","target":${GoJs.quote(target)}""" else ""
+      s"""{"type":${GoJs.quote(typ)},"title":${GoJs.quote(title)},"address":${GoJs.quote(addr)}$tgt}"""
+    }
+    def group(label: String, items: Seq[String]): String =
+      s"""{"label":${GoJs.quote(label)},"items":${items.mkString("[", ",", "]")}}"""
+    val refsGroup = group("REFERENCES", Seq(
+      item("url", "machbase-neo docs", "https://docs.machbase.com/neo", "_blank"),
+      item("url", "machbase sql reference", "https://docs.machbase.com/dbms/sql-reference/", "_docs_machbase"),
+      item("url", "https://machbase.com", "https://machbase.com/", "_home_machbase"),
+      item("url", "Tutorials", "https://github.com/machbase/neo-tutorials", "_blank"),
+      item("url", "Demo web app", "https://github.com/machbase/neo-apps")))
+    val sdk = group("SDK", Seq(
+      item("url", "SDK", "https://docs.machbase.com/dbms/sdk-integration/", "_docs_machbase"),
+      item("url", ".NET Connector", "https://www.nuget.org/packages/UniMachNetConnector", "_blank"),
+      item("url", "Python", "https://pypi.org/project/machbaseapi/", "_blank"),
+      item("url", "Node.js", "https://www.npmjs.com/package/@machbase/ts-client", "_blank"),
+      item("url", "Go", "https://github.com/machbase/neo-client", "_blank")))
+    val cheats = group("CHEAT SHEETS", Seq(
+      item("wrk", "markdown example", "./tutorials/sample_markdown.wrk"),
+      item("wrk", "mermaid example", "./tutorials/sample_mermaid.wrk"),
+      item("wrk", "pikchr example", "./tutorials/sample_pikchr.wrk")))
+    HttpReply(200, "application/json",
+      s"""{"success":true,"reason":"success","elapse":"$elapse",""" +
+        s""""data":{"refs":[$refsGroup,$sdk,$cheats]}}""")
+  }
+
   def timersDelete(spark: SparkSession, name: String): HttpReply = {
     val t0 = System.nanoTime()
     val r = graft.scheduler.Timers.defaultService(spark).delSchedule(name)

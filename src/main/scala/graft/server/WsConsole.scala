@@ -336,4 +336,34 @@ object WsConsole {
       t.setDaemon(true); t.start(); t
     }
   }
+
+  // ---- the door (GET /web/api/console/:id/data upgrade) -----------------
+
+  @volatile private var doorSocket: java.net.ServerSocket = null
+
+  /** Accept loop on 127.0.0.1:ephemeral: each connection upgrades and
+    * gets its own WebConsole pump. Loopback-only like every other door
+    * in this build. Returns the bound port (idempotent). */
+  def ensureDoor(spark: SparkSession): Int = synchronized {
+    if (doorSocket != null) return doorSocket.getLocalPort
+    val srv = new java.net.ServerSocket(0, 16,
+      java.net.InetAddress.getLoopbackAddress)
+    doorSocket = srv
+    val t = new Thread(() => {
+      try {
+        while (!srv.isClosed) {
+          val sock = srv.accept()
+          val w = new Thread(() => {
+            try {
+              serverHandshake(sock)
+              new WebConsole(new WsConn(sock, clientRole = false), spark).run()
+            } catch { case _: Exception => try sock.close() catch { case _: Exception => () } }
+          }, "web-console-upgrade")
+          w.setDaemon(true); w.start()
+        }
+      } catch { case _: Exception => () }
+    }, "web-console-door")
+    t.setDaemon(true); t.start()
+    srv.getLocalPort
+  }
 }

@@ -189,6 +189,28 @@ class WebApiSpec extends SparkSpec {
       val stopped = WebApi.timersStartStop(spark, "timer-rest", start = false)
       assert(stopped.body.contains(""""success":"""), stopped)
 
+      // GET :name single envelope (http_facility.go:19-45)
+      val one = WebApi.timerGet(spark, "timer-rest")
+      assert(one.status == 200 && one.body.contains(""""name":"TIMER-REST"""") &&
+        one.body.contains(""""schedule":"0 30 * * * *""""), one.body)
+      val oneMissing = WebApi.timerGet(spark, "timer-ghost")
+      assert(oneMissing.status == 500 &&
+        oneMissing.body.contains("open TIMER-GHOST.json: no such file"), oneMissing)
+
+      // PUT :name update re-registers with the new spec (http_facility.go:208)
+      val upd = WebApi.timersUpdate(spark, "timer-rest",
+        """{"autoStart":false,"schedule":"0 0 9 * * *","path":"csv_map.tql"}""")
+      assert(upd.status == 200 && upd.body.contains(""""success":true"""), upd)
+      assert(WebApi.timerGet(spark, "timer-rest").body
+        .contains(""""schedule":"0 0 9 * * *""""))
+      val updBadSpec = WebApi.timersUpdate(spark, "timer-rest",
+        """{"schedule":"* * a b c d ","path":"csv_map.tql"}""")
+      assert(updBadSpec.status == 500 &&
+        updBadSpec.body.contains("invalid schedule"), updBadSpec)
+      val updMissing = WebApi.timersUpdate(spark, "timer-ghost",
+        """{"schedule":"0 0 9 * * *","path":"csv_map.tql"}""")
+      assert(updMissing.status == 500 && updMissing.body.contains("no such file"), updMissing)
+
       val del = WebApi.timersDelete(spark, "timer-rest")
       assert(del.status == 200 && del.body.contains(""""success":true"""), del)
       val delMissing = WebApi.timersDelete(spark, "timer-ghost")
@@ -312,6 +334,23 @@ class WebApiSpec extends SparkSpec {
       graft.server.Bridge.delBridge(bridgeName)
       graft.server.Bridge.delBridge("sql-br")
     }
+  }
+
+  test("/web/api/refs returns the reference-link tree (http.go:1812-1847)") {
+    val root = WebApi.refs("/")
+    assert(root.status == 200 && root.body.contains(""""label":"REFERENCES""""), root.body)
+    assert(root.body.contains(""""title":"machbase-neo docs"""") &&
+      root.body.contains(""""address":"https://docs.machbase.com/neo"""") &&
+      root.body.contains(""""target":"_blank""""), root.body)
+    assert(root.body.contains(""""label":"SDK"""") &&
+      root.body.contains(""""label":"CHEAT SHEETS"""") &&
+      root.body.contains(""""type":"wrk""""), root.body)
+    // Demo web app has no target → omit-empty
+    assert(root.body.contains(
+      """{"type":"url","title":"Demo web app","address":"https://github.com/machbase/neo-apps"}"""),
+      root.body)
+    val missing = WebApi.refs("/nope")
+    assert(missing.status == 404 && missing.body.contains("'/nope' not found"), missing)
   }
 
   test("/db/query binary column rides every format (TestQueryBinaryFormat)") {

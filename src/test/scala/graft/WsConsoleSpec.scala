@@ -162,4 +162,24 @@ class WsConsoleSpec extends SparkSpec {
       assert(result.length == 1, ok)
     } finally { client.close(); server.close() }
   }
+
+  test("console door accepts, upgrades and serves rpc end-to-end") {
+    val port = WsConsole.ensureDoor(spark)
+    val sock = new Socket(InetAddress.getLoopbackAddress, port)
+    try {
+      WsConsole.clientHandshake(sock, "/web/api/console/c1/data")
+      val client = new WsConn(sock, clientRole = true)
+      client.writeJson("""{"type":"ping","ping":{"tick":42}}""")
+      val pong = client.readJson()
+      assert(pong("type") == "ping", pong)
+      client.writeJson("""{"type":"rpc_req","session":"d1","rpc":""" +
+        """{"jsonrpc":"2.0","id":1,"method":"server.info.get","params":[]}}""")
+      val rsp = client.readJson()
+      assert(rsp("type") == "rpc_rsp", rsp)
+      val rt = rsp("rpc").asInstanceOf[collection.mutable.LinkedHashMap[String, Any]]("result")
+        .asInstanceOf[collection.mutable.LinkedHashMap[String, Any]]("runtime")
+        .asInstanceOf[collection.mutable.LinkedHashMap[String, Any]]
+      assert(rt("OS") == "linux", rt)
+    } finally sock.close()
+  }
 }
