@@ -410,13 +410,17 @@ object Core {
          WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
          ORDER BY c_custkey""",
     "q_histogram" ->
-      """SELECT CAST(bin*25.0 AS DOUBLE) AS low, CAST((bin+1)*25.0 AS DOUBLE) AS high,
-         coalesce(cnt, 0) AS count
-         FROM (SELECT CAST(range AS BIGINT) AS bin FROM range(20)) bins
-         LEFT JOIN (SELECT CAST(floor((value-0)/25) AS BIGINT) AS vbin, count(*) AS cnt
-                    FROM events WHERE value >= 0 AND value < 500 GROUP BY 1) h
-           ON bins.bin = h.vbin
-         ORDER BY low""",
+      """WITH bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(22)),
+         h AS (SELECT LEAST(GREATEST(CAST(trunc(value/25.0) AS BIGINT) + 1, 0), 21) AS bin,
+                 count(*) AS cnt FROM events GROUP BY 1)
+         SELECT CASE WHEN bins.bin = 0 THEN CAST('-infinity' AS DOUBLE)
+                ELSE CAST((bins.bin-1)*25.0 AS DOUBLE) END AS low,
+           CASE WHEN bins.bin = 21 THEN CAST('infinity' AS DOUBLE)
+                ELSE CAST(bins.bin*25.0 AS DOUBLE) END AS high,
+           coalesce(cnt, 0) AS count
+         FROM bins LEFT JOIN h USING(bin)
+         WHERE NOT ((bins.bin = 0 OR bins.bin = 21) AND coalesce(cnt,0) = 0)
+         ORDER BY bins.bin""",
     "q_boxplot" ->
       """WITH q AS (
            SELECT event_type AS category,

@@ -365,21 +365,25 @@ object Extra {
          WHERE rn = 1 OR (cand_rn IS NOT NULL AND rn = min_cand)
          ORDER BY user_id, t_us""",
     "q_histogram_category" ->
-      """SELECT CAST(bin*50.0 AS DOUBLE) AS low, CAST((bin+1)*50.0 AS DOUBLE) AS high,
-         coalesce(click, 0) AS click, coalesce(error, 0) AS error,
-         coalesce(purchase, 0) AS purchase, coalesce(signup, 0) AS signup,
-         coalesce(view, 0) AS view
-         FROM (SELECT CAST(range AS BIGINT) AS bin FROM range(10)) bins
-         LEFT JOIN (
-           SELECT CAST(floor((value-0)/50) AS BIGINT) AS vbin,
+      """WITH bins AS (SELECT CAST(range AS BIGINT) AS bin FROM range(12)),
+         h AS (SELECT LEAST(GREATEST(CAST(trunc(value/50.0) AS BIGINT) + 1, 0), 11) AS bin,
              count(CASE WHEN event_type='click' THEN 1 END) AS click,
              count(CASE WHEN event_type='error' THEN 1 END) AS error,
              count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
              count(CASE WHEN event_type='signup' THEN 1 END) AS signup,
              count(CASE WHEN event_type='view' THEN 1 END) AS view
-           FROM events WHERE value >= 0 AND value < 500 GROUP BY 1) h
-           ON bins.bin = h.vbin
-         ORDER BY low""",
+           FROM events GROUP BY 1)
+         SELECT CASE WHEN bins.bin = 0 THEN CAST('-infinity' AS DOUBLE)
+                ELSE CAST((bins.bin-1)*50.0 AS DOUBLE) END AS low,
+           CASE WHEN bins.bin = 11 THEN CAST('infinity' AS DOUBLE)
+                ELSE CAST(bins.bin*50.0 AS DOUBLE) END AS high,
+           coalesce(click,0) AS click, coalesce(error,0) AS error,
+           coalesce(purchase,0) AS purchase, coalesce(signup,0) AS signup,
+           coalesce(view,0) AS view
+         FROM bins LEFT JOIN h USING(bin)
+         WHERE NOT ((bins.bin = 0 OR bins.bin = 11) AND
+           coalesce(click,0)+coalesce(error,0)+coalesce(purchase,0)+coalesce(signup,0)+coalesce(view,0) = 0)
+         ORDER BY bins.bin""",
     "q_tpch_revenue_filter" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
                   CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,

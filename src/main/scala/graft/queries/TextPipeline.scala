@@ -282,15 +282,16 @@ object TextPipeline {
     }),
 
     // ---- curation: eval-set decontamination ---------------------------
-    // 4-gram overlap between the corpus (doc_id < 450) and a held-out
-    // eval slice (doc_id >= 450): eval grams broadcast, corpus streams.
-    // (Real pipelines use 8-13-gram windows; the synthetic vocabulary
-    // needs 4 to produce collisions worth checking.)
+    // 4-gram overlap between the corpus (doc_id % 10 < 9) and a held-out
+    // 10% eval slice (doc_id % 10 = 9): the eval side stays the small
+    // side at every scale factor, so the broadcast design holds as the
+    // corpus grows. (Real pipelines use 8-13-gram windows; the synthetic
+    // vocabulary needs 4 to produce collisions worth checking.)
     "q_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.text.Curation.decontaminate(
-          docs.filter(col("doc_id") < 450),
-          docs.filter(col("doc_id") >= 450),
+          docs.filter(col("doc_id") % 10 < 9),
+          docs.filter(col("doc_id") % 10 === 9),
           "doc_id", "text", n = 4)
         .orderBy("doc_id")
     }),
@@ -614,8 +615,8 @@ object TextPipeline {
            FROM documents),
          g AS (SELECT doc_id, list_transform(generate_series(1, len(ws)-3),
              i -> array_to_string(ws[i:i+3],' ')) AS gs FROM w),
-         ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id >= 450),
-         tr AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g WHERE doc_id < 450)
+         ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 9),
+         tr AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g WHERE doc_id % 10 < 9)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked_ngrams
          FROM tr JOIN ev USING(gram) GROUP BY 1 ORDER BY 1""",
     "q_hash_sample" ->

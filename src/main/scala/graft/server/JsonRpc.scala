@@ -153,7 +153,11 @@ object JsonRpc {
         catch { case e: Exception => fail(Option(e.getMessage).getOrElse(e.toString)) }
       val handle = s"h${cursorSeq.incrementAndGet()}"
       val schema = df.schema
-      cursors.put(handle, df.collect().iterator.map(_.toSeq))
+      // partition-at-a-time pull, not a full driver materialization —
+      // console cursors may sit over arbitrarily large bridge queries
+      cursors.put(handle,
+        scala.jdk.CollectionConverters.IteratorHasAsScala(df.toLocalIterator())
+          .asScala.map(_.toSeq))
       obj("Handle" -> handle, "Columns" -> arr(schema.fields.toSeq.map { f =>
         obj("Name" -> f.name,
           "Type" -> (if (f.metadata.contains("machtype"))
