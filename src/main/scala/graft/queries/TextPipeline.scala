@@ -312,6 +312,15 @@ object TextPipeline {
           "lang", "doc_id", quota = 20)
         .select("lang", "doc_id").orderBy("lang", "doc_id")),
 
+    // ---- curation: repetition filters (duplicate-content heuristics) --
+    "q_repetition" -> ((s, dir) =>
+      graft.text.Curation.repetitionStats(
+          t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+        .select(col("doc_id"), col("n_words"),
+          fround(col("dup_word_frac"), 4).as("dup_word_frac"),
+          fround(col("top_bigram_frac"), 4).as("top_bigram_frac"))
+        .orderBy("doc_id")),
+
     // ---- curation: sequence packing into ~2000-token bins -------------
     "q_pack_bins" -> ((s, dir) =>
       graft.text.Curation.packBins(
@@ -627,6 +636,20 @@ object TextPipeline {
              PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
            FROM documents)
          SELECT lang, doc_id FROM r WHERE rk <= 20 ORDER BY lang, doc_id""",
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
+           FROM documents WHERE doc_id < 200),
+         base AS (SELECT doc_id, len(ws) AS n_words,
+             1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)/len(ws) AS dwf FROM w),
+         g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+             i -> array_to_string(ws[i:i+1],' '))) AS gram FROM w),
+         c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1,2),
+         m AS (SELECT doc_id, CAST(max(c) AS DOUBLE)/sum(c) AS tbf FROM c GROUP BY 1)
+         SELECT base.doc_id, n_words,
+           floor(dwf*10000.0+0.5)/10000.0 AS dup_word_frac,
+           floor(tbf*10000.0+0.5)/10000.0 AS top_bigram_frac
+         FROM base LEFT JOIN m USING(doc_id) ORDER BY base.doc_id""",
     "q_pack_bins" ->
       """WITH w AS (SELECT lang, doc_id,
              len(string_split(regexp_replace(lower(text),'\s+',' ','g'),' ')) AS tok

@@ -82,6 +82,29 @@ object Curation {
       .filter(col("__rk") <= quota)
       .drop("__rk")
 
+  /** Repetition statistics (the duplicate-content heuristics published
+    * with large-corpus quality filtering: duplicate-word fraction and
+    * the most-frequent-bigram mass fraction; documents dominated by
+    * repeated content get filtered before training).
+    *
+    * dup_word_frac is pure higher-order column math (no shuffle);
+    * top_bigram_frac explodes bigrams → per-(doc,gram) count →
+    * per-doc max/total — two keyed aggregations with map-side partials,
+    * never a per-doc collect. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val base = df.select(col(idCol), col(textCol))
+      .withColumn("n_words", size(ws))
+      .withColumn("dup_word_frac",
+        lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws))
+    val grams = base
+      .select(col(idCol), explode(wordNgrams(col(textCol), 2)).as("gram"))
+      .groupBy(idCol, "gram").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg((max("c").cast("double") / sum("c")).as("top_bigram_frac"))
+    base.drop(textCol).join(grams, Seq(idCol), "left")
+  }
+
   /** Sequence packing: concatenate consecutive documents (id order
     * within each group) into training bins of ~`targetTokens`
     * whitespace tokens. Bin k of a group holds the docs whose running

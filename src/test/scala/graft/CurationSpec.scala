@@ -62,6 +62,19 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("repetitionStats flags repeated content, not diverse text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "eight totally different words appear right here now")).toDF("doc_id", "text")
+    val got = Curation.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    val (n1, dwf1, tbf1) = got(1L)
+    assert(n1 == 8 && dwf1 == 1.0 - 1.0 / 8 && tbf1 == 1.0, got(1L)) // all bigrams "spam spam"
+    val (n2, dwf2, tbf2) = got(2L)
+    assert(n2 == 8 && dwf2 == 0.0 && math.abs(tbf2 - 1.0 / 7) < 1e-12, got(2L))
+  }
+
   test("packBins: bins respect the running-token boundary per group") {
     val df = Seq(
       ("en", 1L, ("w " * 900).trim), // 900 tokens  cum0=0    bin 0
