@@ -312,6 +312,24 @@ object TextPipeline {
           "lang", "doc_id", quota = 20)
         .select("lang", "doc_id").orderBy("lang", "doc_id")),
 
+    // ---- curation: PII scrubbing --------------------------------------
+    // Deterministic synthetic PII (email/IP/phone derived from doc_id)
+    // planted into each document, then scrubbed; the oracle re-runs the
+    // identical RE2-safe regex chain and hashes the redacted text.
+    "q_pii_scrub" -> ((s, dir) => {
+      import graft.text.Curation
+      val withPii = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".1 call 010-1234-"),
+          (lit(1000) + pmod(col("doc_id"), lit(9000)))).as("t"))
+      val (ne, ni, nn) = Curation.piiCounts(col("t"))
+      withPii.select(col("doc_id"),
+          md5(Curation.scrubPii(col("t"))).as("scrub_md5"),
+          ne.as("n_emails"), ni.as("n_ips"), nn.as("n_numbers"))
+        .orderBy("doc_id")
+    }),
+
     // ---- curation: repetition filters (duplicate-content heuristics) --
     "q_repetition" -> ((s, dir) =>
       graft.text.Curation.repetitionStats(
@@ -636,6 +654,26 @@ object TextPipeline {
              PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
            FROM documents)
          SELECT lang, doc_id FROM r WHERE rk <= 20 ORDER BY lang, doc_id""",
+    "q_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' ||
+             CAST(doc_id % 256 AS VARCHAR) || '.1 call 010-1234-' ||
+             CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+           FROM documents WHERE doc_id < 200),
+         s AS (SELECT doc_id, t,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+               '[0-9][0-9 ()+-]{7,}[0-9]', '<NUMBER>', 'g') AS scrubbed
+           FROM p)
+         SELECT doc_id, md5(scrubbed) AS scrub_md5,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+           len(regexp_extract_all(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', ' ', 'g'),
+             '[0-9][0-9 ()+-]{7,}[0-9]')) AS n_numbers
+         FROM s ORDER BY doc_id""",
     "q_repetition" ->
       """WITH w AS (SELECT doc_id,
              string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws

@@ -82,6 +82,28 @@ object Curation {
       .filter(col("__rk") <= quota)
       .drop("__rk")
 
+  /** PII scrubbing: replace emails, IPv4 addresses, and long digit runs
+    * (phone/account numbers) with typed placeholder tokens. The patterns
+    * are deliberately lookaround-free so the same regexes run unchanged
+    * on any RE2/PCRE-class engine, keeping redaction reproducible.
+    * Pure codegen'd column expressions — no shuffle, no UDF. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val DigitRunRe = "[0-9][0-9 ()+-]{7,}[0-9]"
+
+  def scrubPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    regexp_replace(noIp, DigitRunRe, "<NUMBER>")
+  }
+
+  /** Count of PII hits by kind (for redaction reporting). */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))),
+    size(regexp_extract_all(regexp_replace(regexp_replace(text, EmailRe, " "),
+      Ipv4Re, " "), lit(DigitRunRe), lit(0))))
+
   /** Repetition statistics (the duplicate-content heuristics published
     * with large-corpus quality filtering: duplicate-word fraction and
     * the most-frequent-bigram mass fraction; documents dominated by

@@ -62,6 +62,17 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("scrubPii redacts emails, IPv4s and digit runs in order") {
+    val df = Seq((1L,
+      "mail bob.smith+x@corp.example.org node 192.168.10.3 tel 010-1234-5678 ok 42"))
+      .toDF("id", "t")
+    val got = df.select(Curation.scrubPii(col("t"))).as[String].head()
+    assert(got == "mail <EMAIL> node <IP> tel <NUMBER> ok 42", got)
+    val (ne, ni, nn) = Curation.piiCounts(col("t"))
+    val counts = df.select(ne, ni, nn).head()
+    assert((counts.getInt(0), counts.getInt(1), counts.getInt(2)) == ((1, 1, 1)), counts)
+  }
+
   test("repetitionStats flags repeated content, not diverse text") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam spam spam"),
