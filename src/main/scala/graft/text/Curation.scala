@@ -29,6 +29,15 @@ object Curation {
   private def words(text: Column): Column =
     split(regexp_replace(lower(text), "\\s+", " "), " ")
 
+  /** Whitespace token count over the normalized word stream. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** Fraction of words that repeat an earlier word (0 = all distinct). */
+  def dupWordFrac(text: Column): Column = {
+    val ws = words(text)
+    lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws)
+  }
+
   /** All word n-grams of `text` joined with single spaces. Spark's
     * sequence() DESCENDS when stop < start, so short/null texts must
     * short-circuit to an empty array instead. */

@@ -113,6 +113,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == 2L, s"expected re-admission after window expiry, got $got rows")
   }
 
+  test("curated stream gates quality, dedups content, scrubs PII") {
+    import graft.streaming.CuratedStream
+    val dir = Files.createTempDirectory("graft_cur").toString
+    val out = Files.createTempDirectory("graft_cur_out").toString
+    val ck = Files.createTempDirectory("graft_cur_ck").toString
+    Seq(
+      (1L, "a good document with enough distinct words to pass easily today"),
+      (2L, "too short"),
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (4L, "mail me at alice@example.com about the nine extra tokens here"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def runOnce(): Unit = {
+      val cur = CuratedStream.curateAndScrub(
+        Watch.tail(spark, dir, schema), "text",
+        minTokens = 5, maxTokens = 100, maxDupWordFrac = 0.5, dedupWindow = "10 minutes")
+      val q = Watch.appendWriter(cur, out, ck, 1000L)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    val first = spark.read.parquet(out)
+    assert(first.count() == 2L, first.collect().mkString)
+    assert(first.filter($"doc_id" === 4L).select("text").as[String].head()
+      .contains("mail me at <EMAIL> about"), "pii scrubbed")
+    // duplicate content (doc 1's text) re-sent within the window → dropped;
+    // a genuinely new doc passes
+    Seq(
+      (5L, "a good document with enough distinct words to pass easily today"),
+      (6L, "another brand new document carrying its own set of words"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    runOnce()
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 4L, 6L), ids.toSeq)
+  }
+
   test("rollupStream aggregates tumbling event-time windows") {
     val dir = Files.createTempDirectory("graft_roll").toString
     val ck = Files.createTempDirectory("graft_ck2").toString
