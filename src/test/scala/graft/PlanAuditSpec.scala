@@ -1,0 +1,76 @@
+package graft
+
+/** Structural plan assertions for the scale-critical gate queries: the
+  * properties that keep each plan viable at 100 TB, pinned so a
+  * refactor that silently reintroduces a cartesian product, a global
+  * window, or an un-broadcast dimension join fails CI — not just the
+  * bench counters after the fact. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.toRdd.count() // drive AQE to the final plan
+    df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+  }
+
+  private val heavy = Seq(
+    "q_tpch_pricing", "q_join_revenue", "q_top_customers",
+    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_cluster",
+    "q_embedding_topk", "q_embedding_pairs", "q_ann_lsh", "q_ann_ivf",
+    "q_ann_pq", "q_pipeline_curate", "q_decontaminate", "q_pack_bins",
+    "q_stratified_sample", "q_rollup_routed", "q_pivot", "q_asof_join")
+
+  test("no cartesian products in any heavy gate query") {
+    heavy.foreach { name =>
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${plan.take(2000)}")
+    }
+  }
+
+  test("no unpartitioned windows (single-partition trap) in heavy queries") {
+    heavy.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.queryExecution.toRdd.count()
+      val tree = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val bad = tree.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name has a global window: $bad")
+    }
+  }
+
+  test("small-side joins broadcast: queries vs corpus, eval grams vs corpus") {
+    Seq("q_embedding_topk", "q_decontaminate").foreach { name =>
+      val plan = executedPlan(name)
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastExchange"), s"$name does not broadcast:\n${plan.take(2000)}")
+    }
+  }
+
+  test("parquet scans prune columns: pricing reads only the needed lineitem fields") {
+    val plan = executedPlan("q_tpch_pricing")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.nonEmpty, plan.take(1000))
+    assert(!read.contains("l_comment") && !read.contains("l_shipinstruct"),
+      s"scan reads unused columns: $read")
+  }
+
+  test("rollup routing scans the rollup table, not the raw table") {
+    val plan = executedPlan("q_rollup_routed")
+    // the registered rollup lives under a graft_route temp dir; the raw
+    // events.parquet must not appear in the final scan set
+    assert(plan.contains("graft_route"), plan.take(2000))
+    assert(!plan.contains("events.parquet"), plan.take(2000))
+  }
+
+  test("stratified sampling plans a WindowGroupLimit (rank pushdown)") {
+    val plan = executedPlan("q_stratified_sample")
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+}
