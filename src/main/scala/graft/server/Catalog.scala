@@ -69,6 +69,17 @@ object Catalog {
     s
   }
 
+  /** Force the implicit session into the registry (session.list RPC). */
+  def ensureDefaultSession(): Unit = { defaultSession; () }
+
+  /** Live session rows, implicit session included (V$SESSION order). */
+  def sessionRows: Seq[SessionInfo] =
+    (sessions.values.toSeq :+ defaultSession).distinct.sortBy(_.id)
+
+  /** KillSession: true when the id existed; the implicit session
+    * re-registers on next use like the reference's own connection. */
+  def killSession(id: Long): Boolean = sessions.remove(id).isDefined
+
   def recordStatement(sql: String, state: String, recordSize: Long): Unit = {
     statements.addFirst(StmtInfo(stmtSeq.incrementAndGet(), defaultSession.id,
       state, recordSize, sql))

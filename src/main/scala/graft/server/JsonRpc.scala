@@ -59,6 +59,12 @@ object JsonRpc {
     new java.util.concurrent.ConcurrentHashMap[String, Iterator[Seq[Any]]]()
   private val cursorSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  // ---- session pool model (server.go:2181-2236 SessionLimit defaults) ----
+  private val sessionLimit = new java.util.concurrent.atomic.AtomicReference(
+    (40, 10, "5m0s", "1h0m0s"))
+  private val httpDebug = new java.util.concurrent.atomic.AtomicReference(
+    (false, -1L))
+
   /** The registered method table. Each entry mirrors one
     * RegisterJsonRpcHandler line (server.go:1144-1198); handlers that the
     * reference backs with jsh/auth/UI subsystems (shell.*, sshkey.*,
@@ -174,6 +180,75 @@ object JsonRpc {
     "bridge.result.close" -> ((_, p) => {
       if (cursors.remove(str(p, 0)) == null) fail(s"invalid handle '${str(p, 0)}'")
       obj("Reason" -> "success")
+    }),
+
+    // ---- session pool management (server.go:2062-2236) -----------------
+    "session.list" -> ((spark, _) => {
+      Catalog.ensureDefaultSession()
+      arr(Catalog.sessionRows.map { s =>
+        obj("id" -> s.id, "userName" -> s.userName, "userId" -> s.userId,
+          "loginTime" -> s.loginTimeMs, "type" -> s.clientType,
+          "userIp" -> s.userIp)
+      })
+    }),
+    "session.kill" -> ((_, p) => {
+      val id = p.headOption match {
+        case Some(l: java.lang.Long) => l.toLong
+        case Some(s: String) => s.toLongOption.getOrElse(-1L)
+        case _ => -1L
+      }
+      if (!Catalog.killSession(id)) fail(s"session '$id' not found")
+      null
+    }),
+    "session.stat" -> ((_, _) => {
+      val lim = sessionLimit.get()
+      obj("maxOpenConnections" -> lim._1.toLong,
+        "openConnections" -> Catalog.sessionRows.length.toLong,
+        "inUse" -> 1L, "idle" -> (Catalog.sessionRows.length - 1L).max(0L),
+        "waitCount" -> 0L, "waitAvgDuration" -> "0s",
+        "maxIdleClosed" -> 0L, "maxIdleTimeClosed" -> 0L,
+        "maxLifetimeClosed" -> 0L)
+    }),
+    "session.limit.get" -> ((_, _) => {
+      val (mo, mi, it, lt) = sessionLimit.get()
+      obj("maxOpenConn" -> mo.toLong, "maxIdleConn" -> mi.toLong,
+        "connMaxIdleTime" -> it, "connMaxLifetime" -> lt)
+    }),
+    "session.limit.set" -> ((_, p) => {
+      val m = objParam(p, 0)
+      val (mo, mi, it, lt) = sessionLimit.get()
+      def num(k: String, dflt: Int): Int = m.get(k) match {
+        case Some(l: java.lang.Long) => l.toInt
+        case Some(d: java.lang.Double) => d.toInt
+        case _ => dflt
+      }
+      def dur(k: String, dflt: String): String = m.get(k) match {
+        case Some(s: String) => s
+        case _ => dflt
+      }
+      sessionLimit.set((num("maxOpenConn", mo), num("maxIdleConn", mi),
+        dur("connMaxIdleTime", it), dur("connMaxLifetime", lt)))
+      null
+    }),
+    "http.debug.set" -> ((_, p) => {
+      val m = objParam(p, 0)
+      if (m.contains("enable") || m.contains("logLatency")) {
+        val enable = m.get("enable") match {
+          case Some(b: java.lang.Boolean) => b.booleanValue()
+          case _ => fail("enable should be boolean")
+        }
+        val latency = m.get("logLatency") match {
+          case Some(s: String) => s
+          case _ => fail("logLatency should be duration")
+        }
+        val ns =
+          try graft.time.TimeFns.parseDurationNs(latency)
+          catch { case _: Exception => -1L }
+        httpDebug.set((enable, ns))
+      }
+      val (en, ns) = httpDebug.get()
+      obj("enable" -> en,
+        "logLatency" -> graft.time.TimeFns.goDurationString(ns))
     }),
 
     // ---- schedule management (server.go:1902-2060) ---------------------

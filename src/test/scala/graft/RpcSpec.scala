@@ -168,6 +168,44 @@ class RpcSpec extends SparkSpec {
     }
   }
 
+  test("session.limit get/set round-trips (TestHttpRpc getSessionLimit)") {
+    val before = rpc("session.limit.get", "[]")
+    Seq("maxOpenConn", "maxIdleConn", "connMaxIdleTime", "connMaxLifetime")
+      .foreach(k => assert(get(before, s"result.$k") != null, before))
+    val mo = get(before, "result.maxOpenConn").asInstanceOf[Long]
+    assert(rpc("session.limit.set",
+      s"""[{"maxOpenConn":${mo + 5},"connMaxIdleTime":"7m0s"}]""")
+      .contains(""""result":null"""))
+    val after = rpc("session.limit.get", "[]")
+    assert(get(after, "result.maxOpenConn") == mo + 5, after)
+    assert(get(after, "result.connMaxIdleTime") == "7m0s", after)
+    assert(get(after, "result.maxIdleConn") == get(before, "result.maxIdleConn"), after)
+    // restore
+    rpc("session.limit.set", s"""[{"maxOpenConn":$mo,"connMaxIdleTime":"5m0s"}]""")
+  }
+
+  test("session.list / stat / kill over the session registry") {
+    val lst = rpc("session.list", "[]")
+    assert(get(lst, "result.0.userName") == "SYS", lst)
+    val stat = rpc("session.stat", "[false]")
+    assert(get(stat, "result.maxOpenConnections") != null &&
+      get(stat, "result.openConnections").asInstanceOf[Long] >= 1L, stat)
+    val killGhost = rpc("session.kill", """["99999", false]""")
+    assert(get(killGhost, "error.code") == -32000L, killGhost)
+  }
+
+  test("http.debug.set validates and echoes settings (TestHttpRpc setHttpDebug)") {
+    val bad = rpc("http.debug.set", """[{"enable":"yes","logLatency":"1s"}]""")
+    assert(get(bad, "error.code") == -32000L &&
+      get(bad, "error.message") == "enable should be boolean", bad)
+    val set = rpc("http.debug.set", """[{"enable":true,"logLatency":"1m30s"}]""")
+    assert(get(set, "result.enable") == true, set)
+    assert(get(set, "result.logLatency") == "1m30s", set)
+    val off = rpc("http.debug.set", """[{"enable":false,"logLatency":"bogus"}]""")
+    assert(get(off, "result.enable") == false, off)
+    assert(get(off, "result.logLatency") == "-1ns", off)
+  }
+
   // ---- markdown.render (TestHttpRpc markdownRender cases) ---------------
 
   test("markdownRender-light: heading and strong") {
