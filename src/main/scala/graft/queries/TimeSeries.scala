@@ -216,6 +216,23 @@ object TimeSeries {
         .orderBy("event_id")
     }),
 
+    // ---- bucketed range join (ships within a week of the order) -------
+    // interval join as a HASH equi-join on 8-day buckets + residual
+    // filter (operators.RangeJoin) — never a nested-loop; the oracle is
+    // DuckDB's native range join over the same predicate.
+    "q_range_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+      val iv = orders.select(col("o_orderkey"),
+        unix_date(col("o_orderdate").cast("date")).cast("long").as("lo"))
+        .withColumn("hi", col("lo") + 7)
+      val pts = t(s, dir, "lineitem").select(
+        unix_date(col("l_shipdate").cast("date")).cast("long").as("ship_day"))
+      graft.operators.RangeJoin.rangeJoin(pts, "ship_day", iv, "lo", "hi", 8L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_ships"), min("ship_day").as("first_ship_day"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- pivot tags→columns per day bucket (lake pivot) ---------------
     "q_pivot" -> ((s, dir) => {
       val e0 = t(s, dir, "events")
@@ -450,6 +467,14 @@ object TimeSeries {
            max(value) AS max_value,
            min(CASE WHEN value = xv THEN t_us END) AS max_value_time
          FROM e GROUP BY 1 ORDER BY 1""",
+    "q_range_join" ->
+      """SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_ships,
+         CAST(min(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS BIGINT) AS first_ship_day
+         FROM orders JOIN lineitem
+           ON CAST(l_shipdate AS DATE) BETWEEN CAST(o_orderdate AS DATE)
+              AND CAST(o_orderdate AS DATE) + 7
+         WHERE o_orderkey % 100 = 0
+         GROUP BY 1 ORDER BY 1""",
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t_us,
          r.value AS last_purchase_value, epoch_us(r.ts) AS last_purchase_t_us

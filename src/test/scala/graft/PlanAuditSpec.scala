@@ -18,7 +18,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_dedup_minhash", "q_dedup_simhash", "q_dedup_cluster",
     "q_embedding_topk", "q_embedding_pairs", "q_ann_lsh", "q_ann_ivf",
     "q_ann_pq", "q_pipeline_curate", "q_decontaminate", "q_pack_bins",
-    "q_stratified_sample", "q_rollup_routed", "q_pivot", "q_asof_join")
+    "q_stratified_sample", "q_rollup_routed", "q_pivot", "q_asof_join",
+    "q_range_join")
 
   test("no cartesian products in any heavy gate query") {
     heavy.foreach { name =>
