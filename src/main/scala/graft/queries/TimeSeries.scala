@@ -233,6 +233,39 @@ object TimeSeries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- salted skew-join (result-identical to the plain join) --------
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), Q.dec2(col("l_extendedprice")).as("price"))
+      val orders = t(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.operators.SaltedJoin.join(li, orders, Seq("l_orderkey"), salts = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum("price").cast("double").as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- error-bounded sketches (approx distinct / percentile) --------
+    // The approx values are engine-specific, so the oracle checks the
+    // BOUND, not the estimate: the query emits the exact value plus a
+    // boolean "estimate inside ±5%/±1-step", which must be true — the
+    // same in-query verdict pattern as the ANN recall oracles.
+    "q_sketch_bounds" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_users"),
+          approx_count_distinct("user_id").as("approx_users"),
+          expr("approx_percentile(value, 0.5, 10000)").as("approx_p50"),
+          expr("percentile(value, 0.5)").as("exact_p50"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.05, lit(1.0))).as("distinct_ok"),
+          (abs(col("approx_p50") - col("exact_p50")) <=
+            (abs(col("exact_p50")) * 0.05 + lit(1.0))).as("p50_ok"))
+        .orderBy("event_type")
+    }),
+
     // ---- pivot tags→columns per day bucket (lake pivot) ---------------
     "q_pivot" -> ((s, dir) => {
       val e0 = t(s, dir, "events")
@@ -467,6 +500,15 @@ object TimeSeries {
            max(value) AS max_value,
            min(CASE WHEN value = xv THEN t_us END) AS max_value_time
          FROM e GROUP BY 1 ORDER BY 1""",
+    "q_salted_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderkey % 10 = 0 GROUP BY 1 ORDER BY 1""",
+    "q_sketch_bounds" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+         true AS distinct_ok, true AS p50_ok
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_range_join" ->
       """SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_ships,
          CAST(min(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))) AS BIGINT) AS first_ship_day
