@@ -63,7 +63,14 @@ object Curation {
     val evalGrams = eval_
       .select(explode(wordNgrams(col(textCol), n)).as("gram"))
       .distinct()
-    val corpusGrams = corpus
+    // rebalance BEFORE the n-gram expansion: a corpus arriving in fewer
+    // splits than cores (one small file locally; a skewed directory at
+    // scale) would run the whole regex+explode on those few threads —
+    // the cheap pre-shuffle of raw docs buys full-width expansion
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
+    val corpusGrams = balanced
       .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
     corpusGrams
       .join(broadcast(evalGrams), "gram")
