@@ -233,6 +233,15 @@ object TimeSeries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- z-order (Morton) codes for two-dimensional layout ------------
+    "q_zorder" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("event_id") < 5000)
+      e.select(col("event_id"),
+          graft.operators.ZOrder.zValue(col("user_id").cast("long"),
+            floor(col("value")).cast("long")).as("z"))
+        .orderBy("event_id")
+    }),
+
     // ---- salted skew-join (result-identical to the plain join) --------
     "q_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(
@@ -506,6 +515,22 @@ object TimeSeries {
            max(value) AS max_value,
            min(CASE WHEN value = xv THEN t_us END) AS max_value_time
          FROM e GROUP BY 1 ORDER BY 1""",
+    "q_zorder" ->
+      """WITH d AS (SELECT event_id, CAST(user_id AS BIGINT) AS a,
+             CAST(floor(value) AS BIGINT) AS b
+           FROM events WHERE event_id < 5000),
+         s1 AS (SELECT event_id, a & 4294967295 AS xa, b & 4294967295 AS xb FROM d),
+         s2 AS (SELECT event_id, (xa | (xa << 16)) & 281470681808895 AS xa,
+                 (xb | (xb << 16)) & 281470681808895 AS xb FROM s1),
+         s3 AS (SELECT event_id, (xa | (xa << 8)) & 71777214294589695 AS xa,
+                 (xb | (xb << 8)) & 71777214294589695 AS xb FROM s2),
+         s4 AS (SELECT event_id, (xa | (xa << 4)) & 1085102592571150095 AS xa,
+                 (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s3),
+         s5 AS (SELECT event_id, (xa | (xa << 2)) & 3689348814741910323 AS xa,
+                 (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s4),
+         s6 AS (SELECT event_id, (xa | (xa << 1)) & 6148914691236517205 AS xa,
+                 (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s5)
+         SELECT event_id, xa | (xb << 1) AS z FROM s6 ORDER BY event_id""",
     "q_salted_join" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
