@@ -265,9 +265,11 @@ object TimeSeries {
     // sort is precisely the cost a sketch exists to avoid.
     "q_sketch_bounds" -> ((s, dir) => {
       val e = t(s, dir, "events")
+      // rsd 0.01: the ±5% oracle bound sits 5σ out — the default 5% rsd
+      // is a 1σ bound and genuinely misses it (seen at sf0.1)
       val sk = e.groupBy("event_type")
         .agg(countDistinct("user_id").as("exact_users"),
-          approx_count_distinct("user_id").as("approx_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           expr("approx_percentile(value, 0.5, 10000)").as("approx_p50"))
       val frac = e.join(broadcast(sk), "event_type")
         .groupBy("event_type")
