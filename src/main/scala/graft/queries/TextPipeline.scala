@@ -312,6 +312,21 @@ object TextPipeline {
           "lang", "doc_id", quota = 20)
         .select("lang", "doc_id").orderBy("lang", "doc_id")),
 
+    // ---- int8 embedding quantization ----------------------------------
+    // The CODES are oracle-checked (md5 of the joined code string), not
+    // just the error stats — the arithmetic is IEEE-double reproducible
+    // so DuckDB derives identical int8 codes from the same floats.
+    "q_embedding_quantize" -> ((s, dir) => {
+      import graft.similarity.Quantize
+      val q = Quantize.quantizeInt8(t(s, dir, "embeddings"), "embedding")
+      q.select(col("vec_id"),
+          size(col("codes")).as("n_dims"),
+          md5(concat_ws(",", col("codes"))).as("codes_md5"),
+          (array_max(Quantize.reconstructionError("embedding")) <=
+            col("scale") / 254.0 + 1e-9).as("err_ok"))
+        .orderBy("vec_id")
+    }),
+
     // ---- curation: PII scrubbing --------------------------------------
     // Deterministic synthetic PII (email/IP/phone derived from doc_id)
     // planted into each document, then scrubbed; the oracle re-runs the
@@ -654,6 +669,19 @@ object TextPipeline {
              PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
            FROM documents)
          SELECT lang, doc_id FROM r WHERE rk <= 20 ORDER BY lang, doc_id""",
+    "q_embedding_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+           FROM embeddings),
+         c AS (SELECT vec_id, embedding, scale,
+             list_transform(embedding, x -> CAST(round(127.0 * CAST(x AS DOUBLE) / scale) AS INT)) AS codes
+           FROM s WHERE scale > 0)
+         SELECT vec_id, CAST(len(codes) AS INT) AS n_dims,
+           md5(array_to_string(codes, ',')) AS codes_md5,
+           list_aggregate(list_transform(generate_series(1, len(codes)), i ->
+             abs(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale / 127.0)), 'max')
+             <= scale/254.0 + 1e-9 AS err_ok
+         FROM c ORDER BY vec_id""",
     "q_pii_scrub" ->
       """WITH p AS (SELECT doc_id,
              text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.' ||
