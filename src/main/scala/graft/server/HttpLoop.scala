@@ -69,6 +69,12 @@ object HttpLoop {
       val script = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       (200, "application/json", graft.tql.Tql.run(session, script).getBytes("UTF-8"))
     })
+    srv.createContext("/web/api", (ex: HttpExchange) => respond(ex) {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val r = WebRoutes.route(session, ex.getRequestMethod,
+        ex.getRequestURI.getPath, body)
+      (r.status, r.contentType, r.body.getBytes("UTF-8"))
+    })
     val it = handlers.keySet().iterator()
     while (it.hasNext) install(srv, it.next())
     srv.start()

@@ -288,6 +288,10 @@ object WebApi {
     }.toMap
   }
 
+  /** [[flatJson]] that swallows malformed bodies (router-side peeking). */
+  private[server] def flatJsonSafe(body: String): Map[String, String] =
+    try flatJson(body) catch { case _: Exception => Map.empty }
+
   /** The `/web/api/timers` REST surface (http_facility_test.go
     * TestTimer): list/add/delete/start/stop with the success envelope;
     * schedules render with the reference's omit-empty field set. */

@@ -336,6 +336,39 @@ class WebApiSpec extends SparkSpec {
     }
   }
 
+  test("/web/api routes are live over the loopback HTTP edge") {
+    val port = graft.server.HttpLoop.ensureServer(spark)
+    val client = java.net.http.HttpClient.newHttpClient()
+    def send(method: String, path: String, body: String = ""): (Int, String) = {
+      val b = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://127.0.0.1:$port$path"))
+      val req = (method match {
+        case "GET" => b.GET()
+        case "DELETE" => b.DELETE()
+        case m => b.method(m, java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      }).build()
+      val rsp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      (rsp.statusCode(), rsp.body())
+    }
+    // rpc over the wire
+    val (rc, rb) = send("POST", "/web/api/rpc",
+      """{"jsonrpc":"2.0","id":3,"method":"sql.split","params":["select 1;"]}""")
+    assert(rc == 200 && rb.contains(""""jsonrpc":"2.0"""") && rb.contains(""""id":3"""), rb)
+    // bridges lifecycle over the wire
+    val (ac, ab) = send("POST", "/web/api/bridges",
+      """{"name":"wire-br","type":"sqlite","path":"file::memory:?cache=shared"}""")
+    assert(ac == 200 && ab.contains(""""success":true"""), ab)
+    try {
+      val (lc, lb) = send("GET", "/web/api/bridges")
+      assert(lc == 200 && lb.contains(""""name":"wire-br""""), lb)
+    } finally send("DELETE", "/web/api/bridges/wire-br")
+    // refs + 404 envelope
+    val (fc, fb) = send("GET", "/web/api/refs/")
+    assert(fc == 200 && fb.contains(""""label":"REFERENCES""""), fb)
+    val (nc, nb) = send("GET", "/web/api/nothing-here")
+    assert(nc == 404 && nb.contains("not found"), nb)
+  }
+
   test("/web/api/refs returns the reference-link tree (http.go:1812-1847)") {
     val root = WebApi.refs("/")
     assert(root.status == 200 && root.body.contains(""""label":"REFERENCES""""), root.body)
