@@ -75,6 +75,13 @@ object HttpLoop {
         ex.getRequestURI.getPath, body)
       (r.status, r.contentType, r.body.getBytes("UTF-8"))
     })
+    srv.createContext("/lakes", (ex: HttpExchange) => respond(ex) {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val multi = parseQueryMulti(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      val r = WebRoutes.routeLake(session, ex.getRequestMethod,
+        ex.getRequestURI.getPath, multi, body)
+      (r.status, r.contentType, r.body.getBytes("UTF-8"))
+    })
     val it = handlers.keySet().iterator()
     while (it.hasNext) install(srv, it.next())
     srv.start()
@@ -96,6 +103,14 @@ object HttpLoop {
       if (payload.nonEmpty) ex.getResponseBody.write(payload)
     } finally ex.close()
   }
+
+  /** Query params with repeats kept (the lake door takes multi-values). */
+  def parseQueryMulti(raw: String): Map[String, Seq[String]] =
+    raw.split("&").iterator.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      val dec = (s: String) => java.net.URLDecoder.decode(s, "UTF-8")
+      if (i < 0) dec(kv) -> "" else dec(kv.take(i)) -> dec(kv.drop(i + 1))
+    }.toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
 
   def parseQuery(raw: String): Map[String, String] =
     raw.split("&").iterator.filter(_.nonEmpty).map { kv =>

@@ -53,4 +53,21 @@ object WebRoutes {
       case _ => notFound(path)
     }
   }
+
+  /** Dispatch one request under the `/lakes` prefix (reference lake
+    * handler group, http.go:341-347). */
+  def routeLake(spark: SparkSession, method: String, path: String,
+                query: Map[String, Seq[String]], body: String): WebApi.HttpReply = {
+    val parts = path.stripPrefix("/lakes").stripPrefix("/")
+      .split("/", -1).toList.filter(_.nonEmpty)
+    (method.toUpperCase, parts) match {
+      case ("GET", List("tags")) => LakeDoor.getTagList(spark, query)
+      case ("GET", List("values", typ)) => LakeDoor.getValues(spark, typ, query)
+      case ("GET", List("values")) => LakeDoor.getValues(spark, "", query)
+      case ("POST", List("values")) => LakeDoor.postValues(spark, "", body)
+      case ("POST", List("values", typ)) => LakeDoor.postValues(spark, typ, body)
+      case ("POST", List("inter", "execquery")) => LakeDoor.execQuery(spark, body)
+      case _ => notFound(path)
+    }
+  }
 }

@@ -277,4 +277,33 @@ class LakeDoorSpec extends SparkSpec {
       assert(exec.status == 200 && exec.body.contains(""""error_code":0"""), exec.body)
     } finally QueryDoor.execute(spark, "drop table tag cascade")
   }
+
+  test("lake door is live over the loopback HTTP edge") {
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      """create tag table tag (name varchar(200) primary key,
+        |time datetime basetime, value double summarized)""".stripMargin)
+    try {
+      val port = graft.server.HttpLoop.ensureServer(spark)
+      val client = java.net.http.HttpClient.newHttpClient()
+      def send(method: String, path: String, body: String = ""): (Int, String) = {
+        val b = java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://127.0.0.1:$port$path"))
+        val req = (if (method == "GET") b.GET()
+          else b.method(method, java.net.http.HttpRequest.BodyPublishers.ofString(body)))
+          .build()
+        val rsp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        (rsp.statusCode(), rsp.body())
+      }
+      val (ac, ab) = send("POST", "/lakes/values",
+        s"""{"values":[{"Tag":"wire1","Ts":$tick,"Val":1.5}]}""")
+      assert(ac == 200 && ab.contains(""""success":1"""), ab)
+      val (tc, tb) = send("GET", "/lakes/tags?limit=10")
+      assert(tc == 200 && tb.contains(""""name":"WIRE1""""), tb)
+      val (rc, rb) = send("GET",
+        "/lakes/values/raw?tag_name=wire1&start_time=1690000000&end_time=1800000000")
+      assert(rc == 200 && rb.contains(""""tag_name":"wire1"""") &&
+        rb.contains(""""VALUE":1.5"""), rb)
+    } finally QueryDoor.execute(spark, "drop table tag cascade")
+  }
 }
