@@ -42,6 +42,59 @@ object Bench {
       fn
       (System.nanoTime() - t0) / 1e9
     }
+    def median3(fn: => Double): Double = (1 to 3).map(_ => fn).sorted.apply(1)
+
+    // Contention sentinel: a fixed single-core workload timed before the
+    // probes and again after the sweep. If the host was contended during
+    // the run, the drift ratio labels the record as contaminated — r8 put
+    // a 24×-off per-core ingest number on file with no way to tell from
+    // the artifact alone that it was environment, not code.
+    def sentinelSec(): Double = median3(time1 {
+      spark.range(100000000L).coalesce(1).selectExpr("sum(id * 3 + 1)").collect()
+    })
+
+    // ---- ingest benchmark (BASELINE append-path comparison) ----------
+    // Runs FIRST, before the query sweep heats the JVM/disk (r8 verdict
+    // task 1): the per-core probes are single-task and the most sensitive
+    // to host contention, so they get the quietest part of the run and
+    // median-of-3 (not best-of-2) for robustness to one bad run.
+    def simpleRows(n: Long): DataFrame = spark.range(n).select(
+      concat(lit("tag-"), pmod(col("id"), lit(500)).cast("string")).as("name"),
+      (lit(1704067200000000000L) + col("id") * 1000L).as("time"),
+      (pmod(col("id"), lit(100000)).cast("double") / 100d).as("value"))
+    def wideRows(n: Long): DataFrame = spark.range(n).select(
+      concat(lit("tag-"), pmod(col("id"), lit(500)).cast("string")).as("name"),
+      (lit(1704067200000000000L) + col("id") * 1000L).as("time"),
+      col("id").cast("double").as("value"),
+      (col("id") % 32767).cast("short").as("short_value"),
+      (col("id") % 65535).cast("int").as("ushort_value"),
+      (col("id") % 2147483647L).cast("int").as("int_value"),
+      col("id").as("uint_value"),
+      col("id").as("long_value"),
+      col("id").cast("decimal(20,0)").as("ulong_value"),
+      concat(lit("str_"), col("id").cast("string")).as("str_value"),
+      concat(lit("{\"k\":"), pmod(col("id"), lit(100)).cast("string"), lit("}")).as("json_value"),
+      concat(lit("192.168."), pmod(col("id"), lit(255)).cast("string"), lit(".1")).as("ipv4_value"),
+      lit("::1").as("ipv6_value"),
+      col("id").cast("string").cast("binary").as("bin_value"))
+
+    val scratch = Files.createTempDirectory("graft_ingest").toString
+    def writeRun(df: DataFrame, sub: String): Double =
+      time1(df.write.mode("overwrite").parquet(s"$scratch/$sub"))
+    // warm the parquet writer path (class loading, codec init)
+    writeRun(simpleRows(100000L), "warm")
+    val sentinelBefore = sentinelSec()
+
+    // per-core: one partition end-to-end == one core doing generate+encode+write
+    val nSimple1 = 4000000L
+    val simple1Sec = median3(writeRun(simpleRows(nSimple1).coalesce(1), "simple1"))
+    val nWide1 = 500000L
+    val wide1Sec = median3(writeRun(wideRows(nWide1).coalesce(1), "wide1"))
+    // aggregate throughput at full parallelism
+    val nSimple = 32000000L
+    val simpleSec = median3(writeRun(simpleRows(nSimple), "simple"))
+    val nWide = 4000000L
+    val wideSec = median3(writeRun(wideRows(nWide), "wide"))
 
     var shuffles, broadcasts, codegenSpans, globalWindows = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -126,45 +179,13 @@ object Bench {
     } catch { case _: Throwable => }
     val resultsHealed = results.map { case (k, v) => k -> healed.getOrElse(k, v) }
 
-    // ---- ingest benchmark (BASELINE append-path comparison) ----------
-    def simpleRows(n: Long): DataFrame = spark.range(n).select(
-      concat(lit("tag-"), pmod(col("id"), lit(500)).cast("string")).as("name"),
-      (lit(1704067200000000000L) + col("id") * 1000L).as("time"),
-      (pmod(col("id"), lit(100000)).cast("double") / 100d).as("value"))
-    def wideRows(n: Long): DataFrame = spark.range(n).select(
-      concat(lit("tag-"), pmod(col("id"), lit(500)).cast("string")).as("name"),
-      (lit(1704067200000000000L) + col("id") * 1000L).as("time"),
-      col("id").cast("double").as("value"),
-      (col("id") % 32767).cast("short").as("short_value"),
-      (col("id") % 65535).cast("int").as("ushort_value"),
-      (col("id") % 2147483647L).cast("int").as("int_value"),
-      col("id").as("uint_value"),
-      col("id").as("long_value"),
-      col("id").cast("decimal(20,0)").as("ulong_value"),
-      concat(lit("str_"), col("id").cast("string")).as("str_value"),
-      concat(lit("{\"k\":"), pmod(col("id"), lit(100)).cast("string"), lit("}")).as("json_value"),
-      concat(lit("192.168."), pmod(col("id"), lit(255)).cast("string"), lit(".1")).as("ipv4_value"),
-      lit("::1").as("ipv6_value"),
-      col("id").cast("string").cast("binary").as("bin_value"))
-
-    val scratch = Files.createTempDirectory("graft_ingest").toString
-    def writeRun(df: DataFrame, sub: String): Double =
-      time1(df.write.mode("overwrite").parquet(s"$scratch/$sub"))
-    // warm the parquet writer path (class loading, codec init)
-    writeRun(simpleRows(100000L), "warm")
-
-    // aggregate throughput at full parallelism (best of 2)
-    val nSimple = 32000000L
-    val simpleSec = (1 to 2).map(_ => writeRun(simpleRows(nSimple), "simple")).min
-    val nWide = 4000000L
-    val wideSec = (1 to 2).map(_ => writeRun(wideRows(nWide), "wide")).min
-    // per-core: one partition end-to-end == one core doing generate+encode+write
-    val nSimple1 = 4000000L
-    val simple1Sec = (1 to 2).map(_ =>
-      writeRun(simpleRows(nSimple1).coalesce(1), "simple1")).min
-    val nWide1 = 500000L
-    val wide1Sec = (1 to 2).map(_ =>
-      writeRun(wideRows(nWide1).coalesce(1), "wide1")).min
+    // post-sweep sentinel: same workload, same median-of-3 — drift >1.5×
+    // means the host got (or stopped being) contended mid-run and the
+    // record should be read with that label attached.
+    val sentinelAfter = sentinelSec()
+    val drift = sentinelAfter / sentinelBefore
+    if (drift > 1.5 || drift < 1 / 1.5)
+      System.err.println(f"[bench] WARNING: contention sentinel drifted $drift%.2fx ($sentinelBefore%.3f -> $sentinelAfter%.3f s) — record may be contaminated")
 
     // 3-decimal seconds keep the FINAL line compact: the driver keeps only
     // the last ~2000 chars of stdout, so the parseable metric line (plus
@@ -187,7 +208,7 @@ object Bench {
         s"\"" + k.stripPrefix("q_") + "\":" + s
       }.mkString("{", ",", "}")
     val byCost = resultsHealed.toSeq.sortBy(-_._2)
-    val qsBudget = 1650
+    val qsBudget = 1590 // leaves room for the sentinel object in the tail
     val qs3 = qsLine(3, byCost)
     val qs = if (qs3.length <= qsBudget) qs3 else {
       val qs2 = qsLine(2, byCost)
@@ -207,6 +228,8 @@ object Bench {
       s""""tag_simple_rows_per_sec_core":${(nSimple1 / simple1Sec).toLong},""" +
       s""""tag_data_rows_per_sec":${(nWide / wideSec).toLong},""" +
       s""""tag_data_rows_per_sec_core":${(nWide1 / wide1Sec).toLong}}"""
+    val sentinel =
+      s"""{"before":${d3(sentinelBefore)},"after":${d3(sentinelAfter)},"drift":${d3(drift)}}"""
     val audit =
       s"""{"shuffles":$shuffles,"broadcasts":$broadcasts,"codegenSpans":$codegenSpans,"globalWindows":$globalWindows}"""
     val sfName = new java.io.File(sfDir).getName
@@ -215,14 +238,14 @@ object Bench {
         val key = if (stripPrefix) k.stripPrefix("q_") else k
         s"\"" + key + s"\":[${d3(b2)},${d3(r3)}]"
       }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"ingest":$ingest,"planAudit":$audit,"retries":${retriesJson(stripPrefix = false)},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"ingest":$ingest,"planAudit":$audit,"retries":${retriesJson(stripPrefix = false)},"sentinel":$sentinel,"sf":"$sfDir"}"""
     try Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
     // NOT printing fullLine to stdout: a partial copy of it surviving in
     // the tail buffer could confuse a brace-matching extractor. The compact
     // line below is the single parseable line in the tail.
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"ingest":$ingest,"retries":${retriesJson(stripPrefix = true)},"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"ingest":$ingest,"sentinel":$sentinel,"retries":${retriesJson(stripPrefix = true)},"sf":"$sfName"}""")
     try {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(scratch)).deleteRecursively()

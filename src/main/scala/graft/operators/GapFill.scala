@@ -53,8 +53,12 @@ object GapFill {
     * series.
     *
     * The aggregation itself is distributed (same bucketed hash agg +
-    * spine); the causal walk runs on the driver over the bucket spine —
-    * bounded by the bucket COUNT, a query parameter, not data size. */
+    * spine); the walk is inherently sequential (the reference keeps only
+    * the latest 100 knots), so it STREAMS through one executor task over
+    * the sorted spine — a single-partition mapPartitions, not a driver
+    * collect — and the per-agg state is the bounded 100-knot deque. A
+    * 31M-bucket request holds ~31M × 8 bytes per sort spill page on one
+    * executor, never the driver (and `maxBuckets` rejects it first). */
   def timewindowCausal(
       spark: SparkSession,
       df: DataFrame,
@@ -71,36 +75,40 @@ object GapFill {
       // float64 buffers like the reference filler — counts widen too
       aggs.zipWithIndex.map { case ((_, c, _), i) => s"__a$i" -> c.cast("double") },
       FillNull)
-    val rows = joined.orderBy("bucket_ns").collect()
     val n = aggs.size
-    // per-agg knot buffers (latest 100, like the reference's filler)
-    val xs = Array.fill(n)(scala.collection.mutable.ArrayDeque.empty[Double])
-    val ys = Array.fill(n)(scala.collection.mutable.ArrayDeque.empty[Double])
-    val out = rows.map { r =>
-      val t = r.getLong(0)
-      val cells: Seq[Any] = aggs.zipWithIndex.map { case ((_, _, fill), i) =>
-        val v = if (r.isNullAt(i + 1)) null else r.get(i + 1)
-        v match {
-          case null =>
-            fill.predict match {
-              case Some(kind) if xs(i).size >= 2 =>
-                if (kind == "linearregression")
-                  Double.box(Akima.evalLinReg(xs(i).toArray, ys(i).toArray, t.toDouble))
-                else Double.box(ys(i).last) // forward clamp (spline/step)
-              case _ => fill.nullValue.map(Double.box).orNull
+    val fills: Array[CausalFill] = aggs.map(_._3).toArray
+    val walked = joined.repartition(1).sortWithinPartitions("bucket_ns")
+      .rdd.mapPartitions { it =>
+        // per-agg knot buffers (latest 100, like the reference's filler)
+        val xs = Array.fill(n)(scala.collection.mutable.ArrayDeque.empty[Double])
+        val ys = Array.fill(n)(scala.collection.mutable.ArrayDeque.empty[Double])
+        it.map { r =>
+          val t = r.getLong(0)
+          val cells: Seq[Any] = (0 until n).map { i =>
+            val fill = fills(i)
+            val v = if (r.isNullAt(i + 1)) null else r.get(i + 1)
+            v match {
+              case null =>
+                fill.predict match {
+                  case Some(kind) if xs(i).size >= 2 =>
+                    if (kind == "linearregression")
+                      Double.box(Akima.evalLinReg(xs(i).toArray, ys(i).toArray, t.toDouble))
+                    else Double.box(ys(i).last) // forward clamp (spline/step)
+                  case _ => fill.nullValue.map(Double.box).orNull
+                }
+              case d: java.lang.Double =>
+                xs(i).append(t.toDouble); ys(i).append(d.doubleValue())
+                if (xs(i).size > 100) { xs(i).removeHead(); ys(i).removeHead() }
+                d
+              case other => other
             }
-          case d: java.lang.Double =>
-            xs(i).append(t.toDouble); ys(i).append(d.doubleValue())
-            if (xs(i).size > 100) { xs(i).removeHead(); ys(i).removeHead() }
-            d
-          case other => other
+          }
+          // windows surface as timestamps so sink timeformat() modes apply
+          val ts = new java.sql.Timestamp(Math.floorDiv(t, 1000000L))
+          ts.setNanos(Math.floorMod(t, 1000000000L).toInt)
+          org.apache.spark.sql.Row.fromSeq(ts +: cells)
         }
       }
-      // windows surface as timestamps so sink timeformat() modes apply
-      val ts = new java.sql.Timestamp(Math.floorDiv(t, 1000000L))
-      ts.setNanos(Math.floorMod(t, 1000000000L).toInt)
-      org.apache.spark.sql.Row.fromSeq(ts +: cells)
-    }
     // the (possibly repeating) user aliases go straight on the schema —
     // duplicate names are legal in a result frame, just not resolvable
     val schema = org.apache.spark.sql.types.StructType(
@@ -109,8 +117,7 @@ object GapFill {
         aggs.zipWithIndex.map { case ((name, _, _), i) =>
           joined.schema(i + 1).copy(name = name)
         })
-    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
-      scala.jdk.CollectionConverters.SeqHasAsJava(out.toSeq).asJava), schema)
+    spark.createDataFrame(walked, schema)
   }
 
   /** Aggregate `aggs` per `period`-sized bucket of `tsNs` over [from,until),
@@ -127,6 +134,17 @@ object GapFill {
       fill: Fill = FillNull): DataFrame = {
     require(untilNs > fromNs && periodNs > 0)
     val nBuckets = (untilNs - fromNs + periodNs - 1) / periodNs
+    // Plan limit, mirroring the reference's lake plan caps (the lake door
+    // refuses requests beyond the plan's maxQuery rows with "limit over.
+    // (parameter:N, Available:M)" — mods/server/http_lake.go:144-186,293).
+    // Without it, timewindow(1-year span, period=1s) asks for 31.5M
+    // synthesized buckets; the interpolating fillers additionally fit over
+    // the observed knots, which this same bound keeps query-sized.
+    val maxBuckets =
+      spark.conf.get("graft.timewindow.maxBuckets", "4000000").toLong
+    if (nBuckets > maxBuckets)
+      throw new IllegalArgumentException(
+        s"timewindow limit over. (buckets:$nBuckets, Available:$maxBuckets)")
     // Records outside [from, until) are dropped (reference fm_monad.go:426).
     val bucketed = df
       .filter(tsNs >= fromNs && tsNs < untilNs)

@@ -2240,7 +2240,7 @@ object Compiler {
             val pid = org.apache.spark.TaskContext.getPartitionId()
             var i = 0L
             def emit(lvl: String, msg: String): Unit = {
-              acc.add((pid, i, lvl + " " + msg)); i += 1L
+              acc.add((pid, i, lvl + "\u0000" + msg)); i += 1L
             }
             it.foreach { row =>
               val url = String.valueOf(row.get(0))
@@ -2252,7 +2252,7 @@ object Compiler {
             }
           }
         acc.value.foreach { t =>
-          val sep = t._3.indexOf(' ')
+          val sep = t._3.indexOf('\u0000')
           TqlLog.log(t._3.take(sep), t._3.drop(sep + 1))
         }
         if (acc.suppressed > 0)

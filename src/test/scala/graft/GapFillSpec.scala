@@ -42,6 +42,50 @@ class GapFillSpec extends SparkSpec {
     assert(got.map(_._2.get) == Seq(15.0, 15.0 + 25.0 / 3, 15.0 + 50.0 / 3, 40.0, 25.0, 10.0))
   }
 
+  test("bucket plan limit: a 10M-bucket request fails fast, before any job") {
+    // timewindow(1-year span, 1s period) used to synthesize every bucket
+    // through the driver fill paths; now it is refused up front with the
+    // reference's lake-plan error shape (http_lake.go:293 "limit over.")
+    val e = intercept[IllegalArgumentException] {
+      GapFill.timewindow(spark, df, $"t", 0L, 10000000L, 1L,
+        Seq("avg_v" -> avg($"v")), GapFill.FillLinear)
+    }
+    assert(e.getMessage.contains("limit over."))
+    assert(e.getMessage.contains("buckets:10000000"))
+    // causal variant goes through the same gate
+    val e2 = intercept[IllegalArgumentException] {
+      GapFill.timewindowCausal(spark, df, $"t", 0L, 10000000L, 1L,
+        Seq(("a", avg($"v"), GapFill.CausalFill(None, None))))
+    }
+    assert(e2.getMessage.contains("limit over."))
+    // the cap is a session conf, so an operator who really wants a huge
+    // spine can raise it per-plan
+    spark.conf.set("graft.timewindow.maxBuckets", "20000000")
+    try {
+      val wide = GapFill.timewindow(spark, df, $"t", 0L, 10000000L, 1000000L,
+        Seq("c" -> count($"v")), GapFill.FillNull)
+      assert(wide.count() == 10L)
+    } finally spark.conf.unset("graft.timewindow.maxBuckets")
+  }
+
+  test("causal walk streams through one executor partition (no driver collect)") {
+    val got = GapFill.timewindowCausal(spark, df, $"t", 0L, 60L, 10L,
+      Seq(("v", avg($"v"), GapFill.CausalFill(Some("linearregression"), None)),
+        ("k", avg($"v"), GapFill.CausalFill(None, Some(-7d)))))
+    assert(got.rdd.getNumPartitions == 1)
+    val rows = got.collect()
+    assert(rows.length == 6)
+    // first gap (bucket 10) has only ONE knot (15@0) → predictor needs 2,
+    // falls back to null; nullValue column serves -7
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == -7d)
+    // bucket 40 extrapolates the OLS line over knots (0,15),(30,40)
+    val expect40 = {
+      val xs = Array(0d, 30d); val ys = Array(15d, 40d)
+      graft.operators.Akima.evalLinReg(xs, ys, 40d)
+    }
+    assert(math.abs(rows(4).getDouble(1) - expect40) < 1e-9)
+  }
+
   test("records outside [from, until) are dropped") {
     val wide = Seq((-5L, 100.0), (65L, 100.0), (5L, 1.0)).toDF("t", "v")
     val got = GapFill.timewindow(spark, wide, $"t", 0L, 60L, 10L,
