@@ -1,12 +1,13 @@
 package graft.plans
 
 import scala.collection.concurrent.TrieMap
-import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Pre-aggregation routing: rewrite time-bucket aggregates over a raw tag
   * table onto its engine-maintained rollup table when the requested
@@ -26,34 +27,64 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *   min→min(min_value), max→max(max_value), sum→sum(sum_value),
   *   count→sum(cnt), avg→sum(sum_value)/sum(cnt), sumsq→sum(sumsq_value).
   *
+  * TIERS: a raw table may register several rollups (the reference keeps
+  * SEC/MIN/HOUR tiers per tag table, spi/show.go:1209-1222); the rule
+  * picks the COARSEST registered period that divides the requested
+  * bucket and validates, so a day-bucket query reads the HOUR rollup
+  * (24 rows/tag/day), not the SEC one (86,400).
+  *
+  * FRESHNESS: a rollup maintained by a stream trails the raw table. A
+  * registered horizon H (max rolled-up time, `setHorizon`) makes the
+  * rewrite exact on fresh data: closed buckets (< H floored to R) come
+  * from the rollup, and the raw tail (≥ that floor) is unioned in as
+  * synthesized per-row partials that the same merge aggregates — the
+  * reference routes only closed intervals to rollups for the same
+  * reason (mods/server/http_lake.go:1692-1716). Without a horizon the
+  * rollup is trusted as complete (a static batch build).
+  *
   * Conservative by design: the rewrite fires only when the child is the
-  * bare registered relation (optionally under Project) and every
+  * bare registered relation (optionally under Project/Filter) and every
   * aggregate/grouping matches a supported shape; otherwise the plan is
   * untouched.
   */
 object RollupRouting {
-  /** Registered rollup: raw parquet path → rollup info. */
+  /** Registered rollup tier: rollup parquet path + period + raw columns. */
   case class Spec(rollupPath: String, periodNs: Long,
                   nameCol: String, timeCol: String, valueCol: String)
 
-  private val catalog = TrieMap.empty[String, Spec]
+  private val catalog = TrieMap.empty[String, Vector[Spec]]
+  /** rollupPath → max rolled-up time in ns (exclusive coverage bound). */
+  private val horizons = TrieMap.empty[String, Long]
 
-  /** Register a rollup for a raw table path. Paths are compared by
-    * Hadoop-qualified root path string suffix. */
-  def register(rawPath: String, spec: Spec): Unit = catalog.put(normalize(rawPath), spec)
-  def clear(): Unit = catalog.clear()
+  /** Register a rollup tier for a raw table path (repeated calls with
+    * distinct periods build the tier ladder; same period replaces).
+    * Paths are compared by Hadoop-qualified root path string suffix. */
+  def register(rawPath: String, spec: Spec): Unit =
+    catalog.updateWith(normalize(rawPath)) {
+      case Some(v) => Some(v.filterNot(_.periodNs == spec.periodNs) :+ spec)
+      case None => Some(Vector(spec))
+    }
+
+  /** Declare how far the rollup at `rollupPath` has been maintained:
+    * raw records with ts < `maxRolledNs` are fully reflected in it.
+    * Streaming maintainers (Watch.rollupStream foreachBatch) advance
+    * this per batch; queries spanning past it union in the raw tail. */
+  def setHorizon(rollupPath: String, maxRolledNs: Long): Unit =
+    horizons.put(rollupPath, maxRolledNs)
+
+  def clear(): Unit = { catalog.clear(); horizons.clear() }
 
   private def normalize(p: String): String = p.stripSuffix("/")
 
-  private def specFor(rel: LogicalRelation): Option[Spec] = rel.relation match {
+  private def specsFor(rel: LogicalRelation): Vector[Spec] = rel.relation match {
     case fs: HadoopFsRelation =>
-      fs.location.rootPaths.headOption.flatMap { root =>
+      fs.location.rootPaths.headOption.map { root =>
         val s = root.toString
-        catalog.collectFirst {
-          case (path, spec) if s == path || s.endsWith(path) => spec
-        }
-      }
-    case _ => None
+        catalog.collect {
+          case (path, specs) if s == path || s.endsWith(path) => specs
+        }.flatten.toVector
+      }.getOrElse(Vector.empty)
+    case _ => Vector.empty
   }
 
   /** An epoch-ns view of a time column, in any of the encodings the
@@ -62,7 +93,7 @@ object RollupRouting {
     * parquet. Yields the underlying relation attribute. */
   private object TsNsExpr {
     def unapply(e: Expression): Option[Attribute] = e match {
-      case a: Attribute if a.dataType == org.apache.spark.sql.types.LongType => Some(a)
+      case a: Attribute if a.dataType == LongType => Some(a)
       case Multiply(UnixMicros(inner), Literal(1000L, _), _) => strip(inner)
       case Multiply(Literal(1000L, _), UnixMicros(inner), _) => strip(inner)
       case _ => None
@@ -94,9 +125,8 @@ object RollupRouting {
     * rollup periods live on). */
   private object TimeBound {
     def unapply(p: (Expression, Expression)): Option[(Attribute, Long)] = p match {
-      case (TsNsExpr(t), Literal(v: Long, org.apache.spark.sql.types.LongType)) => Some((t, v))
-      case (t: Attribute, Literal(us: Long,
-          org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType)) =>
+      case (TsNsExpr(t), Literal(v: Long, LongType)) => Some((t, v))
+      case (t: Attribute, Literal(us: Long, TimestampType | TimestampNTZType)) =>
         Some((t, us * 1000L))
       case _ => None
     }
@@ -118,8 +148,10 @@ object RollupRouting {
     private def baseRelation(p: LogicalPlan,
                              aliases: Map[ExprId, Expression] = Map.empty,
                              filters: Seq[Expression] = Nil)
-        : Option[(LogicalRelation, Spec, Map[ExprId, Expression], Seq[Expression])] = p match {
-      case rel: LogicalRelation => specFor(rel).map(s => (rel, s, aliases, filters))
+        : Option[(LogicalRelation, Vector[Spec], Map[ExprId, Expression], Seq[Expression])] = p match {
+      case rel: LogicalRelation =>
+        val specs = specsFor(rel)
+        if (specs.isEmpty) None else Some((rel, specs, aliases, filters))
       case Project(projList, child) =>
         val newAliases = aliases ++ projList.collect {
           case a @ Alias(e, _) => a.exprId -> e
@@ -141,10 +173,35 @@ object RollupRouting {
     private def tryRewrite(groupings: Seq[Expression],
                            aggExprs: Seq[NamedExpression],
                            child: LogicalPlan): Option[LogicalPlan] = {
-      val (rel, spec, aliases, filters) = baseRelation(child) match {
+      val (rel, specs, aliases, filters) = baseRelation(child) match {
         case Some(x) => x
         case None => return None
       }
+      // coarsest dividing tier wins: a day bucket over SEC/MIN/HOUR tiers
+      // reads the HOUR rollup (fewest partials); finer tiers are the
+      // fallback when the coarse one doesn't divide or validate
+      specs.sortBy(-_.periodNs).iterator
+        .map(spec => rewriteWith(spec, rel, aliases, filters, groupings, aggExprs))
+        .collectFirst { case Some(p) => p }
+    }
+
+    /** Build the epoch-ns expression for a raw time attribute (inverse of
+      * TsNsExpr, for the raw-tail side of a freshness union). */
+    private def tsNsOf(a: Attribute): Option[Expression] = a.dataType match {
+      case LongType => Some(a)
+      case TimestampType => Some(Multiply(UnixMicros(a), Literal(1000L)))
+      case TimestampNTZType => Some(Multiply(
+        UnixMicros(Cast(a, TimestampType, Some(conf.sessionLocalTimeZone))),
+        Literal(1000L)))
+      case _ => None
+    }
+
+    private def rewriteWith(spec: Spec,
+                            rel: LogicalRelation,
+                            aliases: Map[ExprId, Expression],
+                            filters: Seq[Expression],
+                            groupings: Seq[Expression],
+                            aggExprs: Seq[NamedExpression]): Option[LogicalPlan] = {
       def isCol(a: Attribute, name: String): Boolean = a.name == name
       // resolve an expression through the pulled-out aliases
       def deref(e: Expression): Expression = e match {
@@ -227,7 +284,7 @@ object RollupRouting {
 
       val newBucket = Cast(
         Subtract(rTime, Pmod(rTime, Literal(period))),
-        org.apache.spark.sql.types.LongType)
+        LongType)
 
       // rollup-side filter from the validated conjuncts
       val rollupConds: Seq[Expression] = fpreds.flatten.flatMap {
@@ -242,17 +299,61 @@ object RollupRouting {
         if (rollupConds.isEmpty) rPlan
         else Filter(rollupConds.reduce(And), rPlan)
 
+      // FRESHNESS: with a horizon H, only R-buckets whose start lies
+      // strictly below floor(H, R) are complete; the raw tail past that
+      // floor joins the merge as synthesized per-row partials.
+      val partials = Seq(rName, rTime, rMin, rMax, rSum, rSumSq, rCnt)
+      val partialSrc: Option[LogicalPlan] = horizons.get(spec.rollupPath) match {
+        case None => Some(rSource) // static build: trusted as complete
+        case Some(hNs) =>
+          val hFloor = hNs - java.lang.Math.floorMod(hNs, spec.periodNs)
+          val rawTimeAttr = rel.output.find(_.name == spec.timeCol)
+          (rawTimeAttr, rawName, rawValue) match {
+            case (Some(tA), Some(nA), Some(vA)) =>
+              tsNsOf(tA).map { tNs =>
+                val rollupSide = Project(partials,
+                  Filter(LessThan(rTime, Literal(hFloor)), rSource))
+                // pushdown-friendly bound when the raw column is a µs
+                // timestamp and the floor sits on the µs grid
+                val tailBound: Expression = tA.dataType match {
+                  case (TimestampType | TimestampNTZType) if hFloor % 1000L == 0 =>
+                    GreaterThanOrEqual(tA, Literal(hFloor / 1000L, tA.dataType))
+                  case _ => GreaterThanOrEqual(tNs, Literal(hFloor))
+                }
+                def cc(e: Expression, to: Attribute): Expression =
+                  if (e.dataType == to.dataType) e
+                  else Cast(e, to.dataType, Some(conf.sessionLocalTimeZone))
+                // cnt mirrors the build's count(value): nulls contribute 0
+                val one = If(IsNull(vA), Literal(0L), Literal(1L))
+                val rawTail = Project(Seq(
+                  Alias(cc(nA, rName), rName.name)(),
+                  Alias(cc(tNs, rTime), rTime.name)(),
+                  Alias(cc(vA, rMin), rMin.name)(),
+                  Alias(cc(vA, rMax), rMax.name)(),
+                  Alias(cc(vA, rSum), rSum.name)(),
+                  Alias(cc(Multiply(vA, vA), rSumSq), rSumSq.name)(),
+                  Alias(cc(one, rCnt), rCnt.name)()),
+                  Filter((filters :+ tailBound).reduce(And), rel))
+                Union(Seq(rollupSide, rawTail), byName = false,
+                  allowMissingCol = false)
+              }
+            case _ => None
+          }
+      }
+      if (partialSrc.isEmpty) return None
+
       // the project under the new Aggregate: re-bind the original grouping
       // attr ids onto rollup-derived expressions + pass rollup attrs for
-      // the merged aggregates
+      // the merged aggregates (Union keeps the first child's expr ids, so
+      // the handles stay valid over both sources)
       val projOut = Seq.newBuilder[NamedExpression]
       nameGroupAttr.foreach(a => projOut += Alias(rName, a.name)(exprId = a.exprId))
       bucket.get._1 match {
         case null =>
         case a => projOut += Alias(newBucket, a.name)(exprId = a.exprId)
       }
-      projOut ++= rPlan.output
-      val newChild = Project(projOut.result(), rSource)
+      projOut ++= partials
+      val newChild = Project(projOut.result(), partialSrc.get)
 
       def mergeAgg(fn: AggregateFunction): Option[Expression] = fn match {
         case Min(v: Attribute) if isCol(v, spec.valueCol) => Some(aggE(Min(rMin)))
@@ -291,7 +392,7 @@ object RollupRouting {
         case a: Attribute => a // re-bound via the project aliases
         case BucketExpr(_, p2) => Cast(
           Subtract(rTime, Pmod(rTime, Literal(p2))),
-          org.apache.spark.sql.types.LongType)
+          LongType)
         case other => other
       }
       Some(Aggregate(newGroupings, newAggs, newChild))

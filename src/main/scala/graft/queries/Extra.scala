@@ -175,6 +175,76 @@ object Extra {
         .orderBy("user_id", "h6_us")
     }),
 
+    // ---- multi-tier routing: the COARSEST dividing rollup wins --------
+    // Registers MIN and HOUR tiers (the reference keeps SEC/MIN/HOUR per
+    // tag table, V$ROLLUP spi/show.go:1209-1222); a 2-day bucket divides
+    // both, and the rule reads the HOUR tier — 48 partials per bucket,
+    // not 2880 (tier pick pinned in RollupRoutingSpec).
+    "q_rollup_tiered" -> ((s, dir) => {
+      val rawPath = s"$dir/events.parquet"
+      val hourDir = rollupCache.getOrElseUpdate(rawPath, {
+        val raw = s.read.parquet(rawPath)
+        val d = java.nio.file.Files.createTempDirectory("graft_route").toString + "/r"
+        graft.operators.Lake.rollup(raw, col("user_id"), tsNs(raw),
+          col("value"), "HOUR")
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      val minDir = rollupCache.getOrElseUpdate(rawPath + "#min", {
+        val raw = s.read.parquet(rawPath)
+        val d = java.nio.file.Files.createTempDirectory("graft_tmin").toString + "/r"
+        graft.operators.Lake.rollup(raw, col("user_id"), tsNs(raw),
+          col("value"), "MIN")
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      graft.plans.RollupRouting.register(rawPath, graft.plans.RollupRouting.Spec(
+        minDir, graft.time.TimeFns.NsPerMin, "user_id", "ts", "value"))
+      graft.plans.RollupRouting.register(rawPath, graft.plans.RollupRouting.Spec(
+        hourDir, graft.time.TimeFns.NsPerHour, "user_id", "ts", "value"))
+      val raw2 = s.read.parquet(rawPath)
+      raw2
+        .groupBy(col("user_id"),
+          graft.time.TimeFns.roundTimeNs(tsNs(raw2),
+            2 * graft.time.TimeFns.NsPerDay).as("d2_ns"))
+        .agg(min("value").as("min_value"), max("value").as("max_value"),
+          r2(sum(col("value"))).as("sum_value"), count(col("value")).as("cnt"))
+        .select(col("user_id"), graft.time.TimeFns.nsToUs(col("d2_ns")).as("d2_us"),
+          col("min_value"), col("max_value"), col("sum_value"), col("cnt"))
+        .orderBy("user_id", "d2_us")
+    }),
+
+    // ---- rollup freshness: horizon + raw-tail union -------------------
+    // The rollup is built over ts < 2024-01-20 only and registered with
+    // that horizon; the day-bucket aggregate over the FULL raw table must
+    // still be exact — closed buckets from the rollup, the 10-day tail
+    // unioned in as per-row partials (the reference routes only closed
+    // intervals to rollups, http_lake.go:1692-1716).
+    "q_rollup_fresh" -> ((s, dir) => {
+      val rawPath = s"$dir/events.parquet"
+      val horizonNs = 1705708800L * 1000000000L // 2024-01-20T00:00Z
+      val rollDir = rollupCache.getOrElseUpdate(rawPath + "#fresh", {
+        val raw = s.read.parquet(rawPath)
+        val d = java.nio.file.Files.createTempDirectory("graft_fresh").toString + "/r"
+        graft.operators.Lake.rollup(raw.filter(tsNs(raw) < horizonNs),
+          col("user_id"), tsNs(raw), col("value"), "HOUR")
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      graft.plans.RollupRouting.register(rawPath, graft.plans.RollupRouting.Spec(
+        rollDir, graft.time.TimeFns.NsPerHour, "user_id", "ts", "value"))
+      graft.plans.RollupRouting.setHorizon(rollDir, horizonNs)
+      val raw2 = s.read.parquet(rawPath)
+      raw2
+        .groupBy(col("user_id"),
+          graft.time.TimeFns.roundTimeNs(tsNs(raw2), graft.time.TimeFns.NsPerDay).as("day_ns"))
+        .agg(min("value").as("min_value"), max("value").as("max_value"),
+          r2(sum(col("value"))).as("sum_value"), count(col("value")).as("cnt"))
+        .select(col("user_id"), graft.time.TimeFns.nsToUs(col("day_ns")).as("day_us"),
+          col("min_value"), col("max_value"), col("sum_value"), col("cnt"))
+        .orderBy("user_id", "day_us")
+    }),
+
     // ---- log-table layout: arrival-window tail over day partitions ----
     // Ingest path: events get an `_ARRIVAL_TIME` stamp (here a
     // deterministic 5 s ingest skew so the oracle can reproduce it) and
@@ -392,6 +462,16 @@ object Extra {
          WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "q_rollup_routed" ->
+      """SELECT user_id, epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+         min(value) AS min_value, max(value) AS max_value,
+         round(sum(value), 2) AS sum_value, count(value) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_rollup_tiered" ->
+      """SELECT user_id, epoch_us(ts) - epoch_us(ts) % 172800000000 AS d2_us,
+         min(value) AS min_value, max(value) AS max_value,
+         round(sum(value), 2) AS sum_value, count(value) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_rollup_fresh" ->
       """SELECT user_id, epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
          min(value) AS min_value, max(value) AS max_value,
          round(sum(value), 2) AS sum_value, count(value) AS cnt

@@ -70,6 +70,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("events.parquet"), plan.take(2000))
   }
 
+  test("tiered routing picks the HOUR rollup over the MIN one for day-scale buckets") {
+    val plan = executedPlan("q_rollup_tiered")
+    assert(plan.contains("graft_route"), plan.take(2000)) // HOUR tier dir
+    assert(!plan.contains("graft_tmin"), plan.take(2000)) // MIN tier must lose
+    assert(!plan.contains("events.parquet"), plan.take(2000))
+  }
+
+  test("freshness horizon unions the raw tail with closed rollup buckets") {
+    val plan = executedPlan("q_rollup_fresh")
+    assert(plan.contains("graft_fresh"), plan.take(2000)) // partial rollup scanned
+    assert(plan.contains("events.parquet"), plan.take(2000)) // tail scanned
+    assert(plan.contains("Union"), plan.take(2000))
+  }
+
   test("stratified sampling plans a WindowGroupLimit (rank pushdown)") {
     val plan = executedPlan("q_stratified_sample")
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))

@@ -141,6 +141,96 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("multi-tier: a day-bucket query picks the COARSEST dividing rollup (HOUR, not MIN)") {
+    val rawPath = Files.createTempDirectory("graft_rawt").toString + "/t"
+    val hourPath = Files.createTempDirectory("graft_tier_hour").toString + "/r"
+    val minPath = Files.createTempDirectory("graft_tier_min").toString + "/r"
+    val base = 1704067200000000000L
+    val rows = for {
+      tag <- Seq("a", "b"); h <- 0 until 30; i <- 0 until 4
+    } yield (tag, base + h * TimeFns.NsPerHour + i * TimeFns.NsPerMin, (h + i).toDouble)
+    rows.toDF("name", "time", "value").write.parquet(rawPath)
+    val raw = spark.read.parquet(rawPath)
+    Lake.rollup(raw, col("name"), col("time"), col("value"), "HOUR").write.parquet(hourPath)
+    Lake.rollup(raw, col("name"), col("time"), col("value"), "MIN").write.parquet(minPath)
+
+    def query = spark.read.parquet(rawPath)
+      .groupBy(col("name"), TimeFns.roundTimeNs(col("time"), TimeFns.NsPerDay).as("day"))
+      .agg(sum("value").as("s"), count("value").as("c"), max("value").as("mx"))
+      .orderBy("name", "day")
+    val direct = query.collect().map(_.toSeq)
+
+    RollupRouting.register(rawPath, RollupRouting.Spec(
+      minPath, TimeFns.NsPerMin, "name", "time", "value"))
+    RollupRouting.register(rawPath, RollupRouting.Spec(
+      hourPath, TimeFns.NsPerHour, "name", "time", "value"))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.Route(spark))
+    try {
+      val scans = scanPaths(query)
+      assert(scans.exists(_.contains("graft_tier_hour")), s"should pick HOUR tier: $scans")
+      assert(!scans.exists(_.contains("graft_tier_min")), s"must not pick MIN tier: $scans")
+      assert(query.collect().map(_.toSeq).toSeq == direct.toSeq)
+      // a 5-min bucket divides only the MIN tier → falls through to it
+      val fine = spark.read.parquet(rawPath)
+        .groupBy(TimeFns.roundTimeNs(col("time"), 5 * TimeFns.NsPerMin).as("b"))
+        .agg(sum("value").as("s"))
+      assert(scanPaths(fine).exists(_.contains("graft_tier_min")), "5-min should use MIN tier")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
+  test("freshness horizon: appends past the rollup horizon stay visible (raw-tail union)") {
+    val rawPath = Files.createTempDirectory("graft_rawf").toString + "/t"
+    val rollupPath = Files.createTempDirectory("graft_rollf").toString + "/r"
+    val base = 1704067200000000000L
+    val horizon = base + 2 * TimeFns.NsPerHour
+    // rolled-up era: hours 0-1
+    val rolled = for {
+      tag <- Seq("a", "b"); h <- 0 until 2; i <- 0 until 6
+    } yield (tag, base + h * TimeFns.NsPerHour + i * TimeFns.NsPerMin, (h * 10 + i).toDouble)
+    rolled.toDF("name", "time", "value").write.parquet(rawPath)
+    Lake.rollup(spark.read.parquet(rawPath), col("name"), col("time"), col("value"), "HOUR")
+      .write.parquet(rollupPath)
+    // fresh appends PAST the horizon — not reflected in the rollup
+    val fresh = for {
+      tag <- Seq("a", "b"); i <- 0 until 5
+    } yield (tag, horizon + i * TimeFns.NsPerMin, 1000.0 + i)
+    fresh.toDF("name", "time", "value").write.mode("append").parquet(rawPath)
+
+    def query = spark.read.parquet(rawPath)
+      .groupBy(col("name"), TimeFns.roundTimeNs(col("time"), 2 * TimeFns.NsPerHour).as("b"))
+      .agg(sum("value").as("s"), count("value").as("c"),
+        min("value").as("mn"), max("value").as("mx"), avg("value").as("av"))
+      .orderBy("name", "b")
+    val direct = query.collect().map(_.toSeq)
+    assert(direct.exists(_.exists { case d: Double => d >= 1000.0; case _ => false }),
+      "fresh rows must be in the direct result")
+
+    RollupRouting.register(rawPath, RollupRouting.Spec(
+      rollupPath, TimeFns.NsPerHour, "name", "time", "value"))
+    RollupRouting.setHorizon(rollupPath, horizon)
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.Route(spark))
+    try {
+      val routed = query
+      val scans = scanPaths(routed)
+      assert(scans.exists(_.contains("graft_rollf")), s"rollup must be scanned: $scans")
+      assert(scans.exists(_.contains("graft_rawf")), s"raw tail must be scanned: $scans")
+      assert(routed.collect().map(_.toSeq).toSeq == direct.toSeq,
+        "routed result must include the fresh appends")
+      // without the horizon, the stale rollup would silently drop them
+      RollupRouting.clear()
+      RollupRouting.register(rawPath, RollupRouting.Spec(
+        rollupPath, TimeFns.NsPerHour, "name", "time", "value"))
+      val stale = query.collect().map(_.toSeq)
+      assert(stale.toSeq != direct.toSeq, "control: horizonless routing misses fresh rows")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("non-divisible bucket periods are NOT rewritten") {
     val rawPath = Files.createTempDirectory("graft_raw2").toString + "/t"
     val rollupPath = Files.createTempDirectory("graft_roll2").toString + "/r"
