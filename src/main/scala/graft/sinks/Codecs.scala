@@ -174,6 +174,16 @@ object Codecs {
         .mkString("{", ",", "}")
     case s: scala.collection.Seq[_] =>
       s.map(jsonValue(_, o)).mkString("[", ",", "]")
+    // struct cells (e.g. context()) render as JSON objects keyed by
+    // field name — Go marshals structs the same way (fm_context.go's
+    // NodeContext has no exported fields → "{}")
+    case r: org.apache.spark.sql.Row =>
+      r.schema match {
+        case null => r.toSeq.map(jsonValue(_, o)).mkString("[", ",", "]")
+        case s => s.fieldNames.zip(r.toSeq).map { case (k, v) =>
+          "\"" + jsonEscape(k) + "\":" + jsonValue(v, o)
+        }.mkString("{", ",", "}")
+      }
     case other => "\"" + jsonEscape(other.toString) + "\""
   }
 

@@ -379,9 +379,32 @@ class ReferenceCases2Spec extends SparkSpec {
         |CSV( substituteNull("<NULL>") )
         |""".stripMargin)
     assert(sn == "A,123\nB,<NULL>\nC,234\n", sn)
-    val lp = runTrim(
-      "CSV(\"1,line1\\n2,line2\\n3,\\n4,line4\", logProgress(2))\nCSV( heading(true) )\n")
+    val (lp, lpLog) = graft.tql.TqlLog.capture(runTrim(
+      "CSV(\"1,line1\\n2,line2\\n3,\\n4,line4\", logProgress(2))\nCSV( heading(true) )\n"))
     assert(lp == "column0,column1\n1,line1\n2,line2\n3,\n4,line4\n", lp)
+    // every 2nd row logs a grouped-count progress line (fm_csv.go:231)
+    assert(lpLog.count(_.contains("Loading 2 records")) == 1, lpLog)
+    assert(lpLog.count(_.contains("Loading 4 records")) == 1, lpLog)
+  }
+
+  test("logProgress() arg battery: default 500K, int cadence, non-int error (fm_csv_test.go:18-26)") {
+    // no-arg default is 500,000 — far beyond 4 rows, so nothing logs
+    val (_, defLog) = graft.tql.TqlLog.capture(runTrim(
+      "CSV(\"1,a\\n2,b\\n3,c\\n4,d\", logProgress())\nCSV()\n"))
+    assert(!defLog.exists(_.contains("Loading")), defLog)
+    // grouped formatting at the 1,000 boundary
+    assert(graft.tql.Compiler.csvProgressMsg(500000L) == "Loading 500,000 records")
+    val e = intercept[IllegalArgumentException](runTrim(
+      "CSV(\"1,a\\n2,b\", logProgress(\"bad\"))\nCSV()\n"))
+    assert(e.getMessage == "f(printProgressCount) argument should be int")
+  }
+
+  test("context() is the node-context accessor: empty object value, arity-checked (fm_context.go:22)") {
+    val out = runTrim("FAKE(once(1))\nMAPVALUE(0, context())\nJSON()\n")
+    assert(out.contains("{}"), out) // NodeContext has no exported fields
+    val e = intercept[IllegalArgumentException](runTrim(
+      "FAKE(once(1))\nMAPVALUE(0, context(1))\nCSV()\n"))
+    assert(e.getMessage == "f(context) invalid number of args; expect:0, actual:1")
   }
 
   test("GROUP mode and weighted mode (task_test.go:1800-1827)") {
