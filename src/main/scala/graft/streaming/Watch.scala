@@ -106,4 +106,40 @@ object Watch {
         count(valueCol).as("cnt"))
       .select(col("name"), col("w.start").as("time"), col("min_value"),
         col("max_value"), col("sum_value"), col("sumsq_value"), col("cnt"))
+
+  /** End-to-end rollup maintenance: tail the raw table, aggregate closed
+    * tumbling windows, append them to `rollupDir` in the routed rollup
+    * schema (`time_ns` epoch-ns bucket starts), and advance the
+    * [[graft.plans.RollupRouting]] horizon past every window just
+    * emitted — so a routed query stays EXACT during the maintenance lag
+    * (the raw tail past the horizon is unioned in by the rule; the
+    * reference likewise routes only closed intervals to its rollups,
+    * mods/server/http_lake.go:1692-1716).
+    *
+    * Append mode emits a window only once its watermark closes it, so
+    * every emitted window is final and the horizon (max emitted start +
+    * period) never claims coverage the rollup doesn't have. */
+  def maintainRollup(spark: SparkSession, rawDir: String, schema: StructType,
+                     nameCol: String, tsCol: String, valueCol: String,
+                     windowLen: String, watermark: String, periodNs: Long,
+                     rollupDir: String, checkpoint: String,
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    rollupStream(tail(spark, rawDir, schema), nameCol, tsCol, valueCol,
+      windowLen, watermark)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val out = batch.select(col("name"),
+          (unix_micros(col("time")) * 1000L).as("time_ns"),
+          col("min_value"), col("max_value"), col("sum_value"),
+          col("sumsq_value"), col("cnt"))
+        out.write.mode("append").parquet(rollupDir)
+        val maxStart = out.agg(max("time_ns")).head()
+        if (!maxStart.isNullAt(0))
+          graft.plans.RollupRouting.setHorizon(rollupDir,
+            maxStart.getLong(0) + periodNs)
+      }
+      .start()
 }

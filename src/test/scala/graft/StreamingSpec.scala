@@ -149,6 +149,62 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 4L, 6L), ids.toSeq)
   }
 
+  test("maintainRollup advances the routing horizon; routed queries stay exact during lag") {
+    import graft.time.TimeFns
+    val rawDir = Files.createTempDirectory("graft_mroll_raw").toString
+    val rollDir = Files.createTempDirectory("graft_mroll").toString + "/r"
+    val ck = Files.createTempDirectory("graft_mroll_ck").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    // rolled era: one row at :30 of each of minutes 0-9; the last event
+    // (9:30) closes windows 0-8 under a 0s watermark, window 9 stays open
+    val rolled = (0 until 10).map(m => ("a", ts(m * 60 + 30), m.toDouble))
+    rolled.toDF("name", "time", "value").write.mode("append").parquet(rawDir)
+    val schema = spark.read.parquet(rawDir).schema
+    val q = Watch.maintainRollup(spark, rawDir, schema, "name", "time", "value",
+      "1 minute", "0 seconds", TimeFns.NsPerMin, rollDir, ck)
+    q.awaitTermination(60000)
+    // 9 closed windows on disk; horizon = start(min 8) + 1 min = min 9
+    assert(spark.read.parquet(rollDir).count() == 9L)
+    // fresh appends the stream has NOT processed
+    val fresh = (10 until 13).map(m => ("a", ts(m * 60 + 30), 100.0 + m))
+    fresh.toDF("name", "time", "value").write.mode("append").parquet(rawDir)
+
+    def query = {
+      val df = spark.read.parquet(rawDir)
+      df.groupBy(col("name"),
+        TimeFns.roundTimeNs(graft.queries.Q.tsNs(df, "time"),
+          5 * TimeFns.NsPerMin).as("b"))
+        .agg(sum("value").as("s"), count("value").as("c"), max("value").as("mx"))
+        .orderBy("name", "b")
+    }
+    val direct = query.collect().map(_.toSeq)
+    graft.plans.RollupRouting.register(rawDir, graft.plans.RollupRouting.Spec(
+      rollDir, TimeFns.NsPerMin, "name", "time", "value"))
+    spark.experimental.extraOptimizations =
+      Seq(new graft.plans.RollupRouting.Route(spark))
+    try {
+      val routed = query
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString).mkString(",")
+            case _ => ""
+          }
+      }
+      assert(scans.exists(_.contains("graft_mroll/")) ||
+        scans.exists(_.contains(rollDir.split('/').takeRight(2).head)),
+        s"rollup not scanned: $scans")
+      assert(scans.exists(_.contains("graft_mroll_raw")), s"raw tail not scanned: $scans")
+      assert(routed.collect().map(_.toSeq).toSeq == direct.toSeq,
+        "routed result must equal direct during maintenance lag")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      graft.plans.RollupRouting.clear()
+    }
+  }
+
   test("rollupStream aggregates tumbling event-time windows") {
     val dir = Files.createTempDirectory("graft_roll").toString
     val ck = Files.createTempDirectory("graft_ck2").toString
