@@ -44,6 +44,20 @@ object Lake {
         sum(value).as("sum_value"), sum(value * value).as("sumsq_value"),
         count(value).as("cnt"))
 
+  /** Coarsen a finer rollup to a coarser period by merging partials —
+    * the reference maintains its tier ladder hierarchically (SEC rolls
+    * from raw, MIN from SEC, HOUR from MIN; SHOW ROLLUPGAP
+    * spi/show.go:1209-1222 exposes exactly that chain), so the coarse
+    * tiers never rescan raw data. Exact for min/max/cnt and for sums of
+    * values whose partial sums are representable; `periodNs` must be a
+    * multiple of the finer rollup's period. */
+  def rollupCoarsen(fine: DataFrame, periodNs: Long): DataFrame =
+    fine.groupBy(col("name"),
+      (col("time_ns") - pmod(col("time_ns"), lit(periodNs))).as("time_ns"))
+      .agg(min("min_value").as("min_value"), max("max_value").as("max_value"),
+        sum("sum_value").as("sum_value"), sum("sumsq_value").as("sumsq_value"),
+        sum("cnt").as("cnt"))
+
   /** Last (most recent) row per tag — the stat-table RECENT_ROW_TIME /
     * "current value" endpoint. `max_by` keeps it a hash agg. */
   def lastPerTag(df: DataFrame, tag: Column, tsNs: Column, value: Column): DataFrame =

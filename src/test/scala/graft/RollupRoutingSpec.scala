@@ -181,6 +181,22 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical tiers: HOUR coarsened from the MIN rollup equals HOUR built from raw") {
+    // the reference's ladder never rescans raw for coarse tiers (SHOW
+    // ROLLUPGAP: SEC←raw, MIN←SEC, HOUR←MIN); partial-merge must be exact
+    val base = 1704067200000000000L
+    val rows = for {
+      tag <- Seq("a", "b"); h <- 0 until 5; i <- 0 until 7
+    } yield (tag, base + h * TimeFns.NsPerHour + i * 7 * TimeFns.NsPerMin, (h * 7 + i).toDouble)
+    val raw = rows.toDF("name", "time", "value")
+    val minTier = Lake.rollup(raw, col("name"), col("time"), col("value"), "MIN")
+    val hourFromMin = Lake.rollupCoarsen(minTier, TimeFns.NsPerHour)
+      .orderBy("name", "time_ns").collect().map(_.toSeq)
+    val hourFromRaw = Lake.rollup(raw, col("name"), col("time"), col("value"), "HOUR")
+      .orderBy("name", "time_ns").collect().map(_.toSeq)
+    assert(hourFromMin.toSeq == hourFromRaw.toSeq)
+  }
+
   test("freshness horizon: appends past the rollup horizon stay visible (raw-tail union)") {
     val rawPath = Files.createTempDirectory("graft_rawf").toString + "/t"
     val rollupPath = Files.createTempDirectory("graft_rollf").toString + "/r"
