@@ -69,6 +69,41 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- canonical selection: keep the BEST doc per near-dup cluster --
+    // The standard LLM-dedup workflow after clustering: one survivor per
+    // cluster, highest word count, ties to the lowest doc_id. Both the
+    // rank and the member count are PARTITIONED windows (no global sort).
+    "q_dedup_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs, blockCol = "source", threshold = 0.1))
+        .withColumnRenamed("v", "doc_id")
+      val scored = docs.join(clusters, Seq("doc_id"))
+        .select(col("cluster"), col("doc_id"),
+          TextOps.wsTokenCount(col("text")).as("n_words"))
+      val byRank = Window.partitionBy("cluster")
+        .orderBy(col("n_words").desc, col("doc_id").asc)
+      scored
+        .withColumn("rn", row_number().over(byRank))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("cluster")))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("canonical_id"),
+          col("n_words").as("canonical_words"), col("n_docs"))
+        .orderBy("cluster")
+    }),
+
+    // ---- per-doc n-gram duplication rate ------------------------------
+    // Fraction of a doc's distinct bigrams shared with >=1 other doc —
+    // the corpus-level repetition signal (one gram-keyed shuffle).
+    "q_dup_ngram_rate" -> ((s, dir) => {
+      graft.text.Curation.dupNgramRate(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", n = 2)
+        .withColumn("dup_frac",
+          fround(col("n_shared").cast("double") / col("n_ngrams"), 6))
+        .orderBy("doc_id")
+    }),
+
     // ---- end-to-end curation: drop near-dups (keep cluster canonical),
     // ---- quality-filter, count per language -- the training-data shape
     "q_pipeline_curate" -> ((s, dir) => {
@@ -293,6 +328,20 @@ object TextPipeline {
           docs.filter(col("doc_id") % 10 < 9),
           docs.filter(col("doc_id") % 10 === 9),
           "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    }),
+
+    // ---- curation: contamination audit report -------------------------
+    // decontaminate() is the enforcement filter; this is the per-doc
+    // audit (total grams, leaked grams, fraction) incl. CLEAN docs.
+    "q_decontaminate_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Curation.decontaminateReport(
+          docs.filter(col("doc_id") % 10 < 9),
+          docs.filter(col("doc_id") % 10 === 9),
+          "doc_id", "text", n = 4)
+        .withColumn("leak_frac",
+          fround(col("n_leaked").cast("double") / col("n_ngrams"), 6))
         .orderBy("doc_id")
     }),
 
@@ -661,6 +710,64 @@ object TextPipeline {
          tr AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g WHERE doc_id % 10 < 9)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked_ngrams
          FROM tr JOIN ev USING(gram) GROUP BY 1 ORDER BY 1""",
+    "q_decontaminate_report" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, list_transform(generate_series(1, len(ws)-3),
+             i -> array_to_string(ws[i:i+3],' ')) AS gs FROM w),
+         ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 9),
+         tr AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g WHERE doc_id % 10 < 9)
+         SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(count(ev.gram) AS BIGINT) AS n_leaked,
+           floor((CAST(count(ev.gram) AS DOUBLE)/count(*))*1000000 + 0.5)/1000000 AS leak_frac
+         FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+         GROUP BY 1 ORDER BY 1""",
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, source, string_split(text,' ') AS sp FROM documents),
+         b AS (SELECT doc_id, source,
+                 list_distinct(list_transform(generate_series(1, len(sp)-1),
+                   i -> sp[i] || ' ' || sp[i+1])) AS bg
+               FROM w WHERE len(sp) >= 2),
+         p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+               FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+               WHERE CAST(len(list_intersect(a.bg, c.bg)) AS DOUBLE) /
+                 (len(a.bg) + len(c.bg) - len(list_intersect(a.bg, c.bg))) >= 0.1),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION ALL SELECT doc_b, doc_a FROM p),
+         verts AS (SELECT DISTINCT src AS v FROM e),
+         reach(v, r) AS (
+           SELECT v, v FROM verts
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.v
+         ),
+         clu AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v),
+         scored AS (SELECT c.cluster, d.doc_id,
+             len(string_split(d.text,' ')) AS n_words
+           FROM clu c JOIN documents d ON d.doc_id = c.doc_id),
+         r AS (SELECT cluster, doc_id, n_words,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY n_words DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster) AS n_docs
+           FROM scored)
+         SELECT cluster, doc_id AS canonical_id, n_words AS canonical_words,
+           CAST(n_docs AS BIGINT) AS n_docs
+         FROM r WHERE rn = 1 ORDER BY cluster""",
+    "q_dup_ngram_rate" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
+           FROM documents WHERE doc_id < 300),
+         g AS (SELECT doc_id, unnest(list_distinct(
+             list_transform(generate_series(1, len(ws)-1),
+               i -> ws[i] || ' ' || ws[i+1]))) AS gram FROM w),
+         cnt AS (SELECT gram, count(*) AS n_docs_with FROM g GROUP BY 1)
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(sum(CASE WHEN cnt.n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           floor((CAST(sum(CASE WHEN cnt.n_docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 /count(*))*1000000 + 0.5)/1000000 AS dup_frac
+         FROM g JOIN cnt ON g.gram = cnt.gram
+         GROUP BY 1 ORDER BY 1""",
     "q_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,4) < '1999' ORDER BY doc_id""",

@@ -78,6 +78,48 @@ object Curation {
       .agg(count(lit(1)).as("n_leaked_ngrams"))
   }
 
+  /** Contamination REPORT: per corpus document, its distinct n-gram
+    * count, how many of those appear anywhere in the eval set, and both
+    * sides of the leak fraction — the audit artifact teams review before
+    * choosing a drop threshold (decontaminate() is the enforcement
+    * filter). Same broadcast eval relation + map-side join shape. */
+  def decontaminateReport(corpus: DataFrame, eval_ : DataFrame, idCol: String,
+                          textCol: String, n: Int): DataFrame = {
+    val evalGrams = eval_
+      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
+    val corpusGrams = balanced
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+    val totals = corpusGrams.groupBy(idCol).agg(count(lit(1)).as("n_ngrams"))
+    val leaked = corpusGrams
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_leaked"))
+    totals.join(leaked, Seq(idCol), "left")
+      .select(col(idCol), col("n_ngrams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+  }
+
+  /** Per-document duplication rate: the fraction of a document's
+    * distinct word n-grams that occur in at least one OTHER document —
+    * the corpus-level repetition signal behind "dedup before training"
+    * decisions (complements the intra-document repetition filter).
+    * One shuffle keyed by gram (distributed count of docs per gram),
+    * one map-side re-aggregation per doc. */
+  def dupNgramRate(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+    val gramDocs = grams.groupBy("gram").agg(count(lit(1)).as("n_docs_with"))
+    grams.join(gramDocs, "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
+  }
+
   /** Deterministic hash sample: keep a row iff the md5 of its id lands
     * under the rate threshold. `thresholdHex4` is the first-4-hex-chars
     * cutoff (e.g. "1999" ≈ 10%): fixed-width lowercase hex compares in
