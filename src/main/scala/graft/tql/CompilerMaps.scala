@@ -421,6 +421,14 @@ private[tql] trait CompilerMaps { this: Compiler.type =>
         compileBoxplot(p, bpArgs)
 
       case Call("HISTOGRAM", v :: rest) =>
+        // bins() arity contract (fm_stat_test.go:25): 1 arg = max-bin
+        // sketch, 3 args = fixed (min,max,step) — anything else errors
+        rest.foreach {
+          case Call("bins", bargs) if bargs.size != 1 && bargs.size != 3 =>
+            throw new IllegalArgumentException(
+              s"f(bins) invalid number of args; expected 1 or 3, got ${bargs.size}")
+          case _ =>
+        }
         rest.collectFirst {
           case Call("bins", List(Num(a), Num(b), Num(s0))) => (a, b, s0)
         } match {

@@ -407,6 +407,15 @@ class ReferenceCases2Spec extends SparkSpec {
     assert(e.getMessage == "f(context) invalid number of args; expect:0, actual:1")
   }
 
+  test("HISTOGRAM bins() arity contract (fm_stat_test.go:25)") {
+    val e = intercept[IllegalArgumentException](runTrim(
+      "FAKE(linspace(0,10,11))\nHISTOGRAM(value(0), bins())\nCSV()\n"))
+    assert(e.getMessage == "f(bins) invalid number of args; expected 1 or 3, got 0")
+    val e2 = intercept[IllegalArgumentException](runTrim(
+      "FAKE(linspace(0,10,11))\nHISTOGRAM(value(0), bins(1, 2))\nCSV()\n"))
+    assert(e2.getMessage == "f(bins) invalid number of args; expected 1 or 3, got 2")
+  }
+
   test("GROUP mode and weighted mode (task_test.go:1800-1827)") {
     val p = Map("payload" -> Seq("A,1.1\nA,1.1\nB,2.1\nB,2.2\nB,2.1\nC,3.1\nC,3.2\nC,3.3\nC,3.3"))
     val out = runTrim(

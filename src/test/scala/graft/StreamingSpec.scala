@@ -149,6 +149,54 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 4L, 6L), ids.toSeq)
   }
 
+  test("streaming FILTER_CHANGED carries suppressed-value state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val out = graft.streaming.StatefulOps.filterChangedStream(
+      in.toDF.toDF("name", "time", "value"))
+    val q = out.writeStream.format("memory").queryName("fc_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(("a", ts(1), 1.0), ("a", ts(2), 1.0), ("a", ts(3), 2.0), ("b", ts(1), 5.0))
+      q.processAllAvailable()
+      // batch 2 re-sends the LAST EMITTED values — a lag() window would
+      // re-admit them; the group state must suppress them
+      in.addData(("a", ts(4), 2.0), ("a", ts(5), 3.0), ("b", ts(2), 5.0), ("b", ts(3), 6.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT name, time, value FROM fc_stream")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).sortBy(t => (t._1, t._2.getTime))
+      assert(got.toSeq == Seq(
+        ("a", ts(1), 1.0), ("a", ts(3), 2.0), ("a", ts(5), 3.0),
+        ("b", ts(1), 5.0), ("b", ts(3), 6.0)), got.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming MAP_LOWPASS: EMA register survives the batch edge (fm_monad_test.go values)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val out = graft.streaming.StatefulOps.lowpassStream(
+      in.toDF.toDF("name", "time", "value"), alpha = 0.25)
+    val q = out.writeStream.format("memory").queryName("lp_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(("k", ts(1), 10.0), ("k", ts(2), 14.0)) // 10.0 then 11.0
+      q.processAllAvailable()
+      in.addData(("k", ts(3), 15.0)) // (0.75*11 + 0.25*15) = 12.0
+      q.processAllAvailable()
+      val got = spark.sql("SELECT value FROM lp_stream ORDER BY time")
+        .collect().map(_.getDouble(0))
+      assert(got.toSeq == Seq(10.0, 11.0, 12.0), got.toSeq)
+      val e = intercept[IllegalArgumentException](
+        graft.streaming.StatefulOps.lowpassStream(
+          in.toDF.toDF("name", "time", "value"), alpha = 1.0))
+      assert(e.getMessage == "MAP_LOWPASS() should have 0 < alpha < 1 ")
+    } finally q.stop()
+  }
+
   test("maintainRollup advances the routing horizon; routed queries stay exact during lag") {
     import graft.time.TimeFns
     val rawDir = Files.createTempDirectory("graft_mroll_raw").toString
