@@ -197,6 +197,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming MAP_DIFF/MOVAVG/KALMAN recurrences match across batch edges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+
+    // diff: prev-value register crosses the batch edge; first emits null
+    val in1 = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q1 = graft.streaming.StatefulOps.diffStream(in1.toDF.toDF("name", "time", "value"))
+      .writeStream.format("memory").queryName("d_stream").outputMode("append").start()
+    try {
+      in1.addData(("a", ts(1), 1.0), ("a", ts(2), 3.0))
+      q1.processAllAvailable()
+      in1.addData(("a", ts(3), 6.0), ("a", ts(4), 2.0))
+      q1.processAllAvailable()
+      val got = spark.sql("SELECT value FROM d_stream ORDER BY time")
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      assert(got.toSeq == Seq(None, Some(2.0), Some(3.0), Some(-4.0)), got.toSeq)
+    } finally q1.stop()
+
+    // movavg(3): the window buffer is state; warm-up nulls, then trailing mean
+    val in2 = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q2 = graft.streaming.StatefulOps.movavgStream(
+      in2.toDF.toDF("name", "time", "value"), window = 3)
+      .writeStream.format("memory").queryName("m_stream").outputMode("append").start()
+    try {
+      in2.addData(("a", ts(1), 1.0), ("a", ts(2), 2.0))
+      q2.processAllAvailable()
+      in2.addData(("a", ts(3), 3.0), ("a", ts(4), 4.0))
+      q2.processAllAvailable()
+      val got = spark.sql("SELECT value FROM m_stream ORDER BY time")
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      assert(got.toSeq == Seq(None, None, Some(2.0), Some(3.0)), got.toSeq)
+    } finally q2.stop()
+
+    // kalman: streaming output must equal the batch kernel on the same series
+    val series = Seq(5.0, 7.0, 6.5, 8.0, 7.2, 9.1)
+    val batch = graft.operators.SeqOps.kalman(
+      series.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+        .toDF("name", "t", "value"), "name", "t", "value",
+      initVar = 1.0, procVar = 0.01, obsVar = 0.5)
+      .orderBy("t").select("kalman").as[Double].collect()
+    val in3 = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q3 = graft.streaming.StatefulOps.kalmanStream(
+      in3.toDF.toDF("name", "time", "value"),
+      initVar = 1.0, procVar = 0.01, obsVar = 0.5)
+      .writeStream.format("memory").queryName("k_stream").outputMode("append").start()
+    try {
+      in3.addData(series.take(3).zipWithIndex.map { case (v, i) => ("a", ts(i), v) }: _*)
+      q3.processAllAvailable()
+      in3.addData(series.drop(3).zipWithIndex.map { case (v, i) => ("a", ts(i + 3), v) }: _*)
+      q3.processAllAvailable()
+      val got = spark.sql("SELECT value FROM k_stream ORDER BY time")
+        .collect().map(_.getDouble(0))
+      assert(got.length == batch.length &&
+        got.zip(batch).forall { case (a, b) => math.abs(a - b) < 1e-12 },
+        s"stream ${got.toSeq} vs batch ${batch.toSeq}")
+    } finally q3.stop()
+  }
+
   test("maintainRollup advances the routing horizon; routed queries stay exact during lag") {
     import graft.time.TimeFns
     val rawDir = Files.createTempDirectory("graft_mroll_raw").toString
