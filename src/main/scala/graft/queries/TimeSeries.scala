@@ -173,6 +173,26 @@ object TimeSeries {
         .orderBy("user_id", "t_us")
     }),
 
+    // ---- event sessionization (session_window) ------------------------
+    // Sessions = runs of a user's events with < 4h between consecutive
+    // ones. Native `session_window` grouping: dynamic-gap merge happens
+    // inside the aggregation exchange (one shuffle on user_id, no
+    // self-join, and the same operator runs on streams with watermarks).
+    // Oracle: the classical lag()+cumsum break-flag formulation.
+    "q_sessionize" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val e = e0.filter(col("user_id") < 50)
+        .select(col("user_id"), tsUs(e0).as("t_us"), dec2(col("value")).as("v"))
+        .withColumn("ts2", timestamp_micros(col("t_us")))
+      e.groupBy(col("user_id"), session_window(col("ts2"), "4 hours"))
+        .agg(min("t_us").as("session_start_us"), max("t_us").as("session_end_us"),
+          count(lit(1)).as("n_events"),
+          r2(sum(col("v")).cast("double")).as("sum_value"))
+        .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // ---- last value per tag (lake current/last endpoint) --------------
     "q_last_per_tag" -> ((s, dir) => {
       val e0 = t(s, dir, "events")
@@ -502,6 +522,20 @@ object TimeSeries {
            FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
          SELECT user_id, t_us, round(x, 4) AS kalman FROM rec
          ORDER BY user_id, t_us""",
+    "q_sessionize" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS t,
+             CAST(value AS DECIMAL(18,2)) AS v
+           FROM events WHERE user_id < 50),
+         g AS (SELECT user_id, t, v,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                  OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 14400000000
+             THEN 1 ELSE 0 END AS brk FROM o),
+         s AS (SELECT user_id, t, v, sum(brk) OVER (PARTITION BY user_id
+             ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+         SELECT user_id, min(t) AS session_start_us, max(t) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(v) AS DOUBLE), 2) AS sum_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""",
     "q_last_per_tag" ->
       """SELECT user_id AS name, max(epoch_us(ts)) AS last_time_us,
          arg_max(value, epoch_us(ts)) AS last_value
