@@ -155,4 +155,22 @@ object Lake {
     carried.filter(col("__side") === 1)
       .select(left.columns.map(col) ++ rightVals.map(c => col(s"__r_$c").as(s"right_$c")): _*)
   }
+
+  /** As-of join with a max-age tolerance: a matched right row older than
+    * `tolerance` (same unit as the time columns) is discarded — the lake
+    * door's "nearest within duration" semantics, where a stale last
+    * value must not serve as current. Same single-shuffle carry-forward
+    * plan; the age test is a post-projection, so tolerance adds zero
+    * extra shuffles. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        leftTimeNs: String, rightTimeNs: String,
+                        rightVals: Seq[String], tolerance: Long): DataFrame = {
+    val r = right.withColumn("__rt", col(rightTimeNs))
+    val joined = asofJoin(left, r, key, leftTimeNs, rightTimeNs, rightVals :+ "__rt")
+    val fresh = col("right___rt").isNotNull &&
+      (col(leftTimeNs) - col("right___rt")) <= tolerance
+    rightVals.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"right_$c", when(fresh, col(s"right_$c")))
+    }.drop("right___rt")
+  }
 }

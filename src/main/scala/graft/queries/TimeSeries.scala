@@ -173,6 +173,25 @@ object TimeSeries {
         .orderBy("user_id", "t_us")
     }),
 
+    // ---- as-of join with tolerance (nearest within max age) -----------
+    // Purchases older than 3 days before the signup don't count as the
+    // "last purchase" — the stale match nulls out, the row survives.
+    "q_asof_tolerance" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val base = e0.select(col("event_id"), col("user_id"), tsUs(e0).as("t_us"),
+        col("event_type"), col("value"))
+      val signups = base.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "t_us")
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us"), col("value"), col("t_us").as("p_t_us"))
+      Lake.asofJoinTolerance(signups, purchases, "user_id", "t_us", "t_us",
+        Seq("value", "p_t_us"), tolerance = 3L * 86400L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("right_value").as("last_purchase_value"),
+          col("right_p_t_us").as("last_purchase_t_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- event sessionization (session_window) ------------------------
     // Sessions = runs of a user's events with < 4h between consecutive
     // ones. Native `session_window` grouping: dynamic-gap merge happens
@@ -522,6 +541,16 @@ object TimeSeries {
            FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
          SELECT user_id, t_us, round(x, 4) AS kalman FROM rec
          ORDER BY user_id, t_us""",
+    "q_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t_us,
+         CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 259200000000
+              THEN r.value END AS last_purchase_value,
+         CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 259200000000
+              THEN epoch_us(r.ts) END AS last_purchase_t_us
+         FROM (SELECT * FROM events WHERE event_type = 'signup') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND r.ts <= l.ts
+         ORDER BY l.event_id""",
     "q_sessionize" ->
       """WITH o AS (SELECT user_id, epoch_us(ts) AS t,
              CAST(value AS DECIMAL(18,2)) AS v
