@@ -312,6 +312,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("session_window sessionization runs on a watermarked stream (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val sessions = in.toDF.toDF("user", "time", "value")
+      .withWatermark("time", "0 seconds")
+      .groupBy(col("user"), session_window(col("time"), "10 seconds"))
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .select(col("user"), col("session_window.start").as("start"), col("n"), col("s"))
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // one session (events 1,5,9 chain within 10s gaps), then a gap
+      in.addData(("u", ts(1), 1.0), ("u", ts(5), 2.0), ("u", ts(9), 3.0))
+      q.processAllAvailable()
+      // 40s later: new session; the watermark closes the first one
+      in.addData(("u", ts(40), 7.0))
+      q.processAllAvailable()
+      in.addData(("u", ts(80), 9.0)) // closes the 40s session
+      q.processAllAvailable()
+      val got = spark.sql("SELECT start, n, s FROM sess_stream ORDER BY start")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      assert(got.length >= 2, got.toSeq)
+      assert(got(0) == ((ts(1), 3L, 6.0)), got.toSeq) // merged 3-event session
+      assert(got(1) == ((ts(40), 1L, 7.0)), got.toSeq)
+    } finally q.stop()
+  }
+
   test("rollupStream aggregates tumbling event-time windows") {
     val dir = Files.createTempDirectory("graft_roll").toString
     val ck = Files.createTempDirectory("graft_ck2").toString
