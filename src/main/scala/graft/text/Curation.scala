@@ -93,14 +93,14 @@ object Curation {
       if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
     val corpusGrams = balanced
       .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
-    val totals = corpusGrams.groupBy(idCol).agg(count(lit(1)).as("n_ngrams"))
-    val leaked = corpusGrams
-      .join(broadcast(evalGrams), "gram")
+    // ONE pass over the corpus grams: the broadcast LEFT join marks the
+    // leaked ones, a single aggregation counts both totals — no second
+    // explode/scan like a totals⋈leaked two-query plan would cost
+    corpusGrams
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1))), Seq("gram"), "left")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_leaked"))
-    totals.join(leaked, Seq(idCol), "left")
-      .select(col(idCol), col("n_ngrams"),
-        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(col("__hit")).as("n_leaked"))
   }
 
   /** Per-document duplication rate: the fraction of a document's
@@ -113,8 +113,12 @@ object Curation {
                    n: Int): DataFrame = {
     val grams = docs
       .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
-    val gramDocs = grams.groupBy("gram").agg(count(lit(1)).as("n_docs_with"))
-    grams.join(gramDocs, "gram")
+    // each doc contributes a gram at most once (array_distinct), so the
+    // gram-partitioned count IS docs-with-gram: one explode pass and one
+    // gram shuffle, versus the aggregate+self-join shape's second
+    // explode and third shuffle
+    grams
+      .withColumn("n_docs_with", count(lit(1)).over(Window.partitionBy("gram")))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
