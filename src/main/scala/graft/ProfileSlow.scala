@@ -9,8 +9,10 @@ object ProfileSlow {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = if (args.length > 1) args(1).toInt else 3
     val spark = graft.core.Sessions.local(32)
-    val names = Seq("q_dedup_jaccard", "q_dedup_cluster", "q_pipeline_curate",
-      "q_dedup_minhash", "q_ann_ivf", "q_timewindow_locf")
+    // extra args past (dir, n) select the queries; default = usual suspects
+    val names = if (args.length > 2) args.drop(2).toSeq
+      else Seq("q_dedup_jaccard", "q_dedup_cluster", "q_pipeline_curate",
+        "q_dedup_minhash", "q_ann_ivf", "q_timewindow_locf")
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       val times = (1 to n).map { _ =>

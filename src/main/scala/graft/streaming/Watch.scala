@@ -119,11 +119,20 @@ object Watch {
     * Append mode emits a window only once its watermark closes it, so
     * every emitted window is final and the horizon (max emitted start +
     * period) never claims coverage the rollup doesn't have. */
+  /** `coarserTiers`: additional (periodNs, dir) rungs maintained FROM the
+    * fine tier per batch (the reference's hierarchical ladder — SEC←raw,
+    * MIN←SEC, HOUR←MIN — never rescans raw for coarse tiers). Each batch
+    * appends its coarsened partials; a coarse bucket straddling batches
+    * simply holds several partial rows, which the routing rewrite's
+    * merge aggregation (min-of-mins, sum-of-sums) combines exactly. The
+    * coarse horizon is the fine one: the rule floors it to each tier's
+    * period, so an open coarse bucket's partials are never trusted. */
   def maintainRollup(spark: SparkSession, rawDir: String, schema: StructType,
                      nameCol: String, tsCol: String, valueCol: String,
                      windowLen: String, watermark: String, periodNs: Long,
                      rollupDir: String, checkpoint: String,
-                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                     trigger: Trigger = Trigger.AvailableNow(),
+                     coarserTiers: Seq[(Long, String)] = Nil): StreamingQuery =
     rollupStream(tail(spark, rawDir, schema), nameCol, tsCol, valueCol,
       windowLen, watermark)
       .writeStream
@@ -135,11 +144,20 @@ object Watch {
           (unix_micros(col("time")) * 1000L).as("time_ns"),
           col("min_value"), col("max_value"), col("sum_value"),
           col("sumsq_value"), col("cnt"))
-        out.write.mode("append").parquet(rollupDir)
-        val maxStart = out.agg(max("time_ns")).head()
-        if (!maxStart.isNullAt(0))
-          graft.plans.RollupRouting.setHorizon(rollupDir,
-            maxStart.getLong(0) + periodNs)
+        out.persist()
+        try {
+          out.write.mode("append").parquet(rollupDir)
+          val maxStart = out.agg(max("time_ns")).head()
+          if (!maxStart.isNullAt(0)) {
+            val horizon = maxStart.getLong(0) + periodNs
+            graft.plans.RollupRouting.setHorizon(rollupDir, horizon)
+            coarserTiers.foreach { case (coarseNs, dir) =>
+              graft.operators.Lake.rollupCoarsen(out, coarseNs)
+                .write.mode("append").parquet(dir)
+              graft.plans.RollupRouting.setHorizon(dir, horizon)
+            }
+          }
+        } finally out.unpersist()
       }
       .start()
 }

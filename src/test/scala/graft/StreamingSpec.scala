@@ -312,6 +312,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("maintainRollup cascades a coarse tier from the fine one (hierarchical ladder)") {
+    import graft.time.TimeFns
+    val rawDir = Files.createTempDirectory("graft_tier_raw").toString
+    val minDir = Files.createTempDirectory("graft_tier_fine").toString + "/r"
+    val hourDir = Files.createTempDirectory("graft_tier_coarse").toString + "/r"
+    val ck = Files.createTempDirectory("graft_tier_ck").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    // one row at :30 of each of minutes 0..130 — the stream closes fine
+    // windows 0..129 (horizon min 130); hour buckets 0-1 become fully
+    // trusted in the HOUR tier (floor(130, 60) = 120), hour 2 is raw tail
+    val rows = (0 to 130).map(m => ("a", ts(m * 60 + 30), m.toDouble))
+    rows.toDF("name", "time", "value").write.mode("append").parquet(rawDir)
+    val schema = spark.read.parquet(rawDir).schema
+    val q = Watch.maintainRollup(spark, rawDir, schema, "name", "time", "value",
+      "1 minute", "0 seconds", TimeFns.NsPerMin, minDir, ck,
+      coarserTiers = Seq((TimeFns.NsPerHour, hourDir)))
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(minDir).count() == 130L)
+    // the coarse tier was built FROM the fine one (3 partial rows: h0, h1, h2-partial)
+    assert(spark.read.parquet(hourDir).count() == 3L)
+
+    def query = {
+      val df = spark.read.parquet(rawDir)
+      df.groupBy(col("name"),
+        TimeFns.roundTimeNs(graft.queries.Q.tsNs(df, "time"), TimeFns.NsPerHour).as("h"))
+        .agg(sum("value").as("s"), count("value").as("c"), max("value").as("mx"))
+        .orderBy("name", "h")
+    }
+    val direct = query.collect().map(_.toSeq)
+    graft.plans.RollupRouting.register(rawDir, graft.plans.RollupRouting.Spec(
+      minDir, TimeFns.NsPerMin, "name", "time", "value"))
+    graft.plans.RollupRouting.register(rawDir, graft.plans.RollupRouting.Spec(
+      hourDir, TimeFns.NsPerHour, "name", "time", "value"))
+    spark.experimental.extraOptimizations =
+      Seq(new graft.plans.RollupRouting.Route(spark))
+    try {
+      val routed = query
+      val scans = routed.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString).mkString(",")
+            case _ => ""
+          }
+      }
+      assert(scans.exists(_.contains("graft_tier_coarse")), s"HOUR tier must win: $scans")
+      assert(!scans.exists(_.contains("graft_tier_fine")), s"MIN tier must lose: $scans")
+      assert(scans.exists(_.contains("graft_tier_raw")), s"raw tail must be scanned: $scans")
+      assert(routed.collect().map(_.toSeq).toSeq == direct.toSeq,
+        "hour-bucket query answered from cascaded coarse partials + raw tail")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      graft.plans.RollupRouting.clear()
+    }
+  }
+
   test("session_window sessionization runs on a watermarked stream (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
