@@ -84,6 +84,28 @@ object Ivf {
     } finally e.unpersist()
   }
 
+  /** Persist the quantizer as a tiny (cell, pos, coeff) parquet relation:
+    * an index is a durable artifact shared across jobs and engines, not
+    * a per-JVM fit — rebuild-on-every-session is the 100 TB anti-pattern
+    * (a real deployment trains once, loads everywhere). */
+  def save(index: Index, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    index.centroids.zipWithIndex.flatMap { case (c, cell) =>
+      c.zipWithIndex.map { case (x, pos) => (cell, pos, x) }
+    }.toSeq.toDF("cell", "pos", "coeff")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val rows = spark.read.parquet(path)
+      .select("cell", "pos", "coeff").collect()
+    val k = rows.iterator.map(_.getInt(0)).max + 1
+    val dims = rows.iterator.map(_.getInt(1)).max + 1
+    val cs = Array.fill(k)(new Array[Double](dims))
+    rows.foreach(r => cs(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    Index(cs)
+  }
+
   /** Top-k cosine search probing the `nprobe` nearest cells per query. */
   def topK(queries: DataFrame, corpus: DataFrame, index: Index, k: Int, nprobe: Int,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -117,6 +117,30 @@ object Pq {
     } finally e.unpersist()
   }
 
+  /** Persist the codebooks as a (sub, code, pos, coeff) parquet relation
+    * (same durable-artifact rationale as [[Ivf.save]]: train once, load
+    * from storage in every job that scans the coded corpus). */
+  def save(index: Index, spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    (for {
+      (book, s) <- index.codebooks.zipWithIndex
+      (c, code) <- book.zipWithIndex
+      (x, pos) <- c.zipWithIndex
+    } yield (s, code, pos, x)).toSeq.toDF("sub", "code", "pos", "coeff")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val rows = spark.read.parquet(path)
+      .select("sub", "code", "pos", "coeff").collect()
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    val ksub = rows.iterator.map(_.getInt(1)).max + 1
+    val dsub = rows.iterator.map(_.getInt(2)).max + 1
+    val books = Array.fill(m, ksub)(new Array[Double](dsub))
+    rows.foreach(r => books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    Index(m, dsub, books)
+  }
+
   /** Encode the corpus: (eid, code array<int> of length m). One
     * mapPartitions pass with broadcast codebooks and tight argmin loops —
     * encoding rides the scan with no shuffle, and at index-build time the

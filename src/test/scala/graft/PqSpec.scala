@@ -25,6 +25,28 @@ class PqSpec extends SparkSpec {
     assert(code.length == 16 && code.forall(c => c >= 0 && c < 16))
   }
 
+  test("index save/load round-trips bit-exactly (durable artifact, not per-JVM fit)") {
+    import java.nio.file.Files
+    val pqPath = Files.createTempDirectory("graft_pq_idx").toString + "/i"
+    Pq.save(index, spark, pqPath)
+    val loaded = Pq.load(spark, pqPath)
+    assert(loaded.m == index.m && loaded.dsub == index.dsub && loaded.ksub == index.ksub)
+    assert(loaded.codebooks.flatten.flatten.toSeq == index.codebooks.flatten.flatten.toSeq)
+
+    val ivf = graft.similarity.Ivf.train(emb, k = 8, iters = 2)
+    val ivfPath = Files.createTempDirectory("graft_ivf_idx").toString + "/i"
+    graft.similarity.Ivf.save(ivf, spark, ivfPath)
+    val ivf2 = graft.similarity.Ivf.load(spark, ivfPath)
+    assert(ivf2.centroids.flatten.toSeq == ivf.centroids.flatten.toSeq)
+    // searches through the loaded index are identical
+    val q = emb.filter($"vec_id" < 3)
+    val a = graft.similarity.Ivf.topK(q, emb, ivf, k = 5, nprobe = 2)
+      .select("qid", "rnk", "eid").collect().map(_.toSeq).toSeq
+    val b = graft.similarity.Ivf.topK(q, emb, ivf2, k = 5, nprobe = 2)
+      .select("qid", "rnk", "eid").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("ADC topK recall vs brute force; exact rerank recovers the tail") {
     val q = emb.filter($"vec_id" < 5)
     val brute = Ann.bruteForceTopK(q, emb, k = 10)
