@@ -47,6 +47,27 @@ class PqSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("a vector stream encodes against a storage-loaded index (stateless map, no shuffle)") {
+    import java.nio.file.Files
+    val idxPath = Files.createTempDirectory("graft_pq_sidx").toString + "/i"
+    Pq.save(index, spark, idxPath)
+    val loaded = Pq.load(spark, idxPath)
+    val srcDir = Files.createTempDirectory("graft_pq_src").toString + "/t"
+    val ck = Files.createTempDirectory("graft_pq_ck").toString
+    emb.filter($"vec_id" < 20).write.parquet(srcDir)
+    val stream = spark.readStream.schema(emb.schema).parquet(srcDir)
+    val q = Pq.encode(stream, loaded)
+      .writeStream.format("memory").queryName("pq_stream_codes")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT * FROM pq_stream_codes")
+      .orderBy("eid").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val batch = Pq.encode(emb.filter($"vec_id" < 20), index)
+      .orderBy("eid").collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(streamed.toSeq == batch.toSeq, "stream codes == batch codes via loaded index")
+  }
+
   test("ADC topK recall vs brute force; exact rerank recovers the tail") {
     val q = emb.filter($"vec_id" < 5)
     val brute = Ann.bruteForceTopK(q, emb, k = 10)
