@@ -345,6 +345,18 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- curation: training-mix construction --------------------------
+    // Quota per language (groups short of quota give all they have: fr
+    // caps at its corpus size at sf0.01); md5-of-id rank keeps selection
+    // reproducible in any engine.
+    "q_mixture_sample" -> ((s, dir) => {
+      graft.text.Curation.mixtureSample(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id",
+          Map("en" -> 100, "de" -> 40, "fr" -> 500))
+        .orderBy("doc_id")
+    }),
+
     // ---- curation: deterministic hash sampling ------------------------
     // md5-prefix cutoff ≈ 10%: the same predicate runs verbatim in the
     // oracle, so the sample membership is exactly reproducible.
@@ -768,6 +780,14 @@ object TextPipeline {
                  /count(*))*1000000 + 0.5)/1000000 AS dup_frac
          FROM g JOIN cnt ON g.gram = cnt.gram
          GROUP BY 1 ORDER BY 1""",
+    "q_mixture_sample" ->
+      """WITH r AS (SELECT doc_id, lang, row_number() OVER (
+             PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents WHERE lang IN ('en','de','fr'))
+         SELECT doc_id, lang FROM r
+         WHERE rk <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 40
+                               WHEN 'fr' THEN 500 ELSE 0 END
+         ORDER BY doc_id""",
     "q_hash_sample" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,4) < '1999' ORDER BY doc_id""",

@@ -144,6 +144,26 @@ object Curation {
       .filter(col("__rk") <= quota)
       .drop("__rk")
 
+  /** Mixture sampling: build a training mix hitting per-group quotas
+    * (the "data mixture" step — e.g. 50% en / 30% code / 20% math of a
+    * target budget), with the deterministic md5-of-id rank as the
+    * within-group selector. Groups short of quota contribute everything
+    * they have; groups not in the mix are dropped. Same WindowGroupLimit
+    * plan as [[stratifiedSample]] — map tasks keep only their local
+    * top-quota before the group shuffle. */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    quotas: Map[String, Int]): DataFrame = {
+    val qCol = quotas.foldLeft(lit(0)) { case (acc, (g, q)) =>
+      when(col(groupCol) === g, lit(q)).otherwise(acc)
+    }
+    df.filter(col(groupCol).isin(quotas.keys.toSeq: _*))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(groupCol)
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .filter(col("__rk") <= qCol)
+      .drop("__rk")
+  }
+
   /** PII scrubbing: replace emails, IPv4 addresses, and long digit runs
     * (phone/account numbers) with typed placeholder tokens. The patterns
     * are deliberately lookaround-free so the same regexes run unchanged
