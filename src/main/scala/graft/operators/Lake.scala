@@ -156,6 +156,21 @@ object Lake {
       .select(left.columns.map(col) ++ rightVals.map(c => col(s"__r_$c").as(s"right_$c")): _*)
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * right.time ≥ left.time on the same key — "next event after", the
+    * funnel/conversion lookup. Implemented by negating the time axis and
+    * reusing the backward carry-forward kernel: identical single-shuffle
+    * plan, simultaneous rows still visible. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTimeNs: String, rightTimeNs: String,
+                      rightVals: Seq[String]): DataFrame = {
+    val l = left.withColumn("__negt", -col(leftTimeNs))
+    val r = right.withColumn("__negt_r", -col(rightTimeNs))
+      .drop(rightTimeNs)
+    asofJoin(l, r, key, "__negt", "__negt_r", rightVals)
+      .drop("__negt")
+  }
+
   /** As-of join with a max-age tolerance: a matched right row older than
     * `tolerance` (same unit as the time columns) is discarded — the lake
     * door's "nearest within duration" semantics, where a stale last

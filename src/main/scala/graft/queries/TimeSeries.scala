@@ -192,6 +192,27 @@ object TimeSeries {
         .orderBy("event_id")
     }),
 
+    // ---- funnel conversion (forward as-of: next event after) ----------
+    // Per signup: the earliest purchase at-or-after it, and whether it
+    // landed within the 7-day conversion window. Same single-shuffle
+    // carry-forward kernel as the backward as-of, on a negated time axis.
+    "q_funnel" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val base = e0.select(col("event_id"), col("user_id"), tsUs(e0).as("t_us"),
+        col("event_type"))
+      val signups = base.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "t_us")
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us"), col("t_us").as("p_t_us"))
+      Lake.asofJoinForward(signups, purchases, "user_id", "t_us", "t_us",
+        Seq("p_t_us"))
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("right_p_t_us").as("next_purchase_t_us"),
+          (col("right_p_t_us").isNotNull &&
+            col("right_p_t_us") - col("t_us") <= 604800000000L).as("converted"))
+        .orderBy("event_id")
+    }),
+
     // ---- event sessionization (session_window) ------------------------
     // Sessions = runs of a user's events with < 4h between consecutive
     // ones. Native `session_window` grouping: dynamic-gap merge happens
@@ -541,6 +562,14 @@ object TimeSeries {
            FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
          SELECT user_id, t_us, round(x, 4) AS kalman FROM rec
          ORDER BY user_id, t_us""",
+    "q_funnel" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t_us,
+         epoch_us(r.ts) AS next_purchase_t_us,
+         coalesce(epoch_us(r.ts) - epoch_us(l.ts) <= 604800000000, FALSE) AS converted
+         FROM (SELECT * FROM events WHERE event_type = 'signup') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND r.ts >= l.ts
+         ORDER BY l.event_id""",
     "q_asof_tolerance" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t_us,
          CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 259200000000
