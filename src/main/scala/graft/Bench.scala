@@ -208,18 +208,6 @@ object Bench {
         s"\"" + k.stripPrefix("q_") + "\":" + s
       }.mkString("{", ",", "}")
     val byCost = resultsHealed.toSeq.sortBy(-_._2)
-    val qsBudget = 1590 // leaves room for the sentinel object in the tail
-    val qs3 = qsLine(3, byCost)
-    val qs = if (qs3.length <= qsBudget) qs3 else {
-      val qs2 = qsLine(2, byCost)
-      if (qs2.length <= qsBudget) qs2 else {
-        var keep = byCost.length
-        while (keep > 1 && qsLine(2, byCost.take(keep)).length > qsBudget - 12)
-          keep -= 1
-        qsLine(2, byCost.take(keep)).dropRight(1) +
-          s",\"qdrop\":${byCost.length - keep}}"
-      }
-    }
     val qsFull = resultsHealed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (resultsHealed.nonEmpty) resultsHealed.values.sum else 0.0
@@ -238,6 +226,38 @@ object Bench {
         val key = if (stripPrefix) k.stripPrefix("q_") else k
         s"\"" + key + s"\":[${d3(b2)},${d3(r3)}]"
       }.mkString("{", ",", "}")
+    // Compact-line retries are capped: a pathological round (many
+    // outliers) must not starve the queries object of its tail budget.
+    // The full map is always in bench_full.json.
+    val retriesC = {
+      val maxR = 10
+      val kept = retried.take(maxR).map { case (k, (b2, r3)) =>
+        "\"" + k.stripPrefix("q_") + s"\":[${d3(b2)},${d3(r3)}]"
+      }.toSeq
+      val dropped = retried.size - math.min(retried.size, maxR)
+      val extra = if (dropped > 0) Seq(s"\"rdrop\":$dropped") else Nil
+      (kept ++ extra).mkString("{", ",", "}")
+    }
+    // The queries budget is what ACTUALLY remains of the driver's
+    // ~2000-char stdout tail after the fixed part — ingest, sentinel,
+    // retries, framing, all known before printing — plus slack for sbt's
+    // trailing "[success] Total time: …" line. A constant guess (1590,
+    // r8/r9) overflowed once the retries map appeared and cut the line's
+    // head off mid-key → "parsed": null in two straight round records.
+    val fixedFrame =
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":,"ingest":$ingest,"sentinel":$sentinel,"retries":$retriesC,"sf":"$sfName"}"""
+    val qsBudget = math.max(250, 2000 - 140 - fixedFrame.length)
+    val qs3 = qsLine(3, byCost)
+    val qs = if (qs3.length <= qsBudget) qs3 else {
+      val qs2 = qsLine(2, byCost)
+      if (qs2.length <= qsBudget) qs2 else {
+        var keep = byCost.length
+        while (keep > 1 && qsLine(2, byCost.take(keep)).length > qsBudget - 12)
+          keep -= 1
+        qsLine(2, byCost.take(keep)).dropRight(1) +
+          s",\"qdrop\":${byCost.length - keep}}"
+      }
+    }
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"ingest":$ingest,"planAudit":$audit,"retries":${retriesJson(stripPrefix = false)},"sentinel":$sentinel,"sf":"$sfDir"}"""
     try Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -245,7 +265,7 @@ object Bench {
     // NOT printing fullLine to stdout: a partial copy of it surviving in
     // the tail buffer could confuse a brace-matching extractor. The compact
     // line below is the single parseable line in the tail.
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"ingest":$ingest,"sentinel":$sentinel,"retries":${retriesJson(stripPrefix = true)},"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"ingest":$ingest,"sentinel":$sentinel,"retries":$retriesC,"sf":"$sfName"}""")
     try {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(scratch)).deleteRecursively()

@@ -133,7 +133,15 @@ object Lake {
     * right.time ≤ left.time on the same key. Implemented as a tagged
     * union + one (key, time) sort with last-value carry-forward — a
     * single shuffle, no per-row range probing; the same plan a
-    * sort-merge as-of join would produce. */
+    * sort-merge as-of join would produce.
+    *
+    * SKEW: the carry-forward window partitions by `key` only, so one
+    * pathologically hot key (a tag carrying a large share of all rows)
+    * serializes into a single task — the standard as-of plan's known
+    * limit. For skewed inputs use [[asofJoinSliced]], which adds a
+    * time-slice dimension to the partition key (hot keys spread over
+    * slices) at the cost of a second, tiny shuffle for the
+    * slice-boundary handoff. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTimeNs: String, rightTimeNs: String,
                rightVals: Seq[String]): DataFrame = {
@@ -148,6 +156,62 @@ object Lake {
     // Right rows sort before left rows at equal times (side 0 < 1) so an
     // exactly-simultaneous right row is visible to the left row.
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++ rightVals.map(c => col(s"__r_$c").as(s"right_$c")): _*)
+  }
+
+  /** Skew-guarded as-of join: identical semantics to [[asofJoin]], but
+    * the carry-forward window partitions by (key, time-slice) so a hot
+    * key's rows spread over `ceil(span/sliceNs)` tasks instead of one.
+    * The value carried INTO each slice (the last right row from any
+    * earlier slice) is resolved on a compact per-(key, slice) frame —
+    * one row per key-slice, so its key-only window is tiny even for the
+    * hottest key — and injected as a synthetic sort-first row. Two extra
+    * small shuffles; results are bit-identical to [[asofJoin]]. */
+  def asofJoinSliced(left: DataFrame, right: DataFrame, key: String,
+                     leftTimeNs: String, rightTimeNs: String,
+                     rightVals: Seq[String], sliceNs: Long): DataFrame = {
+    require(sliceNs > 0, s"sliceNs must be positive, got $sliceNs")
+    // slice identity = slice START (t - t mod s): pure long arithmetic —
+    // a double floor-div would lose ns precision at 2^63 scale.
+    def sliceOf(t: Column): Column = t - pmod(t, lit(sliceNs))
+    val l = left.withColumn("__t", col(leftTimeNs)).withColumn("__side", lit(1))
+      .withColumn("__slice", sliceOf(col("__t")))
+    val lAligned = rightVals.foldLeft(l)((d, c) =>
+      d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType)))
+    val r = right.select(
+      Seq(col(key), col(rightTimeNs).as("__t"), lit(0).as("__side")) ++
+        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+      .withColumn("__slice", sliceOf(col("__t")))
+    // slice-boundary handoff, on a frame of ONE row per (key, slice):
+    // the latest right row of each slice, then a running carry over
+    // strictly-earlier slices (struct max orders by __t first).
+    val rAggSlice = r.groupBy(col(key), col("__slice"))
+      .agg(max(struct((col("__t") +: rightVals.map(c => col(s"__r_$c"))): _*)).as("__last"))
+    val lSlices = l.select(col(key), col("__slice")).distinct()
+    val wPrev = Window.partitionBy(col(key)).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val synth = lSlices.join(rAggSlice, Seq(key, "__slice"), "full_outer")
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(wPrev))
+      .filter(col("__carry").isNotNull)
+      .select(
+        Seq(col(key), col("__slice").as("__t"), lit(-1).as("__side"), col("__slice")) ++
+          rightVals.map(c => col("__carry").getField(s"__r_$c").as(s"__r_$c")): _*)
+    // align non-key left columns as nulls on the right/synthetic sides
+    def alignLeft(d: DataFrame): DataFrame =
+      left.columns.filterNot(_ == key)
+        .foldLeft(d)((acc, c) => acc.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+        .select(lAligned.columns.map(col).toSeq: _*)
+    // synthetic carry-in (__side -1, __t = slice start) sorts before any
+    // real row of its slice; a real right row in-slice overrides it via
+    // the same last()-carry-forward the unsliced kernel uses.
+    val unioned = lAligned.unionByName(alignLeft(r)).unionByName(alignLeft(synth))
+    val w = Window.partitionBy(col(key), col("__slice"))
+      .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightVals.foldLeft(unioned) { (d, c) =>
       d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))

@@ -58,23 +58,113 @@ object RollupRouting {
 
   /** Register a rollup tier for a raw table path (repeated calls with
     * distinct periods build the tier ladder; same period replaces).
-    * Paths are compared by Hadoop-qualified root path string suffix. */
-  def register(rawPath: String, spec: Spec): Unit =
+    * Paths are compared by Hadoop-qualified root path string suffix.
+    *
+    * `initialHorizonNs`: for a STREAM-maintained rollup, pass the last
+    * known coverage bound (e.g. the persisted one via [[load]]) so the
+    * rollup is never routed horizonless between register() and the
+    * maintainer's first non-empty batch — a horizonless rollup is
+    * trusted as complete, which silently drops fresh raw rows. */
+  def register(rawPath: String, spec: Spec,
+               initialHorizonNs: Option[Long] = None): Unit = {
     catalog.updateWith(normalize(rawPath)) {
       case Some(v) => Some(v.filterNot(_.periodNs == spec.periodNs) :+ spec)
       case None => Some(Vector(spec))
     }
+    initialHorizonNs.foreach(setHorizon(spec.rollupPath, _))
+  }
 
   /** Declare how far the rollup at `rollupPath` has been maintained:
     * raw records with ts < `maxRolledNs` are fully reflected in it.
     * Streaming maintainers (Watch.rollupStream foreachBatch) advance
     * this per batch; queries spanning past it union in the raw tail. */
   def setHorizon(rollupPath: String, maxRolledNs: Long): Unit =
-    horizons.put(rollupPath, maxRolledNs)
+    horizons.put(normalize(rollupPath), maxRolledNs)
+
+  def horizonOf(rollupPath: String): Option[Long] =
+    horizons.get(normalize(rollupPath))
 
   def clear(): Unit = { catalog.clear(); horizons.clear() }
 
   private def normalize(p: String): String = p.stripSuffix("/")
+
+  // ---- durable routing metadata --------------------------------------
+  // The registry and horizon above are process-local; the rollup parquet
+  // is not. A restarted session that re-reads the rollup without its
+  // routing metadata either doesn't route (registry gone) or routes
+  // WRONGLY (horizon gone → stream-maintained rollup trusted as
+  // complete). So the metadata persists next to the artifact — the same
+  // train-once/load-everywhere contract as Ivf.save/Pq.save — in an
+  // underscore-prefixed sidecar that parquet directory readers ignore.
+
+  /** Sidecar file name inside the rollup directory. */
+  val MetaFile = "_graft_rollup.json"
+
+  private def fsPath(spark: SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sessionState.newHadoopConf()), path)
+  }
+
+  /** Persist the routing metadata for the tier at `spec.rollupPath`
+    * (its raw table, period, columns, and current horizon if any) into
+    * `<rollupPath>/_graft_rollup.json`. Cheap (one small FS write, no
+    * Spark job) — stream maintainers call it every batch commit. */
+  def save(spark: SparkSession, rawPath: String, spec: Spec): Unit = {
+    import scala.collection.mutable.LinkedHashMap
+    val m = LinkedHashMap[String, Any](
+      "version" -> 1L,
+      "rawPath" -> normalize(rawPath),
+      "periodNs" -> spec.periodNs,
+      "nameCol" -> spec.nameCol,
+      "timeCol" -> spec.timeCol,
+      "valueCol" -> spec.valueCol)
+    horizons.get(normalize(spec.rollupPath))
+      .foreach(h => m("horizonNs") = h)
+    val (fs, dir) = fsPath(spark, spec.rollupPath)
+    val meta = new org.apache.hadoop.fs.Path(dir, MetaFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, MetaFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(graft.script.Builtins.jsonStringify(m).toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(meta, false)
+    if (!fs.rename(tmp, meta))
+      throw new java.io.IOException(s"cannot publish $meta")
+  }
+
+  /** Restore the routing metadata persisted at `rollupPath`: registers
+    * the tier (building the ladder if other tiers were already loaded)
+    * and restores its horizon. Returns the registered spec. */
+  def load(spark: SparkSession, rollupPath: String): Spec = {
+    val (fs, dir) = fsPath(spark, rollupPath)
+    val meta = new org.apache.hadoop.fs.Path(dir, MetaFile)
+    require(fs.exists(meta), s"no $MetaFile at $rollupPath")
+    val in = fs.open(meta)
+    val text = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val m = graft.script.Builtins.jsonParse(text)
+      .asInstanceOf[scala.collection.Map[String, Any]]
+    def str(k: String): String = m.get(k) match {
+      case Some(s: String) => s
+      case other => throw new IllegalArgumentException(s"bad $MetaFile field $k: $other")
+    }
+    def lng(k: String): Option[Long] = m.get(k) match {
+      case Some(l: Long) => Some(l)
+      case Some(l: java.lang.Long) => Some(l)
+      case Some(d: Double) => Some(d.toLong)
+      case _ => None
+    }
+    val spec = Spec(normalize(rollupPath), lng("periodNs").getOrElse(
+      throw new IllegalArgumentException(s"bad $MetaFile: periodNs missing")),
+      str("nameCol"), str("timeCol"), str("valueCol"))
+    register(str("rawPath"), spec, lng("horizonNs"))
+    spec
+  }
 
   private def specsFor(rel: LogicalRelation): Vector[Spec] = rel.relation match {
     case fs: HadoopFsRelation =>
@@ -122,11 +212,19 @@ object RollupRouting {
   /** A time-bound literal comparison in epoch-ns, from either encoding:
     * `tsNs(t) <op> nsLiteral` or `t <op> timestampLiteral` (timestamp
     * literals carry epoch-µs internally; exact at the ns grid the
-    * rollup periods live on). */
+    * rollup periods live on).
+    *
+    * An NTZ literal carries WALL-CLOCK µs, not epoch µs — treating it as
+    * epoch is only correct when the session timezone is UTC, so the NTZ
+    * branch is gated on `ntzIsUtc` (a non-UTC session simply doesn't
+    * route that filter shape; the plan is left untouched, never wrong). */
   private object TimeBound {
-    def unapply(p: (Expression, Expression)): Option[(Attribute, Long)] = p match {
+    def extract(p: (Expression, Expression),
+                ntzIsUtc: Boolean): Option[(Attribute, Long)] = p match {
       case (TsNsExpr(t), Literal(v: Long, LongType)) => Some((t, v))
-      case (t: Attribute, Literal(us: Long, TimestampType | TimestampNTZType)) =>
+      case (t: Attribute, Literal(us: Long, TimestampType)) =>
+        Some((t, us * 1000L))
+      case (t: Attribute, Literal(us: Long, TimestampNTZType)) if ntzIsUtc =>
         Some((t, us * 1000L))
       case _ => None
     }
@@ -236,23 +334,26 @@ object RollupRouting {
       case class TimeLo(ns: Long, inclusive: Boolean) extends FPred
       case class TimeHi(ns: Long, inclusive: Boolean) extends FPred
       case class NamePred(rebuild: Expression => Expression) extends FPred
+      val ntzIsUtc = conf.sessionLocalTimeZone == "UTC"
+      def timeBound(lhs: Expression, rhs: Expression) =
+        TimeBound.extract((lhs, rhs), ntzIsUtc)
       val fpreds = filters.map { f =>
         f match {
           case IsNotNull(a: Attribute)
             if isCol(a, spec.timeCol) || isCol(a, spec.nameCol) || isCol(a, spec.valueCol) =>
             Some(NamePred(_ => Literal.TrueLiteral))
-          case GreaterThanOrEqual(lhs, rhs) if TimeBound.unapply((lhs, rhs))
+          case GreaterThanOrEqual(lhs, rhs) if timeBound(lhs, rhs)
             .exists { case (t, v) => isCol(t, spec.timeCol) && v % spec.periodNs == 0 } =>
-            TimeBound.unapply((lhs, rhs)).map { case (_, v) => TimeLo(v, true) }
-          case GreaterThan(lhs, rhs) if TimeBound.unapply((lhs, rhs))
+            timeBound(lhs, rhs).map { case (_, v) => TimeLo(v, true) }
+          case GreaterThan(lhs, rhs) if timeBound(lhs, rhs)
             .exists { case (t, v) => isCol(t, spec.timeCol) && (v + 1) % spec.periodNs == 0 } =>
-            TimeBound.unapply((lhs, rhs)).map { case (_, v) => TimeLo(v + 1, true) }
-          case LessThan(lhs, rhs) if TimeBound.unapply((lhs, rhs))
+            timeBound(lhs, rhs).map { case (_, v) => TimeLo(v + 1, true) }
+          case LessThan(lhs, rhs) if timeBound(lhs, rhs)
             .exists { case (t, v) => isCol(t, spec.timeCol) && v % spec.periodNs == 0 } =>
-            TimeBound.unapply((lhs, rhs)).map { case (_, v) => TimeHi(v, false) }
-          case LessThanOrEqual(lhs, rhs) if TimeBound.unapply((lhs, rhs))
+            timeBound(lhs, rhs).map { case (_, v) => TimeHi(v, false) }
+          case LessThanOrEqual(lhs, rhs) if timeBound(lhs, rhs)
             .exists { case (t, v) => isCol(t, spec.timeCol) && (v + 1) % spec.periodNs == 0 } =>
-            TimeBound.unapply((lhs, rhs)).map { case (_, v) => TimeHi(v + 1, false) }
+            timeBound(lhs, rhs).map { case (_, v) => TimeHi(v + 1, false) }
           case EqualTo(a: Attribute, l: Literal) if isCol(a, spec.nameCol) =>
             Some(NamePred(rn => EqualTo(rn, l)))
           case EqualTo(l: Literal, a: Attribute) if isCol(a, spec.nameCol) =>
@@ -303,7 +404,7 @@ object RollupRouting {
       // strictly below floor(H, R) are complete; the raw tail past that
       // floor joins the merge as synthesized per-row partials.
       val partials = Seq(rName, rTime, rMin, rMax, rSum, rSumSq, rCnt)
-      val partialSrc: Option[LogicalPlan] = horizons.get(spec.rollupPath) match {
+      val partialSrc: Option[LogicalPlan] = horizons.get(normalize(spec.rollupPath)) match {
         case None => Some(rSource) // static build: trusted as complete
         case Some(hNs) =>
           val hFloor = hNs - java.lang.Math.floorMod(hNs, spec.periodNs)
@@ -314,9 +415,17 @@ object RollupRouting {
                 val rollupSide = Project(partials,
                   Filter(LessThan(rTime, Literal(hFloor)), rSource))
                 // pushdown-friendly bound when the raw column is a µs
-                // timestamp and the floor sits on the µs grid
+                // timestamp and the floor sits on the µs grid. An NTZ
+                // literal is wall-clock µs, so an NTZ column gets this
+                // branch only in a UTC session (tsNsOf converts NTZ via
+                // the session tz — a non-UTC zone would offset the tail
+                // filter and drop/double-count rows near the horizon);
+                // otherwise it falls through to the epoch-ns bound.
                 val tailBound: Expression = tA.dataType match {
-                  case (TimestampType | TimestampNTZType) if hFloor % 1000L == 0 =>
+                  case TimestampType if hFloor % 1000L == 0 =>
+                    GreaterThanOrEqual(tA, Literal(hFloor / 1000L, tA.dataType))
+                  case TimestampNTZType if hFloor % 1000L == 0 &&
+                      conf.sessionLocalTimeZone == "UTC" =>
                     GreaterThanOrEqual(tA, Literal(hFloor / 1000L, tA.dataType))
                   case _ => GreaterThanOrEqual(tNs, Literal(hFloor))
                 }

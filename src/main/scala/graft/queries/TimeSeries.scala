@@ -233,6 +233,54 @@ object TimeSeries {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // ---- STREAMING parity gates: the stateful/streaming kernels run as
+    // real Structured Streaming queries over the sf parquet (file source,
+    // AvailableNow, memory sink) and must hash-match the same DuckDB
+    // oracles as their batch twins — promoting the stream/batch parity
+    // that StreamingSpec pins into the oracle gate itself.
+    "q_stream_lowpass" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val src = s.readStream.schema(e0.schema)
+        .parquet(s"$dir/{events.parquet}") // {}-glob: a bare file path fails basePath inference
+      val in = src.filter(col("user_id") < 20)
+        .select(col("user_id").cast("string").as("name"),
+          tsNs(src).as("time"), col("value"))
+      val out = graft.streaming.StatefulOps.lowpassStream(in, alpha = 0.3)
+      val qn = "stream_lp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(
+          col("name").cast(e0.schema("user_id").dataType).as("user_id"),
+          unix_micros(col("time")).as("t_us"),
+          r4(col("value")).as("lowpass"))
+        .orderBy("user_id", "t_us")
+    }),
+
+    "q_stream_sessionize" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val src = s.readStream.schema(e0.schema)
+        .parquet(s"$dir/{events.parquet}") // {}-glob: a bare file path fails basePath inference
+      val e = src.filter(col("user_id") < 50)
+        .select(col("user_id"), tsUs(src).as("t_us"), dec2(col("value")).as("v"))
+        .withColumn("ts2", timestamp_micros(col("t_us")))
+      // complete mode: every session is in the final table — append mode
+      // would hold back sessions the closing watermark never passes
+      val sessions = e.groupBy(col("user_id"), session_window(col("ts2"), "4 hours"))
+        .agg(min("t_us").as("session_start_us"), max("t_us").as("session_end_us"),
+          count(lit(1)).as("n_events"),
+          r2(sum(col("v")).cast("double")).as("sum_value"))
+        .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+          col("n_events"), col("sum_value"))
+      val qn = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sessions.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).orderBy("user_id", "session_start_us")
+    }),
+
     // ---- last value per tag (lake current/last endpoint) --------------
     "q_last_per_tag" -> ((s, dir) => {
       val e0 = t(s, dir, "events")
@@ -580,6 +628,34 @@ object TimeSeries {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id AND r.ts <= l.ts
          ORDER BY l.event_id""",
+    // streaming parity gates: same oracles as the batch twins — the
+    // stream must produce bit-identical results to the batch kernel
+    "q_stream_lowpass" ->
+      """WITH RECURSIVE base AS (
+           SELECT user_id, epoch_us(ts) AS t_us, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events WHERE user_id < 20),
+         rec AS (
+           SELECT user_id, t_us, rn, value AS y FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.user_id, b.t_us, b.rn, (1 - 0.3) * r.y + 0.3 * b.value
+           FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+         SELECT user_id, t_us, round(y, 4) AS lowpass FROM rec
+         ORDER BY user_id, t_us""",
+    "q_stream_sessionize" ->
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS t,
+             CAST(value AS DECIMAL(18,2)) AS v
+           FROM events WHERE user_id < 50),
+         g AS (SELECT user_id, t, v,
+             CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                  OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 14400000000
+             THEN 1 ELSE 0 END AS brk FROM o),
+         s AS (SELECT user_id, t, v, sum(brk) OVER (PARTITION BY user_id
+             ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+         SELECT user_id, min(t) AS session_start_us, max(t) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(v) AS DOUBLE), 2) AS sum_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""",
     "q_sessionize" ->
       """WITH o AS (SELECT user_id, epoch_us(ts) AS t,
              CAST(value AS DECIMAL(18,2)) AS v

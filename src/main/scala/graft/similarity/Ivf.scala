@@ -99,8 +99,13 @@ object Ivf {
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
     val rows = spark.read.parquet(path)
       .select("cell", "pos", "coeff").collect()
+    require(rows.nonEmpty, s"empty IVF index at $path")
     val k = rows.iterator.map(_.getInt(0)).max + 1
     val dims = rows.iterator.map(_.getInt(1)).max + 1
+    // a partially-written artifact must be an integrity error, not a
+    // silently-zeroed centroid coefficient
+    require(rows.length == k * dims,
+      s"corrupt IVF index at $path: ${rows.length} cells, expected $k*$dims")
     val cs = Array.fill(k)(new Array[Double](dims))
     rows.foreach(r => cs(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
     Index(cs)

@@ -133,9 +133,14 @@ object Pq {
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
     val rows = spark.read.parquet(path)
       .select("sub", "code", "pos", "coeff").collect()
+    require(rows.nonEmpty, s"empty PQ index at $path")
     val m = rows.iterator.map(_.getInt(0)).max + 1
     val ksub = rows.iterator.map(_.getInt(1)).max + 1
     val dsub = rows.iterator.map(_.getInt(2)).max + 1
+    // a partially-written artifact must be an integrity error, not a
+    // silently-zeroed codebook coefficient
+    require(rows.length == m * ksub * dsub,
+      s"corrupt PQ index at $path: ${rows.length} cells, expected $m*$ksub*$dsub")
     val books = Array.fill(m, ksub)(new Array[Double](dsub))
     rows.foreach(r => books(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
     Index(m, dsub, books)

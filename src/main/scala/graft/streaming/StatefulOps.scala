@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.LongType
 
 /** Streaming forms of the stateful sequential operators (§2.3) — the
   * reference's pipeline IS a stream, so FILTER_CHANGED / MAP_LOWPASS
@@ -18,6 +19,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * micro-batch are processed in event-time order; cross-batch order is
   * arrival order (the same contract as the reference's live pipeline,
   * which sees records as they arrive).
+  *
+  * STATE EXPIRY: each operator takes an optional `stateTtl` (a duration
+  * string, e.g. "30 minutes"). When set, a tag whose stream goes quiet
+  * for the TTL has its state cell evicted (ProcessingTimeTimeout), so a
+  * long-lived stream with tag churn — ephemeral IDs, renamed sensors —
+  * cannot grow the state store without bound; the reference's watch
+  * loop likewise holds state only for tags it is actively polling
+  * (spi/watch.go). A record arriving after eviction is a FIRST record
+  * again (FILTER_CHANGED re-emits, MAP_DIFF yields null). Default off
+  * (None = NoTimeout) for exact reference parity on bounded replays,
+  * plumbed like TAG_DUPLICATE_CHECK_DURATION's duration string.
   */
 object StatefulOps {
   /** One tag-stream record: the (name, time, value) tag-table shape. */
@@ -26,24 +38,54 @@ object StatefulOps {
   private def asTagRows(stream: DataFrame, nameCol: String, tsCol: String,
                         valueCol: String): Dataset[TagRow] = {
     implicit val enc = Encoders.product[TagRow]
+    // LongType time columns are epoch-ns (the repo's tag-table shape);
+    // a bare cast("timestamp") would read them as epoch-SECONDS. Branch
+    // on the dataType like Q.tsNs does. `div` (integral division) — the
+    // `/` operator returns double, which loses ns precision at 2^63.
+    val ts = stream.schema(tsCol).dataType match {
+      case LongType => timestamp_micros(expr(s"`$tsCol` div 1000"))
+      case _ => col(tsCol).cast("timestamp")
+    }
     stream.select(col(nameCol).cast("string").as("name"),
-      col(tsCol).cast("timestamp").as("ts"),
+      ts.as("ts"),
       col(valueCol).cast("double").as("value")).as[TagRow]
   }
+
+  private def timeoutConf(stateTtl: Option[String]): GroupStateTimeout =
+    if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
+
+  /** Wrap a per-group kernel with the TTL protocol: a timed-out
+    * invocation (empty rows) evicts the cell and emits nothing; a live
+    * one runs the kernel on event-time-sorted rows, then re-arms the
+    * eviction clock. `setTimeoutDuration` runs AFTER the kernel's
+    * `state.update`, as the GroupState contract requires. */
+  private def withTtl[S, O](stateTtl: Option[String])(
+      kernel: (Seq[TagRow], GroupState[S]) => Iterator[O])
+      : (String, Iterator[TagRow], GroupState[S]) => Iterator[O] =
+    (_: String, rows: Iterator[TagRow], state: GroupState[S]) =>
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        // (ms, nanos) sort: Timestamp.getTime alone is ms-granular and
+        // would order sub-ms samples arbitrarily
+        val out = kernel(rows.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos)), state)
+        stateTtl.foreach(state.setTimeoutDuration)
+        out
+      }
 
   /** Streaming FILTER_CHANGED: per tag, emit a record only when its
     * value differs from the last EMITTED value — including across
     * micro-batch boundaries (the suppressed-duplicate state survives
     * the batch edge, which a per-batch `lag()` window cannot do). */
   def filterChangedStream(stream: DataFrame, nameCol: String = "name",
-                          tsCol: String = "time", valueCol: String = "value"): DataFrame = {
+                          tsCol: String = "time", valueCol: String = "value",
+                          stateTtl: Option[String] = None): DataFrame = {
     implicit val encS = Encoders.scalaDouble
     implicit val encO = Encoders.product[TagRow]
     asTagRows(stream, nameCol, tsCol, valueCol)
       .groupByKey(_.name)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[TagRow], state: GroupState[Double]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(stateTtl))(
+        withTtl[Double, TagRow](stateTtl) { (sorted, state) =>
           var last = state.getOption
           val out = Seq.newBuilder[TagRow]
           sorted.foreach { r =>
@@ -51,7 +93,7 @@ object StatefulOps {
           }
           last.foreach(state.update)
           out.result().iterator
-      }
+        })
       .toDF(nameCol, tsCol, valueCol)
   }
 
@@ -68,14 +110,14 @@ object StatefulOps {
     * (fm_monad.go:1806-1906 semantics, across batch edges). */
   def diffStream(stream: DataFrame, abs: Boolean = false, nonNeg: Boolean = false,
                  nameCol: String = "name", tsCol: String = "time",
-                 valueCol: String = "value"): DataFrame = {
+                 valueCol: String = "value",
+                 stateTtl: Option[String] = None): DataFrame = {
     implicit val encS = Encoders.scalaDouble
     implicit val encO = Encoders.product[TagRowN]
     asTagRows(stream, nameCol, tsCol, valueCol)
       .groupByKey(_.name)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[TagRow], state: GroupState[Double]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(stateTtl))(
+        withTtl[Double, TagRowN](stateTtl) { (sorted, state) =>
           var prev = state.getOption
           val out = sorted.map { r =>
             val d = prev.map { p =>
@@ -89,7 +131,7 @@ object StatefulOps {
           }
           prev.foreach(state.update)
           out.iterator
-      }
+        })
       .toDF(nameCol, tsCol, valueCol)
   }
 
@@ -98,15 +140,15 @@ object StatefulOps {
     * State is the bounded window buffer — O(window) per tag. */
   def movavgStream(stream: DataFrame, window: Int, noWait: Boolean = false,
                    nameCol: String = "name", tsCol: String = "time",
-                   valueCol: String = "value"): DataFrame = {
+                   valueCol: String = "value",
+                   stateTtl: Option[String] = None): DataFrame = {
     require(window > 1, s"MAP_MOVAVG window should be > 1, got $window")
     implicit val encS = Encoders.product[MovBuf]
     implicit val encO = Encoders.product[TagRowN]
     asTagRows(stream, nameCol, tsCol, valueCol)
       .groupByKey(_.name)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[TagRow], state: GroupState[MovBuf]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(stateTtl))(
+        withTtl[MovBuf, TagRowN](stateTtl) { (sorted, state) =>
           var buf = state.getOption.map(_.values.toVector).getOrElse(Vector.empty)
           val out = sorted.map { r =>
             buf = (buf :+ r.value).takeRight(window)
@@ -117,7 +159,7 @@ object StatefulOps {
           }
           state.update(MovBuf(buf))
           out.iterator
-      }
+        })
       .toDF(nameCol, tsCol, valueCol)
   }
 
@@ -125,14 +167,14 @@ object StatefulOps {
     * the (estimate, covariance) pair is the per-tag state. */
   def kalmanStream(stream: DataFrame, initVar: Double, procVar: Double,
                    obsVar: Double, nameCol: String = "name",
-                   tsCol: String = "time", valueCol: String = "value"): DataFrame = {
+                   tsCol: String = "time", valueCol: String = "value",
+                   stateTtl: Option[String] = None): DataFrame = {
     implicit val encS = Encoders.product[KalState]
     implicit val encO = Encoders.product[TagRow]
     asTagRows(stream, nameCol, tsCol, valueCol)
       .groupByKey(_.name)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[TagRow], state: GroupState[KalState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(stateTtl))(
+        withTtl[KalState, TagRow](stateTtl) { (sorted, state) =>
           var st = state.getOption
           val out = sorted.map { r =>
             val next = st match {
@@ -147,7 +189,7 @@ object StatefulOps {
           }
           st.foreach(state.update)
           out.iterator
-      }
+        })
       .toDF(nameCol, tsCol, valueCol)
   }
 
@@ -155,16 +197,16 @@ object StatefulOps {
     * recurrence y ← (1-α)y + αx, seeded by the first observation —
     * the EMA register is the only state and it carries across batches. */
   def lowpassStream(stream: DataFrame, alpha: Double, nameCol: String = "name",
-                    tsCol: String = "time", valueCol: String = "value"): DataFrame = {
+                    tsCol: String = "time", valueCol: String = "value",
+                    stateTtl: Option[String] = None): DataFrame = {
     if (alpha <= 0 || alpha >= 1) throw new IllegalArgumentException(
       "MAP_LOWPASS() should have 0 < alpha < 1 ") // fm_monad_test.go:59
     implicit val encS = Encoders.scalaDouble
     implicit val encO = Encoders.product[TagRow]
     asTagRows(stream, nameCol, tsCol, valueCol)
       .groupByKey(_.name)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[TagRow], state: GroupState[Double]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(stateTtl))(
+        withTtl[Double, TagRow](stateTtl) { (sorted, state) =>
           var y = state.getOption
           val out = sorted.map { r =>
             val v = y match {
@@ -176,7 +218,7 @@ object StatefulOps {
           }
           y.foreach(state.update)
           out.iterator
-      }
+        })
       .toDF(nameCol, tsCol, valueCol)
   }
 }

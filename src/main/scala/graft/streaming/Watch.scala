@@ -118,7 +118,12 @@ object Watch {
     *
     * Append mode emits a window only once its watermark closes it, so
     * every emitted window is final and the horizon (max emitted start +
-    * period) never claims coverage the rollup doesn't have. */
+    * period) never claims coverage the rollup doesn't have. foreachBatch
+    * is at-least-once, so each batch publishes via [[publishBatch]]
+    * (batchId-keyed, replay-idempotent) — a replayed batch can never
+    * double-count partials. The tier specs + horizon persist next to the
+    * parquet ([[graft.plans.RollupRouting.save]]) and are restored on
+    * restart, so routed queries stay exact across JVM lifetimes. */
   /** `coarserTiers`: additional (periodNs, dir) rungs maintained FROM the
     * fine tier per batch (the reference's hierarchical ladder — SEC←raw,
     * MIN←SEC, HOUR←MIN — never rescans raw for coarse tiers). Each batch
@@ -132,32 +137,77 @@ object Watch {
                      windowLen: String, watermark: String, periodNs: Long,
                      rollupDir: String, checkpoint: String,
                      trigger: Trigger = Trigger.AvailableNow(),
-                     coarserTiers: Seq[(Long, String)] = Nil): StreamingQuery =
+                     coarserTiers: Seq[(Long, String)] = Nil): StreamingQuery = {
+    import graft.plans.RollupRouting
+    // Restart path: restore each tier's persisted horizon BEFORE the
+    // first batch — the in-memory horizon died with the old JVM, and a
+    // stream-maintained rollup routed horizonless silently drops every
+    // raw row newer than the stale rollup.
+    (Seq((periodNs, rollupDir)) ++ coarserTiers).foreach { case (_, dir) =>
+      try RollupRouting.load(spark, dir)
+      catch { case _: Exception => } // first run: no sidecar yet
+    }
     rollupStream(tail(spark, rawDir, schema), nameCol, tsCol, valueCol,
       windowLen, watermark)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val out = batch.select(col("name"),
           (unix_micros(col("time")) * 1000L).as("time_ns"),
           col("min_value"), col("max_value"), col("sum_value"),
           col("sumsq_value"), col("cnt"))
         out.persist()
         try {
-          out.write.mode("append").parquet(rollupDir)
+          publishBatch(out, rollupDir, batchId)
           val maxStart = out.agg(max("time_ns")).head()
           if (!maxStart.isNullAt(0)) {
             val horizon = maxStart.getLong(0) + periodNs
-            graft.plans.RollupRouting.setHorizon(rollupDir, horizon)
+            RollupRouting.setHorizon(rollupDir, horizon)
+            RollupRouting.save(spark, rawDir, RollupRouting.Spec(
+              rollupDir, periodNs, nameCol, tsCol, valueCol))
             coarserTiers.foreach { case (coarseNs, dir) =>
-              graft.operators.Lake.rollupCoarsen(out, coarseNs)
-                .write.mode("append").parquet(dir)
-              graft.plans.RollupRouting.setHorizon(dir, horizon)
+              publishBatch(graft.operators.Lake.rollupCoarsen(out, coarseNs),
+                dir, batchId)
+              RollupRouting.setHorizon(dir, horizon)
+              RollupRouting.save(spark, rawDir, RollupRouting.Spec(
+                dir, coarseNs, nameCol, tsCol, valueCol))
             }
           }
         } finally out.unpersist()
       }
       .start()
+  }
+
+  /** Exactly-once parquet publish for an at-least-once `foreachBatch`:
+    * write the batch under a hidden temp dir inside `dir`, then move its
+    * data files to deterministic batchId-keyed names — clearing any
+    * earlier attempt of the SAME batch first. A replayed micro-batch
+    * (failure/restart between sink write and checkpoint commit)
+    * republishes identical files instead of appending duplicate partial
+    * rows that would double-count sum/sumsq/cnt in every routed query.
+    * Readers never see the temp dir (underscore prefix) and per-file
+    * rename is atomic on HDFS-like stores. */
+  private[graft] def publishBatch(out: DataFrame, dir: String,
+                                  batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = out.sparkSession
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(dirPath, s"_tmp_batch_$batchId")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    val prefix = s"batch-$batchId-"
+    fs.listStatus(dirPath).iterator
+      .filter(_.getPath.getName.startsWith(prefix))
+      .foreach(f => fs.delete(f.getPath, false))
+    val files = fs.listStatus(tmp).iterator
+      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      .sortBy(_.getPath.getName)
+    files.zipWithIndex.foreach { case (f, i) =>
+      if (!fs.rename(f.getPath, new Path(dirPath, s"$prefix$i.snappy.parquet")))
+        throw new java.io.IOException(s"cannot publish batch $batchId file $i into $dir")
+    }
+    fs.delete(tmp, true)
+  }
 }

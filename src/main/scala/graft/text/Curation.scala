@@ -153,15 +153,32 @@ object Curation {
     * top-quota before the group shuffle. */
   def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
                     quotas: Map[String, Int]): DataFrame = {
-    val qCol = quotas.foldLeft(lit(0)) { case (acc, (g, q)) =>
-      when(col(groupCol) === g, lit(q)).otherwise(acc)
-    }
-    df.filter(col(groupCol).isin(quotas.keys.toSeq: _*))
-      .withColumn("__rk", row_number().over(
+    // Not-in-mix groups are pruned BEFORE the rank window either way.
+    // Small mixes inline the quota as a when-chain (pure codegen, no
+    // join); past ~100 entries the chain's O(|quotas|) expression depth
+    // bloats codegen, so the quota map becomes a broadcast-joined
+    // relation instead — the rank filter still compiles to
+    // WindowGroupLimit, and the map-side inner join drops not-in-mix
+    // groups exactly like the isin filter.
+    def rank(d: DataFrame): DataFrame =
+      d.withColumn("__rk", row_number().over(
         Window.partitionBy(groupCol)
           .orderBy(md5(col(idCol).cast("string")), col(idCol))))
-      .filter(col("__rk") <= qCol)
-      .drop("__rk")
+    if (quotas.size <= 100) {
+      val qCol = quotas.foldLeft(lit(0)) { case (acc, (g, q)) =>
+        when(col(groupCol) === g, lit(q)).otherwise(acc)
+      }
+      rank(df.filter(col(groupCol).isin(quotas.keys.toSeq: _*)))
+        .filter(col("__rk") <= qCol)
+        .drop("__rk")
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val qdf = quotas.toSeq.toDF("__mix_g", "__mix_q")
+      rank(df.join(broadcast(qdf), col(groupCol) === col("__mix_g")))
+        .filter(col("__rk") <= col("__mix_q"))
+        .drop("__rk", "__mix_g", "__mix_q")
+    }
   }
 
   /** PII scrubbing: replace emails, IPv4 addresses, and long digit runs

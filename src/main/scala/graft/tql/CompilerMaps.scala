@@ -438,18 +438,29 @@ private[tql] trait CompilerMaps { this: Compiler.type =>
             Pipe(df, "low", Seq("low", "high", "count"))
           case None =>
             // bins(n): unpredicted bins — the reference's streaming
-            // merge-closest sketch, fed in record order (bounded state)
+            // merge-closest sketch, fed in record order (bounded state).
+            // The sketch is order-dependent, so it CANNOT distribute
+            // without changing reference semantics; the driver stream is
+            // row-capped instead (mirroring graft.timewindow.maxBuckets)
+            // so an unbounded table fails fast, not OOM-slow.
             val maxBins = rest.collectFirst {
               case Call("bins", List(Num(n))) => n.toInt
             }.getOrElse(throw new IllegalArgumentException(
               "HISTOGRAM needs bins(min,max,step) or bins(n)"))
             val spark = p.df.sparkSession
             import spark.implicits._
+            val maxRows = spark.conf.get("graft.histogram.maxStreamRows", "10000000").toLong
             val hist = new graft.operators.StatOps.StreamingHistogram(maxBins)
             val vals = p.df.orderBy(col(p.keyCol))
               .select(toColumn(v, p).cast("double"))
             import scala.jdk.CollectionConverters._
-            vals.toLocalIterator().asScala.foreach(r => hist.add(r.getDouble(0)))
+            var seen = 0L
+            vals.toLocalIterator().asScala.foreach { r =>
+              seen += 1
+              if (seen > maxRows) throw new IllegalArgumentException(
+                s"HISTOGRAM limit over. (rows:>$maxRows, Available:$maxRows)")
+              hist.add(r.getDouble(0))
+            }
             Pipe(hist.bins.toDF("value", "count"), "value", Seq("value", "count"))
         }
 

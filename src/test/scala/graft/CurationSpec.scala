@@ -62,6 +62,27 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("mixtureSample: a 1k-group quota map plans a broadcast join, same results as inline") {
+    val df = (1 to 4000).map(i => (s"g${i % 400}", i.toLong)).toDF("grp", "id")
+    val bigQuotas = (0 until 1000).map(g => s"g$g" -> 3).toMap // 600 groups absent from df
+    val planned = Curation.mixtureSample(df, "grp", "id", bigQuotas)
+    val plan = planned.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "quota map must join, not inline, past the when-chain threshold: " + plan)
+    // equivalence with the inline path on an overlapping small mix
+    val smallQuotas = (0 until 50).map(g => s"g$g" -> 3).toMap
+    val inline = Curation.mixtureSample(df, "grp", "id", smallQuotas)
+      .collect().map(_.toSeq).toSet
+    val joined = Curation.mixtureSample(df, "grp", "id", smallQuotas ++
+      (1000 until 1951).map(g => s"x$g" -> 1).toMap) // same live groups, >100 entries
+      .collect().map(_.toSeq).toSet
+    assert(joined == inline, "broadcast path must select the identical rows")
+    // per-group quota respected on the broadcast path
+    val counts = planned.groupBy("grp").count().collect()
+    assert(counts.forall(_.getLong(1) <= 3))
+    assert(counts.length == 400, s"all 400 live groups sampled, got ${counts.length}")
+  }
+
   test("scrubPii redacts emails, IPv4s and digit runs in order") {
     val df = Seq((1L,
       "mail bob.smith+x@corp.example.org node 192.168.10.3 tel 010-1234-5678 ok 42"))

@@ -19,6 +19,40 @@ class LakeStatSpec extends SparkSpec {
     assert(got(2).getDouble(1) == 30.0)          // t=15 → rt=15 (inclusive)
   }
 
+  test("asofJoinSliced is bit-identical to asofJoin (slice-boundary handoff)") {
+    // hot key + empty slices + a key with no right rows: the handoff
+    // must carry the last right value across arbitrarily many empty
+    // slices and yield null where the unsliced kernel does.
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 500).map { i =>
+      (if (i % 5 == 0) "hot" else if (i % 97 == 0) "orphan" else s"k${i % 7}",
+        rnd.nextInt(10000).toLong, i)
+    }.toDF("key", "t", "lid")
+    val right = (1 to 250).map { i => // i*31: unique right times, no sort ties
+      (if (i % 3 == 0) "hot" else s"k${i % 7}", i * 31L, i * 1.5)
+    }.toDF("key", "rt", "rv")
+    val plain = Lake.asofJoin(left, right, "key", "t", "rt", Seq("rv"))
+      .orderBy("key", "t", "lid").collect().map(_.toSeq)
+    val sliced = Lake.asofJoinSliced(left, right, "key", "t", "rt", Seq("rv"), 500L)
+      .orderBy("key", "t", "lid").collect().map(_.toSeq)
+    assert(sliced.toSeq == plain.toSeq)
+
+    // and on the q_asof_join-shaped signup/purchase data from the sf tables
+    val e0 = spark.read.parquet(s"$sf/events.parquet")
+    val base = e0.select($"event_id", $"user_id",
+      graft.queries.Q.tsUs(e0).as("t_us"), $"event_type", $"value")
+    val signups = base.filter($"event_type" === "signup")
+      .select("event_id", "user_id", "t_us")
+    val purchases = base.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"t_us").agg(max($"value").as("value")) // unique times: no sort-tie ambiguity
+    val p1 = Lake.asofJoin(signups, purchases, "user_id", "t_us", "t_us", Seq("value"))
+      .orderBy("event_id").collect().map(_.toSeq)
+    val p2 = Lake.asofJoinSliced(signups, purchases, "user_id", "t_us", "t_us",
+      Seq("value"), 86400L * 1000000L)
+      .orderBy("event_id").collect().map(_.toSeq)
+    assert(p2.toSeq == p1.toSeq)
+  }
+
   test("lastPerTag and tagStat agree with brute force") {
     val e0 = spark.read.parquet(s"$sf/events.parquet")
     val e = e0.select($"user_id",

@@ -64,6 +64,21 @@ class ReferenceCases2Spec extends SparkSpec {
       "value,count\n23,1\n44,6\n59,12\n80,26\n99,20\n113,18\n129,5\n141,2\n153,7\n170,3\n", out)
   }
 
+  test("HISTOGRAM bins(n) driver stream is row-capped (plan-limit guard)") {
+    // the merge-closest sketch is order-dependent (cannot distribute
+    // without changing reference semantics) — over-cap input must fail
+    // fast with the limit message, like graft.timewindow.maxBuckets
+    spark.conf.set("graft.histogram.maxStreamRows", "50")
+    try {
+      val e = intercept[IllegalArgumentException](runTrim(
+        "FAKE(linspace(0, 10, 100))\nHISTOGRAM(value(0), bins(5))\nCSV()\n"))
+      assert(e.getMessage == "HISTOGRAM limit over. (rows:>50, Available:50)")
+      // at exactly the cap: runs fine
+      assert(runTrim(
+        "FAKE(linspace(0, 10, 50))\nHISTOGRAM(value(0), bins(3))\nCSV()\n").nonEmpty)
+    } finally spark.conf.unset("graft.histogram.maxStreamRows")
+  }
+
   test("arrange/linspace CSV goldens (task_test.go TestArrange/TestLinspace)") {
     assert(run("FAKE( arrange(0, 2, 1) )\nCSV( heading(true), precision(1) )\n")
       == "x\n0.0\n1.0\n2.0\n")

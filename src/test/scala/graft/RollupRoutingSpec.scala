@@ -247,6 +247,58 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("durable metadata: save → clear (restart) → load restores routing AND horizon") {
+    val rawPath = Files.createTempDirectory("graft_rawd").toString + "/t"
+    val rollupPath = Files.createTempDirectory("graft_rolld").toString + "/r"
+    val base = 1704067200000000000L
+    val horizon = base + 2 * TimeFns.NsPerHour
+    val rolled = for {
+      tag <- Seq("a", "b"); h <- 0 until 2; i <- 0 until 6
+    } yield (tag, base + h * TimeFns.NsPerHour + i * TimeFns.NsPerMin, (h * 10 + i).toDouble)
+    rolled.toDF("name", "time", "value").write.parquet(rawPath)
+    Lake.rollup(spark.read.parquet(rawPath), col("name"), col("time"), col("value"), "HOUR")
+      .write.parquet(rollupPath)
+    val fresh = for {
+      tag <- Seq("a", "b"); i <- 0 until 5
+    } yield (tag, horizon + i * TimeFns.NsPerMin, 1000.0 + i)
+    fresh.toDF("name", "time", "value").write.mode("append").parquet(rawPath)
+
+    def query = spark.read.parquet(rawPath)
+      .groupBy(col("name"), TimeFns.roundTimeNs(col("time"), 2 * TimeFns.NsPerHour).as("b"))
+      .agg(sum("value").as("s"), count("value").as("c"),
+        min("value").as("mn"), max("value").as("mx"), avg("value").as("av"))
+      .orderBy("name", "b")
+    val direct = query.collect().map(_.toSeq)
+
+    val spec = RollupRouting.Spec(rollupPath, TimeFns.NsPerHour, "name", "time", "value")
+    RollupRouting.register(rawPath, spec)
+    RollupRouting.setHorizon(rollupPath, horizon)
+    RollupRouting.save(spark, rawPath, spec)
+    // the sidecar must be invisible to plain parquet readers of the dir
+    assert(spark.read.parquet(rollupPath).columns.toSet ==
+      Set("name", "time_ns", "min_value", "max_value", "sum_value", "sumsq_value", "cnt"))
+
+    RollupRouting.clear() // simulated JVM restart: in-memory registry gone
+    val loaded = RollupRouting.load(spark, rollupPath)
+    assert(loaded.periodNs == TimeFns.NsPerHour && loaded.nameCol == "name" &&
+      loaded.timeCol == "time" && loaded.valueCol == "value", loaded)
+    assert(RollupRouting.horizonOf(rollupPath).contains(horizon),
+      "persisted horizon must survive the restart")
+
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.Route(spark))
+    try {
+      val routed = query
+      val scans = scanPaths(routed)
+      assert(scans.exists(_.contains("graft_rolld")), s"rollup must be scanned: $scans")
+      assert(scans.exists(_.contains("graft_rawd")), s"raw tail must be scanned: $scans")
+      assert(routed.collect().map(_.toSeq).toSeq == direct.toSeq,
+        "loaded metadata must route exactly (horizon included)")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("non-divisible bucket periods are NOT rewritten") {
     val rawPath = Files.createTempDirectory("graft_raw2").toString + "/t"
     val rollupPath = Files.createTempDirectory("graft_roll2").toString + "/r"

@@ -256,6 +256,87 @@ class StreamingSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("publishBatch republishes a replayed micro-batch instead of duplicating rows") {
+    // foreachBatch is at-least-once: the same batchId may run twice after
+    // a failure/restart. The batchId-keyed publish must be idempotent —
+    // duplicate partial rows would double-count sum/sumsq/cnt in every
+    // routed rollup query.
+    val dir = Files.createTempDirectory("graft_pub").toString
+    val df = Seq(("a", 1L, 1.0), ("b", 2L, 2.0)).toDF("name", "time_ns", "value")
+    Watch.publishBatch(df, dir, 0L)
+    Watch.publishBatch(df, dir, 0L) // replayed batch → same files, no dupes
+    assert(spark.read.parquet(dir).count() == 2L)
+    Watch.publishBatch(df, dir, 1L) // a NEW batch still appends
+    assert(spark.read.parquet(dir).count() == 4L)
+    // batch 11 must not clobber batch 1's files (prefix has a delimiter)
+    Watch.publishBatch(df, dir, 11L)
+    Watch.publishBatch(df, dir, 1L)
+    assert(spark.read.parquet(dir).count() == 6L)
+  }
+
+  test("asTagRows reads a LongType time column as epoch-ns, not epoch-seconds") {
+    // tag-table shape: `time` is ns-int64 (Bench.simpleRows). A bare
+    // cast("timestamp") would read it as epoch-seconds (off by 1e9×).
+    val df = Seq(("a", 1704067200000000000L, 1.0), ("a", 1704067201000000000L, 1.0))
+      .toDF("name", "time", "value")
+    val out = graft.streaming.StatefulOps.filterChangedStream(df) // batch mode
+    val times = out.select("time").as[java.sql.Timestamp].collect()
+    assert(times.map(_.getTime).toSeq == Seq(1704067200000L), times.toSeq)
+  }
+
+  test("stateTtl evicts idle tag state; a post-eviction record is a first record again") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(1704067200000L + s * 1000L)
+    // A ProcessingTimeTimeout stream never latches noNewData (the engine
+    // keeps scheduling batches so due timeouts can fire), so
+    // processAllAvailable would block forever — poll the sink instead.
+    def waitRows(table: String, n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table(table).count() < n && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      assert(spark.table(table).count() >= n, s"$table never reached $n rows")
+    }
+    val trig = org.apache.spark.sql.streaming.Trigger.ProcessingTime(200)
+
+    // FILTER_CHANGED + TTL: the same value re-sent AFTER eviction must
+    // re-emit (state gone ⇒ first record), where the no-TTL form above
+    // proves it stays suppressed when state survives.
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q = graft.streaming.StatefulOps.filterChangedStream(
+      in.toDF.toDF("name", "time", "value"), stateTtl = Some("500 milliseconds"))
+      .writeStream.format("memory").queryName("fc_ttl").outputMode("append")
+      .trigger(trig).start()
+    try {
+      in.addData(("a", ts(1), 1.0), ("a", ts(2), 1.0))
+      waitRows("fc_ttl", 1) // dup suppressed while state lives
+      Thread.sleep(1500) // idle past the TTL: the cell is evicted
+      in.addData(("a", ts(4), 1.0)) // same as last emitted — but state is gone
+      waitRows("fc_ttl", 2)
+      val got = spark.sql("SELECT name, value FROM fc_ttl ORDER BY time")
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(got.toSeq == Seq(("a", 1.0), ("a", 1.0)), got.toSeq)
+    } finally q.stop()
+
+    // MAP_DIFF + TTL: the post-eviction record emits null (first-record
+    // semantics), not the difference vs the pre-eviction value.
+    val in2 = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val q2 = graft.streaming.StatefulOps.diffStream(
+      in2.toDF.toDF("name", "time", "value"), stateTtl = Some("500 milliseconds"))
+      .writeStream.format("memory").queryName("d_ttl").outputMode("append")
+      .trigger(trig).start()
+    try {
+      in2.addData(("a", ts(1), 1.0), ("a", ts(2), 4.0))
+      waitRows("d_ttl", 2)
+      Thread.sleep(1500)
+      in2.addData(("a", ts(4), 9.0)) // 5.0 if state had survived
+      waitRows("d_ttl", 3)
+      val got = spark.sql("SELECT value FROM d_ttl WHERE name = 'a' ORDER BY time")
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      assert(got.toSeq == Seq(None, Some(3.0), None), got.toSeq)
+    } finally q2.stop()
+  }
+
   test("maintainRollup advances the routing horizon; routed queries stay exact during lag") {
     import graft.time.TimeFns
     val rawDir = Files.createTempDirectory("graft_mroll_raw").toString
