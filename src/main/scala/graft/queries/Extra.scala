@@ -245,6 +245,38 @@ object Extra {
         .orderBy("user_id", "day_us")
     }),
 
+    // ---- STREAM-MAINTAINED rollup through the oracle gate -------------
+    // The rollup is built by the real streaming maintainer
+    // (Watch.maintainRollup: file-source tail → watermarked tumbling agg
+    // → batchId-idempotent publish → per-batch sidecar persistence), not
+    // a batch builder. Routing metadata then comes from the PERSISTED
+    // sidecar alone (RollupRouting.load) — registry + watermark-derived
+    // freshness horizon — and the day-bucket aggregate over the full raw
+    // table must still hash-match the full-scan oracle: closed hours
+    // from the streamed rollup, the final open hour from the raw tail.
+    "q_rollup_stream" -> ((s, dir) => {
+      val rawPath = s"$dir/events.parquet"
+      val rollDir = rollupCache.getOrElseUpdate(rawPath + "#stream", {
+        val d = java.nio.file.Files.createTempDirectory("graft_rstream").toString + "/r"
+        val ck = java.nio.file.Files.createTempDirectory("graft_rstream_ck").toString
+        val raw = s.read.parquet(rawPath)
+        graft.streaming.Watch.maintainRollup(s, rawPath, raw.schema,
+          "user_id", "ts", "value", "1 hour", "0 seconds",
+          graft.time.TimeFns.NsPerHour, d, ck).awaitTermination()
+        d
+      })
+      graft.plans.RollupRouting.load(s, rollDir) // registration from the artifact
+      val raw2 = s.read.parquet(rawPath)
+      raw2
+        .groupBy(col("user_id"),
+          graft.time.TimeFns.roundTimeNs(tsNs(raw2), graft.time.TimeFns.NsPerDay).as("day_ns"))
+        .agg(min("value").as("min_value"), max("value").as("max_value"),
+          r2(sum(col("value"))).as("sum_value"), count(col("value")).as("cnt"))
+        .select(col("user_id"), graft.time.TimeFns.nsToUs(col("day_ns")).as("day_us"),
+          col("min_value"), col("max_value"), col("sum_value"), col("cnt"))
+        .orderBy("user_id", "day_us")
+    }),
+
     // ---- log-table layout: arrival-window tail over day partitions ----
     // Ingest path: events get an `_ARRIVAL_TIME` stamp (here a
     // deterministic 5 s ingest skew so the oracle can reproduce it) and
@@ -472,6 +504,11 @@ object Extra {
          round(sum(value), 2) AS sum_value, count(value) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_rollup_fresh" ->
+      """SELECT user_id, epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
+         min(value) AS min_value, max(value) AS max_value,
+         round(sum(value), 2) AS sum_value, count(value) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_rollup_stream" ->
       """SELECT user_id, epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us,
          min(value) AS min_value, max(value) AS max_value,
          round(sum(value), 2) AS sum_value, count(value) AS cnt

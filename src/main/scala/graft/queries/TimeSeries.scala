@@ -324,6 +324,27 @@ object TimeSeries {
         .orderBy("event_id")
     }),
 
+    // ---- skew-guarded as-of join: same oracle as q_asof_join ----------
+    // The time-sliced kernel (hot keys spread over week-slices, boundary
+    // handoff on a compact per-(key, slice) frame) must be bit-identical
+    // to the single-window kernel — proven here against DuckDB's native
+    // ASOF join, not just against our own baseline.
+    "q_asof_sliced" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val base = e0.select(col("event_id"), col("user_id"), tsUs(e0).as("t_us"),
+        col("event_type"), col("value"))
+      val signups = base.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "t_us")
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us"), col("value"), col("t_us").as("p_t_us"))
+      Lake.asofJoinSliced(signups, purchases, "user_id", "t_us", "t_us",
+        Seq("value", "p_t_us"), sliceNs = 7L * 86400L * 1000000L) // µs axis
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          col("right_value").as("last_purchase_value"),
+          col("right_p_t_us").as("last_purchase_t_us"))
+        .orderBy("event_id")
+    }),
+
     // ---- bucketed range join (ships within a week of the order) -------
     // interval join as a HASH equi-join on 8-day buckets + residual
     // filter (operators.RangeJoin) — never a nested-loop; the oracle is
@@ -721,6 +742,13 @@ object TimeSeries {
          WHERE o_orderkey % 100 = 0
          GROUP BY 1 ORDER BY 1""",
     "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t_us,
+         r.value AS last_purchase_value, epoch_us(r.ts) AS last_purchase_t_us
+         FROM (SELECT * FROM events WHERE event_type = 'signup') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id AND r.ts <= l.ts
+         ORDER BY l.event_id""",
+    "q_asof_sliced" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS t_us,
          r.value AS last_purchase_value, epoch_us(r.ts) AS last_purchase_t_us
          FROM (SELECT * FROM events WHERE event_type = 'signup') l

@@ -18,13 +18,26 @@ import org.apache.spark.sql.types.StructType
   *    `dropDuplicatesWithinWatermark` on (name, time).
   */
 object Watch {
-  /** Tail a parquet table directory as a stream (the watch endpoint). */
+  /** Tail a parquet table directory as a stream (the watch endpoint).
+    * A path naming a single FILE is `{}`-glob-wrapped automatically —
+    * the file source requires basePath to be a directory, and single-file
+    * tables (the sf test layout) would otherwise fail at start. */
   def tail(spark: SparkSession, path: String, schema: StructType,
-           maxFilesPerTrigger: Int = 16): DataFrame =
+           maxFilesPerTrigger: Int = 16): DataFrame = {
+    val src =
+      if (path.exists(c => "{}[]*?".contains(c))) path
+      else {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p) && fs.getFileStatus(p).isFile)
+          new org.apache.hadoop.fs.Path(p.getParent, "{" + p.getName + "}").toString
+        else path
+      }
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(path)
+      .parquet(src)
+  }
 
   /** Append-worker-shaped sink: micro-batched parquet append with a
     * max-delay flush interval. */
@@ -95,10 +108,20 @@ object Watch {
   }
 
   /** Tumbling event-time aggregate with watermark — the streaming form of
-    * GROUP(timewindow()); feeds the rollup tables incrementally. */
+    * GROUP(timewindow()); feeds the rollup tables incrementally.
+    * Watermarks require TIMESTAMP event time, so NTZ columns (µs-naive
+    * parquet) cast via the pinned-UTC session zone and LongType columns
+    * (epoch-ns tag-table shape) convert by integral division — the same
+    * dispatch as Q.tsNs / StatefulOps.asTagRows. */
   def rollupStream(df: DataFrame, nameCol: String, tsCol: String, valueCol: String,
-                   windowLen: String, watermark: String): DataFrame =
-    df.withWatermark(tsCol, watermark)
+                   windowLen: String, watermark: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val typed = df.schema(tsCol).dataType match {
+      case TimestampNTZType => df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case LongType => df.withColumn(tsCol, timestamp_micros(expr(s"`$tsCol` div 1000")))
+      case _ => df
+    }
+    typed.withWatermark(tsCol, watermark)
       .groupBy(col(nameCol).as("name"), window(col(tsCol), windowLen).as("w"))
       .agg(min(valueCol).as("min_value"), max(valueCol).as("max_value"),
         sum(valueCol).as("sum_value"),
@@ -106,6 +129,7 @@ object Watch {
         count(valueCol).as("cnt"))
       .select(col("name"), col("w.start").as("time"), col("min_value"),
         col("max_value"), col("sum_value"), col("sumsq_value"), col("cnt"))
+  }
 
   /** End-to-end rollup maintenance: tail the raw table, aggregate closed
     * tumbling windows, append them to `rollupDir` in the routed rollup
@@ -154,8 +178,16 @@ object Watch {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // NTZ window starts (a µs-naive raw time column) convert to
+        // epoch via the session zone — exact under the pinned UTC zone,
+        // same convention as Q.tsNs
+        val tUs = batch.schema("time").dataType match {
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            unix_micros(col("time").cast("timestamp"))
+          case _ => unix_micros(col("time"))
+        }
         val out = batch.select(col("name"),
-          (unix_micros(col("time")) * 1000L).as("time_ns"),
+          (tUs * 1000L).as("time_ns"),
           col("min_value"), col("max_value"), col("sum_value"),
           col("sumsq_value"), col("cnt"))
         out.persist()

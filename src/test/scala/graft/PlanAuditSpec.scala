@@ -85,6 +85,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Union"), plan.take(2000))
   }
 
+  test("stream-maintained rollup routes through sidecar-loaded metadata") {
+    // q_rollup_stream registers NOTHING by hand: the rollup was written
+    // by Watch.maintainRollup and the routing comes from
+    // RollupRouting.load on the persisted _graft_rollup.json. The plan
+    // must read the streamed rollup for closed hours AND union the raw
+    // tail past the watermark-derived horizon (the final open hour).
+    val plan = executedPlan("q_rollup_stream")
+    assert(plan.contains("graft_rstream"), plan.take(2000))
+    assert(plan.contains("events.parquet"), plan.take(2000)) // fresh tail
+    assert(plan.contains("Union"), plan.take(2000))
+  }
+
   test("stratified sampling plans a WindowGroupLimit (rank pushdown)") {
     val plan = executedPlan("q_stratified_sample")
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
