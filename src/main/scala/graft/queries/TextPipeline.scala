@@ -104,6 +104,35 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- exact-substring dedup: cross-doc duplicated spans ------------
+    // A 5-gram appearing in >=2 distinct docs is duplicated; per doc,
+    // overlapping/abutting duplicated grams merge into maximal spans
+    // (gaps-and-islands over a per-doc window). The hot shuffles carry
+    // only (id, pos) after the first projection.
+    "q_dup_spans" -> ((s, dir) => {
+      graft.text.Curation.duplicateSpans(
+          t(s, dir, "documents"), "doc_id", "text", n = 5)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // ---- exact-substring dedup accounting: per-doc cut fraction -------
+    "q_dedup_substring" -> ((s, dir) => {
+      graft.text.Curation.substringDedupStats(
+          t(s, dir, "documents"), "doc_id", "text", n = 5)
+        .withColumn("keep_frac", fround(col("keep_frac"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // ---- deterministic global shuffle (training export order) ---------
+    // Range-partitioned sort on md5(seed:id) + zipWithIndex — the
+    // engine-portable shuffled export; no global window stage.
+    "q_shuffle_export" -> ((s, dir) => {
+      graft.text.Curation.globalShuffle(
+          t(s, dir, "documents").select("doc_id", "lang"), "doc_id", seed = "42")
+        .select("doc_id", "lang", "shuffle_pos")
+        .orderBy("shuffle_pos")
+    }),
+
     // ---- end-to-end curation: drop near-dups (keep cluster canonical),
     // ---- quality-filter, count per language -- the training-data shape
     "q_pipeline_curate" -> ((s, dir) => {
@@ -780,6 +809,59 @@ object TextPipeline {
                  /count(*))*1000000 + 0.5)/1000000 AS dup_frac
          FROM g JOIN cnt ON g.gram = cnt.gram
          GROUP BY 1 ORDER BY 1""",
+    "q_shuffle_export" ->
+      """SELECT doc_id, lang,
+           row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+             doc_id) - 1 AS shuffle_pos
+         FROM documents ORDER BY shuffle_pos""",
+    "q_dup_spans" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
+           FROM documents),
+         gi AS (SELECT doc_id, unnest(generate_series(1, len(ws)-4)) AS i, ws FROM w),
+         g AS (SELECT doc_id, CAST(i-1 AS BIGINT) AS pos,
+             array_to_string(ws[i:i+4], ' ') AS gram FROM gi),
+         cnt AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g) t
+           GROUP BY gram HAVING count(*) >= 2),
+         p AS (SELECT g.doc_id, g.pos FROM g JOIN cnt USING (gram)),
+         b AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER
+               (PARTITION BY doc_id ORDER BY pos) IS NULL
+             OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 5
+             THEN 1 ELSE 0 END AS brk FROM p),
+         i2 AS (SELECT doc_id, pos, sum(brk) OVER
+             (PARTITION BY doc_id ORDER BY pos) AS island FROM b)
+         SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+         FROM i2 GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    "q_dedup_substring" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
+           FROM documents),
+         gi AS (SELECT doc_id, unnest(generate_series(1, len(ws)-4)) AS i, ws FROM w),
+         g AS (SELECT doc_id, CAST(i-1 AS BIGINT) AS pos,
+             array_to_string(ws[i:i+4], ' ') AS gram FROM gi),
+         cnt AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g) t
+           GROUP BY gram HAVING count(*) >= 2),
+         p AS (SELECT g.doc_id, g.pos FROM g JOIN cnt USING (gram)),
+         b AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER
+               (PARTITION BY doc_id ORDER BY pos) IS NULL
+             OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 5
+             THEN 1 ELSE 0 END AS brk FROM p),
+         i2 AS (SELECT doc_id, pos, sum(brk) OVER
+             (PARTITION BY doc_id ORDER BY pos) AS island FROM b),
+         sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+           FROM i2 GROUP BY doc_id, island),
+         agg AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_words,
+             CAST(count(*) AS BIGINT) AS n_spans FROM sp GROUP BY doc_id)
+         SELECT d.doc_id, len(string_split(regexp_replace(lower(d.text),
+             '\s+',' ','g'),' ')) AS n_words,
+           coalesce(agg.dup_words, 0) AS dup_words,
+           coalesce(agg.n_spans, 0) AS n_spans,
+           floor((CAST(len(string_split(regexp_replace(lower(d.text),'\s+',' ','g'),' '))
+                   - coalesce(agg.dup_words, 0) AS DOUBLE)
+               / len(string_split(regexp_replace(lower(d.text),'\s+',' ','g'),' ')))
+             *1000000 + 0.5)/1000000 AS keep_frac
+         FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
     "q_mixture_sample" ->
       """WITH r AS (SELECT doc_id, lang, row_number() OVER (
              PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk

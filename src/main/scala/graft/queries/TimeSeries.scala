@@ -258,6 +258,29 @@ object TimeSeries {
         .orderBy("user_id", "t_us")
     }),
 
+    // streaming FILTER_CHANGED through the gate: the suppressed-duplicate
+    // state crosses micro-batch boundaries, so the full-stream result
+    // must equal the batch lag() oracle exactly
+    "q_stream_changed" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val src = s.readStream.schema(e0.schema)
+        .parquet(s"$dir/{events.parquet}") // {}-glob: a bare file path fails basePath inference
+      val in = src.filter(col("user_id") < 20)
+        .select(col("user_id").cast("string").as("name"),
+          tsNs(src).as("time"), col("value"))
+      val out = graft.streaming.StatefulOps.filterChangedStream(in)
+      val qn = "stream_fc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(
+          col("name").cast(e0.schema("user_id").dataType).as("user_id"),
+          unix_micros(col("time")).as("t_us"),
+          col("value"))
+        .orderBy("user_id", "t_us")
+    }),
+
     "q_stream_sessionize" -> ((s, dir) => {
       val e0 = t(s, dir, "events")
       val src = s.readStream.schema(e0.schema)
@@ -662,6 +685,13 @@ object TimeSeries {
            SELECT b.user_id, b.t_us, b.rn, (1 - 0.3) * r.y + 0.3 * b.value
            FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
          SELECT user_id, t_us, round(y, 4) AS lowpass FROM rec
+         ORDER BY user_id, t_us""",
+    "q_stream_changed" ->
+      """SELECT user_id, t_us, value FROM (
+           SELECT user_id, epoch_us(ts) AS t_us, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events WHERE user_id < 20)
+         WHERE prev IS NULL OR prev <> value
          ORDER BY user_id, t_us""",
     "q_stream_sessionize" ->
       """WITH o AS (SELECT user_id, epoch_us(ts) AS t,

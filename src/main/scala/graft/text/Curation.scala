@@ -226,6 +226,98 @@ object Curation {
     base.drop(textCol).join(grams, Seq(idCol), "left")
   }
 
+  /** Cross-document duplicated SPANS — the exact-substring dedup signal
+    * (the "remove long duplicated substrings before training" step
+    * published with large-corpus dedup work, re-expressed over word
+    * n-grams): a word n-gram is *duplicated* when it appears in at
+    * least `minDocs` DISTINCT documents; per document, runs of
+    * duplicated grams whose word coverage `[pos, pos+n-1]` overlaps or
+    * abuts merge into maximal spans.
+    *
+    * Returns one row per span: (id, span_start, span_end, n_grams) with
+    * 0-based inclusive word indexes into the normalized word stream.
+    *
+    * Plan shape (all keyed, no driver loop): one positional explode,
+    * a distinct-(id,gram) aggregation + gram-keyed count to find
+    * duplicated grams, a gram-keyed semi-join back to the positional
+    * stream, then a per-document sort window (gaps-and-islands merge)
+    * + per-(id, island) aggregation. The hot side stays ids+positions
+    * (never the text) after the first projection, so the shuffles carry
+    * narrow rows even when documents are megabytes. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val posGrams = docs
+      .select(col(idCol), posexplode(wordNgrams(col(textCol), n)).as(Seq("pos", "gram")))
+      .withColumn("pos", col("pos").cast("long")) // generator pos is int
+    // distinct docs per gram: each doc contributes a gram once, so the
+    // gram-partitioned count of the deduped relation IS docs-with-gram
+    val dupGrams = posGrams.select(col(idCol), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("gram")
+    val dup = posGrams.join(dupGrams, Seq("gram"), "left_semi")
+    // islands: a gram at p2 extends the span of a previous gram at p1
+    // iff their coverages overlap or abut (p2 <= p1 + n); `pos` is
+    // unique within a doc so the running sum is deterministic
+    val byPos = Window.partitionBy(idCol).orderBy("pos")
+    val prev = lag(col("pos"), 1).over(byPos)
+    dup
+      .withColumn("__brk", when(prev.isNull || col("pos") > prev + n, 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(byPos))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__island")
+  }
+
+  /** Per-document exact-substring dedup accounting: total words, words
+    * covered by cross-document duplicated spans ([[duplicateSpans]],
+    * same `n`/`minDocs` semantics), and the surviving fraction after
+    * those spans are cut. The stats make the removal decision
+    * reviewable before any text is rewritten (spans are maximal and
+    * non-overlapping, so covered words = Σ(span_end − span_start + 1)).
+    * Documents with no duplicated span report dup_words = 0. */
+  def substringDedupStats(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, minDocs: Int = 2): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, n, minDocs)
+      .groupBy(idCol)
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_words"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_words"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("dup_words", coalesce(col("dup_words"), lit(0L)))
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+      .withColumn("keep_frac",
+        (col("n_words") - col("dup_words")).cast("double") / col("n_words"))
+  }
+
+  /** Deterministic global shuffle for training export: every engine
+    * that sorts by `md5(seed ":" id)` (id as the collision tiebreak)
+    * reproduces the same permutation, so the training order is
+    * re-derivable from (seed, ids) alone — no RNG state to ship.
+    *
+    * Scale shape: a range-partitioned sort on the hash (Spark samples
+    * the hash space for balanced bounds — md5 is uniform, so no skew),
+    * then `zipWithIndex` assigns contiguous positions with one O(#
+    * partitions) count job + one map pass; no global window, no
+    * single-partition stage. */
+  def globalShuffle(df: DataFrame, idCol: String, seed: String,
+                    outCol: String = "shuffle_pos"): DataFrame = {
+    val spark = df.sparkSession
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val sorted = df.withColumn("__h", h)
+      .repartitionByRange(col("__h"), col(idCol))
+      .sortWithinPartitions(col("__h"), col(idCol))
+    val schema = sorted.schema.add(outCol, org.apache.spark.sql.types.LongType)
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, schema).drop("__h")
+  }
+
   /** Sequence packing: concatenate consecutive documents (id order
     * within each group) into training bins of ~`targetTokens`
     * whitespace tokens. Bin k of a group holds the docs whose running

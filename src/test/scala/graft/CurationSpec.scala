@@ -107,6 +107,63 @@ class CurationSpec extends SparkSpec {
     assert(n2 == 8 && dwf2 == 0.0 && math.abs(tbf2 - 1.0 / 7) < 1e-12, got(2L))
   }
 
+  test("duplicateSpans: overlapping and abutting duplicated grams merge, " +
+      "intra-doc repetition alone does not count") {
+    val df = Seq(
+      // docs 1 and 2 share "alpha beta gamma delta" (grams at pos 1..2
+      // of doc 1 overlap → one span) and nothing else
+      (1L, "x alpha beta gamma delta y z q"),
+      (2L, "alpha beta gamma delta k l m n"),
+      // doc 3 repeats a trigram INSIDE itself only — not cross-doc
+      (3L, "p q r p q r p q r s t u")).toDF("doc_id", "text")
+    val got = Curation.duplicateSpans(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 1: grams "alpha beta gamma"@1, "beta gamma delta"@2 → span [1,4]
+    // doc 2: same grams @0,@1 → span [0,3]; doc 3: nothing (minDocs = 2)
+    assert(got == Set((1L, 1L, 4L, 2L), (2L, 0L, 3L, 2L)), got)
+  }
+
+  test("duplicateSpans: a gap past coverage+1 splits spans") {
+    val df = Seq(
+      (1L, "a b c GAP1 GAP2 GAP3 a b c"),
+      (2L, "a b c t u v w x y z")).toDF("doc_id", "text")
+    // dup gram "a b c" at doc 1 pos 0 and pos 6: 6 > 0 + 3 → two spans
+    val got = Curation.duplicateSpans(df, "doc_id", "text", n = 3)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 2L), (6L, 8L)), got)
+  }
+
+  test("substringDedupStats: clean docs report zero, covered words sum spans") {
+    val df = Seq(
+      (1L, "x alpha beta gamma delta y z q"),
+      (2L, "alpha beta gamma delta k l m n"),
+      (3L, "totally unrelated words sit here quietly today ok")).toDF("doc_id", "text")
+    val got = Curation.substringDedupStats(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((8L, 4L, 1L)), got(1L)) // span [1,4] → 4 words
+    assert(got(2L) == ((8L, 4L, 1L)), got(2L))
+    assert(got(3L) == ((8L, 0L, 0L)), got(3L))
+  }
+
+  test("globalShuffle: contiguous positions, deterministic, no global window") {
+    val df = (0L until 100L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val out = Curation.globalShuffle(df, "doc_id", seed = "s1")
+    val pos = out.select("shuffle_pos").as[Long].collect().sorted
+    assert(pos.toSeq == (0L until 100L), pos.take(5).toSeq)
+    // deterministic: same seed → same permutation; different seed → different
+    val p1 = out.orderBy("shuffle_pos").select("doc_id").as[Long].collect().toSeq
+    val p2 = Curation.globalShuffle(df, "doc_id", "s1")
+      .orderBy("shuffle_pos").select("doc_id").as[Long].collect().toSeq
+    val p3 = Curation.globalShuffle(df, "doc_id", "s2")
+      .orderBy("shuffle_pos").select("doc_id").as[Long].collect().toSeq
+    assert(p1 == p2)
+    assert(p1 != p3)
+    assert(p1 != (0L until 100L).toSeq) // actually shuffled
+  }
+
   test("packBins: bins respect the running-token boundary per group") {
     val df = Seq(
       ("en", 1L, ("w " * 900).trim), // 900 tokens  cum0=0    bin 0

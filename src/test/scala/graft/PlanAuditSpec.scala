@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_ann_pq", "q_pipeline_curate", "q_decontaminate", "q_pack_bins",
     "q_stratified_sample", "q_rollup_routed", "q_pivot", "q_asof_join",
     "q_range_join", "q_dedup_canonical", "q_decontaminate_report",
-    "q_dup_ngram_rate", "q_sessionize", "q_asof_tolerance")
+    "q_dup_ngram_rate", "q_sessionize", "q_asof_tolerance",
+    "q_dup_spans", "q_dedup_substring", "q_shuffle_export")
 
   test("no cartesian products in any heavy gate query") {
     heavy.foreach { name =>
