@@ -123,6 +123,21 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- per-language quality percentile gate --------------------------
+    // keep documents at or above their language's median token count:
+    // tiny per-group threshold relation broadcast back, corpus never
+    // re-shuffles (integer scores keep the interpolated median exactly
+    // representable, so both engines agree at the boundary)
+    "q_quality_filter" -> ((s, dir) => {
+      graft.text.Curation.percentileFilter(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              TextOps.wsTokenCount(col("text")).cast("long").as("n_words")),
+          "lang", col("n_words"), pct = 0.5)
+        .select("doc_id", "lang", "n_words")
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic global shuffle (training export order) ---------
     // Range-partitioned sort on md5(seed:id) + zipWithIndex — the
     // engine-portable shuffled export; no global window stage.
@@ -809,6 +824,16 @@ object TextPipeline {
                  /count(*))*1000000 + 0.5)/1000000 AS dup_frac
          FROM g JOIN cnt ON g.gram = cnt.gram
          GROUP BY 1 ORDER BY 1""",
+    "q_quality_filter" ->
+      """WITH s AS (SELECT doc_id, lang,
+             CAST(len(string_split(regexp_replace(lower(text),'\s+',' ','g'),' '))
+               AS BIGINT) AS n_words
+           FROM documents),
+         t AS (SELECT lang, quantile_cont(CAST(n_words AS DOUBLE), 0.5) AS th
+           FROM s GROUP BY lang)
+         SELECT s.doc_id, s.lang, s.n_words
+         FROM s JOIN t USING (lang) WHERE s.n_words >= t.th
+         ORDER BY s.doc_id""",
     "q_shuffle_export" ->
       """SELECT doc_id, lang,
            row_number() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),

@@ -107,18 +107,21 @@ object Curation {
     * distinct word n-grams that occur in at least one OTHER document —
     * the corpus-level repetition signal behind "dedup before training"
     * decisions (complements the intra-document repetition filter).
-    * One shuffle keyed by gram (distributed count of docs per gram),
-    * one map-side re-aggregation per doc. */
+    * Gram-keyed partial aggregation (docs per gram) + a skew-robust
+    * hash join back to the gram stream, then a per-doc re-aggregation. */
   def dupNgramRate(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
     val grams = docs
       .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
     // each doc contributes a gram at most once (array_distinct), so the
-    // gram-partitioned count IS docs-with-gram: one explode pass and one
-    // gram shuffle, versus the aggregate+self-join shape's second
-    // explode and third shuffle
-    grams
-      .withColumn("n_docs_with", count(lit(1)).over(Window.partitionBy("gram")))
+    // gram-keyed count IS docs-with-gram. The count rides a partial
+    // aggregation + shuffle-join back, NOT a gram-partitioned window: a
+    // stopword-ish gram present in (nearly) every document would force a
+    // window to buffer that whole key in one task, while the hash join
+    // streams the hot key's probe rows against a single build row.
+    val docsWith = grams.groupBy("gram")
+      .agg(count(lit(1)).as("n_docs_with"))
+    grams.join(docsWith, Seq("gram"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
@@ -292,6 +295,24 @@ object Curation {
       .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
       .withColumn("keep_frac",
         (col("n_words") - col("dup_words")).cast("double") / col("n_words"))
+  }
+
+  /** Per-group percentile gate: keep rows whose score clears their
+    * group's exact `pct`-quantile (e.g. "drop the bottom half of each
+    * language by quality score"). The per-group thresholds reduce to
+    * one tiny relation (exact interpolated percentile, partial-agg
+    * friendly) broadcast back over the corpus — the corpus itself never
+    * re-shuffles, so the gate is a map-side join + filter at any scale. */
+  def percentileFilter(df: DataFrame, groupCol: String, scoreCol: Column,
+                       pct: Double, keepAtOrAbove: Boolean = true): DataFrame = {
+    require(pct > 0 && pct < 1, s"pct must be in (0,1), got $pct")
+    val th = df.groupBy(groupCol)
+      .agg(percentile(scoreCol.cast("double"), lit(pct)).as("__th"))
+    val scored = df.withColumn("__score", scoreCol.cast("double"))
+      .join(broadcast(th), Seq(groupCol))
+    (if (keepAtOrAbove) scored.filter(col("__score") >= col("__th"))
+     else scored.filter(col("__score") < col("__th")))
+      .drop("__score", "__th")
   }
 
   /** Deterministic global shuffle for training export: every engine

@@ -148,6 +148,21 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == ((8L, 0L, 0L)), got(3L))
   }
 
+  test("percentileFilter: per-group median gate, threshold side broadcasts") {
+    val df = Seq(
+      ("en", 1L, 10L), ("en", 2L, 20L), ("en", 3L, 30L), // median 20
+      ("de", 4L, 5L), ("de", 5L, 50L) // median 27.5 (interpolated)
+    ).toDF("lang", "doc_id", "score")
+    val kept = Curation.percentileFilter(df, "lang", col("score"), 0.5)
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 5L))
+    val dropped = Curation.percentileFilter(df, "lang", col("score"), 0.5,
+      keepAtOrAbove = false)
+    assert(dropped.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    val plan = kept.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("globalShuffle: contiguous positions, deterministic, no global window") {
     val df = (0L until 100L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val out = Curation.globalShuffle(df, "doc_id", seed = "s1")
