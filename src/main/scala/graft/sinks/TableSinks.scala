@@ -66,6 +66,24 @@ object TableSinks {
         col(timeCol) >= fromNs && col(timeCol) < untilNs)
   }
 
+  /** Catalog-bucketed layout for repeated equi-joins: persist a table
+    * hash-bucketed (and sorted) on its join key so every later
+    * bucket-to-bucket equi-join against a table with the same bucket
+    * spec plans with ZERO shuffle exchanges — the decisive layout win
+    * for fact-to-fact joins too big to broadcast (an as-of or revenue
+    * join re-run daily pays the co-location write once, not a 100 TB
+    * shuffle per query). Uses the session catalog (`saveAsTable`):
+    * bucket metadata must live in the catalog for the optimizer to
+    * trust it. */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val sorts = if (sortCols.nonEmpty) sortCols else Seq(keyCol)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keyCol)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** APPEND with log-table layout (reference log tables: append-only,
     * hidden `_ARRIVAL_TIME` ingest stamp — spi/testsuite/logtable.go).
     * Partitioned by UTC day of ARRIVAL: log queries are arrival-window
