@@ -40,13 +40,32 @@ object Curation {
 
   /** All word n-grams of `text` joined with single spaces. Spark's
     * sequence() DESCENDS when stop < start, so short/null texts must
-    * short-circuit to an empty array instead. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ws = words(text)
+    * short-circuit to an empty array instead.
+    *
+    * PERFORMANCE: higher-order-function lambdas are interpreted and
+    * defeat common-subexpression elimination, so passing a raw
+    * `words(text)` tree here re-runs lower+regex+split once PER GRAM
+    * POSITION (O(positions × |text|) — 20× on real corpora). Operators
+    * must materialize the word array in a projection first and call
+    * [[wordNgramsOf]] on the attribute (see [[explodedGrams]]). */
+  def wordNgrams(text: Column, n: Int): Column = wordNgramsOf(words(text), n)
+
+  /** N-grams over an already-materialized word-array column. */
+  def wordNgramsOf(ws: Column, n: Int): Column =
     when(size(ws) >= n,
       transform(sequence(lit(0), size(ws) - n),
         i => array_join(slice(ws, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
+
+  /** (id, gram) stream with the word array materialized once per row —
+    * the split/regex runs per DOCUMENT, not per gram position. The
+    * distinct flag dedups grams within a document before the explode. */
+  private def explodedGrams(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, distinctPerDoc: Boolean): DataFrame = {
+    val grams0 = wordNgramsOf(col("__ws"), n)
+    val grams = if (distinctPerDoc) array_distinct(grams0) else grams0
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(grams).as("gram"))
   }
 
   /** Train/eval n-gram decontamination (the overlap check run before
@@ -60,9 +79,8 @@ object Curation {
     */
   def decontaminate(corpus: DataFrame, eval_ : DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
-    val evalGrams = eval_
-      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
-      .distinct()
+    val evalGrams = explodedGrams(eval_, idCol, textCol, n, distinctPerDoc = false)
+      .select("gram").distinct()
     // rebalance BEFORE the n-gram expansion: a corpus arriving in fewer
     // splits than cores (one small file locally; a skewed directory at
     // scale) would run the whole regex+explode on those few threads —
@@ -70,8 +88,7 @@ object Curation {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val balanced =
       if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
-    val corpusGrams = balanced
-      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+    val corpusGrams = explodedGrams(balanced, idCol, textCol, n, distinctPerDoc = true)
     corpusGrams
       .join(broadcast(evalGrams), "gram")
       .groupBy(idCol)
@@ -85,14 +102,12 @@ object Curation {
     * filter). Same broadcast eval relation + map-side join shape. */
   def decontaminateReport(corpus: DataFrame, eval_ : DataFrame, idCol: String,
                           textCol: String, n: Int): DataFrame = {
-    val evalGrams = eval_
-      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
-      .distinct()
+    val evalGrams = explodedGrams(eval_, idCol, textCol, n, distinctPerDoc = false)
+      .select("gram").distinct()
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val balanced =
       if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
-    val corpusGrams = balanced
-      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+    val corpusGrams = explodedGrams(balanced, idCol, textCol, n, distinctPerDoc = true)
     // ONE pass over the corpus grams: the broadcast LEFT join marks the
     // leaked ones, a single aggregation counts both totals — no second
     // explode/scan like a totals⋈leaked two-query plan would cost
@@ -111,8 +126,7 @@ object Curation {
     * hash join back to the gram stream, then a per-doc re-aggregation. */
   def dupNgramRate(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
-    val grams = docs
-      .select(col(idCol), explode(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+    val grams = explodedGrams(docs, idCol, textCol, n, distinctPerDoc = true)
     // each doc contributes a gram at most once (array_distinct), so the
     // gram-keyed count IS docs-with-gram. The count rides a partial
     // aggregation + shuffle-join back, NOT a gram-partitioned window: a
@@ -221,8 +235,7 @@ object Curation {
       .withColumn("n_words", size(ws))
       .withColumn("dup_word_frac",
         lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws))
-    val grams = base
-      .select(col(idCol), explode(wordNgrams(col(textCol), 2)).as("gram"))
+    val grams = explodedGrams(base, idCol, textCol, 2, distinctPerDoc = false)
       .groupBy(idCol, "gram").agg(count(lit(1)).as("c"))
       .groupBy(idCol)
       .agg((max("c").cast("double") / sum("c")).as("top_bigram_frac"))
@@ -252,7 +265,8 @@ object Curation {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val posGrams = docs
-      .select(col(idCol), posexplode(wordNgrams(col(textCol), n)).as(Seq("pos", "gram")))
+      .select(col(idCol), words(col(textCol)).as("__ws")) // split ONCE per doc
+      .select(col(idCol), posexplode(wordNgramsOf(col("__ws"), n)).as(Seq("pos", "gram")))
       .withColumn("pos", col("pos").cast("long")) // generator pos is int
     // distinct docs per gram: each doc contributes a gram once, so the
     // gram-partitioned count of the deduped relation IS docs-with-gram
