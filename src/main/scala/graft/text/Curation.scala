@@ -311,6 +311,34 @@ object Curation {
         (col("n_words") - col("dup_words")).cast("double") / col("n_words"))
   }
 
+  /** The rewrite step of exact-substring dedup: drop every word covered
+    * by a cross-document duplicated span ([[duplicateSpans]]) and emit
+    * the surviving text as `clean_text` (normalized word stream,
+    * single-space joined). Documents without duplicated spans pass
+    * through with their normalized text intact.
+    *
+    * Spans arrive as a small per-doc array (collect_list after the span
+    * aggregation — spans per doc are few by construction since they are
+    * maximal and non-overlapping), so the word-versus-span containment
+    * test is in-row column math; no extra shuffle beyond
+    * [[duplicateSpans]] itself plus the one spans→docs join. */
+  def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, minDocs: Int = 2): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, n, minDocs)
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val covered: (Column, Column) => Column = (w, i) =>
+      exists(col("__spans"), sp =>
+        i.cast("long").between(sp("span_start"), sp("span_end")))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("__ws", words(col(textCol)))
+      .withColumn("clean_text",
+        when(col("__spans").isNull, array_join(col("__ws"), " "))
+          .otherwise(array_join(
+            filter(col("__ws"), (w, i) => !covered(w, i)), " ")))
+      .drop("__ws", "__spans")
+  }
+
   /** Per-group percentile gate: keep rows whose score clears their
     * group's exact `pct`-quantile (e.g. "drop the bottom half of each
     * language by quality score"). The per-group thresholds reduce to

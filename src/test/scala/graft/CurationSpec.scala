@@ -148,6 +148,26 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == ((8L, 0L, 0L)), got(3L))
   }
 
+  test("stripDuplicateSpans: covered words are cut, clean docs pass through") {
+    val df = Seq(
+      (1L, "x alpha beta gamma delta y z q"),
+      (2L, "alpha beta gamma delta k l m n"),
+      (3L, "totally unrelated words sit here quietly today ok")).toDF("doc_id", "text")
+    val got = Curation.stripDuplicateSpans(df, "doc_id", "text", n = 3)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(got(1L) == "x y z q", got(1L)) // span [1,4] cut
+    assert(got(2L) == "k l m n", got(2L)) // span [0,3] cut
+    assert(got(3L) == "totally unrelated words sit here quietly today ok")
+    // consistency with the accounting: surviving words == n_words - dup_words
+    val stats = Curation.substringDedupStats(df, "doc_id", "text", n = 3)
+      .select("doc_id", "n_words", "dup_words").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2 - r._3)).toMap
+    got.foreach { case (id, txt) =>
+      val kept = if (txt.isEmpty) 0 else txt.split(" ").length
+      assert(kept.toLong == stats(id), s"doc $id: $kept vs ${stats(id)}")
+    }
+  }
+
   test("percentileFilter: per-group median gate, threshold side broadcasts") {
     val df = Seq(
       ("en", 1L, 10L), ("en", 2L, 20L), ("en", 3L, 30L), // median 20
