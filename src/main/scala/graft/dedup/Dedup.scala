@@ -124,12 +124,18 @@ object Dedup {
     labels.select(col("v"), col("label").as("cluster"))
   }
 
-  /** Distinct word-bigram shingle set of a text column. */
+  /** Distinct word-bigram shingle set of a text column — the
+    * compose-from-functions formulation of what the hot paths do with
+    * the native `ArrayExprs.bigramHashes` expression (BigramHashesSpec
+    * pins their equivalence). zip_with over the array and its 1-shifted
+    * self: lambda bodies must not reference the split tree — interpreted
+    * lambdas defeat CSE and would re-split the text per position. */
   def bigramShingles(text: Column): Column = {
     val sp = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), size(sp) - 1),
-      i => concat(element_at(sp, i), lit(" "), element_at(sp, i + 1))))
+    val pairs = zip_with(sp, slice(sp, lit(2), greatest(size(sp) - 1, lit(0))),
+      (x, y) => concat(x, lit(" "), y)) // trailing (last, null) → null
+    when(size(sp) >= 2, array_distinct(array_compact(pairs)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Jaccard similarity of two (distinct-element) arrays. */

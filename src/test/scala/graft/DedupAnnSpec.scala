@@ -126,6 +126,25 @@ class DedupAnnSpec extends SparkSpec {
     assert(lsh.nonEmpty && (brute intersect lsh).nonEmpty)
   }
 
+  test("bigramShingles (composed) is set-equivalent to the native bigramHashes") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "one two one two one"), // repeats → distinct shingles
+      (3L, "single"), (4L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.dedup.Dedup.bigramShingles(col("text")).as("sh"),
+        graft.functions.ArrayExprs.bigramHashes(spark, col("text")).as("bh"))
+      .as[(Long, Seq[String], Seq[Long])].collect()
+    got.foreach { case (id, sh, bh) =>
+      assert(sh.distinct.size == sh.size, s"doc $id shingles not distinct")
+      assert(sh.size == bh.distinct.size, s"doc $id: ${sh.size} vs ${bh.distinct.size}")
+    }
+    val m = got.map(g => g._1 -> g._2).toMap
+    assert(m(1L) == Seq("the quick", "quick brown", "brown fox", "fox jumps"))
+    assert(m(2L).toSet == Set("one two", "two one"))
+    assert(m(3L).isEmpty && m(4L).isEmpty)
+  }
+
   test("connectedComponents clusters similarity edges (chains, triangles, singles)") {
     // components: {1,2,3,4} via a chain, {10,11,12} via a triangle, {20,21}
     val edges = Seq(
