@@ -124,6 +124,42 @@ object Dedup {
     labels.select(col("v"), col("label").as("cluster"))
   }
 
+  /** SemDeDup-style embedding near-dup (Abbas et al. 2023 shape):
+    * assign each vector to its nearest coarse centroid, enumerate cosine
+    * pairs WITHIN a cell only, connect >=threshold edges into components,
+    * and keep the min-id representative per component. Output one row per
+    * input vector: (id, cell, cluster, keep).
+    *
+    * Scale: the blocking makes the pair step quadratic in the CELL, not
+    * the corpus — with k centroids the self-join shuffles once on `cell`
+    * and each task scans ~ (n/k)^2 /2 pairs with a codegen'd cosine
+    * kernel; the thresholded edge set (tiny by construction) feeds the
+    * same component machinery as the text near-dup path. Nothing global,
+    * no all-pairs. The blocking is the standard approximation: a pair
+    * split across cells is not considered (mirrored by the oracle). */
+  def semanticDedup(df: DataFrame, index: graft.similarity.Ivf.Index,
+                    threshold: Double, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val e = df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("cell",
+        graft.similarity.Ivf.cellOf(col("v"), index).cast("long"))
+    val a = e.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = e.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    val edges = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.ArrayExprs.cosineSim(spark,
+        col("va"), col("vb")) >= threshold)
+      .select("id_a", "id_b")
+    val cc = connectedComponents(edges, "id_a", "id_b")
+      .withColumnRenamed("v", "id")
+    e.select(col("id"), col("cell"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+      .withColumn("keep", col("id") === col("cluster"))
+  }
+
   /** Distinct word-bigram shingle set of a text column — the
     * compose-from-functions formulation of what the hot paths do with
     * the native `ArrayExprs.bigramHashes` expression (BigramHashesSpec

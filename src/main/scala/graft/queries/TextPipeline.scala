@@ -250,6 +250,20 @@ object TextPipeline {
         .orderBy("cluster")
     }),
 
+    // ---- semantic dedup: embedding-cosine near-dup, cell-blocked ------
+    // SemDeDup shape: nearest-centroid blocking, within-cell cosine
+    // pairs >= 0.45, components, keep the min-id representative.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(transform(col("embedding"), x => x.cast("double")).as("c"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Dedup.semanticDedup(emb, graft.similarity.Ivf.Index(cents),
+          threshold = 0.45)
+        .select(col("id").as("vec_id"), col("cell"), col("cluster"), col("keep"))
+        .orderBy("vec_id")
+    }),
+
     // ---- multimodal: opaque binary column + typed metadata ------------
     "q_multimodal_meta" -> ((s, dir) => {
       t(s, dir, "documents").filter(col("doc_id") < 100)
@@ -706,6 +720,42 @@ object TextPipeline {
                FROM d)
          SELECT cid AS cluster, count(*) AS n, min(vec_id) AS min_vec
          FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+    // the full SemDeDup pipeline re-derived: assignment (same recipe as
+    // q_embedding_cluster), within-cell cosine pairs with precomputed
+    // norms (dot/(na*nb) — the kernel's exact float shape), recursive-CTE
+    // components, min-id keep
+    "q_dedup_semantic" ->
+      """WITH RECURSIVE
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         d AS (SELECT e.vec_id, c.cid,
+                 (SELECT sum((x-y)*(x-y))
+                  FROM (SELECT unnest(e.v) AS x, unnest(c.cv) AS y)) AS dist
+               FROM e CROSS JOIN c),
+         asn AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                   FROM d) WHERE rn = 1),
+         ev AS (SELECT e.vec_id, asn.cid, e.v,
+                  sqrt((SELECT sum(x*x) FROM (SELECT unnest(e.v) AS x))) AS nrm
+                FROM e JOIN asn USING (vec_id)),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM ev a JOIN ev b ON a.cid = b.cid AND a.vec_id < b.vec_id
+               WHERE (SELECT sum(x*y)
+                      FROM (SELECT unnest(a.v) AS x, unnest(b.v) AS y)) /
+                     (a.nrm * b.nrm) >= 0.45),
+         eds AS (SELECT id_a AS src, id_b AS dst FROM p
+                 UNION ALL SELECT id_b, id_a FROM p),
+         verts AS (SELECT DISTINCT src AS v FROM eds),
+         reach(v, r) AS (SELECT v, v FROM verts
+           UNION SELECT eds.dst, reach.r FROM reach JOIN eds ON eds.src = reach.v),
+         cl AS (SELECT v AS vec_id, min(r) AS cluster FROM reach GROUP BY v)
+         SELECT asn.vec_id, CAST(asn.cid AS BIGINT) AS cell,
+           coalesce(cl.cluster, asn.vec_id) AS cluster,
+           (asn.vec_id = coalesce(cl.cluster, asn.vec_id)) AS keep
+         FROM asn LEFT JOIN cl USING (vec_id) ORDER BY vec_id""",
     "q_multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS n_bytes, ascii(text) AS first_code,
          (strlen(text) * 31 + ascii(text)) % 256 AS fake_feat

@@ -158,4 +158,24 @@ class DedupAnnSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L), got)
   }
+
+  test("semanticDedup: cell-blocked cosine components, min-id keep") {
+    // two coarse cells around the axes; ids 0/1/2 near-dup chain on the
+    // x-axis (0~1 and 1~2 above threshold, 0~2 below — transitivity must
+    // still cluster all three), 10/11 near-dups on y, 20 a singleton
+    val vecs = Seq(
+      (0L, Array(1.00f, 0.00f)), (1L, Array(0.998f, 0.06f)),
+      (2L, Array(0.99f, 0.12f)),
+      (10L, Array(0.00f, 1.00f)), (11L, Array(0.05f, 0.999f)),
+      (20L, Array(0.72f, 0.69f))).toDF("vec_id", "embedding")
+    val idx = graft.similarity.Ivf.Index(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val got = Dedup.semanticDedup(vecs, idx, threshold = 0.995)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(0L) == ((0L, true)) && got(1L) == ((0L, false)) &&
+      got(2L) == ((0L, false)), got)
+    assert(got(10L) == ((10L, true)) && got(11L) == ((10L, false)), got)
+    assert(got(20L)._2, got) // singleton keeps itself
+  }
 }
