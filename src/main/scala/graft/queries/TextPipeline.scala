@@ -389,6 +389,21 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- curation: decontamination, beyond-broadcast eval plan --------
+    // Same contract/oracle as q_decontaminate — bloom prefilter + exact
+    // confirm join must return the IDENTICAL result through a plan whose
+    // big side never shuffles at full width. Tight numBits on purpose:
+    // exactness must not depend on the filter's sizing.
+    "q_decontaminate_scaled" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Curation.decontaminateScaled(
+          docs.filter(col("doc_id") % 10 < 9),
+          docs.filter(col("doc_id") % 10 === 9),
+          "doc_id", "text", n = 4,
+          expectedEvalGrams = 1L << 16, numBits = 1L << 20)
+        .orderBy("doc_id")
+    }),
+
     // ---- curation: contamination audit report -------------------------
     // decontaminate() is the enforcement filter; this is the per-doc
     // audit (total grams, leaked grams, fraction) incl. CLEAN docs.
@@ -807,6 +822,17 @@ object TextPipeline {
            CAST(2 + (doc_id + k) % 3 AS INT) AS height
          FROM f WHERE k % 2 = 0 ORDER BY doc_id, frame_idx""",
     "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, list_transform(generate_series(1, len(ws)-3),
+             i -> array_to_string(ws[i:i+3],' ')) AS gs FROM w),
+         ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 9),
+         tr AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g WHERE doc_id % 10 < 9)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked_ngrams
+         FROM tr JOIN ev USING(gram) GROUP BY 1 ORDER BY 1""",
+    // bloom prefilter + exact confirm ≡ plain join: same oracle text
+    "q_decontaminate_scaled" ->
       """WITH w AS (SELECT doc_id,
              string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
            FROM documents),

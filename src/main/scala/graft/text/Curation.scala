@@ -95,6 +95,40 @@ object Curation {
       .agg(count(lit(1)).as("n_leaked_ngrams"))
   }
 
+  /** `decontaminate` for eval sets PAST broadcast size (a full eval-suite
+    * gram relation at production scale is GBs — no longer a broadcast
+    * candidate). Same result, different plan: the eval grams fold into a
+    * fixed-size bloom filter (one small-side pass, `numBits` bounds the
+    * artifact at build time), the corpus gram stream drops non-members
+    * map-side BEFORE any exchange, and only the ~fpp survivor trickle
+    * pays the exact shuffle join that removes false positives. The
+    * expensive side of the join never shuffles at full width.
+    *
+    * Exactness does not depend on the sizing parameters: an undersized
+    * filter only lets more false positives through to the confirm join. */
+  def decontaminateScaled(corpus: DataFrame, eval_ : DataFrame, idCol: String,
+                          textCol: String, n: Int,
+                          expectedEvalGrams: Long = 1L << 22,
+                          numBits: Long = 1L << 26): DataFrame = {
+    val spark = corpus.sparkSession
+    val evalGrams = explodedGrams(eval_, idCol, textCol, n, distinctPerDoc = false)
+      .select("gram").distinct()
+    val bloom = evalGrams
+      .select(graft.functions.BloomFns.bloomAgg(spark,
+        xxhash64(col("gram")), expectedEvalGrams, numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val par = spark.sparkContext.defaultParallelism
+    val balanced =
+      if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
+    val corpusGrams = explodedGrams(balanced, idCol, textCol, n, distinctPerDoc = true)
+    corpusGrams
+      .filter(graft.functions.BloomFns.mightContain(spark,
+        xxhash64(col("gram")), lit(bloom)))
+      .join(evalGrams, "gram") // exact confirm: kills bloom false positives
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_leaked_ngrams"))
+  }
+
   /** Contamination REPORT: per corpus document, its distinct n-gram
     * count, how many of those appear anywhere in the eval set, and both
     * sides of the leak fraction — the audit artifact teams review before

@@ -29,6 +29,51 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("decontaminateScaled matches decontaminate exactly, even with a saturated filter") {
+    val docs = (1L to 60L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c common tail words here x$i y$i z$i"))
+    val corpus = docs.filter(_._1 % 10 < 9).toDF("doc_id", "text")
+    val eval_ = docs.filter(_._1 % 10 == 9).toDF("doc_id", "text")
+    val exact = Curation.decontaminate(corpus, eval_, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // numBits=64: far fewer bits than grams — false positives everywhere,
+    // result still exact because the confirm join removes them
+    val scaled = Curation.decontaminateScaled(corpus, eval_, "doc_id", "text",
+        n = 3, expectedEvalGrams = 8, numBits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scaled == exact, s"scaled=$scaled exact=$exact")
+  }
+
+  test("decontaminateScaled probes the bloom filter BELOW the confirm join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join => LJoin}
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val eval_ = Seq((2L, "b c d e f")).toDF("doc_id", "text")
+    val lp = Curation.decontaminateScaled(corpus, eval_, "doc_id", "text",
+        n = 4, expectedEvalGrams = 8, numBits = 1 << 10)
+      .queryExecution.optimizedPlan
+    val join = lp.collectFirst { case j: LJoin => j }.get
+    // the corpus (gram-producing, expensive) branch filters through the
+    // bloom before reaching the join's exchange — the full-width gram
+    // stream never shuffles
+    def hasProbe(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.exists {
+        case f: LFilter => f.condition.collectFirst {
+          case b: org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain => b
+        }.isDefined
+        case _ => false
+      }
+    assert(hasProbe(join.left), lp.toString)
+  }
+
+  test("bloom filter never false-negatives over its build keys") {
+    val keys = (1L to 5000L).map(i => i * 2654435761L).toDF("k")
+    val bf = keys.select(graft.functions.BloomFns.bloomAgg(spark,
+      col("k"), 5000, 1L << 16).as("bf")).head.getAs[Array[Byte]](0)
+    val misses = keys.filter(!graft.functions.BloomFns.mightContain(spark,
+      col("k"), lit(bf))).count()
+    assert(misses == 0)
+  }
+
   test("wordNgrams: short and null texts produce empty arrays, not descending sequences") {
     val df = Seq((1L, "one two"), (2L, null.asInstanceOf[String]), (3L, "a b c"))
       .toDF("id", "text")
