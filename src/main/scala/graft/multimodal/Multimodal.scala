@@ -437,6 +437,91 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Nearest-neighbor RGB resize: output pixel (x, y) samples source
+    * pixel (floor(x·srcW/outW), floor(y·srcH/outH)) — pure integer
+    * mapping, so an oracle can recompute the resized raster exactly from
+    * the source's generation formula (unlike bilinear/area kernels whose
+    * float weights are implementation-defined). */
+  def resizeRgb(info: ImgInfo, outW: Int, outH: Int): ImgInfo = {
+    require(outW > 0 && outH > 0, s"bad resize target ${outW}x$outH")
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * info.height / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * info.width / outW).toInt
+        val si = 3 * (sy * info.width + sx)
+        val di = 3 * (y * outW + x)
+        out(di) = info.rgb(si); out(di + 1) = info.rgb(si + 1)
+        out(di + 2) = info.rgb(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    ImgInfo(info.mediaType, outW, outH, out)
+  }
+
+  /** Serialize an RGB raster as a real bottom-up 24-bpp BMP (the inverse
+    * of [[decodeBmp24]]'s walk: BGR bytes, 4-byte-padded scanlines). */
+  def encodeBmp24(info: ImgInfo): Array[Byte] = {
+    val (w, h) = (info.width, info.height)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = 0
+    while (row < h) { // file rows bottom-up
+      val srcRow = h - 1 - row
+      var x = 0
+      while (x < w) {
+        val i = 3 * (srcRow * w + x)
+        buf.put(info.rgb(i + 2)).put(info.rgb(i + 1)).put(info.rgb(i))
+        x += 1
+      }
+      var pad = rowSize - w * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      row += 1
+    }
+    buf.array()
+  }
+
+  /** Batched image resize over an opaque binary column: decode whatever
+    * the magic says (BMP/PNG/JPEG/GIF), nearest-neighbor resample to
+    * `outW`×`outH`, re-encode as BMP. One row per input:
+    * (id, bin, width, height, pixel_mean); undecodable payloads yield a
+    * null bin with null stats (kept, so the pipeline can audit them).
+    * Same batched mapPartitions shape as [[decodeMedia]] — per-task
+    * memory is one batch of rasters, independent of corpus size. */
+  def resizeMedia(df: DataFrame, idCol: String, binCol: String,
+                  outW: Int, outH: Int, batchSize: Int = 256): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("bin", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixel_mean", DoubleType)))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getLong(idIdx)
+          decodeImage(row.getAs[Array[Byte]](binIdx)) match {
+            case Some(img) =>
+              val r = resizeRgb(img, outW, outH)
+              Row(id, encodeBmp24(r), r.width, r.height, r.pixelMean)
+            case None => Row(id, null, null, null, null)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   // ---- deterministic fixtures (for specs and the oracle gate) -----------
 
   /** Build a real bottom-up 24-bpp BMP whose pixel bytes cycle through

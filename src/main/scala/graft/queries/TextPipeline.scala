@@ -308,6 +308,35 @@ object TextPipeline {
       bmp.join(wav, "doc_id").orderBy("doc_id")
     }),
 
+    // ---- multimodal: nearest-neighbor resize over binary payloads -----
+    // decode → integer-mapped resample → BMP re-encode; the oracle
+    // recomputes the resized raster from the synthesis formula (source
+    // pixel of output (X,Y) is (X*w/3, Y*h/2) floor-mapped, BMP rows
+    // bottom-up). Round-trip decodability of the re-encoded BMP is
+    // pinned by ServerMultimodalSpec.
+    "q_multimodal_resize" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select("doc_id", "text")
+      val synthSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("bmp", BinaryType)))
+      val media = docs.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val codes = r.getString(1).map(_.toInt & 0xFF).toArray
+          Row(id, Multimodal.synthBmp(codes, 1 + (id % 4).toInt, 1 + (id % 3).toInt))
+        }
+      }(Encoders.row(synthSchema))
+      Multimodal.resizeMedia(media, "doc_id", "bmp", outW = 3, outH = 2)
+        .select(col("doc_id"), col("width"), col("height"),
+          fround(col("pixel_mean"), 4).as("res_mean"),
+          octet_length(col("bin")).as("out_bytes"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: JPEG/PNG decode through JDK ImageIO --------------
     // PNG is lossless, so the decoded channel mean is recomputed exactly
     // by the oracle from the source characters; JPEG is lossy, so its
@@ -794,6 +823,28 @@ object TextPipeline {
            hz AS wav_hz, n AS wav_n,
            floor(sqrt(list_aggregate(list_transform(smp,
              x -> CAST(x AS DOUBLE)*x), 'avg'))*10000.0 + 0.5)/10000.0 AS wav_rms
+         FROM c ORDER BY doc_id""",
+    // resized channel q (0..17): pixel p=q//3 → (X,Y)=(p%3, p//3);
+    // source sx=X*w//3, sy=Y*h//2; BMP bottom-up → file row f=h-1-sy;
+    // synth code index (f*w+sx)*3 + q%3 cyclic over the text. The mean
+    // is BGR/RGB-swap invariant (whole-pixel byte set), so channel order
+    // needs no modeling.
+    "q_multimodal_resize" ->
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS L,
+             CAST(1 + doc_id % 4 AS INT) AS w, CAST(1 + doc_id % 3 AS INT) AS h
+           FROM documents WHERE doc_id < 100),
+         c AS (
+           SELECT doc_id,
+             list_transform(generate_series(0, 17), q ->
+               ascii(substr(text, CAST(
+                 (((h - 1 - ((q//3)//3) * h // 2) * w
+                   + ((q//3)%3) * w // 3) * 3 + q%3) % L AS INT) + 1, 1)) % 256)
+             AS pix
+           FROM d)
+         SELECT doc_id, CAST(3 AS INT) AS width, CAST(2 AS INT) AS height,
+           floor(list_aggregate(pix, 'avg')*10000.0 + 0.5)/10000.0 AS res_mean,
+           CAST(78 AS INT) AS out_bytes
          FROM c ORDER BY doc_id""",
     "q_multimodal_imageio" ->
       """WITH d AS (
