@@ -259,6 +259,51 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental near-dup: MinHash-LSH candidates of `incoming` documents
+    * AGAINST an existing `corpus` (the "dedup the new crawl before it
+    * enters the corpus" step), verified with exact Jaccard. Same
+    * deterministic signature recipe as [[minhashLshPairs]], so a doc's
+    * buckets match across runs and relations.
+    *
+    * Shape: the corpus side buckets as (id, band, bucket) — narrow rows,
+    * shingles never shuffled; the incoming side (the small delta, by
+    * premise) carries its shingle set through the explode so the verify
+    * step joins only the STATIC corpus shingles back. That asymmetry
+    * makes the operator streaming-capable: with a streaming `incoming`,
+    * every join here is stream-static and the dedup of repeated
+    * candidate pairs is the only state (bounded by the delta's true-dup
+    * count; wrap with a watermark upstream for unbounded streams). */
+  def minhashLshPairsAgainst(incoming: DataFrame, corpus: DataFrame,
+                             numHashes: Int, bands: Int, verifyThreshold: Double,
+                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val spark = corpus.sparkSession
+    def sigs(df: DataFrame) = df
+      .filter(size(split(col(textCol), " ")) >= 2)
+      .select(col(idCol),
+        graft.functions.ArrayExprs.bigramHashes(spark, col(textCol)).as("bg"))
+      .withColumn("sig",
+        graft.functions.ArrayExprs.minhashSig(spark, col("bg"), numHashes))
+    def bandBuckets = posexplode(transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",",
+        slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+    val corpSigs = sigs(corpus)
+    val corpBanded = corpSigs.select(col(idCol).as("corpus_id"), bandBuckets)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val inBanded = sigs(incoming)
+      .select(col(idCol).as("in_id"), col("bg").as("bg_a"), bandBuckets)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    inBanded.join(corpBanded, Seq("band", "bucket"))
+      .dropDuplicates("in_id", "corpus_id")
+      .join(corpSigs.select(col(idCol).as("corpus_id"), col("bg").as("bg_b")),
+        Seq("corpus_id"))
+      .withColumn("jaccard", graft.functions.ArrayExprs.jaccardSortedMin(spark,
+        col("bg_a"), col("bg_b"), verifyThreshold))
+      .filter(col("jaccard") >= verifyThreshold)
+      .select("in_id", "corpus_id", "jaccard")
+  }
+
   /** 64-bit SimHash over word tokens: per bit, sum ±1 weighted by token
     * hash bit; sign → bit. Single expression, no shuffle. The token-hash
     * bit test is pluggable: xxhash64 (codegen'd, default) for

@@ -172,6 +172,40 @@ object TextPipeline {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---- incremental near-dup: new docs vs the existing corpus --------
+    // the "dedup the crawl delta before ingest" step; every join is
+    // asymmetric (delta carries shingles, corpus stays narrow)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashLshPairsAgainst(
+          docs.filter(col("doc_id") % 10 === 9),
+          docs.filter(col("doc_id") % 10 < 9),
+          numHashes = 32, bands = 8, verifyThreshold = 0.3)
+        .select(col("in_id"), col("corpus_id"), fround(col("jaccard"), 4).as("jaccard"))
+        .orderBy("in_id", "corpus_id")
+    }),
+
+    // the SAME kernel as a real Structured Streaming intake: the delta
+    // arrives as a stream, every join is stream-static, and the result
+    // must hash-match the identical DuckDB oracle as the batch twin
+    "q_stream_neardup" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+      val src = s.readStream.schema(d0.schema)
+        .parquet(s"$dir/{documents.parquet}")
+      val out = Dedup.minhashLshPairsAgainst(
+        src.filter(col("doc_id") % 10 === 9),
+        d0.filter(col("doc_id") % 10 < 9),
+        numHashes = 32, bands = 8, verifyThreshold = 0.3)
+      val qn = "stream_nd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(col("in_id"), col("corpus_id"), fround(col("jaccard"), 4).as("jaccard"))
+        .orderBy("in_id", "corpus_id")
+    }),
+
     // ---- SimHash signatures (md5-bit form so the ±1 vote aggregation
     // is oracle-checked; production default stays xxhash64) ------------
     "q_dedup_simhash" -> ((s, dir) => {
@@ -611,6 +645,93 @@ object TextPipeline {
            FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a JOIN sets sb ON sb.doc_id = c.doc_b)
          SELECT doc_a, doc_b, floor(jac*10000.0 + 0.5)/10000.0 AS jaccard
          FROM vr WHERE jac >= 0.3 ORDER BY doc_a, doc_b""",
+    // the cross-relation form of the LSH oracle: candidates pair a
+    // delta doc (doc_id % 10 = 9) with a corpus doc (% 10 < 9); the
+    // signature/band/verify algebra is byte-identical to q_dedup_minhash
+    "q_dedup_incremental" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         bgx AS (
+           SELECT doc_id, unnest(generate_series(1, len(sp)-1)) AS i, sp FROM w),
+         bgs AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] AS g FROM bgx),
+         bgh AS (
+           SELECT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(generate_series(1, strlen(g)),
+                 j -> CAST(ascii(substr(g, CAST(j AS INT), 1)) AS HUGEINT))),
+               (acc, c) -> (CASE WHEN xor(CASE WHEN acc >= 9223372036854775808 THEN CAST(acc - 18446744073709551616 AS BIGINT) ELSE CAST(acc AS BIGINT) END, CAST(c AS BIGINT)) < 0
+                 THEN CAST(xor(CASE WHEN acc >= 9223372036854775808 THEN CAST(acc - 18446744073709551616 AS BIGINT) ELSE CAST(acc AS BIGINT) END, CAST(c AS BIGINT)) AS HUGEINT) + 18446744073709551616
+                 ELSE CAST(xor(CASE WHEN acc >= 9223372036854775808 THEN CAST(acc - 18446744073709551616 AS BIGINT) ELSE CAST(acc AS BIGINT) END, CAST(c AS BIGINT)) AS HUGEINT) END)
+                 * 1099511628211 % 18446744073709551616) AS hu
+           FROM bgs),
+         bg AS (SELECT DISTINCT doc_id, hu FROM bgh),
+         base AS (
+           SELECT doc_id,
+             CAST(((CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END)
+               % 2147483647 + 2147483647) % 2147483647 AS BIGINT) AS b
+           FROM bg),
+         sig AS (
+           SELECT doc_id, CAST(r.range AS BIGINT) AS j,
+             MIN((b * ((1103515245 * (CAST(r.range AS BIGINT) + 1)) % 2147483647)
+               + (12345 + 7919 * CAST(r.range AS BIGINT))) % 2147483647) AS h
+           FROM base CROSS JOIN range(32) r GROUP BY 1, 2),
+         bands AS (
+           SELECT doc_id, j // 4 AS band, string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS sliced
+           FROM sig GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS corpus_id
+           FROM bands a JOIN bands b ON a.band = b.band AND a.sliced = b.sliced
+           WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 < 9),
+         sets AS (SELECT doc_id, list(hu) AS s FROM bg GROUP BY doc_id),
+         vr AS (
+           SELECT c.in_id, c.corpus_id,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+           FROM cand c JOIN sets sa ON sa.doc_id = c.in_id JOIN sets sb ON sb.doc_id = c.corpus_id)
+         SELECT in_id, corpus_id, floor(jac*10000.0 + 0.5)/10000.0 AS jaccard
+         FROM vr WHERE jac >= 0.3 ORDER BY in_id, corpus_id""",
+    "q_stream_neardup" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         bgx AS (
+           SELECT doc_id, unnest(generate_series(1, len(sp)-1)) AS i, sp FROM w),
+         bgs AS (SELECT doc_id, sp[i] || ' ' || sp[i+1] AS g FROM bgx),
+         bgh AS (
+           SELECT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(generate_series(1, strlen(g)),
+                 j -> CAST(ascii(substr(g, CAST(j AS INT), 1)) AS HUGEINT))),
+               (acc, c) -> (CASE WHEN xor(CASE WHEN acc >= 9223372036854775808 THEN CAST(acc - 18446744073709551616 AS BIGINT) ELSE CAST(acc AS BIGINT) END, CAST(c AS BIGINT)) < 0
+                 THEN CAST(xor(CASE WHEN acc >= 9223372036854775808 THEN CAST(acc - 18446744073709551616 AS BIGINT) ELSE CAST(acc AS BIGINT) END, CAST(c AS BIGINT)) AS HUGEINT) + 18446744073709551616
+                 ELSE CAST(xor(CASE WHEN acc >= 9223372036854775808 THEN CAST(acc - 18446744073709551616 AS BIGINT) ELSE CAST(acc AS BIGINT) END, CAST(c AS BIGINT)) AS HUGEINT) END)
+                 * 1099511628211 % 18446744073709551616) AS hu
+           FROM bgs),
+         bg AS (SELECT DISTINCT doc_id, hu FROM bgh),
+         base AS (
+           SELECT doc_id,
+             CAST(((CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616 ELSE hu END)
+               % 2147483647 + 2147483647) % 2147483647 AS BIGINT) AS b
+           FROM bg),
+         sig AS (
+           SELECT doc_id, CAST(r.range AS BIGINT) AS j,
+             MIN((b * ((1103515245 * (CAST(r.range AS BIGINT) + 1)) % 2147483647)
+               + (12345 + 7919 * CAST(r.range AS BIGINT))) % 2147483647) AS h
+           FROM base CROSS JOIN range(32) r GROUP BY 1, 2),
+         bands AS (
+           SELECT doc_id, j // 4 AS band, string_agg(CAST(h AS VARCHAR), ',' ORDER BY j) AS sliced
+           FROM sig GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS corpus_id
+           FROM bands a JOIN bands b ON a.band = b.band AND a.sliced = b.sliced
+           WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 < 9),
+         sets AS (SELECT doc_id, list(hu) AS s FROM bg GROUP BY doc_id),
+         vr AS (
+           SELECT c.in_id, c.corpus_id,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+               (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jac
+           FROM cand c JOIN sets sa ON sa.doc_id = c.in_id JOIN sets sb ON sb.doc_id = c.corpus_id)
+         SELECT in_id, corpus_id, floor(jac*10000.0 + 0.5)/10000.0 AS jaccard
+         FROM vr WHERE jac >= 0.3 ORDER BY in_id, corpus_id""",
     // SimHash recomputed bit-by-bit: token hash bit i = bit (i%4) of hex
     // digit 16-i/4 of md5 (the 64-bit value's big-endian hex), ±1 votes
     // summed per bit over ALL tokens (duplicates count), sign → bit

@@ -159,6 +159,24 @@ class DedupAnnSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L), got)
   }
 
+  test("minhashLshPairsAgainst finds the planted delta-vs-corpus near-dup only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "entirely different content about spark execution plans here")).toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"), // ~dup of 1
+      (101L, "unrelated delta document with fresh words only now")).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairsAgainst(delta, corpus,
+        numHashes = 32, bands = 8, verifyThreshold = 0.3)
+      .select("in_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 1L)), got)
+    // and the pair agrees with the self-join kernel run over the union
+    val self = Dedup.minhashLshPairs(corpus.union(delta),
+        numHashes = 32, bands = 8, verifyThreshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(self.contains((1L, 100L)), self)
+  }
+
   test("semanticDedup: cell-blocked cosine components, min-id keep") {
     // two coarse cells around the axes; ids 0/1/2 near-dup chain on the
     // x-axis (0~1 and 1~2 above threshold, 0~2 below — transitivity must
