@@ -37,6 +37,16 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- per-doc top TF-IDF terms (corpus keyword signal) -------------
+    "q_tfidf_topterms" -> ((s, dir) => {
+      TextOps.tfidfTopTerms(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("rnk"), col("term"),
+          fround(col("score"), 6).as("score"))
+        .orderBy("doc_id", "rnk")
+    }),
+
     // ---- language-ID by marker-word counts ----------------------------
     "q_text_langid" -> ((s, dir) => {
       TextOps.langid(t(s, dir, "documents").filter(col("doc_id") < 100), col("text"))
@@ -578,6 +588,22 @@ object TextPipeline {
          floor((CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
                / strlen(text))*10000.0 + 0.5)/10000.0 AS alpha_ratio
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(text),'\s+',' ','g'),' ')) AS term
+           FROM documents WHERE doc_id < 300),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+         s AS (SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((n.n_docs + 1.0)/(df.df + 1.0)) + 1.0) AS score
+           FROM tf JOIN df USING(term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+           FROM s)
+         SELECT doc_id, CAST(rnk AS INT) AS rnk, term,
+           floor(score*1000000 + 0.5)/1000000 AS score
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q_text_langid" ->
       """SELECT doc_id,
          len(list_filter(string_split(text,' '), w -> w IN ('the','a','of'))) AS en_hits,

@@ -63,6 +63,35 @@ object TextOps {
         .otherwise("en"))
   }
 
+  /** Per-document top-k TF-IDF terms — the corpus-level keyword signal
+    * (what characterizes a doc against the collection; feeds topic
+    * routing / mixture labeling in training pipelines). idf uses the
+    * smoothed form ln((N+1)/(df+1)) + 1, score = tf · idf.
+    *
+    * Shape at scale: one token explode, a (doc,term)-keyed partial-agg
+    * count (tf), a term-keyed count over THAT relation (df — already one
+    * row per doc·term, no re-explode), one term-keyed join tf⋈df, the
+    * 1-row corpus count broadcast by the cross join, and a per-doc
+    * WindowGroupLimit for the top-k. The text column never shuffles. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(regexp_replace(lower(col(textCol)), "\\s+", " "), " "))
+          .as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = toks.agg(count_distinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(df_, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") *
+        (log((col("n_docs") + 1.0d) / (col("df") + 1.0d)) + 1.0d))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("score"))
+  }
+
   /** Content fingerprint: md5 prefix (exact-duplicate detection). */
   def contentFingerprint(text: Column): Column = substring(md5(text), 1, 16)
 
