@@ -47,6 +47,18 @@ object TextPipeline {
         .orderBy("doc_id", "rnk")
     }),
 
+    // ---- bigram-LM perplexity: reference-trained quality scoring ------
+    "q_lm_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.bigramLmScore(
+          docs.filter(col("doc_id") % 10 === 9),
+          docs.filter(col("doc_id") % 10 < 9),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          fround(col("log_ppl"), 6).as("log_ppl"))
+        .orderBy("doc_id")
+    }),
+
     // ---- language-ID by marker-word counts ----------------------------
     "q_text_langid" -> ((s, dir) => {
       TextOps.langid(t(s, dir, "documents").filter(col("doc_id") < 100), col("text"))
@@ -588,6 +600,29 @@ object TextPipeline {
          floor((CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
                / strlen(text))*10000.0 + 0.5)/10000.0 AS alpha_ratio
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q_lm_perplexity" ->
+      """WITH refd AS (SELECT string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
+           FROM documents WHERE doc_id % 10 < 9),
+         refbg AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM (
+             SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i
+             FROM refd WHERE len(ws) >= 2)),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM refbg GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c1 FROM refbg GROUP BY 1),
+         v AS (SELECT count(DISTINCT w) AS v FROM
+             (SELECT unnest(ws) AS w FROM refd)),
+         dd AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM (
+             SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+             FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
+               FROM documents WHERE doc_id % 10 = 9)
+             WHERE len(ws) >= 2)),
+         j AS (SELECT dd.doc_id,
+             -ln((coalesce(c12.c12, 0) + 1.0) / (coalesce(c1.c1, 0) + v.v)) AS nll
+           FROM dd LEFT JOIN c12 ON dd.w1 = c12.w1 AND dd.w2 = c12.w2
+             LEFT JOIN c1 ON dd.w1 = c1.w1 CROSS JOIN v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(avg(nll)*1000000 + 0.5)/1000000 AS log_ppl
+         FROM j GROUP BY 1 ORDER BY 1""",
     "q_tfidf_topterms" ->
       """WITH toks AS (SELECT doc_id,
              unnest(string_split(regexp_replace(lower(text),'\s+',' ','g'),' ')) AS term

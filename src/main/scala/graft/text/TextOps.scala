@@ -92,6 +92,47 @@ object TextOps {
       .select(col(idCol), col("rnk"), col("term"), col("score"))
   }
 
+  /** Bigram-LM perplexity scoring — the "score documents by a language
+    * model trained on a trusted reference corpus" quality signal (the
+    * CCNet-style filter, with an exactly-recomputable bigram model in
+    * place of KenLM): P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) (add-one over
+    * the reference vocabulary), per-document score = mean −ln P over its
+    * bigrams (log-perplexity; lower = more reference-like). Unseen
+    * bigrams/contexts fall through the left joins to the smoothed floor.
+    *
+    * Shape at scale: the LM is two count relations (bigram- and
+    * unigram-keyed partial aggs) shuffle-joined back to the scored
+    * stream on token keys — LM size is unbounded so it is NOT broadcast
+    * (AQE may still choose to); the 1-row vocab count is. Frequent-w1
+    * skew rides AQE's skew-join split. No collect, no driver LM. */
+  def bigramLmScore(docs: DataFrame, ref: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    def norm(t: Column) = split(regexp_replace(lower(t), "\\s+", " "), " ")
+    def pairs(df: DataFrame, keep: Seq[String]) = {
+      val kc = keep.map(col)
+      df.select(kc :+ norm(col(textCol)).as("__ws"): _*)
+        .filter(size(col("__ws")) >= 2)
+        .select(kc :+ explode(zip_with(col("__ws"),
+          slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"): _*)
+        .filter(col("bg.w2").isNotNull) // zip_with pads the tail with null
+        .select(kc :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+    }
+    val refBg = pairs(ref, Seq.empty)
+    val c12 = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = refBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = ref.select(explode(norm(col(textCol))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    pairs(docs, Seq(idCol))
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", -log((coalesce(col("c12"), lit(0L)) + 1.0d) /
+        (coalesce(col("c1"), lit(0L)) + col("v"))))
+      .groupBy(idCol)
+      .agg(avg("nll").as("log_ppl"), count(lit(1)).as("n_bigrams"))
+  }
+
   /** Content fingerprint: md5 prefix (exact-duplicate detection). */
   def contentFingerprint(text: Column): Column = substring(md5(text), 1, 16)
 

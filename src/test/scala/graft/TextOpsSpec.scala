@@ -28,6 +28,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L).map(_._3).toSeq == Seq("filler", "shared"), got(3L).toSeq)
   }
 
+  test("bigramLmScore: reference-like text scores lower, OOV floors not NaN") {
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran on the mat")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "the cat sat on the mat"),   // all bigrams seen
+      (11L, "zork quux blorp frotz")).toDF("doc_id", "text") // all unseen
+    val got = graft.text.TextOps.bigramLmScore(docs, ref, "doc_id", "text")
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L)._2 == 5L && got(11L)._2 == 3L, got)
+    assert(!got(10L)._1.isNaN && !got(11L)._1.isNaN)
+    assert(got(10L)._1 < got(11L)._1, got) // familiar text = lower log-ppl
+    // fully-OOV bigram probability is exactly 1/V (V = 6 distinct ref
+    // tokens: the/cat/sat/ran/on/mat): every nll in doc 11 is ln(6)
+    assert(math.abs(got(11L)._1 - math.log(6)) < 1e-12, got(11L))
+  }
+
   test("tfidfTopTerms plans a WindowGroupLimit for the per-doc top-k") {
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val plan = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 3)
