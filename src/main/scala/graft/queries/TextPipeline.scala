@@ -47,6 +47,22 @@ object TextPipeline {
         .orderBy("doc_id", "rnk")
     }),
 
+    // ---- one-row corpus audit (tokens / vocab / hapax tail) -----------
+    "q_corpus_stats" -> ((s, dir) => {
+      TextOps.corpusStats(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("n_docs"), col("n_tokens"), col("vocab"),
+          fround(col("hapax_frac"), 6).as("hapax_frac"),
+          fround(col("avg_doc_tokens"), 4).as("avg_doc_tokens"),
+          col("max_doc_tokens"))
+    }),
+
+    // ---- Gopher-rule quality gate (per-rule booleans + keep) ----------
+    "q_gopher_rules" -> ((s, dir) => {
+      TextOps.gopherRules(t(s, dir, "documents").filter(col("doc_id") < 400),
+          "doc_id", "text", minWords = 50)
+        .orderBy("doc_id")
+    }),
+
     // ---- bigram-LM perplexity: reference-trained quality scoring ------
     "q_lm_perplexity" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -600,6 +616,40 @@ object TextPipeline {
          floor((CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
                / strlen(text))*10000.0 + 0.5)/10000.0 AS alpha_ratio
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "q_corpus_stats" ->
+      """WITH toks AS (SELECT
+             unnest(string_split(regexp_replace(lower(text),'\s+',' ','g'),' ')) AS term
+           FROM documents),
+         tc AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+         terms AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+             CAST(sum(c) AS BIGINT) AS n_tokens FROM tc),
+         dl AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             avg(n) AS avg_doc_tokens, CAST(max(n) AS INT) AS max_doc_tokens
+           FROM (SELECT len(string_split(regexp_replace(lower(text),'\s+',' ','g'),' ')) AS n
+             FROM documents))
+         SELECT n_docs, n_tokens, vocab,
+           floor((hapax*1.0/vocab)*1000000 + 0.5)/1000000 AS hapax_frac,
+           floor(avg_doc_tokens*10000 + 0.5)/10000 AS avg_doc_tokens,
+           max_doc_tokens
+         FROM dl CROSS JOIN terms""",
+    "q_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+             len(string_split(text, ' ')) AS n
+           FROM documents WHERE doc_id < 400),
+         r AS (SELECT doc_id,
+             (n >= 50 AND n <= 100000) AS r_word_count,
+             (strlen(replace(text, ' ', ''))*1.0/n >= 3 AND
+              strlen(replace(text, ' ', ''))*1.0/n <= 10) AS r_mean_word_len,
+             (len(regexp_extract_all(text, '#|\.\.\.'))*1.0/n <= 0.1) AS r_symbol_ratio,
+             (len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))*1.0/n >= 0.8) AS r_alpha_words,
+             (len(list_filter(ws, x -> x IN ('the','be','to','of','and','that','have','with'))) >= 2) AS r_stopwords
+           FROM w)
+         SELECT doc_id, r_word_count, r_mean_word_len, r_symbol_ratio,
+           r_alpha_words, r_stopwords,
+           (r_word_count AND r_mean_word_len AND r_symbol_ratio AND
+            r_alpha_words AND r_stopwords) AS keep
+         FROM r ORDER BY doc_id""",
     "q_lm_perplexity" ->
       """WITH refd AS (SELECT string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
            FROM documents WHERE doc_id % 10 < 9),

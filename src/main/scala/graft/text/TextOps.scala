@@ -92,6 +92,35 @@ object TextOps {
       .select(col(idCol), col("rnk"), col("term"), col("score"))
   }
 
+  /** Gopher-style stopwords (Rae et al. 2021 §A1.1 rule set). */
+  val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule quality gate: the published per-document repetition-free
+    * heuristics as one row of named booleans + the conjunctive `keep` —
+    * teams tune thresholds per corpus, so each rule stays visible
+    * instead of collapsing into a single opaque score. Pure column math
+    * (one codegen'd projection, no shuffle, no UDF). */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val ws = split(t, " ")
+    val nWords = size(ws)
+    val meanLen = octet_length(regexp_replace(t, " ", "")).cast("double") / nWords
+    val symbolRatio = size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0)))
+      .cast("double") / nWords
+    val alphaWordFrac = size(filter(ws, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val stopHits = size(filter(ws, w => w.isin(GopherStopwords.map(lit): _*)))
+    val rules = Seq(
+      "r_word_count" -> (nWords >= minWords && nWords <= maxWords),
+      "r_mean_word_len" -> (meanLen >= 3d && meanLen <= 10d),
+      "r_symbol_ratio" -> (symbolRatio <= 0.1d),
+      "r_alpha_words" -> (alphaWordFrac >= 0.8d),
+      "r_stopwords" -> (stopHits >= 2))
+    docs.select(col(idCol) +: rules.map { case (n, c) => c.as(n) }
+      :+ rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
   /** Bigram-LM perplexity scoring — the "score documents by a language
     * model trained on a trusted reference corpus" quality signal (the
     * CCNet-style filter, with an exactly-recomputable bigram model in
@@ -131,6 +160,28 @@ object TextOps {
         (coalesce(col("c1"), lit(0L)) + col("v"))))
       .groupBy(idCol)
       .agg(avg("nll").as("log_ppl"), count(lit(1)).as("n_bigrams"))
+  }
+
+  /** One-row corpus audit: document/token/vocabulary counts, hapax
+    * fraction (vocabulary appearing exactly once — the Zipf-tail health
+    * signal reviewed before tokenizer training), and doc-length extremes.
+    * Two aggregations (term-keyed, then global) + one 1-row cross join —
+    * nothing collects, every stage map-side combines. */
+  def corpusStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = split(regexp_replace(lower(col(textCol)), "\\s+", " "), " ")
+    val termCounts = docs.select(explode(norm).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val terms = termCounts.agg(
+      count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+      sum("c").as("n_tokens"))
+    val dl = docs.select(size(norm).as("n"))
+      .agg(count(lit(1)).as("n_docs"), avg("n").as("avg_doc_tokens"),
+        max("n").as("max_doc_tokens"))
+    dl.crossJoin(terms)
+      .select(col("n_docs"), col("n_tokens"), col("vocab"),
+        (col("hapax").cast("double") / col("vocab")).as("hapax_frac"),
+        col("avg_doc_tokens"), col("max_doc_tokens"))
   }
 
   /** Content fingerprint: md5 prefix (exact-duplicate detection). */
