@@ -37,12 +37,17 @@ object Dedup {
                           /** ≤ this many (symmetric) edges → driver
                             * union-find instead of iterative rounds */
                           driverMaxEdges: Long = 2000000L): DataFrame = {
-    // materialize the (possibly expensive) edge producer ONCE — every
-    // propagation round reads it twice otherwise
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // materialize the (possibly expensive) edge producer ONCE: persist
+    // the DIRECTED list first — the symmetrizing union would otherwise
+    // run the producer (a pair-similarity join, typically the dominant
+    // cost) twice, and every propagation round reads `sym` twice more
+    val directed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist()
+    val sym = directed
+      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     val nEdges = sym.count()
+    directed.unpersist()
     // Similarity graphs shrink drastically after thresholding: when the
     // edge set fits on the driver, path-compressed union-find beats any
     // number of distributed rounds (each round costs 2 joins + an agg of
@@ -141,10 +146,15 @@ object Dedup {
                     threshold: Double, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
+    // materialize the assignment ONCE (SemDeDup's own recipe): cellOf is
+    // k interpreted higher-order aggregates per row, and the relation is
+    // read three times below (both pair-join sides + the final output
+    // join) — without the checkpoint the k-way distance scan runs 3×
     val e = df.select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("cell",
         graft.similarity.Ivf.cellOf(col("v"), index).cast("long"))
+      .localCheckpoint()
     val a = e.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
     val b = e.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
     val edges = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
@@ -288,7 +298,11 @@ object Dedup {
     def bandBuckets = posexplode(transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(concat_ws(",",
         slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
-    val corpSigs = sigs(corpus)
+    // a streaming delta re-reads the corpus index EVERY micro-batch —
+    // pin the static side in memory exactly as a production intake would
+    // pin its signature index (batch callers keep the one-pass plan)
+    val corpSigs0 = sigs(corpus)
+    val corpSigs = if (incoming.isStreaming) corpSigs0.persist() else corpSigs0
     val corpBanded = corpSigs.select(col(idCol).as("corpus_id"), bandBuckets)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val inBanded = sigs(incoming)
