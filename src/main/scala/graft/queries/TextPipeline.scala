@@ -596,6 +596,56 @@ object TextPipeline {
           "lang", "doc_id", "text", targetTokens = 2000)
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+        .orderBy("lang", "bin")),
+
+    // ---- curation: unicode NFC normalization (native expression) ------
+    // The corpus is ASCII, so the gate plants NFD sequences itself
+    // (every 'e' becomes 'e'+U+0301) and verifies the native
+    // unicode_normalize expression recomposes exactly what DuckDB's
+    // nfc_normalize does — char counts shrink, md5 of the UTF-8 bytes
+    // matches byte-for-byte.
+    "q_text_normalize" -> ((s, dir) => {
+      import graft.functions.TextExprs
+      val nfd = regexp_replace(col("text"), "e", "e\u0301")
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), nfd.as("__t"))
+        .select(col("doc_id"),
+          length(col("__t")).cast("long").as("n_chars_nfd"),
+          TextExprs.unicodeNormalize(s, col("__t"), "NFC").as("__n"))
+        .select(col("doc_id"), col("n_chars_nfd"),
+          length(col("__n")).cast("long").as("n_chars_nfc"),
+          md5(col("__n")).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- curation: epoch-weighted mixture upsampling ------------------
+    // wiki-style ×3 / web ×2.5 / downsample ×0.4 replication with the
+    // deterministic md5-prefix fractional rule; rows repeat per epoch.
+    "q_mixture_upsample" -> ((s, dir) =>
+      graft.text.Curation.upsampleMixture(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 3.0, "src2" -> 0.4, "src3" -> 1.0))
+        .orderBy("doc_id", "epoch")),
+
+    // ---- curation: deterministic train/val/test split -----------------
+    // 80/10/10 by md5-prefix uniform; membership is a pure function of
+    // the id (stable eval sets under corpus growth).
+    "q_dataset_split" -> ((s, dir) =>
+      graft.text.Curation.datasetSplit(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
+
+    // ---- curation: materialized packed training sequences -------------
+    // packBins + in-bin id-ordered concatenation; the md5 anchors the
+    // exact packed byte stream, not just the bin accounting.
+    "q_pack_texts" -> ((s, dir) =>
+      graft.text.Curation.packTexts(
+          t(s, dir, "documents").select("lang", "doc_id", "text"),
+          "lang", "doc_id", "text", targetTokens = 2000)
+        .select(col("lang"), col("bin"), col("n_docs"), col("bin_tokens"),
+          md5(col("seq_text")).as("seq_md5"))
         .orderBy("lang", "bin")))
 
   val oracles: Map[String, String] = Map(
@@ -1318,5 +1368,44 @@ object TextPipeline {
            FROM w)
          SELECT lang, CAST(floor(cum/2000.0) AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
+         FROM c GROUP BY 1,2 ORDER BY 1,2""",
+    "q_text_normalize" ->
+      """WITH d AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t
+           FROM documents WHERE doc_id < 200)
+         SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars_nfd,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc,
+           md5(nfc_normalize(t)) AS norm_md5
+         FROM d ORDER BY doc_id""",
+    "q_mixture_upsample" ->
+      """WITH w AS (SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 3.0
+                         WHEN 'src2' THEN 0.4 WHEN 'src3' THEN 1.0
+                         ELSE 0 END AS w,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER)/65536.0 AS u
+           FROM documents),
+         c AS (SELECT doc_id, source,
+             CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS INT) AS copies
+           FROM w)
+         SELECT doc_id, source, CAST(e AS INT) AS epoch FROM (
+           SELECT doc_id, source, unnest(range(copies)) AS e FROM c WHERE copies >= 1)
+         ORDER BY doc_id, epoch""",
+    "q_dataset_split" ->
+      """SELECT doc_id, lang,
+           CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS INTEGER)/65536.0 AS u
+           FROM documents)
+         ORDER BY doc_id""",
+    "q_pack_texts" ->
+      """WITH w AS (SELECT lang, doc_id, text,
+             len(string_split(regexp_replace(lower(text),'\s+',' ','g'),' ')) AS tok
+           FROM documents),
+         c AS (SELECT lang, doc_id, text, tok, sum(tok) OVER (PARTITION BY lang
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS cum
+           FROM w)
+         SELECT lang, CAST(floor(cum/2000.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens,
+           md5(string_agg(text, ' ' ORDER BY doc_id)) AS seq_md5
          FROM c GROUP BY 1,2 ORDER BY 1,2""")
 }

@@ -232,6 +232,78 @@ object Curation {
     }
   }
 
+  /** Epoch-weighted mixture upsampling: replicate each group's rows by a
+    * real-valued weight (the "epochs over the dataset" knob of training
+    * recipes — e.g. wiki ×3.2, web ×0.8). A weight w emits floor(w) full
+    * copies of every row plus one extra copy of a deterministic
+    * hash-chosen frac(w) of rows; w < 1 therefore downsamples (0 full
+    * copies, the fractional rule keeps a w-share). The selector is the
+    * same md5-prefix uniform as [[hashSample]], so the result is exactly
+    * reproducible and oracle-checkable. Output repeats the row once per
+    * `epoch` (0-based).
+    *
+    * Scale shape: copies come from `explode(sequence(...))` — a codegen
+    * generator, no shuffle, no join (the weight map inlines as a
+    * when-chain; mixes are small by nature). Row count grows by design;
+    * nothing else does. */
+  def upsampleMixture(df: DataFrame, groupCol: String, idCol: String,
+                      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w < 1000),
+      s"weights must be in [0, 1000), got $weights")
+    val wCol = weights.foldLeft(lit(0.0)) { case (acc, (g, w)) =>
+      when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    // md5-prefix uniform in [0,1): 4 hex chars / 0x10000, as hashSample
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("double") / 65536.0
+    df.withColumn("__w", wCol)
+      .withColumn("__copies",
+        (floor(col("__w")) + when(u < col("__w") - floor(col("__w")), 1)
+          .otherwise(0)).cast("int"))
+      .filter(col("__copies") >= 1)
+      .withColumn("epoch", explode(sequence(lit(0), col("__copies") - 1)))
+      .drop("__w", "__copies")
+  }
+
+  /** Deterministic train/val/test split: each row gets a split label
+    * from the same md5-prefix uniform as [[hashSample]], cut at the
+    * cumulative fractions of `splits` (ordered; the last split absorbs
+    * the rounding remainder). Membership is a pure function of the id,
+    * so adding rows later never reshuffles existing assignments — the
+    * property training pipelines need for stable eval sets. Pure
+    * codegen'd projection: no shuffle, no RNG state. */
+  def datasetSplit(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), s"bad splits $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("double") / 65536.0
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+    val labeled = splits.init.zip(cuts.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), cut), rest) =>
+      when(u < cut, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", labeled)
+  }
+
+  /** Materialized sequence packing: [[packBins]] then concatenate each
+    * bin's documents (id order) into one training sequence. The
+    * per-bin collect is bounded by `targetTokens` by construction, so
+    * no group ever exceeds ~one training sequence of text — safe at
+    * any corpus size. One extra keyed aggregation over packBins. */
+  def packTexts(df: DataFrame, groupCol: String, idCol: String,
+                textCol: String, targetTokens: Int): DataFrame = {
+    packBins(df, groupCol, idCol, textCol, targetTokens)
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("bin_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            x => x.getField(textCol)), " ").as("seq_text"))
+  }
+
   /** PII scrubbing: replace emails, IPv4 addresses, and long digit runs
     * (phone/account numbers) with typed placeholder tokens. The patterns
     * are deliberately lookaround-free so the same regexes run unchanged
@@ -293,7 +365,15 @@ object Curation {
     * stream, then a per-document sort window (gaps-and-islands merge)
     * + per-(id, island) aggregation. The hot side stays ids+positions
     * (never the text) after the first projection, so the shuffles carry
-    * narrow rows even when documents are megabytes. */
+    * narrow rows even when documents are megabytes.
+    *
+    * Gram identity travels as `xxhash64(gram)` — an 8-byte fixed key
+    * instead of the n-word string — so the distinct/count/semi-join
+    * shuffles move ~5× fewer bytes on 5-grams of real prose. A 64-bit
+    * collision (two different grams sharing a hash) would merge their
+    * duplicate sets; at 10^9 distinct grams the chance any collision
+    * exists is ~3%, and a single collision only widens one span by one
+    * gram — the standard trade every hash-keyed dedup makes. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, minDocs: Int = 2): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
@@ -301,14 +381,15 @@ object Curation {
     val posGrams = docs
       .select(col(idCol), words(col(textCol)).as("__ws")) // split ONCE per doc
       .select(col(idCol), posexplode(wordNgramsOf(col("__ws"), n)).as(Seq("pos", "gram")))
-      .withColumn("pos", col("pos").cast("long")) // generator pos is int
+      .select(col(idCol), col("pos").cast("long").as("pos"), // generator pos is int
+        xxhash64(col("gram")).as("__gh")) // gram string dropped pre-shuffle
     // distinct docs per gram: each doc contributes a gram once, so the
     // gram-partitioned count of the deduped relation IS docs-with-gram
-    val dupGrams = posGrams.select(col(idCol), col("gram")).distinct()
-      .groupBy("gram").agg(count(lit(1)).as("__nd"))
+    val dupGrams = posGrams.select(col(idCol), col("__gh")).distinct()
+      .groupBy("__gh").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
-      .select("gram")
-    val dup = posGrams.join(dupGrams, Seq("gram"), "left_semi")
+      .select("__gh")
+    val dup = posGrams.join(dupGrams, Seq("__gh"), "left_semi")
     // islands: a gram at p2 extends the span of a previous gram at p1
     // iff their coverages overlap or abut (p2 <= p1 + n); `pos` is
     // unique within a doc so the running sum is deterministic

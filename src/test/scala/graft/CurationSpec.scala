@@ -257,4 +257,92 @@ class CurationSpec extends SparkSpec {
     assert(got == Set(("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 0L),
       ("en", 4L, 1L), ("de", 5L, 0L)), got)
   }
+
+  test("upsampleMixture: integer weights replicate exactly, zero drops, " +
+      "fractional share is deterministic") {
+    val df = (1L to 200L).map(i =>
+      (i, if (i <= 100) "wiki" else "web")).toDF("doc_id", "source")
+    val got = Curation.upsampleMixture(df, "source", "doc_id",
+      Map("wiki" -> 3.0, "web" -> 0.5))
+      .groupBy("source").agg(
+        countDistinct("doc_id").as("docs"), count(lit(1)).as("rows"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // wiki ×3.0: every doc appears exactly 3 times (epochs 0,1,2)
+    assert(got("wiki") == (100L, 300L), got)
+    // web ×0.5: a hash-chosen ~half survives once; deterministic re-run
+    val (webDocs, webRows) = got("web")
+    assert(webDocs == webRows && webDocs > 20 && webDocs < 80, got)
+    val again = Curation.upsampleMixture(df, "source", "doc_id",
+      Map("wiki" -> 3.0, "web" -> 0.5))
+      .filter(col("source") === "web").count()
+    assert(again == webRows)
+    // epochs are 0-based and dense per row set
+    val epochs = Curation.upsampleMixture(df, "source", "doc_id",
+      Map("wiki" -> 3.0, "web" -> 0.5))
+      .filter(col("source") === "wiki").filter(col("doc_id") === 1L)
+      .select("epoch").as[Int].collect().sorted.toSeq
+    assert(epochs == Seq(0, 1, 2), epochs)
+  }
+
+  test("upsampleMixture: fractional top-up adds the hash share above floor(w)") {
+    val df = (1L to 400L).map(i => (i, "w")).toDF("doc_id", "source")
+    val n = Curation.upsampleMixture(df, "source", "doc_id", Map("w" -> 2.25))
+      .count()
+    // 2 full copies of 400 + ~25% extra: binomial(400, .25) around 100
+    assert(n > 800L + 55L && n < 800L + 150L, n)
+    // group not in the mix is dropped
+    val dropped = Curation.upsampleMixture(
+      df.withColumn("source", when(col("doc_id") <= 10, "other").otherwise("w")),
+      "source", "doc_id", Map("w" -> 1.0)).count()
+    assert(dropped == 390L, dropped)
+  }
+
+  test("datasetSplit: labels partition the id space, stable under growth, no shuffle") {
+    val df = (1L to 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = Curation.datasetSplit(df, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = got.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000L, counts)
+    assert(counts("train") > 700 && counts("train") < 900, counts)
+    assert(counts("val") > 50 && counts("val") < 160, counts)
+    // growth stability: the first 500 ids keep their labels when 500 more arrive
+    val small = Curation.datasetSplit(df.filter(col("doc_id") <= 500), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val big = got.filter(col("doc_id") <= 500)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small == big)
+    val plan = got.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("datasetSplit rejects fractions that do not sum to 1") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.datasetSplit(df, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("packTexts: bin text is the id-ordered concatenation of its docs") {
+    val df = Seq(
+      ("en", 2L, "bravo two"),
+      ("en", 1L, "alpha one"),
+      ("en", 3L, "charlie three"),
+      ("de", 9L, "neun")).toDF("lang", "doc_id", "text")
+    // target 5 tokens: en cum(excl) = 0,2,4 → doc1,doc2 bin0; doc3 cum=4 bin0
+    val got = Curation.packTexts(df, "lang", "doc_id", "text", targetTokens = 5)
+      .select("lang", "bin", "n_docs", "seq_text")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got(("en", 0L)) == (3L, "alpha one bravo two charlie three"), got)
+    assert(got(("de", 0L)) == (1L, "neun"), got)
+  }
+
+  test("upsampleMixture plans generator-only: no shuffle, no join") {
+    val df = (1L to 50L).map(i => (i, "w")).toDF("doc_id", "source")
+    val plan = Curation.upsampleMixture(df, "source", "doc_id", Map("w" -> 2.5))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
 }
