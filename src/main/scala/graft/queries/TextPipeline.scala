@@ -628,6 +628,23 @@ object TextPipeline {
           Map("src0" -> 2.5, "src1" -> 3.0, "src2" -> 0.4, "src3" -> 1.0))
         .orderBy("doc_id", "epoch")),
 
+    // ---- curation: full cleaning pass (NFC + ctl strip + collapse) ----
+    // Planted NFD sequences, control chars (BEL, U+009F) and whitespace
+    // runs; cleanText must byte-match DuckDB's nfc_normalize + the same
+    // regex chain (md5 anchors the exact cleaned stream).
+    "q_clean_text" -> ((s, dir) => {
+      import graft.functions.TextExprs
+      val planted = concat(lit("  x\u0007y "),
+        regexp_replace(col("text"), "e", "e\u0301"),
+        lit("\t\tz\u009fq  "))
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), TextExprs.cleanText(s, planted).as("__c"))
+        .select(col("doc_id"),
+          length(col("__c")).cast("long").as("n_chars"),
+          md5(col("__c")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- curation: deterministic train/val/test split -----------------
     // 80/10/10 by md5-prefix uniform; membership is a pure function of
     // the id (stable eval sets under corpus growth).
@@ -1389,6 +1406,19 @@ object TextPipeline {
          SELECT doc_id, source, CAST(e AS INT) AS epoch FROM (
            SELECT doc_id, source, unnest(range(copies)) AS e FROM c WHERE copies >= 1)
          ORDER BY doc_id, epoch""",
+    "q_clean_text" ->
+      """WITH d AS (SELECT doc_id,
+             '  x' || chr(7) || 'y ' || replace(text, 'e', 'e' || chr(769))
+               || chr(9) || chr(9) || 'z' || chr(159) || 'q  ' AS t
+           FROM documents WHERE doc_id < 200),
+         c AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+             nfc_normalize(t),
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'),
+             '[ \t]+', ' ', 'g')) AS clean
+           FROM d)
+         SELECT doc_id, CAST(length(clean) AS BIGINT) AS n_chars,
+           md5(clean) AS clean_md5
+         FROM c ORDER BY doc_id""",
     "q_dataset_split" ->
       """SELECT doc_id, lang,
            CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
