@@ -645,6 +645,21 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus cube: per (lang x source) totals with all margins -----
+    // multi-dimensional corpus accounting (the "data card" table):
+    // cube() computes every grouping set in ONE aggregation pass —
+    // partial-agg friendly, no per-margin re-scan.
+    "q_corpus_cube" -> ((s, dir) => {
+      val w = t(s, dir, "documents").select(col("lang"), col("source"),
+        TextOps.wsTokenCount(col("text")).cast("long").as("__tok"))
+      w.cube("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("__tok").as("n_tokens"))
+        .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+          coalesce(col("source"), lit("<all>")).as("source"),
+          col("n_docs"), col("n_tokens"))
+        .orderBy("lang", "source")
+    }),
+
     // ---- curation: deterministic train/val/test split -----------------
     // 80/10/10 by md5-prefix uniform; membership is a pure function of
     // the id (stable eval sets under corpus growth).
@@ -1406,6 +1421,14 @@ object TextPipeline {
          SELECT doc_id, source, CAST(e AS INT) AS epoch FROM (
            SELECT doc_id, source, unnest(range(copies)) AS e FROM c WHERE copies >= 1)
          ORDER BY doc_id, epoch""",
+    "q_corpus_cube" ->
+      """WITH w AS (SELECT lang, source, len(string_split(text, ' ')) AS tok
+           FROM documents)
+         SELECT coalesce(lang, '<all>') AS lang,
+           coalesce(source, '<all>') AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens
+         FROM w GROUP BY CUBE(lang, source) ORDER BY lang, source""",
     "q_clean_text" ->
       """WITH d AS (SELECT doc_id,
              '  x' || chr(7) || 'y ' || replace(text, 'e', 'e' || chr(769))
