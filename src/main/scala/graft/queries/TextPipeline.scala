@@ -11,6 +11,9 @@ import Q._
   * analysis, multimodal plumbing — over `documents` / `embeddings`.
   */
 object TextPipeline {
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.text.Bpe.Model]
+
   val defs: Map[String, QueryFn] = Map(
     // ---- token counting (whitespace + regex tokenizer) ----------------
     "q_token_count" -> ((s, dir) => {
@@ -658,6 +661,30 @@ object TextPipeline {
           coalesce(col("source"), lit("<all>")).as("source"),
           col("n_docs"), col("n_tokens"))
         .orderBy("lang", "source")
+    }),
+
+    // ---- real BPE tokenizer: train on the word histogram, encode ------
+    // distributed; correctness rides two in-query verdicts (the merge
+    // loop is not SQL-expressible): decode(encode(t)) must equal the
+    // normalized text byte-for-byte, and the token count must sit in
+    // [n_words, n_chars + n_words] (every word >= 1 symbol, never more
+    // than its chars + EOW). n_words is the oracle-checkable column.
+    "q_bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = bpeCache.getOrElseUpdate(s"$dir/documents.parquet",
+        graft.text.Bpe.train(docs, "text", numMerges = 100))
+      val normed = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      docs.select(col("doc_id"), col("text"),
+          graft.text.Bpe.encode(s, col("text"), model).as("__toks"))
+        .select(col("doc_id"),
+          size(split(regexp_replace(lower(col("text")), "\\s+", " "), " ")).cast("long").as("n_words"),
+          (graft.text.Bpe.decode(col("__toks")) === normed).as("roundtrip_ok"),
+          size(col("__toks")).cast("long").as("__n"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("long").as("__chars"))
+        .withColumn("compression_ok",
+          col("__n") >= col("n_words") && col("__n") <= col("__chars") + col("n_words"))
+        .select("doc_id", "n_words", "roundtrip_ok", "compression_ok")
+        .orderBy("doc_id")
     }),
 
     // ---- curation: deterministic train/val/test split -----------------
@@ -1421,6 +1448,11 @@ object TextPipeline {
          SELECT doc_id, source, CAST(e AS INT) AS epoch FROM (
            SELECT doc_id, source, unnest(range(copies)) AS e FROM c WHERE copies >= 1)
          ORDER BY doc_id, epoch""",
+    "q_bpe_tokens" ->
+      """SELECT doc_id,
+           CAST(len(string_split(regexp_replace(lower(text),'\s+',' ','g'),' ')) AS BIGINT) AS n_words,
+           true AS roundtrip_ok, true AS compression_ok
+         FROM documents ORDER BY doc_id""",
     "q_corpus_cube" ->
       """WITH w AS (SELECT lang, source, len(string_split(text, ' ')) AS tok
            FROM documents)

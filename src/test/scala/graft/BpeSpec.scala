@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Bpe
+
+/** Real BPE tokenizer: training on the classic example corpus, greedy
+  * rank-ordered encoding, roundtrip invariant, distributed plumbing. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainFromHistogram learns the textbook merges on low/lower/newest") {
+    // the Sennrich et al. running example shape: 'lo' dominates
+    val hist = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val m = Bpe.trainFromHistogram(hist, numMerges = 4)
+    // 'es' wins first (9 = newest 6 + widest 3), then 'est', 'est</w>', then lo (7)
+    assert(m.merges.take(4) == Seq(("e", "s"), ("es", "t"), ("est", Bpe.Eow), ("l", "o")),
+      m.merges)
+  }
+
+  test("encodeWord applies merges lowest-rank-first; unknown word falls to chars") {
+    val m = Bpe.Model(Seq(("e", "s"), ("es", "t"), ("est", Bpe.Eow), ("l", "o")))
+    assert(m.encodeWord("newest") == Seq("n", "e", "w", "est" + Bpe.Eow))
+    assert(m.encodeWord("lowest") == Seq("lo", "w", "est" + Bpe.Eow))
+    assert(m.encodeWord("xyz") == Seq("x", "y", "z", Bpe.Eow))
+    assert(m.encodeWord("") == Nil)
+  }
+
+  test("training is deterministic: same corpus, same merge table") {
+    val df = (1L to 50L).map(i => (i, s"alpha beta gamma delta ep$i")).toDF("id", "text")
+    val m1 = Bpe.train(df, "text", numMerges = 30)
+    val m2 = Bpe.train(df, "text", numMerges = 30)
+    assert(m1.merges == m2.merges)
+    assert(m1.merges.nonEmpty)
+  }
+
+  test("distributed encode roundtrips and plans as a pure projection") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "THE  Quick\tfox")).toDF("id", "text")
+    val m = Bpe.train(df, "text", numMerges = 20)
+    val enc = df.select(col("id"),
+      Bpe.encode(spark, col("text"), m).as("toks"),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("norm"))
+    val rows = enc.select(col("id"), Bpe.decode(col("toks")).as("dec"), col("norm"))
+      .collect()
+    rows.foreach(r => assert(r.getString(1) == r.getString(2), r))
+    val plan = enc.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("token counts sit between word count and char+word count") {
+    val df = Seq((1L, "aa bb aa bb cc")).toDF("id", "text")
+    val m = Bpe.train(df, "text", numMerges = 2)
+    val n = df.select(size(Bpe.encode(spark, col("text"), m)).as("n")).as[Int].head()
+    assert(n >= 5 && n <= 10 + 5, n) // 5 words, 10 non-space chars
+  }
+
+  test("merge exhaustion stops early instead of looping") {
+    val m = Bpe.trainFromHistogram(Array(("ab", 1L)), numMerges = 100)
+    // "ab</w>" admits at most 2 merges — a,b then ab,</w>
+    assert(m.merges.size <= 2, m.merges)
+    assert(m.encodeWord("ab") == Seq("ab" + Bpe.Eow))
+  }
+}
