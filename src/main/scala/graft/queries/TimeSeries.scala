@@ -281,6 +281,28 @@ object TimeSeries {
         .orderBy("user_id", "t_us")
     }),
 
+    // streaming MAP_DIFF through the gate: the previous-value state
+    // crosses micro-batch boundaries; first record per tag emits null
+    "q_stream_diff" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val src = s.readStream.schema(e0.schema)
+        .parquet(s"$dir/{events.parquet}") // {}-glob: a bare file path fails basePath inference
+      val in = src.filter(col("user_id") < 20)
+        .select(col("user_id").cast("string").as("name"),
+          tsNs(src).as("time"), col("value"))
+      val out = graft.streaming.StatefulOps.diffStream(in)
+      val qn = "stream_df_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(
+          col("name").cast(e0.schema("user_id").dataType).as("user_id"),
+          unix_micros(col("time")).as("t_us"),
+          r4(col("value")).as("diff"))
+        .orderBy("user_id", "t_us")
+    }),
+
     "q_stream_sessionize" -> ((s, dir) => {
       val e0 = t(s, dir, "events")
       val src = s.readStream.schema(e0.schema)
@@ -692,6 +714,12 @@ object TimeSeries {
              lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
            FROM events WHERE user_id < 20)
          WHERE prev IS NULL OR prev <> value
+         ORDER BY user_id, t_us""",
+    "q_stream_diff" ->
+      """SELECT user_id, t_us, round(value - prev, 4) AS diff FROM (
+           SELECT user_id, epoch_us(ts) AS t_us, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events WHERE user_id < 20)
          ORDER BY user_id, t_us""",
     "q_stream_sessionize" ->
       """WITH o AS (SELECT user_id, epoch_us(ts) AS t,
