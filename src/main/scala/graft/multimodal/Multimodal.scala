@@ -522,6 +522,73 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** 64-bit average-hash (aHash) of a decoded image: 8x8 nearest-mapped
+    * grayscale grid, one bit per cell set iff its gray exceeds the grid
+    * mean. The workhorse of perceptual image dedup — identical content
+    * under re-encode/uniform brightness shift hashes identically
+    * (integer grays all move by the same delta and the mean is an exact
+    * s/64 double, so every gray>mean bit is invariant), while different
+    * content lands far apart in Hamming distance.
+    *
+    * bit i (0..63) = cell (x=i%8, y=i/8); source pixel of cell (x,y) is
+    * (x·w/8, y·h/8) floor-mapped — the same nearest map as
+    * [[resizeRgb]]. */
+  def ahash64(info: ImgInfo): Long = {
+    val w = info.width
+    val h = info.height
+    val g = new Array[Int](64)
+    var s = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val o = 3 * ((y * h / 8) * w + (x * w / 8))
+        val gray = ((info.rgb(o) & 0xFF) + (info.rgb(o + 1) & 0xFF) +
+          (info.rgb(o + 2) & 0xFF)) / 3
+        g(y * 8 + x) = gray
+        s += gray
+        x += 1
+      }
+      y += 1
+    }
+    val mean = s / 64.0 // exact: s <= 64*255 and /64 is a pow-2 scale
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (g(i) > mean) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Hamming distance between two aHash values (near-dup radius). */
+  def hammingDist64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Per-payload perceptual hash over a binary media column: decode via
+    * the real codecs, aHash the raster. Same batched mapPartitions shape
+    * as [[decodeFeatures]]; undecodable payloads emit null. */
+  def ahashMedia(df: DataFrame, idCol: String, binCol: String,
+                 batchSize: Int = 256): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("ahash", LongType)))
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val id = row.getLong(idIdx)
+          decodeImage(row.getAs[Array[Byte]](binIdx)) match {
+            case Some(img) => Row(id, img.width, img.height, ahash64(img))
+            case None => Row(id, null, null, null)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   // ---- deterministic fixtures (for specs and the oracle gate) -----------
 
   /** Build a real bottom-up 24-bpp BMP whose pixel bytes cycle through

@@ -412,6 +412,45 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- multimodal: perceptual hash (aHash) image dedup --------------
+    // Each doc's BMP is hashed twice: as-is and uniformly brightened by
+    // +10 per channel (codes are ASCII <= 126, so no clipping). aHash is
+    // EXACTLY invariant to that shift (all grays and the mean move by
+    // 10), so selfmatch_ok must be true per doc; discrim_ok proves the
+    // hash separates different content corpus-wide. width/height are the
+    // oracle-checkable columns.
+    "q_multimodal_ahash" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select("doc_id", "text")
+      val synthSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("bmp", BinaryType),
+        StructField("bmp_shift", BinaryType)))
+      val media = docs.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val codes = r.getString(1).map(_.toInt & 0xFF).toArray
+          val w = 1 + (id % 4).toInt
+          val h = 1 + (id % 3).toInt
+          Row(id, Multimodal.synthBmp(codes, w, h),
+            Multimodal.synthBmp(codes.map(_ + 10), w, h))
+        }
+      }(Encoders.row(synthSchema))
+      val a = Multimodal.ahashMedia(media, "doc_id", "bmp")
+      val b = Multimodal.ahashMedia(media, "doc_id", "bmp_shift")
+        .select(col("doc_id"), col("ahash").as("ahash_shift"))
+      val joined = a.join(b, "doc_id")
+      val nDistinct = joined.agg(countDistinct("ahash").as("__nd"))
+      joined.crossJoin(broadcast(nDistinct))
+        .select(col("doc_id"), col("width"), col("height"),
+          (col("ahash") === col("ahash_shift")).as("selfmatch_ok"),
+          (col("__nd") >= 25).as("discrim_ok"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal: JPEG/PNG decode through JDK ImageIO --------------
     // PNG is lossless, so the decoded channel mean is recomputed exactly
     // by the oracle from the source characters; JPEG is lossy, so its
@@ -1170,6 +1209,12 @@ object TextPipeline {
     // synth code index (f*w+sx)*3 + q%3 cyclic over the text. The mean
     // is BGR/RGB-swap invariant (whole-pixel byte set), so channel order
     // needs no modeling.
+    "q_multimodal_ahash" ->
+      """SELECT doc_id,
+           CAST(1 + doc_id % 4 AS INT) AS width,
+           CAST(1 + doc_id % 3 AS INT) AS height,
+           true AS selfmatch_ok, true AS discrim_ok
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
     "q_multimodal_resize" ->
       """WITH d AS (
            SELECT doc_id, text, length(text) AS L,

@@ -260,4 +260,27 @@ class ServerMultimodalSpec extends SparkSpec {
     assert(got(1).getDouble(4) >= 0 && got(1).getDouble(4) <= 255)
     assert(got(2).isNullAt(1) && got(2).isNullAt(4))
   }
+
+  test("ahash64: exact brightness-shift invariance and content discrimination") {
+    val codes = "the quick brown fox jumps".map(_.toInt).toArray
+    val a = Multimodal.ahash64(decode24(Multimodal.synthBmp(codes, 4, 3)))
+    val aShift = Multimodal.ahash64(decode24(Multimodal.synthBmp(codes.map(_ + 10), 4, 3)))
+    assert(a == aShift, s"brightness shift changed the hash: $a vs $aShift")
+    val other = Multimodal.ahash64(decode24(
+      Multimodal.synthBmp("zzzz aaaa zzzz aaaa zzzz".map(_.toInt).toArray, 4, 3)))
+    assert(Multimodal.hammingDist64(a, other) > 0)
+    assert(Multimodal.hammingDist64(a, a) == 0)
+  }
+
+  test("ahashMedia: decodes, hashes, nulls on junk payloads") {
+    val rows = Seq(
+      (1L, Multimodal.synthBmp("hello world sample".map(_.toInt).toArray, 3, 2)),
+      (2L, Array[Byte](1, 2, 3))).toDF("id", "bin")
+    val got = Multimodal.ahashMedia(rows, "id", "bin").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(1L).isDefined && got(2L).isEmpty, got)
+  }
+
+  private def decode24(payload: Array[Byte]): Multimodal.ImgInfo =
+    Multimodal.decodeImage(payload).getOrElse(fail("undecodable payload"))
 }
