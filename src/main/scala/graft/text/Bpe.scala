@@ -166,4 +166,26 @@ object Bpe {
     * in-query correctness verdict for the gate. */
   def decode(tokens: Column): Column =
     rtrim(regexp_replace(array_join(tokens, ""), java.util.regex.Pattern.quote(Eow), " "))
+
+  /** Durable tokenizer artifact — train once, load everywhere (the same
+    * contract as [[graft.similarity.Ivf.save]]/[[graft.similarity.Pq.save]]):
+    * the ordered merge table as (rank, left, right) parquet. */
+  def save(model: Model, spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select("rank", "left", "right").collect()
+    require(rows.nonEmpty, s"empty BPE model at $path")
+    val byRank = rows.map(r => (r.getInt(0), (r.getString(1), r.getString(2))))
+    // ranks must be a dense 0..n-1 permutation — a partially-written
+    // artifact is an integrity error, not a silently reordered table
+    require(byRank.map(_._1).sorted.sameElements(byRank.indices),
+      s"corrupt BPE model at $path: non-dense ranks over ${byRank.length} rows")
+    Model(byRank.sortBy(_._1).map(_._2).toSeq)
+  }
 }

@@ -59,4 +59,22 @@ class BpeSpec extends SparkSpec {
     assert(m.merges.size <= 2, m.merges)
     assert(m.encodeWord("ab") == Seq("ab" + Bpe.Eow))
   }
+
+  test("save/load roundtrips the merge table; corrupt artifacts are rejected") {
+    val df = (1L to 30L).map(i => (i, s"foo bar baz qux w$i")).toDF("id", "text")
+    val m = Bpe.train(df, "text", numMerges = 15)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    Bpe.save(m, spark, s"$dir/model")
+    val loaded = Bpe.load(spark, s"$dir/model")
+    assert(loaded.merges == m.merges)
+    // encodes identically through the loaded model
+    val enc1 = df.select(Bpe.encode(spark, col("text"), m)).as[Seq[String]].collect()
+    val enc2 = df.select(Bpe.encode(spark, col("text"), loaded)).as[Seq[String]].collect()
+    assert(enc1.toSeq == enc2.toSeq)
+    // integrity: a gapped rank table is rejected
+    spark.createDataFrame(Seq((0, "a", "b"), (2, "c", "d")))
+      .toDF("rank", "left", "right")
+      .write.mode("overwrite").parquet(s"$dir/bad")
+    intercept[IllegalArgumentException] { Bpe.load(spark, s"$dir/bad") }
+  }
 }
