@@ -726,6 +726,17 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- curation: blocklist (badword) gate, C4-style -----------------
+    // the synthetic vocabulary stands in for a badword list; frac is
+    // rounded on both sides to dodge double-division boundary drift
+    "q_blocklist_filter" -> ((s, dir) =>
+      graft.text.Curation.blocklistStats(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "text", Seq("spark", "window", "merge"), maxFrac = 0.02)
+        .select(col("doc_id"), col("n_words"), col("n_blocked"),
+          fround(col("blocked_frac"), 6).as("blocked_frac"), col("keep"))
+        .orderBy("doc_id")),
+
     // ---- curation: deterministic train/val/test split -----------------
     // 80/10/10 by md5-prefix uniform; membership is a pure function of
     // the id (stable eval sets under corpus growth).
@@ -1506,6 +1517,18 @@ object TextPipeline {
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(tok) AS BIGINT) AS n_tokens
          FROM w GROUP BY CUBE(lang, source) ORDER BY lang, source""",
+    "q_blocklist_filter" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
+           FROM documents),
+         c AS (SELECT doc_id, len(ws) AS n_words,
+             len(list_filter(ws, x -> x IN ('spark','window','merge'))) AS n_blocked
+           FROM w)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_blocked AS BIGINT) AS n_blocked,
+           floor((CAST(n_blocked AS DOUBLE)/n_words)*1000000.0+0.5)/1000000.0 AS blocked_frac,
+           (CAST(n_blocked AS DOUBLE)/n_words) <= 0.02 AS keep
+         FROM c ORDER BY doc_id""",
     "q_clean_text" ->
       """WITH d AS (SELECT doc_id,
              '  x' || chr(7) || 'y ' || replace(text, 'e', 'e' || chr(769))

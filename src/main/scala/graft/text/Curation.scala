@@ -265,6 +265,25 @@ object Curation {
       .drop("__w", "__copies")
   }
 
+  /** Blocklist (badword) gate, C4-style: per document, the number and
+    * fraction of normalized words that appear in `blocked`, plus the
+    * keep verdict (`blockedFrac <= maxFrac`). The blocklist inlines as
+    * an array literal filter — pure codegen'd column math, no shuffle,
+    * no join (real blocklists are hundreds of words; for a corpus-scale
+    * dynamic list, join a broadcast relation instead). */
+  def blocklistStats(df: DataFrame, textCol: String, blocked: Seq[String],
+                     maxFrac: Double = 0.0): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist")
+    val ws = words(col(textCol))
+    val blockedArr = array(blocked.map(w => lit(w.toLowerCase)): _*)
+    val nBlocked = size(filter(ws, w => array_contains(blockedArr, w)))
+    df.withColumn("n_words", size(ws).cast("long"))
+      .withColumn("n_blocked", nBlocked.cast("long"))
+      .withColumn("blocked_frac",
+        col("n_blocked").cast("double") / col("n_words"))
+      .withColumn("keep", col("blocked_frac") <= maxFrac)
+  }
+
   /** Deterministic train/val/test split: each row gets a split label
     * from the same md5-prefix uniform as [[hashSample]], cut at the
     * cumulative fractions of `splits` (ordered; the last split absorbs
