@@ -515,6 +515,27 @@ object Curation {
     spark.createDataFrame(indexed, schema).drop("__h")
   }
 
+  /** Training-shard export: write the corpus as `part=<k>` parquet
+    * shards of ~`rowsPerShard` rows in deterministic [[globalShuffle]]
+    * order. Shard membership is `shuffle_pos / rowsPerShard`, so every
+    * engine that re-derives the permutation finds the same row in the
+    * same shard — resumable training loaders address shards by number.
+    *
+    * Scale shape: the shuffle's range partitioning already clusters
+    * consecutive positions, so the `partitionBy` write sees few distinct
+    * shards per task — no extra exchange, no small-file explosion
+    * (maxRecordsPerFile bounds any straggler shard). */
+  def exportShards(df: DataFrame, idCol: String, seed: String,
+                   rowsPerShard: Long, outPath: String): Unit = {
+    require(rowsPerShard > 0, s"rowsPerShard must be positive, got $rowsPerShard")
+    globalShuffle(df, idCol, seed)
+      .withColumn("shard", floor(col("shuffle_pos") / rowsPerShard))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerShard)
+      .partitionBy("shard")
+      .parquet(outPath)
+  }
+
   /** Sequence packing: concatenate consecutive documents (id order
     * within each group) into training bins of ~`targetTokens`
     * whitespace tokens. Bin k of a group holds the docs whose running

@@ -345,4 +345,25 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan)
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
+
+  test("exportShards: deterministic shard layout, readable back, stable membership") {
+    val df = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    Curation.exportShards(df, "doc_id", seed = "r10", rowsPerShard = 100L, s"$dir/out")
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 500L)
+    // 5 shards of exactly 100 rows
+    val sizes = back.groupBy("shard").count()
+      .collect().map(r => r.getAs[Any](0).toString.toLong -> r.getLong(1)).toMap
+    assert(sizes == Map(0L -> 100L, 1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 100L), sizes)
+    // membership = md5-permutation position / 100, re-derivable
+    val expected = df.select(col("doc_id"),
+        md5(concat_ws(":", lit("r10"), col("doc_id").cast("string"))).as("h"))
+      .orderBy("h", "doc_id")
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, pos) => id -> pos / 100 }.toMap
+    val got = back.select(col("doc_id"), col("shard").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+  }
 }
