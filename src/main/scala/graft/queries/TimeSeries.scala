@@ -281,6 +281,30 @@ object TimeSeries {
         .orderBy("user_id", "t_us")
     }),
 
+    // streaming MAP_KALMAN through the gate: the (x, p) register crosses
+    // micro-batch boundaries and the full-stream output must hash-match
+    // the batch kernel's recursive-CTE oracle
+    "q_stream_kalman" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val src = s.readStream.schema(e0.schema)
+        .parquet(s"$dir/{events.parquet}") // {}-glob: a bare file path fails basePath inference
+      val in = src.filter(col("user_id") < 20)
+        .select(col("user_id").cast("string").as("name"),
+          tsNs(src).as("time"), col("value"))
+      val out = graft.streaming.StatefulOps.kalmanStream(in,
+        initVar = 1d, procVar = 0.01, obsVar = 4d)
+      val qn = "stream_ka_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(
+          col("name").cast(e0.schema("user_id").dataType).as("user_id"),
+          unix_micros(col("time")).as("t_us"),
+          r4(col("value")).as("kalman"))
+        .orderBy("user_id", "t_us")
+    }),
+
     // streaming MAP_DIFF through the gate: the previous-value state
     // crosses micro-batch boundaries; first record per tag emits null
     "q_stream_diff" -> ((s, dir) => {
@@ -714,6 +738,20 @@ object TimeSeries {
              lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
            FROM events WHERE user_id < 20)
          WHERE prev IS NULL OR prev <> value
+         ORDER BY user_id, t_us""",
+    "q_stream_kalman" ->
+      """WITH RECURSIVE base AS (
+           SELECT user_id, epoch_us(ts) AS t_us, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events WHERE user_id < 20),
+         rec AS (
+           SELECT user_id, t_us, rn, value AS x, CAST(1.0 AS DOUBLE) AS p FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.user_id, b.t_us, b.rn,
+             r.x + ((r.p + 0.01) / ((r.p + 0.01) + 4.0)) * (b.value - r.x),
+             (r.p + 0.01) * (1 - (r.p + 0.01) / ((r.p + 0.01) + 4.0))
+           FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+         SELECT user_id, t_us, round(x, 4) AS kalman FROM rec
          ORDER BY user_id, t_us""",
     "q_stream_diff" ->
       """SELECT user_id, t_us, round(value - prev, 4) AS diff FROM (
