@@ -77,4 +77,29 @@ class BpeSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/bad")
     intercept[IllegalArgumentException] { Bpe.load(spark, s"$dir/bad") }
   }
+
+  test("property: roundtrip holds for 200 random corpora and merge depths") {
+    val rnd = new scala.util.Random(20260815L) // seeded — failures reproduce
+    val alpha = "abcdefg"
+    def word() = (0 until (1 + rnd.nextInt(8)))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    for (trial <- 1 to 200) {
+      val vocab = (0 until (1 + rnd.nextInt(12))).map(_ => word())
+      val hist = vocab.distinct.map(w => (w, 1L + rnd.nextInt(50))).toArray
+      val m = Bpe.trainFromHistogram(hist, numMerges = 1 + rnd.nextInt(40))
+      // any text over the histogram's alphabet must roundtrip exactly
+      val text = (0 until (1 + rnd.nextInt(15)))
+        .map(_ => if (rnd.nextBoolean()) vocab(rnd.nextInt(vocab.size)) else word())
+        .mkString(" ")
+      val decoded = text.split(" ").filter(_.nonEmpty)
+        .flatMap(m.encodeWord).mkString("")
+        .replace(Bpe.Eow, " ").stripTrailing()
+      assert(decoded == text.split(" ").filter(_.nonEmpty).mkString(" "),
+        s"trial $trial: model=${m.merges} text=$text decoded=$decoded")
+      // encoded length never exceeds chars + words (one EOW per word)
+      val n = text.split(" ").filter(_.nonEmpty).map(m.encodeWord(_).size).sum
+      val words = text.split(" ").filter(_.nonEmpty)
+      assert(n >= words.length && n <= words.map(_.length).sum + words.length)
+    }
+  }
 }
