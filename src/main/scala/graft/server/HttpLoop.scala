@@ -71,8 +71,9 @@ object HttpLoop {
     })
     srv.createContext("/web/api", (ex: HttpExchange) => respond(ex) {
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val multi = parseQueryMulti(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
       val r = WebRoutes.route(session, ex.getRequestMethod,
-        ex.getRequestURI.getPath, body)
+        ex.getRequestURI.getPath, multi, body)
       (r.status, r.contentType, r.body.getBytes("UTF-8"))
     })
     srv.createContext("/lakes", (ex: HttpExchange) => respond(ex) {

@@ -1,6 +1,7 @@
 package graft.server
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import graft.sinks.GoJs
 
@@ -690,5 +691,69 @@ object WebApi {
       f("MAX_VALUE", DoubleType, "double"),
       f("MAX_VALUE_TIME", LongType, "datetime"),
       f("RECENT_ROW_TIME", LongType, "datetime"))), rows)
+  }
+
+  // ---- /web/api/tables REST surface (http_query.go:395-625) ------------
+
+  private def envelope(d: DataFrame, o: graft.sinks.Codecs.Options =
+      graft.sinks.Codecs.Options()): HttpReply =
+    HttpReply(200, "application/json",
+      graft.sinks.Codecs.render(d, "JSON", o))
+
+  /** `GET /web/api/tables?name=&showall=` — standard envelope of
+    * ROWNUM/DB/USER/NAME/TYPE. The `name` filter is a glob when it
+    * contains glob metacharacters, a PREFIX match otherwise
+    * (http_query.go:398-443). */
+  def tablesReply(spark: SparkSession,
+                  params: Map[String, Seq[String]]): HttpReply = {
+    def one(k: String) = params.get(k).flatMap(_.headOption).filter(_.nonEmpty)
+    val showAll = one("showall").exists(_.equalsIgnoreCase("true"))
+    val glob = one("name").map(_.toUpperCase).map { n =>
+      if (n.exists("*?[".contains(_))) n else n + "*"
+    }
+    envelope(tables(spark, showAll, glob))
+  }
+
+  /** `GET /web/api/tables/:table/tags?name=` — ROWNUM/NAME rows; the
+    * name filter is a prefix on the UPPERCASED query (the reference
+    * uppercases the filter but not the tag, http_query.go:476,522);
+    * a non-tag table replies 400 "not a tag table". */
+  def tagsReply(spark: SparkSession, table: String,
+                params: Map[String, Seq[String]]): HttpReply = {
+    val isTag = TagTables.allVisibleTables
+      .exists(t => t._1.equalsIgnoreCase(table) && t._2 == "Tag")
+    if (!isTag)
+      return HttpReply(400, "application/json",
+        """{"success":false,"reason":"not a tag table"}""")
+    val filter = params.get("name").flatMap(_.headOption)
+      .filter(_.nonEmpty).map(_.toUpperCase)
+    val d0 = tags(spark, table)
+    val d = filter.map(p => d0.filter(col("NAME").startsWith(p))).getOrElse(d0)
+    envelope(d)
+  }
+
+  /** `GET /web/api/tables/:table/tags/:tag/stat?timeformat=&tz=` —
+    * the per-tag stat envelope; datetime columns honor timeformat/tz
+    * exactly like /db/query (http_query.go:553-625). */
+  def tagStatReply(spark: SparkSession, table: String, tag: String,
+                   params: Map[String, Seq[String]]): HttpReply = {
+    def one(k: String) = params.get(k).flatMap(_.headOption).filter(_.nonEmpty)
+    var o = graft.sinks.Codecs.Options()
+    one("tz").foreach(z => o = o.copy(tz = graft.time.TimeFns.resolveTz(z)))
+    one("timeformat").foreach { fmt =>
+      fmt.toLowerCase match {
+        case "s" | "ms" | "us" | "ns" => o = o.copy(timeformat = Some(fmt.toLowerCase))
+        case _ =>
+          val (jp, trim) = graft.time.TimeFns.resolveNamedOrGoFormat(fmt)
+          o = o.copy(timeformat = Some(jp), trimFractionZeros = trim)
+      }
+    }
+    try envelope(tagStat(spark, table, tag), o)
+    catch {
+      case e: Exception =>
+        val m = Option(e.getMessage).filter(_.nonEmpty).getOrElse(e.toString)
+        HttpReply(500, "application/json",
+          s"""{"success":false,"reason":${graft.sinks.GoJs.quote(m)}}""")
+    }
   }
 }

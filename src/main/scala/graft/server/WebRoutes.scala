@@ -15,10 +15,20 @@ object WebRoutes {
 
   /** Dispatch one request under the `/web/api` prefix. */
   def route(spark: SparkSession, method: String, path: String,
-            body: String): WebApi.HttpReply = {
+            body: String): WebApi.HttpReply =
+    route(spark, method, path, Map.empty, body)
+
+  def route(spark: SparkSession, method: String, path: String,
+            query: Map[String, Seq[String]], body: String): WebApi.HttpReply = {
     val parts = path.stripPrefix("/web/api").stripPrefix("/")
       .split("/", -1).toList.filter(_.nonEmpty)
     (method.toUpperCase, parts) match {
+      // tables / tags / tag stat (http.go:277-280)
+      case ("GET", List("tables")) => WebApi.tablesReply(spark, query)
+      case ("GET", List("tables", table, "tags")) =>
+        WebApi.tagsReply(spark, table, query)
+      case ("GET", List("tables", table, "tags", tag, "stat")) =>
+        WebApi.tagStatReply(spark, table, tag, query)
       // timers (http.go:310-315)
       case ("GET", List("timers")) => WebApi.timersList(spark)
       case ("GET", List("timers", name)) => WebApi.timerGet(spark, name)

@@ -369,6 +369,42 @@ class WebApiSpec extends SparkSpec {
     assert(nc == 404 && nb.contains("not found"), nb)
   }
 
+  test("/web/api/tables REST routes: envelope, prefix vs glob filter, non-tag 400") {
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create tag table example (NAME varchar(100) primary key, TIME datetime basetime, VALUE double summarized)")
+    try {
+      TagTables.insert(spark, "example", Seq("NAME", "TIME", "VALUE"),
+        Seq("temp", Long.box(tick), Double.box(3.14)))
+      TagTables.insert(spark, "example", Seq("NAME", "TIME", "VALUE"),
+        Seq("test.query", Long.box(tick), Double.box(1.0)))
+      QueryDoor.execute(spark, "exec table_flush('example')")
+      def route(path: String, q: Map[String, Seq[String]] = Map.empty) =
+        graft.server.WebRoutes.route(spark, "GET", s"/web/api$path", q, "")
+      // bare name filter = PREFIX semantics (EXAM matches EXAMPLE)
+      val pref = route("/tables", Map("name" -> Seq("exam")))
+      assert(pref.status == 200 && pref.body.contains("\"EXAMPLE\""), pref.body)
+      assert(!pref.body.contains("TAG_DATA"), pref.body)
+      // glob filter passes through unchanged
+      val glob = route("/tables", Map("name" -> Seq("*DATA*"), "showall" -> Seq("true")))
+      assert(glob.body.contains("LOG_DATA") && glob.body.contains("_EXAMPLE_DATA_0"), glob.body)
+      // tags with prefix filter (uppercased filter vs raw names)
+      val tg = route("/tables/example/tags", Map("name" -> Seq("te")))
+      assert(tg.status == 200, tg.body)
+      assert(!tg.body.contains("temp") || !tg.body.contains("test.query") ||
+        tg.body.contains("\"rows\":[]"), tg.body) // 'TE' prefix-matches neither raw name
+      val tgAll = route("/tables/example/tags")
+      assert(tgAll.body.contains("temp") && tgAll.body.contains("test.query"), tgAll.body)
+      // per-tag stat through the route with epoch-ms timeformat
+      val st = route("/tables/example/tags/temp/stat", Map("timeformat" -> Seq("ms")))
+      assert(st.status == 200 && st.body.contains("\"ROW_COUNT\""), st.body)
+      assert(st.body.contains((tick / 1000000L).toString), st.body)
+      // a log table is not a tag table
+      val bad = route("/tables/log_data/tags")
+      assert(bad.status == 400 && bad.body.contains("not a tag table"), bad.body)
+    } finally QueryDoor.execute(spark, "drop table example")
+  }
+
   test("/web/api/refs returns the reference-link tree (http.go:1812-1847)") {
     val root = WebApi.refs("/")
     assert(root.status == 200 && root.body.contains(""""label":"REFERENCES""""), root.body)
