@@ -402,9 +402,15 @@ object Curation {
       .select(col(idCol), posexplode(wordNgramsOf(col("__ws"), n)).as(Seq("pos", "gram")))
       .select(col(idCol), col("pos").cast("long").as("pos"), // generator pos is int
         xxhash64(col("gram")).as("__gh")) // gram string dropped pre-shuffle
-    // distinct docs per gram: each doc contributes a gram once, so the
-    // gram-partitioned count of the deduped relation IS docs-with-gram
-    val dupGrams = posGrams.select(col(idCol), col("__gh")).distinct()
+    // distinct docs per gram: dedupe WITHIN each doc's row via
+    // array_distinct BEFORE the explode, so the docs-per-gram count is
+    // one partial-agg shuffle of bare hashes — no shuffle-distinct of
+    // the full (id, gram) stream (the interpreted per-element xxhash64
+    // lambda is CPU the exchange it replaces would dwarf)
+    val dupGrams = docs
+      .select(words(col(textCol)).as("__ws"))
+      .select(explode(array_distinct(
+        transform(wordNgramsOf(col("__ws"), n), g => xxhash64(g)))).as("__gh"))
       .groupBy("__gh").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("__gh")

@@ -24,7 +24,14 @@ object ProfSpans {
       val pg = if (hashGrams)
         pg0.select(col("doc_id"), col("pos").cast("long").as("pos"), xxhash64(col("gram")).as("g"))
       else pg0.select(col("doc_id"), col("pos").cast("long").as("pos"), col("gram").as("g"))
-      val dup = pg.select(col("doc_id"), col("g")).distinct()
+      val dup = if (hashGrams) {
+        // per-doc array_distinct BEFORE explode: one partial-agg shuffle,
+        // no shuffle-distinct of the (id, gram) stream
+        docs.select(words(col("text")).as("__ws"))
+          .select(explode(array_distinct(
+            transform(grams(col("__ws")), g => xxhash64(g)))).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("g")
+      } else pg.select(col("doc_id"), col("g")).distinct()
         .groupBy("g").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("g")
       val j = pg.join(dup, Seq("g"), "left_semi")
       val byPos = Window.partitionBy("doc_id").orderBy("pos")
