@@ -38,6 +38,21 @@ object Bpe {
     @transient lazy val rank: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
 
+    /** word -> encoding memo (every production BPE encoder carries one:
+      * natural-language word frequency is Zipfian, so the hit rate is
+      * ~99% after a few thousand documents). Bounded; thread-safe for
+      * expression instances shared across tasks. */
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+    def encodeWordCached(word: String): Seq[String] = {
+      val hit = memo.get(word)
+      if (hit != null) return hit
+      val enc = encodeWord(word)
+      if (memo.size < 262144) memo.put(word, enc)
+      enc
+    }
+
     /** Encode one word (no whitespace) into BPE symbols. Classic
       * greedy lowest-rank-first merging over the symbol sequence. */
     def encodeWord(word: String): Seq[String] = {
@@ -143,7 +158,7 @@ object Bpe {
       val text = input.asInstanceOf[UTF8String].toString
       val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
       val out = Seq.newBuilder[UTF8String]
-      words.foreach(w => model.encodeWord(w)
+      words.foreach(w => model.encodeWordCached(w)
         .foreach(s => out += UTF8String.fromString(s)))
       new GenericArrayData(out.result())
     }
