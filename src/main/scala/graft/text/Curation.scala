@@ -160,16 +160,20 @@ object Curation {
     * hash join back to the gram stream, then a per-doc re-aggregation. */
   def dupNgramRate(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
-    val grams = explodedGrams(docs, idCol, textCol, n, distinctPerDoc = true)
+    // gram identity travels as xxhash64 — 8-byte shuffle/join keys, same
+    // trade as duplicateSpans (collisions merge one gram pair, ~never)
+    val grams = docs.select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(array_distinct(
+        transform(wordNgramsOf(col("__ws"), n), g => xxhash64(g)))).as("__gh"))
     // each doc contributes a gram at most once (array_distinct), so the
     // gram-keyed count IS docs-with-gram. The count rides a partial
     // aggregation + shuffle-join back, NOT a gram-partitioned window: a
     // stopword-ish gram present in (nearly) every document would force a
     // window to buffer that whole key in one task, while the hash join
     // streams the hot key's probe rows against a single build row.
-    val docsWith = grams.groupBy("gram")
+    val docsWith = grams.groupBy("__gh")
       .agg(count(lit(1)).as("n_docs_with"))
-    grams.join(docsWith, Seq("gram"))
+    grams.join(docsWith, Seq("__gh"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
