@@ -254,13 +254,27 @@ object Curation {
                       weights: Map[String, Double]): DataFrame = {
     require(weights.values.forall(w => w >= 0 && w < 1000),
       s"weights must be in [0, 1000), got $weights")
-    val wCol = weights.foldLeft(lit(0.0)) { case (acc, (g, w)) =>
-      when(col(groupCol) === g, lit(w)).otherwise(acc)
-    }
+    // small maps inline as a when-chain (pure codegen); past ~100
+    // entries the chain's O(|weights|) expression depth bloats codegen,
+    // so the weight map becomes a broadcast-joined relation — the same
+    // threshold split as [[mixtureSample]]
+    val weighted =
+      if (weights.size <= 100) {
+        val wCol = weights.foldLeft(lit(0.0)) { case (acc, (g, w)) =>
+          when(col(groupCol) === g, lit(w)).otherwise(acc)
+        }
+        df.withColumn("__w", wCol)
+      } else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val wdf = weights.toSeq.toDF("__mix_g", "__w")
+        df.join(broadcast(wdf), col(groupCol) === col("__mix_g"))
+          .drop("__mix_g")
+      }
     // md5-prefix uniform in [0,1): 4 hex chars / 0x10000, as hashSample
     val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("double") / 65536.0
-    df.withColumn("__w", wCol)
+    weighted
       .withColumn("__copies",
         (floor(col("__w")) + when(u < col("__w") - floor(col("__w")), 1)
           .otherwise(0)).cast("int"))

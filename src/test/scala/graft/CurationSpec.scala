@@ -338,6 +338,19 @@ class CurationSpec extends SparkSpec {
     assert(got(("de", 0L)) == (1L, "neun"), got)
   }
 
+  test("upsampleMixture: a 1k-group weight map plans a broadcast join, same rows as inline") {
+    val df = (1L to 500L).map(i => (i, s"g${i % 40}")).toDF("doc_id", "source")
+    val small = (0 until 40).map(g => s"g$g" -> 2.5).toMap
+    val big = small ++ (1000 until 1961).map(g => s"x$g" -> 1.0).toMap // same live groups, >100 entries
+    val inline = Curation.upsampleMixture(df, "source", "doc_id", small)
+      .collect().map(_.toSeq).toSet
+    val planned = Curation.upsampleMixture(df, "source", "doc_id", big)
+    val plan = planned.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "weight map must join, not inline, past the when-chain threshold: " + plan)
+    assert(planned.collect().map(_.toSeq).toSet == inline)
+  }
+
   test("upsampleMixture plans generator-only: no shuffle, no join") {
     val df = (1L to 50L).map(i => (i, "w")).toDF("doc_id", "source")
     val plan = Curation.upsampleMixture(df, "source", "doc_id", Map("w" -> 2.5))
