@@ -283,6 +283,46 @@ object Curation {
       .drop("__w", "__copies")
   }
 
+  /** Temperature-scaled mixture weights — the "how much of each source"
+    * step BEFORE [[mixtureSample]]/[[upsampleMixture]] consume the knobs.
+    * Standard multilingual/multi-source recipe (T5, PaLM, XLM-R): a
+    * source of size nₛ samples with probability ∝ nₛ^α, α ∈ (0,1]
+    * flattening the natural distribution so small sources are not
+    * drowned. Emits per group: size, sampling probability, and the
+    * effective epochs over that source a prob-proportional token budget
+    * implies. One partial-aggregated shuffle over the corpus; the
+    * normalization total is an exact decimal sum of 6-dp-rounded
+    * weights, so the output is partitioning-independent. */
+  def temperatureMix(df: DataFrame, groupCol: String, sizeCol: String,
+                     alpha: Double): DataFrame = {
+    def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val g = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum(sizeCol).as("n_size"))
+      .withColumn("__w", r6(pow(col("n_size").cast("double"), lit(alpha))))
+    val tot = g.agg(
+      sum(col("__w").cast("decimal(38,6)")).cast("double").as("__tw"),
+      sum("n_docs").as("__td"))
+    g.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("n_size"),
+        r6(col("__w") / col("__tw")).as("prob"),
+        r6(col("__w") / col("__tw") * col("__td") / col("n_docs")).as("epochs"))
+  }
+
+  /** Global heavy hitters: the k most frequent word n-grams with their
+    * total occurrence and distinct-document counts — the boilerplate /
+    * template-text detector run before span-level dedup. Partial
+    * aggregation combines counts map-side, and the top-k is a
+    * distributed TakeOrderedAndProject merge (never a global sort of
+    * the gram universe); ties break lexicographically so the cut is
+    * deterministic. */
+  def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, k: Int): DataFrame =
+    explodedGrams(docs, idCol, textCol, n, distinctPerDoc = false)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("gram").asc)
+      .limit(k)
+
   /** Blocklist (badword) gate, C4-style: per document, the number and
     * fraction of normalized words that appear in `blocked`, plus the
     * keep verdict (`blockedFrac <= maxFrac`). The blocklist inlines as
