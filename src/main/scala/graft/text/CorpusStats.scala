@@ -1,0 +1,164 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistical analysis for training-data pipelines:
+  * per-document unigram entropy (a quality signal), PMI collocation
+  * mining, per-source distribution drift (KL vs the corpus), pairwise
+  * source n-gram overlap, and asymmetric containment detection.
+  *
+  * Determinism: every cross-row double reduction (entropy term sums,
+  * KL term sums) rounds each term and accumulates in DECIMAL, so the
+  * result is partitioning-independent and bit-matches a single-threaded
+  * relational engine running the same recipe. Per-row math (logs,
+  * ratios) is a fixed instruction sequence on both engines.
+  *
+  * Scale notes (the 100 TB shapes):
+  *   - entropy/KL/PMI are (key, word)-grained partial-aggregated
+  *     shuffles — the corpus text is tokenized exactly once per pass
+  *     and never self-joined.
+  *   - crossOverlap never self-joins the gram stream: grams collapse
+  *     to a per-gram sorted source set (bounded by |sources|), and
+  *     pairs explode from that set — O(grams · pairs-per-gram), not
+  *     O(grams²-per-bucket).
+  *   - containmentPairs is block-scoped like [[graft.dedup.Dedup
+  *     .jaccardPairs]]: the self-join key is the caller's block column,
+  *     and the intersection runs on sorted distinct gram arrays.
+  */
+object CorpusStats {
+  private def fr(c: Column, scale: Int): Column = {
+    val p = math.pow(10d, scale.toDouble)
+    floor(c * p + 0.5d) / p
+  }
+
+  /** Per-document unigram Shannon entropy (bits), word and distinct-word
+    * counts. entropy = log2(n) − Σ c·log2(c) / n over the document's
+    * word histogram; the term sum goes through 9-dp decimal so the
+    * per-doc value cannot drift with partitioning. Two shuffles, both
+    * partial-aggregated: (doc, word) then (doc). */
+  def wordEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wc = docs
+      .select(col(idCol), explode(Curation.words(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+    wc.groupBy(col(idCol))
+      .agg(
+        sum("__c").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(fr(col("__c") * log2(col("__c")), 9).cast("decimal(38,9)")).as("__s"))
+      .select(col(idCol), col("n_words"), col("n_distinct"),
+        fr(log2(col("n_words")) -
+          col("__s").cast("double") / col("n_words"), 6).as("entropy"))
+  }
+
+  /** Collocation mining: the k adjacent word pairs with the highest
+    * pointwise mutual information, over pairs seen at least `minCount`
+    * times. pmi = ln(c_ab) + 2·ln(N) − ln(B) − ln(c_a) − ln(c_b) — the
+    * all-log form has no cross-row float reduction, so it is exact per
+    * row. Unigram/bigram counts are partial-aggregated shuffles; the
+    * count relations join on the word keys (broadcast when small, AQE
+    * otherwise); top-k is a distributed TakeOrdered merge. */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Long, k: Int): DataFrame = {
+    val ws = docs.select(Curation.words(col(textCol)).as("__ws"))
+    val uni = ws.select(explode(col("__ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val biAll = ws.select(explode(Curation.wordNgramsOf(col("__ws"), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_pair"))
+    val bi = biAll.filter(col("n_pair") >= minCount)
+    val tot = uni.agg(sum("cw").as("n_tot"))
+    val btot = biAll.agg(sum("n_pair").as("b_tot"))
+    val w12 = bi
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .withColumn("w2", split(col("pair"), " ").getItem(1))
+    w12
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .select(col("pair"), col("n_pair"),
+        fr(log(col("n_pair")) + lit(2d) * log(col("n_tot")) -
+          log(col("b_tot")) - log(col("c1")) - log(col("c2")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** Distribution drift per source: KL(source ‖ corpus) over unigram
+    * word distributions, plus the source token count. KL terms
+    * (c/T_s)·(ln c − ln T_s − ln C_w + ln N) accumulate through 12-dp
+    * decimal per source. One tokenize pass; the corpus marginal is a
+    * re-aggregation of the (source, word) counts, joined back on the
+    * word key; source totals broadcast. */
+  def sourceKl(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val wc = docs
+      .select(col(srcCol).as("src"), explode(Curation.words(col(textCol))).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("c"))
+    val corpus = wc.groupBy("w").agg(sum("c").as("cw"))
+    val totals = wc.groupBy("src").agg(sum("c").as("ts"))
+    val n = totals.agg(sum("ts").as("n"))
+    val term = fr((col("c") / col("ts")) *
+      (log(col("c")) - log(col("ts")) - log(col("cw")) + log(col("n"))), 12)
+    wc.join(corpus, "w")
+      .join(broadcast(totals), "src")
+      .crossJoin(broadcast(n))
+      .groupBy(col("src").as(srcCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(term.cast("decimal(38,12)")).as("__kl"))
+      .select(col(srcCol), col("n_tokens"),
+        fr(col("__kl").cast("double"), 6).as("kl"))
+  }
+
+  /** Pairwise source overlap matrix: for every source pair (a < b), the
+    * number of distinct word n-grams both contain and the Jaccard of
+    * their gram sets. The gram stream is never self-joined: each gram
+    * collapses to its sorted source set (≤ |sources| entries) and the
+    * ordered pairs explode from that — at 100 TB the shuffle carries
+    * (gram, set) rows, not gram×gram candidates. */
+  def crossOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val sg = docs
+      .select(col(srcCol).as("src"), Curation.words(col(textCol)).as("__ws"))
+      .select(col("src"),
+        explode(array_distinct(Curation.wordNgramsOf(col("__ws"), n))).as("gram"))
+      .distinct()
+    val totals = sg.groupBy("src").agg(count(lit(1)).as("n"))
+    val pairs = sg.groupBy("gram")
+      .agg(array_sort(collect_set(col("src"))).as("ss"))
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))), b =>
+          struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(totals.select(col("src").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(totals.select(col("src").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        fr(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6)
+          .as("jaccard"))
+  }
+
+  /** Asymmetric near-duplication: ordered pairs (a, b) in the same block
+    * where at least `threshold` of a's distinct word n-grams also occur
+    * in b — the sub-document/quotation detector Jaccard misses (a short
+    * doc fully quoted inside a long one scores low symmetric Jaccard but
+    * containment 1.0). Self-join is block-scoped; the intersection runs
+    * on per-doc sorted distinct gram arrays via codegen'd
+    * array_intersect. */
+  def containmentPairs(docs: DataFrame, blockCol: String, n: Int,
+                       threshold: Double, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val g = docs
+      .select(col(idCol), col(blockCol).as("__blk"),
+        Curation.words(col(textCol)).as("__ws"))
+      .select(col(idCol), col("__blk"),
+        array_sort(array_distinct(Curation.wordNgramsOf(col("__ws"), n))).as("__g"))
+      .filter(size(col("__g")) > 0)
+    val a = g.select(col(idCol).as("doc_a"), col("__blk"), col("__g").as("ga"))
+    val b = g.select(col(idCol).as("doc_b"), col("__blk"), col("__g").as("gb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .withColumn("containment",
+        fr(size(array_intersect(col("ga"), col("gb"))) / size(col("ga")), 6))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+}

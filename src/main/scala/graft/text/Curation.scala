@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   /** Normalized word stream: lowercase, whitespace runs collapsed. */
-  private def words(text: Column): Column =
+  private[text] def words(text: Column): Column =
     split(regexp_replace(lower(text), "\\s+", " "), " ")
 
   /** Whitespace token count over the normalized word stream. */
@@ -60,7 +60,7 @@ object Curation {
   /** (id, gram) stream with the word array materialized once per row —
     * the split/regex runs per DOCUMENT, not per gram position. The
     * distinct flag dedups grams within a document before the explode. */
-  private def explodedGrams(df: DataFrame, idCol: String, textCol: String,
+  private[text] def explodedGrams(df: DataFrame, idCol: String, textCol: String,
                             n: Int, distinctPerDoc: Boolean): DataFrame = {
     val grams0 = wordNgramsOf(col("__ws"), n)
     val grams = if (distinctPerDoc) array_distinct(grams0) else grams0

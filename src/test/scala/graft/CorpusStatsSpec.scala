@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.CorpusStats
+
+/** Corpus-statistics wave: entropy, PMI, KL drift, overlap matrix,
+  * containment, cohort retention. */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordEntropy: uniform doc hits log2(k), repeated single word hits 0") {
+    val df = Seq(
+      (1L, "a b c d"),     // 4 distinct, uniform -> 2 bits
+      (2L, "x x x x"),     // degenerate -> 0 bits
+      (3L, "a a b b")      // 2 symbols uniform -> 1 bit
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.wordEntropy(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 4L, 4L, 2.0), (2L, 4L, 1L, 0.0), (3L, 4L, 2L, 1.0)), got.toSeq)
+  }
+
+  test("wordEntropy is partitioning-independent (decimal term sums)") {
+    val rows = (0L until 50L).map(i => (i, s"w${i % 7} w${i % 3} w${i % 5} common text here"))
+    val a = CorpusStats.wordEntropy(rows.toDF("doc_id", "text").repartition(1),
+      "doc_id", "text").orderBy("doc_id").collect().toSeq
+    val b = CorpusStats.wordEntropy(rows.toDF("doc_id", "text").repartition(17),
+      "doc_id", "text").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("pmiCollocations ranks an exclusive pair above an independent one") {
+    // "hong kong" always co-occur and never elsewhere; "the cat" is diluted
+    val docs = (Seq.fill(6)("hong kong") ++ Seq.fill(6)("the cat") ++
+      Seq.fill(12)("the dog cat fish")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = CorpusStats.pmiCollocations(docs.toDF("doc_id", "text"), "text",
+      minCount = 5L, k = 3).collect()
+    assert(got.head.getString(0) == "hong kong", got.mkString(","))
+    val pmis = got.map(_.getDouble(2))
+    assert(pmis.sliding(2).forall(p => p(0) >= p(1)), pmis.toSeq)
+  }
+
+  test("sourceKl: a source matching the corpus mix scores far below a skewed one") {
+    // balanced has the corpus's own 50/50 a-b mix; skew is all-a
+    val docs = Seq.tabulate(20)(i => (i.toLong, "bal", "a b")) ++
+      Seq.tabulate(10)(i => ((100 + i).toLong, "skew", "a a"))
+    val got = CorpusStats.sourceKl(docs.toDF("doc_id", "source", "text"),
+      "source", "text").collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("skew") > got("bal"), got)
+    assert(got("bal") < 0.2 && got("skew") > 0.2, got)
+  }
+
+  test("crossOverlap counts shared distinct grams and never self-joins the gram stream") {
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta"),
+      (2L, "s2", "alpha beta gamma other"),
+      (3L, "s3", "totally different words here")).toDF("doc_id", "source", "text")
+    val df = CorpusStats.crossOverlap(docs, "source", "text", n = 3)
+    val got = df.collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // s1 {abg, bgd}, s2 {abg, bgo} share exactly "alpha beta gamma"
+    assert(got(("s1", "s2")) == ((1L, math.floor(1.0 / 3.0 * 1e6 + 0.5) / 1e6)), got)
+    assert(!got.contains(("s1", "s3")) && !got.contains(("s2", "s3")), got)
+    // scale shape: one aggregation over (gram -> source set); no join keyed on gram
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(!plan.toLowerCase.contains("join gram"), plan)
+  }
+
+  test("containmentPairs is asymmetric: the quoted doc scores 1.0, its host much lower") {
+    val small = "one two three four five"          // 3 trigrams, all inside big
+    val big = "zero one two three four five six seven eight nine ten"
+    val docs = Seq((1L, "blk", small), (2L, "blk", big), (3L, "blk", "unrelated junk text"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.containmentPairs(docs, "source", n = 3, threshold = 0.0,
+        idCol = "doc_id", textCol = "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 2L)) == 1.0, got)
+    assert(got((2L, 1L)) < 0.5, got)
+  }
+
+  test("retention gate query: offsets start at 0 and cohort sizes are monotone non-increasing") {
+    val got = graft.queries.Analytics.defs("q_retention")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val byCohort = got.groupBy(_._1)
+    byCohort.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._2 == 0L, sorted.toSeq)           // week 0 present
+      assert(sorted.head._3 == sorted.map(_._3).max, sorted.toSeq) // week 0 is the peak
+    }
+  }
+}
