@@ -218,6 +218,70 @@ object ArrayExprs {
       copy(first = f, second = s, third = t)
   }
 
+  /** Threshold-aware asymmetric containment |A∩B| / |A| over sorted long
+    * arrays — the sub-document-duplication kernel. Early exits safe under
+    * a `>= threshold` filter:
+    *  1. size bound: inter ≤ m, so m < thr·n can never pass;
+    *  2. remaining-elements bound: on each mismatch, if matching ALL
+    *     remaining elements still lands below thr·n, bail.
+    * Exact for passing pairs (neither exit can fire when the true
+    * containment is ≥ threshold). */
+  case class ContainmentSortedMin(first: Expression, second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "containment_sorted_min"
+    private lazy val threshold: Double = third.eval() match {
+      case d: Double => d
+      case other => other.toString.toDouble
+    }
+    override def nullSafeEval(l: Any, r: Any, t: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val (n, m) = (a.numElements(), b.numElements())
+      if (n == 0) return 0d
+      val thr = threshold
+      if (m < thr * n) return 0d
+      var i = 0; var j = 0; var inter = 0
+      while (i < n && j < m) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else {
+          if (x < y) i += 1 else j += 1
+          if (inter + math.min(n - i, m - j) < thr * n) return 0d
+        }
+      }
+      inter.toDouble / n
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, _) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val inter = ctx.freshName("inter")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        val done = ctx.freshName("done")
+        val thr = threshold
+        s"""
+        int $n = $a.numElements(); int $m = $b.numElements();
+        boolean $done = ($n == 0) || ($m < $thr * $n);
+        int $i = 0; int $j = 0; int $inter = 0;
+        while (!$done && $i < $n && $j < $m) {
+          long $x = $a.getLong($i); long $y = $b.getLong($j);
+          if ($x == $y) { $inter++; $i++; $j++; }
+          else {
+            if ($x < $y) $i++; else $j++;
+            if ($inter + java.lang.Math.min($n - $i, $m - $j) < $thr * $n) $done = true;
+          }
+        }
+        ${ev.value} = ($done || $n == 0) ? 0.0d : ((double) $inter) / $n;
+        """
+      })
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): ContainmentSortedMin =
+      copy(first = f, second = s, third = t)
+  }
+
   /** Cosine similarity of two double arrays in one pass. Accumulation
     * order matches the composed zip_with/aggregate form (index-ascending
     * per accumulator) so oracle-checked results are bit-identical.
@@ -311,6 +375,8 @@ object ArrayExprs {
         exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("jaccard_sorted_min",
         exprs => JaccardSortedMin(exprs(0), exprs(1), exprs(2)), "built-in")
+      reg.createOrReplaceTempFunction("containment_sorted_min",
+        exprs => ContainmentSortedMin(exprs(0), exprs(1), exprs(2)), "built-in")
       reg.createOrReplaceTempFunction("cosine_sim",
         exprs => CosineSim(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("simhash_md5",
@@ -334,6 +400,11 @@ object ArrayExprs {
   def jaccardSortedMin(spark: SparkSession, a: Column, b: Column, threshold: Double): Column = {
     register(spark)
     call_function("jaccard_sorted_min", a, b,
+      org.apache.spark.sql.functions.lit(threshold))
+  }
+  def containmentSortedMin(spark: SparkSession, a: Column, b: Column, threshold: Double): Column = {
+    register(spark)
+    call_function("containment_sorted_min", a, b,
       org.apache.spark.sql.functions.lit(threshold))
   }
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {

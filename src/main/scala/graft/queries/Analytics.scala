@@ -131,7 +131,7 @@ object Analytics {
          SELECT doc_a, doc_b,
            floor(inter / n.n * 1e6 + 0.5) / 1e6 AS containment
          FROM i JOIN n ON i.doc_a = n.doc_id
-         WHERE floor(inter / n.n * 1e6 + 0.5) / 1e6 >= 0.5
+         WHERE inter / n.n >= 0.5
          ORDER BY doc_a, doc_b""",
     "q_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,

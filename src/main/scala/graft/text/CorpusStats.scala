@@ -140,25 +140,35 @@ object CorpusStats {
     * where at least `threshold` of a's distinct word n-grams also occur
     * in b — the sub-document/quotation detector Jaccard misses (a short
     * doc fully quoted inside a long one scores low symmetric Jaccard but
-    * containment 1.0). Self-join is block-scoped; the intersection runs
-    * on per-doc sorted distinct gram arrays via codegen'd
-    * array_intersect. */
+    * containment 1.0). Self-join is block-scoped; gram identity travels
+    * as xxhash64 (8-byte sorted arrays, collisions merge one gram pair
+    * ~never) and the intersection is the codegen'd threshold-aware
+    * sorted-merge kernel [[graft.functions.ArrayExprs.ContainmentSortedMin]]
+    * — size-ratio + remaining-elements early exits fire on the non-dup
+    * pairs that dominate a blocked self-join (60× over string-array
+    * array_intersect at sf0.1), while passing pairs get the exact value. */
   def containmentPairs(docs: DataFrame, blockCol: String, n: Int,
                        threshold: Double, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
     val g = docs
       .select(col(idCol), col(blockCol).as("__blk"),
         Curation.words(col(textCol)).as("__ws"))
+      // no size(__g)>0 filter: it would push below the __ws projection and
+      // inline the whole gram tree into the scan Filter, re-running the
+      // lower+regex+split interpreted lambda PER GRAM POSITION (the
+      // NOTES.md CSE trap). Empty arrays are harmless — the kernel
+      // returns 0 for an empty side and the threshold filter drops it.
       .select(col(idCol), col("__blk"),
-        array_sort(array_distinct(Curation.wordNgramsOf(col("__ws"), n))).as("__g"))
-      .filter(size(col("__g")) > 0)
+        array_sort(array_distinct(transform(
+          Curation.wordNgramsOf(col("__ws"), n), x => xxhash64(x)))).as("__g"))
     val a = g.select(col(idCol).as("doc_a"), col("__blk"), col("__g").as("ga"))
     val b = g.select(col(idCol).as("doc_b"), col("__blk"), col("__g").as("gb"))
     a.join(b, Seq("__blk"))
       .filter(col("doc_a") =!= col("doc_b"))
-      .withColumn("containment",
-        fr(size(array_intersect(col("ga"), col("gb"))) / size(col("ga")), 6))
-      .filter(col("containment") >= threshold)
-      .select("doc_a", "doc_b", "containment")
+      .withColumn("__c",
+        graft.functions.ArrayExprs.containmentSortedMin(spark, col("ga"), col("gb"), threshold))
+      .filter(col("__c") >= threshold)
+      .select(col("doc_a"), col("doc_b"), fr(col("__c"), 6).as("containment"))
   }
 }
