@@ -115,10 +115,13 @@ object CorpusStats {
     * (gram, set) rows, not gram×gram candidates. */
   def crossOverlap(docs: DataFrame, srcCol: String, textCol: String,
                    n: Int): DataFrame = {
+    // gram identity travels as xxhash64 — the gram string never reaches
+    // the output, so the distinct/groupBy keys shuffle as 8-byte longs
     val sg = docs
       .select(col(srcCol).as("src"), Curation.words(col(textCol)).as("__ws"))
       .select(col("src"),
-        explode(array_distinct(Curation.wordNgramsOf(col("__ws"), n))).as("gram"))
+        explode(array_distinct(transform(
+          Curation.wordNgramsOf(col("__ws"), n), x => xxhash64(x)))).as("gram"))
       .distinct()
     val totals = sg.groupBy("src").agg(count(lit(1)).as("n"))
     val pairs = sg.groupBy("gram")
