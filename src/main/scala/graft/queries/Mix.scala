@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.similarity.Kmeans
+import graft.similarity.{Kmeans, Pca}
 import graft.text.Curation
 import Q._
 
@@ -34,7 +34,18 @@ object Mix {
     "q_heavy_hitters" -> ((s, dir) =>
       Curation.heavyHitters(t(s, dir, "documents"), "doc_id", "text",
           n = 3, k = 20)
-        .orderBy(col("n_occ").desc, col("gram"))))
+        .orderBy(col("n_occ").desc, col("gram"))),
+
+    // ---- embedding covariance (first 8 dims, decimal-exact) -----------
+    "q_embedding_cov" -> ((s, dir) =>
+      Pca.covariance(t(s, dir, "embeddings"), "embedding", dims = 8)
+        .orderBy("i", "j")),
+
+    // ---- deterministic md5-signed random projection to 8 dims ---------
+    "q_random_projection" -> ((s, dir) =>
+      Pca.randomProjection(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, dims = 64)
+        .orderBy("vec_id", "k")))
 
   val oracles: Map[String, String] = Map(
     // three assignment passes (a1/a2 Lloyd, a3 final) with decimal-exact
@@ -128,5 +139,39 @@ object Mix {
              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gram FROM w)
          SELECT gram, CAST(count(*) AS BIGINT) AS n_occ,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-         FROM g GROUP BY 1 ORDER BY n_occ DESC, gram LIMIT 20""")
+         FROM g GROUP BY 1 ORDER BY n_occ DESC, gram LIMIT 20""",
+    "q_embedding_cov" ->
+      """WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         dims AS (SELECT unnest(generate_series(1, 8)) AS pos),
+         m AS (SELECT pos,
+             CAST(sum(CAST(v[pos] AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS mu
+           FROM e CROSS JOIN dims GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM e),
+         d AS (SELECT a.pos AS pi, b.pos AS pj
+           FROM dims a JOIN dims b ON a.pos <= b.pos),
+         t AS (SELECT d.pi, d.pj,
+             floor((e.v[d.pi] - mi.mu) * (e.v[d.pj] - mj.mu) * 1e9 + 0.5) / 1e9
+               AS term
+           FROM e CROSS JOIN d
+             JOIN m mi ON mi.pos = d.pi JOIN m mj ON mj.pos = d.pj)
+         SELECT CAST(pi - 1 AS INT) AS i, CAST(pj - 1 AS INT) AS j,
+           floor(CAST(sum(CAST(term AS DECIMAL(38,9))) AS DOUBLE) / (n.n - 1)
+             * 1e6 + 0.5) / 1e6 AS cov
+         FROM t CROSS JOIN n GROUP BY 1, 2, n.n ORDER BY 1, 2""",
+    "q_random_projection" ->
+      """WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         ks AS (SELECT unnest(generate_series(0, 7)) AS k),
+         ds AS (SELECT unnest(generate_series(1, 64)) AS pos),
+         s AS (SELECT k, pos,
+             CASE WHEN substr(md5(CAST(pos - 1 AS VARCHAR) || '_' ||
+                 CAST(k AS VARCHAR)), 1, 1) BETWEEN '0' AND '7'
+               THEN 1.0 ELSE -1.0 END AS sg
+           FROM ks CROSS JOIN ds)
+         SELECT e.vec_id, s.k AS k,
+           floor(CAST(sum(CAST(floor(e.v[s.pos] * s.sg * 1e9 + 0.5)
+             AS BIGINT)) AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6 AS proj
+         FROM e CROSS JOIN s GROUP BY 1, 2 ORDER BY 1, 2""")
 }
