@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.CorpusStats
 import Q._
@@ -50,6 +51,73 @@ object Analytics {
           (col("wk") - col("cwk")).as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // ---- first-order Markov transition matrix over event sequences ----
+    // lag window partitioned by user (per-user state bounded by that
+    // user's activity), then a 5x5-grained count shuffle; row-normalized
+    // via a broadcast of the per-prev totals.
+    "q_transition_matrix" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
+      val p = ev.select(col("user_id"), col("event_id"), col("event_type"),
+          Q.tsUs(ev).as("__us"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("prev_type"), col("event_type").as("cur_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = p.groupBy("prev_type").agg(sum("n").as("tn"))
+      p.join(broadcast(tot), "prev_type")
+        .select(col("prev_type"), col("cur_type"), col("n"),
+          fround(col("n") / col("tn"), 6).as("prob"))
+        .orderBy("prev_type", "cur_type")
+    }),
+
+    // ---- RFM user segmentation --------------------------------------
+    // Quartile thresholds are exact interpolated percentiles broadcast
+    // to every row — no global-ORDER-BY window anywhere (ntile would
+    // serialize all users into one task). Monetary sums through 6-dp
+    // decimal so segment boundaries cannot drift with partitioning.
+    "q_rfm" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val u0 = ev.select(col("user_id"), Q.tsUs(ev).as("__us"),
+          fround(col("value"), 6).cast("decimal(38,6)").as("__v"))
+        .groupBy("user_id")
+        .agg(max("__us").as("rec_us"), count(lit(1)).as("frequency"),
+          sum("__v").as("__m"))
+        .withColumn("monetary_d", col("__m").cast("double"))
+      val g = u0.agg(max("rec_us").as("gmax"))
+      val u = u0.crossJoin(broadcast(g))
+        .withColumn("recency_days", expr("(gmax - rec_us) div 86400000000"))
+      val q = u.agg(
+        percentile(col("recency_days"), lit(0.25)).as("r25"),
+        percentile(col("recency_days"), lit(0.5)).as("r50"),
+        percentile(col("recency_days"), lit(0.75)).as("r75"),
+        percentile(col("frequency"), lit(0.25)).as("f25"),
+        percentile(col("frequency"), lit(0.5)).as("f50"),
+        percentile(col("frequency"), lit(0.75)).as("f75"),
+        percentile(col("monetary_d"), lit(0.25)).as("m25"),
+        percentile(col("monetary_d"), lit(0.5)).as("m50"),
+        percentile(col("monetary_d"), lit(0.75)).as("m75"))
+      u.crossJoin(broadcast(q))
+        .withColumn("r_score",
+          when(col("recency_days") <= col("r25"), 4)
+            .when(col("recency_days") <= col("r50"), 3)
+            .when(col("recency_days") <= col("r75"), 2).otherwise(1))
+        .withColumn("f_score",
+          when(col("frequency") >= col("f75"), 4)
+            .when(col("frequency") >= col("f50"), 3)
+            .when(col("frequency") >= col("f25"), 2).otherwise(1))
+        .withColumn("m_score",
+          when(col("monetary_d") >= col("m75"), 4)
+            .when(col("monetary_d") >= col("m50"), 3)
+            .when(col("monetary_d") >= col("m25"), 2).otherwise(1))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          fround(col("monetary_d"), 2).as("monetary"),
+          col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score").cast("string"), col("f_score").cast("string"),
+            col("m_score").cast("string")).as("segment"))
+        .orderBy("user_id")
     }))
 
   private val W =
@@ -141,5 +209,55 @@ object Analytics {
            uw.wk - c.cwk AS week_offset,
            CAST(count(*) AS BIGINT) AS n_users
          FROM uw JOIN c USING(user_id)
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_transition_matrix" ->
+      """WITH o AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events),
+         p AS (SELECT prev AS prev_type, event_type AS cur_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tn
+           FROM p GROUP BY 1)
+         SELECT p.prev_type, p.cur_type, p.n,
+           floor(p.n / t.tn * 1e6 + 0.5) / 1e6 AS prob
+         FROM p JOIN t USING(prev_type) ORDER BY 1, 2""",
+    "q_rfm" ->
+      """WITH u0 AS (SELECT user_id, max(epoch_us(ts)) AS rec_us,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(value*1e6+0.5)/1e6 AS DECIMAL(38,6)))
+               AS DOUBLE) AS monetary_d
+           FROM events GROUP BY 1),
+         g AS (SELECT max(rec_us) AS gmax FROM u0),
+         u AS (SELECT u0.*, (g.gmax - u0.rec_us) // 86400000000
+             AS recency_days FROM u0 CROSS JOIN g),
+         q AS (SELECT
+             quantile_cont(recency_days, 0.25) AS r25,
+             quantile_cont(recency_days, 0.5)  AS r50,
+             quantile_cont(recency_days, 0.75) AS r75,
+             quantile_cont(frequency, 0.25) AS f25,
+             quantile_cont(frequency, 0.5)  AS f50,
+             quantile_cont(frequency, 0.75) AS f75,
+             quantile_cont(monetary_d, 0.25) AS m25,
+             quantile_cont(monetary_d, 0.5)  AS m50,
+             quantile_cont(monetary_d, 0.75) AS m75
+           FROM u)
+         SELECT user_id, recency_days, frequency,
+           floor(monetary_d * 1e2 + 0.5) / 1e2 AS monetary,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+             CAST(m_score AS VARCHAR) AS segment
+         FROM (SELECT u.*,
+             CASE WHEN recency_days <= q.r25 THEN 4
+                  WHEN recency_days <= q.r50 THEN 3
+                  WHEN recency_days <= q.r75 THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN frequency >= q.f75 THEN 4
+                  WHEN frequency >= q.f50 THEN 3
+                  WHEN frequency >= q.f25 THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN monetary_d >= q.m75 THEN 4
+                  WHEN monetary_d >= q.m50 THEN 3
+                  WHEN monetary_d >= q.m25 THEN 2 ELSE 1 END AS m_score
+           FROM u CROSS JOIN q)
+         ORDER BY user_id""")
 }

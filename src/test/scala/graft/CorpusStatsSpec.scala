@@ -79,6 +79,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got((2L, 1L)) < 0.5, got)
   }
 
+  test("transition matrix rows are proper distributions over observed successors") {
+    val got = graft.queries.Analytics.defs("q_transition_matrix")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (prev, rows) =>
+      val p = rows.map(_._3).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"$prev sums to $p")
+    }
+  }
+
+  test("rfm scores sit in 1..4 and segment concatenates them") {
+    val got = graft.queries.Analytics.defs("q_rfm")(spark, "/root/testdata/sf0.001").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (rs, fs, ms, seg) = (r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7))
+      assert(Seq(rs, fs, ms).forall(x => x >= 1 && x <= 4), r)
+      assert(seg == s"$rs$fs$ms", r)
+    }
+    // quartile gates actually split the population: every score level occurs
+    assert(got.map(_.getInt(5)).distinct.length >= 3)
+  }
+
   test("retention gate query: offsets start at 0 and cohort sizes are monotone non-increasing") {
     val got = graft.queries.Analytics.defs("q_retention")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
