@@ -37,6 +37,16 @@ object Analytics {
           n = 3, threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // ---- Count-Min sketch with an engine-reproducible hash -------------
+    "q_countmin" -> ((s, dir) =>
+      CorpusStats.countMin(t(s, dir, "documents"), "text",
+        rows = 4, width = 1024, k = 20)),
+
+    // ---- deterministic weighted sampling (Efraimidis–Spirakis) --------
+    "q_weighted_sample" -> ((s, dir) =>
+      graft.text.Curation.weightedSample(t(s, dir, "documents"),
+        "doc_id", "n_chars", k = 50)),
+
     // ---- weekly cohort retention over the event stream ----------------
     // cohort = the user's first active epoch-week; one partial-agg
     // shuffle on user_id (per-user week set is bounded by the horizon),
@@ -210,6 +220,43 @@ object Analytics {
            CAST(count(*) AS BIGINT) AS n_users
          FROM uw JOIN c USING(user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_countmin" ->
+      s"""WITH w AS ($W),
+         wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(ws) AS w FROM w) GROUP BY 1),
+         hs AS (SELECT w, c, i,
+             ((strpos('0123456789abcdef', substr(m,1,1))-1)*4096 +
+              (strpos('0123456789abcdef', substr(m,2,1))-1)*256 +
+              (strpos('0123456789abcdef', substr(m,3,1))-1)*16 +
+              (strpos('0123456789abcdef', substr(m,4,1))-1)) % 1024 AS b
+           FROM (SELECT w, c, i, md5(CAST(i AS VARCHAR) || '_' || w) AS m
+             FROM wc CROSS JOIN
+               (SELECT unnest(generate_series(0, 3)) AS i))),
+         cnt AS (SELECT i, b, CAST(sum(c) AS BIGINT) AS v
+           FROM hs GROUP BY 1, 2),
+         top AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 20)
+         SELECT top.w AS word, top.c AS exact, min(cnt.v) AS estimate,
+           (min(cnt.v) > top.c) AS collided
+         FROM top JOIN hs ON hs.w = top.w
+           JOIN cnt ON cnt.i = hs.i AND cnt.b = hs.b
+         GROUP BY 1, 2 ORDER BY exact DESC, word""",
+    "q_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         u AS (SELECT doc_id, n_chars,
+             (((strpos('0123456789abcdef', substr(m,1,1))-1)*268435456.0 +
+               (strpos('0123456789abcdef', substr(m,2,1))-1)*16777216 +
+               (strpos('0123456789abcdef', substr(m,3,1))-1)*1048576 +
+               (strpos('0123456789abcdef', substr(m,4,1))-1)*65536 +
+               (strpos('0123456789abcdef', substr(m,5,1))-1)*4096 +
+               (strpos('0123456789abcdef', substr(m,6,1))-1)*256 +
+               (strpos('0123456789abcdef', substr(m,7,1))-1)*16 +
+               (strpos('0123456789abcdef', substr(m,8,1))-1)) + 1)
+             / 4294967296 AS u
+           FROM h)
+         SELECT doc_id, n_chars,
+           floor(pow(u, 1.0 / n_chars) * 1e9 + 0.5) / 1e9 AS skey
+         FROM u ORDER BY skey DESC, doc_id LIMIT 50""",
     "q_transition_matrix" ->
       """WITH o AS (SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id

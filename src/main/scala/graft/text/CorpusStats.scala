@@ -139,6 +139,48 @@ object CorpusStats {
           .as("jaccard"))
   }
 
+  /** md5-derived Count-Min bucket: the first 4 hex digits of
+    * md5("<row>_<word>") mod `width` — a hash both engines evaluate
+    * natively (conv here, nibble arithmetic in SQL), so the sketch is
+    * engine-reproducible, not just error-bounded. */
+  private def cmBucket(row: Int, w: Column, width: Int): Column =
+    conv(substring(md5(concat(lit(s"${row}_"), w)), 1, 4), 16, 10)
+      .cast("long") % width
+
+  /** Count-Min sketch over the corpus word stream plus a probe report
+    * for the k most frequent words: (word, exact, estimate, collided).
+    * estimate = min over hash rows of the probed counter — the CMS
+    * guarantee (never an undercount; overcount bounded by collisions).
+    *
+    * Scale: the build is mergeable/associative — one token shuffle into
+    * word counts, then a (rows × width ≤ a few thousand cells) counter
+    * aggregation that broadcasts back to the probe side. The probe set
+    * is a distributed TakeOrdered top-k, never a global sort. At 100 TB
+    * the sketch itself never grows: width × rows counters regardless of
+    * corpus size — the entire point of carrying a sketch instead of the
+    * exact relation. */
+  def countMin(docs: DataFrame, textCol: String, rows: Int, width: Int,
+               k: Int): DataFrame = {
+    val wc = docs.select(explode(Curation.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    def hashRows(df: DataFrame): DataFrame = df
+      .select(col("w"), col("c"),
+        explode(array((0 until rows).map(i =>
+          struct(lit(i).as("i"), cmBucket(i, col("w"), width).as("b"))): _*)).as("h"))
+      .select(col("w"), col("c"), col("h.i").as("i"), col("h.b").as("b"))
+    val counters = hashRows(wc).groupBy("i", "b").agg(sum("c").as("v"))
+    // probes re-derive their buckets on the tiny top-k relation rather
+    // than joining back into the vocab-sized hash stream
+    val top = wc.orderBy(col("c").desc, col("w")).limit(k)
+    hashRows(top)
+      .join(broadcast(counters), Seq("i", "b"))
+      .groupBy(col("w").as("word"))
+      .agg(max("c").as("exact"), min("v").as("estimate"))
+      .select(col("word"), col("exact"), col("estimate"),
+        (col("estimate") > col("exact")).as("collided"))
+      .orderBy(col("exact").desc, col("word"))
+  }
+
   /** Asymmetric near-duplication: ordered pairs (a, b) in the same block
     * where at least `threshold` of a's distinct word n-grams also occur
     * in b — the sub-document/quotation detector Jaccard misses (a short

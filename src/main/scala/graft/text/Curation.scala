@@ -308,6 +308,25 @@ object Curation {
         r6(col("__w") / col("__tw") * col("__td") / col("n_docs")).as("epochs"))
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each row draws u ∈ (0,1] from the md5 of its id and
+    * competes with key = u^(1/w); the k largest keys win — over many
+    * draws each row's win probability is proportional to its weight,
+    * with zero RNG state to disagree on across engines or re-runs.
+    * Selection orders on the 9-dp-rounded key with an id tiebreak so
+    * both engines cut the same boundary. The top-k is a distributed
+    * TakeOrdered merge — no global sort, no shuffle of the corpus. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    def r9(c: Column): Column = floor(c * 1e9 + 0.5) / 1e9
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1d) / lit(4294967296d)
+    df.withColumn("skey", r9(pow(u, lit(1d) / col(weightCol).cast("double"))))
+      .orderBy(col("skey").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col(weightCol), col("skey"))
+  }
+
   /** Global heavy hitters: the k most frequent word n-grams with their
     * total occurrence and distinct-document counts — the boilerplate /
     * template-text detector run before span-level dedup. Partial

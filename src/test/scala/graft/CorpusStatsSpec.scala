@@ -79,6 +79,44 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got((2L, 1L)) < 0.5, got)
   }
 
+  test("countMin never undercounts and is exact when the table outsizes the vocab") {
+    val docs = Seq.tabulate(30)(i => (i.toLong, s"w${i % 7} w${i % 7} filler")).toDF("doc_id", "text")
+    val got = CorpusStats.countMin(docs, "text", rows = 4, width = 1024, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (w, exact, est, coll) =>
+      assert(est >= exact, s"$w undercounted: $est < $exact")
+      assert(coll == (est > exact))
+    }
+    // 8 distinct words vs 4x1024 counters: collisions are impossible
+    assert(got.forall(!_._4), got.toSeq)
+    assert(got.find(_._1 == "filler").get._2 == 30L)
+  }
+
+  test("countMin collides (over-counts) when the table is tiny, never under") {
+    val docs = Seq.tabulate(64)(i => (i.toLong, s"word$i")).toDF("doc_id", "text")
+    val got = CorpusStats.countMin(docs, "text", rows = 2, width = 4, k = 30)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (exact, est) => est >= exact })
+    assert(got.exists { case (exact, est) => est > exact }, "64 words in 2x4 cells must collide")
+  }
+
+  test("weightedSample is deterministic and favors heavy rows") {
+    val df = (0L until 200L).map(i => (i, if (i < 10) 10000L else 1L))
+      .toDF("doc_id", "n_chars")
+    val a = graft.text.Curation.weightedSample(df, "doc_id", "n_chars", k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val b = graft.text.Curation.weightedSample(df, "doc_id", "n_chars", k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 20)
+    // all ten weight-10000 rows beat the field of 190 weight-1 rows
+    val winners = a.map(_._1).toSet
+    assert((0L until 10L).forall(winners.contains), winners)
+    // keys descend
+    assert(a.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("transition matrix rows are proper distributions over observed successors") {
     val got = graft.queries.Analytics.defs("q_transition_matrix")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
