@@ -1,0 +1,61 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank over an edge relation — the centrality pass of a
+  * document-similarity graph (e.g. near-dup edges from
+  * [[graft.dedup.Dedup.jaccardPairs]]): high-rank docs are the "canonical"
+  * representatives a curation pipeline keeps or weights up.
+  *
+  * Fixed-iteration simplified PageRank:
+  * rank₀ = 1/N;  rankₜ₊₁(v) = (1−d)/N + d·Σ_{u→v} rankₜ(u)/deg(u).
+  * Dangling mass is dropped (deterministic; the standard simplification
+  * when ranks are used ordinally). Every cross-row reduction rounds its
+  * terms to 12 dp and accumulates in DECIMAL, and each iteration's ranks
+  * round to 9 dp — the whole trace is partitioning-independent and
+  * bit-reproducible by a relational engine unrolling the same
+  * iterations.
+  *
+  * Scale: per iteration, one shuffle join of the edge relation against
+  * the rank relation (both partitioned by the join key) plus a
+  * partial-aggregated contribution shuffle — the textbook distributed
+  * PageRank topology. Nothing ever collects; N is the only driver-side
+  * scalar. At 100 TB the edge relation dominates and AQE handles its
+  * skew (a celebrity node's in-edges partial-aggregate map-side).
+  */
+object PageRank {
+  private def fr(c: Column, scale: Int): Column = {
+    val p = math.pow(10d, scale.toDouble)
+    floor(c * p + 0.5d) / p
+  }
+
+  /** @param nodes single-column vertex relation (column `v`)
+    * @param edges directed edge relation (columns `src`, `dst`);
+    *              symmetrize before calling for undirected graphs
+    * @param d     damping factor (0.85 conventionally)
+    * @param iters fixed iteration count
+    * @return (v, rank) for every vertex */
+  def run(nodes: DataFrame, edges: DataFrame, d: Double, iters: Int): DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "PageRank.run: empty vertex set")
+    val nD = n.toDouble
+    val reset = (1d - d) / nD
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select(col("v"), lit(1d / nD).as("r"))
+    var it = 0
+    while (it < iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .join(deg, "src")
+        .groupBy(col("dst").as("v"))
+        .agg(sum(fr(col("r") / col("deg"), 12).cast("decimal(38,12)"))
+          .cast("double").as("s"))
+      ranks = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          fr(lit(reset) + lit(d) * coalesce(col("s"), lit(0d)), 9).as("r"))
+      it += 1
+    }
+    ranks.select(col("v"), col("r").as("rank"))
+  }
+}

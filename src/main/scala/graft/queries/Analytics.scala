@@ -47,6 +47,43 @@ object Analytics {
       graft.text.Curation.weightedSample(t(s, dir, "documents"),
         "doc_id", "n_chars", k = 50)),
 
+    // ---- PageRank over the near-dup similarity graph -------------------
+    // 3 fixed iterations, per-iteration ranks 9-dp-pinned; each round is
+    // one edge-vs-rank shuffle join + a partial-agg contribution shuffle.
+    "q_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.dedup.Dedup.jaccardPairs(docs,
+        blockCol = "source", threshold = 0.1)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.graph.PageRank.run(docs.select(col("doc_id").as("v")), edges,
+          d = 0.85, iters = 3)
+        .select(col("v").as("doc_id"), col("rank"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- hopping (sliding) window aggregation --------------------------
+    // Native window(ts, 10m, 5m): each event lands in exactly two
+    // overlapping buckets inside ONE partial-aggregated shuffle — no
+    // self-union, no explode the optimizer can't see through.
+    "q_hopping_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tsCol = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          col("ts").cast("timestamp")
+        case _ => col("ts")
+      }
+      ev.select(tsCol.as("__t"), col("event_type"),
+          fround(col("value"), 6).cast("decimal(38,6)").as("__v"))
+        .groupBy(window(col("__t"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("__v").cast("double").as("vsum"))
+        .select(unix_micros(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), fround(col("vsum"), 4).as("vsum"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // ---- weekly cohort retention over the event stream ----------------
     // cohort = the user's first active epoch-week; one partial-agg
     // shuffle on user_id (per-user week set is bounded by the horizon),
@@ -220,6 +257,62 @@ object Analytics {
            CAST(count(*) AS BIGINT) AS n_users
          FROM uw JOIN c USING(user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_pagerank" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS sp
+           FROM documents),
+         b AS (SELECT doc_id, source,
+             list_distinct(list_transform(generate_series(1, len(sp)-1),
+               i -> sp[i] || ' ' || sp[i+1])) AS bg
+           FROM w WHERE len(sp) >= 2),
+         p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b
+           FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id
+           WHERE CAST(len(list_intersect(a.bg, c.bg)) AS DOUBLE) /
+             (len(a.bg) + len(c.bg) - len(list_intersect(a.bg, c.bg)))
+             >= 0.1),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+           UNION ALL SELECT doc_b, doc_a FROM p),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+           FROM e GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         r0 AS (SELECT doc_id AS v, 1.0/n.n AS r
+           FROM documents CROSS JOIN n),
+         c1 AS (SELECT e.dst AS v, CAST(sum(CAST(
+             floor(r0.r/deg.deg*1e12+0.5)/1e12 AS DECIMAL(38,12)))
+             AS DOUBLE) AS s
+           FROM e JOIN r0 ON r0.v = e.src JOIN deg ON deg.src = e.src
+           GROUP BY 1),
+         r1 AS (SELECT r0.v,
+             floor(((1-0.85)/n.n + 0.85*coalesce(c1.s, 0))*1e9+0.5)/1e9 AS r
+           FROM r0 LEFT JOIN c1 ON c1.v = r0.v CROSS JOIN n),
+         c2 AS (SELECT e.dst AS v, CAST(sum(CAST(
+             floor(r1.r/deg.deg*1e12+0.5)/1e12 AS DECIMAL(38,12)))
+             AS DOUBLE) AS s
+           FROM e JOIN r1 ON r1.v = e.src JOIN deg ON deg.src = e.src
+           GROUP BY 1),
+         r2 AS (SELECT r1.v,
+             floor(((1-0.85)/n.n + 0.85*coalesce(c2.s, 0))*1e9+0.5)/1e9 AS r
+           FROM r1 LEFT JOIN c2 ON c2.v = r1.v CROSS JOIN n),
+         c3 AS (SELECT e.dst AS v, CAST(sum(CAST(
+             floor(r2.r/deg.deg*1e12+0.5)/1e12 AS DECIMAL(38,12)))
+             AS DOUBLE) AS s
+           FROM e JOIN r2 ON r2.v = e.src JOIN deg ON deg.src = e.src
+           GROUP BY 1),
+         r3 AS (SELECT r2.v,
+             floor(((1-0.85)/n.n + 0.85*coalesce(c3.s, 0))*1e9+0.5)/1e9 AS r
+           FROM r2 LEFT JOIN c3 ON c3.v = r2.v CROSS JOIN n)
+         SELECT v AS doc_id, r AS rank FROM r3 ORDER BY doc_id""",
+    "q_hopping_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS u, event_type,
+             CAST(floor(value*1e6+0.5)/1e6 AS DECIMAL(38,6)) AS v
+           FROM events),
+         x AS (SELECT (u // 300000000) * 300000000 AS w_start,
+               event_type, v FROM e
+           UNION ALL
+           SELECT ((u // 300000000) - 1) * 300000000 AS w_start,
+               event_type, v FROM e)
+         SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(v) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS vsum
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_countmin" ->
       s"""WITH w AS ($W),
          wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c

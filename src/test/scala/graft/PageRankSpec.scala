@@ -1,0 +1,40 @@
+package graft
+
+import graft.graph.PageRank
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nodesOf(ids: Long*) = ids.toDF("v")
+  private def edgesOf(es: (Long, Long)*) = es.toDF("src", "dst")
+
+  test("star graph: the hub out-ranks every spoke, symmetric spokes tie exactly") {
+    // undirected star 0-{1,2,3,4}: symmetrized edges
+    val es = (1L to 4L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val got = PageRank.run(nodesOf(0L, 1L, 2L, 3L, 4L), edgesOf(es: _*),
+        d = 0.85, iters = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert((1L to 4L).forall(i => got(0L) > got(i)), got)
+    assert((2L to 4L).forall(i => got(i) == got(1L)), got) // exact tie: same recipe
+  }
+
+  test("isolated vertices settle at the reset mass and chains accumulate downstream") {
+    // directed chain 0 -> 1 -> 2 plus isolated 9
+    val got = PageRank.run(nodesOf(0L, 1L, 2L, 9L),
+        edgesOf((0L, 1L), (1L, 2L)), d = 0.85, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val reset = math.floor((1 - 0.85) / 4.0 * 1e9 + 0.5) / 1e9
+    assert(got(9L) == reset, got)   // nothing points at 9
+    assert(got(0L) == reset, got)   // nothing points at 0 either
+    assert(got(2L) > got(1L) && got(1L) > got(0L), got)
+  }
+
+  test("ranks are partitioning-independent (decimal contribution sums)") {
+    val es = (0L until 60L).flatMap(i => Seq((i, (i * 7) % 60), ((i * 7) % 60, i)))
+    val a = PageRank.run(nodesOf(0L until 60L: _*), edgesOf(es: _*).repartition(1),
+      d = 0.85, iters = 4).orderBy("v").collect().toSeq
+    val b = PageRank.run(nodesOf(0L until 60L: _*), edgesOf(es: _*).repartition(13),
+      d = 0.85, iters = 4).orderBy("v").collect().toSeq
+    assert(a == b)
+  }
+}
