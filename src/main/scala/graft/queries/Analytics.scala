@@ -84,6 +84,29 @@ object Analytics {
         .orderBy("w_start", "event_type")
     }),
 
+    // ---- the SAME hopping windows on an unbounded stream ---------------
+    // Real Structured Streaming run (file source → windowed agg → memory
+    // sink, complete mode so the bounded stream emits every window);
+    // must hash-match the batch kernel's oracle exactly.
+    "q_stream_hopping" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val src = s.readStream.schema(e0.schema)
+        .parquet(s"$dir/{events.parquet}") // {}-glob: bare file fails basePath inference
+      val agg = src
+        .select(timestamp_micros(Q.tsUs(src)).as("__t"), col("event_type"),
+          fround(col("value"), 6).cast("decimal(38,6)").as("__v"))
+        .groupBy(window(col("__t"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("__v").cast("double").as("vsum"))
+        .select(unix_micros(col("window.start")).as("w_start"),
+          col("event_type"), col("n"), fround(col("vsum"), 4).as("vsum"))
+      val qn = "stream_hop_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).orderBy("w_start", "event_type")
+    }),
+
     // ---- weekly cohort retention over the event stream ----------------
     // cohort = the user's first active epoch-week; one partial-agg
     // shuffle on user_id (per-user week set is bounded by the horizon),
@@ -302,6 +325,18 @@ object Analytics {
            FROM r2 LEFT JOIN c3 ON c3.v = r2.v CROSS JOIN n)
          SELECT v AS doc_id, r AS rank FROM r3 ORDER BY doc_id""",
     "q_hopping_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS u, event_type,
+             CAST(floor(value*1e6+0.5)/1e6 AS DECIMAL(38,6)) AS v
+           FROM events),
+         x AS (SELECT (u // 300000000) * 300000000 AS w_start,
+               event_type, v FROM e
+           UNION ALL
+           SELECT ((u // 300000000) - 1) * 300000000 AS w_start,
+               event_type, v FROM e)
+         SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(v) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS vsum
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_stream_hopping" ->
       """WITH e AS (SELECT epoch_us(ts) AS u, event_type,
              CAST(floor(value*1e6+0.5)/1e6 AS DECIMAL(38,6)) AS v
            FROM events),
