@@ -37,6 +37,14 @@ object Analytics {
           n = 3, threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // ---- Zipf-law fit (rank assigned without a global window) ----------
+    "q_zipf" -> ((s, dir) =>
+      CorpusStats.zipfFit(t(s, dir, "documents"), "text", k = 100)),
+
+    // ---- information-theoretic corpus profile --------------------------
+    "q_info_profile" -> ((s, dir) =>
+      CorpusStats.infoProfile(t(s, dir, "documents"), "text")),
+
     // ---- Count-Min sketch with an engine-reproducible hash -------------
     "q_countmin" -> ((s, dir) =>
       CorpusStats.countMin(t(s, dir, "documents"), "text",
@@ -280,6 +288,47 @@ object Analytics {
            CAST(count(*) AS BIGINT) AS n_users
          FROM uw JOIN c USING(user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_zipf" ->
+      s"""WITH w AS ($W),
+         wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(ws) AS w FROM w) GROUP BY 1),
+         top AS (SELECT w, c FROM wc ORDER BY c DESC, w LIMIT 100),
+         rk AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rank
+           FROM top),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(ln(rank)*1e12+0.5)/1e12
+               AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(floor(ln(c)*1e12+0.5)/1e12
+               AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(floor(ln(rank)*ln(c)*1e12+0.5)/1e12
+               AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(floor(ln(rank)*ln(rank)*1e12+0.5)/1e12
+               AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+           FROM rk)
+         SELECT n AS n_words,
+           floor((n*sxy - sx*sy)/(n*sxx - sx*sx)*1e6+0.5)/1e6 AS slope,
+           floor((sy - ((n*sxy - sx*sy)/(n*sxx - sx*sx))*sx)/n*1e6+0.5)/1e6
+             AS intercept
+         FROM s""",
+    "q_info_profile" ->
+      s"""WITH w AS ($W),
+         uc AS (SELECT t, count(*) AS c
+           FROM (SELECT unnest(ws) AS t FROM w) GROUP BY 1),
+         bc AS (SELECT t, count(*) AS c FROM (
+             SELECT unnest(list_transform(generate_series(1, len(ws)-1),
+               i -> ws[i] || ' ' || ws[i+1])) AS t
+             FROM w WHERE len(ws) >= 2) GROUP BY 1),
+         hu AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             log2(sum(c)) - CAST(sum(CAST(floor(c*log2(c)*1e9+0.5)/1e9
+               AS DECIMAL(38,9))) AS DOUBLE)/sum(c) AS h FROM uc),
+         hb AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             log2(sum(c)) - CAST(sum(CAST(floor(c*log2(c)*1e9+0.5)/1e9
+               AS DECIMAL(38,9))) AS DOUBLE)/sum(c) AS h FROM bc)
+         SELECT hu.n AS n_tokens, hb.n AS n_bigrams,
+           floor(hu.h*1e6+0.5)/1e6 AS h_unigram,
+           floor(hb.h*1e6+0.5)/1e6 AS h_bigram,
+           floor((hb.h - hu.h)*1e6+0.5)/1e6 AS h_cond
+         FROM hu CROSS JOIN hb""",
     "q_pagerank" ->
       """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS sp
            FROM documents),

@@ -139,6 +139,62 @@ object CorpusStats {
           .as("jaccard"))
   }
 
+  /** Zipf-law fit over the k most frequent words: least-squares slope/
+    * intercept of ln(freq) against ln(rank). The rank is assigned WITHOUT
+    * a global ORDER BY window (which would serialize the vocab into one
+    * task): the top-k relation is a distributed TakeOrdered merge, and
+    * rank(w) = 1 + |{w′ : c′ > c ∨ (c′ = c ∧ w′ < w)}| computed by a
+    * broadcast self-pair count over the tiny top-k set. Regression sums
+    * round each term to 12 dp into decimal accumulators. */
+  def zipfFit(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val wc = docs.select(explode(Curation.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val top = wc.orderBy(col("c").desc, col("w")).limit(k)
+    val ranked = top
+      .join(broadcast(top.select(col("w").as("w2"), col("c").as("c2"))),
+        col("c2") > col("c") || (col("c2") === col("c") && col("w2") < col("w")),
+        "left")
+      .groupBy(col("w"), col("c"))
+      .agg((count(col("w2")) + 1L).as("rank"))
+    def dsum(c: Column): Column =
+      sum(fr(c, 12).cast("decimal(38,12)")).cast("double")
+    val s = ranked.agg(
+      count(lit(1)).as("n"),
+      dsum(log(col("rank"))).as("sx"),
+      dsum(log(col("c"))).as("sy"),
+      dsum(log(col("rank")) * log(col("c"))).as("sxy"),
+      dsum(log(col("rank")) * log(col("rank"))).as("sxx"))
+    val slope0 = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n").as("n_words"),
+      fr(slope0, 6).as("slope"),
+      fr((col("sy") - slope0 * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
+  /** One-row information-theoretic corpus profile: unigram and bigram
+    * (joint) Shannon entropies and the conditional next-word entropy
+    * H(w₂|w₁) = H(w₁,w₂) − H(w₁) — the model-free compressibility /
+    * redundancy signal of a corpus. Token streams aggregate once each;
+    * entropy term sums go through 9-dp decimal. */
+  def infoProfile(docs: DataFrame, textCol: String): DataFrame = {
+    val ws = docs.select(Curation.words(col(textCol)).as("__ws"))
+    def ent(counts: DataFrame): DataFrame = counts.agg(
+      sum("c").as("n"),
+      sum(fr(col("c") * log2(col("c")), 9).cast("decimal(38,9)")).as("s"))
+      .select(col("n"),
+        (log2(col("n")) - col("s").cast("double") / col("n")).as("h"))
+    val hu = ent(ws.select(explode(col("__ws")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c")))
+    val hb = ent(ws.select(explode(Curation.wordNgramsOf(col("__ws"), 2)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c")))
+    hu.select(col("n").as("n_tokens"), col("h").as("__hu"))
+      .crossJoin(hb.select(col("n").as("n_bigrams"), col("h").as("__hb")))
+      .select(col("n_tokens"), col("n_bigrams"),
+        fr(col("__hu"), 6).as("h_unigram"),
+        fr(col("__hb"), 6).as("h_bigram"),
+        fr(col("__hb") - col("__hu"), 6).as("h_cond"))
+  }
+
   /** md5-derived Count-Min bucket: the first 4 hex digits of
     * md5("<row>_<word>") mod `width` — a hash both engines evaluate
     * natively (conv here, nibble arithmetic in SQL), so the sketch is

@@ -79,6 +79,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got((2L, 1L)) < 0.5, got)
   }
 
+  test("zipfFit recovers slope -1 on a planted 1/rank corpus") {
+    // word r appears floor(1200/r) times, r = 1..30
+    val text = (1 to 30).flatMap(r => Seq.fill(1200 / r)(s"w$r")).mkString(" ")
+    val got = CorpusStats.zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "text", k = 30)
+      .head()
+    assert(got.getLong(0) == 30L)
+    assert(math.abs(got.getDouble(1) - (-1.0)) < 0.02, got)
+  }
+
+  test("infoProfile: a deterministic alternation has ~zero conditional entropy") {
+    val docs = Seq.tabulate(20)(i => (i.toLong, ("a b " * 30).trim)).toDF("doc_id", "text")
+    val r = CorpusStats.infoProfile(docs, "text").head()
+    val (hu, hc) = (r.getDouble(2), r.getDouble(4))
+    assert(math.abs(hu - 1.0) < 0.01, r)  // 50/50 a,b
+    assert(hc < 0.05, r)                  // next word is (nearly) determined
+  }
+
   test("countMin never undercounts and is exact when the table outsizes the vocab") {
     val docs = Seq.tabulate(30)(i => (i.toLong, s"w${i % 7} w${i % 7} filler")).toDF("doc_id", "text")
     val got = CorpusStats.countMin(docs, "text", rows = 4, width = 1024, k = 10)
