@@ -21,7 +21,12 @@ class PlanAuditSpec extends SparkSpec {
     "q_stratified_sample", "q_rollup_routed", "q_pivot", "q_asof_join",
     "q_range_join", "q_dedup_canonical", "q_decontaminate_report",
     "q_dup_ngram_rate", "q_sessionize", "q_asof_tolerance",
-    "q_dup_spans", "q_dedup_substring", "q_shuffle_export")
+    "q_dup_spans", "q_dedup_substring", "q_shuffle_export",
+    // waves 5-11: corpus statistics, event analytics, graph, sketches
+    "q_containment", "q_cross_overlap", "q_heavy_hitters", "q_word_entropy",
+    "q_pmi", "q_source_kl", "q_countmin", "q_weighted_sample", "q_zipf",
+    "q_retention", "q_transition_matrix", "q_rfm", "q_hopping_window",
+    "q_pagerank", "q_temperature_mix", "q_random_projection")
 
   test("no cartesian products in any heavy gate query") {
     heavy.foreach { name =>
