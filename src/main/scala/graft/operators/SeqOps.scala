@@ -238,4 +238,44 @@ object SeqOps {
     * (wrap a micro-batch partition iterator); coarse control is trigger
     * intervals / maxFilesPerTrigger (see graft.streaming.Watch). */
   def throttle(df: DataFrame, tps: Double): DataFrame = df
+
+  /** Rolling z-score anomaly detection: each point scores against the
+    * EXACT mean/std of its series' previous `window` points (the point
+    * itself excluded — a contaminated baseline masks the very spike it
+    * should flag). Emits only full-window points with |z| > threshold.
+    *
+    * Determinism: the frame sums run over 1e6-SCALED LONGS (exact
+    * integer addition — immune to both partitioning and the engines'
+    * different window-aggregation orders: Spark re-accumulates sliding
+    * frames, DuckDB uses segment trees; double sums would differ in
+    * ulps and flip threshold boundaries). Mean/variance then derive
+    * from the exact integer sums in a fixed double-op sequence, so the
+    * same recurrence in a streaming state cell ([[graft.streaming
+    * .StatefulOps.zscoreStream]]) reproduces bit-identical scores.
+    *
+    * Scale: one shuffle on the series key; the frame is O(window) per
+    * row inside the sorted partition — no self-join, no global window. */
+  def rollingZscore(df: DataFrame, nameCol: String, tsCol: String,
+                    tiebreakCol: String, valueCol: String,
+                    window: Int, threshold: Double): DataFrame = {
+    val x6 = floor(col(valueCol) * 1e6 + lit(0.5d)).cast("long")
+    val xx6 = floor(col(valueCol) * col(valueCol) * 1e6 + lit(0.5d)).cast("long")
+    val fr = Window.partitionBy(nameCol)
+      .orderBy(col(tsCol), col(tiebreakCol))
+      .rowsBetween(-window, -1)
+    val withStats = df
+      .withColumn("__sx", sum(x6).over(fr))
+      .withColumn("__sxx", sum(xx6).over(fr))
+      .withColumn("__n", count(lit(1)).over(fr))
+      .withColumn("__m", (col("__sx") / lit(1e6)) / col("__n"))
+      .withColumn("__v",
+        ((col("__sxx") / lit(1e6)) -
+          ((col("__sx") / lit(1e6)) * (col("__sx") / lit(1e6))) / col("__n")) /
+          (col("__n") - 1))
+    val z = (col(valueCol) - col("__m")) / sqrt(col("__v"))
+    withStats
+      .filter(col("__n") === window && col("__v") > 0 && abs(z) > threshold)
+      .select(col(nameCol), col(tsCol), col(valueCol),
+        (floor(z * 1e6 + 0.5d) / 1e6).as("zscore"))
+  }
 }

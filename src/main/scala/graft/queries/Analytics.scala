@@ -115,6 +115,39 @@ object Analytics {
       s.table(qn).orderBy("w_start", "event_type")
     }),
 
+    // ---- rolling z-score anomaly detection (exact integer baseline) ----
+    "q_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("user_id"), col("event_id"),
+        Q.tsUs(ev).as("t_us"), col("value"))
+      graft.operators.SeqOps.rollingZscore(e, "user_id", "t_us", "event_id",
+          "value", window = 20, threshold = 3.0)
+        .orderBy("user_id", "t_us")
+    }),
+
+    // ---- the SAME anomaly detector on an unbounded stream ---------------
+    // flatMapGroupsWithState ring buffer of 1e6-scaled longs; a bounded
+    // replay must hash-match the batch window kernel's oracle.
+    "q_stream_anomaly" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val src = s.readStream.schema(e0.schema)
+        .parquet(s"$dir/{events.parquet}") // {}-glob: bare file fails basePath inference
+      val in = src.select(col("user_id").cast("string").as("name"),
+        tsNs(src).as("time"), col("value"))
+      val out = graft.streaming.StatefulOps.zscoreStream(in,
+        window = 20, threshold = 3.0)
+      val qn = "stream_zs_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(
+          col("name").cast(e0.schema("user_id").dataType).as("user_id"),
+          unix_micros(col("time")).as("t_us"),
+          col("value"), col("zscore"))
+        .orderBy("user_id", "t_us")
+    }),
+
     // ---- weekly cohort retention over the event stream ----------------
     // cohort = the user's first active epoch-week; one partial-agg
     // shuffle on user_id (per-user week set is bounded by the horizon),
@@ -288,6 +321,46 @@ object Analytics {
            CAST(count(*) AS BIGINT) AS n_users
          FROM uw JOIN c USING(user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
+             CAST(floor(value*1e6+0.5) AS BIGINT) AS x6,
+             CAST(floor(value*value*1e6+0.5) AS BIGINT) AS xx6
+           FROM events),
+         w AS (SELECT user_id, t_us, value,
+             sum(x6) OVER fr AS sx, sum(xx6) OVER fr AS sxx,
+             count(*) OVER fr AS n
+           FROM e WINDOW fr AS (PARTITION BY user_id
+             ORDER BY t_us, event_id
+             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT user_id, t_us, value,
+             (sx/1e6)/n AS m,
+             ((sxx/1e6) - ((sx/1e6)*(sx/1e6))/n)/(n-1) AS v, n
+           FROM w)
+         SELECT user_id, t_us, value,
+           floor((value - m)/sqrt(v)*1e6+0.5)/1e6 AS zscore
+         FROM z
+         WHERE n = 20 AND v > 0 AND abs((value - m)/sqrt(v)) > 3.0
+         ORDER BY user_id, t_us""",
+    "q_stream_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, value,
+             CAST(floor(value*1e6+0.5) AS BIGINT) AS x6,
+             CAST(floor(value*value*1e6+0.5) AS BIGINT) AS xx6
+           FROM events),
+         w AS (SELECT user_id, t_us, value,
+             sum(x6) OVER fr AS sx, sum(xx6) OVER fr AS sxx,
+             count(*) OVER fr AS n
+           FROM e WINDOW fr AS (PARTITION BY user_id
+             ORDER BY t_us, event_id
+             ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT user_id, t_us, value,
+             (sx/1e6)/n AS m,
+             ((sxx/1e6) - ((sx/1e6)*(sx/1e6))/n)/(n-1) AS v, n
+           FROM w)
+         SELECT user_id, t_us, value,
+           floor((value - m)/sqrt(v)*1e6+0.5)/1e6 AS zscore
+         FROM z
+         WHERE n = 20 AND v > 0 AND abs((value - m)/sqrt(v)) > 3.0
+         ORDER BY user_id, t_us""",
     "q_zipf" ->
       s"""WITH w AS ($W),
          wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c

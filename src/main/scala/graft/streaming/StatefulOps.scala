@@ -221,4 +221,55 @@ object StatefulOps {
         })
       .toDF(nameCol, tsCol, valueCol)
   }
+
+  /** Ring buffer of the last `window` points as 1e6-scaled longs (value
+    * and value², oldest first) — the exact-integer state that makes the
+    * streaming z-score bit-identical to the batch window kernel. */
+  case class ZsState(xs: Seq[Long], xxs: Seq[Long])
+  case class TagRowZ(name: String, ts: java.sql.Timestamp, value: Double,
+                     zscore: Double)
+
+  /** Streaming rolling z-score anomaly detection — the unbounded twin of
+    * [[graft.operators.SeqOps.rollingZscore]]: each record scores
+    * against the exact mean/std of its tag's previous `window` records,
+    * carried across micro-batch boundaries in an O(window) state cell.
+    * The state holds 1e6-scaled LONGS and the score derives from the
+    * integer sums in the same double-op sequence as the batch kernel,
+    * so a bounded replay hash-matches the batch oracle exactly. */
+  def zscoreStream(stream: DataFrame, window: Int, threshold: Double,
+                   nameCol: String = "name", tsCol: String = "time",
+                   valueCol: String = "value",
+                   stateTtl: Option[String] = None): DataFrame = {
+    implicit val encS = Encoders.product[ZsState]
+    implicit val encO = Encoders.product[TagRowZ]
+    asTagRows(stream, nameCol, tsCol, valueCol)
+      .groupByKey(_.name)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(stateTtl))(
+        withTtl[ZsState, TagRowZ](stateTtl) { (sorted, state) =>
+          var st = state.getOption.getOrElse(ZsState(Vector.empty, Vector.empty))
+          val out = Seq.newBuilder[TagRowZ]
+          sorted.foreach { r =>
+            if (st.xs.length == window) {
+              val sx = st.xs.sum; val sxx = st.xxs.sum
+              val m = (sx / 1e6) / window
+              val v = ((sxx / 1e6) - ((sx / 1e6) * (sx / 1e6)) / window) /
+                (window - 1)
+              if (v > 0) {
+                val z = (r.value - m) / math.sqrt(v)
+                if (math.abs(z) > threshold)
+                  out += TagRowZ(r.name, r.ts, r.value,
+                    math.floor(z * 1e6 + 0.5) / 1e6)
+              }
+            }
+            val x6 = math.floor(r.value * 1e6 + 0.5).toLong
+            val xx6 = math.floor(r.value * r.value * 1e6 + 0.5).toLong
+            val xs = (st.xs :+ x6).takeRight(window)
+            val xxs = (st.xxs :+ xx6).takeRight(window)
+            st = ZsState(xs, xxs)
+          }
+          state.update(st)
+          out.result().iterator
+        })
+      .toDF(nameCol, tsCol, valueCol, "zscore")
+  }
 }

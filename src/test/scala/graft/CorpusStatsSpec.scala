@@ -79,6 +79,23 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got((2L, 1L)) < 0.5, got)
   }
 
+  test("rollingZscore flags exactly the planted spike, baseline excludes the point itself") {
+    // stable series at ~10 with a single spike at position 30
+    val rows = (0 until 60).map { i =>
+      val v = if (i == 30) 500.0 else 10.0 + (i % 5) * 0.1
+      ("tag1", i.toLong * 1000000L, i.toLong, v)
+    }
+    val df = rows.toDF("name", "t_us", "seq", "value")
+    val got = graft.operators.SeqOps.rollingZscore(df, "name", "t_us", "seq",
+        "value", window = 20, threshold = 3.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(got.map(_._1).contains(30000000L), got.toSeq)
+    val spike = got.find(_._1 == 30000000L).get
+    assert(spike._2 > 100, spike) // a 490-sigma-ish outlier
+    // the spike contaminates the NEXT 20 baselines; nothing before it fires
+    assert(got.forall(_._1 >= 30000000L), got.toSeq)
+  }
+
   test("zipfFit recovers slope -1 on a planted 1/rank corpus") {
     // word r appears floor(1200/r) times, r = 1..30
     val text = (1 to 30).flatMap(r => Seq.fill(1200 / r)(s"w$r")).mkString(" ")
