@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.text.CorpusStats
 import Q._
 
-/** Sixth-wave battery: corpus statistics and event analytics — per-doc
-  * entropy, PMI collocations, per-source KL drift, source overlap
-  * matrix, asymmetric containment, and weekly cohort retention.
+/** Corpus-statistics and event-analytics battery: per-doc entropy, PMI
+  * collocations, per-source KL drift, source overlap matrix, asymmetric
+  * containment, Zipf fit, information profile, Count-Min sketch,
+  * weighted sampling, PageRank, hopping windows (batch + stream),
+  * cohort retention, transition matrix, RFM segmentation, and rolling
+  * z-score anomaly detection (batch + stream).
   */
 object Analytics {
   val defs: Map[String, QueryFn] = Map(
