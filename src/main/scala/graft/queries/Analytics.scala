@@ -48,6 +48,24 @@ object Analytics {
     "q_info_profile" -> ((s, dir) =>
       CorpusStats.infoProfile(t(s, dir, "documents"), "text")),
 
+    // ---- corpus snapshot diff (added/removed/changed audit) ------------
+    // Two deterministic snapshots derived from the same table: "old" =
+    // residues 0-7, "new" = residues 1-8 with residue-3 texts rewritten.
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old_ = docs.filter(col("doc_id") % 10 < 8)
+      val new_ = docs.filter(col("doc_id") % 10 >= 1)
+        .withColumn("text", when(col("doc_id") % 10 === 3,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      CorpusStats.corpusDiff(old_, new_, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- join-key skew report ------------------------------------------
+    "q_skew_report" -> ((s, dir) =>
+      CorpusStats.skewReport(t(s, dir, "events"), "user_id", k = 10)
+        .orderBy(col("cnt").desc, col("key"))),
+
     // ---- Count-Min sketch with an engine-reproducible hash -------------
     "q_countmin" -> ((s, dir) =>
       CorpusStats.countMin(t(s, dir, "documents"), "text",
@@ -473,6 +491,29 @@ object Analytics {
          SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
            floor(CAST(sum(v) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS vsum
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fo FROM documents
+           WHERE doc_id % 10 < 8),
+         n AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 3
+             THEN text || ' v2' ELSE text END) AS fn
+           FROM documents WHERE doc_id % 10 >= 1)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.fo IS NULL THEN 'added'
+                WHEN n.fn IS NULL THEN 'removed'
+                WHEN o.fo <> n.fn THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys FROM c),
+         top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10)
+         SELECT key, cnt,
+           floor(cnt / t.n_rows * 1e6 + 0.5) / 1e6 AS frac,
+           floor(cnt / t.n_rows * t.n_keys * 1e4 + 0.5) / 1e4 AS skew
+         FROM top CROSS JOIN t ORDER BY cnt DESC, key""",
     "q_countmin" ->
       s"""WITH w AS ($W),
          wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c

@@ -221,6 +221,34 @@ object Watch {
     * rows that would double-count sum/sumsq/cnt in every routed query.
     * Readers never see the temp dir (underscore prefix) and per-file
     * rename is atomic on HDFS-like stores. */
+  /** Streaming Count-Min maintenance: tail a document table and keep a
+    * durable, mergeable CMS of its word stream. Each micro-batch
+    * publishes its own (i, b, v) counter PARTIALS via [[publishBatch]]
+    * (batchId-keyed, replay-idempotent — at-least-once foreachBatch can
+    * never double-count a replayed batch); the merged sketch is just
+    * the per-(i, b) re-sum of everything on disk ([[loadCountMin]]),
+    * which is exactly the CMS mergeability property. Sketch size on
+    * disk grows with BATCHES, not corpus size, and stays tiny
+    * (rows × width cells per batch); compact by rewriting the merged
+    * relation whenever batch count bothers anyone. */
+  def maintainCountMin(spark: SparkSession, rawDir: String, schema: StructType,
+                       textCol: String, rows: Int, width: Int,
+                       sketchDir: String, checkpoint: String): StreamingQuery =
+    spark.readStream.schema(schema).parquet(rawDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counters =
+          graft.text.CorpusStats.cmCounters(batch, textCol, rows, width)
+        publishBatch(counters.coalesce(1), sketchDir, batchId)
+      }
+      .start()
+
+  /** The merged sketch: per-(i, b) sum of every published batch partial. */
+  def loadCountMin(spark: SparkSession, sketchDir: String): DataFrame =
+    spark.read.parquet(sketchDir).groupBy("i", "b").agg(sum("v").as("v"))
+
   private[graft] def publishBatch(out: DataFrame, dir: String,
                                   batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path

@@ -195,6 +195,40 @@ object CorpusStats {
         fr(col("__hb") - col("__hu"), 6).as("h_cond"))
   }
 
+  /** Snapshot diff between two corpus versions: per id, whether the doc
+    * was added, removed, changed (content fingerprint moved), or
+    * unchanged — the audit step between two crawl/curation runs. One
+    * full-outer shuffle join on the id; text never travels, only its
+    * md5. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol), md5(col(textCol)).as(s"__fp_$side"))
+    fp(oldDocs, "old").join(fp(newDocs, "new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Join-key skew report: the k heaviest keys of a would-be join/agg
+    * key with their share of the relation and their skew factor vs the
+    * mean key size — the diagnostic run before choosing salting / AQE
+    * skew handling. One partial-agg shuffle + a distributed top-k; the
+    * global stats ride a broadcast 1-row relation. */
+  def skewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(k)
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"),
+        fr(col("cnt") / col("n_rows"), 6).as("frac"),
+        // double-first: cnt*n_keys in integer space can overflow 2^63 at
+        // real key cardinalities; (cnt/n_rows)*n_keys cannot
+        fr(col("cnt") / col("n_rows") * col("n_keys"), 4).as("skew"))
+  }
+
   /** md5-derived Count-Min bucket: the first 4 hex digits of
     * md5("<row>_<word>") mod `width` — a hash both engines evaluate
     * natively (conv here, nibble arithmetic in SQL), so the sketch is
@@ -215,20 +249,42 @@ object CorpusStats {
     * the sketch itself never grows: width × rows counters regardless of
     * corpus size — the entire point of carrying a sketch instead of the
     * exact relation. */
+  /** (w, c) → per-hash-row (w, c, i, b) bucket stream. */
+  private def cmHashRows(wc: DataFrame, rows: Int, width: Int): DataFrame = wc
+    .select(col("w"), col("c"),
+      explode(array((0 until rows).map(i =>
+        struct(lit(i).as("i"), cmBucket(i, col("w"), width).as("b"))): _*)).as("h"))
+    .select(col("w"), col("c"), col("h.i").as("i"), col("h.b").as("b"))
+
+  /** The (i, b, v) counter relation of a CMS over the corpus word
+    * stream. MERGEABLE: union counter relations from any number of
+    * chunks/batches and re-sum per (i, b) — the property the streaming
+    * maintainer ([[graft.streaming.Watch.maintainCountMin]]) rides. */
+  def cmCounters(docs: DataFrame, textCol: String, rows: Int,
+                 width: Int): DataFrame = {
+    val wc = docs.select(explode(Curation.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    cmHashRows(wc, rows, width).groupBy("i", "b").agg(sum("c").as("v"))
+  }
+
+  /** Point estimates from a counter relation: min over hash rows of the
+    * probed cells, for each word in `words` (single column `w`). */
+  def cmEstimate(counters: DataFrame, words: DataFrame, rows: Int,
+                 width: Int): DataFrame =
+    cmHashRows(words.select(col("w"), lit(0L).as("c")), rows, width)
+      .join(broadcast(counters), Seq("i", "b"))
+      .groupBy(col("w").as("word"))
+      .agg(min("v").as("estimate"))
+
   def countMin(docs: DataFrame, textCol: String, rows: Int, width: Int,
                k: Int): DataFrame = {
     val wc = docs.select(explode(Curation.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    def hashRows(df: DataFrame): DataFrame = df
-      .select(col("w"), col("c"),
-        explode(array((0 until rows).map(i =>
-          struct(lit(i).as("i"), cmBucket(i, col("w"), width).as("b"))): _*)).as("h"))
-      .select(col("w"), col("c"), col("h.i").as("i"), col("h.b").as("b"))
-    val counters = hashRows(wc).groupBy("i", "b").agg(sum("c").as("v"))
+    val counters = cmHashRows(wc, rows, width).groupBy("i", "b").agg(sum("c").as("v"))
     // probes re-derive their buckets on the tiny top-k relation rather
     // than joining back into the vocab-sized hash stream
     val top = wc.orderBy(col("c").desc, col("w")).limit(k)
-    hashRows(top)
+    cmHashRows(top, rows, width)
       .join(broadcast(counters), Seq("i", "b"))
       .groupBy(col("w").as("word"))
       .agg(max("c").as("exact"), min("v").as("estimate"))

@@ -135,6 +135,38 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.exists { case (exact, est) => est > exact }, "64 words in 2x4 cells must collide")
   }
 
+  test("maintainCountMin: streamed partials merge to the batch sketch; replay is idempotent") {
+    import java.nio.file.Files
+    val rawDir = Files.createTempDirectory("graft_cms_raw").toString
+    val sketchDir = Files.createTempDirectory("graft_cms").toString + "/s"
+    val ck = Files.createTempDirectory("graft_cms_ck").toString
+    val docs = Seq.tabulate(40)(i => (i.toLong, s"w${i % 6} w${i % 6} common"))
+      .toDF("doc_id", "text")
+    // two arrival chunks
+    docs.filter($"doc_id" < 25).write.mode("append").parquet(rawDir)
+    docs.filter($"doc_id" >= 25).write.mode("append").parquet(rawDir)
+    val schema = spark.read.parquet(rawDir).schema
+    graft.streaming.Watch.maintainCountMin(spark, rawDir, schema, "text",
+      rows = 3, width = 64, sketchDir = sketchDir, checkpoint = ck)
+      .awaitTermination(60000)
+    val merged = graft.streaming.Watch.loadCountMin(spark, sketchDir)
+    val direct = CorpusStats.cmCounters(spark.read.parquet(rawDir), "text", 3, 64)
+    assert(merged.orderBy("i", "b").collect().toSeq ==
+      direct.orderBy("i", "b").collect().toSeq)
+    // probing the merged sketch never undercounts the true "common" count
+    val est = CorpusStats.cmEstimate(merged, Seq("common").toDF("w"), 3, 64)
+      .head().getLong(1)
+    assert(est >= 40L, est)
+    // replaying a batch's publish (same batchId, same partials — the
+    // at-least-once scenario) is idempotent: files replaced, totals flat
+    val before = merged.agg(sum("v")).head().getLong(0)
+    val batch0 = spark.read.parquet(s"$sketchDir/batch-0-*.snappy.parquet")
+    graft.streaming.Watch.publishBatch(batch0.coalesce(1), sketchDir, 0L)
+    val after = graft.streaming.Watch.loadCountMin(spark, sketchDir)
+      .agg(sum("v")).head().getLong(0)
+    assert(after == before, s"replay changed totals: $before -> $after")
+  }
+
   test("weightedSample is deterministic and favors heavy rows") {
     val df = (0L until 200L).map(i => (i, if (i < 10) 10000L else 1L))
       .toDF("doc_id", "n_chars")
