@@ -205,6 +205,24 @@ object Analytics {
         .orderBy("prev_type", "cur_type")
     }),
 
+    // ---- top event paths (3-step sequences) -----------------------------
+    // Second-order companion to the transition matrix: the most common
+    // 3-step event-type journeys. One per-user lag window, then a
+    // path-count shuffle and a distributed top-k.
+    "q_event_paths" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"), col("event_type"),
+          Q.tsUs(ev).as("__us"))
+        .withColumn("p1", lag("event_type", 2).over(w))
+        .withColumn("p2", lag("event_type", 1).over(w))
+        .filter(col("p1").isNotNull)
+        .select(concat_ws(" > ", col("p1"), col("p2"), col("event_type")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    }),
+
     // ---- RFM user segmentation --------------------------------------
     // Quartile thresholds are exact interpolated percentiles broadcast
     // to every row — no global-ORDER-BY window anywhere (ntile would
@@ -564,6 +582,17 @@ object Analytics {
          SELECT p.prev_type, p.cur_type, p.n,
            floor(p.n / t.tn * 1e6 + 0.5) / 1e6 AS prob
          FROM p JOIN t USING(prev_type) ORDER BY 1, 2""",
+    "q_event_paths" ->
+      """WITH o AS (SELECT
+             lag(event_type, 2) OVER w AS p1,
+             lag(event_type, 1) OVER w AS p2,
+             event_type AS p3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+         SELECT p1 || ' > ' || p2 || ' > ' || p3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+         FROM o WHERE p1 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
     "q_rfm" ->
       """WITH u0 AS (SELECT user_id, max(epoch_us(ts)) AS rec_us,
              CAST(count(*) AS BIGINT) AS frequency,
