@@ -154,9 +154,12 @@ object Multimodal {
     Some(BmpInfo(width, height, bpp, sum.toDouble / (width.toLong * height * 3)))
   }
 
-  /** Decoded WAV: fmt-chunk fields + PCM16 sample stats. */
+  /** Decoded WAV: fmt-chunk fields + PCM16 sample stats. `flips` counts
+    * strict sign changes between consecutive samples (zero samples
+    * break a run — s·s′ < 0 only), the zero-crossing-rate numerator. */
   final case class WavInfo(channels: Int, sampleRate: Int, bits: Int,
-                           nSamples: Int, rms: Double, peak: Int)
+                           nSamples: Int, rms: Double, peak: Int,
+                           flips: Int)
 
   /** PCM16 WAV decoder: RIFF/WAVE signature then a real chunk walk —
     * "fmt " for channels/rate/bits, "data" for samples (chunks are
@@ -189,15 +192,19 @@ object Multimodal {
     val n = dataLen / 2
     var sumSq = 0.0
     var peak = 0
+    var flips = 0
+    var prev = 0
     var i = 0
     while (i < n) {
       val s = buf.getShort(dataAt + 2 * i).toInt
       sumSq += s.toDouble * s
       if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && prev.toLong * s < 0) flips += 1
+      prev = s
       i += 1
     }
     Some(WavInfo(channels, rate, bits, n,
-      if (n == 0) 0.0 else math.sqrt(sumSq / n), peak))
+      if (n == 0) 0.0 else math.sqrt(sumSq / n), peak, flips))
   }
 
   /** Decoded raster image: dimensions + flat RGB channel bytes, packed

@@ -48,6 +48,34 @@ object Analytics {
     "q_info_profile" -> ((s, dir) =>
       CorpusStats.infoProfile(t(s, dir, "documents"), "text")),
 
+    // ---- audio feature extraction (peak + zero-crossing rate) ----------
+    // Real PCM16 decode (RIFF chunk walk) over deterministic synthesized
+    // payloads; the oracle recomputes peak/ZCR from the source character
+    // codes, so a decoder bug breaks the hash. Batched mapPartitions —
+    // the binary never shuffles.
+    "q_audio_features" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select("doc_id", "text")
+      val featSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_samples", LongType),
+        StructField("peak", LongType),
+        StructField("zcr", DoubleType)))
+      docs.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val codes = r.getString(1).map(_.toInt & 0xFF).toArray
+          val wav = Multimodal.synthWav(codes, 16000, 64 + (id % 32).toInt)
+          val w = Multimodal.decodeWav(wav).get
+          Row(id, w.nSamples.toLong, w.peak.toLong,
+            math.floor(w.flips.toDouble / (w.nSamples - 1) * 1e6 + 0.5) / 1e6)
+        }
+      }(Encoders.row(featSchema)).orderBy("doc_id")
+    }),
+
     // ---- corpus snapshot diff (added/removed/changed audit) ------------
     // Two deterministic snapshots derived from the same table: "old" =
     // residues 0-7, "new" = residues 1-8 with residue-3 texts rewritten.
@@ -509,6 +537,23 @@ object Analytics {
          SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
            floor(CAST(sum(v) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS vsum
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L,
+             CAST(64 + doc_id % 32 AS INT) AS n
+           FROM documents WHERE doc_id < 100),
+         c AS (SELECT doc_id, n, list_transform(generate_series(1, n), i ->
+             (ascii(substr(text, CAST((i-1) % L AS INT) + 1, 1)) % 256 - 128)
+               * 128) AS smp
+           FROM d),
+         f AS (SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+             CAST(list_aggregate(list_transform(smp, x -> abs(x)), 'max')
+               AS BIGINT) AS peak,
+             len(list_filter(generate_series(2, n),
+               i -> smp[i-1] * smp[i] < 0)) AS flips, n
+           FROM c)
+         SELECT doc_id, n_samples, peak,
+           floor(CAST(flips AS DOUBLE) / (n - 1) * 1e6 + 0.5) / 1e6 AS zcr
+         FROM f ORDER BY doc_id""",
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS fo FROM documents
            WHERE doc_id % 10 < 8),
