@@ -76,6 +76,24 @@ object Analytics {
       }(Encoders.row(featSchema)).orderBy("doc_id")
     }),
 
+    // ---- per-source exact-duplication rate -------------------------------
+    // The data-card dedup accounting: how much of each source is exact
+    // copies. Fingerprint groupBy (text travels as md5), then per-source
+    // partial-agg counts.
+    "q_dup_rate_by_source" -> ((s, dir) => {
+      val fp = t(s, dir, "documents")
+        .select(col("source"), md5(col("text")).as("fp"))
+        .groupBy("source", "fp").agg(count(lit(1)).as("c"))
+      fp.groupBy("source")
+        .agg(sum("c").as("n_docs"), count(lit(1)).as("n_distinct"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_in_dup_groups"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          fround((col("n_docs") - col("n_distinct")) / col("n_docs"), 6)
+            .as("dup_frac"),
+          col("n_in_dup_groups"))
+        .orderBy("source")
+    }),
+
     // ---- corpus snapshot diff (added/removed/changed audit) ------------
     // Two deterministic snapshots derived from the same table: "old" =
     // residues 0-7, "new" = residues 1-8 with residue-3 texts rewritten.
@@ -554,6 +572,15 @@ object Analytics {
          SELECT doc_id, n_samples, peak,
            floor(CAST(flips AS DOUBLE) / (n - 1) * 1e6 + 0.5) / 1e6 AS zcr
          FROM f ORDER BY doc_id""",
+    "q_dup_rate_by_source" ->
+      """WITH fp AS (SELECT source, md5(text) AS fp, count(*) AS c
+           FROM documents GROUP BY 1, 2)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           floor((sum(c) - count(*)) / sum(c) * 1e6 + 0.5) / 1e6 AS dup_frac,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+             AS n_in_dup_groups
+         FROM fp GROUP BY 1 ORDER BY 1""",
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS fo FROM documents
            WHERE doc_id % 10 < 8),
