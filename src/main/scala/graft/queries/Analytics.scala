@@ -76,6 +76,30 @@ object Analytics {
       }(Encoders.row(featSchema)).orderBy("doc_id")
     }),
 
+    // ---- content-defined chunking (long-doc splitting) -------------------
+    // Splits each document at CONTENT-derived boundaries (a word whose
+    // md5 starts with '0' opens a new chunk, ~1/16 rate): insertions
+    // shift only the chunk they land in, unlike fixed-size windows that
+    // reflow everything after the edit — the standard trick for
+    // dedup-stable long-doc chunking. Word-positional flags, a per-doc
+    // running sum, one partial-agg per (doc, chunk); no sequential state.
+    "q_cdc_chunks" -> ((s, dir) => {
+      val ws = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          posexplode(split(regexp_replace(lower(col("text")), "\\s+", " "), " "))
+            .as(Seq("pos", "w")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      ws.withColumn("flag",
+          when(col("pos") > 0 && substring(md5(col("w")), 1, 1) === "0", 1L)
+            .otherwise(0L))
+        .withColumn("chunk_idx", sum("flag").over(w))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(min("pos").cast("long").as("w_start"),
+          max("pos").cast("long").as("w_end"),
+          count(lit(1)).as("n_words"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ---- per-source exact-duplication rate -------------------------------
     // The data-card dedup accounting: how much of each source is exact
     // copies. Fingerprint groupBy (text travels as md5), then per-source
@@ -572,6 +596,25 @@ object Analytics {
          SELECT doc_id, n_samples, peak,
            floor(CAST(flips AS DOUBLE) / (n - 1) * 1e6 + 0.5) / 1e6 AS zcr
          FROM f ORDER BY doc_id""",
+    "q_cdc_chunks" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
+           FROM documents WHERE doc_id < 200),
+         p AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, ws[i] AS w
+           FROM (SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+                 FROM w)),
+         f AS (SELECT doc_id, pos,
+             CASE WHEN pos > 0 AND substr(md5(w), 1, 1) = '0'
+               THEN 1 ELSE 0 END AS flag
+           FROM p),
+         c AS (SELECT doc_id, pos, sum(flag) OVER
+             (PARTITION BY doc_id ORDER BY pos) AS chunk_idx
+           FROM f)
+         SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(min(pos) AS BIGINT) AS w_start,
+           CAST(max(pos) AS BIGINT) AS w_end,
+           CAST(count(*) AS BIGINT) AS n_words
+         FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_dup_rate_by_source" ->
       """WITH fp AS (SELECT source, md5(text) AS fp, count(*) AS c
            FROM documents GROUP BY 1, 2)
