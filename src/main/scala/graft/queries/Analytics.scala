@@ -100,6 +100,13 @@ object Analytics {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // ---- language-ID confusion matrix (model audit vs labels) -----------
+    "q_langid_confusion" -> ((s, dir) =>
+      graft.text.TextOps.langid(t(s, dir, "documents"), col("text"))
+        .groupBy(col("lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted_lang")),
+
     // ---- per-source exact-duplication rate -------------------------------
     // The data-card dedup accounting: how much of each source is exact
     // copies. Fingerprint groupBy (text travels as md5), then per-source
@@ -615,6 +622,25 @@ object Analytics {
            CAST(max(pos) AS BIGINT) AS w_end,
            CAST(count(*) AS BIGINT) AS n_words
          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_langid_confusion" ->
+      """WITH p AS (SELECT lang,
+           CASE
+             WHEN len(list_filter(string_split(text,' '),
+                 w -> w IN ('der','und','die'))) >
+               len(list_filter(string_split(text,' '),
+                 w -> w IN ('the','a','of'))) THEN 'de'
+             WHEN len(list_filter(string_split(text,' '),
+                 w -> w IN ('el','la','los'))) >
+               len(list_filter(string_split(text,' '),
+                 w -> w IN ('the','a','of'))) THEN 'es'
+             WHEN len(list_filter(string_split(text,' '),
+                 w -> w IN ('le','les','une'))) >
+               len(list_filter(string_split(text,' '),
+                 w -> w IN ('the','a','of'))) THEN 'fr'
+             ELSE 'en' END AS predicted_lang
+           FROM documents)
+         SELECT lang, predicted_lang, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_dup_rate_by_source" ->
       """WITH fp AS (SELECT source, md5(text) AS fp, count(*) AS c
            FROM documents GROUP BY 1, 2)
