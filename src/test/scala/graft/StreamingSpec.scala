@@ -479,6 +479,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("zscoreStream state survives a restart: spike detected against pre-restart baseline") {
+    val raw = Files.createTempDirectory("graft_zs_raw").toString
+    val out = Files.createTempDirectory("graft_zs_out").toString + "/o"
+    val ck = Files.createTempDirectory("graft_zs_ck").toString
+    def rows(r: Range) = r.map { i =>
+      ("t", i.toLong * 1000000000L, if (i == 30) 500.0 else 10.0 + (i % 5) * 0.1)
+    }.toDF("name", "time", "value") // epoch-ns LongType tag shape
+    rows(0 until 25).write.mode("append").parquet(raw)
+    val schema = spark.read.parquet(raw).schema
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(raw)
+      val q = graft.streaming.StatefulOps.zscoreStream(src, window = 20, threshold = 3.0)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()                                   // 25 quiet points -> state only
+    rows(25 until 40).write.mode("append").parquet(raw)
+    runOnce()                                   // restart from the checkpoint
+    val streamed = spark.read.parquet(out)
+      .select(unix_micros(col("time")) * 1000L, col("zscore"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    // the spike at i=30 needs baselines 10..29 — 15 of them from the
+    // FIRST run's state; detection proves the ring buffer crossed the
+    // restart. Batch kernel over the full data must match bit-exactly.
+    assert(streamed.exists(_._1 == 30000000000L), streamed)
+    val batch = graft.operators.SeqOps.rollingZscore(
+        spark.read.parquet(raw), "name", "time", "time", "value", 20, 3.0)
+      .select(col("time"), col("zscore"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(streamed == batch, s"\nstream=$streamed\nbatch=$batch")
+  }
+
   test("rollupStream aggregates tumbling event-time windows") {
     val dir = Files.createTempDirectory("graft_roll").toString
     val ck = Files.createTempDirectory("graft_ck2").toString
