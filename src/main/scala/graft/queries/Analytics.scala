@@ -100,6 +100,11 @@ object Analytics {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // ---- fuzzy vocabulary pairs (length-blocked Levenshtein join) -------
+    "q_fuzzy_vocab" -> ((s, dir) =>
+      CorpusStats.fuzzyVocabPairs(t(s, dir, "documents"), "text", maxDist = 2)
+        .orderBy("w1", "w2")),
+
     // ---- language-ID confusion matrix (model audit vs labels) -----------
     "q_langid_confusion" -> ((s, dir) =>
       graft.text.TextOps.langid(t(s, dir, "documents"), col("text"))
@@ -622,6 +627,16 @@ object Analytics {
            CAST(max(pos) AS BIGINT) AS w_end,
            CAST(count(*) AS BIGINT) AS n_words
          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_fuzzy_vocab" ->
+      """WITH v AS (SELECT DISTINCT unnest(
+             string_split(regexp_replace(lower(text),'\s+',' ','g'),' ')) AS w
+           FROM documents)
+         SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2,
+           CAST(levenshtein(a.w, b.w) AS INT) AS dist
+         FROM v a JOIN v b
+           ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 2
+         WHERE levenshtein(a.w, b.w) <= 2
+         ORDER BY 1, 2""",
     "q_langid_confusion" ->
       """WITH p AS (SELECT lang,
            CASE

@@ -195,6 +195,32 @@ object CorpusStats {
         fr(col("__hb") - col("__hu"), 6).as("h_cond"))
   }
 
+  /** Fuzzy vocabulary pairs: distinct corpus words within `maxDist`
+    * Levenshtein edits of each other — the typo/variant detector behind
+    * fuzzy joins and spell-normalization. NOT an all-pairs join: a word
+    * of length L can only match words of length L±maxDist, so each word
+    * emits `maxDist+1` length keys and the self-join runs per length
+    * bucket; the exact distance check (codegen'd levenshtein) touches
+    * only same-bucket candidates. Each unordered pair survives exactly
+    * once (shorter-first, lexicographic within a bucket). */
+  def fuzzyVocabPairs(docs: DataFrame, textCol: String,
+                      maxDist: Int = 1): DataFrame = {
+    val vocab = docs
+      .select(explode(Curation.words(col(textCol))).as("w")).distinct()
+      .withColumn("len", length(col("w")))
+    val probe = vocab.select(col("w").as("wa"), col("len").as("la"),
+      explode(array((0 to maxDist).map(d => col("len") + d): _*)).as("key"))
+    val build = vocab.select(col("w").as("wb"), col("len").as("lb"),
+      col("len").as("key"))
+    probe.join(build, "key")
+      .filter(col("la") < col("lb") ||
+        (col("la") === col("lb") && col("wa") < col("wb")))
+      .withColumn("dist", levenshtein(col("wa"), col("wb")))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("wa"), col("wb")).as("w1"),
+        greatest(col("wa"), col("wb")).as("w2"), col("dist"))
+  }
+
   /** Snapshot diff between two corpus versions: per id, whether the doc
     * was added, removed, changed (content fingerprint moved), or
     * unchanged — the audit step between two crawl/curation runs. One
