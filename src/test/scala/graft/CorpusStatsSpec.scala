@@ -183,6 +183,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(a.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("corpusDiff classifies all four statuses") {
+    val old_ = Seq((1L, "same"), (2L, "before"), (3L, "gone")).toDF("doc_id", "text")
+    val new_ = Seq((1L, "same"), (2L, "after"), (4L, "fresh")).toDF("doc_id", "text")
+    val got = CorpusStats.corpusDiff(old_, new_, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"), got)
+  }
+
+  test("skewReport: a hot key reads its true share and skew factor") {
+    val df = (Seq.fill(80)("hot") ++ (0 until 20).map(i => s"k$i")).toDF("k")
+    val got = CorpusStats.skewReport(df, "k", k = 3).collect()
+    val hot = got.find(_.getString(0) == "hot").get
+    assert(hot.getLong(1) == 80L)
+    assert(hot.getDouble(2) == 0.8)             // 80 of 100 rows
+    assert(hot.getDouble(3) == 16.8, hot)       // 0.8 * 21 keys
+  }
+
+  test("fuzzyVocabPairs finds cross-length pairs once and never all-pairs joins") {
+    val df = Seq((1L, "cat cart mouse house")).toDF("doc_id", "text")
+    val got = CorpusStats.fuzzyVocabPairs(df, "text", maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(("cart", "cat", 1), ("house", "mouse", 1)), got)
+  }
+
   test("transition matrix rows are proper distributions over observed successors") {
     val got = graft.queries.Analytics.defs("q_transition_matrix")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
