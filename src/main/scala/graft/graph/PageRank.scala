@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   * skew (a celebrity node's in-edges partial-aggregate map-side).
   */
 object PageRank {
+  /** Iterations between lineage truncations — deep enough to amortize
+    * the eager materialization, shallow enough that the optimizer never
+    * sees more than ~5 iterations of plan. */
+  private val CheckpointEvery = 5
+
   private def fr(c: Column, scale: Int): Column = {
     val p = math.pow(10d, scale.toDouble)
     floor(c * p + 0.5d) / p
@@ -55,6 +60,11 @@ object PageRank {
         .select(col("v"),
           fr(lit(reset) + lit(d) * coalesce(col("s"), lit(0d)), 9).as("r"))
       it += 1
+      // lineage truncation: without it each iteration's plan embeds the
+      // whole previous plan and DRIVER planning time grows superlinearly
+      // with iters — same cure as Dedup.connectedComponents. Values are
+      // 9-dp-pinned per iteration, so checkpointing never changes them.
+      if (it % CheckpointEvery == 0 && it < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("v"), col("r").as("rank"))
   }

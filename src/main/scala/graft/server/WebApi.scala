@@ -43,8 +43,7 @@ object WebApi {
             s"_${tu}_ROLLUP_$u" -> "KeyValue Table (rollup)")
         core ++ rollups
       }
-    val re = nameGlob.map(g => ("(?i)^" +
-      java.util.regex.Pattern.quote(g).replace("*", "\\E.*\\Q") + "$").r)
+    val re = nameGlob.map(globToRegex)
     val rows = (base ++ shadows)
       .filter { case (n, _) => re.forall(_.matches(n)) }
       .sortBy(_._1)
@@ -54,6 +53,54 @@ object WebApi {
     df(spark, StructType(Seq(f("ROWNUM", IntegerType, "int32"),
       f("DB", StringType, "string"), f("USER", StringType, "string"),
       f("NAME", StringType, "string"), f("TYPE", StringType, "string"))), rows)
+  }
+
+  /** Translate the reference's glob syntax to a case-insensitive java
+    * regex — '*' any run, '?' any single char, '[^a-z]' character
+    * classes with ranges, '\\' escape (mods/util/glob/match.go:11-34).
+    * A malformed class ('[' with no closing ']') degrades to a literal
+    * '[', which matches no real table name — same observable outcome as
+    * the reference's ErrBadPattern (zero rows). */
+  private[server] def globToRegex(g: String): scala.util.matching.Regex = {
+    val sb = new StringBuilder("(?i)^")
+    def lit(c: Char): Unit =
+      if (c.isLetterOrDigit) sb.append(c) else sb.append('\\').append(c)
+    var i = 0
+    while (i < g.length) {
+      g.charAt(i) match {
+        case '*' => sb.append(".*"); i += 1
+        case '?' => sb.append('.'); i += 1
+        case '\\' if i + 1 < g.length => lit(g.charAt(i + 1)); i += 2
+        case '[' =>
+          // find the matching ']' — the class must be non-empty, so a
+          // ']' directly after '[' (or '[^') is a class member
+          var j = i + 1
+          if (j < g.length && g.charAt(j) == '^') j += 1
+          val start = j
+          var close = -1
+          while (j < g.length && close < 0) {
+            if (g.charAt(j) == '\\' && j + 1 < g.length) j += 2
+            else if (g.charAt(j) == ']' && j > start) close = j
+            else j += 1
+          }
+          if (close < 0) { lit('['); i += 1 }
+          else {
+            sb.append('[')
+            var k = i + 1
+            if (g.charAt(k) == '^') { sb.append('^'); k += 1 }
+            while (k < close) {
+              g.charAt(k) match {
+                case '\\' if k + 1 < close => lit(g.charAt(k + 1)); k += 2
+                case '-' => sb.append('-'); k += 1 // range operator
+                case c => lit(c); k += 1
+              }
+            }
+            sb.append(']'); i = close + 1
+          }
+        case c => lit(c); i += 1
+      }
+    }
+    sb.append('$').toString.r
   }
 
   /** `GET /web/api/tables/:table/tags` — ROWNUM, NAME of distinct tags. */
@@ -737,16 +784,31 @@ object WebApi {
     * exactly like /db/query (http_query.go:553-625). */
   def tagStatReply(spark: SparkSession, table: String, tag: String,
                    params: Map[String, Seq[String]]): HttpReply = {
+    // same contract as tagsReply / the reference (http_query.go:584-600):
+    // a non-tag table and a bad tz/timeformat are CLIENT errors (400),
+    // only a failure while computing the stat itself is a 500
+    val isTag = TagTables.allVisibleTables
+      .exists(t => t._1.equalsIgnoreCase(table) && t._2 == "Tag")
+    if (!isTag)
+      return HttpReply(400, "application/json",
+        """{"success":false,"reason":"not a tag table"}""")
     def one(k: String) = params.get(k).flatMap(_.headOption).filter(_.nonEmpty)
     var o = graft.sinks.Codecs.Options()
-    one("tz").foreach(z => o = o.copy(tz = graft.time.TimeFns.resolveTz(z)))
-    one("timeformat").foreach { fmt =>
-      fmt.toLowerCase match {
-        case "s" | "ms" | "us" | "ns" => o = o.copy(timeformat = Some(fmt.toLowerCase))
-        case _ =>
-          val (jp, trim) = graft.time.TimeFns.resolveNamedOrGoFormat(fmt)
-          o = o.copy(timeformat = Some(jp), trimFractionZeros = trim)
+    try {
+      one("tz").foreach(z => o = o.copy(tz = graft.time.TimeFns.resolveTz(z)))
+      one("timeformat").foreach { fmt =>
+        fmt.toLowerCase match {
+          case "s" | "ms" | "us" | "ns" => o = o.copy(timeformat = Some(fmt.toLowerCase))
+          case _ =>
+            val (jp, trim) = graft.time.TimeFns.resolveNamedOrGoFormat(fmt)
+            o = o.copy(timeformat = Some(jp), trimFractionZeros = trim)
+        }
       }
+    } catch {
+      case e: Exception =>
+        val m = Option(e.getMessage).filter(_.nonEmpty).getOrElse(e.toString)
+        return HttpReply(400, "application/json",
+          s"""{"success":false,"reason":${graft.sinks.GoJs.quote(m)}}""")
     }
     try envelope(tagStat(spark, table, tag), o)
     catch {

@@ -221,6 +221,28 @@ object Watch {
     * rows that would double-count sum/sumsq/cnt in every routed query.
     * Readers never see the temp dir (underscore prefix) and per-file
     * rename is atomic on HDFS-like stores. */
+  private[graft] def publishBatch(out: DataFrame, dir: String,
+                                  batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = out.sparkSession
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(dirPath, s"_tmp_batch_$batchId")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    val prefix = s"batch-$batchId-"
+    fs.listStatus(dirPath).iterator
+      .filter(_.getPath.getName.startsWith(prefix))
+      .foreach(f => fs.delete(f.getPath, false))
+    val files = fs.listStatus(tmp).iterator
+      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      .sortBy(_.getPath.getName)
+    files.zipWithIndex.foreach { case (f, i) =>
+      if (!fs.rename(f.getPath, new Path(dirPath, s"$prefix$i.snappy.parquet")))
+        throw new java.io.IOException(s"cannot publish batch $batchId file $i into $dir")
+    }
+    fs.delete(tmp, true)
+  }
+
   /** Streaming Count-Min maintenance: tail a document table and keep a
     * durable, mergeable CMS of its word stream. Each micro-batch
     * publishes its own (i, b, v) counter PARTIALS via [[publishBatch]]
@@ -248,26 +270,4 @@ object Watch {
   /** The merged sketch: per-(i, b) sum of every published batch partial. */
   def loadCountMin(spark: SparkSession, sketchDir: String): DataFrame =
     spark.read.parquet(sketchDir).groupBy("i", "b").agg(sum("v").as("v"))
-
-  private[graft] def publishBatch(out: DataFrame, dir: String,
-                                  batchId: Long): Unit = {
-    import org.apache.hadoop.fs.Path
-    val spark = out.sparkSession
-    val dirPath = new Path(dir)
-    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(dirPath, s"_tmp_batch_$batchId")
-    out.write.mode("overwrite").parquet(tmp.toString)
-    val prefix = s"batch-$batchId-"
-    fs.listStatus(dirPath).iterator
-      .filter(_.getPath.getName.startsWith(prefix))
-      .foreach(f => fs.delete(f.getPath, false))
-    val files = fs.listStatus(tmp).iterator
-      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
-      .sortBy(_.getPath.getName)
-    files.zipWithIndex.foreach { case (f, i) =>
-      if (!fs.rename(f.getPath, new Path(dirPath, s"$prefix$i.snappy.parquet")))
-        throw new java.io.IOException(s"cannot publish batch $batchId file $i into $dir")
-    }
-    fs.delete(tmp, true)
-  }
 }

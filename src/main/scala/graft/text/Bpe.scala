@@ -166,15 +166,15 @@ object Bpe {
       copy(child = c)
   }
 
-  /** (Re)bind `bpe_encode` to `model` in this session's registry and
-    * return the encoding column — the repo's standard expression
-    * plumbing (see [[graft.functions.ArrayExprs.register]]); the model
-    * rides the serialized expression to executors. */
-  def encode(spark: SparkSession, text: Column, model: Model): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bpe_encode", exprs => BpeEncode(exprs.head, model), "built-in")
-    call_function("bpe_encode", text)
-  }
+  /** Encoding column for `text` under `model`. The model ships INSIDE
+    * the serialized expression, so the Column is built from it directly
+    * ([[org.apache.spark.sql.graft.ExprColumn]]) rather than through the
+    * session function registry — registry binding is session-shared
+    * mutable state, and two concurrently-planned queries with different
+    * models under one name would resolve whichever registered last. */
+  def encode(spark: SparkSession, text: Column, model: Model): Column =
+    org.apache.spark.sql.graft.ExprColumn(
+      BpeEncode(org.apache.spark.sql.graft.ExprColumn.expr(text), model))
 
   /** Decode = concatenate symbols and split words at the EOW marker —
     * the roundtrip invariant `decode(encode(t)) == normalize(t)` is the

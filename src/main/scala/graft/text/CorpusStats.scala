@@ -197,28 +197,51 @@ object CorpusStats {
 
   /** Fuzzy vocabulary pairs: distinct corpus words within `maxDist`
     * Levenshtein edits of each other — the typo/variant detector behind
-    * fuzzy joins and spell-normalization. NOT an all-pairs join: a word
-    * of length L can only match words of length L±maxDist, so each word
-    * emits `maxDist+1` length keys and the self-join runs per length
-    * bucket; the exact distance check (codegen'd levenshtein) touches
-    * only same-bucket candidates. Each unordered pair survives exactly
-    * once (shorter-first, lexicographic within a bucket). */
+    * fuzzy joins and spell-normalization. Blocking is SymSpell-style
+    * DELETION NEIGHBORHOODS, not length buckets: each word emits every
+    * string reachable by deleting ≤ maxDist characters, and two words
+    * within edit distance maxDist provably share one such variant (in
+    * any ≤maxDist-op alignment, delete each side's edited positions —
+    * both collapse onto the common subsequence, ≤ maxDist deletions
+    * each). A length bucket is quadratic within itself (at 100 TB vocab
+    * ALL 7-letter words land in one bucket and the join emits |bucket|²
+    * candidates); a deletion key only groups words one neighborhood
+    * apart, so candidate volume stays near-linear in vocab. The exact
+    * codegen'd `levenshtein` check runs once per distinct candidate
+    * pair. */
   def fuzzyVocabPairs(docs: DataFrame, textCol: String,
                       maxDist: Int = 1): DataFrame = {
     val vocab = docs
       .select(explode(Curation.words(col(textCol))).as("w")).distinct()
-      .withColumn("len", length(col("w")))
-    val probe = vocab.select(col("w").as("wa"), col("len").as("la"),
-      explode(array((0 to maxDist).map(d => col("len") + d): _*)).as("key"))
-    val build = vocab.select(col("w").as("wb"), col("len").as("lb"),
-      col("len").as("key"))
-    probe.join(build, "key")
-      .filter(col("la") < col("lb") ||
-        (col("la") === col("lb") && col("wa") < col("wb")))
+    fuzzyCandidates(vocab, maxDist)
       .withColumn("dist", levenshtein(col("wa"), col("wb")))
       .filter(col("dist") <= maxDist)
-      .select(least(col("wa"), col("wb")).as("w1"),
-        greatest(col("wa"), col("wb")).as("w2"), col("dist"))
+      .select(col("wa").as("w1"), col("wb").as("w2"), col("dist"))
+  }
+
+  /** Distinct candidate pairs (wa < wb) sharing a ≤`maxDist`-deletion
+    * variant — the SymSpell block join, separated out so specs can pin
+    * the candidate volume (near-linear in vocab, NOT |bucket|²).
+    * @param vocab single string column `w` of distinct words */
+  private[graft] def fuzzyCandidates(vocab: DataFrame,
+                                     maxDist: Int): DataFrame = {
+    // all single-character deletions, as one codegen'd HOF chain; the
+    // empty word's neighborhood is just itself (sequence(1,0) would
+    // descend, so guard it out)
+    def dels1(w: Column): Column =
+      when(length(w) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(w)), i =>
+          concat(w.substr(lit(1), i - lit(1)),
+            w.substr(i + lit(1), length(w)))))
+    // N₀ = {w};  Nₖ = Nₖ₋₁ ∪ dels1(Nₖ₋₁)  — ≤ C(L,maxDist)+…+1 keys/word
+    var keys: Column = array(col("w"))
+    for (_ <- 1 to maxDist)
+      keys = array_distinct(concat(keys, flatten(transform(keys, dels1(_)))))
+    val keyed = vocab.select(col("w"), explode(keys).as("key"))
+    keyed.select(col("w").as("wa"), col("key"))
+      .join(keyed.select(col("w").as("wb"), col("key")), "key")
+      .filter(col("wa") < col("wb"))
+      .select("wa", "wb").distinct() // a pair can share MANY deletion keys
   }
 
   /** Snapshot diff between two corpus versions: per id, whether the doc

@@ -207,6 +207,43 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == Set(("cart", "cat", 1), ("house", "mouse", 1)), got)
   }
 
+  test("fuzzyVocabPairs maxDist=2 catches double-substitutions and 2-length gaps") {
+    // abxdeyg is two substitutions from abcdefg (same length — the pair a
+    // pure-deletion intuition would miss); 'ca' is 1 and 'c' is 2 edits
+    // from cat; 'house'→'ho' is 3 edits and must NOT pair
+    val df = Seq((1L, "abcdefg abxdeyg cat ca c house ho")).toDF("doc_id", "text")
+    val got = CorpusStats.fuzzyVocabPairs(df, "text", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got.contains(("abcdefg", "abxdeyg", 2)), got)
+    assert(got.contains(("ca", "cat", 1)) && got.contains(("c", "cat", 2)), got)
+    assert(!got.exists(p => p._1 == "ho" && p._2 == "house"), got)
+  }
+
+  test("fuzzy candidate volume is near-linear in vocab, not |length-bucket| squared") {
+    // 1,500 distinct words, ALL length 7 — under length-bucket blocking
+    // every pair is a candidate (1,124,250); under deletion-neighborhood
+    // blocking only words actually sharing a ≤2-deletion variant pair up
+    val rnd = new scala.util.Random(42)
+    val base = Iterator.continually(
+        (0 until 7).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      .distinct.take(1470).toVector
+    // plant 30 known 1-edit variants so recall is asserted, not vacuous
+    val planted = base.take(30).map(w => "z" + w.drop(1))
+    val vocab = (base ++ planted).distinct.toDF("w")
+    val n = vocab.count()
+    val cands = CorpusStats.fuzzyCandidates(vocab, maxDist = 2)
+    val cnt = cands.count()
+    assert(cnt < 10L * n, s"candidates $cnt for vocab $n — blocking degraded")
+    val pairs = CorpusStats.fuzzyVocabPairs(
+        vocab.select(col("w").as("text")), "text", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    base.take(30).zip(planted).filter { case (a, b) => a != b }.foreach {
+      case (a, b) =>
+        val (w1, w2) = if (a < b) (a, b) else (b, a)
+        assert(pairs.contains((w1, w2)), s"missed planted pair $a / $b")
+    }
+  }
+
   test("transition matrix rows are proper distributions over observed successors") {
     val got = graft.queries.Analytics.defs("q_transition_matrix")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))

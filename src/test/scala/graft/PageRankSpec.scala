@@ -29,6 +29,22 @@ class PageRankSpec extends SparkSpec {
     assert(got(2L) > got(1L) && got(1L) > got(0L), got)
   }
 
+  test("deep iteration keeps the plan bounded (lineage truncation)") {
+    // 25 iterations: without the every-5 localCheckpoint the optimizer
+    // would see all 25 iterations of join+agg lineage and driver
+    // planning time grows superlinearly; with it the final plan covers
+    // at most 5 iterations
+    val es = (0L until 40L).flatMap(i => Seq((i, (i + 1) % 40), ((i + 1) % 40, i)))
+    val got = PageRank.run(nodesOf(0L until 40L: _*), edgesOf(es: _*),
+      d = 0.85, iters = 25)
+    val planNodes = got.queryExecution.optimizedPlan
+      .collect { case p => p }.size
+    assert(planNodes < 60, s"optimized plan has $planNodes nodes — truncation broken?")
+    // the symmetric ring is rank-uniform at every iteration depth
+    val ranks = got.collect().map(_.getDouble(1)).distinct
+    assert(ranks.length == 1, ranks.toSeq)
+  }
+
   test("ranks are partitioning-independent (decimal contribution sums)") {
     val es = (0L until 60L).flatMap(i => Seq((i, (i * 7) % 60), ((i * 7) % 60, i)))
     val a = PageRank.run(nodesOf(0L until 60L: _*), edgesOf(es: _*).repartition(1),

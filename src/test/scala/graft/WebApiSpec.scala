@@ -391,8 +391,9 @@ class WebApiSpec extends SparkSpec {
       // tags with prefix filter (uppercased filter vs raw names)
       val tg = route("/tables/example/tags", Map("name" -> Seq("te")))
       assert(tg.status == 200, tg.body)
-      assert(!tg.body.contains("temp") || !tg.body.contains("test.query") ||
-        tg.body.contains("\"rows\":[]"), tg.body) // 'TE' prefix-matches neither raw name
+      // 'TE' prefix-matches neither raw name (filter uppercased, tag not)
+      assert(tg.body.contains("\"rows\":[]"), tg.body)
+      assert(!tg.body.contains("temp") && !tg.body.contains("test.query"), tg.body)
       val tgAll = route("/tables/example/tags")
       assert(tgAll.body.contains("temp") && tgAll.body.contains("test.query"), tgAll.body)
       // per-tag stat through the route with epoch-ms timeformat
@@ -402,6 +403,21 @@ class WebApiSpec extends SparkSpec {
       // a log table is not a tag table
       val bad = route("/tables/log_data/tags")
       assert(bad.status == 400 && bad.body.contains("not a tag table"), bad.body)
+      // ...and the stat endpoint enforces the same 400 (http_query.go:584)
+      val badStat = route("/tables/log_data/tags/temp/stat")
+      assert(badStat.status == 400 && badStat.body.contains("not a tag table"),
+        badStat.body)
+      // a bad tz is a CLIENT error (400), not a raw 500
+      val badTz = route("/tables/example/tags/temp/stat",
+        Map("tz" -> Seq("Not/AZone")))
+      assert(badTz.status == 400, s"${badTz.status} ${badTz.body}")
+      // '?' and '[..]' glob forms match like the reference's glob.Match
+      val qm = route("/tables", Map("name" -> Seq("EX?MPLE")))
+      assert(qm.body.contains("\"EXAMPLE\""), qm.body)
+      val cls = route("/tables", Map("name" -> Seq("EX[AB]MPLE")))
+      assert(cls.body.contains("\"EXAMPLE\""), cls.body)
+      val clsNeg = route("/tables", Map("name" -> Seq("EX[^A]MPLE")))
+      assert(!clsNeg.body.contains("\"EXAMPLE\""), clsNeg.body)
     } finally QueryDoor.execute(spark, "drop table example")
   }
 
