@@ -305,6 +305,29 @@ object TimeSeries {
         .orderBy("user_id", "t_us")
     }),
 
+    // streaming MAP_MOVAVG through the gate: the bounded window buffer
+    // crosses micro-batch boundaries; warm-up (< window records) emits
+    // null exactly like the batch kernel / fm_monad.go:2023-2073
+    "q_stream_movavg" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val src = s.readStream.schema(e0.schema)
+        .parquet(s"$dir/{events.parquet}") // {}-glob: a bare file path fails basePath inference
+      val in = src.filter(col("user_id") < 20)
+        .select(col("user_id").cast("string").as("name"),
+          tsNs(src).as("time"), col("value"))
+      val out = graft.streaming.StatefulOps.movavgStream(in, window = 5)
+      val qn = "stream_ma_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(
+          col("name").cast(e0.schema("user_id").dataType).as("user_id"),
+          unix_micros(col("time")).as("t_us"),
+          r4(col("value")).as("movavg5"))
+        .orderBy("user_id", "t_us")
+    }),
+
     // streaming MAP_DIFF through the gate: the previous-value state
     // crosses micro-batch boundaries; first record per tag emits null
     "q_stream_diff" -> ((s, dir) => {
@@ -731,6 +754,14 @@ object TimeSeries {
            SELECT b.user_id, b.t_us, b.rn, (1 - 0.3) * r.y + 0.3 * b.value
            FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
          SELECT user_id, t_us, round(y, 4) AS lowpass FROM rec
+         ORDER BY user_id, t_us""",
+    "q_stream_movavg" ->
+      """SELECT user_id, epoch_us(ts) AS t_us,
+         floor((CASE WHEN count(value) OVER w5 >= 5
+               THEN CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w5 AS DOUBLE) / count(value) OVER w5
+               END) * 10000.0 + 0.5) / 10000.0 AS movavg5
+         FROM events WHERE user_id < 20
+         WINDOW w5 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, t_us""",
     "q_stream_changed" ->
       """SELECT user_id, t_us, value FROM (

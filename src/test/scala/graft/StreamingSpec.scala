@@ -513,6 +513,70 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"\nstream=$streamed\nbatch=$batch")
   }
 
+  test("movavgStream with stateTtl: window buffer survives a checkpointed restart") {
+    val raw = Files.createTempDirectory("graft_ma_raw").toString
+    val out = Files.createTempDirectory("graft_ma_out").toString + "/o"
+    val ck = Files.createTempDirectory("graft_ma_ck").toString
+    def rows(r: Range) = r.map(i => ("t", i.toLong * 1000000000L, (i + 1).toDouble))
+      .toDF("name", "time", "value")
+    rows(0 until 3).write.mode("append").parquet(raw)
+    val schema = spark.read.parquet(raw).schema
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(raw)
+      val q = graft.streaming.StatefulOps.movavgStream(src, window = 5,
+          stateTtl = Some("1 hour")) // TTL armed but must NOT evict across
+        .writeStream.format("parquet").option("path", out) // a quick restart
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()                         // 3 warm-up rows → all null
+    rows(3 until 6).write.mode("append").parquet(raw)
+    runOnce()                         // restart: buffer [1,2,3] restored + TTL re-armed
+    val got = spark.read.parquet(out)
+      .select(unix_micros(col("time")), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .sortBy(_._1).toSeq
+    // row 5 = avg(1..5) needs THREE pre-restart buffer entries
+    assert(got.map(_._2) ==
+      Seq(None, None, None, None, Some(3.0), Some(4.0)), got)
+  }
+
+  test("kalmanStream with stateTtl: (x,p) register survives a checkpointed restart") {
+    val raw = Files.createTempDirectory("graft_ka_raw").toString
+    val out = Files.createTempDirectory("graft_ka_out").toString + "/o"
+    val ck = Files.createTempDirectory("graft_ka_ck").toString
+    def rows(r: Range) = r.map(i =>
+        ("t", i.toLong * 1000000000L, 10.0 + (i % 7) * 1.5))
+      .toDF("name", "time", "value")
+    rows(0 until 12).write.mode("append").parquet(raw)
+    val schema = spark.read.parquet(raw).schema
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(raw)
+      val q = graft.streaming.StatefulOps.kalmanStream(src,
+          initVar = 1d, procVar = 0.01, obsVar = 4d, stateTtl = Some("1 hour"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    rows(12 until 20).write.mode("append").parquet(raw)
+    runOnce() // restart: the converged (x,p) register must carry over
+    val streamed = spark.read.parquet(out)
+      .select(unix_micros(col("time")) * 1000L, col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    // batch kernel over the full data must match bit-exactly — a reset
+    // register would re-converge from initVar and diverge at row 12
+    val batch = graft.operators.SeqOps.kalman(
+        spark.read.parquet(raw), "name", "time", "value",
+        initVar = 1d, procVar = 0.01, obsVar = 4d)
+      .select(col("time"), col("kalman"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(streamed == batch, s"\nstream=$streamed\nbatch=$batch")
+  }
+
   test("rollupStream aggregates tumbling event-time windows") {
     val dir = Files.createTempDirectory("graft_roll").toString
     val ck = Files.createTempDirectory("graft_ck2").toString
