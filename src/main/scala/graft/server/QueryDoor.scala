@@ -62,7 +62,31 @@ object QueryDoor {
         Catalog.recordStatement(s, "EXECUTED", 0L)
         val FlushRe = "(?is)^\\s*exec\\s+table_flush\\s*\\(\\s*'?(\\w+)'?\\s*\\)\\s*$".r
         val DropRe = "(?is)^\\s*drop\\s+(?:tag\\s+|log\\s+)?table\\s+(\\w+)(?:\\s+cascade)?\\s*$".r
+        // backup/mount statements — the SQL text shapes backupd composes
+        // (mods/backup/backupd.go:183-216, 386-391, 442)
+        val BackupDbRe =
+          "(?is)^\\s*backup\\s+database\\s*(.*?)\\s*into\\s+disk\\s*=\\s*'([^']+)'\\s*$".r
+        val BackupTblRe =
+          "(?is)^\\s*backup\\s+table\\s+(\\w+)\\s*(.*?)\\s*into\\s+disk\\s*=\\s*'([^']+)'\\s*$".r
+        val MountRe =
+          "(?is)^\\s*mount\\s+database\\s+'([^']+)'\\s+to\\s+'?(\\w+)'?\\s*$".r
+        val UnmountRe =
+          "(?is)^\\s*unmount\\s+database\\s+'?(\\w+)'?\\s*$".r
         s match {
+          case BackupDbRe(mid, path) =>
+            val (after, fromNs, toNs) = Backup.parseWindow(mid)
+            Backup.runBackup(spark, None, path, after, fromNs, toNs)
+            Seq("executed.").toDF("MESSAGE")
+          case BackupTblRe(tbl, mid, path) =>
+            val (after, fromNs, toNs) = Backup.parseWindow(mid)
+            Backup.runBackup(spark, Some(tbl), path, after, fromNs, toNs)
+            Seq("executed.").toDF("MESSAGE")
+          case MountRe(path, name) =>
+            Backup.mount(spark, path, name)
+            Seq("executed.").toDF("MESSAGE")
+          case UnmountRe(name) =>
+            Backup.unmount(spark, name)
+            Seq("executed.").toDF("MESSAGE")
           case FlushRe(table) =>
             // table_flush makes buffered appends visible to the stat
             // views (SHOW TAGS value statistics are flush-gated)
@@ -281,6 +305,13 @@ object QueryDoor {
     * arrival view that exposes it. */
   private def rewriteSelect(spark: SparkSession, sql: String): String = {
     var out = Catalog.rewriteSysNames(spark, sql)
+    // mounted-archive reference spelling: <mount>.SYS.<table>
+    // (backup mounts expose tables under MOUNTDB.SYS.*) → the session
+    // catalog's 2-part <mount>.<table>
+    Backup.mountNames.foreach { m =>
+      out = out.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(m) +
+        "\\.sys\\.", m + ".")
+    }
     if (out.toLowerCase.contains("_arrival_time")) {
       TagTables.allVisibleTables.collect { case (t, "Log", _) => t }
         .foreach { t =>

@@ -596,6 +596,33 @@ object TagTables {
     n
   }
 
+  /** Re-register a table from an archived descriptor (Backup.restore):
+    * the defineTable half of createTagTable without re-parsing DDL. */
+  def defineTable(spark: SparkSession, name: String, kind: String,
+                  descs: Seq[ColDesc], rollup: Boolean): Unit = {
+    val t = name.toLowerCase
+    dynamicSchemas.put(t, StructType(descs.map(d =>
+      f(d.name, sparkTypeOf(d.typ), machTypeOf(d.typ)))))
+    dynamicDescs.put(t, descs)
+    dynamicTypes.put(t, kind)
+    rollupEnabled.put(t, rollup)
+    if (!dynamicOrder.contains(t)) dynamicOrder += t
+    rows.putIfAbsent(t, ArrayBuffer.empty[Row])
+    refresh(spark, t)
+  }
+
+  /** Append already-typed storage rows (Backup.restore replaying an
+    * archive) — rows must match [[storageSchemaFor]] positionally; log
+    * tables keep the supplied order as arrival order. */
+  def restoreRows(spark: SparkSession, table: String, data: Seq[Row]): Long = {
+    val t = table.toLowerCase
+    ensure(spark, t)
+    val buf = rows.getOrElseUpdate(t, ArrayBuffer.empty[Row])
+    buf ++= data
+    refresh(spark, t)
+    data.size.toLong
+  }
+
   def dropAll(spark: SparkSession): Unit = {
     rows.keys.foreach(t => spark.catalog.dropTempView(t))
     rows.clear()

@@ -30,6 +30,18 @@ object WebRoutes {
       case ("GET", List("tables", table, "tags", tag, "stat")) =>
         WebApi.tagStatReply(spark, table, tag, query)
       // timers (http.go:310-315)
+      case ("GET", List("backup", "archives")) => Backup.archivesReply()
+      case ("POST", List("backup", "archive")) => Backup.archiveReply(spark, body)
+      case ("GET", List("backup", "archive", "status")) => Backup.statusReply()
+      case ("GET", List("backup", "mounts")) => Backup.mountsReply()
+      case ("POST", List("backup", "mounts", name)) =>
+        Backup.mountReply(spark, name, body)
+      case ("DELETE", List("backup", "mounts", name)) =>
+        Backup.unmountReply(spark, name)
+      // trailing-slash = empty :name param (backupd.go:367-372, 425-430)
+      case ("POST" | "DELETE", List("backup", "mounts")) =>
+        Backup.mountReply(spark, "", body)
+
       case ("GET", List("timers")) => WebApi.timersList(spark)
       case ("GET", List("timers", name)) => WebApi.timerGet(spark, name)
       case ("POST", List("timers")) => WebApi.timersAdd(spark, body)
