@@ -96,6 +96,34 @@ object Bench {
     val nWide = 4000000L
     val wideSec = median3(writeRun(wideRows(nWide), "wide"))
 
+    // JVM pressure per cohort of the sweep: the gate grew 121 → 182
+    // queries sharing one JVM, and round-over-round movers were not
+    // attributable to plan changes vs heap/GC/code-cache pressure
+    // (VERDICT r10 task 7). Record (gc_ms, gc_count, heap_mb) deltas
+    // every `cohortSize` queries into bench_full.json so a mover's
+    // cohort shows whether the JVM was under pressure when it ran.
+    def gcNow(): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val bs = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+      (bs.map(_.getCollectionTime).sum, bs.map(_.getCollectionCount).sum)
+    }
+    def heapMb(): Long = java.lang.management.ManagementFactory
+      .getMemoryMXBean.getHeapMemoryUsage.getUsed / (1024L * 1024L)
+    val cohortSize = 25
+    val cohorts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var (cohortGcMs, cohortGcN) = gcNow()
+    var sweepIdx = 0
+    def cohortTick(): Unit = {
+      sweepIdx += 1
+      if (sweepIdx % cohortSize == 0) {
+        val (ms, n) = gcNow()
+        cohorts += s"""{"upto":$sweepIdx,"gc_ms":${ms - cohortGcMs},""" +
+          s""""gc_n":${n - cohortGcN},"heap_mb":${heapMb()}}"""
+        cohortGcMs = ms; cohortGcN = n
+      }
+    }
+
     var shuffles, broadcasts, codegenSpans, globalWindows = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       var lastDf: DataFrame = null
@@ -132,7 +160,14 @@ object Bench {
             if w.partitionSpec.isEmpty => w
         }.size
       } catch { case _: Throwable => }
+      cohortTick()
       name -> (if (runs.exists(_ < 0)) -1d else runs.min)
+    }
+    // close the final partial cohort
+    if (sweepIdx % cohortSize != 0) {
+      val (ms, n) = gcNow()
+      cohorts += s"""{"upto":$sweepIdx,"gc_ms":${ms - cohortGcMs},""" +
+        s""""gc_n":${n - cohortGcN},"heap_mb":${heapMb()}}"""
     }
     if (globalWindows > 0)
       System.err.println(s"[bench] WARNING: $globalWindows global-window exchanges in plans")
@@ -258,7 +293,8 @@ object Bench {
           s",\"qdrop\":${byCost.length - keep}}"
       }
     }
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"ingest":$ingest,"planAudit":$audit,"retries":${retriesJson(stripPrefix = false)},"sentinel":$sentinel,"sf":"$sfDir"}"""
+    val jvmCohorts = cohorts.mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"ingest":$ingest,"planAudit":$audit,"retries":${retriesJson(stripPrefix = false)},"sentinel":$sentinel,"jvm":$jvmCohorts,"sf":"$sfDir"}"""
     try Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }

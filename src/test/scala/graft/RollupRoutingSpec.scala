@@ -299,6 +299,52 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
+  test("same-period coexistence: a COMPLETE rollup is preferred over a horizon-bounded one") {
+    val rawPath = Files.createTempDirectory("graft_raw_co").toString + "/t"
+    val fullPath = Files.createTempDirectory("graft_roll_co_full").toString + "/r"
+    val streamPath = Files.createTempDirectory("graft_roll_co_str").toString + "/r"
+    val base = 1704067200000000000L
+    val rows = for {
+      tag <- Seq("a", "b"); h <- 0 until 3; i <- 0 until 10
+    } yield (tag, base + h * TimeFns.NsPerHour + i * TimeFns.NsPerMin, (h * 10 + i).toDouble)
+    rows.toDF("name", "time", "value").write.parquet(rawPath)
+    val raw = spark.read.parquet(rawPath)
+    Lake.rollup(raw, col("name"), col("time"), col("value"), "HOUR")
+      .write.parquet(fullPath)
+    // the "stream-maintained" twin: same content but coverage bounded at
+    // hour 2 → routing through IT needs the raw-tail union
+    Lake.rollup(raw.filter(col("time") < base + 2 * TimeFns.NsPerHour),
+        col("name"), col("time"), col("value"), "HOUR")
+      .write.parquet(streamPath)
+    def query = spark.read.parquet(rawPath)
+      .groupBy(col("name"),
+        TimeFns.roundTimeNs(col("time"), 3 * TimeFns.NsPerHour).as("bucket"))
+      .agg(sum("value").as("s"), count("value").as("c"))
+      .orderBy("name", "bucket")
+    val direct = query.collect().map(_.toSeq)
+    // register the STREAM tier first, then the complete one — both live
+    // (same period, different artifacts; r10 semantics would have
+    // replaced one with the other and bench queries interfered)
+    RollupRouting.register(rawPath, RollupRouting.Spec(
+      streamPath, TimeFns.NsPerHour, "name", "time", "value"),
+      initialHorizonNs = Some(base + 2 * TimeFns.NsPerHour))
+    RollupRouting.register(rawPath, RollupRouting.Spec(
+      fullPath, TimeFns.NsPerHour, "name", "time", "value"))
+    spark.experimental.extraOptimizations = Seq(new RollupRouting.Route(spark))
+    try {
+      val routed = query
+      val scans = scanPaths(routed)
+      assert(scans.exists(_.contains("graft_roll_co_full")),
+        s"complete rollup not chosen: $scans")
+      assert(!scans.exists(_.contains("graft_raw_co")),
+        s"raw-tail union chosen despite a complete tier: $scans")
+      assert(routed.collect().map(_.toSeq).toSeq == direct.toSeq)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      RollupRouting.clear()
+    }
+  }
+
   test("non-divisible bucket periods are NOT rewritten") {
     val rawPath = Files.createTempDirectory("graft_raw2").toString + "/t"
     val rollupPath = Files.createTempDirectory("graft_roll2").toString + "/r"
