@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Analytics, Core, Extra, Mix, Synth, TextPipeline, TimeSeries, TqlQueries}
+import graft.queries.{Analytics, Core, Extra, Mix, Synth, TextPipeline, TimeSeries, TqlQueries, Wave16}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,8 +18,8 @@ object SparkEntry {
     Core.defs("q_tpch_pricing")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Core.defs ++ TimeSeries.defs ++ TextPipeline.defs ++ Synth.defs ++ TqlQueries.defs ++ Extra.defs ++ Mix.defs ++ Analytics.defs
+    Core.defs ++ TimeSeries.defs ++ TextPipeline.defs ++ Synth.defs ++ TqlQueries.defs ++ Extra.defs ++ Mix.defs ++ Analytics.defs ++ Wave16.defs
 
   def oracleSql: Map[String, String] =
-    Core.oracles ++ TimeSeries.oracles ++ TextPipeline.oracles ++ Synth.oracles ++ TqlQueries.oracles ++ Extra.oracles ++ Mix.oracles ++ Analytics.oracles
+    Core.oracles ++ TimeSeries.oracles ++ TextPipeline.oracles ++ Synth.oracles ++ TqlQueries.oracles ++ Extra.oracles ++ Mix.oracles ++ Analytics.oracles ++ Wave16.oracles
 }

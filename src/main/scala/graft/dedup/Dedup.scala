@@ -232,13 +232,43 @@ object Dedup {
     array(cols: _*)
   }
 
+  /** The (id, band, bucket) LSH keying of already-signed docs: band b's
+    * bucket is xxhash64(comma-joined signature slice, seed b). Shared by
+    * [[minhashLshPairs]] and the bucket-stats audit — identical keying
+    * is what makes a doc's buckets stable across runs and relations. */
+  private def bandBucketsOfSigs(sigs: DataFrame, numHashes: Int, bands: Int,
+                                idCol: String): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sigs.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** (id, band, bucket) LSH keys of `docs` — the collision-audit
+    * relation behind bucket-size statistics: a fat bucket is a candidate
+    * explosion (near-identical template cluster, or too few bands). */
+  def bandBuckets(docs: DataFrame, numHashes: Int, bands: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    val sigs = docs
+      .filter(size(split(col(textCol), " ")) >= 2)
+      .select(col(idCol),
+        graft.functions.ArrayExprs.bigramHashes(spark, col(textCol)).as("bg"))
+      .withColumn("sig",
+        graft.functions.ArrayExprs.minhashSig(spark, col("bg"), numHashes))
+    bandBucketsOfSigs(sigs, numHashes, bands, idCol)
+  }
+
   /** MinHash+LSH near-dup pairs: sign → band → bucket join → verify.
     * Candidates whose *exact* shingle Jaccard ≥ verifyThreshold survive. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int, bands: Int,
                       verifyThreshold: Double,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     val spark = docs.sparkSession
     val sigs = docs
       .filter(size(split(col(textCol), " ")) >= 2)
@@ -248,12 +278,7 @@ object Dedup {
     // (band, hash(band-slice)) buckets — ids only; the heavy shingle
     // arrays stay out of the explode/join/distinct and are re-joined just
     // for the final verification of the (small) candidate set.
-    val banded = sigs.select(
-      col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = bandBucketsOfSigs(sigs, numHashes, bands, idCol)
     val l = banded.select(col(idCol).as("doc_a"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("doc_b"), col("band"), col("bucket"))
     val candidates = l.join(r, Seq("band", "bucket"))

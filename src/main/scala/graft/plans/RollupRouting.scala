@@ -57,11 +57,12 @@ object RollupRouting {
   private val horizons = TrieMap.empty[String, Long]
 
   /** Register a rollup tier for a raw table path (repeated calls with
-    * distinct periods build the tier ladder; re-registering the same
-    * ARTIFACT path updates it, while a different artifact at the same
-    * period coexists — e.g. a complete batch build and a stream-
-    * maintained tier for one raw table; the route prefers whichever
-    * yields the cheaper plan).
+    * distinct periods build the tier ladder; same period REPLACES —
+    * one rollup per (table, period), the engine's own contract, and the
+    * determinism anchor: whoever registered last owns that period, so a
+    * query that registers its tier immediately before running always
+    * routes through it regardless of what other code registered
+    * earlier in the process).
     * Paths are compared by Hadoop-qualified root path string suffix.
     *
     * `initialHorizonNs`: for a STREAM-maintained rollup, pass the last
@@ -72,7 +73,7 @@ object RollupRouting {
   def register(rawPath: String, spec: Spec,
                initialHorizonNs: Option[Long] = None): Unit = {
     catalog.updateWith(normalize(rawPath)) {
-      case Some(v) => Some(v.filterNot(_.rollupPath == spec.rollupPath) :+ spec)
+      case Some(v) => Some(v.filterNot(_.periodNs == spec.periodNs) :+ spec)
       case None => Some(Vector(spec))
     }
     initialHorizonNs.foreach(setHorizon(spec.rollupPath, _))
@@ -281,14 +282,8 @@ object RollupRouting {
       }
       // coarsest dividing tier wins: a day bucket over SEC/MIN/HOUR tiers
       // reads the HOUR rollup (fewest partials); finer tiers are the
-      // fallback when the coarse one doesn't divide or validate. Within
-      // one period, a COMPLETE rollup (no horizon → pure rollup answer)
-      // beats a horizon-bounded stream-maintained one (needs the
-      // raw-tail freshness union), and among horizoned ones the highest
-      // horizon reads the least raw tail.
-      specs.sortBy(s => (-s.periodNs,
-          if (horizonOf(s.rollupPath).isEmpty) 0 else 1,
-          -horizonOf(s.rollupPath).getOrElse(0L))).iterator
+      // fallback when the coarse one doesn't divide or validate
+      specs.sortBy(-_.periodNs).iterator
         .map(spec => rewriteWith(spec, rel, aliases, filters, groupings, aggExprs))
         .collectFirst { case Some(p) => p }
     }

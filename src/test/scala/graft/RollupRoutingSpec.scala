@@ -299,7 +299,7 @@ class RollupRoutingSpec extends SparkSpec {
     }
   }
 
-  test("same-period coexistence: a COMPLETE rollup is preferred over a horizon-bounded one") {
+  test("same-period registration REPLACES: a query that registers its tier last owns the plan") {
     val rawPath = Files.createTempDirectory("graft_raw_co").toString + "/t"
     val fullPath = Files.createTempDirectory("graft_roll_co_full").toString + "/r"
     val streamPath = Files.createTempDirectory("graft_roll_co_str").toString + "/r"
@@ -322,23 +322,30 @@ class RollupRoutingSpec extends SparkSpec {
       .agg(sum("value").as("s"), count("value").as("c"))
       .orderBy("name", "bucket")
     val direct = query.collect().map(_.toSeq)
-    // register the STREAM tier first, then the complete one — both live
-    // (same period, different artifacts; r10 semantics would have
-    // replaced one with the other and bench queries interfered)
-    RollupRouting.register(rawPath, RollupRouting.Spec(
-      streamPath, TimeFns.NsPerHour, "name", "time", "value"),
-      initialHorizonNs = Some(base + 2 * TimeFns.NsPerHour))
-    RollupRouting.register(rawPath, RollupRouting.Spec(
-      fullPath, TimeFns.NsPerHour, "name", "time", "value"))
     spark.experimental.extraOptimizations = Seq(new RollupRouting.Route(spark))
     try {
-      val routed = query
-      val scans = scanPaths(routed)
-      assert(scans.exists(_.contains("graft_roll_co_full")),
-        s"complete rollup not chosen: $scans")
-      assert(!scans.exists(_.contains("graft_raw_co")),
-        s"raw-tail union chosen despite a complete tier: $scans")
-      assert(routed.collect().map(_.toSeq).toSeq == direct.toSeq)
+      // register the horizon-bounded STREAM tier: routing must take the
+      // raw-tail freshness union
+      RollupRouting.register(rawPath, RollupRouting.Spec(
+        streamPath, TimeFns.NsPerHour, "name", "time", "value"),
+        initialHorizonNs = Some(base + 2 * TimeFns.NsPerHour))
+      val viaStream = query
+      val s1 = scanPaths(viaStream)
+      assert(s1.exists(_.contains("graft_roll_co_str")), s"stream tier not routed: $s1")
+      assert(s1.exists(_.contains("graft_raw_co")), s"raw tail missing: $s1")
+      assert(viaStream.collect().map(_.toSeq).toSeq == direct.toSeq)
+      // re-registering the same period with the COMPLETE tier replaces it:
+      // the same query now answers purely from the rollup — one rollup
+      // per (table, period), last registration owns the period, so a
+      // query that registers right before running is never hijacked by
+      // an earlier registration elsewhere in the process
+      RollupRouting.register(rawPath, RollupRouting.Spec(
+        fullPath, TimeFns.NsPerHour, "name", "time", "value"))
+      val viaFull = query
+      val s2 = scanPaths(viaFull)
+      assert(s2.exists(_.contains("graft_roll_co_full")), s"complete tier not routed: $s2")
+      assert(!s2.exists(_.contains("graft_raw_co")), s"raw still scanned: $s2")
+      assert(viaFull.collect().map(_.toSeq).toSeq == direct.toSeq)
     } finally {
       spark.experimental.extraOptimizations = Nil
       RollupRouting.clear()
