@@ -328,6 +328,57 @@ object TimeSeries {
         .orderBy("user_id", "t_us")
     }),
 
+    // streaming MAP_AVG through the gate: the (count, scaled-sum)
+    // register crosses micro-batch boundaries; scaled-long accumulation
+    // makes the stream bit-identical to the batch DECIMAL window sum
+    "q_stream_avg" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val src = s.readStream.schema(e0.schema)
+        .parquet(s"$dir/{events.parquet}") // {}-glob: a bare file path fails basePath inference
+      val in = src.filter(col("user_id") < 20)
+        .select(col("user_id").cast("string").as("name"),
+          tsNs(src).as("time"), dec2(col("value")).cast("double").as("value"))
+      val out = graft.streaming.StatefulOps.avgStream(in, scaleDigits = 2)
+      val qn = "stream_av_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(
+          col("name").cast(e0.schema("user_id").dataType).as("user_id"),
+          unix_micros(col("time")).as("t_us"),
+          // fround, not round: a running mean of 2-decimal values lands
+          // exactly on x.00005 often, where BigDecimal HALF_UP and the
+          // oracle's float floor(x*1e4+0.5) disagree
+          fround(col("value"), 4).as("running_avg"))
+        .orderBy("user_id", "t_us")
+    }),
+
+    // streaming MAP_DISTANCE through the gate: previous point +
+    // cumulative meters cross micro-batch boundaries; the JVM haversine
+    // mirrors the batch Column kernel operation-for-operation
+    "q_stream_distance" -> ((s, dir) => {
+      val e0 = t(s, dir, "events")
+      val src = s.readStream.schema(e0.schema)
+        .parquet(s"$dir/{events.parquet}") // {}-glob: a bare file path fails basePath inference
+      val in = src.filter(col("user_id") < 10)
+        .select(col("user_id").cast("string").as("name"),
+          tsNs(src).as("time"),
+          ((col("value") - 250d) / 10d).as("lat"),
+          (pmod(col("event_id"), lit(360)).cast("double") - 180d).as("lon"))
+      val out = graft.streaming.StatefulOps.distanceStream(in)
+      val qn = "stream_di_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select(
+          col("name").cast(e0.schema("user_id").dataType).as("user_id"),
+          unix_micros(col("time")).as("t_us"),
+          round(col("meters") / 1000d, 0).as("dist_km"))
+        .orderBy("user_id", "t_us")
+    }),
+
     // streaming MAP_DIFF through the gate: the previous-value state
     // crosses micro-batch boundaries; first record per tag emits null
     "q_stream_diff" -> ((s, dir) => {
@@ -755,6 +806,30 @@ object TimeSeries {
            FROM rec r JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1)
          SELECT user_id, t_us, round(y, 4) AS lowpass FROM rec
          ORDER BY user_id, t_us""",
+    "q_stream_avg" ->
+      """SELECT user_id, epoch_us(ts) AS t_us,
+         floor((CAST(sum(CAST(value AS DECIMAL(18,2))) OVER wall AS DOUBLE)
+               / count(value) OVER wall) * 10000.0 + 0.5) / 10000.0 AS running_avg
+         FROM events WHERE user_id < 20
+         WINDOW wall AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, t_us""",
+    "q_stream_distance" ->
+      """WITH pts AS (
+           SELECT user_id, epoch_us(ts) AS t_us,
+             (value - 250)/10 AS lat,
+             CAST(event_id % 360 AS DOUBLE) - 180 AS lon
+           FROM events WHERE user_id < 10),
+         legs AS (
+           SELECT user_id, t_us,
+             2 * 6378137.0 * asin(sqrt(
+               sin(radians(lat - lag(lat) OVER w)/2) * sin(radians(lat - lag(lat) OVER w)/2)
+               + cos(radians(lag(lat) OVER w)) * cos(radians(lat))
+                 * sin(radians(lon - lag(lon) OVER w)/2) * sin(radians(lon - lag(lon) OVER w)/2)
+             )) AS leg
+           FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY t_us))
+         SELECT user_id, t_us,
+           round(sum(coalesce(leg, 0)) OVER (PARTITION BY user_id ORDER BY t_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000, 0) AS dist_km
+         FROM legs ORDER BY user_id, t_us""",
     "q_stream_movavg" ->
       """SELECT user_id, epoch_us(ts) AS t_us,
          floor((CASE WHEN count(value) OVER w5 >= 5

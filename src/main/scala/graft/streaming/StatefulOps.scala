@@ -135,6 +135,102 @@ object StatefulOps {
       .toDF(nameCol, tsCol, valueCol)
   }
 
+  /** Scaled-long running-mean register: exact integer accumulation of
+    * 10^scaleDigits-scaled values (the repo's standard cross-engine
+    * determinism trick — a double running sum drifts from a DECIMAL
+    * window sum; an integer one cannot). O(1) per tag. */
+  case class AvgState(n: Long, scaled: Long)
+
+  /** Streaming MAP_AVG: cumulative running mean per tag, across
+    * micro-batch boundaries. Values are accumulated as
+    * 10^`scaleDigits`-scaled longs, so the emitted mean is bit-identical
+    * to a DECIMAL(18,`scaleDigits`) window sum cast to double — inputs
+    * must carry at most `scaleDigits` decimals (pre-round upstream,
+    * exactly as the batch gate dec2's its values). */
+  def avgStream(stream: DataFrame, scaleDigits: Int = 2,
+                nameCol: String = "name", tsCol: String = "time",
+                valueCol: String = "value",
+                stateTtl: Option[String] = None): DataFrame = {
+    val scale = math.pow(10d, scaleDigits.toDouble)
+    implicit val encS = Encoders.product[AvgState]
+    implicit val encO = Encoders.product[TagRow]
+    asTagRows(stream, nameCol, tsCol, valueCol)
+      .groupByKey(_.name)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(stateTtl))(
+        withTtl[AvgState, TagRow](stateTtl) { (sorted, state) =>
+          var st = state.getOption.getOrElse(AvgState(0L, 0L))
+          val out = sorted.map { r =>
+            st = AvgState(st.n + 1, st.scaled + math.rint(r.value * scale).toLong)
+            TagRow(r.name, r.ts, (st.scaled.toDouble / scale) / st.n)
+          }
+          state.update(st)
+          out.iterator
+        })
+      .toDF(nameCol, tsCol, valueCol)
+  }
+
+  /** Previous track point + cumulative meters (MAP_DISTANCE state). */
+  case class DistState(lat: Double, lon: Double, cum: Double)
+  /** (lat, lon) track record. */
+  case class TrackRow(name: String, ts: java.sql.Timestamp,
+                      lat: Double, lon: Double)
+  /** Output record carrying the cumulative distance. */
+  case class DistRow(name: String, ts: java.sql.Timestamp, meters: Double)
+
+  /** JVM mirror of [[graft.functions.ScalarFns.haversineM]], same
+    * operation order so the streaming twin is bit-identical to the
+    * batch window kernel. */
+  private def haversineM(lat1: Double, lon1: Double,
+                         lat2: Double, lon2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1) / 2d
+    val dLon = math.toRadians(lon2 - lon1) / 2d
+    val a = math.sin(dLat) * math.sin(dLat) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.sin(dLon) * math.sin(dLon)
+    2d * graft.functions.ScalarFns.EarthRadiusM * math.asin(math.sqrt(a))
+  }
+
+  /** Streaming MAP_DISTANCE (cumulative form): haversine meters summed
+    * along each tag's track, across micro-batch boundaries — the
+    * previous point and the running total are the whole state. First
+    * record of a tag contributes 0, matching the batch
+    * `sum(coalesce(leg, 0))` kernel (SeqOps.mapDistance). */
+  def distanceStream(stream: DataFrame, nameCol: String = "name",
+                     tsCol: String = "time", latCol: String = "lat",
+                     lonCol: String = "lon",
+                     stateTtl: Option[String] = None): DataFrame = {
+    implicit val encS = Encoders.product[DistState]
+    implicit val encO = Encoders.product[DistRow]
+    implicit val encI = Encoders.product[TrackRow]
+    val ts = stream.schema(tsCol).dataType match {
+      case LongType => timestamp_micros(expr(s"`$tsCol` div 1000"))
+      case _ => col(tsCol).cast("timestamp")
+    }
+    stream.select(col(nameCol).cast("string").as("name"), ts.as("ts"),
+        col(latCol).cast("double").as("lat"),
+        col(lonCol).cast("double").as("lon")).as[TrackRow]
+      .groupByKey(_.name)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf(stateTtl)) {
+        (_: String, rows: Iterator[TrackRow], state: GroupState[DistState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.ts.getNanos))
+            var st = state.getOption
+            val out = sorted.map { r =>
+              val leg = st.map(p => haversineM(p.lat, p.lon, r.lat, r.lon))
+                .getOrElse(0d)
+              val cum = st.map(_.cum).getOrElse(0d) + leg
+              st = Some(DistState(r.lat, r.lon, cum))
+              DistRow(r.name, r.ts, cum)
+            }
+            st.foreach(state.update)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+      .toDF(nameCol, tsCol, "meters")
+  }
+
   /** Streaming MAP_MOVAVG: trailing mean over the last `window` records
     * per tag; warm-up emits null unless `noWait` (fm_monad.go:2023-2073).
     * State is the bounded window buffer — O(window) per tag. */

@@ -577,6 +577,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"\nstream=$streamed\nbatch=$batch")
   }
 
+  test("distanceStream: previous point + running total survive a checkpointed restart") {
+    val raw = Files.createTempDirectory("graft_di_raw").toString
+    val out = Files.createTempDirectory("graft_di_out").toString + "/o"
+    val ck = Files.createTempDirectory("graft_di_ck").toString
+    // eastward walk along the equator: 1° of longitude per step
+    def rows(r: Range) = r.map(i =>
+        ("t", i.toLong * 1000000000L, 0.0, i.toDouble))
+      .toDF("name", "time", "lat", "lon")
+    rows(0 until 4).write.mode("append").parquet(raw)
+    val schema = spark.read.parquet(raw).schema
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(raw)
+      val q = graft.streaming.StatefulOps.distanceStream(src,
+          stateTtl = Some("1 hour"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    rows(4 until 8).write.mode("append").parquet(raw)
+    runOnce() // restart: leg 3→4 needs the pre-restart point; cum needs the total
+    val streamed = spark.read.parquet(out)
+      .select(unix_micros(col("time")) * 1000L, col("meters"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val batch = spark.read.parquet(raw)
+      .select(col("time"), graft.operators.SeqOps.mapDistance(
+        col("lat"), col("lon"), Seq(col("name")), col("time")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(streamed == batch, s"\nstream=$streamed\nbatch=$batch")
+    // distance grows strictly (1° equator steps ≈ 111 km each)
+    assert(streamed.last._2 > streamed.head._2 && streamed.head._2 == 0d)
+  }
+
   test("rollupStream aggregates tumbling event-time windows") {
     val dir = Files.createTempDirectory("graft_roll").toString
     val ck = Files.createTempDirectory("graft_ck2").toString
