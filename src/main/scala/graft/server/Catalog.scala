@@ -320,6 +320,22 @@ object Catalog {
       case "V$NEO_SESSION" => Some(df(spark,
         StructType(Seq(l("ID"), l("USER_ID"), s("USER_NAME"))), Nil))
       case "V$STMT" => Some(showStatements(spark))
+      case "V$STORAGE_MOUNT_DATABASES" =>
+        // the mount registry behind the backup door — the same relation
+        // backupd scans for /backup/mounts and the archives isMount flag
+        // (mods/backup/backupd.go:469-517, 265-360)
+        def iso(ns: Option[Long]) = ns.map(n => java.time.Instant
+          .ofEpochSecond(n / 1000000000L, n % 1000000000L).toString)
+          .getOrElse("")
+        Some(df(spark, StructType(Seq(
+          s("NAME"), s("PATH"), l("BACKUP_TBSID"), l("BACKUP_SCN"),
+          s("MOUNTDB"), s("DB_BEGIN_TIME"), s("DB_END_TIME"),
+          s("BACKUP_BEGIN_TIME"), s("BACKUP_END_TIME"),
+          StructField("FLAG", IntegerType))),
+          Backup.mounts.map(m => Row(m.name, m.path, 0L, 0L,
+            m.name.toUpperCase, iso(m.dbBeginNs), iso(m.dbEndNs),
+            iso(Some(m.backupBeginNs).filter(_ > 0)),
+            iso(Some(m.backupEndNs).filter(_ > 0)), 0))))
       case statName if statName.endsWith("_STAT") && statName.startsWith("V$") =>
         // V$<T>_STAT — per-tag statistics of tag table T, addressable
         // from plain SQL (http_query_test.go queries

@@ -108,6 +108,11 @@ class BackupSpec extends SparkSpec {
     assert(ms.body.contains("\"name\":\"mnt1\"") &&
       ms.body.contains("\"path\":\"arch1\"") &&
       ms.body.contains("\"mountdb\":\"MNT1\""), ms.body)
+    // the mount registry is SQL-addressable like the reference's V$ table
+    // (backupd.go:489 SELECT * FROM V$STORAGE_MOUNT_DATABASES)
+    val vrows = QueryDoor.execute(spark,
+      "SELECT PATH, MOUNTDB FROM V$STORAGE_MOUNT_DATABASES").collect()
+    assert(vrows.length == 1 && vrows(0).getString(1) == "MNT1", vrows.toSeq)
     // duplicate mount is an engine error (500)
     val dup = route("POST", "/backup/mounts/mnt1", """{"path":"arch1"}""")
     assert(dup.status == 500 && dup.body.contains("already mounted"), dup.body)
