@@ -61,7 +61,7 @@ object WebApi {
     * A malformed class ('[' with no closing ']') degrades to a literal
     * '[', which matches no real table name — same observable outcome as
     * the reference's ErrBadPattern (zero rows). */
-  private[server] def globToRegex(g: String): scala.util.matching.Regex = {
+  private[graft] def globToRegex(g: String): scala.util.matching.Regex = {
     val sb = new StringBuilder("(?i)^")
     def lit(c: Char): Unit =
       if (c.isLetterOrDigit) sb.append(c) else sb.append('\\').append(c)
