@@ -129,8 +129,13 @@ object Subscribers {
           (if (wd.compress == "gzip") Map("compress" -> "gzip") else Map.empty) ++
           (if (wd.heading) Map("heading" -> "true") else Map.empty)
         val n = graft.server.WriteDoor.write(spark, wd.table, payload, contentType, params)
-        Reason(success = true, s"success, $n record(s) ${
-          if (wd.method == "append") "appended" else "inserted"}")
+        // the SCHEDULER subscriber reply shape (sched_subs.go:479-484,
+        // 574-579): humanized count + singular/plural — distinct from the
+        // write doors' "success, %d record(s) …" (http_write.go:248)
+        val records = if (n > 1) "records" else "record"
+        val verb = if (wd.method == "append") "appended" else "inserted"
+        Reason(success = true,
+          s"${String.format(java.util.Locale.US, "%,d", Long.box(n))} $records $verb")
       } catch {
         case e: Exception =>
           Reason(success = false, Option(e.getMessage).getOrElse(e.toString))

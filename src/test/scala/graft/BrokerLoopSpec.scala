@@ -68,8 +68,10 @@ class BrokerLoopSpec extends SparkSpec {
     pubCli.publish("sensor/b",
       """{"data":{"columns":["name","time","value"],"rows":[["m.2",1705291860,2.5],["m.3",1705291861,3.5]]}}""".getBytes("UTF-8"))
     assert(done.await(20, TimeUnit.SECONDS), "mqtt deliveries timed out")
-    assert(reasons.size == 2 && reasons.toArray.forall(_.toString.startsWith("success")),
-      reasons)
+    // scheduler subscriber reply shape (sched_subs.go:479-484)
+    assert(reasons.size == 2 &&
+      reasons.toArray.map(_.toString).toSet ==
+        Set("1 record inserted", "2 records inserted"), reasons)
     assert(spark.table("mq_sink").count() == 3)
     // off-filter topic is NOT delivered
     pubCli.publish("other/x", "junk".getBytes("UTF-8"))

@@ -71,7 +71,9 @@ class SubscriberDispatchSpec extends SparkSpec {
     val reasons = q.drain(disp2)
     assert(reasons.forall(_.success), reasons)
     assert(reasons.map(_.reason) ==
-      Seq("success, 1 record(s) inserted", "success, 2 record(s) inserted"))
+      // scheduler subscriber reply shape (sched_subs.go:479-484):
+      // humanized count + singular/plural, NOT the write doors' envelope
+      Seq("1 record inserted", "2 records inserted"))
     assert(spark.table("sub_sink").count() == 3)
     TagTables.resetDynamicForTest(spark)
   }
