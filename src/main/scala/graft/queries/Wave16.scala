@@ -94,6 +94,38 @@ object Wave16 {
         .orderBy("rank")
     }),
 
+    // ---- fixed-window chunking with overlap (RAG splitter) -------------
+    // Word windows of 64 with stride 48 (25% overlap); chunk text rides
+    // as md5 so the gate stays compact. One explode, no window function.
+    "q_chunk_fixed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val W = 64
+      val S = 48
+      val ws = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
+      docs.select(col("doc_id"), ws.as("__ws"), size(ws).as("n"))
+        .select(col("doc_id"), col("__ws"), col("n"),
+          explode(sequence(lit(0L),
+            ceil(greatest(col("n") - W, lit(0)).cast("double") / S)
+              .cast("long"))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * S).as("w_start"),
+          least(lit(W.toLong), col("n") - col("chunk_id") * S).as("n_words"),
+          md5(array_join(
+            slice(col("__ws"), (col("chunk_id") * S + 1).cast("int"), lit(W)),
+            " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // ---- hard-negative mining (contrastive-training negatives) ---------
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.similarity.Ann.hardNegatives(emb.filter(col("vec_id") < 5), emb,
+          k = 5, labelCol = "label")
+        .select(col("qid"), col("rnk"), col("eid"),
+          fround(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+
     // ---- LSH band-bucket size audit ------------------------------------
     // The candidate-explosion early warning: bucket-size histogram of the
     // same (band, bucket) keying q_dedup_minhash joins on. A fat bucket
@@ -186,6 +218,36 @@ object Wave16 {
          SELECT rank, w AS word, CAST(c AS BIGINT) AS cnt,
            floor(CAST(cum AS DOUBLE)/tot*1000000 + 0.5)/1000000 AS cum_frac
          FROM r CROSS JOIN tot ORDER BY rank""",
+    "q_chunk_fixed" ->
+      """WITH sp AS (SELECT doc_id, string_split(
+             regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
+           FROM documents),
+         c AS (SELECT doc_id, ws, len(ws) AS n,
+             unnest(generate_series(0,
+               CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) AS INT))) AS chunk_id
+           FROM sp)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 48 AS BIGINT) AS w_start,
+           CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_words,
+           md5(array_to_string(ws[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_id""",
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id < 5),
+         e AS (SELECT vec_id AS eid, label AS elabel,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ee
+           FROM embeddings),
+         p AS (SELECT qid, eid,
+             (SELECT sum(x*y) FROM (SELECT unnest(qe) AS x, unnest(ee) AS y)) /
+             (sqrt((SELECT sum(x*x) FROM (SELECT unnest(qe) AS x))) *
+              sqrt((SELECT sum(y*y) FROM (SELECT unnest(ee) AS y)))) AS cs
+           FROM q JOIN e ON qid <> eid AND qlabel <> elabel)
+         SELECT qid, rnk, eid, floor(cs*1000000 + 0.5)/1000000 AS cos_sim FROM (
+           SELECT qid, eid, cs,
+             row_number() OVER (PARTITION BY qid ORDER BY cs DESC, eid) AS rnk
+           FROM p)
+         WHERE rnk <= 5 ORDER BY qid, rnk""",
     "q_lsh_bucket_stats" ->
       """WITH w AS (
            SELECT doc_id, string_split(text, ' ') AS sp FROM documents

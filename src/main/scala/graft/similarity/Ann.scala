@@ -44,6 +44,27 @@ object Ann {
       .select("qid", "rnk", "eid", "cos_sim")
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the k most cosine-similar corpus vectors with a DIFFERENT label —
+    * the "looks right, isn't" examples a retriever trains against. Same
+    * broadcast-queries shape as [[bruteForceTopK]], with the label
+    * exclusion inside the join condition so excluded rows never score. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    labelCol: String, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(labelCol).as("qlabel"),
+      toDouble(col(vecCol)).as("qe"))
+    val e = corpus.select(col(idCol).as("eid"), col(labelCol).as("elabel"),
+      toDouble(col(vecCol)).as("ee"))
+    val scored = e.join(broadcast(q),
+        col("qid") =!= col("eid") && col("qlabel") =!= col("elabel"))
+      .withColumn("cos_sim", fastCosine(corpus, col("qe"), col("ee")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("eid").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "eid", "cos_sim")
+  }
+
   /** recall@k of an approximate top-k against the exact top-k: one row
     * per query vector, `(qid, recall_ok)`. This is the oracle-facing form
     * of the approximate ANN modes — DuckDB cannot rebuild the engine-side
