@@ -39,9 +39,16 @@ object PageRank {
     * @param edges directed edge relation (columns `src`, `dst`);
     *              symmetrize before calling for undirected graphs
     * @param d     damping factor (0.85 conventionally)
-    * @param iters fixed iteration count
+    * @param iters fixed iteration count (upper bound when `tol` is set)
+    * @param tol   optional early stop: end when no rank moved more than
+    *              `tol` across one iteration, checked only at checkpoint
+    *              boundaries (one driver-side scalar per
+    *              [[CheckpointEvery]] iterations — ranks are 9-dp-pinned,
+    *              so `tol = 0` stops at the exact rounded fixpoint and
+    *              further iterations provably change nothing)
     * @return (v, rank) for every vertex */
-  def run(nodes: DataFrame, edges: DataFrame, d: Double, iters: Int): DataFrame = {
+  def run(nodes: DataFrame, edges: DataFrame, d: Double, iters: Int,
+          tol: Option[Double] = None): DataFrame = {
     val n = nodes.count()
     require(n > 0, "PageRank.run: empty vertex set")
     val nD = n.toDouble
@@ -49,7 +56,9 @@ object PageRank {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.select(col("v"), lit(1d / nD).as("r"))
     var it = 0
-    while (it < iters) {
+    var converged = false
+    while (it < iters && !converged) {
+      val prev = ranks // ≤ CheckpointEvery iterations of lineage
       val contrib = edges
         .join(ranks.withColumnRenamed("v", "src"), "src")
         .join(deg, "src")
@@ -64,7 +73,19 @@ object PageRank {
       // whole previous plan and DRIVER planning time grows superlinearly
       // with iters — same cure as Dedup.connectedComponents. Values are
       // 9-dp-pinned per iteration, so checkpointing never changes them.
-      if (it % CheckpointEvery == 0 && it < iters) ranks = ranks.localCheckpoint()
+      if (it % CheckpointEvery == 0 && it < iters) {
+        ranks = ranks.localCheckpoint()
+        tol.foreach { eps =>
+          // compare THIS iteration against the one before it — a
+          // consecutive-step delta, so eps=0 certifies a true fixpoint
+          // (the update is deterministic: unchanged input ⇒ unchanged
+          // output), not a longer-period cycle
+          val delta = ranks
+            .join(prev.withColumnRenamed("r", "rp"), "v")
+            .agg(max(abs(col("r") - col("rp")))).head().getDouble(0)
+          if (delta <= eps) converged = true
+        }
+      }
     }
     ranks.select(col("v"), col("r").as("rank"))
   }

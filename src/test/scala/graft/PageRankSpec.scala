@@ -45,6 +45,18 @@ class PageRankSpec extends SparkSpec {
     assert(ranks.length == 1, ranks.toSeq)
   }
 
+  test("tol early-stop lands on the rounded fixpoint: result independent of the cap") {
+    // d=0.5 contracts fast (0.5^k < 0.5e-9 by k≈31), so the 9-dp-pinned
+    // ranks hit an EXACT fixpoint well inside the cap; tol=0 then stops,
+    // and the result must not depend on how large the cap was
+    val es = (0L until 12L).map(i => (i, (i + 1) % 12)) ++ Seq((0L, 6L), (3L, 9L))
+    val a = PageRank.run(nodesOf(0L until 12L: _*), edgesOf(es: _*),
+      d = 0.5, iters = 60, tol = Some(0d)).orderBy("v").collect().toSeq
+    val b = PageRank.run(nodesOf(0L until 12L: _*), edgesOf(es: _*),
+      d = 0.5, iters = 120, tol = Some(0d)).orderBy("v").collect().toSeq
+    assert(a == b, s"\ncap60=$a\ncap120=$b")
+  }
+
   test("ranks are partitioning-independent (decimal contribution sums)") {
     val es = (0L until 60L).flatMap(i => Seq((i, (i * 7) % 60), ((i * 7) % 60, i)))
     val a = PageRank.run(nodesOf(0L until 60L: _*), edgesOf(es: _*).repartition(1),
