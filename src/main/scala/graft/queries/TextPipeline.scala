@@ -532,6 +532,27 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- STREAMING decontamination: the intake-time eval screen -------
+    // The corpus arrives as a stream; the eval-gram set is static and
+    // broadcast. Same kernel, same oracle as q_decontaminate — the
+    // stream-static join + complete-mode count must reproduce the batch
+    // result exactly once the source drains.
+    "q_stream_decontaminate" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+      val src = s.readStream.schema(d0.schema)
+        .parquet(s"$dir/{documents.parquet}") // {}-glob: a bare file path fails basePath inference
+      val out = graft.text.Curation.decontaminate(
+        src.filter(col("doc_id") % 10 < 9),
+        d0.filter(col("doc_id") % 10 === 9),
+        "doc_id", "text", n = 4)
+      val qn = "stream_dc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("complete") // running per-doc counts; no watermark needed
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).orderBy("doc_id")
+    }),
+
     // ---- curation: decontamination, beyond-broadcast eval plan --------
     // Same contract/oracle as q_decontaminate — bloom prefilter + exact
     // confirm join must return the IDENTICAL result through a plan whose
@@ -1270,6 +1291,18 @@ object TextPipeline {
            CAST(2 + (doc_id + k) % 3 AS INT) AS height
          FROM f WHERE k % 2 = 0 ORDER BY doc_id, frame_idx""",
     "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+             string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
+           FROM documents),
+         g AS (SELECT doc_id, list_transform(generate_series(1, len(ws)-3),
+             i -> array_to_string(ws[i:i+3],' ')) AS gs FROM w),
+         ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 9),
+         tr AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g WHERE doc_id % 10 < 9)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked_ngrams
+         FROM tr JOIN ev USING(gram) GROUP BY 1 ORDER BY 1""",
+    // streaming twin: identical oracle — the drained stream must equal
+    // the batch screen
+    "q_stream_decontaminate" ->
       """WITH w AS (SELECT doc_id,
              string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
            FROM documents),

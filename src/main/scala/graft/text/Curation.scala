@@ -84,10 +84,14 @@ object Curation {
     // rebalance BEFORE the n-gram expansion: a corpus arriving in fewer
     // splits than cores (one small file locally; a skewed directory at
     // scale) would run the whole regex+explode on those few threads —
-    // the cheap pre-shuffle of raw docs buys full-width expansion
+    // the cheap pre-shuffle of raw docs buys full-width expansion.
+    // A STREAMING corpus has no static partitioning to inspect (micro-
+    // batch width is the source's concern) — same kernel, no rebalance.
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val balanced =
-      if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
+      if (!corpus.isStreaming && corpus.rdd.getNumPartitions < par)
+        corpus.repartition(par)
+      else corpus
     val corpusGrams = explodedGrams(balanced, idCol, textCol, n, distinctPerDoc = true)
     corpusGrams
       .join(broadcast(evalGrams), "gram")
