@@ -26,7 +26,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_containment", "q_cross_overlap", "q_heavy_hitters", "q_word_entropy",
     "q_pmi", "q_source_kl", "q_countmin", "q_weighted_sample", "q_zipf",
     "q_retention", "q_transition_matrix", "q_rfm", "q_hopping_window",
-    "q_pagerank", "q_temperature_mix", "q_random_projection")
+    "q_pagerank", "q_temperature_mix", "q_random_projection",
+    // wave 16+: graph triangles, perplexity buckets, LSH audit, chunking
+    "q_triangles", "q_perplexity_buckets", "q_source_cap",
+    "q_vocab_coverage", "q_lsh_bucket_stats", "q_chunk_fixed",
+    "q_hard_negatives", "q_fuzzy_vocab")
 
   test("no cartesian products in any heavy gate query") {
     heavy.foreach { name =>
@@ -54,7 +58,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("small-side joins broadcast: queries vs corpus, eval grams vs corpus") {
-    Seq("q_embedding_topk", "q_decontaminate").foreach { name =>
+    Seq("q_embedding_topk", "q_decontaminate", "q_hard_negatives").foreach { name =>
       val plan = executedPlan(name)
       assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin") ||
         plan.contains("BroadcastExchange"), s"$name does not broadcast:\n${plan.take(2000)}")
