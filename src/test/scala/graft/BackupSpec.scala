@@ -145,6 +145,40 @@ class BackupSpec extends SparkSpec {
     assert(rows == Seq(("temp", 1.5), ("temp", 2.5)))
   }
 
+  test("log tables archive the hidden _ARRIVAL_TIME and restore in arrival order") {
+    freshBase()
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create log table evlog (TIME datetime basetime, VALUE double)")
+    val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000000000L)
+    val oldClock = TagTables.arrivalClock
+    TagTables.arrivalClock = () => clock.addAndGet(1000000000L)
+    try {
+      // event times DESCEND while arrival ascends — restore order must
+      // follow ARRIVAL (the engine's iteration order), not TIME
+      Seq(3L, 2L, 1L).foreach { sec =>
+        TagTables.insert(spark, "evlog", Seq("TIME", "VALUE"),
+          Seq(Long.box(ns(sec)), Double.box(sec.toDouble)))
+      }
+      QueryDoor.execute(spark, "BACKUP TABLE evlog INTO DISK = 'logarch'")
+      // the archive carries the arrival view's schema (hidden col intact)
+      val arch = spark.read.parquet(
+        s"${Backup.baseDir}/logarch/data/evlog")
+      assert(arch.columns.head == "_ARRIVAL_TIME", arch.columns.toSeq)
+      QueryDoor.execute(spark, "drop table evlog")
+      Backup.restore(spark, "logarch")
+      // default log-table iteration is newest-ARRIVAL-first: the last
+      // inserted row (VALUE 1.0) leads, exactly as before the round-trip
+      val vals = QueryDoor.execute(spark, "SELECT VALUE FROM evlog")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(vals == Seq(1.0, 2.0, 3.0), vals)
+      // and the hidden column is still selectable through the rewrite
+      val arr = QueryDoor.execute(spark,
+        "SELECT _ARRIVAL_TIME, VALUE FROM evlog").collect()
+      assert(arr.length == 3)
+    } finally TagTables.arrivalClock = oldClock
+  }
+
   test("incremental AFTER and time-bounded FROM/TO windows filter the snapshot") {
     val base = freshBase()
     mkExample(("temp", ns(10), 1.0), ("temp", ns(20), 2.0))
