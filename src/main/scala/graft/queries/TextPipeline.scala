@@ -553,6 +553,25 @@ object TextPipeline {
       s.table(qn).orderBy("doc_id")
     }),
 
+    // ---- STREAMING per-source admission quota --------------------------
+    // At most 10 docs per source ever pass the intake; the per-key
+    // counter crosses micro-batch boundaries. Single bounded batch →
+    // admission is ascending doc_id, the same relation the batch
+    // row_number cap yields.
+    "q_stream_source_cap" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+      val src = s.readStream.schema(d0.schema)
+        .parquet(s"$dir/{documents.parquet}") // {}-glob: a bare file path fails basePath inference
+      val out = graft.streaming.CuratedStream.quotaAdmit(
+        src, "source", "doc_id", k = 10)
+      val qn = "stream_sc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).orderBy("source", "doc_id")
+    }),
+
     // ---- curation: decontamination, beyond-broadcast eval plan --------
     // Same contract/oracle as q_decontaminate — bloom prefilter + exact
     // confirm join must return the IDENTICAL result through a plan whose
@@ -1300,6 +1319,12 @@ object TextPipeline {
          tr AS (SELECT doc_id, unnest(list_distinct(gs)) AS gram FROM g WHERE doc_id % 10 < 9)
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_leaked_ngrams
          FROM tr JOIN ev USING(gram) GROUP BY 1 ORDER BY 1""",
+    "q_stream_source_cap" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id, row_number() OVER (
+             PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY source, doc_id""",
     // streaming twin: identical oracle — the drained stream must equal
     // the batch screen
     "q_stream_decontaminate" ->

@@ -41,6 +41,41 @@ object CuratedStream {
       .drop("__arrival", "__content_md5")
   }
 
+  /** (key, id) admission record. */
+  case class KeyId(key: String, id: Long)
+  /** per-key admitted counter (public: encoder codegen needs the ctor) */
+  case class QuotaN(n: Long)
+
+  /** Per-key admission quota over the intake stream: at most `k`
+    * documents per key (source/domain) EVER pass, counted across
+    * micro-batch boundaries — the streaming form of the per-source cap.
+    * State is one counter per key. Within a micro-batch rows are
+    * admitted in ascending `idCol` order (deterministic for a bounded
+    * replay); across batches admission is arrival-order, which is the
+    * point of a quota. Emits the admitted (key, id) relation. */
+  def quotaAdmit(stream: DataFrame, keyCol: String, idCol: String,
+                 k: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val encI = Encoders.product[KeyId]
+    implicit val encS = Encoders.product[QuotaN]
+    stream.select(col(keyCol).cast("string").as("key"),
+        col(idCol).cast("long").as("id")).as[KeyId]
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[KeyId], state: GroupState[QuotaN]) =>
+          val n = state.getOption.map(_.n).getOrElse(0L)
+          val room = math.max(0L, k - n)
+          val admit =
+            if (room == 0) Vector.empty
+            else rows.toSeq.sortBy(_.id).take(
+              math.min(room, Int.MaxValue.toLong).toInt).toVector
+          state.update(QuotaN(n + admit.size))
+          admit.iterator
+      }
+      .toDF(keyCol, idCol)
+  }
+
   /** Curate + scrub: the full intake shape (gates → dedup → PII
     * redaction of the surviving texts). */
   def curateAndScrub(stream: DataFrame, textCol: String,

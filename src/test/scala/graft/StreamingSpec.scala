@@ -611,6 +611,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.last._2 > streamed.head._2 && streamed.head._2 == 0d)
   }
 
+  test("quotaAdmit: per-key admission counter crosses a checkpointed restart") {
+    val raw = Files.createTempDirectory("graft_qa_raw").toString
+    val out = Files.createTempDirectory("graft_qa_out").toString + "/o"
+    val ck = Files.createTempDirectory("graft_qa_ck").toString
+    def rows(ids: Seq[Long], key: String) =
+      ids.map(i => (key, i)).toDF("source", "doc_id")
+    rows(0L until 6L, "a").write.mode("append").parquet(raw)
+    val schema = spark.read.parquet(raw).schema
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(raw)
+      val q = graft.streaming.CuratedStream.quotaAdmit(src, "source", "doc_id", k = 10)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    runOnce()                          // admits 6 of key a
+    rows(100L until 108L, "a").write.mode("append").parquet(raw)
+    rows(200L until 203L, "b").write.mode("append").parquet(raw)
+    runOnce() // restart: only 4 more of a fit; b has a fresh counter
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got("a") == (0L until 6L) ++ (100L until 104L), got)
+    assert(got("b") == (200L until 203L), got)
+  }
+
   test("rollupStream aggregates tumbling event-time windows") {
     val dir = Files.createTempDirectory("graft_roll").toString
     val ck = Files.createTempDirectory("graft_ck2").toString
