@@ -155,43 +155,70 @@ object Backup {
   def mount(spark: SparkSession, path: String, name: String): Unit = {
     require(name.matches("(?i)[a-z_][a-z0-9_]*"), s"invalid mount name $name")
     val key = name.toLowerCase
-    if (mountReg.contains(key))
-      throw new IllegalArgumentException(s"$name is already mounted")
     val dir = resolve(path)
-    val full = readManifestFull(dir)
-    val tables = readManifest(dir).map(tm => str(tm, "name"))
-    val (minNs, maxNs) = readManifest(dir).foldLeft(
-      (Option.empty[Long], Option.empty[Long])) { case ((lo, hi), tm) =>
-      def ns(k: String) = tm.get(k).collect { case n: Number => n.longValue }
-      ((lo ++ ns("minNs")).reduceOption(_ min _),
-        (hi ++ ns("maxNs")).reduceOption(_ max _))
-    }
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$key`")
-    try tables.foreach { t =>
-      spark.catalog.createTable(s"`$key`.`$t`", "parquet",
-        Map("path" -> s"$dir/data/$t"))
+    // claim the name FIRST (putIfAbsent — two concurrent mounts of the
+    // same name can't both pass), then do the catalog work; any failure
+    // releases the claim. The placeholder is never visible: mounts/
+    // mountNames read mountReg, and the claim is replaced or removed
+    // before this method returns.
+    val claim = MountInfo(name, dir, Nil, None, None, 0, 0)
+    if (mountReg.putIfAbsent(key, claim).isDefined)
+      throw new IllegalArgumentException(s"$name is already mounted")
+    try {
+      val full = readManifestFull(dir)
+      val tables = readManifest(dir).map(tm => str(tm, "name"))
+      val (minNs, maxNs) = readManifest(dir).foldLeft(
+        (Option.empty[Long], Option.empty[Long])) { case ((lo, hi), tm) =>
+        def ns(k: String) = tm.get(k).collect { case n: Number => n.longValue }
+        ((lo ++ ns("minNs")).reduceOption(_ min _),
+          (hi ++ ns("maxNs")).reduceOption(_ max _))
+      }
+      // refuse to shadow a pre-existing catalog database: rollback and
+      // unmount DROP … CASCADE, which must only ever destroy a database
+      // this mount itself created. CREATE without IF NOT EXISTS is the
+      // atomic backstop behind the friendlier pre-check.
+      if (spark.catalog.databaseExists(key))
+        throw new IllegalArgumentException(
+          s"database $name already exists; refusing to mount over it")
+      spark.sql(s"CREATE DATABASE `$key`")
+      try tables.foreach { t =>
+        spark.catalog.createTable(s"`$key`.`$t`", "parquet",
+          Map("path" -> s"$dir/data/$t"))
+      } catch {
+        case e: Exception =>
+          spark.sql(s"DROP DATABASE IF EXISTS `$key` CASCADE")
+          throw e
+      }
+      def wall(k: String) = full.get(k).collect { case n: Number => n.longValue }
+        .getOrElse(0L)
+      mountReg.put(key, MountInfo(name, dir, tables, minNs, maxNs,
+        wall("backupBeginNs"), wall("backupEndNs")))
     } catch {
-      case e: Exception =>
-        spark.sql(s"DROP DATABASE IF EXISTS `$key` CASCADE")
-        throw e
+      case e: Exception => mountReg.remove(key); throw e
     }
-    def wall(k: String) = full.get(k).collect { case n: Number => n.longValue }
-      .getOrElse(0L)
-    mountReg.put(key, MountInfo(name, dir, tables, minNs, maxNs,
-      wall("backupBeginNs"), wall("backupEndNs")))
   }
 
   def unmount(spark: SparkSession, name: String): Unit = {
     val key = name.toLowerCase
-    if (!mountReg.contains(key))
+    // remove-then-drop: only a name this registry owns is ever dropped,
+    // and two concurrent unmounts can't both reach the DROP
+    if (mountReg.remove(key).isEmpty)
       throw new IllegalArgumentException(s"$name is not mounted")
     spark.sql(s"DROP DATABASE IF EXISTS `$key` CASCADE")
-    mountReg.remove(key)
   }
 
   def mounts: Seq[MountInfo] = mountReg.values.toSeq.sortBy(_.name)
 
   // ---- engine: RESTORE -------------------------------------------------
+
+  /** Tables at or below this manifest row count restore through the
+    * in-memory buffer (interactive DML tail); above it they restore as a
+    * distributed parquet segment — the archive never rides the driver.
+    * Keyed classes (Volatile/Lookup) always take the buffer path: they
+    * are bounded enrichment dims and their upsert machinery is
+    * buffer-scanned. Test seam: specs lower it to force the segment
+    * path on small fixtures. */
+  @volatile var restoreCollectGuard: Long = 100000L
 
   /** Re-register every archived table from the manifest descriptor and
     * re-insert its rows — the disaster-recovery path (mount is the
@@ -210,11 +237,18 @@ object Backup {
         TagTables.defineTable(spark, t, str(tm, "type"), descs,
           tm.get("rollup").contains(true))
       }
-      var df = spark.read.parquet(s"$dir/data/$t")
-      // log tables replay in arrival order; others are set-valued
-      if (df.columns.contains("_ARRIVAL_TIME"))
-        df = df.orderBy("_ARRIVAL_TIME")
-      TagTables.restoreRows(spark, t, df.collect().toSeq)
+      val archived = tm.get("rows").collect {
+        case n: Number => n.longValue }.getOrElse(0L)
+      if (archived > restoreCollectGuard && !TagTables.isKeyedClass(t)) {
+        // distributed path: executor-parallel parquet→segment copy
+        TagTables.restoreSegment(spark, t, spark.read.parquet(s"$dir/data/$t"))
+      } else {
+        var df = spark.read.parquet(s"$dir/data/$t")
+        // log tables replay in arrival order; others are set-valued
+        if (df.columns.contains("_ARRIVAL_TIME"))
+          df = df.orderBy("_ARRIVAL_TIME")
+        TagTables.restoreRows(spark, t, df.collect().toSeq)
+      }
       t
     }
   }
@@ -294,9 +328,16 @@ object Backup {
       case "full" => (None, None, None)
       case "incremental" => (Some(str(dur, "after")), None, None)
       case "time" =>
-        val from = Some(str(dur, "from")).filter(_.nonEmpty).getOrElse("0")
-        val to = Some(str(dur, "to")).filter(_.nonEmpty)
-        (None, Some(from.toLong * 1000000000L), to.map(_.toLong * 1000000000L))
+        // non-numeric from/to is a CLIENT error (the reference 400s at
+        // gin binding) — a bare .toLong would escape as a 500 text/plain
+        val fromS = Some(str(dur, "from")).filter(_.nonEmpty).getOrElse("0")
+        val toS = Some(str(dur, "to")).filter(_.nonEmpty)
+        val fromN = fromS.toLongOption
+        val toN = toS.map(_.toLongOption)
+        if (fromN.isEmpty || toN.exists(_.isEmpty))
+          return envelope(400, success = false,
+            "invalid request: duration.from/to must be unix epoch seconds", t0)
+        (None, fromN.map(_ * 1000000000L), toN.flatten.map(_ * 1000000000L))
       case other =>
         return envelope(400, success = false,
           s"""invalid backup type "$other"""", t0)

@@ -109,6 +109,20 @@ object TagTables {
     Map("log_data" -> "Log", "tag_data" -> "Tag", "tag_simple" -> "Tag")
 
   private val rows = TrieMap.empty[String, ArrayBuffer[Row]]
+  /** Distributed base segments per table: parquet directories unioned
+    * under the in-memory buffer at view refresh — the landing zone for
+    * bulk restores too big to ride the driver (Backup.restore above its
+    * collect guard). The buffer stays the interactive DML tail; segments
+    * are append-only and rewritten only by DELETE (copy-on-write, the
+    * usual compaction cost model). Keyed classes (Volatile/Lookup) never
+    * get segments — their upsert path scans the buffer by definition. */
+  private val baseSegs = TrieMap.empty[String, Vector[String]]
+  /** row count per table's base segments (kept driver-side so catalog
+    * surfaces like rowCount don't need a Spark action) */
+  private val baseRows = TrieMap.empty[String, Long]
+  private val segCounter = new java.util.concurrent.atomic.AtomicLong()
+  private lazy val segRoot: String = java.nio.file.Files
+    .createTempDirectory("graft_tag_segs").toString
   /** user-created tag tables (`create tag table …` DDL) */
   private val dynamicSchemas = TrieMap.empty[String, StructType]
   private val dynamicDescs = TrieMap.empty[String, Seq[ColDesc]]
@@ -183,12 +197,16 @@ object TagTables {
     }
   }
 
-  def rowCount(table: String): Long =
-    rows.get(table.toLowerCase).map(_.size.toLong).getOrElse(0L)
+  def rowCount(table: String): Long = {
+    val t = table.toLowerCase
+    rows.get(t).map(_.size.toLong).getOrElse(0L) + baseRows.getOrElse(t, 0L)
+  }
 
   def unflushedCount(table: String): Long = {
     val t = table.toLowerCase
-    rowCount(t) - flushMark.getOrElse(t, 0)
+    // base segments are on-disk by construction — only the interactive
+    // buffer can hold unflushed rows
+    rows.get(t).map(_.size.toLong).getOrElse(0L) - flushMark.getOrElse(t, 0)
   }
 
   /** EXEC table_flush(t): folds buffered appends into the stat views. */
@@ -220,7 +238,9 @@ object TagTables {
     val i = dynamicOrder.indexOf(t)
     if (i >= 0) dynamicOrder.remove(i)
     rows.remove(t)
+    dropBase(t)
     try spark.catalog.dropTempView(t) catch { case _: Throwable => }
+    try spark.catalog.dropTempView(arrivalViewName(t)) catch { case _: Throwable => }
   }
 
   private def schemaFor(table: String): StructType = table.toLowerCase match {
@@ -434,11 +454,27 @@ object TagTables {
     }
   }
 
+  /** The table's base segments as one aligned DataFrame (lazy parquet
+    * scans — no action here). Columns are cast to the storage schema's
+    * types; the buffer side of the union carries the machtype metadata
+    * (Union output attributes come from the first child). */
+  private def readBase(spark: SparkSession, t: String): Option[DataFrame] =
+    baseSegs.get(t).filter(_.nonEmpty).map { segs =>
+      val schema = storageSchemaFor(t)
+      import org.apache.spark.sql.functions.col
+      segs.map { p =>
+        spark.read.parquet(p).select(
+          schema.fields.map(fl => col(fl.name).cast(fl.dataType).as(fl.name))
+            .toSeq: _*)
+      }.reduce(_ unionByName _)
+    }
+
   private def refresh(spark: SparkSession, t: String): Unit = {
     val data = rows.getOrElse(t, ArrayBuffer.empty[Row])
-    val full = spark.createDataFrame(new java.util.ArrayList[Row](
+    val bufDf = spark.createDataFrame(new java.util.ArrayList[Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(data.toSeq).asJava),
       storageSchemaFor(t))
+    val full = readBase(spark, t).map(bufDf.unionByName(_)).getOrElse(bufDf)
     if (isLogTable(t)) {
       // machbase log tables iterate newest-first by default (reverse
       // arrival order); the hidden column stays selectable via the
@@ -524,22 +560,51 @@ object TagTables {
     }
   }
 
+  /** Rewrite a table's base segments keeping only `keep(base)`'s rows
+    * (copy-on-write DELETE over the distributed base — filter + parquet
+    * write, nothing on the driver). Returns rows removed. */
+  private def rewriteBase(spark: SparkSession, t: String,
+                          keep: DataFrame => DataFrame): Long = {
+    readBase(spark, t) match {
+      case None => 0L
+      case Some(base) =>
+        val before = baseRows.getOrElse(t, 0L)
+        val dest = s"$segRoot/$t/seg-${segCounter.incrementAndGet()}"
+        keep(base).write.parquet(dest)
+        val after = spark.read.parquet(dest).count()
+        baseSegs.put(t, Vector(dest))
+        baseRows.put(t, after)
+        before - after
+    }
+  }
+
+  private def dropBase(t: String): Long = {
+    baseSegs.remove(t)
+    baseRows.remove(t).getOrElse(0L)
+  }
+
   /** DELETE FROM t [WHERE name = 'x'] → number of rows removed. */
   def delete(spark: SparkSession, table: String, name: Option[String]): Long = {
     val t = table.toLowerCase
     ensure(spark, t)
     val data = rows.getOrElseUpdate(t, ArrayBuffer.empty[Row])
     val before = data.size
-    name match {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    val baseRemoved = name match {
       case Some(v) =>
         // name filter only applies to tables that HAVE a name column
         // (log tables don't — a filtered delete there matches nothing)
         val nameIdx = storageSchemaFor(t).fieldNames.indexOf("NAME")
-        if (nameIdx >= 0) data.filterInPlace(r => r.get(nameIdx) != v)
-      case None => data.clear()
+        if (nameIdx >= 0) {
+          data.filterInPlace(r => r.get(nameIdx) != v)
+          rewriteBase(spark, t, _.filter(not(col("NAME") <=> lit(v))))
+        } else 0L
+      case None =>
+        data.clear()
+        dropBase(t)
     }
     refresh(spark, t)
-    (before - data.size).toLong
+    (before - data.size).toLong + baseRemoved
   }
 
   /** DELETE … WHERE <arbitrary predicate>: evaluate the predicate with
@@ -576,8 +641,33 @@ object TagTables {
     val kept = data.zipWithIndex.collect { case (r, i) if keepIdx(i.toLong) => r }
     data.clear()
     data ++= kept
+    // base segments: the same predicate evaluated distributedly. The
+    // ns-view transform is invertible on the base (parquet is µs-granular
+    // already), so filter the transformed frame and convert back — no
+    // driver round-trip, no index join.
+    val baseRemoved = rewriteBase(spark, t, { base =>
+      def toNs(d: org.apache.spark.sql.DataFrame) =
+        schema.fields.foldLeft(d) { (acc, fld) =>
+          if (fld.dataType == TimestampType)
+            acc.withColumn(fld.name, unix_micros(col(fld.name)) * 1000L)
+          else acc
+        }
+      def fromNs(d: org.apache.spark.sql.DataFrame) =
+        schema.fields.foldLeft(d) { (acc, fld) =>
+          if (fld.dataType == TimestampType)
+            acc.withColumn(fld.name,
+              org.apache.spark.sql.functions.timestamp_micros(
+                expr(s"`${fld.name}` div 1000")))
+          else acc
+        }
+      def keep(d: org.apache.spark.sql.DataFrame) =
+        d.filter(!coalesce(expr(whereSql).cast("boolean"), lit(false)))
+      scala.util.Try(fromNs(keep(toNs(base)))
+          .select(schema.fieldNames.map(col).toSeq: _*))
+        .getOrElse(keep(base))
+    })
     refresh(spark, t)
-    (before - data.size).toLong
+    (before - data.size).toLong + baseRemoved
   }
 
   /** Bulk insert: one view refresh for the whole batch (the statement
@@ -623,9 +713,38 @@ object TagTables {
     data.size.toLong
   }
 
+  /** Append a DISTRIBUTED base segment (Backup.restore above its collect
+    * guard): the frame is aligned to the storage schema and rewritten to
+    * a private parquet segment — a straight executor-parallel copy, so
+    * the archive directory can be deleted afterwards and nothing but the
+    * manifest ever rides the driver. Log tables keep `_ARRIVAL_TIME`
+    * from the archive (the default view orders on it, so replay order is
+    * inherent, not a write-order property). Keyed classes are excluded:
+    * their upsert/PK machinery scans the in-memory buffer. */
+  def restoreSegment(spark: SparkSession, table: String, df: DataFrame): Long = {
+    val t = table.toLowerCase
+    require(!isKeyedClass(t),
+      s"table '$t' is a keyed class; restore it through restoreRows")
+    ensure(spark, t)
+    val schema = storageSchemaFor(t)
+    import org.apache.spark.sql.functions.col
+    val aligned = df.select(
+      schema.fields.map(fl => col(fl.name).cast(fl.dataType).as(fl.name))
+        .toSeq: _*)
+    val dest = s"$segRoot/$t/seg-${segCounter.incrementAndGet()}"
+    aligned.write.parquet(dest)
+    val n = spark.read.parquet(dest).count()
+    baseSegs.updateWith(t)(prev => Some(prev.getOrElse(Vector.empty) :+ dest))
+    baseRows.put(t, baseRows.getOrElse(t, 0L) + n)
+    refresh(spark, t)
+    n
+  }
+
   def dropAll(spark: SparkSession): Unit = {
     rows.keys.foreach(t => spark.catalog.dropTempView(t))
     rows.clear()
+    baseSegs.clear()
+    baseRows.clear()
   }
 
   private[server] def coerce(v: Any, dt: DataType): Any = (v, dt) match {

@@ -784,12 +784,18 @@ object WebApi {
     * exactly like /db/query (http_query.go:553-625). */
   def tagStatReply(spark: SparkSession, table: String, tag: String,
                    params: Map[String, Seq[String]]): HttpReply = {
-    // same contract as tagsReply / the reference (http_query.go:584-600):
-    // a non-tag table and a bad tz/timeformat are CLIENT errors (400),
-    // only a failure while computing the stat itself is a 500
-    val isTag = TagTables.allVisibleTables
-      .exists(t => t._1.equalsIgnoreCase(table) && t._2 == "Tag")
-    if (!isTag)
+    // same contract as tagsReply / the reference (http_query.go:573-600):
+    // the table lookup itself failing (table doesn't exist) is a 500
+    // with the lookup error; an EXISTING non-tag table and a bad
+    // tz/timeformat are CLIENT errors (400); a failure while computing
+    // the stat is a 500
+    val known = TagTables.allVisibleTables
+      .find(t => t._1.equalsIgnoreCase(table))
+    if (known.isEmpty)
+      return HttpReply(500, "application/json",
+        s"""{"success":false,"reason":${graft.sinks.GoJs.quote(
+          s"Table not found: ${table.toUpperCase}.")}}""")
+    if (known.get._2 != "Tag")
       return HttpReply(400, "application/json",
         """{"success":false,"reason":"not a tag table"}""")
     def one(k: String) = params.get(k).flatMap(_.headOption).filter(_.nonEmpty)

@@ -48,15 +48,27 @@ object Ann {
     * the k most cosine-similar corpus vectors with a DIFFERENT label —
     * the "looks right, isn't" examples a retriever trains against. Same
     * broadcast-queries shape as [[bruteForceTopK]], with the label
-    * exclusion inside the join condition so excluded rows never score. */
+    * exclusion inside the join condition so excluded rows never score.
+    *
+    * The broadcast is guarded (same threshold split as
+    * `Curation.mixtureSample`): a query set small enough to replicate
+    * broadcasts (one corpus pass, no shuffle); above
+    * `broadcastMaxQueries` it switches to a shuffle-replicated
+    * nested-loop join — still every (query, corpus) block pair scored
+    * in parallel, but neither side rides the driver or a single
+    * executor's heap. The cross product is inherent to exact mining;
+    * the blocked/IVF modes are the cheaper approximate path. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
                     labelCol: String, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(labelCol).as("qlabel"),
+                    vecCol: String = "embedding",
+                    broadcastMaxQueries: Long = 100000L): DataFrame = {
+    val q0 = queries.select(col(idCol).as("qid"), col(labelCol).as("qlabel"),
       toDouble(col(vecCol)).as("qe"))
     val e = corpus.select(col(idCol).as("eid"), col(labelCol).as("elabel"),
       toDouble(col(vecCol)).as("ee"))
-    val scored = e.join(broadcast(q),
+    val q = if (q0.count() <= broadcastMaxQueries) broadcast(q0)
+            else q0.hint("shuffle_replicate_nl")
+    val scored = e.join(q,
         col("qid") =!= col("eid") && col("qlabel") =!= col("elabel"))
       .withColumn("cos_sim", fastCosine(corpus, col("qe"), col("ee")))
     val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("eid").asc)

@@ -52,26 +52,44 @@ object CuratedStream {
     * State is one counter per key. Within a micro-batch rows are
     * admitted in ascending `idCol` order (deterministic for a bounded
     * replay); across batches admission is arrival-order, which is the
-    * point of a quota. Emits the admitted (key, id) relation. */
+    * point of a quota. Emits the admitted (key, id) relation.
+    *
+    * STATE BOUND: the counter map grows with source cardinality —
+    * unbounded source namespaces (per-URL, per-user) would grow state
+    * forever under the default `stateTtl = None`, which is intended for
+    * BOUNDED key sets (domains, feeds, tenants). For unbounded keys pass
+    * `stateTtl` (e.g. "30 days"): a key idle past the TTL has its
+    * counter evicted (ProcessingTimeTimeout, same protocol as
+    * [[StatefulOps]]), and — by design — a source that reappears after
+    * eviction re-admits up to `k` fresh documents: the quota becomes
+    * "at most k per TTL window of activity", the usual crawler-politeness
+    * semantics, trading exactness for bounded state. */
   def quotaAdmit(stream: DataFrame, keyCol: String, idCol: String,
-                 k: Long): DataFrame = {
+                 k: Long, stateTtl: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.{Encoders}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     implicit val encI = Encoders.product[KeyId]
     implicit val encS = Encoders.product[QuotaN]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     stream.select(col(keyCol).cast("string").as("key"),
         col(idCol).cast("long").as("id")).as[KeyId]
       .groupByKey(_.key)(Encoders.STRING)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (_: String, rows: Iterator[KeyId], state: GroupState[QuotaN]) =>
-          val n = state.getOption.map(_.n).getOrElse(0L)
-          val room = math.max(0L, k - n)
-          val admit =
-            if (room == 0) Vector.empty
-            else rows.toSeq.sortBy(_.id).take(
-              math.min(room, Int.MaxValue.toLong).toInt).toVector
-          state.update(QuotaN(n + admit.size))
-          admit.iterator
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val n = state.getOption.map(_.n).getOrElse(0L)
+            val room = math.max(0L, k - n)
+            val admit =
+              if (room == 0) Vector.empty
+              else rows.toSeq.sortBy(_.id).take(
+                math.min(room, Int.MaxValue.toLong).toInt).toVector
+            state.update(QuotaN(n + admit.size))
+            stateTtl.foreach(state.setTimeoutDuration)
+            admit.iterator
+          }
       }
       .toDF(keyCol, idCol)
   }

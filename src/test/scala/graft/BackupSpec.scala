@@ -207,6 +207,109 @@ class BackupSpec extends SparkSpec {
     assert(open == Seq(2.0, 3.0, 4.0), open)
   }
 
+  test("restore above the collect guard is distributed: base segment, no driver rows") {
+    freshBase()
+    val savedGuard = Backup.restoreCollectGuard
+    Backup.restoreCollectGuard = 10L
+    try {
+      mkExample((1 to 50).map(i => ("temp", ns(i), i.toDouble)): _*)
+      QueryDoor.execute(spark, "BACKUP TABLE example INTO DISK = 'bigarch'")
+      QueryDoor.execute(spark, "drop table example")
+      Backup.restore(spark, "bigarch")
+      // the restored table is parquet-backed: its plan scans files (the
+      // buffer contributes a LocalRelation/LocalTableScan only) — the
+      // shape that proves no collect() fed the driver
+      val plan = spark.table("example").queryExecution.executedPlan.toString
+      assert(plan.contains("FileScan parquet"), plan)
+      assert(spark.table("example").count() == 50L)
+      assert(TagTables.rowCount("example") == 50L)
+      // interactive DML still lands on top of the base segment
+      TagTables.insert(spark, "example", Seq("NAME", "TIME", "VALUE"),
+        Seq("temp", Long.box(ns(99)), Double.box(99.0)))
+      assert(spark.table("example").count() == 51L)
+      // DELETE WHERE runs distributedly over the base (copy-on-write)
+      // and over the buffer in one statement
+      val removed = TagTables.deleteWhere(spark, "example",
+        s"time >= ${ns(40)}")
+      assert(removed == 12L, s"removed=$removed") // 40..50 from base + 99 buffer
+      assert(spark.table("example").count() == 39L)
+      // a second restore appends another segment (machbase restore
+      // append semantics)
+      Backup.restore(spark, "bigarch")
+      assert(spark.table("example").count() == 89L)
+      // full DELETE clears base and buffer
+      assert(TagTables.delete(spark, "example", None) == 89L)
+      assert(spark.table("example").count() == 0L)
+    } finally {
+      Backup.restoreCollectGuard = savedGuard
+      QueryDoor.execute(spark, "drop table example")
+    }
+  }
+
+  test("log-table restore above the guard keeps arrival iteration and the hidden column") {
+    freshBase()
+    val savedGuard = Backup.restoreCollectGuard
+    Backup.restoreCollectGuard = 5L
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create log table evbig (TIME datetime basetime, VALUE double)")
+    val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000000000L)
+    val oldClock = TagTables.arrivalClock
+    TagTables.arrivalClock = () => clock.addAndGet(1000000000L)
+    try {
+      // arrival ascends while event time descends — iteration must follow
+      // arrival after the round-trip, base-backed or not
+      (20L to 1L by -1L).foreach { sec =>
+        TagTables.insert(spark, "evbig", Seq("TIME", "VALUE"),
+          Seq(Long.box(ns(sec)), Double.box(sec.toDouble)))
+      }
+      QueryDoor.execute(spark, "BACKUP TABLE evbig INTO DISK = 'logbig'")
+      QueryDoor.execute(spark, "drop table evbig")
+      Backup.restore(spark, "logbig")
+      val plan = spark.table("evbig").queryExecution.executedPlan.toString
+      assert(plan.contains("FileScan parquet"), plan)
+      val vals = QueryDoor.execute(spark, "SELECT VALUE FROM evbig")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(vals == (1L to 20L).map(_.toDouble), vals) // newest arrival first
+      val arr = QueryDoor.execute(spark,
+        "SELECT _ARRIVAL_TIME, VALUE FROM evbig").collect()
+      assert(arr.length == 20)
+    } finally {
+      TagTables.arrivalClock = oldClock
+      Backup.restoreCollectGuard = savedGuard
+      QueryDoor.execute(spark, "drop table evbig")
+    }
+  }
+
+  test("mount refuses to shadow a pre-existing catalog database") {
+    freshBase()
+    mkExample(("temp", ns(1), 1.0))
+    QueryDoor.execute(spark, "BACKUP TABLE example INTO DISK = 'colarch'")
+    spark.sql("CREATE DATABASE precious")
+    spark.sql("CREATE TABLE precious.keepme (x INT) USING parquet")
+    try {
+      val r = route("POST", "/backup/mounts/precious", """{"path":"colarch"}""")
+      assert(r.status == 500 && r.body.contains("already exists"), r.body)
+      // the pre-existing database and its table survived untouched
+      assert(spark.catalog.databaseExists("precious"))
+      assert(spark.catalog.tableExists("precious.keepme"))
+      // and the failed mount left no registry entry behind
+      assert(!Backup.mountNames.contains("precious"), Backup.mountNames)
+      assert(route("DELETE", "/backup/mounts/precious").status == 500)
+    } finally spark.sql("DROP DATABASE IF EXISTS precious CASCADE")
+  }
+
+  test("archive time window rejects non-numeric from/to with a 400 envelope") {
+    freshBase()
+    val bad = route("POST", "/backup/archive",
+      """{"type":"database","duration":{"type":"time","from":"not-a-number"},"path":"tw1"}""")
+    assert(bad.status == 400 &&
+      bad.body.contains("duration.from/to must be unix epoch seconds"), bad.body)
+    val bad2 = route("POST", "/backup/archive",
+      """{"type":"database","duration":{"type":"time","from":"1700000000","to":"later"},"path":"tw1"}""")
+    assert(bad2.status == 400 && bad2.body.contains("\"success\":false"), bad2.body)
+  }
+
   test("BACKUP DATABASE snapshots every visible table and status reports outcomes") {
     freshBase()
     mkExample(("temp", ns(1), 1.0))

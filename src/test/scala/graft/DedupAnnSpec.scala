@@ -117,6 +117,26 @@ class DedupAnnSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("cos_sim")).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("hardNegatives guards its broadcast: replicated NL above the query-count threshold") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 5)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rnk").collect().toSeq
+    // small query set → broadcast (one corpus pass, no shuffle)
+    val small = Ann.hardNegatives(q, emb, k = 3, labelCol = "label")
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastNestedLoopJoin"), smallPlan)
+    // above the guard → shuffle-replicated nested loop: block-pair
+    // parallel, neither side on the driver or a single executor heap
+    val big = Ann.hardNegatives(q, emb, k = 3, labelCol = "label",
+      broadcastMaxQueries = 2)
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("CartesianProduct"), bigPlan)
+    assert(!bigPlan.contains("BroadcastNestedLoopJoin"), bigPlan)
+    // plan shape changes, answers don't
+    assert(sorted(small) == sorted(big))
+  }
+
   test("LSH topK self-bucket recall: query's own bucket contains it") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter($"vec_id" < 3)

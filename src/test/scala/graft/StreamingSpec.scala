@@ -8,6 +8,24 @@ import graft.streaming.Watch
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Drain a TTL-armed AvailableNow query and stop it: armed
+    * processing-time timers keep the trigger loop alive after the data
+    * batches commit, so the query never self-terminates —
+    * `awaitTermination(t)` would burn its full timeout and leave the
+    * run active (the next restart on the same checkpoint then
+    * force-stops it with InterruptedException ERROR noise). Poll the
+    * parquet sink for the expected row count instead, then stop. */
+  private def awaitRowsAndStop(q: org.apache.spark.sql.streaming.StreamingQuery,
+                               outPath: String, n: Long): Unit = {
+    def count() =
+      scala.util.Try(spark.read.parquet(outPath).count()).getOrElse(0L)
+    val deadline = System.currentTimeMillis + 60000
+    while (count() < n && System.currentTimeMillis < deadline)
+      Thread.sleep(150)
+    stopQuietly(q)
+    assert(count() >= n, s"sink $outPath never reached $n rows")
+  }
+
   test("watch tail streams newly appended rows (reference watch semantics)") {
     val dir = Files.createTempDirectory("graft_watch").toString
     val out = Files.createTempDirectory("graft_watch_out").toString
@@ -170,7 +188,7 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq == Seq(
         ("a", ts(1), 1.0), ("a", ts(3), 2.0), ("a", ts(5), 3.0),
         ("b", ts(1), 5.0), ("b", ts(3), 6.0)), got.toSeq)
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("streaming MAP_LOWPASS: EMA register survives the batch edge (fm_monad_test.go values)") {
@@ -194,7 +212,7 @@ class StreamingSpec extends SparkSpec {
         graft.streaming.StatefulOps.lowpassStream(
           in.toDF.toDF("name", "time", "value"), alpha = 1.0))
       assert(e.getMessage == "MAP_LOWPASS() should have 0 < alpha < 1 ")
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("streaming MAP_DIFF/MOVAVG/KALMAN recurrences match across batch edges") {
@@ -229,7 +247,7 @@ class StreamingSpec extends SparkSpec {
       val got = spark.sql("SELECT value FROM m_stream ORDER BY time")
         .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
       assert(got.toSeq == Seq(None, None, Some(2.0), Some(3.0)), got.toSeq)
-    } finally q2.stop()
+    } finally stopQuietly(q2)
 
     // kalman: streaming output must equal the batch kernel on the same series
     val series = Seq(5.0, 7.0, 6.5, 8.0, 7.2, 9.1)
@@ -316,7 +334,7 @@ class StreamingSpec extends SparkSpec {
       val got = spark.sql("SELECT name, value FROM fc_ttl ORDER BY time")
         .collect().map(r => (r.getString(0), r.getDouble(1)))
       assert(got.toSeq == Seq(("a", 1.0), ("a", 1.0)), got.toSeq)
-    } finally q.stop()
+    } finally stopQuietly(q)
 
     // MAP_DIFF + TTL: the post-eviction record emits null (first-record
     // semantics), not the difference vs the pre-eviction value.
@@ -334,7 +352,7 @@ class StreamingSpec extends SparkSpec {
       val got = spark.sql("SELECT value FROM d_ttl WHERE name = 'a' ORDER BY time")
         .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
       assert(got.toSeq == Seq(None, Some(3.0), None), got.toSeq)
-    } finally q2.stop()
+    } finally stopQuietly(q2)
   }
 
   test("maintainRollup advances the routing horizon; routed queries stay exact during lag") {
@@ -476,7 +494,7 @@ class StreamingSpec extends SparkSpec {
       assert(got.length >= 2, got.toSeq)
       assert(got(0) == ((ts(1), 3L, 6.0)), got.toSeq) // merged 3-event session
       assert(got(1) == ((ts(40), 1L, 7.0)), got.toSeq)
-    } finally q.stop()
+    } finally stopQuietly(q)
   }
 
   test("zscoreStream state survives a restart: spike detected against pre-restart baseline") {
@@ -521,18 +539,18 @@ class StreamingSpec extends SparkSpec {
       .toDF("name", "time", "value")
     rows(0 until 3).write.mode("append").parquet(raw)
     val schema = spark.read.parquet(raw).schema
-    def runOnce(): Unit = {
+    def runOnce(expect: Long): Unit = {
       val src = spark.readStream.schema(schema).parquet(raw)
       val q = graft.streaming.StatefulOps.movavgStream(src, window = 5,
           stateTtl = Some("1 hour")) // TTL armed but must NOT evict across
         .writeStream.format("parquet").option("path", out) // a quick restart
         .option("checkpointLocation", ck)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      awaitRowsAndStop(q, out, expect)
     }
-    runOnce()                         // 3 warm-up rows → all null
+    runOnce(3)                        // 3 warm-up rows → all null
     rows(3 until 6).write.mode("append").parquet(raw)
-    runOnce()                         // restart: buffer [1,2,3] restored + TTL re-armed
+    runOnce(6)                        // restart: buffer [1,2,3] restored + TTL re-armed
     val got = spark.read.parquet(out)
       .select(unix_micros(col("time")), col("value"))
       .collect()
@@ -552,18 +570,18 @@ class StreamingSpec extends SparkSpec {
       .toDF("name", "time", "value")
     rows(0 until 12).write.mode("append").parquet(raw)
     val schema = spark.read.parquet(raw).schema
-    def runOnce(): Unit = {
+    def runOnce(expect: Long): Unit = {
       val src = spark.readStream.schema(schema).parquet(raw)
       val q = graft.streaming.StatefulOps.kalmanStream(src,
           initVar = 1d, procVar = 0.01, obsVar = 4d, stateTtl = Some("1 hour"))
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ck)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      awaitRowsAndStop(q, out, expect)
     }
-    runOnce()
+    runOnce(12)
     rows(12 until 20).write.mode("append").parquet(raw)
-    runOnce() // restart: the converged (x,p) register must carry over
+    runOnce(20) // restart: the converged (x,p) register must carry over
     val streamed = spark.read.parquet(out)
       .select(unix_micros(col("time")) * 1000L, col("value"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
@@ -587,18 +605,18 @@ class StreamingSpec extends SparkSpec {
       .toDF("name", "time", "lat", "lon")
     rows(0 until 4).write.mode("append").parquet(raw)
     val schema = spark.read.parquet(raw).schema
-    def runOnce(): Unit = {
+    def runOnce(expect: Long): Unit = {
       val src = spark.readStream.schema(schema).parquet(raw)
       val q = graft.streaming.StatefulOps.distanceStream(src,
           stateTtl = Some("1 hour"))
         .writeStream.format("parquet").option("path", out)
         .option("checkpointLocation", ck)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      awaitRowsAndStop(q, out, expect)
     }
-    runOnce()
+    runOnce(4)
     rows(4 until 8).write.mode("append").parquet(raw)
-    runOnce() // restart: leg 3→4 needs the pre-restart point; cum needs the total
+    runOnce(8) // restart: leg 3→4 needs the pre-restart point; cum needs the total
     val streamed = spark.read.parquet(out)
       .select(unix_micros(col("time")) * 1000L, col("meters"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
@@ -636,6 +654,40 @@ class StreamingSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     assert(got("a") == (0L until 6L) ++ (100L until 104L), got)
     assert(got("b") == (200L until 203L), got)
+  }
+
+  test("quotaAdmit: stateTtl evicts an idle source, which then re-admits (bounded state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    // ProcessingTimeTimeout streams never latch noNewData (batches keep
+    // scheduling so due timeouts can fire) — poll the sink, stop at the
+    // end, same protocol as the stateTtl tag-state test above.
+    def waitRows(table: String, n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table(table).count() < n && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      assert(spark.table(table).count() >= n, s"$table never reached $n rows")
+    }
+    val in = MemoryStream[(String, Long)]
+    val q = graft.streaming.CuratedStream.quotaAdmit(
+        in.toDF.toDF("source", "doc_id"), "source", "doc_id", k = 3,
+        stateTtl = Some("500 milliseconds"))
+      .writeStream.format("memory").queryName("qa_ttl").outputMode("append")
+      .trigger(Trigger.ProcessingTime(200)).start()
+    try {
+      in.addData(("a", 0L), ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L))
+      waitRows("qa_ttl", 3) // quota k=3 caps the first burst
+      Thread.sleep(1500) // idle past the TTL: a's counter evicts
+      in.addData(("b", 50L), ("b", 51L))
+      waitRows("qa_ttl", 5)
+      in.addData(("a", 100L), ("a", 101L), ("a", 102L), ("a", 103L))
+      waitRows("qa_ttl", 8) // a re-admits a fresh k post-eviction (by design)
+      val got = spark.sql("SELECT source, doc_id FROM qa_ttl")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      assert(got("a") == Seq(0L, 1L, 2L, 100L, 101L, 102L), got)
+      assert(got("b") == Seq(50L, 51L), got)
+    } finally stopQuietly(q)
   }
 
   test("rollupStream aggregates tumbling event-time windows") {

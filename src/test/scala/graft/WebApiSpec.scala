@@ -407,6 +407,12 @@ class WebApiSpec extends SparkSpec {
       val badStat = route("/tables/log_data/tags/temp/stat")
       assert(badStat.status == 400 && badStat.body.contains("not a tag table"),
         badStat.body)
+      // …but a table that does not exist AT ALL is a 500 with the lookup
+      // error — the reference 500s when ShowTable itself fails
+      // (http_query.go:573-582) and reserves 400 for existing non-tag tables
+      val gone = route("/tables/no_such_table_xyz/tags/temp/stat")
+      assert(gone.status == 500 && gone.body.contains("Table not found"),
+        s"${gone.status} ${gone.body}")
       // a bad tz is a CLIENT error (400), not a raw 500
       val badTz = route("/tables/example/tags/temp/stat",
         Map("tz" -> Seq("Not/AZone")))
