@@ -571,9 +571,11 @@ object TagTables {
         val before = baseRows.getOrElse(t, 0L)
         val dest = s"$segRoot/$t/seg-${segCounter.incrementAndGet()}"
         keep(base).write.parquet(dest)
-        val after = spark.read.parquet(dest).count()
-        baseSegs.put(t, Vector(dest))
-        baseRows.put(t, after)
+        // explicit schema: a DELETE that empties the base writes a
+        // part-less directory, which schema inference cannot read
+        val after = spark.read.schema(storageSchemaFor(t)).parquet(dest).count()
+        if (after == 0L) dropBase(t)
+        else { baseSegs.put(t, Vector(dest)); baseRows.put(t, after) }
         before - after
     }
   }

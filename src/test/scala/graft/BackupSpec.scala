@@ -237,8 +237,17 @@ class BackupSpec extends SparkSpec {
       // append semantics)
       Backup.restore(spark, "bigarch")
       assert(spark.table("example").count() == 89L)
+      // a WHERE that empties the whole base must drop it cleanly (an
+      // empty parquet rewrite is unreadable by schema inference) and
+      // the table must stay usable afterwards
+      assert(TagTables.deleteWhere(spark, "example",
+        s"time < ${ns(1000)}") == 89L)
+      assert(spark.table("example").count() == 0L)
+      TagTables.insert(spark, "example", Seq("NAME", "TIME", "VALUE"),
+        Seq("temp", Long.box(ns(7)), Double.box(7.0)))
+      assert(spark.table("example").count() == 1L)
       // full DELETE clears base and buffer
-      assert(TagTables.delete(spark, "example", None) == 89L)
+      assert(TagTables.delete(spark, "example", None) == 1L)
       assert(spark.table("example").count() == 0L)
     } finally {
       Backup.restoreCollectGuard = savedGuard
