@@ -50,10 +50,10 @@ object Ann {
     * broadcast-queries shape as [[bruteForceTopK]], with the label
     * exclusion inside the join condition so excluded rows never score.
     *
-    * The broadcast is guarded (same threshold split as
-    * `Curation.mixtureSample`): a query set small enough to replicate
-    * broadcasts (one corpus pass, no shuffle); above
-    * `broadcastMaxQueries` it switches to a shuffle-replicated
+    * The broadcast is guarded by the optimizer's own size estimate
+    * (driver-side plan stats — no probe job): a query set small enough
+    * to replicate broadcasts (one corpus pass, no shuffle); above
+    * `broadcastMaxBytes` it switches to a shuffle-replicated
     * nested-loop join — still every (query, corpus) block pair scored
     * in parallel, but neither side rides the driver or a single
     * executor's heap. The cross product is inherent to exact mining;
@@ -61,12 +61,13 @@ object Ann {
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
                     labelCol: String, idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    broadcastMaxQueries: Long = 100000L): DataFrame = {
+                    broadcastMaxBytes: Long = 256L << 20): DataFrame = {
     val q0 = queries.select(col(idCol).as("qid"), col(labelCol).as("qlabel"),
       toDouble(col(vecCol)).as("qe"))
     val e = corpus.select(col(idCol).as("eid"), col(labelCol).as("elabel"),
       toDouble(col(vecCol)).as("ee"))
-    val q = if (q0.count() <= broadcastMaxQueries) broadcast(q0)
+    val q = if (q0.queryExecution.optimizedPlan.stats.sizeInBytes
+                  <= BigInt(broadcastMaxBytes)) broadcast(q0)
             else q0.hint("shuffle_replicate_nl")
     val scored = e.join(q,
         col("qid") =!= col("eid") && col("qlabel") =!= col("elabel"))

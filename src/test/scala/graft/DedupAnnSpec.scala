@@ -129,7 +129,7 @@ class DedupAnnSpec extends SparkSpec {
     // above the guard → shuffle-replicated nested loop: block-pair
     // parallel, neither side on the driver or a single executor heap
     val big = Ann.hardNegatives(q, emb, k = 3, labelCol = "label",
-      broadcastMaxQueries = 2)
+      broadcastMaxBytes = 2)
     val bigPlan = big.queryExecution.executedPlan.toString
     assert(bigPlan.contains("CartesianProduct"), bigPlan)
     assert(!bigPlan.contains("BroadcastNestedLoopJoin"), bigPlan)
