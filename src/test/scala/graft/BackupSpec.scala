@@ -290,6 +290,41 @@ class BackupSpec extends SparkSpec {
     }
   }
 
+  test("keyed classes restore through the buffer even above the guard: upsert machinery intact") {
+    freshBase()
+    val savedGuard = Backup.restoreCollectGuard
+    Backup.restoreCollectGuard = 2L
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create lookup table dims (K varchar(20) primary key, V double)")
+    try {
+      (1 to 5).foreach { i =>
+        TagTables.insert(spark, "dims", Seq("K", "V"),
+          Seq(s"k$i", Double.box(i.toDouble)))
+      }
+      QueryDoor.execute(spark, "BACKUP TABLE dims INTO DISK = 'dimarch'")
+      QueryDoor.execute(spark, "drop table dims")
+      Backup.restore(spark, "dimarch")
+      // rows above the guard, but a Lookup table must stay buffer-backed
+      // (its PK/upsert path scans the buffer): no parquet base in the plan
+      val plan = spark.table("dims").queryExecution.executedPlan.toString
+      assert(!plan.contains("FileScan parquet"), plan)
+      assert(spark.table("dims").count() == 5L)
+      // the restored PK is enforced and upsert still addresses it
+      intercept[IllegalArgumentException] {
+        TagTables.insert(spark, "dims", Seq("K", "V"),
+          Seq("k3", Double.box(99.0)))
+      }
+      assert(TagTables.upsert(spark, "dims", Seq("K", "V"),
+        Seq("k3", Double.box(9.5))))
+      val v = spark.sql("SELECT V FROM dims WHERE K = 'k3'").head().getDouble(0)
+      assert(v == 9.5)
+    } finally {
+      Backup.restoreCollectGuard = savedGuard
+      QueryDoor.execute(spark, "drop table dims")
+    }
+  }
+
   test("mount refuses to shadow a pre-existing catalog database") {
     freshBase()
     mkExample(("temp", ns(1), 1.0))

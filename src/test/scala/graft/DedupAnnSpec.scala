@@ -179,6 +179,26 @@ class DedupAnnSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L), got)
   }
 
+  test("connectedComponents: distributed propagation path matches driver union-find") {
+    // the ≤driverMaxEdges short-circuit wins at every spec/gate scale, so
+    // force the iterative distributed path (driverMaxEdges = 0) and pin
+    // it against the driver result on a graph with a long chain (worst
+    // case for label propagation: diameter 12 needs several rounds),
+    // a clique, bridges, and singles
+    val rnd = new scala.util.Random(7)
+    val chain = (0 until 12).map(i => (i.toLong, i + 1L))
+    val clique = for (a <- 100 to 104; b <- (a + 1) to 104) yield (a.toLong, b.toLong)
+    val bridges = Seq((12L, 100L), (200L, 201L), (300L, 301L), (301L, 302L))
+    val edges = rnd.shuffle(chain ++ clique ++ bridges).toDF("doc_a", "doc_b")
+    val driver = graft.dedup.Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = graft.dedup.Dedup.connectedComponents(edges, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == driver, s"\ndist=$dist\ndriver=$driver")
+    // chain+clique merged through the 12->100 bridge, labeled by min id
+    assert(driver(104L) == 0L && driver(302L) == 300L && driver(201L) == 200L)
+  }
+
   test("minhashLshPairsAgainst finds the planted delta-vs-corpus near-dup only") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
