@@ -36,7 +36,14 @@ object Backup {
                        dbBeginNs: Option[Long], dbEndNs: Option[Long],
                        backupBeginNs: Long, backupEndNs: Long)
 
+  /** COMPLETED mounts only — everything readers (mounts, mountNames,
+    * the doors) see comes from here, so an in-flight mount is never
+    * listed half-built. */
   private val mountReg = TrieMap.empty[String, MountInfo]
+  /** in-flight + completed mount names: the atomic duplicate gate. A
+    * claim is taken before any disk/catalog work and held for the
+    * mount's lifetime; a failed mount releases it. */
+  private val mountClaims = TrieMap.empty[String, Unit]
 
   private def resolve(p: String): String = {
     val f = new java.io.File(p)
@@ -158,11 +165,9 @@ object Backup {
     val dir = resolve(path)
     // claim the name FIRST (putIfAbsent — two concurrent mounts of the
     // same name can't both pass), then do the catalog work; any failure
-    // releases the claim. The placeholder is never visible: mounts/
-    // mountNames read mountReg, and the claim is replaced or removed
-    // before this method returns.
-    val claim = MountInfo(name, dir, Nil, None, None, 0, 0)
-    if (mountReg.putIfAbsent(key, claim).isDefined)
+    // releases the claim. The claim is NOT a registry entry: readers
+    // only ever see completed mounts in mountReg.
+    if (mountClaims.putIfAbsent(key, ()).isDefined)
       throw new IllegalArgumentException(s"$name is already mounted")
     try {
       val full = readManifestFull(dir)
@@ -194,17 +199,23 @@ object Backup {
       mountReg.put(key, MountInfo(name, dir, tables, minNs, maxNs,
         wall("backupBeginNs"), wall("backupEndNs")))
     } catch {
-      case e: Exception => mountReg.remove(key); throw e
+      case e: Exception => mountClaims.remove(key); throw e
     }
   }
 
   def unmount(spark: SparkSession, name: String): Unit = {
     val key = name.toLowerCase
-    // remove-then-drop: only a name this registry owns is ever dropped,
-    // and two concurrent unmounts can't both reach the DROP
-    if (mountReg.remove(key).isEmpty)
+    // check → drop → deregister: a failed DROP leaves the registration
+    // intact so the unmount can simply be retried (deregistering first
+    // would wedge the name — not mounted, yet not re-mountable). The
+    // dropped database is always one the mount itself created (mount
+    // refuses pre-existing names), and DROP IF EXISTS is idempotent for
+    // the benign concurrent-double-unmount race.
+    if (!mountReg.contains(key))
       throw new IllegalArgumentException(s"$name is not mounted")
     spark.sql(s"DROP DATABASE IF EXISTS `$key` CASCADE")
+    mountReg.remove(key)
+    mountClaims.remove(key)
   }
 
   def mounts: Seq[MountInfo] = mountReg.values.toSeq.sortBy(_.name)

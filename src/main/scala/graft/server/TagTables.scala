@@ -454,19 +454,23 @@ object TagTables {
     }
   }
 
+  /** cast a frame's columns to the table's storage schema (shared by
+    * segment reads and segment writes). */
+  private def alignToStorage(t: String, df: DataFrame): DataFrame = {
+    val schema = storageSchemaFor(t)
+    import org.apache.spark.sql.functions.col
+    df.select(schema.fields.map(fl =>
+      col(fl.name).cast(fl.dataType).as(fl.name)).toSeq: _*)
+  }
+
   /** The table's base segments as one aligned DataFrame (lazy parquet
     * scans — no action here). Columns are cast to the storage schema's
     * types; the buffer side of the union carries the machtype metadata
     * (Union output attributes come from the first child). */
   private def readBase(spark: SparkSession, t: String): Option[DataFrame] =
     baseSegs.get(t).filter(_.nonEmpty).map { segs =>
-      val schema = storageSchemaFor(t)
-      import org.apache.spark.sql.functions.col
-      segs.map { p =>
-        spark.read.parquet(p).select(
-          schema.fields.map(fl => col(fl.name).cast(fl.dataType).as(fl.name))
-            .toSeq: _*)
-      }.reduce(_ unionByName _)
+      segs.map(p => alignToStorage(t, spark.read.parquet(p)))
+        .reduce(_ unionByName _)
     }
 
   private def refresh(spark: SparkSession, t: String): Unit = {
@@ -560,28 +564,49 @@ object TagTables {
     }
   }
 
+  /** Best-effort recursive delete of a retired segment directory —
+    * rewriteBase/dropBase retire whole directories; leaving them on disk
+    * would leak a full copy of the base per DELETE. */
+  private def deleteDir(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete(); ()
+    }
+    scala.util.Try(rec(new java.io.File(path)))
+    ()
+  }
+
   /** Rewrite a table's base segments keeping only `keep(base)`'s rows
     * (copy-on-write DELETE over the distributed base — filter + parquet
-    * write, nothing on the driver). Returns rows removed. */
+    * write, nothing on the driver). Runs BEFORE any buffer mutation in
+    * its callers: a failed rewrite (bad predicate, write error) must
+    * leave the whole table untouched, not half-deleted. Retired and
+    * failed segment directories are removed from disk. Returns rows
+    * removed. */
   private def rewriteBase(spark: SparkSession, t: String,
                           keep: DataFrame => DataFrame): Long = {
     readBase(spark, t) match {
       case None => 0L
       case Some(base) =>
         val before = baseRows.getOrElse(t, 0L)
+        val old = baseSegs.getOrElse(t, Vector.empty)
         val dest = s"$segRoot/$t/seg-${segCounter.incrementAndGet()}"
-        keep(base).write.parquet(dest)
+        try keep(base).write.parquet(dest)
+        catch { case e: Throwable => deleteDir(dest); throw e }
         // explicit schema: a DELETE that empties the base writes a
         // part-less directory, which schema inference cannot read
         val after = spark.read.schema(storageSchemaFor(t)).parquet(dest).count()
-        if (after == 0L) dropBase(t)
-        else { baseSegs.put(t, Vector(dest)); baseRows.put(t, after) }
+        if (after == 0L) { dropBase(t); deleteDir(dest) }
+        else {
+          baseSegs.put(t, Vector(dest)); baseRows.put(t, after)
+          old.foreach(deleteDir)
+        }
         before - after
     }
   }
 
   private def dropBase(t: String): Long = {
-    baseSegs.remove(t)
+    baseSegs.remove(t).foreach(_.foreach(deleteDir))
     baseRows.remove(t).getOrElse(0L)
   }
 
@@ -592,18 +617,22 @@ object TagTables {
     val data = rows.getOrElseUpdate(t, ArrayBuffer.empty[Row])
     val before = data.size
     import org.apache.spark.sql.functions.{col, lit, not}
+    // base first: it is the only step that can fail, and a failure must
+    // leave the buffer untouched
     val baseRemoved = name match {
       case Some(v) =>
         // name filter only applies to tables that HAVE a name column
         // (log tables don't — a filtered delete there matches nothing)
         val nameIdx = storageSchemaFor(t).fieldNames.indexOf("NAME")
         if (nameIdx >= 0) {
+          val n = rewriteBase(spark, t, _.filter(not(col("NAME") <=> lit(v))))
           data.filterInPlace(r => r.get(nameIdx) != v)
-          rewriteBase(spark, t, _.filter(not(col("NAME") <=> lit(v))))
+          n
         } else 0L
       case None =>
+        val n = dropBase(t)
         data.clear()
-        dropBase(t)
+        n
     }
     refresh(spark, t)
     (before - data.size).toLong + baseRemoved
@@ -626,50 +655,58 @@ object TagTables {
       Row.fromSeq(r.toSeq :+ i.toLong) }
     val df = spark.createDataFrame(new java.util.ArrayList[Row](
       scala.jdk.CollectionConverters.SeqHasAsJava(idxRows).asJava), idxSchema)
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, unix_micros, col}
+    import org.apache.spark.sql.functions.col
     // DELETE removes rows where the predicate is TRUE; NULL keeps the row
     def keepIdxOf(d: org.apache.spark.sql.DataFrame): Set[Long] =
-      d.filter(!coalesce(expr(whereSql).cast("boolean"), lit(false)))
+      keepNotMatching(whereSql)(d)
         .select("__idx").collect().map(_.getLong(0)).toSet
     // machbase compares datetime columns as epoch-ns numbers (`time <
     // 1700…e18`); evaluate on an epoch-ns view first, fall back to raw
     // timestamps for date-literal predicates.
-    val nsView = schema.fields.foldLeft(df) { (d, fld) =>
-      if (fld.dataType == TimestampType)
-        d.withColumn(fld.name, unix_micros(col(fld.name)) * 1000L)
-      else d
-    }
-    val keepIdx = scala.util.Try(keepIdxOf(nsView)).getOrElse(keepIdxOf(df))
+    val keepIdx = scala.util.Try(keepIdxOf(toNsView(schema, df)))
+      .getOrElse(keepIdxOf(df))
+    // base first (the only step that can fail — a bad rewrite must leave
+    // the buffer untouched): the same predicate evaluated distributedly.
+    // The ns-view transform is invertible on the base (parquet is
+    // µs-granular already), so filter the transformed frame and convert
+    // back — no driver round-trip, no index join.
+    val baseRemoved = rewriteBase(spark, t, { base =>
+      scala.util.Try(
+        fromNsView(schema, keepNotMatching(whereSql)(toNsView(schema, base)))
+          .select(schema.fieldNames.map(col).toSeq: _*))
+        .getOrElse(keepNotMatching(whereSql)(base))
+    })
     val kept = data.zipWithIndex.collect { case (r, i) if keepIdx(i.toLong) => r }
     data.clear()
     data ++= kept
-    // base segments: the same predicate evaluated distributedly. The
-    // ns-view transform is invertible on the base (parquet is µs-granular
-    // already), so filter the transformed frame and convert back — no
-    // driver round-trip, no index join.
-    val baseRemoved = rewriteBase(spark, t, { base =>
-      def toNs(d: org.apache.spark.sql.DataFrame) =
-        schema.fields.foldLeft(d) { (acc, fld) =>
-          if (fld.dataType == TimestampType)
-            acc.withColumn(fld.name, unix_micros(col(fld.name)) * 1000L)
-          else acc
-        }
-      def fromNs(d: org.apache.spark.sql.DataFrame) =
-        schema.fields.foldLeft(d) { (acc, fld) =>
-          if (fld.dataType == TimestampType)
-            acc.withColumn(fld.name,
-              org.apache.spark.sql.functions.timestamp_micros(
-                expr(s"`${fld.name}` div 1000")))
-          else acc
-        }
-      def keep(d: org.apache.spark.sql.DataFrame) =
-        d.filter(!coalesce(expr(whereSql).cast("boolean"), lit(false)))
-      scala.util.Try(fromNs(keep(toNs(base)))
-          .select(schema.fieldNames.map(col).toSeq: _*))
-        .getOrElse(keep(base))
-    })
     refresh(spark, t)
     (before - data.size).toLong + baseRemoved
+  }
+
+  /** rows NOT matching a DELETE predicate (NULL keeps the row). */
+  private def keepNotMatching(whereSql: String)(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    d.filter(!coalesce(expr(whereSql).cast("boolean"), lit(false)))
+  }
+
+  /** timestamp columns as epoch-ns longs (machbase numeric-datetime
+    * predicate evaluation), and the exact inverse. */
+  private def toNsView(schema: StructType, d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    schema.fields.foldLeft(d) { (acc, fld) =>
+      if (fld.dataType == TimestampType)
+        acc.withColumn(fld.name, unix_micros(col(fld.name)) * 1000L)
+      else acc
+    }
+  }
+
+  private def fromNsView(schema: StructType, d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    schema.fields.foldLeft(d) { (acc, fld) =>
+      if (fld.dataType == TimestampType)
+        acc.withColumn(fld.name, timestamp_micros(expr(s"`${fld.name}` div 1000")))
+      else acc
+    }
   }
 
   /** Bulk insert: one view refresh for the whole batch (the statement
@@ -728,13 +765,9 @@ object TagTables {
     require(!isKeyedClass(t),
       s"table '$t' is a keyed class; restore it through restoreRows")
     ensure(spark, t)
-    val schema = storageSchemaFor(t)
-    import org.apache.spark.sql.functions.col
-    val aligned = df.select(
-      schema.fields.map(fl => col(fl.name).cast(fl.dataType).as(fl.name))
-        .toSeq: _*)
     val dest = s"$segRoot/$t/seg-${segCounter.incrementAndGet()}"
-    aligned.write.parquet(dest)
+    try alignToStorage(t, df).write.parquet(dest)
+    catch { case e: Throwable => deleteDir(dest); throw e }
     val n = spark.read.parquet(dest).count()
     baseSegs.updateWith(t)(prev => Some(prev.getOrElse(Vector.empty) :+ dest))
     baseRows.put(t, baseRows.getOrElse(t, 0L) + n)
@@ -743,9 +776,13 @@ object TagTables {
   }
 
   def dropAll(spark: SparkSession): Unit = {
-    rows.keys.foreach(t => spark.catalog.dropTempView(t))
+    rows.keys.foreach { t =>
+      spark.catalog.dropTempView(t)
+      // log tables also registered an arrival view in refresh()
+      try spark.catalog.dropTempView(arrivalViewName(t)) catch { case _: Throwable => }
+    }
     rows.clear()
-    baseSegs.clear()
+    baseSegs.keys.foreach(dropBase)
     baseRows.clear()
   }
 

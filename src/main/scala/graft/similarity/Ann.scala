@@ -50,25 +50,34 @@ object Ann {
     * broadcast-queries shape as [[bruteForceTopK]], with the label
     * exclusion inside the join condition so excluded rows never score.
     *
-    * The broadcast is guarded by the optimizer's own size estimate
-    * (driver-side plan stats — no probe job): a query set small enough
-    * to replicate broadcasts (one corpus pass, no shuffle); above
-    * `broadcastMaxBytes` it switches to a shuffle-replicated
-    * nested-loop join — still every (query, corpus) block pair scored
-    * in parallel, but neither side rides the driver or a single
-    * executor's heap. The cross product is inherent to exact mining;
-    * the blocked/IVF modes are the cheaper approximate path. */
+    * The broadcast is guarded in two tiers: the optimizer's own size
+    * estimate first (driver-side plan stats — no job; the common case
+    * where the query relation is simply small), then — because
+    * size-only stats pass a Filter's child size through unreduced, so a
+    * handful of queries filtered from a huge corpus would be
+    * misclassified — a bounded row probe (`limit(max+1).count()`, reads
+    * at most max+1 rows) before surrendering the broadcast. A query set
+    * small either way replicates (one corpus pass, no shuffle); a
+    * genuinely large one switches to a shuffle-replicated nested-loop
+    * join — still every (query, corpus) block pair scored in parallel,
+    * but neither side rides the driver or a single executor's heap. The
+    * cross product is inherent to exact mining; the blocked/IVF modes
+    * are the cheaper approximate path. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
                     labelCol: String, idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    broadcastMaxBytes: Long = 256L << 20): DataFrame = {
+                    broadcastMaxBytes: Long = 256L << 20,
+                    broadcastMaxQueries: Long = 100000L): DataFrame = {
     val q0 = queries.select(col(idCol).as("qid"), col(labelCol).as("qlabel"),
       toDouble(col(vecCol)).as("qe"))
     val e = corpus.select(col(idCol).as("eid"), col(labelCol).as("elabel"),
       toDouble(col(vecCol)).as("ee"))
-    val q = if (q0.queryExecution.optimizedPlan.stats.sizeInBytes
-                  <= BigInt(broadcastMaxBytes)) broadcast(q0)
-            else q0.hint("shuffle_replicate_nl")
+    val small =
+      q0.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(broadcastMaxBytes) ||
+      q0.limit((math.min(broadcastMaxQueries, Int.MaxValue - 1L) + 1L).toInt)
+        .count() <= broadcastMaxQueries
+    val q = if (small) broadcast(q0) else q0.hint("shuffle_replicate_nl")
     val scored = e.join(q,
         col("qid") =!= col("eid") && col("qlabel") =!= col("elabel"))
       .withColumn("cos_sim", fastCosine(corpus, col("qe"), col("ee")))
