@@ -19,6 +19,23 @@ object Ann {
   /** Cast a float array column to double (stable dot-product math). */
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** Per-row broadcast-size estimate built from the schema: variable-width
+    * columns (arrays, strings) are measured per row, fixed-width columns
+    * contribute their type width. Used by the [[hardNegatives]] guard's
+    * probe tier so the byte budget holds even when the row count is tiny
+    * but each row is a wide embedding. */
+  private def rowSizeExpr(df: DataFrame): Column =
+    df.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          coalesce(size(col(f.name)).cast("long"), lit(0L)) *
+            lit(math.max(et.defaultSize, 1).toLong) + lit(16L)
+        case org.apache.spark.sql.types.StringType =>
+          coalesce(length(col(f.name)).cast("long"), lit(0L)) + lit(20L)
+        case dt => lit(math.max(dt.defaultSize, 1).toLong)
+      }
+    }.reduce(_ + _)
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
 
@@ -55,14 +72,18 @@ object Ann {
     * where the query relation is simply small), then — because
     * size-only stats pass a Filter's child size through unreduced, so a
     * handful of queries filtered from a huge corpus would be
-    * misclassified — a bounded row probe (`limit(max+1).count()`, reads
-    * at most max+1 rows) before surrendering the broadcast. A query set
-    * small either way replicates (one corpus pass, no shuffle); a
-    * genuinely large one switches to a shuffle-replicated nested-loop
-    * join — still every (query, corpus) block pair scored in parallel,
-    * but neither side rides the driver or a single executor's heap. The
-    * cross product is inherent to exact mining; the blocked/IVF modes
-    * are the cheaper approximate path. */
+    * misclassified — one bounded probe job (`limit(max+1)`, reads at
+    * most max+1 rows) that measures BOTH the row count and a
+    * schema-derived byte estimate; the broadcast survives only when the
+    * probed rows stay under the row cap AND the probed bytes stay under
+    * `broadcastMaxBytes` — the byte budget is enforceable on either
+    * tier (100k wide-embedding rows can still be hundreds of MB). A
+    * query set small by both measures replicates (one corpus pass, no
+    * shuffle); a genuinely large one switches to a shuffle-replicated
+    * nested-loop join — still every (query, corpus) block pair scored
+    * in parallel, but neither side rides the driver or a single
+    * executor's heap. The cross product is inherent to exact mining;
+    * the blocked/IVF modes are the cheaper approximate path. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
                     labelCol: String, idCol: String = "vec_id",
                     vecCol: String = "embedding",
@@ -74,9 +95,13 @@ object Ann {
       toDouble(col(vecCol)).as("ee"))
     val small =
       q0.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        BigInt(broadcastMaxBytes) ||
-      q0.limit((math.min(broadcastMaxQueries, Int.MaxValue - 1L) + 1L).toInt)
-        .count() <= broadcastMaxQueries
+        BigInt(broadcastMaxBytes) || {
+        val cap = (math.min(broadcastMaxQueries, Int.MaxValue - 1L) + 1L).toInt
+        val probe = q0.limit(cap)
+          .agg(count(lit(1)).as("n"), coalesce(sum(rowSizeExpr(q0)), lit(0L)).as("b"))
+          .head()
+        probe.getLong(0) <= broadcastMaxQueries && probe.getLong(1) <= broadcastMaxBytes
+      }
     val q = if (small) broadcast(q0) else q0.hint("shuffle_replicate_nl")
     val scored = e.join(q,
         col("qid") =!= col("eid") && col("qlabel") =!= col("elabel"))

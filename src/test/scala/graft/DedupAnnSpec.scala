@@ -133,8 +133,18 @@ class DedupAnnSpec extends SparkSpec {
     val bigPlan = big.queryExecution.executedPlan.toString
     assert(bigPlan.contains("CartesianProduct"), bigPlan)
     assert(!bigPlan.contains("BroadcastNestedLoopJoin"), bigPlan)
+    // the row cap is AND-ed with the byte budget, not OR-ed: a query set
+    // over the row cap surrenders the broadcast even when its probed
+    // bytes fit (64 KiB forces past the ~190 KB plan-stats tier so the
+    // probe tier decides: 5 rows × ~540 B pass the bytes, fail the rows)
+    val overRows = Ann.hardNegatives(q, emb, k = 3, labelCol = "label",
+      broadcastMaxBytes = 64L << 10, broadcastMaxQueries = 2)
+    val overRowsPlan = overRows.queryExecution.executedPlan.toString
+    assert(overRowsPlan.contains("CartesianProduct"), overRowsPlan)
+    assert(!overRowsPlan.contains("BroadcastNestedLoopJoin"), overRowsPlan)
     // plan shape changes, answers don't
     assert(sorted(small) == sorted(big))
+    assert(sorted(small) == sorted(overRows))
   }
 
   test("LSH topK self-bucket recall: query's own bucket contains it") {
