@@ -580,9 +580,10 @@ object TagTables {
     * (copy-on-write DELETE over the distributed base — filter + parquet
     * write, nothing on the driver). Runs BEFORE any buffer mutation in
     * its callers: a failed rewrite (bad predicate, write error) must
-    * leave the whole table untouched, not half-deleted. Retired and
-    * failed segment directories are removed from disk. Returns rows
-    * removed. */
+    * leave the whole table untouched, not half-deleted. The table view
+    * is re-registered over the NEW segment before the retired
+    * directories are removed, so a query planned against the old view
+    * never scans deleted files. Returns rows removed. */
   private def rewriteBase(spark: SparkSession, t: String,
                           keep: DataFrame => DataFrame): Long = {
     readBase(spark, t) match {
@@ -596,11 +597,11 @@ object TagTables {
         // explicit schema: a DELETE that empties the base writes a
         // part-less directory, which schema inference cannot read
         val after = spark.read.schema(storageSchemaFor(t)).parquet(dest).count()
-        if (after == 0L) { dropBase(t); deleteDir(dest) }
-        else {
-          baseSegs.put(t, Vector(dest)); baseRows.put(t, after)
-          old.foreach(deleteDir)
-        }
+        if (after == 0L) { baseSegs.remove(t); baseRows.remove(t) }
+        else { baseSegs.put(t, Vector(dest)); baseRows.put(t, after) }
+        refresh(spark, t)
+        old.foreach(deleteDir)
+        if (after == 0L) deleteDir(dest)
         before - after
     }
   }
@@ -608,6 +609,14 @@ object TagTables {
   private def dropBase(t: String): Long = {
     baseSegs.remove(t).foreach(_.foreach(deleteDir))
     baseRows.remove(t).getOrElse(0L)
+  }
+
+  /** Forget a table's base WITHOUT deleting the directories yet — the
+    * caller re-registers the view first, then deletes (same
+    * registration-before-deletion order as [[rewriteBase]]). */
+  private def retireBase(t: String): (Long, Vector[String]) = {
+    val dirs = baseSegs.remove(t).getOrElse(Vector.empty)
+    (baseRows.remove(t).getOrElse(0L), dirs)
   }
 
   /** DELETE FROM t [WHERE name = 'x'] → number of rows removed. */
@@ -630,8 +639,10 @@ object TagTables {
           n
         } else 0L
       case None =>
-        val n = dropBase(t)
+        val (n, dirs) = retireBase(t)
         data.clear()
+        refresh(spark, t) // re-register the emptied view BEFORE deleting
+        dirs.foreach(deleteDir)
         n
     }
     refresh(spark, t)
@@ -662,19 +673,25 @@ object TagTables {
         .select("__idx").collect().map(_.getLong(0)).toSet
     // machbase compares datetime columns as epoch-ns numbers (`time <
     // 1700…e18`); evaluate on an epoch-ns view first, fall back to raw
-    // timestamps for date-literal predicates.
-    val keepIdx = scala.util.Try(keepIdxOf(toNsView(schema, df)))
-      .getOrElse(keepIdxOf(df))
+    // timestamps for date-literal predicates. The buffer probe EXECUTES
+    // the predicate (collect inside keepIdxOf), so its verdict decides
+    // the view ONCE — the base rewrite reuses the same choice instead of
+    // probing plan construction separately, so buffer and base can never
+    // evaluate under different views and a predicate that analyzes but
+    // fails at execution falls back on both sides together.
+    val nsProbe = scala.util.Try(keepIdxOf(toNsView(schema, df)))
+    val useNsView = nsProbe.isSuccess
+    val keepIdx = nsProbe.getOrElse(keepIdxOf(df))
     // base first (the only step that can fail — a bad rewrite must leave
     // the buffer untouched): the same predicate evaluated distributedly.
     // The ns-view transform is invertible on the base (parquet is
     // µs-granular already), so filter the transformed frame and convert
     // back — no driver round-trip, no index join.
     val baseRemoved = rewriteBase(spark, t, { base =>
-      scala.util.Try(
+      if (useNsView)
         fromNsView(schema, keepNotMatching(whereSql)(toNsView(schema, base)))
-          .select(schema.fieldNames.map(col).toSeq: _*))
-        .getOrElse(keepNotMatching(whereSql)(base))
+          .select(schema.fieldNames.map(col).toSeq: _*)
+      else keepNotMatching(whereSql)(base)
     })
     val kept = data.zipWithIndex.collect { case (r, i) if keepIdx(i.toLong) => r }
     data.clear()
@@ -768,7 +785,11 @@ object TagTables {
     val dest = s"$segRoot/$t/seg-${segCounter.incrementAndGet()}"
     try alignToStorage(t, df).write.parquet(dest)
     catch { case e: Throwable => deleteDir(dest); throw e }
-    val n = spark.read.parquet(dest).count()
+    // explicit schema: an empty frame writes a part-less directory that
+    // schema inference cannot read back (manifest rows can overshoot the
+    // filtered data) — count it readably and drop the no-op segment
+    val n = spark.read.schema(storageSchemaFor(t)).parquet(dest).count()
+    if (n == 0L) { deleteDir(dest); return 0L }
     baseSegs.updateWith(t)(prev => Some(prev.getOrElse(Vector.empty) :+ dest))
     baseRows.put(t, baseRows.getOrElse(t, 0L) + n)
     refresh(spark, t)

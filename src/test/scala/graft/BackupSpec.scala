@@ -207,6 +207,21 @@ class BackupSpec extends SparkSpec {
     assert(open == Seq(2.0, 3.0, 4.0), open)
   }
 
+  test("restoreSegment of an empty frame is a clean no-op (no unreadable part-less segment)") {
+    freshBase()
+    mkExample(("temp", ns(10), 1.0))
+    val schema = spark.table("example").schema
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    assert(TagTables.restoreSegment(spark, "example", empty) == 0L)
+    // the no-op segment is neither registered nor left on disk: the plan
+    // stays buffer-only and the table keeps working
+    val plan = spark.table("example").queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan parquet"), plan)
+    assert(spark.table("example").count() == 1L)
+    QueryDoor.execute(spark, "drop table example")
+  }
+
   test("restore above the collect guard is distributed: base segment, no driver rows") {
     freshBase()
     val savedGuard = Backup.restoreCollectGuard
