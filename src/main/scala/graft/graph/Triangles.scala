@@ -17,14 +17,28 @@ import org.apache.spark.sql.functions._
   * neighbor-pair explode would (the reason orientation is the only shape
   * that survives a power-law graph at 100 TB). Two shuffle joins total;
   * nothing collects.
+  *
+  * Skew guard at hub vertices: a top-degree hub is the TAIL of almost
+  * every incident edge after orientation (its neighbors nearly all have
+  * lower degree), so its own wedge fan-out collapses — the wedges that
+  * would form at the hub form instead at its low-degree neighbors, each
+  * bounded by that neighbor's oriented out-degree. A pure star's hub
+  * generates ZERO wedges (TrianglesSpec pins this), the same role
+  * large-star/small-star play in Dedup.connectedComponents. At sf1 this
+  * query is the heaviest absolute gate row (~174 s) because the wedge
+  * VOLUME grows ~1036× per decade on the similarity graph — that is
+  * candidate work, not engine skew; the measured time grows 9× UNDER
+  * the wedge growth (BENCH_SF1.md). If a future corpus still melts a
+  * partition, the escape hatch is capping oriented out-degree (drop or
+  * sample out-edges above ~√m) — an approximation, so it is not wired
+  * into the exact oracle-gated path.
   */
 object Triangles {
-  /** Per-node triangle participation counts.
-    * @param pairs unique undirected edges as canonical pairs (columns
-    *              `a` < `b`, one row per edge — the shape
-    *              [[graft.dedup.Dedup.jaccardPairs]] emits)
-    * @return (v, n_triangles) for every vertex in ≥1 triangle */
-  def perNode(pairs: DataFrame): DataFrame = {
+  /** Degree-ordered orientation: every undirected edge directed from its
+    * lower-(degree, id) endpoint to the higher, with the head's order
+    * key carried for wedge dedup. Exposed so specs can assert the
+    * bounded-work property (per-vertex wedges = C(out-degree, 2)). */
+  private[graft] def orient(pairs: DataFrame): DataFrame = {
     val p = pairs.select(col("a"), col("b"))
     val deg = p.select(col("a").as("v"))
       .unionAll(p.select(col("b").as("v")))
@@ -32,9 +46,7 @@ object Triangles {
     val withDeg = p
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
-    // orient low-(degree, id) → high; carry the head's order key for the
-    // wedge dedup below
-    val oriented = withDeg.select(
+    withDeg.select(
       when(col("da") < col("db") ||
           (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("u"), col("b").as("w"), col("db").as("dw")))
@@ -42,6 +54,15 @@ object Triangles {
           struct(col("b").as("u"), col("a").as("w"), col("da").as("dw")))
         .as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"), col("e.dw").as("dw"))
+  }
+
+  /** Per-node triangle participation counts.
+    * @param pairs unique undirected edges as canonical pairs (columns
+    *              `a` < `b`, one row per edge — the shape
+    *              [[graft.dedup.Dedup.jaccardPairs]] emits)
+    * @return (v, n_triangles) for every vertex in ≥1 triangle */
+  def perNode(pairs: DataFrame): DataFrame = {
+    val oriented = orient(pairs)
     // wedges at the lowest-ranked vertex of each would-be triangle: two
     // out-edges of u, ordered so each unordered out-pair appears once
     val wedges = oriented.select(col("u"), col("w").as("v1"), col("dw").as("d1"))

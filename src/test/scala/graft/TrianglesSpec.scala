@@ -37,4 +37,34 @@ class TrianglesSpec extends SparkSpec {
     assert(got(1L) == 1L && got(20L) == 1L, got)   // chain ends: one each
     assert((2L until 20L).forall(i => got(i) == 2L), got)
   }
+
+  test("orientation keeps per-vertex work bounded by oriented out-degree: a hub fans out nothing") {
+    // pure star: hub 0 has degree 40, every leaf degree 1. Orientation
+    // directs every edge leaf -> hub, so the hub's out-degree is ZERO and
+    // total wedge work is 0 — vs C(40,2) = 780 wedges had the hub fanned
+    // out its neighbor pairs. This is the skew guard that survives a
+    // power-law graph: per-vertex work is C(out-degree, 2), never
+    // C(degree, 2).
+    val star = pairsOf((1L to 40L).map(i => (0L, i)): _*)
+    val outDeg = Triangles.orient(star)
+      .groupBy("u").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!outDeg.contains(0L), s"hub has out-edges: $outDeg")
+    assert(outDeg.values.forall(_ == 1L), outDeg) // each leaf: 1 out-edge
+    assert(Triangles.perNode(star).count() == 0L)
+    // mixed graph: K4 glued to the star through vertices 1..4 (each also
+    // keeps its hub edge, so K4 members have undirected degree 4) —
+    // every vertex's oriented out-degree stays <= 4 even though the
+    // hub's undirected degree is 40, and the K4 triangles still count
+    val k4 = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val mixed = pairsOf(((1L to 40L).map(i => (0L, i)) ++ k4): _*)
+    val mixedOut = Triangles.orient(mixed)
+      .groupBy("u").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mixedOut.getOrElse(0L, 0L) == 0L, mixedOut)
+    assert(mixedOut.values.forall(_ <= 4L), mixedOut)
+    // 4 K4 triangles + 6 hub triangles {0,i,j} over K4 edges: every K4
+    // vertex sits in 3 + 3, the hub in all 6
+    val tri = Triangles.perNode(mixed)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 4L).forall(i => tri(i) == 6L), tri)
+  }
 }
