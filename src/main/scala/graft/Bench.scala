@@ -294,7 +294,17 @@ object Bench {
       }
     }
     val jvmCohorts = cohorts.mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"ingest":$ingest,"planAudit":$audit,"retries":${retriesJson(stripPrefix = false)},"sentinel":$sentinel,"jvm":$jvmCohorts,"sf":"$sfDir"}"""
+    // fixed-vs-kernel split of the streaming rows (StreamRun records the
+    // LAST run of each, i.e. the retry if one happened): lets a >1.5×
+    // mover flag on a q_stream_* row be adjudicated from the record
+    // alone — fixed-side moves are micro-batch scheduling noise,
+    // kernel-side moves are real. Full record only; the compact stdout
+    // line keeps its tail budget.
+    val streamSplit = graft.queries.StreamRun.lastSplit.toSeq.sortBy(_._1)
+      .map { case (k, (f, kn)) =>
+        s"\"" + k + s"\":{\"fixed\":${d3(f)},\"kernel\":${d3(kn)}}"
+      }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"ingest":$ingest,"planAudit":$audit,"retries":${retriesJson(stripPrefix = false)},"sentinel":$sentinel,"jvm":$jvmCohorts,"streamSplit":$streamSplit,"sf":"$sfDir"}"""
     try Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }

@@ -211,10 +211,9 @@ object Analytics {
         .select(unix_micros(col("window.start")).as("w_start"),
           col("event_type"), col("n"), fround(col("vsum"), 4).as("vsum"))
       val qn = "stream_hop_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = agg.writeStream.format("memory").queryName(qn)
+      StreamRun.run("q_stream_hopping", agg.writeStream.format("memory").queryName(qn)
         .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       s.table(qn).orderBy("w_start", "event_type")
     }),
 
@@ -240,10 +239,9 @@ object Analytics {
       val out = graft.streaming.StatefulOps.zscoreStream(in,
         window = 20, threshold = 3.0)
       val qn = "stream_zs_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(qn)
+      StreamRun.run("q_stream_anomaly", out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       s.table(qn).select(
           col("name").cast(e0.schema("user_id").dataType).as("user_id"),
           unix_micros(col("time")).as("t_us"),

@@ -260,9 +260,11 @@ object Extra {
         val d = java.nio.file.Files.createTempDirectory("graft_rstream").toString + "/r"
         val ck = java.nio.file.Files.createTempDirectory("graft_rstream_ck").toString
         val raw = s.read.parquet(rawPath)
-        graft.streaming.Watch.maintainRollup(s, rawPath, raw.schema,
-          "user_id", "ts", "value", "1 hour", "0 seconds",
-          graft.time.TimeFns.NsPerHour, d, ck).awaitTermination()
+        val t0 = System.nanoTime()
+        StreamRun.await("q_rollup_stream",
+          graft.streaming.Watch.maintainRollup(s, rawPath, raw.schema,
+            "user_id", "ts", "value", "1 hour", "0 seconds",
+            graft.time.TimeFns.NsPerHour, d, ck), t0)
         d
       })
       graft.plans.RollupRouting.load(s, rollDir) // registration from the artifact

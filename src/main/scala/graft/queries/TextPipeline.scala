@@ -238,10 +238,9 @@ object TextPipeline {
         d0.filter(col("doc_id") % 10 < 9),
         numHashes = 32, bands = 8, verifyThreshold = 0.3)
       val qn = "stream_nd_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(qn)
+      StreamRun.run("q_stream_neardup", out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       s.table(qn)
         .select(col("in_id"), col("corpus_id"), fround(col("jaccard"), 4).as("jaccard"))
         .orderBy("in_id", "corpus_id")
@@ -546,10 +545,9 @@ object TextPipeline {
         d0.filter(col("doc_id") % 10 === 9),
         "doc_id", "text", n = 4)
       val qn = "stream_dc_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(qn)
+      StreamRun.run("q_stream_decontaminate", out.writeStream.format("memory").queryName(qn)
         .outputMode("complete") // running per-doc counts; no watermark needed
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       s.table(qn).orderBy("doc_id")
     }),
 
@@ -565,10 +563,9 @@ object TextPipeline {
       val out = graft.streaming.CuratedStream.quotaAdmit(
         src, "source", "doc_id", k = 10)
       val qn = "stream_sc_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(qn)
+      StreamRun.run("q_stream_source_cap", out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       s.table(qn).orderBy("source", "doc_id")
     }),
 

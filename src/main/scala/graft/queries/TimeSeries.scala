@@ -247,10 +247,9 @@ object TimeSeries {
           tsNs(src).as("time"), col("value"))
       val out = graft.streaming.StatefulOps.lowpassStream(in, alpha = 0.3)
       val qn = "stream_lp_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(qn)
+      StreamRun.run("q_stream_lowpass", out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       s.table(qn).select(
           col("name").cast(e0.schema("user_id").dataType).as("user_id"),
           unix_micros(col("time")).as("t_us"),
@@ -270,10 +269,9 @@ object TimeSeries {
           tsNs(src).as("time"), col("value"))
       val out = graft.streaming.StatefulOps.filterChangedStream(in)
       val qn = "stream_fc_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(qn)
+      StreamRun.run("q_stream_changed", out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       s.table(qn).select(
           col("name").cast(e0.schema("user_id").dataType).as("user_id"),
           unix_micros(col("time")).as("t_us"),
@@ -294,10 +292,9 @@ object TimeSeries {
       val out = graft.streaming.StatefulOps.kalmanStream(in,
         initVar = 1d, procVar = 0.01, obsVar = 4d)
       val qn = "stream_ka_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(qn)
+      StreamRun.run("q_stream_kalman", out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       s.table(qn).select(
           col("name").cast(e0.schema("user_id").dataType).as("user_id"),
           unix_micros(col("time")).as("t_us"),
@@ -317,10 +314,9 @@ object TimeSeries {
           tsNs(src).as("time"), col("value"))
       val out = graft.streaming.StatefulOps.movavgStream(in, window = 5)
       val qn = "stream_ma_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(qn)
+      StreamRun.run("q_stream_movavg", out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       s.table(qn).select(
           col("name").cast(e0.schema("user_id").dataType).as("user_id"),
           unix_micros(col("time")).as("t_us"),
@@ -340,10 +336,9 @@ object TimeSeries {
           tsNs(src).as("time"), dec2(col("value")).cast("double").as("value"))
       val out = graft.streaming.StatefulOps.avgStream(in, scaleDigits = 2)
       val qn = "stream_av_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(qn)
+      StreamRun.run("q_stream_avg", out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       s.table(qn).select(
           col("name").cast(e0.schema("user_id").dataType).as("user_id"),
           unix_micros(col("time")).as("t_us"),
@@ -368,10 +363,9 @@ object TimeSeries {
           (pmod(col("event_id"), lit(360)).cast("double") - 180d).as("lon"))
       val out = graft.streaming.StatefulOps.distanceStream(in)
       val qn = "stream_di_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(qn)
+      StreamRun.run("q_stream_distance", out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       s.table(qn).select(
           col("name").cast(e0.schema("user_id").dataType).as("user_id"),
           unix_micros(col("time")).as("t_us"),
@@ -390,10 +384,9 @@ object TimeSeries {
           tsNs(src).as("time"), col("value"))
       val out = graft.streaming.StatefulOps.diffStream(in)
       val qn = "stream_df_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream.format("memory").queryName(qn)
+      StreamRun.run("q_stream_diff", out.writeStream.format("memory").queryName(qn)
         .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       s.table(qn).select(
           col("name").cast(e0.schema("user_id").dataType).as("user_id"),
           unix_micros(col("time")).as("t_us"),
@@ -417,10 +410,9 @@ object TimeSeries {
         .select(col("user_id"), col("session_start_us"), col("session_end_us"),
           col("n_events"), col("sum_value"))
       val qn = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = sessions.writeStream.format("memory").queryName(qn)
+      StreamRun.run("q_stream_sessionize", sessions.writeStream.format("memory").queryName(qn)
         .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       s.table(qn).orderBy("user_id", "session_start_us")
     }),
 
