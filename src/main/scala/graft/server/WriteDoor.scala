@@ -20,9 +20,10 @@ object WriteDoor {
             contentType: String, params: Map[String, String] = Map.empty): Long = {
     val body = decompress(payload, params.get("compress"))
     val timeformat = params.getOrElse("timeformat", "ns")
+    val tz = params.getOrElse("tz", "UTC")
     val schema = TagTables.storageSchemaFor(table)
-    def fieldType(name: String): Option[DataType] =
-      schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+    def fieldOf(name: String): Option[StructField] =
+      schema.fields.find(_.name.equalsIgnoreCase(name))
 
     val (columns, rows): (Seq[String], Iterator[Seq[Any]]) =
       contentType.toLowerCase.takeWhile(_ != ';').trim match {
@@ -66,7 +67,7 @@ object WriteDoor {
     val isCsv = contentType.toLowerCase.startsWith("text/csv")
     val coerced = rows.map { row =>
       columns.zip(row).map { case (c, v) =>
-        convert(v, fieldType(c), timeformat, csvEmptyIsNull = isCsv) }
+        convert(v, fieldOf(c), timeformat, tz, csvEmptyIsNull = isCsv) }
     }
     // method=insert|append converge on the same columnar buffer here
     TagTables.insertAll(spark, table, columns, coerced)
@@ -94,24 +95,43 @@ object WriteDoor {
 
   /** wire value → JVM value for the target column (TagTables.coerce
     * finishes the job; here we resolve the wire conventions). */
-  private def convert(v: Any, target: Option[DataType], timeformat: String,
-                      csvEmptyIsNull: Boolean = false): Any =
+  private def convert(v: Any, field: Option[StructField], timeformat: String,
+                      tz: String, csvEmptyIsNull: Boolean = false): Any = {
+    val target: Option[DataType] = field.map(_.dataType)
+    // machtype distinguishes the string-backed column kinds: an empty CSV
+    // cell decodes to "" ONLY for varchar/text (csv_decode_test.go
+    // "null-values" pins "" at the varchar positions, nil at ipv4), while
+    // json stays NULL (http_test.go:1308-1548 round-trip golden)
+    def machtype: String = field.map { f =>
+      if (f.metadata.contains("machtype")) f.metadata.getString("machtype")
+      else ""
+    }.getOrElse("")
     (v, target) match {
       case (null, _) => null
-      case ("", _) if csvEmptyIsNull => null // empty CSV cell is NULL
+      case ("", Some(StringType)) if csvEmptyIsNull &&
+          machtype == "string" => "" // varchar/text machtype (not json/ipv4)
+      case ("", _) if csvEmptyIsNull => null
       case ("", Some(dt)) if dt != StringType => null
       case (s: String, Some(BinaryType)) =>
         java.util.Base64.getDecoder.decode(s) // CSV/JSON binary convention
       case (n: java.lang.Number, Some(TimestampType)) =>
         java.lang.Long.valueOf(epochToNs(n.longValue(), timeformat))
-      case (s: String, Some(TimestampType)) if s.matches("[+-]?\\d+") =>
+      case (s: String, Some(TimestampType)) if s.matches("[+-]?\\d+") &&
+          Set("ns", "us", "ms", "s").contains(timeformat) =>
         java.lang.Long.valueOf(epochToNs(s.toLong, timeformat))
+      case (s: String, Some(TimestampType)) =>
+        // wall-clock text under a named/Go-layout timeformat in `tz`
+        // (http_write.go:56-57 timeformat+tz reach the CSV decoder's
+        // datetime Apply; csv_decode_test.go "Default", "2006/01/02 …")
+        java.lang.Long.valueOf(
+          graft.time.TimeFns.parseWallNs(s, timeformat, tz))
       case (s: String, Some(dt)) if dt != StringType && dt != BinaryType =>
         // CSV numerics arrive as text
         if (s.matches("[+-]?\\d+")) java.lang.Long.valueOf(s)
         else java.lang.Double.valueOf(s)
       case (other, _) => other
     }
+  }
 
   private def epochToNs(v: Long, timeformat: String): Long = timeformat match {
     case "s" => v * 1000000000L

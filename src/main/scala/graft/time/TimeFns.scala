@@ -334,4 +334,38 @@ object TimeFns {
     case "s" => floor(tsNs / 1000000000L).cast("long")
     case pattern => date_format(nsToTimestamp(tsNs), translateTimeformat(pattern))
   }
+
+  /** Driver-side wall-clock text → epoch ns for a named/Go-layout
+    * timeformat in a zone (the write door's CSV datetime decode —
+    * reference mods/codec/internal/csv/csv_decode.go via
+    * api.DataType.Apply; csv_decode_test.go pins "Default" and literal
+    * Go layouts). Go ".999" fractions are OPTIONAL on parse, so the
+    * fraction variants are tried longest-first then fractionless, same
+    * policy as TQL parseTime. */
+  def parseWallNs(s: String, fmt: String, tz: String = "UTC"): Long = {
+    val (jp, goStyle) = resolveNamedOrGoFormat(fmt)
+    val zone = java.time.ZoneId.of(resolveTz(tz))
+    val patterns = "\\.S+".r.findFirstMatchIn(jp) match {
+      case Some(m) if goStyle =>
+        val nmax = m.end - m.start - 1
+        (nmax to 1 by -1).map { n =>
+          jp.substring(0, m.start) + "." + "S" * n + jp.substring(m.end)
+        } :+ (jp.substring(0, m.start) + jp.substring(m.end))
+      case _ => Seq(jp)
+    }
+    val parsed = patterns.iterator.flatMap { p =>
+      try {
+        val f = java.time.format.DateTimeFormatter.ofPattern(p)
+        f.parseBest(s, java.time.ZonedDateTime.from _,
+            java.time.LocalDateTime.from _) match {
+          case z: java.time.ZonedDateTime => Some(z.toInstant)
+          case l: java.time.LocalDateTime => Some(l.atZone(zone).toInstant)
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    }.nextOption().getOrElse(
+      throw new IllegalArgumentException(
+        s"""cannot parse "$s" with timeformat "$fmt""""))
+    parsed.getEpochSecond * 1000000000L + parsed.getNano
+  }
 }

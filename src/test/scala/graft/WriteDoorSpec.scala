@@ -117,4 +117,74 @@ class WriteDoorSpec extends SparkSpec {
       assert(rows(1).getInt(3) == 7, rows(1).toString) // later-line field kept
     } finally QueryDoor.execute(spark, "drop table test_nd")
   }
+
+  test("csv text timeformats decode wall-clock datetimes (csv_decode_test.go TestCsvDecoderTimeformat)") {
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create tag table test_tf (name varchar(200) primary key, time datetime basetime, value double summarized)")
+    try {
+      // "Default" named format: 2024-09-27 10:00:01.000 UTC → 1727431201
+      val def1 =
+        """my-car,2024-09-27 10:00:01.000,1.0001
+          |my-car,2024-09-27 10:00:02.000,2.0002""".stripMargin
+      WriteDoor.write(spark, "test_tf", def1.getBytes("UTF-8"),
+        "text/csv", Map("timeformat" -> "Default", "tz" -> "UTC"))
+      // literal Go layout with slash date + header row
+      val go1 =
+        """NAME,TIME,VALUE
+          |go-car,2024/09/27 10:00:01,1.0001
+          |go-car,2024/09/27 10:00:02,2.0002""".stripMargin
+      WriteDoor.write(spark, "test_tf", go1.getBytes("UTF-8"),
+        "text/csv", Map("timeformat" -> "2006/01/02 15:04:05", "tz" -> "UTC",
+          "header" -> "columns"))
+      val got = trimClose(Codecs.render(
+        QueryDoor.execute(spark, "select * from test_tf"),
+        "CSV", Codecs.Options(heading = true, timeformat = Some("s"))))
+      assert(got ==
+        "NAME,TIME,VALUE\n" +
+        "my-car,1727431201,1.0001\nmy-car,1727431202,2.0002\n" +
+        "go-car,1727431201,1.0001\ngo-car,1727431202,2.0002\n", got)
+      // the Default fraction is OPTIONAL on parse (Go ".999"): fractionless
+      // text under "Default" must land on the same instant
+      WriteDoor.write(spark, "test_tf",
+        "nf-car,2024-09-27 10:00:01,3.5".getBytes("UTF-8"),
+        "text/csv", Map("timeformat" -> "Default", "tz" -> "UTC"))
+      val nf = trimClose(Codecs.render(
+        QueryDoor.execute(spark, "select * from test_tf where name = 'nf-car'"),
+        "CSV", Codecs.Options(timeformat = Some("s"))))
+      assert(nf == "nf-car,1727431201,3.5\n", nf)
+    } finally QueryDoor.execute(spark, "drop table test_tf")
+  }
+
+  test("csv empty cells: varchar decodes to '', json/numerics to NULL (csv_decode_test.go TestCsvDecoder null-values)") {
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      """create tag table test_nulls (
+        |name varchar(200) primary key,
+        |time datetime basetime,
+        |value double summarized,
+        |strv varchar(100),
+        |jsv json,
+        |iv int)""".stripMargin)
+    try {
+      WriteDoor.write(spark, "test_nulls",
+        s"null.double,$tick,,,,".getBytes("UTF-8"),
+        "text/csv", Map("timeformat" -> "s"))
+      val r = spark.table("test_nulls").collect()(0)
+      assert(r.isNullAt(r.fieldIndex("VALUE")))  // empty double → NULL
+      assert(r.getString(r.fieldIndex("STRV")) == "") // empty varchar → ""
+      assert(r.isNullAt(r.fieldIndex("JSV")))    // empty json → NULL
+      assert(r.isNullAt(r.fieldIndex("IV")))     // empty int → NULL
+      // quote-doubled JSON payload in a varchar cell survives the RFC-4180
+      // unescape: "{""name"":1234}" → {"name":1234}
+      WriteDoor.write(spark, "test_nulls",
+        (s"""json.data,${tick + 1},1.5,"{""name"":1234}",,7""").getBytes("UTF-8"),
+        "text/csv", Map("timeformat" -> "s"))
+      val r2 = spark.table("test_nulls")
+        .filter(org.apache.spark.sql.functions.col("NAME") === "json.data")
+        .collect()(0)
+      assert(r2.getString(r2.fieldIndex("STRV")) == """{"name":1234}""", r2)
+      assert(r2.getInt(r2.fieldIndex("IV")) == 7)
+    } finally QueryDoor.execute(spark, "drop table test_nulls")
+  }
 }
