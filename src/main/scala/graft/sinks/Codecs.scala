@@ -101,8 +101,8 @@ object Codecs {
       case None => (inst.getEpochSecond * 1000000000L + inst.getNano).toString
     }
 
-  private def instantEpochNs(inst: java.time.Instant): Long =
-    inst.getEpochSecond * 1000000000L + inst.getNano
+  /** the numeric epoch timeformats — JSON-rendered as numbers, not text */
+  private val epochForms = Set("ns", "us", "ms", "s")
 
   /** machbase binary wire format: 0x-prefixed lowercase hex; an empty
     * chunk renders as an empty cell (task_test.go TestBytes). */
@@ -156,14 +156,16 @@ object Codecs {
     case b: Array[Byte] => "\"" + jsonEscape(fmt(b, o)) + "\""
     case s: String => "\"" + jsonEscape(s) + "\""
     case b: Boolean => b.toString
-    // datetimes serialize as epoch ns numbers unless a timeformat pattern
-    // asks for text (reference JSON default timeformat=ns)
+    // datetimes serialize as epoch NUMBERS for every numeric timeformat
+    // (ns default, s/ms/us — ndjson/encode_test.go TestJsonEncode pins
+    // `"time":1670380342` unquoted under timeformat "s"); only pattern
+    // timeformats quote as text
     case t: java.sql.Timestamp =>
-      if (o.timeformat.forall(f => f == "ns")) instantEpochNs(t.toInstant).toString
+      if (o.timeformat.forall(epochForms)) fmtTime(t.toInstant, o)
       else "\"" + jsonEscape(fmtTime(t.toInstant, o)) + "\""
     case t: java.time.LocalDateTime =>
       val inst = t.toInstant(java.time.ZoneOffset.UTC)
-      if (o.timeformat.forall(f => f == "ns")) instantEpochNs(inst).toString
+      if (o.timeformat.forall(epochForms)) fmtTime(inst, o)
       else "\"" + jsonEscape(fmtTime(inst, o)) + "\""
     case d: java.lang.Double => jsonFloat(d, o.precision)
     case f: java.lang.Float => jsonFloat(f.toDouble, o.precision)

@@ -1,0 +1,168 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+import graft.sinks.Codecs
+import graft.time.TimeFns
+
+/** Second verbatim wave from the reference's codec-internal encoder
+  * batteries: the NDJSON encoder options
+  * (mods/codec/internal/ndjson/encode_test.go), the shared float
+  * formatter (mods/codec/internal/float_test.go), and the BOX
+  * bold-style precision table (mods/codec/internal/box/box_encode_test
+  * .go TestBoxFloat2). Go-pointer/sql.Null wrapper plumbing has no
+  * analogue on the Spark-typed surface; the wire bytes are the pin. */
+class CodecBattery2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def carDf = Seq(
+    ("my-car", Timestamp.from(Instant.ofEpochSecond(1670380342L)), 1.0001d),
+    ("my-car", Timestamp.from(Instant.ofEpochSecond(1670380343L)), 2.0002d)
+  ).toDF("name", "time", "value")
+
+  test("NDJSON default ns: epoch-ns numbers, one object per line, blank close (TestJsonEncode case 1)") {
+    val out = Codecs.render(carDf, "NDJSON", Codecs.Options())
+    assert(out ==
+      """{"name":"my-car","time":1670380342000000000,"value":1.0001}
+        |{"name":"my-car","time":1670380343000000000,"value":2.0002}
+        |
+        |""".stripMargin)
+  }
+
+  test("NDJSON timeformat s renders epoch seconds as a NUMBER, not text (TestJsonEncode case 2)") {
+    val out = Codecs.render(carDf, "NDJSON",
+      Codecs.Options(timeformat = Some("s")))
+    assert(out ==
+      """{"name":"my-car","time":1670380342,"value":1.0001}
+        |{"name":"my-car","time":1670380343,"value":2.0002}
+        |
+        |""".stripMargin)
+  }
+
+  test("NDJSON Go-layout timeformat + rownum quotes the time as text (TestJsonEncode case 3)") {
+    val (pat, _) = TimeFns.resolveNamedOrGoFormat("2006/01/02 15:04:05")
+    val out = Codecs.render(carDf, "NDJSON",
+      Codecs.Options(timeformat = Some(pat), rownum = true))
+    assert(out ==
+      """{"ROWNUM":1,"name":"my-car","time":"2022/12/07 02:32:22","value":1.0001}
+        |{"ROWNUM":2,"name":"my-car","time":"2022/12/07 02:32:23","value":2.0002}
+        |
+        |""".stripMargin)
+  }
+
+  test("NDJSON binary cells render 0x-hex under the default binaryformat (TestJsonEncode case 4)") {
+    val df = Seq(
+      ("my-car", Timestamp.from(Instant.ofEpochSecond(1670380342L)),
+        Array[Byte](97, 98, 99)),
+      ("my-car", Timestamp.from(Instant.ofEpochSecond(1670380343L)),
+        Array[Byte](100, 101, 102))
+    ).toDF("name", "time", "value")
+    val (pat, _) = TimeFns.resolveNamedOrGoFormat("2006/01/02 15:04:05.000")
+    val out = Codecs.render(df, "NDJSON",
+      Codecs.Options(timeformat = Some(pat), rownum = true))
+    assert(out ==
+      """{"ROWNUM":1,"name":"my-car","time":"2022/12/07 02:32:22.000","value":"0x616263"}
+        |{"ROWNUM":2,"name":"my-car","time":"2022/12/07 02:32:23.000","value":"0x646566"}
+        |
+        |""".stripMargin)
+  }
+
+  test("NDJSON float fields: trim/int-like/NaN/±Inf tokens (TestNdjsonEncodeFloatFormatting)") {
+    def one(v: Double): String =
+      Codecs.render(Seq(Tuple1(v)).toDF("value"), "NDJSON", Codecs.Options())
+    assert(one(12.3400).contains("\"value\":12.34"))
+    assert(one(10.0).contains("\"value\":10"))
+    assert(one(Double.NaN).contains("\"value\":\"NaN\""))
+    assert(one(Double.NegativeInfinity).contains("\"value\":\"-Inf\""))
+    assert(one(Double.PositiveInfinity).contains("\"value\":\"+Inf\""))
+  }
+
+  test("NDJSON precision(2): runtime rounding, negzero, whole padding (TestNdjsonEncodeFloatFormattingWithPrecision)") {
+    val df = Seq((20.55d - 22.2d, math.copySign(0d, -1d), 10d))
+      .toDF("runtime", "negzero", "whole")
+    val out = Codecs.render(df, "NDJSON", Codecs.Options(precision = 2))
+    assert(out == "{\"runtime\":-1.65,\"negzero\":0.00,\"whole\":10.00}\n\n")
+  }
+
+  test("shared float formatter branches (float_test.go TestAppendPrecisionFloat64 / TestFormatPrecisionFloat64)") {
+    def f(v: Double, p: Int) = Codecs.goPrecisionFloat(v, p)
+    assert(f(12.3400, -1) == "12.34")       // default trims trailing zeros
+    assert(f(20.55 - 22.2, -1) == "-1.65")  // runtime expression rounds
+    assert(f(3.1, 3) == "3.100")            // explicit precision keeps digits
+    assert(f(10d, 2) == "10.00")            // integer fraction zero-padded
+    assert(f(math.copySign(0d, -1d), -1) == "0") // negative zero normalized
+    assert(f(Double.NaN, -1) == "NaN")
+    assert(f(Double.NegativeInfinity, -1) == "-Inf")
+    assert(f(Double.PositiveInfinity, -1) == "+Inf")
+    assert(f(10.0, -1) == "10")
+    assert(f(10.0, 4) == "10.0000")
+  }
+
+  // ---- json_test.go encoder-variant battery: the envelope under every
+  // rows-shape × rownum combination, verbatim goldens (time cells are
+  // ns-long-typed with a "datetime" type override, exactly the int64
+  // rows the reference feeds its encoder) ----
+  private def placeDf = Seq(
+    ("name1", 1676432363333444555L, 0.1234d, "Office"),
+    ("name2", 1676432364666777888L, 0.2345d, "Home")
+  ).toDF("name", "time", "value", "place")
+  private val placeTypes =
+    Some(Seq("string", "datetime", "double", "string"))
+  private def env(o: Codecs.Options): String = {
+    val s = Codecs.render(placeDf, "JSON",
+      o.copy(typesOverride = placeTypes))
+    s.substring(0, s.lastIndexOf(",\"elapse"))
+  }
+
+  test("JSON envelope rows (json_test.go TestEncoder)") {
+    assert(env(Codecs.Options()) ==
+      """{"data":{"columns":["name","time","value","place"],"types":["string","datetime","double","string"],"rows":[["name1",1676432363333444555,0.1234,"Office"],["name2",1676432364666777888,0.2345,"Home"]]},"success":true,"reason":"success"""")
+  }
+
+  test("JSON envelope rownum prepends ROWNUM column + int64 type (TestEncoderWithRownum)") {
+    assert(env(Codecs.Options(rownum = true)) ==
+      """{"data":{"columns":["ROWNUM","name","time","value","place"],"types":["int64","string","datetime","double","string"],"rows":[[1,"name1",1676432363333444555,0.1234,"Office"],[2,"name2",1676432364666777888,0.2345,"Home"]]},"success":true,"reason":"success"""")
+  }
+
+  test("JSON envelope transpose renders column-major cols and IGNORES rownum (TestEncoderTranspose/WithRownum)") {
+    val want =
+      """{"data":{"columns":["name","time","value","place"],"types":["string","datetime","double","string"],"cols":[["name1","name2"],[1676432363333444555,1676432364666777888],[0.1234,0.2345],["Office","Home"]]},"success":true,"reason":"success""""
+    assert(env(Codecs.Options(rowsFlatten = true, transpose = true)) == want)
+    assert(env(Codecs.Options(rowsFlatten = true, transpose = true,
+      rownum = true)) == want)
+  }
+
+  test("JSON envelope rowsFlatten: one flat rows array, rownum interleaves counters (TestEncoderRowsFlatten/WithRownum)") {
+    assert(env(Codecs.Options(rowsFlatten = true)) ==
+      """{"data":{"columns":["name","time","value","place"],"types":["string","datetime","double","string"],"rows":["name1",1676432363333444555,0.1234,"Office","name2",1676432364666777888,0.2345,"Home"]},"success":true,"reason":"success"""")
+    assert(env(Codecs.Options(rowsFlatten = true, rownum = true)) ==
+      """{"data":{"columns":["ROWNUM","name","time","value","place"],"types":["int64","string","datetime","double","string"],"rows":[1,"name1",1676432363333444555,0.1234,"Office",2,"name2",1676432364666777888,0.2345,"Home"]},"success":true,"reason":"success"""")
+  }
+
+  test("JSON envelope rowsArray: key-sorted objects, ROWNUM as a key (TestEncoderRowsArray/WithRownum)") {
+    assert(env(Codecs.Options(rowsFlatten = true, rowsArray = true)) ==
+      """{"data":{"columns":["name","time","value","place"],"types":["string","datetime","double","string"],"rows":[{"name":"name1","place":"Office","time":1676432363333444555,"value":0.1234},{"name":"name2","place":"Home","time":1676432364666777888,"value":0.2345}]},"success":true,"reason":"success"""")
+    assert(env(Codecs.Options(rowsFlatten = true, rowsArray = true,
+      rownum = true)) ==
+      """{"data":{"columns":["ROWNUM","name","time","value","place"],"types":["int64","string","datetime","double","string"],"rows":[{"ROWNUM":1,"name":"name1","place":"Office","time":1676432363333444555,"value":0.1234},{"ROWNUM":2,"name":"name2","place":"Home","time":1676432364666777888,"value":0.2345}]},"success":true,"reason":"success"""")
+  }
+
+  test("BOX bold style + precision(2) + rownum golden (box_encode_test.go TestBoxFloat2)") {
+    val df = Seq(
+      (0.0d, 1.234d, 1.234f, -1.234d, -1.234f, math.Pi),
+      (0.005d, 1.235d, 1.235f, -1.235d, -1.235f, math.Pi)
+    ).toDF("col1", "col2", "col3", "col4", "col5", "col6")
+    val out = Codecs.render(df, "BOX",
+      Codecs.Options(heading = true, rownum = true, precision = 2,
+        boxStyle = "bold"))
+    val expect = Seq(
+      "┏━━━━━━━━┳━━━━━━┳━━━━━━┳━━━━━━┳━━━━━━━┳━━━━━━━┳━━━━━━┓",
+      "┃ ROWNUM ┃ COL1 ┃ COL2 ┃ COL3 ┃ COL4  ┃ COL5  ┃ COL6 ┃",
+      "┣━━━━━━━━╋━━━━━━╋━━━━━━╋━━━━━━╋━━━━━━━╋━━━━━━━╋━━━━━━┫",
+      "┃      1 ┃ 0.00 ┃ 1.23 ┃ 1.23 ┃ -1.23 ┃ -1.23 ┃ 3.14 ┃",
+      "┃      2 ┃ 0.01 ┃ 1.24 ┃ 1.24 ┃ -1.24 ┃ -1.24 ┃ 3.14 ┃",
+      "┗━━━━━━━━┻━━━━━━┻━━━━━━┻━━━━━━┻━━━━━━━┻━━━━━━━┻━━━━━━┛",
+      "").mkString("\n")
+    assert(out == expect, s"\n$out")
+  }
+}
