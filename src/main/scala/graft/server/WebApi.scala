@@ -164,7 +164,10 @@ object WebApi {
       separateColumns = bool("boxSeparateColumns", dflt = true),
       drawBorder = bool("boxDrawBorder", dflt = true))
     if (one("header").contains("skip")) o = o.copy(heading = false)
-    one("tz").foreach(z => o = o.copy(tz = graft.time.TimeFns.resolveTz(z)))
+    // an unknown tz is a 400 request error with the Go LoadLocation
+    // message, not a 500 (TestHttpQueryUnsupportedTimeLocation)
+    try one("tz").foreach(z => o = o.copy(tz = graft.time.TimeFns.resolveTz(z)))
+    catch { case e: IllegalArgumentException => return err(400, e.getMessage) }
     one("timeformat").foreach { f =>
       f.toLowerCase match {
         case "s" | "ms" | "us" | "ns" => o = o.copy(timeformat = Some(f.toLowerCase))

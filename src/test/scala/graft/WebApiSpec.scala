@@ -114,6 +114,12 @@ class WebApiSpec extends SparkSpec {
       assert(nested.status == 400 &&
         nested.body.contains("bind parameter must be scalar, got []interface {}"),
         nested.body)
+      // invalid tz is a 400 with the Go LoadLocation message
+      // (TestHttpQueryUnsupportedTimeLocation)
+      val badTz = q("q" -> "select NAME from example", "tz" -> "Invalid/Location")
+      assert(badTz.status == 400 &&
+        badTz.body.contains(""""reason":"unknown time zone Invalid/Location""""),
+        badTz.body)
     } finally QueryDoor.execute(spark, "drop table example")
   }
 
