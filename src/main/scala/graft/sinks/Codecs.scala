@@ -354,7 +354,8 @@ object Codecs {
 
   /** TEXT sink: Go-template per record, or raw space-joined values when no
     * template is set (reference templ.go:172-210). */
-  def text(df: DataFrame, w: Writer, o: Options = Options()): Unit = {
+  def text(df: DataFrame, w: Writer, o: Options = Options(),
+           htmlEscape: Boolean = false): Unit = {
     val colNames = o.colsOverride.getOrElse(df.columns.toSeq)
     o.template match {
       case None =>
@@ -370,7 +371,7 @@ object Codecs {
         def emit(values: Seq[Any], isLast: Boolean): Unit = {
           num += 1
           w.write(tmpl.render(GoTemplate.Record(num, num == 1, isLast, values,
-            colNames), o.templateParams))
+            colNames), o.templateParams, htmlEscape))
         }
         while (it.hasNext) {
           pending.foreach(v => emit(v, isLast = false))
@@ -381,7 +382,7 @@ object Codecs {
           case None =>
             // no rows: still execute once with an empty record (templ.go:153)
             w.write(tmpl.render(GoTemplate.Record(0, true, true, Seq.empty,
-              colNames), o.templateParams))
+              colNames), o.templateParams, htmlEscape))
         }
     }
   }
@@ -558,7 +559,10 @@ object Codecs {
         // (tql_test.go CSV_payload_MAPVALUE_MARKDOWN_TEMPLATE)
         if (o.template.isDefined) text(df, sw, o) else markdown(df, sw, o)
       case "BOX" => box(df, sw, o)
-      case "TEXT" | "HTML" => text(df, sw, o)
+      case "TEXT" => text(df, sw, o)
+      // HTML templates escape interpolated values like Go html/template
+      // (templ_test.go TestUnsafeHTML); TEXT never does (text/template)
+      case "HTML" => text(df, sw, o, htmlEscape = true)
       case "DISCARD" => df.foreach(_ => ()) // materialize, emit nothing
       case f => throw new IllegalArgumentException(s"unknown sink format $f")
     }

@@ -200,14 +200,37 @@ object GoTemplate {
       colNames.zip(values).toMap
   }
 
+  /** A value exempt from HTML escaping — what the reference's
+    * template.HTML/HTMLAttr/URL/CSS/JS types mark (templ.go ValueHTML
+    * and friends; templ_test.go TestUnsafeHTML/CSS). */
+  final case class RawValue(v: Any)
+
   // ---------------- execute ----------------
   final class Template(nodes: List[Node],
                        defs: Map[String, List[Node]] = Map.empty) {
 
-    def render(rec: Record, params: Map[String, Seq[String]]): String = {
+    /** htmlEscape mirrors Go html/template's base escaping for the HTML
+      * sink: interpolated values escape &<>"' unless marked [[RawValue]].
+      * (The reference's full contextual autoescape — JS-quoting inside
+      * script elements — is deliberately out of scope; TEXT templates
+      * never escape, like text/template.) */
+    def render(rec: Record, params: Map[String, Seq[String]],
+               htmlEscape: Boolean = false): String = {
       val sb = new StringBuilder
+      this.escape = htmlEscape
       renderNodes(nodes, rec, rec, params, sb)
       sb.toString
+    }
+
+    private var escape: Boolean = false
+
+    private def htmlEsc(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&#34;"
+      case '\'' => "&#39;"
+      case c => c.toString
     }
 
     private def renderNodes(ns: List[Node], dot: Any, root: Any,
@@ -216,7 +239,12 @@ object GoTemplate {
         case Lit(s) => sb.append(s)
         case Action(pipe) =>
           val v = evalPipe(pipe, dot, root, params)
-          if (v != ()) sb.append(fmtVal(v))
+          v match {
+            case () =>
+            case RawValue(inner) => sb.append(fmtVal(inner))
+            case other =>
+              sb.append(if (escape) htmlEsc(fmtVal(other)) else fmtVal(other))
+          }
         case Block("with", pipe, body, elseBody) =>
           val v = evalPipe(pipe, dot, root, params)
           if (goTruthy(v)) renderNodes(body, v, root, params, sb)
@@ -288,6 +316,9 @@ object GoTemplate {
       case r: Record => name match {
         case "Value" => args.headOption.map(a => r.values.lift(toInt(a)).orNull).orNull
         case "ValueString" => args.headOption.map(a => fmtVal(r.values.lift(toInt(a)).orNull)).getOrElse("")
+        // escape-exempt accessors (templ.go ValueHTML/HTMLAttr/URL/CSS/JS)
+        case "ValueHTML" | "ValueHTMLAttr" | "ValueURL" | "ValueCSS" | "ValueJS" =>
+          RawValue(args.headOption.map(a => r.values.lift(toInt(a)).orNull).orNull)
         case "Values" => r.values
         case "V" => r.v
         case "Num" => r.num
@@ -323,18 +354,45 @@ object GoTemplate {
           .getOrElse(fmtVal(args(1)))
       case "toUpper" => fmtVal(args.head).toUpperCase
       case "toLower" => fmtVal(args.head).toLowerCase
+      // Go text/template builtins (templ_test.go first_last_empty uses
+      // `not`, columns/values uses `index`)
+      case "not" => !goTruthy(args.head)
+      case "index" => args.head match {
+        case s: Seq[_] => s.asInstanceOf[Seq[Any]].lift(toInt(args(1))).orNull
+        case a: Array[_] => a.toSeq.asInstanceOf[Seq[Any]].lift(toInt(args(1))).orNull
+        case m: Map[_, _] => m.asInstanceOf[Map[Any, Any]].get(args(1)).orNull
+        case null => null
+        case other => throw TemplateError(s"can't index ${other.getClass.getSimpleName}")
+      }
+      case "len" => args.head match {
+        case s: Seq[_] => s.size
+        case a: Array[_] => a.length
+        case m: Map[_, _] => m.size
+        case s: String => s.length
+        case null => 0
+        case _ => 0
+      }
+      case "eq" => fmtVal(args.head) == fmtVal(args(1))
+      case "ne" => fmtVal(args.head) != fmtVal(args(1))
       case "format" => goSprintf(fmtVal(args.head), args.drop(1))
       case "timeformat" =>
-        val pattern = graft.time.TimeFns.translateTimeformat(fmtVal(args.head))
-        val tz = fmtVal(args(1))
+        // named/Go layouts AND SQL tokens, like every other timeformat
+        // consumer (templ_test.go TestTimeformat formats with the Go
+        // reference layout "2006-01-02 15:04:05" in a named location)
+        val (pattern, trim) =
+          graft.time.TimeFns.resolveNamedOrGoFormat(fmtVal(args.head))
+        val tz = graft.time.TimeFns.resolveTz(fmtVal(args(1)))
         val t = args(2) match {
           case l: java.lang.Long => java.time.Instant.ofEpochSecond(0, l)
           case ts: java.sql.Timestamp => ts.toInstant
           case other => java.time.Instant.ofEpochMilli(toInt(other).toLong)
         }
-        java.time.format.DateTimeFormatter.ofPattern(pattern)
-          .withZone(java.time.ZoneId.of(tz match { case "Local" => "UTC"; case z => z }))
-          .format(t)
+        val out = java.time.format.DateTimeFormatter.ofPattern(pattern)
+          .withZone(java.time.ZoneId.of(tz)).format(t)
+        if (trim && out.contains("."))
+          out.replaceAll("(\\.\\d*?)0+(?=\\D|$)", "$1")
+            .replaceAll("\\.(?=\\D|$)", "")
+        else out
       case other => throw TemplateError(s"unknown template func $other")
     }
 

@@ -147,6 +147,102 @@ class CodecBattery2Spec extends SparkSpec {
       """{"data":{"columns":["ROWNUM","name","time","value","place"],"types":["int64","string","datetime","double","string"],"rows":[{"ROWNUM":1,"name":"name1","place":"Office","time":1676432363333444555,"value":0.1234},{"ROWNUM":2,"name":"name2","place":"Home","time":1676432364666777888,"value":0.2345}]},"success":true,"reason":"success"""")
   }
 
+  // ---- templ battery (mods/codec/internal/templ/templ_test.go): the
+  // Record surface driven exactly as the reference encoder drives it ----
+  import graft.sinks.GoTemplate
+
+  private def rec(num: Long, first: Boolean, last: Boolean, vs: Any*) =
+    GoTemplate.Record(num, first, last, vs, Seq.empty)
+
+  test("templ TEXT rows: Num/Value accessors (templ_test.go TestTemplEncoder hello_world_text)") {
+    val t = GoTemplate.parse("{{.Num}},{{ .Value 0 }},{{ .Value 1 }}")
+    assert(t.render(rec(1, first = true, last = false, "Hello", "World!"), Map.empty) == "1,Hello,World!")
+    assert(t.render(rec(2, first = false, last = true, 3.14d, true), Map.empty) == "2,3.14,true")
+  }
+
+  test("templ IsFirst/IsLast head/tail markers (TestTemplEncoder first_last)") {
+    val t = GoTemplate.parse(
+      "{{ if .IsFirst }}-head-{{end}}\n<li>{{.Num}}: {{ .Value 0 }} {{ .Value 1 }}\n{{ if .IsLast }}-tail-{{end}}")
+    val out =
+      t.render(rec(1, first = true, last = false, "Hello", "World!"), Map.empty) +
+      t.render(rec(2, first = false, last = true, 3.14d, true), Map.empty)
+    assert(out == "-head-\n<li>1: Hello World!\n\n<li>2: 3.14 true\n-tail-", out)
+  }
+
+  test("templ empty input still executes once: IsEmpty branch (TestTemplEncoder first_last_empty)") {
+    val tmpl = """{{ if .IsFirst }}-head-{{"\n"}}{{end}}
+				{{- if not .IsEmpty -}}
+				<li>{{.Num}}: {{ .Value 0 }} {{ .Value 1 }}
+				{{- else }}
+				{{- end }}
+				{{- if .IsLast }}-tail-{{end}}"""
+    val out = Codecs.render(
+      carDf.filter("false"), "TEXT",
+      Codecs.Options(template = Some(tmpl)))
+    assert(out == "-head-\n-tail-", out)
+  }
+
+  test("templ .V column map and index .Values with toUpper/toLower pipes (TestTemplEncoder columns/values)") {
+    val df = Seq(("a", 1.23d, true), ("b", 4.56d, false), ("c", 7.89d, true))
+      .toDF("col1", "col2", "col3")
+    val byName = Codecs.render(df, "TEXT", Codecs.Options(template = Some(
+      """{{- .Num}}: {{ .V.col1 | toUpper }} {{ .V.col2 }} {{ .V.col3 }}{{ "\n" -}}""")))
+    assert(byName == "1: A 1.23 true\n2: B 4.56 false\n3: C 7.89 true\n", byName)
+    val df2 = Seq(("A", 1.23d, true), ("B", 4.56d, false), ("C", 7.89d, true))
+      .toDF("col1", "col2", "col3")
+    val byIndex = Codecs.render(df2, "TEXT", Codecs.Options(template = Some(
+      """{{- .Num}}: {{ index .Values 0 | toLower }} {{ index .Values 1  }} {{ index .Values 2 }}{{ "\n" -}}""")))
+    assert(byIndex == "1: a 1.23 true\n2: b 4.56 false\n3: c 7.89 true\n", byIndex)
+  }
+
+  test("templ format %f/%.2f pipe (templ_test.go TestFormat)") {
+    val t1 = GoTemplate.parse("""{{ .Value 0 | format "%f" }}""")
+    assert(t1.render(rec(1, first = true, last = true, 3.141592d), Map.empty) == "3.141592")
+    val t2 = GoTemplate.parse("""{{ .Value 0 | format "%.2f" }}""")
+    assert(t2.render(rec(1, first = true, last = true, 3.141592d), Map.empty) == "3.14")
+  }
+
+  test("templ timeformat with a Go layout in GMT and Asia/Seoul (templ_test.go TestTimeformat)") {
+    val ts = Timestamp.from(Instant.ofEpochSecond(1633072800L))
+    val gmt = GoTemplate.parse(
+      """{{ .Value 0 | timeformat "2006-01-02 15:04:05" "GMT" }}""")
+    assert(gmt.render(rec(1, first = true, last = true, ts), Map.empty) ==
+      "2021-10-01 07:20:00")
+    val seoul = GoTemplate.parse(
+      """{{ .Value 0 | timeformat "2006-01-02 15:04:05" "Asia/Seoul" }}""")
+    assert(seoul.render(rec(1, first = true, last = true, ts), Map.empty) ==
+      "2021-10-01 16:20:00")
+  }
+
+  test("templ param/paramDefault feed the format pipe (templ_test.go TestParams)") {
+    val params = Map("f" -> Seq("%.2f"))
+    assert(GoTemplate.parse("""{{ param "f" }}""")
+      .render(rec(1, first = true, last = true, 3.141592d), params) == "%.2f")
+    assert(GoTemplate.parse("""{{ .Value 0 | format (param "f") }}""")
+      .render(rec(1, first = true, last = true, 3.141592d), params) == "3.14")
+    assert(GoTemplate.parse("""{{ .Value 0 | format (paramDefault "x" "%.4f") }}""")
+      .render(rec(1, first = true, last = true, 3.141592d), params) == "3.1416")
+  }
+
+  test("templ HTML escapes .Value; ValueHTML/HTMLAttr/URL bypass it (templ_test.go TestUnsafeHTML)") {
+    val t = GoTemplate.parse("Hello, {{ .Value 0 }}!\n" +
+      """<div {{ .ValueHTMLAttr 1 }} href="{{ .ValueURL 2 }}">Hello, {{ .ValueHTML 0}}!</div>""")
+    val out = t.render(
+      rec(1, first = true, last = true,
+        "<b>World</b>", """color="red"""", "http://example.com?q=123#tag"),
+      Map.empty, htmlEscape = true)
+    assert(out == "Hello, &lt;b&gt;World&lt;/b&gt;!\n" +
+      """<div color="red" href="http://example.com?q=123#tag">Hello, <b>World</b>!</div>""", out)
+  }
+
+  test("templ HTML passes CSS-safe text through; ValueCSS is escape-exempt (templ_test.go TestUnsafeCSS)") {
+    val t = GoTemplate.parse("body {{ .Value 0 }}\nbody {{ .ValueCSS 0 }}")
+    val out = t.render(
+      rec(1, first = true, last = true, "{ color: red; margin: 2px; }"),
+      Map.empty, htmlEscape = true)
+    assert(out == "body { color: red; margin: 2px; }\nbody { color: red; margin: 2px; }", out)
+  }
+
   test("BOX bold style + precision(2) + rownum golden (box_encode_test.go TestBoxFloat2)") {
     val df = Seq(
       (0.0d, 1.234d, 1.234f, -1.234d, -1.234f, math.Pi),
