@@ -243,6 +243,26 @@ class CodecBattery2Spec extends SparkSpec {
     assert(out == "body { color: red; margin: 2px; }\nbody { color: red; margin: 2px; }", out)
   }
 
+  test("MARKDOWN cell type branches (md_test.go TestMarkdownAddRowTypes, Spark-typed subset)") {
+    val (pat, trim) = TimeFns.resolveNamedOrGoFormat("2006/01/02 15:04:05.999")
+    def md(df: org.apache.spark.sql.DataFrame): String =
+      Codecs.render(df, "MARKDOWN",
+        Codecs.Options(timeformat = Some(pat), trimFractionZeros = trim))
+    def wrap(cell: String) = s"|value|\n|:-----|\n|$cell|\n"
+    assert(md(Seq(Tuple1(Option.empty[String])).toDF("value")) == wrap("NULL"))
+    assert(md(Seq(Tuple1(true)).toDF("value")) == wrap("true"))
+    assert(md(Seq(Tuple1("text")).toDF("value")) == wrap("text"))
+    // 1692670838086467000 ns → ".999" keeps the non-zero ms tail
+    val tick = Timestamp.from(Instant.ofEpochSecond(1692670838L, 86467000L))
+    assert(md(Seq(Tuple1(tick)).toDF("value")) == wrap("2023/08/22 02:20:38.086"))
+    assert(md(Seq(Tuple1(1.25d)).toDF("value")) == wrap("1.250000")) // %f six fixed decimals
+    assert(md(Seq(Tuple1(2.5f)).toDF("value")) == wrap("2.500000"))
+    assert(md(Seq(Tuple1(3)).toDF("value")) == wrap("3"))
+    assert(md(Seq(Tuple1(7L)).toDF("value")) == wrap("7"))
+    assert(md(Seq(Tuple1(Array[Byte](97, 98, 99, 100, 101))).toDF("value")) ==
+      wrap("0x6162636465"))
+  }
+
   test("BOX bold style + precision(2) + rownum golden (box_encode_test.go TestBoxFloat2)") {
     val df = Seq(
       (0.0d, 1.234d, 1.234f, -1.234d, -1.234f, math.Pi),
