@@ -153,6 +153,24 @@ class WriteDoorSpec extends SparkSpec {
         QueryDoor.execute(spark, "select * from test_tf where name = 'nf-car'"),
         "CSV", Codecs.Options(timeformat = Some("s"))))
       assert(nf == "nf-car,1727431201,3.5\n", nf)
+      // the JSON envelope and NDJSON decoders share the text-timeformat
+      // semantics (json_decode_test.go TestJsonDecoder case 3,
+      // ndjson/decode_test.go TestNDJsonDecoder case 4)
+      WriteDoor.write(spark, "test_tf",
+        """{"data":{"columns":["name","time","value"],
+          |"rows":[["js-car","2024-09-27 10:00:01.000",1.0001]]}}""".stripMargin
+          .getBytes("UTF-8"),
+        "application/json", Map("timeformat" -> "Default", "tz" -> "UTC"))
+      WriteDoor.write(spark, "test_tf",
+        """{"name":"nd-car","time":"2024/09/27 10:00:01","value":1.0001}"""
+          .getBytes("UTF-8"),
+        "application/x-ndjson",
+        Map("timeformat" -> "2006/01/02 15:04:05", "tz" -> "UTC"))
+      val js = trimClose(Codecs.render(
+        QueryDoor.execute(spark,
+          "select * from test_tf where name in ('js-car','nd-car') order by name"),
+        "CSV", Codecs.Options(timeformat = Some("s"))))
+      assert(js == "js-car,1727431201,1.0001\nnd-car,1727431201,1.0001\n", js)
     } finally QueryDoor.execute(spark, "drop table test_tf")
   }
 
