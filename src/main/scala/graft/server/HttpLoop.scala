@@ -62,7 +62,16 @@ object HttpLoop {
             case "JSON" => "application/json"
             case _ => "text/plain; charset=utf-8"
           }
-          (200, ctype, out.getBytes("UTF-8"))
+          // compress=gzip → gzip body + Content-Encoding header, like
+          // http_query.go (TestHttpQueryCompressedResponse: the client
+          // auto-decompresses and sees the plain CSV bytes)
+          if (params.get("compress").contains("gzip")) {
+            val buf = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(buf)
+            gz.write(out.getBytes("UTF-8")); gz.close()
+            ex.getResponseHeaders.set("Content-Encoding", "gzip")
+            (200, ctype, buf.toByteArray)
+          } else (200, ctype, out.getBytes("UTF-8"))
       }
     })
     srv.createContext("/db/tql", (ex: HttpExchange) => respond(ex) {

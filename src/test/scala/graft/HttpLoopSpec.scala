@@ -31,6 +31,23 @@ class HttpLoopSpec extends SparkSpec {
     assert(result.contains("0,NATION_0") && result.contains("1,NATION_1"), result)
   }
 
+  test("compress=gzip gzips the body with Content-Encoding (http_query_test.go TestHttpQueryCompressedResponse)") {
+    spark.read.parquet(s"$sf/nation.parquet").createOrReplaceTempView("nation")
+    val q = java.net.URLEncoder.encode(
+      "select n_nationkey, n_name from nation order by n_nationkey limit 2", "UTF-8")
+    val url = new java.net.URI(
+      s"http://127.0.0.1:$port/db/query?q=$q&format=csv&compress=gzip").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      assert(conn.getResponseCode == 200)
+      assert(conn.getHeaderField("Content-Encoding") == "gzip")
+      assert(conn.getHeaderField("Content-Type").startsWith("text/csv"))
+      val gz = new java.util.zip.GZIPInputStream(conn.getInputStream)
+      val body = new String(gz.readAllBytes(), "UTF-8")
+      assert(body.contains("0,NATION_0") && body.contains("1,NATION_1"), body)
+    } finally conn.disconnect()
+  }
+
   test("doHttp GET: one request per matching record (task_test.go:1520-1546)") {
     val got = new java.util.concurrent.CopyOnWriteArrayList[String]()
     HttpLoop.handle("/notify") { (method, query, _, _) =>
