@@ -74,6 +74,46 @@ object HttpLoop {
           } else (200, ctype, out.getBytes("UTF-8"))
       }
     })
+    srv.createContext("/metrics/write", (ex: HttpExchange) => respond(ex) {
+      // InfluxDB line-protocol door (http_write.go handleLineWrite;
+      // status/envelope shapes from http_write_test.go TestHandleLineWrite):
+      // bad gzip → 400 "invalid gzip compression"; missing timestamp →
+      // 400 {"error":"no timestamp"}; measurement/tag/field parse errors
+      // → 500; success → 204 No Content.
+      val params = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+      val db = params.getOrElse("db", "")
+      val precision = params.getOrElse("precision", "ns")
+      val raw = ex.getRequestBody.readAllBytes()
+      val gz = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+        .exists(_.equalsIgnoreCase("gzip"))
+      val payload: Either[(Int, String, Array[Byte]), Array[Byte]] =
+        if (!gz) Right(raw)
+        else try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw))
+          try Right(in.readAllBytes()) finally in.close()
+        } catch {
+          case _: Exception => Left((400, "application/json",
+            """{"error":"invalid gzip compression"}""".getBytes("UTF-8")))
+        }
+      payload match {
+        case Left(reply) => reply
+        case Right(bytes) =>
+          try {
+            graft.sources.LineProtocol.writeTo(session, db, bytes, precision)
+            (204, "application/json", Array.emptyByteArray)
+          } catch {
+            case e: IllegalArgumentException if
+                String.valueOf(e.getMessage) == "no timestamp" =>
+              (400, "application/json",
+                """{"error":"no timestamp"}""".getBytes("UTF-8"))
+            case e: Exception =>
+              (500, "application/json",
+                s"""{"error":${graft.sinks.GoJs.quote(String.valueOf(e.getMessage))}}"""
+                  .getBytes("UTF-8"))
+          }
+      }
+    })
     srv.createContext("/db/tql", (ex: HttpExchange) => respond(ex) {
       val script = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       (200, "application/json", graft.tql.Tql.run(session, script).getBytes("UTF-8"))

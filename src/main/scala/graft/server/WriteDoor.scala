@@ -21,6 +21,7 @@ object WriteDoor {
     val body = decompress(payload, params.get("compress"))
     val timeformat = params.getOrElse("timeformat", "ns")
     val tz = params.getOrElse("tz", "UTC")
+    val binFormat = params.getOrElse("binaryformat", "base64")
     val schema = TagTables.storageSchemaFor(table)
     def fieldOf(name: String): Option[StructField] =
       schema.fields.find(_.name.equalsIgnoreCase(name))
@@ -67,7 +68,7 @@ object WriteDoor {
     val isCsv = contentType.toLowerCase.startsWith("text/csv")
     val coerced = rows.map { row =>
       columns.zip(row).map { case (c, v) =>
-        convert(v, fieldOf(c), timeformat, tz, csvEmptyIsNull = isCsv) }
+        convert(v, fieldOf(c), timeformat, tz, binFormat, csvEmptyIsNull = isCsv) }
     }
     // method=insert|append converge on the same columnar buffer here
     TagTables.insertAll(spark, table, columns, coerced)
@@ -96,7 +97,8 @@ object WriteDoor {
   /** wire value → JVM value for the target column (TagTables.coerce
     * finishes the job; here we resolve the wire conventions). */
   private def convert(v: Any, field: Option[StructField], timeformat: String,
-                      tz: String, csvEmptyIsNull: Boolean = false): Any = {
+                      tz: String, binFormat: String = "base64",
+                      csvEmptyIsNull: Boolean = false): Any = {
     val target: Option[DataType] = field.map(_.dataType)
     // machtype distinguishes the string-backed column kinds: an empty CSV
     // cell decodes to "" ONLY for varchar/text (csv_decode_test.go
@@ -113,7 +115,12 @@ object WriteDoor {
       case ("", _) if csvEmptyIsNull => null
       case ("", Some(dt)) if dt != StringType => null
       case (s: String, Some(BinaryType)) =>
-        java.util.Base64.getDecoder.decode(s) // CSV/JSON binary convention
+        // base64 by default; binaryformat=hex accepts 0x-prefixed hex
+        // (http_write_test.go TestWriteBinaryFormat json_hex)
+        if (binFormat.equalsIgnoreCase("hex")) {
+          val hex = if (s.startsWith("0x") || s.startsWith("0X")) s.substring(2) else s
+          hex.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray
+        } else java.util.Base64.getDecoder.decode(s)
       case (n: java.lang.Number, Some(TimestampType)) =>
         java.lang.Long.valueOf(epochToNs(n.longValue(), timeformat))
       case (s: String, Some(TimestampType)) if s.matches("[+-]?\\d+") &&

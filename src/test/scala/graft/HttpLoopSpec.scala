@@ -48,6 +48,56 @@ class HttpLoopSpec extends SparkSpec {
     } finally conn.disconnect()
   }
 
+  test("/metrics/write line-protocol envelopes (http_write_test.go TestHandleLineWrite)") {
+    import graft.server.{QueryDoor, TagTables}
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create tag table p2line (NAME varchar(200) primary key, TIME datetime basetime, VALUE double summarized)")
+    def post(body: Array[Byte], q: String, gzipHdr: Boolean = false): (Int, String) = {
+      val url = new java.net.URI(s"http://127.0.0.1:$port/metrics/write?db=p2line$q").toURL
+      val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestMethod("POST"); c.setDoOutput(true)
+      c.setRequestProperty("Content-Type", "application/octet-stream")
+      if (gzipHdr) c.setRequestProperty("Content-Encoding", "gzip")
+      c.getOutputStream.write(body); c.getOutputStream.close()
+      val code = c.getResponseCode
+      val in = if (code >= 400) c.getErrorStream else c.getInputStream
+      val body2 = if (in == null) "" else new String(in.readAllBytes(), "UTF-8")
+      c.disconnect(); (code, body2)
+    }
+    def gz(s: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(buf)
+      g.write(s.getBytes("UTF-8")); g.close(); buf.toByteArray
+    }
+    try {
+      // invalid gzip → 400
+      val (c1, b1) = post("not-gzip".getBytes("UTF-8"), "", gzipHdr = true)
+      assert(c1 == 400 && b1.contains("invalid gzip compression"), s"$c1 $b1")
+      // missing timestamp → 400 {"error":"no timestamp"}
+      val (c2, b2) = post("cpu,host=desktop usage_irq=1".getBytes("UTF-8"), "")
+      assert(c2 == 400 && b2.contains("\"error\":\"no timestamp\""), s"$c2 $b2")
+      // measurement parse error → 500
+      val (c3, b3) = post(",host=desktop usage_irq=1 1670975120000000000".getBytes("UTF-8"), "")
+      assert(c3 == 500 && b3.contains("measurement error"), s"$c3 $b3")
+      // tag parse error → 500
+      val (c4, b4) = post("cpu,host usage_irq=1 1670975120000000000".getBytes("UTF-8"), "")
+      assert(c4 == 500 && b4.contains("tag error"), s"$c4 $b4")
+      // precision ms/us accepted → 204
+      assert(post("cpu,host=desktop usage_irq=1 1670975120000".getBytes("UTF-8"),
+        "&precision=ms")._1 == 204)
+      assert(post("cpu,host=desktop usage_irq=1 1670975120000000".getBytes("UTF-8"),
+        "&precision=us")._1 == 204)
+      // gzip'd valid payload → 204
+      assert(post(gz("cpu,host=desktop usage_irq=1 1670975120000000000"),
+        "", gzipHdr = true)._1 == 204)
+      // the three good writes landed with the same instant
+      val n = spark.table("p2line")
+        .filter(org.apache.spark.sql.functions.col("NAME") === "cpu.usage_irq").count()
+      assert(n == 3L, s"rows=$n")
+    } finally QueryDoor.execute(spark, "drop table p2line")
+  }
+
   test("doHttp GET: one request per matching record (task_test.go:1520-1546)") {
     val got = new java.util.concurrent.CopyOnWriteArrayList[String]()
     HttpLoop.handle("/notify") { (method, query, _, _) =>

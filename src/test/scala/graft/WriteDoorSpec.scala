@@ -174,6 +174,25 @@ class WriteDoorSpec extends SparkSpec {
     } finally QueryDoor.execute(spark, "drop table test_tf")
   }
 
+  test("binaryformat=hex decodes 0x-hex binary cells; default stays base64 (http_write_test.go TestWriteBinaryFormat)") {
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create tag table wbin (name varchar(40) primary key, time datetime basetime, value binary)")
+    try {
+      WriteDoor.write(spark, "wbin",
+        s"""{"data":{"columns":["NAME","TIME","VALUE"],"rows":[["json_base64",1691800174123456789,"AQKgsMDQ4PA="]]}}"""
+          .getBytes("UTF-8"), "application/json", Map("method" -> "append"))
+      WriteDoor.write(spark, "wbin",
+        s"""{"data":{"columns":["NAME","TIME","VALUE"],"rows":[["json_hex",1691800174123456789,"0x0102a0b0c0d0e0f0"]]}}"""
+          .getBytes("UTF-8"), "application/json",
+        Map("method" -> "append", "binaryformat" -> "hex"))
+      val got = trimClose(Codecs.render(
+        QueryDoor.execute(spark, "select name, value from wbin order by name"),
+        "CSV", Codecs.Options()))
+      assert(got == "json_base64,0x0102a0b0c0d0e0f0\njson_hex,0x0102a0b0c0d0e0f0\n", got)
+    } finally QueryDoor.execute(spark, "drop table wbin")
+  }
+
   test("csv empty cells: varchar decodes to '', json/numerics to NULL (csv_decode_test.go TestCsvDecoder null-values)") {
     TagTables.resetDynamicForTest(spark)
     QueryDoor.execute(spark,
