@@ -114,6 +114,13 @@ class WebApiSpec extends SparkSpec {
       assert(nested.status == 400 &&
         nested.body.contains("bind parameter must be scalar, got []interface {}"),
         nested.body)
+      // p must be a JSON ARRAY of scalars; blank means no binds
+      // (svrmsg_test.go TestParseQueryParams)
+      val notArr = q("q" -> "select * from example where name = ?",
+        "p" -> """{"not":"an array"}""")
+      assert(notArr.status == 400 && notArr.body.contains("invalid p"), notArr.body)
+      val blankP = q("q" -> "select NAME from example order by NAME", "p" -> "   ")
+      assert(blankP.status == 200, blankP.body)
       // invalid tz is a 400 with the Go LoadLocation message
       // (TestHttpQueryUnsupportedTimeLocation)
       val badTz = q("q" -> "select NAME from example", "tz" -> "Invalid/Location")
