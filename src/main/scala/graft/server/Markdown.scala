@@ -57,11 +57,63 @@ object Markdown {
     val bulletRe = "^[-*+]\\s+(.*)$".r
     val orderedRe = "^\\d{1,9}[.)]\\s+(.*)$".r
     val fenceRe = "^```\\s*(\\S*)\\s*(.*)$".r
+    // goldmark table extension: a |-row followed by a |:---|---:| rule
+    val tableSepRe = "^\\|?\\s*:?-{3,}:?\\s*(\\|\\s*:?-{3,}:?\\s*)*\\|?$".r
+    def splitRow(l: String): Seq[String] =
+      l.trim.stripPrefix("|").stripSuffix("|").split("\\|", -1).toSeq.map(_.trim)
+    def isTableStart(j: Int): Boolean =
+      j + 1 < lines.length && lines(j).trim.startsWith("|") &&
+        tableSepRe.matches(lines(j + 1).trim)
 
     while (i < lines.length) {
       val line = lines(i)
       line.trim match {
         case "" => i += 1
+        case t if t.startsWith("|") && isTableStart(i) =>
+          // pipe table → goldmark's table shape (align attr only when the
+          // separator specifies one: :--- left, :--: center, ---: right)
+          val headers = splitRow(t)
+          val aligns = splitRow(lines(i + 1).trim).map { s =>
+            val l = s.startsWith(":"); val r = s.endsWith(":")
+            if (l && r) Some("center") else if (r) Some("right")
+            else if (l) Some("left") else None
+          }
+          def alignAttr(c: Int): String =
+            aligns.lift(c).flatten.map(a => s""" align="$a"""").getOrElse("")
+          i += 2
+          out.append("<table>\n<thead>\n<tr>\n")
+          headers.zipWithIndex.foreach { case (h, c) =>
+            out.append(s"<th${alignAttr(c)}>").append(inline(h)).append("</th>\n")
+          }
+          out.append("</tr>\n</thead>\n")
+          val bodyRows = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+          while (i < lines.length && lines(i).trim.startsWith("|")) {
+            bodyRows += splitRow(lines(i).trim); i += 1
+          }
+          if (bodyRows.nonEmpty) {
+            out.append("<tbody>\n")
+            bodyRows.foreach { cells =>
+              out.append("<tr>\n")
+              cells.zipWithIndex.foreach { case (cell, c) =>
+                out.append(s"<td${alignAttr(c)}>").append(inline(cell)).append("</td>\n")
+              }
+              out.append("</tr>\n")
+            }
+            out.append("</tbody>\n")
+          }
+          out.append("</table>\n")
+        case t if t.startsWith(">") =>
+          // blockquote: consecutive >-lines merge into one paragraph
+          val para = new StringBuilder
+          var first = true
+          while (i < lines.length && lines(i).trim.startsWith(">")) {
+            if (!first) para.append('\n')
+            first = false
+            para.append(lines(i).trim.stripPrefix(">").stripPrefix(" "))
+            i += 1
+          }
+          out.append("<blockquote>\n<p>").append(inline(para.toString))
+            .append("</p>\n</blockquote>\n")
         case _ if fenceRe.matches(line.trim) && line.trim.startsWith("```") =>
           val fenceRe(lang, _) = line.trim
           i += 1
@@ -97,6 +149,8 @@ object Markdown {
           var first = true
           while (i < lines.length && lines(i).trim.nonEmpty &&
             !lines(i).trim.startsWith("```") &&
+            !lines(i).trim.startsWith(">") &&
+            !(lines(i).trim.startsWith("|") && isTableStart(i)) &&
             !headingRe.matches(lines(i).trim) &&
             !bulletRe.matches(lines(i).trim) && !orderedRe.matches(lines(i).trim)) {
             if (!first) para.append('\n')

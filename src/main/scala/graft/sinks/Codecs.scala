@@ -556,8 +556,18 @@ object Codecs {
       case "NDJSON" => ndjson(df, sw, o)
       case "MARKDOWN" =>
         // MARKDOWN(template) renders through the template engine
-        // (tql_test.go CSV_payload_MAPVALUE_MARKDOWN_TEMPLATE)
-        if (o.template.isDefined) text(df, sw, o) else markdown(df, sw, o)
+        // (tql_test.go CSV_payload_MAPVALUE_MARKDOWN_TEMPLATE); with
+        // html(true) the TEMPLATED markdown text is goldmark-converted
+        // to XHTML in a <div> (md_test.go TestMarkdownTemplatePathTextHtml)
+        if (o.template.isDefined) {
+          if (o.htmlRender) {
+            val b = new StringWriter()
+            text(df, b, o)
+            sw.write("<div>\n")
+            sw.write(graft.server.Markdown.convert(b.toString))
+            sw.write("</div>")
+          } else text(df, sw, o)
+        } else markdown(df, sw, o)
       case "BOX" => box(df, sw, o)
       case "TEXT" => text(df, sw, o)
       // HTML templates escape interpolated values like Go html/template

@@ -263,6 +263,59 @@ class CodecBattery2Spec extends SparkSpec {
       wrap("0x6162636465"))
   }
 
+  private val mdTemplate =
+    """{{- if .IsFirst -}}|name|value|{{"\n"}}|:-----|:-----|{{"\n"}}{{- end -}}|{{ .Value 0 }}|{{ .Value 1 }}|{{"\n"}}{{- if .IsLast -}}> *Total* {{ .Num }} *records*{{"\n"}}{{- end -}}"""
+
+  test("MARKDOWN(template) renders the templated table text (md_test.go TestMarkdownTemplatePathText)") {
+    val df = Seq(("alpha", 1), ("beta", 2)).toDF("name", "value")
+    val out = Codecs.render(df, "MARKDOWN",
+      Codecs.Options(template = Some(mdTemplate)))
+    assert(out ==
+      "|name|value|\n|:-----|:-----|\n|alpha|1|\n|beta|2|\n> *Total* 2 *records*\n", out)
+  }
+
+  test("MARKDOWN(template, html) converts the templated markdown to XHTML (TestMarkdownTemplatePathTextHtml)") {
+    val df = Seq(("alpha", 1), ("beta", 2)).toDF("name", "value")
+    val out = Codecs.render(df, "MARKDOWN",
+      Codecs.Options(template = Some(mdTemplate), htmlRender = true))
+    val expect = Seq(
+      "<div>",
+      "<table>",
+      "<thead>",
+      "<tr>",
+      "<th align=\"left\">name</th>",
+      "<th align=\"left\">value</th>",
+      "</tr>",
+      "</thead>",
+      "<tbody>",
+      "<tr>",
+      "<td align=\"left\">alpha</td>",
+      "<td align=\"left\">1</td>",
+      "</tr>",
+      "<tr>",
+      "<td align=\"left\">beta</td>",
+      "<td align=\"left\">2</td>",
+      "</tr>",
+      "</tbody>",
+      "</table>",
+      "<blockquote>",
+      "<p><em>Total</em> 2 <em>records</em></p>",
+      "</blockquote>",
+      "</div>").mkString("\n")
+    assert(out == expect, s"\n$out")
+  }
+
+  test("MARKDOWN(html) template with heading + static table (TestMarkdownTemplatePathHtml)") {
+    val df = Seq(("alpha", 1)).toDF("name", "value")
+    val out = Codecs.render(df, "MARKDOWN",
+      Codecs.Options(htmlRender = true, template = Some(
+        "# Title\n\n|name|value|\n|:-----|:-----|\n|{{ .Value 0 }}|{{ .Value 1 }}|\n")))
+    assert(out.contains("<div>"), out)
+    assert(out.contains("<h1>Title</h1>"), out)
+    assert(out.contains("<table>"), out)
+    assert(out.contains("<td align=\"left\">alpha</td>"), out)
+  }
+
   test("BOX bold style + precision(2) + rownum golden (box_encode_test.go TestBoxFloat2)") {
     val df = Seq(
       (0.0d, 1.234d, 1.234f, -1.234d, -1.234f, math.Pi),
