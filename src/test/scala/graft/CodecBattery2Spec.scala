@@ -305,6 +305,13 @@ class CodecBattery2Spec extends SparkSpec {
     assert(out == expect, s"\n$out")
   }
 
+  test("MARKDOWN(template) on an empty result still executes once: IsEmpty (md_encode_internal_test.go)") {
+    val df = Seq(("alpha", 1)).toDF("name", "value").filter("false")
+    val out = Codecs.render(df, "MARKDOWN",
+      Codecs.Options(template = Some("{{if .IsEmpty}}EMPTY{{end}}")))
+    assert(out == "EMPTY", out)
+  }
+
   test("MARKDOWN(html) template with heading + static table (TestMarkdownTemplatePathHtml)") {
     val df = Seq(("alpha", 1)).toDF("name", "value")
     val out = Codecs.render(df, "MARKDOWN",
