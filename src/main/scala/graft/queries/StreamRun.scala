@@ -40,6 +40,8 @@ object StreamRun {
 
   private def record(name: String, q: StreamingQuery, t0: Long): Unit = {
     val totalSec = (System.nanoTime() - t0) / 1e9
+    // recentProgress retention is raised to 10k in Sessions.configure so
+    // this sum does not silently drop early micro-batches of long runs
     val kernelSec = q.recentProgress.iterator.map { p =>
       Option(p.durationMs.get("addBatch")).fold(0L)(_.longValue)
     }.sum / 1e3

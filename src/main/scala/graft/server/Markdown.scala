@@ -57,13 +57,16 @@ object Markdown {
     val bulletRe = "^[-*+]\\s+(.*)$".r
     val orderedRe = "^\\d{1,9}[.)]\\s+(.*)$".r
     val fenceRe = "^```\\s*(\\S*)\\s*(.*)$".r
-    // goldmark table extension: a |-row followed by a |:---|---:| rule
-    val tableSepRe = "^\\|?\\s*:?-{3,}:?\\s*(\\|\\s*:?-{3,}:?\\s*)*\\|?$".r
+    // goldmark/GFM table extension: a |-row followed by a delimiter row
+    // of `:?-+:?` cells whose COLUMN COUNT matches the header row (GFM
+    // allows single-dash cells; a count mismatch means "not a table")
+    val tableSepRe = "^\\|?\\s*:?-+:?\\s*(\\|\\s*:?-+:?\\s*)*\\|?$".r
     def splitRow(l: String): Seq[String] =
       l.trim.stripPrefix("|").stripSuffix("|").split("\\|", -1).toSeq.map(_.trim)
     def isTableStart(j: Int): Boolean =
       j + 1 < lines.length && lines(j).trim.startsWith("|") &&
-        tableSepRe.matches(lines(j + 1).trim)
+        tableSepRe.matches(lines(j + 1).trim) &&
+        splitRow(lines(j).trim).size == splitRow(lines(j + 1).trim).size
 
     while (i < lines.length) {
       val line = lines(i)

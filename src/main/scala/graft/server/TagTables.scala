@@ -633,11 +633,13 @@ object TagTables {
         // name filter only applies to tables that HAVE a name column
         // (log tables don't — a filtered delete there matches nothing)
         val nameIdx = storageSchemaFor(t).fieldNames.indexOf("NAME")
-        if (nameIdx >= 0) {
-          val n = rewriteBase(spark, t, _.filter(not(col("NAME") <=> lit(v))))
+        val n = if (nameIdx >= 0) {
+          val removed = rewriteBase(spark, t, _.filter(not(col("NAME") <=> lit(v))))
           data.filterInPlace(r => r.get(nameIdx) != v)
-          n
+          removed
         } else 0L
+        refresh(spark, t)
+        n
       case None =>
         val (n, dirs) = retireBase(t)
         data.clear()
@@ -645,7 +647,6 @@ object TagTables {
         dirs.foreach(deleteDir)
         n
     }
-    refresh(spark, t)
     (before - data.size).toLong + baseRemoved
   }
 

@@ -116,11 +116,19 @@ object WriteDoor {
       case ("", Some(dt)) if dt != StringType => null
       case (s: String, Some(BinaryType)) =>
         // base64 by default; binaryformat=hex accepts 0x-prefixed hex
-        // (http_write_test.go TestWriteBinaryFormat json_hex)
+        // (http_write_test.go TestWriteBinaryFormat json_hex). Odd-length
+        // hex is rejected like Go encoding/hex, never half-parsed.
         if (binFormat.equalsIgnoreCase("hex")) {
           val hex = if (s.startsWith("0x") || s.startsWith("0X")) s.substring(2) else s
+          if (hex.length % 2 != 0) throw new IllegalArgumentException(
+            "encoding/hex: odd length hex string")
           hex.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray
         } else java.util.Base64.getDecoder.decode(s)
+      // a NUMERIC time value always rides machbase's numeric-datetime
+      // convention: the epoch unit from ns/us/ms/s timeformats, epoch-ns
+      // otherwise — text layouts only reinterpret STRING values (the
+      // reference's util.ParseTime layout branch is string-only and
+      // errors on digit strings, pinned below)
       case (n: java.lang.Number, Some(TimestampType)) =>
         java.lang.Long.valueOf(epochToNs(n.longValue(), timeformat))
       case (s: String, Some(TimestampType)) if s.matches("[+-]?\\d+") &&

@@ -90,11 +90,8 @@ object Codecs {
       case Some(pattern) =>
         val out = java.time.format.DateTimeFormatter.ofPattern(pattern)
           .withZone(java.time.ZoneId.of(o.tz)).format(inst)
-        // Go ".999" trim — the fraction may sit mid-string (RFC3339NANO's
-        // zone suffix follows it), so anchor on the next non-digit
-        if (o.trimFractionZeros && out.contains("."))
-          out.replaceAll("(\\.\\d*?)0+(?=\\D|$)", "$1")
-            .replaceAll("\\.(?=\\D|$)", "")
+        // Go ".999" trim — shared policy in TimeFns.trimFractionZerosStr
+        if (o.trimFractionZeros) graft.time.TimeFns.trimFractionZerosStr(out)
         else out
       // default timeformat is "ns" — epoch-ns integers (the reference's
       // util.NewTimeFormatter default, mods/util/types.go:85-94)

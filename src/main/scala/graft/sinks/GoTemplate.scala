@@ -217,12 +217,9 @@ object GoTemplate {
     def render(rec: Record, params: Map[String, Seq[String]],
                htmlEscape: Boolean = false): String = {
       val sb = new StringBuilder
-      this.escape = htmlEscape
-      renderNodes(nodes, rec, rec, params, sb)
+      renderNodes(nodes, rec, rec, params, sb, htmlEscape)
       sb.toString
     }
-
-    private var escape: Boolean = false
 
     private def htmlEsc(s: String): String = s.flatMap {
       case '&' => "&amp;"
@@ -234,7 +231,8 @@ object GoTemplate {
     }
 
     private def renderNodes(ns: List[Node], dot: Any, root: Any,
-                            params: Map[String, Seq[String]], sb: StringBuilder): Unit =
+                            params: Map[String, Seq[String]], sb: StringBuilder,
+                            escape: Boolean): Unit =
       ns.foreach {
         case Lit(s) => sb.append(s)
         case Action(pipe) =>
@@ -247,12 +245,12 @@ object GoTemplate {
           }
         case Block("with", pipe, body, elseBody) =>
           val v = evalPipe(pipe, dot, root, params)
-          if (goTruthy(v)) renderNodes(body, v, root, params, sb)
-          else renderNodes(elseBody, dot, root, params, sb)
+          if (goTruthy(v)) renderNodes(body, v, root, params, sb, escape)
+          else renderNodes(elseBody, dot, root, params, sb, escape)
         case Block("if", pipe, body, elseBody) =>
           val v = evalPipe(pipe, dot, root, params)
-          if (goTruthy(v)) renderNodes(body, dot, root, params, sb)
-          else renderNodes(elseBody, dot, root, params, sb)
+          if (goTruthy(v)) renderNodes(body, dot, root, params, sb, escape)
+          else renderNodes(elseBody, dot, root, params, sb, escape)
         case Block("range", pipe, body, elseBody) =>
           val v = evalPipe(pipe, dot, root, params)
           val items: Seq[Any] = v match {
@@ -261,13 +259,13 @@ object GoTemplate {
             case m: Map[_, _] => m.values.toSeq.asInstanceOf[Seq[Any]]
             case _ => Seq.empty
           }
-          if (items.isEmpty) renderNodes(elseBody, dot, root, params, sb)
-          else items.foreach(item => renderNodes(body, item, root, params, sb))
+          if (items.isEmpty) renderNodes(elseBody, dot, root, params, sb, escape)
+          else items.foreach(item => renderNodes(body, item, root, params, sb, escape))
         case TemplateCall(name, pipe) =>
           val body = defs.getOrElse(name,
             throw TemplateError(s"undefined template $name"))
           val dot2 = pipe.map(evalPipe(_, dot, root, params)).getOrElse(dot)
-          renderNodes(body, dot2, root, params, sb)
+          renderNodes(body, dot2, root, params, sb, escape)
         case b: Block => throw TemplateError(s"unsupported block ${b.kind}")
       }
 
@@ -372,8 +370,11 @@ object GoTemplate {
         case null => 0
         case _ => 0
       }
-      case "eq" => fmtVal(args.head) == fmtVal(args(1))
-      case "ne" => fmtVal(args.head) != fmtVal(args(1))
+      // Go text/template eq is variadic (arg1 == any of the rest), ne is
+      // binary; comparison is on VALUES (numeric kinds compare by value,
+      // not by rendered string)
+      case "eq" => args.drop(1).exists(goValueEq(args.head, _))
+      case "ne" => !goValueEq(args.head, args(1))
       case "format" => goSprintf(fmtVal(args.head), args.drop(1))
       case "timeformat" =>
         // named/Go layouts AND SQL tokens, like every other timeformat
@@ -389,10 +390,7 @@ object GoTemplate {
         }
         val out = java.time.format.DateTimeFormatter.ofPattern(pattern)
           .withZone(java.time.ZoneId.of(tz)).format(t)
-        if (trim && out.contains("."))
-          out.replaceAll("(\\.\\d*?)0+(?=\\D|$)", "$1")
-            .replaceAll("\\.(?=\\D|$)", "")
-        else out
+        if (trim) graft.time.TimeFns.trimFractionZerosStr(out) else out
       case other => throw TemplateError(s"unknown template func $other")
     }
 
@@ -474,5 +472,16 @@ object GoTemplate {
     case s: Seq[_] => s.nonEmpty
     case m: Map[_, _] => m.nonEmpty
     case _ => true
+  }
+
+  /** `eq`/`ne` value comparison: numeric kinds compare by value (the
+    * template literal 1 parses as Double while a cell may hold Long/Int),
+    * everything else by plain equality — never by rendered string, so a
+    * string "1" does NOT equal the number 1 (Go errors there; we compare
+    * false, the branch-safe reading). */
+  private def goValueEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      x.doubleValue() == y.doubleValue()
+    case (x, y) => x == y
   }
 }

@@ -310,6 +310,14 @@ object TimeFns {
       .replace("xx", q(s"$sign$hh$mm"))
   }
 
+  /** String-side twin of [[trimFractionZeros]] — ONE home for the Go
+    * ".999" trim policy (Codecs.fmtTime and the template timeformat func
+    * both render driver-side). */
+  def trimFractionZerosStr(rendered: String): String =
+    if (!rendered.contains(".")) rendered
+    else rendered.replaceAll("(\\.\\d*?)0+(?=\\D|$)", "$1")
+      .replaceAll("\\.(?=\\D|$)", "")
+
   /** Go-".999" trailing-zero trim on a rendered fraction (the fraction may
     * sit mid-string — RFC3339NANO's zone suffix follows it). */
   def trimFractionZeros(rendered: Column): Column =

@@ -159,6 +159,9 @@ class TqlSqlSpec extends SparkSpec {
 
   test("SQL_show_tables[-all]: machbase catalog shape (fm_dbsrc_test.go:262-295)") {
     graft.server.TagTables.dropAll(spark)
+    // dynamic catalog entries survive dropAll (NOTES r4) — reset them so
+    // this golden is order-independent of any table-creating suite
+    graft.server.TagTables.resetDynamicForTest(spark)
     val out = runTrim("SQL('show tables')\nCSV(header(true))\n")
     val lines = out.stripLineEnd.split("\n")
     assert(lines(0) == "DATABASE_NAME,USER_NAME,TABLE_NAME,TABLE_ID,TABLE_TYPE,TABLE_FLAG")
