@@ -160,6 +160,9 @@ object Codecs {
     case t: java.sql.Timestamp =>
       if (o.timeformat.forall(epochForms)) fmtTime(t.toInstant, o)
       else "\"" + jsonEscape(fmtTime(t.toInstant, o)) + "\""
+    case t: java.time.Instant =>
+      if (o.timeformat.forall(epochForms)) fmtTime(t, o)
+      else "\"" + jsonEscape(fmtTime(t, o)) + "\""
     case t: java.time.LocalDateTime =>
       val inst = t.toInstant(java.time.ZoneOffset.UTC)
       if (o.timeformat.forall(epochForms)) fmtTime(inst, o)
