@@ -60,9 +60,26 @@ object Triangles {
     * @param pairs unique undirected edges as canonical pairs (columns
     *              `a` < `b`, one row per edge — the shape
     *              [[graft.dedup.Dedup.jaccardPairs]] emits)
+    * @param maxOutDegree the documented hub escape hatch, OFF by default:
+    *              when set, each vertex keeps only its `k`
+    *              lowest-(head-degree, head-id) out-edges, bounding
+    *              per-vertex wedge work at C(k, 2) on any graph. This
+    *              UNDERCOUNTS triangles whose lowest-ranked vertex
+    *              exceeds the cap — an approximation for corpora whose
+    *              oriented degrees still melt a partition; the exact
+    *              oracle-gated path never sets it.
     * @return (v, n_triangles) for every vertex in ≥1 triangle */
-  def perNode(pairs: DataFrame): DataFrame = {
-    val oriented = orient(pairs)
+  def perNode(pairs: DataFrame,
+              maxOutDegree: Option[Int] = None): DataFrame = {
+    val oriented0 = orient(pairs)
+    val oriented = maxOutDegree match {
+      case None => oriented0
+      case Some(k) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("u").orderBy(col("dw"), col("w"))
+        oriented0.withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= k).drop("__r")
+    }
     // wedges at the lowest-ranked vertex of each would-be triangle: two
     // out-edges of u, ordered so each unordered out-pair appears once
     val wedges = oriented.select(col("u"), col("w").as("v1"), col("dw").as("d1"))

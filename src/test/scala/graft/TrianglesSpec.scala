@@ -67,4 +67,17 @@ class TrianglesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert((0L to 4L).forall(i => tri(i) == 6L), tri)
   }
+
+  test("maxOutDegree cap: exact when cap >= oriented degrees, bounded undercount below") {
+    val k4 = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val mixed = pairsOf(((1L to 40L).map(i => (0L, i)) ++ k4): _*)
+    // oriented out-degrees max at 4 (vertex 1) — a cap of 4 is lossless
+    val capped = Triangles.perNode(mixed, maxOutDegree = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 4L).forall(i => capped(i) == 6L), capped)
+    // a cap of 1 bounds per-vertex wedge work at C(1,2)=0: no wedges can
+    // form, so the approximation degrades to zero triangles — bounded
+    // work, documented undercount
+    assert(Triangles.perNode(mixed, maxOutDegree = Some(1)).count() == 0L)
+  }
 }
