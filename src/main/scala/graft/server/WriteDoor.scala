@@ -31,15 +31,28 @@ object WriteDoor {
         case "application/json" =>
           graft.script.Builtins.jsonParse(body) match {
             // bare array of rows: positional against the table's columns
-            // (mqtt_test.go mqtt-write-json publishes `[[...],[...]]`)
+            // (mqtt_test.go mqtt-write-json publishes `[[...],[...]]`);
+            // a single bare row `["n", t, v]` is one record
+            // (json_test.go TestSingleRowDecoder)
             case s: scala.collection.Seq[_] =>
-              (TagTables.columnsOf(table), s.iterator.map(r => asSeq(r)))
+              val isRows = s.forall(_.isInstanceOf[scala.collection.Seq[_]])
+              val rws: Iterator[Seq[Any]] =
+                if (isRows) s.iterator.map(r => asSeq(r))
+                else Iterator.single(asSeq(s))
+              (TagTables.columnsOf(table), rws)
             case parsed =>
               val root = asMap(parsed)
               val data = asMap(root.getOrElse("data", root))
               val cols = asSeq(data("columns")).map(String.valueOf(_))
-              val rws = asSeq(data("rows")).iterator.map(r => asSeq(r))
-              (cols, rws)
+              val rws = asSeq(data("rows")).map(r => asSeq(r))
+              // the reference's envelope decoder is POSITIONAL against the
+              // table schema — the "columns" list may be shorter than the
+              // rows (json_test.go TestDecoder: 7 values, 4 listed names);
+              // partial/reordered columns keep working when arities agree
+              val names =
+                if (rws.exists(_.size > cols.size)) TagTables.columnsOf(table)
+                else cols
+              (names, rws.iterator)
           }
         case "application/x-ndjson" | "application/jsonl" =>
           val objs = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)

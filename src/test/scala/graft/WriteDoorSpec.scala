@@ -174,6 +174,33 @@ class WriteDoorSpec extends SparkSpec {
     } finally QueryDoor.execute(spark, "drop table test_tf")
   }
 
+  test("json decoder shapes: single bare row, rows wider than the columns list (json_test.go TestSingleRowDecoder/TestDecoder)") {
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      """create tag table test_js (
+        |name varchar(200) primary key,
+        |time datetime basetime,
+        |value double summarized,
+        |iv int)""".stripMargin)
+    try {
+      // single bare row is one record
+      WriteDoor.write(spark, "test_js",
+        """["solo", 1676528839, 0.1234, 7]""".getBytes("UTF-8"),
+        "application/json", Map("timeformat" -> "s"))
+      // envelope rows WIDER than the listed columns decode positionally
+      // against the table schema (the reference decoder ignores the list)
+      WriteDoor.write(spark, "test_js",
+        """{"data":{"columns":["name","time"],
+          |"rows":[["wide", 1676528840, 0.2345, 9]]}}""".stripMargin
+          .getBytes("UTF-8"),
+        "application/json", Map("timeformat" -> "s"))
+      val got = trimClose(Codecs.render(
+        QueryDoor.execute(spark, "select * from test_js order by name"),
+        "CSV", Codecs.Options(timeformat = Some("s"))))
+      assert(got == "solo,1676528839,0.1234,7\nwide,1676528840,0.2345,9\n", got)
+    } finally QueryDoor.execute(spark, "drop table test_js")
+  }
+
   test("binaryformat=hex decodes 0x-hex binary cells; default stays base64 (http_write_test.go TestWriteBinaryFormat)") {
     TagTables.resetDynamicForTest(spark)
     QueryDoor.execute(spark,
