@@ -84,6 +84,22 @@ class CodecBattery2Spec extends SparkSpec {
     assert(out == "{\"runtime\":-1.65,\"negzero\":0.00,\"whole\":10.00}\n\n")
   }
 
+  test("string substituteNull renders for EVERY null cell type (csv_encode_test.go TestCsvEncoderSqlAndGeoTypes null row)") {
+    val df = Seq(
+      (Some(true), Some(3.5d), Some(16), Some("text"),
+        Some(Timestamp.from(Instant.ofEpochSecond(1691800174L))), Some(1.25f)),
+      (Option.empty[Boolean], Option.empty[Double], Option.empty[Int],
+        Option.empty[String], Option.empty[Timestamp], Option.empty[Float])
+    ).toDF("bool_v", "float_v", "int32_v", "string_v", "time_v", "float32_v")
+    val kitchen = TimeFns.resolveNamedOrGoFormat("KITCHEN")._1
+    val out = Codecs.render(df, "CSV",
+      Codecs.Options(heading = true, nullAs = "N/A", timeformat = Some(kitchen)))
+    assert(out ==
+      "bool_v,float_v,int32_v,string_v,time_v,float32_v\n" +
+      "true,3.5,16,text,12:29:34AM,1.25\n" +
+      "N/A,N/A,N/A,N/A,N/A,N/A\n\n", out)
+  }
+
   test("shared float formatter branches (float_test.go TestAppendPrecisionFloat64 / TestFormatPrecisionFloat64)") {
     def f(v: Double, p: Int) = Codecs.goPrecisionFloat(v, p)
     assert(f(12.3400, -1) == "12.34")       // default trims trailing zeros
