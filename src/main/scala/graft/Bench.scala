@@ -29,6 +29,12 @@ object Bench {
       SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus.toString)
+        // StreamRun sums addBatch over recentProgress for the bench
+        // fixed-vs-kernel split; the default retention (100) would
+        // silently undercount kernel time for gate streams with many
+        // micro-batches. Bench-only: retaining 10k progress objects per
+        // stream is avoidable driver overhead for ordinary sessions.
+        .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
     ).getOrCreate()
     graft.core.Sessions.installRules(spark)
     spark.sparkContext.setLogLevel("WARN")

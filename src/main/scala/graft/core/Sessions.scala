@@ -24,10 +24,6 @@ object Sessions {
     // full JVM charset set for CSV sources (EUC-JP etc., like the
     // reference's charset() option)
     .config("spark.sql.legacy.javaCharsets", "true")
-    // StreamRun sums addBatch over recentProgress for the bench
-    // fixed-vs-kernel split; the default retention (100) would silently
-    // undercount kernel time for gate streams with many micro-batches
-    .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
     .config("spark.ui.enabled", "false")
 
   /** Install graft's optimizer rules on an existing session. Safe by

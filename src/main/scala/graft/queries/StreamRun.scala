@@ -40,8 +40,9 @@ object StreamRun {
 
   private def record(name: String, q: StreamingQuery, t0: Long): Unit = {
     val totalSec = (System.nanoTime() - t0) / 1e9
-    // recentProgress retention is raised to 10k in Sessions.configure so
+    // recentProgress retention is raised to 10k in Bench's session so
     // this sum does not silently drop early micro-batches of long runs
+    // (ordinary sessions keep Spark's default retention of 100)
     val kernelSec = q.recentProgress.iterator.map { p =>
       Option(p.durationMs.get("addBatch")).fold(0L)(_.longValue)
     }.sum / 1e3

@@ -107,6 +107,14 @@ object HttpLoop {
                 String.valueOf(e.getMessage) == "no timestamp" =>
               (400, "application/json",
                 """{"error":"no timestamp"}""".getBytes("UTF-8"))
+            // Table-descriptor failures are client errors: the reference
+            // replies 400 {"error":"column error: ..."} when ShowTable
+            // fails for the target db (mods/server/http_write.go:489-492).
+            case e: IllegalArgumentException if
+                String.valueOf(e.getMessage).startsWith("column error") =>
+              (400, "application/json",
+                s"""{"error":${graft.sinks.GoJs.quote(String.valueOf(e.getMessage))}}"""
+                  .getBytes("UTF-8"))
             case e: Exception =>
               (500, "application/json",
                 s"""{"error":${graft.sinks.GoJs.quote(String.valueOf(e.getMessage))}}"""

@@ -106,17 +106,31 @@ object Markdown {
           }
           out.append("</table>\n")
         case t if t.startsWith(">") =>
-          // blockquote: consecutive >-lines merge into one paragraph
-          val para = new StringBuilder
-          var first = true
+          // blockquote: consecutive >-lines form paragraphs; a bare '>'
+          // line is a blank separator — goldmark/GFM emits one <p> per
+          // segment, not a single merged paragraph
+          val body = scala.collection.mutable.ArrayBuffer.empty[String]
           while (i < lines.length && lines(i).trim.startsWith(">")) {
-            if (!first) para.append('\n')
-            first = false
-            para.append(lines(i).trim.stripPrefix(">").stripPrefix(" "))
+            body += lines(i).trim.stripPrefix(">").stripPrefix(" ")
             i += 1
           }
-          out.append("<blockquote>\n<p>").append(inline(para.toString))
-            .append("</p>\n</blockquote>\n")
+          out.append("<blockquote>\n")
+          var j = 0
+          while (j < body.length) {
+            while (j < body.length && body(j).isEmpty) j += 1
+            if (j < body.length) {
+              val para = new StringBuilder
+              var first = true
+              while (j < body.length && body(j).nonEmpty) {
+                if (!first) para.append('\n')
+                first = false
+                para.append(body(j))
+                j += 1
+              }
+              out.append("<p>").append(inline(para.toString)).append("</p>\n")
+            }
+          }
+          out.append("</blockquote>\n")
         case _ if fenceRe.matches(line.trim) && line.trim.startsWith("```") =>
           val fenceRe(lang, _) = line.trim
           i += 1

@@ -46,13 +46,27 @@ object WriteDoor {
               val cols = asSeq(data("columns")).map(String.valueOf(_))
               val rws = asSeq(data("rows")).map(r => asSeq(r))
               // the reference's envelope decoder is POSITIONAL against the
-              // table schema — the "columns" list may be shorter than the
-              // rows (json_test.go TestDecoder: 7 values, 4 listed names);
-              // partial/reordered columns keep working when arities agree
-              val names =
-                if (rws.exists(_.size > cols.size)) TagTables.columnsOf(table)
-                else cols
-              (names, rws.iterator)
+              // table schema and rejects any arity mismatch
+              // (json_decode.go:58-61 "number of columns not matched"); the
+              // "columns" list may be shorter than the rows (json_test.go
+              // TestDecoder: 7 values, 4 listed names). We honor the listed
+              // names when a row's arity matches them (partial/reordered
+              // writes), decided PER ROW — a mixed-arity batch never
+              // misassigns narrower rows — and a row matching neither arity
+              // errors like the reference instead of zip-truncating.
+              val tableCols = TagTables.columnsOf(table)
+              val perRow = rws.iterator.zipWithIndex.map { case (r, i) =>
+                if (r.size == cols.size) {
+                  // remap into table order (buildRow treats explicit null
+                  // and absent identically, so mixing arities is safe)
+                  val byName = cols.map(_.toUpperCase).zip(r).toMap
+                  tableCols.map(c => byName.getOrElse(c.toUpperCase, null))
+                } else if (r.size == tableCols.size) r
+                else throw new IllegalArgumentException(
+                  s"rows[${i + 1}] number of columns not matched (${r.size});" +
+                  s" table '${table.toUpperCase}' has ${tableCols.size} columns")
+              }
+              (tableCols, perRow)
           }
         case "application/x-ndjson" | "application/jsonl" =>
           val objs = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)

@@ -481,7 +481,15 @@ object GoTemplate {
     * false, the branch-safe reading). */
   private def goValueEq(a: Any, b: Any): Boolean = (a, b) match {
     case (x: java.lang.Number, y: java.lang.Number) =>
-      x.doubleValue() == y.doubleValue()
+      // integral pairs compare exactly — doubleValue would collapse
+      // distinct Longs above 2^53 (e.g. adjacent epoch-ns timestamps)
+      def integral(n: java.lang.Number): Boolean = n match {
+        case _: java.lang.Long | _: java.lang.Integer |
+             _: java.lang.Short | _: java.lang.Byte => true
+        case _ => false
+      }
+      if (integral(x) && integral(y)) x.longValue() == y.longValue()
+      else x.doubleValue() == y.doubleValue()
     case (x, y) => x == y
   }
 }

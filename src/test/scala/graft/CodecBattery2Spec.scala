@@ -357,4 +357,31 @@ class CodecBattery2Spec extends SparkSpec {
       "").mkString("\n")
     assert(out == expect, s"\n$out")
   }
+
+  test("templ eq/ne compare integral kinds exactly above 2^53 (Go template eq on int64)") {
+    // two adjacent epoch-ns longs differ by 1 but share a double image;
+    // doubleValue comparison would make eq true and ne false
+    val a = 1691800174123456789L
+    val b = 1691800174123456788L
+    val t = GoTemplate.parse(
+      "{{ if eq (.Value 0) (.Value 1) }}EQ{{ else }}NE{{ end }}" +
+        "{{ if eq (.Value 0) (.Value 2) }} SAME{{ end }}" +
+        "{{ if ne (.Value 0) (.Value 1) }} DIFF{{ end }}")
+    val out = t.render(rec(1, first = true, last = true, a, b, a),
+      Map.empty, htmlEscape = false)
+    assert(out == "NE SAME DIFF", out)
+    // mixed integral/floating still compares by value (literal 1 is Double)
+    val t2 = GoTemplate.parse("{{ if eq (.Value 0) 1 }}ONE{{ end }}")
+    assert(t2.render(rec(1, first = true, last = true, 1L),
+      Map.empty, htmlEscape = false) == "ONE")
+  }
+
+  test("MARKDOWN(html) blockquote: bare '>' line splits paragraphs (goldmark GFM)") {
+    val out = graft.server.Markdown.convert("> alpha\n>\n> beta\n")
+    assert(out.contains(
+      "<blockquote>\n<p>alpha</p>\n<p>beta</p>\n</blockquote>"), out)
+    // no separator still merges with a soft break
+    val one = graft.server.Markdown.convert("> alpha\n> beta\n")
+    assert(one.contains("<blockquote>\n<p>alpha\nbeta</p>\n</blockquote>"), one)
+  }
 }

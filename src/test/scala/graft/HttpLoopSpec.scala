@@ -95,6 +95,19 @@ class HttpLoopSpec extends SparkSpec {
       val n = spark.table("p2line")
         .filter(org.apache.spark.sql.functions.col("NAME") === "cpu.usage_irq").count()
       assert(n == 3L, s"rows=$n")
+      // undefined target table → 400 "column error: ..." (the reference's
+      // table-descriptor failure path, http_write.go:489-492), not 500
+      val url5 = new java.net.URI(
+        s"http://127.0.0.1:$port/metrics/write?db=no_such_tbl").toURL
+      val c5 = url5.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c5.setRequestMethod("POST"); c5.setDoOutput(true)
+      c5.getOutputStream.write(
+        "cpu,host=desktop usage_irq=1 1670975120000000000".getBytes("UTF-8"))
+      c5.getOutputStream.close()
+      val code5 = c5.getResponseCode
+      val b5 = new String(c5.getErrorStream.readAllBytes(), "UTF-8")
+      c5.disconnect()
+      assert(code5 == 400 && b5.contains("column error"), s"$code5 $b5")
     } finally QueryDoor.execute(spark, "drop table p2line")
   }
 

@@ -198,6 +198,31 @@ class WriteDoorSpec extends SparkSpec {
         QueryDoor.execute(spark, "select * from test_js order by name"),
         "CSV", Codecs.Options(timeformat = Some("s"))))
       assert(got == "solo,1676528839,0.1234,7\nwide,1676528840,0.2345,9\n", got)
+      // mixed-arity batch: arity decided PER ROW — the 2-wide row maps by
+      // the listed names (iv goes NULL), the 4-wide row positionally
+      // against the table schema; the narrow row must NOT be misassigned
+      WriteDoor.write(spark, "test_js",
+        """{"data":{"columns":["name","time"],
+          |"rows":[["mixN", 1676528841], ["mixW", 1676528842, 0.5, 3]]}}"""
+          .stripMargin.getBytes("UTF-8"),
+        "application/json", Map("timeformat" -> "s"))
+      val got2 = trimClose(Codecs.render(
+        QueryDoor.execute(spark,
+          "select * from test_js where name like 'mix%' order by name"),
+        "CSV", Codecs.Options(timeformat = Some("s"))))
+      assert(got2 == "mixN,1676528841,NULL,NULL\nmixW,1676528842,0.5,3\n", got2)
+      // a row whose arity matches neither the listed columns nor the
+      // table schema errors like the reference (json_decode.go:58-61
+      // "number of columns not matched"), never zip-truncates
+      val err = intercept[IllegalArgumentException] {
+        WriteDoor.write(spark, "test_js",
+          """{"data":{"columns":["name","time"],
+            |"rows":[["bad", 1676528843, 0.9]]}}""".stripMargin
+            .getBytes("UTF-8"),
+          "application/json", Map("timeformat" -> "s"))
+      }
+      assert(err.getMessage.contains("number of columns not matched"),
+        err.getMessage)
     } finally QueryDoor.execute(spark, "drop table test_js")
   }
 
