@@ -17,6 +17,10 @@ object Sessions {
   /** Apply graft defaults to a builder; caller picks master/parallelism. */
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
+    // machbase datetime-as-int64 SQL arithmetic (plans/MachTime.Coerce):
+    // strictly additive resolution rule, the mixed forms it rewrites are
+    // analysis errors without it
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -16,6 +16,14 @@ object SqlRegistry {
     synchronized {
       // native Expressions (codegen-adjacent, plan-visible)
       ArrayExprs.register(spark)
+      // machbase datetime↔int64 converters (fm_dbsrc.go:191 bucket SQL;
+      // see plans/MachTime). to_timestamp shadows the Spark builtin in
+      // this session registry — door SQL wants the engine's semantics
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("to_timestamp",
+        graft.plans.MachTime.toTimestampBuilder, "built-in")
+      reg.createOrReplaceTempFunction("from_timestamp",
+        graft.plans.MachTime.fromTimestampBuilder, "built-in")
       // thin Scala UDFs for the long-tail scalar names Spark lacks
       spark.udf.register("glob", (pattern: String, text: String) =>
         text != null && pattern != null &&

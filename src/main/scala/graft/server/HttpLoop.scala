@@ -51,27 +51,61 @@ object HttpLoop {
     val srv = HttpServer.create(new java.net.InetSocketAddress(
       java.net.InetAddress.getLoopbackAddress, 0), 0)
     srv.createContext("/db/query", (ex: HttpExchange) => respond(ex) {
-      val params = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
-      params.get("q") match {
-        case None => (400, "text/plain", "missing query parameter q".getBytes("UTF-8"))
-        case Some(q) =>
-          val format = params.getOrElse("format", "json").toUpperCase
-          val out = QueryDoor.query(session, q, format)
-          val ctype = format match {
-            case "CSV" => "text/csv; charset=utf-8"
-            case "JSON" => "application/json"
-            case _ => "text/plain; charset=utf-8"
-          }
+      // full request decode per the reference handleQuery
+      // (http_query.go:25-63): GET reads query params; POST reads a JSON
+      // or form-urlencoded body (http_query_test.go POST_/POST_FORM_
+      // variants); any other POST content type replies 415 with the JSON
+      // error envelope (TestHttpQueryUnsupportedContentTypeForm)
+      val rawQ = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val body = ex.getRequestBody.readAllBytes()
+      // JSON body values re-encode into the param map's string form: the
+      // bind array p stays JSON text, booleans/numbers print Go-style
+      def jsonBodyParams(): Map[String, Seq[String]] =
+        graft.script.Builtins.jsonParse(new String(body, "UTF-8")) match {
+          case m: scala.collection.mutable.LinkedHashMap[_, _] =>
+            m.iterator.map { case (k, v) =>
+              val s = v match {
+                case null => ""
+                case b: java.lang.Boolean => b.toString
+                case str: String => str
+                case other =>
+                  String.valueOf(graft.script.Builtins.jsonStringify(other))
+              }
+              String.valueOf(k) -> Seq(s)
+            }.toMap
+          case _ => Map.empty[String, Seq[String]]
+        }
+      val decoded: Either[WebApi.HttpReply, Map[String, Seq[String]]] =
+        ex.getRequestMethod.toUpperCase match {
+          case "POST" =>
+            val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+              .getOrElse("").takeWhile(_ != ';').trim.toLowerCase
+            ct match {
+              case "application/json" => Right(jsonBodyParams())
+              case "application/x-www-form-urlencoded" =>
+                Right(parseQueryMulti(new String(body, "UTF-8")))
+              case other => Left(WebApi.HttpReply(415,
+                "application/json; charset=utf-8",
+                s"""{"success":false,"reason":"unsupported content-type: $other","elapse":"0s"}"""))
+            }
+          case _ => Right(parseQueryMulti(rawQ))
+        }
+      decoded match {
+        case Left(reply) =>
+          (reply.status, reply.contentType, reply.body.getBytes("UTF-8"))
+        case Right(params) =>
+          val reply = WebApi.dbQuery(session, params)
           // compress=gzip → gzip body + Content-Encoding header, like
           // http_query.go (TestHttpQueryCompressedResponse: the client
           // auto-decompresses and sees the plain CSV bytes)
-          if (params.get("compress").contains("gzip")) {
+          if (reply.status == 200 &&
+            params.get("compress").exists(_.headOption.contains("gzip"))) {
             val buf = new java.io.ByteArrayOutputStream()
             val gz = new java.util.zip.GZIPOutputStream(buf)
-            gz.write(out.getBytes("UTF-8")); gz.close()
+            gz.write(reply.body.getBytes("UTF-8")); gz.close()
             ex.getResponseHeaders.set("Content-Encoding", "gzip")
-            (200, ctype, buf.toByteArray)
-          } else (200, ctype, out.getBytes("UTF-8"))
+            (200, reply.contentType, buf.toByteArray)
+          } else (reply.status, reply.contentType, reply.body.getBytes("UTF-8"))
       }
     })
     srv.createContext("/metrics/write", (ex: HttpExchange) => respond(ex) {

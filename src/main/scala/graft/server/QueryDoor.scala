@@ -33,6 +33,9 @@ object QueryDoor {
     * DDL/DML, like the reference's "executed." rows). */
   def execute(spark: SparkSession, sql: String): DataFrame = {
     import spark.implicits._
+    // the engine's SQL dialect (scalar names, machbase
+    // to_timestamp/from_timestamp) — idempotent per session
+    graft.functions.SqlRegistry.registerAll(spark)
     detect(sql) match {
       case Select =>
         Catalog.recordStatement(sql, "FETCH", 0L)
@@ -303,8 +306,71 @@ object QueryDoor {
     * registered views ($ is not a Spark identifier char), and SQL that
     * names a log table's hidden `_ARRIVAL_TIME` is pointed at the
     * arrival view that exposes it. */
+  /** Machbase names an unaliased select-list expression by its VERBATIM
+    * text — `select (MIN(MIN_TIME)), (MAX(MAX_TIME)) …` replies columns
+    * "(MIN(MIN_TIME))" and "(MAX(MAX_TIME))" exactly as written
+    * (http_query_test.go TestHttpQuery select_v$example). Spark
+    * generates its own name (`min(MIN_TIME)`), so alias top-level
+    * expression items — those ending in ')' with no explicit alias —
+    * with their as-written text, backtick-quoted. Bare columns, `*`,
+    * and already-aliased items pass through untouched. */
+  private[graft] def aliasVerbatim(sql: String): String = {
+    val n = sql.length
+    var i = 0
+    var depth = 0
+    var inStr = false
+    var selStart = -1
+    var selEnd = -1
+    val stops = Set("from", "where", "group", "order", "limit", "having",
+      "union", "intersect", "except")
+    while (i < n && selEnd < 0) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (sql.charAt(i).isLetterOrDigit ||
+          sql.charAt(i) == '_' || sql.charAt(i) == '$')) i += 1
+        val w = sql.substring(start, i).toLowerCase
+        if (depth == 0) {
+          if (selStart < 0) { if (w == "select") selStart = i }
+          else if (stops(w)) selEnd = start
+        }
+      } else i += 1
+    }
+    if (selStart < 0) return sql
+    val end = if (selEnd >= 0) selEnd else n
+    val items = splitValues(sql.substring(selStart, end))
+    def hasTopLevelAs(item: String): Boolean = {
+      var d = 0; var s = false; var j = 0
+      while (j < item.length) {
+        val c = item.charAt(j)
+        if (s) { if (c == '\'') s = false; j += 1 }
+        else if (c == '\'') { s = true; j += 1 }
+        else if (c == '(') { d += 1; j += 1 }
+        else if (c == ')') { d -= 1; j += 1 }
+        else if (c.isLetter || c == '_') {
+          val st = j
+          while (j < item.length && (item.charAt(j).isLetterOrDigit ||
+            item.charAt(j) == '_' || item.charAt(j) == '$')) j += 1
+          if (d == 0 && item.substring(st, j).equalsIgnoreCase("as")) return true
+        } else j += 1
+      }
+      false
+    }
+    val rewritten = items.map { item =>
+      if (item.endsWith(")") && !item.contains("`") && !hasTopLevelAs(item))
+        s"$item AS `$item`"
+      else item
+    }
+    sql.substring(0, selStart) + " " + rewritten.mkString(", ") +
+      (if (end < n) " " + sql.substring(end) else "")
+  }
+
   private def rewriteSelect(spark: SparkSession, sql: String): String = {
-    var out = Catalog.rewriteSysNames(spark, sql)
+    var out = Catalog.rewriteSysNames(spark, aliasVerbatim(sql))
     // mounted-archive reference spelling: <mount>.SYS.<table>
     // (backup mounts expose tables under MOUNTDB.SYS.*) → the session
     // catalog's 2-part <mount>.<table>

@@ -120,6 +120,11 @@ object WebApi {
   case class HttpReply(status: Int, contentType: String, body: String,
                        headers: Map[String, String] = Map.empty)
 
+  /** Server cypher for `ENC:`-prefixed query text: (alg, key, pad) per
+    * the reference's httpd config (http.go:110-112). Disabled unless
+    * configured — matching the reference's empty default. */
+  @volatile var cypher: Option[(String, String, String)] = None
+
   /** `GET/POST /db/query` — request params decoded per the reference's
     * QueryRequest (svrmsg.go:30-108: q, p JSON bind array, format,
     * timeformat, tz, rownum, heading, header=skip, precision, transpose,
@@ -141,8 +146,19 @@ object WebApi {
       HttpReply(status, "application/json; charset=utf-8",
         s"""{"success":false,"reason":${graft.sinks.GoJs.quote(reason)},"elapse":"$elapse"}""")
 
-    val sqlText = one("q").getOrElse("")
-    if (sqlText.trim.isEmpty) return err(400, "sql text is empty")
+    val sqlText0 = one("q").getOrElse("")
+    if (sqlText0.trim.isEmpty) return err(400, "sql text is empty")
+    // ENC:-prefixed query text decrypts through the server cypher when
+    // one is configured (http_query.go:65-74); a decrypt failure is a
+    // 400 with the "decrypt sql fail, ..." reason
+    // (TestHttpQueryEncrypted wrong-key case)
+    val sqlText = cypher match {
+      case Some((alg, key, pad)) if sqlText0.startsWith("ENC:") =>
+        try Crypto.decrypt(sqlText0.stripPrefix("ENC:"), alg, key, pad)
+        catch { case e: Exception =>
+          return err(400, "decrypt sql fail, " + e.getMessage) }
+      case _ => sqlText0
+    }
     val binds: Seq[Any] =
       try parseBindParams(one("p").getOrElse(""))
       catch { case e: IllegalArgumentException => return err(400, e.getMessage) }
@@ -674,20 +690,21 @@ object WebApi {
     * — arrays/objects reject with the Go type token). */
   private[server] def parseBindParams(raw: String): Seq[Any] = {
     if (raw.trim.isEmpty) return Nil
-    import graft.tql.{Expr, Parser}
-    def scalar(e: Expr): Any = e match {
-      case Expr.Num(v) => v
-      case Expr.Str(s) => s
-      case Expr.Bool(b) => b
-      case Expr.Null => null
-      case Expr.Unary("-", Expr.Num(v)) => -v
-      case Expr.Call("__arr", _) => throw new IllegalArgumentException(
-        "bind parameter must be scalar, got []interface {}")
-      case _ => throw new IllegalArgumentException(
-        "bind parameter must be scalar, got map[string]interface {}")
-    }
-    Parser.parseExpression(raw) match {
-      case Expr.Call("__arr", items) => items.map(scalar)
+    // `p` is a JSON array of scalars (svrmsg.go QueryRequest.Params); a
+    // nested array or object element errors with the reference's Go-typed
+    // message (TestHttpQueryBindParamInvalid / UnsupportedContentType)
+    val parsed =
+      try graft.script.Builtins.jsonParse(raw)
+      catch { case _: Exception =>
+        throw new IllegalArgumentException(s"invalid p, $raw") }
+    parsed match {
+      case s: scala.collection.Seq[_] => s.iterator.map {
+        case _: scala.collection.Seq[_] => throw new IllegalArgumentException(
+          "bind parameter must be scalar, got []interface {}")
+        case _: scala.collection.Map[_, _] => throw new IllegalArgumentException(
+          "bind parameter must be scalar, got map[string]interface {}")
+        case v => v
+      }.toSeq
       case _ => throw new IllegalArgumentException(s"invalid p, $raw")
     }
   }
