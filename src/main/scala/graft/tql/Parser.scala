@@ -18,13 +18,48 @@ object Parser {
   case object TEof extends Tok
 
   private val multiOps = List("**", "==", "!=", ">=", "<=", "=~", "!~", "&&", "||", "??", "<<", ">>")
+  // single characters that form valid operator tokens; anything else is
+  // an invalid_token parse error like the reference lexer
+  // (expression/parse.go:300, error_position_test.go "1 @ 2" → col 3)
+  private val singleOps = "()[]{},+-*/%&|^~!?:<>=$.;".toSet
 
-  def lex(s: String): Vector[Tok] = {
-    val out = Vector.newBuilder[Tok]
+  /** Parse error carrying the reference's kind/span/near fields
+    * (expression/errors.go ParseError; message format `msg (line=N,
+    * column=M, near="X")`). */
+  final class ParseException(val kind: String, val baseMessage: String,
+                             val line: Int, val column: Int, val near: String)
+    extends IllegalArgumentException(
+      if (near.nonEmpty)
+        s"$baseMessage (line=$line, column=$column, near=" + "\"" + near + "\")"
+      else s"$baseMessage (line=$line, column=$column)")
+
+  private def parseError(kind: String, msg: String, src: String, offset: Int,
+                         near: String): Nothing = {
+    var line = 1; var col = 1; var k = 0
+    val lim = math.min(offset, src.length)
+    while (k < lim) {
+      if (src.charAt(k) == '\n') { line += 1; col = 1 } else col += 1
+      k += 1
+    }
+    if (offset >= src.length && offset > 0) col += offset - src.length
+    throw new ParseException(kind, msg, line, col, near)
+  }
+
+  def lex(s: String): Vector[Tok] = lexSpans(s)._1
+
+  /** Tokens plus each token's start offset in the source (error spans). */
+  def lexSpans(s: String): (Vector[Tok], Vector[Int]) = {
+    val toks = Vector.newBuilder[Tok]
+    val offs = Vector.newBuilder[Int]
+    var tokStart = 0
+    val out = new AnyRef {
+      def +=(t: Tok): Unit = { toks += t; offs += tokStart }
+    }
     var i = 0
     val n = s.length
     while (i < n) {
       val c = s(i)
+      tokStart = i
       if (c.isWhitespace) i += 1
       else if (c == '/' && i + 1 < n && s(i + 1) == '/') {
         while (i < n && s(i) != '\n') i += 1
@@ -109,12 +144,16 @@ object Parser {
       } else {
         multiOps.find(op => s.startsWith(op, i)) match {
           case Some(op) => out += TOp(op); i += op.length
-          case None => out += TOp(c.toString); i += 1
+          case None =>
+            if (!singleOps.contains(c))
+              parseError("invalid_token", s"invalid token: '$c'", s, i, c.toString)
+            out += TOp(c.toString); i += 1
         }
       }
     }
+    tokStart = n
     out += TEof
-    out.result()
+    (toks.result(), offs.result())
   }
 
   // ---------------- Pratt parser ----------------
@@ -137,14 +176,37 @@ object Parser {
     case _ => 0
   }
 
-  final class P(toks: Vector[Tok]) {
+  final class P(toks: Vector[Tok], offs: Vector[Int] = Vector.empty,
+                src: String = "") {
     private var pos = 0
     def peek: Tok = toks(pos)
     def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def offsetAt(idx: Int): Int =
+      if (offs.isEmpty) 0 else offs(math.min(idx, offs.length - 1))
+    private def rawOf(t: Tok): String = t match {
+      case TOp(o) => o
+      case TIdent(x) => x
+      case TStr(v) => v
+      case TNum(v) => if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+      case TEof => ""
+    }
+    /** reference unexpected_end: span points past the last token
+      * (error_position_test.go "1 +" → column 4, near "+") */
+    private def unexpectedEnd(): Nothing = {
+      val near = if (pos >= 2) rawOf(toks(pos - 2)) else ""
+      parseError("unexpected_end", "unexpected end of expression",
+        src, if (src.isEmpty) 0 else src.length + 0, near)
+    }
+    private def unbalanced(openIdx: Int): Nothing =
+      parseError("unbalanced_parenthesis", "unbalanced parenthesis",
+        src, offsetAt(openIdx), "(")
     def expectOp(op: String): Unit = next() match {
       case TOp(`op`) =>
+      case TEof if op == ")" || op == "]" || op == "}" => unexpectedEnd()
       case other => throw new IllegalArgumentException(s"expected '$op', got $other")
     }
+    /** index of the token just consumed. */
+    private def prevIdx: Int = pos - 1
 
     def parseExpr(rbp: Int = 0): Expr = {
       var left = nud(next())
@@ -152,11 +214,26 @@ object Parser {
       while (continue) {
         peek match {
           case TOp(op) if lbp(op) > rbp => next(); left = led(op, left)
-          case TIdent("in") if lbp("in") > rbp => next(); left = parseIn(left)
+          // `in` / `IN` both spell membership (parse_test.go
+          // TestComparatorParsing "Array membership uppercase")
+          case TIdent(w) if w.equalsIgnoreCase("in") && lbp("in") > rbp =>
+            next(); left = parseIn(left)
           case _ => continue = false
         }
       }
       left
+    }
+
+    /** full-expression parse: trailing tokens are a parse error like the
+      * reference (parse.go:300 invalid_token — "1 @ 2" or "foo.Var" must
+      * not silently truncate to the leading operand). */
+    def parseFull(): Expr = {
+      val e = parseExpr(0)
+      peek match {
+        case TEof => e
+        case t => parseError("invalid_token",
+          s"invalid token: '${rawOf(t)}'", src, offsetAt(pos), rawOf(t))
+      }
     }
 
     private def nud(t: Tok): Expr = t match {
@@ -167,7 +244,9 @@ object Parser {
       case TIdent("null") | TIdent("NULL") => Expr.Null
       case TIdent(name) =>
         peek match {
-          case TOp("(") => next(); Expr.Call(name, parseArgs())
+          case TOp("(") =>
+            next(); val openIdx = prevIdx
+            Expr.Call(name, parseArgs(openIdx))
           case _ => Expr.Ident(name)
         }
       case TOp("$") => next() match {
@@ -180,7 +259,17 @@ object Parser {
           expectOp("}"); e
         case o => throw new IllegalArgumentException(s"bad var $o")
       }
-      case TOp("(") => val e = parseExpr(0); expectOp(")"); e
+      case TOp("(") =>
+        // reference reports a dangling '(' as unbalanced_parenthesis at
+        // the OPENING token (error_position_test.go "(1 + 2" → col 1)
+        val openIdx = prevIdx
+        val e = parseExpr(0)
+        peek match {
+          case TOp(")") => next(); e
+          case TEof => unbalanced(openIdx)
+          case other => throw new IllegalArgumentException(
+            s"expected ')', got $other")
+        }
       case TOp("{") => Expr.Call("__obj", parseUntil("}"))
       case TOp("[") => Expr.Call("__arr", parseUntil("]"))
       case TOp("-") => parseExpr(70) match {
@@ -190,12 +279,13 @@ object Parser {
       case TOp("+") => parseExpr(70)
       case TOp("!") => Expr.Unary("!", parseExpr(70))
       case TOp("~") => Expr.Unary("~", parseExpr(70))
+      case TEof => unexpectedEnd()
       case other => throw new IllegalArgumentException(s"unexpected token $other")
     }
 
     private def led(op: String, left: Expr): Expr = op match {
       case "(" => left match {
-        case Expr.Ident(n) => Expr.Call(n, parseArgs())
+        case Expr.Ident(n) => Expr.Call(n, parseArgs(prevIdx))
         case _ => throw new IllegalArgumentException("call on non-identifier")
       }
       case "[" =>
@@ -214,7 +304,7 @@ object Parser {
 
     private def parseIn(left: Expr): Expr = {
       expectOp("(")
-      Expr.In(left, parseArgs())
+      Expr.In(left, parseArgs(prevIdx))
     }
 
     /** Comma-separated expressions closed by `close` (for {…} / […]). */
@@ -237,7 +327,7 @@ object Parser {
       items.toList
     }
 
-    private def parseArgs(): List[Expr] = {
+    private def parseArgs(openIdx: Int): List[Expr] = {
       val args = ListBuffer.empty[Expr]
       peek match {
         case TOp(")") => next(); return args.toList
@@ -249,6 +339,7 @@ object Parser {
         next() match {
           case TOp(",") =>
           case TOp(")") => continue = false
+          case TEof => unbalanced(openIdx)
           case other => throw new IllegalArgumentException(s"expected ',' or ')', got $other")
         }
       }
@@ -256,7 +347,10 @@ object Parser {
     }
   }
 
-  def parseExpression(s: String): Expr = new P(lex(s)).parseExpr(0)
+  def parseExpression(s: String): Expr = {
+    val (toks, offs) = lexSpans(s)
+    new P(toks, offs, s).parseFull()
+  }
 
   // ---------------- statement splitting ----------------
   /** `{<<TAG` / `` `<<TAG `` heredoc tag: letter/_ head, word tail
@@ -395,9 +489,10 @@ object Parser {
     heredocSpan(s, i).map { end =>
       val nl = s.indexOf('\n', i + 3)
       val chunk = s.substring(nl + 1, end - 1)
-      // strip the closer line's "TAG" tail (plus its preceding newline)
+      // strip the closer line's "TAG" tail; the body keeps its final
+      // newline (parse_test.go TestScriptBlock pins "…};\n")
       val lastNl = chunk.lastIndexOf('\n')
-      (if (lastNl < 0) "" else chunk.substring(0, lastNl), end)
+      (if (lastNl < 0) "" else chunk.substring(0, lastNl + 1), end)
     }
 
   /** The end index (exclusive of nothing — just past the close char) of a

@@ -174,7 +174,8 @@ class ParserPropSpec extends AnyFunSuite {
         val tag = "EOT" + ('A' + r.nextInt(26)).toChar
         val body = heredocBodies(r.nextInt(heredocBodies.size))
         val lines = Vector(s"SCRIPT({<<$tag") ++ body ++ Vector(s"$tag})")
-        (lines, "SCRIPT", Some(body.mkString("\n")))
+        // the body keeps its final newline (parse_test.go TestScriptBlock)
+        (lines, "SCRIPT", Some(body.mkString("\n") + "\n"))
     }
 
   test("300 generated scripts split into exactly the generated statements") {
