@@ -693,7 +693,12 @@ object Builtins {
     private var i = 0
     def atEnd: Boolean = i >= s.length
     def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
-    private def fail(): Nothing = throwErr("SyntaxError", s"Unexpected token in JSON at position $i")
+    // truncated input fails with Go's json decoder wording — door error
+    // envelopes surface it verbatim (http_test.go TestHandleStatzConfig
+    // "rejects malformed body", mqtt_test.go query_invalid_json)
+    private def fail(): Nothing =
+      if (i >= s.length) throwErr("SyntaxError", "unexpected EOF")
+      else throwErr("SyntaxError", s"Unexpected token in JSON at position $i")
     def parseValue(): Any = {
       skipWs()
       if (atEnd) fail()

@@ -276,6 +276,16 @@ object Bridge {
       val s = bindSql(sql, binds).trim
       val lower = s.toLowerCase
       if (lower.startsWith("create table")) create(s)
+      else if (lower.startsWith("drop table")) {
+        val DropTblRe = "(?is)^drop\\s+table\\s+(?:if\\s+exists\\s+)?(\\w+)\\s*$".r
+        s match {
+          case DropTblRe(t) =>
+            tables.remove(t.toLowerCase)
+            try spark.catalog.dropTempView(viewName(t)) catch { case _: Exception => }
+            ExecResult("Dropped successfully.", 0L, "executed")
+          case _ => throw new IllegalArgumentException(s"syntax error in: $s")
+        }
+      }
       else if (lower.startsWith("insert")) insert(spark, s)
       else if (lower.startsWith("update")) update(spark, s)
       else if (lower.startsWith("delete")) delete(spark, s)
@@ -313,20 +323,32 @@ object Bridge {
     }
 
     private val InsertRe =
-      "(?is)^insert\\s+into\\s+(\\w+)\\s*(?:\\(([^)]*)\\)\\s*)?values\\s*\\((.*)\\)\\s*$".r
+      "(?is)^insert\\s+into\\s+(\\w+)\\s*(?:\\(([^)]*)\\)\\s*)?values\\s*(\\(.*\\))\\s*$".r
     private def insert(spark: SparkSession, s: String): ExecResult = s match {
       case InsertRe(t, cols, vals) =>
         val (schema, rows) = table(t)
         val columns = Option(cols)
           .map(_.split(",").map(_.trim).toSeq)
           .getOrElse(schema.fieldNames.toSeq)
-        val values = QueryDoor.splitValues(vals).map(QueryDoor.literalValue)
-        val byName = columns.map(_.toLowerCase).zip(values).toMap
-        rows += Row.fromSeq(schema.fields.map { f =>
-          byName.get(f.name.toLowerCase).map(coerceValue(_, f.dataType)).orNull
-        }.toSeq)
+        // multi-row VALUES (1,'a'), (2,'b') — split top-level commas into
+        // parenthesized tuples (http_facility_test.go
+        // TestBridgeStateExecAndQuery inserts two rows in one statement)
+        val tuples = QueryDoor.splitValues(vals).map(_.trim).map { tup =>
+          if (!(tup.startsWith("(") && tup.endsWith(")")))
+            throw new IllegalArgumentException(s"syntax error in: $s")
+          QueryDoor.splitValues(tup.substring(1, tup.length - 1))
+            .map(QueryDoor.literalValue)
+        }
+        tuples.foreach { values =>
+          val byName = columns.map(_.toLowerCase).zip(values).toMap
+          rows += Row.fromSeq(schema.fields.map { f =>
+            byName.get(f.name.toLowerCase).map(coerceValue(_, f.dataType)).orNull
+          }.toSeq)
+        }
         refresh(spark, t)
-        ExecResult("a row inserted.", 1L, "inserted")
+        val n = tuples.size.toLong
+        ExecResult(if (n == 1L) "a row inserted." else s"$n rows inserted.",
+          n, "inserted")
       case _ => throw new IllegalArgumentException(s"syntax error in: $s")
     }
 

@@ -205,6 +205,39 @@ object Catalog {
         s"_${tu}_META__LAST_UPDATE_TIME", "REDBLACK", "UNCOMPRESSED", 0L, 100000L, "EQUAL"))
   }
 
+  /** User-created secondary indexes (spi/sql_test.go
+    * TestMultiUserSessionIndexBehavior): Spark answers the same queries
+    * with no index object, so CREATE INDEX registers a catalog entry
+    * only — results are identical and the entry is visible in SHOW
+    * INDEXES / M$SYS_INDEXES like the engine's (name uppercased,
+    * default LSM type per spi/show.go:609-617's else branch). */
+  private case class UserIndex(name: String, table: String, column: String,
+                               id: Long)
+  private val userIdx = scala.collection.mutable.ArrayBuffer.empty[UserIndex]
+  private val idxIdGen = new java.util.concurrent.atomic.AtomicLong(100L)
+
+  def createIndex(name: String, table: String, column: String): Unit =
+    synchronized {
+      val n = name.toUpperCase
+      if (userIdx.exists(_.name == n))
+        throw new IllegalArgumentException(s"index $n already exists")
+      userIdx += UserIndex(n, table.toUpperCase, column.toUpperCase,
+        idxIdGen.getAndIncrement())
+    }
+
+  def dropIndex(name: String): Unit = synchronized {
+    val n = name.toUpperCase
+    val i = userIdx.indexWhere(_.name == n)
+    if (i < 0) throw new IllegalArgumentException(s"index $n does not exist")
+    userIdx.remove(i)
+  }
+
+  def dropIndexesOf(table: String): Unit = synchronized {
+    userIdx.filterInPlace(_.table != table.toUpperCase)
+  }
+
+  def resetIndexesForTest(): Unit = synchronized { userIdx.clear() }
+
   def indexRows: Seq[Row] = {
     val fixtures = metaIndexRows("tag_data", Seq(3L, 4L, 5L)) ++
       metaIndexRows("tag_simple", Seq(10L, 11L, 12L))
@@ -213,7 +246,11 @@ object Catalog {
         val base = 4L * k
         metaIndexRows(t, Seq(6L + base, 7L + base, 9L + base))
     }
-    fixtures ++ dynamic
+    val users = synchronized {
+      userIdx.toSeq.map(u => Row(u.id, "MACHBASEDB", "SYS", u.table,
+        u.column, u.name, "LSM", "UNCOMPRESSED", 0L, 100000L, "EQUAL"))
+    }
+    fixtures ++ dynamic ++ users
   }
 
   private val indexSchema = StructType(Seq(l("ID"), s("DATABASE"), s("USER"),
@@ -316,6 +353,25 @@ object Catalog {
       case "M$TABLES" => Some(showMetaTables(spark))
       case "V$TABLES" => Some(showVirtualTables(spark))
       case "M$SYS_USERS" => Some(showUsers(spark))
+      case "M$SYS_INDEXES" =>
+        // raw index catalog behind spi/show.go:600-650's listIndexesSql:
+        // NAME + int TYPE (5/8→REDBLACK, 6→LSM) are what
+        // spi/sql_test.go TestMultiUserSessionIndexBehavior scans
+        Some(df(spark, StructType(Seq(s("NAME"), l("ID"), l("TYPE"),
+          l("KEY_COMPRESS"), l("MAX_LEVEL"), l("PART_VALUE_COUNT"),
+          l("BITMAP_ENCODE"), l("TABLE_ID"))),
+          indexRows.map { r =>
+            val typeInt = r.getString(6) match {
+              case "REDBLACK" => 8L
+              case "LSM" => 6L
+              case "KEYWORD" => 2L
+              case "BITMAP" => 1L
+              case "TAG" => 11L
+              case _ => 6L
+            }
+            Row(r.getString(5), r.getLong(0), typeInt, 0L, r.getLong(8),
+              r.getLong(9), 0L, 0L)
+          }))
       case "V$SESSION" => Some(showSessions(spark))
       case "V$NEO_SESSION" => Some(df(spark,
         StructType(Seq(l("ID"), l("USER_ID"), s("USER_NAME"))), Nil))

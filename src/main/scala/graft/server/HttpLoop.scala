@@ -58,30 +58,14 @@ object HttpLoop {
       // error envelope (TestHttpQueryUnsupportedContentTypeForm)
       val rawQ = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       val body = ex.getRequestBody.readAllBytes()
-      // JSON body values re-encode into the param map's string form: the
-      // bind array p stays JSON text, booleans/numbers print Go-style
-      def jsonBodyParams(): Map[String, Seq[String]] =
-        graft.script.Builtins.jsonParse(new String(body, "UTF-8")) match {
-          case m: scala.collection.mutable.LinkedHashMap[_, _] =>
-            m.iterator.map { case (k, v) =>
-              val s = v match {
-                case null => ""
-                case b: java.lang.Boolean => b.toString
-                case str: String => str
-                case other =>
-                  String.valueOf(graft.script.Builtins.jsonStringify(other))
-              }
-              String.valueOf(k) -> Seq(s)
-            }.toMap
-          case _ => Map.empty[String, Seq[String]]
-        }
       val decoded: Either[WebApi.HttpReply, Map[String, Seq[String]]] =
         ex.getRequestMethod.toUpperCase match {
           case "POST" =>
             val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
               .getOrElse("").takeWhile(_ != ';').trim.toLowerCase
             ct match {
-              case "application/json" => Right(jsonBodyParams())
+              case "application/json" =>
+                Right(WebApi.decodeJsonBodyParams(new String(body, "UTF-8")))
               case "application/x-www-form-urlencoded" =>
                 Right(parseQueryMulti(new String(body, "UTF-8")))
               case other => Left(WebApi.HttpReply(415,
@@ -156,9 +140,44 @@ object HttpLoop {
           }
       }
     })
+    // metrics endpoints (http_test.go TestStatz/TestDebugMetrics/
+    // TestHandleStatzConfig): /debug/statz JSON, /debug/metrics
+    // Prometheus text, /debug/statz/config get/set
+    srv.createContext("/debug/statz", (ex: HttpExchange) => respond(ex) {
+      if (ex.getRequestURI.getPath.stripSuffix("/").endsWith("/config")) {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val r = WebApi.statzConfig(ex.getRequestMethod, body)
+        (r.status, r.contentType, r.body.getBytes("UTF-8"))
+      } else
+        (200, "application/json", Metrics.statzJson().getBytes("UTF-8"))
+    })
+    srv.createContext("/debug/metrics", (ex: HttpExchange) => respond(ex) {
+      (200, "text/plain; version=0.0.4; charset=utf-8",
+        Metrics.prometheusText().getBytes("UTF-8"))
+    })
     srv.createContext("/db/tql", (ex: HttpExchange) => respond(ex) {
       val script = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       (200, "application/json", graft.tql.Tql.run(session, script).getBytes("UTF-8"))
+    })
+    // POST /web/api/md — markdown → XHTML with {{ file_* }} substitution
+    // from the base64 X-Referer header (http.go:1105-1144 handleMarkdown;
+    // goldens http_test.go TestMarkdown)
+    srv.createContext("/web/api/md", (ex: HttpExchange) => respond(ex) {
+      val src = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val refererB64 = Option(ex.getRequestHeaders.getFirst("X-Referer")).getOrElse("")
+      val referer =
+        try new String(java.util.Base64.getDecoder.decode(refererB64), "UTF-8")
+        catch { case e: IllegalArgumentException =>
+          null
+        }
+      if (referer == null)
+        (400, "text/plain", "illegal base64 data in X-Referer".getBytes("UTF-8"))
+      else {
+        val dark = parseQuery(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+          .get("darkMode").contains("true")
+        (200, "application/xhtml+xml",
+          Markdown.render(src, dark, referer).getBytes("UTF-8"))
+      }
     })
     srv.createContext("/web/api", (ex: HttpExchange) => respond(ex) {
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")

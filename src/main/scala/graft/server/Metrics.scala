@@ -32,4 +32,31 @@ object Metrics {
     }
     entries.mkString("{", ",", "}")
   }
+
+  /** statz output-table config (spi/metrics.go MetricsDestTable /
+    * SetMetricsDestTable — stored trimmed; empty disables). */
+  @volatile private var destTable: String = ""
+  def metricsDestTable: String = destTable
+  def setMetricsDestTable(t: String): Unit = destTable = t.trim
+
+  /** `/debug/metrics` Prometheus text exposition
+    * (spi/metrics.go:524-584): HELP/TYPE per metric then
+    * `name value tsMillis`. Names sanitize to [a-zA-Z0-9_:]; latest
+    * sample per measure. */
+  def prometheusText(): String = {
+    val sb = new StringBuilder
+    series.keys.toSeq.sorted.foreach { name =>
+      timeseries(name).lastOption.foreach { case (tsNs, v) =>
+        val metric = name.map(c =>
+          if (c.isLetterOrDigit || c == '_' || c == ':') c else '_')
+        val typ = if (metric.endsWith("_total")) "counter" else "gauge"
+        sb.append("# HELP ").append(metric)
+          .append(" Metric exported from machbase statz\n")
+        sb.append("# TYPE ").append(metric).append(' ').append(typ).append('\n')
+        sb.append(metric).append(' ').append(graft.sinks.GoJs.goNum(v))
+          .append(' ').append(tsNs / 1000000L).append('\n')
+      }
+    }
+    sb.toString
+  }
 }

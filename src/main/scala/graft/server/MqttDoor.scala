@@ -18,7 +18,7 @@ object MqttDoor {
     val cli = new BrokerLoop.MqttClient(host, port, "graft-mqtt-door")
     cli.subscribe("db/query") { (_, payload) =>
       val (reply, out) = serve(spark, new String(payload, "UTF-8"))
-      cli.publish(reply, out.getBytes("UTF-8"))
+      cli.publish(reply, out)
     }
     // write topics (mqtt_write.go): db/write|append/<table>[:fmt[:gzip]];
     // db/metrics/<table> takes InfluxDB line protocol. QoS-0 publishes
@@ -46,41 +46,41 @@ object MqttDoor {
     cli
   }
 
-  /** One request → (reply topic, encoded payload). Failures return the
-    * JSON error envelope like the reference's deferred responder. */
-  private[server] def serve(spark: SparkSession, body: String): (String, String) = {
+  /** One request → (reply topic, encoded payload bytes). The request is
+    * the same QueryRequest the HTTP door decodes (mqtt_query.go routes
+    * into the shared handler), so the full option surface — format, p
+    * binds, tz/timeformat, transpose/rowsFlatten/rowsArray,
+    * compress=gzip — behaves identically across doors (mqtt_test.go
+    * TestMqttQuery). Failures return the JSON error envelope like the
+    * reference's deferred responder, on the requested reply topic. */
+  def serveForTest(spark: SparkSession, body: String): (String, Array[Byte]) =
+    serve(spark, body)
+
+  private[server] def serve(spark: SparkSession, body: String): (String, Array[Byte]) = {
     var reply = "db/reply"
-    val out =
-      try {
-        val req = graft.script.Builtins.jsonParse(body) match {
-          case m: scala.collection.Map[_, _] =>
-            m.asInstanceOf[scala.collection.Map[String, Any]]
-          case _ => throw new IllegalArgumentException("invalid query request")
-        }
-        req.get("reply").collect { case s: String if s.nonEmpty => s }
-          .foreach(reply = _)
-        val q = req.get("q").collect { case s: String => s }.getOrElse(
-          throw new IllegalArgumentException("empty sql"))
-        val format = req.get("format").collect { case s: String => s }
-          .getOrElse("json").toUpperCase
-        var opts = graft.sinks.Codecs.Options()
-        req.get("timeformat").collect { case s: String => s }.foreach { f =>
-          opts = opts.copy(timeformat = Some(f.toLowerCase match {
-            case "s" | "ms" | "us" | "ns" => f.toLowerCase
-            case "default" => "yyyy-MM-dd HH:mm:ss"
-            case other => graft.time.TimeFns.translateTimeformat(other)
-          }))
-        }
-        req.get("tz").collect { case s: String => s }.foreach(z =>
-          opts = opts.copy(tz = graft.time.TimeFns.resolveTz(z)))
-        req.get("rowsFlatten").collect { case b: Boolean => b }.foreach(b =>
-          opts = opts.copy(rowsFlatten = b))
-        QueryDoor.query(spark, q, format, opts)
-      } catch {
-        case e: Exception =>
-          val msg = Option(e.getMessage).getOrElse(e.toString)
+    try {
+      val params = WebApi.decodeJsonBodyParams(body)
+      params.get("reply").flatMap(_.headOption).filter(_.nonEmpty)
+        .foreach(reply = _)
+      val r = WebApi.dbQuery(spark, params - "reply")
+      // compress=gzip gzips the reply payload (TestMqttQuery
+      // query_simple_format=csv_compress pins the gzipped bytes)
+      if (r.status == 200 &&
+        params.get("compress").exists(_.headOption.contains("gzip"))) {
+        val buf = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(buf)
+        gz.write(r.body.getBytes("UTF-8")); gz.close()
+        (reply, buf.toByteArray)
+      } else (reply, r.body.getBytes("UTF-8"))
+    } catch {
+      case e: Exception =>
+        // a malformed request body still answers on the default (or
+        // parsed-so-far) reply topic with the decoder's message
+        // (TestMqttQueryFailures query_invalid_json)
+        val msg = Option(e.getMessage).getOrElse(e.toString)
+        (reply,
           s"""{"success":false,"reason":${graft.sinks.GoJs.quote(msg)},"elapse":"0s"}"""
-      }
-    (reply, out)
+            .getBytes("UTF-8"))
+    }
   }
 }

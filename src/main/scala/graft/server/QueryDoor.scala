@@ -71,6 +71,9 @@ object QueryDoor {
           "(?is)^\\s*backup\\s+database\\s*(.*?)\\s*into\\s+disk\\s*=\\s*'([^']+)'\\s*$".r
         val BackupTblRe =
           "(?is)^\\s*backup\\s+table\\s+(\\w+)\\s*(.*?)\\s*into\\s+disk\\s*=\\s*'([^']+)'\\s*$".r
+        val CreateIdxRe =
+          "(?is)^\\s*create\\s+index\\s+(?:\\w+\\.)?(\\w+)\\s+on\\s+(?:\\w+\\.)?(\\w+)\\s*\\(\\s*(\\w+)\\s*\\)\\s*$".r
+        val DropIdxRe = "(?is)^\\s*drop\\s+index\\s+(?:\\w+\\.)?(\\w+)\\s*$".r
         val MountRe =
           "(?is)^\\s*mount\\s+database\\s+'([^']+)'\\s+to\\s+'?(\\w+)'?\\s*$".r
         val UnmountRe =
@@ -100,8 +103,19 @@ object QueryDoor {
             Seq("executed.").toDF("MESSAGE")
           case DropRe(table) if TagTables.descriptorFor(table).isDefined =>
             TagTables.dropTable(spark, table)
+            Catalog.dropIndexesOf(table)
             // engine DDL classifies by the first SQL word
             // (spi/machsvr/mach_rows.go definedMessage)
+            Seq("Dropped successfully.").toDF("MESSAGE")
+          // CREATE/DROP INDEX — Spark needs no index object to answer the
+          // same queries; the statement registers a catalog entry visible
+          // via SHOW INDEXES / M$SYS_INDEXES (spi/sql_test.go
+          // TestMultiUserSessionIndexBehavior; names may be user-qualified)
+          case CreateIdxRe(name, table, col) =>
+            Catalog.createIndex(name, table, col)
+            Seq("Created successfully.").toDF("MESSAGE")
+          case DropIdxRe(name) =>
+            Catalog.dropIndex(name)
             Seq("Dropped successfully.").toDF("MESSAGE")
           case DeleteRe(table, where)
             if TagTables.descriptorFor(table).isDefined =>
@@ -369,8 +383,37 @@ object QueryDoor {
       (if (end < n) " " + sql.substring(end) else "")
   }
 
+  /** machbase treats an empty string literal as NULL (neo#1408;
+    * spi/sql_test.go TestMachbaseSQLCompatibilityEmptyVarchar pins
+    * `SELECT ''` scanning as nil, not "") — rewrite standalone `''`
+    * literals to a typed NULL so the column stays varchar. Literals with
+    * `''` escapes inside are untouched. */
+  private[graft] def emptyLiteralsAsNull(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') {
+        val start = i
+        i += 1
+        var bodyLen = 0
+        var done = false
+        while (i < n && !done) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') { bodyLen += 1; i += 2 }
+            else { done = true; i += 1 }
+          } else { bodyLen += 1; i += 1 }
+        }
+        if (done && bodyLen == 0) sb.append("CAST(NULL AS STRING)")
+        else sb.append(sql.substring(start, i))
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def rewriteSelect(spark: SparkSession, sql: String): String = {
-    var out = Catalog.rewriteSysNames(spark, aliasVerbatim(sql))
+    var out = Catalog.rewriteSysNames(spark, emptyLiteralsAsNull(aliasVerbatim(sql)))
     // mounted-archive reference spelling: <mount>.SYS.<table>
     // (backup mounts expose tables under MOUNTDB.SYS.*) → the session
     // catalog's 2-part <mount>.<table>

@@ -120,6 +120,27 @@ object WebApi {
   case class HttpReply(status: Int, contentType: String, body: String,
                        headers: Map[String, String] = Map.empty)
 
+  /** Decode a JSON QueryRequest body into the `/db/query` param map —
+    * shared by the HTTP POST path and the MQTT db/query door, which
+    * carry the same request shape (svrmsg.go QueryRequest). The bind
+    * array `p` stays JSON text; booleans/numbers print Go-style. */
+  def decodeJsonBodyParams(body: String): Map[String, Seq[String]] =
+    graft.script.Builtins.jsonParse(body) match {
+      case m: scala.collection.Map[_, _] =>
+        m.asInstanceOf[scala.collection.Map[String, Any]].iterator.map {
+          case (k, v) =>
+            val s = v match {
+              case null => ""
+              case b: java.lang.Boolean => b.toString
+              case str: String => str
+              case other =>
+                String.valueOf(graft.script.Builtins.jsonStringify(other))
+            }
+            k -> Seq(s)
+        }.toMap
+      case _ => Map.empty[String, Seq[String]]
+    }
+
   /** Server cypher for `ENC:`-prefixed query text: (alg, key, pad) per
     * the reference's httpd config (http.go:110-112). Disabled unless
     * configured — matching the reference's empty default. */
@@ -386,19 +407,31 @@ object WebApi {
   def timersAdd(spark: SparkSession, body: String): HttpReply = {
     val t0 = System.nanoTime()
     def elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
-    try {
-      val obj = flatJson(body)
-      val svc = graft.scheduler.Timers.defaultService(spark)
-      val r = svc.addSchedule(obj.getOrElse("name", ""), "timer",
-        obj.get("autoStart").contains("true"),
-        obj.getOrElse("schedule", ""), obj.getOrElse("path", ""))
-      val status = if (r.success) 200 else 500
-      HttpReply(status, "application/json",
-        s"""{"success":${r.success},"reason":${GoJs.quote(r.reason)},"elapse":"$elapse"}""")
-    } catch {
-      case e: Exception =>
-        HttpReply(500, "application/json",
-          s"""{"success":false,"reason":${GoJs.quote(e.getMessage)},"elapse":"$elapse"}""")
+    // a malformed request BODY is the client's fault — 400, while a
+    // well-formed request the scheduler rejects (bad cron spec) is 500
+    // (http_facility_test.go TestTimer: "{" → StatusBadRequest,
+    // "* * a b c d " → StatusInternalServerError)
+    val decoded =
+      try Right(flatJson(body))
+      catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+    decoded match {
+      case Left(msg) =>
+        HttpReply(400, "application/json",
+          s"""{"success":false,"reason":${GoJs.quote(msg)},"elapse":"$elapse"}""")
+      case Right(obj) =>
+        try {
+          val svc = graft.scheduler.Timers.defaultService(spark)
+          val r = svc.addSchedule(obj.getOrElse("name", ""), "timer",
+            obj.get("autoStart").contains("true"),
+            obj.getOrElse("schedule", ""), obj.getOrElse("path", ""))
+          val status = if (r.success) 200 else 500
+          HttpReply(status, "application/json",
+            s"""{"success":${r.success},"reason":${GoJs.quote(r.reason)},"elapse":"$elapse"}""")
+        } catch {
+          case e: Exception =>
+            HttpReply(500, "application/json",
+              s"""{"success":false,"reason":${GoJs.quote(e.getMessage)},"elapse":"$elapse"}""")
+        }
     }
   }
 
@@ -647,21 +680,91 @@ object WebApi {
       s"""{"success":${r.success},"reason":${GoJs.quote(r.reason)},"elapse":"$elapse"}""")
   }
 
-  def bridgesState(name: String, body: String): HttpReply = {
+  /** `POST /web/api/bridges/:name/state` — test/exec/query
+    * (http_facility.go handleBridgeState + execBridge/queryBridge;
+    * shapes from http_facility_test.go TestBridgeStateExecAndQuery:
+    * query replies `data.column`/`data.rows`, an empty query command is
+    * a 400 "no command specified", a missing bridge or bad SQL is 500). */
+  def bridgesState(spark: SparkSession, name: String, body: String): HttpReply = {
     val t0 = System.nanoTime()
     def elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
     def reply(status: Int, success: Boolean, reason: String) =
       HttpReply(status, "application/json",
         s"""{"success":$success,"reason":${GoJs.quote(reason)},"elapse":"$elapse"}""")
     try {
-      flatJson(body).getOrElse("state", "") match {
+      val req = flatJson(body)
+      val command = req.getOrElse("command", "")
+      req.getOrElse("state", "").toLowerCase match {
         case "test" =>
           val r = Bridge.testBridge(name)
           reply(200, r.success, r.reason)
+        case "exec" =>
+          if (!Bridge.exists(name))
+            return reply(500, success = false, s"bridge '$name' not found")
+          try {
+            Bridge(name).exec(spark, command, Nil)
+            reply(200, success = true, "success")
+          } catch {
+            case e: Exception => reply(500, success = false,
+              String.valueOf(e.getMessage))
+          }
+        case "query" =>
+          if (command.isEmpty)
+            return reply(400, success = false, "no command specified")
+          if (!Bridge.exists(name))
+            return reply(500, success = false, s"bridge '$name' not found")
+          try {
+            val df = Bridge(name).query(spark, command, Nil)
+            val cols = df.columns.map(GoJs.jsonQuote).mkString("[", ",", "]")
+            val rows = df.collect().map(r =>
+              r.toSeq.map(GoJs.jsonMarshal).mkString("[", ",", "]"))
+              .mkString("[", ",", "]")
+            HttpReply(200, "application/json",
+              s"""{"success":true,"reason":"success","data":{"column":$cols,"rows":$rows},"elapse":"$elapse"}""")
+          } catch {
+            case e: Exception => reply(500, success = false,
+              String.valueOf(e.getMessage))
+          }
         case other => reply(400, success = false, s"invalid state '$other'")
       }
     } catch {
       case e: Exception => reply(500, success = false, e.getMessage)
+    }
+  }
+
+  /** `/debug/statz/config` + `/web/api/statz/config` (http.go
+    * handleStatzConfig; shapes from http_test.go TestHandleStatzConfig):
+    * GET replies the current output table, POST sets it — a malformed
+    * body is a 400 with the decoder message, a non-string `out` is a 400
+    * "invalid out value", other methods are 405. */
+  def statzConfig(method: String, body: String): HttpReply = {
+    val t0 = System.nanoTime()
+    def elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
+    def err(status: Int, reason: String) =
+      HttpReply(status, "application/json",
+        s"""{"success":false,"reason":${GoJs.quote(reason)},"elapse":"$elapse"}""")
+    method.toUpperCase match {
+      case "GET" =>
+        HttpReply(200, "application/json",
+          s"""{"success":true,"reason":"success","data":{"out":${
+            GoJs.quote(Metrics.metricsDestTable)}},"elapse":"$elapse"}""")
+      case "POST" =>
+        val parsed =
+          try graft.script.Builtins.jsonParse(body)
+          catch { case e: Exception =>
+            return err(400, String.valueOf(e.getMessage)) }
+        parsed match {
+          case m: scala.collection.Map[_, _] =>
+            m.asInstanceOf[scala.collection.Map[String, Any]].get("out") match {
+              case Some(s: String) =>
+                Metrics.setMetricsDestTable(s)
+                HttpReply(200, "application/json",
+                  s"""{"success":true,"reason":"success","elapse":"$elapse"}""")
+              case _ => err(400, "invalid out value")
+            }
+          case _ => err(400, "invalid out value")
+        }
+      case _ => err(405, "unsupported method")
     }
   }
 

@@ -57,7 +57,7 @@ object WebRoutes {
       // bridges (http.go:316-319)
       case ("GET", List("bridges")) => WebApi.bridgesList()
       case ("POST", List("bridges")) => WebApi.bridgesAdd(body)
-      case ("POST", List("bridges", name, "state")) => WebApi.bridgesState(name, body)
+      case ("POST", List("bridges", name, "state")) => WebApi.bridgesState(spark, name, body)
       case ("DELETE", List("bridges", name)) => WebApi.bridgesDelete(name)
       // subscribers (http.go:320-324)
       case ("GET", List("subscribers")) => WebApi.subscribersList(spark)
@@ -67,6 +67,12 @@ object WebRoutes {
         WebApi.subscribersState(spark, name, body)
       case ("DELETE", List("subscribers", name)) =>
         WebApi.subscribersDelete(spark, name)
+      // statz output-table config (http.go handleStatzConfig; also
+      // mounted at /debug/statz/config)
+      case (m, List("statz", "config")) => WebApi.statzConfig(m, body)
+      // script file manager (http.go:1586-1775 handleFiles over ssfs)
+      case (m, "files" :: rest) =>
+        ServerFiles.handle(m, "/" + rest.mkString("/"), query, body)
       // splitters / rpc / refs (http.go:297-299, 332)
       case ("POST", List("splitter", "sql")) => WebApi.splitterSql(body)
       case ("POST", List("splitter", "http")) => WebApi.splitterHttp(body)

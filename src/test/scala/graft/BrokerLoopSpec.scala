@@ -228,4 +228,84 @@ class BrokerLoopSpec extends SparkSpec {
     Seq(m1, m2, pubCli, subCli).foreach(_.close()); broker.close()
     TagTables.resetDynamicForTest(spark)
   }
+
+  test("mqtt db/query full QueryRequest option surface (mqtt_test.go TestMqttQuery/TestMqttQueryFailures bodies)") {
+    import graft.server.MqttDoor
+    val tick = 1705291859000000000L
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create tag table example (name varchar(100) primary key, time datetime basetime, value double summarized)")
+    QueryDoor.execute(spark,
+      s"insert into example (name, time, value) values ('temp', $tick, 3.14)")
+    try {
+      def serve(body: String): (String, String) = {
+        val (topic, out) = MqttDoor.serveForTest(spark, body)
+        (topic, new String(out, "UTF-8"))
+      }
+      def serveRaw(body: String): (String, Array[Byte]) =
+        MqttDoor.serveForTest(spark, body)
+      def noElapse(s: String): String =
+        s.replaceAll(""","?"elapse":"[^"]*"""", "")
+
+      // query_simple_timeformat: DEFAULT renders the wall clock in UTC
+      val (_, tf) = serve(
+        """{"q": "select * from example where name = 'temp'", "format":"json", "tz":"UTC", "timeformat": "DEFAULT" }""")
+      assert(noElapse(tf) ==
+        """{"data":{"columns":["NAME","TIME","VALUE"],"types":["string","datetime","double"],"rows":[["temp","2024-01-15 04:10:59",3.14]]},"success":true,"reason":"success"}""",
+        tf)
+      // query_bind_params
+      val (_, bp) = serve(
+        """{"q": "select * from example where name = ?", "p":["temp"] }""")
+      assert(bp.contains(s"""["temp",$tick,3.14]"""), bp)
+      // query_bind_params_invalid_nested errors with the Go-typed reason
+      val (_, nested) = serve(
+        """{"q": "select * from example where name = ?", "p":[["temp"]] }""")
+      assert(nested.contains(""""success":false""") &&
+        nested.contains("bind parameter must be scalar"), nested)
+      // rowsFlatten / transpose / rowsArray ride the same decode
+      val (_, fl) = serve(
+        """{"q": "select * from example where name = 'temp'", "format":"json", "tz":"UTC", "timeformat": "DEFAULT", "rowsFlatten": true }""")
+      assert(fl.contains(""""rows":["temp","2024-01-15 04:10:59",3.14]"""), fl)
+      val (_, tr) = serve(
+        """{"q": "select * from example where name = 'temp'", "format":"json", "transpose": true }""")
+      assert(tr.contains(s""""cols":[["temp"],[$tick],[3.14]]"""), tr)
+      val (_, ra) = serve(
+        """{"q": "select * from example where name = 'temp'", "format":"json", "tz":"UTC", "timeformat": "DEFAULT", "rowsArray": true }""")
+      assert(ra.contains(
+        """"rows":[{"NAME":"temp","TIME":"2024-01-15 04:10:59","VALUE":3.14}]"""), ra)
+      // csv with custom reply topic
+      val (topic, csvOut) = serve(
+        """{"q": "select * from example where name = 'temp'", "format": "csv", "reply":"db/reply/123" }""")
+      assert(topic == "db/reply/123", topic)
+      assert(csvOut == s"NAME,TIME,VALUE\ntemp,$tick,3.14\n\n", csvOut)
+      // compress=gzip publishes the gzipped CSV bytes
+      val (_, gzBytes) = serveRaw(
+        """{"q": "select * from example where name = 'temp'", "format": "csv", "compress":"gzip" }""")
+      val gin = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gzBytes))
+      assert(new String(gin.readAllBytes(), "UTF-8") ==
+        s"NAME,TIME,VALUE\ntemp,$tick,3.14\n\n")
+      // csv timeformat DEFAULT
+      val (_, csvTf) = serve(
+        """{"q": "select * from example where name = 'temp'", "format": "csv", "tz": "UTC", "timeformat": "DEFAULT" }""")
+      assert(csvTf == "NAME,TIME,VALUE\ntemp,2024-01-15 04:10:59,3.14\n\n", csvTf)
+      // failures: invalid JSON answers the default topic with the decoder
+      // message; invalid tz answers the REQUESTED topic
+      val (ft, fj) = serve("""{"q":""")
+      assert(ft == "db/reply" && fj.contains(""""success":false"""), s"$ft $fj")
+      val (ft2, fz) = serve(
+        """{"q":"select 1","tz":"Invalid/Zone","reply":"db/reply/query-failure"}""")
+      assert(ft2 == "db/reply/query-failure" &&
+        fz.contains("unknown time zone"), s"$ft2 $fz")
+      // a DDL statement replies the bare envelope without data
+      val (ft3, ddl) = serve(
+        """{"q":"create tag table mqtt_query_exec (name varchar(20) primary key, time datetime basetime, value double)","reply":"db/reply/query-exec"}""")
+      assert(ft3 == "db/reply/query-exec", ft3)
+      assert(ddl.contains(""""success":true""") && !ddl.contains(""""data""""), ddl)
+      QueryDoor.execute(spark, "drop table mqtt_query_exec")
+    } finally {
+      QueryDoor.execute(spark, "drop table example")
+      TagTables.resetDynamicForTest(spark)
+    }
+  }
 }

@@ -275,6 +275,72 @@ class HttpQueryBatterySpec extends SparkSpec {
     assert(new String(Crypto.pkcs7Unpad(padded, 8), "UTF-8") == "1234567")
   }
 
+  // ---- POST /web/api/md route (http_test.go TestMarkdown :1243-1307) ---
+
+  test("POST /web/api/md renders markdown with X-Referer file substitution (TestMarkdown, reference golden files)") {
+    def run(name: String, referer: String): Unit = {
+      val dir = java.nio.file.Paths.get("/root/reference/mods/server/test")
+      val src = java.nio.file.Files.readAllBytes(dir.resolve(s"$name.md"))
+      val expect = new String(
+        java.nio.file.Files.readAllBytes(dir.resolve(s"$name.txt")), "UTF-8")
+      val url = new java.net.URI(s"http://127.0.0.1:$port/web/api/md").toURL
+      val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setRequestMethod("POST"); c.setDoOutput(true)
+      c.setRequestProperty("X-Referer",
+        java.util.Base64.getEncoder.encodeToString(referer.getBytes("UTF-8")))
+      c.getOutputStream.write(src); c.getOutputStream.close()
+      assert(c.getResponseCode == 200, s"$name: ${c.getResponseCode}")
+      assert(c.getHeaderField("Content-Type") == "application/xhtml+xml")
+      val got = new String(c.getInputStream.readAllBytes(), "UTF-8")
+      c.disconnect()
+      assert(got == expect, s"$name:\n$got\n-- want --\n$expect")
+    }
+    run("test_markdown_list",
+      s"http://127.0.0.1:$port/web/api/tql/sample/file.wrk")
+    run("test_markdown_list_utf8",
+      "http://127.0.0.1:5654/web/api/tql/语言/文檔.wrk")
+    run("test_markdown_mermaid",
+      "http://127.0.0.1:5654/web/api/tql/语言/文檔.wrk")
+  }
+
+  // ---- statz / prometheus endpoints (http_test.go:121-283,860-879) -----
+
+  test("/debug/statz JSON, /debug/metrics prometheus text, statz config (TestStatz/TestDebugMetrics/TestHandleStatzConfig/TestStatzConfig)") {
+    import graft.server.Metrics
+    Metrics.send("go:goroutine_max", 42.0, 1705291859000000000L)
+    Metrics.send("machbase:session:stmt:count", 7.0, 1705291859000000000L)
+    // GET /debug/statz returns a JSON object with >= 2 entries
+    val (c1, ct1, b1) = httpRaw("GET", "/debug/statz")
+    assert(c1 == 200 && ct1.startsWith("application/json"), s"$c1 $ct1")
+    val obj = graft.script.Builtins.jsonParse(b1)
+      .asInstanceOf[scala.collection.Map[String, Any]]
+    assert(obj.size >= 2, b1.take(200))
+    // /debug/metrics: prometheus exposition with HELP/TYPE + sample line
+    val (c2, ct2, b2) = httpRaw("GET", "/debug/metrics")
+    assert(c2 == 200 && ct2.startsWith("text/plain"), s"$c2 $ct2")
+    assert(b2.contains("# TYPE machbase:session:stmt:count gauge"), b2)
+    assert(b2.contains("machbase:session:stmt:count 7 1705291859000"), b2)
+    // statz config: GET current, POST set/trim, malformed 400
+    // "unexpected EOF", non-string 400 "invalid out value", DELETE 405
+    val (c3, _, b3) = httpRaw("GET", "/debug/statz/config")
+    assert(c3 == 200 && b3.contains(""""out":"""), s"$c3 $b3")
+    val (c4, _, _) = httpRaw("POST", "/debug/statz/config",
+      """{"out":"   "}""".getBytes("UTF-8"), "application/json")
+    assert(c4 == 200 && Metrics.metricsDestTable == "", c4)
+    val (c5, _, b5) = httpRaw("POST", "/debug/statz/config",
+      """{"out":""".getBytes("UTF-8"), "application/json")
+    assert(c5 == 400 && b5.contains("unexpected EOF"), s"$c5 $b5")
+    val (c6, _, b6) = httpRaw("POST", "/debug/statz/config",
+      """{"out":123}""".getBytes("UTF-8"), "application/json")
+    assert(c6 == 400 && b6.contains("invalid out value"), s"$c6 $b6")
+    val (c7, _, _) = httpRaw("DELETE", "/debug/statz/config")
+    assert(c7 == 405, c7)
+    // the same handler serves /web/api/statz/config (TestStatzConfig)
+    val r = graft.server.WebRoutes.route(spark, "GET",
+      "/web/api/statz/config", "")
+    assert(r.status == 200 && r.body.contains(""""success":true"""), r)
+  }
+
   // ---- machbase from_timestamp/to_timestamp dialect (fm_dbsrc.go:191) --
 
   test("bucket SQL with to_timestamp/from_timestamp executes with ns semantics (fm_dbsrc.go:217 shape)") {

@@ -188,8 +188,13 @@ class WebApiSpec extends SparkSpec {
         """{"name":"timer-rest","autoStart":false,"schedule":"0 30 * * * *","path":"csv_map.tql"}""")
       assert(add.status == 200 && add.body.contains(""""success":true"""), add)
 
+      // malformed body → 400 (http_facility_test.go:129-142 pins
+      // StatusBadRequest for "{"); a bad cron spec stays 500
       val malformed = WebApi.timersAdd(spark, "{")
-      assert(malformed.status == 500 && malformed.body.contains(""""success":false"""), malformed)
+      assert(malformed.status == 400 && malformed.body.contains(""""success":false"""), malformed)
+      val badSpec = WebApi.timersAdd(spark,
+        """{"name":"timer-bad","autoStart":false,"schedule":"* * a b c d ","path":"csv_map.tql"}""")
+      assert(badSpec.status == 500 && badSpec.body.contains(""""success":false"""), badSpec)
 
       val listed = WebApi.timersList(spark)
       assert(listed.body.contains(""""name":"TIMER-REST"""") ||
@@ -250,10 +255,33 @@ class WebApiSpec extends SparkSpec {
       assert(listed.body.contains(s""""name":"$name"""") &&
         listed.body.contains(""""type":"sqlite""""), listed.body)
 
-      val state = WebApi.bridgesState(name, """{"state":"test"}""")
+      val state = WebApi.bridgesState(spark, name, """{"state":"test"}""")
       assert(state.status == 200 && state.body.contains(""""success":true"""), state)
-      val badState = WebApi.bridgesState(name, """{"state":"invalid"}""")
+      val badState = WebApi.bridgesState(spark, name, """{"state":"invalid"}""")
       assert(badState.status == 400, badState)
+
+      // exec + query through the state route (http_facility_test.go
+      // TestBridgeStateExecAndQuery)
+      def st(b: String) = WebApi.bridgesState(spark, name, b)
+      assert(st("""{"state":"exec","command":"CREATE TABLE IF NOT EXISTS test_exec (id INTEGER, name TEXT)"}""")
+        .body.contains(""""reason":"success""""))
+      assert(st("""{"state":"exec","command":"INSERT INTO test_exec VALUES (1, 'alpha'), (2, 'beta')"}""")
+        .body.contains(""""success":true"""))
+      val qr = st("""{"state":"query","command":"SELECT id, name FROM test_exec ORDER BY id"}""")
+      assert(qr.status == 200 &&
+        qr.body.contains(""""column":["id","name"]""") &&
+        qr.body.contains(""""rows":[[1,"alpha"],[2,"beta"]]"""), qr.body)
+      val qEmpty = st("""{"state":"query","command":""}""")
+      assert(qEmpty.status == 400 &&
+        qEmpty.body.contains(""""reason":"no command specified""""), qEmpty)
+      val qBad = st("""{"state":"query","command":"SELECT * FROM table_that_does_not_exist"}""")
+      assert(qBad.status == 500 && qBad.body.contains(""""success":false"""), qBad)
+      val execMissing = WebApi.bridgesState(spark, "no-such-bridge",
+        """{"state":"exec","command":"SELECT 1"}""")
+      assert(execMissing.status == 500 &&
+        execMissing.body.contains(""""success":false"""), execMissing)
+      assert(st("""{"state":"exec","command":"DROP TABLE test_exec"}""")
+        .body.contains(""""success":true"""))
 
       val del = WebApi.bridgesDelete(name)
       assert(del.status == 200 && del.body.contains(""""success":true"""), del)
