@@ -37,6 +37,70 @@ private[tql] trait CompilerExprs { this: Compiler.type =>
       when(toColumn(pred, p), c1) }.getOrElse(c1)
   }
 
+  /** Literal operand rendering + kind ('n'umber, 's'tring, 'b'ool) for
+    * the static typing checks. Dynamic operands (columns, calls) return
+    * None — runtime types are unknowable at compile. */
+  private def litKind(x: Expr): Option[(Char, String)] = x match {
+    case Expr.Num(v) => Some(('n',
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString))
+    case Expr.Str(s) => Some(('s', s))
+    case Expr.Bool(b) => Some(('b', b.toString))
+    case _ => None
+  }
+
+  /** The reference expression engine type-checks every stage at eval
+    * (expression/evaluation.go:13-17, stage.go findTypeChecks;
+    * evaluationfail_test.go TestModifierTyping/TestComparatorTyping/
+    * TestLogicalOperatorTyping): modifiers take numbers (`+` concats
+    * when a side is a string), ordering comparators take number-number
+    * or string-string, `=~`/`!~` take strings, `&&`/`||` take bools.
+    * We enforce the same rules wherever operand types are STATICALLY
+    * known (literals), with the reference's exact messages — dynamic
+    * columns keep Spark-native behavior since the engine cannot know
+    * runtime types at compile. Surfaced eagerly as a compile error
+    * rather than the reference's per-record drop (documented). */
+  private[tql] def checkLiteralTyping(op: String, l: Expr, r: Expr): Unit = {
+    def bad(v: String, clause: String, kind: String): Nothing =
+      throw new IllegalArgumentException(
+        s"Value '$v' cannot be used with the $clause '$op', it is not a $kind")
+    val lk = litKind(l)
+    val rk = litKind(r)
+    op match {
+      case "-" | "*" | "/" | "%" | "**" | "&" | "|" | "^" | "<<" | ">>" =>
+        lk.foreach { case (k, v) => if (k != 'n') bad(v, "modifier", "number") }
+        rk.foreach { case (k, v) => if (k != 'n') bad(v, "modifier", "number") }
+      case "+" =>
+        // either side a string → concatenation, any types allowed
+        val anyString = lk.exists(_._1 == 's') || rk.exists(_._1 == 's')
+        if (!anyString) {
+          lk.foreach { case (k, v) => if (k != 'n') bad(v, "modifier", "number") }
+          rk.foreach { case (k, v) => if (k != 'n') bad(v, "modifier", "number") }
+        }
+      case ">" | ">=" | "<" | "<=" =>
+        // number-number or string-string; bools never order
+        lk.foreach { case (k, v) => if (k == 'b') bad(v, "comparator", "number") }
+        rk.foreach { case (k, v) => if (k == 'b') bad(v, "comparator", "number") }
+        (lk, rk) match {
+          case (Some((a, av)), Some((b, _))) if a != b =>
+            bad(av, "comparator", "number")
+          case _ =>
+        }
+      case "=~" | "!~" =>
+        lk.foreach { case (k, v) => if (k != 's') bad(v, "comparator", "number") }
+        rk.foreach { case (k, v) => if (k != 's') bad(v, "comparator", "number") }
+        // a literal pattern must compile (evaluation.go:168)
+        rk.collect { case ('s', pat) =>
+          try java.util.regex.Pattern.compile(pat)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"unable to compile regexp pattern '$pat': ${e.getMessage}") }
+        }
+      case "&&" | "||" =>
+        lk.foreach { case (k, v) => if (k != 'b') bad(v, "logical operator", "bool") }
+        rk.foreach { case (k, v) => if (k != 'b') bad(v, "logical operator", "bool") }
+      case _ => // ==/!=/??/in place no static restriction
+    }
+  }
+
   def toColumn(e: Expr, p: Pipe): Column = {
     import Expr._
     e match {
@@ -48,14 +112,26 @@ private[tql] trait CompilerExprs { this: Compiler.type =>
       case Ident("E") => lit(math.E)
       case Ident(name) => col(name)
       case Var(name) => col(s"$$$name")
-      case Unary("-", x) => -toColumn(x, p)
-      case Unary("!", x) => !toColumn(x, p)
+      case Unary("-", x) =>
+        litKind(x).foreach { case (k, v) => if (k != 'n')
+          throw new IllegalArgumentException(
+            s"Value '$v' cannot be used with the prefix '-'") }
+        -toColumn(x, p)
+      case Unary("!", x) =>
+        litKind(x).foreach { case (k, v) => if (k != 'b')
+          throw new IllegalArgumentException(
+            s"Value '$v' cannot be used with the prefix '!'") }
+        !toColumn(x, p)
       // float64(^int64(x)) — expression/stage.go bitwiseNotStage
       case Unary("~", x) =>
+        litKind(x).foreach { case (k, v) => if (k != 'n')
+          throw new IllegalArgumentException(
+            s"Value '$v' cannot be used with the prefix '~'") }
         org.apache.spark.sql.functions.bitwise_not(
           toColumn(x, p).cast("long")).cast("double")
       case Unary(op, _) => throw new IllegalArgumentException(s"unary $op")
       case Bin(op, l, r) =>
+        checkLiteralTyping(op, l, r)
         val (a, b) = (toColumn(l, p), toColumn(r, p))
         // The reference's expression engine evaluates ALL arithmetic in
         // float64 (expression/evaluation.go:72-94 asserts .(float64); %
@@ -125,6 +201,10 @@ private[tql] trait CompilerExprs { this: Compiler.type =>
           case other => throw new IllegalArgumentException(s"operator $other")
         }
       case Ternary(c, t, f) =>
+        // a literal condition must be a bool (ternaryErrorFormat)
+        litKind(c).foreach { case (k, v) => if (k != 'b')
+          throw new IllegalArgumentException(
+            s"Value '$v' cannot be used with the ternary operator '?', it is not a bool") }
         // TQL is dynamically typed: a ternary may yield different types per
         // branch (`x != "VALUE" ? parseFloat(x)*10 : x`). Spark's CaseWhen
         // coercion would cast the string branch to double and (ANSI) throw

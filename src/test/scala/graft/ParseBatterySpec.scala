@@ -161,6 +161,53 @@ class ParseBatterySpec extends SparkSpec {
     assert(e2.column == 4, e2.column)
   }
 
+  // ---- evaluationfail_test.go typing batteries --------------------------
+
+  test("static literal typing: modifier/comparator/logical/ternary/prefix errors (evaluationfail_test.go:94-414)") {
+    def fails(expr: String, contains: String): Unit = {
+      val e = intercept[Exception](
+        runTrim(s"FAKE(once(1))\nMAPVALUE(0, $expr)\nCSV()"))
+      assert(String.valueOf(e.getMessage).contains(contains),
+        s"$expr → ${e.getMessage}")
+    }
+    // TestModifierTyping: "cannot be used with the modifier"
+    fails("1 + true", "Value 'true' cannot be used with the modifier '+', it is not a number")
+    fails("1 - true", "cannot be used with the modifier")
+    fails("1 * true", "cannot be used with the modifier")
+    fails("1 / true", "cannot be used with the modifier")
+    fails("1 ** true", "cannot be used with the modifier")
+    fails("1 % true", "cannot be used with the modifier")
+    fails("1 | true", "cannot be used with the modifier")
+    fails("1 & true", "cannot be used with the modifier")
+    fails("1 ^ true", "cannot be used with the modifier")
+    fails("1 << true", "cannot be used with the modifier")
+    fails("1 >> true", "cannot be used with the modifier")
+    // TestComparatorTyping: bools never order; number vs string mixes fail
+    fails("true > true", "Value 'true' cannot be used with the comparator '>', it is not a number")
+    fails("true >= true", "cannot be used with the comparator")
+    fails("true < true", "cannot be used with the comparator")
+    fails("true <= true", "cannot be used with the comparator")
+    fails("1 > 'foo'", "cannot be used with the comparator")
+    fails("1 =~ 'foo'", "cannot be used with the comparator")
+    fails("1 !~ 'foo'", "cannot be used with the comparator")
+    fails("true =~ 'foo'", "cannot be used with the comparator")
+    fails("'foo' =~ 1", "cannot be used with the comparator")
+    // TestLogicalOperatorTyping: "cannot be used with the logical operator"
+    fails("1 && true", "Value '1' cannot be used with the logical operator '&&', it is not a bool")
+    fails("true || 1", "cannot be used with the logical operator")
+    // TestTernaryTyping
+    fails("1 ? true", "cannot be used with the ternary operator '?', it is not a bool")
+    // TestPrefixTyping-ish (prefixErrorFormat)
+    fails("!1", "Value '1' cannot be used with the prefix '!'")
+    fails("-'foo'", "cannot be used with the prefix '-'")
+    fails("~true", "cannot be used with the prefix '~'")
+    // TestRegexParameterCompilation: a bad literal pattern fails compile
+    fails("'foo' =~ '[invalid'", "unable to compile regexp pattern '[invalid'")
+    // string-string ordering and concat stay legal (evaluation_test.go)
+    assert(runTrim("FAKE(once(1))\nMAPVALUE(0, 'ab' < 'abc')\nCSV()").trim == "true")
+    assert(runTrim("FAKE(once(1))\nMAPVALUE(0, 'foo' + true)\nCSV()").trim == "footrue")
+  }
+
   test("trailing tokens no longer silently truncate (parse.go:300 invalid_token)") {
     // an accessor is a Go-struct feature the TQL fm context cannot
     // reach; it must ERROR, not quietly evaluate the left operand
