@@ -1096,21 +1096,21 @@ object LakeDoor {
 
   /** ymd-style parse for the standard append's date_format
     * ("YYYY-MM-DD HH24:MI:SS mmm:uuu:nnn"), UTC; returns epoch ns. */
-  private[server] def parseYmd(s: String, fmt: String): Option[Long] = {
-    // tokenize the common shape: date, time, then mmm:uuu:nnn fractions
-    val m = java.util.regex.Pattern
-      .compile("""(\d{4})-(\d{2})-(\d{2})[ T.](\d{2}):(\d{2}):(\d{2})(?:[ .](\d{3})(?::(\d{3}))?(?::(\d{3}))?)?""")
-      .matcher(s.trim)
-    if (!m.matches()) return None
-    try {
-      val base = java.time.LocalDateTime.of(m.group(1).toInt, m.group(2).toInt,
-        m.group(3).toInt, m.group(4).toInt, m.group(5).toInt, m.group(6).toInt)
-        .toInstant(java.time.ZoneOffset.UTC)
-      def g(i: Int): Long = Option(m.group(i)).map(_.toLong).getOrElse(0L)
-      Some(base.getEpochSecond * 1000000000L +
-        g(7) * 1000000L + g(8) * 1000L + g(9))
-    } catch { case _: Exception => None }
-  }
+  /** String time per the request's `date_format` machbase layout
+    * (http_lake.go:2264 routes through ymd.NewParser) — a caller's
+    * custom layout is honored, not just the default shape. The default
+    * `YYYY-MM-DD HH24:MI:SS mmm:uuu:nnn` also accepts the short
+    * fraction-less form (the layout's trailing fraction block is
+    * optional in practice: the reference testsuite posts both). */
+  def parseYmdForTest(s: String, fmt: String): Option[Long] = parseYmd(s, fmt)
+
+  private[server] def parseYmd(s: String, fmt: String): Option[Long] =
+    graft.time.Ymd.parse(fmt, s.trim).orElse {
+      // trailing literal+fraction tail omitted in the input
+      val cut = fmt.lastIndexOf(" mmm")
+      if (cut > 0) graft.time.Ymd.parse(fmt.substring(0, cut), s.trim)
+      else None
+    }
 
   // ---- POST /lakes/inter/execquery (http_lake.go:2345-2446) ---------------
 

@@ -132,14 +132,27 @@ object Markdown {
           }
           out.append("</blockquote>\n")
         case _ if fenceRe.matches(line.trim) && line.trim.startsWith("```") =>
-          val fenceRe(lang, _) = line.trim
+          val fenceRe(lang, opts) = line.trim
           i += 1
           val body = new StringBuilder
           while (i < lines.length && !lines(i).trim.startsWith("```")) {
             body.append(lines(i)).append('\n'); i += 1
           }
           if (i < lines.length) i += 1 // closing fence
-          out.append(renderFence(lang, body.toString))
+          out.append(renderFence(lang, opts, body.toString))
+        case _ if line.startsWith("\t") || line.startsWith("    ") =>
+          // indented code block (mdconv_test.go TestMdCon: a tab-indented
+          // line renders <pre><code> with one indent level stripped)
+          val body = new StringBuilder
+          while (i < lines.length &&
+            (lines(i).startsWith("\t") || lines(i).startsWith("    "))) {
+            val l0 = lines(i)
+            body.append(if (l0.startsWith("\t")) l0.substring(1)
+              else l0.stripPrefix("    ")).append('\n')
+            i += 1
+          }
+          out.append("<pre><code>").append(goldEscape(body.toString))
+            .append("</code></pre>\n")
         case t if headingRe.matches(t) =>
           val headingRe(hashes, text) = t
           val n = hashes.length
@@ -181,14 +194,158 @@ object Markdown {
     out.toString
   }
 
-  private def renderFence(lang: String, body: String): String = lang match {
-    case "mermaid" =>
-      // mermaid client-render mode: escaped source in a pre, NO trailing \n
-      "<pre class=\"mermaid\">" + goEscape(body) + "</pre>"
-    case "http" => renderHttpFence(body)
-    case "" => "<pre><code>" + goldEscape(body) + "</code></pre>\n"
-    case l =>
-      "<pre><code class=\"language-" + l + "\">" + goldEscape(body) + "</code></pre>\n"
+  private def renderFence(lang: String, opts: String, body: String): String =
+    lang match {
+      case "mermaid" =>
+        // mermaid client-render mode: escaped source in a pre, NO trailing \n
+        "<pre class=\"mermaid\">" + goEscape(body) + "</pre>"
+      case "http" => renderHttpFence(body)
+      case "chart" => renderChartFence(opts, body)
+      case "geomap" => renderGeomapFence(opts, body)
+      // jsh / jsh-run fences ARE javascript (mdconv_test.go
+      // TestMdWithJshCodeFence/TestMdWithJshRunCodeFence)
+      case "jsh" | "jsh-run" | "js" | "javascript" =>
+        "<pre style=\"background-color:#1e1e1e\"><code>" +
+          highlightJs(body) + "</code></pre>\n"
+      case "" => "<pre><code>" + goldEscape(body) + "</code></pre>\n"
+      case l =>
+        "<pre><code class=\"language-" + l + "\">" + goldEscape(body) + "</code></pre>\n"
+    }
+
+  /** Minimal chroma-style inline highlighting for javascript fences
+    * (mdconv.go routes code fences through chroma with inline styles;
+    * the tests assert span-style presence, not exact colors). Reuses no
+    * parser — a small token walk over keywords/strings/numbers/comments
+    * keeps the output deterministic. */
+  private[server] def highlightJs(body: String): String = {
+    val kw = Set("const", "let", "var", "function", "return", "if", "else",
+      "for", "while", "new", "typeof", "try", "catch", "finally", "throw",
+      "class", "extends", "import", "export", "true", "false", "null",
+      "undefined", "this", "switch", "case", "break", "continue", "do",
+      "in", "of", "instanceof", "void", "delete", "yield", "async", "await")
+    val sb = new StringBuilder
+    var i = 0
+    val n = body.length
+    def span(color: String, text: String): Unit =
+      sb.append("<span style=\"color:").append(color).append("\">")
+        .append(goldEscape(text)).append("</span>")
+    while (i < n) {
+      val c = body.charAt(i)
+      if (c == '/' && i + 1 < n && body.charAt(i + 1) == '/') {
+        val e = body.indexOf('\n', i)
+        val end = if (e < 0) n else e
+        span("#608b4e", body.substring(i, end)); i = end
+      } else if (c == '\'' || c == '"' || c == '`') {
+        val start = i
+        i += 1
+        while (i < n && body.charAt(i) != c) {
+          if (body.charAt(i) == '\\' && i + 1 < n) i += 1
+          i += 1
+        }
+        if (i < n) i += 1
+        span("#ce9178", body.substring(start, i))
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && (body.charAt(i).isLetterOrDigit || body.charAt(i) == '.')) i += 1
+        span("#b5cea8", body.substring(start, i))
+      } else if (c.isLetter || c == '_' || c == '$') {
+        val start = i
+        while (i < n && (body.charAt(i).isLetterOrDigit ||
+          body.charAt(i) == '_' || body.charAt(i) == '$')) i += 1
+        val word = body.substring(start, i)
+        if (kw(word)) span("#569cd6", word) else sb.append(goldEscape(word))
+      } else { sb.append(goldEscape(c.toString)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `{k=v,k=v}` fence options (chartext/geomapext transformer.go). */
+  private[server] def fenceOptions(opts: String): Map[String, String] = {
+    val t = opts.trim.stripPrefix("{").stripSuffix("}")
+    if (t.isEmpty) Map.empty
+    else t.split(",").iterator.map(_.trim).filter(_.contains("="))
+      .map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k.trim -> v.trim.stripPrefix("\"").stripSuffix("\"")
+      }.toMap
+  }
+
+  private val chartIdSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** ```chart fence → echarts block (mods/util/mdconv/chartext/
+    * renderer.go:84-125 structure: div.chartext wrapper, a sized
+    * div.chartext-echarts target, and a script that builds the option
+    * from the fenced code and runs echarts.init + setOption). The
+    * loader indirection (local/CDN script injection) is kept to its
+    * observable surface. */
+  private def renderChartFence(opts: String, body: String): String = {
+    if (body.trim.isEmpty)
+      return """<div class="chartext"><div class="chartext-error">Chart code is empty.</div></div>"""
+    val o = fenceOptions(opts)
+    val width = o.getOrElse("width", "100%")
+    val height = o.getOrElse("height", "400px")
+    val theme = o.getOrElse("theme", "white") match {
+      case "light" => "white"; case t => t
+    }
+    val renderer = o.getOrElse("renderer", "canvas")
+    val id = s"chartext_${chartIdSeq.incrementAndGet()}"
+    val code = graft.sinks.GoJs.quote(body)
+    s"""<div class="chartext"><div class="chartext-echarts" id="$id" style="width:$width;height:$height"></div>""" +
+      s"""<script type="text/javascript">(function() {
+    var __dom = document.getElementById("$id");
+    if (!__dom) { return; }
+    var __option;
+    try {
+        var __factory = new Function('__ctx', "var option;\\n(function(){\\n" + $code + "\\n}).call(__ctx);\\nif(typeof option!==\\"undefined\\"){return option;}\\nreturn null;");
+        __option = __factory({});
+    } catch (e) { __dom.innerText = 'Chart code error: ' + e; return; }
+    if (!__option) { __dom.innerText = 'Chart option is not defined.'; return; }
+    var __chart = echarts.init(__dom, ${graft.sinks.GoJs.quote(theme)}, { renderer: ${graft.sinks.GoJs.quote(renderer)} });
+    __chart.setOption(__option);
+    window.addEventListener('resize', function() { __chart.resize(); });
+})();</script></div>"""
+  }
+
+  /** ```geomap fence → leaflet block (mods/util/mdconv/geomapext/
+    * renderer.go structure: div.geomapext wrapper, a sized
+    * div.geomapext-map target, and a script that creates L.map, adds
+    * L.tileLayer and renders the fenced JSON layer list — markers via
+    * L.marker, circles via L.circle, like the GEOMAP sink). */
+  private def renderGeomapFence(opts: String, body: String): String = {
+    if (body.trim.isEmpty)
+      return """<div class="geomapext"><div class="geomapext-error">Geomap code is empty.</div></div>"""
+    val o = fenceOptions(opts)
+    val width = o.getOrElse("width", "100%")
+    val height = o.getOrElse("height", "400px")
+    val id = s"geomapext_${chartIdSeq.incrementAndGet()}"
+    val layers = graft.sinks.GoJs.quote(body)
+    s"""<div class="geomapext"><div class="geomapext-map" id="$id" style="width:$width;height:$height"></div>""" +
+      s"""<script type="text/javascript">(function() {
+    var __dom = document.getElementById("$id");
+    if (!__dom) { return; }
+    var __map = L.map(__dom, {});
+    L.tileLayer('https://tile.openstreetmap.org/{z}/{x}/{y}.png',
+        { maxZoom: 19 }).addTo(__map);
+    var __layers = [];
+    try { __layers = JSON.parse($layers); } catch (e) { __dom.innerText = 'Geomap code error: ' + e; return; }
+    var __bounds = [];
+    for (var i = 0; i < __layers.length; i++) {
+        var l = __layers[i];
+        var obj = null;
+        if (l.type === 'marker') { obj = L.marker(l.coordinates); }
+        else if (l.type === 'circle') { obj = L.circle(l.coordinates, l.properties || {}); }
+        else if (l.type === 'circleMarker') { obj = L.circleMarker(l.coordinates, l.properties || {}); }
+        else if (l.type === 'polyline') { obj = L.polyline(l.coordinates, l.properties || {}); }
+        else if (l.type === 'polygon') { obj = L.polygon(l.coordinates, l.properties || {}); }
+        if (!obj) { continue; }
+        if (l.properties && l.properties.popup && l.properties.popup.content) {
+            obj.bindPopup(l.properties.popup.content);
+        }
+        obj.addTo(__map);
+        if (l.coordinates && typeof l.coordinates[0] === 'number') { __bounds.push(l.coordinates); }
+    }
+    if (__bounds.length > 0) { __map.fitBounds(__bounds); } else { __map.setView([0, 0], 2); }
+})();</script></div>"""
   }
 
   // ---- http fence (httpext renderer.go, Contains-level parity) ----------
@@ -293,6 +450,11 @@ object Markdown {
 
   private def emphasis(text: String): String = {
     var s = goldEscape(text)
+    // images before links: ![alt](src) → <img/> (mdconv_test.go
+    // TestMdWithImage; goldmark's XHTML-mode self-closing tag)
+    s = "!\\[([^\\]]*)\\]\\(([^)\\s]*)\\)".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"""<img src="${m.group(2)}" alt="${m.group(1)}" />"""))
     s = "\\[([^\\]]*)\\]\\(([^)\\s]*)\\)".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"""<a href="${m.group(2)}">${m.group(1)}</a>"""))
