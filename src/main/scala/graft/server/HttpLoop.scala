@@ -326,7 +326,11 @@ object HttpLoop {
   private def normalizeQuery(rawUrl: String): String = {
     val qi = rawUrl.indexOf('?')
     if (qi < 0) return rawUrl
+    // Go url.QueryEscape parity: '*' escapes to %2A, '~' stays bare
+    // (exec_test.go TestExecuteGetWithQueryExtension pins
+    // q=select+%2A+from+tag_simple in the raw request)
     val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+      .replace("*", "%2A").replace("%7E", "~")
     val params = rawUrl.drop(qi + 1).split("&").iterator
       .map(_.trim).filter(_.nonEmpty).map { kv =>
         val i = kv.indexOf('=')

@@ -148,6 +148,57 @@ class HttpLoopSpec extends SparkSpec {
     assert(ctypes.size == 2 && ctypes.get(0) == "text/csv", ctypes)
   }
 
+  test("httpdsl exec bodies: query encoding, file directives, form body (httpdsl/exec_test.go:80-164)") {
+    import graft.server.HttpLoop
+    // GET with ?/& extension lines: the raw request carries Go
+    // url.Values encoding (space → +, * → %2A), sorted keys
+    val (reqRaw, rspRaw) = HttpLoop.executeDslExchange(
+      s"GET http://127.0.0.1:$port/db/query\n?q=select * from tag_simple\n&format=json\n")
+    assert(reqRaw.contains("GET /db/query?"), reqRaw.take(120))
+    assert(reqRaw.contains("q=select+%2A+from+tag_simple"), reqRaw.take(200))
+    assert(reqRaw.contains("format=json"), reqRaw.take(200))
+    assert(rspRaw.startsWith("HTTP/1.1 "), rspRaw.take(40))
+
+    // POST body from an OS file via `< @path` (unicode name)
+    val dir = java.nio.file.Files.createTempDirectory("dsl_files")
+    // (the reference uses a Korean filename; this container's JVM file
+    // encoding cannot create one — the directive path handling is the
+    // same either way)
+    val jsonPath = dir.resolve("payload-unicode.json")
+    java.nio.file.Files.write(jsonPath,
+      """{"q":"select 1 as one"}""".getBytes("UTF-8"))
+    val (req2, rsp2) = HttpLoop.executeDslExchange(
+      s"POST http://127.0.0.1:$port/db/query\nContent-Type: application/json\n\n< @$jsonPath")
+    assert(req2.contains("Content-Type: application/json\r\n"), req2.take(200))
+    assert(rsp2.contains("\"success\":true"), rsp2.take(300))
+
+    // multipart with per-part file directives (@os-path form)
+    val imagePath = dir.resolve("1.png")
+    java.nio.file.Files.write(imagePath, "PNGDATA".getBytes("UTF-8"))
+    val boundary = "----WebKitFormBoundary7MA4YWxkTrZu0gW"
+    val (req3, _) = HttpLoop.executeDslExchange(Seq(
+      s"POST http://127.0.0.1:$port/db/query",
+      s"Content-Type: multipart/form-data; boundary=$boundary",
+      "",
+      s"--$boundary",
+      "Content-Disposition: form-data; name=\"name\"",
+      "",
+      "John",
+      s"--$boundary",
+      "Content-Disposition: form-data; name=\"image\"; filename=\"1.png\"",
+      "Content-Type: image/png",
+      "",
+      s"< @$imagePath",
+      s"--$boundary--").mkString("\n"))
+    assert(req3.contains("PNGDATA"), req3.takeRight(300))
+    assert(req3.contains("name=\"image\"; filename=\"1.png\""), req3.takeRight(400))
+
+    // form-urlencoded body with & continuation reaches the server intact
+    val (_, rsp4) = HttpLoop.executeDslExchange(
+      s"POST http://127.0.0.1:$port/db/query\nContent-Type: application/x-www-form-urlencoded\n\nq=select 7 as seven\n&format=csv")
+    assert(rsp4.contains("seven") && rsp4.contains("7"), rsp4.take(300))
+  }
+
   test("egress is refused for non-loopback hosts") {
     val e = intercept[Exception] {
       runTrim("HTTP({\n  GET http://example.com/anything\n})\nTEXT()\n")

@@ -315,11 +315,24 @@ class HttpQueryBatterySpec extends SparkSpec {
     val obj = graft.script.Builtins.jsonParse(b1)
       .asInstanceOf[scala.collection.Map[String, Any]]
     assert(obj.size >= 2, b1.take(200))
-    // /debug/metrics: prometheus exposition with HELP/TYPE + sample line
+    // /debug/metrics: prometheus exposition with HELP/TYPE + sample
+    // line; names sanitize (machbase_ strips, ':' → '_') and _count
+    // infers counter (spi/metrics_test.go TestPrometheusHelperFunctions)
     val (c2, ct2, b2) = httpRaw("GET", "/debug/metrics")
     assert(c2 == 200 && ct2.startsWith("text/plain"), s"$c2 $ct2")
-    assert(b2.contains("# TYPE machbase:session:stmt:count gauge"), b2)
-    assert(b2.contains("machbase:session:stmt:count 7 1705291859000"), b2)
+    assert(b2.contains("# TYPE session_stmt_count counter"), b2)
+    assert(b2.contains("session_stmt_count 7 1705291859000"), b2)
+    assert(b2.contains("# TYPE go_goroutine_max gauge"), b2)
+    // sanitizer goldens
+    import graft.server.Metrics
+    assert(Metrics.sanitizePromMetricName("") == "neo_metric")
+    assert(Metrics.sanitizePromMetricName("1abc") == "neo_1abc")
+    assert(Metrics.sanitizePromMetricName("machbase:cpu-usage") == "cpu_usage")
+    assert(Metrics.sanitizePromMetricName("!!!") == "neo_metric")
+    assert(Metrics.inferPromMetricType("request_total") == "counter")
+    assert(Metrics.inferPromMetricType("request_count") == "counter")
+    assert(Metrics.inferPromMetricType("recv_bytes") == "counter")
+    assert(Metrics.inferPromMetricType("cpu_usage") == "gauge")
     // statz config: GET current, POST set/trim, malformed 400
     // "unexpected EOF", non-string 400 "invalid out value", DELETE 405
     val (c3, _, b3) = httpRaw("GET", "/debug/statz/config")
