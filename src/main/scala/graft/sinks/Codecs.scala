@@ -83,10 +83,12 @@ object Codecs {
 
   private def fmtTime(inst: java.time.Instant, o: Options): String =
     o.timeformat match {
-      case Some("s") => inst.getEpochSecond.toString
-      case Some("ms") => inst.toEpochMilli.toString
-      case Some("us") => (inst.getEpochSecond * 1000000L + inst.getNano / 1000).toString
-      case Some("ns") => (inst.getEpochSecond * 1000000000L + inst.getNano).toString
+      case Some("s") | Some("s.str") => inst.getEpochSecond.toString
+      case Some("ms") | Some("ms.str") => inst.toEpochMilli.toString
+      case Some("us") | Some("us.str") =>
+        (inst.getEpochSecond * 1000000L + inst.getNano / 1000).toString
+      case Some("ns") | Some("ns.str") =>
+        (inst.getEpochSecond * 1000000000L + inst.getNano).toString
       case Some(pattern) =>
         val out = java.time.format.DateTimeFormatter.ofPattern(pattern)
           .withZone(java.time.ZoneId.of(o.tz)).format(inst)

@@ -555,6 +555,10 @@ object Compiler extends CompilerSources with CompilerMaps with CompilerExprs {
       case Call("timeformat", List(Str(f))) =>
         f.toLowerCase match {
           case "s" | "ms" | "us" | "ns" => opts = opts.copy(timeformat = Some(f.toLowerCase))
+          // FormatEpoch's string-epoch twins (util/types.go:175-199):
+          // same number, marshalled as TEXT (JSON quotes it)
+          case e @ ("s.str" | "ms.str" | "us.str" | "ns.str") =>
+            opts = opts.copy(timeformat = Some(e))
           case _ =>
             // full named table + Go layouts (util/time_formats.go); the
             // sink's java formatter renders zone tokens itself, and the
@@ -563,9 +567,13 @@ object Compiler extends CompilerSources with CompilerMaps with CompilerExprs {
             opts = opts.copy(timeformat = Some(jp), trimFractionZeros = trim)
         }
       case Call("sqlTimeformat", List(Str(f))) =>
-        opts = opts.copy(timeformat = Some(graft.time.TimeFns.translateTimeformat(f)))
+        // faithful two-step: SQL tokens → Go layout → pattern, with the
+        // Go ".999" trim riding the 9-run (types.go ToTimeformatSql)
+        val (sp, st) = graft.time.TimeFns.goLayoutPattern(graft.time.TimeFns.toSqlGoLayout(f))
+        opts = opts.copy(timeformat = Some(sp), trimFractionZeros = st)
       case Call("ansiTimeformat", List(Str(f))) =>
-        opts = opts.copy(timeformat = Some(graft.time.TimeFns.translateAnsiTimeformat(f)))
+        val (ap, at) = graft.time.TimeFns.goLayoutPattern(graft.time.TimeFns.toAnsiGoLayout(f))
+        opts = opts.copy(timeformat = Some(ap), trimFractionZeros = at)
       case Call("tz", List(Str(z))) =>
         opts = opts.copy(tz = graft.time.TimeFns.resolveTz(z))
       case Call("precision", List(Num(p))) => opts = opts.copy(precision = p.toInt)

@@ -537,33 +537,57 @@ private[tql] trait CompilerExprs { this: Compiler.type =>
         // timestamp every sink timeformat understands). Epoch modes are
         // tz-less; pattern mode parses wall-clock text in the given
         // location (tz may be a tz() call or a bare string like "Local")
-        case x :: Str(fmt) :: rest =>
+        case x :: fmtArg :: rest if (fmtArg match {
+          case Str(_) | Call("sqlTimeformat", List(Str(_)))
+               | Call("ansiTimeformat", List(Str(_))) => true
+          case _ => false
+        }) =>
           val c = toColumn(x, p)
           val tzName = rest.collectFirst {
             case Call("tz", List(Str(z))) => graft.time.TimeFns.resolveTz(z)
             case Str(z) => graft.time.TimeFns.resolveTz(z)
           }
-          fmt match {
-            case "s" => timestamp_micros(c.cast("long") * 1000000L)
-            case "ms" => timestamp_micros(c.cast("long") * 1000L)
-            case "us" => timestamp_micros(c.cast("long"))
-            case "ns" => timestamp_micros(graft.time.TimeFns.nsToUs(c.cast("long")))
-            case pattern =>
-              // named/Go layouts resolve like strTime; a Go ".999" fraction
-              // is OPTIONAL on input (TestParseTime parses "2023-03-01
-              // 14:01:02" with DEFAULT), so try the fraction variants
-              // longest-first and fall back to the fractionless base
+          // epoch text tolerates scientific notation — util.ToInt64 falls
+          // back to a float parse (types_test.go:389 "1.691800174e+09").
+          // Integral text keeps the exact long path (ns precision); only
+          // non-integral shapes ride the double fallback (ANSI-safe: a
+          // plain cast would throw before coalesce could fall through)
+          def epochLong = {
+            val s = c.cast("string")
+            when(s.rlike("^[+-]?\\d+$"), c.cast("long"))
+              .otherwise(s.cast("double").cast("long"))
+          }
+          def wallParse(jp: String, goStyle: Boolean): org.apache.spark.sql.Column = {
+            // a Go ".999" fraction is OPTIONAL on input (TestParseTime
+            // parses "2023-03-01 14:01:02" with DEFAULT): try the fraction
+            // variants longest-first, fall back to the fractionless base
+            val ts = "\\.S+".r.findFirstMatchIn(jp) match {
+              case Some(m) if goStyle =>
+                val nmax = m.end - m.start - 1
+                val variants = (nmax to 1 by -1).map { n =>
+                  jp.substring(0, m.start) + "." + "S" * n + jp.substring(m.end)
+                } :+ (jp.substring(0, m.start) + jp.substring(m.end))
+                coalesce(variants.map(v => try_to_timestamp(c, lit(v))): _*)
+              case _ => to_timestamp(c, jp)
+            }
+            tzName.filter(_ != "UTC").map(z => to_utc_timestamp(ts, z)).getOrElse(ts)
+          }
+          fmtArg match {
+            case Call("sqlTimeformat", List(Str(f))) =>
+              wallParse(graft.time.TimeFns.goLayoutPattern(
+                graft.time.TimeFns.toSqlGoLayout(f))._1, goStyle = true)
+            case Call("ansiTimeformat", List(Str(f))) =>
+              wallParse(graft.time.TimeFns.goLayoutPattern(
+                graft.time.TimeFns.toAnsiGoLayout(f))._1, goStyle = true)
+            case Str("s") => timestamp_micros(epochLong * 1000000L)
+            case Str("ms") => timestamp_micros(epochLong * 1000L)
+            case Str("us") => timestamp_micros(epochLong)
+            case Str("ns") => timestamp_micros(graft.time.TimeFns.nsToUs(epochLong))
+            case Str(pattern) =>
+              // named/Go layouts resolve like strTime
               val (jp, goStyle) = graft.time.TimeFns.resolveNamedOrGoFormat(pattern)
-              val ts = "\\.S+".r.findFirstMatchIn(jp) match {
-                case Some(m) if goStyle =>
-                  val nmax = m.end - m.start - 1
-                  val variants = (nmax to 1 by -1).map { n =>
-                    jp.substring(0, m.start) + "." + "S" * n + jp.substring(m.end)
-                  } :+ (jp.substring(0, m.start) + jp.substring(m.end))
-                  coalesce(variants.map(v => try_to_timestamp(c, lit(v))): _*)
-                case _ => to_timestamp(c, jp)
-              }
-              tzName.filter(_ != "UTC").map(z => to_utc_timestamp(ts, z)).getOrElse(ts)
+              wallParse(jp, goStyle)
+            case _ => throw new IllegalArgumentException("parseTime(v, fmt[, tz])")
           }
         case _ => throw new IllegalArgumentException("parseTime(v, fmt[, tz])")
       }
@@ -642,9 +666,9 @@ private[tql] trait CompilerExprs { this: Compiler.type =>
             case _ =>
               val (pattern0, trim) = fmtE match {
                 case Call("sqlTimeformat", List(Str(f))) =>
-                  (graft.time.TimeFns.translateTimeformat(f), false)
+                  graft.time.TimeFns.goLayoutPattern(graft.time.TimeFns.toSqlGoLayout(f))
                 case Call("ansiTimeformat", List(Str(f))) =>
-                  (graft.time.TimeFns.translateAnsiTimeformat(f), false)
+                  graft.time.TimeFns.goLayoutPattern(graft.time.TimeFns.toAnsiGoLayout(f))
                 case _ => graft.time.TimeFns.resolveNamedOrGoFormat(rawFmt)
               }
               val tzName = args.collectFirst {
