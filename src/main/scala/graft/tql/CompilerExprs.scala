@@ -70,8 +70,16 @@ private[tql] trait CompilerExprs { this: Compiler.type =>
         lk.foreach { case (k, v) => if (k != 'n') bad(v, "modifier", "number") }
         rk.foreach { case (k, v) => if (k != 'n') bad(v, "modifier", "number") }
       case "+" =>
-        // either side a string → concatenation, any types allowed
-        val anyString = lk.exists(_._1 == 's') || rk.exists(_._1 == 's')
+        // either side a string → concatenation, any types allowed; a
+        // '+'-subtree that contains a string literal is itself a string
+        // ("'baz' + 123 + 'bar' + true", evaluation_test.go:978-989)
+        def definitelyString(e: Expr): Boolean = e match {
+          case Expr.Str(_) => true
+          case Expr.Bin("+", a, b) => definitelyString(a) || definitelyString(b)
+          case _ => false
+        }
+        val anyString = lk.exists(_._1 == 's') || rk.exists(_._1 == 's') ||
+          definitelyString(l) || definitelyString(r)
         if (!anyString) {
           lk.foreach { case (k, v) => if (k != 'n') bad(v, "modifier", "number") }
           rk.foreach { case (k, v) => if (k != 'n') bad(v, "modifier", "number") }
@@ -154,9 +162,19 @@ private[tql] trait CompilerExprs { this: Compiler.type =>
           if (bothNumeric) f(a.cast("double"), b.cast("double")) else fallback(a, b)
         op match {
           case "+" =>
-            // TQL '+' concatenates when either operand is a string literal
+            // TQL '+' concatenates when either operand is a string — the
+            // literal case AND the chained case where the left side is a
+            // concat RESULT ("foo + 123 + 'bar' + true" → "baz123bartrue",
+            // evaluation_test.go:978-989: Go dispatches on the runtime
+            // type, so a string-typed subtree keeps concatenating)
+            lazy val anyString: Boolean =
+              try p.df.select(a.as("l"), b.as("r")).schema.fields
+                .exists(_.dataType == org.apache.spark.sql.types.StringType)
+              catch { case _: Exception => false }
             (l, r) match {
               case (Str(_), _) | (_, Str(_)) => concat(a.cast("string"), b.cast("string"))
+              case _ if !bothNumeric && anyString =>
+                concat(a.cast("string"), b.cast("string"))
               case _ => arith(_ + _, _ + _)
             }
           case "-" => arith(_ - _, _ - _)
@@ -206,10 +224,17 @@ private[tql] trait CompilerExprs { this: Compiler.type =>
           throw new IllegalArgumentException(
             s"Value '$v' cannot be used with the ternary operator '?', it is not a bool") }
         // TQL is dynamically typed: a ternary may yield different types per
-        // branch (`x != "VALUE" ? parseFloat(x)*10 : x`). Spark's CaseWhen
-        // coercion would cast the string branch to double and (ANSI) throw
-        // on non-numeric rows — harmonize mixed numeric/string branches to
-        // go-formatted strings instead.
+        // branch (`x != "VALUE" ? parseFloat(x)*10 : x`). A LITERAL bool
+        // condition picks its branch statically — exact Go semantics with
+        // no type unification at all ("true ? 1 : 5 > 10" → 1,
+        // evaluation_test.go:366). Otherwise Spark's CaseWhen coercion
+        // would cast a string branch to double and (ANSI) throw on
+        // non-numeric rows — harmonize mixed numeric/string (or boolean)
+        // branches to go-formatted strings instead.
+        c match {
+          case Bool(true) => toColumn(t, p)
+          case Bool(false) => toColumn(f, p)
+          case _ =>
         val (cc, tc, fc) = (toColumn(c, p), toColumn(t, p), toColumn(f, p))
         val branchTypes =
           try Some(p.df.select(tc.as("t"), fc.as("f")).schema.fields.map(_.dataType))
@@ -217,7 +242,9 @@ private[tql] trait CompilerExprs { this: Compiler.type =>
         branchTypes match {
           case Some(Array(tt, ft)) if tt != ft &&
             (tt == org.apache.spark.sql.types.StringType ||
-             ft == org.apache.spark.sql.types.StringType) =>
+             ft == org.apache.spark.sql.types.StringType ||
+             tt == org.apache.spark.sql.types.BooleanType ||
+             ft == org.apache.spark.sql.types.BooleanType) =>
             def goStr(col0: Column, dt: org.apache.spark.sql.types.DataType): Column =
               dt match {
                 case org.apache.spark.sql.types.DoubleType |
@@ -229,6 +256,7 @@ private[tql] trait CompilerExprs { this: Compiler.type =>
               }
             when(cc, goStr(tc, tt)).otherwise(goStr(fc, ft))
           case _ => when(cc, tc).otherwise(fc)
+        }
         }
       case In(v, set) => toColumn(v, p).isin(set.map(x => toColumn(x, p)): _*)
       case Index(arr, idx) => element_at(toColumn(arr, p), toColumn(idx, p) + 1)

@@ -75,6 +75,17 @@ class ExprEvalSpec extends SparkSpec {
     "'2014-01-02 14:12:22' > '2014-01-02 12:12:22'" -> "true",
     "'2014-01-02 14:12:22' > '2014-01-02 16:12:22'" -> "false",
     "'2014-01-02 09:12:22' <= '2014-01-02 12:12:22'" -> "true",
+    "'2014-01-02 14:12:22' >= '2014-01-02 12:12:22'" -> "true",
+    "'2014-01-02 14:12:22' >= '2014-01-02 16:12:22'" -> "false",
+    "'2014-01-02 14:12:22' < '2014-01-02 16:12:22'" -> "true",
+    "'2014-01-02 14:12:22' < '2014-01-02 11:12:22'" -> "false",
+    "'2014-01-02 14:12:22' <= '2014-01-02 11:12:22'" -> "false",
+    // ternary precedence (evaluation_test.go:361-377): ternary binds
+    // loosest, so the bare else-arm swallows the comparison
+    "(true ? 1 : 5) < 10" -> "true",
+    "true ? 1 : 5 > 10" -> "1",
+    "(2 == 2) ? 1 : (true ? 2 : 3)" -> "1",
+    "false ? 1 : (true ? 2 : 3)" -> "2",
     // ternary (else optional — nil when absent)
     "true ? 10" -> "10",
     "false ? 10" -> "NULL",
@@ -93,6 +104,12 @@ class ExprEvalSpec extends SparkSpec {
     "'foo' + '02/05/1970' == 'foobar'" -> "false",
     "'foo' + true == 'footrue'" -> "true",
     "true + 'bar' == 'truebar'" -> "true",
+    // chained concat keeps string typing through non-literal operands
+    // (evaluation_test.go:978-989 "Mixed multiple string concat")
+    "'baz' + 123 + 'bar' + true" -> "baz123bartrue",
+    // array self-equality (evaluation_test.go:1099-1120)
+    "list(0, 0, 0) == list(0, 0, 0)" -> "true",
+    "list(0, 0, 0) != list(0, 0, 0)" -> "false",
     // hex literals (parse_test.go TestConstantParsing)
     "0x1" -> "1",
     "0x10" -> "16",
@@ -105,6 +122,10 @@ class ExprEvalSpec extends SparkSpec {
     "!(1 in (1, 2, 3))" -> "false")
 
   test("no-parameter evaluation battery (evaluation_test.go TestNoParameterEvaluation)") {
+    // not mirrored: the harness-local Go function cases (foo/passthrough/
+    // sum/ten/numeric/success/nope/null, foo:length) — they exercise the
+    // Go library's pluggable function map, not TQL semantics; the real
+    // TQL registry is covered by FuncBatterySpec/SqlRegistry
     val failures = cases.flatMap { case (input, want) =>
       val got =
         try eval(input)
@@ -112,5 +133,13 @@ class ExprEvalSpec extends SparkSpec {
       if (got == want) None else Some(s"$input => $got (want $want)")
     }
     assert(failures.isEmpty, failures.mkString("\n", "\n", ""))
+  }
+
+  test("NULL-parameter evaluation (evaluation_test.go TestOrParameterEval:624-661, TestNilTernary:1316-1331)") {
+    def evalNull(expr: String): String =
+      runTrim(s"FAKE( json({ [null] }))\nMAPVALUE(0, $expr)\nCSV()").trim
+    assert(evalNull("value(0) == NULL || value(0) > 0") == "true")
+    assert(evalNull("value(0) != NULL ? 1 : 2") == "2")
+    assert(eval("true ? NULL : 12.3") == "NULL")
   }
 }
