@@ -92,6 +92,24 @@ class MetricSeriesSpec extends AnyFunSuite {
     assert(d(values(9), "ma5") == CounterValue(50, 755))
   }
 
+  test("meter moving averages: fields average, sum/samples accumulate (TestTimeSeriesMeterWithSlidingWindow timeseries_test.go:514-587)") {
+    val ts = new TimeSeries(S, 10,
+      new Meter().withDerivers(MovingAverage("ma3", 3), MovingAverage("ma5", 5)))
+    var now = t(12, 4, 5) - 100000000L
+    def tick(): Long = { now += 100000000L; now }
+    (1 to 100).foreach(i => ts.add(tick(), i.toDouble))
+    val (_, values) = ts.lastN(0)
+    def d(v: MetricValue, k: String): MetricValue = v.derived(k)
+    assert(values(0) == MeterValue(10, 55, 1, 10, 1, 10))
+    assert(d(values(0), "ma3") == MeterValue(10, 55, 1, 10, 1, 10))
+    // the deriver AVERAGES first/last/min/max but SUMS samples/sum —
+    // values[3]: ma3 over bins 11-20/21-30/31-40 → min (11+21+31)/3
+    assert(d(values(3), "ma3") == MeterValue(30, 765, 21, 30, 21, 30))
+    assert(d(values(3), "ma5") == MeterValue(40, 820, 16, 25, 16, 25))
+    assert(d(values(9), "ma3") == MeterValue(30, 2565, 81, 90, 81, 90))
+    assert(d(values(9), "ma5") == MeterValue(50, 3775, 71, 80, 71, 80))
+  }
+
   test("gauge keeps the last value per bin; timer aggregates ns durations (TestTimeSeriesGauge/Timer)") {
     val g = new TimeSeries(S, 10, new Gauge)
     var now = t(12, 4, 5) - 100000000L
@@ -155,6 +173,36 @@ class MetricSeriesSpec extends AnyFunSuite {
     val v2 = om2.produce(false).asInstanceOf[OdometerValue]
     assert(v2.diff == 3.0)
     assert(v2.toJson == """{"first":10,"last":13,"samples":1}""")
+  }
+
+  test("multi-period fan-out: 1s/10s/60s bins agree (TestMultiTimeSeries timeseries_test.go:169-244)") {
+    // the reference's MultiTimeSeries is a plain slice fanning Add() to
+    // each series — reproduced with a Seq; pins the 10s/60s bin edges
+    val ts1 = new TimeSeries(S, 10, new Meter)
+    val ts10 = new TimeSeries(10 * S, 6, new Meter)
+    val ts60 = new TimeSeries(60 * S, 5, new Meter)
+    var now = t(12, 4, 5)
+    for (i <- 1 to 10 * 5 * 60) {
+      Seq(ts1, ts10, ts60).foreach(_.add(now, i.toDouble))
+      now += 100000000L
+    }
+    val (t1, v1) = ts1.lastN(0)
+    assert(t1 == ((12, 8, 56) :: (12, 8, 57) :: (12, 8, 58) :: (12, 8, 59) ::
+      (12, 9, 0) :: (12, 9, 1) :: (12, 9, 2) :: (12, 9, 3) :: (12, 9, 4) ::
+      (12, 9, 5) :: Nil).map { case (h, m, s) => t(h, m, s) })
+    assert(v1.head == MeterValue(10, 29055, 2901, 2910, 2901, 2910))
+    assert(v1.last == MeterValue(10, 29955, 2991, 3000, 2991, 3000))
+    val (t10, v10) = ts10.all()
+    assert(t10 == Seq(t(12, 8, 20), t(12, 8, 30), t(12, 8, 40),
+      t(12, 8, 50), t(12, 9, 0), t(12, 9, 10)))
+    assert(v10.head == MeterValue(100, 250050, 2451, 2550, 2451, 2550))
+    assert(v10.last == MeterValue(50, 148775, 2951, 3000, 2951, 3000))
+    val (t60, v60) = ts60.all()
+    assert(t60 == Seq(t(12, 6, 0), t(12, 7, 0), t(12, 8, 0),
+      t(12, 9, 0), t(12, 10, 0)))
+    assert(v60.head == MeterValue(600, 510300, 551, 1150, 551, 1150))
+    assert(v60(3) == MeterValue(600, 1590300, 2351, 2950, 2351, 2950))
+    assert(v60.last == MeterValue(50, 148775, 2951, 3000, 2951, 3000))
   }
 
   test("statz reply is a JSON object keyed by measure (TestStatz shape)") {
