@@ -128,7 +128,12 @@ object QueryDoor {
           case _ if lower.startsWith("create tag table") ||
             lower.startsWith("create log table") ||
             lower.startsWith("create volatile table") ||
-            lower.startsWith("create lookup table") =>
+            lower.startsWith("create lookup table") ||
+            // a bare CREATE TABLE with machbase-typed columns is a LOG
+            // table — machbase's default table type (machsvr_test.go
+            // testCreateTables creates log_data this way). Spark-native
+            // DDL (USING/AS SELECT/PARTITIONED BY) falls through.
+            (lower.startsWith("create table") && isMachbaseDdl(s)) =>
             TagTables.createTagTable(spark, s)
             Seq("Created successfully.").toDF("MESSAGE")
           case InsertOnDupRe(table, cols, vals, sets)
@@ -156,6 +161,13 @@ object QueryDoor {
               whereCol, parseLiterals(whereVal).head)
             Seq(if (n == 1) "a row updated." else s"$n rows updated.")
               .toDF("MESSAGE")
+          case InsertMetaRe(table, cols, vals)
+            if TagTables.descriptorFor(table).isDefined =>
+            // INSERT INTO t METADATA(name, …) VALUES(…) → _T_META row
+            // (machsvr_test.go testInsertMeta)
+            TagTables.insertMeta(spark, table,
+              cols.split(",").map(_.trim).toSeq, parseLiterals(vals))
+            Seq("a row inserted.").toDF("MESSAGE")
           case InsertRe(table, cols, vals)
             if TagTables.descriptorFor(table).isDefined =>
             // literal INSERT INTO <machbase table> — the conn.Exec path
@@ -185,6 +197,37 @@ object QueryDoor {
 
   private val InsertRe =
     ("(?is)^\\s*insert\\s+into\\s+(\\w+)\\s*(?:\\(([^)]*)\\)\\s*)?" +
+      "values\\s*\\((.*)\\)\\s*$").r
+  /** True when a bare CREATE TABLE uses only machbase column types — the
+    * signal it is machbase DDL (default table type: log), not Spark DDL. */
+  private def isMachbaseDdl(sql: String): Boolean = {
+    val lower = sql.toLowerCase
+    if (lower.contains(" using ") || lower.contains(" as select") ||
+        lower.contains("partitioned by")) return false
+    val open = sql.indexOf('(')
+    if (open < 0) return false
+    var depth = 0; var close = -1; var i = open
+    while (i < sql.length && close < 0) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return false
+    val machTypes = Set("short", "ushort", "integer", "int", "uinteger",
+      "uint", "long", "ulong", "float", "double", "varchar", "text",
+      "json", "ipv4", "ipv6", "binary", "datetime")
+    val defs = splitValues(sql.substring(open + 1, close))
+    defs.nonEmpty && defs.forall { d =>
+      d.trim.split("\\s+").lift(1).map(_.toLowerCase.takeWhile(_ != '('))
+        .exists(machTypes)
+    }
+  }
+
+  private val InsertMetaRe =
+    ("(?is)^\\s*insert\\s+into\\s+(\\w+)\\s+metadata\\s*\\(([^)]*)\\)\\s*" +
       "values\\s*\\((.*)\\)\\s*$").r
   private val InsertOnDupRe =
     ("(?is)^\\s*insert\\s+into\\s+(\\w+)\\s*(?:\\(([^)]*)\\)\\s*)?" +

@@ -241,6 +241,10 @@ object TagTables {
     dropBase(t)
     try spark.catalog.dropTempView(t) catch { case _: Throwable => }
     try spark.catalog.dropTempView(arrivalViewName(t)) catch { case _: Throwable => }
+    if (dynamicMetaDescs.remove(t).isDefined) {
+      metaRows.remove(t)
+      try spark.catalog.dropTempView(metaViewName(t)) catch { case _: Throwable => }
+    }
   }
 
   private def schemaFor(table: String): StructType = table.toLowerCase match {
@@ -254,10 +258,55 @@ object TagTables {
     * basetime, value binary, …)` — the DDL the reference's test fixtures
     * issue through `$.db().exec` (tql_test.go:756-775). */
   def createTagTable(spark: SparkSession, sql: String): Unit = {
-    val re = ("(?is)create\\s+(tag|log|volatile|lookup)\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?" +
-      "(\\w+)\\s*\\((.*)\\)\\s*(with\\s+.*)?$").r
-    sql.trim match {
-      case re(kind, name, body, options) =>
+    // head regex stops at the first '(' — the column body and an optional
+    // METADATA(...) clause are carved out by balanced-paren walks so the
+    // machbase trailing options (TAG_DUPLICATE_CHECK_DURATION=1,
+    // tag_partition_count=…, WITH ROLLUP) never corrupt the column list
+    // (machsvr_test.go testCreateTables/testInsertMeta)
+    val head = ("(?is)^create\\s+(?:(tag|log|volatile|lookup)\\s+)?table\\s+" +
+      "(?:if\\s+not\\s+exists\\s+)?(\\w+)\\s*\\(").r
+    /** index of the ')' matching the '(' at `open`. */
+    def matching(s: String, open: Int): Int = {
+      var depth = 0; var i = open
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) return i
+          case _ =>
+        }
+        i += 1
+      }
+      throw new IllegalArgumentException(s"unsupported DDL: $sql")
+    }
+    val trimmed = sql.trim.stripSuffix(";")
+    head.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        // a bare CREATE TABLE defaults to a LOG table (machbase semantics)
+        val kind = Option(m.group(1)).getOrElse("log")
+        val name = m.group(2)
+        val openIdx = m.end - 1
+        val closeIdx = matching(trimmed, openIdx)
+        val body = trimmed.substring(openIdx + 1, closeIdx)
+        var tail = trimmed.substring(closeIdx + 1).trim
+        // optional METADATA( … ) clause: extra per-tag columns stored in
+        // the _T_META side table (machsvr_test.go testInsertMeta)
+        val metaRe = "(?is)^metadata\\s*\\(".r
+        val metaBody = metaRe.findFirstMatchIn(tail).map { mm =>
+          val o = mm.end - 1
+          val c = matching(tail, o)
+          val b = tail.substring(o + 1, c)
+          tail = tail.substring(c + 1).trim
+          b
+        }
+        val options = if (tail.isEmpty) null else tail
+        createParsed(spark, kind, name, body, metaBody, options)
+      case None => throw new IllegalArgumentException(s"unsupported DDL: $sql")
+    }
+  }
+
+  private def createParsed(spark: SparkSession, kind: String, name: String,
+                           body: String, metaBody: Option[String],
+                           options: String): Unit = {
         val kindLower = kind.toLowerCase
         val cols = body.split(",").map(_.trim).filter(_.nonEmpty).map { defn =>
           val parts = defn.split("\\s+")
@@ -295,9 +344,83 @@ object TagTables {
           Option(options).exists(_.toLowerCase.contains("rollup")))
         if (!dynamicOrder.contains(t)) dynamicOrder += t
         rows.put(t, ArrayBuffer.empty[Row])
+        // METADATA(...) columns live in the _T_META side table keyed by
+        // tag name with a 1-based _ID in insert order
+        metaBody.foreach { mb =>
+          val metaCols = mb.split(",").map(_.trim).filter(_.nonEmpty).map { defn =>
+            val parts = defn.split("\\s+")
+            val colName = parts(0).toUpperCase
+            val lenRe = "(\\w+)\\((\\d+)\\)".r
+            val (typ, len) = parts(1).toLowerCase match {
+              case lenRe(tt, l) => (tt, l.toInt)
+              case tt => (tt, defaultLen(tt))
+            }
+            ColDesc(colName, typ, len, "tag metadata")
+          }.toSeq
+          dynamicMetaDescs.put(t, metaCols)
+          metaRows.put(t, ArrayBuffer.empty[Row])
+        }
         refresh(spark, t)
-      case _ => throw new IllegalArgumentException(s"unsupported DDL: $sql")
-    }
+        if (metaBody.isDefined) refreshMeta(spark, t)
+  }
+
+  // ---- tag metadata (_T_META, machsvr_test.go testInsertMeta) ----------
+  private val dynamicMetaDescs = TrieMap.empty[String, Seq[ColDesc]]
+  private val metaRows = TrieMap.empty[String, ArrayBuffer[Row]]
+
+  def metaDescriptorFor(table: String): Option[Seq[ColDesc]] =
+    dynamicMetaDescs.get(table.toLowerCase)
+
+  private def metaViewName(t: String): String = s"_${t.toUpperCase}_META"
+
+  private def metaSchema(t: String): StructType = {
+    val pkLen = descriptorFor(t).flatMap(_.headOption).map(_.len).getOrElse(100)
+    StructType(
+      f("_ID", org.apache.spark.sql.types.LongType, "long") +:
+      f("NAME", org.apache.spark.sql.types.StringType, s"varchar($pkLen)") +:
+      dynamicMetaDescs.getOrElse(t, Seq.empty).map(c =>
+        f(c.name, sparkTypeOf(c.typ), machTypeOf(c.typ))) :+
+      f("_LAST_UPDATE_TIME", org.apache.spark.sql.types.TimestampType, "datetime"))
+  }
+
+  private def refreshMeta(spark: SparkSession, t: String): Unit = {
+    val data = metaRows.getOrElse(t, ArrayBuffer.empty[Row])
+    spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(data.toSeq).asJava),
+      metaSchema(t)).createOrReplaceTempView(metaViewName(t))
+  }
+
+  /** `INSERT INTO t METADATA(name, …) VALUES(…)` — appends one _T_META
+    * row; _ID is assigned in insert order starting at 1
+    * (machsvr_test.go testInsertMeta: _id "1"/"2"). */
+  def insertMeta(spark: SparkSession, table: String, columns: Seq[String],
+                 values: Seq[Any]): Unit = {
+    val t = table.toLowerCase
+    val descs = dynamicMetaDescs.getOrElse(t,
+      throw new IllegalArgumentException(s"table '$table' has no metadata columns"))
+    if (columns.size != values.size)
+      throw new IllegalArgumentException("number of columns not matched")
+    val byName = columns.map(_.toUpperCase).zip(values).toMap
+    val buf = metaRows.getOrElseUpdate(t, ArrayBuffer.empty[Row])
+    val schema = metaSchema(t)
+    val cells: Seq[Any] =
+      java.lang.Long.valueOf(buf.size + 1L) +:
+      byName.getOrElse("NAME", null) +:
+      descs.map(c => coerceCell(byName.getOrElse(c.name, null),
+        schema(c.name).dataType)) :+
+      (null: Any)
+    buf += new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      cells.toArray, schema)
+    refreshMeta(spark, t)
+  }
+
+  private def coerceCell(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: String, org.apache.spark.sql.types.StringType) => s
+    case (n: Number, org.apache.spark.sql.types.LongType) => java.lang.Long.valueOf(n.longValue())
+    case (n: Number, org.apache.spark.sql.types.IntegerType) => java.lang.Integer.valueOf(n.intValue())
+    case (n: Number, org.apache.spark.sql.types.DoubleType) => java.lang.Double.valueOf(n.doubleValue())
+    case (x, _) => x
   }
 
   private def flagOf(defn: String, kind: String = "tag"): String = {
