@@ -28,6 +28,10 @@ object SqlRegistry {
       spark.udf.register("glob", (pattern: String, text: String) =>
         text != null && pattern != null &&
           java.util.regex.Pattern.matches(ScalarFns.globToRegex(pattern), text))
+      // machbase integer bit functions (machsvr_test.go TestBitTypeColumn;
+      // float/double arguments are rejected at the door with MACH-ERR 2037)
+      spark.udf.register("BITAND", (a: Long, b: Long) => a & b)
+      spark.udf.register("BITOR", (a: Long, b: Long) => a | b)
       spark.udf.register("simplex", (seed: Long, x: Double) => Noise.simplex1(seed, x))
       spark.udf.register("simplex2", (seed: Long, x: Double, y: Double) =>
         Noise.simplex2(seed, x, y))

@@ -39,6 +39,7 @@ object QueryDoor {
     detect(sql) match {
       case Select =>
         Catalog.recordStatement(sql, "FETCH", 0L)
+        checkBitand(sql)
         spark.sql(rewriteSelect(spark, sql))
       case Explain =>
         // option tokens between EXPLAIN and the statement: `--full`,
@@ -198,6 +199,30 @@ object QueryDoor {
   private val InsertRe =
     ("(?is)^\\s*insert\\s+into\\s+(\\w+)\\s*(?:\\(([^)]*)\\)\\s*)?" +
       "values\\s*\\((.*)\\)\\s*$").r
+  /** BITAND/BITOR take integral arguments only — a float/double column
+    * or fractional literal raises the engine's type-mismatch error
+    * (machsvr_test.go TestBitTypeColumn pins the MACH-ERR 2037 text,
+    * github.com/machbase/neo issue 956). */
+  private def checkBitand(sql: String): Unit = {
+    val fnRe = "(?i)(BITAND|BITOR)\\s*\\(([^()]*)\\)".r
+    val fromRe = "(?is)\\bfrom\\s+(\\w+)".r
+    lazy val fromDesc = fromRe.findFirstMatchIn(sql)
+      .flatMap(m => TagTables.descriptorFor(m.group(1)))
+    fnRe.findAllMatchIn(sql).foreach { m =>
+      val fn = m.group(1).toUpperCase
+      def mismatch() = throw new IllegalArgumentException(
+        s"MACH-ERR 2037 Function [$fn] argument data type is mismatched.")
+      m.group(2).split(",").map(_.trim).foreach { a =>
+        if (a.matches("-?\\d+\\.\\d+([eE][+-]?\\d+)?")) mismatch()
+        else if (a.matches("[A-Za-z_]\\w*")) {
+          fromDesc.flatMap(_.find(_.name.equalsIgnoreCase(a))).foreach { c =>
+            if (c.typ == "float" || c.typ == "double") mismatch()
+          }
+        }
+      }
+    }
+  }
+
   /** True when a bare CREATE TABLE uses only machbase column types — the
     * signal it is machbase DDL (default table type: log), not Spark DDL. */
   private def isMachbaseDdl(sql: String): Boolean = {

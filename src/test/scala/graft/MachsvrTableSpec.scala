@@ -67,6 +67,24 @@ class MachsvrTableSpec extends SparkSpec {
     } finally q("drop table logd")
   }
 
+  test("BITAND on integral columns works; float/double args raise MACH-ERR 2037 (TestBitTypeColumn machsvr_test.go:1630-1700)") {
+    TagTables.resetDynamicForTest(spark)
+    q("CREATE TABLE bit_table (i1 INTEGER, i2 UINTEGER, i3 FLOAT, i4 DOUBLE, i5 SHORT, i6 VARCHAR(10))")
+    try {
+      q("INSERT INTO bit_table VALUES (-1, 1, 1, 1, 2, 'aaa')")
+      val got = csv("SELECT i1, i2, i5, i6 FROM bit_table WHERE BITAND(i2, 1) = 1")
+      assert(got == "-1,1,2,aaa\n", got)
+      val e1 = intercept[IllegalArgumentException](
+        q("SELECT * FROM bit_table WHERE BITAND(i4, 1) = 1"))
+      assert(e1.getMessage ==
+        "MACH-ERR 2037 Function [BITAND] argument data type is mismatched.")
+      val e2 = intercept[IllegalArgumentException](
+        q("SELECT BITAND(i1, i3) FROM bit_table"))
+      assert(e2.getMessage ==
+        "MACH-ERR 2037 Function [BITAND] argument data type is mismatched.")
+    } finally q("DROP TABLE bit_table")
+  }
+
   test("METADATA table drops with its owner and missing-metadata insert errors") {
     TagTables.resetDynamicForTest(spark)
     q("CREATE TAG TABLE m2 (name varchar(32) primary key, time datetime basetime, value double) METADATA(site varchar(16))")
