@@ -68,8 +68,19 @@ object JsonRpc {
   /** The registered method table. Each entry mirrors one
     * RegisterJsonRpcHandler line (server.go:1144-1198); handlers that the
     * reference backs with jsh/auth/UI subsystems (shell.*, sshkey.*,
-    * key.*, lsp.*, vizspec.*) are deliberately absent and reply -32601. */
+    * key.*, lsp.*) are deliberately absent and reply -32601. */
   private lazy val builtin: Map[String, Handler] = Map(
+    // ---- vizspec doors (server.go:1145-1148, jsh/viz/viz.go) -----------
+    "vizspec.render" -> ((_, p) => Vizspec.render(objParam(p, 0))),
+    "vizspec.export" -> ((_, p) =>
+      Vizspec.exportSpec(objParam(p, 0), if (p.size > 1) str(p, 1) else "")),
+    "server.info.statz" -> ((_, p) => {
+      val names = p.headOption.map {
+        case s: collection.Seq[_] => s.map(_.toString).toSeq
+        case one => Seq(one.toString)
+      }.getOrElse(Seq.empty)
+      Vizspec.statz(names)
+    }),
     "markdown.render" -> ((_, p) =>
       Markdown.render(str(p, 0), bool(p, 1), str(p, 2))),
 

@@ -46,6 +46,54 @@ class RpcSpec extends SparkSpec {
     assert(get(out, "result.runtime.Pid").asInstanceOf[Long] > 0L, out)
   }
 
+  private val vizParams =
+    """[{"schema":"vizspec/v1","kind":"timeseries","data":{"x":["t1","t2"],"series":[{"name":"value","data":[1,2]}]}}"""
+
+  test("vizspec.render passthrough normalization (TestHttpRpc vizspecRender http_rpc_test.go:622-639)") {
+    val out = rpc("vizspec.render", vizParams + "]")
+    assert(get(out, "result.schema") == "vizspec/v1", out)
+    assert(get(out, "result.kind") == "timeseries", out)
+    assert(get(out, "result.data.x.0") == "t1", out)
+    assert(get(out, "result.data.series.0.name") == "value", out)
+    assert(get(out, "result.data.series.0.data.0") == 1L, out)
+    // legacy schema alias normalizes (viz.go:41-43)
+    val legacy = rpc("vizspec.render",
+      """[{"schema":"advn/v1","data":{"x":[1],"series":[{"name":"v","data":[3]}]}}]""")
+    assert(get(legacy, "result.schema") == "vizspec/v1", legacy)
+    assert(get(legacy, "result.kind") == "timeseries", legacy)
+  }
+
+  test("vizspec.export svg/png/echarts envelopes (TestHttpRpc vizspecExport http_rpc_test.go:641-699)") {
+    val svg = rpc("vizspec.export", vizParams + ""","svg"]""")
+    assert(get(svg, "result.schema") == "vizspec-export/v1", svg)
+    assert(get(svg, "result.format") == "svg", svg)
+    assert(get(svg, "result.mimeType") == "image/svg+xml", svg)
+    assert(get(svg, "result.data").toString.contains("<svg"), svg)
+
+    val png = rpc("vizspec.export", vizParams + ""","png"]""")
+    assert(get(png, "result.mimeType") == "image/png", png)
+    val b64 = get(png, "result.data").toString
+    assert(b64.nonEmpty)
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    // a real PNG: magic header survives the base64 round trip
+    assert(bytes.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+
+    val ech = rpc("vizspec.export", vizParams + ""","echarts"]""")
+    assert(get(ech, "result.format") == "echarts", ech)
+    assert(get(ech, "result.mimeType") == "application/json", ech)
+    assert(get(ech, "result.data.series.0.type") == "line", ech)
+    assert(get(ech, "result.data.series.0.name") == "value", ech)
+  }
+
+  test("server.info.statz charts the requested measures (TestHttpRpc getServerStatz http_rpc_test.go:59-67)") {
+    graft.server.Metrics.send("http:count", 1.0, 1700000000000000000L)
+    try {
+      val out = rpc("server.info.statz", """[["http:count"]]""")
+      assert(get(out, "result.statz.0.name") == "http:count", out)
+      assert(get(out, "result.statz.0.spec.schema") == "vizspec/v1", out)
+    } finally graft.server.Metrics.clear()
+  }
+
   test("sql.split statement positions (TestHttpRpc splitSqlStatements)") {
     val out = rpc("sql.split", """["select 1;\nselect 2;"]""")
     assert(String.valueOf(get(out, "result.0.text")).trim == "select 1;", out)
