@@ -956,6 +956,15 @@ object TagTables {
         java.sql.Timestamp.from(java.time.Instant.parse(s)) }
     case (n: java.lang.Number, _: DecimalType) =>
       new java.math.BigDecimal(n.toString)
+    // string cells bound to numeric columns parse EAGERLY — the engine
+    // appender rejects the row at bind time, not lazily at scan
+    // (http_write_test.go TestHandleFileWriteErrors "insert failure
+    // removes just-written file": metadata JSON into an integer column)
+    case (s: String, IntegerType) => java.lang.Integer.valueOf(numStr(s, "int32").intValue())
+    case (s: String, LongType) => java.lang.Long.valueOf(numStr(s, "int64").longValue())
+    case (s: String, ShortType) => java.lang.Short.valueOf(numStr(s, "int16").shortValue())
+    case (s: String, DoubleType) => java.lang.Double.valueOf(numStr(s, "double").doubleValue())
+    case (s: String, FloatType) => java.lang.Float.valueOf(numStr(s, "float").floatValue())
     case (b: Array[Byte], BinaryType) => b
     case (s: String, BinaryType) if s.startsWith("0x") || s.startsWith("0X") =>
       // hex-literal binary ('0x0102…', tql_test.go insert-binary)
@@ -966,4 +975,11 @@ object TagTables {
     case (other, StringType) => graft.script.Interp.display(other)
     case (other, _) => other
   }
+
+  private def numStr(s: String, kind: String): java.lang.Double =
+    try java.lang.Double.valueOf(s.trim)
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"incompatible conv '$s' (string) to $kind")
+    }
 }

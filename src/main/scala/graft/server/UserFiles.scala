@@ -96,22 +96,43 @@ object UserFiles {
       }
     }.getOrElse(Instant.now())
     val out = scala.collection.mutable.LinkedHashMap.empty[String, FileData]
+    val savedPaths = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     files.foreach { f =>
-      val dir = f.storeDir.orElse(defaultStoreDir).getOrElse(
+      val dir0 = f.storeDir.orElse(defaultStoreDir).getOrElse(
         throw new IllegalArgumentException(
           s"""file "${f.field}" requires X-Store-Dir header"""))
+      // ${name} tokens expand through the server path map
+      // (http_write.go:386-389, WithHttpPathMap)
+      val dir = pathMap.foldLeft(dir0) { case (acc, (k, v)) =>
+        acc.replace(s"$${$k}", v)
+      }
       val col = resolve(f.field)
       val id = newV6At(baseTs)
       val data = FileData(id, f.filename, f.bytes.length.toLong, f.contentType, dir)
       Files.createDirectories(Paths.get(dir))
-      Files.write(Paths.get(dir, id), f.bytes)
+      val p = Paths.get(dir, id)
+      Files.write(p, f.bytes)
+      savedPaths += p
       columns = columns :+ col
       values = values :+ data.toJson
       out(f.field.toUpperCase) = data
     }
-    TagTables.insert(spark, table, columns, values)
+    // an insert failure removes the just-written files (http_write.go's
+    // deferred cleanup; TestHandleFileWriteErrors "insert failure removes
+    // just-written file")
+    try TagTables.insert(spark, table, columns, values)
+    catch {
+      case e: Throwable =>
+        savedPaths.foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => })
+        throw e
+    }
     out.toMap
   }
+
+  /** `${name}` → real-path replacements applied to X-Store-Dir values
+    * (reference WithHttpPathMap; the server registers at least "data"). */
+  val pathMap = scala.collection.concurrent.TrieMap[String, String](
+    "data" -> sys.props.getOrElse("java.io.tmpdir", "/tmp"))
 
   /** `/db/query/file/:table/:column/:id` — locate the metadata row via
     * the id's embedded timestamp window and serve the stored bytes. */

@@ -74,6 +74,48 @@ class UserFilesSpec extends SparkSpec {
       val badReq = intercept[IllegalArgumentException](
         UserFiles.fileQuery(spark, "test_uf", "EXT;DATA", meta.id))
       assert(badReq.getMessage == "invalid request")
+
+      // ${data} path-map replacement in X-Store-Dir (http_write.go:386-389,
+      // TestHandleFileWriteErrors "request level store dir participates
+      // in path map replacement")
+      UserFiles.pathMap.put("data", store)
+      try {
+        val mapped = UserFiles.writeMultipart(spark, "test_uf",
+          fields = Seq("NAME" -> "pathmap-ok", "TIME" -> Long.box(tick + 7),
+            "VALUE" -> Double.box(3.14)),
+          files = Seq(UserFiles.FilePart("EXT_DATA", "sample.txt", "text/plain",
+            "hello".getBytes("UTF-8"), storeDir = Some("${data}/store-p2"))))
+        val m = mapped("EXT_DATA")
+        assert(m.storeDir == s"$store/store-p2", m)
+        assert(Files.exists(Paths.get(m.storeDir, m.id)))
+        Files.deleteIfExists(Paths.get(m.storeDir, m.id))
+        Files.deleteIfExists(Paths.get(m.storeDir))
+      } finally UserFiles.pathMap.put("data",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+
+      // an insert failure removes the just-written file
+      // (TestHandleFileWriteErrors "insert failure removes just-written
+      // file" — EXT column typed int makes the metadata JSON unbindable)
+      QueryDoor.execute(spark,
+        """create tag table test_uf_fail (NAME varchar(200) primary key,
+          |TIME datetime basetime, VALUE double summarized,
+          |EXT_DATA integer)""".stripMargin.replace("\n", " "))
+      val failStore = Files.createTempDirectory("graft_store_fail")
+      try {
+        intercept[Exception](
+          UserFiles.writeMultipart(spark, "test_uf_fail",
+            fields = Seq("NAME" -> "type-mismatch-row", "TIME" -> Long.box(tick),
+              "VALUE" -> Double.box(6.28)),
+            files = Seq(UserFiles.FilePart("EXT_DATA", "mismatch.txt",
+              "text/plain", "second".getBytes("UTF-8"),
+              storeDir = Some(failStore.toString)))))
+        val leftovers = Files.list(failStore).count()
+        assert(leftovers == 0L, s"expected cleanup, found $leftovers files")
+      } finally {
+        QueryDoor.execute(spark, "drop table test_uf_fail")
+        Files.list(failStore).forEach(p => Files.deleteIfExists(p))
+        Files.deleteIfExists(failStore)
+      }
     } finally {
       QueryDoor.execute(spark, "drop table test_uf")
       TagTables.resetDynamicForTest(spark)
