@@ -262,12 +262,19 @@ object HttpLoop {
     * httpdsl.Execute exchange shape the markdown `http` fence renders
     * (mods/util/mdconv/httpext/exec.go). */
   def executeDslExchange(content: String): (String, String) = {
+    val (req, rsp) = executeDslExchangeBytes(content)
+    (req, new String(rsp, "UTF-8"))
+  }
+
+  /** Byte-level twin: the response body stays raw so a gzip payload can
+    * be decompressed for display (mdconv httpext renderer). */
+  def executeDslExchangeBytes(content: String): (String, Array[Byte]) = {
     val req = parseDsl(content)
     val raw = buildRaw(req)
     require(req.url.getScheme == "http",
       s"unsupported scheme ${req.url.getScheme} (loopback http only)")
     val p = if (req.url.getPort > 0) req.url.getPort else 80
-    (new String(raw, "UTF-8"), new String(executeRaw(req.url.getHost, p, raw), "UTF-8"))
+    (new String(raw, "UTF-8"), executeRaw(req.url.getHost, p, raw))
   }
 
   private def parseDsl(content: String): ParsedReq = {

@@ -199,7 +199,7 @@ object Markdown {
       case "mermaid" =>
         // mermaid client-render mode: escaped source in a pre, NO trailing \n
         "<pre class=\"mermaid\">" + goEscape(body) + "</pre>"
-      case "http" => renderHttpFence(body)
+      case "http" => renderHttpFence(opts, body)
       case "chart" => renderChartFence(opts, body)
       case "geomap" => renderGeomapFence(opts, body)
       // jsh / jsh-run fences ARE javascript (mdconv_test.go
@@ -348,80 +348,416 @@ object Markdown {
 })();</script></div>"""
   }
 
-  // ---- http fence (httpext renderer.go, Contains-level parity) ----------
+  // ---- http fence (httpext renderer.go/options.go, full option set) -----
 
-  private def renderHttpFence(body: String): String = {
-    val (reqHtml, rspHtml) =
-      try {
-        val (reqRaw, rspRaw) = HttpLoop.executeDslExchange(body)
-        (renderHttpMessage(reqRaw, isRequest = true),
-          renderHttpMessage(rspRaw, isRequest = false))
-      } catch {
-        case e: Exception => ("", goEscape(Option(e.getMessage).getOrElse(e.toString)))
+  private[server] case class HttpFenceOpts(
+      showRequest: Boolean, lineNumbers: Boolean, indentJson: Boolean,
+      styles: Map[String, String], warnings: Seq[String])
+
+  /** options.go styleKeyToClassName — the style-<key> override targets. */
+  private val httpStyleKeys: Map[String, String] = Map(
+    "method" -> "httpext-method", "path" -> "httpext-path",
+    "param-name" -> "httpext-param-name", "param-value" -> "httpext-param-value",
+    "request-protocol" -> "httpext-request-protocol",
+    "header-key" -> "httpext-header-key", "header-value" -> "httpext-header-value",
+    "response-protocol" -> "httpext-response-protocol",
+    "status-code" -> "httpext-status-code", "status-message" -> "httpext-status-message",
+    "body" -> "httpext-body", "json-key" -> "httpext-json-key",
+    "json-string" -> "httpext-json-string", "json-number" -> "httpext-json-number",
+    "json-boolean" -> "httpext-json-boolean", "json-null" -> "httpext-json-null",
+    "json-punct" -> "httpext-json-punct", "csv-delim" -> "httpext-csv-delim")
+
+  /** parseFenceOptions (options.go:37-98): `{k=v, style-x="css", …}` after
+    * the fence language; quoted values unwrap, unknown style keys warn. */
+  private[server] def parseHttpFenceOpts(opts: String): HttpFenceOpts = {
+    var showRequest = true; var lineNumbers = false; var indentJson = true
+    val styles = scala.collection.mutable.Map.empty[String, String]
+    val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+    val meta = opts.trim
+    if (meta.startsWith("{") && meta.endsWith("}")) {
+      def unquote(v0: String): String = {
+        val v = v0.trim
+        if (v.length >= 2 && ((v.head == '"' && v.last == '"') ||
+          (v.head == '\'' && v.last == '\''))) v.substring(1, v.length - 1) else v
       }
-    val b = new StringBuilder("<div class=\"httpext-pre\">")
-    if (reqHtml.nonEmpty)
-      b.append("<div class=\"httpext-line\">").append(reqHtml)
-        .append("</div><div class=\"httpext-divider\"></div>")
-    b.append("<div class=\"httpext-line\">").append(rspHtml).append("</div></div>")
+      // top-level comma split, quote-aware (options.go splitTopLevel)
+      val body = meta.substring(1, meta.length - 1)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      var start = 0; var inS = false; var inD = false; var esc = false
+      body.zipWithIndex.foreach { case (c, i) =>
+        if (esc) esc = false
+        else c match {
+          case '\\' => esc = true
+          case '\'' if !inD => inS = !inS
+          case '"' if !inS => inD = !inD
+          case ',' if !inS && !inD => parts += body.substring(start, i); start = i + 1
+          case _ =>
+        }
+      }
+      parts += body.substring(start)
+      parts.map(_.trim).filter(_.nonEmpty).foreach { entry =>
+        val eq = entry.indexOf('=')
+        if (eq > 0 && eq < entry.length - 1) {
+          val key = entry.take(eq).trim
+          val valRaw = entry.drop(eq + 1).trim
+          val v = unquote(valRaw).toLowerCase
+          key match {
+            case "hide-request" => showRequest = v != "true"
+            case "line-numbers" => lineNumbers = v == "true"
+            case "indent" => indentJson = v != "false"
+            case k if k.startsWith("style-") =>
+              val styleKey = k.stripPrefix("style-")
+              val className = httpStyleKeys.get(styleKey).orElse {
+                // csv-col-N targets resolve dynamically (options.go:102-113)
+                if (styleKey.startsWith("csv-col-"))
+                  styleKey.stripPrefix("csv-col-").toIntOption
+                    .filter(n => n >= 0 && n <= 255)
+                    .map(n => s"httpext-csv-col-$n")
+                else None
+              }
+              className match {
+                case Some(cn) =>
+                  val css = unquote(valRaw).trim
+                  if (css.nonEmpty) styles(cn) = css
+                case None =>
+                  warnings += s"""httpext: unknown style key "style-$styleKey""""
+              }
+            case _ =>
+          }
+        }
+      }
+    }
+    HttpFenceOpts(showRequest, lineNumbers, indentJson, styles.toMap, warnings.toSeq)
+  }
+
+  private def renderHttpFence(opts: String, body: String): String = {
+    val fo = parseHttpFenceOpts(opts)
+    val styles = fo.styles
+    val (reqHtml, rspHtml, gotRequest) =
+      try {
+        // byte-level response so a gzip body survives to decompression
+        val (reqRaw, rspBytes) = HttpLoop.executeDslExchangeBytes(body)
+        val rspRaw = new String(rspBytes, "ISO-8859-1")
+        (if (fo.showRequest) renderHttpMessage(reqRaw, isRequest = true, styles, fo.indentJson) else "",
+          renderHttpMessage(rspRaw, isRequest = false, styles, fo.indentJson, latin1 = true),
+          fo.showRequest)
+      } catch {
+        case e: Exception =>
+          ("", goEscape(Option(e.getMessage).getOrElse(e.toString)), false)
+      }
+    val b = new StringBuilder
+    fo.warnings.foreach(w =>
+      b.append("<div class=\"httpext-warning\">").append(goEscape(w)).append("</div>"))
+    if (fo.lineNumbers) {
+      // table layout with line-number cells (renderer.go:156-183)
+      b.append("<div class=\"httpext-pre\"><table class=\"httpext-table\"><tbody>")
+      var lineNo = 1
+      def numbered(html0: String): Unit =
+        html0.replace("\r\n", "\n").split("\n", -1).foreach { line =>
+          b.append("<tr><td class=\"httpext-lno\">").append(lineNo)
+            .append("</td><td class=\"httpext-line\">")
+            .append(if (line.isEmpty) "&nbsp;" else line).append("</td></tr>")
+          lineNo += 1
+        }
+      if (gotRequest) {
+        numbered(reqHtml)
+        b.append("<tr class=\"httpext-divider-row\"><td class=\"httpext-lno\">&nbsp;</td>" +
+          "<td class=\"httpext-line\"><div class=\"httpext-divider\"></div></td></tr>")
+      }
+      numbered(rspHtml)
+      b.append("</tbody></table></div>")
+    } else {
+      b.append("<div class=\"httpext-pre\">")
+      if (gotRequest)
+        b.append("<div class=\"httpext-line\">").append(reqHtml)
+          .append("</div><div class=\"httpext-divider\"></div>")
+      b.append("<div class=\"httpext-line\">").append(rspHtml).append("</div></div>")
+    }
     b.toString
   }
 
-  private def span(cls: String, value: String): String =
-    s"""<span class="$cls">${goEscape(value)}</span>"""
+  private def span(cls: String, value: String,
+                   styles: Map[String, String] = Map.empty): String =
+    spanWithClasses(Seq(cls), value, styles)
 
-  private def renderHttpMessage(raw: String, isRequest: Boolean): String = {
+  private def spanWithClasses(classes: Seq[String], value: String,
+                              styles: Map[String, String]): String = {
+    val styleAttr = classes.collectFirst {
+      case c if styles.get(c).exists(_.trim.nonEmpty) =>
+        s""" style="${goEscape(styles(c))}""""
+    }.getOrElse("")
+    s"""<span class="${classes.mkString(" ")}"$styleAttr>${goEscape(value)}</span>"""
+  }
+
+  private def renderHttpMessage(raw: String, isRequest: Boolean,
+                                styles: Map[String, String],
+                                indentJson: Boolean,
+                                latin1: Boolean = false): String = {
     val normalized = raw.replace("\r\n", "\n")
     val (headerPart, bodyPart) = normalized.indexOf("\n\n") match {
       case -1 => (normalized, "")
       case ix => (normalized.substring(0, ix), normalized.substring(ix + 2))
     }
     val headers = headerPart.split("\n", -1)
+    var contentType = ""
+    var contentEncoding = ""
     val b = new StringBuilder
     if (headers.nonEmpty) {
-      b.append(if (isRequest) requestLine(headers.head) else responseLine(headers.head))
+      b.append(if (isRequest) requestLine(headers.head, styles)
+               else responseLine(headers.head, styles))
       b.append('\n')
     }
     headers.drop(1).filter(_.nonEmpty).foreach { line =>
       val ix = line.indexOf(':')
       if (ix <= 0) b.append(goEscape(line)).append('\n')
       else {
-        b.append(span("httpext-header-key", line.take(ix).trim)).append(": ")
-          .append(span("httpext-header-value", line.drop(ix + 1).trim)).append('\n')
+        val name = line.take(ix).trim
+        val value = line.drop(ix + 1).trim
+        if (name.equalsIgnoreCase("Content-Type"))
+          contentType = value.split(";", 2)(0).trim.toLowerCase
+        if (name.equalsIgnoreCase("Content-Encoding"))
+          contentEncoding = value.trim.toLowerCase
+        b.append(span("httpext-header-key", name, styles)).append(": ")
+          .append(span("httpext-header-value", value, styles)).append('\n')
       }
     }
     b.append('\n')
-    if (bodyPart.nonEmpty) b.append(span("httpext-body", bodyPart))
+    if (bodyPart.nonEmpty) {
+      val display = decodeHttpBody(bodyPart, contentType, contentEncoding, latin1)
+      if (isJsonContentType(contentType)) {
+        val pretty =
+          if (indentJson && contentType != "application/x-ndjson") prettyJson(display)
+          else display
+        b.append(renderJsonBody(pretty, styles))
+      } else if (isCsvContentType(contentType)) {
+        b.append(renderCsvBody(display, styles))
+      } else b.append(span("httpext-body", display, styles))
+    }
     b.toString
   }
 
-  private def requestLine(line: String): String = {
+  private def isJsonContentType(ct: String): Boolean =
+    ct == "application/json" || ct == "application/x-ndjson" || ct.contains("+json")
+
+  private def isCsvContentType(ct: String): Boolean =
+    ct == "text/csv" || ct == "application/csv" || ct.contains("csv")
+
+  private def isPrintableContentType(ct: String): Boolean =
+    ct.nonEmpty && (ct.startsWith("text/") || isJsonContentType(ct) ||
+      ct.contains("+xml") || Set("application/javascript", "application/xml",
+      "application/xhtml+xml", "application/x-www-form-urlencoded")(ct))
+
+  /** gzip bodies of printable types decompress for display
+    * (renderer.go decodeResponseBody); `latin1` marks a byte-preserving
+    * response string that must re-decode as UTF-8 for display. */
+  private def decodeHttpBody(body: String, ct: String, ce: String,
+                             latin1: Boolean): String = {
+    if (!latin1) return body
+    val bytes = body.getBytes("ISO-8859-1")
+    if (ce == "gzip" && isPrintableContentType(ct)) {
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } catch { case _: Exception => new String(bytes, "UTF-8") }
+    } else new String(bytes, "UTF-8")
+  }
+
+  // ---- JSON body tokenization (renderer.go classifyJSONToken) -----------
+
+  /** lex a JSON text into (tokenText, class) pairs; whitespace and
+    * unknown runs carry an empty class (escaped, span-less). */
+  private def jsonTokens(s: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '"') {
+        val sb = new StringBuilder("\"")
+        i += 1
+        while (i < n && s.charAt(i) != '"') {
+          if (s.charAt(i) == '\\' && i + 1 < n) { sb.append(s.charAt(i)).append(s.charAt(i + 1)); i += 2 }
+          else { sb.append(s.charAt(i)); i += 1 }
+        }
+        if (i < n) { sb.append('"'); i += 1 }
+        out += ((sb.toString, "string")) // key-ness resolved below
+      } else if (c == '-' || c.isDigit) {
+        val st = i
+        while (i < n && (s.charAt(i).isDigit || "+-.eE".indexOf(s.charAt(i)) >= 0)) i += 1
+        out += ((s.substring(st, i), "httpext-json-number"))
+      } else if ("{}[]:,".indexOf(c) >= 0) {
+        out += ((c.toString, "httpext-json-punct")); i += 1
+      } else if (c.isWhitespace) {
+        val st = i
+        while (i < n && s.charAt(i).isWhitespace) i += 1
+        out += ((s.substring(st, i), ""))
+      } else {
+        val st = i
+        while (i < n && s.charAt(i).isLetter) i += 1
+        if (i == st) i += 1
+        val word = s.substring(st, math.max(i, st + 1))
+        val cls = word.toLowerCase match {
+          case "true" | "false" => "httpext-json-boolean"
+          case "null" => "httpext-json-null"
+          case _ => "httpext-body"
+        }
+        out += ((word, cls))
+      }
+    }
+    // a string directly followed (past whitespace) by ':' is a key
+    out.zipWithIndex.map { case ((txt, cls), ix) =>
+      if (cls != "string") (txt, cls)
+      else {
+        val isKey = out.drop(ix + 1).find(_._1.trim.nonEmpty)
+          .exists(_._1.trim == ":")
+        (txt, if (isKey) "httpext-json-key" else "httpext-json-string")
+      }
+    }.toSeq
+  }
+
+  private def renderJsonBody(body: String, styles: Map[String, String]): String =
+    jsonTokens(body).map {
+      case (txt, "") => goEscape(txt)
+      case (txt, cls) => span(cls, txt, styles)
+    }.mkString
+
+  /** Go json.Indent with two-space indentation: token-preserving
+    * re-layout (numbers/strings verbatim). Invalid JSON passes through. */
+  private[graft] def prettyJson(input: String): String = {
+    val toks = jsonTokens(input).filter(_._1.trim.nonEmpty)
+    // quick validity probe: balanced braces
+    val opens = toks.count(t => t._1 == "{" || t._1 == "[")
+    val closes = toks.count(t => t._1 == "}" || t._1 == "]")
+    if (opens == 0 || opens != closes) return input
+    val b = new StringBuilder
+    var depth = 0
+    def nl(): Unit = { b.append('\n'); b.append("  " * depth) }
+    toks.zipWithIndex.foreach { case ((txt, _), ix) =>
+      txt match {
+        case "{" | "[" =>
+          b.append(txt)
+          val next = toks.lift(ix + 1).map(_._1)
+          if (next.contains("}") || next.contains("]")) () // empty container
+          else { depth += 1; nl() }
+        case "}" | "]" =>
+          val prev = toks.lift(ix - 1).map(_._1)
+          if (prev.contains("{") || prev.contains("[")) b.append(txt)
+          else { depth -= 1; nl(); b.append(txt) }
+        case "," => b.append(','); nl()
+        case ":" => b.append(": ")
+        case t => b.append(t)
+      }
+    }
+    b.toString
+  }
+
+  // ---- CSV body tokenization (renderer.go renderCSVBody) ----------------
+
+  private def renderCsvBody(body: String, styles: Map[String, String]): String = {
+    val delim = detectCsvDelimiter(body)
+    body.replace("\r\n", "\n").split("\n", -1).map { line =>
+      renderCsvLine(line, delim, styles)
+    }.mkString("\n")
+  }
+
+  private def renderCsvLine(line: String, delim: Char,
+                            styles: Map[String, String]): String = {
+    val (fields, _) = splitCsvFields(line, delim)
+    fields.zipWithIndex.map { case (f, i) =>
+      val cell = spanWithClasses(
+        Seq(s"httpext-csv-col-$i", s"httpext-csv-col-p${i % 12}"), f, styles)
+      if (i < fields.length - 1)
+        cell + span("httpext-csv-delim", delim.toString, styles)
+      else cell
+    }.mkString
+  }
+
+  /** quote-aware field split; false when quotes never close. */
+  private def splitCsvFields(line: String, delim: Char): (Seq[String], Boolean) = {
+    if (line.isEmpty) return (Seq(""), true)
+    val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0; var inQ = false; var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (ch == '"') {
+        if (inQ && i + 1 < line.length && line.charAt(i + 1) == '"') i += 1
+        else inQ = !inQ
+      } else if (ch == delim && !inQ) {
+        fields += line.substring(start, i); start = i + 1
+      }
+      i += 1
+    }
+    if (inQ) (Seq(line), false)
+    else { fields += line.substring(start); (fields.toSeq, true) }
+  }
+
+  private[graft] def detectCsvDelimiterForTest(body: String): Char =
+    detectCsvDelimiter(body)
+
+  /** score candidate delimiters by column-count consistency
+    * (renderer.go detectCSVDelimiter/scoreDelimiter). */
+  private def detectCsvDelimiter(body: String): Char = {
+    val lines = body.replace("\r\n", "\n").split("\n")
+      .filter(_.trim.nonEmpty).take(64)
+    if (lines.isEmpty) return ','
+    var best = ','
+    var bestScore = -1
+    Seq(',', '|', ';', '\t').foreach { delim =>
+      var totalCols = 0; var valid = 0; var bad = 0
+      val freq = scala.collection.mutable.Map.empty[Int, Int]
+      lines.foreach { line =>
+        val (fields, ok) = splitCsvFields(line, delim)
+        if (!ok) bad += 1
+        else { valid += 1; totalCols += fields.length
+          freq(fields.length) = freq.getOrElse(fields.length, 0) + 1 }
+      }
+      if (valid > 0) {
+        var modeCols = 1; var modeFreq = 0
+        freq.foreach { case (cols, count) =>
+          if (count > modeFreq || (count == modeFreq && cols > modeCols)) {
+            modeCols = cols; modeFreq = count
+          }
+        }
+        if (modeCols > 1) {
+          var score = modeFreq * 100 + modeCols * 10 + totalCols / valid - bad * 50
+          if (delim == ',') score += 1
+          if (score > bestScore) { bestScore = score; best = delim }
+        }
+      }
+    }
+    best
+  }
+
+  private def requestLine(line: String, styles: Map[String, String]): String = {
     val parts = line.trim.split("\\s+")
     if (parts.length < 2) return goEscape(line)
-    val b = new StringBuilder(span("httpext-method", parts(0))).append(' ')
+    val b = new StringBuilder(span("httpext-method", parts(0), styles)).append(' ')
     val target = parts(1)
     val q = target.indexOf('?')
-    if (q < 0) b.append(span("httpext-path", target))
+    if (q < 0) b.append(span("httpext-path", target, styles))
     else {
-      b.append(span("httpext-path", target.take(q))).append('?')
+      b.append(span("httpext-path", target.take(q), styles)).append('?')
       target.drop(q + 1).split("&", -1).zipWithIndex.foreach { case (p, ix) =>
         if (ix > 0) b.append('&')
         val kv = p.split("=", 2)
-        b.append(span("httpext-param-name", urlDecode(kv(0))))
-        if (kv.length > 1) b.append('=').append(span("httpext-param-value", urlDecode(kv(1))))
+        b.append(span("httpext-param-name", urlDecode(kv(0)), styles))
+        if (kv.length > 1)
+          b.append('=').append(span("httpext-param-value", urlDecode(kv(1)), styles))
       }
     }
-    if (parts.length > 2) b.append(' ').append(span("httpext-request-protocol", parts(2)))
+    if (parts.length > 2)
+      b.append(' ').append(span("httpext-request-protocol", parts(2), styles))
     b.toString
   }
 
-  private def responseLine(line: String): String = {
+  private def responseLine(line: String, styles: Map[String, String]): String = {
     val parts = line.trim.split("\\s+")
     if (parts.length < 2) return goEscape(line)
-    val b = new StringBuilder(span("httpext-response-protocol", parts(0)))
-      .append(' ').append(span("httpext-status-code", parts(1)))
+    val b = new StringBuilder(span("httpext-response-protocol", parts(0), styles))
+      .append(' ').append(span("httpext-status-code", parts(1), styles))
     if (parts.length > 2)
-      b.append(' ').append(span("httpext-status-message", parts.drop(2).mkString(" ")))
+      b.append(' ').append(span("httpext-status-message", parts.drop(2).mkString(" "), styles))
     b.toString
   }
 
