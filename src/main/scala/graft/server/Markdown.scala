@@ -199,6 +199,13 @@ object Markdown {
       case "mermaid" =>
         // mermaid client-render mode: escaped source in a pre, NO trailing \n
         "<pre class=\"mermaid\">" + goEscape(body) + "</pre>"
+      case "d2" =>
+        // d2ext envelope (d2ext_test.go:101 pins `<div class="d2">…</div>`);
+        // the reference compiles to SVG with the embedded terrastruct d2
+        // engine — an external compiler like the echarts assets, so this
+        // engine ships the escaped source for client-side rendering
+        if (body.trim.isEmpty) """<div class="d2"></div>"""
+        else "<div class=\"d2\"><pre>" + goEscape(body) + "</pre></div>"
       case "http" => renderHttpFence(opts, body)
       case "chart" => renderChartFence(opts, body)
       case "geomap" => renderGeomapFence(opts, body)

@@ -12,6 +12,19 @@ class MdConvSpec extends SparkSpec {
     assert(html == "<h1>Test</h1>\n<pre><code>Content\n</code></pre>\n", html)
   }
 
+  test("d2 fence envelope (d2ext_test.go TestBlockHelpersAndRendererWithEmptyBlock:101)") {
+    // empty block → the reference's pinned empty envelope; non-empty
+    // blocks carry the escaped source (the d2→SVG compiler is external
+    // tooling like the echarts assets — documented divergence)
+    val empty = Markdown.convert("```d2\n```\n")
+    assert(empty.contains("""<div class="d2"></div>"""), empty)
+    val src = Markdown.convert("```d2\na -> b\n```\n")
+    assert(src.contains("""<div class="d2"><pre>a -&gt; b"""), src)
+    // a non-d2 fence is untouched (TestTransformerReplacesOnlyD2Blocks)
+    val go = Markdown.convert("```go\nfmt.Println(\"x\")\n```\n")
+    assert(go.contains("language-go"), go)
+  }
+
   test("image line golden (TestMdWithImage :26-41)") {
     val html = Markdown.convert("# Image includes\n![sample](./sample_image.png)")
     assert(html ==
