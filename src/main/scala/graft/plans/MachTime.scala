@@ -80,6 +80,10 @@ object MachTime {
   /** `to_timestamp` builder (machbase: datetime → epoch-ns int64;
     * an int64 is already ns and passes through). */
   def toTimestampBuilder(args: Seq[Expression]): Expression = {
+    // machbase to_timestamp takes exactly one argument — a stray Spark
+    // two-arg parse form must error, not silently drop its format
+    if (args.size != 1) throw new IllegalArgumentException(
+      s"to_timestamp requires 1 argument, got ${args.size}")
     val c = args.head
     c.dataType match {
       case dt if isTs(dt) => ns(c)
@@ -92,6 +96,8 @@ object MachTime {
     * a datetime passes through). Accepts doubles because the engine's
     * own bucket SQL routes through `round()` (fm_dbsrc.go:191). */
   def fromTimestampBuilder(args: Seq[Expression]): Expression = {
+    if (args.size != 1) throw new IllegalArgumentException(
+      s"from_timestamp requires 1 argument, got ${args.size}")
     val c = args.head
     c.dataType match {
       case dt if isTs(dt) => c

@@ -63,11 +63,20 @@ object HttpLoop {
           case "POST" =>
             val ct = Option(ex.getRequestHeaders.getFirst("Content-Type"))
               .getOrElse("").takeWhile(_ != ';').trim.toLowerCase
+            // a malformed body is a CLIENT error: the reference's bind
+            // failure replies 400 with the JSON envelope (http_query.go
+            // ShouldBind), not a generic 500
+            def bind400(e: Exception) = Left(WebApi.HttpReply(400,
+              "application/json; charset=utf-8",
+              s"""{"success":false,"reason":${graft.sinks.GoJs.quote(
+                String.valueOf(e.getMessage))},"elapse":"0s"}"""))
             ct match {
               case "application/json" =>
-                Right(WebApi.decodeJsonBodyParams(new String(body, "UTF-8")))
+                try Right(WebApi.decodeJsonBodyParams(new String(body, "UTF-8")))
+                catch { case e: Exception => bind400(e) }
               case "application/x-www-form-urlencoded" =>
-                Right(parseQueryMulti(new String(body, "UTF-8")))
+                try Right(parseQueryMulti(new String(body, "UTF-8")))
+                catch { case e: Exception => bind400(e) }
               case other => Left(WebApi.HttpReply(415,
                 "application/json; charset=utf-8",
                 s"""{"success":false,"reason":"unsupported content-type: $other","elapse":"0s"}"""))
@@ -76,7 +85,7 @@ object HttpLoop {
         }
       decoded match {
         case Left(reply) =>
-          (reply.status, reply.contentType, reply.body.getBytes("UTF-8"))
+          (reply.status, reply.contentType, reply.wireBytes)
         case Right(params) =>
           val reply = WebApi.dbQuery(session, params)
           // compress=gzip → gzip body + Content-Encoding header, like
@@ -86,10 +95,10 @@ object HttpLoop {
             params.get("compress").exists(_.headOption.contains("gzip"))) {
             val buf = new java.io.ByteArrayOutputStream()
             val gz = new java.util.zip.GZIPOutputStream(buf)
-            gz.write(reply.body.getBytes("UTF-8")); gz.close()
+            gz.write(reply.wireBytes); gz.close()
             ex.getResponseHeaders.set("Content-Encoding", "gzip")
             (200, reply.contentType, buf.toByteArray)
-          } else (reply.status, reply.contentType, reply.body.getBytes("UTF-8"))
+          } else (reply.status, reply.contentType, reply.wireBytes)
       }
     })
     srv.createContext("/metrics/write", (ex: HttpExchange) => respond(ex) {
@@ -147,7 +156,7 @@ object HttpLoop {
       if (ex.getRequestURI.getPath.stripSuffix("/").endsWith("/config")) {
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
         val r = WebApi.statzConfig(ex.getRequestMethod, body)
-        (r.status, r.contentType, r.body.getBytes("UTF-8"))
+        (r.status, r.contentType, r.wireBytes)
       } else
         (200, "application/json", Metrics.statzJson().getBytes("UTF-8"))
     })
@@ -184,14 +193,14 @@ object HttpLoop {
       val multi = parseQueryMulti(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
       val r = WebRoutes.route(session, ex.getRequestMethod,
         ex.getRequestURI.getPath, multi, body)
-      (r.status, r.contentType, r.body.getBytes("UTF-8"))
+      (r.status, r.contentType, r.wireBytes)
     })
     srv.createContext("/lakes", (ex: HttpExchange) => respond(ex) {
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       val multi = parseQueryMulti(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
       val r = WebRoutes.routeLake(session, ex.getRequestMethod,
         ex.getRequestURI.getPath, multi, body)
-      (r.status, r.contentType, r.body.getBytes("UTF-8"))
+      (r.status, r.contentType, r.wireBytes)
     })
     val it = handlers.keySet().iterator()
     while (it.hasNext) install(srv, it.next())

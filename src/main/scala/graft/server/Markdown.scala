@@ -140,12 +140,16 @@ object Markdown {
           }
           if (i < lines.length) i += 1 // closing fence
           out.append(renderFence(lang, opts, body.toString))
-        case _ if line.startsWith("\t") || line.startsWith("    ") =>
+        case _ if (line.startsWith("\t") || line.startsWith("    ")) &&
+          !bulletRe.matches(line.trim) && !orderedRe.matches(line.trim) =>
           // indented code block (mdconv_test.go TestMdCon: a tab-indented
-          // line renders <pre><code> with one indent level stripped)
+          // line renders <pre><code> with one indent level stripped).
+          // An indented LIST ITEM is list content, not code — goldmark
+          // nests it (4-space "- child" under "- parent")
           val body = new StringBuilder
           while (i < lines.length &&
-            (lines(i).startsWith("\t") || lines(i).startsWith("    "))) {
+            (lines(i).startsWith("\t") || lines(i).startsWith("    ")) &&
+            !bulletRe.matches(lines(i).trim) && !orderedRe.matches(lines(i).trim)) {
             val l0 = lines(i)
             body.append(if (l0.startsWith("\t")) l0.substring(1)
               else l0.stripPrefix("    ")).append('\n')
@@ -496,16 +500,28 @@ object Markdown {
     s"""<span class="${classes.mkString(" ")}"$styleAttr>${goEscape(value)}</span>"""
   }
 
+  /** test seam: render one raw response the way the fence path does
+    * (byte-preserving ISO-8859-1 string in, display HTML out). */
+  private[graft] def renderHttpResponseForTest(raw: String): String =
+    renderHttpMessage(raw, isRequest = false, Map.empty,
+      indentJson = true, latin1 = true)
+
   private def renderHttpMessage(raw: String, isRequest: Boolean,
                                 styles: Map[String, String],
                                 indentJson: Boolean,
                                 latin1: Boolean = false): String = {
-    val normalized = raw.replace("\r\n", "\n")
-    val (headerPart, bodyPart) = normalized.indexOf("\n\n") match {
-      case -1 => (normalized, "")
-      case ix => (normalized.substring(0, ix), normalized.substring(ix + 2))
+    // split header/body on the RAW text first (\r\n\r\n preferred, like
+    // splitHTTPMessage renderer.go:185-193) — normalizing \r\n over the
+    // whole message would corrupt 0x0D0A byte pairs inside a gzip body
+    val (headerPart0, bodyPart) = {
+      val crlf = raw.indexOf("\r\n\r\n")
+      if (crlf >= 0) (raw.substring(0, crlf), raw.substring(crlf + 4))
+      else raw.indexOf("\n\n") match {
+        case -1 => (raw, "")
+        case ix => (raw.substring(0, ix), raw.substring(ix + 2))
+      }
     }
-    val headers = headerPart.split("\n", -1)
+    val headers = headerPart0.replace("\r\n", "\n").split("\n", -1)
     var contentType = ""
     var contentEncoding = ""
     val b = new StringBuilder

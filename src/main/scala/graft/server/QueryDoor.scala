@@ -462,7 +462,16 @@ object QueryDoor {
     val n = sql.length
     while (i < n) {
       val c = sql.charAt(i)
-      if (c == '\'') {
+      if (c == '`') {
+        // backtick-quoted identifiers (aliasVerbatim's verbatim column
+        // names) pass through untouched — rewriting '' inside them would
+        // corrupt the very names the alias pass preserves
+        val start = i
+        i += 1
+        while (i < n && sql.charAt(i) != '`') i += 1
+        if (i < n) i += 1
+        sb.append(sql.substring(start, i))
+      } else if (c == '\'') {
         val start = i
         i += 1
         var bodyLen = 0

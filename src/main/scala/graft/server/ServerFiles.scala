@@ -54,6 +54,13 @@ object ServerFiles {
     r
   }
 
+  /** Files.list with the stream closed (its contract — the directory fd
+    * leaks per call otherwise). */
+  private def listChildren(f: Path): Seq[Path] = {
+    val s = Files.list(f)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def entryJson(f: Path, filter: String): String = {
     import graft.sinks.GoJs.quote
     val name = Option(f.getFileName).map(_.toString)
@@ -62,7 +69,7 @@ object ServerFiles {
       val glob = if (filter.nonEmpty && isFsFile(filter))
         Some(filter.replace(".", "\\.").replace("*", ".*").replace("?", ".").r)
       else None
-      val kids = Files.list(f).iterator().asScala.toSeq
+      val kids = listChildren(f)
         .sortBy(p => (!Files.isDirectory(p), p.getFileName.toString))
         .filter { p =>
           val n = p.getFileName.toString
@@ -107,18 +114,24 @@ object ServerFiles {
           else {
             val ct = contentTypeOfFile(f.getFileName.toString)
             if (ct.isEmpty) env(404, success = false, s"not found: $path")
-            else WebApi.HttpReply(200, ct,
-              new String(Files.readAllBytes(f), "UTF-8"))
+            else {
+              // binary-safe serving: images etc. must not round-trip
+              // through a UTF-8 String
+              val bytes = Files.readAllBytes(f)
+              WebApi.HttpReply(200, ct, new String(bytes, "UTF-8"),
+                bodyBytes = Some(bytes))
+            }
           }
         case "DELETE" =>
           if (!Files.exists(f)) env(404, success = false, s"not found: $path")
           else if (Files.isDirectory(f)) {
-            val empty = !Files.list(f).iterator().hasNext
+            val empty = listChildren(f).isEmpty
             if (empty || recursive) {
-              if (recursive)
-                Files.walk(f).iterator().asScala.toSeq.reverse
-                  .foreach(Files.delete)
-              else Files.delete(f)
+              if (recursive) {
+                val walk = Files.walk(f)
+                val all = try walk.iterator().asScala.toSeq finally walk.close()
+                all.reverse.foreach(Files.delete)
+              } else Files.delete(f)
               env(200, success = true, "success")
             } else env(422, success = false, "directory is not empty")
           } else if (isFsFile(path)) {

@@ -960,9 +960,9 @@ object TagTables {
     // appender rejects the row at bind time, not lazily at scan
     // (http_write_test.go TestHandleFileWriteErrors "insert failure
     // removes just-written file": metadata JSON into an integer column)
-    case (s: String, IntegerType) => java.lang.Integer.valueOf(numStr(s, "int32").intValue())
-    case (s: String, LongType) => java.lang.Long.valueOf(numStr(s, "int64").longValue())
-    case (s: String, ShortType) => java.lang.Short.valueOf(numStr(s, "int16").shortValue())
+    case (s: String, IntegerType) => java.lang.Integer.valueOf(intStr(s, "int32").intValue())
+    case (s: String, LongType) => java.lang.Long.valueOf(intStr(s, "int64"))
+    case (s: String, ShortType) => java.lang.Short.valueOf(intStr(s, "int16").shortValue())
     case (s: String, DoubleType) => java.lang.Double.valueOf(numStr(s, "double").doubleValue())
     case (s: String, FloatType) => java.lang.Float.valueOf(numStr(s, "float").floatValue())
     case (b: Array[Byte], BinaryType) => b
@@ -981,5 +981,14 @@ object TagTables {
     catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"incompatible conv '$s' (string) to $kind")
+    }
+
+  /** integral targets parse exactly (an epoch-ns string above 2^53 must
+    * not round through double — util.ToInt64's ParseInt-first policy);
+    * the float form stays a fallback like the reference. */
+  private def intStr(s: String, kind: String): Long =
+    try java.lang.Long.parseLong(s.trim)
+    catch {
+      case _: NumberFormatException => numStr(s, kind).longValue()
     }
 }

@@ -118,7 +118,12 @@ object WebApi {
   /** An HTTP front-door reply: status code, Content-Type, body, plus
     * any extra headers (X-Chart-Type, Location). */
   case class HttpReply(status: Int, contentType: String, body: String,
-                       headers: Map[String, String] = Map.empty)
+                       headers: Map[String, String] = Map.empty,
+                       // binary payloads (image/file serving) must not
+                       // round-trip through a UTF-8 String
+                       bodyBytes: Option[Array[Byte]] = None) {
+    def wireBytes: Array[Byte] = bodyBytes.getOrElse(body.getBytes("UTF-8"))
+  }
 
   /** Decode a JSON QueryRequest body into the `/db/query` param map —
     * shared by the HTTP POST path and the MQTT db/query door, which

@@ -133,16 +133,6 @@ object TimeFns {
     roundTimeNs(tsNs, per * n)
   }
 
-  /** ANSI-style timeformat ("yyyy-mm-dd hh:nn:ss.ffffff") → Spark/Java
-    * pattern (reference ansiTimeformat). */
-  def translateAnsiTimeformat(fmt: String): String = {
-    // mm (month) must translate before nn→mm introduces minute 'mm's
-    val tokens = Seq(
-      "yyyy" -> "yyyy", "ffffff" -> "SSSSSS", "fff" -> "SSS",
-      "mm" -> "MM", "hh" -> "HH", "nn" -> "mm", "ss" -> "ss", "dd" -> "dd")
-    tokens.foldLeft(fmt) { case (acc, (from, to)) => acc.replace(from, to) }
-  }
-
   /** util.ToTimeformatSql (reference mods/util/types.go:108-126) — the
     * exact replacement SEQUENCE producing a Go layout. Mimicked verbatim,
     * including its quirks: MM fires before MMM (so MMM/DAY rows are
