@@ -241,10 +241,10 @@ object TagTables {
     dropBase(t)
     try spark.catalog.dropTempView(t) catch { case _: Throwable => }
     try spark.catalog.dropTempView(arrivalViewName(t)) catch { case _: Throwable => }
-    if (dynamicMetaDescs.remove(t).isDefined) {
-      metaRows.remove(t)
-      try spark.catalog.dropTempView(metaViewName(t)) catch { case _: Throwable => }
-    }
+    dynamicMetaDescs.remove(t)
+    metaRows.remove(t)
+    // declared-metadata AND derived dictionaries both drop with the owner
+    try spark.catalog.dropTempView(metaViewName(t)) catch { case _: Throwable => }
   }
 
   private def schemaFor(table: String): StructType = table.toLowerCase match {
@@ -610,7 +610,29 @@ object TagTables {
       full.createOrReplaceTempView(arrivalViewName(t))
       full.orderBy(col("_ARRIVAL_TIME").desc)
         .drop("_ARRIVAL_TIME").createOrReplaceTempView(t)
-    } else full.createOrReplaceTempView(t)
+    } else {
+      full.createOrReplaceTempView(t)
+      // every machbase tag table has a _T_META dictionary
+      // (spi/show.go:1376-1382 lists tags from it). Without declared
+      // metadata columns it derives from the data: rebuilt alongside the
+      // data view (a lazily-referencing view is impossible — Spark bakes
+      // the referenced plan at creation). _ID is name-ordered here (the
+      // engine numbers by first insertion — documented divergence; the
+      // dictionary contract is the NAME set). No job runs here.
+      if (typeOf(t) == "Tag" && !dynamicMetaDescs.contains(t) &&
+          dynamicSchemas.contains(t)) {
+        val pk = descriptorFor(t).flatMap(_.headOption).map(_.name)
+          .getOrElse("NAME")
+        import org.apache.spark.sql.functions.{col => c0, row_number, lit => l0}
+        import org.apache.spark.sql.expressions.Window
+        try full.select(c0(pk).as("NAME")).distinct()
+          .select(row_number().over(Window.orderBy(c0("NAME"))).as("_ID"),
+            c0("NAME"),
+            l0(null).cast("timestamp").as("_LAST_UPDATE_TIME"))
+          .createOrReplaceTempView(metaViewName(t))
+        catch { case _: Exception => () }
+      }
+    }
   }
 
   /** Column-name-addressed insert; absent columns null. Values must

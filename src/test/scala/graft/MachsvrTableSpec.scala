@@ -85,6 +85,22 @@ class MachsvrTableSpec extends SparkSpec {
     } finally q("DROP TABLE bit_table")
   }
 
+  test("tag tables without METADATA derive _T_META from the data (spi/show.go:1376-1382 tag dictionary)") {
+    TagTables.resetDynamicForTest(spark)
+    q("CREATE TAG TABLE plain (name varchar(40) primary key, time datetime basetime, value double)")
+    try {
+      q("insert into plain values ('beta', '2024-06-01 00:00:00', 1.0)")
+      q("insert into plain values ('alpha', '2024-06-01 00:00:01', 2.0)")
+      q("insert into plain values ('beta', '2024-06-01 00:00:02', 3.0)")
+      // the dictionary is the DISTINCT name set; _ID here is name-ordered
+      // (the engine numbers by first insertion — documented divergence)
+      val got = csv("SELECT _ID, NAME FROM _PLAIN_META ORDER BY _ID")
+      assert(got == "1,alpha\n2,beta\n", got)
+    } finally q("DROP TABLE plain")
+    // the derived view drops with its owner
+    intercept[Exception](q("SELECT * FROM _PLAIN_META"))
+  }
+
   test("METADATA table drops with its owner and missing-metadata insert errors") {
     TagTables.resetDynamicForTest(spark)
     q("CREATE TAG TABLE m2 (name varchar(32) primary key, time datetime basetime, value double) METADATA(site varchar(16))")
