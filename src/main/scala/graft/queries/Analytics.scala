@@ -24,6 +24,17 @@ object Analytics {
       CorpusStats.pmiCollocations(t(s, dir, "documents"), "text",
         minCount = 5L, k = 20)),
 
+    // ---- DSIR hashed n-gram importance weighting (domain selection,
+    // arXiv:2302.03169): two B=1024 bucket aggregations feed a broadcast
+    // weight table; scoring is one broadcast join + one partial-agg
+    // shuffle keyed by document — nothing corpus-quadratic
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = graft.text.Dsir.importanceTable(docs, "doc_id", "text",
+        col("source") === "src1")
+      graft.text.Dsir.scoreDocs(docs, "doc_id", "text", w).orderBy("doc_id")
+    }),
+
     // ---- per-source distribution drift: KL(source || corpus) ----------
     "q_source_kl" -> ((s, dir) =>
       CorpusStats.sourceKl(t(s, dir, "documents"), "source", "text")
@@ -366,6 +377,38 @@ object Analytics {
              CAST(sum(CAST(floor(c*log2(c)*1e9+0.5)/1e9 AS DECIMAL(38,9)))
                AS DOUBLE) / sum(c)) * 1e6 + 0.5) / 1e6 AS entropy
          FROM c GROUP BY 1 ORDER BY 1""",
+    "q_dsir_weights" ->
+      s"""WITH w AS ($W),
+         g AS (
+           SELECT doc_id, source, g FROM (
+             SELECT doc_id, source, unnest(ws) AS g FROM w
+             UNION ALL
+             SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(ws)-1),
+                 i -> ws[i] || ' ' || ws[i+1])) AS g FROM w)),
+         bk AS (SELECT doc_id, source,
+             ((strpos('0123456789abcdef', substr(m,1,1))-1)*4096 +
+              (strpos('0123456789abcdef', substr(m,2,1))-1)*256 +
+              (strpos('0123456789abcdef', substr(m,3,1))-1)*16 +
+              (strpos('0123456789abcdef', substr(m,4,1))-1)) % 1024 AS b
+           FROM (SELECT doc_id, source, md5(g) AS m FROM g)),
+         rc AS (SELECT b, count(*) AS rcnt FROM bk GROUP BY 1),
+         tc AS (SELECT b, count(*) AS tcnt FROM bk
+           WHERE source = 'src1' GROUP BY 1),
+         tot AS (SELECT count(*) AS rtot,
+             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS ttot
+           FROM bk),
+         wt AS (SELECT i.b AS b,
+             floor((ln((coalesce(tcnt, 0) + 1.0) / (ttot + 1024)) -
+                    ln((coalesce(rcnt, 0) + 1.0) / (rtot + 1024)))
+               * 1e9 + 0.5) / 1e9 AS wgt
+           FROM (SELECT unnest(generate_series(0, 1023)) AS b) i
+           LEFT JOIN rc ON rc.b = i.b LEFT JOIN tc ON tc.b = i.b
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           floor(CAST(sum(CAST(wgt AS DECIMAL(38,9))) AS DOUBLE)
+             / count(*) * 1e6 + 0.5) / 1e6 AS dsir_score
+         FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1 ORDER BY 1""",
     "q_pmi" ->
       s"""WITH w AS ($W),
          uc AS (SELECT w, count(*) AS cw

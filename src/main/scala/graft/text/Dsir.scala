@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style hashed n-gram importance weighting (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling",
+  * arXiv:2302.03169 — public method, no reference-engine analogue):
+  * score each document by how much its hashed n-gram distribution
+  * resembles a TARGET domain versus the RAW corpus, the standard
+  * pretraining-data domain-selection recipe.
+  *
+  *   bucket(g) = md5-bucket of each word unigram and bigram, B buckets
+  *   p[b] = (target count + 1) / (target total + B)      (add-one)
+  *   q[b] = (raw count + 1) / (raw total + B)
+  *   w[b] = ln p[b] − ln q[b]                            (9-dp rounded)
+  *   score(doc) = mean over the doc's grams of w[bucket(g)]
+  *
+  * Scale shape: one tokenize+explode pass feeds two partial-agg
+  * shuffles onto B = 1024 buckets (the weight table is always tiny and
+  * broadcast); scoring is a broadcast join plus one partial-agg shuffle
+  * keyed by document. Per-gram weights round to 9 dp and accumulate in
+  * DECIMAL(38,9) so the cross-partition reduction is exact (the
+  * wordEntropy discipline — double sums are partition-order-dependent).
+  */
+object Dsir {
+  private def fr(c: Column, scale: Int): Column = {
+    val p = math.pow(10d, scale.toDouble)
+    floor(c * p + 0.5d) / p
+  }
+
+  /** the countmin md5 trick: 4 hex digits mod width. */
+  private def bucket(g: Column, width: Int): Column =
+    conv(substring(md5(g), 1, 4), 16, 10).cast("long") % width
+
+  /** unigram + bigram stream over the normalized word array. */
+  private def gramsOf(ws: Column): Column =
+    concat(ws, Curation.wordNgramsOf(ws, 2))
+
+  /** (doc_id, bucket) gram stream — the one tokenize pass everything
+    * else aggregates from. */
+  private def docBuckets(docs: DataFrame, idCol: String, textCol: String,
+                         width: Int): DataFrame =
+    docs.select(col(idCol), Curation.words(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(gramsOf(col("__ws"))).as("__g"))
+      .select(col(idCol), bucket(col("__g"), width).as("b"))
+
+  /** The B-row importance table (b, wgt) for `targetPred` against the
+    * whole corpus. Both totals and both count tables come from the same
+    * gram stream; absent buckets smooth through add-one. */
+  def importanceTable(docs: DataFrame, idCol: String, textCol: String,
+                      targetPred: Column, width: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    // the target flag is a doc-column predicate — evaluate it before the
+    // explode so it rides the gram stream
+    val g2 = docs.select(col(idCol), targetPred.as("__t"),
+        Curation.words(col(textCol)).as("__ws"))
+      .select(col("__t"), explode(gramsOf(col("__ws"))).as("__g"))
+      .select(col("__t"), bucket(col("__g"), width).as("b"))
+    val rc = g2.groupBy("b").agg(count(lit(1)).as("rcnt"))
+    val tc = g2.filter(col("__t")).groupBy("b").agg(count(lit(1)).as("tcnt"))
+    val tot = g2.agg(count(lit(1)).as("rtot"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ttot"))
+    spark.range(width).select(col("id").as("b"))
+      .join(rc, Seq("b"), "left").join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        fr(log((coalesce(col("tcnt"), lit(0L)) + lit(1d)) /
+               (col("ttot") + lit(width.toDouble))) -
+           log((coalesce(col("rcnt"), lit(0L)) + lit(1d)) /
+               (col("rtot") + lit(width.toDouble))), 9).as("wgt"))
+  }
+
+  /** Per-document DSIR score: (idCol, n_grams, dsir_score). */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+                weights: DataFrame, width: Int = 1024): DataFrame =
+    docBuckets(docs, idCol, textCol, width)
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("wgt").cast("decimal(38,9)")).as("__s"))
+      .select(col(idCol), col("n_grams"),
+        fr(col("__s").cast("double") / col("n_grams"), 6).as("dsir_score"))
+}

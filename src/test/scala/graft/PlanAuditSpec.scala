@@ -30,7 +30,9 @@ class PlanAuditSpec extends SparkSpec {
     // wave 16+: graph triangles, perplexity buckets, LSH audit, chunking
     "q_triangles", "q_perplexity_buckets", "q_source_cap",
     "q_vocab_coverage", "q_lsh_bucket_stats", "q_chunk_fixed",
-    "q_hard_negatives", "q_fuzzy_vocab")
+    "q_hard_negatives", "q_fuzzy_vocab",
+    // round 14: DSIR importance weighting
+    "q_dsir_weights")
 
   test("no cartesian products in any heavy gate query") {
     heavy.foreach { name =>
@@ -58,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("small-side joins broadcast: queries vs corpus, eval grams vs corpus") {
-    Seq("q_embedding_topk", "q_decontaminate", "q_hard_negatives").foreach { name =>
+    Seq("q_embedding_topk", "q_decontaminate", "q_hard_negatives",
+        "q_dsir_weights").foreach { name =>
       val plan = executedPlan(name)
       assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin") ||
         plan.contains("BroadcastExchange"), s"$name does not broadcast:\n${plan.take(2000)}")
