@@ -81,7 +81,16 @@ object HttpLoop {
                 "application/json; charset=utf-8",
                 s"""{"success":false,"reason":"unsupported content-type: $other","elapse":"0s"}"""))
             }
-          case _ => Right(parseQueryMulti(rawQ))
+          case _ =>
+            // a malformed %-escape in the query string is the same
+            // client error as a malformed POST body
+            try Right(parseQueryMulti(rawQ))
+            catch {
+              case e: Exception => Left(WebApi.HttpReply(400,
+                "application/json; charset=utf-8",
+                s"""{"success":false,"reason":${graft.sinks.GoJs.quote(
+                  String.valueOf(e.getMessage))},"elapse":"0s"}"""))
+            }
         }
       decoded match {
         case Left(reply) =>
@@ -189,10 +198,11 @@ object HttpLoop {
       }
     })
     srv.createContext("/web/api", (ex: HttpExchange) => respond(ex) {
-      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val raw = ex.getRequestBody.readAllBytes()
+      val body = new String(raw, "UTF-8")
       val multi = parseQueryMulti(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
       val r = WebRoutes.route(session, ex.getRequestMethod,
-        ex.getRequestURI.getPath, multi, body)
+        ex.getRequestURI.getPath, multi, body, raw)
       (r.status, r.contentType, r.wireBytes)
     })
     srv.createContext("/lakes", (ex: HttpExchange) => respond(ex) {

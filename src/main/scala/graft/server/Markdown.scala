@@ -144,12 +144,13 @@ object Markdown {
           !bulletRe.matches(line.trim) && !orderedRe.matches(line.trim) =>
           // indented code block (mdconv_test.go TestMdCon: a tab-indented
           // line renders <pre><code> with one indent level stripped).
-          // An indented LIST ITEM is list content, not code — goldmark
-          // nests it (4-space "- child" under "- parent")
+          // The bullet/ordered exclusion guards only the OPENING line
+          // (an indented list item is list content, not code); once the
+          // block has opened, indented continuation lines stay code even
+          // when they look like bullets — CommonMark continuation rules
           val body = new StringBuilder
           while (i < lines.length &&
-            (lines(i).startsWith("\t") || lines(i).startsWith("    ")) &&
-            !bulletRe.matches(lines(i).trim) && !orderedRe.matches(lines(i).trim)) {
+            (lines(i).startsWith("\t") || lines(i).startsWith("    "))) {
             val l0 = lines(i)
             body.append(if (l0.startsWith("\t")) l0.substring(1)
               else l0.stripPrefix("    ")).append('\n')

@@ -93,7 +93,7 @@ object ServerFiles {
   }
 
   def handle(method: String, path: String, query: Map[String, Seq[String]],
-             body: String): WebApi.HttpReply = {
+             body: String, bodyBytes: Array[Byte] = null): WebApi.HttpReply = {
     val t0 = System.nanoTime()
     def elapse = graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
     def env(status: Int, success: Boolean, reason: String,
@@ -140,7 +140,10 @@ object ServerFiles {
           } else env(404, success = false, s"not found: $path")
         case "POST" =>
           if (isFsFile(path)) {
-            Files.write(f, body.getBytes("UTF-8"))
+            // binary-safe: write the raw request bytes when the caller
+            // has them — a UTF-8 String round-trip corrupts image uploads
+            Files.write(f,
+              if (bodyBytes != null) bodyBytes else body.getBytes("UTF-8"))
             env(200, success = true, "success")
           } else if (body.nonEmpty && body.trim.startsWith("{") &&
             WebApi.flatJsonSafe(body).contains("url")) {

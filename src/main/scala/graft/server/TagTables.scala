@@ -982,9 +982,13 @@ object TagTables {
     // appender rejects the row at bind time, not lazily at scan
     // (http_write_test.go TestHandleFileWriteErrors "insert failure
     // removes just-written file": metadata JSON into an integer column)
-    case (s: String, IntegerType) => java.lang.Integer.valueOf(intStr(s, "int32").intValue())
+    case (s: String, IntegerType) =>
+      java.lang.Integer.valueOf(rangeChecked(intStr(s, "int32"), s,
+        Int.MinValue, Int.MaxValue, "int32").toInt)
     case (s: String, LongType) => java.lang.Long.valueOf(intStr(s, "int64"))
-    case (s: String, ShortType) => java.lang.Short.valueOf(intStr(s, "int16").shortValue())
+    case (s: String, ShortType) =>
+      java.lang.Short.valueOf(rangeChecked(intStr(s, "int16"), s,
+        Short.MinValue, Short.MaxValue, "int16").toShort)
     case (s: String, DoubleType) => java.lang.Double.valueOf(numStr(s, "double").doubleValue())
     case (s: String, FloatType) => java.lang.Float.valueOf(numStr(s, "float").floatValue())
     case (b: Array[Byte], BinaryType) => b
@@ -1013,4 +1017,13 @@ object TagTables {
     catch {
       case _: NumberFormatException => numStr(s, kind).longValue()
     }
+
+  /** int32/int16 targets reject out-of-range values at bind time (Go
+    * strconv.ParseInt with the column's bit size errors; a silent wrap
+    * would accept garbage rows). */
+  private def rangeChecked(v: Long, s: String, lo: Long, hi: Long,
+                           kind: String): Long =
+    if (v < lo || v > hi) throw new IllegalArgumentException(
+      s"incompatible conv '$s' (string) to $kind")
+    else v
 }

@@ -19,7 +19,8 @@ object WebRoutes {
     route(spark, method, path, Map.empty, body)
 
   def route(spark: SparkSession, method: String, path: String,
-            query: Map[String, Seq[String]], body: String): WebApi.HttpReply = {
+            query: Map[String, Seq[String]], body: String,
+            bodyBytes: Array[Byte] = null): WebApi.HttpReply = {
     val parts = path.stripPrefix("/web/api").stripPrefix("/")
       .split("/", -1).toList.filter(_.nonEmpty)
     (method.toUpperCase, parts) match {
@@ -72,7 +73,7 @@ object WebRoutes {
       case (m, List("statz", "config")) => WebApi.statzConfig(m, body)
       // script file manager (http.go:1586-1775 handleFiles over ssfs)
       case (m, "files" :: rest) =>
-        ServerFiles.handle(m, "/" + rest.mkString("/"), query, body)
+        ServerFiles.handle(m, "/" + rest.mkString("/"), query, body, bodyBytes)
       // splitters / rpc / refs (http.go:297-299, 332)
       case ("POST", List("splitter", "sql")) => WebApi.splitterSql(body)
       case ("POST", List("splitter", "http")) => WebApi.splitterHttp(body)

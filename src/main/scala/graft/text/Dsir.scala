@@ -52,23 +52,31 @@ object Dsir {
                       targetPred: Column, width: Int = 1024): DataFrame = {
     val spark = docs.sparkSession
     // the target flag is a doc-column predicate — evaluate it before the
-    // explode so it rides the gram stream
+    // explode so it rides the gram stream. ONE corpus pass: a single
+    // groupBy produces raw and target counts together (conditional sum);
+    // the ≤width-row result collects to the driver (the kmeans k×d-sums
+    // license — bounded by construction) where totals and the smoothed
+    // log-ratios compute locally, then ship back as a literal relation
     val g2 = docs.select(col(idCol), targetPred.as("__t"),
         Curation.words(col(textCol)).as("__ws"))
       .select(col("__t"), explode(gramsOf(col("__ws"))).as("__g"))
       .select(col("__t"), bucket(col("__g"), width).as("b"))
-    val rc = g2.groupBy("b").agg(count(lit(1)).as("rcnt"))
-    val tc = g2.filter(col("__t")).groupBy("b").agg(count(lit(1)).as("tcnt"))
-    val tot = g2.agg(count(lit(1)).as("rtot"),
-      sum(when(col("__t"), 1L).otherwise(0L)).as("ttot"))
-    spark.range(width).select(col("id").as("b"))
-      .join(rc, Seq("b"), "left").join(tc, Seq("b"), "left")
-      .crossJoin(broadcast(tot))
-      .select(col("b"),
-        fr(log((coalesce(col("tcnt"), lit(0L)) + lit(1d)) /
-               (col("ttot") + lit(width.toDouble))) -
-           log((coalesce(col("rcnt"), lit(0L)) + lit(1d)) /
-               (col("rtot") + lit(width.toDouble))), 9).as("wgt"))
+    val counts = g2.groupBy("b").agg(
+        count(lit(1)).as("rcnt"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("tcnt"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rtot = counts.valuesIterator.map(_._1).sum
+    val ttot = counts.valuesIterator.map(_._2).sum
+    def round9(x: Double): Double = math.floor(x * 1e9 + 0.5d) / 1e9
+    val rows = (0 until width).map { b =>
+      val (rcnt, tcnt) = counts.getOrElse(b.toLong, (0L, 0L))
+      (b.toLong, round9(
+        math.log((tcnt + 1d) / (ttot + width.toDouble)) -
+        math.log((rcnt + 1d) / (rtot + width.toDouble))))
+    }
+    import spark.implicits._
+    rows.toDF("b", "wgt")
   }
 
   /** Per-document DSIR score: (idCol, n_grams, dsir_score). */
