@@ -35,6 +35,19 @@ object Analytics {
       graft.text.Dsir.scoreDocs(docs, "doc_id", "text", w).orderBy("doc_id")
     }),
 
+    // ---- DSIR resampling: importance-weighted selection (the paper's
+    // second step) — A-ES keys u^(1/w) over w = exp(score), one
+    // distributed TakeOrdered; weights pre-round to 9 dp so both sides
+    // feed pow identical doubles
+    "q_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wt = graft.text.Dsir.importanceTable(docs, "doc_id", "text",
+        col("source") === "src1")
+      val scored = graft.text.Dsir.scoreDocs(docs, "doc_id", "text", wt)
+        .withColumn("w", floor(exp(col("dsir_score")) * 1e9 + 0.5) / 1e9)
+      graft.text.Curation.weightedSample(scored, "doc_id", "w", k = 50)
+    }),
+
     // ---- per-source distribution drift: KL(source || corpus) ----------
     "q_source_kl" -> ((s, dir) =>
       CorpusStats.sourceKl(t(s, dir, "documents"), "source", "text")
@@ -409,6 +422,52 @@ object Analytics {
            floor(CAST(sum(CAST(wgt AS DECIMAL(38,9))) AS DOUBLE)
              / count(*) * 1e6 + 0.5) / 1e6 AS dsir_score
          FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1 ORDER BY 1""",
+    "q_dsir_sample" ->
+      s"""WITH w AS ($W),
+         g AS (
+           SELECT doc_id, source, g FROM (
+             SELECT doc_id, source, unnest(ws) AS g FROM w
+             UNION ALL
+             SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(ws)-1),
+                 i -> ws[i] || ' ' || ws[i+1])) AS g FROM w)),
+         bk AS (SELECT doc_id, source,
+             ((strpos('0123456789abcdef', substr(m,1,1))-1)*4096 +
+              (strpos('0123456789abcdef', substr(m,2,1))-1)*256 +
+              (strpos('0123456789abcdef', substr(m,3,1))-1)*16 +
+              (strpos('0123456789abcdef', substr(m,4,1))-1)) % 1024 AS b
+           FROM (SELECT doc_id, source, md5(g) AS m FROM g)),
+         rc AS (SELECT b, count(*) AS rcnt FROM bk GROUP BY 1),
+         tc AS (SELECT b, count(*) AS tcnt FROM bk
+           WHERE source = 'src1' GROUP BY 1),
+         tot AS (SELECT count(*) AS rtot,
+             sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS ttot
+           FROM bk),
+         wt AS (SELECT i.b AS b,
+             floor((ln((coalesce(tcnt, 0) + 1.0) / (ttot + 1024)) -
+                    ln((coalesce(rcnt, 0) + 1.0) / (rtot + 1024)))
+               * 1e9 + 0.5) / 1e9 AS wgt
+           FROM (SELECT unnest(generate_series(0, 1023)) AS b) i
+           LEFT JOIN rc ON rc.b = i.b LEFT JOIN tc ON tc.b = i.b
+           CROSS JOIN tot),
+         sc AS (SELECT doc_id,
+             floor(exp(floor(CAST(sum(CAST(wgt AS DECIMAL(38,9))) AS DOUBLE)
+               / count(*) * 1e6 + 0.5) / 1e6) * 1e9 + 0.5) / 1e9 AS w
+           FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1),
+         uk AS (SELECT doc_id, w,
+             (((strpos('0123456789abcdef', substr(m,1,1))-1)*268435456.0 +
+               (strpos('0123456789abcdef', substr(m,2,1))-1)*16777216 +
+               (strpos('0123456789abcdef', substr(m,3,1))-1)*1048576 +
+               (strpos('0123456789abcdef', substr(m,4,1))-1)*65536 +
+               (strpos('0123456789abcdef', substr(m,5,1))-1)*4096 +
+               (strpos('0123456789abcdef', substr(m,6,1))-1)*256 +
+               (strpos('0123456789abcdef', substr(m,7,1))-1)*16 +
+               (strpos('0123456789abcdef', substr(m,8,1))-1)) + 1)
+             / 4294967296 AS u
+           FROM (SELECT doc_id, w, md5(CAST(doc_id AS VARCHAR)) AS m FROM sc))
+         SELECT doc_id, w,
+           floor(pow(u, 1.0 / w) * 1e9 + 0.5) / 1e9 AS skey
+         FROM uk ORDER BY skey DESC, doc_id LIMIT 50""",
     "q_pmi" ->
       s"""WITH w AS ($W),
          uc AS (SELECT w, count(*) AS cw
