@@ -86,11 +86,77 @@ object BrokerLoop {
   private def publishPacket(topic: String, payload: Array[Byte]): Array[Byte] =
     mqttPacket(0x30, lenPrefixed(topic) ++ payload) // QoS 0, no packet id
 
-  /** In-JVM MQTT broker on 127.0.0.1:ephemeral. QoS 0, clean session. */
+  /** MQTT v5 PUBLISH packet: topic, property block, payload (QoS 0). */
+  private def publishPacketV5(topic: String, props: Array[Byte],
+                              payload: Array[Byte]): Array[Byte] = {
+    val pb = new java.io.ByteArrayOutputStream()
+    writeVarint(pb, props.length)
+    pb.write(props)
+    mqttPacket(0x30, lenPrefixed(topic) ++ pb.toByteArray ++ payload)
+  }
+
+  private def readVarintFrom(b: Array[Byte], at0: Int): (Int, Int) = {
+    var mult = 1; var value = 0; var at = at0; var d = 0
+    do {
+      d = b(at) & 0xFF; at += 1
+      value += (d & 0x7F) * mult
+      mult *= 128
+    } while ((d & 0x80) != 0)
+    (value, at)
+  }
+
+  /** MQTT v5 PUBLISH properties the double models: Response Topic
+    * (0x08) and User Properties (0x26) — the two the reference's write
+    * door reads (mqtt_write.go:75-101). Unknown identifiers with fixed
+    * wire shapes are skipped; anything else ends the scan. */
+  final case class MqttProps(responseTopic: String = "",
+                             user: Seq[(String, String)] = Nil) {
+    def userValue(key: String): Option[String] =
+      user.collectFirst { case (k, v) if k == key => v }
+  }
+
+  private[graft] def encodeProps(p: MqttProps): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    if (p.responseTopic.nonEmpty) { bos.write(0x08); bos.write(lenPrefixed(p.responseTopic)) }
+    p.user.foreach { case (k, v) =>
+      bos.write(0x26); bos.write(lenPrefixed(k)); bos.write(lenPrefixed(v))
+    }
+    bos.toByteArray
+  }
+
+  private[graft] def decodeProps(b: Array[Byte]): MqttProps = {
+    var at = 0
+    var resp = ""
+    val user = Seq.newBuilder[(String, String)]
+    def str(): String = {
+      val n = ((b(at) & 0xFF) << 8) | (b(at + 1) & 0xFF)
+      val s = new String(b, at + 2, n, UTF_8); at += 2 + n; s
+    }
+    var ok = true
+    while (ok && at < b.length) {
+      (b(at) & 0xFF) match {
+        case 0x08 => at += 1; resp = str()
+        case 0x26 => at += 1; val k = str(); val v = str(); user += (k -> v)
+        case 0x01 => at += 2 // payload format indicator (byte)
+        case 0x02 => at += 5 // message expiry interval (u32)
+        case 0x23 => at += 3 // topic alias (u16)
+        case 0x03 => at += 1; str() // content type
+        case 0x09 => at += 1; str() // correlation data (binary, same shape)
+        case _ => ok = false // unmodeled id: stop (double only emits the above)
+      }
+    }
+    MqttProps(resp, user.result())
+  }
+
+  /** In-JVM MQTT broker on 127.0.0.1:ephemeral. QoS 0, clean session.
+    * Speaks 3.1.1 (level 4) and v5 per connection: a v5 publisher's
+    * property block is forwarded verbatim to v5 subscribers and
+    * stripped for 3.1.1 subscribers (mochi-mqtt does the same
+    * downgrade when bridging protocol versions). */
   final class MqttBroker {
     private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
     def port: Int = server.getLocalPort
-    private final case class Sub(filter: String, out: OutputStream)
+    private final case class Sub(filter: String, out: OutputStream, proto: Int)
     private val subs = new CopyOnWriteArrayList[Sub]()
     @volatile private var open = true
 
@@ -104,6 +170,7 @@ object BrokerLoop {
     private def connLoop(sock: Socket): Unit = {
       val in = sock.getInputStream
       val out = sock.getOutputStream
+      var proto = 4 // set by CONNECT's protocol-level byte
       try {
         var live = true
         while (live) {
@@ -114,28 +181,48 @@ object BrokerLoop {
             val body = in.readNBytes(len)
             (h >> 4) match {
               case 1 => // CONNECT → CONNACK (accepted, no session present)
-                out.write(Array[Byte](0x20, 2, 0, 0)); out.flush()
+                // body: lenPrefixed("MQTT") + level byte + flags + keepalive…
+                proto = body(6) & 0xFF
+                if (proto == 5)
+                  out.write(Array[Byte](0x20, 3, 0, 0, 0)) // flags, reason, props(0)
+                else
+                  out.write(Array[Byte](0x20, 2, 0, 0))
+                out.flush()
               case 8 => // SUBSCRIBE → register filters, SUBACK granted QoS 0
                 val packetId = ((body(0) & 0xFF) << 8) | (body(1) & 0xFF)
                 var at = 2
+                if (proto == 5) { // skip the v5 property block
+                  val (plen, a2) = readVarintFrom(body, at); at = a2 + plen
+                }
                 val granted = Array.newBuilder[Byte]
                 while (at < body.length) {
                   val flen = ((body(at) & 0xFF) << 8) | (body(at + 1) & 0xFF)
                   val filter = new String(body, at + 2, flen, UTF_8)
-                  at += 2 + flen + 1 // + requested QoS byte
-                  subs.add(Sub(filter, out))
+                  at += 2 + flen + 1 // + subscription options byte
+                  subs.add(Sub(filter, out, proto))
                   granted += 0
                 }
-                out.write(mqttPacket(0x90, u16(packetId) ++ granted.result()))
+                val ackProps: Array[Byte] = if (proto == 5) Array(0) else Array.emptyByteArray
+                out.write(mqttPacket(0x90, u16(packetId) ++ ackProps ++ granted.result()))
                 out.flush()
-              case 3 => // PUBLISH (QoS 0) → route to matching subscribers
+              case 3 => // PUBLISH → route to matching subscribers
+                val qos = (h >> 1) & 3
                 val tlen = ((body(0) & 0xFF) << 8) | (body(1) & 0xFF)
                 val topic = new String(body, 2, tlen, UTF_8)
-                val payload = body.drop(2 + tlen)
-                val pkt = publishPacket(topic, payload)
+                var at = 2 + tlen
+                if (qos > 0) at += 2 // packet id (double delivers as QoS 0)
+                val props: Array[Byte] =
+                  if (proto == 5) {
+                    val (plen, a2) = readVarintFrom(body, at)
+                    val p = java.util.Arrays.copyOfRange(body, a2, a2 + plen)
+                    at = a2 + plen; p
+                  } else Array.emptyByteArray
+                val payload = body.drop(at)
+                val pkt4 = publishPacket(topic, payload)
+                lazy val pkt5 = publishPacketV5(topic, props, payload)
                 subs.forEach { s =>
                   if (mqttTopicMatches(s.filter, topic))
-                    try { s.out.write(pkt); s.out.flush() }
+                    try { s.out.write(if (s.proto == 5) pkt5 else pkt4); s.out.flush() }
                     catch { case _: Exception => () }
                 }
               case 12 => out.write(Array[Byte](0xD0.toByte, 0)); out.flush() // PINGREQ
@@ -152,29 +239,44 @@ object BrokerLoop {
   }
 
   /** Minimal MQTT client: CONNECT handshake, QoS-0 subscribe with a
-    * delivery callback, QoS-0 publish. Loopback hosts only. */
-  final class MqttClient(host: String, port: Int, clientId: String) {
+    * delivery callback, QoS-0 publish. Loopback hosts only. `proto` 4
+    * speaks 3.1.1; 5 speaks MQTT v5 (property blocks on PUBLISH —
+    * response topic + user properties, the surface the reference's
+    * write door reads, mqtt_write.go:75-101). */
+  final class MqttClient(host: String, port: Int, clientId: String, proto: Int = 4) {
     requireLoopback(host)
+    require(proto == 4 || proto == 5, s"mqtt protocol level $proto unsupported")
     private val sock = new Socket(InetAddress.getByName(host), port)
     private val in = sock.getInputStream
     private val out = sock.getOutputStream
-    private val cbs = new CopyOnWriteArrayList[(String, (String, Array[Byte]) => Unit)]()
+    private val cbs = new CopyOnWriteArrayList[(String, (String, Array[Byte], MqttProps) => Unit)]()
     private val readerOn = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-    // CONNECT: protocol "MQTT" level 4, clean session, keepalive 60
+    // CONNECT: protocol "MQTT", clean session, keepalive 60; v5 adds an
+    // (empty) property block before the client id
+    private val v5ConnProps: Array[Byte] = if (proto == 5) Array(0) else Array.emptyByteArray
     out.write(mqttPacket(0x10,
-      lenPrefixed("MQTT") ++ Array[Byte](4, 2) ++ u16(60) ++ lenPrefixed(clientId)))
+      lenPrefixed("MQTT") ++ Array[Byte](proto.toByte, 2) ++ u16(60) ++
+        v5ConnProps ++ lenPrefixed(clientId)))
     out.flush()
-    private val ack = in.readNBytes(4) // CONNACK
-    require(ack.length == 4 && (ack(0) & 0xFF) == 0x20 && ack(3) == 0,
+    // CONNACK: header + varint + body; reason/return code is body(1) both versions
+    private val ackH = in.read()
+    private val ackBody = in.readNBytes(readVarint(in))
+    require((ackH & 0xF0) == 0x20 && ackBody.length >= 2 && ackBody(1) == 0,
       "mqtt connect refused")
 
     /** Subscribe; deliveries run on the (single) reader thread — every
       * matching subscription's callback fires, like a broker delivering
       * once per matching subscription. */
-    def subscribe(filter: String)(fn: (String, Array[Byte]) => Unit): Unit = {
+    def subscribe(filter: String)(fn: (String, Array[Byte]) => Unit): Unit =
+      subscribeV5(filter)((t, p, _) => fn(t, p))
+
+    /** Property-aware subscribe: the callback also receives the v5
+      * property block (empty on a 3.1.1 connection). */
+    def subscribeV5(filter: String)(fn: (String, Array[Byte], MqttProps) => Unit): Unit = {
       cbs.add(filter -> fn)
-      out.write(mqttPacket(0x82, u16(1) ++ lenPrefixed(filter) :+ 0.toByte))
+      val v5SubProps: Array[Byte] = if (proto == 5) Array(0) else Array.emptyByteArray
+      out.write(mqttPacket(0x82, u16(1) ++ v5SubProps ++ lenPrefixed(filter) :+ 0.toByte))
       out.flush()
       if (readerOn.compareAndSet(false, true))
         spawn(s"mqtt-client-read-$clientId") {
@@ -187,10 +289,18 @@ object BrokerLoop {
               if ((h >> 4) == 3) {
                 val tlen = ((body(0) & 0xFF) << 8) | (body(1) & 0xFF)
                 val topic = new String(body, 2, tlen, UTF_8)
-                val payload = body.drop(2 + tlen)
+                var at = 2 + tlen
+                if (((h >> 1) & 3) > 0) at += 2 // packet id (unused: QoS 0)
+                val props =
+                  if (proto == 5) {
+                    val (plen, a2) = readVarintFrom(body, at)
+                    val p = decodeProps(java.util.Arrays.copyOfRange(body, a2, a2 + plen))
+                    at = a2 + plen; p
+                  } else MqttProps()
+                val payload = body.drop(at)
                 cbs.forEach { case (f, fn) =>
                   if (mqttTopicMatches(f, topic))
-                    try fn(topic, payload) catch { case _: Exception => () }
+                    try fn(topic, payload, props) catch { case _: Exception => () }
                 }
               }
             }
@@ -199,7 +309,15 @@ object BrokerLoop {
     }
 
     def publish(topic: String, payload: Array[Byte]): Unit = {
-      out.write(publishPacket(topic, payload)); out.flush()
+      // a v5 connection's PUBLISH always carries a property block (empty ok)
+      if (proto == 5) publish(topic, payload, MqttProps())
+      else { out.write(publishPacket(topic, payload)); out.flush() }
+    }
+
+    /** v5 publish with a property block (response topic / user props). */
+    def publish(topic: String, payload: Array[Byte], props: MqttProps): Unit = {
+      require(proto == 5, "mqtt properties require a v5 connection")
+      out.write(publishPacketV5(topic, encodeProps(props), payload)); out.flush()
     }
 
     def close(): Unit = {

@@ -179,6 +179,86 @@ class BrokerLoopSpec extends SparkSpec {
     TagTables.resetDynamicForTest(spark)
   }
 
+  test("mqtt v5 write reply via user properties (mqtt_test.go:354-430 TestWriteResponse)") {
+    TagTables.resetDynamicForTest(spark)
+    QueryDoor.execute(spark,
+      "create tag table example (name varchar(100) primary key, time datetime basetime, value double summarized)")
+    val broker = new BrokerLoop.MqttBroker
+    val door = graft.server.MqttDoor.attach(spark, "127.0.0.1", broker.port)
+    Thread.sleep(50)
+    val cli = new BrokerLoop.MqttClient("127.0.0.1", broker.port, "mqtt2-test", proto = 5)
+    val got = new java.util.concurrent.LinkedBlockingQueue[(String, String)]()
+    cli.subscribe("db/reply/#")((t, p) => got.put((t, new String(p, "UTF-8"))))
+    Thread.sleep(50)
+
+    // the reference test: CSV row + method/format/reply user properties →
+    // WriteResponse JSON on the reply topic
+    cli.publish("db/write/example",
+      "my-car,1705291859000000000,1.2345".getBytes("UTF-8"),
+      BrokerLoop.MqttProps(user = Seq(
+        "method" -> "insert", "format" -> "csv", "reply" -> "db/reply/123")))
+    val first = got.poll(20, TimeUnit.SECONDS)
+    assert(first != null, "no reply received")
+    assert(first._1 == "db/reply/123", first._1)
+    // envelope shape byte-exact up to the dynamic elapse duration
+    assert(first._2.matches(
+      """\{"success":true,"reason":"success, 1 record\(s\) inserted","elapse":"[^"]+"\}"""),
+      first._2)
+    def count(name: String): Long =
+      spark.table("example").filter(org.apache.spark.sql.functions.col("name") === name).count()
+    assert(count("my-car") == 1)
+
+    // the v5 Response Topic property routes the reply when no user-prop
+    // reply is given (mqtt_write.go:76-78)
+    cli.publish("db/write/example",
+      "rt-car,1705291860000000000,2.5".getBytes("UTF-8"),
+      BrokerLoop.MqttProps(responseTopic = "db/reply/rt",
+        user = Seq("format" -> "csv")))
+    val second = got.poll(20, TimeUnit.SECONDS)
+    assert(second != null && second._1 == "db/reply/rt", s"$second")
+    assert(second._2.contains(""""success":true"""), second._2)
+
+    // a JSON payload's top-level "reply" field also routes
+    // (mqtt_write.go:553-559 extractReplyTo)
+    cli.publish("db/write/example",
+      """{"reply":"db/reply/json","data":{"columns":["NAME","TIME","VALUE"],"rows":[["js-car",1705291861000000000,3.5]]}}"""
+        .getBytes("UTF-8"),
+      BrokerLoop.MqttProps(user = Seq("method" -> "insert")))
+    val third = got.poll(20, TimeUnit.SECONDS)
+    assert(third != null && third._1 == "db/reply/json", s"$third")
+    assert(third._2.contains("1 record(s) inserted"), third._2)
+
+    // a failing write reports success=false with the decoder's reason
+    cli.publish("db/write/example",
+      "{not valid json".getBytes("UTF-8"),
+      BrokerLoop.MqttProps(user = Seq("format" -> "json", "reply" -> "db/reply/err")))
+    val fourth = got.poll(20, TimeUnit.SECONDS)
+    assert(fourth != null && fourth._1 == "db/reply/err", s"$fourth")
+    assert(fourth._2.contains(""""success":false"""), fourth._2)
+
+    // method=append routes to the append path, which never replies
+    // (mqtt.go:302-318; handleAppend has no reply logic)
+    cli.publish("db/write/example",
+      "ap-car,1705291862000000000,4.5".getBytes("UTF-8"),
+      BrokerLoop.MqttProps(user = Seq(
+        "method" -> "append", "format" -> "csv", "reply" -> "db/reply/nope")))
+    val deadline = System.nanoTime() + 20L * 1000000000L
+    while (count("ap-car") != 1 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(count("ap-car") == 1)
+    assert(got.poll(300, TimeUnit.MILLISECONDS) == null, "append path must not reply")
+
+    // a 3.1.1 publisher interoperates: props-less publish still writes
+    val cli4 = new BrokerLoop.MqttClient("127.0.0.1", broker.port, "mqtt4-test")
+    cli4.publish("db/write/example:csv",
+      "v4-car,1705291863000000000,5.5".getBytes("UTF-8"))
+    val deadline2 = System.nanoTime() + 20L * 1000000000L
+    while (count("v4-car") != 1 && System.nanoTime() < deadline2) Thread.sleep(50)
+    assert(count("v4-car") == 1)
+
+    cli4.close(); cli.close(); door.close(); broker.close()
+    TagTables.resetDynamicForTest(spark)
+  }
+
   test("nats end-to-end: tql task per MSG with queue-group routing") {
     TagTables.resetDynamicForTest(spark)
     QueryDoor.execute(spark,
