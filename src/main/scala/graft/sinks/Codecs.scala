@@ -521,8 +521,13 @@ object Codecs {
       val base = r.toSeq.map(boxCell)
       if (o.rownum) (i.toString +: base) else base
     }
+    // go-pretty measures cell width in RUNES, not UTF-16 units — a
+    // surrogate-pair cell (U+1F112 "(C)" + "CD") counts 3 runes, so it
+    // gets one more pad space than its UTF-16 length suggests
+    // (box_encode_test.go TestBoxWide pins exactly that, FIXME included)
+    def runeLen(s: String): Int = s.codePointCount(0, s.length)
     val widths = cols.indices.map { c =>
-      (cols(c).length +: rows.map(_(c).length).toSeq).max
+      (runeLen(cols(c)) +: rows.map(r => runeLen(r(c))).toSeq).max
     }
     val sepCol = if (o.separateColumns) g(10) else " "
     def rule(l: String, m: String, r: String, outer: Boolean = true): Unit = {
@@ -537,8 +542,8 @@ object Codecs {
     def line(vals: Seq[String], rightAlignFirst: Boolean): Unit = {
       val cells = vals.zip(widths).zipWithIndex.map { case ((v, wd), ci) =>
         if (rightAlignFirst && ci == 0 && o.rownum)
-          (" " * (wd - v.length)) + v
-        else v.padTo(wd, ' ')
+          (" " * (wd - runeLen(v))) + v
+        else v + (" " * math.max(0, wd - runeLen(v)))
       }
       val (lb, rb) = if (o.drawBorder) (g(10) + " ", " " + g(10)) else ("", "")
       w.write(cells.mkString(lb, s" $sepCol ", rb)); w.write("\n")
