@@ -19,6 +19,63 @@ object QueryDoor {
   case object Explain extends StmtType
   case object Show extends StmtType
 
+  /** The reference's verb-table statement classifier, name-for-name
+    * (spi/database.go:207-240 DetectSQLStatementType; database_test.go:
+    * 388-414 pins the String() names). First whitespace-split token,
+    * case-folded; DESC aliases DESCRIBE; WITH is "CTE"; anything else
+    * is "OTHER". */
+  def statementTypeName(sql: String): String =
+    sql.trim.split("\\s+").headOption.map(_.toUpperCase).getOrElse("") match {
+      case "SELECT" => "SELECT"
+      case "INSERT" => "INSERT"
+      case "UPDATE" => "UPDATE"
+      case "DELETE" => "DELETE"
+      case "CREATE" => "CREATE"
+      case "DROP" => "DROP"
+      case "ALTER" => "ALTER"
+      case "DESCRIBE" | "DESC" => "DESCRIBE"
+      case "WITH" => "CTE"
+      case "SHOW" => "SHOW"
+      case "EXPLAIN" => "EXPLAIN"
+      case _ => "OTHER"
+    }
+
+  /** spi/database.go:242-244 IsFetch — SELECT, DESCRIBE and CTEs fetch. */
+  def isFetch(stmtType: String): Boolean =
+    stmtType == "SELECT" || stmtType == "DESCRIBE" || stmtType == "CTE"
+
+  /** spi/database.go:461-489 MakeUserMessage — the humanized row-count
+    * reply ("no rows"/"a row"/"N rows" + per-verb suffix; DDL verbs get
+    * the "… successfully." forms; database_test.go:479-503). */
+  def userMessage(stmtType: String, rows: Long): String = {
+    val rowsObj = rows match {
+      case 0 => "no rows"
+      case 1 => "a row"
+      case n => s"$n rows"
+    }
+    stmtType match {
+      case "SELECT" | "DESCRIBE" | "CTE" => s"$rowsObj selected."
+      case "INSERT" => s"$rowsObj inserted."
+      case "UPDATE" => s"$rowsObj updated."
+      case "DELETE" => s"$rowsObj deleted."
+      case "CREATE" => "Created successfully."
+      case "DROP" => "Dropped successfully."
+      case "ALTER" => "Altered successfully."
+      case _ => "executed."
+    }
+  }
+
+  /** api.TableName.Split: `[[db.]user.]table` → (db, user, table),
+    * uppercased, defaulting db=MACHBASEDB and user=SYS
+    * (spi/spi_test.go:30-48 TestTableNames). */
+  def splitTableName(name: String): (String, String, String) =
+    name.toUpperCase.split("\\.", -1) match {
+      case Array(d, u, t) => (d, u, t)
+      case Array(u, t) => ("MACHBASEDB", u, t)
+      case Array(t) => ("MACHBASEDB", "SYS", t)
+      case parts => (parts(0), parts(1), parts.drop(2).mkString("."))
+    }
+
   /** Statement classification, mirroring the reference's regex table. */
   def detect(sql: String): StmtType = {
     val s = sql.trim.toUpperCase
@@ -643,9 +700,13 @@ object QueryDoor {
             col("MAX_VALUE"), col("MAX_VALUE_TIME"))
           .orderBy("ID")
       case List("SHOW", "TABLE") =>
-        machDesc(spark, words(2).toLowerCase, all, arrivalTime = true)
-      case List("DESC", t) => describe(spark, t.toLowerCase, all)
-      case List("DESCRIBE", t) => describe(spark, t.toLowerCase, all)
+        // `[[db.]user.]table` resolves through TableName.Split — the
+        // reference accepts SYS.T / MACHBASEDB.SYS.T forms everywhere a
+        // table name is named (spi/spi_test.go:30-48)
+        machDesc(spark, splitTableName(words(2))._3.toLowerCase, all,
+          arrivalTime = true)
+      case List("DESC", t) => describe(spark, splitTableName(t)._3.toLowerCase, all)
+      case List("DESCRIBE", t) => describe(spark, splitTableName(t)._3.toLowerCase, all)
       case List("SHOW", cmd) =>
         // reference error text, fm_dbsrc.go:687
         throw new IllegalArgumentException(

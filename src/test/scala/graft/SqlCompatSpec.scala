@@ -106,4 +106,90 @@ class SqlCompatSpec extends SparkSpec {
       assert(csv("select count(*) as c from ev where name = ''") == "0\n")
     } finally q("drop table ev")
   }
+
+  // ---- spi/database_test.go + spi/spi_test.go on-scope subsets -----------
+
+  test("statement-type verb table + fetch classes (spi/database.go:207-244; database_test.go:388-414)") {
+    import QueryDoor.{statementTypeName => st, isFetch}
+    assert(st("select * from t") == "SELECT")
+    assert(st("  INSERT into t values (1)") == "INSERT")
+    assert(st("update t set a=1") == "UPDATE")
+    assert(st("delete from t") == "DELETE")
+    assert(st("create table t (a int)") == "CREATE")
+    assert(st("drop table t") == "DROP")
+    assert(st("alter table t add column b int") == "ALTER")
+    assert(st("describe t") == "DESCRIBE")
+    assert(st("DESC t") == "DESCRIBE")
+    assert(st("with cte as (select 1) select * from cte") == "CTE")
+    assert(st("show tables") == "SHOW")
+    assert(st("explain select 1") == "EXPLAIN")
+    assert(st("exec table_flush(t)") == "OTHER")
+    assert(st("") == "OTHER")
+    // IsFetch: SELECT, DESCRIBE and CTEs fetch; everything else executes
+    assert(isFetch("SELECT") && isFetch("DESCRIBE") && isFetch("CTE"))
+    assert(!isFetch("INSERT") && !isFetch("SHOW") && !isFetch("EXPLAIN") &&
+      !isFetch("OTHER"))
+  }
+
+  test("MakeUserMessage humanized replies (spi/database.go:461-489; database_test.go:479-503)") {
+    import QueryDoor.{userMessage => um}
+    assert(um("SELECT", 0) == "no rows selected.")
+    assert(um("SELECT", 1) == "a row selected.")
+    assert(um("SELECT", 2) == "2 rows selected.")
+    assert(um("INSERT", 3) == "3 rows inserted.")
+    assert(um("UPDATE", 4) == "4 rows updated.")
+    assert(um("DELETE", 5) == "5 rows deleted.")
+    assert(um("CREATE", 0) == "Created successfully.")
+    assert(um("DROP", 0) == "Dropped successfully.")
+    assert(um("ALTER", 0) == "Altered successfully.")
+    assert(um("OTHER", 0) == "executed.")
+  }
+
+  test("TableName.Split defaults db/user and uppercases (spi/spi_test.go:30-48 TestTableNames)") {
+    assert(QueryDoor.splitTableName("a.b.c") == ("A", "B", "C"))
+    assert(QueryDoor.splitTableName("user.table") == ("MACHBASEDB", "USER", "TABLE"))
+    assert(QueryDoor.splitTableName("table") == ("MACHBASEDB", "SYS", "TABLE"))
+    // wired into the doors: qualified names resolve to the table part
+    TagTables.resetDynamicForTest(spark)
+    q("create tag table tq (name varchar(40) primary key, time datetime basetime, value double)")
+    try {
+      val d1 = q("desc sys.tq").collect()
+      val d2 = q("desc machbasedb.sys.tq").collect()
+      assert(d1.nonEmpty && d1.length == d2.length)
+    } finally q("drop table tq")
+  }
+
+  test("init SQL script loader (mods/server/server.go:2811-2854; server_test.go:2108-2136 TestLoadSqlScriptFile)") {
+    import graft.server.ServerInit.loadSqlScript
+    val script =
+      "\n# shell style comment\n-- sql style comment\n\n" +
+      "CREATE TABLE demo (\n  id INTEGER,\n  name VARCHAR(20)\n);\n\n" +
+      "INSERT INTO demo VALUES\n(1, 'neo');\n"
+    assert(loadSqlScript(script) == Seq(
+      "CREATE TABLE demo ( id INTEGER, name VARCHAR(20) )",
+      "INSERT INTO demo VALUES (1, 'neo')"))
+    // unterminated trailing statement is dropped
+    assert(loadSqlScript("SELECT 1\n").isEmpty)
+    // comment markers skip only at column 0 (the reference prefix-tests
+    // the UN-trimmed line); an indented `--` line joins its statement
+    assert(loadSqlScript("SELECT 1,\n  -- 2,\n  3;\n") ==
+      Seq("SELECT 1, -- 2, 3"))
+  }
+
+  test("init scripts run through the exec door (server.go:843-874 CreateDBQueries)") {
+    TagTables.resetDynamicForTest(spark)
+    val msgs = graft.server.ServerInit.runSqlScript(spark,
+      """-- init script
+        |CREATE TAG TABLE init_demo (
+        |  name varchar(40) primary key,
+        |  time datetime basetime,
+        |  value double
+        |);
+        |INSERT INTO init_demo VALUES ('a', 1717286400000000000, 1.5);
+        |""".stripMargin)
+    try {
+      assert(msgs == Seq("Created successfully.", "a row inserted."), msgs)
+      assert(csv("select count(*) as c from init_demo") == "1\n")
+    } finally q("drop table init_demo")
+  }
 }
