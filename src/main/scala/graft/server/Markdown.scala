@@ -414,9 +414,11 @@ object Markdown {
           val valRaw = entry.drop(eq + 1).trim
           val v = unquote(valRaw).toLowerCase
           key match {
-            case "hide-request" => showRequest = v != "true"
-            case "line-numbers" => lineNumbers = v == "true"
-            case "indent" => indentJson = v != "false"
+            // truthy = true|1|yes, falsy = false|0|no (httpext/options.go:
+            // 75-80 — hide-request/line-numbers test truthy, indent falsy)
+            case "hide-request" => showRequest = !Set("true", "1", "yes")(v)
+            case "line-numbers" => lineNumbers = Set("true", "1", "yes")(v)
+            case "indent" => indentJson = !Set("false", "0", "no")(v)
             case k if k.startsWith("style-") =>
               val styleKey = k.stripPrefix("style-")
               val className = httpStyleKeys.get(styleKey).orElse {

@@ -260,11 +260,19 @@ object QueryDoor {
     * or fractional literal raises the engine's type-mismatch error
     * (machsvr_test.go TestBitTypeColumn pins the MACH-ERR 2037 text,
     * github.com/machbase/neo issue 956). */
-  private def checkBitand(sql: String): Unit = {
+  private def checkBitand(sql0: String): Unit = {
+    // strip string literals first: a BITAND token INSIDE a literal must
+    // not trip the gate, and literal commas must not confuse arg splits
+    val sql = sql0.replaceAll("'(?:[^']|'')*'", "''")
     val fnRe = "(?i)(BITAND|BITOR)\\s*\\(([^()]*)\\)".r
     val fromRe = "(?is)\\bfrom\\s+(\\w+)".r
-    lazy val fromDesc = fromRe.findFirstMatchIn(sql)
-      .flatMap(m => TagTables.descriptorFor(m.group(1)))
+    // column types resolve only for the single-table machbase form; a
+    // join/subquery SELECT leaves fromDesc empty and the gate falls back
+    // to literal checks alone (the engine resolves real columns there)
+    val fromMatches = fromRe.findAllMatchIn(sql).toSeq
+    lazy val fromDesc =
+      if (fromMatches.size != 1) None
+      else TagTables.descriptorFor(fromMatches.head.group(1))
     fnRe.findAllMatchIn(sql).foreach { m =>
       val fn = m.group(1).toUpperCase
       def mismatch() = throw new IllegalArgumentException(
@@ -281,11 +289,17 @@ object QueryDoor {
   }
 
   /** True when a bare CREATE TABLE uses only machbase column types — the
-    * signal it is machbase DDL (default table type: log), not Spark DDL. */
+    * signal it is machbase DDL (default table type: log), not Spark DDL.
+    * Any Spark-only DDL signal (USING/AS SELECT/PARTITIONED BY/
+    * TBLPROPERTIES/COMMENT/LOCATION/STRING columns) falls through to
+    * `spark.sql`, so `CREATE TABLE t (a INT) TBLPROPERTIES(...)` still
+    * creates a real Spark table; machbase-default semantics apply only
+    * to the plain shared-type form, like the exec door's dialect. */
   private def isMachbaseDdl(sql: String): Boolean = {
     val lower = sql.toLowerCase
     if (lower.contains(" using ") || lower.contains(" as select") ||
-        lower.contains("partitioned by")) return false
+        lower.contains("partitioned by") || lower.contains("tblproperties") ||
+        lower.contains(" location ") || lower.contains(" comment ")) return false
     val open = sql.indexOf('(')
     if (open < 0) return false
     var depth = 0; var close = -1; var i = open

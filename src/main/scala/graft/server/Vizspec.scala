@@ -29,7 +29,9 @@ object Vizspec {
   }
 
   /** vizspec.render: normalize (legacy `advn/v1` alias → `vizspec/v1`,
-    * default kind `timeseries`), validate minimally, return the map. */
+    * legacy top-level x/series lifted into `data`, preferred-renderer
+    * hints folded into `meta.preferred`, default kind `timeseries`),
+    * validate minimally, return the map. */
   def render(spec0: collection.Map[String, Any]): LinkedHashMap[String, Any] = {
     if (spec0 == null) throw new IllegalArgumentException("vizspec is required")
     val out = LinkedHashMap.empty[String, Any]
@@ -39,8 +41,42 @@ object Vizspec {
       out.put("schema", "vizspec/v1")
     if (out.get("kind").forall(_.toString.trim.isEmpty))
       out.put("kind", "timeseries")
+    normalizeLegacyDataShape(out)
+    normalizePreferredHints(out)
     parseTimeseries(out) // validation: throws on a shapeless spec
     out
+  }
+
+  /** viz.go:80-97 normalizeLegacyDataShape: a legacy advn payload
+    * carrying top-level `x` + `series` (and no `data`) lifts them into
+    * `data` so the modern shape validates. */
+  private def normalizeLegacyDataShape(spec: LinkedHashMap[String, Any]): Unit =
+    if (!spec.contains("data") && spec.contains("x") && spec.contains("series"))
+      spec.put("data", obj("x" -> spec("x"), "series" -> spec("series")))
+
+  /** viz.go:99-150 normalizePreferredHints: meta.preferred ++
+    * clientHint.preferred ++ clientHint.renderer, normalized to the
+    * known renderer names (echarts/svg/png/vizspec), deduped in order,
+    * written back as meta.preferred when non-empty. */
+  private def normalizePreferredHints(spec: LinkedHashMap[String, Any]): Unit = {
+    val meta = LinkedHashMap.empty[String, Any]
+    asMap(spec.getOrElse("meta", null)).foreach { case (k, v) => meta.put(k, v) }
+    def norm(v: Any): String =
+      Option(v).map(_.toString.trim.toLowerCase).getOrElse("") match {
+        case s @ ("echarts" | "svg" | "png" | "vizspec") => s
+        case _ => ""
+      }
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    asSeq(meta.getOrElse("preferred", null)).map(norm).filter(_.nonEmpty)
+      .foreach(seen.add)
+    val hint = asMap(spec.getOrElse("clientHint", null))
+    asSeq(hint.getOrElse("preferred", null)).map(norm).filter(_.nonEmpty)
+      .foreach(seen.add)
+    hint.get("renderer").map(norm).filter(_.nonEmpty).foreach(seen.add)
+    if (seen.nonEmpty) {
+      meta.put("preferred", ArrayBuffer[Any](seen.toSeq: _*))
+      spec.put("meta", meta)
+    }
   }
 
   private case class Series(name: String, data: Seq[Double])
@@ -115,6 +151,10 @@ object Vizspec {
 
   private def scaled(p: Parsed): Seq[Seq[(Double, Double)]] = {
     val all = p.series.flatMap(_.data)
+    // a metric with no samples yet (statz of a fresh series) yields
+    // all-empty data arrays: render an empty chart (axes only) instead
+    // of surfacing empty.min as a raw internal error through the RPC
+    if (all.isEmpty) return p.series.map(_ => Seq.empty)
     val (lo, hi0) = (all.min, all.max)
     val hi = if (hi0 == lo) lo + 1 else hi0
     val n = math.max(p.series.map(_.data.size).max, 2)
@@ -133,8 +173,10 @@ object Vizspec {
     sb.append(s"""<line x1="$Pad" y1="$Pad" x2="$Pad" y2="${H - Pad}" stroke="black"/>""")
     val colors = Seq("#5470c6", "#91cc75", "#fac858", "#ee6666", "#73c0de")
     scaled(p).zipWithIndex.foreach { case (pts, i) =>
-      val path = pts.map { case (x, y) => f"$x%.1f,$y%.1f" }.mkString(" ")
-      sb.append(s"""<polyline fill="none" stroke="${colors(i % colors.length)}" stroke-width="2" points="$path"/>""")
+      if (pts.nonEmpty) {
+        val path = pts.map { case (x, y) => f"$x%.1f,$y%.1f" }.mkString(" ")
+        sb.append(s"""<polyline fill="none" stroke="${colors(i % colors.length)}" stroke-width="2" points="$path"/>""")
+      }
     }
     sb.append("</svg>")
     sb.toString

@@ -42,6 +42,25 @@ class HttpextSpec extends SparkSpec {
     assert(!html.contains("""class="httpext-divider""""))
   }
 
+  test("boolean options accept 1/yes and 0/no forms (httpext/options.go:75-80)") {
+    // hide-request=1 hides like =true
+    val h1 = render(fence(" {hide-request=1}",
+      "/db/query?q=select n_nationkey from nation limit 1&format=csv"))
+    assert(!h1.contains("""class="httpext-method""""), h1)
+    // hide-request=yes too
+    val h2 = render(fence(" {hide-request=yes}",
+      "/db/query?q=select n_nationkey from nation limit 1&format=csv"))
+    assert(!h2.contains("""class="httpext-method""""), h2)
+    // line-numbers=1 enables the numbered table
+    val h3 = render(fence(" {line-numbers=1}",
+      "/db/query?q=select n_nationkey from nation limit 1&format=csv"))
+    assert(h3.contains("""class="httpext-lno">1</td>"""), h3)
+    // indent=0 disables JSON pretty layout like =false
+    val h4 = render(fence(" {indent=0}",
+      "/db/query?q=select n_nationkey from nation limit 1"))
+    assert(!h4.contains("httpext-json-indent"), h4)
+  }
+
   test("line-numbers option (TestExtenderLineNumbersOptOut httpext_test.go:288-313)") {
     val html = render(fence(" {line-numbers=true}",
       "/db/query?q=select n_nationkey from nation limit 1&format=csv"))

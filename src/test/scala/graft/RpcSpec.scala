@@ -63,6 +63,33 @@ class RpcSpec extends SparkSpec {
     assert(get(legacy, "result.kind") == "timeseries", legacy)
   }
 
+  test("vizspec.render lifts legacy top-level x/series; preferred hints normalize (viz.go:80-150)") {
+    // legacy advn payload WITHOUT a data key: x/series lift into data
+    val legacy = rpc("vizspec.render",
+      """[{"schema":"advn/v1","x":["a","b"],"series":[{"name":"v","data":[1,2]}]}]""")
+    assert(get(legacy, "result.schema") == "vizspec/v1", legacy)
+    assert(get(legacy, "result.data.x.0") == "a", legacy)
+    assert(get(legacy, "result.data.series.0.name") == "v", legacy)
+    // clientHint.renderer + preferred fold into meta.preferred, known
+    // names only, deduped in order
+    val hinted = rpc("vizspec.render",
+      """[{"data":{"x":[1],"series":[{"name":"v","data":[3]}]},""" +
+      """"clientHint":{"preferred":["ECharts","bogus","svg"],"renderer":"svg"}}]""")
+    assert(get(hinted, "result.meta.preferred.0") == "echarts", hinted)
+    assert(get(hinted, "result.meta.preferred.1") == "svg", hinted)
+  }
+
+  test("vizspec.export renders an empty chart for all-empty series (statz of a fresh metric)") {
+    val empty = """[{"data":{"x":[],"series":[{"name":"v","data":[]}]}}"""
+    val svg = rpc("vizspec.export", empty + ""","svg"]""")
+    assert(get(svg, "result.format") == "svg", svg)
+    assert(get(svg, "result.data").toString.contains("<svg"), svg)
+    // axes still draw; no polyline points, no internal error
+    assert(!get(svg, "result.data").toString.contains("polyline"), svg)
+    val png = rpc("vizspec.export", empty + ""","png"]""")
+    assert(get(png, "result.mimeType") == "image/png", png)
+  }
+
   test("vizspec.export svg/png/echarts envelopes (TestHttpRpc vizspecExport http_rpc_test.go:641-699)") {
     val svg = rpc("vizspec.export", vizParams + ""","svg"]""")
     assert(get(svg, "result.schema") == "vizspec-export/v1", svg)

@@ -176,6 +176,31 @@ class SqlCompatSpec extends SparkSpec {
       Seq("SELECT 1, -- 2, 3"))
   }
 
+  test("BITAND gate ignores string literals and multi-table selects (advice r14)") {
+    TagTables.resetDynamicForTest(spark)
+    q("create tag table bg (name varchar(40) primary key, time datetime basetime, value double)")
+    try {
+      q("insert into bg values ('BITAND(x,1.5)', 1717286400000000000, 1.0)")
+      // the function token INSIDE a literal must not trip MACH-ERR 2037
+      assert(csv("select count(*) as c from bg where name = 'BITAND(x,1.5)'") == "1\n")
+      // a double column as an argument still trips it (machsvr contract)
+      val e = intercept[IllegalArgumentException](
+        q("select BITAND(value, 1) from bg"))
+      assert(e.getMessage.contains("MACH-ERR 2037"), e.getMessage)
+    } finally q("drop table bg")
+  }
+
+  test("CREATE TABLE with Spark-only signals stays Spark DDL (advice r14)") {
+    // TBLPROPERTIES marks Spark DDL even when every column type is in
+    // the shared machbase set — must not reroute to the log-table double
+    q("drop table if exists spark_props_t")
+    q("create table spark_props_t (a INT, b DOUBLE) TBLPROPERTIES ('k'='v')")
+    try {
+      assert(TagTables.descriptorFor("spark_props_t").isEmpty)
+      assert(spark.catalog.tableExists("spark_props_t"))
+    } finally q("drop table spark_props_t")
+  }
+
   test("init scripts run through the exec door (server.go:843-874 CreateDBQueries)") {
     TagTables.resetDynamicForTest(spark)
     val msgs = graft.server.ServerInit.runSqlScript(spark,
