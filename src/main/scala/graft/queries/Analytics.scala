@@ -48,6 +48,32 @@ object Analytics {
       graft.text.Curation.weightedSample(scored, "doc_id", "w", k = 50)
     }),
 
+    // ---- fastText-style quality classifier (arXiv:1607.01759): hashed
+    // uni+bigram features, deterministic full-batch logistic GD (9-dp
+    // pinned, DECIMAL-exact reductions — the DSIR discipline), broadcast
+    // coefficients for distributed scoring; nothing corpus-quadratic
+    "q_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = graft.text.QualityClassifier.train(docs, "doc_id", "text",
+        col("lang") === "en")
+      graft.text.QualityClassifier.score(docs, "doc_id", "text", w)
+        .join(docs.select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("label")), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- classifier-guided selection: A-ES weighted sample over
+    // w = exp(score), composing with weightedSample like q_dsir_sample
+    "q_quality_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wt = graft.text.QualityClassifier.train(docs, "doc_id", "text",
+        col("lang") === "en")
+      val scored = graft.text.QualityClassifier
+        .score(docs, "doc_id", "text", wt)
+        .withColumn("w", floor(exp(col("score")) * 1e9 + 0.5) / 1e9)
+      graft.text.Curation.weightedSample(scored, "doc_id", "w", k = 50)
+    }),
+
     // ---- per-source distribution drift: KL(source || corpus) ----------
     "q_source_kl" -> ((s, dir) =>
       CorpusStats.sourceKl(t(s, dir, "documents"), "source", "text")
@@ -379,7 +405,88 @@ object Analytics {
          string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
        FROM documents"""
 
+  /** The quality-classifier oracle: the same fixed-iteration logistic
+    * GD as text/QualityClassifier, UNROLLED as CTE chains (w0 → z1/p1/
+    * e1/g1 → w1 → … ). Every intermediate is 9-dp pinned and every
+    * cross-row sum runs in DECIMAL(38,9), so DuckDB reproduces the JVM
+    * weights bit-for-bit (the DSIR discipline + exp-on-same-double). */
+  private def qcOracle(finalSel: String): String = {
+    val width = 32
+    val iters = 3
+    def r9(e: String) = s"floor(($e) * 1e9 + 0.5)/1e9"
+    def dsum(term: String) =
+      s"CAST(sum(CAST(${r9(term)} AS DECIMAL(38,9))) AS DOUBLE)"
+    val base =
+      s"""wl AS (SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+           string_split(regexp_replace(lower(text),'\\s+',' ','g'),' ') AS ws
+         FROM documents),
+       g AS (SELECT doc_id, g FROM (
+           SELECT doc_id, unnest(ws) AS g FROM wl
+           UNION ALL
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws)-1),
+               i -> ws[i] || ' ' || ws[i+1])) AS g FROM wl)),
+       bk AS (SELECT doc_id,
+           ((strpos('0123456789abcdef', substr(m,1,1))-1)*4096 +
+            (strpos('0123456789abcdef', substr(m,2,1))-1)*256 +
+            (strpos('0123456789abcdef', substr(m,3,1))-1)*16 +
+            (strpos('0123456789abcdef', substr(m,4,1))-1)) % $width AS b
+         FROM (SELECT doc_id, md5(g) AS m FROM g)),
+       ft0 AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
+       nn AS (SELECT doc_id, sum(c) AS n FROM ft0 GROUP BY 1),
+       ft AS (SELECT ft0.doc_id AS doc_id, b, ${r9("c * 1.0 / n")} AS x
+           FROM ft0 JOIN nn USING (doc_id)
+         UNION ALL SELECT doc_id, -1 AS b, 1.0 AS x FROM nn),
+       lab AS (SELECT doc_id, y FROM wl),
+       nd AS (SELECT count(*) AS n FROM wl),
+       w0 AS (SELECT unnest(generate_series(-1, ${width - 1})) AS b,
+           0.0 AS wt)"""
+    val steps = (1 to iters).map { i =>
+      val pw = s"w${i - 1}"
+      s"""z$i AS (SELECT ft.doc_id AS doc_id, ${r9(dsum("wt * x"))} AS z
+           FROM ft JOIN $pw USING (b) GROUP BY 1),
+         p$i AS (SELECT doc_id, ${r9("1.0 / (1.0 + exp(-z))")} AS p FROM z$i),
+         e$i AS (SELECT p$i.doc_id AS doc_id, p - y AS err
+           FROM p$i JOIN lab USING (doc_id)),
+         g$i AS (SELECT b,
+             ${r9(dsum("err * x") + " / (SELECT n FROM nd)")} AS g
+           FROM ft JOIN e$i USING (doc_id) GROUP BY 1),
+         w$i AS (SELECT $pw.b AS b,
+             ${r9("wt - 5.0 * coalesce(g, 0.0)")} AS wt
+           FROM $pw LEFT JOIN g$i USING (b))"""
+    }.mkString(",\n       ")
+    val scoring =
+      s"""sc AS (SELECT ft.doc_id AS doc_id, ${r9(dsum("wt * x"))} AS z
+           FROM ft JOIN w$iters USING (b) GROUP BY 1),
+         sp AS (SELECT doc_id, ${r9("1.0 / (1.0 + exp(-z))")} AS p FROM sc)"""
+    s"WITH $base,\n       $steps,\n       $scoring\n       $finalSel"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_quality_classifier" -> qcOracle(
+      """SELECT sp.doc_id AS doc_id, floor(p * 1e6 + 0.5)/1e6 AS score,
+           CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+           CAST(y AS BIGINT) AS label
+         FROM sp JOIN lab USING (doc_id) ORDER BY doc_id"""),
+    "q_quality_sample" -> qcOracle(
+      """, sw AS (SELECT doc_id,
+             floor(exp(floor(p * 1e6 + 0.5)/1e6) * 1e9 + 0.5)/1e9 AS w
+           FROM sp),
+         uk AS (SELECT doc_id, w,
+             (((strpos('0123456789abcdef', substr(m,1,1))-1)*268435456.0 +
+               (strpos('0123456789abcdef', substr(m,2,1))-1)*16777216 +
+               (strpos('0123456789abcdef', substr(m,3,1))-1)*1048576 +
+               (strpos('0123456789abcdef', substr(m,4,1))-1)*65536 +
+               (strpos('0123456789abcdef', substr(m,5,1))-1)*4096 +
+               (strpos('0123456789abcdef', substr(m,6,1))-1)*256 +
+               (strpos('0123456789abcdef', substr(m,7,1))-1)*16 +
+               (strpos('0123456789abcdef', substr(m,8,1))-1)) + 1)
+             / 4294967296 AS u
+           FROM (SELECT doc_id, w, md5(CAST(doc_id AS VARCHAR)) AS m FROM sw))
+         SELECT doc_id, w,
+           floor(pow(u, 1.0 / w) * 1e9 + 0.5)/1e9 AS skey
+         FROM uk ORDER BY skey DESC, doc_id LIMIT 50"""),
     "q_word_entropy" ->
       s"""WITH w AS ($W),
          c AS (SELECT doc_id, w, count(*) AS c

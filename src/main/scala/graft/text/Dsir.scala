@@ -30,11 +30,11 @@ object Dsir {
   }
 
   /** the countmin md5 trick: 4 hex digits mod width. */
-  private def bucket(g: Column, width: Int): Column =
+  private[text] def bucket(g: Column, width: Int): Column =
     conv(substring(md5(g), 1, 4), 16, 10).cast("long") % width
 
   /** unigram + bigram stream over the normalized word array. */
-  private def gramsOf(ws: Column): Column =
+  private[text] def gramsOf(ws: Column): Column =
     concat(ws, Curation.wordNgramsOf(ws, 2))
 
   /** (doc_id, bucket) gram stream — the one tokenize pass everything

@@ -1,0 +1,111 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-style quality/language classifier over hashed n-gram
+  * features (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+  * Classification", arXiv:1607.01759 — public method, no reference
+  * analogue): a linear model over a hashed bag of word uni+bigrams,
+  * trained by logistic regression, then scored distributively — the
+  * standard companion to DSIR for quality-based pretraining-data
+  * selection (GPT-3/CCNet-style quality filtering).
+  *
+  * Training is FULL-BATCH gradient descent with a fixed iteration count
+  * and learning rate, every intermediate pinned to 9 dp and every
+  * cross-partition sum accumulated in DECIMAL(38,9) — the DSIR
+  * discipline — so the trained weights, and therefore the scores, are
+  * bit-reproducible across engines (the DuckDB oracle unrolls the same
+  * iterations as CTEs). LBFGS would converge faster but is not
+  * deterministic across partitionings; at B+1 ≤ 33 coefficients the GD
+  * path is the right trade.
+  *
+  * Scale shape: ONE tokenize+explode pass builds the (doc, bucket, x)
+  * feature relation (persisted across iterations); each GD step is a
+  * broadcast join with the ≤33-row weight table plus two partial-agg
+  * shuffles (doc-keyed z, bucket-keyed gradient); the gradient collect
+  * is ≤33 rows (the kmeans k×d-sums license). Nothing corpus-quadratic;
+  * weights broadcast for the final scoring pass.
+  */
+object QualityClassifier {
+  private def r9(c: Column): Column = floor(c * 1e9 + 0.5) / 1e9
+  private def round9(x: Double): Double = math.floor(x * 1e9 + 0.5d) / 1e9
+
+  /** (doc_id, b, x) normalized hashed-gram features + a bias row b=-1,
+    * x pinned to 9 dp. ONE corpus tokenize: the per-doc gram total is a
+    * doc-keyed window sum over the (doc, bucket) counts (≤width rows
+    * per partition key — never a global window), and the bias rows come
+    * straight from the doc-id projection. */
+  private def features(docs: DataFrame, idCol: String, textCol: String,
+                       width: Int): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val cnts = docs
+      .select(col(idCol), Curation.words(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(Dsir.gramsOf(col("__ws"))).as("__g"))
+      .select(col(idCol), Dsir.bucket(col("__g"), width).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+      .select(col(idCol), col("b"),
+        r9(col("c").cast("double") / sum("c").over(byDoc)).as("x"))
+    // every doc has ≥1 gram under this tokenizer, so the bias set from
+    // the source projection equals the tokenized doc set
+    cnts.union(docs.select(col(idCol), lit(-1L).as("b"), lit(1.0d).as("x")))
+  }
+
+  /** Train logistic-regression weights for `labelPred` (y=1) over the
+    * hashed features; returns the (b, w) table including the bias row
+    * b=-1, every weight 9-dp pinned. */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+            labelPred: Column, width: Int = 32, iters: Int = 3,
+            lr: Double = 5.0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = features(docs, idCol, textCol, width).persist()
+    val labels = docs.select(col(idCol),
+      when(labelPred, 1.0d).otherwise(0.0d).as("y")).persist()
+    try {
+      val nDocs = labels.count().toDouble
+      var w: Map[Long, Double] =
+        ((-1L) +: (0L until width.toLong)).map(_ -> 0.0d).toMap
+      for (_ <- 1 to iters) {
+        val wDf = w.toSeq.toDF("b", "wt")
+        // z = Σ_b round9(w_b·x_b), DECIMAL-exact across partitions; the
+        // 9-dp pin before sigmoid feeds exp the SAME double both engines
+        val z = feats.join(broadcast(wDf), "b")
+          .groupBy(col(idCol))
+          .agg(sum(r9(col("wt") * col("x")).cast("decimal(38,9)")).as("__z"))
+          .select(col(idCol),
+            r9(lit(1.0d) / (lit(1.0d) + exp(-r9(col("__z").cast("double")))))
+              .as("p"))
+        val err = z.join(labels, idCol)
+          .select(col(idCol), (col("p") - col("y")).as("err"))
+        // gradient g_b = Σ_docs round9(err·x_b) / N, 9-dp pinned; ≤33 rows
+        val grad = feats.join(err, idCol)
+          .groupBy(col("b"))
+          .agg(sum(r9(col("err") * col("x")).cast("decimal(38,9)")).as("__g"))
+          .collect()
+          .map(r => r.getLong(0) ->
+            round9(r.getDecimal(1).doubleValue() / nDocs)).toMap
+        w = w.map { case (b, wb) =>
+          b -> round9(wb - lr * grad.getOrElse(b, 0.0d))
+        }
+      }
+      w.toSeq.toDF("b", "w")
+    } finally { feats.unpersist(); labels.unpersist() }
+  }
+
+  /** Distributed scoring: (idCol, score, pred) — score = round6 sigmoid
+    * of the broadcast linear model, pred = score ≥ 0.5 as 0/1. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            weights: DataFrame, width: Int = 32): DataFrame = {
+    def fr6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    features(docs, idCol, textCol, width)
+      .join(broadcast(weights), "b")
+      .groupBy(col(idCol))
+      .agg(sum(r9(col("w") * col("x")).cast("decimal(38,9)")).as("__z"))
+      .select(col(idCol),
+        r9(lit(1.0d) / (lit(1.0d) + exp(-r9(col("__z").cast("double")))))
+          .as("__p"))
+      .select(col(idCol), fr6(col("__p")).as("score"),
+        when(col("__p") >= 0.5d, 1L).otherwise(0L).as("pred"))
+  }
+}

@@ -32,7 +32,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_vocab_coverage", "q_lsh_bucket_stats", "q_chunk_fixed",
     "q_hard_negatives", "q_fuzzy_vocab",
     // round 14: DSIR importance weighting
-    "q_dsir_weights")
+    "q_dsir_weights",
+    // round 15: fastText-style quality classifier (broadcast weights,
+    // doc-keyed window for the gram totals — never global)
+    "q_quality_classifier")
 
   test("no cartesian products in any heavy gate query") {
     heavy.foreach { name =>

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.QualityClassifier
+
+/** fastText-style hashed-n-gram logistic classifier (arXiv:1607.01759):
+  * deterministic GD training, broadcast scoring. The oracle parity of
+  * the gate rows is checked by q_quality_classifier / q_quality_sample;
+  * this spec pins the learning behavior and the bit-reproducibility
+  * across partitionings (the property LBFGS would NOT give). */
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) = {
+    // positive docs speak "good clean prose text", negatives "spam junk
+    // noise garbage" — linearly separable through any hash width
+    val rows = (0 until n).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, "good clean prose text flows well " + s"filler$i", 1L)
+      else
+        (i.toLong, "spam junk noise garbage click buy " + s"filler$i", 0L)
+    }
+    rows.toDF("doc_id", "text", "y")
+  }
+
+  test("learns a separable quality signal (pred matches label)") {
+    val docs = corpus(80)
+    val w = QualityClassifier.train(docs, "doc_id", "text", col("y") === 1L)
+    // width+1 coefficients incl. the bias row b = -1
+    assert(w.count() == 33)
+    assert(w.filter(col("b") === -1L).count() == 1)
+    val scored = QualityClassifier.score(docs, "doc_id", "text", w)
+      .join(docs.select(col("doc_id"), col("y")), "doc_id")
+    val acc = scored.filter(col("pred") === col("y")).count().toDouble / 80d
+    assert(acc >= 0.95, s"accuracy $acc")
+    // scores are probabilities
+    val mm = scored.agg(min("score"), max("score")).head()
+    assert(mm.getDouble(0) >= 0d && mm.getDouble(1) <= 1d)
+  }
+
+  test("training is bit-reproducible across partitionings") {
+    val docs = corpus(60)
+    val w1 = QualityClassifier.train(docs.repartition(1), "doc_id", "text",
+      col("y") === 1L).orderBy("b").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val w7 = QualityClassifier.train(docs.repartition(7), "doc_id", "text",
+      col("y") === 1L).orderBy("b").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(w1.toSeq == w7.toSeq)
+  }
+}
