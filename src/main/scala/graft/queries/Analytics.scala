@@ -28,22 +28,17 @@ object Analytics {
     // arXiv:2302.03169): two B=1024 bucket aggregations feed a broadcast
     // weight table; scoring is one broadcast join + one partial-agg
     // shuffle keyed by document — nothing corpus-quadratic
-    "q_dsir_weights" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val w = graft.text.Dsir.importanceTable(docs, "doc_id", "text",
-        col("source") === "src1")
-      graft.text.Dsir.scoreDocs(docs, "doc_id", "text", w).orderBy("doc_id")
-    }),
+    "q_dsir_weights" -> ((s, dir) =>
+      graft.text.Dsir.weightedScores(t(s, dir, "documents"), "doc_id",
+        "text", col("source") === "src1").orderBy("doc_id")),
 
     // ---- DSIR resampling: importance-weighted selection (the paper's
     // second step) — A-ES keys u^(1/w) over w = exp(score), one
     // distributed TakeOrdered; weights pre-round to 9 dp so both sides
     // feed pow identical doubles
     "q_dsir_sample" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val wt = graft.text.Dsir.importanceTable(docs, "doc_id", "text",
-        col("source") === "src1")
-      val scored = graft.text.Dsir.scoreDocs(docs, "doc_id", "text", wt)
+      val scored = graft.text.Dsir.weightedScores(t(s, dir, "documents"),
+          "doc_id", "text", col("source") === "src1")
         .withColumn("w", floor(exp(col("dsir_score")) * 1e9 + 0.5) / 1e9)
       graft.text.Curation.weightedSample(scored, "doc_id", "w", k = 50)
     }),

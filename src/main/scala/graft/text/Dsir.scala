@@ -82,11 +82,54 @@ object Dsir {
   /** Per-document DSIR score: (idCol, n_grams, dsir_score). */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
                 weights: DataFrame, width: Int = 1024): DataFrame =
-    docBuckets(docs, idCol, textCol, width)
+    scoreBuckets(docBuckets(docs, idCol, textCol, width), idCol, weights)
+
+  private def scoreBuckets(buckets: DataFrame, idCol: String,
+                           weights: DataFrame): DataFrame =
+    buckets
       .join(broadcast(weights), Seq("b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(col("wgt").cast("decimal(38,9)")).as("__s"))
       .select(col(idCol), col("n_grams"),
         fr(col("__s").cast("double") / col("n_grams"), 6).as("dsir_score"))
+
+  /** Weights + scores in ONE corpus tokenize: the (id, target, bucket)
+    * gram stream persists across the two consumers — the B-bucket count
+    * aggregation that builds the importance table, and the doc-keyed
+    * scoring aggregation. Identical math to importanceTable∘scoreDocs
+    * (same bounded collect, same broadcast join); this fusion exists
+    * because tokenize+explode dominates the single-query cost and the
+    * two passes read the same stream. */
+  def weightedScores(docs: DataFrame, idCol: String, textCol: String,
+                     targetPred: Column, width: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stream = docs.select(col(idCol), targetPred.as("__t"),
+        Curation.words(col(textCol)).as("__ws"))
+      .select(col(idCol), col("__t"), explode(gramsOf(col("__ws"))).as("__g"))
+      .select(col(idCol), col("__t"), bucket(col("__g"), width).as("b"))
+      .persist()
+    try {
+      val counts = stream.groupBy("b").agg(
+          count(lit(1)).as("rcnt"),
+          sum(when(col("__t"), 1L).otherwise(0L)).as("tcnt"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val rtot = counts.valuesIterator.map(_._1).sum
+      val ttot = counts.valuesIterator.map(_._2).sum
+      def round9(x: Double): Double = math.floor(x * 1e9 + 0.5d) / 1e9
+      val weights = (0 until width).map { b =>
+        val (rcnt, tcnt) = counts.getOrElse(b.toLong, (0L, 0L))
+        (b.toLong, round9(
+          math.log((tcnt + 1d) / (ttot + width.toDouble)) -
+          math.log((rcnt + 1d) / (rtot + width.toDouble))))
+      }.toDF("b", "wgt")
+      // materialize the (one row per doc) scored relation while the
+      // cached stream is live, so unpersist cannot trigger a re-tokenize
+      // when the caller finally consumes the result
+      scoreBuckets(stream.select(col(idCol), col("b")), idCol, weights)
+        .localCheckpoint(eager = true)
+    } finally stream.unpersist()
+  }
 }
