@@ -49,9 +49,8 @@ object Analytics {
     // coefficients for distributed scoring; nothing corpus-quadratic
     "q_quality_classifier" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val w = graft.text.QualityClassifier.train(docs, "doc_id", "text",
-        col("lang") === "en")
-      graft.text.QualityClassifier.score(docs, "doc_id", "text", w)
+      graft.text.QualityClassifier
+        .trainAndScore(docs, "doc_id", "text", col("lang") === "en")
         .join(docs.select(col("doc_id"),
           when(col("lang") === "en", 1L).otherwise(0L).as("label")), "doc_id")
         .orderBy("doc_id")
@@ -60,11 +59,9 @@ object Analytics {
     // ---- classifier-guided selection: A-ES weighted sample over
     // w = exp(score), composing with weightedSample like q_dsir_sample
     "q_quality_sample" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val wt = graft.text.QualityClassifier.train(docs, "doc_id", "text",
-        col("lang") === "en")
       val scored = graft.text.QualityClassifier
-        .score(docs, "doc_id", "text", wt)
+        .trainAndScore(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
         .withColumn("w", floor(exp(col("score")) * 1e9 + 0.5) / 1e9)
       graft.text.Curation.weightedSample(scored, "doc_id", "w", k = 50)
     }),

@@ -65,6 +65,7 @@ object MqttDoor {
           (if (compress == "gzip") Map("compress" -> "gzip") else Map.empty[String, String]) ++
             props.userValue("timeformat").map("timeformat" -> _) ++
             props.userValue("tz").map("tz" -> _) ++
+            props.userValue("delimiter").map("delimiter" -> _) ++
             (props.userValue("header").map(_.toLowerCase) match {
               case Some("skip") => Map("header" -> "skip")
               case Some("column") | Some("columns") => Map("header" -> "columns")
@@ -102,11 +103,13 @@ object MqttDoor {
     * (mqtt_write.go:553-559 extractReplyTo via gjson). Non-JSON or
     * reply-less payloads yield None; decode failures are not write
     * failures here — the payload decoder reports those. */
-  private[server] def extractReplyTo(payload: Array[Byte]): Option[String] =
+  private[graft] def extractReplyTo(payload: Array[Byte]): Option[String] =
     try graft.script.Builtins.jsonParse(new String(payload, "UTF-8")) match {
       case m: scala.collection.Map[_, _] =>
+        // gjson's .String() yields "" for a JSON null — a null reply
+        // must NOT become the literal topic "null"
         m.asInstanceOf[scala.collection.Map[String, Any]].get("reply")
-          .map(String.valueOf(_)).filter(_.nonEmpty)
+          .filter(_ != null).map(String.valueOf(_)).filter(_.nonEmpty)
       case _ => None
     } catch { case _: Exception => None }
 

@@ -296,12 +296,12 @@ object QueryDoor {
     * creates a real Spark table; machbase-default semantics apply only
     * to the plain shared-type form, like the exec door's dialect. */
   private def isMachbaseDdl(sql: String): Boolean = {
-    val lower = sql.toLowerCase
-    if (lower.contains(" using ") || lower.contains(" as select") ||
-        lower.contains("partitioned by") || lower.contains("tblproperties") ||
-        lower.contains(" location ") || lower.contains(" comment ")) return false
     val open = sql.indexOf('(')
     if (open < 0) return false
+    // Spark-only signals BEFORE the column defs (CREATE TABLE t USING …
+    // has no paren and already fell out above; AS SELECT can precede)
+    val head = sql.substring(0, open).toLowerCase
+    if (head.contains(" using ") || head.contains(" as select")) return false
     var depth = 0; var close = -1; var i = open
     while (i < sql.length && close < 0) {
       sql.charAt(i) match {
@@ -312,6 +312,13 @@ object QueryDoor {
       i += 1
     }
     if (close < 0) return false
+    // Spark-only signals live AFTER the closing column-def paren — a
+    // column NAMED location/comment must not reroute machbase DDL
+    val tail = " " + sql.substring(close + 1).toLowerCase + " "
+    if (tail.contains(" using ") || tail.contains(" as select") ||
+        tail.contains("partitioned by") || tail.contains("tblproperties") ||
+        tail.contains(" location ") || tail.contains(" comment ") ||
+        tail.contains(" stored as ")) return false
     val machTypes = Set("short", "ushort", "integer", "int", "uinteger",
       "uint", "long", "ulong", "float", "double", "varchar", "text",
       "json", "ipv4", "ipv6", "binary", "datetime")
@@ -714,19 +721,25 @@ object QueryDoor {
             col("MAX_VALUE"), col("MAX_VALUE_TIME"))
           .orderBy("ID")
       case List("SHOW", "TABLE") =>
-        // `[[db.]user.]table` resolves through TableName.Split — the
-        // reference accepts SYS.T / MACHBASEDB.SYS.T forms everywhere a
-        // table name is named (spi/spi_test.go:30-48)
-        machDesc(spark, splitTableName(words(2))._3.toLowerCase, all,
-          arrivalTime = true)
-      case List("DESC", t) => describe(spark, splitTableName(t)._3.toLowerCase, all)
-      case List("DESCRIBE", t) => describe(spark, splitTableName(t)._3.toLowerCase, all)
+        machDesc(spark, resolveTableName(words(2)), all, arrivalTime = true)
+      case List("DESC", t) => describe(spark, resolveTableName(t), all)
+      case List("DESCRIBE", t) => describe(spark, resolveTableName(t), all)
       case List("SHOW", cmd) =>
         // reference error text, fm_dbsrc.go:687
         throw new IllegalArgumentException(
           s"""f(SQL) unsupported show command "${cmd.toLowerCase}"""")
       case _ => throw new IllegalArgumentException(s"unsupported SHOW command: $sql")
     }
+  }
+
+  /** `[[db.]user.]table` resolves through TableName.Split — the
+    * reference accepts SYS.T / MACHBASEDB.SYS.T forms wherever a table
+    * is named (spi/spi_test.go:30-48) — but ONLY when the table part is
+    * a known machbase table: a qualified Spark name (global_temp.v,
+    * somedb.t) must keep its full dotted form for spark.table. */
+  private def resolveTableName(name: String): String = {
+    val part = splitTableName(name)._3.toLowerCase
+    if (TagTables.descriptorFor(part).isDefined) part else name.toLowerCase
   }
 
   private def describe(spark: SparkSession, table: String, all: Boolean): DataFrame = {

@@ -22,6 +22,9 @@ object WriteDoor {
     val timeformat = params.getOrElse("timeformat", "ns")
     val tz = params.getOrElse("tz", "UTC")
     val binFormat = params.getOrElse("binaryformat", "base64")
+    // CSV field delimiter (mqtt_write.go:86-87 / http write `delimiter`)
+    val delim = params.get("delimiter").filter(_.nonEmpty)
+      .map(_.charAt(0)).getOrElse(',')
     val schema = TagTables.storageSchemaFor(table)
     def fieldOf(name: String): Option[StructField] =
       schema.fields.find(_.name.equalsIgnoreCase(name))
@@ -79,7 +82,7 @@ object WriteDoor {
           (cols, objs.iterator.map(o => cols.map(c => o.getOrElse(c, null))))
         case "text/csv" =>
           val lines = body.split("\n").iterator.map(_.stripSuffix("\r"))
-            .filter(_.nonEmpty).map(csvSplit).toSeq
+            .filter(_.nonEmpty).map(csvSplit(_, delim)).toSeq
           params.getOrElse("header", "") match {
             case "columns" =>
               (lines.head.map(_.trim), lines.tail.iterator.map(identity))
@@ -183,7 +186,10 @@ object WriteDoor {
   }
 
   /** minimal RFC-4180 split (quoted fields, "" escapes). */
-  private[server] def csvSplit(line: String): Seq[String] = {
+  private[server] def csvSplit(line: String): Seq[String] =
+    csvSplit(line, ',')
+
+  private[server] def csvSplit(line: String, delim: Char): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inQ = false
@@ -197,7 +203,7 @@ object WriteDoor {
         else cur.append(c)
       } else c match {
         case '"' => inQ = true
-        case ',' => out += cur.toString; cur.clear()
+        case d if d == delim => out += cur.toString; cur.clear()
         case _ => cur.append(c)
       }
       i += 1

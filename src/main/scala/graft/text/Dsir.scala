@@ -102,14 +102,18 @@ object Dsir {
     * because tokenize+explode dominates the single-query cost and the
     * two passes read the same stream. */
   def weightedScores(docs: DataFrame, idCol: String, textCol: String,
-                     targetPred: Column, width: Int = 1024): DataFrame = {
+                     targetPred: Column, width: Int = 1024,
+                     materialize: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val stream = docs.select(col(idCol), targetPred.as("__t"),
+    val stream0 = docs.select(col(idCol), targetPred.as("__t"),
         Curation.words(col(textCol)).as("__ws"))
       .select(col(idCol), col("__t"), explode(gramsOf(col("__ws"))).as("__g"))
       .select(col(idCol), col("__t"), bucket(col("__g"), width).as("b"))
-      .persist()
+    // materialize=false is the plan-audit hook: the eager localCheckpoint
+    // below truncates the lineage the plan assertions inspect, so audits
+    // read the identical lazy inner plan instead
+    val stream = if (materialize) stream0.persist() else stream0
     try {
       val counts = stream.groupBy("b").agg(
           count(lit(1)).as("rcnt"),
@@ -128,8 +132,8 @@ object Dsir {
       // materialize the (one row per doc) scored relation while the
       // cached stream is live, so unpersist cannot trigger a re-tokenize
       // when the caller finally consumes the result
-      scoreBuckets(stream.select(col(idCol), col("b")), idCol, weights)
-        .localCheckpoint(eager = true)
-    } finally stream.unpersist()
+      val scored = scoreBuckets(stream.select(col(idCol), col("b")), idCol, weights)
+      if (materialize) scored.localCheckpoint(eager = true) else scored
+    } finally { if (materialize) stream.unpersist() }
   }
 }

@@ -51,6 +51,42 @@ object QualityClassifier {
     cnts.union(docs.select(col(idCol), lit(-1L).as("b"), lit(1.0d).as("x")))
   }
 
+  /** GD loop over a (persisted) feature relation; ≤33-value driver
+    * state, one broadcast join + two partial-agg shuffles per step. */
+  private def trainOnFeats(feats: DataFrame, labels: DataFrame,
+                           idCol: String, width: Int, iters: Int,
+                           lr: Double): Map[Long, Double] = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val nDocs = labels.count().toDouble
+    var w: Map[Long, Double] =
+      ((-1L) +: (0L until width.toLong)).map(_ -> 0.0d).toMap
+    for (_ <- 1 to iters) {
+      val wDf = w.toSeq.toDF("b", "wt")
+      // z = Σ_b round9(w_b·x_b), DECIMAL-exact across partitions; the
+      // 9-dp pin before sigmoid feeds exp the SAME double both engines
+      val z = feats.join(broadcast(wDf), "b")
+        .groupBy(col(idCol))
+        .agg(sum(r9(col("wt") * col("x")).cast("decimal(38,9)")).as("__z"))
+        .select(col(idCol),
+          r9(lit(1.0d) / (lit(1.0d) + exp(-r9(col("__z").cast("double")))))
+            .as("p"))
+      val err = z.join(labels, idCol)
+        .select(col(idCol), (col("p") - col("y")).as("err"))
+      // gradient g_b = Σ_docs round9(err·x_b) / N, 9-dp pinned; ≤33 rows
+      val grad = feats.join(err, idCol)
+        .groupBy(col("b"))
+        .agg(sum(r9(col("err") * col("x")).cast("decimal(38,9)")).as("__g"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          round9(r.getDecimal(1).doubleValue() / nDocs)).toMap
+      w = w.map { case (b, wb) =>
+        b -> round9(wb - lr * grad.getOrElse(b, 0.0d))
+      }
+    }
+    w
+  }
+
   /** Train logistic-regression weights for `labelPred` (y=1) over the
     * hashed features; returns the (b, w) table including the bias row
     * b=-1, every weight 9-dp pinned. */
@@ -62,43 +98,42 @@ object QualityClassifier {
     val feats = features(docs, idCol, textCol, width).persist()
     val labels = docs.select(col(idCol),
       when(labelPred, 1.0d).otherwise(0.0d).as("y")).persist()
+    try trainOnFeats(feats, labels, idCol, width, iters, lr).toSeq.toDF("b", "w")
+    finally { feats.unpersist(); labels.unpersist() }
+  }
+
+  /** Train + score in ONE corpus tokenize: the scoring pass reads the
+    * feature relation the trainer already persisted and the one-row-
+    * per-doc result materializes before unpersist (the Dsir
+    * weightedScores pattern). `materialize = false` returns the lazy
+    * inner plan instead — the audit hook, since an eager localCheckpoint
+    * truncates the lineage the plan assertions inspect. */
+  def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
+                    labelPred: Column, width: Int = 32, iters: Int = 3,
+                    lr: Double = 5.0, materialize: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    if (!materialize) {
+      val feats = features(docs, idCol, textCol, width)
+      val labels = docs.select(col(idCol),
+        when(labelPred, 1.0d).otherwise(0.0d).as("y"))
+      val w = trainOnFeats(feats, labels, idCol, width, iters, lr)
+      return scoreFeats(feats, idCol, w.toSeq.toDF("b", "w"))
+    }
+    val feats = features(docs, idCol, textCol, width).persist()
+    val labels = docs.select(col(idCol),
+      when(labelPred, 1.0d).otherwise(0.0d).as("y")).persist()
     try {
-      val nDocs = labels.count().toDouble
-      var w: Map[Long, Double] =
-        ((-1L) +: (0L until width.toLong)).map(_ -> 0.0d).toMap
-      for (_ <- 1 to iters) {
-        val wDf = w.toSeq.toDF("b", "wt")
-        // z = Σ_b round9(w_b·x_b), DECIMAL-exact across partitions; the
-        // 9-dp pin before sigmoid feeds exp the SAME double both engines
-        val z = feats.join(broadcast(wDf), "b")
-          .groupBy(col(idCol))
-          .agg(sum(r9(col("wt") * col("x")).cast("decimal(38,9)")).as("__z"))
-          .select(col(idCol),
-            r9(lit(1.0d) / (lit(1.0d) + exp(-r9(col("__z").cast("double")))))
-              .as("p"))
-        val err = z.join(labels, idCol)
-          .select(col(idCol), (col("p") - col("y")).as("err"))
-        // gradient g_b = Σ_docs round9(err·x_b) / N, 9-dp pinned; ≤33 rows
-        val grad = feats.join(err, idCol)
-          .groupBy(col("b"))
-          .agg(sum(r9(col("err") * col("x")).cast("decimal(38,9)")).as("__g"))
-          .collect()
-          .map(r => r.getLong(0) ->
-            round9(r.getDecimal(1).doubleValue() / nDocs)).toMap
-        w = w.map { case (b, wb) =>
-          b -> round9(wb - lr * grad.getOrElse(b, 0.0d))
-        }
-      }
-      w.toSeq.toDF("b", "w")
+      val w = trainOnFeats(feats, labels, idCol, width, iters, lr)
+      scoreFeats(feats, idCol, w.toSeq.toDF("b", "w"))
+        .localCheckpoint(eager = true)
     } finally { feats.unpersist(); labels.unpersist() }
   }
 
-  /** Distributed scoring: (idCol, score, pred) — score = round6 sigmoid
-    * of the broadcast linear model, pred = score ≥ 0.5 as 0/1. */
-  def score(docs: DataFrame, idCol: String, textCol: String,
-            weights: DataFrame, width: Int = 32): DataFrame = {
+  private def scoreFeats(feats: DataFrame, idCol: String,
+                         weights: DataFrame): DataFrame = {
     def fr6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
-    features(docs, idCol, textCol, width)
+    feats
       .join(broadcast(weights), "b")
       .groupBy(col(idCol))
       .agg(sum(r9(col("w") * col("x")).cast("decimal(38,9)")).as("__z"))
@@ -108,4 +143,10 @@ object QualityClassifier {
       .select(col(idCol), fr6(col("__p")).as("score"),
         when(col("__p") >= 0.5d, 1L).otherwise(0L).as("pred"))
   }
+
+  /** Distributed scoring: (idCol, score, pred) — score = round6 sigmoid
+    * of the broadcast linear model, pred = score ≥ 0.5 as 0/1. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            weights: DataFrame, width: Int = 32): DataFrame =
+    scoreFeats(features(docs, idCol, textCol, width), idCol, weights)
 }

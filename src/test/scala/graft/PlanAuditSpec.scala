@@ -30,12 +30,11 @@ class PlanAuditSpec extends SparkSpec {
     // wave 16+: graph triangles, perplexity buckets, LSH audit, chunking
     "q_triangles", "q_perplexity_buckets", "q_source_cap",
     "q_vocab_coverage", "q_lsh_bucket_stats", "q_chunk_fixed",
-    "q_hard_negatives", "q_fuzzy_vocab",
-    // round 14: DSIR importance weighting
-    "q_dsir_weights",
-    // round 15: fastText-style quality classifier (broadcast weights,
-    // doc-keyed window for the gram totals — never global)
-    "q_quality_classifier")
+    "q_hard_negatives", "q_fuzzy_vocab")
+    // DSIR and the quality classifier are audited via their lazy inner
+    // plans in a dedicated test below: the production forms
+    // localCheckpoint the scored relation, which truncates the lineage
+    // these generic asserts read
 
   test("no cartesian products in any heavy gate query") {
     heavy.foreach { name =>
@@ -63,11 +62,40 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("small-side joins broadcast: queries vs corpus, eval grams vs corpus") {
-    Seq("q_embedding_topk", "q_decontaminate", "q_hard_negatives",
-        "q_dsir_weights").foreach { name =>
+    Seq("q_embedding_topk", "q_decontaminate", "q_hard_negatives").foreach { name =>
       val plan = executedPlan(name)
       assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin") ||
         plan.contains("BroadcastExchange"), s"$name does not broadcast:\n${plan.take(2000)}")
+    }
+  }
+
+  test("DSIR + quality-classifier inner plans: broadcast weights, no cartesian, no global window") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // materialize=false yields the exact plan the production forms
+    // execute eagerly inside localCheckpoint — auditable lineage
+    val inner = Seq(
+      "dsir" -> graft.text.Dsir.weightedScores(docs, "doc_id", "text",
+        col("source") === "src1", materialize = false),
+      "quality" -> graft.text.QualityClassifier.trainAndScore(docs,
+        "doc_id", "text", col("lang") === "en", materialize = false))
+    inner.foreach { case (name, df) =>
+      df.queryExecution.toRdd.count()
+      val plan = df.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"$name scoring does not broadcast the weight table:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n${plan.take(2000)}")
+      val tree = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val bad = tree.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$name has a global window: $bad")
     }
   }
 
