@@ -35,6 +35,24 @@ object BrokerLoop {
 
   // ======================= MQTT 3.1.1 ===================================
 
+  /** The reference broker's topic ACL (mods/server/mqtt.go:268-290
+    * onACLCheck; mqtt_unit_test.go:85-110 pins all eight cases):
+    * db/query is publish-only, db/reply/# and $SYS/# are subscribe-only,
+    * db/tql/# is publish-only, the bare `db` root and a db/# subscribe
+    * are denied. `write` = the client is publishing. */
+  def aclCheck(topic: String, write: Boolean,
+               restrictTopics: Boolean = true): Boolean = {
+    if (restrictTopics) {
+      if (topic == "db/query" && !write) return false
+      if ((topic == "db/reply" || topic.startsWith("db/reply/")) && write) return false
+      if ((topic == "db/tql" || topic.startsWith("db/tql/")) && !write) return false
+      if (topic == "db") return false
+      if (topic.startsWith("db/#") && !write) return false
+    }
+    if (topic.startsWith("$SYS") && write) return false
+    true
+  }
+
   /** MQTT topic-filter match: `+` one level, `#` the rest (spec 4.7). */
   def mqttTopicMatches(filter: String, topic: String): Boolean = {
     val f = filter.split("/", -1); val t = topic.split("/", -1)
@@ -153,7 +171,12 @@ object BrokerLoop {
     * property block is forwarded verbatim to v5 subscribers and
     * stripped for 3.1.1 subscribers (mochi-mqtt does the same
     * downgrade when bridging protocol versions). */
-  final class MqttBroker {
+  final class MqttBroker(restrictTopics: Boolean = false) {
+    // restrictTopics enforces the reference ACL on external clients
+    // (mqtt.go onACLCheck). The double defaults OFF because the door
+    // attaches as a loopback CLIENT here (it subscribes db/query etc.),
+    // where the reference implements the door as a broker HOOK exempt
+    // from its own ACL; enable it to model an external-facing listener.
     private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
     def port: Int = server.getLocalPort
     private final case class Sub(filter: String, out: OutputStream, proto: Int)
@@ -199,8 +222,10 @@ object BrokerLoop {
                   val flen = ((body(at) & 0xFF) << 8) | (body(at + 1) & 0xFF)
                   val filter = new String(body, at + 2, flen, UTF_8)
                   at += 2 + flen + 1 // + subscription options byte
-                  subs.add(Sub(filter, out, proto))
-                  granted += 0
+                  if (aclCheck(filter, write = false, restrictTopics)) {
+                    subs.add(Sub(filter, out, proto))
+                    granted += 0
+                  } else granted += 0x80.toByte // unspecified error (spec 3.9.3)
                 }
                 val ackProps: Array[Byte] = if (proto == 5) Array(0) else Array.emptyByteArray
                 out.write(mqttPacket(0x90, u16(packetId) ++ ackProps ++ granted.result()))
@@ -220,11 +245,12 @@ object BrokerLoop {
                 val payload = body.drop(at)
                 val pkt4 = publishPacket(topic, payload)
                 lazy val pkt5 = publishPacketV5(topic, props, payload)
-                subs.forEach { s =>
-                  if (mqttTopicMatches(s.filter, topic))
-                    try { s.out.write(if (s.proto == 5) pkt5 else pkt4); s.out.flush() }
-                    catch { case _: Exception => () }
-                }
+                if (aclCheck(topic, write = true, restrictTopics))
+                  subs.forEach { s =>
+                    if (mqttTopicMatches(s.filter, topic))
+                      try { s.out.write(if (s.proto == 5) pkt5 else pkt4); s.out.flush() }
+                      catch { case _: Exception => () }
+                  }
               case 12 => out.write(Array[Byte](0xD0.toByte, 0)); out.flush() // PINGREQ
               case 14 => live = false // DISCONNECT
               case _ => ()
