@@ -45,9 +45,47 @@ object Mix {
     "q_random_projection" -> ((s, dir) =>
       Pca.randomProjection(t(s, dir, "embeddings"), "vec_id", "embedding",
           k = 8, dims = 64)
-        .orderBy("vec_id", "k")))
+        .orderBy("vec_id", "k")),
+
+    // ---- k-center greedy diversity selection (Gonzalez farthest-point;
+    // coreset selection, arXiv:1708.00489): k passes, each a broadcast-
+    // literal distance projection + one TakeOrdered(1) — nothing
+    // corpus-quadratic, driver state = k vectors
+    "q_kcenter_select" -> ((s, dir) =>
+      graft.similarity.KCenter.select(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8).orderBy("sel_order")))
+
+  /** k-center oracle: the greedy unrolled as CTE stages — sK = step-K
+    * winner, dK = running min distance after adding it. Distances use
+    * the embedding-topk unnest-sum form (float→double casts and
+    * float-product terms are exact, so both engines compare identical
+    * doubles). */
+  private def kcenterOracle(k: Int): String = {
+    def dist(a: String, b: String) =
+      s"(SELECT sum((x - y) * (x - y)) FROM (SELECT unnest($a) AS x, unnest($b) AS y))"
+    val base =
+      """e AS (SELECT vec_id,
+           list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ve
+         FROM embeddings),
+       s1 AS (SELECT vec_id, ve, 0.0 AS md FROM e ORDER BY vec_id LIMIT 1),
+       d1 AS (SELECT e.vec_id AS vec_id, e.ve AS ve,
+           """ + dist("e.ve", "c.ve") + """ AS md
+         FROM e CROSS JOIN s1 c)"""
+    val steps = (2 to k).map { i =>
+      s"""s$i AS (SELECT vec_id, ve, md FROM d${i - 1}
+           ORDER BY md DESC, vec_id LIMIT 1),
+         d$i AS (SELECT d.vec_id AS vec_id, d.ve AS ve,
+             least(d.md, ${dist("d.ve", "c.ve")}) AS md
+           FROM d${i - 1} d CROSS JOIN s$i c)"""
+    }.mkString(",\n       ")
+    val rows = (1 to k).map { i =>
+      s"SELECT ${i}::BIGINT AS sel_order, vec_id, floor(md * 1e6 + 0.5)/1e6 AS sel_dist FROM s$i"
+    }.mkString("\n         UNION ALL ")
+    s"WITH $base,\n       $steps\n         $rows\n         ORDER BY sel_order"
+  }
 
   val oracles: Map[String, String] = Map(
+    "q_kcenter_select" -> kcenterOracle(8),
     // three assignment passes (a1/a2 Lloyd, a3 final) with decimal-exact
     // means between them; distances are index-order zipped-unnest sums —
     // the same IEEE sequence as the engine's aggregate(zip_with(...)).
