@@ -66,6 +66,27 @@ object Analytics {
       graft.text.Curation.weightedSample(scored, "doc_id", "w", k = 50)
     }),
 
+    // ---- STREAMING classifier scoring: batch-trained coefficients
+    // broadcast into a document stream; gram-level mean scoring (the
+    // fastText architecture — mean of token weights) because the
+    // bucket-count dot product's (doc, bucket) pre-aggregation cannot
+    // follow a streaming aggregation. One stream agg per doc.
+    "q_stream_quality" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+      val wt = graft.text.QualityClassifier.train(d0, "doc_id", "text",
+        col("lang") === "en")
+      val src = s.readStream.schema(d0.schema)
+        .parquet(s"$dir/{documents.parquet}")
+      val out = graft.text.QualityClassifier.scoreStream(src, "doc_id",
+        "text", wt)
+      val qn = "stream_qc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      StreamRun.run("q_stream_quality",
+        out.writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      s.table(qn).orderBy("doc_id")
+    }),
+
     // ---- per-source distribution drift: KL(source || corpus) ----------
     "q_source_kl" -> ((s, dir) =>
       CorpusStats.sourceKl(t(s, dir, "documents"), "source", "text")
@@ -456,6 +477,20 @@ object Analytics {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_stream_quality" -> qcOracle(
+      """, bia AS (SELECT wt FROM w3 WHERE b = -1),
+         gs AS (SELECT bk.doc_id AS doc_id,
+             CAST(sum(CAST(wt AS DECIMAL(38,9))) AS DOUBLE) AS s,
+             count(*) AS n
+           FROM bk JOIN w3 ON w3.b = bk.b GROUP BY 1),
+         gp AS (SELECT doc_id, n,
+             floor((1.0 / (1.0 + exp(-(floor(((SELECT wt FROM bia) + s / n)
+               * 1e9 + 0.5)/1e9)))) * 1e9 + 0.5)/1e9 AS p
+           FROM gs)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_grams,
+           floor(p * 1e6 + 0.5)/1e6 AS score,
+           CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         FROM gp ORDER BY doc_id"""),
     "q_quality_classifier" -> qcOracle(
       """SELECT sp.doc_id AS doc_id, floor(p * 1e6 + 0.5)/1e6 AS score,
            CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred,

@@ -149,4 +149,36 @@ object QualityClassifier {
   def score(docs: DataFrame, idCol: String, textCol: String,
             weights: DataFrame, width: Int = 32): DataFrame =
     scoreFeats(features(docs, idCol, textCol, width), idCol, weights)
+
+  /** Streaming-safe gram-level scoring: z = r9(bias + Σ_g w[b(g)] / n)
+    * — fastText's actual architecture (the MEAN of token weights,
+    * arXiv:1607.01759 §2) rather than the bucket-count dot product.
+    * One streaming aggregation per doc (sum + count after a broadcast
+    * weight join), so it runs under Structured Streaming where the
+    * (doc, bucket) pre-aggregation + window form cannot. Exact across
+    * engines: the per-doc sum of 9-dp weights accumulates in
+    * DECIMAL(38,9), n is an exact count, and the division + sigmoid
+    * pin to 9 dp before exp. */
+  def scoreStream(docs: DataFrame, idCol: String, textCol: String,
+                  weights: DataFrame, width: Int = 32): DataFrame = {
+    def fr6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    // the bias is ONE value of the ≤33-row coefficient table — lift it
+    // to a literal so no join follows the streaming aggregation
+    // (stream plans disallow joins after aggregations)
+    val bias = lit(weights.filter(col("b") === -1L).head().getDouble(1))
+    docs
+      .select(col(idCol), Curation.words(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(Dsir.gramsOf(col("__ws"))).as("__g"))
+      .select(col(idCol), Dsir.bucket(col("__g"), width).as("b"))
+      .join(broadcast(weights.filter(col("b") >= 0L)), "b")
+      .groupBy(col(idCol))
+      .agg(sum(col("w").cast("decimal(38,9)")).as("__s"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("n_grams"),
+        r9(lit(1.0d) / (lit(1.0d) +
+          exp(-r9(bias + col("__s").cast("double") / col("n_grams")))))
+          .as("__p"))
+      .select(col(idCol), col("n_grams"), fr6(col("__p")).as("score"),
+        when(col("__p") >= 0.5d, 1L).otherwise(0L).as("pred"))
+  }
 }
