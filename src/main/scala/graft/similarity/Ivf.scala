@@ -20,11 +20,9 @@ object Ivf {
 
   private def toDoubleArr(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Squared L2 distance to a centroid literal. */
-  private def distSq(vec: Column, centroid: Array[Double]): Column = {
-    val c = array(centroid.map(lit): _*)
-    aggregate(zip_with(vec, c, (x, y) => (x - y) * (x - y)), lit(0d), (acc, x) => acc + x)
-  }
+  /** Squared L2 distance to a centroid literal (the shared fold). */
+  private def distSq(vec: Column, centroid: Array[Double]): Column =
+    Dist.sqTo(vec, centroid.toSeq)
 
   /** Nearest-centroid cell id for a vector column. */
   def cellOf(vec: Column, index: Index): Column = {

@@ -26,11 +26,6 @@ object KCenter {
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** squared L2 between a vector column and a literal center. */
-  private def sqDist(v: Column, center: Seq[Double]): Column =
-    aggregate(
-      zip_with(v, typedLit(center), (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, x) => acc + x)
 
   /** The k selected rows: (sel_order 1..k, idCol, sel_dist) where
     * sel_dist is the point's min distance to the previously-selected
@@ -44,7 +39,7 @@ object KCenter {
     var selected = Vector[(Long, Seq[Double], Double)](
       (seed.getLong(0), seed.getSeq[Double](1), 0.0d))
     while (selected.size < k) {
-      val dmin = selected.map(s => sqDist(col("ve"), s._2))
+      val dmin = selected.map(s => Dist.sqTo(col("ve"), s._2))
         .reduce((a, b) => least(a, b))
       // the winner's vector rides the same TakeOrdered row — one scan
       // per iteration

@@ -25,11 +25,9 @@ object Kmeans {
   private def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
   private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
-  /** Squared L2 distance to a centroid literal, summed in index order. */
-  private def distSq(vec: Column, c: Array[Double]): Column = {
-    val cl = array(c.map(lit): _*)
-    aggregate(zip_with(vec, cl, (x, y) => (x - y) * (x - y)), lit(0d), (acc, x) => acc + x)
-  }
+  /** Squared L2 distance to a centroid literal (the shared fold). */
+  private def distSq(vec: Column, c: Array[Double]): Column =
+    Dist.sqTo(vec, c.toSeq)
 
   /** (distance, index) of the nearest centroid; ties take the lowest
     * index (struct min ≡ ORDER BY dist, cid). */

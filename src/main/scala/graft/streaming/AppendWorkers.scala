@@ -41,6 +41,12 @@ object AppendWorkers {
     def append(values: Any*): Unit = appendSeq(values)
 
     private[AppendWorkers] def appendSeq(values: Seq[Any]): Unit = synchronized {
+      // a stopped worker must reject, not silently buffer into a
+      // registry-unreachable instance (the Go worker's channel is
+      // closed at this point and a send would panic)
+      if (closed)
+        throw new IllegalStateException(
+          s"append worker for '$table' is closed")
       if (values.size != dataColumns.size)
         throw new IllegalArgumentException(
           s"value count ${values.size}, table '$table' requires " +
@@ -78,6 +84,12 @@ object AppendWorkers {
       if (buf.size >= maxRows || (overdue && buf.nonEmpty)) flushNow()
     }
 
+    /** ticker hook: flush a quiet worker whose delay budget lapsed. */
+    private[AppendWorkers] def flushIfOverdue(): Unit = synchronized {
+      if (!closed && buf.nonEmpty &&
+        (System.nanoTime() - lastFlush) / 1000000L >= maxDelayMs) flushNow()
+    }
+
     private[AppendWorkers] def flushNow(): Unit = synchronized {
       if (buf.nonEmpty) {
         // AppendLogTime rows carry the leading arrival timestamp and ride
@@ -102,15 +114,25 @@ object AppendWorkers {
   }
 
   /** The WithInputColumns view: values arrive labeled by `cols` and are
-    * remapped to the worker's table order before buffering. */
+    * remapped to the worker's table order before buffering. The Go form
+    * PANICS on an arity mismatch or an unknown input column name
+    * (append_worker.go:335-339 indexes vals[i] / newVals[-1]); here
+    * both reject with a clear error instead — strictly-safer guards,
+    * same happy path. */
   final class ColumnsView private[AppendWorkers] (w: Worker, cols: Seq[String]) {
+    private val unknown = cols.map(_.toUpperCase)
+      .filterNot(c => w.columns.exists(_.equalsIgnoreCase(c)))
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown input column(s) ${unknown.mkString(", ")} for table '${w.table}'")
+
     def append(values: Any*): Unit =
       if (cols.isEmpty) w.appendSeq(values)
       else {
         if (values.size != cols.size)
           throw new IllegalArgumentException(
-            s"value count ${values.size}, table '${w.table}' requires " +
-            s"${w.columns.size} columns to append")
+            s"value count ${values.size}, ${cols.size} input columns " +
+            s"declared for table '${w.table}'")
         val byName = cols.map(_.toUpperCase).zip(values).toMap
         w.appendSeq(w.columns.map(c => byName.getOrElse(c.toUpperCase, null)))
       }
@@ -118,11 +140,32 @@ object AppendWorkers {
 
   private val registry = mutable.Map.empty[String, Worker]
 
+  // the reference worker runs a ticker goroutine for the max-delay
+  // flush (append_worker.go run loop); one shared daemon scheduler
+  // plays that role here — overdue buffered workers flush WITHOUT
+  // leaving the registry
+  private lazy val ticker: java.util.concurrent.ScheduledExecutorService = {
+    val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "append-worker-ticker"); t.setDaemon(true); t
+      })
+    ex.scheduleWithFixedDelay(() => {
+      val live = registry.synchronized(registry.values.toSeq)
+      live.foreach { w =>
+        try w.flushIfOverdue() catch { case _: Exception => () }
+      }
+    }, 100L, 100L, java.util.concurrent.TimeUnit.MILLISECONDS)
+    ex
+  }
+
   /** Get-or-create, CASE-INSENSITIVE: `get("SENSOR")` returns the live
-    * worker registered as `sensor` (append_worker_test.go:176-189). */
+    * worker registered as `sensor` (append_worker_test.go:176-189) —
+    * like the reference's GetAppendWorker, batching parameters only
+    * apply on creation; a reused worker keeps its original gates. */
   def get(spark: SparkSession, table: String,
           maxRows: Int = 1000, maxDelayMs: Long = 250L): Worker =
     registry.synchronized {
+      ticker // arm the delay flusher once
       registry.getOrElseUpdate(table.toLowerCase,
         new Worker(spark, table.toLowerCase, maxRows, maxDelayMs))
     }

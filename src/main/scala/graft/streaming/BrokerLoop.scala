@@ -39,7 +39,12 @@ object BrokerLoop {
     * onACLCheck; mqtt_unit_test.go:85-110 pins all eight cases):
     * db/query is publish-only, db/reply/# and $SYS/# are subscribe-only,
     * db/tql/# is publish-only, the bare `db` root and a db/# subscribe
-    * are denied. `write` = the client is publishing. */
+    * are denied. `write` = the client is publishing.
+    *
+    * Wire-faithful INCLUDING the leak: the reference only denies the
+    * literal `db/#` filter, so `#` or `db/+` subscriptions pass the
+    * check yet match publish-only topics — reproduced deliberately
+    * (AppendWorkersSpec pins it) rather than silently hardened. */
   def aclCheck(topic: String, write: Boolean,
                restrictTopics: Boolean = true): Boolean = {
     if (restrictTopics) {

@@ -29,7 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object QualityClassifier {
   private def r9(c: Column): Column = floor(c * 1e9 + 0.5) / 1e9
+  private def fr6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
   private def round9(x: Double): Double = math.floor(x * 1e9 + 0.5d) / 1e9
+
+  /** the one tokenize→explode→bucket chain both the feature builder and
+    * the streaming scorer ride — change it in one place only, or the
+    * batch and stream oracles desynchronize. */
+  private def gramBuckets(docs: DataFrame, idCol: String, textCol: String,
+                          width: Int): DataFrame =
+    docs
+      .select(col(idCol), Curation.words(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(Dsir.gramsOf(col("__ws"))).as("__g"))
+      .select(col(idCol), Dsir.bucket(col("__g"), width).as("b"))
 
   /** (doc_id, b, x) normalized hashed-gram features + a bias row b=-1,
     * x pinned to 9 dp. ONE corpus tokenize: the per-doc gram total is a
@@ -39,10 +50,7 @@ object QualityClassifier {
   private def features(docs: DataFrame, idCol: String, textCol: String,
                        width: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    val cnts = docs
-      .select(col(idCol), Curation.words(col(textCol)).as("__ws"))
-      .select(col(idCol), explode(Dsir.gramsOf(col("__ws"))).as("__g"))
-      .select(col(idCol), Dsir.bucket(col("__g"), width).as("b"))
+    val cnts = gramBuckets(docs, idCol, textCol, width)
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
       .select(col(idCol), col("b"),
         r9(col("c").cast("double") / sum("c").over(byDoc)).as("x"))
@@ -131,8 +139,7 @@ object QualityClassifier {
   }
 
   private def scoreFeats(feats: DataFrame, idCol: String,
-                         weights: DataFrame): DataFrame = {
-    def fr6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+                         weights: DataFrame): DataFrame =
     feats
       .join(broadcast(weights), "b")
       .groupBy(col(idCol))
@@ -142,7 +149,6 @@ object QualityClassifier {
           .as("__p"))
       .select(col(idCol), fr6(col("__p")).as("score"),
         when(col("__p") >= 0.5d, 1L).otherwise(0L).as("pred"))
-  }
 
   /** Distributed scoring: (idCol, score, pred) — score = round6 sigmoid
     * of the broadcast linear model, pred = score ≥ 0.5 as 0/1. */
@@ -161,15 +167,11 @@ object QualityClassifier {
     * pin to 9 dp before exp. */
   def scoreStream(docs: DataFrame, idCol: String, textCol: String,
                   weights: DataFrame, width: Int = 32): DataFrame = {
-    def fr6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
     // the bias is ONE value of the ≤33-row coefficient table — lift it
     // to a literal so no join follows the streaming aggregation
     // (stream plans disallow joins after aggregations)
     val bias = lit(weights.filter(col("b") === -1L).head().getDouble(1))
-    docs
-      .select(col(idCol), Curation.words(col(textCol)).as("__ws"))
-      .select(col(idCol), explode(Dsir.gramsOf(col("__ws"))).as("__g"))
-      .select(col(idCol), Dsir.bucket(col("__g"), width).as("b"))
+    gramBuckets(docs, idCol, textCol, width)
       .join(broadcast(weights.filter(col("b") >= 0L)), "b")
       .groupBy(col(idCol))
       .agg(sum(col("w").cast("decimal(38,9)")).as("__s"),

@@ -109,6 +109,53 @@ class AppendWorkersSpec extends SparkSpec {
     } finally { AppendWorkers.flush(); q("drop table awf") }
   }
 
+  test("max-delay ticker flushes a quiet worker; closed workers reject (review r15)") {
+    TagTables.resetDynamicForTest(spark)
+    AppendWorkers.flush()
+    q("create tag table awt (name varchar(40) primary key, time datetime basetime, value double)")
+    try {
+      val w = AppendWorkers.get(spark, "awt", maxRows = 1000, maxDelayMs = 150L)
+      w.append("quiet", new java.sql.Timestamp(1L), 1.0d)
+      // no further appends: the shared ticker must flush within ~delay
+      val deadline = System.nanoTime() + 10L * 1000000000L
+      while (spark.table("awt").count() != 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(spark.table("awt").count() == 1, "ticker did not flush")
+      // a stopped worker rejects instead of buffering into limbo
+      AppendWorkers.stop("awt")
+      val e = intercept[IllegalStateException](
+        w.append("late", new java.sql.Timestamp(2L), 2.0d))
+      assert(e.getMessage.contains("closed"), e.getMessage)
+    } finally { AppendWorkers.flush(); q("drop table awt") }
+  }
+
+  test("input-column view rejects unknown names and arity drift clearly (review r15)") {
+    TagTables.resetDynamicForTest(spark)
+    AppendWorkers.flush()
+    q("create tag table awv (name varchar(40) primary key, time datetime basetime, value double)")
+    try {
+      val w = AppendWorkers.get(spark, "awv")
+      // the Go form would panic on Idx=-1; here a clear rejection
+      val e1 = intercept[IllegalArgumentException](
+        w.withInputColumns("vaule", "time", "name")) // typo'd 'value'
+      assert(e1.getMessage.contains("unknown input column"), e1.getMessage)
+      // arity error names the DECLARED input-column count
+      val e2 = intercept[IllegalArgumentException](
+        w.withInputColumns("name", "time").append(1, 2, 3))
+      assert(e2.getMessage ==
+        "value count 3, 2 input columns declared for table 'awv'", e2.getMessage)
+    } finally { AppendWorkers.flush(); q("drop table awv") }
+  }
+
+  test("the reference ACL leak is reproduced, not hardened: '#' subscribe passes (mqtt.go:280-283)") {
+    import BrokerLoop.aclCheck
+    // only the literal db/# filter is denied — # and db/+ pass, exactly
+    // like the reference's prefix test
+    assert(aclCheck("#", write = false))
+    assert(aclCheck("db/+", write = false))
+    assert(!aclCheck("db/#", write = false))
+  }
+
   test("mqtt topic ACL table (mqtt_unit_test.go:85-110 TestMqttACLCheck)") {
     import BrokerLoop.aclCheck
     assert(!aclCheck("db/query", write = false))          // deny_subscribe_query
