@@ -30,6 +30,12 @@ object TextPipeline {
     }),
 
     // ---- per-document quality scoring ---------------------------------
+    // ---- Flesch–Kincaid readability (quality-filter feature) ----------
+    "q_readability" -> ((s, dir) =>
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id") +: graft.text.TextOps.readability(col("text")): _*)
+        .orderBy("doc_id")),
+
     "q_text_quality" -> ((s, dir) => {
       t(s, dir, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id"),
@@ -801,6 +807,32 @@ object TextPipeline {
          CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_re_tokens,
          floor((avg(len(string_split(text, ' '))))*10000.0 + 0.5)/10000.0 AS avg_ws_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_readability" ->
+      """WITH w AS (SELECT doc_id, lower(text) AS lt,
+             list_filter(list_transform(
+               string_split(regexp_replace(lower(text),'\s+',' ','g'),' '),
+               t -> regexp_replace(t,'[^a-z]','','g')), t -> t <> '') AS ws
+           FROM documents WHERE doc_id < 200),
+         c AS (SELECT doc_id,
+             len(ws) AS nw0,
+             greatest(1, len(ws)) AS nw,
+             greatest(1, len(regexp_extract_all(lt,'[.!?]+'))) AS ns,
+             list_sum(list_transform(ws, t -> greatest(1,
+               len(regexp_extract_all(t,'[aeiouy]+')) -
+               CASE WHEN t LIKE '%e'
+                     AND len(regexp_extract_all(t,'[aeiouy]+')) > 1
+                    THEN 1 ELSE 0 END))) AS syl
+           FROM w),
+         r AS (SELECT doc_id, nw0, nw, ns, syl,
+             floor(nw * 1.0 / ns * 1e9 + 0.5)/1e9 AS r1,
+             floor(syl * 1.0 / nw * 1e9 + 0.5)/1e9 AS r2
+           FROM c)
+         SELECT doc_id, CAST(nw0 AS BIGINT) AS n_words,
+           CAST(ns AS BIGINT) AS n_sentences,
+           CAST(syl AS BIGINT) AS n_syllables,
+           floor((206.835 - 1.015 * r1 - 84.6 * r2) * 1e6 + 0.5)/1e6 AS fk_ease,
+           floor((0.39 * r1 + 11.8 * r2 - 15.59) * 1e6 + 0.5)/1e6 AS fk_grade
+         FROM r ORDER BY doc_id""",
     "q_text_quality" ->
       """SELECT doc_id,
          len(string_split(text, ' ')) AS n_words,

@@ -42,6 +42,41 @@ object TextOps {
     (lengthOk + alpha + stop) / 3d
   }
 
+  /** Flesch–Kincaid readability (Kincaid et al. 1975 — the standard
+    * readability quality-filter feature): reading ease
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word) and the
+    * grade level 0.39·(w/s) + 11.8·(syl/w) − 15.59. Syllables use a
+    * deterministic vowel-group heuristic (count [aeiouy]+ runs, minus
+    * one for a trailing silent e when more than one run, floor 1) so a
+    * SQL oracle computes the identical integers; both ratios pin to
+    * 9 dp before the formula and the outputs to 6 dp. */
+  def readability(text: Column): Seq[Column] = {
+    def r9(c: Column): Column = floor(c * 1e9 + 0.5) / 1e9
+    def fr6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val ws = filter(
+      transform(split(lower(text), "\\s+"),
+        w => regexp_replace(w, "[^a-z]", "")),
+      w => w =!= "")
+    val vowelRuns = (w: Column) =>
+      size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long")
+    val syl = aggregate(ws, lit(0L), (acc, w) => {
+      val g = vowelRuns(w)
+      acc + greatest(lit(1L),
+        g - when(w.endsWith("e") && g > 1L, 1L).otherwise(0L))
+    })
+    val nW = greatest(lit(1L), size(ws).cast("long"))
+    val nS = greatest(lit(1L),
+      size(regexp_extract_all(lower(text), lit("[.!?]+"), lit(0))).cast("long"))
+    val r1 = r9(nW.cast("double") / nS)
+    val r2 = r9(syl.cast("double") / nW)
+    Seq(
+      size(ws).cast("long").as("n_words"),
+      nS.as("n_sentences"),
+      syl.as("n_syllables"),
+      fr6(lit(206.835d) - lit(1.015d) * r1 - lit(84.6d) * r2).as("fk_ease"),
+      fr6(lit(0.39d) * r1 + lit(11.8d) * r2 - lit(15.59d)).as("fk_grade"))
+  }
+
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of"),
     "de" -> Seq("der", "und", "die"),
