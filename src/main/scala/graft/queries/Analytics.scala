@@ -87,6 +87,22 @@ object Analytics {
       s.table(qn).orderBy("doc_id")
     }),
 
+    // ---- per-domain Platt calibration (Platt 1999) of the classifier
+    // scores: the standard companion step before mixing quality-filtered
+    // sources — a pooled classifier is over/under-confident per domain.
+    // Deterministic fixed-iteration GD twin of the classifier (9-dp +
+    // DECIMAL discipline); driver state 2 values per domain, one
+    // domain-keyed partial-agg shuffle per step, broadcast fit table.
+    "q_quality_calibrated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.text.QualityClassifier
+        .trainAndScore(docs, "doc_id", "text", col("lang") === "en")
+      val joined = scored.join(docs.select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")), "doc_id")
+      graft.text.Calibration.plattCalibrate(joined, "doc_id", "source",
+        "score", "y").orderBy("doc_id")
+    }),
+
     // ---- per-source distribution drift: KL(source || corpus) ----------
     "q_source_kl" -> ((s, dir) =>
       CorpusStats.sourceKl(t(s, dir, "documents"), "source", "text")
@@ -422,7 +438,14 @@ object Analytics {
     * GD as text/QualityClassifier, UNROLLED as CTE chains (w0 → z1/p1/
     * e1/g1 → w1 → … ). Every intermediate is 9-dp pinned and every
     * cross-row sum runs in DECIMAL(38,9), so DuckDB reproduces the JVM
-    * weights bit-for-bit (the DSIR discipline + exp-on-same-double). */
+    * weights bit-for-bit (the DSIR discipline + exp-on-same-double).
+    *
+    * Multi-referenced CTEs (bk, ft, each w_i) are AS MATERIALIZED:
+    * DuckDB 1.0 INLINES CTEs by default, so without the hint each w_i
+    * reference re-evaluates its whole upstream chain — exponential in
+    * the iteration count (r16 finding: the calibration oracle ran 90+
+    * CPU-minutes at sf0.1 before the hint, seconds after). Values are
+    * identical either way. */
   private def qcOracle(finalSel: String): String = {
     val width = 32
     val iters = 3
@@ -430,7 +453,7 @@ object Analytics {
     def dsum(term: String) =
       s"CAST(sum(CAST(${r9(term)} AS DECIMAL(38,9))) AS DOUBLE)"
     val base =
-      s"""wl AS (SELECT doc_id,
+      s"""wl AS MATERIALIZED (SELECT doc_id,
            CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
            string_split(regexp_replace(lower(text),'\\s+',' ','g'),' ') AS ws
          FROM documents),
@@ -440,7 +463,7 @@ object Analytics {
            SELECT doc_id,
              unnest(list_transform(generate_series(1, len(ws)-1),
                i -> ws[i] || ' ' || ws[i+1])) AS g FROM wl)),
-       bk AS (SELECT doc_id,
+       bk AS MATERIALIZED (SELECT doc_id,
            ((strpos('0123456789abcdef', substr(m,1,1))-1)*4096 +
             (strpos('0123456789abcdef', substr(m,2,1))-1)*256 +
             (strpos('0123456789abcdef', substr(m,3,1))-1)*16 +
@@ -448,7 +471,7 @@ object Analytics {
          FROM (SELECT doc_id, md5(g) AS m FROM g)),
        ft0 AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2),
        nn AS (SELECT doc_id, sum(c) AS n FROM ft0 GROUP BY 1),
-       ft AS (SELECT ft0.doc_id AS doc_id, b, ${r9("c * 1.0 / n")} AS x
+       ft AS MATERIALIZED (SELECT ft0.doc_id AS doc_id, b, ${r9("c * 1.0 / n")} AS x
            FROM ft0 JOIN nn USING (doc_id)
          UNION ALL SELECT doc_id, -1 AS b, 1.0 AS x FROM nn),
        lab AS (SELECT doc_id, y FROM wl),
@@ -465,7 +488,7 @@ object Analytics {
          g$i AS (SELECT b,
              ${r9(dsum("err * x") + " / (SELECT n FROM nd)")} AS g
            FROM ft JOIN e$i USING (doc_id) GROUP BY 1),
-         w$i AS (SELECT $pw.b AS b,
+         w$i AS MATERIALIZED (SELECT $pw.b AS b,
              ${r9("wt - 5.0 * coalesce(g, 0.0)")} AS wt
            FROM $pw LEFT JOIN g$i USING (b))"""
     }.mkString(",\n       ")
@@ -476,7 +499,46 @@ object Analytics {
     s"WITH $base,\n       $steps,\n       $scoring\n       $finalSel"
   }
 
+  /** The Platt-calibration oracle suffix: picks up `sp` (doc_id, 9-dp p)
+    * from qcOracle, derives the 6-dp score + per-source label, then
+    * unrolls the SAME fixed-iteration per-domain GD as text/Calibration
+    * (lr = 2.0, 3 iters, 9-dp pins, DECIMAL(38,9) sums) as CTE stages. */
+  private def calOracleSuffix(iters: Int = 3): String = {
+    def r9(e: String) = s"floor(($e) * 1e9 + 0.5)/1e9"
+    def dsum(term: String) =
+      s"CAST(sum(CAST($term AS DECIMAL(38,9))) AS DOUBLE)"
+    def sig(z: String) = r9(s"1.0 / (1.0 + exp(-(${r9(z)})))")
+    val base =
+      s""", ss AS MATERIALIZED (SELECT sp.doc_id AS doc_id, d.source AS source,
+           floor(p * 1e6 + 0.5)/1e6 AS s,
+           CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         FROM sp JOIN documents d ON d.doc_id = sp.doc_id),
+       cn AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+       c0 AS (SELECT source, 0.0 AS ca, 0.0 AS cb FROM cn)"""
+    val steps = (1 to iters).map { i =>
+      val pw = s"c${i - 1}"
+      s"""cp$i AS (SELECT ss.doc_id AS doc_id, ss.source AS source, s, y,
+           ${sig("ca * s + cb")} AS p
+         FROM ss JOIN $pw USING (source)),
+       cg$i AS (SELECT cp$i.source AS source,
+           ${r9(dsum(r9("(p - y) * s")) + " / n")} AS ga,
+           ${r9(dsum("p - y") + " / n")} AS gb
+         FROM cp$i JOIN cn USING (source) GROUP BY source, n),
+       c$i AS (SELECT $pw.source AS source,
+           ${r9("ca - 2.0 * coalesce(ga, 0.0)")} AS ca,
+           ${r9("cb - 2.0 * coalesce(gb, 0.0)")} AS cb
+         FROM $pw LEFT JOIN cg$i USING (source))"""
+    }.mkString(",\n       ")
+    s"""$base,
+       $steps
+       SELECT ss.doc_id AS doc_id, ss.source AS source, s AS score,
+         floor((${sig("ca * s + cb")}) * 1e6 + 0.5)/1e6 AS cal_score,
+         CAST(y AS BIGINT) AS label
+       FROM ss JOIN c$iters USING (source) ORDER BY doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_quality_calibrated" -> qcOracle(calOracleSuffix()),
     "q_stream_quality" -> qcOracle(
       """, bia AS (SELECT wt FROM w3 WHERE b = -1),
          gs AS (SELECT bk.doc_id AS doc_id,

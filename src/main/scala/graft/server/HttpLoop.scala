@@ -177,6 +177,27 @@ object HttpLoop {
       val script = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       (200, "application/json", graft.tql.Tql.run(session, script).getBytes("UTF-8"))
     })
+    // /db/public/… — static files + cgi-bin scripts from the server
+    // filesystem's /public tree (http_public.go handlePublic; the CGI
+    // response parse + door rules live in PublicDoor/CgiWriter)
+    srv.createContext("/db/public", (ex: HttpExchange) => respond(ex) {
+      val sub = ex.getRequestURI.getPath.stripPrefix("/db/public")
+      val hdrs = {
+        // canonicalize per dash-token: the JDK Headers class normalizes
+        // keys to "Content-type" while cgiEnv looks up "Content-Type"
+        def canon(k: String) = k.split("-").map(t =>
+          if (t.isEmpty) t else t.head.toUpper + t.tail.toLowerCase).mkString("-")
+        val b = Map.newBuilder[String, String]
+        ex.getRequestHeaders.forEach((k, vs) =>
+          if (!vs.isEmpty) b += canon(k) -> vs.get(0))
+        b.result()
+      }
+      val r = PublicDoor.handle(sub, ex.getRequestMethod,
+        ServerFiles.publicFile, ServerFiles.publicDir,
+        Option(ex.getRequestURI.getRawQuery).getOrElse(""), hdrs)
+      r.headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+      (r.status, r.contentType, r.wireBytes)
+    })
     // POST /web/api/md — markdown → XHTML with {{ file_* }} substitution
     // from the base64 X-Referer header (http.go:1105-1144 handleMarkdown;
     // goldens http_test.go TestMarkdown)

@@ -44,6 +44,19 @@ object ServerFiles {
 
   def isFsFile(path: String): Boolean = contentTypeOfFile(path).nonEmpty
 
+  /** `/db/public` door filesystem bindings ([[PublicDoor]]): resolve
+    * under the template root, refusing escapes (the door additionally
+    * rejects `..` with 400 before these are consulted). */
+  def publicFile(p: String): Option[Array[Byte]] =
+    try {
+      val r = resolve(p)
+      if (Files.isRegularFile(r)) Some(Files.readAllBytes(r)) else None
+    } catch { case _: IllegalArgumentException => None }
+
+  def publicDir(p: String): Boolean =
+    try Files.isDirectory(resolve(p))
+    catch { case _: IllegalArgumentException => false }
+
   private def root: Path =
     Paths.get(graft.tql.Compiler.templateRoot).toAbsolutePath.normalize()
 

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-domain Platt scaling (Platt 1999, "Probabilistic Outputs for
+  * Support Vector Machines..." — public method, no reference analogue):
+  * recalibrate classifier scores into probabilities by fitting
+  * sigmoid(A_d * s + B_d) to (score, label) WITHIN each source domain.
+  * The standard companion step before mixing quality-filtered sources —
+  * a classifier trained on the pooled corpus is systematically over- or
+  * under-confident per domain, and the mixture quotas (Curation.
+  * mixtureSample) want comparable probabilities, not raw scores.
+  *
+  * Platt's original fit is a Newton iteration (non-deterministic across
+  * float orderings); this is the deterministic twin of
+  * [[QualityClassifier]]'s GD: fixed iteration count, fixed learning
+  * rate, every intermediate pinned to 9 dp and every cross-row sum
+  * accumulated in DECIMAL(38,9), so the fitted (A_d, B_d) and the
+  * calibrated scores are bit-reproducible across partitionings AND
+  * reproducible by the DuckDB oracle with the iterations unrolled as
+  * CTE chains.
+  *
+  * Scale shape: driver state is 2 values per domain (domains are a
+  * bounded label set — the kmeans k×d license); each GD step is one
+  * broadcast join of the parameter table plus ONE domain-keyed
+  * partial-agg shuffle; the final calibration pass is a broadcast join.
+  * Nothing corpus-quadratic, no windows, no per-row driver work.
+  */
+object Calibration {
+  private def r9(c: Column): Column = floor(c * 1e9 + 0.5) / 1e9
+  private def fr6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+  private def round9(x: Double): Double = math.floor(x * 1e9 + 0.5d) / 1e9
+
+  private def sigmoid9(z: Column): Column =
+    r9(lit(1.0d) / (lit(1.0d) + exp(-r9(z))))
+
+  /** Fit per-domain (A, B) and return the calibrated frame:
+    * (idCol, domainCol, score, cal_score, label).
+    *
+    * `scored` must carry idCol, domainCol, scoreCol (double in [0,1])
+    * and labelCol (0/1). Output `cal_score` = round6 sigmoid(A_d*s+B_d),
+    * `score` echoes the input score, `label` the 0/1 label as BIGINT.
+    *
+    * `materialize = false` returns the lazy final plan instead (the
+    * plan-audit hook — an eager localCheckpoint truncates the lineage
+    * the audit assertions inspect), at the cost of re-running the
+    * calibration scan on each action.
+    */
+  def plattCalibrate(scored: DataFrame, idCol: String, domainCol: String,
+                     scoreCol: String, labelCol: String,
+                     iters: Int = 3, lr: Double = 2.0,
+                     materialize: Boolean = true): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val base0 = scored.select(col(idCol), col(domainCol),
+      col(scoreCol).cast("double").as("__s"),
+      col(labelCol).cast("double").as("__y"))
+    val base = if (materialize) base0.persist() else base0
+    try {
+      // domain sizes: one bounded collect (|domains| rows)
+      val nByDomain: Map[String, Double] =
+        base.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      var params: Map[String, (Double, Double)] =
+        nByDomain.keys.map(_ -> (0.0d, 0.0d)).toMap
+      for (_ <- 1 to iters) {
+        val pDf = params.toSeq.map { case (d, (a, b)) => (d, a, b) }
+          .toDF(domainCol, "__a", "__b")
+        // per-doc p under the current (A_d, B_d); err = p - y is exact
+        // (9-dp double minus an integer)
+        val grad = base.join(broadcast(pDf), domainCol)
+          .select(col(domainCol), col("__s"),
+            (sigmoid9(col("__a") * col("__s") + col("__b")) - col("__y"))
+              .as("__e"))
+          .groupBy(col(domainCol))
+          .agg(sum(r9(col("__e") * col("__s")).cast("decimal(38,9)")).as("__ga"),
+            sum(col("__e").cast("decimal(38,9)")).as("__gb"))
+          .collect()
+        params = grad.map { r =>
+          val d = r.getString(0)
+          val n = nByDomain(d)
+          val (a, b) = params(d)
+          val ga = round9(r.getDecimal(1).doubleValue() / n)
+          val gb = round9(r.getDecimal(2).doubleValue() / n)
+          d -> (round9(a - lr * ga), round9(b - lr * gb))
+        }.toMap
+      }
+      val fit = params.toSeq.map { case (d, (a, b)) => (d, a, b) }
+        .toDF(domainCol, "__a", "__b")
+      val out = base.join(broadcast(fit), domainCol)
+        .select(col(idCol), col(domainCol), col("__s").as("score"),
+          fr6(sigmoid9(col("__a") * col("__s") + col("__b"))).as("cal_score"),
+          col("__y").cast("long").as("label"))
+      if (materialize) out.localCheckpoint(eager = true) else out
+    } finally if (materialize) base.unpersist()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Calibration
+
+/** Per-domain Platt scaling (Platt 1999): deterministic GD fit of
+  * sigmoid(A_d·s + B_d) per domain. Oracle parity of the gate row is
+  * checked by q_quality_calibrated; this spec pins the calibration
+  * behavior and the bit-reproducibility across partitionings. */
+class CalibrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // domain "hi" is over-confident-low (scores near 0.4 but mostly
+  // positive), domain "lo" the reverse — calibration must pull the two
+  // domains' probabilities apart given identical raw scores
+  private def scored(n: Int) = {
+    val rows = (0 until n).map { i =>
+      val d = if (i % 2 == 0) "hi" else "lo"
+      val s = 0.3 + 0.4 * ((i / 2) % 5) / 5.0
+      val y = if (d == "hi") (if (i % 10 != 2) 1.0 else 0.0)
+              else (if (i % 10 != 3) 0.0 else 1.0)
+      (i.toLong, d, s, y)
+    }
+    rows.toDF("doc_id", "source", "score", "y")
+  }
+
+  test("pulls per-domain probabilities toward the domain base rate") {
+    val cal = Calibration.plattCalibrate(scored(200), "doc_id", "source",
+      "score", "y")
+    assert(cal.count() == 200)
+    // identical raw score 0.5 must calibrate HIGHER in the mostly-
+    // positive domain than in the mostly-negative one
+    val mean = cal.groupBy("source").agg(avg("cal_score").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(mean("hi") > mean("lo"),
+      s"hi=${mean("hi")} should exceed lo=${mean("lo")}")
+    // calibrated outputs are probabilities
+    val mm = cal.agg(min("cal_score"), max("cal_score")).head()
+    assert(mm.getDouble(0) >= 0d && mm.getDouble(1) <= 1d)
+    // schema contract of the gate row
+    assert(cal.columns.toSeq ==
+      Seq("doc_id", "source", "score", "cal_score", "label"))
+  }
+
+  test("fit is bit-reproducible across partitionings") {
+    val docs = scored(120)
+    def run(parts: Int) =
+      Calibration.plattCalibrate(docs.repartition(parts), "doc_id",
+        "source", "score", "y")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(run(1) == run(7))
+  }
+}

@@ -351,4 +351,44 @@ class HttpLoopSpec extends SparkSpec {
       s"CSV(file(\"http://127.0.0.1:$port/csvfile\"))\nCSV()\n")
       == "1,3.141592,true,\"escaped, string\",123456\n")
   }
+
+  test("/db/public door end-to-end: static file, CGI script, redirect headers") {
+    val tmp = java.nio.file.Files.createTempDirectory("pubdoor")
+    val prev = graft.tql.Compiler.templateRoot
+    graft.tql.Compiler.templateRoot = tmp.toString
+    try {
+      val app = tmp.resolve("public/app")
+      java.nio.file.Files.createDirectories(app.resolve("cgi-bin"))
+      java.nio.file.Files.write(app.resolve("index.html"),
+        "<html><body>CGI Test</body></html>".getBytes("UTF-8"))
+      java.nio.file.Files.write(app.resolve("cgi-bin/hello.js"),
+        ("console.log('Content-Type: text/plain; charset=utf-8;');\n" +
+          "console.log('');\nconsole.log('hello', process.env.QUERY_STRING);")
+          .getBytes("UTF-8"))
+      def get(path: String): (Int, String, String) = {
+        val url = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setInstanceFollowRedirects(false)
+        try {
+          val code = conn.getResponseCode
+          val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+          val body = if (in == null) "" else new String(in.readAllBytes(), "UTF-8")
+          (code, Option(conn.getHeaderField("Location")).getOrElse(""), body)
+        } finally conn.disconnect()
+      }
+      // static: the directory form serves index.html bytes
+      val (c1, _, b1) = get("/db/public/app/")
+      assert(c1 == 200 && b1 == "<html><body>CGI Test</body></html>")
+      // the explicit index.html path 302-redirects to the directory form
+      val (c2, loc, _) = get("/db/public/app/index.html")
+      assert(c2 == 302 && loc == "/public/app/")
+      // CGI: .js auto-append, console output parsed, env carries the query
+      val (c3, _, b3) = get("/db/public/app/cgi-bin/hello?x=1")
+      assert(c3 == 200 && b3 == "hello x=1\n", s"$c3 $b3")
+      // traversal rejected
+      assert(get("/db/public/app/../x")._1 == 400)
+    } finally {
+      graft.tql.Compiler.templateRoot = prev
+    }
+  }
 }
