@@ -103,6 +103,27 @@ object Analytics {
         "score", "y").orderBy("doc_id")
     }),
 
+    // ---- reliability audit: per-domain expected calibration error
+    // before (raw classifier score) vs after (Platt-calibrated) — the
+    // metric that justifies the calibration step. Two bin-keyed
+    // partial-agg shuffles per side, nothing per-doc on the driver.
+    "q_calibration_ece" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.text.QualityClassifier
+        .trainAndScore(docs, "doc_id", "text", col("lang") === "en")
+      val joined = scored.join(docs.select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")), "doc_id")
+      val cal = graft.text.Calibration.plattCalibrate(joined, "doc_id",
+        "source", "score", "y")
+      val before = graft.text.Calibration.ece(cal, "source", "score", "label")
+        .withColumnRenamed("ece", "ece_raw").drop("n_docs")
+      val after = graft.text.Calibration.ece(cal, "source", "cal_score", "label")
+        .withColumnRenamed("ece", "ece_cal")
+      after.join(before, "source")
+        .select(col("source"), col("n_docs"), col("ece_raw"), col("ece_cal"))
+        .orderBy("source")
+    }),
+
     // ---- per-source distribution drift: KL(source || corpus) ----------
     "q_source_kl" -> ((s, dir) =>
       CorpusStats.sourceKl(t(s, dir, "documents"), "source", "text")
@@ -499,11 +520,13 @@ object Analytics {
     s"WITH $base,\n       $steps,\n       $scoring\n       $finalSel"
   }
 
-  /** The Platt-calibration oracle suffix: picks up `sp` (doc_id, 9-dp p)
-    * from qcOracle, derives the 6-dp score + per-source label, then
-    * unrolls the SAME fixed-iteration per-domain GD as text/Calibration
-    * (lr = 2.0, 3 iters, 9-dp pins, DECIMAL(38,9) sums) as CTE stages. */
-  private def calOracleSuffix(iters: Int = 3): String = {
+  /** The Platt-calibration oracle CTE chain: picks up `sp` (doc_id,
+    * 9-dp p) from qcOracle, derives the 6-dp score + per-source label,
+    * then unrolls the SAME fixed-iteration per-domain GD as
+    * text/Calibration (lr = 2.0, 3 iters, 9-dp pins, DECIMAL(38,9)
+    * sums) as CTE stages, ending in `cc` (doc_id, source, s, cal, y).
+    * Multi-referenced stages are MATERIALIZED (DuckDB 1.0 inlines). */
+  private def calChain(iters: Int = 3): String = {
     def r9(e: String) = s"floor(($e) * 1e9 + 0.5)/1e9"
     def dsum(term: String) =
       s"CAST(sum(CAST($term AS DECIMAL(38,9))) AS DOUBLE)"
@@ -524,21 +547,53 @@ object Analytics {
            ${r9(dsum(r9("(p - y) * s")) + " / n")} AS ga,
            ${r9(dsum("p - y") + " / n")} AS gb
          FROM cp$i JOIN cn USING (source) GROUP BY source, n),
-       c$i AS (SELECT $pw.source AS source,
+       c$i AS MATERIALIZED (SELECT $pw.source AS source,
            ${r9("ca - 2.0 * coalesce(ga, 0.0)")} AS ca,
            ${r9("cb - 2.0 * coalesce(gb, 0.0)")} AS cb
          FROM $pw LEFT JOIN cg$i USING (source))"""
     }.mkString(",\n       ")
     s"""$base,
-       $steps
-       SELECT ss.doc_id AS doc_id, ss.source AS source, s AS score,
-         floor((${sig("ca * s + cb")}) * 1e6 + 0.5)/1e6 AS cal_score,
-         CAST(y AS BIGINT) AS label
-       FROM ss JOIN c$iters USING (source) ORDER BY doc_id"""
+       $steps,
+       cc AS MATERIALIZED (SELECT ss.doc_id AS doc_id, ss.source AS source,
+           s, ${sig("ca * s + cb")} AS p9, y
+         FROM ss JOIN c$iters USING (source))"""
+  }
+
+  /** Per-domain ECE over a `cc` column (the Calibration.ece pins): 10
+    * equal-width bins, per-bin 9-dp term, DECIMAL sum, 6-dp result. */
+  private def eceChain(scoreExpr: String, tag: String): String = {
+    def r9(e: String) = s"floor(($e) * 1e9 + 0.5)/1e9"
+    s"""eb_$tag AS (SELECT source, CAST(least(floor(($scoreExpr) * 10), 9) AS BIGINT) AS bin,
+           count(*) AS n_b,
+           sum(CAST(($scoreExpr) AS DECIMAL(38,9))) AS s_b,
+           sum(CAST(y AS DECIMAL(38,9))) AS p_b
+         FROM cc GROUP BY 1, 2),
+       er_$tag AS (SELECT eb_$tag.source AS source,
+           ${r9("(CAST(n_b AS DOUBLE) / n_docs) * abs(" +
+             r9("CAST(s_b AS DOUBLE) / n_b") + " - " +
+             r9("CAST(p_b AS DOUBLE) / n_b") + ")")} AS t
+         FROM eb_$tag JOIN et USING (source)),
+       ece_$tag AS (SELECT source,
+           floor(CAST(sum(CAST(t AS DECIMAL(38,9))) AS DOUBLE) * 1e6 + 0.5)/1e6 AS ece_$tag
+         FROM er_$tag GROUP BY 1)"""
   }
 
   val oracles: Map[String, String] = Map(
-    "q_quality_calibrated" -> qcOracle(calOracleSuffix()),
+    "q_quality_calibrated" -> qcOracle(calChain() +
+      """
+       SELECT doc_id, source, s AS score,
+         floor(p9 * 1e6 + 0.5)/1e6 AS cal_score,
+         CAST(y AS BIGINT) AS label
+       FROM cc ORDER BY doc_id"""),
+    "q_calibration_ece" -> qcOracle(calChain() +
+      s""",
+       et AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         FROM cc GROUP BY 1),
+       ${eceChain("s", "raw")},
+       ${eceChain("floor(p9 * 1e6 + 0.5)/1e6", "cal")}
+       SELECT et.source AS source, n_docs, ece_raw, ece_cal
+       FROM et JOIN ece_raw USING (source) JOIN ece_cal USING (source)
+       ORDER BY source"""),
     "q_stream_quality" -> qcOracle(
       """, bia AS (SELECT wt FROM w3 WHERE b = -1),
          gs AS (SELECT bk.doc_id AS doc_id,

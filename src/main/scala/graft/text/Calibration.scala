@@ -95,4 +95,38 @@ object Calibration {
       if (materialize) out.localCheckpoint(eager = true) else out
     } finally if (materialize) base.unpersist()
   }
+
+  /** Per-domain expected calibration error (Naeini et al. 2015,
+    * "Obtaining Well Calibrated Probabilities Using Bayesian Binning" —
+    * the standard reliability metric): 10 equal-width probability bins,
+    * ECE_d = Σ_b (n_b/N_d)·|mean score_b − frac positive_b|.
+    *
+    * Returns (domainCol, n_docs, ece), 6-dp pinned, deterministic across
+    * engines: bin means divide DECIMAL-accumulated 6-dp scores and exact
+    * label counts (both 9-dp pinned before the difference), per-bin
+    * terms pin to 9 dp and accumulate in DECIMAL(38,9). Scale shape: two
+    * partial-agg shuffles ((domain, bin) then domain) plus one join
+    * against the ≤|domains|-row totals — nothing per-doc on the driver.
+    */
+  def ece(scored: DataFrame, domainCol: String, scoreCol: String,
+          labelCol: String): DataFrame = {
+    val byBin = scored
+      .select(col(domainCol),
+        least(floor(col(scoreCol) * 10), lit(9L)).cast("long").as("bin"),
+        col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("double").as("__y"))
+      .groupBy(col(domainCol), col("bin"))
+      .agg(count(lit(1)).as("n_b"),
+        sum(col("__s").cast("decimal(38,9)")).as("s_b"),
+        sum(col("__y").cast("decimal(38,9)")).as("p_b"))
+    val totals = byBin.groupBy(col(domainCol)).agg(sum("n_b").as("n_docs"))
+    byBin.join(totals, domainCol)
+      .select(col(domainCol), col("n_docs"),
+        r9((col("n_b").cast("double") / col("n_docs")) *
+          abs(r9(col("s_b").cast("double") / col("n_b")) -
+            r9(col("p_b").cast("double") / col("n_b")))).as("__t"))
+      .groupBy(col(domainCol))
+      .agg(max("n_docs").as("n_docs"),
+        fr6(sum(col("__t").cast("decimal(38,9)")).cast("double")).as("ece"))
+  }
 }

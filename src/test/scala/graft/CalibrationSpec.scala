@@ -42,6 +42,27 @@ class CalibrationSpec extends SparkSpec {
       Seq("doc_id", "source", "score", "cal_score", "label"))
   }
 
+  test("ECE: calibration reduces the per-domain reliability gap") {
+    val cal = Calibration.plattCalibrate(scored(400), "doc_id", "source",
+      "score", "y")
+    val before = Calibration.ece(cal, "source", "score", "label")
+      .withColumnRenamed("ece", "ece_raw").drop("n_docs")
+    val after = Calibration.ece(cal, "source", "cal_score", "label")
+      .withColumnRenamed("ece", "ece_cal")
+    val rows = after.join(before, "source")
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("ece_raw"),
+        r.getAs[Double]("ece_cal"))).toSeq
+    assert(rows.map(_._1).sorted == Seq("hi", "lo"))
+    rows.foreach { case (src, n, raw, calE) =>
+      assert(n == 200)
+      assert(calE >= 0 && raw >= 0)
+      // the synthetic domains are deliberately mis-calibrated (raw
+      // scores near 0.5 for ~90/10 label splits): Platt must shrink ECE
+      assert(calE < raw, s"$src: ece_cal=$calE !< ece_raw=$raw")
+    }
+  }
+
   test("fit is bit-reproducible across partitionings") {
     val docs = scored(120)
     def run(parts: Int) =

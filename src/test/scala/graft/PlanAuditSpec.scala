@@ -74,11 +74,17 @@ class PlanAuditSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // materialize=false yields the exact plan the production forms
     // execute eagerly inside localCheckpoint — auditable lineage
+    val scoredForCal = graft.text.QualityClassifier.trainAndScore(docs,
+        "doc_id", "text", col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")), "doc_id")
     val inner = Seq(
       "dsir" -> graft.text.Dsir.weightedScores(docs, "doc_id", "text",
         col("source") === "src1", materialize = false),
       "quality" -> graft.text.QualityClassifier.trainAndScore(docs,
-        "doc_id", "text", col("lang") === "en", materialize = false))
+        "doc_id", "text", col("lang") === "en", materialize = false),
+      "calibrate" -> graft.text.Calibration.plattCalibrate(scoredForCal,
+        "doc_id", "source", "score", "y", materialize = false))
     inner.foreach { case (name, df) =>
       df.queryExecution.toRdd.count()
       val plan = df.queryExecution.executedPlan.toString()
