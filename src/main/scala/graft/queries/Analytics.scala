@@ -124,6 +124,33 @@ object Analytics {
         .orderBy("source")
     }),
 
+    // ---- STREAMING calibrated scoring: the production ingest-filter
+    // shape — classifier coefficients AND the per-domain Platt fit
+    // (trained/fitted in batch on the stream scorer's twin) broadcast
+    // into the gram stream; the fit parameters ride the groupBy keys
+    // (constant per domain) because stream plans disallow post-agg
+    // joins. Emits raw + calibrated probability per document.
+    "q_stream_calibrated" -> ((s, dir) => {
+      val d0 = t(s, dir, "documents")
+      val wt = graft.text.QualityClassifier.train(d0, "doc_id", "text",
+        col("lang") === "en")
+      val twin = graft.text.QualityClassifier
+        .scoreStream(d0, "doc_id", "text", wt)
+        .join(d0.select(col("doc_id"), col("source"),
+          when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")), "doc_id")
+      val fit = graft.text.Calibration.plattFit(twin, "source", "score", "y")
+      val src = s.readStream.schema(d0.schema)
+        .parquet(s"$dir/{documents.parquet}")
+      val out = graft.text.QualityClassifier.scoreStreamCalibrated(src,
+        "doc_id", "source", "text", wt, fit)
+      val qn = "stream_cal_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      StreamRun.run("q_stream_calibrated",
+        out.writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      s.table(qn).orderBy("doc_id")
+    }),
+
     // ---- per-source distribution drift: KL(source || corpus) ----------
     "q_source_kl" -> ((s, dir) =>
       CorpusStats.sourceKl(t(s, dir, "documents"), "source", "text")
@@ -526,16 +553,17 @@ object Analytics {
     * text/Calibration (lr = 2.0, 3 iters, 9-dp pins, DECIMAL(38,9)
     * sums) as CTE stages, ending in `cc` (doc_id, source, s, cal, y).
     * Multi-referenced stages are MATERIALIZED (DuckDB 1.0 inlines). */
-  private def calChain(iters: Int = 3): String = {
+  private def calChain(iters: Int = 3, ssFrom: String = "sp",
+                       ssExtra: String = ""): String = {
     def r9(e: String) = s"floor(($e) * 1e9 + 0.5)/1e9"
     def dsum(term: String) =
       s"CAST(sum(CAST($term AS DECIMAL(38,9))) AS DOUBLE)"
     def sig(z: String) = r9(s"1.0 / (1.0 + exp(-(${r9(z)})))")
     val base =
-      s""", ss AS MATERIALIZED (SELECT sp.doc_id AS doc_id, d.source AS source,
+      s""", ss AS MATERIALIZED (SELECT $ssFrom.doc_id AS doc_id, d.source AS source,$ssExtra
            floor(p * 1e6 + 0.5)/1e6 AS s,
            CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-         FROM sp JOIN documents d ON d.doc_id = sp.doc_id),
+         FROM $ssFrom JOIN documents d ON d.doc_id = $ssFrom.doc_id),
        cn AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
        c0 AS (SELECT source, 0.0 AS ca, 0.0 AS cb FROM cn)"""
     val steps = (1 to iters).map { i =>
@@ -554,8 +582,7 @@ object Analytics {
     }.mkString(",\n       ")
     s"""$base,
        $steps,
-       cc AS MATERIALIZED (SELECT ss.doc_id AS doc_id, ss.source AS source,
-           s, ${sig("ca * s + cb")} AS p9, y
+       cc AS MATERIALIZED (SELECT ss.*, ${sig("ca * s + cb")} AS p9
          FROM ss JOIN c$iters USING (source))"""
   }
 
@@ -584,6 +611,22 @@ object Analytics {
        SELECT doc_id, source, s AS score,
          floor(p9 * 1e6 + 0.5)/1e6 AS cal_score,
          CAST(y AS BIGINT) AS label
+       FROM cc ORDER BY doc_id"""),
+    "q_stream_calibrated" -> qcOracle(
+      """, bia AS (SELECT wt FROM w3 WHERE b = -1),
+         gs AS (SELECT bk.doc_id AS doc_id,
+             CAST(sum(CAST(wt AS DECIMAL(38,9))) AS DOUBLE) AS s,
+             count(*) AS n
+           FROM bk JOIN w3 ON w3.b = bk.b GROUP BY 1),
+         gp AS MATERIALIZED (SELECT doc_id, n,
+             floor((1.0 / (1.0 + exp(-(floor(((SELECT wt FROM bia) + s / n)
+               * 1e9 + 0.5)/1e9)))) * 1e9 + 0.5)/1e9 AS p
+           FROM gs)""" +
+      calChain(ssFrom = "gp", ssExtra = "\n           n AS n_grams,") +
+      """
+       SELECT doc_id, source, CAST(n_grams AS BIGINT) AS n_grams,
+         s AS score, floor(p9 * 1e6 + 0.5)/1e6 AS cal_score,
+         CAST(CASE WHEN p9 >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
        FROM cc ORDER BY doc_id"""),
     "q_calibration_ece" -> qcOracle(calChain() +
       s""",

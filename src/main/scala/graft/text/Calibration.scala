@@ -52,48 +52,71 @@ object Calibration {
                      iters: Int = 3, lr: Double = 2.0,
                      materialize: Boolean = true): DataFrame = {
     val spark = scored.sparkSession
-    import spark.implicits._
     val base0 = scored.select(col(idCol), col(domainCol),
       col(scoreCol).cast("double").as("__s"),
       col(labelCol).cast("double").as("__y"))
     val base = if (materialize) base0.persist() else base0
     try {
-      // domain sizes: one bounded collect (|domains| rows)
-      val nByDomain: Map[String, Double] =
-        base.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
-      var params: Map[String, (Double, Double)] =
-        nByDomain.keys.map(_ -> (0.0d, 0.0d)).toMap
-      for (_ <- 1 to iters) {
-        val pDf = params.toSeq.map { case (d, (a, b)) => (d, a, b) }
-          .toDF(domainCol, "__a", "__b")
-        // per-doc p under the current (A_d, B_d); err = p - y is exact
-        // (9-dp double minus an integer)
-        val grad = base.join(broadcast(pDf), domainCol)
-          .select(col(domainCol), col("__s"),
-            (sigmoid9(col("__a") * col("__s") + col("__b")) - col("__y"))
-              .as("__e"))
-          .groupBy(col(domainCol))
-          .agg(sum(r9(col("__e") * col("__s")).cast("decimal(38,9)")).as("__ga"),
-            sum(col("__e").cast("decimal(38,9)")).as("__gb"))
-          .collect()
-        params = grad.map { r =>
-          val d = r.getString(0)
-          val n = nByDomain(d)
-          val (a, b) = params(d)
-          val ga = round9(r.getDecimal(1).doubleValue() / n)
-          val gb = round9(r.getDecimal(2).doubleValue() / n)
-          d -> (round9(a - lr * ga), round9(b - lr * gb))
-        }.toMap
-      }
-      val fit = params.toSeq.map { case (d, (a, b)) => (d, a, b) }
-        .toDF(domainCol, "__a", "__b")
+      val fit = fitOn(base, domainCol, iters, lr)
       val out = base.join(broadcast(fit), domainCol)
         .select(col(idCol), col(domainCol), col("__s").as("score"),
-          fr6(sigmoid9(col("__a") * col("__s") + col("__b"))).as("cal_score"),
+          fr6(sigmoid9(col("cal_a") * col("__s") + col("cal_b"))).as("cal_score"),
           col("__y").cast("long").as("label"))
       if (materialize) out.localCheckpoint(eager = true) else out
     } finally if (materialize) base.unpersist()
+  }
+
+  /** Fit alone: the (domainCol, cal_a, cal_b) parameter table, for
+    * callers that apply calibration elsewhere (e.g. the streaming
+    * scorer, which broadcasts this table into the gram stream). */
+  def plattFit(scored: DataFrame, domainCol: String, scoreCol: String,
+               labelCol: String, iters: Int = 3,
+               lr: Double = 2.0): DataFrame = {
+    val base = scored.select(col(domainCol),
+      col(scoreCol).cast("double").as("__s"),
+      col(labelCol).cast("double").as("__y")).persist()
+    try fitOn(base, domainCol, iters, lr).localCheckpoint(eager = true)
+    finally base.unpersist()
+  }
+
+  /** GD loop over a (domainCol, __s, __y) relation → (domainCol,
+    * cal_a, cal_b); 2·|domains| driver values, one domain-keyed
+    * partial-agg shuffle per step. */
+  private def fitOn(base: DataFrame, domainCol: String, iters: Int,
+                    lr: Double): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    // domain sizes: one bounded collect (|domains| rows)
+    val nByDomain: Map[String, Double] =
+      base.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    var params: Map[String, (Double, Double)] =
+      nByDomain.keys.map(_ -> (0.0d, 0.0d)).toMap
+    for (_ <- 1 to iters) {
+      val pDf = params.toSeq.map { case (d, (a, b)) => (d, a, b) }
+        .toDF(domainCol, "cal_a", "cal_b")
+      // per-doc p under the current (A_d, B_d); err = p - y is exact
+      // (9-dp double minus an integer)
+      val grad = base.join(broadcast(pDf), domainCol)
+        .select(col(domainCol), col("__s"),
+          (sigmoid9(col("cal_a") * col("__s") + col("cal_b")) - col("__y"))
+            .as("__e"))
+        .groupBy(col(domainCol))
+        .agg(sum(r9(col("__e") * col("__s")).cast("decimal(38,9)")).as("__ga"),
+          sum(col("__e").cast("decimal(38,9)")).as("__gb"))
+        .collect()
+      params = grad.map { r =>
+        val d = r.getString(0)
+        val n = nByDomain(d)
+        val (a, b) = params(d)
+        val ga = round9(r.getDecimal(1).doubleValue() / n)
+        val gb = round9(r.getDecimal(2).doubleValue() / n)
+        d -> (round9(a - lr * ga), round9(b - lr * gb))
+      }.toMap
+    }
+    import spark.implicits._
+    params.toSeq.map { case (d, (a, b)) => (d, a, b) }
+      .toDF(domainCol, "cal_a", "cal_b")
   }
 
   /** Per-domain expected calibration error (Naeini et al. 2015,

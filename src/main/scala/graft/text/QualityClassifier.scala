@@ -36,11 +36,13 @@ object QualityClassifier {
     * the streaming scorer ride — change it in one place only, or the
     * batch and stream oracles desynchronize. */
   private def gramBuckets(docs: DataFrame, idCol: String, textCol: String,
-                          width: Int): DataFrame =
+                          width: Int, carry: Seq[String] = Nil): DataFrame = {
+    val keep = (idCol +: carry).map(col)
     docs
-      .select(col(idCol), Curation.words(col(textCol)).as("__ws"))
-      .select(col(idCol), explode(Dsir.gramsOf(col("__ws"))).as("__g"))
-      .select(col(idCol), Dsir.bucket(col("__g"), width).as("b"))
+      .select(keep :+ Curation.words(col(textCol)).as("__ws"): _*)
+      .select(keep :+ explode(Dsir.gramsOf(col("__ws"))).as("__g"): _*)
+      .select(keep :+ Dsir.bucket(col("__g"), width).as("b"): _*)
+  }
 
   /** (doc_id, b, x) normalized hashed-gram features + a bias row b=-1,
     * x pinned to 9 dp. ONE corpus tokenize: the per-doc gram total is a
@@ -182,5 +184,40 @@ object QualityClassifier {
           .as("__p"))
       .select(col(idCol), col("n_grams"), fr6(col("__p")).as("score"),
         when(col("__p") >= 0.5d, 1L).otherwise(0L).as("pred"))
+  }
+
+  /** Streaming scoring WITH per-domain Platt calibration applied in the
+    * same plan — the production ingest-filter shape: the classifier
+    * coefficients AND the (domain, cal_a, cal_b) fit table (from
+    * [[Calibration.plattFit]] on the batch twin's scores) broadcast
+    * into the gram stream, and the calibrated probability is emitted
+    * per document.
+    *
+    * Streaming plans disallow joins AFTER an aggregation, so the
+    * parameter join happens at gram level (a ≤|domains|-row broadcast)
+    * and (cal_a, cal_b) ride the groupBy keys — constant per domain, so
+    * state size is unchanged. Pins are the scoreStream + plattCalibrate
+    * composition exactly: score = round6 of the 9-dp gram-mean sigmoid,
+    * cal_score = round6 sigmoid(a·score + b), pred on the calibrated
+    * 9-dp probability. */
+  def scoreStreamCalibrated(docs: DataFrame, idCol: String,
+                            domainCol: String, textCol: String,
+                            weights: DataFrame, fit: DataFrame,
+                            width: Int = 32): DataFrame = {
+    val bias = lit(weights.filter(col("b") === -1L).head().getDouble(1))
+    val p9 = r9(lit(1.0d) / (lit(1.0d) +
+      exp(-r9(bias + col("__s").cast("double") / col("n_grams")))))
+    val score6 = fr6(p9)
+    val cal9 = r9(lit(1.0d) / (lit(1.0d) +
+      exp(-r9(col("cal_a") * score6 + col("cal_b")))))
+    gramBuckets(docs, idCol, textCol, width, carry = Seq(domainCol))
+      .join(broadcast(weights.filter(col("b") >= 0L)), "b")
+      .join(broadcast(fit), domainCol)
+      .groupBy(col(idCol), col(domainCol), col("cal_a"), col("cal_b"))
+      .agg(sum(col("w").cast("decimal(38,9)")).as("__s"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col(domainCol), col("n_grams"),
+        score6.as("score"), fr6(cal9).as("cal_score"),
+        when(cal9 >= 0.5d, 1L).otherwise(0L).as("pred"))
   }
 }

@@ -38,6 +38,28 @@ class QualityClassifierSpec extends SparkSpec {
     assert(mm.getDouble(0) >= 0d && mm.getDouble(1) <= 1d)
   }
 
+  test("scoreStreamCalibrated batch twin == scoreStream + Platt composition") {
+    import graft.text.Calibration
+    val docs = corpus(90).withColumn("src",
+      concat(lit("s"), (col("doc_id") % 3).cast("string")))
+    val w = QualityClassifier.train(docs, "doc_id", "text", col("y") === 1L)
+    val twin = QualityClassifier.scoreStream(docs, "doc_id", "text", w)
+      .join(docs.select(col("doc_id"), col("src"),
+        col("y").cast("double").as("yy")), "doc_id")
+    val fit = Calibration.plattFit(twin, "src", "score", "yy")
+    val direct = QualityClassifier
+      .scoreStreamCalibrated(docs, "doc_id", "src", "text", w, fit)
+      .select("doc_id", "score", "cal_score").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    // plattCalibrate re-fits on the same (score, label) relation with the
+    // same iters/lr → identical parameters → identical calibrated scores
+    val composed = Calibration.plattCalibrate(twin, "doc_id", "src",
+        "score", "yy")
+      .select("doc_id", "score", "cal_score").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(direct == composed)
+  }
+
   test("training is bit-reproducible across partitionings") {
     val docs = corpus(60)
     val w1 = QualityClassifier.train(docs.repartition(1), "doc_id", "text",
