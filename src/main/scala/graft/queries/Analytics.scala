@@ -132,12 +132,12 @@ object Analytics {
     // joins. Emits raw + calibrated probability per document.
     "q_stream_calibrated" -> ((s, dir) => {
       val d0 = t(s, dir, "documents")
-      val wt = graft.text.QualityClassifier.train(d0, "doc_id", "text",
-        col("lang") === "en")
-      val twin = graft.text.QualityClassifier
-        .scoreStream(d0, "doc_id", "text", wt)
-        .join(d0.select(col("doc_id"), col("source"),
-          when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")), "doc_id")
+      // ONE corpus tokenize for training AND the twin scores the
+      // calibrator fits on (the DSIR-fusion discipline)
+      val (wt, twin0) = graft.text.QualityClassifier
+        .trainWithStreamTwin(d0, "doc_id", "text", col("lang") === "en")
+      val twin = twin0.join(d0.select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")), "doc_id")
       val fit = graft.text.Calibration.plattFit(twin, "source", "score", "y")
       val src = s.readStream.schema(d0.schema)
         .parquet(s"$dir/{documents.parquet}")

@@ -44,22 +44,31 @@ object QualityClassifier {
       .select(keep :+ Dsir.bucket(col("__g"), width).as("b"): _*)
   }
 
-  /** (doc_id, b, x) normalized hashed-gram features + a bias row b=-1,
-    * x pinned to 9 dp. ONE corpus tokenize: the per-doc gram total is a
-    * doc-keyed window sum over the (doc, bucket) counts (≤width rows
-    * per partition key — never a global window), and the bias rows come
-    * straight from the doc-id projection. */
-  private def features(docs: DataFrame, idCol: String, textCol: String,
-                       width: Int): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    val cnts = gramBuckets(docs, idCol, textCol, width)
+  /** (doc_id, b, c) bucket counts — the ONE tokenize both the
+    * normalized feature relation and the gram-mean twin scorer ride. */
+  private def bucketCounts(docs: DataFrame, idCol: String, textCol: String,
+                           width: Int): DataFrame =
+    gramBuckets(docs, idCol, textCol, width)
       .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
-      .select(col(idCol), col("b"),
-        r9(col("c").cast("double") / sum("c").over(byDoc)).as("x"))
+
+  /** (doc_id, b, x) normalized hashed-gram features + a bias row b=-1,
+    * x pinned to 9 dp. The per-doc gram total is a doc-keyed window sum
+    * over the (doc, bucket) counts (≤width rows per partition key —
+    * never a global window), and the bias rows come straight from the
+    * doc-id projection. */
+  private def featuresFromCounts(cnts: DataFrame, docs: DataFrame,
+                                 idCol: String): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     // every doc has ≥1 gram under this tokenizer, so the bias set from
     // the source projection equals the tokenized doc set
-    cnts.union(docs.select(col(idCol), lit(-1L).as("b"), lit(1.0d).as("x")))
+    cnts.select(col(idCol), col("b"),
+        r9(col("c").cast("double") / sum("c").over(byDoc)).as("x"))
+      .union(docs.select(col(idCol), lit(-1L).as("b"), lit(1.0d).as("x")))
   }
+
+  private def features(docs: DataFrame, idCol: String, textCol: String,
+                       width: Int): DataFrame =
+    featuresFromCounts(bucketCounts(docs, idCol, textCol, width), docs, idCol)
 
   /** GD loop over a (persisted) feature relation; ≤33-value driver
     * state, one broadcast join + two partial-agg shuffles per step. */
@@ -186,6 +195,56 @@ object QualityClassifier {
         when(col("__p") >= 0.5d, 1L).otherwise(0L).as("pred"))
   }
 
+  /** Gram-mean scoring from the bucket-count relation — the EXACT batch
+    * twin of [[scoreStream]] in zero extra tokenizes: the DECIMAL(38,9)
+    * sum of c_b·w_b equals the per-gram sum of w (w is 9-dp, c integer,
+    * so each product is exact in scale-9 decimal and decimal addition
+    * is order-free). */
+  private def scoreMeanFromCounts(cnts: DataFrame, idCol: String,
+                                  weights: DataFrame): DataFrame = {
+    val bias = lit(weights.filter(col("b") === -1L).head().getDouble(1))
+    cnts
+      .join(broadcast(weights.filter(col("b") >= 0L)), "b")
+      .groupBy(col(idCol))
+      // w as decimal(19,9) × c as decimal(10,0) → decimal(30,9): exact
+      // (precision ≤ 38 — a (38,9) operand would overflow the result
+      // precision and Spark would silently REDUCE the scale)
+      .agg(sum(col("w").cast("decimal(19,9)") * col("c").cast("decimal(10,0)"))
+          .cast("decimal(38,9)").as("__s"),
+        sum("c").as("n_grams"))
+      .select(col(idCol), col("n_grams"),
+        r9(lit(1.0d) / (lit(1.0d) +
+          exp(-r9(bias + col("__s").cast("double") / col("n_grams")))))
+          .as("__p"))
+      .select(col(idCol), col("n_grams"), fr6(col("__p")).as("score"),
+        when(col("__p") >= 0.5d, 1L).otherwise(0L).as("pred"))
+  }
+
+  /** Train + the gram-mean batch twin of [[scoreStream]] in ONE corpus
+    * tokenize (the DSIR-fusion discipline): returns (weights, twin)
+    * where twin is bit-identical to `scoreStream(docs, …, weights)` —
+    * the calibrator-fitting input for [[scoreStreamCalibrated]] without
+    * a second pass over the corpus. Both results are materialized
+    * before the shared count relation unpersists. */
+  def trainWithStreamTwin(docs: DataFrame, idCol: String, textCol: String,
+                          labelPred: Column, width: Int = 32,
+                          iters: Int = 3,
+                          lr: Double = 5.0): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cnts = bucketCounts(docs, idCol, textCol, width).persist()
+    val feats = featuresFromCounts(cnts, docs, idCol).persist()
+    val labels = docs.select(col(idCol),
+      when(labelPred, 1.0d).otherwise(0.0d).as("y")).persist()
+    try {
+      val w = trainOnFeats(feats, labels, idCol, width, iters, lr)
+        .toSeq.toDF("b", "w")
+      val twin = scoreMeanFromCounts(cnts, idCol, w)
+        .localCheckpoint(eager = true)
+      (w, twin)
+    } finally { cnts.unpersist(); feats.unpersist(); labels.unpersist() }
+  }
+
   /** Streaming scoring WITH per-domain Platt calibration applied in the
     * same plan — the production ingest-filter shape: the classifier
     * coefficients AND the (domain, cal_a, cal_b) fit table (from
@@ -199,7 +258,12 @@ object QualityClassifier {
     * state size is unchanged. Pins are the scoreStream + plattCalibrate
     * composition exactly: score = round6 of the 9-dp gram-mean sigmoid,
     * cal_score = round6 sigmoid(a·score + b), pred on the calibrated
-    * 9-dp probability. */
+    * 9-dp probability.
+    *
+    * Documents whose domain is absent from `fit` are DROPPED by the
+    * inner parameter join — fit on a domain superset, or union a
+    * default (domain, 0, 0) row (identity calibration ≈ sigmoid(0·s+0)
+    * is NOT identity, so prefer refitting) before going live. */
   def scoreStreamCalibrated(docs: DataFrame, idCol: String,
                             domainCol: String, textCol: String,
                             weights: DataFrame, fit: DataFrame,

@@ -38,6 +38,23 @@ class QualityClassifierSpec extends SparkSpec {
     assert(mm.getDouble(0) >= 0d && mm.getDouble(1) <= 1d)
   }
 
+  test("trainWithStreamTwin: fused twin is bit-identical to scoreStream") {
+    val docs = corpus(70)
+    val (w, twin) = QualityClassifier.trainWithStreamTwin(docs, "doc_id",
+      "text", col("y") === 1L)
+    val direct = QualityClassifier.scoreStream(docs, "doc_id", "text", w)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val fused = twin.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(fused == direct)
+    // and the fused weights equal the standalone trainer's
+    val w2 = QualityClassifier.train(docs, "doc_id", "text", col("y") === 1L)
+      .orderBy("b").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(w.orderBy("b").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == w2)
+  }
+
   test("scoreStreamCalibrated batch twin == scoreStream + Platt composition") {
     import graft.text.Calibration
     val docs = corpus(90).withColumn("src",
