@@ -17,6 +17,11 @@ import CgiWriter.CgiError
   * response-side semantics (status, content-type, redirects, SSE flush,
   * HEAD, diagnostics) are byte-faithful to the reference test battery.
   *
+  * Local CGI redirects re-enter THIS door (the reference re-enters its
+  * whole gin router, so a script could redirect to any route; our door
+  * scopes redirect targets to the public tree — the one cross-door
+  * consumer, /db/tql's `/public/…` 302, already routes here).
+  *
   * Path rules (handlePublic): leading slash stripped, any `..` →
   * 400 "invalid path"; `/cgi-bin/` paths get `.js` appended when
   * missing and must resolve to a file; static GETs resolve directories

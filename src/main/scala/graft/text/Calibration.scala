@@ -114,7 +114,6 @@ object Calibration {
         d -> (round9(a - lr * ga), round9(b - lr * gb))
       }.toMap
     }
-    import spark.implicits._
     params.toSeq.map { case (d, (a, b)) => (d, a, b) }
       .toDF(domainCol, "cal_a", "cal_b")
   }
