@@ -103,6 +103,21 @@ object Analytics {
         "score", "y").orderBy("doc_id")
     }),
 
+    // ---- per-domain ISOTONIC calibration (PAV, Zadrozny & Elkan
+    // 2002): the non-parametric companion to Platt — fit on the 6-dp
+    // score BIN relation (bounded bins/domain at any corpus size),
+    // PAV per domain with exact integer pooling decisions, broadcast
+    // fit joined back onto documents.
+    "q_isotonic_calibrated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = graft.text.QualityClassifier
+        .trainAndScore(docs, "doc_id", "text", col("lang") === "en")
+      val joined = scored.join(docs.select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")), "doc_id")
+      graft.text.Calibration.isotonicCalibrate(joined, "doc_id", "source",
+        "score", "y").orderBy("doc_id")
+    }),
+
     // ---- reliability audit: per-domain expected calibration error
     // before (raw classifier score) vs after (Platt-calibrated) — the
     // metric that justifies the calibration step. Two bin-keyed
@@ -605,7 +620,42 @@ object Analytics {
          FROM er_$tag GROUP BY 1)"""
   }
 
+  /** The isotonic-calibration oracle suffix: the fit is reproduced via
+    * the MINIMAX characterization iso(i) = max_{j≤i} min_{k≥i}
+    * mean(y[j..k]) over the per-domain score bins (the isotonic
+    * solution is unique, so this equals the JVM's PAV bin-for-bin; all
+    * means are rationals with bounded denominators, so correctly-
+    * rounded double division is bit-identical across engines). O(bins³)
+    * per domain — fine at oracle SFs where bins/domain ≤ docs/domain. */
+  private val isoSuffix: String =
+    """, ss AS MATERIALIZED (SELECT sp.doc_id AS doc_id, d.source AS source,
+           floor(p * 1e6 + 0.5)/1e6 AS s,
+           CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         FROM sp JOIN documents d ON d.doc_id = sp.doc_id),
+       ibin AS (SELECT source, s, count(*) AS n,
+           CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS sy
+         FROM ss GROUP BY 1, 2),
+       iord AS MATERIALIZED (SELECT source, s, n, sy,
+           CAST(sum(n) OVER (PARTITION BY source ORDER BY s) AS BIGINT) AS cn,
+           CAST(sum(sy) OVER (PARTITION BY source ORDER BY s) AS BIGINT) AS cs,
+           row_number() OVER (PARTITION BY source ORDER BY s) AS i
+         FROM ibin),
+       tri AS (SELECT I.source AS source, I.i AS i, J.i AS j, K.i AS k,
+           CAST(K.cs - J.cs + J.sy AS DOUBLE) / (K.cn - J.cn + J.n) AS m
+         FROM iord I
+         JOIN iord J ON J.source = I.source AND J.i <= I.i
+         JOIN iord K ON K.source = I.source AND K.i >= I.i),
+       inn AS (SELECT source, i, j, min(m) AS mn FROM tri GROUP BY 1, 2, 3),
+       iso AS (SELECT source, i, max(mn) AS v FROM inn GROUP BY 1, 2),
+       ifit AS (SELECT iord.source AS source, s,
+           floor(v * 1e6 + 0.5)/1e6 AS iso_score
+         FROM iso JOIN iord ON iso.source = iord.source AND iso.i = iord.i)
+       SELECT ss.doc_id AS doc_id, ss.source AS source, s AS score,
+         iso_score, CAST(y AS BIGINT) AS label
+       FROM ss JOIN ifit USING (source, s) ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "q_isotonic_calibrated" -> qcOracle(isoSuffix),
     "q_quality_calibrated" -> qcOracle(calChain() +
       """
        SELECT doc_id, source, s AS score,

@@ -118,6 +118,72 @@ object Calibration {
       .toDF(domainCol, "cal_a", "cal_b")
   }
 
+  /** Per-domain isotonic calibration (pool-adjacent-violators, Barlow
+    * et al. 1972; Zadrozny & Elkan 2002 for classifier calibration —
+    * public methods, no reference analogue): fit the best monotone
+    * non-decreasing map score → P(y=1) within each domain. The
+    * non-parametric companion to [[plattCalibrate]] — preferred when
+    * the miscalibration is not sigmoid-shaped.
+    *
+    * Scale shape: scores are 6-dp pinned, so the fit runs on the
+    * (domain, score) BIN relation (≤1e6+1 bins per domain regardless
+    * of corpus size) — one partial-agg shuffle builds the bins, then
+    * PAV runs per domain inside `flatMapGroups` (bounded state: the
+    * pool stack over the domain's bins), and a broadcast join maps the
+    * fit back onto the documents. Nothing per-doc leaves the executors.
+    *
+    * Determinism: pooling decisions compare pool means by EXACT Long
+    * cross-multiplication (sum_prev·n_curr ≥ sum_curr·n_prev — y is
+    * 0/1 so pool sums are integers); the emitted value divides two
+    * exact longs (correctly-rounded IEEE division: equal rationals
+    * give identical doubles in any engine) and pins to 6 dp. The
+    * DuckDB oracle reproduces the fit through the minimax
+    * characterization iso(i) = max_{j≤i} min_{k≥i} mean(y[j..k]) —
+    * the isotonic solution is unique, so PAV and minimax agree
+    * bin-for-bin. */
+  def isotonicCalibrate(scored: DataFrame, idCol: String, domainCol: String,
+                        scoreCol: String, labelCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val base = scored.select(col(idCol), col(domainCol),
+      col(scoreCol).cast("double").as("score"),
+      col(labelCol).cast("double").as("__y")).persist()
+    try {
+      val bins = base.groupBy(col(domainCol), col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("__y").cast("long")).as("sy"))
+        .select(col(domainCol).as("__d"), col("score"), col("n"), col("sy"))
+        .as[(String, Double, Long, Long)]
+      val fit = bins.groupByKey(_._1)
+        .flatMapGroups { (d: String, it: Iterator[(String, Double, Long, Long)]) =>
+          val sorted = it.toArray.sortBy(_._2)
+          // PAV pool stack: (firstBinIdx, n, sy)
+          val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+          sorted.indices.foreach { i =>
+            var cur = (i, sorted(i)._3, sorted(i)._4)
+            // merge while the previous pool's mean ≥ current's (exact
+            // integer cross-multiplication — no float in the decision)
+            while (stack.nonEmpty &&
+              stack.last._3 * cur._2 >= cur._3 * stack.last._2) {
+              val p = stack.remove(stack.length - 1)
+              cur = (p._1, p._2 + cur._2, p._3 + cur._3)
+            }
+            stack += cur
+          }
+          stack.iterator.flatMap { case (start, n, sy) =>
+            val v = sy.toDouble / n.toDouble
+            val end = stack.find(_._1 > start).map(_._1).getOrElse(sorted.length)
+            (start until end).iterator.map(i => (d, sorted(i)._2, v))
+          }
+        }
+        .toDF(domainCol, "score", "__iso")
+      base.join(broadcast(fit), Seq(domainCol, "score"))
+        .select(col(idCol), col(domainCol), col("score"),
+          fr6(col("__iso")).as("iso_score"),
+          col("__y").cast("long").as("label"))
+        .localCheckpoint(eager = true)
+    } finally base.unpersist()
+  }
+
   /** Per-domain expected calibration error (Naeini et al. 2015,
     * "Obtaining Well Calibrated Probabilities Using Bayesian Binning" —
     * the standard reliability metric): 10 equal-width probability bins,

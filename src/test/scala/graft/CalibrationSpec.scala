@@ -63,6 +63,40 @@ class CalibrationSpec extends SparkSpec {
     }
   }
 
+  test("isotonic: PAV pools a textbook violator sequence") {
+    // scores .1/.2/.3/.4 with labels 1,0,0,1 → isotonic solution
+    // [1/3, 1/3, 1/3, 1] (the first three pool)
+    val df = Seq(
+      (1L, "d", 0.1, 1.0), (2L, "d", 0.2, 0.0),
+      (3L, "d", 0.3, 0.0), (4L, "d", 0.4, 1.0)
+    ).toDF("doc_id", "source", "score", "y")
+    val out = Calibration.isotonicCalibrate(df, "doc_id", "source",
+        "score", "y")
+      .orderBy("doc_id").collect().map(_.getAs[Double]("iso_score")).toSeq
+    assert(out == Seq(0.333333, 0.333333, 0.333333, 1.0))
+  }
+
+  test("isotonic: fit is monotone within each domain and reproducible") {
+    val docs = scored(300)
+    val out = Calibration.isotonicCalibrate(docs, "doc_id", "source",
+      "score", "y")
+    // non-decreasing in score within every domain
+    out.select("source", "score", "iso_score").distinct()
+      .collect().groupBy(_.getString(0)).foreach { case (_, rows) =>
+        val fit = rows.map(r => (r.getDouble(1), r.getDouble(2)))
+          .sortBy(_._1).map(_._2)
+        assert(fit.zip(fit.tail).forall { case (a, b) => a <= b }, fit.toSeq)
+      }
+    // repartition invariance (exact integer pooling decisions)
+    val a = Calibration.isotonicCalibrate(docs.repartition(1), "doc_id",
+      "source", "score", "y").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val b = Calibration.isotonicCalibrate(docs.repartition(7), "doc_id",
+      "source", "score", "y").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(a == b)
+  }
+
   test("fit is bit-reproducible across partitionings") {
     val docs = scored(120)
     def run(parts: Int) =
