@@ -44,7 +44,14 @@ final class CgiWriter(
   import CgiWriter._
 
   private val bodyBuf = new ByteArrayOutputStream()
-  private var headerBuf = Array.emptyByteArray
+  // pre-separator bytes: amortized-growth buffer + a resumable scan
+  // cursor, so a script streaming many small header writes costs
+  // O(total) (the reference appends amortized into a slice); capped at
+  // MaxHeaderBytes — a large body with no separator fails fast instead
+  // of buffering unboundedly.
+  private var hbuf = new Array[Byte](256)
+  private var hlen = 0
+  private var hscan = 0
   private var headerParsed = false
   private var headersApplied = false
   private var bodySeen = false
@@ -85,21 +92,47 @@ final class CgiWriter(
     if (p.isEmpty) return
     sawOutput = true
     if (headerParsed) { writeBody(p); return }
-    headerBuf = headerBuf ++ p
-    val (end, sepLen) = findHeaderEnd(headerBuf)
-    if (end < 0) return
-    val buffered = headerBuf
+    if (hlen + p.length > hbuf.length) {
+      var cap = math.max(hbuf.length * 2, 256)
+      while (cap < hlen + p.length) cap *= 2
+      hbuf = java.util.Arrays.copyOf(hbuf, cap)
+    }
+    System.arraycopy(p, 0, hbuf, hlen, p.length)
+    hlen += p.length
+    val (end, sepLen) = scanHeaderEnd()
+    if (end < 0) {
+      if (hlen > MaxHeaderBytes) throw new CgiError("missing header separator")
+      return
+    }
     val bodyStart = end + sepLen
-    meta = parseHeaderBlock(new String(buffered, 0, end, "UTF-8"))
-    headerBuf = Array.emptyByteArray
+    meta = parseHeaderBlock(new String(hbuf, 0, end, "UTF-8"))
     headerParsed = true
-    if (bodyStart == buffered.length) {
+    val buffered = hbuf
+    val bufferedLen = hlen
+    hbuf = Array.emptyByteArray; hlen = 0; hscan = 0
+    if (bodyStart == bufferedLen) {
       // header-only so far: SSE must commit + flush without waiting
       if (isSse(meta.contentType)) {
         applyHeaders(classify(meta, hasBody = false))
         flushCount += 1
       }
-    } else writeBody(java.util.Arrays.copyOfRange(buffered, bodyStart, buffered.length))
+    } else writeBody(java.util.Arrays.copyOfRange(buffered, bodyStart, bufferedLen))
+  }
+
+  /** Left-to-right scan for the first `\r\n\r\n` / `\n\n` (checking
+    * the longer pattern first at each index — equivalent to the
+    * first-by-position rule), resuming 3 bytes before where the last
+    * scan stopped so repeated writes cost amortized O(total). */
+  private def scanHeaderEnd(): (Int, Int) = {
+    var j = math.max(0, hscan - 3)
+    while (j < hlen - 1) {
+      if (hbuf(j) == '\r' && j + 3 < hlen && hbuf(j + 1) == '\n' &&
+        hbuf(j + 2) == '\r' && hbuf(j + 3) == '\n') return (j, 4)
+      if (hbuf(j) == '\n' && hbuf(j + 1) == '\n') return (j, 2)
+      j += 1
+    }
+    hscan = hlen
+    (-1, 0)
   }
 
   private def writeBody(p: Array[Byte]): Unit = {
@@ -155,14 +188,38 @@ final class CgiWriter(
     }
     dispatched.getOrElse(
       HttpReply(status, contentType, bodyBuf.toString("UTF-8"),
-        extraHeaders.toMap))
+        collapseHeaders(extraHeaders)))
+  }
+
+  /** HttpReply carries a single-valued header Map; a script emitting
+    * the same custom header twice combines RFC 7230 §3.2.2-style into
+    * one comma-separated value in first-seen order (the reference's
+    * http.Header.Add keeps a multi-value list — this is its
+    * wire-equivalent single-map form, instead of silently dropping all
+    * but the last value). */
+  private def collapseHeaders(hs: Vector[(String, String)]): Map[String, String] = {
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, StringBuilder]
+    hs.foreach { case (k, v) =>
+      order.get(k) match {
+        case Some(sb) => sb.append(", ").append(v)
+        case None => order(k) = new StringBuilder(v)
+      }
+    }
+    order.iterator.map { case (k, sb) => k -> sb.toString }.toMap
   }
 }
 
 object CgiWriter {
   /** Malformed CGI output — the door replies HTTP 500 with this reason
-    * (prefixed "invalid cgi response: "). */
+    * (prefixed "invalid cgi response: " at finalize time, or folded
+    * into "engine run error: " when raised by a write mid-script, the
+    * reference's split). */
   final class CgiError(msg: String) extends RuntimeException(msg)
+
+  /** Cap on buffered pre-separator bytes — a script that streams a
+    * large body without ever emitting the header separator fails fast
+    * instead of accumulating it all. */
+  val MaxHeaderBytes: Int = 1 << 20
 
   private[server] sealed trait ResponseType
   private[server] case object Document extends ResponseType

@@ -177,27 +177,34 @@ object HttpLoop {
       val script = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       (200, "application/json", graft.tql.Tql.run(session, script).getBytes("UTF-8"))
     })
-    // /db/public/… — static files + cgi-bin scripts from the server
-    // filesystem's /public tree (http_public.go handlePublic; the CGI
-    // response parse + door rules live in PublicDoor/CgiWriter)
-    srv.createContext("/db/public", (ex: HttpExchange) => respond(ex) {
-      val sub = ex.getRequestURI.getPath.stripPrefix("/db/public")
-      val hdrs = {
-        // canonicalize per dash-token: the JDK Headers class normalizes
-        // keys to "Content-type" while cgiEnv looks up "Content-Type"
-        def canon(k: String) = k.split("-").map(t =>
-          if (t.isEmpty) t else t.head.toUpper + t.tail.toLowerCase).mkString("-")
-        val b = Map.newBuilder[String, String]
-        ex.getRequestHeaders.forEach((k, vs) =>
-          if (!vs.isEmpty) b += canon(k) -> vs.get(0))
-        b.result()
+    // /db/public/… AND /public/… — static files + cgi-bin scripts from
+    // the server filesystem's /public tree (http_public.go handlePublic
+    // mounts at /public — that mount must exist or the door's own
+    // Location values, like the index.html 302 to "/public/app/", and
+    // /db/tql's "/public/…" 302 dangle; the CGI response parse + door
+    // rules live in PublicDoor/CgiWriter)
+    def publicHandler(mount: String): HttpExchange => Unit =
+      (ex: HttpExchange) => respond(ex) {
+        val sub = ex.getRequestURI.getPath.stripPrefix(mount)
+        val hdrs = {
+          // canonicalize per dash-token: the JDK Headers class normalizes
+          // keys to "Content-type" while cgiEnv looks up "Content-Type"
+          def canon(k: String) = k.split("-").map(t =>
+            if (t.isEmpty) t else t.head.toUpper + t.tail.toLowerCase).mkString("-")
+          val b = Map.newBuilder[String, String]
+          ex.getRequestHeaders.forEach((k, vs) =>
+            if (!vs.isEmpty) b += canon(k) -> vs.get(0))
+          b.result()
+        }
+        val r = PublicDoor.handle(sub, ex.getRequestMethod,
+          ServerFiles.publicFile, ServerFiles.publicDir,
+          Option(ex.getRequestURI.getRawQuery).getOrElse(""), hdrs,
+          body = ex.getRequestBody.readAllBytes())
+        r.headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+        (r.status, r.contentType, r.wireBytes)
       }
-      val r = PublicDoor.handle(sub, ex.getRequestMethod,
-        ServerFiles.publicFile, ServerFiles.publicDir,
-        Option(ex.getRequestURI.getRawQuery).getOrElse(""), hdrs)
-      r.headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
-      (r.status, r.contentType, r.wireBytes)
-    })
+    srv.createContext("/db/public", ex => publicHandler("/db/public")(ex))
+    srv.createContext("/public", ex => publicHandler("/public")(ex))
     // POST /web/api/md — markdown → XHTML with {{ file_* }} substitution
     // from the base64 X-Referer header (http.go:1105-1144 handleMarkdown;
     // goldens http_test.go TestMarkdown)

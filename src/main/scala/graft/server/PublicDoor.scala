@@ -20,7 +20,15 @@ import CgiWriter.CgiError
   * Local CGI redirects re-enter THIS door (the reference re-enters its
   * whole gin router, so a script could redirect to any route; our door
   * scopes redirect targets to the public tree — the one cross-door
-  * consumer, /db/tql's `/public/…` 302, already routes here).
+  * consumer, /db/tql's `/public/…` 302, already routes here). A chain
+  * of local redirects is capped at [[PublicDoor.MaxLocalRedirects]] —
+  * a self-redirecting script replies 500 "too many redirects" instead
+  * of recursing unboundedly.
+  *
+  * The request body reaches CGI scripts as `process.stdin` —
+  * `read()` returns the whole body once then null, `readLine()`
+  * consumes it line-wise (the reference wires ctx.Request.Body as the
+  * script engine's stdin Reader, http_public.go:178).
   *
   * Path rules (handlePublic): leading slash stripped, any `..` →
   * 400 "invalid path"; `/cgi-bin/` paths get `.js` appended when
@@ -31,6 +39,12 @@ import CgiWriter.CgiError
   */
 object PublicDoor {
 
+  /** Local-redirect chain cap — past this the door replies 500 "too
+    * many redirects" (a CGI script redirecting to itself would
+    * otherwise recurse through handle() until StackOverflowError,
+    * which escapes the Exception handlers and drops the connection). */
+  val MaxLocalRedirects = 10
+
   /** Filesystem abstraction: `file(path)` = bytes when a regular file
     * exists, `dir(path)` = true when the path is a directory. */
   def handle(rawPath: String, method: String,
@@ -38,7 +52,9 @@ object PublicDoor {
              dir: String => Boolean,
              queryString: String = "",
              requestHeaders: Map[String, String] = Map.empty,
-             clockNs: Long = 0L): HttpReply = {
+             clockNs: Long = 0L,
+             body: Array[Byte] = Array.emptyByteArray,
+             redirectDepth: Int = 0): HttpReply = {
     val t0 = System.nanoTime()
     def elapse: String =
       graft.time.TimeFns.goDurationString(System.nanoTime() - t0)
@@ -46,6 +62,7 @@ object PublicDoor {
       HttpReply(status, "application/json; charset=utf-8",
         s"""{"success":false,"reason":${graft.sinks.GoJs.quote(reason)},"elapse":"$elapse"}""")
 
+    if (redirectDepth > MaxLocalRedirects) return err(500, "too many redirects")
     val trimmed = rawPath.stripPrefix("/")
     if (trimmed.contains("..")) return err(400, "invalid path")
     val path = "/public/" + trimmed
@@ -56,9 +73,9 @@ object PublicDoor {
         case None => err(404, "not found")
         case Some(src) =>
           runCgi(new String(src, "UTF-8"), scriptPath, method, queryString,
-            requestHeaders, clockNs,
+            requestHeaders, clockNs, body,
             loc => handle(loc.stripPrefix("/public/"), method, file, dir,
-              queryString, requestHeaders, clockNs),
+              queryString, requestHeaders, clockNs, body, redirectDepth + 1),
             err)
       }
     } else if (method.equalsIgnoreCase("GET")) {
@@ -113,7 +130,7 @@ object PublicDoor {
 
   private def runCgi(source: String, scriptName: String, method: String,
                      queryString: String, requestHeaders: Map[String, String],
-                     clockNs: Long,
+                     clockNs: Long, body: Array[Byte],
                      dispatch: String => HttpReply,
                      err: (Int, String) => HttpReply): HttpReply = {
     val writer = new CgiWriter(method, loc => dispatch(loc))
@@ -136,19 +153,45 @@ object PublicDoor {
     cgiEnv(scriptName, method, queryString, requestHeaders)
       .foreach { case (k, v) => envObj(k) = v }
     process("env") = envObj
+    // process.stdin: the request body as the script's input stream
+    // (the reference passes ctx.Request.Body as the engine stdin
+    // Reader, http_public.go:178). read() drains the remainder once;
+    // readLine() consumes through the next '\n' (kept, Go bufio-style);
+    // both return null at EOF.
+    val bodyText = new String(body, "UTF-8")
+    var stdinPos = 0
+    val stdin = graft.script.Interp.newObj()
+    stdin("read") = graft.script.Interp.Native("read", 0, (_, _) =>
+      if (stdinPos >= bodyText.length) null
+      else { val s = bodyText.substring(stdinPos); stdinPos = bodyText.length; s })
+    stdin("readLine") = graft.script.Interp.Native("readLine", 0, (_, _) =>
+      if (stdinPos >= bodyText.length) null
+      else {
+        val nl = bodyText.indexOf('\n', stdinPos)
+        val end = if (nl < 0) bodyText.length else nl + 1
+        val s = bodyText.substring(stdinPos, end); stdinPos = end; s
+      })
+    process("stdin") = stdin
     interp.global.declare("process", process)
-    try {
-      interp.run(source)
-      writer.finish()
-    } catch {
-      case e: CgiError =>
-        err(500, CgiWriter.appendDiagnostic(
-          "invalid cgi response: " + e.getMessage,
-          stdout.toString, stderr.toString))
+    def diag(base: String): HttpReply =
+      err(500, CgiWriter.appendDiagnostic(base, stdout.toString, stderr.toString))
+    // Error-form parity (http_public.go): a failure while the script
+    // RUNS — including a CGI parse error raised by a write, which in
+    // the reference fails the engine's output write — is an "engine
+    // run error"; only Finalize-time parse failures are "invalid cgi
+    // response".
+    try interp.run(source)
+    catch {
       case e: Exception =>
         val m = Option(e.getMessage).filter(_.nonEmpty).getOrElse(e.toString)
-        err(500, CgiWriter.appendDiagnostic("engine run error: " + m,
-          stdout.toString, stderr.toString))
+        return diag("engine run error: " + m)
+    }
+    try writer.finish()
+    catch {
+      case e: CgiError => diag("invalid cgi response: " + e.getMessage)
+      case e: Exception =>
+        val m = Option(e.getMessage).filter(_.nonEmpty).getOrElse(e.toString)
+        diag("engine run error: " + m)
     }
   }
 }

@@ -309,7 +309,26 @@ class CgiDoorSpec extends AnyFunSuite {
     "/public/app/cgi-bin/bad.js" -> "console.log('no separator here');",
     "/public/app/cgi-bin/redir.js" ->
       """console.log('Location: /public/app/index.html');
-        |console.log('');""".stripMargin
+        |console.log('');""".stripMargin,
+    "/public/app/cgi-bin/selfloop.js" ->
+      """console.log('Location: /public/app/cgi-bin/selfloop.js');
+        |console.log('');""".stripMargin,
+    "/public/app/cgi-bin/echo_body.js" ->
+      """console.log('Content-Type: text/plain');
+        |console.log('');
+        |console.log('LEN', process.env.CONTENT_LENGTH);
+        |console.log('BODY', process.stdin.read());
+        |console.log('EOF', process.stdin.read());""".stripMargin,
+    "/public/app/cgi-bin/lines.js" ->
+      """console.log('Content-Type: text/plain');
+        |console.log('');
+        |var l; var n = 0;
+        |while ((l = process.stdin.readLine()) !== null) { n = n + 1; }
+        |console.log('LINES', n);""".stripMargin,
+    "/public/app/cgi-bin/redir_body.js" ->
+      """console.log('Location: /public/target');
+        |console.log('');
+        |console.log('a body after a local redirect');""".stripMargin
   ).map { case (k, v) => k -> v.getBytes("UTF-8") }
   private val fsDirs = Set("/public/app", "/public/app/")
 
@@ -370,6 +389,70 @@ class CgiDoorSpec extends AnyFunSuite {
     val r = door("app/../secret")
     assert(r.status == 400)
     assert(r.body.contains("invalid path"))
+  }
+
+  test("self-redirecting CGI script replies 500 too many redirects") {
+    val r = door("app/cgi-bin/selfloop")
+    assert(r.status == 500)
+    assert(r.body.contains("too many redirects"))
+  }
+
+  test("POST body reaches the script as process.stdin") {
+    val payload = "line one\nline two"
+    val r = PublicDoor.handle("app/cgi-bin/echo_body", "POST",
+      fsFiles.get, fsDirs.contains,
+      requestHeaders = Map("Content-Length" -> payload.length.toString,
+        "Content-Type" -> "text/plain"),
+      body = payload.getBytes("UTF-8"))
+    assert(r.status == 200, r.body)
+    assert(r.body == s"LEN ${payload.length}\nBODY $payload\nEOF null\n")
+    // readLine() consumes line-wise: "line one\nline two" = 2 lines
+    val r2 = PublicDoor.handle("app/cgi-bin/lines", "POST",
+      fsFiles.get, fsDirs.contains, body = payload.getBytes("UTF-8"))
+    assert(r2.status == 200, r2.body)
+    assert(r2.body == "LINES 2\n")
+  }
+
+  test("write-time CGI parse failure surfaces as engine run error") {
+    // a body after local-redirect headers fails AT THE WRITE while the
+    // script runs — the reference folds that into the engine run error,
+    // not the finalize-time "invalid cgi response" form
+    val r = door("app/cgi-bin/redir_body")
+    assert(r.status == 500)
+    assert(r.body.contains("engine run error"))
+    assert(r.body.contains("must not include a message body"))
+  }
+
+  test("duplicate custom headers combine comma-separated") {
+    val w = new CgiWriter()
+    w.write(utf8("Content-Type: text/plain\r\nX-A: 1\r\nX-A: 2\r\nX-B: z\r\n\r\nok"))
+    val r = w.finish()
+    assert(r.headers("X-A") == "1, 2")
+    assert(r.headers("X-B") == "z")
+  }
+
+  test("pre-separator buffer is capped with missing header separator") {
+    val w = new CgiWriter()
+    val chunk = new Array[Byte](64 * 1024)
+    java.util.Arrays.fill(chunk, 'a'.toByte)
+    val e = intercept[CgiError] {
+      var i = 0
+      while (i <= CgiWriter.MaxHeaderBytes / chunk.length + 1) {
+        w.write(chunk); i += 1
+      }
+    }
+    assert(e.getMessage.contains("missing header separator"))
+  }
+
+  test("header separator found across byte-at-a-time writes") {
+    val w = new CgiWriter()
+    val full = "Content-Type: text/plain\r\nX-Test: ok\r\n\r\nstreamed body"
+    full.getBytes("UTF-8").foreach(b => w.write(Array(b)))
+    val r = w.finish()
+    assert(r.status == 200)
+    assert(r.contentType == "text/plain")
+    assert(r.headers("X-Test") == "ok")
+    assert(r.body == "streamed body")
   }
 
   test("missing file and missing script both 404") {

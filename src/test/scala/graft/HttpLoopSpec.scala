@@ -387,6 +387,23 @@ class HttpLoopSpec extends SparkSpec {
       assert(c3 == 200 && b3 == "hello x=1\n", s"$c3 $b3")
       // traversal rejected
       assert(get("/db/public/app/../x")._1 == 400)
+      // the door is ALSO mounted at /public (the reference mount) so the
+      // 302 Location above is followable and /db/tql's "/public/…" 302
+      // resolves: following the redirect serves the directory form
+      val (c5, _, b5) = get(loc)
+      assert(c5 == 200 && b5 == "<html><body>CGI Test</body></html>", s"$c5 $b5")
+      assert(get("/public/app/cgi-bin/hello?x=2")._3 == "hello x=2\n")
+      // POST body reaches CGI scripts as process.stdin
+      java.nio.file.Files.write(app.resolve("cgi-bin/echo.js"),
+        ("console.log('Content-Type: text/plain');\nconsole.log('');\n" +
+          "console.log('got:', process.stdin.read());").getBytes("UTF-8"))
+      val url = new java.net.URI(s"http://127.0.0.1:$port/public/app/cgi-bin/echo").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write("payload-42".getBytes("UTF-8"))
+      val b6 = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      conn.disconnect()
+      assert(b6 == "got: payload-42\n", b6)
     } finally {
       graft.tql.Compiler.templateRoot = prev
     }
