@@ -93,15 +93,8 @@ object Analytics {
     // Deterministic fixed-iteration GD twin of the classifier (9-dp +
     // DECIMAL discipline); driver state 2 values per domain, one
     // domain-keyed partial-agg shuffle per step, broadcast fit table.
-    "q_quality_calibrated" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val scored = graft.text.QualityClassifier
-        .trainAndScore(docs, "doc_id", "text", col("lang") === "en")
-      val joined = scored.join(docs.select(col("doc_id"), col("source"),
-        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")), "doc_id")
-      graft.text.Calibration.plattCalibrate(joined, "doc_id", "source",
-        "score", "y").orderBy("doc_id")
-    }),
+    "q_quality_calibrated" -> ((s, dir) =>
+      calibratedDocs(s, dir).orderBy("doc_id")),
 
     // ---- per-domain ISOTONIC calibration (PAV, Zadrozny & Elkan
     // 2002): the non-parametric companion to Platt — fit on the 6-dp
@@ -123,13 +116,7 @@ object Analytics {
     // metric that justifies the calibration step. Two bin-keyed
     // partial-agg shuffles per side, nothing per-doc on the driver.
     "q_calibration_ece" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val scored = graft.text.QualityClassifier
-        .trainAndScore(docs, "doc_id", "text", col("lang") === "en")
-      val joined = scored.join(docs.select(col("doc_id"), col("source"),
-        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")), "doc_id")
-      val cal = graft.text.Calibration.plattCalibrate(joined, "doc_id",
-        "source", "score", "y")
+      val cal = calibratedDocs(s, dir)
       val before = graft.text.Calibration.ece(cal, "source", "score", "label")
         .withColumnRenamed("ece", "ece_raw").drop("n_docs")
       val after = graft.text.Calibration.ece(cal, "source", "cal_score", "label")
@@ -164,6 +151,47 @@ object Analytics {
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       s.table(qn).orderBy("doc_id")
+    }),
+
+    // ---- DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429):
+    // group-DRO multiplicative weights over per-domain EXCESS log-loss
+    // of the calibrated classifier — the step after calibration in a
+    // real mixing pipeline. One corpus pass (domain-keyed partial agg)
+    // builds the loss table; the MW loop runs on k driver values.
+    "q_doremi_weights" -> ((s, dir) =>
+      graft.text.Doremi.domainWeights(calibratedDocs(s, dir), "source",
+        "cal_score", "label").orderBy("source")),
+
+    // ---- DoReMi mix: the fitted weights become per-domain quotas over
+    // a fixed doc budget (floor(w_d·200+0.5)), drawn with
+    // mixtureSample's deterministic md5-of-id rank — DoReMi's end use.
+    "q_doremi_mix" -> ((s, dir) => {
+      val cal = calibratedDocs(s, dir)
+      graft.text.Doremi.resample(cal,
+          cal.select("doc_id", "source", "cal_score"),
+          "source", "doc_id", "cal_score", "label", budget = 200)
+        .orderBy("doc_id")
+    }),
+
+    // ---- calibration COMPOSITION gate: the full production chain —
+    // classifier → per-domain Platt calibration → quality gate (keep
+    // docs at/above their domain's MEAN calibrated score — a relative
+    // gate bites at every scale where an absolute cutoff goes
+    // degenerate) → per-domain mixture quotas — hash-pinned end to
+    // end, not just stage by stage. Threshold is one domain-keyed
+    // partial agg broadcast back; the draw is the WindowGroupLimit
+    // mixture plan.
+    "q_calibrated_mixture" -> ((s, dir) => {
+      val cal = calibratedDocs(s, dir)
+      val thr = cal.groupBy(col("source"))
+        .agg(fround(sum(col("cal_score").cast("decimal(38,9)"))
+          .cast("double") / count(lit(1)), 9).as("__thr"))
+      val gated = cal.join(broadcast(thr), "source")
+        .filter(col("cal_score") >= col("__thr"))
+        .select("doc_id", "source", "cal_score")
+      graft.text.Curation.mixtureSample(gated, "source", "doc_id",
+          (0 until 20).map(i => s"src$i" -> 5).toMap)
+        .orderBy("doc_id")
     }),
 
     // ---- per-source distribution drift: KL(source || corpus) ----------
@@ -497,6 +525,20 @@ object Analytics {
          string_split(regexp_replace(lower(text),'\s+',' ','g'),' ') AS ws
        FROM documents"""
 
+  /** Shared prelude of the calibration/DoReMi family: classifier
+    * scores joined with source + 0/1 label, Platt-calibrated per
+    * domain (the q_quality_calibrated chain). */
+  private def calibratedDocs(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = graft.text.QualityClassifier
+      .trainAndScore(docs, "doc_id", "text", col("lang") === "en")
+    val joined = scored.join(docs.select(col("doc_id"), col("source"),
+      when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")), "doc_id")
+    graft.text.Calibration.plattCalibrate(joined, "doc_id", "source",
+      "score", "y")
+  }
+
   /** The quality-classifier oracle: the same fixed-iteration logistic
     * GD as text/QualityClassifier, UNROLLED as CTE chains (w0 → z1/p1/
     * e1/g1 → w1 → … ). Every intermediate is 9-dp pinned and every
@@ -654,8 +696,80 @@ object Analytics {
          iso_score, CAST(y AS BIGINT) AS label
        FROM ss JOIN ifit USING (source, s) ORDER BY doc_id"""
 
+  /** The DoReMi oracle chain: per-domain log-loss over `cc`, then the
+    * group-DRO multiplicative-weights loop unrolled as k-row CTE
+    * stages. Cross-domain sums use EXACT scaled-long arithmetic
+    * (floor(x·1e9+0.5) AS BIGINT — the Doremi.l9 twin; the /1e9 back
+    * out is one correctly-rounded IEEE division), so the fixed-order
+    * driver loop and DuckDB's unordered SUM agree bit-for-bit. */
+  private def doremiChain(steps: Int = 5): String = {
+    def r9(e: String) = s"floor(($e) * 1e9 + 0.5)/1e9"
+    val base =
+      s""", pcx AS (SELECT source, y,
+           greatest(least(floor(p9 * 1e6 + 0.5)/1e6, 0.999999), 0.000001) AS pc
+         FROM cc),
+       dl AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           ${r9("CAST(sum(CAST(" +
+             r9("-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))") +
+             " AS DECIMAL(38,9))) AS DOUBLE) / count(*)")} AS ld
+         FROM pcx GROUP BY 1),
+       kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM dl),
+       da0 AS (SELECT source, ${r9("1.0 / (SELECT k FROM kk)")} AS a FROM dl)"""
+    val stepSql = (1 to steps).map { i =>
+      val p = s"da${i - 1}"
+      s"""dlb$i AS (SELECT CAST(sum(CAST(floor(a * ld * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)/1e9 AS lb
+           FROM $p JOIN dl USING (source)),
+         du$i AS MATERIALIZED (SELECT $p.source AS source,
+             ${r9("a * " + r9("exp(" +
+               r9("1.0 * greatest(" + r9(s"ld - (SELECT lb FROM dlb$i)") + ", 0.0)") +
+               ")"))} AS u
+           FROM $p JOIN dl USING (source)),
+         dz$i AS (SELECT CAST(sum(CAST(floor(u * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)/1e9 AS z FROM du$i),
+         da$i AS MATERIALIZED (SELECT source,
+             ${r9(r9("(1.0 - 0.1) * " + r9(s"u / (SELECT z FROM dz$i)")) +
+               " + 0.1 / (SELECT k FROM kk)")} AS a
+           FROM du$i)"""
+    }.mkString(",\n       ")
+    s"$base,\n       $stepSql"
+  }
+
   val oracles: Map[String, String] = Map(
     "q_isotonic_calibrated" -> qcOracle(isoSuffix),
+    "q_doremi_weights" -> qcOracle(calChain() + doremiChain() +
+      """
+       SELECT dl.source AS source, n_docs,
+         floor(ld * 1e6 + 0.5)/1e6 AS loss,
+         floor(a * 1e6 + 0.5)/1e6 AS weight
+       FROM dl JOIN da5 USING (source) ORDER BY source"""),
+    "q_doremi_mix" -> qcOracle(calChain() + doremiChain() +
+      """,
+       dq AS (SELECT source,
+           CAST(floor(floor(a * 1e6 + 0.5)/1e6 * 200 + 0.5) AS BIGINT) AS q
+         FROM da5),
+       mrk AS (SELECT cc.doc_id AS doc_id, cc.source AS source,
+           floor(p9 * 1e6 + 0.5)/1e6 AS cal_score,
+           row_number() OVER (PARTITION BY cc.source
+             ORDER BY md5(CAST(cc.doc_id AS VARCHAR)), cc.doc_id) AS rk
+         FROM cc)
+       SELECT doc_id, mrk.source AS source, cal_score
+       FROM mrk JOIN dq ON dq.source = mrk.source AND rk <= q
+       ORDER BY doc_id"""),
+    "q_calibrated_mixture" -> qcOracle(calChain() +
+      """,
+       qt AS (SELECT source,
+           floor(CAST(sum(CAST(floor(p9 * 1e6 + 0.5)/1e6 AS DECIMAL(38,9))) AS DOUBLE)
+             / count(*) * 1e9 + 0.5)/1e9 AS thr
+         FROM cc GROUP BY 1),
+       qd AS (SELECT doc_id, cc.source AS source,
+           floor(p9 * 1e6 + 0.5)/1e6 AS cal_score
+         FROM cc JOIN qt USING (source)
+         WHERE floor(p9 * 1e6 + 0.5)/1e6 >= thr),
+       qrk AS (SELECT doc_id, source, cal_score,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM qd)
+       SELECT doc_id, source, cal_score FROM qrk WHERE rk <= 5
+       ORDER BY doc_id"""),
     "q_quality_calibrated" -> qcOracle(calChain() +
       """
        SELECT doc_id, source, s AS score,
