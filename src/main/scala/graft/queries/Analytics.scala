@@ -667,8 +667,13 @@ object Analytics {
     * mean(y[j..k]) over the per-domain score bins (the isotonic
     * solution is unique, so this equals the JVM's PAV bin-for-bin; all
     * means are rationals with bounded denominators, so correctly-
-    * rounded double division is bit-identical across engines). O(bins³)
-    * per domain — fine at oracle SFs where bins/domain ≤ docs/domain. */
+    * rounded double division is bit-identical across engines).
+    * Evaluated in O(bins²): one (j≤k) pair relation carries the
+    * interval means, a k-DESC running min per j gives
+    * B(j,i) = min_{k≥i} m(j,k) at the (j, k=i) row, and a j-ASC
+    * running max per i read at j=i gives the outer max — the running
+    * extremes replace the r16 tri join that was O(bins³) per domain
+    * (infeasible at the sf1 decade's 2.5k bins/domain). */
   private val isoSuffix: String =
     """, ss AS MATERIALIZED (SELECT sp.doc_id AS doc_id, d.source AS source,
            floor(p * 1e6 + 0.5)/1e6 AS s,
@@ -682,16 +687,22 @@ object Analytics {
            CAST(sum(sy) OVER (PARTITION BY source ORDER BY s) AS BIGINT) AS cs,
            row_number() OVER (PARTITION BY source ORDER BY s) AS i
          FROM ibin),
-       tri AS (SELECT I.source AS source, I.i AS i, J.i AS j, K.i AS k,
+       ipr AS (SELECT J.source AS source, J.i AS j, K.i AS k,
            CAST(K.cs - J.cs + J.sy AS DOUBLE) / (K.cn - J.cn + J.n) AS m
-         FROM iord I
-         JOIN iord J ON J.source = I.source AND J.i <= I.i
-         JOIN iord K ON K.source = I.source AND K.i >= I.i),
-       inn AS (SELECT source, i, j, min(m) AS mn FROM tri GROUP BY 1, 2, 3),
-       iso AS (SELECT source, i, max(mn) AS v FROM inn GROUP BY 1, 2),
+         FROM iord J
+         JOIN iord K ON K.source = J.source AND K.i >= J.i),
+       irm AS (SELECT source, j, k,
+           min(m) OVER (PARTITION BY source, j ORDER BY k DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+         FROM ipr),
+       iso AS (SELECT source, k AS i, j,
+           max(mn) OVER (PARTITION BY source, k ORDER BY j
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+         FROM irm),
        ifit AS (SELECT iord.source AS source, s,
            floor(v * 1e6 + 0.5)/1e6 AS iso_score
-         FROM iso JOIN iord ON iso.source = iord.source AND iso.i = iord.i)
+         FROM iso JOIN iord ON iso.source = iord.source AND iso.i = iord.i
+         WHERE iso.j = iso.i)
        SELECT ss.doc_id AS doc_id, ss.source AS source, s AS score,
          iso_score, CAST(y AS BIGINT) AS label
        FROM ss JOIN ifit USING (source, s) ORDER BY doc_id"""

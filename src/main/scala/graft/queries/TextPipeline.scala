@@ -1092,15 +1092,27 @@ object TextPipeline {
              ELSE 0 END) AS BIGINT) AS simhash
          FROM votes GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_jaccard" ->
+      // sparse gram-join form: |A∩B| via shared-gram GROUP BY instead
+      // of all-pairs list_intersect — identical values (pairs sharing
+      // no gram have j = 0 < the 0.3 threshold either way), but hash-
+      // join-parallel where the nested-loop list form ran one DuckDB
+      // thread for an hour at the sf1 decade
       """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS sp FROM documents),
-         b AS (SELECT doc_id, source,
+         b AS MATERIALIZED (SELECT doc_id, source,
                  list_distinct(list_transform(generate_series(1, len(sp)-1),
                    i -> sp[i] || ' ' || sp[i+1])) AS bg
                FROM w WHERE len(sp) >= 2),
-         p AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-                 CAST(len(list_intersect(a.bg, c.bg)) AS DOUBLE) /
-                 (len(a.bg) + len(c.bg) - len(list_intersect(a.bg, c.bg))) AS j
-               FROM b a JOIN b c ON a.source = c.source AND a.doc_id < c.doc_id)
+         bl AS MATERIALIZED (SELECT doc_id, source, len(bg) AS nb FROM b),
+         g AS (SELECT doc_id, source, unnest(bg) AS gr FROM b),
+         ic AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS inter
+               FROM g a JOIN g c ON a.source = c.source AND a.gr = c.gr
+                 AND a.doc_id < c.doc_id
+               GROUP BY 1, 2),
+         p AS (SELECT doc_a, doc_b,
+                 CAST(inter AS DOUBLE) / (la.nb + lb.nb - inter) AS j
+               FROM ic
+               JOIN bl la ON la.doc_id = ic.doc_a
+               JOIN bl lb ON lb.doc_id = ic.doc_b)
          SELECT doc_a, doc_b, floor((j)*10000.0 + 0.5)/10000.0 AS jaccard FROM p
          WHERE j >= 0.3 ORDER BY doc_a, doc_b""",
     "q_pipeline_curate" ->
