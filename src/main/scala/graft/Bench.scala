@@ -89,6 +89,11 @@ object Bench {
       time1(df.write.mode("overwrite").parquet(s"$scratch/$sub"))
     // warm the parquet writer path (class loading, codec init)
     writeRun(simpleRows(100000L), "warm")
+    // The sentinel measures HOST contention, not JVM warmth: discard
+    // one untimed run first — codegen + C2 for its generated loop land
+    // there (r17 observed every fresh JVM reading before ≈ 1.5× after
+    // purely from JIT, which the drift gate misread as a hot start).
+    sentinelSec()
     val sentinelBefore = sentinelSec()
 
     // per-core: one partition end-to-end == one core doing generate+encode+write
