@@ -186,22 +186,31 @@ object HttpLoop {
     def publicHandler(mount: String): HttpExchange => Unit =
       (ex: HttpExchange) => respond(ex) {
         val sub = ex.getRequestURI.getPath.stripPrefix(mount)
-        val hdrs = {
-          // canonicalize per dash-token: the JDK Headers class normalizes
-          // keys to "Content-type" while cgiEnv looks up "Content-Type"
-          def canon(k: String) = k.split("-").map(t =>
-            if (t.isEmpty) t else t.head.toUpper + t.tail.toLowerCase).mkString("-")
-          val b = Map.newBuilder[String, String]
-          ex.getRequestHeaders.forEach((k, vs) =>
-            if (!vs.isEmpty) b += canon(k) -> vs.get(0))
-          b.result()
+        // the JDK server matches contexts by PLAIN string prefix, so
+        // "/publicfoo" also lands here — only segment-boundary paths
+        // belong to the door (gin's "/public/*path" is segment-aware)
+        if (sub.nonEmpty && !sub.startsWith("/"))
+          (404, "application/json; charset=utf-8",
+            """{"success":false,"reason":"not found"}""".getBytes("UTF-8"))
+        else {
+          val hdrs = {
+            // canonicalize per dash-token: the JDK Headers class
+            // normalizes keys to "Content-type" while cgiEnv looks up
+            // "Content-Type"
+            def canon(k: String) = k.split("-").map(t =>
+              if (t.isEmpty) t else t.head.toUpper + t.tail.toLowerCase).mkString("-")
+            val b = Map.newBuilder[String, String]
+            ex.getRequestHeaders.forEach((k, vs) =>
+              if (!vs.isEmpty) b += canon(k) -> vs.get(0))
+            b.result()
+          }
+          val r = PublicDoor.handle(sub, ex.getRequestMethod,
+            ServerFiles.publicFile, ServerFiles.publicDir,
+            Option(ex.getRequestURI.getRawQuery).getOrElse(""), hdrs,
+            body = ex.getRequestBody.readAllBytes())
+          r.headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+          (r.status, r.contentType, r.wireBytes)
         }
-        val r = PublicDoor.handle(sub, ex.getRequestMethod,
-          ServerFiles.publicFile, ServerFiles.publicDir,
-          Option(ex.getRequestURI.getRawQuery).getOrElse(""), hdrs,
-          body = ex.getRequestBody.readAllBytes())
-        r.headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
-        (r.status, r.contentType, r.wireBytes)
       }
     srv.createContext("/db/public", ex => publicHandler("/db/public")(ex))
     srv.createContext("/public", ex => publicHandler("/public")(ex))

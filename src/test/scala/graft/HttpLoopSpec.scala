@@ -393,6 +393,9 @@ class HttpLoopSpec extends SparkSpec {
       val (c5, _, b5) = get(loc)
       assert(c5 == 200 && b5 == "<html><body>CGI Test</body></html>", s"$c5 $b5")
       assert(get("/public/app/cgi-bin/hello?x=2")._3 == "hello x=2\n")
+      // the JDK server's plain-prefix context match must not leak
+      // "/publicfoo" into the door as "foo"
+      assert(get("/publicapp/")._1 == 404)
       // POST body reaches CGI scripts as process.stdin
       java.nio.file.Files.write(app.resolve("cgi-bin/echo.js"),
         ("console.log('Content-Type: text/plain');\nconsole.log('');\n" +
