@@ -21,3 +21,21 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }
+
+/** Pre-expansion rebalance (optimization guide §2.5, "input skew"): a
+  * corpus arriving in fewer splits than the cluster is wide — one small
+  * file locally, a skewed directory at scale — would run a CPU-heavy
+  * row expansion (tokenize + n-gram explode + per-gram hashing) on
+  * those few threads while the rest of the cluster idles. The cheap
+  * pre-shuffle of raw rows buys full-width expansion; a no-op whenever
+  * the source is already at least cluster-wide. Streaming frames have
+  * no static partitioning to inspect (micro-batch width is the
+  * source's concern), so they rebalance unconditionally. */
+object Par {
+  def expand(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.isStreaming) df.repartition(par)
+    else if (df.rdd.getNumPartitions < par) df.repartition(par)
+    else df
+  }
+}

@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   * reproducible by the DuckDB oracle with the iterations unrolled as
   * CTE chains.
   *
-  * Scale shape: driver state is 2 values per domain (domains are a
-  * bounded label set — the kmeans k×d license); each GD step is one
-  * broadcast join of the parameter table plus ONE domain-keyed
-  * partial-agg shuffle; the final calibration pass is a broadcast join.
+  * Scale shape (r18): driver state is 2 values per domain (domains are
+  * a bounded label set — the kmeans k×d license); each GD step is ONE
+  * domain-keyed partial-agg shuffle with the parameters inlined as map
+  * literals (no joins, no broadcasts in the loop); the final
+  * calibration pass is a pure projection through the same literals.
   * Nothing corpus-quadratic, no windows, no per-row driver work.
   */
 object Calibration {
@@ -57,14 +58,26 @@ object Calibration {
       col(labelCol).cast("double").as("__y"))
     val base = if (materialize) base0.persist() else base0
     try {
-      val fit = fitOn(base, domainCol, iters, lr)
-      val out = base.join(broadcast(fit), domainCol)
+      val fit = fitParams(base, domainCol, iters, lr)
+      // (A_d, B_d) inline as |domains|-entry map literals (domains are a
+      // bounded label set) — the calibration pass is a pure projection,
+      // no join (r18; was a broadcast join of the fit table)
+      val aM = domainMap(fit.map { case (d, (a, _)) => d -> a })
+      val bM = domainMap(fit.map { case (d, (_, b)) => d -> b })
+      val out = base
         .select(col(idCol), col(domainCol), col("__s").as("score"),
-          fr6(sigmoid9(col("cal_a") * col("__s") + col("cal_b"))).as("cal_score"),
+          fr6(sigmoid9(element_at(aM, col(domainCol)) * col("__s") +
+            element_at(bM, col(domainCol)))).as("cal_score"),
           col("__y").cast("long").as("label"))
       if (materialize) out.localCheckpoint(eager = true) else out
     } finally if (materialize) base.unpersist()
   }
+
+  /** |domains|-entry map literal — the bounded-label-set lookup that
+    * replaces per-iteration broadcast joins of the parameter table. */
+  private def domainMap(m: Map[String, Double]): Column =
+    map(m.toSeq.sortBy(_._1)
+      .flatMap { case (d, v) => Seq(lit(d), lit(v)) }: _*)
 
   /** Fit alone: the (domainCol, cal_a, cal_b) parameter table, for
     * callers that apply calibration elsewhere (e.g. the streaming
@@ -79,42 +92,57 @@ object Calibration {
     finally base.unpersist()
   }
 
-  /** GD loop over a (domainCol, __s, __y) relation → (domainCol,
-    * cal_a, cal_b); 2·|domains| driver values, one domain-keyed
-    * partial-agg shuffle per step. */
-  private def fitOn(base: DataFrame, domainCol: String, iters: Int,
-                    lr: Double): DataFrame = {
-    val spark = base.sparkSession
-    import spark.implicits._
-    // domain sizes: one bounded collect (|domains| rows)
-    val nByDomain: Map[String, Double] =
-      base.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
-    var params: Map[String, (Double, Double)] =
-      nByDomain.keys.map(_ -> (0.0d, 0.0d)).toMap
-    for (_ <- 1 to iters) {
-      val pDf = params.toSeq.map { case (d, (a, b)) => (d, a, b) }
-        .toDF(domainCol, "cal_a", "cal_b")
+  /** GD loop over a (domainCol, __s, __y) relation → per-domain
+    * (cal_a, cal_b); 2·|domains| driver values, one domain-keyed
+    * partial-agg shuffle per step. r18 shape: the parameters ride map
+    * literals instead of a per-step broadcast join (iteration 1 is the
+    * constant (0,0) lookup, so the domain set and sizes come out of its
+    * gradient agg — no separate count job), and each step is ONE job
+    * with no joins. Identical math/values to the old join form. */
+  private def fitParams(base: DataFrame, domainCol: String, iters: Int,
+                        lr: Double): Map[String, (Double, Double)] = {
+    var nByDomain: Map[String, Double] = Map.empty
+    var params: Map[String, (Double, Double)] = Map.empty
+    for (it <- 1 to iters) {
+      val (aCol, bCol) =
+        if (it == 1) (lit(0.0d), lit(0.0d)) // params start at (0, 0)
+        else (element_at(domainMap(params.map { case (d, (a, _)) => d -> a }),
+                col(domainCol)),
+              element_at(domainMap(params.map { case (d, (_, b)) => d -> b }),
+                col(domainCol)))
       // per-doc p under the current (A_d, B_d); err = p - y is exact
       // (9-dp double minus an integer)
-      val grad = base.join(broadcast(pDf), domainCol)
-        .select(col(domainCol), col("__s"),
-          (sigmoid9(col("cal_a") * col("__s") + col("cal_b")) - col("__y"))
-            .as("__e"))
+      val grad = base
+        .select(col(domainCol),
+          (sigmoid9(aCol * col("__s") + bCol) - col("__y")).as("__e"),
+          col("__s"))
         .groupBy(col(domainCol))
-        .agg(sum(r9(col("__e") * col("__s")).cast("decimal(38,9)")).as("__ga"),
+        .agg(count(lit(1)).as("n"),
+          sum(r9(col("__e") * col("__s")).cast("decimal(38,9)")).as("__ga"),
           sum(col("__e").cast("decimal(38,9)")).as("__gb"))
         .collect()
+      if (it == 1) {
+        nByDomain = grad.map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+        params = nByDomain.keys.map(_ -> (0.0d, 0.0d)).toMap
+      }
       params = grad.map { r =>
         val d = r.getString(0)
         val n = nByDomain(d)
         val (a, b) = params(d)
-        val ga = round9(r.getDecimal(1).doubleValue() / n)
-        val gb = round9(r.getDecimal(2).doubleValue() / n)
+        val ga = round9(r.getDecimal(2).doubleValue() / n)
+        val gb = round9(r.getDecimal(3).doubleValue() / n)
         d -> (round9(a - lr * ga), round9(b - lr * gb))
       }.toMap
     }
-    params.toSeq.map { case (d, (a, b)) => (d, a, b) }
+    params
+  }
+
+  private def fitOn(base: DataFrame, domainCol: String, iters: Int,
+                    lr: Double): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    fitParams(base, domainCol, iters, lr).toSeq
+      .map { case (d, (a, b)) => (d, a, b) }.sortBy(_._1)
       .toDF(domainCol, "cal_a", "cal_b")
   }
 
@@ -208,7 +236,9 @@ object Calibration {
         sum(col("__s").cast("decimal(38,9)")).as("s_b"),
         sum(col("__y").cast("decimal(38,9)")).as("p_b"))
     val totals = byBin.groupBy(col(domainCol)).agg(sum("n_b").as("n_docs"))
-    byBin.join(totals, domainCol)
+    // ≤|domains|·10-row bin relation joins its ≤|domains|-row totals:
+    // broadcast, never a shuffle pair (r18)
+    byBin.join(broadcast(totals), domainCol)
       .select(col(domainCol), col("n_docs"),
         r9((col("n_b").cast("double") / col("n_docs")) *
           abs(r9(col("s_b").cast("double") / col("n_b")) -

@@ -64,7 +64,8 @@ object Curation {
                             n: Int, distinctPerDoc: Boolean): DataFrame = {
     val grams0 = wordNgramsOf(col("__ws"), n)
     val grams = if (distinctPerDoc) array_distinct(grams0) else grams0
-    df.select(col(idCol), words(col(textCol)).as("__ws"))
+    graft.core.Par.expand(df)
+      .select(col(idCol), words(col(textCol)).as("__ws"))
       .select(col(idCol), explode(grams).as("gram"))
   }
 
@@ -81,18 +82,9 @@ object Curation {
                     textCol: String, n: Int): DataFrame = {
     val evalGrams = explodedGrams(eval_, idCol, textCol, n, distinctPerDoc = false)
       .select("gram").distinct()
-    // rebalance BEFORE the n-gram expansion: a corpus arriving in fewer
-    // splits than cores (one small file locally; a skewed directory at
-    // scale) would run the whole regex+explode on those few threads —
-    // the cheap pre-shuffle of raw docs buys full-width expansion.
-    // A STREAMING corpus has no static partitioning to inspect (micro-
-    // batch width is the source's concern) — same kernel, no rebalance.
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val balanced =
-      if (!corpus.isStreaming && corpus.rdd.getNumPartitions < par)
-        corpus.repartition(par)
-      else corpus
-    val corpusGrams = explodedGrams(balanced, idCol, textCol, n, distinctPerDoc = true)
+    // the pre-expansion rebalance (incl. the streaming form) now lives
+    // in explodedGrams via Par.expand (r18)
+    val corpusGrams = explodedGrams(corpus, idCol, textCol, n, distinctPerDoc = true)
     corpusGrams
       .join(broadcast(evalGrams), "gram")
       .groupBy(idCol)

@@ -41,7 +41,8 @@ object Dsir {
     * else aggregates from. */
   private def docBuckets(docs: DataFrame, idCol: String, textCol: String,
                          width: Int): DataFrame =
-    docs.select(col(idCol), Curation.words(col(textCol)).as("__ws"))
+    graft.core.Par.expand(docs)
+      .select(col(idCol), Curation.words(col(textCol)).as("__ws"))
       .select(col(idCol), explode(gramsOf(col("__ws"))).as("__g"))
       .select(col(idCol), bucket(col("__g"), width).as("b"))
 
@@ -57,7 +58,8 @@ object Dsir {
     // the ≤width-row result collects to the driver (the kmeans k×d-sums
     // license — bounded by construction) where totals and the smoothed
     // log-ratios compute locally, then ship back as a literal relation
-    val g2 = docs.select(col(idCol), targetPred.as("__t"),
+    val g2 = graft.core.Par.expand(docs)
+      .select(col(idCol), targetPred.as("__t"),
         Curation.words(col(textCol)).as("__ws"))
       .select(col("__t"), explode(gramsOf(col("__ws"))).as("__g"))
       .select(col("__t"), bucket(col("__g"), width).as("b"))
@@ -106,7 +108,8 @@ object Dsir {
                      materialize: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val stream0 = docs.select(col(idCol), targetPred.as("__t"),
+    val stream0 = graft.core.Par.expand(docs)
+      .select(col(idCol), targetPred.as("__t"),
         Curation.words(col(textCol)).as("__ws"))
       .select(col(idCol), col("__t"), explode(gramsOf(col("__ws"))).as("__g"))
       .select(col(idCol), col("__t"), bucket(col("__g"), width).as("b"))

@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   * deterministic across partitionings; at B+1 ≤ 33 coefficients the GD
   * path is the right trade.
   *
-  * Scale shape: ONE tokenize+explode pass builds the (doc, bucket, x)
-  * feature relation (persisted across iterations); each GD step is a
-  * broadcast join with the ≤33-row weight table plus two partial-agg
-  * shuffles (doc-keyed z, bucket-keyed gradient); the gradient collect
-  * is ≤33 rows (the kmeans k×d-sums license). Nothing corpus-quadratic;
-  * weights broadcast for the final scoring pass.
+  * Scale shape (r18): ONE tokenize+explode pass builds a per-doc
+  * feature-ARRAY relation (≤width+1 entries per row, persisted across
+  * iterations); each GD step is shuffle-free column math over it — the
+  * ≤33 coefficients inline as an array literal, z/p/err fold in an
+  * order-free DECIMAL(38,9) aggregate — plus one ≤33-row bucket-keyed
+  * gradient partial agg whose collect is bounded (the kmeans k×d-sums
+  * license). Nothing corpus-quadratic, no joins or broadcasts in the
+  * loop; scoring is a pure projection.
   */
 object QualityClassifier {
   private def r9(c: Column): Column = floor(c * 1e9 + 0.5) / 1e9
@@ -38,67 +40,101 @@ object QualityClassifier {
   private def gramBuckets(docs: DataFrame, idCol: String, textCol: String,
                           width: Int, carry: Seq[String] = Nil): DataFrame = {
     val keep = (idCol +: carry).map(col)
-    docs
+    // full-width tokenize+hash regardless of source splits (guide §2.5);
+    // also parallelizes the STREAMING scorers, whose one-file micro-
+    // batches otherwise expand single-threaded
+    graft.core.Par.expand(docs)
       .select(keep :+ Curation.words(col(textCol)).as("__ws"): _*)
       .select(keep :+ explode(Dsir.gramsOf(col("__ws"))).as("__g"): _*)
       .select(keep :+ Dsir.bucket(col("__g"), width).as("b"): _*)
   }
 
-  /** (doc_id, b, c) bucket counts — the ONE tokenize both the
-    * normalized feature relation and the gram-mean twin scorer ride. */
-  private def bucketCounts(docs: DataFrame, idCol: String, textCol: String,
-                           width: Int): DataFrame =
-    gramBuckets(docs, idCol, textCol, width)
-      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
-
-  /** (doc_id, b, x) normalized hashed-gram features + a bias row b=-1,
-    * x pinned to 9 dp. The per-doc gram total is a doc-keyed window sum
-    * over the (doc, bucket) counts (≤width rows per partition key —
-    * never a global window), and the bias rows come straight from the
-    * doc-id projection. */
-  private def featuresFromCounts(cnts: DataFrame, docs: DataFrame,
-                                 idCol: String): DataFrame = {
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    // every doc has ≥1 gram under this tokenizer, so the bias set from
-    // the source projection equals the tokenized doc set
-    cnts.select(col(idCol), col("b"),
-        r9(col("c").cast("double") / sum("c").over(byDoc)).as("x"))
-      .union(docs.select(col(idCol), lit(-1L).as("b"), lit(1.0d).as("x")))
+  /** ONE row per document: (idCol, __y, __bc, __n, __fs) where __bc is
+    * the b-sorted (b, c) bucket-count array, __n the total gram count,
+    * and __fs the normalized feature array with the bias entry
+    * (-1, 1.0) prepended — x = r9(c/n), exactly the values of the old
+    * (doc, b, x) row relation. TWO shuffles build it (the (doc, b)
+    * partial agg, then the doc-keyed collect_list — same count as the
+    * old build, which paid a (doc,b) agg plus a doc-keyed window);
+    * every GD iteration and the scoring pass are then SHUFFLE-FREE
+    * column math over this relation (plus one ≤width+1-row gradient
+    * agg per step) — the r18 optimization that removed the
+    * per-iteration broadcast-join + doc-keyed-agg + doc-keyed-join
+    * chain (3 corpus-scale exchanges and 2 broadcast builds per step).
+    * Arrays are bounded at width+1 entries regardless of corpus size,
+    * so rows stay small at any scale. */
+  private def docFeatures(docs: DataFrame, idCol: String, textCol: String,
+                          labelPred: Column, width: Int): DataFrame = {
+    val y = when(labelPred, 1.0d).otherwise(0.0d)
+    // every doc has ≥1 gram under this tokenizer, so the grouped doc
+    // set equals the source doc set (the old bias-row invariant)
+    gramBuckets(docs.withColumn("__y", y), idCol, textCol, width,
+        carry = Seq("__y"))
+      .groupBy(col(idCol), col("__y"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("__y"))
+      .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("__bc"))
+      .withColumn("__n",
+        aggregate(col("__bc"), lit(0L), (acc, f) => acc + f.getField("c")))
+      .withColumn("__fs", concat(
+        array(struct(lit(-1L).as("b"), lit(1.0d).as("x"))),
+        transform(col("__bc"), f => struct(f.getField("b").as("b"),
+          r9(f.getField("c").cast("double") / col("__n")).as("x")))))
   }
 
-  private def features(docs: DataFrame, idCol: String, textCol: String,
-                       width: Int): DataFrame =
-    featuresFromCounts(bucketCounts(docs, idCol, textCol, width), docs, idCol)
+  /** coefficient lookup: the ≤width+1 weights inline as an array
+    * literal indexed by b+2 (element_at is 1-based; b=-1 is the bias).
+    * bucket() yields b ∈ [0, width), so the index never leaves range. */
+  private def wArray(w: Map[Long, Double], width: Int): Column =
+    array(((-1L) +: (0L until width.toLong)).map(b => lit(w(b))): _*)
+  private def wAt(warr: Column, b: Column): Column =
+    element_at(warr, (b + lit(2L)).cast("int"))
 
-  /** GD loop over a (persisted) feature relation; ≤33-value driver
-    * state, one broadcast join + two partial-agg shuffles per step. */
-  private def trainOnFeats(feats: DataFrame, labels: DataFrame,
-                           idCol: String, width: Int, iters: Int,
-                           lr: Double): Map[Long, Double] = {
-    val spark = feats.sparkSession
-    import spark.implicits._
-    val nDocs = labels.count().toDouble
+  /** per-doc probability under `warr` as pure column math over __fs:
+    * z = Σ_b round9(w_b·x_b) in an order-free DECIMAL(38,9) fold (the
+    * same per-term double→decimal cast as the old cross-row sum, so
+    * the value is bit-identical), p = r9 sigmoid of the 9-dp z. */
+  private def pCol(warr: Column): Column = {
+    // decimal ADDITION grows precision by one integral digit, so a
+    // (38,9) accumulator would overflow to (38,8) and silently round.
+    // Fold at (30,9): term (20,9) + acc (30,9) → (31,9) exact, and the
+    // cast back to (30,9) is exact because |z| ≤ (width+1)·max|w·x| ≪
+    // 10^21. Values identical to the old (38,9) cross-row sum.
+    val zdec = aggregate(col("__fs"), lit(0).cast("decimal(30,9)"),
+      (acc, f) => (acc +
+        r9(wAt(warr, f.getField("b")) * f.getField("x")).cast("decimal(20,9)"))
+        .cast("decimal(30,9)"))
+    r9(lit(1.0d) / (lit(1.0d) + exp(-r9(zdec.cast("double")))))
+  }
+
+  /** GD loop over the (persisted) per-doc feature relation; ≤33-value
+    * driver state, and per step ONE job: a shuffle-free error
+    * projection, an explode, and the ≤width+1-row gradient partial
+    * agg + bounded collect. No joins, no broadcasts, no doc-keyed
+    * exchanges (the r18 shape — the old loop shuffled the feature
+    * relation three times per step). */
+  private def trainOnDocFeats(df: DataFrame, width: Int, iters: Int,
+                              lr: Double): Map[Long, Double] = {
+    // nDocs comes out of iteration 1's own gradient agg (the bias entry
+    // b = -1 appears exactly once per doc) — no separate count job
+    var nDocs = 0.0d
     var w: Map[Long, Double] =
       ((-1L) +: (0L until width.toLong)).map(_ -> 0.0d).toMap
-    for (_ <- 1 to iters) {
-      val wDf = w.toSeq.toDF("b", "wt")
-      // z = Σ_b round9(w_b·x_b), DECIMAL-exact across partitions; the
-      // 9-dp pin before sigmoid feeds exp the SAME double both engines
-      val z = feats.join(broadcast(wDf), "b")
-        .groupBy(col(idCol))
-        .agg(sum(r9(col("wt") * col("x")).cast("decimal(38,9)")).as("__z"))
-        .select(col(idCol),
-          r9(lit(1.0d) / (lit(1.0d) + exp(-r9(col("__z").cast("double")))))
-            .as("p"))
-      val err = z.join(labels, idCol)
-        .select(col(idCol), (col("p") - col("y")).as("err"))
-      // gradient g_b = Σ_docs round9(err·x_b) / N, 9-dp pinned; ≤33 rows
-      val grad = feats.join(err, idCol)
-        .groupBy(col("b"))
-        .agg(sum(r9(col("err") * col("x")).cast("decimal(38,9)")).as("__g"))
+    for (it <- 1 to iters) {
+      val warr = wArray(w, width)
+      // gradient g_b = Σ_docs round9(err·x_b) / N, 9-dp pinned, exact
+      // DECIMAL accumulation — identical values to the old join form
+      val rows = df
+        .select((pCol(warr) - col("__y")).as("__e"), col("__fs"))
+        .select(col("__e"), explode(col("__fs")).as("f"))
+        .groupBy(col("f.b").as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(r9(col("__e") * col("f.x")).cast("decimal(38,9)")).as("__g"))
         .collect()
-        .map(r => r.getLong(0) ->
-          round9(r.getDecimal(1).doubleValue() / nDocs)).toMap
+      if (it == 1)
+        nDocs = rows.find(_.getLong(0) == -1L).map(_.getLong(1)).get.toDouble
+      val grad = rows.map(r => r.getLong(0) ->
+        round9(r.getDecimal(2).doubleValue() / nDocs)).toMap
       w = w.map { case (b, wb) =>
         b -> round9(wb - lr * grad.getOrElse(b, 0.0d))
       }
@@ -114,58 +150,52 @@ object QualityClassifier {
             lr: Double = 5.0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val feats = features(docs, idCol, textCol, width).persist()
-    val labels = docs.select(col(idCol),
-      when(labelPred, 1.0d).otherwise(0.0d).as("y")).persist()
-    try trainOnFeats(feats, labels, idCol, width, iters, lr).toSeq.toDF("b", "w")
-    finally { feats.unpersist(); labels.unpersist() }
+    val df = docFeatures(docs, idCol, textCol, labelPred, width).persist()
+    try trainOnDocFeats(df, width, iters, lr).toSeq.sortBy(_._1).toDF("b", "w")
+    finally df.unpersist()
   }
 
-  /** Train + score in ONE corpus tokenize: the scoring pass reads the
-    * feature relation the trainer already persisted and the one-row-
-    * per-doc result materializes before unpersist (the Dsir
-    * weightedScores pattern). `materialize = false` returns the lazy
-    * inner plan instead — the audit hook, since an eager localCheckpoint
-    * truncates the lineage the plan assertions inspect. */
+  /** Train + score in ONE corpus tokenize: the scoring pass is a pure
+    * projection over the per-doc feature relation the trainer already
+    * persisted (no join, no shuffle) and the one-row-per-doc result
+    * materializes before unpersist (the Dsir weightedScores pattern).
+    * `materialize = false` returns the lazy inner plan instead — the
+    * audit hook, since an eager localCheckpoint truncates the lineage
+    * the plan assertions inspect. */
   def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
                     labelPred: Column, width: Int = 32, iters: Int = 3,
                     lr: Double = 5.0, materialize: Boolean = true): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     if (!materialize) {
-      val feats = features(docs, idCol, textCol, width)
-      val labels = docs.select(col(idCol),
-        when(labelPred, 1.0d).otherwise(0.0d).as("y"))
-      val w = trainOnFeats(feats, labels, idCol, width, iters, lr)
-      return scoreFeats(feats, idCol, w.toSeq.toDF("b", "w"))
+      val df = docFeatures(docs, idCol, textCol, labelPred, width)
+      val w = trainOnDocFeats(df, width, iters, lr)
+      return scoreDocFeats(df, idCol, w, width)
     }
-    val feats = features(docs, idCol, textCol, width).persist()
-    val labels = docs.select(col(idCol),
-      when(labelPred, 1.0d).otherwise(0.0d).as("y")).persist()
+    val df = docFeatures(docs, idCol, textCol, labelPred, width).persist()
     try {
-      val w = trainOnFeats(feats, labels, idCol, width, iters, lr)
-      scoreFeats(feats, idCol, w.toSeq.toDF("b", "w"))
-        .localCheckpoint(eager = true)
-    } finally { feats.unpersist(); labels.unpersist() }
+      val w = trainOnDocFeats(df, width, iters, lr)
+      scoreDocFeats(df, idCol, w, width).localCheckpoint(eager = true)
+    } finally df.unpersist()
   }
 
-  private def scoreFeats(feats: DataFrame, idCol: String,
-                         weights: DataFrame): DataFrame =
-    feats
-      .join(broadcast(weights), "b")
-      .groupBy(col(idCol))
-      .agg(sum(r9(col("w") * col("x")).cast("decimal(38,9)")).as("__z"))
-      .select(col(idCol),
-        r9(lit(1.0d) / (lit(1.0d) + exp(-r9(col("__z").cast("double")))))
-          .as("__p"))
+  /** shuffle-free scoring projection over the per-doc feature relation:
+    * (idCol, score, pred), value-identical to the old broadcast-join +
+    * doc-keyed-agg pass. */
+  private def scoreDocFeats(df: DataFrame, idCol: String,
+                            w: Map[Long, Double], width: Int): DataFrame =
+    df.select(col(idCol), pCol(wArray(w, width)).as("__p"))
       .select(col(idCol), fr6(col("__p")).as("score"),
         when(col("__p") >= 0.5d, 1L).otherwise(0L).as("pred"))
 
   /** Distributed scoring: (idCol, score, pred) — score = round6 sigmoid
-    * of the broadcast linear model, pred = score ≥ 0.5 as 0/1. */
+    * of the linear model, pred = score ≥ 0.5 as 0/1. The ≤width+1-row
+    * weight table collects to a literal (the kmeans k×d-sums license)
+    * so scoring is one shuffle-free projection per doc. */
   def score(docs: DataFrame, idCol: String, textCol: String,
-            weights: DataFrame, width: Int = 32): DataFrame =
-    scoreFeats(features(docs, idCol, textCol, width), idCol, weights)
+            weights: DataFrame, width: Int = 32): DataFrame = {
+    val w = weights.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    scoreDocFeats(docFeatures(docs, idCol, textCol, lit(false), width),
+      idCol, w, width)
+  }
 
   /** Streaming-safe gram-level scoring: z = r9(bias + Σ_g w[b(g)] / n)
     * — fastText's actual architecture (the MEAN of token weights,
@@ -195,27 +225,26 @@ object QualityClassifier {
         when(col("__p") >= 0.5d, 1L).otherwise(0L).as("pred"))
   }
 
-  /** Gram-mean scoring from the bucket-count relation — the EXACT batch
-    * twin of [[scoreStream]] in zero extra tokenizes: the DECIMAL(38,9)
-    * sum of c_b·w_b equals the per-gram sum of w (w is 9-dp, c integer,
-    * so each product is exact in scale-9 decimal and decimal addition
-    * is order-free). */
-  private def scoreMeanFromCounts(cnts: DataFrame, idCol: String,
-                                  weights: DataFrame): DataFrame = {
-    val bias = lit(weights.filter(col("b") === -1L).head().getDouble(1))
-    cnts
-      .join(broadcast(weights.filter(col("b") >= 0L)), "b")
-      .groupBy(col(idCol))
-      // w as decimal(19,9) × c as decimal(10,0) → decimal(30,9): exact
-      // (precision ≤ 38 — a (38,9) operand would overflow the result
-      // precision and Spark would silently REDUCE the scale)
-      .agg(sum(col("w").cast("decimal(19,9)") * col("c").cast("decimal(10,0)"))
-          .cast("decimal(38,9)").as("__s"),
-        sum("c").as("n_grams"))
-      .select(col(idCol), col("n_grams"),
+  /** Gram-mean scoring from the per-doc bucket-count array — the EXACT
+    * batch twin of [[scoreStream]] as a shuffle-free projection: the
+    * DECIMAL fold of c_b·w_b equals the per-gram sum of w (w is 9-dp as
+    * decimal(19,9), c integer as decimal(10,0), so each product is
+    * exact in scale-9 decimal — a (38,9) operand would overflow the
+    * product precision and Spark would silently REDUCE the scale — and
+    * decimal addition is order-free). */
+  private def twinFromDocFeats(df: DataFrame, idCol: String,
+                               w: Map[Long, Double], width: Int): DataFrame = {
+    val bias = lit(w(-1L))
+    val warr = wArray(w, width)
+    // product (19,9)×(10,0) → (30,9) exact; fold at (34,9) so the
+    // addition result (35,9) never overflows, cast-back exact (|s| ≤
+    // n_grams·max|w| ≪ 10^25)
+    val sdec = aggregate(col("__bc"), lit(0).cast("decimal(34,9)"),
+      (acc, f) => (acc + wAt(warr, f.getField("b")).cast("decimal(19,9)") *
+        f.getField("c").cast("decimal(10,0)")).cast("decimal(34,9)"))
+    df.select(col(idCol), col("__n").as("n_grams"),
         r9(lit(1.0d) / (lit(1.0d) +
-          exp(-r9(bias + col("__s").cast("double") / col("n_grams")))))
-          .as("__p"))
+          exp(-r9(bias + sdec.cast("double") / col("__n"))))).as("__p"))
       .select(col(idCol), col("n_grams"), fr6(col("__p")).as("score"),
         when(col("__p") >= 0.5d, 1L).otherwise(0L).as("pred"))
   }
@@ -224,25 +253,21 @@ object QualityClassifier {
     * tokenize (the DSIR-fusion discipline): returns (weights, twin)
     * where twin is bit-identical to `scoreStream(docs, …, weights)` —
     * the calibrator-fitting input for [[scoreStreamCalibrated]] without
-    * a second pass over the corpus. Both results are materialized
-    * before the shared count relation unpersists. */
+    * a second pass over the corpus. The twin materializes before the
+    * shared per-doc relation unpersists. */
   def trainWithStreamTwin(docs: DataFrame, idCol: String, textCol: String,
                           labelPred: Column, width: Int = 32,
                           iters: Int = 3,
                           lr: Double = 5.0): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val cnts = bucketCounts(docs, idCol, textCol, width).persist()
-    val feats = featuresFromCounts(cnts, docs, idCol).persist()
-    val labels = docs.select(col(idCol),
-      when(labelPred, 1.0d).otherwise(0.0d).as("y")).persist()
+    val df = docFeatures(docs, idCol, textCol, labelPred, width).persist()
     try {
-      val w = trainOnFeats(feats, labels, idCol, width, iters, lr)
-        .toSeq.toDF("b", "w")
-      val twin = scoreMeanFromCounts(cnts, idCol, w)
+      val w = trainOnDocFeats(df, width, iters, lr)
+      val twin = twinFromDocFeats(df, idCol, w, width)
         .localCheckpoint(eager = true)
-      (w, twin)
-    } finally { cnts.unpersist(); feats.unpersist(); labels.unpersist() }
+      (w.toSeq.sortBy(_._1).toDF("b", "w"), twin)
+    } finally df.unpersist()
   }
 
   /** Streaming scoring WITH per-domain Platt calibration applied in the

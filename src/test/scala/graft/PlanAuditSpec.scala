@@ -69,15 +69,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("DSIR + quality-classifier inner plans: broadcast weights, no cartesian, no global window") {
+  test("DSIR + quality-classifier inner plans: scale shapes, no cartesian, no global window") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     // materialize=false yields the exact plan the production forms
-    // execute eagerly inside localCheckpoint — auditable lineage
-    val scoredForCal = graft.text.QualityClassifier.trainAndScore(docs,
-        "doc_id", "text", col("lang") === "en")
-      .join(docs.select(col("doc_id"), col("source"),
-        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")), "doc_id")
+    // execute eagerly inside localCheckpoint — auditable lineage.
+    // The calibration audit reads plattCalibrate's OWN plan shape, so a
+    // synthetic join-free scored relation keeps the input out of the
+    // join count (the production input's doc join is audited via the
+    // q_quality_calibrated gate row).
+    val scoredForCal = docs.select(col("doc_id"), col("source"),
+      (pmod(xxhash64(col("doc_id")), lit(1000)).cast("double") / 1000.0d)
+        .as("score"),
+      when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y"))
     val inner = Seq(
       "dsir" -> graft.text.Dsir.weightedScores(docs, "doc_id", "text",
         col("source") === "src1", materialize = false),
@@ -89,8 +93,19 @@ class PlanAuditSpec extends SparkSpec {
       df.queryExecution.toRdd.count()
       val plan = df.queryExecution.executedPlan.toString()
         .split("== Initial Plan ==")(0)
-      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
-        s"$name scoring does not broadcast the weight table:\n${plan.take(2000)}")
+      name match {
+        case "dsir" =>
+          // DSIR still broadcasts its B=1024-row weight table into the
+          // doc-keyed scoring aggregation
+          assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+            s"$name scoring does not broadcast the weight table:\n${plan.take(2000)}")
+        case _ =>
+          // r18: classifier scoring and Platt calibration inline their
+          // bounded parameter tables as literals — the scale assertion
+          // is NO join of any kind in the scoring/calibration pass
+          assert(!plan.contains("Join"),
+            s"$name scoring plans a join (expected literal-parameter projection):\n${plan.take(2000)}")
+      }
       assert(!plan.contains("CartesianProduct"), s"$name:\n${plan.take(2000)}")
       val tree = df.queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
