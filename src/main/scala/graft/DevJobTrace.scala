@@ -12,15 +12,22 @@ object DevJobTrace {
     val spark = graft.core.Sessions.local(32)
     val jobs = new scala.collection.concurrent.TrieMap[Int, (Long, Int)]
     val done = new scala.collection.concurrent.TrieMap[Int, Long]
+    val stages = new scala.collection.concurrent.TrieMap[Int, (String, Long, Long, Int)]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.put(js.jobId, (js.time, js.stageIds.length))
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         done.put(je.jobId, je.time)
+      override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stages.put(si.stageId, (si.name.take(60),
+          si.taskMetrics.executorRunTime, si.taskMetrics.executorCpuTime / 1000000L,
+          si.numTasks))
+      }
     })
     val fn = SparkEntry.queries(name)
     for (run <- 1 to n) {
-      jobs.clear(); done.clear()
+      jobs.clear(); done.clear(); stages.clear()
       val t0 = System.nanoTime()
       val df = fn(spark, dir)
       val tBuild = (System.nanoTime() - t0) / 1e9
@@ -31,6 +38,10 @@ object DevJobTrace {
       jobs.toSeq.sortBy(_._1).foreach { case (id, (t0j, nst)) =>
         val dur = done.get(id).map(t => (t - t0j) / 1e3).getOrElse(-1d)
         println(f"  job $id%3d  ${dur}%6.2f s  stages=$nst")
+      }
+      stages.toSeq.sortBy(_._1).foreach { case (id, (nm, run, cpu, nt)) =>
+        if (run > 20)
+          println(f"  stage $id%3d run=${run / 1e3}%6.2f cpu=${cpu / 1e3}%6.2f tasks=$nt%3d  $nm")
       }
     }
     spark.stop()

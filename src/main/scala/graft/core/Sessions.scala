@@ -24,6 +24,14 @@ object Sessions {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // let AQE coalesce CACHED plans too (off by default): the iterative
+    // kernels (classifier GD, Platt fit, kmeans) persist a small
+    // intermediate and then run many tiny stages over it — without this
+    // the cache pins the static shuffle-partition count and every
+    // iteration pays that many near-empty tasks. Scale-adaptive: at
+    // production sizes partitions exceed the advisory size and nothing
+    // coalesces (optimization guide §2.2).
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     // full JVM charset set for CSV sources (EUC-JP etc., like the
     // reference's charset() option)

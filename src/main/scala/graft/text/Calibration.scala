@@ -56,21 +56,23 @@ object Calibration {
     val base0 = scored.select(col(idCol), col(domainCol),
       col(scoreCol).cast("double").as("__s"),
       col(labelCol).cast("double").as("__y"))
-    val base = if (materialize) base0.persist() else base0
-    try {
-      val fit = fitParams(base, domainCol, iters, lr)
-      // (A_d, B_d) inline as |domains|-entry map literals (domains are a
-      // bounded label set) — the calibration pass is a pure projection,
-      // no join (r18; was a broadcast join of the fit table)
-      val aM = domainMap(fit.map { case (d, (a, _)) => d -> a })
-      val bM = domainMap(fit.map { case (d, (_, b)) => d -> b })
-      val out = base
-        .select(col(idCol), col(domainCol), col("__s").as("score"),
-          fr6(sigmoid9(element_at(aM, col(domainCol)) * col("__s") +
-            element_at(bM, col(domainCol)))).as("cal_score"),
-          col("__y").cast("long").as("label"))
-      if (materialize) out.localCheckpoint(eager = true) else out
-    } finally if (materialize) base.unpersist()
+    // lineage-cut materialization (the classifier-trainer pattern):
+    // each fit iteration then plans over a bare RDD scan instead of
+    // re-analyzing the full upstream lineage
+    val base: DataFrame =
+      if (materialize) base0.localCheckpoint(eager = true) else base0
+    val fit = fitParams(base, domainCol, iters, lr)
+    // (A_d, B_d) inline as |domains|-entry map literals (domains are a
+    // bounded label set) — the calibration pass is a pure projection,
+    // no join (r18; was a broadcast join of the fit table)
+    val aM = domainMap(fit.map { case (d, (a, _)) => d -> a })
+    val bM = domainMap(fit.map { case (d, (_, b)) => d -> b })
+    val out = base
+      .select(col(idCol), col(domainCol), col("__s").as("score"),
+        fr6(sigmoid9(element_at(aM, col(domainCol)) * col("__s") +
+          element_at(bM, col(domainCol)))).as("cal_score"),
+        col("__y").cast("long").as("label"))
+    if (materialize) out.localCheckpoint(eager = true) else out
   }
 
   /** |domains|-entry map literal — the bounded-label-set lookup that
@@ -87,9 +89,9 @@ object Calibration {
                lr: Double = 2.0): DataFrame = {
     val base = scored.select(col(domainCol),
       col(scoreCol).cast("double").as("__s"),
-      col(labelCol).cast("double").as("__y")).persist()
-    try fitOn(base, domainCol, iters, lr).localCheckpoint(eager = true)
-    finally base.unpersist()
+      col(labelCol).cast("double").as("__y"))
+      .localCheckpoint(eager = true)
+    fitOn(base, domainCol, iters, lr)
   }
 
   /** GD loop over a (domainCol, __s, __y) relation → per-domain
@@ -175,8 +177,9 @@ object Calibration {
     import spark.implicits._
     val base = scored.select(col(idCol), col(domainCol),
       col(scoreCol).cast("double").as("score"),
-      col(labelCol).cast("double").as("__y")).persist()
-    try {
+      col(labelCol).cast("double").as("__y"))
+      .localCheckpoint(eager = true) // lineage cut — see plattCalibrate
+    locally {
       val bins = base.groupBy(col(domainCol), col("score"))
         .agg(count(lit(1)).as("n"), sum(col("__y").cast("long")).as("sy"))
         .select(col(domainCol).as("__d"), col("score"), col("n"), col("sy"))
@@ -209,7 +212,7 @@ object Calibration {
           fr6(col("__iso")).as("iso_score"),
           col("__y").cast("long").as("label"))
         .localCheckpoint(eager = true)
-    } finally base.unpersist()
+    }
   }
 
   /** Per-domain expected calibration error (Naeini et al. 2015,

@@ -115,9 +115,12 @@ object Dsir {
       .select(col(idCol), col("__t"), bucket(col("__g"), width).as("b"))
     // materialize=false is the plan-audit hook: the eager localCheckpoint
     // below truncates the lineage the plan assertions inspect, so audits
-    // read the identical lazy inner plan instead
-    val stream = if (materialize) stream0.persist() else stream0
-    try {
+    // read the identical lazy inner plan instead. Materialized runs cut
+    // the lineage up front (the classifier-trainer pattern) so the two
+    // consumers plan over a bare RDD scan.
+    val stream: DataFrame =
+      if (materialize) stream0.localCheckpoint(eager = true) else stream0
+    locally {
       val counts = stream.groupBy("b").agg(
           count(lit(1)).as("rcnt"),
           sum(when(col("__t"), 1L).otherwise(0L)).as("tcnt"))
@@ -132,11 +135,10 @@ object Dsir {
           math.log((tcnt + 1d) / (ttot + width.toDouble)) -
           math.log((rcnt + 1d) / (rtot + width.toDouble))))
       }.toDF("b", "wgt")
-      // materialize the (one row per doc) scored relation while the
-      // cached stream is live, so unpersist cannot trigger a re-tokenize
-      // when the caller finally consumes the result
+      // materialize the (one row per doc) scored relation so the caller
+      // never re-runs the tokenize when it finally consumes the result
       val scored = scoreBuckets(stream.select(col(idCol), col("b")), idCol, weights)
       if (materialize) scored.localCheckpoint(eager = true) else scored
-    } finally { if (materialize) stream.unpersist() }
+    }
   }
 }

@@ -150,9 +150,15 @@ object QualityClassifier {
             lr: Double = 5.0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val df = docFeatures(docs, idCol, textCol, labelPred, width).persist()
-    try trainOnDocFeats(df, width, iters, lr).toSeq.sortBy(_._1).toDF("b", "w")
-    finally df.unpersist()
+    // localCheckpoint instead of persist: the GD loop plans one job per
+    // iteration over this relation, and a persisted frame still carries
+    // the full tokenize lineage through analysis/optimization every
+    // time — the lineage cut makes each iteration plan a bare RDD scan
+    // (guide §5). Storage is freed by the ContextCleaner when the
+    // frame goes out of scope.
+    val df = docFeatures(docs, idCol, textCol, labelPred, width)
+      .localCheckpoint(eager = true)
+    trainOnDocFeats(df, width, iters, lr).toSeq.sortBy(_._1).toDF("b", "w")
   }
 
   /** Train + score in ONE corpus tokenize: the scoring pass is a pure
@@ -170,11 +176,12 @@ object QualityClassifier {
       val w = trainOnDocFeats(df, width, iters, lr)
       return scoreDocFeats(df, idCol, w, width)
     }
-    val df = docFeatures(docs, idCol, textCol, labelPred, width).persist()
-    try {
-      val w = trainOnDocFeats(df, width, iters, lr)
-      scoreDocFeats(df, idCol, w, width).localCheckpoint(eager = true)
-    } finally df.unpersist()
+    // lineage-cut materialization (see train); the scoring projection
+    // is shuffle-free, so the final checkpoint is one cheap map job
+    val df = docFeatures(docs, idCol, textCol, labelPred, width)
+      .localCheckpoint(eager = true)
+    val w = trainOnDocFeats(df, width, iters, lr)
+    scoreDocFeats(df, idCol, w, width).localCheckpoint(eager = true)
   }
 
   /** shuffle-free scoring projection over the per-doc feature relation:
@@ -261,13 +268,12 @@ object QualityClassifier {
                           lr: Double = 5.0): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val df = docFeatures(docs, idCol, textCol, labelPred, width).persist()
-    try {
-      val w = trainOnDocFeats(df, width, iters, lr)
-      val twin = twinFromDocFeats(df, idCol, w, width)
-        .localCheckpoint(eager = true)
-      (w.toSeq.sortBy(_._1).toDF("b", "w"), twin)
-    } finally df.unpersist()
+    val df = docFeatures(docs, idCol, textCol, labelPred, width)
+      .localCheckpoint(eager = true)
+    val w = trainOnDocFeats(df, width, iters, lr)
+    val twin = twinFromDocFeats(df, idCol, w, width)
+      .localCheckpoint(eager = true)
+    (w.toSeq.sortBy(_._1).toDF("b", "w"), twin)
   }
 
   /** Streaming scoring WITH per-domain Platt calibration applied in the
