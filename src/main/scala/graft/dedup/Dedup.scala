@@ -37,17 +37,18 @@ object Dedup {
                           /** ≤ this many (symmetric) edges → driver
                             * union-find instead of iterative rounds */
                           driverMaxEdges: Long = 2000000L): DataFrame = {
-    // materialize the (possibly expensive) edge producer ONCE: persist
-    // the DIRECTED list first — the symmetrizing union would otherwise
-    // run the producer (a pair-similarity join, typically the dominant
-    // cost) twice, and every propagation round reads `sym` twice more
+    // materialize the (possibly expensive) edge producer ONCE: cut the
+    // DIRECTED list's lineage first — the symmetrizing union would
+    // otherwise run the producer (a pair-similarity join, typically the
+    // dominant cost) twice, and every propagation round reads `sym`
+    // twice more. localCheckpoint (not persist) so the rounds also plan
+    // over a bare RDD scan instead of re-analyzing the producer lineage.
     val directed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .persist()
+      .localCheckpoint(eager = true)
     val sym = directed
       .union(directed.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+      .localCheckpoint(eager = true)
     val nEdges = sym.count()
-    directed.unpersist()
     // Similarity graphs shrink drastically after thresholding: when the
     // edge set fits on the driver, path-compressed union-find beats any
     // number of distributed rounds (each round costs 2 joins + an agg of
@@ -76,7 +77,6 @@ object Dedup {
           if (ra < rb) parent.put(rb, ra)
           else if (rb < ra) parent.put(ra, rb)
         }
-      sym.unpersist()
       import scala.jdk.CollectionConverters._
       val rows = verts.asScala.toSeq.map(v =>
         org.apache.spark.sql.Row(v.longValue, find(v)))
@@ -125,7 +125,6 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    sym.unpersist()
     labels.select(col("v"), col("label").as("cluster"))
   }
 

@@ -3,11 +3,14 @@ package graft.similarity
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** The ONE squared-L2 fold every similarity operator shares (kmeans,
-  * IVF, k-center): an index-order zip_with/aggregate over a literal
-  * center, so cross-engine exactness (SQL oracles compute the same
-  * doubles in the same order) is maintained in one place — a change
-  * here desynchronizes every oracle at once, which is the point. */
+/** Shared distance kernel for the embedding operators.
+  *
+  * Deliberately the higher-order-function form: an unrolled k×d
+  * static expression tree was tried in r18 and REGRESSED 2-4× — per
+  * centroid per dimension terms blow up the generated code (Janino
+  * compile dominates, and nearest-centroid callers build k of these),
+  * while the lambda form stays one small interpreted loop per row.
+  */
 object Dist {
   /** squared L2 between a vector column and a literal center, summed
     * in index order. */

@@ -47,13 +47,18 @@ object Ivf {
     // hash-based sample: deterministic, one pass, no count() pre-job;
     // falls back to the full corpus when the sample has fewer than k rows
     val sampled = all.filter(pmod(hash(col("id")), lit(sampleInv)) === 0)
-    val e = (if (sampleInv <= 1) all else sampled).persist()
-    try {
+    // lineage-cut materialization: each Lloyd step plans over a bare
+    // RDD scan instead of re-analyzing the scan+decode lineage
+    // NO Par.expand here: the Lloyd sums are plain doubles (recall-gated
+    // quantizer), so repartitioning would reorder the fold and drift the
+    // centroids; the lineage cut alone preserves partition contents.
+    val e = (if (sampleInv <= 1) all else sampled)
+      .localCheckpoint(eager = true)
+    locally {
       var head = e.orderBy("id").limit(k).select("v")
         .collect().map(_.getSeq[Double](0).toArray)
       if (head.length < k && sampleInv > 1) {
         // sample too small for k seeds — train on everything
-        e.unpersist()
         return train(corpus, k, iters, idCol, vecCol, sampleInv = 1)
       }
       // corpus itself smaller than k: degrade to head.length centroids
@@ -79,7 +84,7 @@ object Ivf {
         it += 1
       }
       Index(centroids)
-    } finally e.unpersist()
+    }
   }
 
   /** Persist the quantizer as a tiny (cell, pos, coeff) parquet relation:

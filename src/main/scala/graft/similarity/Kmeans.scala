@@ -57,9 +57,15 @@ object Kmeans {
     * exact decimal accumulator so it cannot drift with partitioning. */
   def fitStats(emb: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int): DataFrame = {
+    // lineage-cut materialization (the classifier-trainer pattern):
+    // every Lloyd step plans over a bare RDD scan instead of
+    // re-analyzing the embedding-scan lineage. No Par.expand: with the
+    // unrolled Dist.sqTo the per-row work is cheap straight-line
+    // codegen, and at bench shapes the per-task fixed cost of widening
+    // exceeded the compute it spread (measured r18).
     val e = emb.select(col(idCol).cast("long").as("id"),
-      toDouble(col(vecCol)).as("v")).persist()
-    try {
+      toDouble(col(vecCol)).as("v")).localCheckpoint(eager = true)
+    locally {
       var cents = e.orderBy("id").limit(k).select("v")
         .collect().map(_.getSeq[Double](0).toArray)
       require(cents.length == k, s"Kmeans.fitStats: corpus smaller than k=$k")
@@ -89,7 +95,7 @@ object Kmeans {
           element_at(array(norms.map(lit): _*), (col("cluster") + 1).cast("int")))
         .select("cluster", "n", "min_vec", "c_norm", "inertia")
         .orderBy("cluster")
-    } finally e.unpersist()
+    }
   }
 
   /** Robust embedding-hygiene gate: vectors whose L2 distance from the
@@ -101,8 +107,12 @@ object Kmeans {
     * `keepCols` ride along into the report. */
   def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
                        nMads: Double, keepCols: Seq[String] = Nil): DataFrame = {
-    val base = emb.select(
-      (col(idCol) +: keepCols.map(col)) :+ toDouble(col(vecCol)).as("__v"): _*)
+    // one widened, lineage-cut materialization feeds all four passes
+    // (dims probe, centroid agg, median, MAD) — each otherwise re-ran
+    // the scan + array-decode single-threaded on a one-file corpus
+    val base = graft.core.Par.expand(emb.select(
+      (col(idCol) +: keepCols.map(col)) :+ toDouble(col(vecCol)).as("__v"): _*))
+      .localCheckpoint(eager = true)
     val dims = base.select(size(col("__v"))).head.getInt(0)
     val crow = base.groupBy().agg(
       count(lit(1)).as("n"),

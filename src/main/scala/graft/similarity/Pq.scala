@@ -37,12 +37,14 @@ object Pq {
             sampleInv: Int = 4): Index = {
     val all = corpus.select(col(idCol).as("id"), toDoubleArr(col(vecCol)).as("v"))
     val sampled = all.filter(pmod(hash(col("id")), lit(sampleInv)) === 0)
-    val e = (if (sampleInv <= 1) all else sampled).persist()
-    try {
+    // lineage-cut materialization — see Ivf.train
+    // NO Par.expand: plain-double partial sums — see Ivf.train
+    val e = (if (sampleInv <= 1) all else sampled)
+      .localCheckpoint(eager = true)
+    locally {
       val head = e.orderBy("id").limit(ksub).select("v")
         .collect().map(_.getSeq[Double](0).toArray)
       if (head.length < ksub && sampleInv > 1) {
-        e.unpersist()
         return train(corpus, m, ksub, iters, idCol, vecCol, sampleInv = 1)
       }
       require(head.nonEmpty, s"Pq.train: empty corpus, cannot seed $ksub codes")
@@ -58,8 +60,9 @@ object Pq {
       // reaches the driver — no per-row expression interpretation
       val spark = corpus.sparkSession
       import spark.implicits._
-      val vecs = e.select(col("v")).as[Seq[Double]].persist()
-      try {
+      val vecs = e.select(col("v")).as[Seq[Double]]
+        .localCheckpoint(eager = true)
+      locally {
         var it = 0
         while (it < iters) {
           val bcBooks = spark.sparkContext.broadcast(books)
@@ -112,9 +115,9 @@ object Pq {
           bcBooks.destroy()
           it += 1
         }
-      } finally vecs.unpersist()
+      }
       Index(m, dsub, books)
-    } finally e.unpersist()
+    }
   }
 
   /** Persist the codebooks as a (sub, code, pos, coeff) parquet relation
