@@ -46,8 +46,16 @@ for try in $(seq 1 "$MAX_TRIES"); do
   echo "[bench_quiet] attempt $try/$MAX_TRIES: waiting for quiet (load < $LOAD_MAX)" >&2
   quiet_wait || continue
   echo "[bench_quiet] quiet window reached - launching Bench at $SF_DIR" >&2
+  launch_ts=$(date +%s)
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
     sbt -batch "runMain graft.Bench" 2>&1 | grep -E '\[bench\]|"metric"' | tail -60
+  # a crashed Bench leaves the PREVIOUS record in bench_full.json, whose
+  # stale drift could pass the gate — only evaluate a record this run wrote
+  record_ts=$(stat -c %Y bench_full.json 2>/dev/null || echo 0)
+  if [ "$record_ts" -lt "$launch_ts" ]; then
+    echo "[bench_quiet] rejected: Bench produced no new bench_full.json (stale record) - retrying" >&2
+    continue
+  fi
   drift=$(python3 -c 'import json
 try: print(json.load(open("bench_full.json"))["sentinel"]["drift"])
 except Exception: print("99")')

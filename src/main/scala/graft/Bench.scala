@@ -22,6 +22,19 @@ import org.apache.spark.sql.functions._
   *    show up in the round-over-round JSON.
   */
 object Bench {
+  /** The canonical-record acceptance rule (BenchGateSpec pins it):
+    * quiet sentinel AND same sf AND total no slower than the existing
+    * canonical's beyond 2% — the canonical is the fastest clean record,
+    * not the latest (r17 verdict §3). A missing/other-sf canonical
+    * gates on pristineness alone. */
+  private[graft] def canonAccept(drift: Double, sfMatches: Boolean,
+                                 prevTotal: Option[Double],
+                                 total: Double): Boolean = {
+    val pristine = drift <= 1.05 && drift >= 1 / 1.05
+    val fasterOrClose = !sfMatches || prevTotal.forall(p => total <= p * 1.02)
+    pristine && sfMatches && fasterOrClose
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -331,19 +344,27 @@ object Bench {
     // The PROTECTED canonical record: bench_full.json is the scratch
     // every run (driver record runs, dev smokes) overwrites; the quiet
     // pristine record lives under BENCH_CANONICAL.json, which only a
-    // quiet-window run may replace — sentinel drift within 5% AND the
+    // quiet-window run may replace — sentinel drift within 5%, the
     // same sf as the existing canonical (so an sf0.01 dev smoke can't
-    // clobber the sf0.1 record). GRAFT_BENCH_FORCE=1 overrides both.
+    // clobber the sf0.1 record), AND no slower than the existing
+    // canonical's total beyond 2% (r17 verdict: a pristine-but-slower
+    // run replaced the faster record through this door; the canonical
+    // is the fastest clean record, not the latest). GRAFT_BENCH_FORCE=1
+    // overrides all three.
     try {
       val canonPath = java.nio.file.Paths.get("BENCH_CANONICAL.json")
-      val pristine = drift <= 1.05 && drift >= 1 / 1.05
+      val prevTotal: Option[Double] =
+        if (!Files.exists(canonPath)) None
+        else "\"value\":(\\d+(?:\\.\\d+)?)".r
+          .findFirstMatchIn(Files.readString(canonPath)).map(_.group(1).toDouble)
       val sfMatches = !Files.exists(canonPath) ||
         Files.readString(canonPath).contains(s""""sf":"$sfDir"""")
-      if ((pristine && sfMatches) || sys.env.get("GRAFT_BENCH_FORCE").contains("1")) {
+      if (canonAccept(drift, sfMatches, prevTotal, total) ||
+          sys.env.get("GRAFT_BENCH_FORCE").contains("1")) {
         Files.write(canonPath, (fullLine + "\n").getBytes("UTF-8"))
         System.err.println("[bench] BENCH_CANONICAL.json updated (pristine window)")
       } else
-        System.err.println(f"[bench] BENCH_CANONICAL.json left untouched (drift $drift%.3f, sfMatch=$sfMatches; GRAFT_BENCH_FORCE=1 to override)")
+        System.err.println(f"[bench] BENCH_CANONICAL.json left untouched (drift $drift%.3f, sfMatch=$sfMatches, total ${d3(total)} vs canonical ${prevTotal.fold("-")(d3)}; GRAFT_BENCH_FORCE=1 to override)")
     } catch { case _: Throwable => }
     // NOT printing fullLine to stdout: a partial copy of it surviving in
     // the tail buffer could confuse a brace-matching extractor. The compact

@@ -199,7 +199,7 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    val b = docs
+    val b = graft.core.Par.expand(docs)
       .filter(size(split(col(textCol), " ")) >= 2)
       .select(col(idCol), col(blockCol),
         graft.functions.ArrayExprs.bigramHashes(spark, col(textCol)).as("bg"))
@@ -253,7 +253,7 @@ object Dedup {
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
-    val sigs = docs
+    val sigs = graft.core.Par.expand(docs)
       .filter(size(split(col(textCol), " ")) >= 2)
       .select(col(idCol),
         graft.functions.ArrayExprs.bigramHashes(spark, col(textCol)).as("bg"))
@@ -269,7 +269,7 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = docs.sparkSession
-    val sigs = docs
+    val sigs = graft.core.Par.expand(docs)
       .filter(size(split(col(textCol), " ")) >= 2)
       .select(col(idCol),
         graft.functions.ArrayExprs.bigramHashes(spark, col(textCol)).as("bg"))
@@ -313,7 +313,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val spark = corpus.sparkSession
-    def sigs(df: DataFrame) = df
+    def sigs(df: DataFrame) = graft.core.Par.expand(df)
       .filter(size(split(col(textCol), " ")) >= 2)
       .select(col(idCol),
         graft.functions.ArrayExprs.bigramHashes(spark, col(textCol)).as("bg"))

@@ -38,7 +38,7 @@ object CorpusStats {
     * per-doc value cannot drift with partitioning. Two shuffles, both
     * partial-aggregated: (doc, word) then (doc). */
   def wordEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wc = docs
+    val wc = graft.core.Par.expand(docs)
       .select(col(idCol), explode(Curation.words(col(textCol))).as("__w"))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
     wc.groupBy(col(idCol))
@@ -60,7 +60,8 @@ object CorpusStats {
     * otherwise); top-k is a distributed TakeOrdered merge. */
   def pmiCollocations(docs: DataFrame, textCol: String,
                       minCount: Long, k: Int): DataFrame = {
-    val ws = docs.select(Curation.words(col(textCol)).as("__ws"))
+    val ws = graft.core.Par.expand(docs)
+      .select(Curation.words(col(textCol)).as("__ws"))
     val uni = ws.select(explode(col("__ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val biAll = ws.select(explode(Curation.wordNgramsOf(col("__ws"), 2)).as("pair"))
@@ -89,7 +90,7 @@ object CorpusStats {
     * re-aggregation of the (source, word) counts, joined back on the
     * word key; source totals broadcast. */
   def sourceKl(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
-    val wc = docs
+    val wc = graft.core.Par.expand(docs)
       .select(col(srcCol).as("src"), explode(Curation.words(col(textCol))).as("w"))
       .groupBy("src", "w").agg(count(lit(1)).as("c"))
     val corpus = wc.groupBy("w").agg(sum("c").as("cw"))
@@ -117,7 +118,7 @@ object CorpusStats {
                    n: Int): DataFrame = {
     // gram identity travels as xxhash64 — the gram string never reaches
     // the output, so the distinct/groupBy keys shuffle as 8-byte longs
-    val sg = docs
+    val sg = graft.core.Par.expand(docs)
       .select(col(srcCol).as("src"), Curation.words(col(textCol)).as("__ws"))
       .select(col("src"),
         explode(array_distinct(transform(
@@ -147,7 +148,8 @@ object CorpusStats {
     * broadcast self-pair count over the tiny top-k set. Regression sums
     * round each term to 12 dp into decimal accumulators. */
   def zipfFit(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    val wc = docs.select(explode(Curation.words(col(textCol))).as("w"))
+    val wc = graft.core.Par.expand(docs)
+      .select(explode(Curation.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val top = wc.orderBy(col("c").desc, col("w")).limit(k)
     val ranked = top
@@ -177,7 +179,8 @@ object CorpusStats {
     * redundancy signal of a corpus. Token streams aggregate once each;
     * entropy term sums go through 9-dp decimal. */
   def infoProfile(docs: DataFrame, textCol: String): DataFrame = {
-    val ws = docs.select(Curation.words(col(textCol)).as("__ws"))
+    val ws = graft.core.Par.expand(docs)
+      .select(Curation.words(col(textCol)).as("__ws"))
     def ent(counts: DataFrame): DataFrame = counts.agg(
       sum("c").as("n"),
       sum(fr(col("c") * log2(col("c")), 9).cast("decimal(38,9)")).as("s"))
@@ -211,7 +214,7 @@ object CorpusStats {
     * pair. */
   def fuzzyVocabPairs(docs: DataFrame, textCol: String,
                       maxDist: Int = 1): DataFrame = {
-    val vocab = docs
+    val vocab = graft.core.Par.expand(docs)
       .select(explode(Curation.words(col(textCol))).as("w")).distinct()
     fuzzyCandidates(vocab, maxDist)
       .withColumn("dist", levenshtein(col("wa"), col("wb")))
@@ -311,7 +314,8 @@ object CorpusStats {
     * maintainer ([[graft.streaming.Watch.maintainCountMin]]) rides. */
   def cmCounters(docs: DataFrame, textCol: String, rows: Int,
                  width: Int): DataFrame = {
-    val wc = docs.select(explode(Curation.words(col(textCol))).as("w"))
+    val wc = graft.core.Par.expand(docs)
+      .select(explode(Curation.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     cmHashRows(wc, rows, width).groupBy("i", "b").agg(sum("c").as("v"))
   }
@@ -327,7 +331,8 @@ object CorpusStats {
 
   def countMin(docs: DataFrame, textCol: String, rows: Int, width: Int,
                k: Int): DataFrame = {
-    val wc = docs.select(explode(Curation.words(col(textCol))).as("w"))
+    val wc = graft.core.Par.expand(docs)
+      .select(explode(Curation.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val counters = cmHashRows(wc, rows, width).groupBy("i", "b").agg(sum("c").as("v"))
     // probes re-derive their buckets on the tiny top-k relation rather
@@ -357,7 +362,7 @@ object CorpusStats {
                        threshold: Double, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    val g = docs
+    val g = graft.core.Par.expand(docs)
       .select(col(idCol), col(blockCol).as("__blk"),
         Curation.words(col(textCol)).as("__ws"))
       // no size(__g)>0 filter: it would push below the __ws projection and

@@ -158,7 +158,8 @@ object Curation {
                    n: Int): DataFrame = {
     // gram identity travels as xxhash64 — 8-byte shuffle/join keys, same
     // trade as duplicateSpans (collisions merge one gram pair, ~never)
-    val grams = docs.select(col(idCol), words(col(textCol)).as("__ws"))
+    val grams = graft.core.Par.expand(docs)
+      .select(col(idCol), words(col(textCol)).as("__ws"))
       .select(col(idCol), explode(array_distinct(
         transform(wordNgramsOf(col("__ws"), n), g => xxhash64(g)))).as("__gh"))
     // each doc contributes a gram at most once (array_distinct), so the
@@ -470,7 +471,7 @@ object Curation {
                      n: Int, minDocs: Int = 2): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val posGrams = docs
+    val posGrams = graft.core.Par.expand(docs)
       .select(col(idCol), words(col(textCol)).as("__ws")) // split ONCE per doc
       .select(col(idCol), posexplode(wordNgramsOf(col("__ws"), n)).as(Seq("pos", "gram")))
       .select(col(idCol), col("pos").cast("long").as("pos"), // generator pos is int
@@ -480,7 +481,7 @@ object Curation {
     // one partial-agg shuffle of bare hashes — no shuffle-distinct of
     // the full (id, gram) stream (the interpreted per-element xxhash64
     // lambda is CPU the exchange it replaces would dwarf)
-    val dupGrams = docs
+    val dupGrams = graft.core.Par.expand(docs)
       .select(words(col(textCol)).as("__ws"))
       .select(explode(array_distinct(
         transform(wordNgramsOf(col("__ws"), n), g => xxhash64(g)))).as("__gh"))
