@@ -313,7 +313,10 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val spark = corpus.sparkSession
-    def sigs(df: DataFrame) = graft.core.Par.expand(df)
+    // corpus side expands below; the incoming delta is small by premise
+    // (and per-micro-batch repartition of a streaming delta was measured
+    // a regression in r18), so it signs un-rebalanced
+    def sigs(df: DataFrame) = df
       .filter(size(split(col(textCol), " ")) >= 2)
       .select(col(idCol),
         graft.functions.ArrayExprs.bigramHashes(spark, col(textCol)).as("bg"))
@@ -325,7 +328,7 @@ object Dedup {
     // a streaming delta re-reads the corpus index EVERY micro-batch —
     // pin the static side in memory exactly as a production intake would
     // pin its signature index (batch callers keep the one-pass plan)
-    val corpSigs0 = sigs(corpus)
+    val corpSigs0 = sigs(graft.core.Par.expand(corpus))
     val corpSigs = if (incoming.isStreaming) corpSigs0.persist() else corpSigs0
     val corpBanded = corpSigs.select(col(idCol).as("corpus_id"), bandBuckets)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")

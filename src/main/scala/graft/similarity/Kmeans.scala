@@ -59,10 +59,9 @@ object Kmeans {
                k: Int, iters: Int): DataFrame = {
     // lineage-cut materialization (the classifier-trainer pattern):
     // every Lloyd step plans over a bare RDD scan instead of
-    // re-analyzing the embedding-scan lineage. No Par.expand: with the
-    // unrolled Dist.sqTo the per-row work is cheap straight-line
-    // codegen, and at bench shapes the per-task fixed cost of widening
-    // exceeded the compute it spread (measured r18).
+    // re-analyzing the embedding-scan lineage. No Par.expand: at bench
+    // shapes the per-task fixed cost of widening exceeded the compute
+    // it spread (measured r18).
     val e = emb.select(col(idCol).cast("long").as("id"),
       toDouble(col(vecCol)).as("v")).localCheckpoint(eager = true)
     locally {
@@ -107,11 +106,12 @@ object Kmeans {
     * `keepCols` ride along into the report. */
   def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
                        nMads: Double, keepCols: Seq[String] = Nil): DataFrame = {
-    // one widened, lineage-cut materialization feeds all four passes
-    // (dims probe, centroid agg, median, MAD) — each otherwise re-ran
-    // the scan + array-decode single-threaded on a one-file corpus
-    val base = graft.core.Par.expand(emb.select(
-      (col(idCol) +: keepCols.map(col)) :+ toDouble(col(vecCol)).as("__v"): _*))
+    // one lineage-cut materialization feeds all four passes (dims
+    // probe, centroid agg, median, MAD) — each otherwise re-ran the
+    // scan + array-decode; no widening (per-task overhead exceeded the
+    // spread compute at bench shape, measured r18)
+    val base = emb.select(
+      (col(idCol) +: keepCols.map(col)) :+ toDouble(col(vecCol)).as("__v"): _*)
       .localCheckpoint(eager = true)
     val dims = base.select(size(col("__v"))).head.getInt(0)
     val crow = base.groupBy().agg(

@@ -38,7 +38,7 @@ object CorpusStats {
     * per-doc value cannot drift with partitioning. Two shuffles, both
     * partial-aggregated: (doc, word) then (doc). */
   def wordEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wc = graft.core.Par.expand(docs)
+    val wc = docs
       .select(col(idCol), explode(Curation.words(col(textCol))).as("__w"))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
     wc.groupBy(col(idCol))
@@ -60,8 +60,7 @@ object CorpusStats {
     * otherwise); top-k is a distributed TakeOrdered merge. */
   def pmiCollocations(docs: DataFrame, textCol: String,
                       minCount: Long, k: Int): DataFrame = {
-    val ws = graft.core.Par.expand(docs)
-      .select(Curation.words(col(textCol)).as("__ws"))
+    val ws = docs.select(Curation.words(col(textCol)).as("__ws"))
     val uni = ws.select(explode(col("__ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val biAll = ws.select(explode(Curation.wordNgramsOf(col("__ws"), 2)).as("pair"))
@@ -90,7 +89,7 @@ object CorpusStats {
     * re-aggregation of the (source, word) counts, joined back on the
     * word key; source totals broadcast. */
   def sourceKl(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
-    val wc = graft.core.Par.expand(docs)
+    val wc = docs
       .select(col(srcCol).as("src"), explode(Curation.words(col(textCol))).as("w"))
       .groupBy("src", "w").agg(count(lit(1)).as("c"))
     val corpus = wc.groupBy("w").agg(sum("c").as("cw"))
@@ -148,8 +147,7 @@ object CorpusStats {
     * broadcast self-pair count over the tiny top-k set. Regression sums
     * round each term to 12 dp into decimal accumulators. */
   def zipfFit(docs: DataFrame, textCol: String, k: Int): DataFrame = {
-    val wc = graft.core.Par.expand(docs)
-      .select(explode(Curation.words(col(textCol))).as("w"))
+    val wc = docs.select(explode(Curation.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val top = wc.orderBy(col("c").desc, col("w")).limit(k)
     val ranked = top
@@ -179,8 +177,7 @@ object CorpusStats {
     * redundancy signal of a corpus. Token streams aggregate once each;
     * entropy term sums go through 9-dp decimal. */
   def infoProfile(docs: DataFrame, textCol: String): DataFrame = {
-    val ws = graft.core.Par.expand(docs)
-      .select(Curation.words(col(textCol)).as("__ws"))
+    val ws = docs.select(Curation.words(col(textCol)).as("__ws"))
     def ent(counts: DataFrame): DataFrame = counts.agg(
       sum("c").as("n"),
       sum(fr(col("c") * log2(col("c")), 9).cast("decimal(38,9)")).as("s"))
@@ -214,7 +211,7 @@ object CorpusStats {
     * pair. */
   def fuzzyVocabPairs(docs: DataFrame, textCol: String,
                       maxDist: Int = 1): DataFrame = {
-    val vocab = graft.core.Par.expand(docs)
+    val vocab = docs
       .select(explode(Curation.words(col(textCol))).as("w")).distinct()
     fuzzyCandidates(vocab, maxDist)
       .withColumn("dist", levenshtein(col("wa"), col("wb")))
@@ -314,8 +311,7 @@ object CorpusStats {
     * maintainer ([[graft.streaming.Watch.maintainCountMin]]) rides. */
   def cmCounters(docs: DataFrame, textCol: String, rows: Int,
                  width: Int): DataFrame = {
-    val wc = graft.core.Par.expand(docs)
-      .select(explode(Curation.words(col(textCol))).as("w"))
+    val wc = docs.select(explode(Curation.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     cmHashRows(wc, rows, width).groupBy("i", "b").agg(sum("c").as("v"))
   }
@@ -331,8 +327,7 @@ object CorpusStats {
 
   def countMin(docs: DataFrame, textCol: String, rows: Int, width: Int,
                k: Int): DataFrame = {
-    val wc = graft.core.Par.expand(docs)
-      .select(explode(Curation.words(col(textCol))).as("w"))
+    val wc = docs.select(explode(Curation.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val counters = cmHashRows(wc, rows, width).groupBy("i", "b").agg(sum("c").as("v"))
     // probes re-derive their buckets on the tiny top-k relation rather

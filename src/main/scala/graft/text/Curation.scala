@@ -64,8 +64,7 @@ object Curation {
                             n: Int, distinctPerDoc: Boolean): DataFrame = {
     val grams0 = wordNgramsOf(col("__ws"), n)
     val grams = if (distinctPerDoc) array_distinct(grams0) else grams0
-    graft.core.Par.expand(df)
-      .select(col(idCol), words(col(textCol)).as("__ws"))
+    df.select(col(idCol), words(col(textCol)).as("__ws"))
       .select(col(idCol), explode(grams).as("gram"))
   }
 
@@ -82,9 +81,11 @@ object Curation {
                     textCol: String, n: Int): DataFrame = {
     val evalGrams = explodedGrams(eval_, idCol, textCol, n, distinctPerDoc = false)
       .select("gram").distinct()
-    // the pre-expansion rebalance (incl. the streaming form) now lives
-    // in explodedGrams via Par.expand (r18)
-    val corpusGrams = explodedGrams(corpus, idCol, textCol, n, distinctPerDoc = true)
+    // rebalance the CORPUS side only before the n-gram expansion (the
+    // eval side is small by definition and feeds a broadcast build —
+    // expanding it was measured a regression in r18)
+    val corpusGrams = explodedGrams(graft.core.Par.expand(corpus),
+      idCol, textCol, n, distinctPerDoc = true)
     corpusGrams
       .join(broadcast(evalGrams), "gram")
       .groupBy(idCol)
@@ -158,8 +159,7 @@ object Curation {
                    n: Int): DataFrame = {
     // gram identity travels as xxhash64 — 8-byte shuffle/join keys, same
     // trade as duplicateSpans (collisions merge one gram pair, ~never)
-    val grams = graft.core.Par.expand(docs)
-      .select(col(idCol), words(col(textCol)).as("__ws"))
+    val grams = docs.select(col(idCol), words(col(textCol)).as("__ws"))
       .select(col(idCol), explode(array_distinct(
         transform(wordNgramsOf(col("__ws"), n), g => xxhash64(g)))).as("__gh"))
     // each doc contributes a gram at most once (array_distinct), so the
@@ -333,7 +333,8 @@ object Curation {
     * deterministic. */
   def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, k: Int): DataFrame =
-    explodedGrams(docs, idCol, textCol, n, distinctPerDoc = false)
+    explodedGrams(graft.core.Par.expand(docs), idCol, textCol, n,
+        distinctPerDoc = false)
       .groupBy("gram")
       .agg(count(lit(1)).as("n_occ"), countDistinct(col(idCol)).as("n_docs"))
       .orderBy(col("n_occ").desc, col("gram").asc)
