@@ -53,20 +53,18 @@ object PageRank {
     require(n > 0, "PageRank.run: empty vertex set")
     val nD = n.toDouble
     val reset = (1d - d) / nD
-    // materialize the graph ONCE (r18): every iteration references the
-    // edge relation and its degree table, and without the lineage cut
-    // each iteration re-computed the whole upstream edge derivation
-    // (for the gate rows, a blocked similarity self-join) — the
-    // textbook iterative-graph trade (GraphX persists its graph too).
-    val e = edges.localCheckpoint(eager = true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = true)
+    // NO eager edge materialization: Spark's ReusedExchange already
+    // deduplicates the (expensive) edge derivation across the
+    // iteration joins, and an r18 A/B measured the eager
+    // localCheckpoint as pure overhead at bench shape (the extra
+    // materialization jobs outweigh the planning it saves).
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.select(col("v"), lit(1d / nD).as("r"))
     var it = 0
     var converged = false
     while (it < iters && !converged) {
       val prev = ranks // ≤ CheckpointEvery iterations of lineage
-      val contrib = e
+      val contrib = edges
         .join(ranks.withColumnRenamed("v", "src"), "src")
         .join(deg, "src")
         .groupBy(col("dst").as("v"))

@@ -71,13 +71,10 @@ object Triangles {
     * @return (v, n_triangles) for every vertex in ≥1 triangle */
   def perNode(pairs: DataFrame,
               maxOutDegree: Option[Int] = None): DataFrame = {
-    // materialize the edge relation ONCE (r18): orient references it
-    // three times (degree union twice + the edge join) and the wedge/
-    // close phase references the oriented relation three more — without
-    // the lineage cuts each reference re-computed the whole upstream
-    // derivation (for the gate row, a blocked similarity self-join)
-    val oriented0 = orient(pairs.localCheckpoint(eager = true))
-      .localCheckpoint(eager = true)
+    // NO eager pair/oriented materialization: ReusedExchange already
+    // deduplicates the repeated references, and an r18 A/B measured
+    // the localCheckpoints as net overhead at bench shape.
+    val oriented0 = orient(pairs)
     val oriented = maxOutDegree match {
       case None => oriented0
       case Some(k) =>
