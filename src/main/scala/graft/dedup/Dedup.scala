@@ -195,11 +195,20 @@ object Dedup {
     * Shingles are hashed to 64-bit ints once per document *before* the
     * quadratic pairing, so the O(pairs·|shingles|) intersection runs on
     * longs, not strings (~20× cheaper per comparison at 100 TB); hash
-    * collisions shift Jaccard by ≤1/|union| with probability ≈ |S|²/2^64. */
+    * collisions shift Jaccard by ≤1/|union| with probability ≈ |S|²/2^64.
+    *
+    * `rebalance` gates the pre-expansion spread (Par.expand): the right
+    * default for one-shot consumers, but callers that reference the
+    * RESULT repeatedly without materializing it (the iterative graph
+    * kernels) must pass false — the injected RoundRobin exchange is
+    * cloned into every reference of the subtree (r18: pagerank's plan
+    * gained 32 RoundRobin exchanges and regressed 0.77×) while
+    * ReusedExchange dedupes the un-rebalanced shape for free. */
   def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   rebalance: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
-    val b = graft.core.Par.expand(docs)
+    val b = (if (rebalance) graft.core.Par.expand(docs) else docs)
       .filter(size(split(col(textCol), " ")) >= 2)
       .select(col(idCol), col(blockCol),
         graft.functions.ArrayExprs.bigramHashes(spark, col(textCol)).as("bg"))

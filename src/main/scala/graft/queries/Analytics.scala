@@ -333,8 +333,11 @@ object Analytics {
     // one edge-vs-rank shuffle join + a partial-agg contribution shuffle.
     "q_pagerank" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // rebalance=false: PageRank references the edge subtree per
+      // iteration without materializing it — the Par.expand RoundRobin
+      // exchange clones into every reference (r18 regression, 0.77×)
       val pairs = graft.dedup.Dedup.jaccardPairs(docs,
-        blockCol = "source", threshold = 0.1)
+        blockCol = "source", threshold = 0.1, rebalance = false)
       val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       graft.graph.PageRank.run(docs.select(col("doc_id").as("v")), edges,

@@ -17,8 +17,12 @@ object Wave16 {
     // by out-degree ≤ O(√m) — survives power-law similarity graphs.
     "q_triangles" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // rebalance=false: Triangles references the pair subtree 6× (3
+      // orient joins + wedges ×2 + close) without materializing it —
+      // the Par.expand RoundRobin exchange clones into every reference
+      // (r18 regression, 0.70×); ReusedExchange dedupes the plain shape
       val pairs = graft.dedup.Dedup.jaccardPairs(docs,
-          blockCol = "source", threshold = 0.05)
+          blockCol = "source", threshold = 0.05, rebalance = false)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       graft.graph.Triangles.perNode(pairs)
         .select(col("v").as("doc_id"), col("n_triangles"))

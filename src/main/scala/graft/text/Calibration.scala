@@ -78,7 +78,10 @@ object Calibration {
   /** |domains|-entry map literal — the bounded-label-set lookup that
     * replaces per-iteration broadcast joins of the parameter table. */
   private def domainMap(m: Map[String, Double]): Column =
-    map(m.toSeq.sortBy(_._1)
+    // NULL domains never reach here from fitParams (a null group key
+    // would make a null map key, a runtime error) — drop them to keep
+    // the old broadcast-join's silent-drop semantics (ADVICE r18)
+    map(m.toSeq.filter(_._1 != null).sortBy(_._1)
       .flatMap { case (d, v) => Seq(lit(d), lit(v)) }: _*)
 
   /** Fit alone: the (domainCol, cal_a, cal_b) parameter table, for

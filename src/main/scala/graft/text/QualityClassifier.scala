@@ -86,7 +86,10 @@ object QualityClassifier {
     * literal indexed by b+2 (element_at is 1-based; b=-1 is the bias).
     * bucket() yields b ∈ [0, width), so the index never leaves range. */
   private def wArray(w: Map[Long, Double], width: Int): Column =
-    array(((-1L) +: (0L until width.toLong)).map(b => lit(w(b))): _*)
+    // getOrElse: an externally-produced weight table missing a bucket
+    // contributes zero weight, like the old broadcast-join form (ADVICE
+    // r18) — in-repo trainers always emit all width+1 rows
+    array(((-1L) +: (0L until width.toLong)).map(b => lit(w.getOrElse(b, 0.0d))): _*)
   private def wAt(warr: Column, b: Column): Column =
     element_at(warr, (b + lit(2L)).cast("int"))
 
@@ -131,8 +134,15 @@ object QualityClassifier {
         .agg(count(lit(1)).as("n"),
           sum(r9(col("__e") * col("f.x")).cast("decimal(38,9)")).as("__g"))
         .collect()
-      if (it == 1)
-        nDocs = rows.find(_.getLong(0) == -1L).map(_.getLong(1)).get.toDouble
+      if (it == 1) {
+        // the bias entry b = -1 appears once per doc; its absence means
+        // the corpus had no scoreable documents (ADVICE r18: fail with a
+        // message instead of a bare NoSuchElementException)
+        val bias = rows.find(_.getLong(0) == -1L)
+        require(bias.isDefined,
+          "QualityClassifier.train: empty corpus (no documents with grams)")
+        nDocs = bias.get.getLong(1).toDouble
+      }
       val grad = rows.map(r => r.getLong(0) ->
         round9(r.getDecimal(2).doubleValue() / nDocs)).toMap
       w = w.map { case (b, wb) =>
