@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/driver contract wants ONE parseable JSON line in stdout's
+// tail: pass forked run output through RAW (sbt's default LoggedOutput
+// re-logs every line with an "[info] " prefix, which defeated the
+// driver's line parser in every round through r18) and drop the
+// trailing "[success] Total time …" line for the same reason.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -314,7 +314,10 @@ object Bench {
     // head off mid-key → "parsed": null in two straight round records.
     val fixedFrame =
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":,"ingest":$ingest,"sentinel":$sentinel,"retries":$retriesC,"sf":"$sfName"}"""
-    val qsBudget = math.max(250, 2000 - 140 - fixedFrame.length)
+    // 60-char slack only: showSuccess=false + raw forked output mean
+    // nothing follows this line in stdout anymore (was 140 for sbt's
+    // trailing "[success] Total time …" line)
+    val qsBudget = math.max(250, 2000 - 60 - fixedFrame.length)
     val qs3 = qsLine(3, byCost)
     val qs = if (qs3.length <= qsBudget) qs3 else {
       val qs2 = qsLine(2, byCost)
@@ -357,6 +360,10 @@ object Bench {
         if (!Files.exists(canonPath)) None
         else "\"value\":(\\d+(?:\\.\\d+)?)".r
           .findFirstMatchIn(Files.readString(canonPath)).map(_.group(1).toDouble)
+      // a canonical that exists but yields no total would silently weaken
+      // the ≤1.02× gate back to pristine-only — make that visible (ADVICE)
+      if (Files.exists(canonPath) && prevTotal.isEmpty)
+        System.err.println("[bench] WARNING: BENCH_CANONICAL.json exists but its total could not be parsed — slower-run gate degraded to pristine-only")
       val sfMatches = !Files.exists(canonPath) ||
         Files.readString(canonPath).contains(s""""sf":"$sfDir"""")
       if (canonAccept(drift, sfMatches, prevTotal, total) ||
@@ -368,12 +375,18 @@ object Bench {
     } catch { case _: Throwable => }
     // NOT printing fullLine to stdout: a partial copy of it surviving in
     // the tail buffer could confuse a brace-matching extractor. The compact
-    // line below is the single parseable line in the tail.
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"ingest":$ingest,"sentinel":$sentinel,"retries":$retriesC,"sf":"$sfName"}""")
+    // line below is the single parseable line in the tail — printed as the
+    // very LAST act (after spark.stop()), so no shutdown logging can land
+    // after it in a merged stdout+stderr capture (r19: every BENCH_rNN
+    // record through r18 has "parsed": null; with run/fork raw output and
+    // showSuccess=false this line now ends the process output).
+    val compactLine = s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"ingest":$ingest,"sentinel":$sentinel,"retries":$retriesC,"sf":"$sfName"}"""
     try {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(scratch)).deleteRecursively()
     } catch { case _: Throwable => }
     spark.stop()
+    println(compactLine)
+    System.out.flush()
   }
 }

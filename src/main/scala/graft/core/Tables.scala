@@ -38,4 +38,25 @@ object Par {
     else if (df.rdd.getNumPartitions < par) df.repartition(par)
     else df
   }
+
+  /** Eager localCheckpoint that KEEPS the plan's shuffle width instead
+    * of letting AQE coalesce it (r19): an iteration loop re-scans the
+    * checkpointed relation many times, so a relation whose per-pass
+    * work is non-trivial (the classifier's per-doc feature arrays:
+    * ~0.2 s of decimal folds per pass at sf0.1) must not collapse to
+    * one partition just because it is smaller than the AQE advisory
+    * size — the coalesce saves one stage's scheduling overhead once
+    * but serializes every later pass. No extra exchange: only the
+    * checkpoint execution's coalesce step is disabled, so at scale
+    * (where AQE would not coalesce anyway) the plan is identical.
+    * Only for relations whose downstream reductions are order-free
+    * (decimal/count discipline) — partition contents change. */
+  def checkpointWide(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try df.localCheckpoint(eager = true)
+    finally s.conf.set(key, prev)
+  }
 }

@@ -49,10 +49,12 @@ object Analytics {
     // coefficients for distributed scoring; nothing corpus-quadratic
     "q_quality_classifier" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // labelAs replaces the doc_id join back to documents (r19): the
+      // emitted label is the same when(lang='en',1L,0L), evaluated
+      // before the explode instead of re-joined after scoring
       graft.text.QualityClassifier
-        .trainAndScore(docs, "doc_id", "text", col("lang") === "en")
-        .join(docs.select(col("doc_id"),
-          when(col("lang") === "en", 1L).otherwise(0L).as("label")), "doc_id")
+        .trainAndScore(docs, "doc_id", "text", col("lang") === "en",
+          labelAs = Some("label"))
         .orderBy("doc_id")
     }),
 
@@ -103,11 +105,11 @@ object Analytics {
     // fit joined back onto documents.
     "q_isotonic_calibrated" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // carry/labelAs replace the doc_id join (see calibratedDocs)
       val scored = graft.text.QualityClassifier
-        .trainAndScore(docs, "doc_id", "text", col("lang") === "en")
-      val joined = scored.join(docs.select(col("doc_id"), col("source"),
-        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")), "doc_id")
-      graft.text.Calibration.isotonicCalibrate(joined, "doc_id", "source",
+        .trainAndScore(docs, "doc_id", "text", col("lang") === "en",
+          carry = Seq("source"), labelAs = Some("y"))
+      graft.text.Calibration.isotonicCalibrate(scored, "doc_id", "source",
         "score", "y").orderBy("doc_id")
     }),
 
@@ -136,10 +138,10 @@ object Analytics {
       val d0 = t(s, dir, "documents")
       // ONE corpus tokenize for training AND the twin scores the
       // calibrator fits on (the DSIR-fusion discipline)
-      val (wt, twin0) = graft.text.QualityClassifier
-        .trainWithStreamTwin(d0, "doc_id", "text", col("lang") === "en")
-      val twin = twin0.join(d0.select(col("doc_id"), col("source"),
-        when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")), "doc_id")
+      // carry/labelAs replace the twin's doc_id join (see calibratedDocs)
+      val (wt, twin) = graft.text.QualityClassifier
+        .trainWithStreamTwin(d0, "doc_id", "text", col("lang") === "en",
+          carry = Seq("source"), labelAs = Some("y"))
       val fit = graft.text.Calibration.plattFit(twin, "source", "score", "y")
       val src = s.readStream.schema(d0.schema)
         .parquet(s"$dir/{documents.parquet}")
@@ -534,11 +536,14 @@ object Analytics {
   private def calibratedDocs(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame = {
     val docs = t(s, dir, "documents")
+    // source and the 0/1 label ride the feature build's own grouping
+    // keys (carry/labelAs) — the corpus-scale doc_id join back to the
+    // source relation is gone (r19; values identical, the label IS
+    // when(lang='en',1,0) evaluated pre-explode)
     val scored = graft.text.QualityClassifier
-      .trainAndScore(docs, "doc_id", "text", col("lang") === "en")
-    val joined = scored.join(docs.select(col("doc_id"), col("source"),
-      when(col("lang") === "en", 1.0d).otherwise(0.0d).as("y")), "doc_id")
-    graft.text.Calibration.plattCalibrate(joined, "doc_id", "source",
+      .trainAndScore(docs, "doc_id", "text", col("lang") === "en",
+        carry = Seq("source"), labelAs = Some("y"))
+    graft.text.Calibration.plattCalibrate(scored, "doc_id", "source",
       "score", "y")
   }
 

@@ -258,7 +258,8 @@ object Extra {
       val rawPath = s"$dir/events.parquet"
       val rollDir = rollupCache.getOrElseUpdate(rawPath + "#stream", {
         val d = java.nio.file.Files.createTempDirectory("graft_rstream").toString + "/r"
-        val ck = java.nio.file.Files.createTempDirectory("graft_rstream_ck").toString
+        // ephemeral gate checkpoint on the fast scratch root (StreamRun)
+        val ck = StreamRun.freshCk()
         val raw = s.read.parquet(rawPath)
         val t0 = System.nanoTime()
         StreamRun.await("q_rollup_stream",

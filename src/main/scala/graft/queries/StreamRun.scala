@@ -21,14 +21,45 @@ object StreamRun {
   val lastSplit =
     new scala.collection.concurrent.TrieMap[String, (Double, Double)]
 
+  /** Checkpoint root for the bounded gate streams. Their checkpoints
+    * are EPHEMERAL by construction — each run creates a fresh dir and
+    * deletes it at stop, exactly like Spark's own temp-checkpoint path —
+    * so they belong on the fastest scratch storage available: the
+    * offset WAL, commit log and every state-store delta are fsynced
+    * per micro-batch, and on a disk-backed tmpdir those fsyncs were
+    * 60-80% of a small batch's wall time (r19 DevStreamProbe: 32 state
+    * commits summing 9-43 s on /tmp vs ~0 on tmpfs). Production
+    * deployments that need durable recovery set an explicit
+    * checkpointLocation (or GRAFT_STREAM_CK_ROOT) on durable storage —
+    * the knob is the same one they already own. */
+  private[graft] lazy val ckRoot: String =
+    sys.env.get("GRAFT_STREAM_CK_ROOT").getOrElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_ck"
+      else System.getProperty("java.io.tmpdir") + "/graft_ck"
+    }
+
+  private[graft] def freshCk(): String =
+    s"$ckRoot/${java.util.UUID.randomUUID().toString}"
+
+  private def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+    }
+    try rm(new java.io.File(path)) catch { case _: Throwable => }
+  }
+
   /** Start the writer, wait for the bounded run to finish, record the
     * split. The memory-sink table the caller reads afterwards is
-    * unaffected — this only wraps start/awaitTermination. */
+    * unaffected — this only wraps start/awaitTermination, pointing the
+    * (ephemeral) checkpoint at [[ckRoot]] and deleting it after. */
   def run(name: String, w: DataStreamWriter[Row]): Unit = {
+    val ck = freshCk()
     val t0 = System.nanoTime()
-    val q = w.start()
+    val q = w.option("checkpointLocation", ck).start()
     q.awaitTermination()
     record(name, q, t0)
+    rmTree(ck)
   }
 
   /** Split-record an already-started query (streams launched by library

@@ -64,15 +64,19 @@ object QualityClassifier {
     * Arrays are bounded at width+1 entries regardless of corpus size,
     * so rows stay small at any scale. */
   private def docFeatures(docs: DataFrame, idCol: String, textCol: String,
-                          labelPred: Column, width: Int): DataFrame = {
+                          labelPred: Column, width: Int,
+                          carry: Seq[String] = Nil): DataFrame = {
     val y = when(labelPred, 1.0d).otherwise(0.0d)
     // every doc has ≥1 gram under this tokenizer, so the grouped doc
-    // set equals the source doc set (the old bias-row invariant)
+    // set equals the source doc set (the old bias-row invariant).
+    // `carry` columns (constant per doc, e.g. the domain) ride the
+    // grouping keys so downstream consumers skip a corpus-scale
+    // doc_id join back to the source relation (r19).
     gramBuckets(docs.withColumn("__y", y), idCol, textCol, width,
-        carry = Seq("__y"))
-      .groupBy(col(idCol), col("__y"), col("b"))
+        carry = "__y" +: carry)
+      .groupBy(col(idCol) +: col("__y") +: carry.map(col) :+ col("b"): _*)
       .agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol), col("__y"))
+      .groupBy(col(idCol) +: col("__y") +: carry.map(col): _*)
       .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("__bc"))
       .withColumn("__n",
         aggregate(col("__bc"), lit(0L), (acc, f) => acc + f.getField("c")))
@@ -166,8 +170,8 @@ object QualityClassifier {
     // time — the lineage cut makes each iteration plan a bare RDD scan
     // (guide §5). Storage is freed by the ContextCleaner when the
     // frame goes out of scope.
-    val df = docFeatures(docs, idCol, textCol, labelPred, width)
-      .localCheckpoint(eager = true)
+    val df = graft.core.Par.checkpointWide(
+      docFeatures(docs, idCol, textCol, labelPred, width))
     trainOnDocFeats(df, width, iters, lr).toSeq.sortBy(_._1).toDF("b", "w")
   }
 
@@ -180,28 +184,40 @@ object QualityClassifier {
     * the plan assertions inspect. */
   def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
                     labelPred: Column, width: Int = 32, iters: Int = 3,
-                    lr: Double = 5.0, materialize: Boolean = true): DataFrame = {
+                    lr: Double = 5.0, materialize: Boolean = true,
+                    carry: Seq[String] = Nil,
+                    labelAs: Option[String] = None): DataFrame = {
     if (!materialize) {
-      val df = docFeatures(docs, idCol, textCol, labelPred, width)
+      val df = docFeatures(docs, idCol, textCol, labelPred, width, carry)
       val w = trainOnDocFeats(df, width, iters, lr)
-      return scoreDocFeats(df, idCol, w, width)
+      return scoreDocFeats(df, idCol, w, width, carry, labelAs)
     }
     // lineage-cut materialization (see train); the scoring projection
     // is shuffle-free, so the final checkpoint is one cheap map job
-    val df = docFeatures(docs, idCol, textCol, labelPred, width)
-      .localCheckpoint(eager = true)
+    val df = graft.core.Par.checkpointWide(
+      docFeatures(docs, idCol, textCol, labelPred, width, carry))
     val w = trainOnDocFeats(df, width, iters, lr)
-    scoreDocFeats(df, idCol, w, width).localCheckpoint(eager = true)
+    scoreDocFeats(df, idCol, w, width, carry, labelAs)
+      .localCheckpoint(eager = true)
   }
 
   /** shuffle-free scoring projection over the per-doc feature relation:
-    * (idCol, score, pred), value-identical to the old broadcast-join +
-    * doc-keyed-agg pass. */
+    * (idCol, score, pred [, carry..., labelAs]), value-identical to the
+    * old broadcast-join + doc-keyed-agg pass; `carry`/`labelAs` replay
+    * the per-doc constants so callers skip the doc_id join back to the
+    * source relation (the label is __y as 0/1 BIGINT — exactly what the
+    * old `when(pred, 1L)` join leg computed). */
   private def scoreDocFeats(df: DataFrame, idCol: String,
-                            w: Map[Long, Double], width: Int): DataFrame =
-    df.select(col(idCol), pCol(wArray(w, width)).as("__p"))
-      .select(col(idCol), fr6(col("__p")).as("score"),
-        when(col("__p") >= 0.5d, 1L).otherwise(0L).as("pred"))
+                            w: Map[Long, Double], width: Int,
+                            carry: Seq[String] = Nil,
+                            labelAs: Option[String] = None): DataFrame = {
+    val mkTail = carry.map(col) ++
+      labelAs.map(n => col("__y").cast("long").as(n)).toSeq
+    val tailNames = (carry ++ labelAs.toSeq).map(col)
+    df.select(col(idCol) +: pCol(wArray(w, width)).as("__p") +: mkTail: _*)
+      .select(col(idCol) +: fr6(col("__p")).as("score") +:
+        when(col("__p") >= 0.5d, 1L).otherwise(0L).as("pred") +: tailNames: _*)
+  }
 
   /** Distributed scoring: (idCol, score, pred) — score = round6 sigmoid
     * of the linear model, pred = score ≥ 0.5 as 0/1. The ≤width+1-row
@@ -250,8 +266,10 @@ object QualityClassifier {
     * product precision and Spark would silently REDUCE the scale — and
     * decimal addition is order-free). */
   private def twinFromDocFeats(df: DataFrame, idCol: String,
-                               w: Map[Long, Double], width: Int): DataFrame = {
-    val bias = lit(w(-1L))
+                               w: Map[Long, Double], width: Int,
+                               carry: Seq[String] = Nil,
+                               labelAs: Option[String] = None): DataFrame = {
+    val bias = lit(w.getOrElse(-1L, 0.0d))
     val warr = wArray(w, width)
     // product (19,9)×(10,0) → (30,9) exact; fold at (34,9) so the
     // addition result (35,9) never overflows, cast-back exact (|s| ≤
@@ -259,11 +277,15 @@ object QualityClassifier {
     val sdec = aggregate(col("__bc"), lit(0).cast("decimal(34,9)"),
       (acc, f) => (acc + wAt(warr, f.getField("b")).cast("decimal(19,9)") *
         f.getField("c").cast("decimal(10,0)")).cast("decimal(34,9)"))
-    df.select(col(idCol), col("__n").as("n_grams"),
+    val mkTail = carry.map(col) ++
+      labelAs.map(n => col("__y").cast("long").as(n)).toSeq
+    val tailNames = (carry ++ labelAs.toSeq).map(col)
+    df.select(col(idCol) +: col("__n").as("n_grams") +:
         r9(lit(1.0d) / (lit(1.0d) +
-          exp(-r9(bias + sdec.cast("double") / col("__n"))))).as("__p"))
-      .select(col(idCol), col("n_grams"), fr6(col("__p")).as("score"),
-        when(col("__p") >= 0.5d, 1L).otherwise(0L).as("pred"))
+          exp(-r9(bias + sdec.cast("double") / col("__n"))))).as("__p") +:
+        mkTail: _*)
+      .select(col(idCol) +: col("n_grams") +: fr6(col("__p")).as("score") +:
+        when(col("__p") >= 0.5d, 1L).otherwise(0L).as("pred") +: tailNames: _*)
   }
 
   /** Train + the gram-mean batch twin of [[scoreStream]] in ONE corpus
@@ -274,14 +296,15 @@ object QualityClassifier {
     * shared per-doc relation unpersists. */
   def trainWithStreamTwin(docs: DataFrame, idCol: String, textCol: String,
                           labelPred: Column, width: Int = 32,
-                          iters: Int = 3,
-                          lr: Double = 5.0): (DataFrame, DataFrame) = {
+                          iters: Int = 3, lr: Double = 5.0,
+                          carry: Seq[String] = Nil,
+                          labelAs: Option[String] = None): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val df = docFeatures(docs, idCol, textCol, labelPred, width)
-      .localCheckpoint(eager = true)
+    val df = graft.core.Par.checkpointWide(
+      docFeatures(docs, idCol, textCol, labelPred, width, carry))
     val w = trainOnDocFeats(df, width, iters, lr)
-    val twin = twinFromDocFeats(df, idCol, w, width)
+    val twin = twinFromDocFeats(df, idCol, w, width, carry, labelAs)
       .localCheckpoint(eager = true)
     (w.toSeq.sortBy(_._1).toDF("b", "w"), twin)
   }
