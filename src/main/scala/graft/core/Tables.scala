@@ -59,4 +59,19 @@ object Par {
     try df.localCheckpoint(eager = true)
     finally s.conf.set(key, prev)
   }
+
+  /** Drop the storage blocks behind eager localCheckpoints whose LAST
+    * consumer has materialized (r19, guide §5): the ContextCleaner only
+    * frees checkpoint blocks when the frame is GC'd, so a long-lived
+    * JVM running hundreds of queries accumulates dead blocks that
+    * compete with execution memory. A locally-checkpointed RDD is not
+    * recomputable — never call this on a frame that will be read again
+    * (returned results stay alive; only intermediates are freed). */
+  def freeCheckpoint(dfs: DataFrame*): Unit = dfs.foreach { df =>
+    try df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    } catch { case _: Throwable => () }
+  }
 }

@@ -48,6 +48,9 @@ object Dedup {
     val sym = directed
       .union(directed.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(eager = true)
+    // sym materialized — the directed list has no consumers left; free
+    // its blocks now instead of at ContextCleaner GC time (guide §5)
+    graft.core.Par.freeCheckpoint(directed)
     val nEdges = sym.count()
     // Similarity graphs shrink drastically after thresholding: when the
     // edge set fits on the driver, path-compressed union-find beats any
@@ -77,6 +80,7 @@ object Dedup {
           if (ra < rb) parent.put(rb, ra)
           else if (rb < ra) parent.put(ra, rb)
         }
+      graft.core.Par.freeCheckpoint(sym) // collected — free (guide §5)
       import scala.jdk.CollectionConverters._
       val rows = verts.asScala.toSeq.map(v =>
         org.apache.spark.sql.Row(v.longValue, find(v)))
@@ -121,10 +125,14 @@ object Dedup {
         .join(stepped, Seq("v"))
         .localCheckpoint()
       val changed = next.filter(col("label") =!= col("old")).count()
+      // next is materialized and the convergence count is done — the
+      // previous round's label blocks have no consumers left (guide §5)
+      graft.core.Par.freeCheckpoint(labels)
       labels = next.select("v", "label")
       converged = changed == 0
       i += 1
     }
+    graft.core.Par.freeCheckpoint(sym) // rounds done — free (guide §5)
     labels.select(col("v"), col("label").as("cluster"))
   }
 

@@ -83,6 +83,9 @@ object Ivf {
         centroids = next
         it += 1
       }
+      // the index is driver data — drop the sample's checkpoint blocks
+      // now instead of waiting for the ContextCleaner (guide §5)
+      graft.core.Par.freeCheckpoint(e)
       Index(centroids)
     }
   }

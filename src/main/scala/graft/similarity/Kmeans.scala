@@ -85,7 +85,10 @@ object Kmeans {
         round6(math.sqrt(s))
       }
       val nn = nearestStruct(col("v"), fin)
-      e.select(col("id"), nn.getField("i").cast("long").as("cluster"),
+      // materialize the <=k-row result so the Lloyd relation's blocks can
+      // be freed NOW rather than at ContextCleaner GC time (guide §5);
+      // the caller's action then scans k rows
+      val out = e.select(col("id"), nn.getField("i").cast("long").as("cluster"),
           nn.getField("d").as("dist"))
         .groupBy("cluster")
         .agg(count(lit(1)).as("n"), min("id").as("min_vec"),
@@ -94,6 +97,9 @@ object Kmeans {
           element_at(array(norms.map(lit): _*), (col("cluster") + 1).cast("int")))
         .select("cluster", "n", "min_vec", "c_norm", "inertia")
         .orderBy("cluster")
+        .localCheckpoint(eager = true)
+      graft.core.Par.freeCheckpoint(e)
+      out
     }
   }
 
@@ -126,10 +132,15 @@ object Kmeans {
     val med = withDist.agg(percentile(col("__dist"), lit(0.5))).head.getDouble(0)
     val mad = withDist
       .agg(percentile(abs(col("__dist") - med), lit(0.5))).head.getDouble(0)
-    withDist.filter(abs(col("__dist") - med) > nMads * mad)
+    // materialize the (small) outlier set so the widened base's blocks
+    // free NOW rather than at ContextCleaner GC time (guide §5)
+    val out = withDist.filter(abs(col("__dist") - med) > nMads * mad)
       .select((col(idCol) +: keepCols.map(col)) :+
         round6(col("__dist")).as("dist") :+
         round6(abs(col("__dist") - med)).as("dev"): _*)
       .orderBy(idCol)
+      .localCheckpoint(eager = true)
+    graft.core.Par.freeCheckpoint(base)
+    out
   }
 }

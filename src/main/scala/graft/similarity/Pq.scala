@@ -116,6 +116,9 @@ object Pq {
           it += 1
         }
       }
+      // the codebooks are driver data — drop both checkpoint layers'
+      // blocks now instead of waiting for the ContextCleaner (guide §5)
+      graft.core.Par.freeCheckpoint(vecs.toDF(), e)
       Index(m, dsub, books)
     }
   }

@@ -72,7 +72,13 @@ object Calibration {
         fr6(sigmoid9(element_at(aM, col(domainCol)) * col("__s") +
           element_at(bM, col(domainCol)))).as("cal_score"),
         col("__y").cast("long").as("label"))
-    if (materialize) out.localCheckpoint(eager = true) else out
+    if (materialize) {
+      val o = out.localCheckpoint(eager = true)
+      // calibrated result materialized — the fit base has no consumers
+      // left; free its blocks now (guide §5)
+      graft.core.Par.freeCheckpoint(base)
+      o
+    } else out
   }
 
   /** |domains|-entry map literal — the bounded-label-set lookup that
@@ -94,7 +100,9 @@ object Calibration {
       col(scoreCol).cast("double").as("__s"),
       col(labelCol).cast("double").as("__y"))
       .localCheckpoint(eager = true)
-    fitOn(base, domainCol, iters, lr)
+    val fit = fitOn(base, domainCol, iters, lr)
+    graft.core.Par.freeCheckpoint(base) // fit is driver data (guide §5)
+    fit
   }
 
   /** GD loop over a (domainCol, __s, __y) relation → per-domain
@@ -210,11 +218,13 @@ object Calibration {
           }
         }
         .toDF(domainCol, "score", "__iso")
-      base.join(broadcast(fit), Seq(domainCol, "score"))
+      val out = base.join(broadcast(fit), Seq(domainCol, "score"))
         .select(col(idCol), col(domainCol), col("score"),
           fr6(col("__iso")).as("iso_score"),
           col("__y").cast("long").as("label"))
         .localCheckpoint(eager = true)
+      graft.core.Par.freeCheckpoint(base) // result materialized (guide §5)
+      out
     }
   }
 

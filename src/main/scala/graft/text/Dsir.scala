@@ -138,7 +138,13 @@ object Dsir {
       // materialize the (one row per doc) scored relation so the caller
       // never re-runs the tokenize when it finally consumes the result
       val scored = scoreBuckets(stream.select(col(idCol), col("b")), idCol, weights)
-      if (materialize) scored.localCheckpoint(eager = true) else scored
+      if (materialize) {
+        val out = scored.localCheckpoint(eager = true)
+        // the gram stream has no consumers left — free its blocks now
+        // instead of waiting for the ContextCleaner (guide §5)
+        graft.core.Par.freeCheckpoint(stream)
+        out
+      } else scored
     }
   }
 }

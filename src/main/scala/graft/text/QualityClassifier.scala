@@ -172,7 +172,9 @@ object QualityClassifier {
     // frame goes out of scope.
     val df = graft.core.Par.checkpointWide(
       docFeatures(docs, idCol, textCol, labelPred, width))
-    trainOnDocFeats(df, width, iters, lr).toSeq.sortBy(_._1).toDF("b", "w")
+    val w = trainOnDocFeats(df, width, iters, lr)
+    graft.core.Par.freeCheckpoint(df) // weights are driver data (guide §5)
+    w.toSeq.sortBy(_._1).toDF("b", "w")
   }
 
   /** Train + score in ONE corpus tokenize: the scoring pass is a pure
@@ -197,8 +199,12 @@ object QualityClassifier {
     val df = graft.core.Par.checkpointWide(
       docFeatures(docs, idCol, textCol, labelPred, width, carry))
     val w = trainOnDocFeats(df, width, iters, lr)
-    scoreDocFeats(df, idCol, w, width, carry, labelAs)
+    val out = scoreDocFeats(df, idCol, w, width, carry, labelAs)
       .localCheckpoint(eager = true)
+    // the scored result is materialized — the feature relation has no
+    // consumers left; free its blocks now (guide §5)
+    graft.core.Par.freeCheckpoint(df)
+    out
   }
 
   /** shuffle-free scoring projection over the per-doc feature relation:
@@ -306,6 +312,9 @@ object QualityClassifier {
     val w = trainOnDocFeats(df, width, iters, lr)
     val twin = twinFromDocFeats(df, idCol, w, width, carry, labelAs)
       .localCheckpoint(eager = true)
+    // twin materialized, weights are driver data — free the feature
+    // relation's blocks now (guide §5)
+    graft.core.Par.freeCheckpoint(df)
     (w.toSeq.sortBy(_._1).toDF("b", "w"), twin)
   }
 
