@@ -8,7 +8,10 @@ object ProfileSlow {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val n = if (args.length > 1) args(1).toInt else 3
-    val spark = graft.core.Sessions.local(32)
+    // GRAFT_PROF_CPUS: core count for scaling measurements (r19 —
+    // the Par.expand adjudication needs the same queries at 8 vs 32)
+    val spark = graft.core.Sessions.local(
+      sys.env.getOrElse("GRAFT_PROF_CPUS", "32").toInt)
     // extra args past (dir, n) select the queries; default = usual suspects
     val names = if (args.length > 2) args.drop(2).toSeq
       else Seq("q_dedup_jaccard", "q_dedup_cluster", "q_pipeline_curate",
